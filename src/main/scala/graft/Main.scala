@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Settings
+import graft.engine.SyncRunner
+
+/** CLI mirroring the reference's control-plane verbs (SURVEY.md §2.K) —
+  * the transport-free restatement of its REST API:
+  *
+  * {{{
+  * sync <warehouseDir> <sources> <collection>   POST /sync/{collection}
+  * scheduled <warehouseDir> <sources> <colls>   the APScheduler job body
+  * logs <warehouseDir> [limit]                  GET /sync/logs
+  * health <warehouseDir>                        GET /health
+  * show <warehouseDir> <collection> [n]         read back a warehouse table
+  * }}}
+  *
+  * `<sources>` uses the reference's setting syntax: a JSON object of
+  * name → path or a comma-separated path list (auto-named source_N).
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "sync" :: wh :: sources :: collection :: Nil =>
+      // Name gate (P7) runs before any path is built from the name.
+      require(Settings.validCollectionName(collection),
+        s"invalid collection name '$collection' (must match ${Settings.CollectionNamePattern})")
+      val spark = session()
+      val runner = new SyncRunner(spark, Settings(wh, Settings.parseSources(sources)))
+      Settings.parseSources(sources).toSeq.sortBy(_._1).foreach { case (name, root) =>
+        val res = runner.syncCollection(name, runner.resolveCollectionPath(root, collection), collection)
+        println(s"[${res.status}] ${res.message}")
+      }
+      spark.stop()
+
+    case "scheduled" :: wh :: sources :: colls :: Nil =>
+      val spark = session()
+      val settings = Settings(wh, Settings.parseSources(sources),
+        targetCollections = colls.split(",").toSeq)
+      new SyncRunner(spark, settings).scheduledRun()
+        .foreach(r => println(s"[${r.status}] ${r.message}"))
+      spark.stop()
+
+    case "logs" :: wh :: rest =>
+      val spark = session()
+      val runner = new SyncRunner(spark, Settings(wh))
+      runner.history.recentRuns(rest.headOption.map(_.toInt).getOrElse(50))
+        .show(100, truncate = false)
+      spark.stop()
+
+    case "health" :: wh :: Nil =>
+      val spark = session()
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val svc = new graft.api.SyncService(new SyncRunner(spark, Settings(wh)), Settings(wh))
+      println(svc.health().map { case (k, v) => s"$k=$v" }.mkString(" "))
+      spark.stop()
+
+    case "show" :: wh :: collection :: rest =>
+      val spark = session()
+      val runner = new SyncRunner(spark, Settings(wh))
+      runner.readTable(collection).show(rest.headOption.map(_.toInt).getOrElse(20), truncate = false)
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage:
+           |  sync <warehouseDir> <sources> <collection>
+           |  scheduled <warehouseDir> <sources> <collections-csv>
+           |  logs <warehouseDir> [limit]
+           |  health <warehouseDir>
+           |  show <warehouseDir> <collection> [n]""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.{ExecutionContext, Future}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.Settings
+import graft.engine.{SyncResult, SyncRunner}
+
+/** Control plane — the library mirror of the reference's REST surface
+  * (reference src/api/routes.py; SURVEY.md §2.K). The queries, not the HTTP
+  * transport, are the capability: health, on-demand trigger with per-source
+  * task status, recent-runs log, scheduled loop.
+  */
+final class SyncService(runner: SyncRunner, settings: Settings)(
+    implicit ec: ExecutionContext) {
+
+  // task_id → (source → status). The reference keeps this in Redis with a
+  // 1h TTL (routes.py:21-29,91-93); driver-side state is the Spark-native
+  // equivalent — it is not a data-plane concern.
+  private val tasks = new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()
+
+  /** `GET /health` parity (routes.py:31-75): can we see the warehouse and is
+    * the session alive?
+    */
+  def health(): Map[String, String] = {
+    val sparkOk =
+      try { runner.checkpoints.all(); "ok" }
+      catch { case e: Exception => s"error: ${e.getMessage}" }
+    Map("status" -> (if (sparkOk == "ok") "ok" else "degraded"), "warehouse" -> sparkOk)
+  }
+
+  /** `POST /sync/{collection}` parity (routes.py:77-102): validate the name,
+    * mint a task id, fan one async sync per source, return immediately.
+    */
+  def triggerSync(collection: String): String = {
+    require(Settings.validCollectionName(collection),
+      s"invalid collection name '$collection'")
+    val taskId = java.util.UUID.randomUUID().toString
+    val statuses = new ConcurrentHashMap[String, String]()
+    settings.sources.keys.foreach(statuses.put(_, "pending"))
+    tasks.put(taskId, statuses)
+    settings.sources.foreach { case (name, root) =>
+      Future {
+        statuses.put(name, "running")
+        val res =
+          try runner.syncCollection(name, runner.resolveCollectionPath(root, collection), collection)
+          catch { case e: Exception => SyncResult("", name, collection, "FAILED", 0, None, e.getMessage) }
+        statuses.put(name,
+          if (res.status == "SUCCESS") s"success: ${res.recordsSynced} records"
+          else s"failed: ${res.message}")
+      }
+    }
+    taskId
+  }
+
+  /** `GET /sync/status/{task_id}` parity (routes.py:104-112). */
+  def status(taskId: String): Option[Map[String, String]] =
+    Option(tasks.get(taskId)).map(_.asScala.toMap)
+
+  /** `GET /sync/logs?limit=` parity (routes.py:128-136). */
+  def recentLogs(limit: Int = 50): DataFrame = runner.history.recentRuns(limit)
+
+  /** The scheduled job body (src/main.py:27-45). */
+  def scheduledRun(): Seq[SyncResult] = runner.scheduledRun()
+}

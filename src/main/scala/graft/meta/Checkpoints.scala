@@ -1,0 +1,70 @@
+package graft.meta
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** High-water-mark checkpoint table — `sync_metadata(source_uri,
+  * collection_name, last_synced_at)` keyed on (source, collection), the
+  * Spark restatement of the reference's PostgreSQL checkpoint relation
+  * (reference src/core/db.py:41-52, src/services/etl.py:89-123).
+  *
+  * The table is tiny (one row per source×collection), so upsert is a
+  * driver-side read-modify-write with an atomic directory swap. The
+  * composite key is deliberate: watermarks are never compared across
+  * sources (clock-skew hazard, SURVEY.md §7.4 item 6).
+  */
+final class Checkpoints(spark: SparkSession, metaDir: String) {
+  import spark.implicits._
+
+  private val path = s"$metaDir/sync_metadata"
+
+  private def exists: Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def all(): DataFrame =
+    if (exists) spark.read.parquet(path)
+    else Seq.empty[(String, String, Timestamp)]
+      .toDF("source_uri", "collection_name", "last_synced_at")
+
+  /** `None` on first run — "no checkpoint found" full scan (reference
+    * etl.py:206-212).
+    */
+  def lastSynced(source: String, collection: String): Option[Timestamp] =
+    all()
+      .filter(col("source_uri") === source && col("collection_name") === collection)
+      .select("last_synced_at")
+      .collect()
+      .headOption
+      .map(_.getTimestamp(0))
+
+  /** Upsert the watermark for (source, collection) — `INSERT ... ON CONFLICT
+    * DO UPDATE` parity (reference etl.py:108-123).
+    */
+  def advance(source: String, collection: String, hwm: Timestamp): Unit = {
+    val others = all()
+      .filter(!(col("source_uri") === source && col("collection_name") === collection))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
+      .toSeq
+    val updated = (others :+ ((source, collection, hwm)))
+      .toDF("source_uri", "collection_name", "last_synced_at")
+    atomicWrite(updated)
+  }
+
+  private def atomicWrite(df: DataFrame): Unit = {
+    val tmp = s"$metaDir/.staging_sync_metadata"
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val hfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val bak = new Path(s"$metaDir/.bak_sync_metadata")
+    if (hfs.exists(bak)) hfs.delete(bak, true)
+    if (hfs.exists(live)) hfs.rename(live, bak)
+    hfs.rename(new Path(tmp), live)
+    hfs.delete(bak, true)
+  }
+}

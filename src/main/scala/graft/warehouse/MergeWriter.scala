@@ -1,0 +1,143 @@
+package graft.warehouse
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent last-write-wins upsert into a bucketed parquet table —
+  * the Spark-native equivalent of the reference's staging-table
+  * `INSERT ... ON CONFLICT ("_id") DO UPDATE` sink (reference
+  * src/services/etl.py:17-87) without requiring a MERGE-capable format.
+  *
+  * Scale design (SURVEY.md §7.4 item 1): the table is hash-partitioned into
+  * `sync_bucket=N` subdirectories on the merge key. A merge:
+  *
+  *  1. computes the batch's bucket set (≤ numBuckets ints — driver-safe),
+  *  2. reads ONLY those buckets of the existing table (partition pruning —
+  *     untouched buckets are never scanned or rewritten, so merge cost is
+  *     O(batch + affected buckets), not O(table)),
+  *  3. unions by name (schema evolution tolerated), dedupes per key with a
+  *     `row_number` window ordered by `_synced_at` desc then batch-wins,
+  *  4. writes to a hidden staging dir and atomically swaps the affected
+  *     bucket directories (rename live → .bak, staging → live, drop .bak).
+  *
+  * Crash safety: the swap is per-bucket-atomic, not table-atomic. The engine
+  * invariant (reference etl.py:248, SURVEY.md §2.I S7) is that the sync
+  * checkpoint advances only after a fully successful merge, and the merge is
+  * idempotent — so replay after any partial failure converges to the same
+  * state. A failed swap leaves a `.bak_` dir for manual recovery.
+  *
+  * At 100 TB you would raise `numBuckets` (e.g. 2^14) so each bucket stays
+  * executor-sized; bucket count is fixed per table at creation.
+  */
+object MergeWriter {
+
+  val BucketCol = "sync_bucket"
+  val DefaultNumBuckets = 64
+
+  def bucketOf(key: Column, numBuckets: Int): Column =
+    pmod(hash(key), lit(numBuckets))
+
+  /** Reusable last-write-wins collapse: keep one row per key, preferring the
+    * greatest `orderBy` columns. Nondeterministic only if the full ordering
+    * ties (callers pass enough tiebreaks).
+    */
+  def latestByKey(df: DataFrame, key: String, orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderBy: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tableExists(spark: SparkSession, tablePath: String): Boolean =
+    fs(spark, tablePath).exists(new Path(tablePath))
+
+  /** Read a merged table back, hiding the internal bucket column.
+    * `mergeSchema` because buckets written before a schema evolution keep
+    * the old (narrower) parquet schema.
+    */
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(tablePath).drop(BucketCol)
+
+  /** Overwrite-load (truncate-and-reload, reference dump.py:187-194). */
+  def overwrite(spark: SparkSession, tablePath: String, df: DataFrame, key: String = "_id",
+                numBuckets: Int = DefaultNumBuckets): Long = {
+    val bucketed = df.withColumn(BucketCol, bucketOf(col(key), numBuckets))
+    bucketed.write.mode("overwrite").partitionBy(BucketCol).parquet(tablePath)
+    spark.read.parquet(tablePath).count()
+  }
+
+  /** Upsert `batch` into the table at `tablePath` keyed on `key`.
+    * Last write wins by `_synced_at` (when present) with the incoming batch
+    * winning ties — PostgreSQL `ON CONFLICT DO UPDATE` semantics. Returns
+    * the number of rows in the incoming batch (reference counts scanned
+    * docs, etl.py:217).
+    */
+  def merge(spark: SparkSession, tablePath: String, batch: DataFrame, key: String = "_id",
+            numBuckets: Int = DefaultNumBuckets): Long = {
+    if (batch.isEmpty) return 0L // empty-batch guard (reference etl.py:23-24)
+    require(batch.columns.contains(key), s"merge key '$key' missing from batch")
+
+    val batchCount = batch.count()
+    // Within-batch duplicate keys collapse up front (last `_synced_at` wins)
+    // — the reference's PG upsert would error on these ("cannot affect row a
+    // second time"); deterministic collapse is the documented improvement
+    // (SURVEY.md §7.4 item 5).
+    val batchOrdering =
+      if (batch.columns.contains("_synced_at")) Seq(desc("_synced_at")) else Nil
+    val deduped =
+      if (batchOrdering.nonEmpty) latestByKey(batch, key, batchOrdering) else batch.dropDuplicates(key)
+    val bucketed = deduped.withColumn(BucketCol, bucketOf(col(key), numBuckets))
+
+    if (!tableExists(spark, tablePath)) {
+      // First sync auto-creates the table (reference etl.py:31-49).
+      bucketed.write.mode("errorifexists").partitionBy(BucketCol).parquet(tablePath)
+      return batchCount
+    }
+
+    val affected: Seq[Int] =
+      bucketed.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+
+    val existing = spark.read.option("mergeSchema", "true").parquet(tablePath)
+      .filter(col(BucketCol).isin(affected: _*)) // partition-pruned scan
+      .withColumn("_prec", lit(0))
+    val incoming = bucketed.withColumn("_prec", lit(1))
+
+    val unioned = existing.unionByName(incoming, allowMissingColumns = true)
+    val ordering =
+      (if (unioned.columns.contains("_synced_at")) Seq(desc("_synced_at")) else Nil) :+ desc("_prec")
+    val merged = latestByKey(unioned, key, ordering).drop("_prec")
+
+    // Stage, then swap only the affected bucket dirs.
+    val staging = stagingPath(tablePath)
+    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(staging)
+    swapBuckets(spark, tablePath, staging, affected)
+    batchCount
+  }
+
+  private def stagingPath(tablePath: String): String = {
+    val p = new Path(tablePath)
+    new Path(p.getParent, s".staging_${p.getName}").toString
+  }
+
+  private def swapBuckets(spark: SparkSession, tablePath: String, staging: String,
+                          buckets: Seq[Int]): Unit = {
+    val hfs = fs(spark, tablePath)
+    buckets.foreach { b =>
+      val live = new Path(tablePath, s"$BucketCol=$b")
+      val stag = new Path(staging, s"$BucketCol=$b")
+      val bak = new Path(tablePath, s".bak_$BucketCol=$b")
+      if (hfs.exists(bak)) hfs.delete(bak, true)
+      if (hfs.exists(live)) {
+        if (!hfs.rename(live, bak)) sys.error(s"backup rename failed for bucket $b")
+      }
+      if (hfs.exists(stag)) {
+        if (!hfs.rename(stag, live)) sys.error(s"staging rename failed for bucket $b")
+      }
+      hfs.delete(bak, true)
+    }
+    hfs.delete(new Path(staging), true)
+  }
+}

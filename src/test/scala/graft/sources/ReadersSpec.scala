@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.core.Settings
+
+class ReadersSpec extends SparkSpec {
+
+  private def write(dir: String, name: String, content: String): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("detectFormat sniffs JSON array vs NDJSON vs parquet") {
+    val dir = tmpDir("fmt")
+    val arr = write(dir, "a.json", """  [ {"x": 1}, {"x": 2} ]""")
+    val nd = write(dir, "b.ndjson", """{"x": 1}""" + "\n" + """{"x": 2}""")
+    assert(Readers.detectFormat(spark, arr) == Readers.JsonArray)
+    assert(Readers.detectFormat(spark, nd) == Readers.Ndjson)
+    assert(Readers.detectFormat(spark, "/x/y.parquet") == Readers.Parquet)
+  }
+
+  test("jsonArray reads a multi-line JSON array file") {
+    val dir = tmpDir("fmt")
+    val f = write(dir, "a.json",
+      "[\n  {\"x\": 1, \"y\": \"a\"},\n  {\"x\": 2, \"y\": \"b\"}\n]")
+    val df = Readers.jsonArray(spark, f)
+    assert(df.count() == 2)
+    assert(df.columns.toSet == Set("x", "y"))
+  }
+
+  test("ndjson skips malformed lines into _corrupt_record (dump.py parity)") {
+    val dir = tmpDir("fmt")
+    val f = write(dir, "b.ndjson",
+      """{"x": 1}""" + "\n" + "NOT JSON AT ALL {{{" + "\n" + """{"x": 3}""")
+    // Default (scalable) path: bad lines dropped at the scan.
+    assert(Readers.ndjson(spark, f).count() == 2)
+    // Audit path: PERMISSIVE + corrupt-record capture.
+    val df = Readers.ndjson(spark, f, keepCorrupt = true)
+    assert(Readers.good(df).count() == 2)
+    assert(Readers.corrupt(df).count() == 1)
+  }
+
+  test("load dispatches on sniffed format") {
+    val dir = tmpDir("fmt")
+    val arr = write(dir, "a.json", """[{"x": 1}]""")
+    assert(Readers.load(spark, arr).count() == 1)
+  }
+
+  test("source registry parses JSON dict and CSV forms (config.py parity)") {
+    assert(Settings.parseSources("""{"prod": "/data/prod", "stage": "/data/stage"}""") ==
+      Map("prod" -> "/data/prod", "stage" -> "/data/stage"))
+    assert(Settings.parseSources("/a, /b,/c") ==
+      Map("source_1" -> "/a", "source_2" -> "/b", "source_3" -> "/c"))
+    assert(Settings.parseSources("") == Map.empty)
+  }
+
+  test("collection name validation (request.py parity)") {
+    assert(Settings.validCollectionName("tickets_2024-v1"))
+    assert(!Settings.validCollectionName("bad name"))
+    assert(!Settings.validCollectionName("x; drop"))
+    assert(!Settings.validCollectionName(""))
+  }
+}
