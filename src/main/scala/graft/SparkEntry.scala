@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.Relational
+import graft.analytics.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,9 @@ import graft.analytics.Relational
   * registry so the two maps can never drift apart.
   */
 object Registry {
-  def all: Seq[NamedQuery] = Relational.queries
+  def all: Seq[NamedQuery] =
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ graft.multimodal.Multimodal.queries
 }
 
 object SparkEntry {

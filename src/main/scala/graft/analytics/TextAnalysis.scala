@@ -1,0 +1,222 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.core.Tables
+
+/** Text-corpus analysis for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting, exact
+  * deduplication, and n-gram Jaccard similarity — all pure Column
+  * expressions (whole-stage codegen, no UDFs), all single-shuffle hash
+  * aggregates. At 100 TB these run as map-side work + one exchange each.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Distinct token set (unigram shingles). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** BPE-ish regex token count: letter runs, digit runs, single other
+    * non-space chars — the classic pre-tokenizer shape.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords — a cheap fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isInCollection(Stopwords))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * stopword presence. Deliberately simple and deterministic; the value is
+    * the *shape* (pure-expression scoring over a corpus at scale).
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val lenOk = when(len.between(20, 2000), lit(0.4)).otherwise(lit(0.0))
+    val punctRatio = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(len.cast("double"), lit(1.0))
+    val punctOk = when(punctRatio < 0.2, lit(0.3)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0.05, lit(0.3)).otherwise(lit(0.0))
+    lenOk + punctOk + stopOk
+  }
+
+  /** Marker-word language ID: count per-language marker hits, argmax with a
+    * fixed priority order (en > de > es > fr > und). An n-gram-frequency
+    * heuristic in the standard shape — deterministic so an external oracle
+    * can reproduce it exactly.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => regexp_count(text, lit(s"\\b$m\\b"))).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    // Fixed priority: first language whose score is >= all others.
+    val pick = scores.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, s), _), elseExpr) =>
+        val geAll = scores.map(_._2).map(o => s >= o).reduce(_ && _)
+        when(geAll && anyHit, lit(lang)).otherwise(elseExpr)
+    }
+    pick
+  }
+
+  /** Normalized content fingerprint: lowercase, collapse whitespace, md5 —
+    * the rolling-hash/document-fingerprint shape for exact-dup detection.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  // ---------------------------------------------------------------- q13
+  /** Per-source token statistics. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("ws_tokens"),
+        sum(regexTokenCount(col("text"))).cast("long").as("re_tokens"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+
+  private val tokenStatsSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(str_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS re_tokens,
+      |  round(avg(n_chars), 4) AS avg_chars
+      |FROM documents GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Language-ID prediction vs labeled language + quality aggregates. */
+  def langQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("pred_lang", langId(col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("stop_ratio", stopwordRatio(col("text")))
+      .groupBy("lang", "pred_lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("quality"), 4).as("avg_quality"),
+        round(avg("stop_ratio"), 4).as("avg_stop_ratio"))
+
+  private val langQualitySql = {
+    val scoreSql = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      val cnt = ms.map(m => s"len(regexp_extract_all(text, '\\b$m\\b'))").mkString(" + ")
+      s"($cnt) AS s_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val anyHit = langs.map(l => s"s_$l").mkString(" + ") + " > 0"
+    val pick = langs.map { l =>
+      val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll AND ($anyHit) THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT *, $scoreSql,
+       |    len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS n_toks,
+       |    len(list_filter(str_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stops,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+       |  FROM documents
+       |), feat AS (
+       |  SELECT lang,
+       |    CASE $pick ELSE 'und' END AS pred_lang,
+       |    (CASE WHEN length(text) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END) +
+       |    (CASE WHEN n_punct / greatest(length(text), 1.0) < 0.2 THEN 0.3 ELSE 0.0 END) +
+       |    (CASE WHEN (CASE WHEN n_toks > 0 THEN n_stops::DOUBLE / n_toks ELSE 0.0 END) > 0.05 THEN 0.3 ELSE 0.0 END) AS quality,
+       |    CASE WHEN n_toks > 0 THEN n_stops::DOUBLE / n_toks ELSE 0.0 END AS stop_ratio
+       |  FROM scored
+       |)
+       |SELECT lang, pred_lang, count(*) AS n_docs,
+       |  round(avg(quality), 4) AS avg_quality,
+       |  round(avg(stop_ratio), 4) AS avg_stop_ratio
+       |FROM feat GROUP BY lang, pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Exact deduplication by normalized fingerprint over a corpus with
+    * planted duplicates (the corpus unioned with a re-keyed copy of
+    * itself): group by fingerprint, keep the minimum doc_id. The classic
+    * hash-groupBy dedup — one shuffle on the fingerprint.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val copy = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    docs.unionByName(copy)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min("source").as("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum("n_copies").cast("long").as("n_total"),
+        sum(col("n_copies") - 1).cast("long").as("n_removed"))
+  }
+
+  private val exactDedupSql =
+    """WITH unioned AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, source FROM documents
+      |), groups AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    min(doc_id) AS keep_id, count(*) AS n_copies, min(source) AS source
+      |  FROM unioned GROUP BY 1
+      |)
+      |SELECT source, count(*) AS n_unique,
+      |  CAST(sum(n_copies) AS BIGINT) AS n_total,
+      |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed
+      |FROM groups GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Word-set Jaccard similarity between consecutive documents — the exact
+    * n-gram-Jaccard kernel (the verification step of every near-dup
+    * pipeline), oracle-checkable because the pairing is deterministic.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenSet(col("text")).as("ws"))
+    val a = docs.alias("a")
+    val b = docs.select(col("doc_id").as("b_id"), col("ws").as("b_ws")).alias("b")
+    a.join(b, col("b_id") === col("doc_id") + 1)
+      .select(
+        col("doc_id"),
+        col("b_id").as("next_id"),
+        round(
+          size(array_intersect(col("ws"), col("b_ws"))).cast("double") /
+            size(array_union(col("ws"), col("b_ws"))).cast("double"),
+          6).as("jaccard"))
+  }
+
+  private val jaccardPairsSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS ws
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS doc_id, b.doc_id AS next_id,
+      |  round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |        len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+      |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
+    NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
+    NamedQuery("q15_exact_dedup", exactDedup _, Some(exactDedupSql)),
+    NamedQuery("q16_jaccard_pairs", jaccardPairs _, Some(jaccardPairsSql)))
+}

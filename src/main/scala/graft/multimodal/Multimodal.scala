@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.NamedQuery
+import graft.core.Tables
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata (SURVEY-extension: training-data pipeline surface).
+  *
+  * The Spark-side plumbing — schema, partition-parallel batch processing,
+  * frame explosion, feature aggregation — is real and tested. The codec
+  * step itself is STUBBED with a deterministic fake (this container ships
+  * no image/audio libraries): `decodeStub` derives metadata and features
+  * from the bytes alone. Swapping in a real decoder means replacing ONE
+  * function body inside `mapPartitions`; every plan shape stays identical.
+  *
+  * Scale notes: media rows are large — the media table should be written
+  * with a small `spark.sql.files.maxPartitionBytes` so a partition of
+  * blobs fits executor memory, and feature extraction is a narrow
+  * mapPartitions (no shuffle). Frame sampling explodes rows but carries
+  * only frame offsets + small slices, not full blobs.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("media", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType),
+      StructField("content_md5", StringType),
+      StructField("declared_format", StringType))))))
+
+  final case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
+                            declared_format: String)
+  final case class DecodedRow(media_id: Long, kind: String, byte_len: Long,
+                              content_md5: String, width: Int, height: Int,
+                              features: Array[Float])
+
+  /** Wrap any (id, kind, bytes, format) DataFrame into the canonical media
+    * schema, computing the typed metadata column.
+    */
+  def toMediaTable(df: DataFrame): DataFrame =
+    df.select(
+      col("media_id"), col("kind"), col("media"),
+      struct(
+        length(col("media")).cast("long").as("byte_len"),
+        md5(col("media")).as("content_md5"),
+        col("declared_format")).as("meta"))
+
+  /** ??? — real decoder goes here. The stub is deterministic: dimensions
+    * and an 8-dim feature vector derived from the content hash, so tests
+    * and oracles are stable. Partition-parallel batch shape (the Scala
+    * analogue of a pandas-batch UDF): one iterator pass per partition, no
+    * driver involvement, no shuffle.
+    */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        // STUB: derive "decoded" properties from bytes deterministically.
+        val d = digest.digest(m.media)
+        val hex = d.map("%02x".format(_)).mkString
+        val w = 16 + (java.lang.Byte.toUnsignedInt(d(0)) % 64)
+        val h = 16 + (java.lang.Byte.toUnsignedInt(d(1)) % 64)
+        val feats = (0 until 8).map(i =>
+          (java.lang.Byte.toUnsignedInt(d(i)) - 128) / 128.0f).toArray
+        DecodedRow(m.media_id, m.kind, m.media.length.toLong, hex, w, h, feats)
+      }
+    }
+  }
+
+  /** Frame sampling: split a (video) blob into fixed-size frame slices,
+    * one row per sampled frame with its offset — pure Spark expressions,
+    * rows carry only the slice.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = ceil(length(col("media")).cast("double") / frameBytes).cast("int")
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .filter(col("frame_idx") % everyNth === 0)
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        col("media").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Multimodal metadata pipeline over an opaque-binary corpus (documents
+    * text re-cast as blobs — the only binary-able fixture): typed metadata
+    * extraction + per-source aggregation. The decode here is the
+    * expression-level subset (byte length, content hash) so DuckDB can
+    * mirror it; the feature-extraction stub is exercised in
+    * MultimodalSpec.
+    */
+  def mediaMetaStats(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      lit("text").as("kind"),
+      col("text").cast("binary").as("media"),
+      lit("utf8").as("declared_format"),
+      col("source"))
+    toMediaTable(media.drop("source")).join(media.select("media_id", "source"), "media_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("meta.byte_len")).cast("long").as("total_bytes"),
+        min(col("meta.content_md5")).as("min_md5"),
+        max(col("meta.content_md5")).as("max_md5"))
+  }
+
+  private val mediaMetaStatsSql =
+    """SELECT source, count(*) AS n_media,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+      |  min(md5(text)) AS min_md5,
+      |  max(md5(text)) AS max_md5
+      |FROM documents GROUP BY source""".stripMargin
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)))
+}

@@ -1,0 +1,72 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = graft.core.Tables.documents(spark, dir)
+
+  /** Brute-force word-set Jaccard pairs ≥ threshold — the exact oracle. */
+  private def brutePairs(threshold: Double): Set[(Long, Long)] = {
+    val sets = docs.select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ws"))
+    sets.alias("a")
+      .join(sets.select(col("doc_id").as("b_id"), col("ws").as("b_ws")),
+        col("doc_id") < col("b_id"))
+      .withColumn("j",
+        size(array_intersect(col("ws"), col("b_ws"))).cast("double") /
+          size(array_union(col("ws"), col("b_ws"))).cast("double"))
+      .filter(col("j") >= threshold)
+      .select("doc_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds high-similarity pairs with exact verification") {
+    val found = Dedup.minHashNearDups(docs, threshold = 0.8)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = brutePairs(0.8)
+    assert(exact.nonEmpty, "fixture should contain near-dups at j>=0.8")
+    // Verified candidates are always a subset of the exact pair set…
+    assert(found.subsetOf(exact))
+    // …and at j >= 0.8 with 16 bands × 4 rows the miss probability per pair
+    // is (1-0.8^4)^16 ≈ 8e-5 — require high recall.
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (${found.size}/${exact.size})")
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val s1 = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
+    val s2 = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
+    assert(s1.sameElements(s2))
+  }
+
+  test("simhash: identical texts share signatures, near texts are close") {
+    val d = Seq(
+      (1L, "spark merge join filter scan window"),
+      (2L, "spark merge join filter scan window"),  // identical
+      (3L, "spark merge join filter scan windows"), // one token changed
+      (4L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simHashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("simhash near-dup pairs report exact hamming and respect the cap") {
+    val pairs = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+    // identical-doc sanity: a doc unioned with itself re-keyed → hamming 0
+    val dup = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val found = Dedup.simHashNearDups(dup, maxHamming = 0)
+      .filter(col("b_id") === col("a_id") + 10000)
+    assert(found.count() == docs.count())
+  }
+}

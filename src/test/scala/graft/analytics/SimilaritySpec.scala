@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = graft.core.Tables.embeddings(spark, dir)
+
+  test("brute-force knn returns k ranked neighbors per query, self excluded") {
+    val out = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), k = 3)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(Array(1, 2, 3)))
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      // ranks follow descending score
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("score_r")).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("ANN multi-probe LSH achieves reasonable recall@5 vs exact") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    // 4-bit buckets + hamming-1 probes cover 5/16 of the space per query on
+    // random data; top neighbors are likelier than random to share buckets.
+    assert(recall >= 0.3, s"ANN recall@5 = $recall")
+    assert(ann.size <= exact.size) // never returns more than k per query
+  }
+
+  test("cosineNearDups is symmetric-free and thresholded") {
+    val pairs = Similarity.cosineNearDups(emb, threshold = 0.4).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("cos_r") >= 0.4 - 1e-4)
+    }
+  }
+
+  test("hyperplanes are deterministic for a fixed seed") {
+    assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
+    assert(Similarity.hyperplanes(4, 8, seed = 1) != Similarity.hyperplanes(4, 8, seed = 2))
+  }
+}

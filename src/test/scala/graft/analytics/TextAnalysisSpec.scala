@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token helpers handle trailing spaces and empties") {
+    val d = Seq((1L, "a b  c "), (2L, "")).toDF("id", "text")
+    val out = d.select(col("id"),
+      size(TextAnalysis.tokens(col("text"))).as("n"),
+      size(TextAnalysis.tokenSet(col("text"))).as("nd")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((3, 3)))
+    assert(out(2L) == ((0, 0)))
+  }
+
+  test("regex tokenizer splits letter/digit/punct runs") {
+    val d = Seq((1L, "abc123 def!")).toDF("id", "text")
+    // abc | 123 | def | !  → 4
+    assert(d.select(TextAnalysis.regexTokenCount(col("text"))).head().getInt(0) == 4)
+  }
+
+  test("langId picks marker-dominant language with fixed tie priority") {
+    val d = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "el perro la casa los gatos que"),
+      (4L, "xyzzy plugh qwert")).toDF("id", "text")
+    val out = d.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val fps = d.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("quality score rewards mid-length stopword-bearing text") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs"),
+      (2L, "x")).toDF("id", "text")
+    val out = d.select(col("id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) < 0.5)
+  }
+}
