@@ -7,49 +7,72 @@ import graft.NamedQuery
 import graft.core.Tables
 
 /** Near-duplicate detection at corpus scale: MinHash + banded LSH and
-  * 64-bit SimHash. Both follow the shuffle-minimal plan shape:
+  * 64-bit SimHash. Plan shape:
   *
-  *   explode shingles once → ONE hash-aggregate computes the whole
-  *   signature (64 mins / 64 bit-sums in a single pass) → band/bucket
-  *   explode → self-join on (band, signature) finds candidates → exact
-  *   verification only on candidates.
+  *   per-row native signature kernel (no shuffle — signatures are pure
+  *   functions of one document, see [[graft.functions.SketchKernels]]) →
+  *   band/bucket explode → self-join on (band, signature) finds
+  *   candidates → exact verification only on candidates.
   *
   * The candidate join is the only O(pairs) step and it only sees colliding
   * buckets — the whole point of LSH: at 100 TB you never materialize the
-  * n² pair space. Hash family: Spark's codegen'd murmur3/xxhash64 with the
-  * seed folded in (`hash(w, lit(i))`), so signatures are deterministic
-  * across runs and cluster layouts.
+  * n² pair space. The hash family is deterministic (seeded XXH64), so
+  * signatures are stable across runs and cluster layouts.
   */
 object Dedup {
 
   val NumHashes = 64
   val NumBands = 16 // 4 rows per band → LSH threshold ≈ (1/16)^(1/4) ≈ 0.5
 
-  /** doc → distinct word-shingle rows (one explode, reused by both sigs). */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(TextAnalysis.tokenSet(col(textCol))).as("w"))
+  /** Word n-gram shingle size. 3-grams keep LSH buckets discriminative
+    * even on low-vocabulary corpora (word *sets* would collide massively).
+    */
+  val ShingleN = 3
 
-  /** MinHash signatures: one row per doc, NumHashes min-hash columns
-    * computed in a single hash aggregate.
+  /** Distinct 64-bit shingle hashes for a text column — one native
+    * byte-scan per row ([[graft.functions.SketchKernels]]): no shingle
+    * strings, no explode, no shuffle. Downstream Jaccard over hash sets
+    * equals Jaccard over shingle sets modulo 64-bit collisions (~1e-11 at
+    * this density).
+    */
+  def shingleHashSet(textCol: Column): Column =
+    graft.functions.shingleHashes(textCol, ShingleN)
+
+  /** MinHash signatures: one row per doc with a 64-lane `sig` array — a
+    * pure per-row projection (signatures are functions of one document, so
+    * the plan has no shuffle at any scale).
     */
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val aggs = (0 until NumHashes).map(i => min(hash(col("w"), lit(i))).as(s"h$i"))
-    shingled(docs, idCol, textCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-  }
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), graft.functions.minHashSignature(col(textCol), ShingleN).as("sig"))
 
   /** LSH candidate pairs: docs sharing at least one band signature.
     * Symmetric pairs deduped to a < b.
+    *
+    * `maxBucketSize` is the mega-bucket guard: a (band, sig) bucket of B
+    * docs yields B² candidate pairs, so one degenerate bucket can dominate
+    * the whole job. Buckets larger than the cap are dropped from candidate
+    * generation (their members almost always still collide in another,
+    * smaller band) — the standard bounded-LSH trade. Pass None for exact
+    * banded behavior.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def lshCandidates(sigs: DataFrame, idCol: String = "doc_id",
+                    maxBucketSize: Option[Int] = Some(500)): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
     val bandStructs = (0 until NumBands).map { b =>
-      val rowCols = (b * NumHashes / NumBands until (b + 1) * NumHashes / NumBands)
-        .map(i => col(s"h$i"))
-      struct(lit(b).as("band"), hash(rowCols: _*).as("sig"))
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
     }
-    val bands = sigs
+    val bandsAll = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+        bandsAll.withColumn("_bsz", count(lit(1)).over(w))
+          .filter(col("_bsz") <= cap).drop("_bsz")
+      case None => bandsAll
+    }
     bands.alias("x")
       .join(bands.withColumnRenamed(idCol, "b_id").alias("y"), Seq("band", "sig"))
       .filter(col(idCol) < col("b_id"))
@@ -58,11 +81,12 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified with exact
-    * word-set Jaccard, keeping pairs ≥ `threshold`.
+    * shingle-set Jaccard (same shingle space as the signatures), keeping
+    * pairs ≥ `threshold`.
     */
   def minHashNearDups(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val sets = docs.select(col(idCol), TextAnalysis.tokenSet(col(textCol)).as("ws"))
+    val sets = docs.select(col(idCol), shingleHashSet(col(textCol)).as("ws"))
     val pairs = lshCandidates(minHashSignatures(docs, idCol, textCol), idCol)
     pairs
       .join(sets.select(col(idCol).as("a_id"), col("ws").as("a_ws")), "a_id")
@@ -74,22 +98,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash: xxhash64 per shingle, per-bit ±1 sums in one
-    * aggregate, sign bits reassembled into a long.
+  /** 64-bit SimHash signature — a pure per-row projection (native
+    * single-pass kernel over the shingle hash set).
     */
   def simHashSignatures(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val hashed = shingled(docs, idCol, textCol).withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, lit(1))
-        .otherwise(lit(-1))).as(s"b$i")
-    }
-    val sums = hashed.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col(idCol), sim.as("simhash"))
-  }
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), graft.functions.simHashSignature(col(textCol), ShingleN).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming` (must be < 4): pigeonhole
     * on four 16-bit chunks — a pair within hamming 3 shares at least one

@@ -89,10 +89,17 @@ object Similarity {
     */
   def cosineNearDups(corpus: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = corpus.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    // Norms are computed ONCE per vector before the pair join (O(n·d)), so
+    // the O(n²) pair space only pays for a fused dot-product loop — no
+    // per-pair array allocation. sqrt(na)·sqrt(nb) keeps the expression
+    // bit-identical to dot/(√na·√nb) computed pairwise.
+    val norm = (v: Column) => sqrt(graft.functions.dotProduct(v, v))
+    val withNorm = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = withNorm.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("nrm").as("b_nrm"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", cosineSimilarity(col("a_vec"), col("b_vec")))
+      .withColumn("cos",
+        graft.functions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
   }

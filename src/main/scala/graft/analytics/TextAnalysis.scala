@@ -21,6 +21,24 @@ object TextAnalysis {
   /** Distinct token set (unigram shingles). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Distinct word n-gram shingle set. n = 1 degrades to [[tokenSet]].
+    * For near-dup detection n ≥ 3 is the robust choice: sequences are far
+    * more discriminative than bags, so LSH buckets stay small even on
+    * low-vocabulary corpora.
+    */
+  def shingleSet(text: Column, n: Int): Column =
+    if (n <= 1) tokenSet(text)
+    else {
+      val toks = tokens(text)
+      // sequence(a, b) counts DOWN when b < a — guard short docs explicitly.
+      when(size(toks) >= n,
+        array_distinct(
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+
   /** BPE-ish regex token count: letter runs, digit runs, single other
     * non-space chars — the classic pre-tokenizer shape.
     */

@@ -28,17 +28,34 @@ package object functions {
   def sortedSetString(c: Column): Column =
     concat_ws(",", array_sort(collect_set(c)))
 
-  /** Cosine similarity between two ArrayType(Float/Double) columns, computed
-    * in double precision with a deterministic left-to-right fold (matches a
-    * straightforward sequential loop, so an external oracle agrees bitwise
-    * modulo final rounding).
+  /** Cosine similarity between two ArrayType(Float/Double) columns — a
+    * native fused-loop expression ([[graft.functions.CosineSim]]); double
+    * precision, sequential accumulation in index order, so an external
+    * oracle computing the plain scalar loop agrees bitwise.
     */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
-  }
+  def cosineSimilarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnOps.column(
+      CosineSim(org.apache.spark.sql.graft.ColumnOps.expression(a),
+        org.apache.spark.sql.graft.ColumnOps.expression(b)))
+
+  /** Dot product of two vector columns (native fused loop). */
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnOps.column(
+      DotProduct(org.apache.spark.sql.graft.ColumnOps.expression(a),
+        org.apache.spark.sql.graft.ColumnOps.expression(b)))
+
+  /** Distinct word-n-gram shingle hashes (native byte-scan kernel). */
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnOps.column(
+      ShingleHashArray(org.apache.spark.sql.graft.ColumnOps.expression(text), n))
+
+  /** 64-lane MinHash signature (native single-pass kernel). */
+  def minHashSignature(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnOps.column(
+      MinHashSig(org.apache.spark.sql.graft.ColumnOps.expression(text), n))
+
+  /** 64-bit SimHash signature (native single-pass kernel). */
+  def simHashSignature(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnOps.column(
+      SimHashSig(org.apache.spark.sql.graft.ColumnOps.expression(text), n))
 }

@@ -11,9 +11,11 @@ class DedupSpec extends SparkSpec {
 
   private def docs = graft.core.Tables.documents(spark, dir)
 
-  /** Brute-force word-set Jaccard pairs ≥ threshold — the exact oracle. */
+  /** Brute-force shingle-set Jaccard pairs ≥ threshold — the exact oracle
+    * (same shingle space as the LSH signatures).
+    */
   private def brutePairs(threshold: Double): Set[(Long, Long)] = {
-    val sets = docs.select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ws"))
+    val sets = docs.select(col("doc_id"), Dedup.shingleHashSet(col("text")).as("ws"))
     sets.alias("a")
       .join(sets.select(col("doc_id").as("b_id"), col("ws").as("b_ws")),
         col("doc_id") < col("b_id"))
@@ -26,15 +28,29 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH finds high-similarity pairs with exact verification") {
-    val found = Dedup.minHashNearDups(docs, threshold = 0.8)
+    // Plant near-dups: every doc gets a copy with three words appended —
+    // shingle-set jaccard stays high, so ground truth is dense and known.
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzz qqq xxx")).as("text")))
+    val sets = planted.select(col("doc_id"), Dedup.shingleHashSet(col("text")).as("ws"))
+    val exact = sets.alias("a")
+      .join(sets.select(col("doc_id").as("b_id"), col("ws").as("b_ws")),
+        col("doc_id") < col("b_id"))
+      .withColumn("j",
+        size(array_intersect(col("ws"), col("b_ws"))).cast("double") /
+          size(array_union(col("ws"), col("b_ws"))).cast("double"))
+      .filter(col("j") >= 0.7)
+      .select("doc_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minHashNearDups(planted, threshold = 0.7)
       .select("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = brutePairs(0.8)
-    assert(exact.nonEmpty, "fixture should contain near-dups at j>=0.8")
+    assert(exact.nonEmpty, "planted corpus must contain near-dups at j>=0.7")
     // Verified candidates are always a subset of the exact pair set…
     assert(found.subsetOf(exact))
-    // …and at j >= 0.8 with 16 bands × 4 rows the miss probability per pair
-    // is (1-0.8^4)^16 ≈ 8e-5 — require high recall.
+    // …and at j >= 0.7 with 16 bands × 4 rows the per-pair miss probability
+    // is (1-0.7^4)^16 ≈ 1.3% — require high recall.
     val recall = found.size.toDouble / exact.size
     assert(recall >= 0.9, s"LSH recall $recall too low (${found.size}/${exact.size})")
   }
