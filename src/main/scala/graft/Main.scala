@@ -68,6 +68,25 @@ object Main {
       println(svc.health().map { case (k, v) => s"$k=$v" }.mkString(" "))
       spark.stop()
 
+    case "load" :: wh :: file :: collection :: rest =>
+      // dump.py parity: bulk file load with per-collection summary.
+      val spark = session()
+      val mode = rest.headOption.getOrElse("overwrite")
+      val res = graft.sources.Loader.load(spark, wh, file, collection, mode)
+      println(res.summary)
+      spark.stop()
+
+    case "report" :: wh :: out :: Nil =>
+      // Build the staff report from warehouse tables and write the JSON
+      // array artifact (reference scraper.py:69-71).
+      val spark = session()
+      val runner = new SyncRunner(spark, Settings(wh))
+      val report = graft.analytics.StaffReport.build(
+        runner.readTable("ticket"), runner.readTable("users"))
+      graft.warehouse.ReportSink.writeJsonArrayFile(report, out)
+      println(s"Wrote staff report to $out")
+      spark.stop()
+
     case "show" :: wh :: collection :: rest =>
       val spark = session()
       val runner = new SyncRunner(spark, Settings(wh))
@@ -80,6 +99,8 @@ object Main {
            |usage:
            |  sync <warehouseDir> <sources> <collection>
            |  scheduled <warehouseDir> <sources> <collections-csv>
+           |  load <warehouseDir> <file> <collection> [overwrite|merge]
+           |  report <warehouseDir> <outFile.json>
            |  logs <warehouseDir> [limit]
            |  health <warehouseDir>
            |  show <warehouseDir> <collection> [n]""".stripMargin)

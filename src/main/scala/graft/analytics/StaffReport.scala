@@ -28,7 +28,21 @@ object StaffReport {
   private def colOrNull(df: DataFrame, name: String): Column =
     if (df.columns.contains(name)) col(name) else lit(null).cast("string")
 
-  def build(tickets: DataFrame, users: DataFrame): DataFrame = {
+  /** Tolerate schema-inferred sources: ISO-string time columns are coerced
+    * to TimestampType (the reference's datetime normalization, capability
+    * #3) so duration arithmetic is well-typed regardless of how the
+    * warehouse table was loaded.
+    */
+  private def coerceTimestamps(df: DataFrame, names: Seq[String]): DataFrame =
+    names.foldLeft(df) { (d, n) =>
+      if (d.columns.contains(n) &&
+        d.schema(n).dataType == org.apache.spark.sql.types.StringType)
+        d.withColumn(n, expr(s"try_to_timestamp(`$n`)"))
+      else d
+    }
+
+  def build(tickets0: DataFrame, users: DataFrame): DataFrame = {
+    val tickets = coerceTimestamps(tickets0, Seq("date", "calledAt", "servedDate"))
     val t = tickets.alias("t")
     val u = users.alias("u")
 

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization with custom keyed state —
+  * `flatMapGroupsWithState` over a `KeyValueGroupedDataset` (the
+  * Structured Streaming custom-state surface; beyond-reference operator
+  * for event analytics).
+  *
+  * Semantics: events for a user belong to one session while consecutive
+  * gaps stay under `gapSeconds`; a session closes when the gap is
+  * exceeded (or, in streaming, when event-time timeout fires). The same
+  * callback serves batch (all events at once, emit every closed session +
+  * the trailing one) and streaming (state carries the open session across
+  * micro-batches).
+  *
+  * Scale: state is O(1) per active user key (just the open session
+  * aggregate), bounded by the watermark-driven timeout — no event buffering.
+  */
+object Sessionize {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Long, total_value: Double)
+
+  def sessionFn(gapSeconds: Long)(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[UserSession] = {
+
+    def toSession(s: OpenSession): UserSession =
+      UserSession(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(toSession).iterator
+      state.remove()
+      return out
+    }
+
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var open = state.getOption
+    val closed = Seq.newBuilder[UserSession]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.end <= gapSeconds * 1000 =>
+          open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+        case Some(s) =>
+          closed += toSession(s)
+          open = Some(OpenSession(t, t, 1, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1, e.value))
+      }
+    }
+
+    open match {
+      case Some(s) =>
+        state.update(s)
+        if (state.getOption.isDefined) {
+          // In streaming, close the session `gapSeconds` past its end in
+          // event time; in batch the timeout never fires and the trailing
+          // session is emitted below.
+          try state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+          catch { case _: UnsupportedOperationException => () } // batch mode
+        }
+      case None => ()
+    }
+    closed.result().iterator
+  }
+
+  /** Batch sessionization: every session including the trailing open one.
+    * (Batch `flatMapGroupsWithState` calls the function once per key, so
+    * the open session would otherwise be lost — emit it explicitly.)
+    */
+  def sessionsBatch(events: Dataset[Event], gapSeconds: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[Event], st: GroupState[OpenSession]) => {
+          val closed = sessionFn(gapSeconds)(k, it, st).toSeq
+          val trailing = st.getOption.toSeq
+            .map(s => UserSession(k, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          (closed ++ trailing).iterator
+        })
+  }
+
+  /** Streaming sessionization: closed sessions emitted as the event-time
+    * watermark passes each session's gap timeout. `events` must carry a
+    * watermark on `ts`.
+    */
+  def sessionsStream(events: Dataset[Event], gapSeconds: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFn(gapSeconds) _)
+  }
+}

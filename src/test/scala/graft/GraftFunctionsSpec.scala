@@ -1,0 +1,52 @@
+package graft
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate the native kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_cosine(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS cos,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  size(shingle_hashes('a b c d', 3)) AS n_shingles,
+        |  size(minhash_sig('a b c d', 3)) AS lanes,
+        |  simhash_sig('a b c d', 3) AS sim,
+        |  duration_mmss(892) AS dur""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("cos") - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[Int]("n_shingles") == 2) // (a b c), (b c d)
+    assert(r.getAs[Int]("lanes") == 64)
+    assert(r.getAs[String]("dur") == "14m 52s")
+  }
+
+  test("SQL sketch functions agree with the DataFrame API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val d = Seq((1L, "spark merge join filter scan window")).toDF("id", "text")
+    d.createOrReplaceTempView("t_gfs")
+    val viaSql = spark.sql("SELECT simhash_sig(text, 3) AS s FROM t_gfs").head().getLong(0)
+    val viaDf = graft.analytics.Dedup.simHashSignatures(d, idCol = "id")
+      .head().getAs[Long]("simhash")
+    assert(viaSql == viaDf)
+  }
+
+  test("non-literal shingle size is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1, "x")).toDF("n", "text").createOrReplaceTempView("t_gfs2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(text, n) FROM t_gfs2").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("extensions entry point registers the same builders") {
+    // The extensions class wires GraftFunctions.builders verbatim; assert
+    // the registry wiring is exercised (builder list is shared).
+    assert(GraftFunctions.builders.map(_._1).toSet ==
+      Set("vec_cosine", "vec_dot", "shingle_hashes", "minhash_sig", "simhash_sig", "duration_mmss"))
+    new GraftExtensions() // constructible for spark.sql.extensions
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.Sessionize.{Event, UserSession}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(u: Long, t: String, v: Double) =
+    Event(u, Timestamp.valueOf(t), "click", v)
+
+  test("batch sessionization splits on gaps and aggregates per session") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", 1.0),
+      ev(1, "2024-01-01 10:10:00", 2.0), // same session (10 min gap)
+      ev(1, "2024-01-01 12:00:00", 3.0), // new session (>30 min gap)
+      ev(2, "2024-01-01 09:00:00", 5.0)
+    ).toDS()
+    val sessions = Sessionize.sessionsBatch(events, gapSeconds = 1800)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length == 3)
+    val s1 = sessions(0)
+    assert(s1.user_id == 1 && s1.n_events == 2 && s1.total_value == 3.0)
+    assert(s1.session_end == Timestamp.valueOf("2024-01-01 10:10:00"))
+    assert(sessions(1).n_events == 1 && sessions(1).total_value == 3.0)
+    assert(sessions(2).user_id == 2)
+  }
+
+  test("out-of-order events within a batch are sorted before sessionizing") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:10:00", 2.0),
+      ev(1, "2024-01-01 10:00:00", 1.0)
+    ).toDS()
+    val sessions = Sessionize.sessionsBatch(events, gapSeconds = 1800).collect()
+    assert(sessions.length == 1)
+    assert(sessions(0).session_start == Timestamp.valueOf("2024-01-01 10:00:00"))
+  }
+
+  test("streaming sessionization closes sessions via event-time timeout") {
+    val dir = tmpDir("sess-src")
+    val ckpt = tmpDir("sess-ckpt")
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    writeBatch("b1.ndjson", Seq(
+      """{"user_id": 1, "ts": "2024-01-01T10:00:00.000Z", "event_type": "click", "value": 1.0}""",
+      """{"user_id": 1, "ts": "2024-01-01T10:10:00.000Z", "event_type": "click", "value": 2.0}"""))
+
+    // One continuous query (the memory sink cannot recover a checkpoint);
+    // processAllAvailable() drains each file batch synchronously.
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    val src = spark.readStream.schema(schema).json(dir)
+      .withWatermark("ts", "0 seconds").as[Event]
+    val q = Sessionize.sessionsStream(src, gapSeconds = 1800)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_out")
+      .start()
+    q.processAllAvailable()
+    // A much-later event advances the watermark past the first session's
+    // timeout → the closed session is emitted in a later micro-batch.
+    writeBatch("b2.ndjson", Seq(
+      """{"user_id": 1, "ts": "2024-01-01T13:00:00.000Z", "event_type": "click", "value": 9.0}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.sql("SELECT * FROM sessions_out").as[UserSession].collect()
+    assert(out.exists(s => s.n_events == 2 && s.total_value == 3.0),
+      s"expected first closed session in ${out.toSeq}")
+  }
+}
