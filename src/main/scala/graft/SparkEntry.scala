@@ -13,7 +13,8 @@ import graft.analytics.{Dedup, Relational, Similarity, TextAnalysis}
 object Registry {
   def all: Seq[NamedQuery] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ graft.multimodal.Multimodal.queries
+      Similarity.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.analytics.Extended.queries
 }
 
 object SparkEntry {

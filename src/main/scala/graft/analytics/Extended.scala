@@ -1,0 +1,152 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.core.Tables
+
+/** Extended relational surface: as-of join, semi/anti joins, rollup,
+  * lag-based time-series deltas, exact percentiles.
+  */
+object Extended {
+
+  // ---------------------------------------------------------------- q23
+  /** As-of join: for each event, the customer's most recent order at the
+    * event's timestamp. Right side pre-collapsed to one row per
+    * (custkey, orderdate) so both engines resolve ties identically.
+    */
+  def asofLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val orders1 = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val events = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    AsOfJoin.asOfBackward(events, orders1, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(
+        col("event_id"), col("user_id"),
+        col("asof.o_orderkey").as("asof_orderkey"),
+        round(col("asof.o_totalprice"), 2).as("asof_price"))
+  }
+
+  private val asofLatestOrderSql =
+    """WITH o1 AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) t WHERE rn = 1
+      |)
+      |SELECT e.event_id, e.user_id, o1.o_orderkey AS asof_orderkey,
+      |  round(o1.o_totalprice, 2) AS asof_price
+      |FROM events e ASOF LEFT JOIN o1
+      |  ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Semi/anti joins: per market segment, customers with and without
+    * orders (EXISTS / NOT EXISTS).
+    */
+  def segmentOrderPresence(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val withOrders = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("seg2")).agg(count(lit(1)).as("n_without_orders"))
+    withOrders
+      .join(withoutOrders, col("c_mktsegment") === col("seg2"), "full")
+      .select(
+        coalesce(col("c_mktsegment"), col("seg2")).as("mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  private val segmentOrderPresenceSql =
+    """WITH w AS (
+      |  SELECT c_mktsegment, count(*) AS n_with_orders FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY c_mktsegment
+      |), wo AS (
+      |  SELECT c_mktsegment, count(*) AS n_without_orders FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY c_mktsegment
+      |)
+      |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS mktsegment,
+      |  coalesce(n_with_orders, 0) AS n_with_orders,
+      |  coalesce(n_without_orders, 0) AS n_without_orders
+      |FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** ROLLUP over (nation, priority): subtotals + grand total, the OLAP
+    * grouping-sets surface.
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+
+  private val rollupRevenueSql =
+    """SELECT n_name, o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Per-user inter-event gaps via lag(): time-series deltas with a full
+    * deterministic ordering.
+    */
+  def eventDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_secs", unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+      .filter(col("gap_secs").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg("gap_secs"), 4).as("avg_gap_secs"),
+        max("gap_secs").as("max_gap_secs"))
+  }
+
+  private val eventDeltasSql =
+    """SELECT user_id, count(*) AS n_gaps,
+      |  round(avg(gap_secs), 4) AS avg_gap_secs,
+      |  max(gap_secs) AS max_gap_secs
+      |FROM (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) -
+      |      CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_secs
+      |  FROM events) t
+      |WHERE gap_secs IS NOT NULL
+      |GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Exact percentiles (sort-based, linear interpolation) per group. */
+  def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+
+  private val pricePercentilesSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
+    NamedQuery("q24_segment_order_presence", segmentOrderPresence _, Some(segmentOrderPresenceSql)),
+    NamedQuery("q25_rollup_revenue", rollupRevenue _, Some(rollupRevenueSql)),
+    NamedQuery("q26_event_deltas", eventDeltas _, Some(eventDeltasSql)),
+    NamedQuery("q27_price_percentiles", pricePercentiles _, Some(pricePercentilesSql)))
+}
