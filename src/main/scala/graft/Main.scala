@@ -41,7 +41,8 @@ object Main {
       val spark = session()
       val runner = new SyncRunner(spark, Settings(wh, Settings.parseSources(sources)))
       Settings.parseSources(sources).toSeq.sortBy(_._1).foreach { case (name, root) =>
-        val res = runner.syncCollection(name, runner.resolveCollectionPath(root, collection), collection)
+        val res = runner.syncCollection(name, runner.resolveCollectionPath(root, collection),
+          collection, graft.core.Schemas.byCollection.get(collection))
         println(s"[${res.status}] ${res.message}")
       }
       spark.stop()
@@ -50,7 +51,7 @@ object Main {
       val spark = session()
       val settings = Settings(wh, Settings.parseSources(sources),
         targetCollections = colls.split(",").toSeq)
-      new SyncRunner(spark, settings).scheduledRun()
+      new SyncRunner(spark, settings).scheduledRun(graft.core.Schemas.byCollection)
         .foreach(r => println(s"[${r.status}] ${r.message}"))
       spark.stop()
 
