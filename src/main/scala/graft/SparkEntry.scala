@@ -14,7 +14,7 @@ object Registry {
   def all: Seq[NamedQuery] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.analytics.Extended.queries
+      graft.analytics.Extended.queries ++ graft.analytics.IvfIndex.queries
 }
 
 object SparkEntry {

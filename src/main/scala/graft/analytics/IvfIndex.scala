@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.dotProduct
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path alongside the LSH variant in [[Similarity]]:
+  *
+  *  1. TRAIN: k centroids via Lloyd iterations, fully distributed —
+  *     assignment is a broadcast-centroid argmax per row; the update step
+  *     posexplodes vectors to (cluster, dim) and hash-aggregates
+  *     means, so no driver-side math over the corpus (the centroid set
+  *     itself is tiny and collected).
+  *  2. INDEX: each corpus vector is assigned to its nearest centroid —
+  *     a narrow projection, storable as a partition column so probes
+  *     prune at the scan.
+  *  3. SEARCH: a query scores only the vectors in its `nprobe` nearest
+  *     cells — corpus work drops by ~k/nprobe.
+  *
+  * Determinism: initial centroids are the vectors with the k smallest ids
+  * (seeded sampling would also do); every later step is pure.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Seq[(Int, Seq[Double])])
+
+  private def sqDist(v: Column, c: Seq[Double]): Column = {
+    // ||v - c||² = ||v||² - 2·v·c + ||c||² ; for argmin over c the ||v||²
+    // term is constant → rank by (||c||² - 2·v·c), no per-pair norm.
+    val dot = dotProduct(v, typedlit(c))
+    lit(c.map(x => x * x).sum) - lit(2.0) * dot
+  }
+
+  /** Nearest-centroid ids for a vector column, cheapest-first. */
+  private def nearestCells(v: Column, model: Model, n: Int): Column = {
+    val scored = model.centroids.map { case (id, c) =>
+      struct(sqDist(v, c).as("d"), lit(id).as("cell"))
+    }
+    slice(array_sort(array(scored: _*)), 1, n)
+  }
+
+  def assignCell(v: Column, model: Model): Column =
+    nearestCells(v, model, 1).getItem(0).getField("cell")
+
+  /** Lloyd training. `k` small (centroid set is broadcast); `iters` 2-3
+    * suffice for a coarse quantizer.
+    */
+  def train(corpus: DataFrame, k: Int, iters: Int = 3,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    var model = Model(
+      corpus.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          i -> r.getSeq[Float](0).map(_.toDouble).toSeq
+        }.toSeq)
+
+    (0 until iters).foreach { _ =>
+      val assigned = corpus
+        .select(col(vecCol), assignCell(col(vecCol), model).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val vec = new Array[Double](dim)
+          rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
+          cell -> vec.toSeq
+        }
+      // Empty cells keep their previous centroid.
+      model = Model(model.centroids.map { case (id, c) => id -> means.getOrElse(id, c) })
+    }
+    model
+  }
+
+  /** Index the corpus: adds the `cell` assignment column. At warehouse
+    * scale this is the partition column (`partitionBy("cell")`) so probes
+    * scan only `nprobe` of `k` partitions.
+    */
+  def index(corpus: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("cell", assignCell(col(vecCol), model))
+
+  /** ANN top-k: each query probes its `nprobe` nearest cells, exact cosine
+    * within them.
+    */
+  def search(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
+             nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cells", nearestCells(col("q_vec"), model, nprobe))
+      .withColumn("cell", explode(col("cells").getField("cell")))
+      .drop("cells")
+    indexed
+      .join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", graft.functions.cosineSimilarity(col("q_vec"), col(vecCol)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("score"), 4).as("score_r"))
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** IVF ANN top-5 for query vectors vec_id < 10 (k=16 cells, nprobe=4).
+    * Rows-only (training is iterative); recall vs the exact baseline is
+    * asserted in SimilaritySpec.
+    */
+  def ivfKnn(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val model = train(emb, k = 16, iters = 2)
+    search(index(emb, model), emb.filter(col("vec_id") < 10), model, k = 5, nprobe = 4)
+  }
+
+  val queries: Seq[graft.NamedQuery] = Seq(
+    graft.NamedQuery.rowsOnly("q28_knn_ivf")(ivfKnn _))
+}

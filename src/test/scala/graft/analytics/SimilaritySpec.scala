@@ -46,6 +46,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF index assigns every vector and search achieves good recall@5") {
+    val model = IvfIndex.train(emb, k = 8, iters = 2)
+    assert(model.centroids.length == 8)
+    val indexed = IvfIndex.index(emb, model)
+    assert(indexed.filter(col("cell").isNull).count() == 0)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = IvfIndex.search(indexed, queries, model, k = 5, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall") // probing 3/8 cells
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
     assert(Similarity.hyperplanes(4, 8, seed = 1) != Similarity.hyperplanes(4, 8, seed = 2))
