@@ -45,12 +45,15 @@ object GraftFunctions {
   /** Pure-catalyst form of [[graft.functions.durationMmSs]] — a builder
     * must return resolved-constructible Expressions, not Column-DSL trees
     * (whose unresolved ColumnNodes can't be spliced into an analyzed plan).
+    * The modulo keeps the input's own type (the analyzer coerces the
+    * literal) so fractional seconds render identically to the Column API
+    * (`90.5` → `"1m 30.5s"` on both surfaces).
     */
   private def durationExpr(secs: Expression): Expression =
     Concat(Seq(
       Cast(Floor(Divide(Cast(secs, DoubleType), Literal(60.0d))), StringType),
       Literal("m "),
-      Cast(Remainder(Cast(secs, LongType), Literal(60L)), StringType),
+      Cast(Remainder(secs, Literal(60)), StringType),
       Literal("s")))
 
   /** Register onto an already-built session (temp-function registry). */

@@ -149,10 +149,31 @@ object Extended {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Distinct aggregation: per supplier, exact distinct parts/orders plus
+    * plain counts — the expand-based distinct-agg plan shape.
+    */
+  def supplierDistincts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+
+  private val supplierDistinctsSql =
+    """SELECT l_suppkey, count(*) AS n_items,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY l_suppkey""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
     NamedQuery("q24_segment_order_presence", segmentOrderPresence _, Some(segmentOrderPresenceSql)),
     NamedQuery("q25_rollup_revenue", rollupRevenue _, Some(rollupRevenueSql)),
     NamedQuery("q26_event_deltas", eventDeltas _, Some(eventDeltasSql)),
-    NamedQuery("q27_price_percentiles", pricePercentiles _, Some(pricePercentilesSql)))
+    NamedQuery("q27_price_percentiles", pricePercentiles _, Some(pricePercentilesSql)),
+    NamedQuery("q29_supplier_distincts", supplierDistincts _, Some(supplierDistinctsSql)))
 }

@@ -63,8 +63,13 @@ object Similarity {
     * hamming-1 buckets, then exact-scores only those candidates.
     */
   def annKnn(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 4,
-             dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(nBits, dim)
+             dim: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // dim <= 0 → infer from the data: hyperplanes of the wrong length
+    // zip_with-pad with nulls, nulling every dot product and silently
+    // collapsing all vectors into bucket 0 (ANN degrades to brute force).
+    val d = if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nBits, d)
     val bucketed = corpus.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), planes))
     val probes = (0 until nBits).map(i => col("q_bucket").bitwiseXOR(shiftleft(lit(1), i)))

@@ -91,24 +91,27 @@ final class SyncRunner(
       }
       val hwm = checkpoints.lastSynced(sourceName, collection)
       // Strict `>` watermark — pushed into the parquet/JSON scan by Catalyst.
-      val slice = hwm.fold(raw)(ts => raw.filter(col(settings.watermarkCol) > lit(ts)))
+      // Cached: the slice feeds both the watermark agg and the merge, and a
+      // mutable source file must not be re-read between the two.
+      val slice = hwm.fold(raw)(ts => raw.filter(col(settings.watermarkCol) > lit(ts))).cache()
+      try {
+        // One distributed pass computes the new high-water mark (A0: running
+        // max) — grabbed before the merge so a merge failure never advances it.
+        val newHwmRow = slice.agg(max(col(settings.watermarkCol))).collect().head
+        val newHwm = Option(newHwmRow.getTimestamp(0))
 
-      // One distributed pass computes the new high-water mark (A0: running
-      // max) — grabbed before the merge so a merge failure never advances it.
-      val newHwmRow = slice.agg(max(col(settings.watermarkCol))).collect().head
-      val newHwm = Option(newHwmRow.getTimestamp(0))
+        val cleaned = Clean(slice, sourceName, syncedAt = clock())
+        val n = MergeWriter.merge(spark, tablePath(collection), cleaned,
+          numBuckets = settings.numBuckets)
 
-      val cleaned = Clean(slice, sourceName, syncedAt = clock())
-      val n = MergeWriter.merge(spark, tablePath(collection), cleaned,
-        numBuckets = settings.numBuckets)
+        newHwm.foreach(ts => checkpoints.advance(sourceName, collection, ts))
 
-      newHwm.foreach(ts => checkpoints.advance(sourceName, collection, ts))
-
-      val completedAt = clock()
-      val secs = (completedAt.getTime - startedAt.getTime) / 1000.0
-      val msg = f"Synced $n rows for '$collection' from '$sourceName' in $secs%.2fs"
-      history.logEnd(runId, sourceName, collection, "SUCCESS", startedAt, completedAt, n, msg)
-      SyncResult(runId, sourceName, collection, "SUCCESS", n, newHwm, msg)
+        val completedAt = clock()
+        val secs = (completedAt.getTime - startedAt.getTime) / 1000.0
+        val msg = f"Synced $n rows for '$collection' from '$sourceName' in $secs%.2fs"
+        history.logEnd(runId, sourceName, collection, "SUCCESS", startedAt, completedAt, n, msg)
+        SyncResult(runId, sourceName, collection, "SUCCESS", n, newHwm, msg)
+      } finally slice.unpersist()
     } catch {
       case e: Exception =>
         val completedAt = clock()

@@ -20,6 +20,10 @@ final class Checkpoints(spark: SparkSession, metaDir: String) {
   import spark.implicits._
 
   private val path = s"$metaDir/sync_metadata"
+  // advance() is a read-modify-write of one shared table through a fixed
+  // staging dir — concurrent per-source syncs (SyncService fan-out) must
+  // serialize or the slower writer erases the faster one's watermark.
+  private val lock = Checkpoints.lockFor(path)
 
   private def exists: Boolean = {
     val p = new Path(path)
@@ -45,7 +49,7 @@ final class Checkpoints(spark: SparkSession, metaDir: String) {
   /** Upsert the watermark for (source, collection) — `INSERT ... ON CONFLICT
     * DO UPDATE` parity (reference etl.py:108-123).
     */
-  def advance(source: String, collection: String, hwm: Timestamp): Unit = {
+  def advance(source: String, collection: String, hwm: Timestamp): Unit = lock.synchronized {
     val others = all()
       .filter(!(col("source_uri") === source && col("collection_name") === collection))
       .collect()
@@ -67,4 +71,10 @@ final class Checkpoints(spark: SparkSession, metaDir: String) {
     hfs.rename(new Path(tmp), live)
     hfs.delete(bak, true)
   }
+}
+
+object Checkpoints {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[meta] def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
 }

@@ -48,10 +48,15 @@ final class History(spark: SparkSession, metaDir: String) {
              message: String): Unit =
     append(id, source, collection, status, startedAt, Some(completedAt), records, message, seq = 1)
 
-  /** Latest event per run id. */
+  /** Latest event per run id. A fresh warehouse yields a TYPED empty
+    * DataFrame (a schemaless one would make recentRuns' orderBy throw
+    * UNRESOLVED_COLUMN on first use).
+    */
   def runs(): DataFrame =
     if (!exists)
-      spark.emptyDataFrame
+      Seq.empty[(String, String, String, String, Timestamp, Timestamp, Long, String, Int)]
+        .toDF("id", "source", "collection", "status", "started_at", "completed_at",
+          "records_synced", "message", "event_seq")
     else
       graft.warehouse.MergeWriter.latestByKey(
         spark.read.parquet(path), "id", Seq(desc("event_seq")))

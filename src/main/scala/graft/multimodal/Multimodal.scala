@@ -81,8 +81,12 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
     val nFrames = ceil(length(col("media")).cast("double") / frameBytes).cast("int")
+    // sequence(a, b) counts DOWN when b < a — an empty blob (nFrames = 0)
+    // must yield no frames, not indices [0, -1].
+    val frameIdx = when(nFrames > 0, sequence(lit(0), nFrames - 1))
+      .otherwise(array().cast("array<int>"))
     media
-      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame_idx", explode(frameIdx))
       .filter(col("frame_idx") % everyNth === 0)
       .select(
         col("media_id"),

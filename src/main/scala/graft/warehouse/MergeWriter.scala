@@ -36,6 +36,39 @@ object MergeWriter {
   val BucketCol = "sync_bucket"
   val DefaultNumBuckets = 64
 
+  // Writers to the same table must not interleave: the staging dir is per
+  // table and the bucket swap is read-modify-write. All writers in this
+  // single-driver design pass through this object, so a striped JVM lock
+  // per table path serializes them (SyncService fans out one Future per
+  // source against the same collection table). On a multi-driver cluster
+  // this becomes an external lock or a transactional table format.
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(tablePath: String): Object =
+    tableLocks.computeIfAbsent(tablePath, _ => new Object)
+
+  // The bucket count is a table-creation-time invariant: merging with a
+  // different modulus would route existing keys to fresh buckets and
+  // silently duplicate them. Persist it beside the data (dot-file —
+  // invisible to parquet readers) and always prefer the stored value.
+  private def bucketCountPath(tablePath: String): Path = new Path(tablePath, ".graft_buckets")
+
+  private def readBucketCount(spark: SparkSession, tablePath: String): Option[Int] = {
+    val hfs = fs(spark, tablePath)
+    val p = bucketCountPath(tablePath)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketCount(spark: SparkSession, tablePath: String, n: Int): Unit = {
+    val out = fs(spark, tablePath).create(bucketCountPath(tablePath), true)
+    try out.write(n.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   def bucketOf(key: Column, numBuckets: Int): Column =
     pmod(hash(key), lit(numBuckets))
 
@@ -63,9 +96,10 @@ object MergeWriter {
 
   /** Overwrite-load (truncate-and-reload, reference dump.py:187-194). */
   def overwrite(spark: SparkSession, tablePath: String, df: DataFrame, key: String = "_id",
-                numBuckets: Int = DefaultNumBuckets): Long = {
+                numBuckets: Int = DefaultNumBuckets): Long = lockFor(tablePath).synchronized {
     val bucketed = df.withColumn(BucketCol, bucketOf(col(key), numBuckets))
     bucketed.write.mode("overwrite").partitionBy(BucketCol).parquet(tablePath)
+    writeBucketCount(spark, tablePath, numBuckets)
     spark.read.parquet(tablePath).count()
   }
 
@@ -76,45 +110,54 @@ object MergeWriter {
     * docs, etl.py:217).
     */
   def merge(spark: SparkSession, tablePath: String, batch: DataFrame, key: String = "_id",
-            numBuckets: Int = DefaultNumBuckets): Long = {
-    if (batch.isEmpty) return 0L // empty-batch guard (reference etl.py:23-24)
+            numBuckets: Int = DefaultNumBuckets): Long = lockFor(tablePath).synchronized {
     require(batch.columns.contains(key), s"merge key '$key' missing from batch")
 
-    val batchCount = batch.count()
+    // The table's stored bucket count wins over the caller's — merging with
+    // a different modulus would duplicate keys across buckets.
+    val effectiveBuckets = readBucketCount(spark, tablePath).getOrElse(numBuckets)
+
     // Within-batch duplicate keys collapse up front (last `_synced_at` wins)
     // — the reference's PG upsert would error on these ("cannot affect row a
     // second time"); deterministic collapse is the documented improvement
-    // (SURVEY.md §7.4 item 5).
+    // (SURVEY.md §7.4 item 5). Cache: the batch lineage (often a JSON scan +
+    // window) feeds the count, the bucket set, and the staging write — one
+    // evaluation, not four.
     val batchOrdering =
       if (batch.columns.contains("_synced_at")) Seq(desc("_synced_at")) else Nil
     val deduped =
       if (batchOrdering.nonEmpty) latestByKey(batch, key, batchOrdering) else batch.dropDuplicates(key)
-    val bucketed = deduped.withColumn(BucketCol, bucketOf(col(key), numBuckets))
+    val bucketed = deduped.withColumn(BucketCol, bucketOf(col(key), effectiveBuckets)).cache()
+    try {
+      val batchCount = bucketed.count()
+      if (batchCount == 0) return 0L // empty-batch guard (reference etl.py:23-24)
 
-    if (!tableExists(spark, tablePath)) {
-      // First sync auto-creates the table (reference etl.py:31-49).
-      bucketed.write.mode("errorifexists").partitionBy(BucketCol).parquet(tablePath)
-      return batchCount
-    }
+      if (!tableExists(spark, tablePath)) {
+        // First sync auto-creates the table (reference etl.py:31-49).
+        bucketed.write.mode("errorifexists").partitionBy(BucketCol).parquet(tablePath)
+        writeBucketCount(spark, tablePath, effectiveBuckets)
+        return batchCount
+      }
 
-    val affected: Seq[Int] =
-      bucketed.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      val affected: Seq[Int] =
+        bucketed.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
 
-    val existing = spark.read.option("mergeSchema", "true").parquet(tablePath)
-      .filter(col(BucketCol).isin(affected: _*)) // partition-pruned scan
-      .withColumn("_prec", lit(0))
-    val incoming = bucketed.withColumn("_prec", lit(1))
+      val existing = spark.read.option("mergeSchema", "true").parquet(tablePath)
+        .filter(col(BucketCol).isin(affected: _*)) // partition-pruned scan
+        .withColumn("_prec", lit(0))
+      val incoming = bucketed.withColumn("_prec", lit(1))
 
-    val unioned = existing.unionByName(incoming, allowMissingColumns = true)
-    val ordering =
-      (if (unioned.columns.contains("_synced_at")) Seq(desc("_synced_at")) else Nil) :+ desc("_prec")
-    val merged = latestByKey(unioned, key, ordering).drop("_prec")
+      val unioned = existing.unionByName(incoming, allowMissingColumns = true)
+      val ordering =
+        (if (unioned.columns.contains("_synced_at")) Seq(desc("_synced_at")) else Nil) :+ desc("_prec")
+      val merged = latestByKey(unioned, key, ordering).drop("_prec")
 
-    // Stage, then swap only the affected bucket dirs.
-    val staging = stagingPath(tablePath)
-    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(staging)
-    swapBuckets(spark, tablePath, staging, affected)
-    batchCount
+      // Stage, then swap only the affected bucket dirs.
+      val staging = stagingPath(tablePath)
+      merged.write.mode("overwrite").partitionBy(BucketCol).parquet(staging)
+      swapBuckets(spark, tablePath, staging, affected)
+      batchCount
+    } finally bucketed.unpersist()
   }
 
   private def stagingPath(tablePath: String): String = {
