@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe: replicates the sf0.1 inputs 10-20× in memory and
+  * times the hottest paths, so "would this hold at 100×?" is answered with
+  * numbers rather than hope. Run: `sbt "runMain graft.Stress"`.
+  *
+  * Replicated documents are exact twins — the worst case for LSH (every
+  * bucket holds the full twin group), deliberately stressing candidate
+  * generation and verification.
+  */
+object Stress {
+  private def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String, n: Int): DataFrame =
+      (0 until n).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i.toLong * 10_000_000L)))
+        .reduce(_ unionByName _)
+
+    // 1. Near-dup detection over 100k docs (20× replication → dense twins).
+    val docs100k = replicate(graft.core.Tables.documents(spark, dir), "doc_id", 20)
+    println(s"[stress] documents rows = ${docs100k.count()}")
+    val pairs = time("minhash near-dups, 100k docs") {
+      graft.analytics.Dedup.minHashNearDups(docs100k, threshold = 0.9).count()
+    }
+    println(s"[stress]   verified pairs found = $pairs")
+    time("simhash signatures, 100k docs") {
+      graft.analytics.Dedup.simHashSignatures(docs100k)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // 2. Relational over 6M lineitem rows (10×).
+    val li6m = replicate(graft.core.Tables.lineitem(spark, dir), "l_orderkey", 10)
+    println(s"[stress] lineitem rows = ${li6m.count()}")
+    time("pricing summary agg, 6M rows") {
+      li6m.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("window dedupe (sort), 6M rows") {
+      graft.warehouse.MergeWriter.latestByKey(
+        li6m, "l_orderkey",
+        Seq(desc("l_shipdate"), desc("l_linenumber"), desc("l_extendedprice")))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("max-struct dedupe (hash agg), 6M rows") {
+      graft.warehouse.MergeWriter.maxByKey(
+        li6m, "l_orderkey",
+        Seq(col("l_shipdate"), col("l_linenumber"), col("l_extendedprice")))
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // 3. Merge 10k updates into a 1M-row bucketed table: cost must track the
+    //    batch + affected buckets, not the table.
+    val wh = java.nio.file.Files.createTempDirectory("stress-wh").toString
+    val tbl = s"$wh/big"
+    val base = replicate(graft.core.Tables.orders(spark, dir), "o_orderkey", 7)
+      .withColumn("_id", col("o_orderkey").cast("string"))
+      .withColumn("_synced_at", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    time("initial load, ~1M rows, 64 buckets") {
+      graft.warehouse.MergeWriter.merge(spark, tbl, base)
+    }
+    val updates = base.limit(10000)
+      .withColumn("_synced_at", lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+    time("merge 10k updates into 1M-row table") {
+      graft.warehouse.MergeWriter.merge(spark, tbl, updates)
+    }
+    println(s"[stress] merged table rows = ${graft.warehouse.MergeWriter.read(spark, tbl).count()}")
+    spark.stop()
+  }
+}
