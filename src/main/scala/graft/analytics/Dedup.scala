@@ -130,6 +130,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs via distributed label
+    * propagation: every doc starts labeled with its own id; each round,
+    * labels flow across edges (both directions) and each node keeps the
+    * minimum seen. Converges in O(cluster diameter) rounds — near-dup
+    * clusters are dense and shallow, so a handful of joins suffices; this
+    * is the standard large-graph CC pattern without any graph library.
+    * Returns (doc_id, cluster_id = min doc_id in the component).
+    */
+  def clusters(docIds: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .cache()
+    var labels = docIds.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels, col("b_id") === col("doc_id"))
+        .groupBy(col("a_id").as("doc_id"))
+        .agg(min("cluster_id").as("n_min"))
+      val next = labels
+        .join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("__old"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      // One materializing job doubles as the convergence check.
+      converged = next.filter(col("cluster_id") =!= col("__old")).count() == 0
+      labels.unpersist()
+      labels = next.drop("__old")
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end corpus deduplication: MinHash-LSH pairs → clusters → keep
+    * the minimum-id doc per cluster. The deliverable of a training-data
+    * dedup pass.
+    */
+  def dedupedCorpus(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val pairs = minHashNearDups(docs, threshold, idCol, textCol)
+    val labels = clusters(docs.select(col(idCol).as("doc_id")), pairs)
+      .select(col("doc_id").as("__did"), col("cluster_id").as("__cid"))
+    docs.join(labels, docs(idCol) === col("__did"))
+      .filter(col(idCol) === col("__cid"))
+      .drop("__did", "__cid")
+  }
+
   // ---------------------------------------------------------------- q17
   /** Per-doc near-dup summary via MinHash LSH (threshold 0.7). Per-doc so
     * the output is non-empty and stable regardless of how many pairs
@@ -164,7 +213,27 @@ object Dedup {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
+  // ---------------------------------------------------------------- q30
+  /** Deduplicated-corpus summary: per source, docs before and after the
+    * full LSH → cluster → keep-canonical pass over a corpus with planted
+    * twins (each doc unioned with a re-keyed near-copy). Rows-only (LSH),
+    * but deterministic; cluster exactness is asserted in DedupSpec.
+    */
+  def dedupCorpusSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.select(col("doc_id"), col("text"), col("source")).unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"), col("source")))
+    val kept = dedupedCorpus(planted, threshold = 0.7)
+    planted.groupBy("source").agg(count(lit(1)).as("n_before"))
+      .join(kept.groupBy(col("source").as("s2")).agg(count(lit(1)).as("n_after")),
+        col("source") === col("s2"), "left")
+      .select(col("source"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery.rowsOnly("q17_minhash_neardups")(minHashSummary _),
-    NamedQuery.rowsOnly("q18_simhash_signatures")(simHashSummary _))
+    NamedQuery.rowsOnly("q18_simhash_signatures")(simHashSummary _),
+    NamedQuery.rowsOnly("q30_dedup_corpus")(dedupCorpusSummary _))
 }

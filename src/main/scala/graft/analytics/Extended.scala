@@ -169,11 +169,25 @@ object Extended {
       |  round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** HLL++ sketch vs exact distinct counts — the approximate-distinct
+    * sketch surface. Deterministic (HLL++ is a pure function of the data)
+    * but engine-specific → rows-only; error bounds asserted in spec.
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
     NamedQuery("q24_segment_order_presence", segmentOrderPresence _, Some(segmentOrderPresenceSql)),
     NamedQuery("q25_rollup_revenue", rollupRevenue _, Some(rollupRevenueSql)),
     NamedQuery("q26_event_deltas", eventDeltas _, Some(eventDeltasSql)),
     NamedQuery("q27_price_percentiles", pricePercentiles _, Some(pricePercentilesSql)),
-    NamedQuery("q29_supplier_distincts", supplierDistincts _, Some(supplierDistinctsSql)))
+    NamedQuery("q29_supplier_distincts", supplierDistincts _, Some(supplierDistinctsSql)),
+    NamedQuery.rowsOnly("q31_approx_distinct_users")(approxDistinctUsers _))
 }

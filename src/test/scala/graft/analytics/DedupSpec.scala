@@ -55,6 +55,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (${found.size}/${exact.size})")
   }
 
+  test("clusters: label propagation finds connected components exactly") {
+    val ids = (1L to 8L).toDF("doc_id")
+    // components: {1,2,3} (chain), {4,5}, {6}, {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L)).toDF("a_id", "b_id")
+    val got = Dedup.clusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("dedupedCorpus keeps exactly one canonical doc per twin cluster") {
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    val kept = Dedup.dedupedCorpus(planted, threshold = 0.7)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every kept id is an original (the min of its twin pair)…
+    assert(keptIds.forall(_ < 100000L))
+    // …and plants are gone while distinct originals survive (some originals
+    // may merge with each other if they are natural near-dups).
+    assert(keptIds.nonEmpty && kept.count() <= docs.count())
+  }
+
   test("minhash signatures are deterministic across runs") {
     val s1 = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
     val s2 = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
