@@ -169,6 +169,46 @@ object Extended {
       |  round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Gap-based sessionization (30-min gaps) via the stateful
+    * `flatMapGroupsWithState` operator, oracle-checked against the SQL
+    * gaps-and-islands formulation. Timestamps compare in microseconds on
+    * both sides (ms-truncated math can flip sessions whose gap lands
+    * within 1ms of the threshold).
+    */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .as[graft.streaming.Sessionize.Event]
+    graft.streaming.Sessionize.sessionsBatch(events, gapSeconds = 1800)
+      .toDF()
+      .select(
+        col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+  }
+
+  private val eventSessionsSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), islands AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id,
+      |  min(epoch_us(ts)) AS start_us,
+      |  max(epoch_us(ts)) AS end_us,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM islands GROUP BY user_id, sid""".stripMargin
+
   // ---------------------------------------------------------------- q31
   /** HLL++ sketch vs exact distinct counts — the approximate-distinct
     * sketch surface. Deterministic (HLL++ is a pure function of the data)
@@ -189,5 +229,6 @@ object Extended {
     NamedQuery("q26_event_deltas", eventDeltas _, Some(eventDeltasSql)),
     NamedQuery("q27_price_percentiles", pricePercentiles _, Some(pricePercentilesSql)),
     NamedQuery("q29_supplier_distincts", supplierDistincts _, Some(supplierDistinctsSql)),
-    NamedQuery.rowsOnly("q31_approx_distinct_users")(approxDistinctUsers _))
+    NamedQuery.rowsOnly("q31_approx_distinct_users")(approxDistinctUsers _),
+    NamedQuery("q32_event_sessions", eventSessions _, Some(eventSessionsSql)))
 }

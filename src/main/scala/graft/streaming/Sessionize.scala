@@ -22,10 +22,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Sessionize {
 
-  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class Event(event_id: Long, user_id: Long, ts: Timestamp,
+                         event_type: String, value: Double)
+  // start/end in MICROSECONDS since epoch: Timestamp.getTime is ms-truncated
+  // and a ms-granular gap comparison can disagree with an external oracle
+  // computing at full precision on gaps within 1ms of the threshold.
   final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
   final case class UserSession(user_id: Long, session_start: Timestamp,
                                session_end: Timestamp, n_events: Long, total_value: Double)
+
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
 
   def sessionFn(gapSeconds: Long)(
       userId: Long,
@@ -33,7 +46,7 @@ object Sessionize {
       state: GroupState[OpenSession]): Iterator[UserSession] = {
 
     def toSession(s: OpenSession): UserSession =
-      UserSession(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+      UserSession(userId, toTimestamp(s.start), toTimestamp(s.end), s.n, s.total)
 
     if (state.hasTimedOut) {
       val out = state.getOption.map(toSession).iterator
@@ -41,13 +54,13 @@ object Sessionize {
       return out
     }
 
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     var open = state.getOption
     val closed = Seq.newBuilder[UserSession]
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = micros(e.ts)
       open match {
-        case Some(s) if t - s.end <= gapSeconds * 1000 =>
+        case Some(s) if t - s.end <= gapSeconds * 1000000L =>
           open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
         case Some(s) =>
           closed += toSession(s)
@@ -64,7 +77,7 @@ object Sessionize {
           // In streaming, close the session `gapSeconds` past its end in
           // event time; in batch the timeout never fires and the trailing
           // session is emitted below.
-          try state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+          try state.setTimeoutTimestamp(s.end / 1000 + gapSeconds * 1000)
           catch { case _: UnsupportedOperationException => () } // batch mode
         }
       case None => ()
@@ -84,7 +97,7 @@ object Sessionize {
         (k: Long, it: Iterator[Event], st: GroupState[OpenSession]) => {
           val closed = sessionFn(gapSeconds)(k, it, st).toSeq
           val trailing = st.getOption.toSeq
-            .map(s => UserSession(k, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+            .map(s => UserSession(k, toTimestamp(s.start), toTimestamp(s.end), s.n, s.total))
           (closed ++ trailing).iterator
         })
   }

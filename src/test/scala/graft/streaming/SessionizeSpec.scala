@@ -8,8 +8,11 @@ import graft.streaming.Sessionize.{Event, UserSession}
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ev(u: Long, t: String, v: Double) =
-    Event(u, Timestamp.valueOf(t), "click", v)
+  private var nextId = 0L
+  private def ev(u: Long, t: String, v: Double) = {
+    nextId += 1
+    Event(nextId, u, Timestamp.valueOf(t), "click", v)
+  }
 
   test("batch sessionization splits on gaps and aggregates per session") {
     val events = Seq(
@@ -46,8 +49,8 @@ class SessionizeSpec extends SparkSpec {
         lines.mkString("\n").getBytes("UTF-8"))
 
     writeBatch("b1.ndjson", Seq(
-      """{"user_id": 1, "ts": "2024-01-01T10:00:00.000Z", "event_type": "click", "value": 1.0}""",
-      """{"user_id": 1, "ts": "2024-01-01T10:10:00.000Z", "event_type": "click", "value": 2.0}"""))
+      """{"event_id": 1, "user_id": 1, "ts": "2024-01-01T10:00:00.000Z", "event_type": "click", "value": 1.0}""",
+      """{"event_id": 2, "user_id": 1, "ts": "2024-01-01T10:10:00.000Z", "event_type": "click", "value": 2.0}"""))
 
     // One continuous query (the memory sink cannot recover a checkpoint);
     // processAllAvailable() drains each file batch synchronously.
@@ -65,7 +68,7 @@ class SessionizeSpec extends SparkSpec {
     // A much-later event advances the watermark past the first session's
     // timeout → the closed session is emitted in a later micro-batch.
     writeBatch("b2.ndjson", Seq(
-      """{"user_id": 1, "ts": "2024-01-01T13:00:00.000Z", "event_type": "click", "value": 9.0}"""))
+      """{"event_id": 3, "user_id": 1, "ts": "2024-01-01T13:00:00.000Z", "event_type": "click", "value": 9.0}"""))
     q.processAllAvailable()
     q.stop()
 
