@@ -21,17 +21,10 @@ import graft.engine.SyncRunner
   */
 object Main {
 
-  private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val s = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(): SparkSession =
+    graft.core.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"),
+      master = sys.env.get("SPARK_GRAFT_MASTER"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case "sync" :: wh :: sources :: collection :: Nil =>

@@ -186,12 +186,15 @@ object Dedup {
     * driver check; exactness is covered by DedupSpec against a brute-force
     * Jaccard oracle.
     */
+  /** Pairs → per-doc partner counts (symmetric). */
+  private def pairCountsPerDoc(pairs: DataFrame, as: String): DataFrame =
+    pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as(as))
+
   def minHashSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = minHashNearDups(docs, threshold = 0.7)
-    val perDoc = pairs.select(col("a_id").as("doc_id"))
-      .unionByName(pairs.select(col("b_id").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_neardups"))
+    val perDoc = pairCountsPerDoc(minHashNearDups(docs, threshold = 0.7), "n_neardups")
     docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
@@ -203,10 +206,7 @@ object Dedup {
     */
   def simHashSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = simHashNearDups(docs, maxHamming = 3)
-    val perDoc = pairs.select(col("a_id").as("doc_id"))
-      .unionByName(pairs.select(col("b_id").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    val perDoc = pairCountsPerDoc(simHashNearDups(docs, maxHamming = 3), "n_candidates")
     simHashSignatures(docs)
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"),

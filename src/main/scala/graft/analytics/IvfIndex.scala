@@ -96,15 +96,11 @@ object IvfIndex {
       .withColumn("cells", nearestCells(col("q_vec"), model, nprobe))
       .withColumn("cell", explode(col("cells").getField("cell")))
       .drop("cells")
-    indexed
+    val scored = indexed
       .join(broadcast(q), Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("score", graft.functions.cosineSimilarity(col("q_vec"), col(vecCol)))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        round(col("score"), 4).as("score_r"))
+    Similarity.topK(scored, k, idCol)
   }
 
   // ---------------------------------------------------------------- q28

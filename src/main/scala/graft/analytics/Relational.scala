@@ -121,15 +121,19 @@ object Relational {
       |GROUP BY r_name""".stripMargin
 
   // ---------------------------------------------------------------- q5
+  /** Per-(customer, day) order counts — the shared grain of q05 and q12. */
+  private def dailyCounts(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Two-level aggregation: per-day counts, then per-customer avg/min/max of
     * those counts — the reference's per-staff tickets/day stats shape
     * (SURVEY.md §2.D A2; reference staff_reports.json:10-12), including
     * integer-rounded averages.
     */
   def dailyOrderStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    dailyCounts(Tables.orders(spark, dir))
       .groupBy("o_custkey")
       .agg(
         count(lit(1)).as("days_active"),
@@ -294,9 +298,7 @@ object Relational {
     val orderAgg = orders.groupBy("o_custkey").agg(
       count(lit(1)).as("total_orders"),
       sortedSetString(col("o_orderpriority")).as("priorities"))
-    val daily = orders
-      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = dailyCounts(orders)
       .groupBy("o_custkey")
       .agg(
         count(lit(1)).as("days_active"),

@@ -27,6 +27,17 @@ import graft.functions.cosineSimilarity
   */
 object Similarity {
 
+  /** Rank scored (query, candidate) rows and keep the top k per query —
+    * the shared tail of every kNN variant (brute, LSH, IVF).
+    */
+  private[analytics] def topK(scored: DataFrame, k: Int, idCol: String): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
+        round(col("score"), 4).as("score_r"))
+
   /** Exact top-k neighbors for each query vector (self excluded).
     * `queries` must be small (it is broadcast).
     */
@@ -36,12 +47,7 @@ object Similarity {
     val scored = corpus.select(col(idCol), col(vecCol))
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol)))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        round(col("score"), 4).as("score_r"))
+    topK(scored, k, idCol)
   }
 
   /** Deterministic seeded hyperplanes: `nBits` × `dim` gaussian matrix. */
@@ -77,15 +83,11 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_bucket", lshBucket(col("q_vec"), planes))
       .withColumn("bucket", explode(array(col("q_bucket") +: probes: _*)))
-    bucketed
+    val scored = bucketed
       .join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol)))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        round(col("score"), 4).as("score_r"))
+    topK(scored, k, idCol)
   }
 
   /** All embedding pairs with cosine ≥ threshold — embedding-space

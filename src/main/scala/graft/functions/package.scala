@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
+  private def expr(c: Column) = org.apache.spark.sql.graft.ColumnOps.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graft.ColumnOps.column(e)
+
   /** Seconds → `"<M>m <S>s"` with uncapped minutes (`"431m 23s"`).
     *
     * Reproduces the reference's duration rendering in its per-staff report
@@ -17,9 +21,6 @@ package object functions {
     concat(
       floor(secs / 60).cast("string"), lit("m "),
       (secs % 60).cast("string"), lit("s"))
-
-  /** Whole seconds since epoch (floor), as LongType. */
-  def epochSeconds(ts: Column): Column = unix_timestamp(ts)
 
   /** Deterministic, sorted, comma-joined distinct-set rendering.
     * `collect_set` order is nondeterministic across partitions/runs;
@@ -34,28 +35,21 @@ package object functions {
     * oracle computing the plain scalar loop agrees bitwise.
     */
   def cosineSimilarity(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.ColumnOps.column(
-      CosineSim(org.apache.spark.sql.graft.ColumnOps.expression(a),
-        org.apache.spark.sql.graft.ColumnOps.expression(b)))
+    toCol(CosineSim(expr(a), expr(b)))
 
   /** Dot product of two vector columns (native fused loop). */
   def dotProduct(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.ColumnOps.column(
-      DotProduct(org.apache.spark.sql.graft.ColumnOps.expression(a),
-        org.apache.spark.sql.graft.ColumnOps.expression(b)))
+    toCol(DotProduct(expr(a), expr(b)))
 
   /** Distinct word-n-gram shingle hashes (native byte-scan kernel). */
   def shingleHashes(text: Column, n: Int): Column =
-    org.apache.spark.sql.graft.ColumnOps.column(
-      ShingleHashArray(org.apache.spark.sql.graft.ColumnOps.expression(text), n))
+    toCol(ShingleHashArray(expr(text), n))
 
   /** 64-lane MinHash signature (native single-pass kernel). */
   def minHashSignature(text: Column, n: Int): Column =
-    org.apache.spark.sql.graft.ColumnOps.column(
-      MinHashSig(org.apache.spark.sql.graft.ColumnOps.expression(text), n))
+    toCol(MinHashSig(expr(text), n))
 
   /** 64-bit SimHash signature (native single-pass kernel). */
   def simHashSignature(text: Column, n: Int): Column =
-    org.apache.spark.sql.graft.ColumnOps.column(
-      SimHashSig(org.apache.spark.sql.graft.ColumnOps.expression(text), n))
+    toCol(SimHashSig(expr(text), n))
 }

@@ -17,6 +17,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((0, 0)))
   }
 
+  test("shingleSet builds distinct word n-grams, short docs yield none") {
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val out = d.select(col("id"), TextAnalysis.shingleSet(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq.empty)
+  }
+
   test("regex tokenizer splits letter/digit/punct runs") {
     val d = Seq((1L, "abc123 def!")).toDF("id", "text")
     // abc | 123 | def | !  → 4
