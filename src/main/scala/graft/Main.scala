@@ -62,6 +62,24 @@ object Main {
       println(svc.health().map { case (k, v) => s"$k=$v" }.mkString(" "))
       spark.stop()
 
+    case "stream" :: wh :: srcDir :: collection :: Nil =>
+      // Structured Streaming drain-and-stop sync: Spark's streaming
+      // checkpoint owns source offsets; repeated invocations process only
+      // new files (SURVEY.md §2.I S1-S3).
+      require(Settings.validCollectionName(collection),
+        s"invalid collection name '$collection'")
+      val schema = graft.core.Schemas.byCollection.getOrElse(collection,
+        sys.error(s"no registered schema for '$collection' (streaming needs one)"))
+      val spark = session()
+      val q = graft.streaming.StreamingSync.availableNow(
+        spark, srcDir, schema, sourceName = "stream",
+        tablePath = s"$wh/$collection",
+        checkpointDir = s"$wh/_meta/stream_ckpt_$collection")
+      q.awaitTermination()
+      println(s"[SUCCESS] stream drain complete; table rows = " +
+        graft.warehouse.MergeWriter.read(spark, s"$wh/$collection").count())
+      spark.stop()
+
     case "load" :: wh :: file :: collection :: rest =>
       // dump.py parity: bulk file load with per-collection summary.
       val spark = session()
@@ -93,6 +111,7 @@ object Main {
            |usage:
            |  sync <warehouseDir> <sources> <collection>
            |  scheduled <warehouseDir> <sources> <collections-csv>
+           |  stream <warehouseDir> <srcDir> <collection>
            |  load <warehouseDir> <file> <collection> [overwrite|merge]
            |  report <warehouseDir> <outFile.json>
            |  logs <warehouseDir> [limit]
