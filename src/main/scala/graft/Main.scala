@@ -76,8 +76,11 @@ object Main {
         tablePath = s"$wh/$collection",
         checkpointDir = s"$wh/_meta/stream_ckpt_$collection")
       q.awaitTermination()
-      println(s"[SUCCESS] stream drain complete; table rows = " +
-        graft.warehouse.MergeWriter.read(spark, s"$wh/$collection").count())
+      val rows =
+        if (graft.warehouse.MergeWriter.tableExists(spark, s"$wh/$collection"))
+          graft.warehouse.MergeWriter.read(spark, s"$wh/$collection").count()
+        else 0L // nothing to drain on the very first run of an empty source
+      println(s"[SUCCESS] stream drain complete; table rows = $rows")
       spark.stop()
 
     case "load" :: wh :: file :: collection :: rest =>

@@ -161,8 +161,12 @@ object Dedup {
       labels = next.drop("__old")
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"label propagation did not converge in $maxIters rounds; " +
+          "components wider than that remain split")
     edges.unpersist()
-    labels
+    labels // cached — callers unpersist() when done with it
   }
 
   /** End-to-end corpus deduplication: MinHash-LSH pairs → clusters → keep
@@ -225,11 +229,15 @@ object Dedup {
       docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"), col("source")))
     val kept = dedupedCorpus(planted, threshold = 0.7)
-    planted.groupBy("source").agg(count(lit(1)).as("n_before"))
+    val summary = planted.groupBy("source").agg(count(lit(1)).as("n_before"))
       .join(kept.groupBy(col("source").as("s2")).agg(count(lit(1)).as("n_after")),
         col("source") === col("s2"), "left")
       .select(col("source"), col("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
+    // The summary is tiny (one row per source): materialize it eagerly so
+    // the clustering caches behind it are no longer referenced by the
+    // returned plan.
+    summary.localCheckpoint(true)
   }
 
   val queries: Seq[NamedQuery] = Seq(

@@ -50,18 +50,22 @@ object IvfIndex {
     */
   def train(corpus: DataFrame, k: Int, iters: Int = 3,
             idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    var model = Model(
-      corpus.orderBy(col(idCol)).limit(k)
-        .select(col(vecCol)).collect()
-        .zipWithIndex
-        .map { case (r, i) =>
-          i -> r.getSeq[Float](0).map(_.toDouble).toSeq
-        }.toSeq)
+    // Training makes iters+2 passes over the vectors — cache the projection.
+    val vecs = corpus.select(col(idCol), col(vecCol)).cache()
+    try {
+      val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+      var model = Model(
+        vecs.orderBy(col(idCol)).limit(k)
+          .select(col(vecCol)).collect()
+          .zipWithIndex
+          .map { case (r, i) =>
+            // element type may be float OR double — both flow through the kernels
+            i -> r.getSeq[Number](0).map(_.doubleValue()).toSeq
+          }.toSeq)
 
-    (0 until iters).foreach { _ =>
-      val assigned = corpus
-        .select(col(vecCol), assignCell(col(vecCol), model).as("cell"))
+      (0 until iters).foreach { _ =>
+        val assigned = vecs
+          .select(col(vecCol), assignCell(col(vecCol), model).as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -73,10 +77,11 @@ object IvfIndex {
           rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
           cell -> vec.toSeq
         }
-      // Empty cells keep their previous centroid.
-      model = Model(model.centroids.map { case (id, c) => id -> means.getOrElse(id, c) })
-    }
-    model
+        // Empty cells keep their previous centroid.
+        model = Model(model.centroids.map { case (id, c) => id -> means.getOrElse(id, c) })
+      }
+      model
+    } finally vecs.unpersist()
   }
 
   /** Index the corpus: adds the `cell` assignment column. At warehouse

@@ -30,10 +30,13 @@ final class Checkpoints(spark: SparkSession, metaDir: String) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def all(): DataFrame =
-    if (exists) spark.read.parquet(path)
+  // Readers take the same lock as advance(): the swap renames the live
+  // dir, and an unsynchronized read mid-swap sees a missing directory.
+  def all(): DataFrame = lock.synchronized {
+    if (exists) spark.read.parquet(path).localCheckpoint(true)
     else Seq.empty[(String, String, Timestamp)]
       .toDF("source_uri", "collection_name", "last_synced_at")
+  }
 
   /** `None` on first run — "no checkpoint found" full scan (reference
     * etl.py:206-212).

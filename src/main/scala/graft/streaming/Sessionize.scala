@@ -32,7 +32,7 @@ object Sessionize {
                                session_end: Timestamp, n_events: Long, total_value: Double)
 
   private def micros(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   private def toTimestamp(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)

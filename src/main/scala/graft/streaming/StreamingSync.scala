@@ -36,7 +36,9 @@ object StreamingSync {
       checkpointDir: String,
       clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val reader = spark.readStream.schema(schema)
+    // DROPMALFORMED for parity with the batch reader (PERMISSIVE would
+    // merge a malformed line as an all-null row, null key included).
+    val reader = spark.readStream.schema(schema).option("mode", "DROPMALFORMED")
     val tuned = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     tuned.json(sourceDir)
       .writeStream

@@ -93,6 +93,25 @@ object MergeWriter {
     df.groupBy(col(key)).agg(max(packed).as("__m")).select(col("__m.__row.*"))
   }
 
+  /** `max(struct(...))` requires every column to be orderable; MapType is
+    * not. Rows with maps fall back to the window form (which only orders
+    * by the rank columns).
+    */
+  private def hasUnorderable(schema: org.apache.spark.sql.types.StructType): Boolean = {
+    def bad(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => bad(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => bad(a.elementType)
+      case _ => false
+    }
+    schema.fields.exists(f => bad(f.dataType))
+  }
+
+  /** LWW collapse choosing the fastest legal plan for the schema. */
+  private def lwwCollapse(df: DataFrame, key: String, rankCols: Seq[Column]): DataFrame =
+    if (hasUnorderable(df.schema)) latestByKey(df, key, rankCols.map(_.desc))
+    else maxByKey(df, key, rankCols)
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -123,7 +142,13 @@ object MergeWriter {
     */
   def merge(spark: SparkSession, tablePath: String, batch: DataFrame, key: String = "_id",
             numBuckets: Int = DefaultNumBuckets): Long = lockFor(tablePath).synchronized {
-    require(batch.columns.contains(key), s"merge key '$key' missing from batch")
+    if (!batch.columns.contains(key)) {
+      // Keep the original contract: an empty batch is a successful no-op
+      // even when it lacks the key column (zero-row incremental slices of
+      // keyless sources must not flip SUCCESS(0) to FAILED).
+      if (batch.isEmpty) return 0L
+      throw new IllegalArgumentException(s"merge key '$key' missing from batch")
+    }
 
     // The table's stored bucket count wins over the caller's — merging with
     // a different modulus would duplicate keys across buckets.
@@ -136,7 +161,7 @@ object MergeWriter {
     // window) feeds the count, the bucket set, and the staging write — one
     // evaluation, not four.
     val deduped =
-      if (batch.columns.contains("_synced_at")) maxByKey(batch, key, Seq(col("_synced_at")))
+      if (batch.columns.contains("_synced_at")) lwwCollapse(batch, key, Seq(col("_synced_at")))
       else batch.dropDuplicates(key)
     val bucketed = deduped.withColumn(BucketCol, bucketOf(col(key), effectiveBuckets)).cache()
     try {
@@ -161,7 +186,7 @@ object MergeWriter {
       val unioned = existing.unionByName(incoming, allowMissingColumns = true)
       val rank =
         (if (unioned.columns.contains("_synced_at")) Seq(col("_synced_at")) else Nil) :+ col("_prec")
-      val merged = maxByKey(unioned, key, rank).drop("_prec")
+      val merged = lwwCollapse(unioned, key, rank).drop("_prec")
 
       // Stage, then swap only the affected bucket dirs.
       val staging = stagingPath(tablePath)
