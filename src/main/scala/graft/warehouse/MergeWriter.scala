@@ -137,8 +137,9 @@ object MergeWriter {
   /** Upsert `batch` into the table at `tablePath` keyed on `key`.
     * Last write wins by `_synced_at` (when present) with the incoming batch
     * winning ties — PostgreSQL `ON CONFLICT DO UPDATE` semantics. Returns
-    * the number of rows in the incoming batch (reference counts scanned
-    * docs, etl.py:217).
+    * the number of DISTINCT keys upserted (the reference counts scanned
+    * docs, etl.py:217 — ours is the post-collapse count, i.e. rows that
+    * actually landed in the table).
     */
   def merge(spark: SparkSession, tablePath: String, batch: DataFrame, key: String = "_id",
             numBuckets: Int = DefaultNumBuckets): Long = lockFor(tablePath).synchronized {
