@@ -209,6 +209,33 @@ object Extended {
       |  round(sum(value), 2) AS total_value
       |FROM islands GROUP BY user_id, sid""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** Running per-customer order total — the explicit frame-spec window
+    * (`ROWS UNBOUNDED PRECEDING .. CURRENT ROW`). The frame's ordering is
+    * total (date then key), so the prefix sums accumulate in the same
+    * sequence in any engine and round(2) hash-matches.
+    */
+  def runningOrderTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"),
+        count(lit(1)).over(w).as("running_orders"))
+  }
+
+  private val runningOrderTotalsSql =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+      |  round(sum(o_totalprice) OVER w, 2) AS running_total,
+      |  count(*) OVER w AS running_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   // ---------------------------------------------------------------- q31
   /** HLL++ sketch vs exact distinct counts — the approximate-distinct
     * sketch surface. Deterministic (HLL++ is a pure function of the data)
@@ -230,5 +257,6 @@ object Extended {
     NamedQuery("q27_price_percentiles", pricePercentiles _, Some(pricePercentilesSql)),
     NamedQuery("q29_supplier_distincts", supplierDistincts _, Some(supplierDistinctsSql)),
     NamedQuery.rowsOnly("q31_approx_distinct_users")(approxDistinctUsers _),
-    NamedQuery("q32_event_sessions", eventSessions _, Some(eventSessionsSql)))
+    NamedQuery("q32_event_sessions", eventSessions _, Some(eventSessionsSql)),
+    NamedQuery("q33_running_order_totals", runningOrderTotals _, Some(runningOrderTotalsSql)))
 }
