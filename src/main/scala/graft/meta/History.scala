@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   * The reference INSERTs a STARTED row then UPDATEs it in place; an
   * append-only parquet log can't update, so we append start and end events
   * and fold to the latest event per id at read time (SURVEY.md §2.A SNK5).
-  * Appends are new parquet files — safe under concurrent writers, no
-  * rewrite amplification.
+  *
+  * Appends to ONE path are serialized under the striped path lock:
+  * concurrent Spark write jobs into the same directory share the
+  * `_temporary` staging dir (FileOutputCommitter), so one job's
+  * commit/cleanup can delete another's in-flight task output — losing
+  * audit rows. The lock is JVM-wide (SyncService fans one Future per
+  * source through the same History), and each append is a tiny one-row
+  * job, so serialization costs microseconds of contention, not
+  * throughput. Unbounded small-file growth is handled by [[compact]].
   */
 final class History(spark: SparkSession, metaDir: String) {
   import spark.implicits._
 
   private val path = s"$metaDir/sync_history"
+  private val lock = graft.core.PathLocks.forPath(path)
 
   private def exists: Boolean = {
     val p = new Path(path)
@@ -29,12 +37,13 @@ final class History(spark: SparkSession, metaDir: String) {
 
   private def append(id: String, source: String, collection: String, status: String,
                      startedAt: Timestamp, completedAt: Option[Timestamp],
-                     records: Long, message: String, seq: Int): Unit =
+                     records: Long, message: String, seq: Int): Unit = lock.synchronized {
     Seq((id, source, collection, status, startedAt, completedAt.orNull, records, message, seq))
       .toDF("id", "source", "collection", "status", "started_at", "completed_at",
         "records_synced", "message", "event_seq")
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(path)
+  }
 
   /** Record a STARTED event; returns the run id. */
   def logStart(id: String, source: String, collection: String, startedAt: Timestamp): String = {
@@ -66,4 +75,32 @@ final class History(spark: SparkSession, metaDir: String) {
     */
   def recentRuns(n: Int = 50): DataFrame =
     runs().orderBy(desc("started_at"), desc("id")).limit(n)
+
+  /** Fold the event log down to its latest-event-per-run view and rewrite
+    * it as one parquet file — the periodic compaction that bounds the
+    * one-file-per-append growth of a busy warehouse. Readers see the same
+    * [[runs]] results before and after (the fold IS the read semantics);
+    * STARTED events of finished runs are dropped by it, which is exactly
+    * the reference's UPDATE-in-place end state. Runs under the append lock
+    * with an atomic directory swap, so concurrent appends either land
+    * before the fold (compacted) or after (picked up next time).
+    * Returns the number of surviving rows.
+    */
+  def compact(): Long = lock.synchronized {
+    if (!exists) return 0L
+    val hfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$metaDir/.staging_sync_history")
+    val bak = new Path(s"$metaDir/.bak_sync_history")
+    // The fold runs distributed and lands in a staging dir; the write job
+    // finishes (and with it every read of the live dir) before the swap.
+    runs().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (hfs.exists(bak)) hfs.delete(bak, true)
+    if (!hfs.rename(new Path(path), bak)) sys.error("history compaction: backup rename failed")
+    if (!hfs.rename(tmp, new Path(path))) {
+      hfs.rename(bak, new Path(path)) // roll back; original log intact
+      sys.error("history compaction: swap rename failed")
+    }
+    hfs.delete(bak, true)
+    spark.read.parquet(path).count()
+  }
 }

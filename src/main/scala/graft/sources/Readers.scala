@@ -81,15 +81,34 @@ object Readers {
       }
     }
 
+  /** Valid rows of a PERMISSIVE parse. The input must be cached (Spark
+    * forbids filtering a raw file scan on only the corrupt column) — use
+    * [[withCorruptSplit]], which owns the cache lifecycle, rather than
+    * calling this on a raw parse directly.
+    */
   def good(df: DataFrame): DataFrame =
     if (df.columns.contains("_corrupt_record"))
-      df.cache().filter(df("_corrupt_record").isNull).drop("_corrupt_record")
+      df.filter(df("_corrupt_record").isNull).drop("_corrupt_record")
     else df
 
+  /** Corrupt rows of a PERMISSIVE parse — same caching contract as [[good]]. */
   def corrupt(df: DataFrame): DataFrame =
     if (df.columns.contains("_corrupt_record"))
-      df.cache().filter(df("_corrupt_record").isNotNull).select("_corrupt_record")
+      df.filter(df("_corrupt_record").isNotNull).select("_corrupt_record")
     else df.limit(0).selectExpr("CAST(NULL AS STRING) AS _corrupt_record")
+
+  /** Split a PERMISSIVE parse into (good, corrupt) with a caller-scoped
+    * cache: parse once, hand both views to `f`, always release the cache.
+    * The cache is mandatory correctness-wise (filtering a raw scan on only
+    * `_corrupt_record` is rejected by Spark) and the bracket keeps
+    * long-lived drivers from accumulating storage memory one load at a
+    * time.
+    */
+  def withCorruptSplit[A](df: DataFrame)(f: (DataFrame, DataFrame) => A): A = {
+    val cached = df.cache()
+    try f(good(cached), corrupt(cached))
+    finally cached.unpersist()
+  }
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -39,12 +39,10 @@ object MergeWriter {
   // Writers to the same table must not interleave: the staging dir is per
   // table and the bucket swap is read-modify-write. All writers in this
   // single-driver design pass through this object, so a striped JVM lock
-  // per table path serializes them (SyncService fans out one Future per
-  // source against the same collection table). On a multi-driver cluster
-  // this becomes an external lock or a transactional table format.
-  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(tablePath: String): Object =
-    tableLocks.computeIfAbsent(tablePath, _ => new Object)
+  // per NORMALIZED table path serializes them (SyncService fans out one
+  // Future per source against the same collection table). On a multi-driver
+  // cluster this becomes an external lock or a transactional table format.
+  private def lockFor(tablePath: String): Object = graft.core.PathLocks.forPath(tablePath)
 
   // The bucket count is a table-creation-time invariant: merging with a
   // different modulus would route existing keys to fresh buckets and
@@ -185,8 +183,13 @@ object MergeWriter {
       val incoming = bucketed.withColumn("_prec", lit(1))
 
       val unioned = existing.unionByName(incoming, allowMissingColumns = true)
+      // Rank by _synced_at only when the BATCH carries it: if only the
+      // existing table has the column, unionByName null-fills the incoming
+      // rows and they would sort last — i.e. always lose — inverting the
+      // "incoming batch wins" ON CONFLICT DO UPDATE contract. A timestamp-
+      // less batch ranks by _prec alone (batch wins every conflict).
       val rank =
-        (if (unioned.columns.contains("_synced_at")) Seq(col("_synced_at")) else Nil) :+ col("_prec")
+        (if (deduped.columns.contains("_synced_at")) Seq(col("_synced_at")) else Nil) :+ col("_prec")
       val merged = lwwCollapse(unioned, key, rank).drop("_prec")
 
       // Stage, then swap only the affected bucket dirs.

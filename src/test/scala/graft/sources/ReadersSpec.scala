@@ -37,10 +37,13 @@ class ReadersSpec extends SparkSpec {
       """{"x": 1}""" + "\n" + "NOT JSON AT ALL {{{" + "\n" + """{"x": 3}""")
     // Default (scalable) path: bad lines dropped at the scan.
     assert(Readers.ndjson(spark, f).count() == 2)
-    // Audit path: PERMISSIVE + corrupt-record capture.
+    // Audit path: PERMISSIVE + corrupt-record capture, cache scoped to the
+    // bracket so repeated loads don't accumulate storage memory.
     val df = Readers.ndjson(spark, f, keepCorrupt = true)
-    assert(Readers.good(df).count() == 2)
-    assert(Readers.corrupt(df).count() == 1)
+    val (nGood, nBad) = Readers.withCorruptSplit(df)((g, c) => (g.count(), c.count()))
+    assert(nGood == 2)
+    assert(nBad == 1)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "bracket must release its cache")
   }
 
   test("load dispatches on sniffed format") {
