@@ -14,7 +14,8 @@ object Registry {
   def all: Seq[NamedQuery] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.analytics.Extended.queries ++ graft.analytics.IvfIndex.queries
+      graft.analytics.Extended.queries ++ graft.analytics.IvfIndex.queries ++
+      graft.analytics.RatingsSummary.queries
 }
 
 object SparkEntry {

@@ -237,17 +237,29 @@ object Extended {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ---------------------------------------------------------------- q31
-  /** HLL++ sketch vs exact distinct counts — the approximate-distinct
-    * sketch surface. Deterministic (HLL++ is a pure function of the data)
-    * but engine-specific → rows-only; error bounds asserted in spec.
+  /** Distinct-user counts per event type — the gated face of the
+    * approximate-distinct surface. The HLL++ sketch itself is
+    * deterministic but engine-specific (DuckDB's approx sketch differs),
+    * so the ORACLE checks the exact columns and the sketch's error bound
+    * is asserted in spec over [[approxDistinctUsersFull]].
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctUsersFull(spark, dir).drop("approx_users")
+
+  /** Exact + HLL++ distinct counts side by side (spec surface). */
+  def approxDistinctUsersFull(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
+
+  private val approxDistinctUsersSql =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
 
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
@@ -256,7 +268,7 @@ object Extended {
     NamedQuery("q26_event_deltas", eventDeltas _, Some(eventDeltasSql)),
     NamedQuery("q27_price_percentiles", pricePercentiles _, Some(pricePercentilesSql)),
     NamedQuery("q29_supplier_distincts", supplierDistincts _, Some(supplierDistinctsSql)),
-    NamedQuery.rowsOnly("q31_approx_distinct_users")(approxDistinctUsers _),
+    NamedQuery("q31_approx_distinct_users", approxDistinctUsers _, Some(approxDistinctUsersSql)),
     NamedQuery("q32_event_sessions", eventSessions _, Some(eventSessionsSql)),
     NamedQuery("q33_running_order_totals", runningOrderTotals _, Some(runningOrderTotalsSql)))
 }

@@ -3,6 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Gap-based sessionization with custom keyed state —
@@ -85,11 +87,49 @@ object Sessionize {
     closed.result().iterator
   }
 
-  /** Batch sessionization: every session including the trailing open one.
-    * (Batch `flatMapGroupsWithState` calls the function once per key, so
-    * the open session would otherwise be lost — emit it explicitly.)
+  /** Batch sessionization via gaps-and-islands — the scale-safe batch
+    * path: a `lag` window marks session breaks, a running sum over the
+    * same (partition, ordering) assigns session ids, and one aggregate
+    * folds each island. Per-row window state only — no per-user event
+    * buffering, so a hot key (bot user at 100 TB) streams through the
+    * sort instead of materializing in executor memory the way the
+    * `flatMapGroupsWithState` batch path does ([[sessionsBatchState]]
+    * collects each group into a Seq to sort it).
+    *
+    * Plan: ONE shuffle (hash by user_id) + one within-partition sort
+    * serves both window functions, and the final (user_id, sid) hash
+    * aggregate reuses the user_id partitioning (grouping keys are a
+    * superset), so no second exchange.
+    *
+    * Gap comparison is in microseconds of event time, matching
+    * [[sessionFn]] exactly; identical output is spec-asserted.
     */
   def sessionsBatch(events: Dataset[Event], gapSeconds: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events.toDF()
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("brk",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        timestamp_micros(min("ts_us")).as("session_start"),
+        timestamp_micros(max("ts_us")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("total_value"))
+      .drop("sid")
+      .as[UserSession]
+  }
+
+  /** Batch sessionization through the streaming callback — kept as the
+    * semantics oracle for [[sessionsBatch]] and for parity testing with
+    * [[sessionsStream]]. Buffers each user's events in executor memory
+    * (fine at test scale; use [[sessionsBatch]] for real batch runs).
+    */
+  def sessionsBatchState(events: Dataset[Event], gapSeconds: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)

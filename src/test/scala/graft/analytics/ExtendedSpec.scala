@@ -5,7 +5,7 @@ import graft.SparkSpec
 class ExtendedSpec extends SparkSpec {
 
   test("HLL approx distinct stays within the configured error of exact") {
-    val out = Extended.approxDistinctUsers(spark, "/root/testdata/sf0.001").collect()
+    val out = Extended.approxDistinctUsersFull(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val exact = r.getAs[Long]("exact_users").toDouble

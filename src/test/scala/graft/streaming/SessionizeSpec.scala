@@ -41,6 +41,33 @@ class SessionizeSpec extends SparkSpec {
     assert(sessions(0).session_start == Timestamp.valueOf("2024-01-01 10:00:00"))
   }
 
+  test("gaps-and-islands batch path matches the keyed-state callback exactly") {
+    // Real corpus: every (user, session) from both implementations must
+    // agree. total_value rounds like the gated query does — double
+    // summation order differs between a sequential fold and a partial
+    // aggregate.
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .as[Event]
+    def key(s: UserSession) =
+      (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events,
+        math.round(s.total_value * 100))
+    val sql = Sessionize.sessionsBatch(events, gapSeconds = 1800).collect().map(key).sorted
+    val state = Sessionize.sessionsBatchState(events, gapSeconds = 1800).collect().map(key).sorted
+    assert(sql.length == state.length && sql.sameElements(state),
+      s"gaps-and-islands diverged from keyed state: ${sql.length} vs ${state.length} sessions")
+  }
+
+  test("batch plan has no per-group buffering (no FlatMapGroupsWithState)") {
+    val events = Seq(ev(1, "2024-01-01 10:00:00", 1.0)).toDS()
+    val df = Sessionize.sessionsBatch(events, gapSeconds = 1800)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FlatMapGroupsWithState"),
+      "batch sessionization must use the windowed gaps-and-islands plan")
+    assert(plan.contains("Window"), s"expected window operators in:\n$plan")
+  }
+
   test("streaming sessionization closes sessions via event-time timeout") {
     val dir = tmpDir("sess-src")
     val ckpt = tmpDir("sess-ckpt")
