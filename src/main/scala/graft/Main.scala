@@ -48,6 +48,27 @@ object Main {
         .foreach(r => println(s"[${r.status}] ${r.message}"))
       spark.stop()
 
+    case "scheduled-loop" :: wh :: sources :: colls :: minutes :: rest =>
+      // Resident scheduler (reference src/main.py:70-77): fixed-interval
+      // ticks with coalesce/max_instances=1 overlap suppression; each tick
+      // runs the scheduled job body then compacts the audit log so the
+      // event-per-file append pattern stays bounded. Optional tick budget
+      // for CLI drives; omit it for a run-forever resident driver.
+      val spark = session()
+      val settings = Settings(wh, Settings.parseSources(sources),
+        targetCollections = colls.split(",").toSeq)
+      val runner = new SyncRunner(spark, settings)
+      val loop = new graft.engine.ScheduledLoop(() => {
+        runner.scheduledRun(graft.core.Schemas.byCollection)
+          .foreach(r => println(s"[${r.status}] ${r.message}"))
+        runner.history.compact()
+      })
+      loop.run(
+        intervalMs = (minutes.toDouble * 60000L).toLong,
+        maxTicks = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue))
+      println(s"[DONE] scheduled-loop ran ${loop.runCount} ticks, suppressed ${loop.skipCount}")
+      spark.stop()
+
     case "logs" :: wh :: rest =>
       val spark = session()
       val runner = new SyncRunner(spark, Settings(wh))
@@ -114,6 +135,7 @@ object Main {
            |usage:
            |  sync <warehouseDir> <sources> <collection>
            |  scheduled <warehouseDir> <sources> <collections-csv>
+           |  scheduled-loop <warehouseDir> <sources> <collections-csv> <minutes> [maxTicks]
            |  stream <warehouseDir> <srcDir> <collection>
            |  load <warehouseDir> <file> <collection> [overwrite|merge]
            |  report <warehouseDir> <outFile.json>

@@ -15,13 +15,23 @@ import graft.engine.{SyncResult, SyncRunner}
   * transport, are the capability: health, on-demand trigger with per-source
   * task status, recent-runs log, scheduled loop.
   */
-final class SyncService(runner: SyncRunner, settings: Settings)(
+final class SyncService(runner: SyncRunner, settings: Settings,
+                        taskTtlSeconds: Long = 3600,
+                        clock: () => Long = () => System.currentTimeMillis())(
     implicit ec: ExecutionContext) {
 
-  // task_id → (source → status). The reference keeps this in Redis with a
-  // 1h TTL (routes.py:21-29,91-93); driver-side state is the Spark-native
-  // equivalent — it is not a data-plane concern.
-  private val tasks = new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()
+  // task_id → (created_ms, source → status). The reference keeps this in
+  // Redis with a 1h TTL (routes.py:21-29,91-93); driver-side state is the
+  // Spark-native equivalent — it is not a data-plane concern. The same
+  // TTL applies here (sweep on every access), or a long-lived driver
+  // accumulates one entry per trigger forever.
+  private val tasks =
+    new ConcurrentHashMap[String, (Long, ConcurrentHashMap[String, String])]()
+
+  private def sweepExpired(): Unit = {
+    val cutoff = clock() - taskTtlSeconds * 1000L
+    tasks.entrySet().removeIf(e => e.getValue._1 < cutoff)
+  }
 
   /** `GET /health` parity (routes.py:31-75): can we see the warehouse and is
     * the session alive?
@@ -39,10 +49,11 @@ final class SyncService(runner: SyncRunner, settings: Settings)(
   def triggerSync(collection: String): String = {
     require(Settings.validCollectionName(collection),
       s"invalid collection name '$collection'")
+    sweepExpired()
     val taskId = java.util.UUID.randomUUID().toString
     val statuses = new ConcurrentHashMap[String, String]()
     settings.sources.keys.foreach(statuses.put(_, "pending"))
-    tasks.put(taskId, statuses)
+    tasks.put(taskId, (clock(), statuses))
     settings.sources.foreach { case (name, root) =>
       Future {
         statuses.put(name, "running")
@@ -57,9 +68,13 @@ final class SyncService(runner: SyncRunner, settings: Settings)(
     taskId
   }
 
-  /** `GET /sync/status/{task_id}` parity (routes.py:104-112). */
-  def status(taskId: String): Option[Map[String, String]] =
-    Option(tasks.get(taskId)).map(_.asScala.toMap)
+  /** `GET /sync/status/{task_id}` parity (routes.py:104-112); expired
+    * tasks read as absent, exactly like a lapsed Redis key.
+    */
+  def status(taskId: String): Option[Map[String, String]] = {
+    sweepExpired()
+    Option(tasks.get(taskId)).map(_._2.asScala.toMap)
+  }
 
   /** `GET /sync/logs?limit=` parity (routes.py:128-136). */
   def recentLogs(limit: Int = 50): DataFrame = runner.history.recentRuns(limit)

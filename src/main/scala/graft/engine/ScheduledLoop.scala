@@ -1,0 +1,72 @@
+package graft.engine
+
+import java.util.concurrent.{CountDownLatch, Executor, Executors, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+/** Resident interval scheduler — the reference's APScheduler job loop
+  * (reference src/main.py:70-77: `IntervalTrigger(minutes=N)`,
+  * `coalesce=True`, `max_instances=1`). Semantics reproduced:
+  *
+  *  - at most ONE instance of the job body runs at any time;
+  *  - a tick that fires while the previous run is still going is SKIPPED
+  *    (suppressed, not queued) — a slow sync never piles up behind
+  *    itself;
+  *  - ticks fire on the wall-clock interval regardless of body duration
+  *    (the timer thread never executes the body itself).
+  *
+  * Driver-side control plane only — the body launches distributed work;
+  * this class holds no Spark state.
+  */
+final class ScheduledLoop(body: () => Unit) {
+
+  private val running = new AtomicBoolean(false)
+  private val runs = new AtomicLong(0)
+  private val skips = new AtomicLong(0)
+
+  def runCount: Long = runs.get
+  def skipCount: Long = skips.get
+
+  /** One synchronous scheduler tick: runs the body in the calling thread
+    * unless another tick's body is still running (then records a skip).
+    * Returns true iff the body ran.
+    */
+  def tick(): Boolean =
+    if (running.compareAndSet(false, true)) {
+      try { body(); runs.incrementAndGet(); true }
+      finally running.set(false)
+    } else { skips.incrementAndGet(); false }
+
+  /** Non-blocking tick: claims the run slot and hands the body to `exec`,
+    * releasing the slot when the body finishes. Returns true iff the body
+    * was started (false = suppressed by an in-flight run).
+    */
+  def tryStart(exec: Executor): Boolean =
+    if (running.compareAndSet(false, true)) {
+      exec.execute { () =>
+        try { body(); runs.incrementAndGet() }
+        finally running.set(false)
+      }
+      true
+    } else { skips.incrementAndGet(); false }
+
+  /** Blocking fixed-rate loop: fire `maxTicks` ticks `intervalMs` apart
+    * (first tick immediately), suppressing overlaps, then drain the last
+    * body and return. `maxTicks = Long.MaxValue` = run forever (the
+    * resident-driver deployment; bounded values serve CLI drives and
+    * specs).
+    */
+  def run(intervalMs: Long, maxTicks: Long = Long.MaxValue): Unit = {
+    val worker = Executors.newSingleThreadExecutor()
+    val timer = Executors.newSingleThreadScheduledExecutor()
+    val fired = new AtomicLong(0)
+    val done = new CountDownLatch(1)
+    timer.scheduleAtFixedRate(() => {
+      if (fired.incrementAndGet() <= maxTicks) tryStart(worker)
+      if (fired.get >= maxTicks) done.countDown()
+    }, 0, intervalMs, TimeUnit.MILLISECONDS)
+    done.await()
+    timer.shutdownNow()
+    worker.shutdown() // lets an in-flight body finish
+    worker.awaitTermination(Long.MaxValue, TimeUnit.MILLISECONDS)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.engine
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScheduledLoopSpec extends AnyFunSuite {
+
+  test("tick runs the body and counts runs") {
+    var n = 0
+    val loop = new ScheduledLoop(() => n += 1)
+    assert(loop.tick())
+    assert(loop.tick())
+    assert(n == 2 && loop.runCount == 2 && loop.skipCount == 0)
+  }
+
+  test("a slow run suppresses the next tick (max_instances=1 semantics)") {
+    val started = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val loop = new ScheduledLoop(() => { started.countDown(); release.await() })
+    val t = new Thread(() => loop.tick())
+    t.start()
+    assert(started.await(5, TimeUnit.SECONDS))
+    // Body of the first tick is still running: this tick must be skipped,
+    // not queued.
+    assert(!loop.tick())
+    assert(loop.skipCount == 1)
+    release.countDown()
+    t.join(5000)
+    assert(loop.runCount == 1)
+    // Slot released → ticks run again.
+    assert(loop.tick())
+    assert(loop.runCount == 2)
+  }
+
+  test("fixed-rate loop coalesces overlapping ticks and drains the last body") {
+    var n = 0
+    // Body takes ~3 intervals: of 6 ticks, most must be suppressed and
+    // every fired tick must be accounted as either run or skip.
+    val loop = new ScheduledLoop(() => { n += 1; Thread.sleep(150) })
+    loop.run(intervalMs = 50, maxTicks = 6)
+    assert(loop.runCount + loop.skipCount == 6)
+    assert(loop.runCount >= 1 && loop.runCount <= 3, s"ran ${loop.runCount}")
+    assert(loop.skipCount >= 3, s"skipped ${loop.skipCount}")
+    assert(n == loop.runCount)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.meta
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class HistorySpec extends SparkSpec {
+
+  private def ts(ms: Long) = new Timestamp(1704067200000L + ms)
+
+  test("compact folds the event log to latest-per-run and preserves reads") {
+    val dir = tmpDir("hist")
+    val h = new History(spark, dir)
+    (1 to 5).foreach { i =>
+      h.logStart(s"run-$i", "src", "coll", ts(i * 1000))
+      h.logEnd(s"run-$i", "src", "coll", "SUCCESS", ts(i * 1000), ts(i * 1000 + 500), i, s"m$i")
+    }
+    h.logStart("run-6", "src", "coll", ts(99000)) // still in flight
+
+    val before = h.runs().collect().map(r =>
+      (r.getAs[String]("id"), r.getAs[String]("status"), r.getAs[Long]("records_synced")))
+      .sortBy(_._1)
+    val nFilesBefore = new java.io.File(s"$dir/sync_history")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFilesBefore >= 11) // one file per append
+
+    assert(h.compact() == 6L) // 5 finished + 1 in-flight survive
+
+    val after = h.runs().collect().map(r =>
+      (r.getAs[String]("id"), r.getAs[String]("status"), r.getAs[Long]("records_synced")))
+      .sortBy(_._1)
+    assert(after.sameElements(before), "compaction must not change the runs() view")
+    val nFilesAfter = new java.io.File(s"$dir/sync_history")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFilesAfter == 1, s"expected one folded file, got $nFilesAfter")
+
+    // Appends keep working post-compaction and fold with the survivors.
+    h.logEnd("run-6", "src", "coll", "FAILED", ts(99000), ts(99500), 0, "boom")
+    assert(h.runs().collect()
+      .exists(r => r.getAs[String]("id") == "run-6" && r.getAs[String]("status") == "FAILED"))
+  }
+
+  test("concurrent appends to one history path all land (serialized writers)") {
+    val dir = tmpDir("hist")
+    val h = new History(spark, dir)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        h.logStart(s"run-$i", s"src-$i", "coll", ts(i * 1000))
+        h.logEnd(s"run-$i", s"src-$i", "coll", "SUCCESS", ts(i * 1000), ts(i * 1000 + 1), i, "")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    val runs = h.runs().collect()
+    assert(runs.length == 8, s"lost audit rows: ${runs.length} of 8")
+    assert(runs.forall(_.getAs[String]("status") == "SUCCESS"))
+  }
+}
