@@ -13,12 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int,
+                    path: Option[String] = None): Unit =
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
-      .option("path", defaultPath(df.sparkSession, table))
+      .option("path", path.getOrElse(defaultPath(df.sparkSession, table)))
       .saveAsTable(table)
 
   private def defaultPath(spark: SparkSession, table: String): String =
