@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.core.Tables.documents(spark, dir)
+
+  test("hash split is deterministic, exhaustive, and subset-consistent") {
+    val assigned = docs.select(col("doc_id"), TrainingData.hashSplit(col("doc_id")).as("split"))
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == docs.count())
+    // ~75/12.5/12.5 within loose tolerance on 500 docs
+    assert(counts("train") > counts.values.sum * 6 / 10)
+    // Same rows → same assignment on a subset (per-row projection).
+    val subset = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), TrainingData.hashSplit(col("doc_id")).as("split"))
+    val joined = assigned.alias("a").join(subset.alias("s"), "doc_id")
+      .filter(col("a.split") =!= col("s.split"))
+    assert(joined.count() == 0)
+  }
+
+  test("contamination check flags exactly the verbatim planted half") {
+    val out = TrainingData.contaminationCheck(spark, dir).collect()
+    assert(out.nonEmpty)
+    val totalEval = out.map(_.getAs[Long]("n_eval")).sum
+    val totalContam = out.map(_.getAs[Long]("n_contaminated")).sum
+    val expectedEval = docs.filter(col("doc_id") % 10 === 0).count()
+    val expectedContam = docs.filter(col("doc_id") % 20 === 0).count()
+    assert(totalEval == expectedEval)
+    assert(totalContam == expectedContam,
+      s"only the unmutated half may match: $totalContam vs $expectedContam")
+  }
+
+  test("stratified sample keeps exact per-stratum quotas, deterministically") {
+    val s1 = TrainingData.stratifiedSample(docs, col("lang"), col("doc_id"), 5)
+    val quotas = s1.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(quotas.forall(_ == 5L), s"every stratum must yield 5: ${quotas.toSeq}")
+    val s2 = TrainingData.stratifiedSample(docs, col("lang"), col("doc_id"), 5)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(s2.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("top tokens per language are ranked with total tie-breaks") {
+    val out = TrainingData.topTokensPerLang(spark, dir).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == 10, s"$lang should have 10 ranked tokens")
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (na, nb) = (a.getAs[Long]("n"), b.getAs[Long]("n"))
+          assert(na > nb || (na == nb &&
+            a.getAs[String]("token") < b.getAs[String]("token")))
+        case _ => ()
+      }
+    }
+  }
+}
