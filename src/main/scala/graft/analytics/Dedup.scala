@@ -63,21 +63,14 @@ object Dedup {
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
     }
-    val bandsAll = sigs
+    val bands = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val bands = maxBucketSize match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-        bandsAll.withColumn("_bsz", count(lit(1)).over(w))
-          .filter(col("_bsz") <= cap).drop("_bsz")
-      case None => bandsAll
-    }
-    bands.alias("x")
-      .join(bands.withColumnRenamed(idCol, "b_id").alias("y"), Seq("band", "sig"))
-      .filter(col(idCol) < col("b_id"))
-      .select(col(idCol).as("a_id"), col("b_id"))
-      .distinct()
+    // Shared LSH candidate kernel (mega-bucket cap + pinned spread +
+    // bucket self-join); dedupe across bands here because the Jaccard
+    // verify is per-pair expensive (array intersect/union), unlike the
+    // cosine path which defers dedup past its cheap fused verify.
+    CandidateJoin.pairs(bands, idCol, Seq("band", "sig"), maxBucketSize).distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified with exact

@@ -18,15 +18,21 @@ import graft.core.Tables
   */
 object RatingsSummary {
 
+  /** The one stars-stat list every summary level shares (scale = avg
+    * rounding: 2 for the library report faces, 4 for the oracle-hashed
+    * gated query).
+    */
+  private def starsStats(scale: Int): Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_ratings"),
+    round(avg("stars"), scale).as("avg_stars"),
+    min("stars").as("min_stars"),
+    max("stars").as("max_stars"))
+
   /** Shared kernel: stars stats per key column. */
   private def summarize(ratings: DataFrame, keyCol: String, nameCol: String): DataFrame =
     ratings
       .groupBy(col(keyCol), col(nameCol))
-      .agg(
-        count(lit(1)).as("n_ratings"),
-        round(avg("stars"), 2).as("avg_stars"),
-        min("stars").as("min_stars"),
-        max("stars").as("max_stars"))
+      .agg(starsStats(2).head, starsStats(2).tail: _*)
 
   def byRoom(ratings: DataFrame): DataFrame = summarize(ratings, "roomId", "roomName")
 
@@ -35,19 +41,16 @@ object RatingsSummary {
   /** Per-staff summary with the username resolved from `users`
     * (rating.userId ⋈ users._id, broadcast dimension join).
     */
-  def perStaff(ratings: DataFrame, users: DataFrame): DataFrame =
+  def perStaff(ratings: DataFrame, users: DataFrame): DataFrame = {
+    val aggs = starsStats(2) :+ array_sort(collect_set(col("roomName"))).as("roomNames")
     ratings
       .groupBy(col("userId"))
-      .agg(
-        count(lit(1)).as("n_ratings"),
-        round(avg("stars"), 2).as("avg_stars"),
-        min("stars").as("min_stars"),
-        max("stars").as("max_stars"),
-        array_sort(collect_set(col("roomName"))).as("roomNames"))
+      .agg(aggs.head, aggs.tail: _*)
       .join(broadcast(users.select(col("_id"), col("username"))),
         col("userId") === col("_id"))
       .select(col("username"), col("n_ratings"), col("avg_stars"),
         col("min_stars"), col("max_stars"), col("roomNames"))
+  }
 
   // ---------------------------------------------------------------- q34
   /** Gated query: the testdata has no rating table, so derive a
@@ -63,11 +66,7 @@ object RatingsSummary {
       .select(col("event_type"), col("user_id"), stars.as("stars"))
     def level(name: String, target: org.apache.spark.sql.Column): DataFrame =
       rated.groupBy(target.as("target"))
-        .agg(
-          count(lit(1)).as("n_ratings"),
-          round(avg("stars"), 4).as("avg_stars"),
-          min("stars").as("min_stars"),
-          max("stars").as("max_stars"))
+        .agg(starsStats(4).head, starsStats(4).tail: _*)
         .withColumn("level", lit(name))
     level("room", col("event_type"))
       .unionByName(level("staff", col("user_id").cast("string")))

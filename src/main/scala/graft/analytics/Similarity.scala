@@ -79,11 +79,18 @@ object Similarity {
     */
   def annKnn(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 4,
              dim: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // dim <= 0 → infer from the data: hyperplanes of the wrong length
-    // zip_with-pad with nulls, nulling every dot product and silently
-    // collapsing all vectors into bucket 0 (ANN degrades to brute force).
-    val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+    // dim <= 0 → infer from the data (a wrong-length plane set would hash
+    // every vector to null buckets — see HyperplaneBuckets). An empty
+    // corpus has no neighbors: return the typed empty result rather than
+    // crash the dimension probe.
+    val dimRow =
+      if (dim > 0) Array(dim)
+      else corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1)
+        .collect().map(_.getInt(0))
+    if (dimRow.isEmpty)
+      return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("score_r")).limit(0)
+    val d = dimRow.head
     val planes = hyperplanes(nBits, d)
     val bucketed = corpus.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), planes))
@@ -171,31 +178,18 @@ object Similarity {
   private def rawLshPairs(corpus: DataFrame, nTables: Int, bitsPerTable: Int,
                           seed: Long, maxBucketSize: Option[Int],
                           idCol: String, vecCol: String): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // Infer the dimension from the first real vector; an empty (or
+    // all-null-embedding) corpus has no pairs — return the typed empty
+    // result instead of crashing the dimension probe.
+    val dimRow = corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1).collect()
+    if (dimRow.isEmpty)
+      return corpus.select(col(idCol).as("a_id"), col(idCol).as("b_id")).limit(0)
+    val dim = dimRow.head.getInt(0)
     val flat = hyperplanesFlat(nTables * bitsPerTable, dim, seed)
-    val bucketsAll = corpus.select(col(idCol),
+    val buckets = corpus.select(col(idCol),
       posexplode(graft.functions.hyperplaneBuckets(col(vecCol), flat, bitsPerTable, nTables)))
       .toDF(idCol, "tbl", "bk")
-    val buckets = maxBucketSize match {
-      case Some(cap) =>
-        val w = Window.partitionBy("tbl", "bk")
-        bucketsAll.withColumn("_bsz", count(lit(1)).over(w))
-          .filter(col("_bsz") <= cap).drop("_bsz")
-      // The explode inflates rows ×nTables without changing partition
-      // count, so a small upstream (one scan partition) would make ONE
-      // task produce the whole per-bucket pair fan-out. Spread by
-      // (table, bucket) — the partitioning the join wants anyway — with
-      // an EXPLICIT count: the exploded input is tiny in bytes, so AQE
-      // would coalesce an unpinned repartition right back to one
-      // partition, re-serializing the join's (much larger) output.
-      case None =>
-        val shufflePartitions = corpus.sparkSession.sessionState.conf.numShufflePartitions
-        bucketsAll.repartition(shufflePartitions, col("tbl"), col("bk"))
-    }
-    buckets.alias("x")
-      .join(buckets.withColumnRenamed(idCol, "b_id").alias("y"), Seq("tbl", "bk"))
-      .filter(col(idCol) < col("b_id"))
-      .select(col(idCol).as("a_id"), col("b_id"))
+    CandidateJoin.pairs(buckets, idCol, Seq("tbl", "bk"), maxBucketSize)
   }
 
   /** Embedding near-dup pairs via LSH candidates + exact cosine

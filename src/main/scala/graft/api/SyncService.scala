@@ -24,7 +24,10 @@ final class SyncService(runner: SyncRunner, settings: Settings,
   // Redis with a 1h TTL (routes.py:21-29,91-93); driver-side state is the
   // Spark-native equivalent — it is not a data-plane concern. The same
   // TTL applies here (sweep on every access), or a long-lived driver
-  // accumulates one entry per trigger forever.
+  // accumulates one entry per trigger forever. Like the reference's
+  // un-refreshed `expire` at creation, the TTL is from CREATION: a sync
+  // still running past it reads as absent (its terminal state lives in
+  // the durable sync_history audit log, not here).
   private val tasks =
     new ConcurrentHashMap[String, (Long, ConcurrentHashMap[String, String])]()
 

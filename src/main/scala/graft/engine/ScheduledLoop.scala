@@ -21,18 +21,36 @@ final class ScheduledLoop(body: () => Unit) {
 
   private val running = new AtomicBoolean(false)
   private val runs = new AtomicLong(0)
+  private val failures = new AtomicLong(0)
   private val skips = new AtomicLong(0)
 
   def runCount: Long = runs.get
+  def failureCount: Long = failures.get
   def skipCount: Long = skips.get
+
+  // A failing tick is a RUN (APScheduler logs the job error and keeps the
+  // schedule): the exception must not escape to the executor's default
+  // handler — it would silently skew the run accounting and, in a
+  // resident driver, hide every-tick failures entirely.
+  private def runBody(): Unit = {
+    try body()
+    catch {
+      case e: Exception =>
+        failures.incrementAndGet()
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"scheduled job body failed (tick continues): ${e.getMessage}", e)
+    }
+    runs.incrementAndGet()
+  }
 
   /** One synchronous scheduler tick: runs the body in the calling thread
     * unless another tick's body is still running (then records a skip).
-    * Returns true iff the body ran.
+    * Returns true iff the body ran (failed runs count as run — see
+    * [[failureCount]]).
     */
   def tick(): Boolean =
     if (running.compareAndSet(false, true)) {
-      try { body(); runs.incrementAndGet(); true }
+      try { runBody(); true }
       finally running.set(false)
     } else { skips.incrementAndGet(); false }
 
@@ -43,7 +61,7 @@ final class ScheduledLoop(body: () => Unit) {
   def tryStart(exec: Executor): Boolean =
     if (running.compareAndSet(false, true)) {
       exec.execute { () =>
-        try { body(); runs.incrementAndGet() }
+        try runBody()
         finally running.set(false)
       }
       true

@@ -76,9 +76,16 @@ object VectorKernels {
     * no per-plane Column expressions (tables×bits separate interpreted
     * dot products blow codegen limits; see SNIPPETS notes on sketch
     * signatures).
+    *
+    * The stride comes from the PLANE matrix, not the row: a ragged vector
+    * whose length disagrees with the matrix dim would otherwise silently
+    * hash against the wrong plane slice (or read past the matrix). Such
+    * rows yield null — they generate no candidates, they don't corrupt
+    * buckets.
     */
   def hyperplaneBucketsF(v: ArrayData, planes: Array[Double], bits: Int, tables: Int): ArrayData = {
-    val dim = v.numElements()
+    val dim = planes.length / (tables * bits)
+    if (v.numElements() != dim) return null
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -99,7 +106,8 @@ object VectorKernels {
   }
 
   def hyperplaneBucketsD(v: ArrayData, planes: Array[Double], bits: Int, tables: Int): ArrayData = {
-    val dim = v.numElements()
+    val dim = planes.length / (tables * bits)
+    if (v.numElements() != dim) return null
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -204,6 +212,9 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
 
   override def prettyName: String = "hyperplane_buckets"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Nullable even for non-null children: ragged vectors hash to null
+  // rather than against a wrong plane slice (see kernel scaladoc).
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -225,8 +236,11 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("planes", planes, "double[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorKernels.hyperplaneBuckets$suffix($c, $ref, $bitsPerTable, $numTables)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorKernels.hyperplaneBuckets$suffix(
+        $c, $ref, $bitsPerTable, $numTables);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

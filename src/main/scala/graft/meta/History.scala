@@ -60,8 +60,14 @@ final class History(spark: SparkSession, metaDir: String) {
   /** Latest event per run id. A fresh warehouse yields a TYPED empty
     * DataFrame (a schemaless one would make recentRuns' orderBy throw
     * UNRESOLVED_COLUMN on first use).
+    *
+    * Reads take the append/compact lock and materialize (localCheckpoint)
+    * under it: [[compact]] swaps the live directory, and an unsynchronized
+    * lazy read planned before the swap would scan files the swap deletes
+    * (same discipline as Checkpoints.all). The log is audit-sized, so
+    * eager materialization is cheap.
     */
-  def runs(): DataFrame =
+  def runs(): DataFrame = lock.synchronized {
     if (!exists)
       Seq.empty[(String, String, String, String, Timestamp, Timestamp, Long, String, Int)]
         .toDF("id", "source", "collection", "status", "started_at", "completed_at",
@@ -69,6 +75,8 @@ final class History(spark: SparkSession, metaDir: String) {
     else
       graft.warehouse.MergeWriter.latestByKey(
         spark.read.parquet(path), "id", Seq(desc("event_seq")))
+        .localCheckpoint(true)
+  }
 
   /** Recent-N audit query — `ORDER BY started_at DESC LIMIT n` (reference
     * src/api/routes.py:114-129) → TakeOrderedAndProject, no global sort.

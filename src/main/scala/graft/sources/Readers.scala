@@ -93,9 +93,15 @@ object Readers {
 
   /** Corrupt rows of a PERMISSIVE parse — same caching contract as [[good]]. */
   def corrupt(df: DataFrame): DataFrame =
-    if (df.columns.contains("_corrupt_record"))
+    if (df.columns.contains("_corrupt_record")) {
+      // Fail actionably: Spark rejects queries referencing ONLY the
+      // internal corrupt column of a raw file scan, so an uncached input
+      // would die later with an opaque AnalysisException.
+      require(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "corrupt() needs a cached input — use Readers.withCorruptSplit(df) { ... }, " +
+          "which owns the cache lifecycle")
       df.filter(df("_corrupt_record").isNotNull).select("_corrupt_record")
-    else df.limit(0).selectExpr("CAST(NULL AS STRING) AS _corrupt_record")
+    } else df.limit(0).selectExpr("CAST(NULL AS STRING) AS _corrupt_record")
 
   /** Split a PERMISSIVE parse into (good, corrupt) with a caller-scoped
     * cache: parse once, hand both views to `f`, always release the cache.

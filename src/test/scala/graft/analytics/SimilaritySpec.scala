@@ -85,6 +85,25 @@ class SimilaritySpec extends SparkSpec {
       s"candidate generation must be an equi-join on (table, bucket):\n$plan")
   }
 
+  test("similarity paths survive an empty corpus (typed empty results, no crash)") {
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.lshCosineNearDups(empty, 0.35).count() == 0)
+    assert(Similarity.annKnn(empty, empty, k = 5).count() == 0)
+  }
+
+  test("a ragged vector hashes to null buckets instead of corrupting candidates") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)) // ragged: shorter than the inferred dim
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshCosineNearDups(mixed, threshold = 0.99,
+      nTables = 4, bitsPerTable = 2)
+    val ids = pairs.collect().flatMap(r => Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(ids.toSet == Set(1L, 2L), "identical full-length vectors pair; ragged row is inert")
+  }
+
   test("LSH prunes aggressively in its design regime (high threshold, wide tables)") {
     // 16-bit tables on the same corpus: bucket collisions for unrelated
     // pairs are ~2^-16 per table, so the candidate set is a tiny fraction

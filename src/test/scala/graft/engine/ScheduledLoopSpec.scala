@@ -33,6 +33,15 @@ class ScheduledLoopSpec extends AnyFunSuite {
     assert(loop.runCount == 2)
   }
 
+  test("a failing body counts as a run, not a vanished tick") {
+    var n = 0
+    val loop = new ScheduledLoop(() => { n += 1; sys.error("boom") })
+    assert(loop.tick(), "failed runs still return true (the tick ran)")
+    assert(loop.runCount == 1 && loop.failureCount == 1 && loop.skipCount == 0)
+    // The slot was released despite the exception.
+    assert(loop.tick() && n == 2)
+  }
+
   test("fixed-rate loop coalesces overlapping ticks and drains the last body") {
     var n = 0
     // Body takes ~3 intervals: of 6 ticks, most must be suppressed and

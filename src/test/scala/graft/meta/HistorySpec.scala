@@ -40,6 +40,26 @@ class HistorySpec extends SparkSpec {
       .exists(r => r.getAs[String]("id") == "run-6" && r.getAs[String]("status") == "FAILED"))
   }
 
+  test("reads during compaction never observe the mid-swap window") {
+    val dir = tmpDir("hist")
+    val h = new History(spark, dir)
+    (1 to 4).foreach { i =>
+      h.logStart(s"run-$i", "src", "coll", ts(i * 1000))
+      h.logEnd(s"run-$i", "src", "coll", "SUCCESS", ts(i * 1000), ts(i * 1000 + 1), i, "")
+    }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader = new Thread(() => {
+      try while (!stop.get()) assert(h.recentRuns(10).count() == 4)
+      catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    (1 to 5).foreach(_ => h.compact())
+    stop.set(true)
+    reader.join(60000)
+    assert(failure.get() == null, s"reader failed mid-compaction: ${failure.get()}")
+  }
+
   test("concurrent appends to one history path all land (serialized writers)") {
     val dir = tmpDir("hist")
     val h = new History(spark, dir)
