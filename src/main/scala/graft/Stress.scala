@@ -40,6 +40,34 @@ object Stress {
         .write.mode("overwrite").format("noop").save()
     }
 
+    // 1b. Embedding near-dups in the LSH DESIGN regime (high threshold,
+    //     wide tables) — the q21 path at the scale shape it exists for:
+    //     40k vectors holding 2000 groups of 20 planted near-twins
+    //     (deterministic element noise → twin cosine ≈ 0.999 but ~6-9°
+    //     pair angles, while unrelated pairs stay under 0.5). 8×16-bit
+    //     tables prune the ~800M-pair space to ~0.07% (measured); recall
+    //     at these params measures ~98% — the report prints both so the
+    //     table-count/recall trade is a number, not a claim (q21's gated
+    //     configuration is separately recall-1.0-audited).
+    val emb40k = (0 until 20).map { i =>
+      graft.core.Tables.embeddings(spark, dir)
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            x.cast("double") + lit(0.02) * sin(col("vec_id") + j.cast("double"))))
+    }.reduce(_ unionByName _)
+    println(s"[stress] embedding rows = ${emb40k.count()}")
+    val candidates = time("lsh candidates (8×16-bit tables), 40k vecs") {
+      graft.analytics.Similarity.lshCandidatePairs(
+        emb40k, nTables = 8, bitsPerTable = 16).count()
+    }
+    val twinPairs = time("lsh cosine near-dups t=0.95, 40k vecs") {
+      graft.analytics.Similarity.lshCosineNearDups(
+        emb40k, threshold = 0.95, nTables = 8, bitsPerTable = 16).count()
+    }
+    println(f"[stress]   candidates = $candidates (${candidates * 100.0 / (40000L * 39999 / 2)}%.3f%% " +
+      s"of the pair space); verified twin pairs = $twinPairs of ~380k expected")
+
     // 2. Relational over 6M lineitem rows (10×).
     val li6m = replicate(graft.core.Tables.lineitem(spark, dir), "l_orderkey", 10)
     println(s"[stress] lineitem rows = ${li6m.count()}")
