@@ -54,6 +54,10 @@ object Main {
       // runs the scheduled job body then compacts the audit log so the
       // event-per-file append pattern stays bounded. Optional tick budget
       // for CLI drives; omit it for a run-forever resident driver.
+      // Validate BEFORE starting Spark: a non-positive interval would
+      // otherwise surface as an opaque timer exception mid-session.
+      val intervalMillis = (minutes.toDouble * 60000L).toLong
+      require(intervalMillis > 0, s"interval must be positive, got '$minutes' minutes")
       val spark = session()
       val settings = Settings(wh, Settings.parseSources(sources),
         targetCollections = colls.split(",").toSeq)
@@ -64,7 +68,7 @@ object Main {
         runner.history.compact()
       })
       loop.run(
-        intervalMs = (minutes.toDouble * 60000L).toLong,
+        intervalMs = intervalMillis,
         maxTicks = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue))
       println(s"[DONE] scheduled-loop ran ${loop.runCount} ticks, suppressed ${loop.skipCount}")
       spark.stop()

@@ -228,9 +228,12 @@ object Dedup {
     */
   def dedupCorpusSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // Cached: `planted` feeds the signature scan, the shingle-set scan, the
-    // before-count, and the kept-join — without the cache each consumer
-    // re-derives the union from the source scan.
+    // Cached for the EAGER phase below: the clustering loop's jobs hit
+    // `planted` repeatedly (signature scan, shingle-set scan, per-round
+    // edge joins). The lazy summary returned to the caller re-derives the
+    // union from the source scan (2 scans per use — cheap and bounded);
+    // the cache is released before return so long-lived drivers don't
+    // accumulate storage per query run.
     val planted = docs.select(col("doc_id"), col("text"), col("source")).unionByName(
       docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"), col("source")))

@@ -79,18 +79,18 @@ object Similarity {
     */
   def annKnn(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 4,
              dim: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // dim <= 0 → infer from the data (a wrong-length plane set would hash
-    // every vector to null buckets — see HyperplaneBuckets). An empty
-    // corpus has no neighbors: return the typed empty result rather than
-    // crash the dimension probe.
+    // dim <= 0 → infer deterministically from the data (corpus max — a
+    // wrong-length plane set would hash every vector to null buckets, see
+    // HyperplaneBuckets). An empty corpus has no neighbors: return the
+    // typed empty result rather than crash the dimension probe.
     val dimRow =
-      if (dim > 0) Array(dim)
-      else corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1)
-        .collect().map(_.getInt(0))
+      if (dim > 0) Some(dim)
+      else corpus.agg(max(size(col(vecCol)))).collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).filter(_ > 0)
     if (dimRow.isEmpty)
       return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(1).as("rank"), lit(0.0).as("score_r")).limit(0)
-    val d = dimRow.head
+    val d = dimRow.get
     val planes = hyperplanes(nBits, d)
     val bucketed = corpus.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), planes))
@@ -178,13 +178,17 @@ object Similarity {
   private def rawLshPairs(corpus: DataFrame, nTables: Int, bitsPerTable: Int,
                           seed: Long, maxBucketSize: Option[Int],
                           idCol: String, vecCol: String): DataFrame = {
-    // Infer the dimension from the first real vector; an empty (or
-    // all-null-embedding) corpus has no pairs — return the typed empty
-    // result instead of crashing the dimension probe.
-    val dimRow = corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1).collect()
+    // Dimension = the corpus MAX vector length: deterministic on mixed-
+    // dimension corpora (an arbitrary-first-row probe would flip which
+    // model's vectors go inert between runs). Rows of any other length
+    // hash to null buckets and are inert — see HyperplaneBuckets. An
+    // empty (or all-null-embedding) corpus has no pairs — return the
+    // typed empty result instead of crashing the probe.
+    val dimRow = corpus.agg(max(size(col(vecCol)))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).filter(_ > 0)
     if (dimRow.isEmpty)
       return corpus.select(col(idCol).as("a_id"), col(idCol).as("b_id")).limit(0)
-    val dim = dimRow.head.getInt(0)
+    val dim = dimRow.get
     val flat = hyperplanesFlat(nTables * bitsPerTable, dim, seed)
     val buckets = corpus.select(col(idCol),
       posexplode(graft.functions.hyperplaneBuckets(col(vecCol), flat, bitsPerTable, nTables)))
@@ -200,16 +204,27 @@ object Similarity {
     */
   def lshCosineNearDups(corpus: DataFrame, threshold: Double,
                         nTables: Int = 64, bitsPerTable: Int = 4, seed: Long = 42L,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    // Duplicate candidates stream through the broadcast verify and only
-    // the thresholded survivors are deduped — identical rows (same pair ⇒
-    // same exact score) collapse to one. At dimensions beyond broadcast
-    // range, flip to lshCandidatePairs().distinct() + a shuffled verify;
-    // in that regime (high threshold) the candidate set is tiny anyway.
-    scorePairs(
-      rawLshPairs(corpus, nTables, bitsPerTable, seed, None, idCol, vecCol),
-      corpus, threshold, idCol, vecCol, broadcastVectors = true)
-      .distinct()
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        broadcastVectors: Boolean = true,
+                        maxBucketSize: Option[Int] = None): DataFrame =
+    // broadcastVectors=true (corpus fits the broadcast limit): duplicate
+    // candidates stream through the broadcast verify and only the
+    // thresholded survivors are deduped — identical rows (same pair ⇒
+    // same exact score) collapse to one. broadcastVectors=false (corpus
+    // beyond broadcast range — the cluster-scale setting): dedupe the
+    // candidates FIRST, then verify through shuffled equi-joins; in that
+    // regime the threshold is high and the candidate set is tiny, so the
+    // distinct is cheap and the join shuffles candidates, not the corpus
+    // twice per duplicate.
+    if (broadcastVectors)
+      scorePairs(
+        rawLshPairs(corpus, nTables, bitsPerTable, seed, maxBucketSize, idCol, vecCol),
+        corpus, threshold, idCol, vecCol, broadcastVectors = true)
+        .distinct()
+    else
+      scorePairs(
+        rawLshPairs(corpus, nTables, bitsPerTable, seed, maxBucketSize, idCol, vecCol).distinct(),
+        corpus, threshold, idCol, vecCol, broadcastVectors = false)
 
   // ---------------------------------------------------------------- q19
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */

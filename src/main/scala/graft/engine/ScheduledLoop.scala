@@ -60,9 +60,14 @@ final class ScheduledLoop(body: () => Unit) {
     */
   def tryStart(exec: Executor): Boolean =
     if (running.compareAndSet(false, true)) {
-      exec.execute { () =>
+      // If the executor refuses the task (shut down, bounded queue), the
+      // body's finally never runs — release the slot here or every
+      // future tick would be suppressed forever.
+      try exec.execute { () =>
         try runBody()
         finally running.set(false)
+      } catch {
+        case e: Throwable => running.set(false); throw e
       }
       true
     } else { skips.incrementAndGet(); false }

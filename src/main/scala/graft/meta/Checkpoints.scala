@@ -25,9 +25,22 @@ final class Checkpoints(spark: SparkSession, metaDir: String) {
   // serialize or the slower writer erases the faster one's watermark.
   private val lock = Checkpoints.lockFor(path)
 
+  private def hfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // Crash recovery for atomicWrite's two-rename swap: a kill between
+  // rename(live → bak) and rename(tmp → live) must not read as "no
+  // checkpoints" — that would silently trigger full re-scans of every
+  // source. Restore the backup; called under the lock by both entry
+  // points, no-op in the steady state.
+  private def recover(): Unit = {
+    val live = new Path(path)
+    val bak = new Path(s"$metaDir/.bak_sync_metadata")
+    if (!hfs.exists(live) && hfs.exists(bak)) hfs.rename(bak, live)
+  }
+
   private def exists: Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    recover()
+    hfs.exists(new Path(path))
   }
 
   // Readers take the same lock as advance(): the swap renames the live
@@ -66,7 +79,6 @@ final class Checkpoints(spark: SparkSession, metaDir: String) {
   private def atomicWrite(df: DataFrame): Unit = {
     val tmp = s"$metaDir/.staging_sync_metadata"
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val hfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
     val bak = new Path(s"$metaDir/.bak_sync_metadata")
     if (hfs.exists(bak)) hfs.delete(bak, true)

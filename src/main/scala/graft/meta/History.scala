@@ -30,14 +30,29 @@ final class History(spark: SparkSession, metaDir: String) {
   private val path = s"$metaDir/sync_history"
   private val lock = graft.core.PathLocks.forPath(path)
 
+  private def hfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Crash recovery for [[compact]]'s two-rename swap: if the process
+    * died between rename(live → bak) and rename(staging → live), the log
+    * is intact in the backup — restore it instead of silently starting a
+    * fresh log and stranding the audit history. Called under the lock by
+    * every read/write entry point; no-op in the steady state.
+    */
+  private def recover(): Unit = {
+    val live = new Path(path)
+    val bak = new Path(s"$metaDir/.bak_sync_history")
+    if (!hfs.exists(live) && hfs.exists(bak)) hfs.rename(bak, live)
+  }
+
   private def exists: Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    recover()
+    hfs.exists(new Path(path))
   }
 
   private def append(id: String, source: String, collection: String, status: String,
                      startedAt: Timestamp, completedAt: Option[Timestamp],
                      records: Long, message: String, seq: Int): Unit = lock.synchronized {
+    recover()
     Seq((id, source, collection, status, startedAt, completedAt.orNull, records, message, seq))
       .toDF("id", "source", "collection", "status", "started_at", "completed_at",
         "records_synced", "message", "event_seq")
@@ -96,7 +111,6 @@ final class History(spark: SparkSession, metaDir: String) {
     */
   def compact(): Long = lock.synchronized {
     if (!exists) return 0L
-    val hfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$metaDir/.staging_sync_history")
     val bak = new Path(s"$metaDir/.bak_sync_history")
     // The fold runs distributed and lands in a staging dir; the write job

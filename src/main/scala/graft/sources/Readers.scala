@@ -58,9 +58,10 @@ object Readers {
     * Default path is `DROPMALFORMED`: bad lines vanish at the scan, nothing
     * extra is materialized — the scalable engine path. Pass
     * `keepCorrupt = true` to get PERMISSIVE parsing with a
-    * `_corrupt_record` column for auditing; that DataFrame must be split
-    * via [[good]]/[[corrupt]] (which cache — Spark forbids filtering a raw
-    * file scan on only the corrupt column).
+    * `_corrupt_record` column for auditing; split that DataFrame with
+    * [[withCorruptSplit]], which owns the mandatory cache (Spark forbids
+    * filtering a raw file scan on only the corrupt column) and releases
+    * it when done.
     */
   def ndjson(spark: SparkSession, path: String, schema: Option[StructType] = None,
              keepCorrupt: Boolean = false): DataFrame =

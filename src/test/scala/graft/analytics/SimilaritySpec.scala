@@ -85,6 +85,16 @@ class SimilaritySpec extends SparkSpec {
       s"candidate generation must be an equi-join on (table, bucket):\n$plan")
   }
 
+  test("shuffled-verify LSH path (no broadcast) matches the broadcast path") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("cos_r"))
+    val bcast = Similarity.lshCosineNearDups(emb, 0.35).collect().map(key).sorted
+    val shuffled = Similarity.lshCosineNearDups(emb, 0.35, broadcastVectors = false)
+      .collect().map(key).sorted
+    assert(shuffled.sameElements(bcast),
+      s"cluster-scale path diverged: ${bcast.length} vs ${shuffled.length}")
+  }
+
   test("similarity paths survive an empty corpus (typed empty results, no crash)") {
     val empty = emb.filter(col("vec_id") < 0)
     assert(Similarity.lshCosineNearDups(empty, 0.35).count() == 0)

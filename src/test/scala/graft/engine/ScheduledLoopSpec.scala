@@ -42,6 +42,15 @@ class ScheduledLoopSpec extends AnyFunSuite {
     assert(loop.tick() && n == 2)
   }
 
+  test("a rejecting executor releases the run slot (no permanent suppression)") {
+    val loop = new ScheduledLoop(() => ())
+    val dead = java.util.concurrent.Executors.newSingleThreadExecutor()
+    dead.shutdown()
+    intercept[java.util.concurrent.RejectedExecutionException] { loop.tryStart(dead) }
+    // Slot must be free again: a plain tick still runs.
+    assert(loop.tick())
+  }
+
   test("fixed-rate loop coalesces overlapping ticks and drains the last body") {
     var n = 0
     // Body takes ~3 intervals: of 6 ticks, most must be suppressed and

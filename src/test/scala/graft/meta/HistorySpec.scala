@@ -60,6 +60,21 @@ class HistorySpec extends SparkSpec {
     assert(failure.get() == null, s"reader failed mid-compaction: ${failure.get()}")
   }
 
+  test("a crash between compaction renames is recovered from the backup") {
+    val dir = tmpDir("hist")
+    val h = new History(spark, dir)
+    h.logStart("run-1", "src", "coll", ts(1000))
+    h.logEnd("run-1", "src", "coll", "SUCCESS", ts(1000), ts(1500), 1, "")
+    // Simulate dying after rename(live → bak) but before the staging
+    // rename: the live dir is gone, the backup holds the whole log.
+    val live = new java.io.File(s"$dir/sync_history")
+    val bak = new java.io.File(s"$dir/.bak_sync_history")
+    assert(live.renameTo(bak))
+    // Reads recover the backup instead of reporting an empty fresh log.
+    assert(h.runs().count() == 1)
+    assert(live.exists() && !bak.exists())
+  }
+
   test("concurrent appends to one history path all land (serialized writers)") {
     val dir = tmpDir("hist")
     val h = new History(spark, dir)
