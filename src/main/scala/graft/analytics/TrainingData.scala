@@ -145,9 +145,95 @@ object TrainingData {
       |FROM toks WHERE token <> ''
       |GROUP BY lang, token QUALIFY rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences by cumulative token offset — the offset-chunking
+    * formulation (seq = floor(start_offset / budget)) rather than
+    * greedy-with-reset, because a running sum with resets is not
+    * window-expressible and the offset form is what scales: packing is
+    * PER SOURCE (shard-local), so the running sum is a per-partition
+    * window, never a global single-partition sort. Emits the per-sequence
+    * fill report (docs, tokens, fill ratio) used to validate packing
+    * efficiency before shard writing.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("start_off", sum("n_toks").over(w) - col("n_toks"))
+      .groupBy(col("source"),
+        floor(col("start_off") / budget.toDouble).as("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("seq_tokens"),
+        round(sum("n_toks") / budget.toDouble, 4).as("fill_ratio"))
+  }
+
+  private val packSequencesSql =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS n_toks
+      |  FROM documents
+      |), cum AS (
+      |  SELECT source, doc_id, n_toks,
+      |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |                      ROWS UNBOUNDED PRECEDING) - n_toks AS start_off
+      |  FROM toks
+      |)
+      |SELECT source, CAST(floor(start_off / 256.0) AS BIGINT) AS seq_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
+      |  round(sum(n_toks) / 256.0, 4) AS fill_ratio
+      |FROM cum GROUP BY source, seq_id""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** PII scrub: redact email addresses and report the per-source scrub
+    * accounting (docs touched, characters removed) — the redaction audit
+    * a data-curation pass emits. The corpus has none, so the query plants
+    * a deterministic email on every 7th doc; the scrub must touch exactly
+    * those. Pattern sticks to plain character classes so the Java and
+    * RE2-family dialects agree.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val planted = Tables.documents(spark, dir)
+      .select(col("source"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(col("text")).as("text"))
+    planted
+      .withColumn("scrubbed", regexp_replace(col("text"), emailRe, "<EMAIL>"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("scrubbed") =!= col("text"), 1L).otherwise(0L)).as("n_redacted"),
+        sum(length(col("text")) - length(col("scrubbed"))).cast("long").as("chars_removed"))
+  }
+
+  private val piiScrubSql =
+    """WITH planted AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE text END AS text
+      |  FROM documents
+      |), scrub AS (
+      |  SELECT source, text,
+      |    regexp_replace(text, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g') AS scrubbed
+      |  FROM planted
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN scrubbed <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+      |  CAST(sum(length(text) - length(scrubbed)) AS BIGINT) AS chars_removed
+      |FROM scrub GROUP BY source""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),
     NamedQuery("q37_stratified_sample", stratifiedSampleByLang _, Some(stratifiedSampleSql)),
-    NamedQuery("q38_top_tokens", topTokensPerLang _, Some(topTokensSql)))
+    NamedQuery("q38_top_tokens", topTokensPerLang _, Some(topTokensSql)),
+    NamedQuery("q39_sequence_packing", (s, d) => packSequences(s, d), Some(packSequencesSql)),
+    NamedQuery("q40_pii_scrub", piiScrub _, Some(piiScrubSql)))
 }

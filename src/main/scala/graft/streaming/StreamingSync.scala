@@ -72,6 +72,21 @@ object StreamingSync {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact deduplication — drop records whose key was already
+    * seen within the watermark horizon (`dropDuplicatesWithinWatermark`):
+    * the ingestion-side dedup a training-data pipeline runs BEFORE
+    * documents reach the warehouse, complementing the batch MinHash/
+    * fingerprint passes. State is bounded by the watermark (keys older
+    * than `lateness` are evicted), so an unbounded stream holds a
+    * bounded key set — the property that matters at 100 TB/day; plain
+    * `dropDuplicates` on a stream would grow state forever.
+    */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                    lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run the windowed aggregation over a file-source stream into an
     * in-memory sink table (for tests / interactive inspection).
     */

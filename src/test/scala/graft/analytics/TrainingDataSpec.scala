@@ -47,6 +47,38 @@ class TrainingDataSpec extends SparkSpec {
       .sameElements(s2.select("doc_id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("sequence packing conserves tokens and respects the per-source offsets") {
+    val packed = TrainingData.packSequences(spark, dir, budget = 256).collect()
+    assert(packed.nonEmpty)
+    // Token conservation: packed totals == corpus totals per source.
+    val packedBySource = packed.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("seq_tokens")).sum).toMap
+    val corpusBySource = docs
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").sum("n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(packedBySource == corpusBySource, "packing must not drop or invent tokens")
+    // Every full (non-terminal) sequence overlaps its budget sensibly:
+    // fill ratios are positive and sequence ids are dense from 0.
+    packed.groupBy(_.getAs[String]("source")).foreach { case (_, seqs) =>
+      val ids = seqs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head == 0L && ids.sameElements(ids.head to ids.last))
+      assert(seqs.forall(_.getAs[Double]("fill_ratio") > 0.0))
+    }
+  }
+
+  test("PII scrub redacts exactly the planted emails") {
+    val out = TrainingData.piiScrub(spark, dir).collect()
+    val redacted = out.map(_.getAs[Long]("n_redacted")).sum
+    val expected = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(redacted == expected, s"redacted $redacted of $expected planted")
+    // Chars removed is positive wherever something was redacted ("<EMAIL>"
+    // is shorter than every planted address).
+    out.foreach { r =>
+      assert((r.getAs[Long]("n_redacted") > 0) == (r.getAs[Long]("chars_removed") > 0))
+    }
+  }
+
   test("top tokens per language are ranked with total tie-breaks") {
     val out = TrainingData.topTokensPerLang(spark, dir).collect()
     val byLang = out.groupBy(_.getAs[String]("lang"))

@@ -66,4 +66,43 @@ class StreamingSyncSpec extends SparkSpec {
     assert(out(0).getAs[Double]("sum_value") == 3.0)
     assert(out(1).getAs[String]("event_type") == "view")
   }
+
+  test("streaming dedup drops within-watermark duplicate keys across micro-batches") {
+    val src = tmpDir("dedup-src")
+    val ckpt = tmpDir("dedup-ckpt")
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    writeFile(src, "b1.ndjson", Seq(
+      """{"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "value": 1.0}""",
+      """{"event_id": 2, "ts": "2024-01-01T10:01:00.000Z", "value": 2.0}""",
+      """{"event_id": 1, "ts": "2024-01-01T10:02:00.000Z", "value": 9.0}""")) // dup in-batch
+
+    // One continuous query (the memory sink cannot recover a checkpoint);
+    // processAllAvailable() drains each file batch synchronously, so the
+    // second file is a genuinely separate micro-batch against kept state.
+    val stream = spark.readStream.schema(evSchema).json(src)
+    val q = StreamingSync.dedupedStream(stream, Seq("event_id"), "ts")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    q.processAllAvailable()
+
+    // A later micro-batch re-sends key 2 within the watermark: dropped too.
+    writeFile(src, "b2.ndjson", Seq(
+      """{"event_id": 2, "ts": "2024-01-01T10:03:00.000Z", "value": 7.0}""",
+      """{"event_id": 3, "ts": "2024-01-01T10:04:00.000Z", "value": 3.0}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    val all = spark.sql("SELECT event_id, value FROM dedup_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(all.map(_._1).toSeq == Seq(1L, 2L, 3L), s"got ${all.toSeq}")
+    // First occurrence wins for each key.
+    assert(all.toMap == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+  }
 }
