@@ -84,6 +84,26 @@ object IvfIndex {
     } finally vecs.unpersist()
   }
 
+  /** Persist a trained model as a tiny parquet table (cell, centroid) —
+    * at corpus scale the quantizer is trained ONCE on a sample and reused
+    * by every indexing/search job; retraining per query would both waste
+    * the corpus passes and silently re-assign cells (breaking a
+    * partitioned index). Parquet keeps it engine-readable and atomic via
+    * overwrite.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.map { case (id, c) => (id, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model; centroid order/ids round-trip exactly. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq)
+
   /** Index the corpus: adds the `cell` assignment column. At warehouse
     * scale this is the partition column (`partitionBy("cell")`) so probes
     * scan only `nprobe` of `k` partitions.

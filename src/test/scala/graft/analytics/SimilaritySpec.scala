@@ -60,6 +60,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 = $recall") // probing 3/8 cells
   }
 
+  test("IVF model round-trips through parquet and searches identically") {
+    val model = IvfIndex.train(emb, k = 8, iters = 2)
+    val path = tmpDir("ivf-model") + "/model"
+    IvfIndex.save(spark, model, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.centroids == model.centroids, "centroids must round-trip exactly")
+    val queries = emb.filter(col("vec_id") < 5)
+    def run(m: IvfIndex.Model) =
+      IvfIndex.search(IvfIndex.index(emb, m), queries, m, k = 3).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+        .sorted
+    assert(run(loaded).sameElements(run(model)))
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
     assert(Similarity.hyperplanes(4, 8, seed = 1) != Similarity.hyperplanes(4, 8, seed = 2))
