@@ -88,15 +88,22 @@ object IvfIndex {
     * at corpus scale the quantizer is trained ONCE on a sample and reused
     * by every indexing/search job; retraining per query would both waste
     * the corpus passes and silently re-assign cells (breaking a
-    * partitioned index). Parquet keeps it engine-readable and atomic via
-    * overwrite.
+    * partitioned index). The write stages to a hidden sibling dir and
+    * renames into place (Spark's overwrite mode is delete-then-write, so
+    * a concurrent [[load]] mid-save would otherwise see a missing or
+    * partial model — exactly the hazard persistence exists to prevent).
     */
-  def save(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
-    import spark.implicits._
-    model.centroids.map { case (id, c) => (id, c) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit =
+    graft.core.PathLocks.forPath(path).synchronized {
+      import spark.implicits._
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".staging_${p.getName}")
+      model.centroids.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      if (hfs.exists(p)) hfs.delete(p, true)
+      if (!hfs.rename(tmp, p)) sys.error(s"model save: rename into $path failed")
+    }
 
   /** Load a persisted model; centroid order/ids round-trip exactly. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =

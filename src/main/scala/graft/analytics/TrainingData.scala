@@ -156,7 +156,13 @@ object TrainingData {
     * fill report (docs, tokens, fill ratio) used to validate packing
     * efficiency before shard writing.
     */
-  def packSequences(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+  /** Token budget of the gated q39 — one constant drives BOTH the Spark
+    * plan and the generated oracle SQL, so the parameter cannot silently
+    * diverge between them.
+    */
+  val PackBudget = 256
+
+  def packSequences(spark: SparkSession, dir: String, budget: Int = PackBudget): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
@@ -172,21 +178,21 @@ object TrainingData {
   }
 
   private val packSequencesSql =
-    """WITH toks AS (
-      |  SELECT source, doc_id,
-      |    len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS n_toks
-      |  FROM documents
-      |), cum AS (
-      |  SELECT source, doc_id, n_toks,
-      |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
-      |                      ROWS UNBOUNDED PRECEDING) - n_toks AS start_off
-      |  FROM toks
-      |)
-      |SELECT source, CAST(floor(start_off / 256.0) AS BIGINT) AS seq_id,
-      |  CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
-      |  round(sum(n_toks) / 256.0, 4) AS fill_ratio
-      |FROM cum GROUP BY source, seq_id""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT source, doc_id,
+       |    len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS n_toks
+       |  FROM documents
+       |), cum AS (
+       |  SELECT source, doc_id, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |                      ROWS UNBOUNDED PRECEDING) - n_toks AS start_off
+       |  FROM toks
+       |)
+       |SELECT source, CAST(floor(start_off / $PackBudget.0) AS BIGINT) AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
+       |  round(sum(n_toks) / $PackBudget.0, 4) AS fill_ratio
+       |FROM cum GROUP BY source, seq_id""".stripMargin
 
   // ---------------------------------------------------------------- q40
   /** PII scrub: redact email addresses and report the per-source scrub

