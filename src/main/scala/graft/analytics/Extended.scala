@@ -149,6 +149,28 @@ object Extended {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Sketch variant of [[pricePercentiles]] — `approx_percentile`
+    * (bounded-memory quantile summary with tunable `accuracy`). The exact
+    * form buffers and sorts every group value; the sketch holds a
+    * fixed-size summary per group regardless of row count, which is the
+    * only formulation that survives a hot group at 100 TB. Spec-asserted
+    * within rank error of the exact result (engine-specific sketch →
+    * no external oracle, same treatment as the HLL surface).
+    */
+  def pricePercentilesApprox(spark: SparkSession, dir: String,
+                             accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), $accuracy)")
+          .as("__ps"))
+      .select(
+        col("l_returnflag"), col("n"),
+        col("__ps").getItem(0).as("p50"),
+        col("__ps").getItem(1).as("p95"),
+        col("__ps").getItem(2).as("p99"))
+
   // ---------------------------------------------------------------- q29
   /** Distinct aggregation: per supplier, exact distinct parts/orders plus
     * plain counts — the expand-based distinct-agg plan shape.
