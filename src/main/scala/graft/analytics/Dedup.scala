@@ -84,9 +84,11 @@ object Dedup {
     pairs
       .join(sets.select(col(idCol).as("a_id"), col("ws").as("a_ws")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("ws").as("b_ws")), "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
-          size(array_union(col("a_ws"), col("b_ws"))).cast("double"))
+      // Fused verify kernel: |∩| and |∪| in one sort-merge pass, no
+      // intermediate intersect/union arrays (identical value to the
+      // size(array_intersect)/size(array_union) form — both are exact
+      // integer ratios — so downstream rounding is unchanged).
+      .withColumn("jaccard", graft.functions.jaccardSets(col("a_ws"), col("b_ws")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }

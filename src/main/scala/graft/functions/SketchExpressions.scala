@@ -102,6 +102,31 @@ object SketchKernels {
     out
   }
 
+  /** Exact Jaccard of two DISTINCT-element long-array sets in one fused
+    * pass: copy, sort, merge-count the intersection (|∪| = |a|+|b|−|∩|).
+    * Replaces the `size(array_intersect)/size(array_union)` formulation,
+    * which allocates two intermediate arrays and hashes both inputs twice
+    * per pair — this is the per-candidate hot verify of every LSH text
+    * pipeline.
+    */
+  def jaccardLongSets(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   // Entry points used from generated code (one static call per row).
   def shingleArray(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(text, n))
@@ -147,6 +172,30 @@ case class MinHashSig(child: Expression, shingleN: Int) extends SketchExpression
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Exact Jaccard similarity of two distinct-element long-set columns —
+  * the fused candidate-verify kernel (see [[SketchKernels.jaccardLongSets]]).
+  */
+case class JaccardSets(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "jaccard_sets"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got ${l.simpleString} / ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.jaccardLongSets(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernels.jaccardLongSets($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash signature of a text column. */

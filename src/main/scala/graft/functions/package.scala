@@ -53,6 +53,12 @@ package object functions {
   def simHashSignature(text: Column, n: Int): Column =
     toCol(SimHashSig(expr(text), n))
 
+  /** Exact Jaccard of two distinct-element long-set columns (fused
+    * sort-merge kernel; no intermediate intersect/union arrays).
+    */
+  def jaccardSets(a: Column, b: Column): Column =
+    toCol(JaccardSets(expr(a), expr(b)))
+
   /** All multi-table hyperplane-LSH bucket codes of a vector column in one
     * native fused pass — element t is table t's packed sign bits under the
     * row-major flattened plane matrix.

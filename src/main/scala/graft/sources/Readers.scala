@@ -14,13 +14,17 @@ object Readers {
   case object JsonArray extends Format
   case object Ndjson extends Format
   case object Parquet extends Format
+  case object Orc extends Format
+  case object Csv extends Format
 
-  /** First-non-whitespace-byte sniff: `[` → JSON array, else NDJSON
-    * (reference dump.py:34-45). Reads one small block off the filesystem —
-    * driver-side, O(1).
+  /** Extension dispatch for the self-describing/columnar formats, then a
+    * first-non-whitespace-byte sniff for the text ones: `[` → JSON array,
+    * `{` → NDJSON, else CSV when the extension says so, defaulting to
+    * NDJSON (reference dump.py:34-45). Reads one small block off the
+    * filesystem — driver-side, O(1).
     */
   def detectFormat(spark: SparkSession, path: String): Format = {
-    if (path.endsWith(".parquet")) return Parquet
+    byExtension(path) match { case Some(f) => return f; case None => () }
     val p0 = new Path(path)
     val hfs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // A directory of part files: sniff the first visible file.
@@ -31,7 +35,7 @@ object Readers {
           .sortBy(_.getName)
           .headOption.getOrElse(sys.error(s"no data files under $path"))
       else p0
-    if (p.getName.endsWith(".parquet")) return Parquet
+    byExtension(p.getName) match { case Some(f) => return f; case None => () }
     val in = hfs.open(p)
     try {
       val buf = new Array[Byte](4096)
@@ -43,6 +47,12 @@ object Readers {
       }
     } finally in.close()
   }
+
+  private def byExtension(name: String): Option[Format] =
+    if (name.endsWith(".parquet")) Some(Parquet)
+    else if (name.endsWith(".orc")) Some(Orc)
+    else if (name.endsWith(".csv")) Some(Csv)
+    else None
 
   /** Large `[...]` file — the reference streams it with ijson
     * (dump.py:117-122); Spark's multiLine JSON reader handles it natively.
@@ -120,13 +130,26 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Header CSV. With a schema, malformed lines drop at the scan (same
+    * contract as [[ndjson]]); schemaless falls back to inference.
+    */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
   /** Sniff-and-dispatch load (reference dump.py main path). Malformed
-    * NDJSON lines are dropped at the scan.
+    * NDJSON/CSV lines are dropped at the scan.
     */
   def load(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
     detectFormat(spark, path) match {
       case JsonArray => jsonArray(spark, path, schema)
       case Ndjson    => ndjson(spark, path, schema)
       case Parquet   => parquet(spark, path)
+      case Orc       => orc(spark, path)
+      case Csv       => csv(spark, path, schema)
     }
 }

@@ -42,6 +42,30 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("fused jaccard kernel equals the array_intersect/array_union form") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+      .select(col("doc_id"), graft.analytics.Dedup.shingleHashSet(col("text")).as("ws"))
+    val a = docs.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
+    val b = docs.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
+    val pairs = a.join(b, col("b_id") === col("a_id") + 1)
+    val diffs = pairs.select(
+      graft.functions.jaccardSets(col("a_ws"), col("b_ws")).as("fused"),
+      (size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
+        size(array_union(col("a_ws"), col("b_ws"))).cast("double")).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diffs.count() == 0, "fused kernel must be value-identical")
+    // Edge cases: disjoint, identical, and empty sets.
+    import spark.implicits._
+    val edge = Seq(
+      (Seq(1L, 2L), Seq(3L, 4L), 0.0),
+      (Seq(1L, 2L, 3L), Seq(3L, 2L, 1L), 1.0),
+      (Seq.empty[Long], Seq.empty[Long], 0.0),
+      (Seq(1L, 2L), Seq(2L, 3L), 1.0 / 3.0)
+    ).toDF("a", "b", "want")
+    assert(edge.filter(graft.functions.jaccardSets(col("a"), col("b")) =!= col("want")).count() == 0)
+  }
+
   test("extensions entry point registers the same builders") {
     // The extensions class wires GraftFunctions.builders verbatim; assert
     // the registry wiring is exercised (builder list is shared).

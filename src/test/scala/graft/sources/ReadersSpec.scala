@@ -52,6 +52,26 @@ class ReadersSpec extends SparkSpec {
     assert(Readers.load(spark, arr).count() == 1)
   }
 
+  test("CSV and ORC sources load through the same sniff-and-dispatch path") {
+    val dir = tmpDir("fmt")
+    val csvFile = write(dir, "t.csv", "x,y\n1,a\n2,b\nnot-an-int,c")
+    assert(Readers.detectFormat(spark, csvFile) == Readers.Csv)
+    // Schemaless: inference keeps all rows (x becomes string).
+    assert(Readers.load(spark, csvFile).count() == 3)
+    // With a typed schema the malformed line drops at the scan, like
+    // NDJSON. (Materialize the columns: a bare count() prunes them all,
+    // so the parser never attempts the failing int conversion.)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.StringType)))
+    assert(Readers.load(spark, csvFile, Some(schema)).select("x", "y").collect().length == 2)
+
+    val orcDir = s"$dir/t.orc"
+    spark.range(5).selectExpr("id AS x").write.orc(orcDir)
+    assert(Readers.detectFormat(spark, orcDir) == Readers.Orc)
+    assert(Readers.load(spark, orcDir).count() == 5)
+  }
+
   test("source registry parses JSON dict and CSV forms (config.py parity)") {
     assert(Settings.parseSources("""{"prod": "/data/prod", "stage": "/data/stage"}""") ==
       Map("prod" -> "/data/prod", "stage" -> "/data/stage"))
