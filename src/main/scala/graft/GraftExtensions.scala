@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Divide, Expression, ExpressionInfo, Floor, IntegerLiteral, Literal, Remainder}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, ShingleHashArray, SimHashSig}
+import graft.functions.{CosineSim, DotProduct, JaccardSets, MinHashSig, ShingleHashArray, SimHashSig}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -39,6 +39,8 @@ object GraftFunctions {
       "minhash_sig(text, n) - 64-lane MinHash signature over word n-gram shingles"),
     ("simhash_sig", es => SimHashSig(es(0), intLit(es(1), "simhash_sig")),
       "simhash_sig(text, n) - 64-bit SimHash signature over word n-gram shingles"),
+    ("jaccard_sets", es => JaccardSets(es(0), es(1)),
+      "jaccard_sets(a, b) - exact Jaccard of two distinct bigint-array sets (fused sort-merge pass)"),
     ("duration_mmss", es => durationExpr(es(0)),
       "duration_mmss(secs) - seconds to '<M>m <S>s' with uncapped minutes"))
 

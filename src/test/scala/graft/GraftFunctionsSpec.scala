@@ -42,6 +42,13 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("jaccard_sets is SQL-callable through the registered function") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT jaccard_sets(array(1L, 2L), array(2L, 3L, 4L)) AS j").head()
+    assert(r.getDouble(0) == 0.25)
+  }
+
   test("fused jaccard kernel equals the array_intersect/array_union form") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
@@ -70,7 +77,8 @@ class GraftFunctionsSpec extends SparkSpec {
     // The extensions class wires GraftFunctions.builders verbatim; assert
     // the registry wiring is exercised (builder list is shared).
     assert(GraftFunctions.builders.map(_._1).toSet ==
-      Set("vec_cosine", "vec_dot", "shingle_hashes", "minhash_sig", "simhash_sig", "duration_mmss"))
+      Set("vec_cosine", "vec_dot", "shingle_hashes", "minhash_sig", "simhash_sig",
+        "jaccard_sets", "duration_mmss"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 }
