@@ -253,22 +253,69 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q21
-  /** Embedding near-dup pairs at cosine ≥ 0.35 (the synthetic corpus has
-    * no planted dups; 0.35 surfaces the natural tail so the output is
-    * non-trivial and oracle-checkable). Runs the LSH-candidate + exact-
-    * verify path — no quadratic nested-loop join in the plan; the oracle
-    * still holds because verification is exact and the candidate set
-    * covers every true pair on this corpus (SimilaritySpec asserts
-    * recall 1.0 against the exact baseline).
+  /** The gated near-dup corpus: every embedding (cast to double) plus,
+    * for `vec_id < nTwins`, a planted near-twin at `vec_id + 100000`
+    * whose element i is offset by ((vec_id·31 + i) % 97 − 48) / 2000 — a
+    * pure integer-derived perturbation, exact in IEEE double in any
+    * engine, so an external oracle rebuilds the identical corpus.
+    * Perturbation norm ≈ 0.11 against unit-norm vectors ⇒ planted cosine
+    * ≈ 0.992–0.996, far above the corpus's natural max (≈ 0.48 at every
+    * SF): at threshold 0.9 the true pairs are exactly the planted twins,
+    * and LSH runs in its design regime where wide tables prune almost
+    * the whole pair space (see [[lshCandidatePairs]] recall math).
+    */
+  def plantedTwinCorpus(emb: DataFrame, nTwins: Int = 50,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    // The source id must ride under a name the output does NOT shadow: a
+    // lambda's outer reference resolves against the projection's own
+    // aliases, so `idCol` inside transform() would read the +100000 id.
+    val twins = base.filter(col(idCol) < nTwins)
+      .select(col(idCol).as("__src"), col(vecCol))
+      .select(
+        (col("__src") + 100000L).as(idCol),
+        transform(col(vecCol), (x, i) =>
+          x + ((col("__src") * 31 + i) % 97 - 48) / lit(2000.0)).as(vecCol))
+    base.unionByName(twins)
+  }
+
+  /** Gated q21 LSH parameters: 24 tables × 12 bits. At the planted-twin
+    * cosine (≥ 0.99 ⇒ per-bit collision p ≥ 0.955) a table hits with
+    * p¹² ≈ 0.58, so the worst-pair miss probability is (1−0.58)²⁴ ≈ 1e-9
+    * — exactness headroom at any corpus the harness runs — while
+    * unrelated pairs (p ≈ 0.5) collide at ~2⁻¹² per table, keeping the
+    * candidate set ≈ 1% of the pair space (spec-asserted < 5%).
+    */
+  val GatedTables = 24
+  val GatedBits = 12
+  val GatedThreshold = 0.9
+
+  /** Embedding near-dup pairs over the planted-twin corpus at cosine
+    * ≥ 0.9 — the LSH-candidate + exact-verify path in its pruning regime
+    * (candidates ≪ pair space), no quadratic join in the plan. The
+    * oracle holds because verification is exact and the candidate set
+    * covers every true pair (miss ≈ 1e-9 per pair; recall 1.0 audited by
+    * [[graft.RecallAudit]] at every harness SF).
     */
   def embNearDups(spark: SparkSession, dir: String): DataFrame =
-    lshCosineNearDups(Tables.embeddings(spark, dir), threshold = 0.35)
+    lshCosineNearDups(plantedTwinCorpus(Tables.embeddings(spark, dir)),
+      threshold = GatedThreshold, nTables = GatedTables, bitsPerTable = GatedBits)
 
   private val embNearDupsSql =
-    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_r
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      |), corpus AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |         list_transform(embedding,
+      |           (x, i) -> x + ((vec_id * 31 + i - 1) % 97 - 48) / 2000.0) AS embedding
+      |  FROM base WHERE vec_id < 50
+      |)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_r
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""".stripMargin
 
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q19_knn_brute", knnBrute _, Some(knnBruteSql)),

@@ -82,7 +82,7 @@ class SimilaritySpec extends SparkSpec {
       Similarity.hyperplanes(4, 8).flatten)
   }
 
-  test("LSH near-dup path matches the exact baseline pair-for-pair (q21 gate)") {
+  test("LSH near-dup path matches the exact baseline pair-for-pair at a weak threshold") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("cos_r"))
     val exact = Similarity.cosineNearDups(emb, threshold = 0.35).collect().map(key).sorted
@@ -91,8 +91,36 @@ class SimilaritySpec extends SparkSpec {
       s"LSH candidates must cover every true pair: exact=${exact.length} lsh=${lsh.length}")
   }
 
-  test("LSH near-dup plan has no quadratic nested-loop pair join") {
-    val df = Similarity.lshCosineNearDups(emb, threshold = 0.35)
+  test("gated q21: planted twins verify exactly and LSH prunes >95% of the pair space") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("cos_r"))
+    val corpus = Similarity.plantedTwinCorpus(emb).cache()
+    try {
+      val n = corpus.count()
+      val gated = Similarity.lshCosineNearDups(corpus, Similarity.GatedThreshold,
+        Similarity.GatedTables, Similarity.GatedBits).collect()
+      // The true pairs at 0.9 are exactly the planted twins (natural max ≈ 0.48).
+      assert(gated.length == 50, s"expected the 50 planted pairs, got ${gated.length}")
+      gated.foreach { r =>
+        assert(r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 100000L, r.toString)
+        assert(r.getAs[Double]("cos_r") >= 0.99, s"planted twin drifted: $r")
+      }
+      // Pair-for-pair (incl. rounded score) against the exact O(n²) baseline.
+      val exact = Similarity.cosineNearDups(corpus, Similarity.GatedThreshold)
+        .collect().map(key).sorted
+      assert(gated.map(key).sorted.sameElements(exact), "gated output must be exact")
+      // The pruning demonstration: candidate multiset ≪ pair space.
+      val candidates = Similarity.lshCandidatePairs(corpus,
+        Similarity.GatedTables, Similarity.GatedBits).count()
+      val pairSpace = n * (n - 1) / 2
+      assert(candidates.toDouble / pairSpace < 0.05,
+        s"gated config must prune >95%: $candidates of $pairSpace")
+    } finally corpus.unpersist(blocking = false)
+  }
+
+  test("LSH near-dup plan has no quadratic nested-loop pair join (gated config)") {
+    val df = Similarity.lshCosineNearDups(Similarity.plantedTwinCorpus(emb),
+      Similarity.GatedThreshold, Similarity.GatedTables, Similarity.GatedBits)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
