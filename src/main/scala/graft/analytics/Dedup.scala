@@ -134,6 +134,19 @@ object Dedup {
     * Returns (doc_id, cluster_id = min doc_id in the component).
     */
   def clusters(docIds: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = docIds.sparkSession
+    // Per-round checkpoint flavor. localCheckpoint blocks are executor-
+    // resident and unreplicated: with lineage truncated, one executor
+    // loss mid-iteration makes every later round unrecoverable — fine on
+    // local[n] (one JVM), a reliability scale-killer for a multi-hour
+    // cluster dedup. When the caller configured a reliable checkpoint dir
+    // (sc.setCheckpointDir — HDFS/S3-backed, replayable after executor
+    // loss), use real checkpoints; localCheckpoint stays the local-mode
+    // fast path. Both modes are eager and produce identical labels
+    // (DedupSpec asserts it).
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val edges = pairs.select(col("a_id"), col("b_id"))
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .cache()
@@ -145,17 +158,16 @@ object Dedup {
         .join(labels, col("b_id") === col("doc_id"))
         .groupBy(col("a_id").as("doc_id"))
         .agg(min("cluster_id").as("n_min"))
-      // Eager localCheckpoint — not cache() — each round: cache keeps the
+      // Eager checkpoint — not cache() — each round: cache keeps the
       // FULL plan lineage, so round k's plan contains every prior round
       // and the final plan re-derives the whole history (measured as a
       // 472-scan physical plan before the fix). Checkpointing truncates
       // the lineage to the materialized rows, keeping every round's plan
       // O(1): one edge join against last round's checkpoint.
-      val next = labels
+      val next = truncate(labels
         .join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("__old"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id")))
       // The checkpoint already materialized the round; the convergence
       // check is a cheap scan of the in-memory rows.
       converged = next.filter(col("cluster_id") =!= col("__old")).count() == 0
@@ -167,10 +179,13 @@ object Dedup {
         .warn(s"label propagation did not converge in $maxIters rounds; " +
           "components wider than that remain split")
     edges.unpersist()
-    // Checkpointed: lineage-free, and the per-round checkpoint storage is
-    // released by the ContextCleaner once each superseded round's RDD is
-    // unreferenced — no caller-side release needed (labels are 2 longs per
-    // doc, orders of magnitude under the corpus they describe).
+    // Checkpointed: lineage-free, and the per-round storage is released
+    // once each superseded round's RDD is unreferenced — local blocks by
+    // the ContextCleaner via GC; reliable checkpoint files additionally
+    // need spark.cleaner.referenceTracking.cleanCheckpoints=true (else
+    // they persist until the checkpoint dir is cleaned — the durable-by-
+    // default trade). Labels are 2 longs per doc, orders of magnitude
+    // under the corpus they describe.
     labels
   }
 

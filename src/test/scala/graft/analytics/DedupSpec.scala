@@ -65,6 +65,22 @@ class DedupSpec extends SparkSpec {
       6L -> 6L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("clusters: reliable-checkpoint mode matches localCheckpoint labels exactly") {
+    val ids = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L)).toDF("a_id", "b_id")
+    def run() = Dedup.clusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = run() // no checkpoint dir configured → localCheckpoint path
+    val ckptDir = tmpDir("reliable-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val viaReliable = run() // dir configured → checkpoint(eager) path
+    assert(viaReliable == viaLocal)
+    // Prove the reliable path actually engaged: the dir received RDD data.
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(wrote, s"expected reliable checkpoint data under $ckptDir")
+  }
+
   test("dedupedCorpus keeps exactly one canonical doc per twin cluster") {
     val planted = docs.select(col("doc_id"), col("text")).unionByName(
       docs.select((col("doc_id") + 100000L).as("doc_id"),
