@@ -7,10 +7,17 @@ package graft
   * `count()` would let Catalyst prune projections and undercount the real
   * work). Queries run in name order for stable attribution; AQE is left on
   * (Spark 4 default) so runtime re-planning is part of what we measure.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and reports
+  * the per-query MIN: single-shot numbers on a shared host swing up to
+  * ~2× under concurrent JVM load (the r2 71.6 s-vs-47.0 s adjudication),
+  * and the min is the run least polluted by external noise — the number
+  * that tracks plan changes rather than host weather.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     // Warm the JVM/codegen paths once so the first timed query doesn't
@@ -19,17 +26,19 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          true
+          (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+            -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      // A query that failed any rep reports -1 (failures must stay loud).
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
