@@ -49,4 +49,35 @@ class PlanAuditSpec extends SparkSpec {
     val s = stats("q32_event_sessions")
     assert(s.shuffles <= 2, s"q32 should shuffle once on user_id: $s")
   }
+
+  test("q23 as-of join stays an equi-join + window (no range nested loop)") {
+    val s = stats("q23_asof_latest_order")
+    assert(s.nestedLoops == 0, s"q23 must not regress to a range nested loop: $s")
+    assert(s.shuffles <= 8, s"q23 shuffles regressed: $s")
+  }
+
+  test("q28 IVF search keeps the probe join broadcast") {
+    val s = stats("q28_knn_ivf")
+    assert(s.broadcast >= 1, s"q28 probe join must broadcast: $s")
+    assert(s.nestedLoops == 0, s"q28 must stay cell-bucketed: $s")
+  }
+
+  test("round-2 queries keep their audited shuffle budgets (PLANS.md)") {
+    // Ceilings ≈2× the audited Exchange counts (AQE prints each logical
+    // shuffle twice); a category regression (an extra join shuffle, a
+    // window losing its partitioning reuse) blows through 2×.
+    val budgets = Seq(
+      "q34_ratings_summary" -> 8, // audited 4
+      "q35_hash_split" -> 4, // audited 2
+      "q36_contamination" -> 8, // audited 6 (incl. broadcast build)
+      "q37_stratified_sample" -> 4, // audited 2
+      "q38_top_tokens" -> 8, // audited 4
+      "q39_sequence_packing" -> 4, // audited 2
+      "q40_pii_scrub" -> 4) // audited 2
+    budgets.foreach { case (name, ceiling) =>
+      val s = stats(name)
+      assert(s.shuffles <= ceiling, s"$name shuffles regressed: $s (ceiling $ceiling)")
+      assert(s.nestedLoops == 0, s"$name grew a nested-loop join: $s")
+    }
+  }
 }
