@@ -40,7 +40,7 @@ object GraftFunctions {
     ("simhash_sig", es => SimHashSig(es(0), intLit(es(1), "simhash_sig")),
       "simhash_sig(text, n) - 64-bit SimHash signature over word n-gram shingles"),
     ("jaccard_sets", es => JaccardSets(es(0), es(1)),
-      "jaccard_sets(a, b) - exact Jaccard of two distinct bigint-array sets (fused sort-merge pass)"),
+      "jaccard_sets(a, b) - exact set-semantics Jaccard of two bigint arrays (duplicates count once, null is one member; fused sort-merge pass)"),
     ("duration_mmss", es => durationExpr(es(0)),
       "duration_mmss(secs) - seconds to '<M>m <S>s' with uncapped minutes"))
 

@@ -101,15 +101,40 @@ object IvfIndex {
       val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".staging_${p.getName}")
       model.centroids.toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      if (hfs.exists(p)) hfs.delete(p, true)
+      // Two-rename swap with a .bak, the Checkpoints/History pattern: a
+      // crash between the renames leaves the backup, which recover()
+      // restores — never a window with no model at all (delete-then-
+      // rename had one, and no recovery if the process died inside it).
+      recover(hfs, p)
+      val bak = bakPath(p)
+      if (hfs.exists(bak)) hfs.delete(bak, true)
+      if (hfs.exists(p) && !hfs.rename(p, bak))
+        sys.error(s"model save: backup rename of $path failed")
       if (!hfs.rename(tmp, p)) sys.error(s"model save: rename into $path failed")
+      hfs.delete(bak, true)
     }
 
-  /** Load a persisted model; centroid order/ids round-trip exactly. */
+  private def bakPath(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p.getParent, s".bak_${p.getName}")
+
+  private def recover(hfs: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): Unit = {
+    val bak = bakPath(p)
+    if (!hfs.exists(p) && hfs.exists(bak)) hfs.rename(bak, p)
+  }
+
+  /** Load a persisted model; centroid order/ids round-trip exactly.
+    * Takes the same per-path lock as [[save]] (a read mid-swap would see
+    * a missing dir) and restores the .bak if a crashed save left one.
+    */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
-    Model(spark.read.parquet(path).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
-      .sortBy(_._1).toSeq)
+    graft.core.PathLocks.forPath(path).synchronized {
+      val p = new org.apache.hadoop.fs.Path(path)
+      recover(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      Model(spark.read.parquet(path).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1).toSeq)
+    }
 
   /** Index the corpus: adds the `cell` assignment column. At warehouse
     * scale this is the partition column (`partitionBy("cell")`) so probes

@@ -78,18 +78,39 @@ final class ScheduledLoop(body: () => Unit) {
     * resident-driver deployment; bounded values serve CLI drives and
     * specs).
     */
-  def run(intervalMs: Long, maxTicks: Long = Long.MaxValue): Unit = {
-    val worker = Executors.newSingleThreadExecutor()
+  def run(intervalMs: Long, maxTicks: Long = Long.MaxValue): Unit =
+    run(intervalMs, maxTicks, Executors.newSingleThreadExecutor())
+
+  /** Test seam: inject the worker (e.g. an already-rejected executor) to
+    * exercise the timer-failure path.
+    */
+  private[engine] def run(intervalMs: Long, maxTicks: Long,
+                          worker: java.util.concurrent.ExecutorService): Unit = {
     val timer = Executors.newSingleThreadScheduledExecutor()
     val fired = new AtomicLong(0)
     val done = new CountDownLatch(1)
+    // If the timer task throws (tryStart rethrows an executor rejection),
+    // ScheduledThreadPoolExecutor silently CANCELS the periodic task — a
+    // bounded run() would then wait on the latch forever. Catch, record,
+    // release the latch, and rethrow after cleanup so the caller gets a
+    // diagnosable error instead of a hang.
+    val timerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     timer.scheduleAtFixedRate(() => {
-      if (fired.incrementAndGet() <= maxTicks) tryStart(worker)
-      if (fired.get >= maxTicks) done.countDown()
+      try {
+        if (fired.incrementAndGet() <= maxTicks) tryStart(worker)
+        if (fired.get >= maxTicks) done.countDown()
+      } catch {
+        case t: Throwable =>
+          timerFailure.set(t)
+          done.countDown()
+          throw t // let the executor cancel the (now-broken) schedule
+      }
     }, 0, intervalMs, TimeUnit.MILLISECONDS)
     done.await()
     timer.shutdownNow()
     worker.shutdown() // lets an in-flight body finish
     worker.awaitTermination(Long.MaxValue, TimeUnit.MILLISECONDS)
+    Option(timerFailure.get).foreach(t =>
+      throw new IllegalStateException(s"scheduled loop timer failed after ${fired.get} ticks", t))
   }
 }

@@ -102,29 +102,55 @@ object SketchKernels {
     out
   }
 
-  /** Exact Jaccard of two DISTINCT-element long-array sets in one fused
-    * pass: copy, sort, merge-count the intersection (|∪| = |a|+|b|−|∩|).
-    * Replaces the `size(array_intersect)/size(array_union)` formulation,
-    * which allocates two intermediate arrays and hashes both inputs twice
-    * per pair — this is the per-candidate hot verify of every LSH text
-    * pipeline.
+  /** Exact Jaccard of two long-array columns under SET semantics in one
+    * fused pass: copy, sort, dedupe, merge-count the intersection
+    * (|∪| = |a|+|b|−|∩|). Value-identical to
+    * `size(array_intersect)/size(array_union)` for EVERY input — duplicate
+    * elements count once and a null element is one set member (equal only
+    * to another null), exactly as the array functions treat them — except
+    * ∅/∅ which returns 0.0 instead of the SQL form's division by zero.
+    * Replaces that formulation in the hot path: it allocates two
+    * intermediate arrays and hashes both inputs twice per pair — this is
+    * the per-candidate verify of every LSH text pipeline.
     */
   def jaccardLongSets(a: ArrayData, b: ArrayData): Double = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    if (na == 0 && nb == 0) return 0.0
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
-    java.util.Arrays.sort(xs)
-    java.util.Arrays.sort(ys)
+    val (xs, nx, nullA) = distinctSorted(a)
+    val (ys, ny, nullB) = distinctSorted(b)
     var i = 0; var j = 0; var inter = 0
-    while (i < na && j < nb) {
+    while (i < nx && j < ny) {
       val x = xs(i); val y = ys(j)
       if (x == y) { inter += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
     }
-    inter.toDouble / (na + nb - inter).toDouble
+    if (nullA && nullB) inter += 1
+    val sa = nx + (if (nullA) 1 else 0)
+    val sb = ny + (if (nullB) 1 else 0)
+    val union = sa + sb - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Non-null elements sorted and deduped in place; returns (buffer,
+    * distinct count, sawNull). One linear pass over the sorted run — noise
+    * next to the sort for the already-distinct arrays the LSH verify
+    * feeds through here.
+    */
+  private def distinctSorted(a: ArrayData): (Array[Long], Int, Boolean) = {
+    val n = a.numElements()
+    val buf = new Array[Long](n)
+    var m = 0; var hasNull = false; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) hasNull = true
+      else { buf(m) = a.getLong(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(buf, 0, m)
+    var w = 0; i = 0
+    while (i < m) {
+      if (w == 0 || buf(w - 1) != buf(i)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    (buf, w, hasNull)
   }
 
   // Entry points used from generated code (one static call per row).
@@ -174,8 +200,10 @@ case class MinHashSig(child: Expression, shingleN: Int) extends SketchExpression
     copy(child = newChild)
 }
 
-/** Exact Jaccard similarity of two distinct-element long-set columns —
-  * the fused candidate-verify kernel (see [[SketchKernels.jaccardLongSets]]).
+/** Exact set-semantics Jaccard similarity of two long-array columns —
+  * the fused candidate-verify kernel (see [[SketchKernels.jaccardLongSets]]);
+  * duplicates and null elements behave exactly as in
+  * `size(array_intersect)/size(array_union)`.
   */
 case class JaccardSets(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {

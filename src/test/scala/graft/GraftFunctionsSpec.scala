@@ -73,6 +73,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(edge.filter(graft.functions.jaccardSets(col("a"), col("b")) =!= col("want")).count() == 0)
   }
 
+  test("jaccard_sets keeps set semantics on duplicate and null elements") {
+    GraftFunctions.register(spark)
+    // Duplicates count once: {1} vs {1} = 1.0, not |{1,1}∩{1}|-style 0.5.
+    assert(spark.sql("SELECT jaccard_sets(array(1L,1L), array(1L)) AS j")
+      .head().getDouble(0) == 1.0)
+    // A null element is ONE set member, equal only to another null —
+    // exactly array_intersect/array_union behavior.
+    val r = spark.sql(
+      """SELECT
+        |  jaccard_sets(array(1L, CAST(NULL AS BIGINT)), array(1L)) AS a,
+        |  jaccard_sets(array(1L, CAST(NULL AS BIGINT)),
+        |               array(1L, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))) AS b,
+        |  size(array_intersect(array(1L, CAST(NULL AS BIGINT)), array(1L))) /
+        |    size(array_union(array(1L, CAST(NULL AS BIGINT)), array(1L))) AS a_ref
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(0) == r.getDouble(2), "must match the array-function form")
+  }
+
   test("extensions entry point registers the same builders") {
     // The extensions class wires GraftFunctions.builders verbatim; assert
     // the registry wiring is exercised (builder list is shared).

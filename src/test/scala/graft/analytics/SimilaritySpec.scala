@@ -74,6 +74,19 @@ class SimilaritySpec extends SparkSpec {
     assert(run(loaded).sameElements(run(model)))
   }
 
+  test("IVF model load recovers a crashed save's backup") {
+    val model = IvfIndex.train(emb, k = 4, iters = 1)
+    val path = tmpDir("ivf-crash") + "/model"
+    IvfIndex.save(spark, model, path)
+    // Simulate a death between rename(live→bak) and rename(tmp→live): the
+    // live dir is gone, only the backup remains.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(p, new org.apache.hadoop.fs.Path(p.getParent, s".bak_${p.getName}")))
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.centroids == model.centroids, "load must restore the .bak")
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
     assert(Similarity.hyperplanes(4, 8, seed = 1) != Similarity.hyperplanes(4, 8, seed = 2))

@@ -51,6 +51,20 @@ class ScheduledLoopSpec extends AnyFunSuite {
     assert(loop.tick())
   }
 
+  test("a timer-task failure surfaces as an error instead of hanging run()") {
+    // The documented hazard: the worker rejects (shut down), tryStart
+    // rethrows inside the timer task, and ScheduledThreadPoolExecutor
+    // cancels the schedule — before the fix a bounded run() hung forever.
+    val loop = new ScheduledLoop(() => ())
+    val dead = java.util.concurrent.Executors.newSingleThreadExecutor()
+    dead.shutdown()
+    val err = intercept[IllegalStateException] {
+      loop.run(intervalMs = 10, maxTicks = 3, worker = dead)
+    }
+    assert(err.getMessage.contains("timer failed"))
+    assert(err.getCause.isInstanceOf[java.util.concurrent.RejectedExecutionException])
+  }
+
   test("fixed-rate loop coalesces overlapping ticks and drains the last body") {
     var n = 0
     // Body takes ~3 intervals: of 6 ticks, most must be suppressed and
