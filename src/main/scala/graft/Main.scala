@@ -116,6 +116,17 @@ object Main {
       println(res.summary)
       spark.stop()
 
+    case "curate" :: in :: out :: rest =>
+      // End-to-end curation pipeline: dedup → split → pack → shards (the
+      // training-data deliverable as one driven verb).
+      val spark = session()
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.7)
+      val maxPerFile = rest.drop(1).headOption.map(_.toLong).getOrElse(10000L)
+      val report = graft.analytics.Curate.run(spark, in, out,
+        threshold = threshold, maxRecordsPerFile = maxPerFile)
+      println(report.summary)
+      spark.stop()
+
     case "report" :: wh :: out :: Nil =>
       // Build the staff report from warehouse tables and write the JSON
       // array artifact (reference scraper.py:69-71).
@@ -142,6 +153,7 @@ object Main {
            |  scheduled-loop <warehouseDir> <sources> <collections-csv> <minutes> [maxTicks]
            |  stream <warehouseDir> <srcDir> <collection>
            |  load <warehouseDir> <file> <collection> [overwrite|merge]
+           |  curate <docsParquet> <outDir> [threshold] [maxRecordsPerFile]
            |  report <warehouseDir> <outFile.json>
            |  logs <warehouseDir> [limit]
            |  health <warehouseDir>

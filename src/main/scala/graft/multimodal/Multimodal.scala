@@ -126,6 +126,44 @@ object Multimodal {
       |  max(md5(text)) AS max_md5
       |FROM documents GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Frame-sampling behavior check: run [[sampleFrames]] (32-byte frames,
+    * every 2nd) over the documents-as-blobs corpus and report, per media,
+    * the sampled-frame count and the content hash of frame 0 — turning
+    * the frame-sampling surface from metadata-only to behavior-checked.
+    * The corpus is ASCII word-soup, so DuckDB's VARCHAR substring slices
+    * the same bytes Spark's binary substr does (DuckDB 1.0 has no BLOB
+    * substring), and md5-over-text parity is the q22 precedent.
+    */
+  def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      col("source"),
+      col("text").cast("binary").as("media"))
+    sampleFrames(media, frameBytes = 32, everyNth = 2)
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        min(when(col("frame_idx") === 0, md5(col("frame_bytes")))).as("first_frame_md5"))
+      .join(media.select("media_id", "source"), "media_id")
+      .select(col("media_id"), col("source"), col("n_frames"), col("first_frame_md5"))
+  }
+
+  private val frameSampleStatsSql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, source, text AS media FROM documents
+      |), frames AS (
+      |  SELECT media_id, source, i AS frame_idx,
+      |    substring(media, CAST(i * 32 + 1 AS BIGINT), 32) AS fb
+      |  FROM media, LATERAL (
+      |    SELECT unnest(range(0, CAST(ceil(length(media) / 32.0) AS BIGINT))) AS i) t
+      |  WHERE i % 2 = 0
+      |)
+      |SELECT media_id, source, CAST(count(*) AS BIGINT) AS n_frames,
+      |  min(CASE WHEN frame_idx = 0 THEN md5(fb) END) AS first_frame_md5
+      |FROM frames GROUP BY media_id, source""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)))
+    NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)),
+    NamedQuery("q41_frame_sample_stats", frameSampleStats _, Some(frameSampleStatsSql)))
 }
