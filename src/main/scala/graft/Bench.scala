@@ -13,11 +13,26 @@ package graft
   * ~2× under concurrent JVM load (the r2 71.6 s-vs-47.0 s adjudication),
   * and the min is the run least polluted by external noise — the number
   * that tracks plan changes rather than host weather.
+  *
+  * The JSON line additionally records `/proc/loadavg` before and after the
+  * run plus every per-rep time (`reps`), so a load-polluted artifact is
+  * self-identifying (the r3 adjudication: a recorded 52 s total that a
+  * quiet re-run measured at 25.5 s) — a reader can see both the host
+  * pressure and the rep spread without re-running anything.
   */
 object Bench {
+  /** First three /proc/loadavg fields as a JSON array ("[]" off-Linux). */
+  private def loadavg(): String =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3)
+      parts.mkString("[", ",", "]")
+    } catch { case _: Exception => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val loadPre = loadavg()
     val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     // Warm the JVM/codegen paths once so the first timed query doesn't
@@ -38,12 +53,17 @@ object Bench {
         }
       }
       // A query that failed any rep reports -1 (failures must stay loud).
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      (name, if (times.exists(_ < 0)) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadPost = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost,"reps":$repJson}""")
     spark.stop()
   }
 }

@@ -203,12 +203,52 @@ object Dedup {
       .drop("__did", "__cid")
   }
 
+  // ------------------------------------------------------- oracle SQL
+  /** DuckDB CTE chain computing exact word-n-gram-Jaccard pairs ≥
+    * `threshold` over a `corpus(doc_id, text, …)` CTE the caller supplies:
+    * shingles are exploded and equi-joined so only pairs sharing a shingle
+    * are ever scored (|∩| from the group count, |∪| = |a|+|b|−|∩|) — the
+    * oracle stays near-linear instead of 3-gram-intersecting all n²/2
+    * pairs. This is the SAME quantity the LSH pipeline verifies per
+    * candidate (Jaccard over hashed shingles == Jaccard over shingle
+    * strings modulo 64-bit collisions), so the LSH queries are
+    * hash-checkable: recall 1.0 on the harness corpora is established by
+    * DedupSpec's brute-force comparison, and this SQL recomputes the exact
+    * answer independently.
+    */
+  private[analytics] def exactPairCtes(threshold: Double): String = {
+    val gram = (0 until ShingleN).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0) AS toks FROM corpus
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= $ShingleN THEN
+       |    list_distinct(list_transform(generate_series(1, len(toks)-${ShingleN - 1}),
+       |      i -> $gram))
+       |    ELSE []::VARCHAR[] END AS ws
+       |  FROM toks
+       |), sizes AS (
+       |  SELECT doc_id, len(ws) AS sz FROM sh
+       |), sh_ex AS (
+       |  SELECT doc_id, unnest(ws) AS s FROM sh
+       |), inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM sh_ex a JOIN sh_ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a_id, b_id
+       |  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= $threshold
+       |)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q17
   /** Per-doc near-dup summary via MinHash LSH (threshold 0.7). Per-doc so
     * the output is non-empty and stable regardless of how many pairs
-    * exist. Not ANSI-SQL-expressible (murmur3 hash family) → rows-only
-    * driver check; exactness is covered by DedupSpec against a brute-force
-    * Jaccard oracle.
+    * exist. Oracle-checked: the output is the count of exact-Jaccard
+    * partners ≥ 0.7 (LSH candidates are verified with exact Jaccard, and
+    * candidate recall is 1.0 on the harness corpora — DedupSpec asserts
+    * pair-set equality with the brute-force baseline), so DuckDB's exact
+    * shingle-Jaccard pair count is the same number.
     */
   /** Pairs → per-doc partner counts (symmetric). */
   private def pairCountsPerDoc(pairs: DataFrame, as: String): DataFrame =
@@ -223,6 +263,18 @@ object Dedup {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
   }
+
+  private val minHashSummarySql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |), ${exactPairCtes(0.7)},
+       |per AS (
+       |  SELECT doc_id, count(*) AS n FROM (
+       |    SELECT a_id AS doc_id FROM pairs UNION ALL SELECT b_id AS doc_id FROM pairs)
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_neardups
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q18
   /** Per-doc SimHash signature + candidate count at hamming ≤ 3. Rows-only
@@ -240,8 +292,13 @@ object Dedup {
   // ---------------------------------------------------------------- q30
   /** Deduplicated-corpus summary: per source, docs before and after the
     * full LSH → cluster → keep-canonical pass over a corpus with planted
-    * twins (each doc unioned with a re-keyed near-copy). Rows-only (LSH),
-    * but deterministic; cluster exactness is asserted in DedupSpec.
+    * twins (each doc unioned with a re-keyed near-copy). Oracle-checked
+    * end to end: DuckDB recomputes the exact Jaccard pair set
+    * ([[exactPairCtes]]) and the connected components via a recursive-CTE
+    * transitive closure (min reachable id == the label-propagation
+    * fixpoint), then the same keep-min-id-per-cluster counts — so the
+    * whole dedup pipeline (LSH candidates → exact verify → clustering →
+    * canonical winners) is hash-gated against an independent engine.
     */
   def dedupCorpusSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -270,8 +327,35 @@ object Dedup {
     } finally planted.unpersist(blocking = false)
   }
 
+  private val dedupCorpusSummarySql =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text, source FROM documents
+       |), ${exactPairCtes(0.7)},
+       |edges AS (
+       |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON r.dst = e.a_id
+       |),
+       |labels AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+       |),
+       |kept AS (
+       |  SELECT c.source FROM corpus c
+       |  JOIN labels l ON c.doc_id = l.doc_id AND c.doc_id = l.cluster_id
+       |),
+       |bef AS (SELECT source, count(*) AS n_before FROM corpus GROUP BY 1),
+       |aft AS (SELECT source, count(*) AS n_after FROM kept GROUP BY 1)
+       |SELECT b.source, CAST(b.n_before AS BIGINT) AS n_before,
+       |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+       |FROM bef b LEFT JOIN aft a ON b.source = a.source""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery.rowsOnly("q17_minhash_neardups")(minHashSummary _),
+    NamedQuery("q17_minhash_neardups", minHashSummary _, Some(minHashSummarySql)),
     NamedQuery.rowsOnly("q18_simhash_signatures")(simHashSummary _),
-    NamedQuery.rowsOnly("q30_dedup_corpus")(dedupCorpusSummary _))
+    NamedQuery("q30_dedup_corpus", dedupCorpusSummary _, Some(dedupCorpusSummarySql)))
 }

@@ -161,16 +161,23 @@ object IvfIndex {
   }
 
   // ---------------------------------------------------------------- q28
-  /** IVF ANN top-5 for query vectors vec_id < 10 (k=16 cells, nprobe=4).
-    * Rows-only (training is iterative); recall vs the exact baseline is
-    * asserted in SimilaritySpec.
+  /** IVF ANN top-5 over the planted-margin corpus (k=16 cells, nprobe=4),
+    * query vectors vec_id < 10. Each planted twin sits within ~0.11 of its
+    * query (cosine ≥ 0.992 vs a natural max ≈ 0.48), so the twins share
+    * the query's cell (or a probed neighbor cell) and the IVF answer is
+    * the exact top-5 — hash-checked against the shared exact-kNN oracle
+    * ([[Similarity.plantedKnnSql]]), with equality against the brute-force
+    * baseline additionally CI-audited at every harness SF by
+    * AnnExactnessSpec. Training is deterministic (min-id init, pure Lloyd
+    * steps), so the cell layout — and with it the query result — is
+    * reproducible run to run.
     */
   def ivfKnn(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val emb = graft.core.Tables.embeddings(spark, dir)
-    val model = train(emb, k = 16, iters = 2)
-    search(index(emb, model), emb.filter(col("vec_id") < 10), model, k = 5, nprobe = 4)
+    val corpus = Similarity.plantedKnnCorpus(graft.core.Tables.embeddings(spark, dir))
+    val model = train(corpus, k = 16, iters = 2)
+    search(index(corpus, model), corpus.filter(col("vec_id") < 10), model, k = 5, nprobe = 4)
   }
 
   val queries: Seq[graft.NamedQuery] = Seq(
-    graft.NamedQuery.rowsOnly("q28_knn_ivf")(ivfKnn _))
+    graft.NamedQuery("q28_knn_ivf", ivfKnn _, Some(Similarity.plantedKnnSql)))
 }

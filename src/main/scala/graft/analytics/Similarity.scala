@@ -106,6 +106,46 @@ object Similarity {
     topK(scored, k, idCol)
   }
 
+  /** ANN top-k via multi-table LSH (OR-amplification): a candidate is any
+    * corpus vector sharing a bucket code with the query in ANY of
+    * `nTables` independent tables of `bitsPerTable` sign bits — the
+    * recall knob single-table multi-probe lacks: the miss probability per
+    * true neighbor is (1 − p^b)^L (p = per-bit collision, see
+    * [[lshCandidatePairs]]), tunable to arbitrary exactness headroom.
+    *
+    * Plan shape at scale: the corpus is scanned twice (one signature pass
+    * → posexplode of (table, bucket) ids only — vectors are NEVER carried
+    * through the ×L explode — and one verify pass), shuffled never: the
+    * query bucket set and candidate id set are broadcast, and only the
+    * (query × candidate) scored rows reach the top-k window.
+    */
+  def annKnnMultiTable(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nTables: Int = 24, bitsPerTable: Int = 12, seed: Long = 42L,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dimRow = corpus.agg(max(size(col(vecCol)))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).filter(_ > 0)
+    if (dimRow.isEmpty)
+      return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("score_r")).limit(0)
+    val flat = hyperplanesFlat(nTables * bitsPerTable, dimRow.get, seed)
+    val qsig = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qBuckets = qsig
+      .select(col("query_id"),
+        posexplode(graft.functions.hyperplaneBuckets(col("q_vec"), flat, bitsPerTable, nTables)))
+      .toDF("query_id", "tbl", "bk")
+    val cBuckets = corpus.select(col(idCol),
+      posexplode(graft.functions.hyperplaneBuckets(col(vecCol), flat, bitsPerTable, nTables)))
+      .toDF(idCol, "tbl", "bk")
+    val cands = cBuckets.join(broadcast(qBuckets), Seq("tbl", "bk"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol)).distinct()
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(qsig), Seq("query_id"))
+      .withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol)))
+    topK(scored, k, idCol)
+  }
+
   /** Exact cosine scoring of explicit (a_id, b_id) pairs. Norms are
     * computed ONCE per vector before the pair join (O(n·d)), so the pair
     * space only pays a fused dot-product loop — no per-pair array
@@ -243,13 +283,66 @@ object Similarity {
       |QUALIFY rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------- q20
-  /** Multi-probe LSH ANN top-5 for the same query set — rows-only (the
-    * bucket assignment uses a seeded hyperplane set not expressible in
-    * SQL); recall vs the exact baseline is asserted in SimilaritySpec.
+  /** The planted-margin kNN corpus: every embedding (cast to double) plus,
+    * for each query id (`vec_id < nQueries`), `twinsPerQuery` planted
+    * near-twins at 100000 + q·10 + t, element i offset by
+    * ((q·31 + t·7 + i) % 97 − 48) / 2000 — integer-derived, exact in IEEE
+    * double in any engine. Twin cosine ≈ 0.992–0.996 vs the corpus's
+    * natural max ≈ 0.48, so the TRUE top-`twinsPerQuery` of every query
+    * is exactly its twin set, with a ~0.5 margin any correct ANN must
+    * recover — which is what turns the ANN queries from rows-only into
+    * hash-matched oracle rows (DuckDB computes the exact kNN).
+    */
+  def plantedKnnCorpus(emb: DataFrame, nQueries: Int = 10, twinsPerQuery: Int = 5,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    // As in plantedTwinCorpus: the source id rides under a non-shadowed
+    // name so the transform lambda reads the ORIGINAL id, not the twin's.
+    val twins = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("__src"), col(vecCol))
+      .withColumn("__t", explode(sequence(lit(0), lit(twinsPerQuery - 1))))
+      .select(
+        (lit(100000L) + col("__src") * 10 + col("__t")).as(idCol),
+        transform(col(vecCol), (x, i) =>
+          x + ((col("__src") * 31 + col("__t") * 7 + i) % 97 - 48) / lit(2000.0)).as(vecCol))
+    base.unionByName(twins)
+  }
+
+  /** Exact top-5 kNN over [[plantedKnnCorpus]] in DuckDB — the shared
+    * oracle for both ANN variants (q20 LSH, q28 IVF): an approximate
+    * index that recovers the planted margin produces exactly this.
+    */
+  private[analytics] val plantedKnnSql =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      |), corpus AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT 100000 + b.vec_id * 10 + t.t AS vec_id,
+      |         list_transform(b.embedding,
+      |           (x, i) -> x + ((b.vec_id * 31 + t.t * 7 + i - 1) % 97 - 48) / 2000.0) AS embedding
+      |  FROM base b, (SELECT unnest(range(0, 5)) AS t) t
+      |  WHERE b.vec_id < 10
+      |)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  row_number() OVER (PARTITION BY q.vec_id
+      |                     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank,
+      |  round(list_cosine_similarity(q.embedding, c.embedding), 4) AS score_r
+      |FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5""".stripMargin
+
+  /** Multi-table LSH ANN top-5 over the planted-margin corpus, gated
+    * config (24 × 12-bit tables): per-twin miss probability
+    * (1 − 0.96¹²)²⁴ ≈ 1e-10 (planted cosine ≥ 0.992 ⇒ per-bit p ≥ 0.96),
+    * so the ANN answer IS the exact answer — hash-checked against
+    * [[plantedKnnSql]], with recall additionally CI-audited at every
+    * harness SF by AnnExactnessSpec.
     */
   def knnAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    annKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+    val corpus = plantedKnnCorpus(Tables.embeddings(spark, dir))
+    annKnnMultiTable(corpus, corpus.filter(col("vec_id") < 10), k = 5,
+      nTables = GatedTables, bitsPerTable = GatedBits)
   }
 
   // ---------------------------------------------------------------- q21
@@ -319,6 +412,6 @@ object Similarity {
 
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q19_knn_brute", knnBrute _, Some(knnBruteSql)),
-    NamedQuery.rowsOnly("q20_knn_ann")(knnAnn _),
+    NamedQuery("q20_knn_ann", knnAnn _, Some(plantedKnnSql)),
     NamedQuery("q21_embedding_neardups", embNearDups _, Some(embNearDupsSql)))
 }

@@ -42,15 +42,20 @@ object Multimodal {
                               features: Array[Float])
 
   /** Wrap any (id, kind, bytes, format) DataFrame into the canonical media
-    * schema, computing the typed metadata column.
+    * schema, computing the typed metadata column. `keep` columns ride
+    * along — passing ancillary columns (source, split, …) through here
+    * keeps downstream aggregations single-scan and join-free; the
+    * alternative (drop + re-join on media_id) broadcasts the whole
+    * (id, extra) map at small scale and degrades to a shuffle of full
+    * binary blobs beyond the broadcast limit.
     */
-  def toMediaTable(df: DataFrame): DataFrame =
+  def toMediaTable(df: DataFrame, keep: Seq[String] = Nil): DataFrame =
     df.select(
-      col("media_id"), col("kind"), col("media"),
-      struct(
-        length(col("media")).cast("long").as("byte_len"),
-        md5(col("media")).as("content_md5"),
-        col("declared_format")).as("meta"))
+      Seq(col("media_id"), col("kind"), col("media"),
+        struct(
+          length(col("media")).cast("long").as("byte_len"),
+          md5(col("media")).as("content_md5"),
+          col("declared_format")).as("meta")) ++ keep.map(col): _*)
 
   /** ??? — real decoder goes here. The stub is deterministic: dimensions
     * and an 8-dim feature vector derived from the content hash, so tests
@@ -79,7 +84,8 @@ object Multimodal {
     * one row per sampled frame with its offset — pure Spark expressions,
     * rows carry only the slice.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int,
+                   keep: Seq[String] = Nil): DataFrame = {
     val nFrames = ceil(length(col("media")).cast("double") / frameBytes).cast("int")
     // sequence(a, b) counts DOWN when b < a — an empty blob (nFrames = 0)
     // must yield no frames, not indices [0, -1].
@@ -89,10 +95,10 @@ object Multimodal {
       .withColumn("frame_idx", explode(frameIdx))
       .filter(col("frame_idx") % everyNth === 0)
       .select(
-        col("media_id"),
-        col("frame_idx"),
-        col("media").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
-          .as("frame_bytes"))
+        Seq(col("media_id"),
+          col("frame_idx"),
+          col("media").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+            .as("frame_bytes")) ++ keep.map(col): _*)
   }
 
   // ---------------------------------------------------------------- q22
@@ -110,7 +116,7 @@ object Multimodal {
       col("text").cast("binary").as("media"),
       lit("utf8").as("declared_format"),
       col("source"))
-    toMediaTable(media.drop("source")).join(media.select("media_id", "source"), "media_id")
+    toMediaTable(media, keep = Seq("source"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_media"),
@@ -140,12 +146,11 @@ object Multimodal {
       col("doc_id").as("media_id"),
       col("source"),
       col("text").cast("binary").as("media"))
-    sampleFrames(media, frameBytes = 32, everyNth = 2)
-      .groupBy("media_id")
+    sampleFrames(media, frameBytes = 32, everyNth = 2, keep = Seq("source"))
+      .groupBy("media_id", "source")
       .agg(
         count(lit(1)).as("n_frames"),
         min(when(col("frame_idx") === 0, md5(col("frame_bytes")))).as("first_frame_md5"))
-      .join(media.select("media_id", "source"), "media_id")
       .select(col("media_id"), col("source"), col("n_frames"), col("first_frame_md5"))
   }
 
