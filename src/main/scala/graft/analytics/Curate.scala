@@ -50,15 +50,22 @@ object Curate {
 
   /** Drive the full pipeline from a documents parquet to a shard
     * directory. Returns the accounting a curation run reports.
+    *
+    * Accounting is one-pass: kept-doc and token totals ride the shard
+    * write via an Observation (previously a `docs.count()` plus a full
+    * re-read of the output dir — two extra data passes), and the input
+    * count comes from parquet footers ([[graft.core.ParquetMeta]]) —
+    * metadata, not a scan.
     */
   def run(spark: SparkSession, docsPath: String, outDir: String,
           threshold: Double = 0.7, budget: Int = TrainingData.PackBudget,
           maxRecordsPerFile: Long = 10000): Report = {
     val docs = spark.read.parquet(docsPath)
-    val shards = ShardWriter.writeShards(
-      curated(docs, threshold, budget), outDir, Seq("split"), maxRecordsPerFile)
-    val totalTokens = spark.read.parquet(outDir)
-      .agg(sum("n_toks")).head().getLong(0)
-    Report(docs.count(), shards.rows, totalTokens, shards)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = curated(docs, threshold, budget)
+      .observe(obs, coalesce(sum("n_toks"), lit(0L)).as("tokens"))
+    val shards = ShardWriter.writeShards(observed, outDir, Seq("split"), maxRecordsPerFile)
+    Report(graft.core.ParquetMeta.rowCount(spark, docsPath), shards.rows,
+      obs.get("tokens").asInstanceOf[Long], shards)
   }
 }

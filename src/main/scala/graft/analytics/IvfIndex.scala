@@ -143,6 +143,39 @@ object IvfIndex {
   def index(corpus: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame =
     corpus.withColumn("cell", assignCell(col(vecCol), model))
 
+  /** Materialize the index in its warehouse layout: one directory per
+    * cell (`partitionBy("cell")`), so a probe's cell filter prunes at
+    * file-listing time — a search lists and scans only `nprobe` of `k`
+    * directories (spec-evidenced by IvfPruneSpec's input-file audit).
+    */
+  def writePartitionedIndex(corpus: DataFrame, model: Model, path: String,
+                            vecCol: String = "embedding"): Unit =
+    index(corpus, model, vecCol).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe-pruned scan of a [[writePartitionedIndex]] layout: the query
+    * set's probed-cell union (≤ |queries|·nprobe ints — metadata-sized,
+    * driver-safe) becomes a STATIC partition filter, so pruning happens at
+    * plan time regardless of join strategy — unlisted cell directories are
+    * never touched.
+    */
+  def prunedIndexScan(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, model: Model, nprobe: Int = 2,
+                      vecCol: String = "embedding"): DataFrame = {
+    val cells = queries
+      .select(explode(nearestCells(col(vecCol), model, nprobe).getField("cell")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+  }
+
+  /** [[search]] against an on-disk partitioned index, scanning only the
+    * probed cell directories.
+    */
+  def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, model: Model, k: Int, nprobe: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    search(prunedIndexScan(spark, path, queries, model, nprobe, vecCol),
+      queries, model, k, nprobe, idCol, vecCol)
+
   /** ANN top-k: each query probes its `nprobe` nearest cells, exact cosine
     * within them.
     */

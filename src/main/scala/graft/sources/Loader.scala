@@ -9,9 +9,10 @@ import graft.warehouse.MergeWriter
   * sniff format, stream-parse, batch-load into the warehouse, report
   * loaded/failed counts per collection (dump.py:61-114,172-220).
   *
-  * Counts are computed scalably: good rows from the DROPMALFORMED scan,
-  * malformed = non-blank physical lines minus good rows (no caching of the
-  * parsed data, no driver materialization).
+  * Counts are computed scalably: the good-row count rides the load's own
+  * write via an Observation (no second parse pass), malformed = non-blank
+  * physical lines (a cheap text scan, no JSON parsing) minus good rows —
+  * no caching of the parsed data, no driver materialization.
   */
 object Loader {
 
@@ -31,15 +32,17 @@ object Loader {
     require(graft.core.Settings.validCollectionName(collection),
       s"invalid collection name '$collection'")
     val fmt = Readers.detectFormat(spark, filePath)
-    val df = Readers.load(spark, filePath)
+    val raw = Readers.load(spark, filePath)
 
-    val malformed = fmt match {
-      case Readers.Ndjson =>
-        val physical = spark.read.text(filePath)
-          .filter(length(trim(col("value"))) > 0).count()
-        physical - df.count()
-      case _ => 0L
+    // NDJSON malformed accounting: the parsed-good count is observed on
+    // the load's own evaluation (MergeWriter's first action drives the
+    // CollectMetrics node exactly once) instead of a df.count() that
+    // re-parsed the whole file.
+    val obs = fmt match {
+      case Readers.Ndjson => Some(org.apache.spark.sql.Observation())
+      case _              => None
     }
+    val df = obs.map(o => raw.observe(o, count(lit(1)).as("good"))).getOrElse(raw)
 
     val tablePath = s"$warehouseDir/$collection"
     val withKey = if (df.columns.contains(key)) df
@@ -49,6 +52,11 @@ object Loader {
       case "overwrite" => MergeWriter.overwrite(spark, tablePath, withKey, key)
       case other       => sys.error(s"unknown load mode '$other' (overwrite|merge)")
     }
+    val malformed = obs.map { o =>
+      val physical = spark.read.text(filePath)
+        .filter(length(trim(col("value"))) > 0).count()
+      physical - o.get("good").asInstanceOf[Long]
+    }.getOrElse(0L)
     LoadResult(collection, loaded, malformed, mode)
   }
 }

@@ -1,0 +1,97 @@
+package graft.warehouse
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Cross-driver table lease — the honesty fix for MergeWriter's JVM-striped
+  * lock (which serializes writers within ONE driver only): a lease file
+  * beside the table, acquired with an exclusive create, carrying the
+  * holder id and an expiry. A second driver's merge refuses (or waits)
+  * instead of interleaving staging-dir writes with the first.
+  *
+  * Guarantees and limits, stated plainly:
+  *  - On HDFS (and local FS) `create(path, overwrite = false)` is atomic —
+  *    exactly one contender wins. That is the filesystem family the
+  *    warehouse layout targets.
+  *  - On eventually-consistent object stores without atomic create
+  *    (plain S3), this is best-effort advisory locking; deployments there
+  *    should point the lease at an HDFS/consistent path or use an external
+  *    coordinator. Documented, not silently assumed.
+  *  - Expiry handles crashed holders: a lease past its TTL is deleted and
+  *    re-contended (the delete+create race is safe — the loser's create
+  *    fails and it retries). TTL must exceed the longest merge; the
+  *    default is generous because a false takeover is worse than a slow
+  *    wait.
+  *
+  * Opt-in via [[MergeWriter]]'s `lease` parameter: single-driver
+  * deployments (the reference's shape, and every local test) pay nothing.
+  */
+object LeaseLock {
+
+  final case class Lease(path: Path, id: String)
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def leasePath(tablePath: String): Path = {
+    val p = new Path(tablePath)
+    new Path(p.getParent, s".lease_${p.getName}")
+  }
+
+  /** Try to acquire the lease for `tablePath`, polling up to `waitMs`.
+    * Returns None if another unexpired holder kept it the whole time.
+    */
+  def acquire(spark: SparkSession, tablePath: String, ttlMs: Long = 30 * 60 * 1000L,
+              waitMs: Long = 0L, pollMs: Long = 200L): Option[Lease] = {
+    val p = leasePath(tablePath)
+    val hfs = fs(spark, p)
+    val id = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    var attempt = 0
+    while (attempt == 0 || System.currentTimeMillis() <= deadline) {
+      attempt += 1
+      if (tryCreate(hfs, p, id, ttlMs)) return Some(Lease(p, id))
+      // Holder present: take over only if its lease expired (crashed
+      // holder). The delete+create pair can race another taker — only
+      // one create wins, the other loops.
+      readLease(hfs, p) match {
+        case Some((_, expiry)) if System.currentTimeMillis() > expiry =>
+          try hfs.delete(p, false) catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+      if (System.currentTimeMillis() + pollMs <= deadline) Thread.sleep(pollMs)
+      else if (waitMs > 0 && System.currentTimeMillis() <= deadline) Thread.sleep(
+        math.max(1L, deadline - System.currentTimeMillis()))
+    }
+    None
+  }
+
+  /** Release a held lease. Only the holder's own file is removed — if the
+    * lease expired and someone took over, their file (different id) stays.
+    */
+  def release(spark: SparkSession, lease: Lease): Unit = {
+    val hfs = fs(spark, lease.path)
+    readLease(hfs, lease.path) match {
+      case Some((id, _)) if id == lease.id => hfs.delete(lease.path, false)
+      case _ => () // expired + taken over, or already gone
+    }
+  }
+
+  private def tryCreate(hfs: FileSystem, p: Path, id: String, ttlMs: Long): Boolean =
+    try {
+      val out = hfs.create(p, false) // atomic exclusive create on HDFS/local
+      try out.write(s"$id ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def readLease(hfs: FileSystem, p: Path): Option[(String, Long)] =
+    try {
+      val in = hfs.open(p)
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      content.trim.split("\\s+") match {
+        case Array(id, exp) => Some((id, exp.toLong))
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+}

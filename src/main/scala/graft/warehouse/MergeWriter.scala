@@ -37,12 +37,21 @@ object MergeWriter {
   val DefaultNumBuckets = 64
 
   // Writers to the same table must not interleave: the staging dir is per
-  // table and the bucket swap is read-modify-write. All writers in this
-  // single-driver design pass through this object, so a striped JVM lock
-  // per NORMALIZED table path serializes them (SyncService fans out one
-  // Future per source against the same collection table). On a multi-driver
-  // cluster this becomes an external lock or a transactional table format.
+  // table and the bucket swap is read-modify-write. Within ONE driver a
+  // striped JVM lock per NORMALIZED table path serializes them (SyncService
+  // fans out one Future per source against the same collection table).
+  // Across drivers the JVM lock is invisible — pass `lease = true` to
+  // also take the cross-driver [[LeaseLock]] (exclusive-create lease file
+  // beside the table); single-driver deployments pay nothing.
   private def lockFor(tablePath: String): Object = graft.core.PathLocks.forPath(tablePath)
+
+  private def withLease[T](spark: SparkSession, tablePath: String, lease: Boolean)(body: => T): T =
+    if (!lease) body
+    else LeaseLock.acquire(spark, tablePath, waitMs = 60000L) match {
+      case Some(l) => try body finally LeaseLock.release(spark, l)
+      case None => sys.error(s"could not acquire merge lease for $tablePath " +
+        "(another driver holds it; raise waitMs or investigate a stale holder)")
+    }
 
   // The bucket count is a table-creation-time invariant: merging with a
   // different modulus would route existing keys to fresh buckets and
@@ -123,14 +132,22 @@ object MergeWriter {
   def read(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(tablePath).drop(BucketCol)
 
-  /** Overwrite-load (truncate-and-reload, reference dump.py:187-194). */
+  /** Overwrite-load (truncate-and-reload, reference dump.py:187-194).
+    * The loaded count is observed on the write itself — a post-write
+    * re-read-and-count was a second full pass over the table.
+    */
   def overwrite(spark: SparkSession, tablePath: String, df: DataFrame, key: String = "_id",
-                numBuckets: Int = DefaultNumBuckets): Long = lockFor(tablePath).synchronized {
-    val bucketed = df.withColumn(BucketCol, bucketOf(col(key), numBuckets))
-    bucketed.write.mode("overwrite").partitionBy(BucketCol).parquet(tablePath)
-    writeBucketCount(spark, tablePath, numBuckets)
-    spark.read.parquet(tablePath).count()
-  }
+                numBuckets: Int = DefaultNumBuckets, lease: Boolean = false): Long =
+    lockFor(tablePath).synchronized {
+      withLease(spark, tablePath, lease) {
+        val obs = org.apache.spark.sql.Observation()
+        val bucketed = df.observe(obs, count(lit(1)).as("rows"))
+          .withColumn(BucketCol, bucketOf(col(key), numBuckets))
+        bucketed.write.mode("overwrite").partitionBy(BucketCol).parquet(tablePath)
+        writeBucketCount(spark, tablePath, numBuckets)
+        obs.get("rows").asInstanceOf[Long]
+      }
+    }
 
   /** Upsert `batch` into the table at `tablePath` keyed on `key`.
     * Last write wins by `_synced_at` (when present) with the incoming batch
@@ -140,7 +157,15 @@ object MergeWriter {
     * actually landed in the table).
     */
   def merge(spark: SparkSession, tablePath: String, batch: DataFrame, key: String = "_id",
-            numBuckets: Int = DefaultNumBuckets): Long = lockFor(tablePath).synchronized {
+            numBuckets: Int = DefaultNumBuckets, lease: Boolean = false): Long =
+    lockFor(tablePath).synchronized {
+      withLease(spark, tablePath, lease) {
+        mergeImpl(spark, tablePath, batch, key, numBuckets)
+      }
+    }
+
+  private def mergeImpl(spark: SparkSession, tablePath: String, batch: DataFrame,
+                        key: String, numBuckets: Int): Long = {
     if (!batch.columns.contains(key)) {
       // Keep the original contract: an empty batch is a successful no-op
       // even when it lacks the key column (zero-row incremental slices of

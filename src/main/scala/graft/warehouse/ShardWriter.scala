@@ -1,7 +1,8 @@
 package graft.warehouse
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Training-shard export — the writer side of a data-curation pipeline:
   * directory-partitioned by the routing columns (e.g. `split`, `lang`)
@@ -22,16 +23,22 @@ object ShardWriter {
   def writeShards(df: DataFrame, path: String, partitionCols: Seq[String],
                   maxRecordsPerFile: Long, format: String = "parquet"): ShardReport = {
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
-    df.write
+    // Row accounting rides the write itself via an Observation (the
+    // CollectMetrics node sees every row the writer sees) — previously a
+    // post-write re-read counted the output, a second full pass over data
+    // that was just streamed through this JVM. The file count stays a
+    // metadata listing (O(files), no data pages touched).
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .format(format)
       .save(path)
     val spark = df.sparkSession
-    val written = spark.read.format(format).load(path)
     val files = countDataFiles(spark, path)
-    ShardReport(written.count(), files)
+    ShardReport(obs.get("rows").asInstanceOf[Long], files)
   }
 
   private def countDataFiles(spark: org.apache.spark.sql.SparkSession, path: String): Long = {

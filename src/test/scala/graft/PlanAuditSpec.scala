@@ -62,6 +62,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops == 0, s"q28 must stay cell-bucketed: $s")
   }
 
+  test("q22/q41 multimodal stay single-scan and join-free (no blob re-join)") {
+    // r3 verdict item 4: the old shape re-joined `source` on media_id —
+    // broadcast at test scale, a full-blob shuffle beyond broadcast range.
+    Seq("q22_media_meta_stats", "q41_frame_sample_stats").foreach { name =>
+      val s = stats(name)
+      assert(s.scans <= 2, s"$name must stay single-scan: $s")
+      assert(s.broadcast == 0 && s.smj == 0 && s.nestedLoops == 0,
+        s"$name must not re-join the media table: $s")
+      assert(s.shuffles <= 2, s"$name shuffles regressed: $s")
+    }
+  }
+
+  test("q20 multi-table ANN broadcasts candidates and never pair-scans") {
+    val s = stats("q20_knn_ann")
+    assert(s.nestedLoops == 0, s"q20 must stay bucket-joined: $s")
+    assert(s.broadcast >= 2, s"q20 candidate/query joins must broadcast: $s")
+  }
+
   test("round-2 queries keep their audited shuffle budgets (PLANS.md)") {
     // Ceilings ≈2× the audited Exchange counts (AQE prints each logical
     // shuffle twice); a category regression (an extra join shuffle, a
