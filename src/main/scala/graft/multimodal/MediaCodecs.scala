@@ -1,0 +1,175 @@
+package graft.multimodal
+
+/** Pure-JVM codecs for the UNCOMPRESSED media formats — no external
+  * libraries, just byte-layout parsing, so the decode path is real (not a
+  * stub) for every format whose spec is a fixed header + raw samples:
+  *
+  *  - BMP, 24-bit uncompressed (BITMAPFILEHEADER + BITMAPINFOHEADER,
+  *    bottom-up BGR rows padded to 4 bytes) — the Windows bitmap layout.
+  *  - WAV, PCM 16-bit (RIFF/WAVE container, `fmt ` + `data` chunks,
+  *    little-endian int16 samples).
+  *
+  * Compressed codecs (png/jpeg/mp3/mp4/…) remain behind the documented
+  * stub boundary in [[Multimodal.decode]] — parsing those requires codec
+  * libraries this container doesn't ship.
+  *
+  * Encoders exist so specs can round-trip known pixels/samples through
+  * the real decoder and assert exact features — and so fixtures are
+  * self-contained rather than checked-in binaries.
+  */
+object MediaCodecs {
+
+  // ------------------------------------------------------------- helpers
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def putLe16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+  }
+  private def putLe32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+    b.write((v >> 16) & 0xFF); b.write((v >> 24) & 0xFF)
+  }
+
+  // ----------------------------------------------------------------- BMP
+  /** 24bpp bottom-up BMP from row-major RGB triples (top-to-bottom). */
+  def encodeBmp24(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "need width*height RGB triples")
+    val rowPad = (4 - (width * 3) % 4) % 4
+    val imageSize = (width * 3 + rowPad) * height
+    val out = new java.io.ByteArrayOutputStream(54 + imageSize)
+    out.write('B'); out.write('M')
+    putLe32(out, 54 + imageSize); putLe32(out, 0); putLe32(out, 54)
+    putLe32(out, 40); putLe32(out, width); putLe32(out, height)
+    putLe16(out, 1); putLe16(out, 24); putLe32(out, 0); putLe32(out, imageSize)
+    putLe32(out, 2835); putLe32(out, 2835); putLe32(out, 0); putLe32(out, 0)
+    var y = height - 1 // bottom-up: last image row first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        out.write(rgb(i + 2)); out.write(rgb(i + 1)); out.write(rgb(i)) // BGR
+        x += 1
+      }
+      var p = 0
+      while (p < rowPad) { out.write(0); p += 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Decoded image: (width, height, 8 features ∈ [0,1]): overall mean
+    * intensity, mean R/G/B, and per-quadrant (TL/TR/BL/BR) mean intensity
+    * — real pixel statistics, orientation-corrected for the bottom-up row
+    * order. None if the bytes are not 24bpp uncompressed BMP.
+    */
+  def decodeBmp24(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (bpp != 24 || compression != 0 || width <= 0 || height <= 0) return None
+    val rowPad = (4 - (width * 3) % 4) % 4
+    if (bytes.length < dataOffset + (width * 3 + rowPad) * height) return None
+    var sumR, sumG, sumB = 0.0
+    val quad = new Array[Double](4)
+    val quadN = new Array[Long](4)
+    var fy = 0
+    while (fy < height) {
+      val imgY = height - 1 - fy // bottom-up
+      val rowOff = dataOffset + fy * (width * 3 + rowPad)
+      var x = 0
+      while (x < width) {
+        val b = bytes(rowOff + x * 3) & 0xFF
+        val g = bytes(rowOff + x * 3 + 1) & 0xFF
+        val r = bytes(rowOff + x * 3 + 2) & 0xFF
+        sumR += r; sumG += g; sumB += b
+        val q = (if (imgY >= height / 2) 2 else 0) + (if (x >= width / 2) 1 else 0)
+        quad(q) += (r + g + b) / 3.0
+        quadN(q) += 1
+        x += 1
+      }
+      fy += 1
+    }
+    val n = width.toLong * height
+    val feats = Array(
+      ((sumR + sumG + sumB) / (3.0 * n) / 255.0).toFloat,
+      (sumR / n / 255.0).toFloat, (sumG / n / 255.0).toFloat, (sumB / n / 255.0).toFloat,
+      (if (quadN(0) > 0) quad(0) / quadN(0) / 255.0 else 0.0).toFloat,
+      (if (quadN(1) > 0) quad(1) / quadN(1) / 255.0 else 0.0).toFloat,
+      (if (quadN(2) > 0) quad(2) / quadN(2) / 255.0 else 0.0).toFloat,
+      (if (quadN(3) > 0) quad(3) / quadN(3) / 255.0 else 0.0).toFloat)
+    Some((width, height, feats))
+  }
+
+  // ----------------------------------------------------------------- WAV
+  /** RIFF/WAVE, PCM 16-bit little-endian, interleaved channels. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    out.write("RIFF".getBytes("US-ASCII")); putLe32(out, 36 + dataSize)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); putLe32(out, 16)
+    putLe16(out, 1); putLe16(out, channels); putLe32(out, sampleRate)
+    putLe32(out, sampleRate * channels * 2); putLe16(out, channels * 2); putLe16(out, 16)
+    out.write("data".getBytes("US-ASCII")); putLe32(out, dataSize)
+    samples.foreach(s => putLe16(out, s & 0xFFFF))
+    out.toByteArray
+  }
+
+  /** Decoded audio: (channels, sampleRate, 8 features): RMS amplitude
+    * (normalized by 32768) over 8 equal time slices — real signal energy
+    * contour. None if the bytes are not PCM-16 RIFF/WAVE.
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+    // Walk chunks: fmt then data may be separated by optional chunks.
+    var off = 12
+    var channels = 0; var sampleRate = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = le16(bytes, off + 8)
+          channels = le16(bytes, off + 10)
+          sampleRate = le32(bytes, off + 12)
+          val bits = le16(bytes, off + 22)
+          fmtOk = audioFormat == 1 && bits == 16 && channels > 0
+        case "data" =>
+          dataOff = off + 8; dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val nSamples = dataLen / 2
+    val feats = new Array[Float](8)
+    if (nSamples > 0) {
+      var slice = 0
+      while (slice < 8) {
+        val from = (slice.toLong * nSamples / 8).toInt
+        val until = ((slice + 1).toLong * nSamples / 8).toInt
+        var sum = 0.0; var i = from
+        while (i < until) {
+          val s = le16(bytes, dataOff + i * 2).toShort.toDouble
+          sum += s * s
+          i += 1
+        }
+        feats(slice) =
+          if (until > from) (math.sqrt(sum / (until - from)) / 32768.0).toFloat else 0.0f
+        slice += 1
+      }
+    }
+    Some((channels, sampleRate, feats))
+  }
+}

@@ -12,10 +12,14 @@ import graft.core.Tables
   *
   * The Spark-side plumbing — schema, partition-parallel batch processing,
   * frame explosion, feature aggregation — is real and tested. The codec
-  * step itself is STUBBED with a deterministic fake (this container ships
-  * no image/audio libraries): `decodeStub` derives metadata and features
-  * from the bytes alone. Swapping in a real decoder means replacing ONE
-  * function body inside `mapPartitions`; every plan shape stays identical.
+  * step is REAL for the uncompressed formats whose layout is a fixed
+  * header + raw samples ([[MediaCodecs]]: 24bpp BMP pixels, PCM-16 WAV
+  * samples — pure byte parsing, no libraries) and STUBBED with a
+  * deterministic fake for compressed codecs (png/jpeg/mp4/… need codec
+  * libraries this container doesn't ship): [[decode]] dispatches per row
+  * and falls back to `decodeStub`. Swapping in a real compressed-codec
+  * decoder means adding ONE case to that dispatch; every plan shape stays
+  * identical.
   *
   * Scale notes: media rows are large — the media table should be written
   * with a small `spark.sql.files.maxPartitionBytes` so a partition of
@@ -57,11 +61,47 @@ object Multimodal {
           md5(col("media")).as("content_md5"),
           col("declared_format")).as("meta")) ++ keep.map(col): _*)
 
-  /** ??? — real decoder goes here. The stub is deterministic: dimensions
-    * and an 8-dim feature vector derived from the content hash, so tests
-    * and oracles are stable. Partition-parallel batch shape (the Scala
-    * analogue of a pandas-batch UDF): one iterator pass per partition, no
-    * driver involvement, no shuffle.
+  /** The decode pipeline: REAL decoders for uncompressed formats
+    * ([[MediaCodecs]] — BMP pixel statistics, WAV RMS contours), stub
+    * fallback for everything else. Partition-parallel batch shape (the
+    * Scala analogue of a pandas-batch UDF): one iterator pass per
+    * partition, no driver involvement, no shuffle; blobs are decoded
+    * where they sit.
+    *
+    * Feature semantics per kind: image → (width, height, mean-intensity/
+    * RGB/quadrant features); audio → (channels, sampleRate, 8-slice RMS).
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val d = digest.digest(m.media)
+        val hex = d.map("%02x".format(_)).mkString
+        val real = m.declared_format match {
+          case "bmp" => MediaCodecs.decodeBmp24(m.media)
+          case "wav" => MediaCodecs.decodeWavPcm16(m.media)
+          case _     => None // ??? — compressed-codec decoder goes here
+        }
+        real match {
+          case Some((w, h, feats)) =>
+            DecodedRow(m.media_id, m.kind, m.media.length.toLong, hex, w, h, feats)
+          case None => stubRow(m, d, hex)
+        }
+      }
+    }
+  }
+
+  private def stubRow(m: MediaRow, d: Array[Byte], hex: String): DecodedRow = {
+    val w = 16 + (java.lang.Byte.toUnsignedInt(d(0)) % 64)
+    val h = 16 + (java.lang.Byte.toUnsignedInt(d(1)) % 64)
+    val feats = (0 until 8).map(i =>
+      (java.lang.Byte.toUnsignedInt(d(i)) - 128) / 128.0f).toArray
+    DecodedRow(m.media_id, m.kind, m.media.length.toLong, hex, w, h, feats)
+  }
+
+  /** Stub-only decode (every row through the deterministic fake) — kept
+    * for tests that pin the fallback's determinism and batch shape.
     */
   def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
@@ -168,7 +208,46 @@ object Multimodal {
       |  min(CASE WHEN frame_idx = 0 THEN md5(fb) END) AS first_frame_md5
       |FROM frames GROUP BY media_id, source""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** The REAL audio decode path, driver-gated: synthesize a PCM-16 WAV
+    * blob per document (samples are a pure integer function of (doc_id,
+    * i), so an external engine can rebuild the signal arithmetically),
+    * run it through [[MediaCodecs.decodeWavPcm16]] — actual RIFF chunk
+    * walking and sample parsing, not the stub — and report channels,
+    * sample rate, and the first-slice RMS. The oracle recomputes the RMS
+    * from the generating formula: every sample value is an integer, so
+    * sums are exact in double in ANY evaluation order, and the
+    * float32-rounded RMS is bit-identical across engines.
+    *
+    * Both the encode and decode are `mapPartitions` batches (the codec
+    * boundary — bytes in, features out), blobs never shuffle.
+    */
+  def wavDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val samples = Array.tabulate[Short](160)(i => ((id * 7 + i * 13) % 32768).toShort)
+        MediaRow(id, "audio", MediaCodecs.encodeWavPcm16(8000, 1, samples), "wav")
+      })
+    decode(blobs).toDF()
+      .select(
+        col("media_id"),
+        col("width").as("channels"),
+        col("height").as("sample_rate"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("rms0"))
+  }
+
+  private val wavDecodeStatsSql =
+    """WITH s AS (
+      |  SELECT doc_id, i, CAST((doc_id * 7 + i * 13) % 32768 AS DOUBLE) AS v
+      |  FROM documents, (SELECT unnest(range(0, 20)) AS i) t
+      |)
+      |SELECT doc_id AS media_id, 1 AS channels, 8000 AS sample_rate,
+      |  round(CAST(CAST(sqrt(avg(v * v)) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS rms0
+      |FROM s GROUP BY doc_id""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)),
-    NamedQuery("q41_frame_sample_stats", frameSampleStats _, Some(frameSampleStatsSql)))
+    NamedQuery("q41_frame_sample_stats", frameSampleStats _, Some(frameSampleStatsSql)),
+    NamedQuery("q42_wav_decode_stats", wavDecodeStats _, Some(wavDecodeStatsSql)))
 }

@@ -33,6 +33,43 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.zip(d2).forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("BMP/WAV codecs round-trip exactly and decode() dispatches real vs stub") {
+    // 2×2 image with known pixels: R G / B W → exact channel & quadrant means.
+    val rgb = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val bmp = MediaCodecs.encodeBmp24(2, 2, rgb)
+    val (bw, bh, bf) = MediaCodecs.decodeBmp24(bmp).get
+    assert(bw == 2 && bh == 2)
+    assert(math.abs(bf(1) - 510f / 4 / 255) < 1e-6, s"mean R: ${bf(1)}") // R: 255,0,0,255
+    assert(math.abs(bf(4) - 85f / 255) < 1e-6, s"TL quadrant: ${bf(4)}") // red pixel
+    assert(math.abs(bf(7) - 1.0f) < 1e-6, s"BR quadrant: ${bf(7)}") // white pixel
+
+    // Constant-amplitude PCM: every slice RMS is exactly 16384/32768 = 0.5.
+    val wav = MediaCodecs.encodeWavPcm16(8000, 1, Array.fill[Short](800)(16384))
+    val (ch, sr, af) = MediaCodecs.decodeWavPcm16(wav).get
+    assert(ch == 1 && sr == 8000)
+    assert(af.forall(v => math.abs(v - 0.5f) < 1e-4), af.toSeq.toString)
+
+    // decode(): real decoders for bmp/wav, deterministic stub for the rest.
+    val ds = Seq(
+      (1L, "image", bmp, "bmp"),
+      (2L, "audio", wav, "wav"),
+      (3L, "image", "PNGDATA-aaaaaaaaaaaaaaaa".getBytes("UTF-8"), "png"))
+      .toDF("media_id", "kind", "media", "declared_format")
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.decode(ds).collect().sortBy(_.media_id)
+    assert(out(0).width == 2 && out(0).height == 2)
+    assert(out(0).features.sameElements(bf))
+    assert(out(1).width == 1 && out(1).height == 8000)
+    val stub = Multimodal.decodeStub(ds).collect().sortBy(_.media_id)
+    assert(out(2).width == stub(2).width && out(2).height == stub(2).height &&
+      out(2).features.sameElements(stub(2).features),
+      "non-decodable formats must fall back to the stub")
+    // Truncated/garbage bytes under a real-format label also fall back, not crash.
+    val bad = Seq((4L, "image", bmp.take(20), "bmp"))
+      .toDF("media_id", "kind", "media", "declared_format").as[Multimodal.MediaRow]
+    assert(Multimodal.decode(bad).collect().head.width >= 16)
+  }
+
   test("sampleFrames slices blobs with correct offsets and stride") {
     val frames = Multimodal.sampleFrames(media.filter($"media_id" === 3),
       frameBytes = 16, everyNth = 2).collect()
