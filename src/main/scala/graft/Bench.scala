@@ -24,9 +24,8 @@ object Bench {
   /** First three /proc/loadavg fields as a JSON array ("[]" off-Linux). */
   private def loadavg(): String =
     try {
-      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split("\\s+").take(3)
-      parts.mkString("[", ",", "]")
+      val raw = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      raw.trim.split("\\s+").take(3).mkString("[", ",", "]")
     } catch { case _: Exception => "[]" }
 
   def main(args: Array[String]): Unit = {
@@ -57,8 +56,12 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Locale-independent formatting: the f interpolator uses the default
+    // locale, which renders comma decimal separators (de_DE "12,345") and
+    // silently corrupts the JSON artifact. Double.toString never does.
     val repJson = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(t => (math.rint(t * 1000) / 1000).toString)
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadPost = loadavg()

@@ -78,9 +78,10 @@ object Dedup {
     * pairs ≥ `threshold`.
     */
   def minHashNearDups(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      maxBucketSize: Option[Int] = Some(500)): DataFrame = {
     val sets = docs.select(col(idCol), shingleHashSet(col(textCol)).as("ws"))
-    val pairs = lshCandidates(minHashSignatures(docs, idCol, textCol), idCol)
+    val pairs = lshCandidates(minHashSignatures(docs, idCol, textCol), idCol, maxBucketSize)
     pairs
       .join(sets.select(col(idCol).as("a_id"), col("ws").as("a_ws")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("ws").as("b_ws")), "b_id")
@@ -133,7 +134,7 @@ object Dedup {
     * is the standard large-graph CC pattern without any graph library.
     * Returns (doc_id, cluster_id = min doc_id in the component).
     */
-  def clusters(docIds: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusters(docIds: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = docIds.sparkSession
     // Per-round checkpoint flavor. localCheckpoint blocks are executor-
     // resident and unreplicated: with lineage truncated, one executor
@@ -174,10 +175,18 @@ object Dedup {
       labels = next.drop("__old")
       i += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"label propagation did not converge in $maxIters rounds; " +
-          "components wider than that remain split")
+    // Non-convergence must be LOUD, not a warning: q30's labels are
+    // oracle-gated against a full transitive closure, so a component
+    // wider than the round cap would silently hash-mismatch. 50 rounds
+    // covers component diameters no near-dup corpus reaches (clusters
+    // are dense and shallow); hitting the cap means something is wrong
+    // with the data or the loop — fail the job, don't mislabel.
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds — " +
+          "component diameter exceeds the cap; raise maxIters")
+    }
     edges.unpersist()
     // Checkpointed: lineage-free, and the per-round storage is released
     // once each superseded round's RDD is unreferenced — local blocks by
@@ -194,8 +203,9 @@ object Dedup {
     * dedup pass.
     */
   def dedupedCorpus(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val pairs = minHashNearDups(docs, threshold, idCol, textCol)
+                    textCol: String = "text",
+                    maxBucketSize: Option[Int] = Some(500)): DataFrame = {
+    val pairs = minHashNearDups(docs, threshold, idCol, textCol, maxBucketSize)
     val labels = clusters(docs.select(col(idCol).as("doc_id")), pairs)
       .select(col("doc_id").as("__did"), col("cluster_id").as("__cid"))
     docs.join(labels, docs(idCol) === col("__did"))
@@ -258,7 +268,13 @@ object Dedup {
 
   def minHashSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val perDoc = pairCountsPerDoc(minHashNearDups(docs, threshold = 0.7), "n_neardups")
+    // Oracle-gated ⇒ uncapped candidates: the mega-bucket drop is a
+    // recall/scale trade the operator API keeps, but the gated query must
+    // count EVERY exact pair the DuckDB oracle counts, on any corpus —
+    // the harness corpora have no degenerate buckets, so this costs
+    // nothing here and removes the one data-dependent divergence.
+    val perDoc = pairCountsPerDoc(
+      minHashNearDups(docs, threshold = 0.7, maxBucketSize = None), "n_neardups")
     docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
@@ -318,7 +334,9 @@ object Dedup {
       // it produces are locally checkpointed, so the plan returned below
       // is just planted ⋈ labels + two tiny aggregates — auditable, with
       // single-digit scans instead of the per-round lineage pile-up.
-      val kept = dedupedCorpus(planted, threshold = 0.7)
+      // Uncapped for the same reason as q17: oracle-gated output must not
+      // depend on the bounded-LSH bucket drop.
+      val kept = dedupedCorpus(planted, threshold = 0.7, maxBucketSize = None)
       planted.groupBy("source").agg(count(lit(1)).as("n_before"))
         .join(kept.groupBy(col("source").as("s2")).agg(count(lit(1)).as("n_after")),
           col("source") === col("s2"), "left")

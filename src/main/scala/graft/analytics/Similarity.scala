@@ -38,6 +38,29 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
         round(col("score"), 4).as("score_r"))
 
+  /** Deterministic corpus dimension probe: the MAX vector length (stable
+    * on mixed-dimension corpora where an arbitrary-first-row probe would
+    * flip which model's vectors go inert between runs — rows of any other
+    * length hash to null buckets, see HyperplaneBuckets). None = empty or
+    * all-null corpus; callers return their typed empty result instead of
+    * crashing the probe. Shared by every LSH variant so dimension
+    * semantics can never diverge between them.
+    */
+  private def probeDim(corpus: DataFrame, vecCol: String): Option[Int] =
+    corpus.agg(max(size(col(vecCol)))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).filter(_ > 0)
+
+  /** (id, tbl, bk) signature-bucket rows: ONE native multi-table signature
+    * pass per row, then a posexplode of bucket ids only — vectors never
+    * ride the ×nTables explode. The shared candidate-generation kernel of
+    * the multi-table LSH paths.
+    */
+  private def bucketRows(df: DataFrame, idName: String, flat: Array[Double],
+                         bitsPerTable: Int, nTables: Int, vecCol: String): DataFrame =
+    df.select(col(idName),
+      posexplode(graft.functions.hyperplaneBuckets(col(vecCol), flat, bitsPerTable, nTables)))
+      .toDF(idName, "tbl", "bk")
+
   /** Exact top-k neighbors for each query vector (self excluded).
     * `queries` must be small (it is broadcast).
     */
@@ -79,14 +102,10 @@ object Similarity {
     */
   def annKnn(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 4,
              dim: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // dim <= 0 → infer deterministically from the data (corpus max — a
-    // wrong-length plane set would hash every vector to null buckets, see
-    // HyperplaneBuckets). An empty corpus has no neighbors: return the
-    // typed empty result rather than crash the dimension probe.
-    val dimRow =
-      if (dim > 0) Some(dim)
-      else corpus.agg(max(size(col(vecCol)))).collect().headOption
-        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).filter(_ > 0)
+    // dim <= 0 → infer deterministically from the data ([[probeDim]]).
+    // An empty corpus has no neighbors: return the typed empty result
+    // rather than crash the dimension probe.
+    val dimRow = if (dim > 0) Some(dim) else probeDim(corpus, vecCol)
     if (dimRow.isEmpty)
       return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(1).as("rank"), lit(0.0).as("score_r")).limit(0)
@@ -122,20 +141,15 @@ object Similarity {
   def annKnnMultiTable(corpus: DataFrame, queries: DataFrame, k: Int,
                        nTables: Int = 24, bitsPerTable: Int = 12, seed: Long = 42L,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dimRow = corpus.agg(max(size(col(vecCol)))).collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).filter(_ > 0)
+    val dimRow = probeDim(corpus, vecCol)
     if (dimRow.isEmpty)
       return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(1).as("rank"), lit(0.0).as("score_r")).limit(0)
     val flat = hyperplanesFlat(nTables * bitsPerTable, dimRow.get, seed)
     val qsig = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val qBuckets = qsig
-      .select(col("query_id"),
-        posexplode(graft.functions.hyperplaneBuckets(col("q_vec"), flat, bitsPerTable, nTables)))
-      .toDF("query_id", "tbl", "bk")
-    val cBuckets = corpus.select(col(idCol),
-      posexplode(graft.functions.hyperplaneBuckets(col(vecCol), flat, bitsPerTable, nTables)))
-      .toDF(idCol, "tbl", "bk")
+    val qBuckets = bucketRows(qsig, "query_id", flat, bitsPerTable, nTables, "q_vec")
+    val cBuckets = bucketRows(corpus.select(col(idCol), col(vecCol)), idCol,
+      flat, bitsPerTable, nTables, vecCol)
     val cands = cBuckets.join(broadcast(qBuckets), Seq("tbl", "bk"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol)).distinct()
@@ -218,21 +232,15 @@ object Similarity {
   private def rawLshPairs(corpus: DataFrame, nTables: Int, bitsPerTable: Int,
                           seed: Long, maxBucketSize: Option[Int],
                           idCol: String, vecCol: String): DataFrame = {
-    // Dimension = the corpus MAX vector length: deterministic on mixed-
-    // dimension corpora (an arbitrary-first-row probe would flip which
-    // model's vectors go inert between runs). Rows of any other length
-    // hash to null buckets and are inert — see HyperplaneBuckets. An
-    // empty (or all-null-embedding) corpus has no pairs — return the
-    // typed empty result instead of crashing the probe.
-    val dimRow = corpus.agg(max(size(col(vecCol)))).collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).filter(_ > 0)
+    // An empty (or all-null-embedding) corpus has no pairs — return the
+    // typed empty result instead of crashing the probe (see [[probeDim]]
+    // for the mixed-dimension determinism rationale).
+    val dimRow = probeDim(corpus, vecCol)
     if (dimRow.isEmpty)
       return corpus.select(col(idCol).as("a_id"), col(idCol).as("b_id")).limit(0)
-    val dim = dimRow.get
-    val flat = hyperplanesFlat(nTables * bitsPerTable, dim, seed)
-    val buckets = corpus.select(col(idCol),
-      posexplode(graft.functions.hyperplaneBuckets(col(vecCol), flat, bitsPerTable, nTables)))
-      .toDF(idCol, "tbl", "bk")
+    val flat = hyperplanesFlat(nTables * bitsPerTable, dimRow.get, seed)
+    val buckets = bucketRows(corpus.select(col(idCol), col(vecCol)), idCol,
+      flat, bitsPerTable, nTables, vecCol)
     CandidateJoin.pairs(buckets, idCol, Seq("tbl", "bk"), maxBucketSize)
   }
 

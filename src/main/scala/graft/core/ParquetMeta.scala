@@ -14,20 +14,25 @@ import org.apache.spark.sql.SparkSession
 object ParquetMeta {
 
   /** Total rows across all `*.parquet` data files under `path` (a single
-    * file or a directory tree; `_`/`.`-prefixed entries are metadata and
-    * skipped, matching Spark's own data-file convention).
+    * file or a directory tree). `_`/`.`-prefixed entries are metadata and
+    * skipped at EVERY path level below the root — a crashed write's
+    * `_temporary/…/part-*.parquet` must not count, exactly as Spark's own
+    * reader hides it. Layouts whose data files lack the `.parquet` suffix
+    * (e.g. Hive-written `000000_0`) are outside this helper's contract —
+    * count those through the reader.
     */
   def rowCount(spark: SparkSession, path: String): Long = {
-    val p = new Path(path)
+    val root = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
-    val hfs = p.getFileSystem(conf)
-    val it = hfs.listFiles(p, true)
+    val hfs = root.getFileSystem(conf)
+    val rootUri = root.toUri.getPath
+    val it = hfs.listFiles(root, true)
     var n = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") &&
-        !name.startsWith("_") && !name.startsWith(".")) {
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val hidden = rel.split("/").exists(c => c.startsWith("_") || c.startsWith("."))
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden) {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
         try n += reader.getRecordCount
         finally reader.close()

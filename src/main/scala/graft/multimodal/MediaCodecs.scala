@@ -73,8 +73,13 @@ object MediaCodecs {
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
     if (bpp != 24 || compression != 0 || width <= 0 || height <= 0) return None
+    // Size math in Long: crafted headers (width·height ≈ 2³²) overflow an
+    // Int bound check into "passes", then the pixel loop walks off the
+    // array — a corrupt blob must yield None, never an executor crash.
+    if (dataOffset < 54) return None
     val rowPad = (4 - (width * 3) % 4) % 4
-    if (bytes.length < dataOffset + (width * 3 + rowPad) * height) return None
+    val need = dataOffset.toLong + (width.toLong * 3 + rowPad) * height.toLong
+    if (bytes.length.toLong < need) return None
     var sumR, sumG, sumB = 0.0
     val quad = new Array[Double](4)
     val quadN = new Array[Long](4)
@@ -136,7 +141,9 @@ object MediaCodecs {
     while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val size = le32(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // Long bound: a crafted chunk size near 2³¹ overflows `off+8+size`
+      // negative and would pass an Int check, then index past the array.
+      if (size < 0 || off.toLong + 8 + size > bytes.length.toLong) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

@@ -78,11 +78,17 @@ object Multimodal {
       it.map { m =>
         val d = digest.digest(m.media)
         val hex = d.map("%02x".format(_)).mkString
-        val real = m.declared_format match {
-          case "bmp" => MediaCodecs.decodeBmp24(m.media)
-          case "wav" => MediaCodecs.decodeWavPcm16(m.media)
-          case _     => None // ??? — compressed-codec decoder goes here
-        }
+        // A malformed blob must degrade to the stub row, never fail the
+        // task: one bad row in a corpus-scale decode would otherwise kill
+        // the whole job after 4 retries. The codecs return None on every
+        // malformation they detect; the catch is the backstop for any
+        // they don't.
+        val real =
+          try m.declared_format match {
+            case "bmp" => MediaCodecs.decodeBmp24(m.media)
+            case "wav" => MediaCodecs.decodeWavPcm16(m.media)
+            case _     => None // ??? — compressed-codec decoder goes here
+          } catch { case _: RuntimeException => None }
         real match {
           case Some((w, h, feats)) =>
             DecodedRow(m.media_id, m.kind, m.media.length.toLong, hex, w, h, feats)

@@ -40,6 +40,17 @@ object LeaseLock {
 
   /** Try to acquire the lease for `tablePath`, polling up to `waitMs`.
     * Returns None if another unexpired holder kept it the whole time.
+    *
+    * Expired-lease takeover is rename-based, never a blind delete: a
+    * contender first RENAMES the stale file to a unique name — rename of
+    * a specific path is atomic, so exactly one contender owns the stale
+    * file and removes it; the losers' renames fail and they loop. A blind
+    * delete here would race: contender B deletes the stale file and
+    * creates a fresh lease, then contender C's delete (decided against
+    * the same stale read) removes B's FRESH file — two "exclusive"
+    * holders. After a successful takeover the contender retries the
+    * create immediately, even with waitMs = 0 (it just freed the lease
+    * itself; returning None there would misreport a live holder).
     */
   def acquire(spark: SparkSession, tablePath: String, ttlMs: Long = 30 * 60 * 1000L,
               waitMs: Long = 0L, pollMs: Long = 200L): Option[Lease] = {
@@ -48,26 +59,35 @@ object LeaseLock {
     val id = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
     var attempt = 0
-    while (attempt == 0 || System.currentTimeMillis() <= deadline) {
+    var tookOver = false
+    while (attempt == 0 || tookOver || System.currentTimeMillis() <= deadline) {
       attempt += 1
+      tookOver = false
       if (tryCreate(hfs, p, id, ttlMs)) return Some(Lease(p, id))
-      // Holder present: take over only if its lease expired (crashed
-      // holder). The delete+create pair can race another taker — only
-      // one create wins, the other loops.
       readLease(hfs, p) match {
         case Some((_, expiry)) if System.currentTimeMillis() > expiry =>
-          try hfs.delete(p, false) catch { case _: java.io.IOException => () }
+          val stale = new Path(p.getParent, s".stale_${p.getName}_$id")
+          tookOver =
+            try hfs.rename(p, stale) && { hfs.delete(stale, false); true }
+            catch { case _: java.io.IOException => false }
         case _ => ()
       }
-      if (System.currentTimeMillis() + pollMs <= deadline) Thread.sleep(pollMs)
-      else if (waitMs > 0 && System.currentTimeMillis() <= deadline) Thread.sleep(
-        math.max(1L, deadline - System.currentTimeMillis()))
+      if (!tookOver) {
+        if (System.currentTimeMillis() + pollMs <= deadline) Thread.sleep(pollMs)
+        else if (waitMs > 0 && System.currentTimeMillis() <= deadline) Thread.sleep(
+          math.max(1L, deadline - System.currentTimeMillis()))
+      }
     }
     None
   }
 
   /** Release a held lease. Only the holder's own file is removed — if the
-    * lease expired and someone took over, their file (different id) stays.
+    * lease expired mid-hold and someone took over, their file (different
+    * id) stays. The read-then-delete pair is safe for a LIVE holder: a
+    * takeover can only interleave here if this very lease expired between
+    * the two calls, i.e. the hold outlived its TTL — which is why the TTL
+    * default is far above any merge duration and the contract requires
+    * ttlMs > the longest expected hold.
     */
   def release(spark: SparkSession, lease: Lease): Unit = {
     val hfs = fs(spark, lease.path)

@@ -68,6 +68,19 @@ class MultimodalSpec extends SparkSpec {
     val bad = Seq((4L, "image", bmp.take(20), "bmp"))
       .toDF("media_id", "kind", "media", "declared_format").as[Multimodal.MediaRow]
     assert(Multimodal.decode(bad).collect().head.width >= 16)
+
+    // Crafted headers whose size math overflows Int must yield the stub
+    // fallback (None from the codec), never an index crash: a BMP header
+    // declaring 65536×65536 on a 60-byte blob, and a WAV 'data' chunk
+    // declaring 2^31-1 bytes on a 100-byte blob.
+    val evilBmp = bmp.take(54).clone()
+    for (i <- 0 until 4) { evilBmp(18 + i) = 0; evilBmp(22 + i) = 0 }
+    evilBmp(20) = 1; evilBmp(24) = 1 // width = height = 65536
+    assert(MediaCodecs.decodeBmp24(evilBmp ++ Array.fill[Byte](6)(0)).isEmpty)
+    val evilWav = wav.take(100).clone()
+    for (i <- 0 until 4) evilWav(40 + i) = 0xFF.toByte
+    evilWav(43) = 0x7F.toByte // data chunk size = Int.MaxValue
+    assert(MediaCodecs.decodeWavPcm16(evilWav).isEmpty)
   }
 
   test("sampleFrames slices blobs with correct offsets and stride") {
