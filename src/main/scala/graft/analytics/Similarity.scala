@@ -140,8 +140,12 @@ object Similarity {
     */
   def annKnnMultiTable(corpus: DataFrame, queries: DataFrame, k: Int,
                        nTables: Int = 24, bitsPerTable: Int = 12, seed: Long = 42L,
+                       dim: Int = 0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dimRow = probeDim(corpus, vecCol)
+    // dim <= 0 → probe (one extra corpus pass); callers that know the
+    // embedding dimension pass it and the corpus is scanned exactly twice
+    // (signatures + verify).
+    val dimRow = if (dim > 0) Some(dim) else probeDim(corpus, vecCol)
     if (dimRow.isEmpty)
       return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(1).as("rank"), lit(0.0).as("score_r")).limit(0)

@@ -232,9 +232,59 @@ object TextAnalysis {
       |        len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
       |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Repetition / boilerplate quality signals per document: distinct-token
+    * ratio (low = repetitive) and top-token concentration (high = one
+    * token dominates — template/boilerplate smell). The standard cheap
+    * repetitiveness filters of a training-data pipeline, computed with an
+    * explode + two hash aggregates — all ratios are integer quotients, so
+    * an external engine reproduces them bit-exactly.
+    */
+  def repetitionQuality(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir))
+
+  /** Operator form over any (doc_id, text) frame — spec-tested on planted
+    * boilerplate; [[repetitionQuality]] gates it on the documents table.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val top = freq.groupBy("doc_id").agg(
+      max("c").as("top_c"),
+      sum("c").cast("long").as("n_toks"),
+      count(lit(1)).as("n_distinct"))
+    docs.select("doc_id")
+      .join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        round(coalesce(col("n_distinct").cast("double") / col("n_toks"), lit(0.0)), 6)
+          .as("distinct_ratio"),
+        round(coalesce(col("top_c").cast("double") / col("n_toks"), lit(0.0)), 6)
+          .as("top_ratio"))
+  }
+
+  private val repetitionQualitySql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents
+      |), freq AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+      |), top AS (
+      |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_toks,
+      |    count(*) AS n_distinct
+      |  FROM freq GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(t.n_toks, 0) AS n_toks,
+      |  round(coalesce(t.n_distinct::DOUBLE / t.n_toks, 0), 6) AS distinct_ratio,
+      |  round(coalesce(t.top_c::DOUBLE / t.n_toks, 0), 6) AS top_ratio
+      |FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
     NamedQuery("q15_exact_dedup", exactDedup _, Some(exactDedupSql)),
-    NamedQuery("q16_jaccard_pairs", jaccardPairs _, Some(jaccardPairsSql)))
+    NamedQuery("q16_jaccard_pairs", jaccardPairs _, Some(jaccardPairsSql)),
+    NamedQuery("q43_repetition_quality", repetitionQuality _, Some(repetitionQualitySql)))
 }

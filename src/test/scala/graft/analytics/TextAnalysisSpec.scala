@@ -50,6 +50,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("repetition signals separate boilerplate from varied text") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam ham"), // 8 toks, top 7
+      (2L, "eight distinct tokens all appearing exactly once here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((8L, 0.25, 0.875)), out(1L).toString) // 2/8 distinct, 7/8 top
+    assert(out(2L) == ((8L, 1.0, 0.125)), out(2L).toString) // all distinct
+    assert(out(3L) == ((0L, 0.0, 0.0)), "empty doc must yield zeros, not nulls")
+  }
+
   test("quality score rewards mid-length stopword-bearing text") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs"),
