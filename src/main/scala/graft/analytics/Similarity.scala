@@ -422,8 +422,54 @@ object Similarity {
       |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Int8 symmetric quantization of an embedding column — the 4× storage
+    * cut a 100 TB embedding corpus takes before indexing: per-vector
+    * scale = max|x|/127, stored element = round(x/scale) ∈ [-127,127],
+    * dequantize = q·scale. The gated query reports per-vector fidelity
+    * (cosine between original and dequantized, max absolute element
+    * error); every step is IEEE-deterministic double arithmetic plus a
+    * shared HALF-AWAY-FROM-ZERO round, so DuckDB reproduces the numbers
+    * bit-exactly. Quantization runs once at ingest (not a per-query hot
+    * path), so the higher-order-function form is the right altitude; the
+    * search-side kernels stay native.
+    */
+  def quantizationFidelity(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("dq",
+        when(col("scale") > 0,
+          transform(col("v"), x => round(x / col("scale")) * col("scale")))
+          .otherwise(col("v")))
+      .select(
+        col("vec_id"),
+        round(cosineSimilarity(col("v"), col("dq")), 6).as("cos_fid"),
+        round(array_max(zip_with(col("v"), col("dq"), (a, b) => abs(a - b))), 9)
+          .as("max_err"))
+
+  private val quantizationFidelitySql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM v
+      |), d AS (
+      |  SELECT vec_id, v,
+      |    CASE WHEN scale > 0 THEN list_transform(v, x -> round(x / scale) * scale)
+      |         ELSE v END AS dq
+      |  FROM q
+      |)
+      |SELECT vec_id,
+      |  round(list_cosine_similarity(v, dq), 6) AS cos_fid,
+      |  round(list_max(list_transform(generate_series(1, len(v)),
+      |    i -> abs(v[i] - dq[i]))), 9) AS max_err
+      |FROM d""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q19_knn_brute", knnBrute _, Some(knnBruteSql)),
     NamedQuery("q20_knn_ann", knnAnn _, Some(plantedKnnSql)),
-    NamedQuery("q21_embedding_neardups", embNearDups _, Some(embNearDupsSql)))
+    NamedQuery("q21_embedding_neardups", embNearDups _, Some(embNearDupsSql)),
+    NamedQuery("q44_quantization_fidelity", quantizationFidelity _,
+      Some(quantizationFidelitySql)))
 }
