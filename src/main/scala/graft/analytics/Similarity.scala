@@ -435,7 +435,13 @@ object Similarity {
     * search-side kernels stay native.
     */
   def quantizationFidelity(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    quantizationFidelityFrame(Tables.embeddings(spark, dir))
+
+  /** Operator form over any (vec_id, embedding) frame — spec-tested on
+    * edge vectors (all-zero → scale 0 → identity dequantize).
+    */
+  def quantizationFidelityFrame(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
       .withColumn("dq",

@@ -80,6 +80,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.broadcast >= 2, s"q20 candidate/query joins must broadcast: $s")
   }
 
+  test("q42/q43/q44 stay narrow (no joins beyond the declared shape)") {
+    val s42 = stats("q42_wav_decode_stats")
+    assert(s42.scans <= 1 && s42.shuffles == 0,
+      s"q42 must stay a single-scan mapPartitions pipeline: $s42")
+    val s43 = stats("q43_repetition_quality")
+    assert(s43.shuffles <= 6 && s43.nestedLoops == 0, s"q43 regressed: $s43")
+    val s44 = stats("q44_quantization_fidelity")
+    assert(s44.scans <= 1 && s44.shuffles == 0 && s44.broadcast == 0,
+      s"q44 must stay a pure per-row projection: $s44")
+  }
+
   test("round-2 queries keep their audited shuffle budgets (PLANS.md)") {
     // Ceilings ≈2× the audited Exchange counts (AQE prints each logical
     // shuffle twice); a category regression (an extra join shuffle, a

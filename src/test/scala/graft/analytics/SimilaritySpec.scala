@@ -179,4 +179,20 @@ class SimilaritySpec extends SparkSpec {
     assert(candidates < n * (n - 1) / 2 / 20,
       s"wide tables should prune >95%: $candidates of ${n * (n - 1) / 2}")
   }
+
+  test("int8 quantization fidelity is near-exact and survives zero vectors") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizationFidelityFrame(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // Real vector: dequantized cosine within float-ish error of 1.
+    assert(out(1L)._1 > 0.999, out(1L).toString)
+    assert(out(1L)._2 <= 1.0 / 127 / 2 + 1e-9, "max error must be bounded by scale/2")
+    // Zero vector: scale 0 must not divide — dequantize is identity and
+    // max error exactly 0 (cos of zero vectors is NaN-free only via the
+    // guard keeping dq == v; the interesting assertion is no crash + 0 err).
+    assert(out(2L)._2 == 0.0, out(2L).toString)
+  }
 }
