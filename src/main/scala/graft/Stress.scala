@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   * generation and verification.
   */
 object Stress {
+  // Fixture dirs hold GB-scale replicated corpora; repeated stress runs
+  // must not accumulate them in /tmp until the disk fills.
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpDirs += d
+    d
+  }
+  private def cleanup(): Unit = tmpDirs.foreach { d =>
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: java.io.IOException => () }
+  }
+
   private def time[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -30,7 +46,7 @@ object Stress {
 
     // 1. Near-dup detection over 100k docs (20× replication → dense twins).
     //    Materialized once — see the embedding-fixture note below.
-    val docsDir = java.nio.file.Files.createTempDirectory("stress-docs").toString
+    val docsDir = tmpDir("stress-docs")
     replicate(graft.core.Tables.documents(spark, dir), "doc_id", 20)
       .write.mode("overwrite").parquet(s"$docsDir/docs")
     val docs100k = spark.read.parquet(s"$docsDir/docs")
@@ -59,7 +75,7 @@ object Stress {
     // inside every timed section — the timings would measure fixture
     // synthesis, not the operators (measured: IVF search "cost" dropped
     // from ~22 s to ~3 s once the fixture stopped riding along).
-    val embDir = java.nio.file.Files.createTempDirectory("stress-emb").toString
+    val embDir = tmpDir("stress-emb")
     (0 until 20).map { i =>
       graft.core.Tables.embeddings(spark, dir)
         .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
@@ -86,13 +102,15 @@ object Stress {
     //     candidates-≪-corpus, no quadratic work.
     val queries100 = emb40k.filter(col("vec_id") < 100)
     time("multi-table ANN top-10 (24×12), 40k corpus × 100 q") {
-      graft.analytics.Similarity.annKnnMultiTable(emb40k, queries100, k = 10)
+      // dim is the fixture's schema contract — passing it skips the probe
+      // pass, the exactly-two-scans shape the scaladoc promises.
+      graft.analytics.Similarity.annKnnMultiTable(emb40k, queries100, k = 10, dim = 64)
         .write.mode("overwrite").format("noop").save()
     }
     val ivfModel = time("IVF train k=64 iters=2, 40k vecs") {
       graft.analytics.IvfIndex.train(emb40k, k = 64, iters = 2)
     }
-    val idxDir = java.nio.file.Files.createTempDirectory("stress-ivf").toString + "/index"
+    val idxDir = tmpDir("stress-ivf") + "/index"
     time("IVF partitioned-index write, 64 cell dirs") {
       graft.analytics.IvfIndex.writePartitionedIndex(emb40k, ivfModel, idxDir)
     }
@@ -105,7 +123,7 @@ object Stress {
     // 1d. The full curation pipeline over the 100k-doc corpus — dedup →
     //     split → pack → bounded shards, end to end, with its one-pass
     //     accounting.
-    val curDocs = java.nio.file.Files.createTempDirectory("stress-cur").toString
+    val curDocs = tmpDir("stress-cur")
     val report = time("curate end-to-end, 100k docs") {
       graft.analytics.Curate.run(spark, s"$docsDir/docs", s"$curDocs/shards",
         threshold = 0.9)
@@ -135,7 +153,7 @@ object Stress {
 
     // 3. Merge 10k updates into a 1M-row bucketed table: cost must track the
     //    batch + affected buckets, not the table.
-    val wh = java.nio.file.Files.createTempDirectory("stress-wh").toString
+    val wh = tmpDir("stress-wh")
     val tbl = s"$wh/big"
     val base = replicate(graft.core.Tables.orders(spark, dir), "o_orderkey", 7)
       .withColumn("_id", col("o_orderkey").cast("string"))
@@ -150,5 +168,6 @@ object Stress {
     }
     println(s"[stress] merged table rows = ${graft.warehouse.MergeWriter.read(spark, tbl).count()}")
     spark.stop()
+    cleanup()
   }
 }

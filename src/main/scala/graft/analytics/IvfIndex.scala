@@ -154,9 +154,11 @@ object IvfIndex {
     // upstream partition writes a sliver into every cell directory
     // (upstream-partitions × k tiny files — measured 5× slower searches
     // from listing/open overhead at 40k rows); with it each cell is one
-    // writer's output. The shuffle is paid once at index-build time,
-    // which is the whole point of an index.
-    index(corpus, model, vecCol).repartition(col("cell"))
+    // writer's output. The count is PINNED to k: an unpinned repartition
+    // of a byte-small projection gets coalesced by AQE to a handful of
+    // writer tasks (the recorded CandidateJoin lesson), serializing the
+    // write. Paid once at index-build time — the whole point of an index.
+    index(corpus, model, vecCol).repartition(model.centroids.size, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Probe-pruned scan of a [[writePartitionedIndex]] layout: the query

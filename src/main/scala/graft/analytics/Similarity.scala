@@ -142,9 +142,12 @@ object Similarity {
                        nTables: Int = 24, bitsPerTable: Int = 12, seed: Long = 42L,
                        dim: Int = 0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // dim <= 0 → probe (one extra corpus pass); callers that know the
-    // embedding dimension pass it and the corpus is scanned exactly twice
-    // (signatures + verify).
+    // dim <= 0 → probe (one extra corpus pass); callers that KNOW the
+    // embedding dimension pass it (Stress does) and the corpus is scanned
+    // exactly twice (signatures + verify). Passing a WRONG dim is the
+    // mixed-dimension inertness rule, not an error: every vector of a
+    // different length hashes to null buckets, so the query returns no
+    // candidates — pass dim only when it is the schema's contract.
     val dimRow = if (dim > 0) Some(dim) else probeDim(corpus, vecCol)
     if (dimRow.isEmpty)
       return corpus.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
@@ -450,7 +453,11 @@ object Similarity {
           .otherwise(col("v")))
       .select(
         col("vec_id"),
-        round(cosineSimilarity(col("v"), col("dq")), 6).as("cos_fid"),
+        // Zero vector ⇒ identity dequantize ⇒ fidelity is 1 BY DEFINITION;
+        // the raw cosine would be 0/0 = NaN, which never hash-matches an
+        // external engine (and renders differently besides).
+        when(col("scale") > 0, round(cosineSimilarity(col("v"), col("dq")), 6))
+          .otherwise(lit(1.0)).as("cos_fid"),
         round(array_max(zip_with(col("v"), col("dq"), (a, b) => abs(a - b))), 9)
           .as("max_err"))
 
@@ -461,13 +468,14 @@ object Similarity {
       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
       |  FROM v
       |), d AS (
-      |  SELECT vec_id, v,
+      |  SELECT vec_id, v, scale,
       |    CASE WHEN scale > 0 THEN list_transform(v, x -> round(x / scale) * scale)
       |         ELSE v END AS dq
       |  FROM q
       |)
       |SELECT vec_id,
-      |  round(list_cosine_similarity(v, dq), 6) AS cos_fid,
+      |  CASE WHEN scale > 0 THEN round(list_cosine_similarity(v, dq), 6)
+      |       ELSE 1.0 END AS cos_fid,
       |  round(list_max(list_transform(generate_series(1, len(v)),
       |    i -> abs(v[i] - dq[i]))), 9) AS max_err
       |FROM d""".stripMargin

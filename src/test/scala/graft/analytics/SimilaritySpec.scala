@@ -190,9 +190,10 @@ class SimilaritySpec extends SparkSpec {
     // Real vector: dequantized cosine within float-ish error of 1.
     assert(out(1L)._1 > 0.999, out(1L).toString)
     assert(out(1L)._2 <= 1.0 / 127 / 2 + 1e-9, "max error must be bounded by scale/2")
-    // Zero vector: scale 0 must not divide — dequantize is identity and
-    // max error exactly 0 (cos of zero vectors is NaN-free only via the
-    // guard keeping dq == v; the interesting assertion is no crash + 0 err).
+    // Zero vector: scale 0 must not divide — dequantize is identity,
+    // fidelity is 1.0 BY DEFINITION (the raw cosine would be 0/0 = NaN,
+    // which can never hash-match an oracle), and max error exactly 0.
+    assert(out(2L)._1 == 1.0, out(2L).toString)
     assert(out(2L)._2 == 0.0, out(2L).toString)
   }
 }
