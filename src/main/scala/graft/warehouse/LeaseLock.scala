@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   * instead of interleaving staging-dir writes with the first.
   *
   * Guarantees and limits, stated plainly:
-  *  - On HDFS (and local FS) `create(path, overwrite = false)` is atomic —
-  *    exactly one contender wins. That is the filesystem family the
-  *    warehouse layout targets.
+  *  - On HDFS `create(path, overwrite = false)` is an atomic namenode
+  *    operation — exactly one contender wins. On local paths Hadoop's
+  *    LocalFileSystem implements it as a NON-atomic exists-then-create,
+  *    so the lease file is created with POSIX O_EXCL there instead
+  *    (File.createNewFile); the contention spec holds 24 contenders to
+  *    zero overlapping acquisitions.
   *  - On eventually-consistent object stores without atomic create
   *    (plain S3), this is best-effort advisory locking; deployments there
   *    should point the lease at an HDFS/consistent path or use an external
@@ -97,13 +100,31 @@ object LeaseLock {
     }
   }
 
-  private def tryCreate(hfs: FileSystem, p: Path, id: String, ttlMs: Long): Boolean =
-    try {
-      val out = hfs.create(p, false) // atomic exclusive create on HDFS/local
-      try out.write(s"$id ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+  private def tryCreate(hfs: FileSystem, p: Path, id: String, ttlMs: Long): Boolean = {
+    val payload = s"$id ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8")
+    if (hfs.getScheme == "file") {
+      // Hadoop's local filesystems implement create(overwrite = false) as
+      // a NON-atomic exists()-then-create — the contention spec observed
+      // overlapping holds through that window. POSIX O_EXCL via
+      // File.createNewFile IS atomic; use it whenever the lease lives on
+      // a local path. (The payload write after the create is not atomic —
+      // a reader catching the empty file gets a malformed lease and just
+      // polls again.)
+      try {
+        val f = new java.io.File(p.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        if (!f.createNewFile()) return false
+        val out = new java.io.FileOutputStream(f)
+        try out.write(payload) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    } else
+      try {
+        val out = hfs.create(p, false) // atomic namenode create on HDFS
+        try out.write(payload) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
 
   private def readLease(hfs: FileSystem, p: Path): Option[(String, Long)] =
     try {

@@ -38,4 +38,32 @@ class LeaseLockSpec extends SparkSpec {
     // And the lease was released on the way out.
     assert(LeaseLock.acquire(spark, table).isDefined)
   }
+
+  test("contending acquirers are mutually exclusive under load") {
+    val table = tmpDir("lease-race") + "/tbl"
+    val inside = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val held = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 24).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            // Tiny TTL exercises the expiry-takeover path concurrently
+            // with live holds — the exact regime of the takeover race.
+            LeaseLock.acquire(spark, table, ttlMs = 5000L, waitMs = 30000L,
+              pollMs = 5L).foreach { l =>
+              if (!inside.compareAndSet(false, true)) overlaps.incrementAndGet()
+              held.incrementAndGet()
+              Thread.sleep(3)
+              inside.set(false)
+              LeaseLock.release(spark, l)
+            }
+        })
+      }
+      tasks.foreach(_.get())
+      assert(overlaps.get == 0, s"${overlaps.get} overlapping holds")
+      assert(held.get == 24, s"only ${held.get}/24 contenders ever acquired")
+    } finally pool.shutdownNow()
+  }
 }
