@@ -127,6 +127,31 @@ object Main {
       println(report.summary)
       spark.stop()
 
+    case "ann-index" :: emb :: out :: rest =>
+      // Build the IVF ANN index lifecycle as a user verb: train the coarse
+      // quantizer, persist the model (crash-safe swap), and materialize
+      // the cell-partitioned index — train once, search many.
+      val spark = session()
+      val k = rest.headOption.map(_.toInt).getOrElse(16)
+      val corpus = spark.read.parquet(emb)
+      val model = graft.analytics.IvfIndex.train(corpus, k)
+      graft.analytics.IvfIndex.save(spark, model, s"$out/model")
+      graft.analytics.IvfIndex.writePartitionedIndex(corpus, model, s"$out/index")
+      println(s"[SUCCESS] IVF index built: k=$k cells at $out")
+      spark.stop()
+
+    case "ann-search" :: out :: queriesPath :: rest =>
+      // Probe a persisted index: loads the model, prunes to the probed
+      // cell directories, exact-scores within them.
+      val spark = session()
+      val k = rest.headOption.map(_.toInt).getOrElse(5)
+      val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
+      val model = graft.analytics.IvfIndex.load(spark, s"$out/model")
+      graft.analytics.IvfIndex.searchPartitioned(
+        spark, s"$out/index", spark.read.parquet(queriesPath), model, k, nprobe)
+        .show(50, truncate = false)
+      spark.stop()
+
     case "report" :: wh :: out :: Nil =>
       // Build the staff report from warehouse tables and write the JSON
       // array artifact (reference scraper.py:69-71).
@@ -154,6 +179,8 @@ object Main {
            |  stream <warehouseDir> <srcDir> <collection>
            |  load <warehouseDir> <file> <collection> [overwrite|merge]
            |  curate <docsParquet> <outDir> [threshold] [maxRecordsPerFile]
+           |  ann-index <embParquet> <outDir> [k]
+           |  ann-search <outDir> <queriesParquet> [k] [nprobe]
            |  report <warehouseDir> <outFile.json>
            |  logs <warehouseDir> [limit]
            |  health <warehouseDir>
