@@ -80,10 +80,30 @@ object TrainingData {
         col("source"),
         when(col("doc_id") % 20 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" clean"))).as("text"))
-    val trainFp = docs
-      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
-    eval.select(col("source"), TextAnalysis.fingerprint(col("text")).as("efp"))
-      .join(trainFp, col("efp") === col("fp"), "left")
+    contaminationAtScale(docs.select(col("text")), eval)
+  }
+
+  /** The 100 TB shape of the contamination probe, output-identical to a
+    * plain distinct+left-join: a driver-sized Bloom filter over the
+    * (small) EVAL fingerprint set prefilters the training corpus IN ITS
+    * SCAN — the corpus side never shuffles its full fingerprint set, only
+    * the Bloom survivors (true hits + ~fpp of the corpus) reach the
+    * distinct, and the confirming join is exact, so false positives die
+    * there and false negatives cannot exist. One full-corpus pass, no
+    * full-corpus exchange.
+    */
+  def contaminationAtScale(train: DataFrame, eval: DataFrame,
+                           expectedEvalItems: Long = 1000000L): DataFrame = {
+    val evalFp = eval.select(col("source"),
+      TextAnalysis.fingerprint(col("text")).as("efp"))
+    val bloom = graft.functions.BloomFilters.build(
+      evalFp, col("efp"), expectedEvalItems, expectedEvalItems * 8)
+    val trainHits = train
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .filter(graft.functions.BloomFilters.mightContain(bloom, col("fp")))
+      .distinct()
+    evalFp
+      .join(trainHits, col("efp") === col("fp"), "left")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_eval"),

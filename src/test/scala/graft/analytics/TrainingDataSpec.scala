@@ -38,6 +38,29 @@ class TrainingDataSpec extends SparkSpec {
       s"only the unmutated half may match: $totalContam vs $expectedContam")
   }
 
+  test("Bloom-prefiltered contamination equals the plain join and prunes in-scan") {
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("source"),
+        when(col("doc_id") % 20 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" clean"))).as("text"))
+    val atScale = TrainingData.contaminationAtScale(docs.select(col("text")), eval)
+    // Exactness: Bloom has no false negatives and the confirming join
+    // kills false positives — compare against the plain distinct+join.
+    val plainFp = docs.select(graft.analytics.TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val plain = eval.select(col("source"),
+        graft.analytics.TextAnalysis.fingerprint(col("text")).as("efp"))
+      .join(plainFp, col("efp") === col("fp"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_eval"), count(col("fp")).as("n_contaminated"))
+    assert(atScale.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    // The probe is a pushable predicate: the corpus-side filter shows up
+    // as a might_contain in the physical plan (the in-scan prune that
+    // spares the corpus shuffle at 100 TB).
+    atScale.collect()
+    assert(atScale.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom probe must appear in the physical plan")
+  }
+
   test("stratified sample keeps exact per-stratum quotas, deterministically") {
     val s1 = TrainingData.stratifiedSample(docs, col("lang"), col("doc_id"), 5)
     val quotas = s1.groupBy("lang").count().collect().map(_.getLong(1))
