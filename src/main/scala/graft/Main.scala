@@ -128,27 +128,24 @@ object Main {
       spark.stop()
 
     case "ann-index" :: emb :: out :: rest =>
-      // Build the IVF ANN index lifecycle as a user verb: train the coarse
-      // quantizer, persist the model (crash-safe swap), and materialize
-      // the cell-partitioned index — train once, search many.
+      // Build the IVF ANN index lifecycle as a user verb: model + cell-
+      // partitioned index land as ONE atomically-swapped bundle (a torn
+      // model/index pair probes the wrong cell dirs — silently wrong).
       val spark = session()
       val k = rest.headOption.map(_.toInt).getOrElse(16)
-      val corpus = spark.read.parquet(emb)
-      val model = graft.analytics.IvfIndex.train(corpus, k)
-      graft.analytics.IvfIndex.save(spark, model, s"$out/model")
-      graft.analytics.IvfIndex.writePartitionedIndex(corpus, model, s"$out/index")
-      println(s"[SUCCESS] IVF index built: k=$k cells at $out")
+      graft.analytics.IvfIndex.buildBundle(spark, spark.read.parquet(emb), out, k)
+      println(s"[SUCCESS] IVF index bundle built: k=$k cells at $out")
       spark.stop()
 
     case "ann-search" :: out :: queriesPath :: rest =>
-      // Probe a persisted index: loads the model, prunes to the probed
-      // cell directories, exact-scores within them.
+      // Probe a persisted bundle: loads the model, prunes to the probed
+      // cell directories, exact-scores within them. External query sets
+      // keep self-matches (their ids are unrelated to corpus ids).
       val spark = session()
       val k = rest.headOption.map(_.toInt).getOrElse(5)
       val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
-      val model = graft.analytics.IvfIndex.load(spark, s"$out/model")
-      graft.analytics.IvfIndex.searchPartitioned(
-        spark, s"$out/index", spark.read.parquet(queriesPath), model, k, nprobe)
+      graft.analytics.IvfIndex.searchBundle(
+        spark, out, spark.read.parquet(queriesPath), k, nprobe)
         .show(50, truncate = false)
       spark.stop()
 

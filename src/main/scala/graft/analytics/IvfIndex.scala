@@ -181,25 +181,76 @@ object IvfIndex {
     */
   def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: DataFrame, model: Model, k: Int, nprobe: Int = 2,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        excludeSelf: Boolean = true): DataFrame =
     search(prunedIndexScan(spark, path, queries, model, nprobe, vecCol),
-      queries, model, k, nprobe, idCol, vecCol)
+      queries, model, k, nprobe, idCol, vecCol, excludeSelf)
 
   /** ANN top-k: each query probes its `nprobe` nearest cells, exact cosine
     * within them.
+    *
+    * `excludeSelf` drops corpus rows whose id EQUALS the query id — correct
+    * when queries ARE corpus rows (the q28 shape), WRONG for an external
+    * query set whose ids coincidentally collide with corpus ids (both id
+    * spaces naturally start at 0): there it silently hides a true nearest
+    * neighbor. External-query callers (the `ann-search` CLI) pass false.
     */
   def search(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
-             nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
+             excludeSelf: Boolean = true): DataFrame = {
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cells", nearestCells(col("q_vec"), model, nprobe))
       .withColumn("cell", explode(col("cells").getField("cell")))
       .drop("cells")
-    val scored = indexed
-      .join(broadcast(q), Seq("cell"))
-      .filter(col(idCol) =!= col("query_id"))
+    val joined = indexed.join(broadcast(q), Seq("cell"))
+    val candidates =
+      if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined
+    val scored = candidates
       .withColumn("score", graft.functions.cosineSimilarity(col("q_vec"), col(vecCol)))
     Similarity.topK(scored, k, idCol)
+  }
+
+  /** Build model + partitioned index as ONE atomically-swapped bundle dir
+    * (`<path>/model`, `<path>/index`): swapping them independently has a
+    * torn window where a reader pairs the NEW centroids with the OLD (or
+    * partial) cell layout and probes the wrong directories — silently
+    * wrong neighbors. The bundle stages to a hidden sibling and renames
+    * into place with the same .bak crash recovery as [[save]].
+    */
+  def buildBundle(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                  path: String, k: Int, iters: Int = 3,
+                  vecCol: String = "embedding"): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".staging_${p.getName}")
+    hfs.delete(tmp, true)
+    val model = train(corpus, k, iters, vecCol = vecCol)
+    save(spark, model, new org.apache.hadoop.fs.Path(tmp, "model").toString)
+    writePartitionedIndex(corpus, model, new org.apache.hadoop.fs.Path(tmp, "index").toString, vecCol)
+    recover(hfs, p)
+    val bak = bakPath(p)
+    if (hfs.exists(bak)) hfs.delete(bak, true)
+    if (hfs.exists(p) && !hfs.rename(p, bak))
+      sys.error(s"index bundle: backup rename of $path failed")
+    if (!hfs.rename(tmp, p)) sys.error(s"index bundle: rename into $path failed")
+    hfs.delete(bak, true)
+    model
+  }
+
+  /** Search a [[buildBundle]] layout; restores a crashed swap's .bak first.
+    * External query sets default to `excludeSelf = false` — their id space
+    * is unrelated to the corpus ids.
+    */
+  def searchBundle(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, k: Int, nprobe: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   excludeSelf: Boolean = false): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    recover(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val model = load(spark, new org.apache.hadoop.fs.Path(p, "model").toString)
+    searchPartitioned(spark, new org.apache.hadoop.fs.Path(p, "index").toString,
+      queries, model, k, nprobe, idCol, vecCol, excludeSelf)
   }
 
   // ---------------------------------------------------------------- q28

@@ -91,9 +91,15 @@ object TrainingData {
     * distinct, and the confirming join is exact, so false positives die
     * there and false negatives cannot exist. One full-corpus pass, no
     * full-corpus exchange.
+    *
+    * `expectedEvalItems` sizes the filter blob (bits = 8× items, ~1 byte
+    * per expected item); it is a PERF knob only — an undersized filter
+    * admits more false positives for the exact join to discard, never a
+    * wrong answer. The blob travels as a plan literal, so size it for the
+    * eval set, not for headroom.
     */
   def contaminationAtScale(train: DataFrame, eval: DataFrame,
-                           expectedEvalItems: Long = 1000000L): DataFrame = {
+                           expectedEvalItems: Long = 100000L): DataFrame = {
     val evalFp = eval.select(col("source"),
       TextAnalysis.fingerprint(col("text")).as("efp"))
     val bloom = graft.functions.BloomFilters.build(

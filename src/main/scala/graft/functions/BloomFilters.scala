@@ -25,19 +25,26 @@ object BloomFilters {
 
   /** Build and collect the Bloom filter of `xxhash64(c)` over `df`.
     * The returned blob is `numBits/8` bytes regardless of row count —
-    * driver- and broadcast-safe by construction.
+    * driver- and broadcast-safe by construction. An EMPTY `df` yields an
+    * empty array (the aggregate itself returns null on zero rows), which
+    * [[mightContain]] turns into a constant-false predicate — the exact
+    * semantics of membership in the empty set, instead of the silent
+    * NULL-predicate drop-everything a raw null literal would cause.
     */
   def build(df: DataFrame, c: Column, expectedItems: Long, numBits: Long): Array[Byte] = {
     val agg = new BloomFilterAggregate(
       ColumnOps.expression(xxhash64(c)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    df.select(ColumnOps.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+    Option(df.select(ColumnOps.column(agg).as("bf")).head().getAs[Array[Byte]](0))
+      .getOrElse(Array.empty[Byte])
   }
 
   /** Membership probe against a built filter — usable anywhere a Column
     * predicate is (filters, join conditions), rides predicate pushdown.
+    * An empty-set filter (see [[build]]) probes as constant false.
     */
   def mightContain(bloom: Array[Byte], c: Column): Column =
-    ColumnOps.column(BloomFilterMightContain(
+    if (bloom.isEmpty) org.apache.spark.sql.functions.lit(false)
+    else ColumnOps.column(BloomFilterMightContain(
       Literal(bloom, BinaryType), ColumnOps.expression(xxhash64(c))))
 }

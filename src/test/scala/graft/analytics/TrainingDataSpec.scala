@@ -55,8 +55,8 @@ class TrainingDataSpec extends SparkSpec {
     assert(atScale.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
     // The probe is a pushable predicate: the corpus-side filter shows up
     // as a might_contain in the physical plan (the in-scan prune that
-    // spares the corpus shuffle at 100 TB).
-    atScale.collect()
+    // spares the corpus shuffle at 100 TB). The equality assertion above
+    // already drove THIS QueryExecution to its final AQE plan.
     assert(atScale.queryExecution.executedPlan.toString.contains("might_contain"),
       "bloom probe must appear in the physical plan")
   }

@@ -12,9 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class MediaCodecsPropSpec extends AnyFunSuite {
 
-  private val rnd = new Random(42)
-
   test("BMP round-trip: dimensions exact, features bounded, any size") {
+    // Fresh seeded stream PER TEST: a shared Random would make each
+    // test's cases depend on suite execution order/subset, so a failure
+    // seen in CI would not reproduce under testOnly -z.
+    val rnd = new Random(42)
     (1 to 200).foreach { _ =>
       val w = 1 + rnd.nextInt(17)
       val h = 1 + rnd.nextInt(17)
@@ -29,6 +31,7 @@ class MediaCodecsPropSpec extends AnyFunSuite {
   }
 
   test("WAV round-trip: format fields exact, RMS bounded, any sample count") {
+    val rnd = new Random(43)
     (1 to 200).foreach { _ =>
       val rate = 1 + rnd.nextInt(192000)
       val ch = 1 + rnd.nextInt(8)
@@ -42,6 +45,7 @@ class MediaCodecsPropSpec extends AnyFunSuite {
   }
 
   test("decoders are total on arbitrary bytes: None or Some, never a throw") {
+    val rnd = new Random(44)
     (1 to 500).foreach { _ =>
       val junk = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte)
       MediaCodecs.decodeBmp24(junk)
