@@ -33,10 +33,21 @@ object Clean {
     */
   def normalize(df: DataFrame, idCol: String = "_id"): DataFrame = {
     val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: StructType | _: ArrayType => jsonify(col(f.name)).as(f.name)
-        case _ if f.name == idCol         => col(f.name).cast("string").as(f.name)
-        case _                            => col(f.name)
+      (f.name, f.dataType) match {
+        // ObjectId stringification parity (reference transform.py:26-27
+        // `astype(str)` on pymongo ObjectId → the BARE 24-hex id): an
+        // extended-JSON id arrives either as struct<$oid:string> (inferred
+        // schema) or as the raw `{"$oid": "..."}` text (registered
+        // StringType schema) — both must land as the hex, not JSON.
+        case (n, s: StructType) if n == idCol && s.fieldNames.sameElements(Array("$oid")) =>
+          col(n).getField("$oid").as(n)
+        case (n, _) if n == idCol =>
+          val s = col(n).cast("string")
+          val oid = regexp_extract(s,
+            """^\s*\{\s*"\$oid"\s*:\s*"([0-9a-fA-F]{24})"\s*\}\s*$""", 1)
+          when(oid =!= "", oid).otherwise(s).as(n)
+        case (n, _: StructType | _: ArrayType) => jsonify(col(n)).as(n)
+        case (n, _)                            => col(n)
       }
     }
     df.select(cols.toIndexedSeq: _*)

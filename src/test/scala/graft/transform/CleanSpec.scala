@@ -30,6 +30,27 @@ class CleanSpec extends SparkSpec {
     assert(out.select("_id").collect().map(_.getString(0)).toSet == Set("1", "2"))
   }
 
+  test("ObjectId ids land as the bare 24-hex, in both arrival shapes") {
+    // Reference parity (transform.py:26-27): str(ObjectId) is the hex,
+    // never '{"$oid": ...}'. Inferred extended JSON arrives as a struct;
+    // a registered StringType schema arrives as the raw JSON text.
+    val hex = "655f1a2b3c4d5e6f70718283"
+    val structShape = spark.createDataFrame(
+      java.util.List.of(Row(Row(hex), "x")),
+      StructType(Seq(
+        StructField("_id", StructType(Seq(StructField("$oid", StringType)))),
+        StructField("name", StringType))))
+    assert(Clean.normalize(structShape).select("_id").head().getString(0) == hex)
+    val stringShape = spark.createDataFrame(
+      java.util.List.of(
+        Row(s"""{"$$oid": "$hex"}""", "x"),
+        Row("plain-id", "y")),
+      StructType(Seq(
+        StructField("_id", StringType), StructField("name", StringType))))
+    val got = Clean.normalize(stringShape).select("_id").collect().map(_.getString(0)).toSet
+    assert(got == Set(hex, "plain-id"), got.toString)
+  }
+
   test("normalize renders nested struct/array as JSON strings, nulls preserved") {
     val out = Clean.normalize(df).orderBy("_id").collect()
     assert(out(0).getAs[String]("meta") == """{"foo":"bar"}""")
