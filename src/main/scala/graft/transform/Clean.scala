@@ -41,12 +41,15 @@ object Clean {
         // StringType schema) — both must land as the hex, not JSON.
         case (n, s: StructType) if n == idCol && s.fieldNames.sameElements(Array("$oid")) =>
           col(n).getField("$oid").as(n)
+        // Non-ObjectId struct/array ids (and every other nested column)
+        // keep canonical-JSON form — only the $oid shape has a bare-hex
+        // string parity.
+        case (n, _: StructType | _: ArrayType) => jsonify(col(n)).as(n)
         case (n, _) if n == idCol =>
           val s = col(n).cast("string")
           val oid = regexp_extract(s,
             """^\s*\{\s*"\$oid"\s*:\s*"([0-9a-fA-F]{24})"\s*\}\s*$""", 1)
           when(oid =!= "", oid).otherwise(s).as(n)
-        case (n, _: StructType | _: ArrayType) => jsonify(col(n)).as(n)
         case (n, _)                            => col(n)
       }
     }
