@@ -54,19 +54,30 @@ object Bench {
       // A query that failed any rep reports -1 (failures must stay loud).
       (name, if (times.exists(_ < 0)) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // Locale-independent formatting: the f interpolator uses the default
     // locale, which renders comma decimal separators (de_DE "12,345") and
     // silently corrupts the JSON artifact. Double.toString never does.
+    def r3(t: Double): String = (math.rint(t * 1000) / 1000).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val repJson = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => (math.rint(t * 1000) / 1000).toString)
-        .mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadPost = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost,"reps":$repJson}""")
+    // The driver captures only the LAST 2000 chars of sbt stdout and parses
+    // the JSON line out of that tail (r4's line, with inline reps, overran
+    // the buffer and the round's bench artifact came back unparsed). Keep
+    // the stdout line compact; the per-rep detail goes to a side file.
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost,"reps":$repJson}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost}"""
+    if (line.length > 1800)  // [success] trailer eats ~100 of the 2000-char tail
+      System.err.println(s"[bench] WARNING stdout line ${line.length} chars may overrun driver tail")
+    println(line)
     spark.stop()
   }
 }

@@ -38,7 +38,7 @@ object GraftFunctions {
     ("minhash_sig", es => MinHashSig(es(0), intLit(es(1), "minhash_sig")),
       "minhash_sig(text, n) - 64-lane MinHash signature over word n-gram shingles"),
     ("simhash_sig", es => SimHashSig(es(0), intLit(es(1), "simhash_sig")),
-      "simhash_sig(text, n) - 64-bit SimHash signature over word n-gram shingles"),
+      "simhash_sig(text, n) - portable 60-bit SimHash (md5 basis) over word n-gram shingles"),
     ("jaccard_sets", es => JaccardSets(es(0), es(1)),
       "jaccard_sets(a, b) - exact set-semantics Jaccard of two bigint arrays (duplicates count once, null is one member; fused sort-merge pass)"),
     ("duration_mmss", es => durationExpr(es(0)),

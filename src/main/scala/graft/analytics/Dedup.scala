@@ -94,16 +94,18 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash signature — a pure per-row projection (native
-    * single-pass kernel over the shingle hash set).
+  /** Portable 60-bit SimHash signature — a pure per-row projection
+    * (native single-pass md5-basis kernel; see
+    * [[graft.functions.SketchKernels.simHash60Long]]).
     */
   def simHashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame =
     docs.select(col(idCol), graft.functions.simHashSignature(col(textCol), ShingleN).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming` (must be < 4): pigeonhole
-    * on four 16-bit chunks — a pair within hamming 3 shares at least one
-    * chunk, so the join only touches chunk-colliding buckets.
+    * on four 15-bit chunks of the 60-bit signature — a pair within
+    * hamming 3 differs in at most 3 chunks, so it shares at least one,
+    * and the join only touches chunk-colliding buckets.
     */
   def simHashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -113,7 +115,7 @@ object Dedup {
       col(idCol), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("cs"))
+          shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)).as("ck"))): _*)).as("cs"))
       .select(col(idCol), col("simhash"), col("cs.chunk"), col("cs.ck"))
     chunks.alias("x")
       .join(chunks
@@ -293,8 +295,12 @@ object Dedup {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q18
-  /** Per-doc SimHash signature + candidate count at hamming ≤ 3. Rows-only
-    * (xxhash64 not expressible in ANSI SQL).
+  /** Per-doc SimHash signature + near-dup count at hamming ≤ 3 — fully
+    * oracle-gated: the 60-bit md5-basis signature is recomputed
+    * bit-identically by DuckDB (distinct word-3-gram shingles →
+    * `('0x'||substr(md5(s),1,15))::BIGINT` → per-bit ±1 votes), and the
+    * pigeonhole chunk join is complete for hamming ≤ 3, so its pair set
+    * equals the oracle's all-pairs `bit_count(xor(...)) <= 3` exactly.
     */
   def simHashSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -372,8 +378,48 @@ object Dedup {
        |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
        |FROM bef b LEFT JOIN aft a ON b.source = a.source""".stripMargin
 
+  // The q18 oracle rebuilds the portable signature from scratch in DuckDB:
+  // same tokenization (`\s+` on lowercased text), same DISTINCT word-3-gram
+  // shingles, same top-60-md5-bits hash, same ±1 bit votes — then counts
+  // hamming≤3 neighbors by brute force (the chunked join is provably
+  // complete at hamming < 4, so the sets coincide on every corpus).
+  private val simHashSummarySql =
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+       |  FROM ws
+       |),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hx, (SELECT unnest(range(60)) AS b)
+       |  GROUP BY 1, 2
+       |),
+       |sig AS (
+       |  SELECT w.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) AS simhash
+       |  FROM ws w LEFT JOIN (
+       |    SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS sig
+       |    FROM bits GROUP BY 1) s ON w.doc_id = s.doc_id
+       |),
+       |prs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |),
+       |cnt AS (
+       |  SELECT doc_id, count(*) AS n FROM (
+       |    SELECT a_id AS doc_id FROM prs UNION ALL SELECT b_id AS doc_id FROM prs)
+       |  GROUP BY 1
+       |)
+       |SELECT s.doc_id, s.simhash, CAST(coalesce(c.n, 0) AS BIGINT) AS n_candidates
+       |FROM sig s LEFT JOIN cnt c ON s.doc_id = c.doc_id""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q17_minhash_neardups", minHashSummary _, Some(minHashSummarySql)),
-    NamedQuery.rowsOnly("q18_simhash_signatures")(simHashSummary _),
+    NamedQuery("q18_simhash_signatures", simHashSummary _, Some(simHashSummarySql)),
     NamedQuery("q30_dedup_corpus", dedupCorpusSummary _, Some(dedupCorpusSummarySql)))
 }

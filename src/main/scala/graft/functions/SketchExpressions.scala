@@ -83,25 +83,6 @@ object SketchKernels {
     sig
   }
 
-  /** 64-bit SimHash over the shingle hash set. */
-  def simHash(shingles: Array[Long]): Long = {
-    val sums = new Array[Int](NumLanes)
-    var s = 0
-    while (s < shingles.length) {
-      val h = shingles(s)
-      var i = 0
-      while (i < NumLanes) {
-        sums(i) += ((((h >>> i) & 1L) << 1) - 1).toInt
-        i += 1
-      }
-      s += 1
-    }
-    var out = 0L
-    var i = 0
-    while (i < NumLanes) { if (sums(i) > 0) out |= (1L << i); i += 1 }
-    out
-  }
-
   /** Exact Jaccard of two long-array columns under SET semantics in one
     * fused pass: copy, sort, dedupe, merge-count the intersection
     * (|∪| = |a|+|b|−|∩|). Value-identical to
@@ -153,13 +134,73 @@ object SketchKernels {
     (buf, w, hasNull)
   }
 
+  /** Bit width of the portable SimHash: 60 = 15 hex chars of an md5
+    * digest, the widest value every ANSI engine can hold in a signed
+    * 64-bit integer (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`).
+    */
+  val SimHashBits = 60
+
+  /** Portable 60-bit SimHash. Unlike the xxh64 shingle chain (a Spark
+    * implementation detail), every step here is re-computable in ANSI
+    * SQL, which makes the signature itself oracle-checkable in DuckDB
+    * (q18): lowercase, tokenize on the RE2 `\s` class, join each word
+    * n-gram with single spaces, hash the DISTINCT shingle strings with
+    * md5 keeping the top 60 bits (big-endian — the first 15 hex chars),
+    * vote per bit (+1/−1), set bit b iff its vote sum is positive.
+    * Exact-parity notes: dedup is on the shingle STRING (not its hash, so
+    * an in-doc 60-bit collision can't diverge from SQL's
+    * `list_distinct`); ties (vote 0) clear the bit in both engines; docs
+    * with fewer than n tokens sign 0.
+    */
+  def simHash60Long(text: UTF8String, n: Int): Long = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    var start = -1
+    while (i <= s.length) {
+      val ws = i == s.length || {
+        val c = s.charAt(i)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+      }
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { toks += s.substring(start, i); start = -1 }
+      i += 1
+    }
+    val seen = new java.util.HashSet[String]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](SimHashBits)
+    var k = 0
+    while (k + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(k))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(k + j)); j += 1 }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        md.reset()
+        val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+        h = h >>> 4 // top 60 bits of the big-endian digest
+        var bit = 0
+        while (bit < SimHashBits) {
+          sums(bit) += ((((h >>> bit) & 1L) << 1) - 1).toInt
+          bit += 1
+        }
+      }
+      k += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < SimHashBits) { if (sums(bit) > 0) out |= 1L << bit; bit += 1 }
+    out
+  }
+
   // Entry points used from generated code (one static call per row).
   def shingleArray(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(text, n))
   def minHashArray(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(minHash(shingleHashes(text, n)))
-  def simHashLong(text: UTF8String, n: Int): Long =
-    simHash(shingleHashes(text, n))
 }
 
 sealed abstract class SketchExpression extends UnaryExpression {
@@ -226,16 +267,19 @@ case class JaccardSets(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** 64-bit SimHash signature of a text column. */
+/** Portable 60-bit SimHash signature of a text column (md5 basis — see
+  * [[SketchKernels.simHash60Long]]; DuckDB recomputes it bit-identically,
+  * which is what lets q18 be oracle-gated rather than rows-only).
+  */
 case class SimHashSig(child: Expression, shingleN: Int) extends SketchExpression {
   override def prettyName: String = "simhash_sig"
   override def dataType: DataType = LongType
 
   override def nullSafeEval(t: Any): Any =
-    SketchKernels.simHashLong(t.asInstanceOf[UTF8String], shingleN)
+    SketchKernels.simHash60Long(t.asInstanceOf[UTF8String], shingleN)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t => s"graft.functions.SketchKernels.simHashLong($t, $shingleN)")
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchKernels.simHash60Long($t, $shingleN)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -100,6 +100,25 @@ class DedupSpec extends SparkSpec {
     assert(s1.sameElements(s2))
   }
 
+  test("simhash matches the portable md5-60bit reference values") {
+    // Pinned against an independent Python implementation of the oracle's
+    // definition (lower → RE2-\s tokens → distinct word-3-gram shingles →
+    // top 60 md5 bits → ±1 votes). If the kernel drifts from these, the
+    // q18 DuckDB oracle drifts identically-sized but opposite: hash gate
+    // breaks. Covers multi-whitespace runs and case folding.
+    val expected = Map(
+      "a b c d" -> 10698662606082120L,
+      "spark merge join filter scan window" -> 308507677141763602L,
+      "Tab\tand  Newline\nmix case" -> 345901431351435771L)
+    val d = expected.keys.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.simHashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    expected.keys.toSeq.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expected(t), s"signature drift for '$t'")
+    }
+  }
+
   test("simhash: identical texts share signatures, near texts are close") {
     val d = Seq(
       (1L, "spark merge join filter scan window"),
