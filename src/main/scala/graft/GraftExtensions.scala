@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Divide, Expression, ExpressionInfo, Floor, IntegerLiteral, Literal, Remainder}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
-import graft.functions.{CosineSim, DotProduct, JaccardSets, MinHashSig, ShingleHashArray, SimHashSig}
+import graft.functions.{CosineSim, DotProduct, JaccardSets, MinHashSig, ShingleHashArray, ShingleStrings, SimHashSig}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -35,6 +35,8 @@ object GraftFunctions {
       "vec_dot(a, b) - fused-loop dot product of two float/double arrays"),
     ("shingle_hashes", es => ShingleHashArray(es(0), intLit(es(1), "shingle_hashes")),
       "shingle_hashes(text, n) - distinct xxhash64 hashes of word n-gram shingles"),
+    ("shingle_strings", es => ShingleStrings(es(0), intLit(es(1), "shingle_strings")),
+      "shingle_strings(text, n) - word n-gram shingle strings, duplicates kept (n=1 = token stream)"),
     ("minhash_sig", es => MinHashSig(es(0), intLit(es(1), "minhash_sig")),
       "minhash_sig(text, n) - 64-lane MinHash signature over word n-gram shingles"),
     ("simhash_sig", es => SimHashSig(es(0), intLit(es(1), "simhash_sig")),

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.NamedQuery
@@ -281,10 +282,68 @@ object TextAnalysis {
       |  round(coalesce(t.top_c::DOUBLE / t.n_toks, 0), 6) AS top_ratio
       |FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** TF-IDF keyword extraction: the top-k terms per document by
+    * `tf · ln((N+1)/(df+1))` — the classic corpus-statistics ranking a
+    * curation pipeline uses for topic tagging and near-template
+    * detection. Exact-parity design: tf and df are integers, so every
+    * score is `int · ln(exact-double ratio)` — no summation-order
+    * dependence anywhere — and ranking ties (identical (tf, df)) break on
+    * the term string, so the row set is deterministic in both engines;
+    * only the display value is rounded.
+    *
+    * Plan shape for 100 TB: the document-frequency table is a term
+    * dictionary (vocabulary-sized, ~1M entries for BPE-style tokens ≪
+    * corpus) — broadcast it and the corpus-sized tf table never shuffles
+    * for the join; the only corpus-wide exchanges are the tf groupBy and
+    * the per-doc rank window, both partitioned by doc_id.
+    */
+  def tfIdf(docs: DataFrame, k: Int = 3,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(graft.functions.shingleStrings(col(textCol), 1)).as("term"))
+    val tfs = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tfs.join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("term_rank"),
+        round(col("score"), 4).as("score"))
+  }
+
+  def tfIdfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfIdf(Tables.documents(spark, dir), k)
+
+  private val tfIdfTopTermsSql =
+    """WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM ws),
+      |tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfs AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM ws),
+      |scored AS (
+      |  SELECT t.doc_id, t.term, t.tf, t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS score
+      |  FROM tfs t JOIN dfs d USING (term) CROSS JOIN n
+      |),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, term_rank, round(score, 4) AS score
+      |FROM ranked WHERE term_rank <= 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
     NamedQuery("q15_exact_dedup", exactDedup _, Some(exactDedupSql)),
     NamedQuery("q16_jaccard_pairs", jaccardPairs _, Some(jaccardPairsSql)),
-    NamedQuery("q43_repetition_quality", repetitionQuality _, Some(repetitionQualitySql)))
+    NamedQuery("q43_repetition_quality", repetitionQuality _, Some(repetitionQualitySql)),
+    NamedQuery("q46_tfidf_terms", (s, d) => tfIdfTopTerms(s, d), Some(tfIdfTopTermsSql)))
 }

@@ -261,11 +261,80 @@ object TrainingData {
       |  CAST(sum(length(text) - length(scrubbed)) AS BIGINT) AS chars_removed
       |FROM scrub GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** N-gram decontamination — the partial-overlap complement of q36's
+    * verbatim check (the GPT-3-style scan: a training doc is suspect if
+    * it shares ANY word n-gram with the held-out set, catching quotes and
+    * paraphrase-with-splicing that fingerprint equality misses; real
+    * pipelines use 13-grams, the harness corpus's 31-word vocabulary
+    * makes 3-grams the discriminating size). Eval = the q35 hash-split's
+    * own test partition, so the query needs no planted fixtures.
+    *
+    * Plan shape for 100 TB: the eval side is a benchmark suite — tiny by
+    * construction — so its distinct shingle set is BROADCAST and the
+    * training corpus is never shuffled at all: one scan, shingles
+    * exploded and probed against the broadcast hash set, then a per-doc
+    * count. (Were the eval side ever corpus-sized, swap the broadcast for
+    * [[contaminationAtScale]]'s Bloom-prefilter seam.)
+    */
+  /** Core overlap operator: for each training doc, how many of its
+    * distinct word n-grams also appear anywhere in the eval set.
+    * Returns (idCol, n_shared_ngrams, contaminated).
+    */
+  def ngramOverlap(train: DataFrame, eval: DataFrame, n: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def sh(df: DataFrame, cols: Column*) = df.select(cols :+
+      explode(array_distinct(graft.functions.shingleStrings(col(textCol), n))).as("s"): _*)
+    val evalShingles = sh(eval).distinct()
+    val hits = sh(train, col(idCol))
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy(idCol).agg(count(lit(1)).as("n"))
+    train.select(idCol)
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  def ngramDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), hashSplit(col("doc_id")).as("split"), col("text"))
+    ngramOverlap(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"))
+      .withColumnRenamed("n_shared_ngrams", "n_shared_trigrams")
+  }
+
+  private val ngramDecontaminationSql =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) BETWEEN '0' AND 'b' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('c','d') THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, split, unnest(list_distinct(list_transform(range(1, greatest(len(w)-1,1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM ws
+      |),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+      |hits AS (
+      |  SELECT t.doc_id AS doc_id, count(*) AS n
+      |  FROM sh t JOIN ev USING (s) WHERE t.split = 'train' GROUP BY 1
+      |)
+      |SELECT w.doc_id AS doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_trigrams,
+      |       CAST(coalesce(h.n, 0) > 0 AS INT) AS contaminated
+      |FROM ws w LEFT JOIN hits h ON w.doc_id = h.doc_id
+      |WHERE w.split = 'train'""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),
     NamedQuery("q37_stratified_sample", stratifiedSampleByLang _, Some(stratifiedSampleSql)),
     NamedQuery("q38_top_tokens", topTokensPerLang _, Some(topTokensSql)),
     NamedQuery("q39_sequence_packing", (s, d) => packSequences(s, d), Some(packSequencesSql)),
-    NamedQuery("q40_pii_scrub", piiScrub _, Some(piiScrubSql)))
+    NamedQuery("q40_pii_scrub", piiScrub _, Some(piiScrubSql)),
+    NamedQuery("q45_ngram_decontamination", ngramDecontamination _, Some(ngramDecontaminationSql)))
 }

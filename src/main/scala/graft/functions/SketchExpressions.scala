@@ -152,7 +152,11 @@ object SketchKernels {
     * `list_distinct`); ties (vote 0) clear the bit in both engines; docs
     * with fewer than n tokens sign 0.
     */
-  def simHash60Long(text: UTF8String, n: Int): Long = {
+  /** Lowercased tokens split on the RE2 `\s` class — the exact token
+    * stream DuckDB's `string_split_regex(lower(text), '\s+')` (minus
+    * empties) produces, shared by every oracle-parity text kernel.
+    */
+  def portableTokens(text: UTF8String): Array[String] = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
@@ -166,6 +170,35 @@ object SketchKernels {
       if (ws && start >= 0) { toks += s.substring(start, i); start = -1 }
       i += 1
     }
+    toks.toArray
+  }
+
+  /** All word n-gram shingle STRINGS in document order, duplicates kept
+    * (n=1 is the raw token stream — term frequencies survive; wrap in
+    * `array_distinct` for set semantics). The string form, not a hash, so
+    * downstream joins/aggregations are reproducible in any engine.
+    */
+  def shingleStringArray(text: UTF8String, n: Int): ArrayData = {
+    val toks = portableTokens(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      if (n == 1) out(k) = UTF8String.fromString(toks(k))
+      else {
+        val sb = new java.lang.StringBuilder(toks(k))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(k + j)); j += 1 }
+        out(k) = UTF8String.fromString(sb.toString)
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def simHash60Long(text: UTF8String, n: Int): Long = {
+    val toks = portableTokens(text)
     val seen = new java.util.HashSet[String]()
     val md = java.security.MessageDigest.getInstance("MD5")
     val sums = new Array[Int](SimHashBits)
@@ -221,6 +254,28 @@ case class ShingleHashArray(child: Expression, shingleN: Int) extends SketchExpr
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.SketchKernels.shingleArray($t, $shingleN)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Word n-gram shingle STRINGS of a text column, duplicates kept in
+  * document order (see [[SketchKernels.shingleStringArray]]) — the
+  * oracle-portable counterpart of [[ShingleHashArray]]: tokenization and
+  * joining match DuckDB's `string_split_regex(lower(text),'\s+')` +
+  * `list_transform` n-gram build exactly, so equi-joins and term counts
+  * over these strings are engine-reproducible (q45 decontamination, q46
+  * TF-IDF).
+  */
+case class ShingleStrings(child: Expression, shingleN: Int) extends SketchExpression {
+  override def prettyName: String = "shingle_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    SketchKernels.shingleStringArray(t.asInstanceOf[UTF8String], shingleN)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchKernels.shingleStringArray($t, $shingleN)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -49,9 +49,15 @@ package object functions {
   def minHashSignature(text: Column, n: Int): Column =
     toCol(MinHashSig(expr(text), n))
 
-  /** 64-bit SimHash signature (native single-pass kernel). */
+  /** Portable 60-bit SimHash signature (md5-basis native kernel). */
   def simHashSignature(text: Column, n: Int): Column =
     toCol(SimHashSig(expr(text), n))
+
+  /** Word n-gram shingle strings, duplicates kept (n=1 = token stream);
+    * engine-portable tokenization for oracle-checkable joins/counts.
+    */
+  def shingleStrings(text: Column, n: Int): Column =
+    toCol(ShingleStrings(expr(text), n))
 
   /** Exact Jaccard of two distinct-element long-set columns (fused
     * sort-merge kernel; no intermediate intersect/union arrays).

@@ -97,8 +97,8 @@ class GraftFunctionsSpec extends SparkSpec {
     // The extensions class wires GraftFunctions.builders verbatim; assert
     // the registry wiring is exercised (builder list is shared).
     assert(GraftFunctions.builders.map(_._1).toSet ==
-      Set("vec_cosine", "vec_dot", "shingle_hashes", "minhash_sig", "simhash_sig",
-        "jaccard_sets", "duration_mmss"))
+      Set("vec_cosine", "vec_dot", "shingle_hashes", "shingle_strings", "minhash_sig",
+        "simhash_sig", "jaccard_sets", "duration_mmss"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 }

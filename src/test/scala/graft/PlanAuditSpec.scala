@@ -109,4 +109,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(s.nestedLoops == 0, s"$name grew a nested-loop join: $s")
     }
   }
+
+  test("q45 decontamination keeps the eval shingle set broadcast") {
+    val s = stats("q45_ngram_decontamination")
+    // The training side must never shuffle its shingles for the probe —
+    // only the per-doc count and the final left join exchange (audited 8
+    // incl. broadcast builds).
+    assert(s.shuffles <= 12 && s.nestedLoops == 0 && s.smj == 0,
+      s"q45 eval probe must stay broadcast: $s")
+  }
+
+  test("q46 tf-idf broadcasts the term dictionary and the doc count") {
+    val s = stats("q46_tfidf_terms")
+    // nestedLoops == 2 is the intended single-row doc-count cross join
+    // (the q19 pattern); the df join must stay a broadcast hash join.
+    assert(s.broadcast >= 1 && s.smj == 0 && s.nestedLoops <= 2,
+      s"q46 dictionary join must stay broadcast: $s")
+    assert(s.shuffles <= 20, s"q46 shuffles regressed: $s")
+  }
 }

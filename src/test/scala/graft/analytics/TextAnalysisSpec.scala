@@ -71,4 +71,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == 1.0)
     assert(out(2L) < 0.5)
   }
+
+  test("tf-idf ranks rare terms above common ones with term tie-breaks") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry cherry")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 2, cherry 2 → idf = ln(4/3) for all, so
+    // ranking reduces to tf desc then term asc — hand-checkable.
+    val idf = math.log(4.0 / 3.0)
+    val out = TextAnalysis.tfIdf(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(out((1L, 1)) == (("apple", 2L, math.rint(2 * idf * 1e4) / 1e4)))
+    assert(out((1L, 2))._1 == "banana")
+    assert(out((2L, 1)) == (("banana", 1L, math.rint(idf * 1e4) / 1e4))) // tie: banana < cherry
+    assert(out((2L, 2))._1 == "cherry")
+    assert(out((3L, 1)) == (("cherry", 3L, math.rint(3 * idf * 1e4) / 1e4)))
+    // top-3 of a 2-term doc yields 2 rows, not a padded third
+    assert(!out.contains((2L, 3)))
+  }
+
+  test("shingle_strings keeps duplicates and order; n=1 is the token stream") {
+    val d = Seq((1L, "A  b\tc d a b")).toDF("doc_id", "text")
+    val two = d.select(graft.functions.shingleStrings(col("text"), 2).as("s"))
+      .head().getSeq[String](0)
+    assert(two == Seq("a b", "b c", "c d", "d a", "a b")) // dup "a b" kept
+    val one = d.select(graft.functions.shingleStrings(col("text"), 1).as("s"))
+      .head().getSeq[String](0)
+    assert(one == Seq("a", "b", "c", "d", "a", "b"))
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(graft.functions.shingleStrings(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
 }

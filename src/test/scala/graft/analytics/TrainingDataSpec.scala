@@ -61,6 +61,47 @@ class TrainingDataSpec extends SparkSpec {
       "bloom probe must appear in the physical plan")
   }
 
+  test("ngram overlap counts exactly the shared distinct trigrams") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),        // shares "beta gamma delta"
+      (2L, "alpha beta gamma delta epsilon"), // shares 2 eval trigrams
+      (3L, "x y z w"),                        // disjoint vocabulary
+      (4L, "a b")                             // too short for any trigram
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "beta gamma delta epsilon soup")
+    ).toDF("doc_id", "text")
+    val out = TrainingData.ngramOverlap(train, eval).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L) == ((1L, 1)))
+    assert(out(2L) == ((2L, 1))) // "beta gamma delta" + "gamma delta epsilon"
+    assert(out(3L) == ((0L, 0)))
+    assert(out(4L) == ((0L, 0))) // short doc: present in output, clean
+    assert(out.size == 4)
+  }
+
+  test("q45 splits are disjoint and counts are brute-force-consistent") {
+    // The gated query derives train/eval from the q35 hash split; spot-
+    // check 25 train docs against a driver-side recomputation over the
+    // full eval shingle set (the oracle does the same in SQL at sf0.01).
+    val assigned = docs.select(col("doc_id"), col("text"),
+      TrainingData.hashSplit(col("doc_id")).as("split"))
+    def tris(text: String): Set[String] = {
+      val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val evalSet = assigned.filter(col("split") === "test")
+      .collect().flatMap(r => tris(r.getString(1))).toSet
+    val got = TrainingData.ngramDecontamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainDocs = assigned.filter(col("split") === "train").collect()
+    assert(got.size == trainDocs.length)
+    trainDocs.take(25).foreach { r =>
+      val expected = (tris(r.getString(1)) & evalSet).size.toLong
+      assert(got(r.getLong(0)) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("stratified sample keeps exact per-stratum quotas, deterministically") {
     val s1 = TrainingData.stratifiedSample(docs, col("lang"), col("doc_id"), 5)
     val quotas = s1.groupBy("lang").count().collect().map(_.getLong(1))
