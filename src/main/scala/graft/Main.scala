@@ -26,14 +26,29 @@ object Main {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"),
       master = sys.env.get("SPARK_GRAFT_MASTER"))
 
+  /** Reference parity (config.py:60-70 validate): an empty source map is
+    * a configuration error that exits 1 — not a silently successful no-op
+    * sync.
+    */
+  private def requireSources(sources: String): Map[String, String] = {
+    val parsed = Settings.parseSources(sources)
+    if (parsed.isEmpty) {
+      System.err.println("Configuration Errors:")
+      System.err.println("- sources must be set (JSON dict or CSV list)")
+      sys.exit(1)
+    }
+    parsed
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "sync" :: wh :: sources :: collection :: Nil =>
       // Name gate (P7) runs before any path is built from the name.
       require(Settings.validCollectionName(collection),
         s"invalid collection name '$collection' (must match ${Settings.CollectionNamePattern})")
+      val parsed = requireSources(sources)
       val spark = session()
-      val runner = new SyncRunner(spark, Settings(wh, Settings.parseSources(sources)))
-      Settings.parseSources(sources).toSeq.sortBy(_._1).foreach { case (name, root) =>
+      val runner = new SyncRunner(spark, Settings(wh, parsed))
+      parsed.toSeq.sortBy(_._1).foreach { case (name, root) =>
         val res = runner.syncCollection(name, runner.resolveCollectionPath(root, collection),
           collection, graft.core.Schemas.byCollection.get(collection))
         println(s"[${res.status}] ${res.message}")
@@ -41,8 +56,9 @@ object Main {
       spark.stop()
 
     case "scheduled" :: wh :: sources :: colls :: Nil =>
+      val parsed = requireSources(sources)
       val spark = session()
-      val settings = Settings(wh, Settings.parseSources(sources),
+      val settings = Settings(wh, parsed,
         targetCollections = colls.split(",").toSeq)
       new SyncRunner(spark, settings).scheduledRun(graft.core.Schemas.byCollection)
         .foreach(r => println(s"[${r.status}] ${r.message}"))
@@ -58,8 +74,9 @@ object Main {
       // otherwise surface as an opaque timer exception mid-session.
       val intervalMillis = (minutes.toDouble * 60000L).toLong
       require(intervalMillis > 0, s"interval must be positive, got '$minutes' minutes")
+      val parsed = requireSources(sources)
       val spark = session()
-      val settings = Settings(wh, Settings.parseSources(sources),
+      val settings = Settings(wh, parsed,
         targetCollections = colls.split(",").toSeq)
       val runner = new SyncRunner(spark, settings)
       val loop = new graft.engine.ScheduledLoop(() => {
@@ -151,12 +168,22 @@ object Main {
 
     case "report" :: wh :: out :: Nil =>
       // Build the staff report from warehouse tables and write the JSON
-      // array artifact (reference scraper.py:69-71).
+      // array artifact (reference scraper.py:69-71). A missing input
+      // table mirrors a failed per-staff fetch there (scraper.py:39-41):
+      // warn, skip, and still write the artifact from what succeeded —
+      // here an empty report — instead of dying on a raw read error.
       val spark = session()
       val runner = new SyncRunner(spark, Settings(wh))
-      val report = graft.analytics.StaffReport.build(
-        runner.readTable("ticket"), runner.readTable("users"))
-      graft.warehouse.ReportSink.writeJsonArrayFile(report, out)
+      val missing = Seq("ticket", "users")
+        .filterNot(t => graft.warehouse.MergeWriter.tableExists(spark, s"$wh/$t"))
+      if (missing.isEmpty) {
+        val report = graft.analytics.StaffReport.build(
+          runner.readTable("ticket"), runner.readTable("users"))
+        graft.warehouse.ReportSink.writeJsonArrayFile(report, out)
+      } else {
+        missing.foreach(t => System.err.println(s"warning: table '$t' not found in $wh; skipping"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(out), "[]".getBytes("UTF-8"))
+      }
       println(s"Wrote staff report to $out")
       spark.stop()
 

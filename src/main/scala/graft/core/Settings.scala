@@ -24,13 +24,20 @@ object Settings {
     else if (s.startsWith("{")) {
       // Flat string-to-string JSON object; no nested values in the reference.
       val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      pair.findAllMatchIn(s).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
-    } else {
-      s.split(",").map(_.trim).filter(_.nonEmpty).zipWithIndex
-        .map { case (uri, i) => s"source_${i + 1}" -> uri }
-        .toMap
-    }
+      val pairs = pair.findAllMatchIn(s).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+      // Reference parity (config.py:47-57): a brace-string that parses to
+      // no pairs is INVALID JSON there and falls back to the CSV form —
+      // it must not become a silent empty source map (a shell that
+      // strips the inner quotes would otherwise turn `sync` into a
+      // successful no-op). `{}`/`{ }` is the one valid-JSON empty dict.
+      if (pairs.nonEmpty || s.replaceAll("\\s", "") == "{}") pairs else csvSources(s)
+    } else csvSources(s)
   }
+
+  private def csvSources(s: String): Map[String, String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).zipWithIndex
+      .map { case (uri, i) => s"source_${i + 1}" -> uri }
+      .toMap
 
   private def unescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")

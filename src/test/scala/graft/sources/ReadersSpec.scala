@@ -78,6 +78,14 @@ class ReadersSpec extends SparkSpec {
     assert(Settings.parseSources("/a, /b,/c") ==
       Map("source_1" -> "/a", "source_2" -> "/b", "source_3" -> "/c"))
     assert(Settings.parseSources("") == Map.empty)
+    // Invalid JSON falls back to the CSV form (reference config.py:47-57)
+    // rather than a silent empty map — a shell stripping the inner quotes
+    // must not turn sync into a successful no-op.
+    assert(Settings.parseSources("{things:/data/things}") ==
+      Map("source_1" -> "{things:/data/things}"))
+    // ...but the valid-JSON empty dict stays empty.
+    assert(Settings.parseSources("{}") == Map.empty)
+    assert(Settings.parseSources("{ }") == Map.empty)
   }
 
   test("collection name validation (request.py parity)") {
