@@ -69,12 +69,12 @@ object Bench {
     // the JSON line out of that tail (r4's line, with inline reps, overran
     // the buffer and the round's bench artifact came back unparsed). Keep
     // the stdout line compact; the per-rep detail goes to a side file.
-    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost,"reps":$repJson}"""
+    val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost"""
+    val detail = base + s""","reps":$repJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost}"""
+    val line = base + "}"
     if (line.length > 1800)  // [success] trailer eats ~100 of the 2000-char tail
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars may overrun driver tail")
     println(line)

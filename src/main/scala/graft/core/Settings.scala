@@ -21,26 +21,36 @@ object Settings {
   def parseSources(raw: String): Map[String, String] = {
     val s = raw.trim
     if (s.isEmpty) Map.empty
-    else if (s.startsWith("{")) {
-      // Flat string-to-string JSON object; no nested values in the reference.
-      val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      val pairs = pair.findAllMatchIn(s).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
-      // Reference parity (config.py:47-57): a brace-string that parses to
-      // no pairs is INVALID JSON there and falls back to the CSV form —
-      // it must not become a silent empty source map (a shell that
-      // strips the inner quotes would otherwise turn `sync` into a
-      // successful no-op). `{}`/`{ }` is the one valid-JSON empty dict.
-      if (pairs.nonEmpty || s.replaceAll("\\s", "") == "{}") pairs else csvSources(s)
-    } else csvSources(s)
+    // Reference parity (config.py:47-57): try JSON first; a JSON OBJECT is
+    // the source dict, anything else — valid-but-not-an-object JSON or a
+    // parse failure (e.g. a shell stripped the inner quotes) — falls back
+    // to the CSV form. The fallback must not be a silent empty map, or a
+    // garbled setting turns `sync` into a successful no-op. Jackson is
+    // already on the classpath (Spark ships it); only brace-strings can
+    // be JSON objects, so others skip straight to CSV.
+    else if (s.startsWith("{")) jsonObjectSources(s).getOrElse(csvSources(s))
+    else csvSources(s)
   }
+
+  private def jsonObjectSources(s: String): Option[Map[String, String]] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      if (node != null && node.isObject) {
+        val out = Map.newBuilder[String, String]
+        node.fields().forEachRemaining { e =>
+          val v = e.getValue
+          // Non-string values stringify (the reference keeps them as-is
+          // in its dict; they fail later at use, same as a bogus path).
+          out += e.getKey -> (if (v.isTextual) v.asText else v.toString)
+        }
+        Some(out.result())
+      } else None
+    } catch { case _: Exception => None }
 
   private def csvSources(s: String): Map[String, String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).zipWithIndex
       .map { case (uri, i) => s"source_${i + 1}" -> uri }
       .toMap
-
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** Collection-name gate `^[a-zA-Z0-9_-]+$` (reference
     * src/schemas/request.py:6-7) — table paths are built from this name.

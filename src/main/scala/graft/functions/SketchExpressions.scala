@@ -197,10 +197,16 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  // One digest per thread, reset per shingle: getInstance does a JCA
+  // provider lookup + allocation, too heavy for a per-ROW call from
+  // generated code (this kernel runs once per document on the hot path).
+  private val md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   def simHash60Long(text: UTF8String, n: Int): Long = {
     val toks = portableTokens(text)
     val seen = new java.util.HashSet[String]()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Digest.get()
     val sums = new Array[Int](SimHashBits)
     var k = 0
     while (k + n <= toks.length) {
@@ -239,9 +245,15 @@ object SketchKernels {
 sealed abstract class SketchExpression extends UnaryExpression {
   def shingleN: Int
 
+  // n < 1 fails at ANALYSIS time: the window/stride loops in the string
+  // kernels would otherwise read past the token array on the executor
+  // (a SQL-reachable per-row AIOOBE via e.g. shingle_strings(text, 0)).
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+    else if (shingleN < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires shingle size >= 1, got $shingleN")
+    else TypeCheckResult.TypeCheckSuccess
 }
 
 /** Distinct word-n-gram shingle hashes of a text column. */

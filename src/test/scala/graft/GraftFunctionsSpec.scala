@@ -42,6 +42,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("non-positive shingle size fails at analysis, not on the executor") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1, "a b c")).toDF("id", "text").createOrReplaceTempView("t_gfs3")
+    // Pre-gate this was a per-row ArrayIndexOutOfBounds in the string
+    // kernels (shingle_strings window stride with n=0 reads past the
+    // token array) — SQL-reachable, so it must die in analysis instead.
+    Seq("shingle_strings(text, 0)", "simhash_sig(text, 0)", "shingle_hashes(text, -1)")
+      .foreach { call =>
+        val e = intercept[Exception] {
+          spark.sql(s"SELECT $call FROM t_gfs3").collect()
+        }
+        assert(e.getMessage.contains("shingle size >= 1"), s"$call: ${e.getMessage}")
+      }
+  }
+
   test("jaccard_sets is SQL-callable through the registered function") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -86,6 +86,13 @@ class ReadersSpec extends SparkSpec {
     // ...but the valid-JSON empty dict stays empty.
     assert(Settings.parseSources("{}") == Map.empty)
     assert(Settings.parseSources("{ }") == Map.empty)
+    // A valid JSON object with non-string values is still the source dict
+    // (the reference keeps whatever json.loads returned); values stringify.
+    assert(Settings.parseSources("""{"a": 1, "b": "/x"}""") ==
+      Map("a" -> "1", "b" -> "/x"))
+    // Escapes round-trip through the real JSON parser.
+    assert(Settings.parseSources("""{"q\"uote": "/with\\slash"}""") ==
+      Map("q\"uote" -> "/with\\slash"))
   }
 
   test("collection name validation (request.py parity)") {
