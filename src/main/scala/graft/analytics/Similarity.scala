@@ -425,6 +425,83 @@ object Similarity {
       |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** SemDeDup-style semantic dedup: coarse k-means cells (the IVF
+    * quantizer from [[IvfIndex]]), exact cosine pairs WITHIN each cell,
+    * drop the larger id of every duplicate pair. Cluster-then-compare
+    * bounds pair work at Σ|cell|² ≈ n²/k instead of n² — the third
+    * embedding-dedup scale path next to LSH candidates
+    * ([[lshCosineNearDups]]) and the exact baseline ([[cosineNearDups]]);
+    * at 100 TB, k grows with the corpus so cells stay machine-sized and
+    * the per-cell join shuffles on `cell` only. Near-duplicate members of
+    * one semantic cluster sit far inside a Voronoi region relative to
+    * their tiny mutual distance, so splitting a dup pair across cells
+    * requires the pair to straddle a boundary — SemDeDupSpec asserts the
+    * found pair set equals the exact global pair set on every harness
+    * corpus.
+    */
+  def semanticDedupPairs(emb: DataFrame, k: Int, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = IvfIndex.train(emb, k, idCol = idCol, vecCol = vecCol)
+    val cells = IvfIndex.index(emb.select(col(idCol), col(vecCol)), model, vecCol)
+    cells.select(col("cell"), col(idCol).as("a_id"), col(vecCol).as("a_v"))
+      .join(cells.select(col("cell"), col(idCol).as("b_id"), col(vecCol).as("b_v")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(graft.functions.cosineSimilarity(col("a_v"), col("b_v")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Rows of `emb` that survive semantic dedup: an id is dropped iff it
+    * has a smaller-id duplicate (deterministic canonical-keep; for the
+    * rare chain a-b-c without (a,c), b and c both drop — the
+    * representative is still the smallest id, SemDeDup's greedy keep).
+    */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.join(
+      semanticDedupPairs(emb, k, threshold, idCol, vecCol)
+        .select(col("b_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Gated q47: semantic dedup over the planted-twin corpus — every twin
+    * (the larger id of its pair) must drop, every base vector must stay.
+    * The oracle recomputes the pair set EXACTLY (global quadratic cosine
+    * in DuckDB) and applies the same drop rule, so the hash gate holds
+    * precisely when cell-locality loses no pair.
+    */
+  def semanticDedupSummary(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val corpus = plantedTwinCorpus(Tables.embeddings(spark, dir))
+    val kept = semanticDedup(corpus, k = 8, threshold = GatedThreshold)
+    def grp(c: Column) = when(c >= 100000L, "twin").otherwise("base")
+    corpus.groupBy(grp(col("vec_id")).as("grp")).agg(count(lit(1)).as("n_before"))
+      .join(kept.groupBy(grp(col("vec_id")).as("grp")).agg(count(lit(1)).as("n_after")),
+        Seq("grp"), "left")
+      .select(col("grp"), col("n_before"), coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
+  private val semanticDedupSql =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      |), corpus AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |         list_transform(embedding,
+      |           (x, i) -> x + ((vec_id * 31 + i - 1) % 97 - 48) / 2000.0) AS embedding
+      |  FROM base WHERE vec_id < 50
+      |),
+      |prs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+      |),
+      |drops AS (SELECT DISTINCT b_id FROM prs)
+      |SELECT CASE WHEN c.vec_id >= 100000 THEN 'twin' ELSE 'base' END AS grp,
+      |  CAST(count(*) AS BIGINT) AS n_before,
+      |  CAST(sum(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+      |FROM corpus c LEFT JOIN drops d ON c.vec_id = d.b_id
+      |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q44
   /** Int8 symmetric quantization of an embedding column — the 4× storage
     * cut a 100 TB embedding corpus takes before indexing: per-vector
@@ -485,5 +562,6 @@ object Similarity {
     NamedQuery("q20_knn_ann", knnAnn _, Some(plantedKnnSql)),
     NamedQuery("q21_embedding_neardups", embNearDups _, Some(embNearDupsSql)),
     NamedQuery("q44_quantization_fidelity", quantizationFidelity _,
-      Some(quantizationFidelitySql)))
+      Some(quantizationFidelitySql)),
+    NamedQuery("q47_semantic_dedup", semanticDedupSummary _, Some(semanticDedupSql)))
 }

@@ -119,6 +119,13 @@ class PlanAuditSpec extends SparkSpec {
       s"q45 eval probe must stay broadcast: $s")
   }
 
+  test("q47 semantic dedup pairs only within cells — never a global pair join") {
+    val s = stats("q47_semantic_dedup")
+    // The pair join must be keyed on `cell` (broadcast or shuffle hash);
+    // a nested-loop/cartesian here is the O(n²) global join regressing.
+    assert(s.nestedLoops == 0, s"q47 must stay cell-local: $s")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

@@ -52,4 +52,37 @@ class AnnExactnessSpec extends SparkSpec {
           s"extra=${(lshPairs -- exactPairs).take(3)}")
     }
   }
+
+  test("q47 semantic dedup's cell-local pairs equal the exact global pair set") {
+    // The q47 oracle computes the GLOBAL quadratic pair set; the operator
+    // only compares within k-means cells. This equality (twins never
+    // straddle a Voronoi boundary on the harness corpora) is what
+    // licenses the shared oracle — if it breaks, q47's hash gate breaks
+    // first here, with a named pair instead of a hash mismatch.
+    dirs.foreach { d =>
+      val corpus = Similarity.plantedTwinCorpus(graft.core.Tables.embeddings(spark, d))
+      val exactPairs = Similarity.cosineNearDups(corpus, Similarity.GatedThreshold)
+        .select("a_id", "b_id").collect().map(_.toSeq).toSet
+      val cellPairs = Similarity.semanticDedupPairs(corpus, k = 8,
+        Similarity.GatedThreshold).collect().map(_.toSeq).toSet
+      assert(exactPairs == cellPairs,
+        s"q47 cell-locality broke at $d: missed=${(exactPairs -- cellPairs).take(3)} " +
+          s"extra=${(cellPairs -- exactPairs).take(3)}")
+    }
+  }
+
+  test("semantic dedup keeps the smallest id of a duplicate chain") {
+    import spark.implicits._
+    // a-b and b-c are dups, a-c is not (chain): b and c both drop, a stays;
+    // d is isolated and stays. Vectors are 2-d unit-ish directions.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.999, 0.0447)),  // cos(1,2) ≈ 0.999
+      (3L, Seq(0.992, 0.1247)),  // cos(2,3) ≈ 0.9968, cos(1,3) ≈ 0.992
+      (4L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, k = 1, threshold = 0.995)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
 }
