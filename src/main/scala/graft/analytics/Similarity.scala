@@ -441,8 +441,17 @@ object Similarity {
     * corpus.
     */
   def semanticDedupPairs(emb: DataFrame, k: Int, threshold: Double,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = IvfIndex.train(emb, k, idCol = idCol, vecCol = vecCol)
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticDedupPairs(emb, IvfIndex.train(emb, k, idCol = idCol, vecCol = vecCol),
+      threshold, idCol, vecCol)
+
+  /** Model-reuse form — the warehouse-scale entry point: train the
+    * quantizer ONCE (or [[IvfIndex.load]] a persisted one) and dedup
+    * every incoming batch against the same cell geometry; retraining per
+    * batch would silently re-draw cell boundaries between runs.
+    */
+  def semanticDedupPairs(emb: DataFrame, model: IvfIndex.Model, threshold: Double,
+                         idCol: String, vecCol: String): DataFrame = {
     val cells = IvfIndex.index(emb.select(col(idCol), col(vecCol)), model, vecCol)
     cells.select(col("cell"), col(idCol).as("a_id"), col(vecCol).as("a_v"))
       .join(cells.select(col("cell"), col(idCol).as("b_id"), col(vecCol).as("b_v")), Seq("cell"))
