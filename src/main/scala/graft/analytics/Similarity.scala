@@ -409,8 +409,13 @@ object Similarity {
     lshCosineNearDups(plantedTwinCorpus(Tables.embeddings(spark, dir)),
       threshold = GatedThreshold, nTables = GatedTables, bitsPerTable = GatedBits)
 
-  private val embNearDupsSql =
-    """WITH base AS (
+  /** The planted-twin corpus as DuckDB CTEs — ONE copy of the
+    * perturbation formula and the twin rule, shared by every oracle that
+    * gates on this corpus (q21, q47); [[plantedTwinCorpus]] is the Scala
+    * builder it must mirror.
+    */
+  private val plantedTwinCte =
+    """base AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
       |), corpus AS (
       |  SELECT * FROM base
@@ -419,7 +424,10 @@ object Similarity {
       |         list_transform(embedding,
       |           (x, i) -> x + ((vec_id * 31 + i - 1) % 97 - 48) / 2000.0) AS embedding
       |  FROM base WHERE vec_id < 50
-      |)
+      |)""".stripMargin
+
+  private val embNearDupsSql =
+    s"""WITH $plantedTwinCte
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_r
       |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -436,8 +444,8 @@ object Similarity {
     * the per-cell join shuffles on `cell` only. Near-duplicate members of
     * one semantic cluster sit far inside a Voronoi region relative to
     * their tiny mutual distance, so splitting a dup pair across cells
-    * requires the pair to straddle a boundary — SemDeDupSpec asserts the
-    * found pair set equals the exact global pair set on every harness
+    * requires the pair to straddle a boundary — AnnExactnessSpec asserts
+    * the found pair set equals the exact global pair set on every harness
     * corpus.
     */
   def semanticDedupPairs(emb: DataFrame, k: Int, threshold: Double,
@@ -452,11 +460,21 @@ object Similarity {
     */
   def semanticDedupPairs(emb: DataFrame, model: IvfIndex.Model, threshold: Double,
                          idCol: String, vecCol: String): DataFrame = {
+    // Norms once per ROW before the self-join (the scorePairs discipline;
+    // the function itself takes id-pairs and would re-join vectors by id
+    // — two extra shuffles when the vectors already ride the cell join).
+    // Per pair this pays one fused dot instead of dot + two norm folds —
+    // the dominant per-cell cost. dot/(√na·√nb) with this op order is
+    // bit-identical to the cosine kernel (same fold order, sqrt-then-
+    // multiply), so the pair set cannot drift from [[cosineNearDups]].
     val cells = IvfIndex.index(emb.select(col(idCol), col(vecCol)), model, vecCol)
-    cells.select(col("cell"), col(idCol).as("a_id"), col(vecCol).as("a_v"))
-      .join(cells.select(col("cell"), col(idCol).as("b_id"), col(vecCol).as("b_v")), Seq("cell"))
+      .withColumn("nrm", sqrt(graft.functions.dotProduct(col(vecCol), col(vecCol))))
+    cells.select(col("cell"), col(idCol).as("a_id"), col(vecCol).as("a_v"), col("nrm").as("a_n"))
+      .join(cells.select(col("cell"), col(idCol).as("b_id"), col(vecCol).as("b_v"),
+        col("nrm").as("b_n")), Seq("cell"))
       .filter(col("a_id") < col("b_id"))
-      .filter(graft.functions.cosineSimilarity(col("a_v"), col("b_v")) >= threshold)
+      .filter(graft.functions.dotProduct(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))
+        >= threshold)
       .select(col("a_id"), col("b_id"))
   }
 
@@ -489,16 +507,7 @@ object Similarity {
   }
 
   private val semanticDedupSql =
-    """WITH base AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
-      |), corpus AS (
-      |  SELECT * FROM base
-      |  UNION ALL
-      |  SELECT vec_id + 100000 AS vec_id,
-      |         list_transform(embedding,
-      |           (x, i) -> x + ((vec_id * 31 + i - 1) % 97 - 48) / 2000.0) AS embedding
-      |  FROM base WHERE vec_id < 50
-      |),
+    s"""WITH $plantedTwinCte,
       |prs AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id

@@ -34,7 +34,13 @@ object Settings {
 
   private def jsonObjectSources(s: String): Option[Map[String, String]] =
     try {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      // FAIL_ON_TRAILING_TOKENS: python's json.loads (the parity target)
+      // raises on trailing data — without it Jackson would accept
+      // '{"a":"x"} {"b":"y"}', keep only the first object, and silently
+      // drop the rest of the setting instead of falling back to CSV.
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        .enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+      val node = mapper.readValue(s, classOf[com.fasterxml.jackson.databind.JsonNode])
       if (node != null && node.isObject) {
         val out = Map.newBuilder[String, String]
         node.fields().forEachRemaining { e =>

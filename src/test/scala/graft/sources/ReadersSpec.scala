@@ -93,6 +93,10 @@ class ReadersSpec extends SparkSpec {
     // Escapes round-trip through the real JSON parser.
     assert(Settings.parseSources("""{"q\"uote": "/with\\slash"}""") ==
       Map("q\"uote" -> "/with\\slash"))
+    // Trailing tokens after the object = invalid JSON in python's
+    // json.loads → CSV fallback, never a silent first-object-only parse.
+    assert(Settings.parseSources("""{"a": "/x"} {"b": "/y"}""") ==
+      Map("source_1" -> """{"a": "/x"} {"b": "/y"}"""))
   }
 
   test("collection name validation (request.py parity)") {
