@@ -215,6 +215,28 @@ object Dedup {
       .drop("__did", "__cid")
   }
 
+  /** Canonical-document selection: rank each near-dup cluster's members
+    * by a caller-supplied quality expression (best first, id-tiebroken)
+    * and flag the winner — the "keep the best copy, not the first copy"
+    * refinement of [[dedupedCorpus]] that real curation passes want: when
+    * a page is crawled five times, keep the longest/cleanest capture, not
+    * the one with the smallest id. Returns every doc with its cluster and
+    * an `is_canonical` 0/1 flag, so callers can either filter to
+    * canonicals or audit what a dedup pass would drop.
+    *
+    * Scale shape: `labels` comes from [[clusters]] (already materialized,
+    * 2 longs per doc); the rank is one window over `cluster_id` — a
+    * single hash exchange, no self-joins, and almost every partition is a
+    * singleton cluster.
+    */
+  def canonicalSelection(docs: DataFrame, labels: DataFrame, quality: Column,
+                         idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(quality.desc, col(idCol).asc)
+    docs.join(labels.select(col("doc_id").as(idCol), col("cluster_id")), idCol)
+      .withColumn("is_canonical", (row_number().over(w) === 1).cast("int"))
+  }
+
   // ------------------------------------------------------- oracle SQL
   /** DuckDB CTE chain computing exact word-n-gram-Jaccard pairs ≥
     * `threshold` over a `corpus(doc_id, text, …)` CTE the caller supplies:
@@ -378,6 +400,58 @@ object Dedup {
        |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
        |FROM bef b LEFT JOIN aft a ON b.source = a.source""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Canonical-doc selection over the q30 planted-twin corpus: cluster by
+    * near-dup pairs (threshold 0.7, uncapped — oracle-gated), then flag
+    * the best-quality member per cluster with quality = text length
+    * (id-tiebroken). The planted twin is 3 chars longer than its source,
+    * so canonical selection provably differs from q30's keep-min-id rule
+    * — the query exercises the quality rank, not just the clustering.
+    * Hash-gated end to end: DuckDB recomputes pairs + transitive closure
+    * + the same `row_number` rank.
+    */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // Same cached-eager/lazy-return shape as q30: clustering runs its
+    // rounds against the cached union; the returned plan re-derives it.
+    val planted = docs.select(col("doc_id"), col("text"), col("source")).unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"), col("source")))
+      .cache()
+    try {
+      val pairs = minHashNearDups(planted, threshold = 0.7, maxBucketSize = None)
+      val labels = clusters(planted.select(col("doc_id")), pairs)
+      canonicalSelection(planted, labels, length(col("text")))
+        .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    } finally planted.unpersist(blocking = false)
+  }
+
+  private val canonicalDocsSql =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text, source FROM documents
+       |), ${exactPairCtes(0.7)},
+       |edges AS (
+       |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON r.dst = e.a_id
+       |),
+       |labels AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+       |),
+       |ranked AS (
+       |  SELECT c.doc_id, l.cluster_id,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY length(c.text) DESC, c.doc_id) AS rn
+       |  FROM corpus c JOIN labels l USING (doc_id)
+       |)
+       |SELECT doc_id, cluster_id, CAST(rn = 1 AS INT) AS is_canonical
+       |FROM ranked""".stripMargin
+
   // The q18 oracle rebuilds the portable signature from scratch in DuckDB:
   // same tokenization (`\s+` on lowercased text), same DISTINCT word-3-gram
   // shingles, same top-60-md5-bits hash, same ±1 bit votes — then counts
@@ -421,5 +495,6 @@ object Dedup {
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q17_minhash_neardups", minHashSummary _, Some(minHashSummarySql)),
     NamedQuery("q18_simhash_signatures", simHashSummary _, Some(simHashSummarySql)),
-    NamedQuery("q30_dedup_corpus", dedupCorpusSummary _, Some(dedupCorpusSummarySql)))
+    NamedQuery("q30_dedup_corpus", dedupCorpusSummary _, Some(dedupCorpusSummarySql)),
+    NamedQuery("q48_canonical_docs", canonicalDocs _, Some(canonicalDocsSql)))
 }

@@ -329,6 +329,123 @@ object TrainingData {
       |FROM ws w LEFT JOIN hits h ON w.doc_id = h.doc_id
       |WHERE w.split = 'train'""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Scale of the integer log-probability grid: micro-nats. One constant
+    * drives both the Spark plan and the oracle SQL.
+    */
+  val LmUnat = 1000000.0
+
+  /** CCNet-style bigram language-model scoring: train add-one-smoothed
+    * bigram/unigram counts on the corpus itself, then score every document
+    * by its summed negative log-likelihood — the classic
+    * perplexity-filtering signal (docs whose token sequences the corpus LM
+    * finds surprising are the quality outliers). p(w2|w1) =
+    * (c(w1 w2)+1)/(c(w1)+V).
+    *
+    * Exactness design: each bigram occurrence contributes
+    * `floor(-ln(p)·1e6 + 0.5)` MICRO-NATS — an integer — so the per-doc
+    * sum is order-independent and the output is all-BIGINT, hash-exact in
+    * any engine. The only float step is one ln over a ratio of integers
+    * (identical doubles in, ≤1-ulp slack out); the corpus's closest
+    * floor-boundary distance is ~4e-5 — eleven orders above that slack —
+    * and TrainingDataSpec asserts the margin at every harness SF so a
+    * corpus regen fails a named test, not a hash compare.
+    *
+    * Scale shape: the count tables are vocabulary-sized, orders of
+    * magnitude under the corpus; Spark/AQE picks broadcast for them when
+    * they fit (the harness case) and falls back to a shuffle join when a
+    * web-scale bigram table doesn't. The corpus side is one explode + one
+    * join probe + one per-doc aggregate — a single full scan.
+    */
+  def bigramLmScores(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val uni = docs.select(explode(graft.functions.shingleStrings(col(textCol), 1)).as("t"))
+    val c1 = uni.groupBy("t").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val bg = docs.select(col(idCol),
+      explode(graft.functions.shingleStrings(col(textCol), 2)).as("s"))
+    val c2 = bg.groupBy("s").agg(count(lit(1)).as("c2"))
+    val scored = bg
+      .join(c2, "s")
+      .join(c1, substring_index(col("s"), " ", 1) === col("t"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        floor(-log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * LmUnat + lit(0.5))
+          .as("nll"))
+    docs.select(col(idCol))
+      .join(scored.groupBy(idCol)
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_unats")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_unats"), lit(0L)).as("nll_unats"))
+  }
+
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScores(Tables.documents(spark, dir))
+
+  private val bigramLmSql =
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |uni AS (SELECT unnest(w) AS t FROM ws),
+       |c1 AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM c1),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+       |    i -> w[i] || ' ' || w[i+1])) AS s
+       |  FROM ws
+       |),
+       |c2 AS (SELECT s, count(*) AS c FROM bg GROUP BY 1),
+       |scored AS (
+       |  SELECT bg.doc_id,
+       |    CAST(floor(-ln((c2.c + 1.0) / (c1.c + v.v)) * $LmUnat + 0.5) AS BIGINT) AS nll
+       |  FROM bg JOIN c2 ON bg.s = c2.s
+       |          JOIN c1 ON split_part(bg.s, ' ', 1) = c1.t
+       |          CROSS JOIN v
+       |)
+       |SELECT ws.doc_id,
+       |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(agg.nll, 0) AS BIGINT) AS nll_unats
+       |FROM ws LEFT JOIN (
+       |  SELECT doc_id, count(*) AS n, sum(nll) AS nll FROM scored GROUP BY 1) agg
+       |USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Per-group percentile quality gate: keep documents at or above the
+    * `keepFrom` percent-rank of a quality score WITHIN their group — the
+    * "top quartile per language" style filter that a global threshold
+    * can't express (it would empty low-resource groups). One window over
+    * the group key; the rank ordering is fully tiebroken (score, then id)
+    * so `percent_rank` — (rank−1)/(n−1), an exact small-integer ratio —
+    * is engine-identical and the ≥ comparison is deterministic.
+    */
+  def percentileGate(df: DataFrame, group: Column, score: Column, id: Column,
+                     keepFrom: Double): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(score.asc, id.asc)
+    df.withColumn("kept", (percent_rank().over(w) >= keepFrom).cast("int"))
+  }
+
+  /** Gated q50: keep the top token-count quartile per language. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    percentileGate(
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("doc_id"),
+          size(graft.functions.shingleStrings(col("text"), 1)).cast("long").as("n_toks")),
+      col("lang"), col("n_toks"), col("doc_id"), keepFrom = 0.75)
+
+  private val qualityGateSql =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_toks
+      |  FROM documents
+      |)
+      |SELECT lang, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |  CAST(percent_rank() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) >= 0.75 AS INT)
+      |    AS kept
+      |FROM t""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),
@@ -336,5 +453,7 @@ object TrainingData {
     NamedQuery("q38_top_tokens", topTokensPerLang _, Some(topTokensSql)),
     NamedQuery("q39_sequence_packing", (s, d) => packSequences(s, d), Some(packSequencesSql)),
     NamedQuery("q40_pii_scrub", piiScrub _, Some(piiScrubSql)),
-    NamedQuery("q45_ngram_decontamination", ngramDecontamination _, Some(ngramDecontaminationSql)))
+    NamedQuery("q45_ngram_decontamination", ngramDecontamination _, Some(ngramDecontaminationSql)),
+    NamedQuery("q49_bigram_lm", bigramLm _, Some(bigramLmSql)),
+    NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)))
 }

@@ -126,6 +126,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops == 0, s"q47 must stay cell-local: $s")
   }
 
+  test("q48/q49/q50 keep their audited scale shapes") {
+    // q48 canonical selection: clustering is pre-materialized
+    // (checkpointed labels), so the final plan is join + one window —
+    // audited 4 shuffles, no nested loops.
+    val s48 = stats("q48_canonical_docs")
+    assert(s48.shuffles <= 8 && s48.nestedLoops == 0, s"q48 regressed: $s48")
+    // q49 bigram LM: count joins must stay hash joins (audited 18 incl.
+    // AQE double-prints); nestedLoops == 2 is the intended single-row
+    // vocab-size cross join (q46 pattern).
+    val s49 = stats("q49_bigram_lm")
+    assert(s49.shuffles <= 24 && s49.nestedLoops <= 2 && s49.smj == 0,
+      s"q49 regressed: $s49")
+    // q50 percentile gate: exactly one window exchange over the group key.
+    val s50 = stats("q50_quality_gate")
+    assert(s50.shuffles <= 4 && s50.nestedLoops == 0 && s50.broadcast == 0,
+      s"q50 must stay a single-window plan: $s50")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

@@ -143,4 +143,27 @@ class DedupSpec extends SparkSpec {
       .filter(col("b_id") === col("a_id") + 10000)
     assert(found.count() == docs.count())
   }
+
+  test("canonical selection flags the best-quality member, id-tiebroken") {
+    // Two clusters plus a singleton; quality = text length. Cluster
+    // {1,2,3}: doc 2 is longest → canonical. Cluster {10,11}: equal
+    // lengths → smaller id (10) wins the tiebreak.
+    val d = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaa"),
+      (10L, "bb"), (11L, "cc"),
+      (20L, "solo")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val labels = Dedup.clusters(d.select(col("doc_id")), pairs)
+    val out = Dedup.canonicalSelection(d, labels, length(col("text"))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Int]("is_canonical"))).toMap
+    assert(out == Map(
+      1L -> (1L, 0), 2L -> (1L, 1), 3L -> (1L, 0),
+      10L -> (10L, 1), 11L -> (10L, 0),
+      20L -> (20L, 1)))
+    // Exactly one canonical per cluster, always.
+    val perCluster = out.values.groupBy(_._1).map { case (_, vs) => vs.count(_._2 == 1) }
+    assert(perCluster.forall(_ == 1))
+  }
 }

@@ -143,6 +143,72 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM scores match an in-memory reference; short docs survive") {
+    val d = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "c c c"),
+      (4L, "solo"),   // one token → zero bigrams
+      (5L, "")        // zero tokens
+    ).toDF("doc_id", "text")
+    // Independent reference: plain Scala counts + the same smoothing.
+    val docToks = Map(
+      1L -> Seq("a", "b", "a", "b", "c"), 2L -> Seq("a", "b"),
+      3L -> Seq("c", "c", "c"), 4L -> Seq("solo"), 5L -> Seq.empty[String])
+    val c1 = docToks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val v = c1.size
+    val bgs = docToks.map { case (id, ts) => id -> ts.sliding(2).filter(_.size == 2)
+      .map(_.mkString(" ")).toSeq }
+    val c2 = bgs.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    def nll(bg: String): Long = {
+      val p = (c2(bg) + 1.0) / (c1(bg.split(' ').head) + v)
+      math.floor(-math.log(p) * TrainingData.LmUnat + 0.5).toLong
+    }
+    val expected = bgs.map { case (id, ss) => id -> (ss.size.toLong, ss.map(nll).sum) }
+    val got = TrainingData.bigramLmScores(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_unats"))).toMap
+    assert(got == expected)
+  }
+
+  test("bigram LM floor-boundary margin is safe at every harness SF") {
+    // The q49 output is all-integer BECAUSE each micro-nat value is
+    // floor(-ln(p)·1e6 + 0.5) — exact as long as no bigram's scaled nll
+    // sits within ln's cross-engine ulp slack (~1e-10 here) of an integer
+    // boundary. Assert a 1e-8 margin corpus-wide so a testdata regen that
+    // lands on a boundary fails THIS named test, not a driver hash diff.
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val ds = graft.core.Tables.documents(spark, s"/root/testdata/$sf")
+      val uni = ds.select(explode(graft.functions.shingleStrings(col("text"), 1)).as("t"))
+      val c1 = uni.groupBy("t").agg(count(lit(1)).as("c1"))
+      val v = c1.count().toDouble
+      val bg = ds.select(explode(graft.functions.shingleStrings(col("text"), 2)).as("s"))
+      val x = bg.groupBy("s").agg(count(lit(1)).as("c2"))
+        .join(c1, substring_index(col("s"), " ", 1) === col("t"))
+        .select((-log((col("c2") + lit(1.0)) / (col("c1") + lit(v))) * TrainingData.LmUnat
+          + lit(0.5)).as("x"))
+        .select(abs(col("x") - round(col("x"), 0)).as("margin"))
+        .agg(min("margin")).head().getDouble(0)
+      assert(x > 1e-8, s"$sf: floor-boundary margin $x too small for exact parity")
+    }
+  }
+
+  test("percentile gate keeps the top quartile per group, exactly") {
+    val d = Seq(
+      ("en", 1L, 10L), ("en", 2L, 20L), ("en", 3L, 30L), ("en", 4L, 40L),
+      ("en", 5L, 50L),
+      ("fr", 6L, 5L), ("fr", 7L, 5L),  // tie → id breaks it
+      ("de", 8L, 7L)                   // singleton group: pr 0 → dropped
+    ).toDF("lang", "doc_id", "n_toks")
+    val out = TrainingData.percentileGate(
+      d, col("lang"), col("n_toks"), col("doc_id"), keepFrom = 0.75)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("kept")).toMap
+    // en: pr = (rn−1)/4, keep pr ≥ 0.75 → rn ≥ 4 → docs 4 and 5 (the
+    // boundary doc IS kept). fr: pr ∈ {0, 1}, tie broken by id → doc 7.
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 0, 7L -> 1, 8L -> 0))
+  }
+
   test("top tokens per language are ranked with total tie-breaks") {
     val out = TrainingData.topTokensPerLang(spark, dir).collect()
     val byLang = out.groupBy(_.getAs[String]("lang"))
