@@ -446,6 +446,60 @@ object TrainingData {
       |    AS kept
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Temperature-flattened domain mixture: sample each domain with quota
+    * ∝ n^(1/T) instead of ∝ n — the standard multilingual/multi-domain
+    * rebalancing (T = 2 here, so quota = C·√n): small domains keep
+    * (nearly) everything, huge domains are subsampled, exactly the knob
+    * training mixtures use to stop a dominant crawl from drowning
+    * low-resource domains. Members are chosen by md5-of-id rank — the
+    * [[stratifiedSample]] discipline — so the sample is reproducible
+    * across engines, runs, and partitionings.
+    *
+    * Exactness: quotas stay per-domain (no cross-domain normalizer, which
+    * would be an order-dependent float sum); √ is IEEE-correctly-rounded
+    * in every engine and n is an integer, so `floor(C·√n)` is
+    * engine-identical. One aggregate + one window — two shuffles total.
+    */
+  def mixtureQuotas(df: DataFrame, domain: Seq[Column], scale: Double): DataFrame =
+    df.groupBy(domain: _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota", floor(lit(scale) * sqrt(col("n_docs").cast("double"))))
+
+  /** Gated q51: per-(source, lang) domain summary of the T=2 mixture —
+    * group sizes 1..16 in the harness corpus, so both regimes (quota ≥ n:
+    * keep all; quota < n: flatten) are exercised.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quotas = mixtureQuotas(docs, Seq(col("source"), col("lang")), scale = 3.0)
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy("source", "lang")
+        .orderBy(keyHash(col("doc_id")), col("doc_id"))))
+    quotas.join(ranked.select(col("source"), col("lang"), col("doc_id"), col("rk")),
+        Seq("source", "lang"), "left")
+      .groupBy("source", "lang", "n_docs", "quota")
+      .agg(count(when(col("rk") <= col("quota"), 1)).as("n_sampled"))
+  }
+
+  private val mixtureSampleSql =
+    """WITH counts AS (
+      |  SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2
+      |), quota AS (
+      |  SELECT source, lang, n_docs,
+      |    CAST(floor(3.0 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS quota
+      |  FROM counts
+      |), ranked AS (
+      |  SELECT source, lang, doc_id,
+      |    row_number() OVER (PARTITION BY source, lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT q.source, q.lang, CAST(q.n_docs AS BIGINT) AS n_docs, q.quota,
+      |  CAST(count(CASE WHEN r.rk <= q.quota THEN 1 END) AS BIGINT) AS n_sampled
+      |FROM quota q LEFT JOIN ranked r ON r.source = q.source AND r.lang = q.lang
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),
@@ -455,5 +509,6 @@ object TrainingData {
     NamedQuery("q40_pii_scrub", piiScrub _, Some(piiScrubSql)),
     NamedQuery("q45_ngram_decontamination", ngramDecontamination _, Some(ngramDecontaminationSql)),
     NamedQuery("q49_bigram_lm", bigramLm _, Some(bigramLmSql)),
-    NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)))
+    NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)),
+    NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)))
 }

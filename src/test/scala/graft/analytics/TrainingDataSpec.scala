@@ -209,6 +209,22 @@ class TrainingDataSpec extends SparkSpec {
       6L -> 0, 7L -> 1, 8L -> 0))
   }
 
+  test("mixture sample flattens large domains and keeps small ones whole") {
+    val out = TrainingData.mixtureSample(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, quota, sampled) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("quota"), r.getAs[Long]("n_sampled"))
+      assert(quota == math.floor(3.0 * math.sqrt(n.toDouble)).toLong)
+      assert(sampled == math.min(n, quota),
+        s"domain must sample min(n=$n, quota=$quota), got $sampled")
+    }
+    // The flattening must actually bite somewhere: the harness corpus has
+    // domains on both sides of the quota curve.
+    assert(out.exists(r => r.getAs[Long]("n_sampled") < r.getAs[Long]("n_docs")))
+    assert(out.exists(r => r.getAs[Long]("n_sampled") == r.getAs[Long]("n_docs")))
+  }
+
   test("top tokens per language are ranked with total tie-breaks") {
     val out = TrainingData.topTokensPerLang(spark, dir).collect()
     val byLang = out.groupBy(_.getAs[String]("lang"))
