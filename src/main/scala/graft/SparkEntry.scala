@@ -15,7 +15,8 @@ object Registry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ graft.multimodal.Multimodal.queries ++
       graft.analytics.Extended.queries ++ graft.analytics.IvfIndex.queries ++
-      graft.analytics.RatingsSummary.queries ++ graft.analytics.TrainingData.queries
+      graft.analytics.RatingsSummary.queries ++ graft.analytics.TrainingData.queries ++
+      graft.analytics.RangeJoin.queries
 }
 
 object SparkEntry {

@@ -492,9 +492,141 @@ object Dedup {
        |SELECT s.doc_id, s.simhash, CAST(coalesce(c.n, 0) AS BIGINT) AS n_candidates
        |FROM sig s LEFT JOIN cnt c ON s.doc_id = c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Cross-document duplicated token windows — exact substring-level
+    * dedup at fixed window granularity (the "dedup the training set at
+    * the 50-token level" discipline, here w tokens): a window duplicated
+    * across documents marks boilerplate / verbatim reuse even when the
+    * documents as wholes are distinct. Per doc: distinct windows, windows
+    * shared with ≥1 other doc, and the duplicated fraction.
+    *
+    * Plan: one scan → per-row window arrays (native shingle kernel) →
+    * explode → two hash aggregates + one equi-join on the window string.
+    * At 100 TB the join key should be [[shingleHashSet]]'s 64-bit hashes
+    * instead of strings (same plan, 8-byte keys); the gated query keeps
+    * strings so the oracle reproduces them engine-identically.
+    */
+  def windowDupes(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val wins = docs.select(col(idCol),
+      explode(array_distinct(graft.functions.shingleStrings(col(textCol), w))).as("win"))
+    val counts = wins.groupBy("win").agg(countDistinct(col(idCol)).as("nd"))
+    val per = wins.join(counts, "win")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("nd") >= 2, 1)).as("n_dup_windows"))
+    docs.select(idCol)
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows").cast("double") / col("n_windows"), lit(0.0)), 6)
+          .as("dup_ratio"))
+  }
+
+  def windowDupesSummary(spark: SparkSession, dir: String): DataFrame =
+    windowDupes(Tables.documents(spark, dir))
+
+  private val windowDupesSql = {
+    val w = 8
+    val gram = (0 until w).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= $w THEN
+       |    list_distinct(list_transform(generate_series(1, len(toks)-${w - 1}), i -> $gram))
+       |    ELSE []::VARCHAR[] END AS ws
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(ws) AS win FROM sh
+       |), cnt AS (
+       |  SELECT win, count(DISTINCT doc_id) AS nd FROM ex GROUP BY 1
+       |), per AS (
+       |  SELECT e.doc_id, count(*) AS n_windows,
+       |    count(CASE WHEN c.nd >= 2 THEN 1 END) AS n_dup
+       |  FROM ex e JOIN cnt c ON e.win = c.win GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       |  round(coalesce(p.n_dup::DOUBLE / p.n_windows, 0), 6) AS dup_ratio
+       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q56
+  /** Incremental near-dup check of an incoming batch against an existing
+    * corpus — the daily-ingestion shape: signatures for the (small) batch
+    * and the (huge) base are banded identically, candidates come from the
+    * cross-side band equi-join, and only candidates pay the exact-Jaccard
+    * verify. The base side's signatures are a pure projection that an
+    * ingestion pipeline persists once and reuses every batch; nothing
+    * here ever compares batch docs to each other or base docs to each
+    * other, so the work is |batch|·(collision rate), not |corpus|².
+    */
+  def incrementalNearDups(batch: DataFrame, base: DataFrame, threshold: Double,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
+    }
+    def bands(df: DataFrame, as: String) =
+      minHashSignatures(df, idCol, textCol)
+        .select(col(idCol).as(as), explode(array(bandStructs: _*)).as("bs"))
+        .select(col(as), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val candidates = bands(batch, "batch_id")
+      .join(bands(base, "base_id"), Seq("band", "sig"))
+      .select("batch_id", "base_id").distinct()
+    val batchSets = batch.select(col(idCol).as("batch_id"),
+      shingleHashSet(col(textCol)).as("batch_ws"))
+    val baseSets = base.select(col(idCol).as("base_id"),
+      shingleHashSet(col(textCol)).as("base_ws"))
+    candidates
+      .join(batchSets, "batch_id")
+      .join(baseSets, "base_id")
+      .withColumn("jaccard", graft.functions.jaccardSets(col("batch_ws"), col("base_ws")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("base_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Gated q56: every 5th doc plays the incoming batch, the rest the
+    * existing corpus; per batch doc, the number of base near-dups at
+    * threshold 0.7. Cross-pair recall equals q17's within-corpus recall
+    * (same signatures, same bands, candidate pairs are a restriction of
+    * q17's pair space), which DedupSpec pins to 1.0 against brute force —
+    * so DuckDB's exact cross-side Jaccard count is the same number.
+    */
+  def incrementalSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val matches = incrementalNearDups(batch, base, threshold = 0.7)
+      .groupBy("batch_id").agg(count(lit(1)).as("n_matches"))
+    batch.select(col("doc_id"))
+      .join(matches, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
+  private val incrementalSummarySql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |), ${exactPairCtes(0.7)},
+       |cross_pairs AS (
+       |  SELECT CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS doc_id
+       |  FROM pairs WHERE (a_id % 5 = 0) <> (b_id % 5 = 0)
+       |), per AS (
+       |  SELECT doc_id, count(*) AS n FROM cross_pairs GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_matches
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |WHERE d.doc_id % 5 = 0""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q17_minhash_neardups", minHashSummary _, Some(minHashSummarySql)),
     NamedQuery("q18_simhash_signatures", simHashSummary _, Some(simHashSummarySql)),
     NamedQuery("q30_dedup_corpus", dedupCorpusSummary _, Some(dedupCorpusSummarySql)),
-    NamedQuery("q48_canonical_docs", canonicalDocs _, Some(canonicalDocsSql)))
+    NamedQuery("q48_canonical_docs", canonicalDocs _, Some(canonicalDocsSql)),
+    NamedQuery("q53_window_dupes", windowDupesSummary _, Some(windowDupesSql)),
+    NamedQuery("q56_incremental_neardups", incrementalSummary _, Some(incrementalSummarySql)))
 }

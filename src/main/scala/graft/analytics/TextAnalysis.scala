@@ -339,11 +339,61 @@ object TextAnalysis {
       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, term_rank, round(score, 4) AS score
       |FROM ranked WHERE term_rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** Vocabulary coverage: the fraction of all token occurrences a top-k
+    * global vocabulary captures, reported per language — the Zipf-curve
+    * question every tokenizer/vocab design starts from ("how much of the
+    * corpus do the k most frequent types cover, and which languages fall
+    * off the head?").
+    *
+    * The vocabulary is tiny relative to the corpus by construction (k
+    * entries), so the plan broadcasts it: the corpus-sized token stream
+    * shuffles once for the global term count and once for the per-lang
+    * aggregate — no corpus-sized join exchange at any scale. Boundary
+    * ties (equal counts at rank k) break on the token string, so the
+    * vocabulary — and therefore every coverage number — is deterministic
+    * in both engines.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int = 8,
+                    langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(langCol),
+      explode(graft.functions.shingleStrings(col(textCol), 1)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(k)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("n_tokens"), count(col("in_vocab")).as("n_covered"))
+      .select(col(langCol), col("n_tokens"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_tokens"), 6).as("coverage"))
+  }
+
+  def vocabCoverageByLang(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir))
+
+  private val vocabCoverageSql =
+    """WITH toks AS (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+      |    FROM toks GROUP BY tok)
+      |  WHERE rk <= 8
+      |)
+      |SELECT t.lang, count(*) AS n_tokens,
+      |  CAST(count(v.tok) AS BIGINT) AS n_covered,
+      |  round(count(v.tok)::DOUBLE / count(*), 6) AS coverage
+      |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      |GROUP BY t.lang""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
     NamedQuery("q15_exact_dedup", exactDedup _, Some(exactDedupSql)),
     NamedQuery("q16_jaccard_pairs", jaccardPairs _, Some(jaccardPairsSql)),
     NamedQuery("q43_repetition_quality", repetitionQuality _, Some(repetitionQualitySql)),
-    NamedQuery("q46_tfidf_terms", (s, d) => tfIdfTopTerms(s, d), Some(tfIdfTopTermsSql)))
+    NamedQuery("q46_tfidf_terms", (s, d) => tfIdfTopTerms(s, d), Some(tfIdfTopTermsSql)),
+    NamedQuery("q54_vocab_coverage", vocabCoverageByLang _, Some(vocabCoverageSql)))
 }

@@ -500,6 +500,63 @@ object TrainingData {
       |FROM quota q LEFT JOIN ranked r ON r.source = q.source AND r.lang = q.lang
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** RAG-style document chunking: fixed token windows with overlap
+    * (window=32, stride=24 → 8-token overlap), the retrieval-prep shape
+    * every embedding pipeline runs before indexing. Pure per-row array
+    * work — tokenize once, `posexplode` the window starts, `slice` each
+    * chunk — so the plan is a single scan with zero shuffles and zero
+    * joins; at 100 TB this is embarrassingly parallel map work and the
+    * output is ready to repartition by `chunk_hash` for downstream dedup.
+    *
+    * Chunk identity is `md5(chunk text)` — the same engine-portable hash
+    * discipline as [[hashSplit]], so chunk-level dedup/contamination
+    * joins are reproducible anywhere. Chunk starts are `0, stride, 2·
+    * stride, …` while < n_tokens: every token lands in ≥1 chunk
+    * (losslessness), the trailing chunk may be short, and empty docs
+    * yield no chunks.
+    */
+  def chunkDocs(docs: DataFrame, window: Int = 32, stride: Int = 24,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol), graft.functions.shingleStrings(col(textCol), 1).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(window)).as("chunk"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_hash"))
+  }
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir))
+
+  private val docChunksSql =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |), starts AS (
+      |  SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start
+      |  FROM ws WHERE len(w) > 0
+      |), chunks AS (
+      |  SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+      |    list_slice(w, start + 1, least(start + 32, len(w))) AS chunk
+      |  FROM starts
+      |)
+      |SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_tokens,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+      |FROM chunks""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),
@@ -510,5 +567,6 @@ object TrainingData {
     NamedQuery("q45_ngram_decontamination", ngramDecontamination _, Some(ngramDecontaminationSql)),
     NamedQuery("q49_bigram_lm", bigramLm _, Some(bigramLmSql)),
     NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)),
-    NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)))
+    NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
+    NamedQuery("q52_doc_chunks", (s, d) => docChunks(s, d), Some(docChunksSql)))
 }

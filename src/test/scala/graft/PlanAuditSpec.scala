@@ -144,6 +144,37 @@ class PlanAuditSpec extends SparkSpec {
       s"q50 must stay a single-window plan: $s50")
   }
 
+  test("q52 chunking stays a single-scan, shuffle-free projection") {
+    val s = stats("q52_doc_chunks")
+    assert(s.scans <= 1 && s.shuffles == 0 && s.broadcast == 0 && s.smj == 0,
+      s"q52 must stay pure per-row map work: $s")
+  }
+
+  test("q53 window dedup joins only on the window key (no pair blowup)") {
+    val s = stats("q53_window_dupes")
+    assert(s.nestedLoops == 0, s"q53 must never pair-scan: $s")
+    assert(s.shuffles <= 12, s"q53 shuffles regressed: $s") // audited 7
+  }
+
+  test("q54 vocab coverage broadcasts the vocabulary") {
+    val s = stats("q54_vocab_coverage")
+    assert(s.broadcast >= 1 && s.smj == 0 && s.nestedLoops == 0,
+      s"q54 vocab join must stay broadcast: $s")
+    assert(s.shuffles <= 10, s"q54 shuffles regressed: $s") // audited 5
+  }
+
+  test("q55 range join stays bin-bucketed — the non-equi never nested-loops") {
+    val s = stats("q55_interval_shipments")
+    assert(s.nestedLoops == 0, s"q55 must stay an equi-join on the bin id: $s")
+    assert(s.shuffles <= 8, s"q55 shuffles regressed: $s")
+  }
+
+  test("q56 incremental dedup joins band signatures, never corpus pairs") {
+    val s = stats("q56_incremental_neardups")
+    assert(s.nestedLoops == 0, s"q56 must stay band-joined: $s")
+    assert(s.scans <= 20, s"q56 scans regressed: $s")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

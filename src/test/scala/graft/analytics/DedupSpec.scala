@@ -166,4 +166,42 @@ class DedupSpec extends SparkSpec {
     val perCluster = out.values.groupBy(_._1).map { case (_, vs) => vs.count(_._2 == 1) }
     assert(perCluster.forall(_ == 1))
   }
+
+  test("windowDupes counts cross-doc duplicated windows exactly") {
+    // doc 1: 12 tokens → 5 distinct 8-windows. doc 2: verbatim copy →
+    // every window shared. doc 3: disjoint vocabulary → nothing shared.
+    // doc 4: shorter than the window → zero windows. doc 5: doc 1's last
+    // 8 tokens + 4 fresh → exactly its first window is shared.
+    val t1 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val t5 = ((5 to 12).map(i => s"w$i") ++ (1 to 4).map(i => s"x$i")).mkString(" ")
+    val d = Seq(
+      (1L, t1), (2L, t1), (3L, (1 to 12).map(i => s"z$i").mkString(" ")),
+      (4L, "a b c"), (5L, t5)).toDF("doc_id", "text")
+    val out = Dedup.windowDupes(d, w = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    assert(out(1L) == ((5L, 5L, 1.0)))
+    assert(out(2L) == ((5L, 5L, 1.0)))
+    assert(out(3L) == ((5L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    assert(out(5L) == ((5L, 1L, 0.2)))
+  }
+
+  test("incrementalNearDups equals brute-force cross pairs, never intra-side") {
+    // Same split as gated q56: every 5th doc is the batch.
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val got = Dedup.incrementalNearDups(batch, base, threshold = 0.7)
+      .select("batch_id", "base_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (b, s) => b % 5 == 0 && s % 5 != 0 },
+      "no intra-batch or intra-base pair may appear")
+    val cross = brutePairs(0.7).collect {
+      case (a, b) if a % 5 == 0 && b % 5 != 0 => (a, b)
+      case (a, b) if b % 5 == 0 && a % 5 != 0 => (b, a)
+    }
+    assert(cross.nonEmpty, "harness corpus must contain cross-side near-dups")
+    assert(got == cross, s"got ${got.size} pairs, exact cross set has ${cross.size}")
+  }
 }

@@ -106,4 +106,25 @@ class TextAnalysisSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(short.isEmpty)
   }
+
+  test("vocabCoverage: hand-checked coverage with deterministic tie-breaks") {
+    // Global counts: a=3, b=3, c=2, d=1. k=2 → vocab {a, b}: c ties with
+    // nobody, but a and b tie at 3 and both fit; the k boundary falls
+    // between b (rank 2) and c (rank 3).
+    val d = Seq(
+      (1L, "en", "a a b c"),
+      (2L, "en", "b d"),
+      (3L, "fr", "a b c")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.vocabCoverage(d, k = 2).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"),
+          r.getAs[Double]("coverage")))).toMap
+    assert(out("en") == ((6L, 4L, 0.666667))) // a,a,b,b covered of 6
+    assert(out("fr") == ((3L, 2L, 0.666667))) // a,b covered of 3
+    // Tie at the boundary: with k=3, c (count 2) enters before d —
+    // count-desc then token-asc ordering is what both engines compute.
+    val k3 = TextAnalysis.vocabCoverage(d, k = 3).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_covered")).toMap
+    assert(k3("en") == 5L && k3("fr") == 3L)
+  }
 }

@@ -240,4 +240,36 @@ class TrainingDataSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkDocs: stride coverage, boundary shapes, portable chunk hashes") {
+    val t1 = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val d = Seq(
+      (1L, t1),
+      (2L, "only two"),
+      (3L, ""), // empty → no chunks
+      (4L, "   ") // whitespace-only → no chunks
+    ).toDF("doc_id", "text")
+    val out = TrainingData.chunkDocs(d, window = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_hash"))))
+      .toMap
+    // doc 1: starts 0,3,6,9 → sizes 4,4,4,1; every token covered.
+    assert(out.keys.count(_._1 == 1L) == 4)
+    assert((0 to 3).map(c => out((1L, c))._1) == Seq(4, 4, 4, 1))
+    // doc 2: a single short chunk.
+    assert(out.keys.count(_._1 == 2L) == 1 && out((2L, 0))._1 == 2)
+    // empty docs vanish rather than producing empty chunks.
+    assert(!out.keys.exists(k => k._1 == 3L || k._1 == 4L))
+    // chunk identity is md5 of the space-joined window — engine-portable.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out((1L, 1))._2 == md5hex("t4 t5 t6 t7"))
+    assert(out((1L, 3))._2 == md5hex("t10"))
+    assert(out((2L, 0))._2 == md5hex("only two"))
+    // Overlap variant: window 4, stride 2 → chunks share a 2-token seam.
+    val ov = TrainingData.chunkDocs(d.filter(col("doc_id") === 1L), window = 4, stride = 2)
+      .collect().map(r => r.getAs[Int]("chunk_id") -> r.getAs[Int]("n_tokens")).toMap
+    assert(ov == Map(0 -> 4, 1 -> 4, 2 -> 4, 3 -> 4, 4 -> 2))
+  }
 }
