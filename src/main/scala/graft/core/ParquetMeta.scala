@@ -21,6 +21,52 @@ object ParquetMeta {
     * (e.g. Hive-written `000000_0`) are outside this helper's contract —
     * count those through the reader.
     */
+  /** Per-data-file (path, min, max) footer statistics of an integral
+    * column under `path` — the metadata a stats-based reader consults to
+    * skip files/row groups, surfaced so specs can assert a layout's
+    * skipping power without tracing a scan. Footer-only, like
+    * [[rowCount]]. Files lacking stats for the column are returned as
+    * full-range (never skippable) — the conservative reading a real
+    * engine takes.
+    */
+  def longRanges(spark: SparkSession, path: String, column: String): Seq[(String, Long, Long)] = {
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = root.getFileSystem(conf)
+    val it = hfs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var ok = true
+          reader.getFooter.getBlocks.forEach { block =>
+            block.getColumns.forEach { cc =>
+              if (cc.getPath.toDotString == column) {
+                val st: org.apache.parquet.column.statistics.Statistics[_ <: Comparable[_]] =
+                  cc.getStatistics
+                if (st == null || !st.hasNonNullValue) ok = false
+                else st.genericGetMin match {
+                  case n: java.lang.Number =>
+                    lo = math.min(lo, n.longValue())
+                    hi = math.max(hi, st.genericGetMax.asInstanceOf[java.lang.Number].longValue())
+                  case _ => ok = false
+                }
+              }
+            }
+          }
+          if (ok && lo <= hi) out += ((f.getPath.toString, lo, hi))
+          else out += ((f.getPath.toString, Long.MinValue, Long.MaxValue))
+        } finally reader.close()
+      }
+    }
+    out.toSeq
+  }
+
   def rowCount(spark: SparkSession, path: String): Long = {
     val root = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
