@@ -283,6 +283,35 @@ object Extended {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Daily event-type matrix via `pivot` — long-to-wide reshaping with an
+    * EXPLICIT pivot value list. The explicit list matters twice over: the
+    * output schema is deterministic (no data-dependent columns — the
+    * correctness gate hashes by column name), and Spark skips the extra
+    * distinct-values collection pass a bare `pivot(col)` runs first. The
+    * plan is the same single-shuffle hash aggregate as the long form —
+    * pivot columns become conditional aggregates, so at 100 TB this costs
+    * exactly one pass regardless of how many types are pivoted out.
+    */
+  def dailyEventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    wide.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  private val dailyEventPivotSql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+      |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+      |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
     NamedQuery("q24_segment_order_presence", segmentOrderPresence _, Some(segmentOrderPresenceSql)),
@@ -292,5 +321,6 @@ object Extended {
     NamedQuery("q29_supplier_distincts", supplierDistincts _, Some(supplierDistinctsSql)),
     NamedQuery("q31_approx_distinct_users", approxDistinctUsers _, Some(approxDistinctUsersSql)),
     NamedQuery("q32_event_sessions", eventSessions _, Some(eventSessionsSql)),
-    NamedQuery("q33_running_order_totals", runningOrderTotals _, Some(runningOrderTotalsSql)))
+    NamedQuery("q33_running_order_totals", runningOrderTotals _, Some(runningOrderTotalsSql)),
+    NamedQuery("q59_daily_event_pivot", dailyEventPivot _, Some(dailyEventPivotSql)))
 }

@@ -388,6 +388,34 @@ object TextAnalysis {
       |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
       |GROUP BY t.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Exact heavy-hitter tokens at 1% support via the Misra–Gries
+    * two-pass pipeline ([[graft.functions.FrequentItems]]): a bounded-
+    * memory sketch finds candidates in one pass (O(1/support) counters
+    * per task — an exact token groupBy at 100 TB is vocabulary-sized,
+    * the sketch never is), then the ≤ 200 candidates are recounted
+    * exactly. The harness corpus plants a rare token far below support
+    * and keeps every other token far above it, so the output is
+    * margin-stable at every SF and the oracle recomputes it exactly.
+    */
+  def heavyTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.FrequentItems.heavyHitters(
+      Tables.documents(spark, dir)
+        .select(explode(graft.functions.shingleStrings(col("text"), 1)).as("token")),
+      "token", support = 0.01)
+
+  private val heavyTokensSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x <> '')) AS token
+      |  FROM documents
+      |), tot AS (SELECT count(*) AS total FROM toks)
+      |SELECT t.token, CAST(count(*) AS BIGINT) AS n,
+      |  round(count(*)::DOUBLE / max(tot.total), 6) AS freq
+      |FROM toks t CROSS JOIN tot
+      |GROUP BY t.token
+      |HAVING count(*) >= max(tot.total) * 0.01""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
@@ -395,5 +423,6 @@ object TextAnalysis {
     NamedQuery("q16_jaccard_pairs", jaccardPairs _, Some(jaccardPairsSql)),
     NamedQuery("q43_repetition_quality", repetitionQuality _, Some(repetitionQualitySql)),
     NamedQuery("q46_tfidf_terms", (s, d) => tfIdfTopTerms(s, d), Some(tfIdfTopTermsSql)),
-    NamedQuery("q54_vocab_coverage", vocabCoverageByLang _, Some(vocabCoverageSql)))
+    NamedQuery("q54_vocab_coverage", vocabCoverageByLang _, Some(vocabCoverageSql)),
+    NamedQuery("q58_heavy_tokens", heavyTokens _, Some(heavyTokensSql)))
 }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory frequent-items (heavy-hitters) detection: a
+  * Misra–Gries summary as a typed Spark [[Aggregator]], plus the standard
+  * two-pass exact refinement.
+  *
+  * The sketch keeps at most `capacity` counters per partial aggregate —
+  * O(k) memory regardless of row count, the only shape that survives a
+  * 100 TB column with an unbounded domain (an exact groupBy's hash table
+  * is domain-sized; this never is). Guarantees (classic MG bounds):
+  * every item with true frequency > n/(capacity+1) is present in the
+  * merged summary, and each kept counter undercounts its item by at most
+  * n/(capacity+1). Merging two summaries then re-decrementing preserves
+  * both bounds (the mergeable-summaries result), which is exactly what
+  * makes the sketch a valid distributed partial aggregate.
+  *
+  * The summary alone gives candidates with approximate counts; the
+  * refinement pass filters the corpus to the ≤ capacity candidates and
+  * counts them exactly — two linear scans total, no domain-sized shuffle
+  * (the candidate filter is a broadcast-sized semi join). Any item whose
+  * exact count clears `support · n` is provably in the candidate set, so
+  * the refined output is EXACT — not sketch-approximate — whenever
+  * 1/(capacity+1) ≤ support, and [[heavyHitters]] enforces that.
+  *
+  * Buffers are immutable maps encoded by Catalyst's native map encoder
+  * (no Kryo — runtime-serializer registration is JPMS-hostile on Java
+  * 17); the buffer lives as a plain JVM object between `reduce` calls
+  * (TypedImperativeAggregate), so encoding costs are paid only at
+  * partial-aggregate boundaries, not per row.
+  */
+object FrequentItems {
+
+  type Summary = Map[String, Long]
+
+  /** Misra–Gries aggregator over a string column. Partial aggregates and
+    * merges both run the decrement rule, so the result is a valid
+    * mergeable summary of whatever subset each task saw.
+    */
+  final class MisraGries(capacity: Int)(implicit mapEnc: Encoder[Map[String, Long]])
+      extends Aggregator[String, Map[String, Long], Summary] {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+
+    def zero: Map[String, Long] = Map.empty
+
+    /** MG eviction: decrement every counter by the smallest count and
+      * drop the zeros. Runs only when the buffer exceeds capacity, so
+      * the amortized per-item cost is O(1).
+      */
+    private def shrink(b: Map[String, Long]): Map[String, Long] =
+      if (b.size <= capacity) b
+      else {
+        val dec = b.valuesIterator.min
+        b.collect { case (k, v) if v > dec => k -> (v - dec) }
+      }
+
+    def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      if (item == null) b
+      else shrink(b.updated(item, b.getOrElse(item, 0L) + 1L))
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrink(b.foldLeft(a) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      })
+
+    def finish(b: Map[String, Long]): Summary = b
+
+    def bufferEncoder: Encoder[Map[String, Long]] = mapEnc
+    def outputEncoder: Encoder[Summary] = mapEnc
+  }
+
+  /** The MG summary of a string column as an aggregate Column. */
+  def misraGries(df: DataFrame, column: Column, capacity: Int): Column = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    udaf(new MisraGries(capacity)).apply(column)
+  }
+
+  /** Exact heavy hitters of `itemCol`: every item whose frequency is ≥
+    * `support` (fraction of non-null rows), found with O(1/support)
+    * memory. Pass 1 collapses the corpus into one MG summary (capacity
+    * ⌈2/support⌉ ⇒ the MG guarantee threshold n/(capacity+1) < support·n,
+    * so no qualifying item can be evicted); pass 2 recounts the ≤
+    * capacity candidates exactly. The collected summary is
+    * capacity-bounded driver metadata, never corpus-sized. Output: item,
+    * exact count, frequency.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, support: Double): DataFrame = {
+    require(support > 0 && support <= 1, s"support must be in (0,1], got $support")
+    val capacity = math.ceil(2.0 / support).toInt
+    val items = df.select(col(itemCol)).na.drop(Seq(itemCol))
+    val summary = items
+      .agg(misraGries(items, col(itemCol), capacity).as("mg"))
+      .head().getAs[Map[String, Long]]("mg")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candidates = summary.keys.toSeq.toDF(itemCol)
+    items
+      .join(broadcast(candidates), Seq(itemCol), "left_semi")
+      .groupBy(itemCol).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(items.agg(count(lit(1)).as("total"))))
+      .filter(col("n") >= col("total") * support)
+      .select(col(itemCol), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("freq"))
+  }
+}

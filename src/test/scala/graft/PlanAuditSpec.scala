@@ -175,6 +175,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 20, s"q56 scans regressed: $s")
   }
 
+  test("q58 heavy hitters recount stays semi-join + broadcast shaped") {
+    val s = stats("q58_heavy_tokens")
+    // The exact recount semi-joins a capacity-bounded candidate list and
+    // cross-joins the single-row total (the q19/q46 single-row pattern).
+    assert(s.nestedLoops <= 2 && s.smj == 0, s"q58 regressed: $s")
+    assert(s.shuffles <= 8, s"q58 shuffles regressed: $s")
+  }
+
+  test("q59 pivot stays a single-pass conditional aggregate") {
+    val s = stats("q59_daily_event_pivot")
+    assert(s.scans <= 2 && s.shuffles <= 4 && s.broadcast == 0 && s.nestedLoops == 0,
+      s"q59 must stay one hash aggregate: $s")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join
