@@ -16,7 +16,8 @@ object Registry {
       Similarity.queries ++ graft.multimodal.Multimodal.queries ++
       graft.analytics.Extended.queries ++ graft.analytics.IvfIndex.queries ++
       graft.analytics.RatingsSummary.queries ++ graft.analytics.TrainingData.queries ++
-      graft.analytics.RangeJoin.queries ++ graft.warehouse.ZOrder.queries
+      graft.analytics.RangeJoin.queries ++ graft.warehouse.ZOrder.queries ++
+      graft.analytics.EventAnalytics.queries
 }
 
 object SparkEntry {

@@ -1,0 +1,139 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.core.Tables
+
+/** The classic event-stream warehouse battery: outlier days, conversion
+  * funnels, and retention cohorts (reference analogue: report.py's
+  * date-window aggregation reports, generalized to the standard product-
+  * analytics shapes). All three are one-or-two-shuffle aggregate plans
+  * with no corpus-sized joins — at 100 TB each is a hash aggregate
+  * partitioned by its natural key (day / user / cohort) plus a broadcast
+  * of group-count-sized side data.
+  *
+  * Float discipline: every statistic is derived from integer sums
+  * (Σn, Σn², counts) through a fixed sequence of IEEE double ops, never
+  * from an order-dependent float aggregation — so DuckDB reproduces each
+  * value bit-for-bit and the oracle hashes match (the q46/q49 contract).
+  */
+object EventAnalytics {
+
+  // ---------------------------------------------------------------- q60
+  /** Daily event volumes with population z-scores and an |z| ≥ 1.5
+    * anomaly flag. Mean and variance come from exact integer sums
+    * (`Σn`, `Σn²`) rather than a float `stddev` aggregate: summation
+    * order can't perturb the result, so the flag is engine-stable even
+    * for days sitting near the threshold.
+    */
+  def dailyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    // Global stats ride a partition-less window over `daily`, which is
+    // DAYS-sized (≤ a few thousand rows at any corpus scale) — one tiny
+    // single-partition exchange instead of re-aggregating the events
+    // scan a second time for a stats subquery.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    daily
+      .withColumn("s1", sum("n_events").over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("nd", count(lit(1)).over(w))
+      .withColumn("mean", col("s1").cast("double") / col("nd"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("nd") - col("mean") * col("mean"))
+      .withColumn("z", (col("n_events") - col("mean")) / sqrt(col("variance")))
+      .select(col("day"), col("n_events"),
+        round(col("z"), 4).as("z"),
+        (abs(col("z")) >= 1.5).cast("int").as("is_anomaly"))
+  }
+
+  private val dailyAnomaliesSql =
+    """WITH daily AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |), stats AS (
+      |  SELECT sum(n_events) AS s1, sum(n_events * n_events) AS s2,
+      |    count(*) AS nd
+      |  FROM daily
+      |), scored AS (
+      |  SELECT day, n_events,
+      |    (n_events - s1::DOUBLE / nd) /
+      |      sqrt(s2::DOUBLE / nd - (s1::DOUBLE / nd) * (s1::DOUBLE / nd)) AS z
+      |  FROM daily CROSS JOIN stats
+      |)
+      |SELECT day, CAST(n_events AS BIGINT) AS n_events, round(z, 4) AS z,
+      |  CAST(abs(z) >= 1.5 AS INT) AS is_anomaly
+      |FROM scored""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** First-touch conversion funnel view → click → purchase: a user
+    * reaches a stage only if their first such event follows the previous
+    * stage's first event strictly in time. One shuffle (by user), then a
+    * single-row rollup — the standard funnel shape. Timestamps are
+    * floored to epoch seconds on BOTH sides before comparison (the
+    * ns-vs-µs parquet note in [[graft.core.Tables.events]]).
+    */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+    def firstOf(t: String) = min(when(col("event_type") === t, col("sec")))
+    val per = ev.groupBy("user_id").agg(
+      firstOf("view").as("fv"), firstOf("click").as("fc"),
+      firstOf("purchase").as("fp"))
+    per.agg(
+      count(col("fv")).as("n_view"),
+      count(when(col("fv") < col("fc"), 1)).as("n_click"),
+      count(when(col("fv") < col("fc") && col("fc") < col("fp"), 1)).as("n_purchase"))
+  }
+
+  private val conversionFunnelSql =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN floor(epoch(ts))::BIGINT END) AS fv,
+      |    min(CASE WHEN event_type = 'click' THEN floor(epoch(ts))::BIGINT END) AS fc,
+      |    min(CASE WHEN event_type = 'purchase' THEN floor(epoch(ts))::BIGINT END) AS fp
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT CAST(count(fv) AS BIGINT) AS n_view,
+      |  CAST(count(CASE WHEN fv < fc THEN 1 END) AS BIGINT) AS n_click,
+      |  CAST(count(CASE WHEN fv < fc AND fc < fp THEN 1 END) AS BIGINT) AS n_purchase
+      |FROM per""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Retention cohorts: users grouped by first-activity day, counted as
+    * active per day offset. Two aggregates (first-day per user, then
+    * cohort × offset distinct users) and one join keyed on user_id —
+    * both exchanges partition by user-sized keys; the cohort table that
+    * comes out is dashboard-sized.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+  }
+
+  private val retentionCohortsSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1
+      |)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort,
+      |  CAST(date_diff('day', c.cohort_day, e.d) AS INT) AS day_offset,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q60_daily_anomalies", dailyAnomalies _, Some(dailyAnomaliesSql)),
+    NamedQuery("q61_conversion_funnel", conversionFunnel _, Some(conversionFunnelSql)),
+    NamedQuery("q62_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)))
+}

@@ -189,6 +189,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q59 must stay one hash aggregate: $s")
   }
 
+  test("q60/q61/q62 event battery keeps aggregate-only shapes") {
+    // q60: one events agg + one days-sized global-stats window — a
+    // second events pass for a stats subquery is the regression.
+    val s60 = stats("q60_daily_anomalies")
+    // scans=2 is the AQE stage double-print (q01's audited shape); a
+    // genuine stats subquery re-pass would also add join/shuffle counts.
+    assert(s60.scans <= 2 && s60.shuffles <= 4 && s60.smj == 0 && s60.nestedLoops == 0,
+      s"q60 regressed: $s60")
+    // q61: one shuffle by user, then a single-row rollup.
+    val s61 = stats("q61_conversion_funnel")
+    assert(s61.shuffles <= 4 && s61.nestedLoops == 0 && s61.broadcast == 0,
+      s"q61 must stay a two-level aggregate: $s61")
+    // q62: first-day agg + user-keyed join + cohort agg.
+    val s62 = stats("q62_retention_cohorts")
+    assert(s62.nestedLoops == 0 && s62.shuffles <= 8, s"q62 regressed: $s62")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

@@ -1,0 +1,86 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("funnel stage gates are strict-order: click before view never converts") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1 converts fully in order; u2 clicked BEFORE first view (no click
+    // credit, hence no purchase credit either despite purchasing last);
+    // u3 views only; u4 never views (invisible to the funnel top).
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      (2L, "click", ts("2024-01-02 09:00:00")),
+      (2L, "view", ts("2024-01-02 09:30:00")),
+      (2L, "purchase", ts("2024-01-02 10:00:00")),
+      (3L, "view", ts("2024-01-03 08:00:00")),
+      (4L, "purchase", ts("2024-01-04 07:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    def firstOf(t: String) = min(when(col("event_type") === t, col("ts").cast("long")))
+    val per = ev.groupBy("user_id").agg(
+      firstOf("view").as("fv"), firstOf("click").as("fc"), firstOf("purchase").as("fp"))
+    val row = per.agg(
+      count(col("fv")).as("n_view"),
+      count(when(col("fv") < col("fc"), 1)).as("n_click"),
+      count(when(col("fv") < col("fc") && col("fc") < col("fp"), 1)).as("n_purchase"))
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((3L, 1L, 1L)))
+  }
+
+  test("gated funnel is monotone and grounded in reality at sf0.001") {
+    val row = EventAnalytics.conversionFunnel(spark, dir).head()
+    val (v, c, p) = (row.getAs[Long]("n_view"), row.getAs[Long]("n_click"),
+      row.getAs[Long]("n_purchase"))
+    assert(v >= c && c >= p, s"funnel must be monotone: $v/$c/$p")
+    assert(v > 0, "harness events must have viewers")
+  }
+
+  test("daily anomaly z-scores match an exact integer-sum reference") {
+    val out = EventAnalytics.dailyAnomalies(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("z"), r.getAs[Int]("is_anomaly"))))
+      .toMap
+    val counts = out.view.mapValues(_._1).toMap
+    val nd = counts.size.toLong
+    val s1 = counts.values.sum
+    val s2 = counts.values.map(n => n * n).sum
+    val mean = s1.toDouble / nd
+    val sd = math.sqrt(s2.toDouble / nd - mean * mean)
+    counts.foreach { case (day, n) =>
+      val z = math.rint((n - mean) / sd * 1e4) / 1e4
+      assert(out(day)._2 == z, s"$day: ${out(day)._2} vs reference $z")
+      assert(out(day)._3 == (if (math.abs((n - mean) / sd) >= 1.5) 1 else 0))
+    }
+    // Every day accounted for, no fabricated rows.
+    assert(s1 == graft.core.Tables.events(spark, dir).count())
+  }
+
+  test("retention cohorts conserve users and start at offset zero") {
+    val rows = EventAnalytics.retentionCohorts(spark, dir).collect()
+    val byCohort = rows.groupBy(_.getAs[String]("cohort"))
+    // Offset 0 exists for every cohort (a user is active on their own
+    // first day by construction) and is that cohort's maximum (retention
+    // can only lose users).
+    byCohort.foreach { case (c, rs) =>
+      val m = rs.map(r => r.getAs[Int]("day_offset") -> r.getAs[Long]("n_active")).toMap
+      assert(m.contains(0), s"cohort $c missing offset 0")
+      assert(m(0) == m.values.max, s"cohort $c: day-0 must be the peak")
+    }
+    // Cohort day-0 sizes partition the user base.
+    val users = graft.core.Tables.events(spark, dir)
+      .select(countDistinct("user_id")).head().getLong(0)
+    val day0Sum = byCohort.values.map(
+      _.find(_.getAs[Int]("day_offset") == 0).get.getAs[Long]("n_active")).sum
+    assert(day0Sum == users)
+  }
+}
