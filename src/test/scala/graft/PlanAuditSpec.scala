@@ -206,6 +206,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(s62.nestedLoops == 0 && s62.shuffles <= 8, s"q62 regressed: $s62")
   }
 
+  test("q63 SCD2 history is one user-keyed shuffle reused by both windows") {
+    val s = stats("q63_scd2_history")
+    assert(s.shuffles <= 4 && s.nestedLoops == 0 && s.broadcast == 0 && s.smj == 0,
+      s"q63 must stay window-only: $s")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join
