@@ -56,16 +56,25 @@ object Dedup {
     * smaller band) — the standard bounded-LSH trade. Pass None for exact
     * banded behavior.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String = "doc_id",
-                    maxBucketSize: Option[Int] = Some(500)): DataFrame = {
+  /** `(id, band, sig)` band signatures of a MinHash-signature frame —
+    * THE band space every LSH consumer shares (the within-corpus
+    * candidate join and the cross-side incremental join must band
+    * identically or their recall arguments stop composing).
+    */
+  private def bandSignatures(sigs: DataFrame, idCol: String): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
     }
-    val bands = sigs
+    sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def lshCandidates(sigs: DataFrame, idCol: String = "doc_id",
+                    maxBucketSize: Option[Int] = Some(500)): DataFrame = {
+    val bands = bandSignatures(sigs, idCol)
     // Shared LSH candidate kernel (mega-bucket cap + pinned spread +
     // bucket self-join); dedupe across bands here because the Jaccard
     // verify is per-pair expensive (array intersect/union), unlike the
@@ -566,15 +575,9 @@ object Dedup {
     */
   def incrementalNearDups(batch: DataFrame, base: DataFrame, threshold: Double,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val rowsPerBand = NumHashes / NumBands
-    val bandStructs = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
-    }
     def bands(df: DataFrame, as: String) =
-      minHashSignatures(df, idCol, textCol)
-        .select(col(idCol).as(as), explode(array(bandStructs: _*)).as("bs"))
-        .select(col(as), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      bandSignatures(minHashSignatures(df, idCol, textCol), idCol)
+        .withColumnRenamed(idCol, as)
     val candidates = bands(batch, "batch_id")
       .join(bands(base, "base_id"), Seq("band", "sig"))
       .select("batch_id", "base_id").distinct()

@@ -38,9 +38,15 @@ object EventAnalytics {
     // scan a second time for a stats subquery.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // Σn² in DECIMAL on both engines: a LongType square wraps silently
+    // past ~3e9 events/day (DuckDB would promote/error — divergence
+    // exactly where this query promises engine stability). The decimal
+    // sum is still an exact integer, so the double conversion below
+    // remains order-independent.
+    val nDec = col("n_events").cast("decimal(19,0)")
     daily
       .withColumn("s1", sum("n_events").over(w))
-      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("s2", sum(nDec * nDec).over(w))
       .withColumn("nd", count(lit(1)).over(w))
       .withColumn("mean", col("s1").cast("double") / col("nd"))
       .withColumn("variance",
@@ -56,7 +62,8 @@ object EventAnalytics {
       |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
       |  FROM events GROUP BY 1
       |), stats AS (
-      |  SELECT sum(n_events) AS s1, sum(n_events * n_events) AS s2,
+      |  SELECT sum(n_events) AS s1,
+      |    sum(n_events::DECIMAL(19,0) * n_events::DECIMAL(19,0)) AS s2,
       |    count(*) AS nd
       |  FROM daily
       |), scored AS (
@@ -77,18 +84,35 @@ object EventAnalytics {
     * floored to epoch seconds on BOTH sides before comparison (the
     * ns-vs-µs parquet note in [[graft.core.Tables.events]]).
     */
-  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
-    def firstOf(t: String) = min(when(col("event_type") === t, col("sec")))
-    val per = ev.groupBy("user_id").agg(
-      firstOf("view").as("fv"), firstOf("click").as("fc"),
-      firstOf("purchase").as("fp"))
+  /** Operator form over any `(user, type, ord)` frame — the spec drives
+    * its stage gates on hand-built fixtures; [[conversionFunnel]] gates
+    * it on the events table. `stages` is ordered; a user reaches stage i
+    * only if every prior stage's first occurrence precedes it strictly.
+    */
+  def funnel(events: DataFrame, stages: Seq[String], userCol: String = "user_id",
+             typeCol: String = "event_type", ordCol: String = "sec"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    def firstOf(t: String) = min(when(col(typeCol) === t, col(ordCol)))
+    val per = events.groupBy(userCol)
+      .agg(firstOf(stages.head).as("f0"),
+        stages.tail.zipWithIndex.map { case (s, i) => firstOf(s).as(s"f${i + 1}") }: _*)
+    val reached = stages.indices.map { i =>
+      // f0 < f1 < … < fi — strict first-touch ordering.
+      (1 to i).map(j => col(s"f${j - 1}") < col(s"f$j"))
+        .foldLeft(col("f0").isNotNull)(_ && _)
+    }
     per.agg(
-      count(col("fv")).as("n_view"),
-      count(when(col("fv") < col("fc"), 1)).as("n_click"),
-      count(when(col("fv") < col("fc") && col("fc") < col("fp"), 1)).as("n_purchase"))
+      count(when(reached.head, 1)).as(s"n_${stages.head}"),
+      stages.tail.zipWithIndex.map { case (s, i) =>
+        count(when(reached(i + 1), 1)).as(s"n_$s")
+      }: _*)
   }
+
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec")),
+      Seq("view", "click", "purchase"))
 
   private val conversionFunnelSql =
     """WITH per AS (

@@ -414,7 +414,7 @@ object TextAnalysis {
       |  round(count(*)::DOUBLE / max(tot.total), 6) AS freq
       |FROM toks t CROSS JOIN tot
       |GROUP BY t.token
-      |HAVING count(*) >= max(tot.total) * 0.01""".stripMargin
+      |HAVING count(*)::DOUBLE >= max(tot.total)::DOUBLE * 0.01""".stripMargin
 
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),

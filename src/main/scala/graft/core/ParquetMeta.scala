@@ -33,12 +33,17 @@ object ParquetMeta {
     val root = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = root.getFileSystem(conf)
+    val rootUri = root.toUri.getPath
     val it = hfs.listFiles(root, true)
     val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+      // Same hidden-entry rule as rowCount: EVERY path component below
+      // the root — a crashed write's _temporary/... must not appear as a
+      // phantom (unskippable) file in the audit.
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val hidden = rel.split("/").exists(c => c.startsWith("_") || c.startsWith("."))
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden) {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
         try {
           var lo = Long.MaxValue

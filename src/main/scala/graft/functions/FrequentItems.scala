@@ -46,14 +46,22 @@ object FrequentItems {
 
     def zero: Map[String, Long] = Map.empty
 
-    /** MG eviction: decrement every counter by the smallest count and
-      * drop the zeros. Runs only when the buffer exceeds capacity, so
-      * the amortized per-item cost is O(1).
+    /** MG eviction: decrement every counter by the (capacity+1)-th
+      * LARGEST count and drop the non-positives. For the single-item
+      * case this equals the classic decrement-by-min step; after a bulk
+      * merge (where the buffer can be ~2·capacity) it is the
+      * mergeable-summaries rule that restores `size ≤ capacity` in one
+      * pass — at most `capacity` counters can exceed the (capacity+1)-th
+      * largest value. Decrement mass per shrink stays ≤ n_subset/(k+1),
+      * so the global undercount bound is preserved through any merge
+      * tree.
       */
     private def shrink(b: Map[String, Long]): Map[String, Long] =
       if (b.size <= capacity) b
       else {
-        val dec = b.valuesIterator.min
+        val counts = b.valuesIterator.toArray
+        java.util.Arrays.sort(counts)
+        val dec = counts(counts.length - capacity - 1)
         b.collect { case (k, v) if v > dec => k -> (v - dec) }
       }
 
@@ -92,18 +100,22 @@ object FrequentItems {
     require(support > 0 && support <= 1, s"support must be in (0,1], got $support")
     val capacity = math.ceil(2.0 / support).toInt
     val items = df.select(col(itemCol)).na.drop(Seq(itemCol))
-    val summary = items
-      .agg(misraGries(items, col(itemCol), capacity).as("mg"))
-      .head().getAs[Map[String, Long]]("mg")
+    // The total row count rides the sketch aggregation — pass 1 is ONE
+    // scan producing both the candidates and n.
+    val first = items
+      .agg(misraGries(items, col(itemCol), capacity).as("mg"),
+        count(lit(1)).as("total"))
+      .head()
+    val summary = first.getAs[Map[String, Long]]("mg")
+    val total = first.getAs[Long]("total")
     val spark = df.sparkSession
     import spark.implicits._
     val candidates = summary.keys.toSeq.toDF(itemCol)
     items
       .join(broadcast(candidates), Seq(itemCol), "left_semi")
       .groupBy(itemCol).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(items.agg(count(lit(1)).as("total"))))
-      .filter(col("n") >= col("total") * support)
+      .filter(col("n") >= lit(total) * support)
       .select(col(itemCol), col("n"),
-        round(col("n").cast("double") / col("total"), 6).as("freq"))
+        round(col("n").cast("double") / lit(total), 6).as("freq"))
   }
 }

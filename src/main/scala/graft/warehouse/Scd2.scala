@@ -52,11 +52,30 @@ object Scd2 {
     * (idempotent re-loads); a changed key's current version closes at
     * the update's `ord` and a new open version is appended; an unseen
     * key inserts its first version.
+    *
+    * PRECONDITION: every update's `ord` must be ≥ the current version's
+    * `valid_from` for its key — the incremental fold is forward-only
+    * (closing a version before it opened would mint a negative-duration
+    * interval). Late-arriving changes need a [[buildHistory]]
+    * re-derivation of the affected keys instead. `strict = true` (the
+    * default) enforces this with one key-join count over the
+    * (dimension-sized, not history-replay-sized) inputs and throws
+    * instead of corrupting; pass `strict = false` only when the caller
+    * already orders its batches.
     */
   def merge(dim: DataFrame, updates: DataFrame, key: String, attr: String,
-            ord: String): DataFrame = {
+            ord: String, strict: Boolean = true): DataFrame = {
     val up = updates.select(
       col(key), col(attr).as("__new_attr"), col(ord).as("__new_from"))
+    if (strict) {
+      val late = dim.filter(col("is_current") === 1)
+        .join(up, Seq(key))
+        .filter(col("__new_from") < col("valid_from"))
+        .count()
+      require(late == 0,
+        s"Scd2.merge: $late update(s) precede their key's current valid_from — " +
+          "late-arriving changes require a buildHistory re-derivation")
+    }
     val joined = dim.join(up, Seq(key), "left")
     val closed = joined.select(
       col(key), col(attr),

@@ -175,11 +175,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 20, s"q56 scans regressed: $s")
   }
 
-  test("q58 heavy hitters recount stays semi-join + broadcast shaped") {
+  test("q58 heavy hitters recount stays semi-join shaped") {
     val s = stats("q58_heavy_tokens")
-    // The exact recount semi-joins a capacity-bounded candidate list and
-    // cross-joins the single-row total (the q19/q46 single-row pattern).
-    assert(s.nestedLoops <= 2 && s.smj == 0, s"q58 regressed: $s")
+    // The exact recount semi-joins a capacity-bounded candidate list;
+    // the total rides pass 1 as a literal, so no single-row cross join.
+    assert(s.nestedLoops == 0 && s.smj == 0, s"q58 regressed: $s")
     assert(s.shuffles <= 8, s"q58 shuffles regressed: $s")
   }
 

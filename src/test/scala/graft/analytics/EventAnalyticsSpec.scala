@@ -26,15 +26,21 @@ class EventAnalyticsSpec extends SparkSpec {
       (3L, "view", ts("2024-01-03 08:00:00")),
       (4L, "purchase", ts("2024-01-04 07:00:00"))
     ).toDF("user_id", "event_type", "ts")
-    def firstOf(t: String) = min(when(col("event_type") === t, col("ts").cast("long")))
-    val per = ev.groupBy("user_id").agg(
-      firstOf("view").as("fv"), firstOf("click").as("fc"), firstOf("purchase").as("fp"))
-    val row = per.agg(
-      count(col("fv")).as("n_view"),
-      count(when(col("fv") < col("fc"), 1)).as("n_click"),
-      count(when(col("fv") < col("fc") && col("fc") < col("fp"), 1)).as("n_purchase"))
-      .head()
-    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((3L, 1L, 1L)))
+    val row = EventAnalytics.funnel(
+      ev.select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec")),
+      Seq("view", "click", "purchase")).head()
+    assert((row.getAs[Long]("n_view"), row.getAs[Long]("n_click"),
+      row.getAs[Long]("n_purchase")) == ((3L, 1L, 1L)))
+  }
+
+  test("funnel generalizes to other stage chains") {
+    def ts(i: Int) = i.toLong
+    // Stage chain of length 2 with a reversed pair.
+    val ev = Seq(
+      (1L, "signup", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "purchase", ts(1)), (2L, "signup", ts(2))).toDF("user_id", "event_type", "sec")
+    val row = EventAnalytics.funnel(ev, Seq("signup", "purchase")).head()
+    assert((row.getAs[Long]("n_signup"), row.getAs[Long]("n_purchase")) == ((2L, 1L)))
   }
 
   test("gated funnel is monotone and grounded in reality at sf0.001") {

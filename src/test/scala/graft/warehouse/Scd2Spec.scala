@@ -70,4 +70,18 @@ class Scd2Spec extends SparkSpec {
       "key", "attr", "ord")
     assert(collect(again) == oneShot)
   }
+
+  test("strict merge rejects late-arriving updates instead of corrupting") {
+    val dim = Scd2.buildHistory(
+      Seq((1L, "gold", 50L)).toDF("key", "attr", "ord"), "key", "attr", "ord")
+    val late = Seq((1L, "bronze", 10L)).toDF("key", "attr", "ord")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.merge(dim, late, "key", "attr", "ord")
+    }
+    assert(e.getMessage.contains("buildHistory"))
+    // Same-ord same-value replay is NOT late (>= passes) and stays a no-op.
+    val replay = Seq((1L, "gold", 50L)).toDF("key", "attr", "ord")
+    assert(collect(Scd2.merge(dim, replay, "key", "attr", "ord")) ==
+      history(Seq((1L, "gold", 50L, None, 1))))
+  }
 }
