@@ -130,6 +130,28 @@ object Stress {
     }
     println(s"[stress]   ${report.summary}")
 
+    // 1e. Round-5 text/dedup paths over the same 100k-doc corpus.
+    time("window dedup (8-token, stride 1), 100k docs") {
+      graft.analytics.Dedup.windowDupes(docs100k)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val incMatches = time("incremental near-dups, 5k batch vs 95k base") {
+      graft.analytics.Dedup.incrementalNearDups(
+        docs100k.filter(col("doc_id") % 20 === 0),
+        docs100k.filter(col("doc_id") % 20 =!= 0), threshold = 0.9).count()
+    }
+    println(s"[stress]   cross-side matches = $incMatches")
+    time("heavy hitters over ~9M tokens") {
+      graft.functions.FrequentItems.heavyHitters(
+        docs100k.select(explode(
+          graft.functions.shingleStrings(col("text"), 1)).as("token")),
+        "token", support = 0.01).count()
+    }
+    time("RAG chunking, 100k docs") {
+      graft.analytics.TrainingData.chunkDocs(docs100k)
+        .write.mode("overwrite").format("noop").save()
+    }
+
     // 2. Relational over 6M lineitem rows (10×).
     val li6m = replicate(graft.core.Tables.lineitem(spark, dir), "l_orderkey", 10)
     println(s"[stress] lineitem rows = ${li6m.count()}")
@@ -150,6 +172,48 @@ object Stress {
         Seq(col("l_shipdate"), col("l_linenumber"), col("l_extendedprice")))
         .write.mode("overwrite").format("noop").save()
     }
+
+    // 2b. Bin-bucketed range join: 6M ship-date points against ~14k
+    //     30-day windows (the naive non-equi form is 8.2e10 comparisons).
+    time("range join, 6M points × 14k intervals") {
+      val win = 30L * 86400
+      val intervals = graft.core.Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("lo"),
+          (col("o_orderdate").cast("timestamp").cast("long") + win).as("hi"))
+      val points = li6m.select(
+        col("l_shipdate").cast("timestamp").cast("long").as("pt"))
+      graft.analytics.RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", win)
+        .groupBy("o_orderkey").agg(count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // 2c. SCD2 history derivation from a 6M-row change log (one window
+    //     pass keyed on l_orderkey).
+    time("scd2 buildHistory, 6M-row change log") {
+      graft.warehouse.Scd2.buildHistory(
+        li6m.select(col("l_orderkey"),
+          col("l_returnflag").as("attr"),
+          struct(col("l_shipdate").cast("timestamp").cast("long").as("sec"),
+            col("l_linenumber")).as("ord")),
+        "l_orderkey", "attr", "ord")
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // 2d. Z-order layout of 1M orders on (custkey, price bucket), then the
+    //     skipping ratio a price-band predicate achieves from footer stats.
+    val zDir = tmpDir("stress-z")
+    time("z-order write, 1M rows, 64 files") {
+      graft.warehouse.ZOrder.write(
+        replicate(graft.core.Tables.orders(spark, dir), "o_orderkey", 7)
+          .select((col("o_custkey") % 65536).as("a"),
+            floor(col("o_totalprice") / 10).cast("long").as("b")),
+        "a", "b", s"$zDir/orders", partitions = 64)
+    }
+    val ranges = graft.core.ParquetMeta.longRanges(spark, s"$zDir/orders", "b")
+    val hit = ranges.count { case (_, mn, mx) => mx >= 0 && mn <= 2000 }
+    println(s"[stress]   price-band files hit = $hit/${ranges.size} (linear layout hits all)")
 
     // 3. Merge 10k updates into a 1M-row bucketed table: cost must track the
     //    batch + affected buckets, not the table.

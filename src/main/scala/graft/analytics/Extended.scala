@@ -283,6 +283,68 @@ object Extended {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Equi-depth price histogram via quantile boundaries — the optimizer-
+    * statistics shape. A global `ntile` would sort the entire column in
+    * ONE partition (the classic non-scalable form); instead the 7 inner
+    * boundaries come from the same single-pass exact `percentile` q27
+    * gates (7 doubles of driver metadata), and every row buckets itself
+    * by comparing against those literals — scan + tiny agg + scan, no
+    * global sort at any scale. Bucket populations are near-equal rather
+    * than exactly equal when ties straddle a boundary; the bucket
+    * assignment itself is engine-exact (q27 proves percentile parity,
+    * and `>` on identical doubles can't diverge).
+    */
+  def priceHistogram(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bs = Tables.lineitem(spark, dir)
+      .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString("D,")}D))"))
+      .head().getSeq[Double](0)
+    val bucket = bs.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col("l_extendedprice") > b, 1).otherwise(0)
+    }
+    Tables.lineitem(spark, dir)
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("lo"),
+        round(max("l_extendedprice"), 2).as("hi"))
+  }
+
+  private val priceHistogramSql = {
+    val qs = (1 to 7).map(i => i / 8.0).mkString(", ")
+    s"""WITH bs AS (
+       |  SELECT unnest(quantile_cont(l_extendedprice, [$qs])) AS b FROM lineitem
+       |), bucketed AS (
+       |  SELECT l_extendedprice AS p,
+       |    CAST(1 + (SELECT count(*) FROM bs WHERE p > b) AS INT) AS bucket
+       |  FROM lineitem
+       |)
+       |SELECT bucket, count(*) AS n,
+       |  round(min(p), 2) AS lo, round(max(p), 2) AS hi
+       |FROM bucketed GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** Revenue cube over (status, priority): all four grouping sets in one
+    * pass, tagged by `grouping_id` (bit semantics agree across engines:
+    * leftmost column = MSB, 1 = rolled up). Complements q25's ROLLUP —
+    * together they cover Spark's grouping-sets surface.
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        grouping_id().as("gid"))
+
+  private val cubeRevenueSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   // ---------------------------------------------------------------- q59
   /** Daily event-type matrix via `pivot` — long-to-wide reshaping with an
     * EXPLICIT pivot value list. The explicit list matters twice over: the
@@ -322,5 +384,7 @@ object Extended {
     NamedQuery("q31_approx_distinct_users", approxDistinctUsers _, Some(approxDistinctUsersSql)),
     NamedQuery("q32_event_sessions", eventSessions _, Some(eventSessionsSql)),
     NamedQuery("q33_running_order_totals", runningOrderTotals _, Some(runningOrderTotalsSql)),
-    NamedQuery("q59_daily_event_pivot", dailyEventPivot _, Some(dailyEventPivotSql)))
+    NamedQuery("q59_daily_event_pivot", dailyEventPivot _, Some(dailyEventPivotSql)),
+    NamedQuery("q64_price_histogram", (s, d) => priceHistogram(s, d), Some(priceHistogramSql)),
+    NamedQuery("q65_cube_revenue", cubeRevenue _, Some(cubeRevenueSql)))
 }

@@ -212,6 +212,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q63 must stay window-only: $s")
   }
 
+  test("q64/q65 histogram and cube stay scan+aggregate (no global sort)") {
+    // q64: rows bucket against collected quantile literals — a global
+    // ntile sort (single-partition Exchange) is the regression.
+    val s64 = stats("q64_price_histogram")
+    assert(s64.scans <= 2 && s64.shuffles <= 4 && s64.smj == 0 && s64.nestedLoops == 0,
+      s"q64 must stay scan+agg: $s64")
+    val s65 = stats("q65_cube_revenue")
+    assert(s65.scans <= 2 && s65.shuffles <= 4 && s65.nestedLoops == 0,
+      s"q65 must stay a single expand+agg pass: $s65")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join
