@@ -68,13 +68,19 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the SQL function surface plus the
+  * range-join optimizer rule (inert until
+  * `spark.graft.rangeJoin.binWidth` is set — see
+  * [[graft.plans.RangeJoinRewrite]]).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder, usage) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
+    e.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
+  }
 }

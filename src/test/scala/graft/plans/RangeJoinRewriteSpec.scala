@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Explain, SparkSpec}
+
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val BinWidthKey = new RangeJoinRewrite().BinWidthKey
+
+  /** Run `f` with the rewrite installed and a bin width set. */
+  private def withRule[T](width: Long)(f: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ new RangeJoinRewrite
+    spark.conf.set(BinWidthKey, width.toString)
+    try f
+    finally {
+      spark.conf.unset(BinWidthKey)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  private def points = (0L to 200L by 3).toDF("pt")
+  private def intervals = Seq(
+    (1L, 0L, 50L), (2L, 47L, 113L), (3L, 113L, 113L), (4L, 150L, 151L), (5L, 90L, 95L))
+    .toDF("iv_id", "lo", "hi")
+
+  private def naive: DataFrame =
+    points.join(intervals, col("pt") >= col("lo") && col("pt") < col("hi"))
+
+  test("the naive non-equi join is rewritten to a nested-loop-free plan") {
+    val baseline = Explain.audit(naive)
+    assert(baseline.nestedLoops > 0, s"without the rule this must be a BNLJ: $baseline")
+    val expected = naive.select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    withRule(width = 10) {
+      val s = Explain.audit(naive)
+      assert(s.nestedLoops == 0, s"rule must remove the nested loop: $s")
+      val got = naive.select("iv_id", "pt").as[(Long, Long)].collect().toSeq
+      assert(got.toSet == expected, "rewrite must not change results")
+      assert(got.size == expected.size, "each pair must match in exactly one bin")
+    }
+  }
+
+  test("both join orientations and extra residual predicates rewrite") {
+    val expected = naive.filter(col("iv_id") =!= 5L)
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    withRule(width = 7) {
+      // intervals on the left, plus a residual non-range predicate.
+      val flipped = intervals.join(points,
+        col("pt") >= col("lo") && col("pt") < col("hi") && col("iv_id") =!= 5L)
+      val s = Explain.audit(flipped)
+      assert(s.nestedLoops == 0, s"flipped orientation must also rewrite: $s")
+      assert(flipped.select("iv_id", "pt").as[(Long, Long)].collect().toSet == expected)
+    }
+  }
+
+  test("guards: equi-keyed joins and disabled config stay untouched") {
+    withRule(width = 10) {
+      // A cross-side equi conjunct → already hash-joinable; must not fire.
+      val keyed = points.withColumn("k", col("pt") % 5)
+        .join(intervals.withColumn("k2", col("iv_id") % 5),
+          col("k") === col("k2") && col("pt") >= col("lo") && col("pt") < col("hi"))
+      assert(keyed.queryExecution.optimizedPlan.toString.contains("__graft_bin") == false,
+        "equi-keyed join must not be rewritten")
+    }
+    // Width unset → rule inert even when installed.
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ new RangeJoinRewrite
+    try assert(!naive.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("rewritten plan equals RangeJoin.pointInInterval's hand-built shape") {
+    val expected = graft.analytics.RangeJoin
+      .pointInInterval(points, "pt", intervals, "lo", "hi", binWidth = 10)
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    withRule(width = 10) {
+      assert(naive.select("iv_id", "pt").as[(Long, Long)].collect().toSet == expected)
+    }
+  }
+}
