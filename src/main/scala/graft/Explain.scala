@@ -21,10 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Explain {
 
   final case class PlanStats(codegen: Int, broadcast: Int, smj: Int,
-                             shuffles: Int, scans: Int, nestedLoops: Int) {
+                             shuffles: Int, scans: Int, nestedLoops: Int,
+                             singleParts: Int = 0) {
     override def toString =
       f"codegen=$codegen%2d broadcast=$broadcast smj=$smj shuffles=$shuffles " +
-        f"scans=$scans nestedLoops=$nestedLoops"
+        f"scans=$scans nestedLoops=$nestedLoops singleParts=$singleParts"
   }
 
   /** Drive THIS DataFrame's QueryExecution to completion (a write.save()
@@ -41,7 +42,10 @@ object Explain {
       smj = c("SortMergeJoin"),
       shuffles = c("Exchange"),
       scans = c("FileScan"),
-      nestedLoops = c("BroadcastNestedLoopJoin") + c("CartesianProduct"))
+      nestedLoops = c("BroadcastNestedLoopJoin") + c("CartesianProduct"),
+      // The global-sort smell: a corpus-sized plan must never funnel
+      // through one partition (a days-sized window may — ceiling per query).
+      singleParts = c("Exchange SinglePartition"))
   }
 
   def main(args: Array[String]): Unit = {

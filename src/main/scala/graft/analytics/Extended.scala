@@ -296,10 +296,15 @@ object Extended {
     * and `>` on identical doubles can't diverge).
     */
   def priceHistogram(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    require(buckets >= 2, s"a histogram needs >= 2 buckets, got $buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    val bs = Tables.lineitem(spark, dir)
-      .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString("D,")}D))"))
-      .head().getSeq[Double](0)
+    // percentile over an EMPTY table is null — everything lands in
+    // bucket 1 of an aggregation with no input rows, i.e. an empty
+    // histogram, which is the right answer rather than an NPE.
+    val bs = Option(
+      Tables.lineitem(spark, dir)
+        .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString("D,")}D))"))
+        .head().getSeq[Double](0)).getOrElse(Seq.empty)
     val bucket = bs.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col("l_extendedprice") > b, 1).otherwise(0)
     }

@@ -214,10 +214,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q64/q65 histogram and cube stay scan+aggregate (no global sort)") {
     // q64: rows bucket against collected quantile literals — a global
-    // ntile sort (single-partition Exchange) is the regression.
+    // ntile sort (single-partition Exchange over the corpus) is the
+    // regression, and singleParts is the counter that would catch it.
     val s64 = stats("q64_price_histogram")
     assert(s64.scans <= 2 && s64.shuffles <= 4 && s64.smj == 0 && s64.nestedLoops == 0,
       s"q64 must stay scan+agg: $s64")
+    assert(s64.singleParts == 0, s"q64 must never single-partition the corpus: $s64")
     val s65 = stats("q65_cube_revenue")
     assert(s65.scans <= 2 && s65.shuffles <= 4 && s65.nestedLoops == 0,
       s"q65 must stay a single expand+agg pass: $s65")

@@ -30,13 +30,17 @@ class RangeJoinRewriteSpec extends SparkSpec {
   private def naive: DataFrame =
     points.join(intervals, col("pt") >= col("lo") && col("pt") < col("hi"))
 
-  test("the naive non-equi join is rewritten to a nested-loop-free plan") {
+  test("the naive non-equi join gains a binned equi branch carrying the data") {
     val baseline = Explain.audit(naive)
-    assert(baseline.nestedLoops > 0, s"without the rule this must be a BNLJ: $baseline")
+    assert(baseline.nestedLoops > 0 && baseline.smj + baseline.broadcast == 0,
+      s"without the rule this must be BNLJ-only: $baseline")
     val expected = naive.select("iv_id", "pt").as[(Long, Long)].collect().toSet
     withRule(width = 10) {
       val s = Explain.audit(naive)
-      assert(s.nestedLoops == 0, s"rule must remove the nested loop: $s")
+      // The plan splits: narrow intervals take the new equi join; the
+      // wide-interval fallback keeps a BNLJ operator that is EMPTY at
+      // runtime here (every fixture interval spans < maxBins bins).
+      assert(s.smj + s.broadcast >= 1, s"rule must add the binned equi join: $s")
       val got = naive.select("iv_id", "pt").as[(Long, Long)].collect().toSeq
       assert(got.toSet == expected, "rewrite must not change results")
       assert(got.size == expected.size, "each pair must match in exactly one bin")
@@ -51,7 +55,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
       val flipped = intervals.join(points,
         col("pt") >= col("lo") && col("pt") < col("hi") && col("iv_id") =!= 5L)
       val s = Explain.audit(flipped)
-      assert(s.nestedLoops == 0, s"flipped orientation must also rewrite: $s")
+      assert(s.smj + s.broadcast >= 1, s"flipped orientation must also rewrite: $s")
       assert(flipped.select("iv_id", "pt").as[(Long, Long)].collect().toSet == expected)
     }
   }
@@ -70,6 +74,40 @@ class RangeJoinRewriteSpec extends SparkSpec {
     spark.experimental.extraOptimizations = prev :+ new RangeJoinRewrite
     try assert(!naive.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
     finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("open-ended sentinel intervals take the wide fallback, not a 2^52-bin explode") {
+    // hi = Long.MaxValue (the SCD 'current row' sentinel). Without the
+    // maxBins split this would build a quadrillion-element sequence and
+    // crash a query that worked (slowly) before the rule was enabled.
+    val iv = Seq((1L, 0L, Long.MaxValue), (2L, 47L, 113L)).toDF("iv_id", "lo", "hi")
+    val q = points.join(iv, col("pt") >= col("lo") && col("pt") < col("hi"))
+    val expected = q.select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    withRule(width = 10) {
+      val got = q.select("iv_id", "pt").as[(Long, Long)].collect().toSeq
+      assert(got.toSet == expected && got.size == expected.size)
+      // The narrow interval still takes the binned path: the plan keeps
+      // a hash/sort-merge join branch alongside the wide fallback.
+      val s = Explain.audit(q)
+      assert(s.nestedLoops <= 2, s"only the sentinel branch may nested-loop: $s")
+      assert(s.smj + s.broadcast >= 1, s"narrow branch must stay equi-joined: $s")
+    }
+  }
+
+  test("an unrelated cross-side threshold predicate does not shadow the range pattern") {
+    // points also carry a weight compared against the interval's floor —
+    // a second cross-side >= conjunct that precedes the range pattern.
+    val p = points.withColumn("weight", col("pt") % 7)
+    val iv = intervals.withColumn("min_w", lit(0L))
+    val q = p.join(iv,
+      col("weight") >= col("min_w") &&
+        col("pt") >= col("lo") && col("pt") < col("hi"))
+    val expected = q.select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    withRule(width = 10) {
+      val s = Explain.audit(q)
+      assert(s.smj + s.broadcast >= 1, s"the (pt, lo, hi) pattern must still be found: $s")
+      assert(q.select("iv_id", "pt").as[(Long, Long)].collect().toSet == expected)
+    }
   }
 
   test("rewritten plan equals RangeJoin.pointInInterval's hand-built shape") {
