@@ -1,17 +1,18 @@
 package graft.multimodal
 
-/** Pure-JVM codecs for the UNCOMPRESSED media formats — no external
-  * libraries, just byte-layout parsing, so the decode path is real (not a
-  * stub) for every format whose spec is a fixed header + raw samples:
+/** Pure-JVM codecs — no external libraries, so the decode path is real
+  * (not a stub) for every format this JVM can honestly parse:
   *
   *  - BMP, 24-bit uncompressed (BITMAPFILEHEADER + BITMAPINFOHEADER,
   *    bottom-up BGR rows padded to 4 bytes) — the Windows bitmap layout.
   *  - WAV, PCM 16-bit (RIFF/WAVE container, `fmt ` + `data` chunks,
   *    little-endian int16 samples).
+  *  - PNG, non-interlaced 8-bit RGB/RGBA — a genuinely COMPRESSED
+  *    format: its codec is zlib, which ships in the JDK
+  *    (`java.util.zip`), plus the five scanline filters decoded here.
   *
-  * Compressed codecs (png/jpeg/mp3/mp4/…) remain behind the documented
-  * stub boundary in [[Multimodal.decode]] — parsing those requires codec
-  * libraries this container doesn't ship.
+  * Codecs that truly need external libraries (jpeg/mp3/mp4/…) remain
+  * behind the documented stub boundary in [[Multimodal.decode]].
   *
   * Encoders exist so specs can round-trip known pixels/samples through
   * the real decoder and assert exact features — and so fixtures are
@@ -178,5 +179,189 @@ object MediaCodecs {
       }
     }
     Some((channels, sampleRate, feats))
+  }
+
+  // ----------------------------------------------------------------- PNG
+  // A real COMPRESSED codec with zero external dependencies: PNG's
+  // compression is zlib, and `java.util.zip.{Inflater, Deflater, CRC32}`
+  // ship in the JDK — so non-interlaced 8-bit RGB/RGBA PNG decodes for
+  // real, moving the stub boundary down to formats whose codecs
+  // genuinely don't exist on this JVM (JPEG/MP3/MP4).
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Max decoded raster this decoder will materialize (64 MiB) — a
+    * crafted 1×2³⁰ header must yield None, not an executor OOM (the
+    * zip-bomb guard; same philosophy as the BMP Long-math bound).
+    */
+  private val MaxRasterBytes = 64L << 20
+
+  /** Non-interlaced 8-bit truecolor PNG (color type 2 = RGB, 6 = RGBA)
+    * → (width, height, the same 8 pixel-statistics features as
+    * [[decodeBmp24]]). Alpha is ignored. Any malformation — bad
+    * signature, wrong IHDR shape, truncated/corrupt zlib stream, wrong
+    * raster size, unknown filter type — yields None.
+    */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes.length < PngSig.length + 25 + 12) return None
+    var i = 0
+    while (i < PngSig.length) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    var pos = PngSig.length
+    var width, height, bitDepth, colorType, interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= bytes.length) {
+      val clen = be32(bytes, pos)
+      if (clen < 0 || pos + 12L + clen > bytes.length) return None
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      ctype match {
+        case "IHDR" =>
+          if (clen != 13) return None
+          width = be32(bytes, pos + 8)
+          height = be32(bytes, pos + 12)
+          bitDepth = bytes(pos + 16) & 0xFF
+          colorType = bytes(pos + 17) & 0xFF
+          interlace = bytes(pos + 20) & 0xFF
+        case "IDAT" => idat.write(bytes, pos + 8, clen)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + clen
+    }
+    if (!sawEnd || width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0)
+      return None
+    val bpp = colorType match {
+      case 2 => 3
+      case 6 => 4
+      case _ => return None
+    }
+    val stride = width.toLong * bpp
+    val rawLen = (stride + 1) * height
+    if (rawLen > MaxRasterBytes) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+
+    // Unfilter in place into a packed raster (top-down rows).
+    val st = stride.toInt
+    val raster = new Array[Byte](st * height)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (st + 1)) & 0xFF
+      val base = y * (st + 1) + 1
+      var k = 0
+      while (k < st) {
+        val x = raw(base + k) & 0xFF
+        val a = if (k >= bpp) raster(y * st + k - bpp) & 0xFF else 0
+        val b = if (y > 0) raster((y - 1) * st + k) & 0xFF else 0
+        val c = if (y > 0 && k >= bpp) raster((y - 1) * st + k - bpp) & 0xFF else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+          case _ => return None
+        }
+        raster(y * st + k) = (v & 0xFF).toByte
+        k += 1
+      }
+      y += 1
+    }
+
+    // Same feature semantics as decodeBmp24 (mean luma + RGB means +
+    // quadrant lumas), over top-down RGB(A) rows.
+    var sumR, sumG, sumB = 0.0
+    val quad = new Array[Double](4)
+    val quadN = new Array[Long](4)
+    var imgY = 0
+    while (imgY < height) {
+      var px = 0
+      while (px < width) {
+        val o = imgY * st + px * bpp
+        val r = raster(o) & 0xFF
+        val g = raster(o + 1) & 0xFF
+        val b = raster(o + 2) & 0xFF
+        sumR += r; sumG += g; sumB += b
+        val q = (if (imgY >= height / 2) 2 else 0) + (if (px >= width / 2) 1 else 0)
+        quad(q) += (r + g + b) / 3.0
+        quadN(q) += 1
+        px += 1
+      }
+      imgY += 1
+    }
+    val n = width.toLong * height
+    val feats = Array(
+      ((sumR + sumG + sumB) / (3.0 * n) / 255.0).toFloat,
+      (sumR / n / 255.0).toFloat, (sumG / n / 255.0).toFloat, (sumB / n / 255.0).toFloat,
+      (if (quadN(0) > 0) quad(0) / quadN(0) / 255.0 else 0.0).toFloat,
+      (if (quadN(1) > 0) quad(1) / quadN(1) / 255.0 else 0.0).toFloat,
+      (if (quadN(2) > 0) quad(2) / quadN(2) / 255.0 else 0.0).toFloat,
+      (if (quadN(3) > 0) quad(3) / quadN(3) / 255.0 else 0.0).toFloat)
+    Some((width, height, feats))
+  }
+
+  /** Minimal RGB8 PNG encoder (filter 0 rows, one zlib stream) — spec
+    * fixtures round-trip through the real decoder, self-contained.
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "need width*height RGB triples")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def putBe32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write((v >> 24) & 0xFF); b.write((v >> 16) & 0xFF)
+      b.write((v >> 8) & 0xFF); b.write(v & 0xFF)
+    }
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      putBe32(out, data.length)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      putBe32(out, crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    putBe32(ihdr, width); putBe32(ihdr, height)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val rawRows = new Array[Byte]((width * 3 + 1) * height)
+    var y = 0
+    while (y < height) {
+      rawRows(y * (width * 3 + 1)) = 0 // filter: None
+      System.arraycopy(rgb, y * width * 3, rawRows, y * (width * 3 + 1) + 1, width * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(rawRows); deflater.finish()
+    val zbuf = new Array[Byte](rawRows.length + 1024)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(zbuf)
+      zOut.write(zbuf, 0, n)
+    }
+    deflater.end()
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
   }
 }

@@ -61,9 +61,11 @@ object Multimodal {
           md5(col("media")).as("content_md5"),
           col("declared_format")).as("meta")) ++ keep.map(col): _*)
 
-  /** The decode pipeline: REAL decoders for uncompressed formats
-    * ([[MediaCodecs]] — BMP pixel statistics, WAV RMS contours), stub
-    * fallback for everything else. Partition-parallel batch shape (the
+  /** The decode pipeline: REAL decoders for every format this JVM can
+    * honestly parse ([[MediaCodecs]] — BMP and zlib-compressed PNG pixel
+    * statistics, WAV RMS contours), stub fallback for the rest
+    * (JPEG/MP3/MP4 need codec libraries the container doesn't ship).
+    * Partition-parallel batch shape (the
     * Scala analogue of a pandas-batch UDF): one iterator pass per
     * partition, no driver involvement, no shuffle; blobs are decoded
     * where they sit.
@@ -86,8 +88,9 @@ object Multimodal {
         val real =
           try m.declared_format match {
             case "bmp" => MediaCodecs.decodeBmp24(m.media)
+            case "png" => MediaCodecs.decodePng(m.media)
             case "wav" => MediaCodecs.decodeWavPcm16(m.media)
-            case _     => None // ??? — compressed-codec decoder goes here
+            case _     => None // ??? — jpeg/mp3/mp4 decoders would go here
           } catch { case _: RuntimeException => None }
         real match {
           case Some((w, h, feats)) =>
@@ -252,8 +255,69 @@ object Multimodal {
       |  round(CAST(CAST(sqrt(avg(v * v)) / 32768.0 AS FLOAT) AS DOUBLE), 6) AS rms0
       |FROM s GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** The REAL compressed-image decode path, driver-gated: synthesize an
+    * RGB raster per document from a pure integer formula, encode it as
+    * a genuine zlib-compressed PNG ([[MediaCodecs.encodePng]]), decode
+    * through [[MediaCodecs.decodePng]] — actual chunk walking, Inflater,
+    * scanline unfiltering — and report dimensions and channel means.
+    * The oracle rebuilds the pixels arithmetically (integer sums are
+    * exact in double in any order; the float32 rounding sequence is
+    * mirrored exactly, the q42 contract), so a hash match proves the
+    * whole compress→decompress→unfilter→aggregate path bit-for-bit.
+    */
+  def pngDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        var k = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = id * 3 + y.toLong * w + x
+            rgb(k) = ((base * 3) % 256).toByte
+            rgb(k + 1) = ((base * 5) % 256).toByte
+            rgb(k + 2) = ((base * 7) % 256).toByte
+            k += 3
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(id, "image", MediaCodecs.encodePng(w, h, rgb), "png")
+      })
+    decode(blobs).toDF()
+      .select(
+        col("media_id"), col("width"), col("height"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("mean_luma"),
+        round(element_at(col("features"), 2).cast("double"), 6).as("mean_r"))
+  }
+
+  private val pngDecodeStatsSql =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w, CAST(8 + doc_id % 7 AS INT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    ((doc_id * 3 + yy * w + xx) * 3) % 256 AS r,
+      |    ((doc_id * 3 + yy * w + xx) * 5) % 256 AS g,
+      |    ((doc_id * 3 + yy * w + xx) * 7) % 256 AS b
+      |  FROM dims,
+      |    LATERAL (SELECT unnest(range(0, h)) AS yy) ys,
+      |    LATERAL (SELECT unnest(range(0, w)) AS xx) xs
+      |)
+      |SELECT doc_id AS media_id, max(w) AS width, max(h) AS height,
+      |  round(CAST(CAST((sum(r) + sum(g) + sum(b)) / (3.0 * count(*)) / 255.0 AS FLOAT)
+      |        AS DOUBLE), 6) AS mean_luma,
+      |  round(CAST(CAST(sum(r)::DOUBLE / count(*) / 255.0 AS FLOAT) AS DOUBLE), 6) AS mean_r
+      |FROM px GROUP BY doc_id""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)),
     NamedQuery("q41_frame_sample_stats", frameSampleStats _, Some(frameSampleStatsSql)),
-    NamedQuery("q42_wav_decode_stats", wavDecodeStats _, Some(wavDecodeStatsSql)))
+    NamedQuery("q42_wav_decode_stats", wavDecodeStats _, Some(wavDecodeStatsSql)),
+    NamedQuery("q66_png_decode_stats", pngDecodeStats _, Some(pngDecodeStatsSql)))
 }

@@ -46,13 +46,126 @@ class MediaCodecsPropSpec extends AnyFunSuite {
 
   test("decoders are total on arbitrary bytes: None or Some, never a throw") {
     val rnd = new Random(44)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
     (1 to 500).foreach { _ =>
       val junk = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte)
       MediaCodecs.decodeBmp24(junk)
       MediaCodecs.decodeWavPcm16(junk)
+      MediaCodecs.decodePng(junk)
       // Valid magic bytes with garbage headers — the adversarial corner.
       MediaCodecs.decodeBmp24("BM".getBytes("US-ASCII") ++ junk)
       MediaCodecs.decodeWavPcm16("RIFF0000WAVE".getBytes("US-ASCII") ++ junk)
+      MediaCodecs.decodePng(pngSig ++ junk)
     }
+  }
+
+  test("PNG round-trip decodes to EXACTLY the BMP features of the same pixels") {
+    // The two image decoders share feature semantics; encoding one pixel
+    // buffer both ways and decoding must agree bit-for-bit — the
+    // cross-codec consistency a downstream feature pipeline relies on.
+    val rnd = new Random(45)
+    (1 to 100).foreach { _ =>
+      val w = 1 + rnd.nextInt(17)
+      val h = 1 + rnd.nextInt(17)
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt().toByte)
+      val png = MediaCodecs.decodePng(MediaCodecs.encodePng(w, h, rgb)).get
+      val bmp = MediaCodecs.decodeBmp24(MediaCodecs.encodeBmp24(w, h, rgb)).get
+      assert(png._1 == w && png._2 == h)
+      assert(png._3.toSeq == bmp._3.toSeq, s"${w}x$h PNG/BMP feature divergence")
+    }
+  }
+
+  test("PNG scanline filters 1-4 reconstruct identically to filter 0") {
+    // Hand-roll an encoder that can emit any filter type, per the PNG
+    // spec's forward direction; the decoder must invert all of them to
+    // the same raster (asserted via the feature vector).
+    def putBe32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write((v >> 24) & 0xFF); b.write((v >> 16) & 0xFF)
+      b.write((v >> 8) & 0xFF); b.write(v & 0xFF)
+    }
+    def chunk(out: java.io.ByteArrayOutputStream, ctype: String, data: Array[Byte]): Unit = {
+      putBe32(out, data.length)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      putBe32(out, crc.getValue.toInt)
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    def encodeWithFilter(w: Int, h: Int, rgb: Array[Byte], filter: Int): Array[Byte] = {
+      val st = w * 3
+      val raw = new Array[Byte]((st + 1) * h)
+      var y = 0
+      while (y < h) {
+        raw(y * (st + 1)) = filter.toByte
+        var k = 0
+        while (k < st) {
+          val x = rgb(y * st + k) & 0xFF
+          val a = if (k >= 3) rgb(y * st + k - 3) & 0xFF else 0
+          val b = if (y > 0) rgb((y - 1) * st + k) & 0xFF else 0
+          val c = if (y > 0 && k >= 3) rgb((y - 1) * st + k - 3) & 0xFF else 0
+          val v = filter match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - (a + b) / 2
+            case 4 => x - paeth(a, b, c)
+          }
+          raw(y * (st + 1) + 1 + k) = (v & 0xFF).toByte
+          k += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      putBe32(ihdr, w); putBe32(ihdr, h)
+      ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      chunk(out, "IHDR", ihdr.toByteArray)
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zbuf = new Array[Byte](raw.length + 1024)
+      val zOut = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) zOut.write(zbuf, 0, deflater.deflate(zbuf))
+      deflater.end()
+      chunk(out, "IDAT", zOut.toByteArray)
+      chunk(out, "IEND", Array.empty[Byte])
+      out.toByteArray
+    }
+    val rnd = new Random(46)
+    (1 to 40).foreach { _ =>
+      val w = 2 + rnd.nextInt(12)
+      val h = 2 + rnd.nextInt(12)
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt().toByte)
+      val ref = MediaCodecs.decodePng(encodeWithFilter(w, h, rgb, 0)).get
+      (1 to 4).foreach { f =>
+        val got = MediaCodecs.decodePng(encodeWithFilter(w, h, rgb, f)).get
+        assert(got._3.toSeq == ref._3.toSeq, s"filter $f diverged at ${w}x$h")
+      }
+    }
+  }
+
+  test("PNG zip-bomb headers and truncated streams yield None, never OOM/throw") {
+    // 2^15 × 2^15 RGB header claims a 3 GiB raster: must refuse.
+    val bomb = {
+      val real = MediaCodecs.encodePng(2, 2, new Array[Byte](12))
+      // Surgically rewrite IHDR's width/height (offsets 16 and 20).
+      val b = real.clone()
+      def setBe32(off: Int, v: Int): Unit = {
+        b(off) = ((v >> 24) & 0xFF).toByte; b(off + 1) = ((v >> 16) & 0xFF).toByte
+        b(off + 2) = ((v >> 8) & 0xFF).toByte; b(off + 3) = (v & 0xFF).toByte
+      }
+      setBe32(16, 1 << 15); setBe32(20, 1 << 15)
+      b
+    }
+    assert(MediaCodecs.decodePng(bomb).isEmpty)
+    // Truncated zlib stream: drop the last 8 bytes of a valid file.
+    val ok = MediaCodecs.encodePng(4, 4, new Array[Byte](48))
+    assert(MediaCodecs.decodePng(ok.dropRight(20)).isEmpty)
+    assert(MediaCodecs.decodePng(ok).isDefined)
   }
 }
