@@ -187,6 +187,13 @@ object Main {
       println(s"Wrote staff report to $out")
       spark.stop()
 
+    case "compact" :: table :: rest =>
+      val spark = session()
+      val targetMb = rest.headOption.map(_.toLong).getOrElse(128L)
+      val report = graft.warehouse.Compactor.compact(spark, table, targetMb << 20)
+      println(s"[compact] ${report.summary}")
+      spark.stop()
+
     case "show" :: wh :: collection :: rest =>
       val spark = session()
       val runner = new SyncRunner(spark, Settings(wh))
@@ -206,6 +213,7 @@ object Main {
            |  ann-index <embParquet> <outDir> [k]
            |  ann-search <outDir> <queriesParquet> [k] [nprobe]
            |  report <warehouseDir> <outFile.json>
+           |  compact <tableDir> [targetMB]
            |  logs <warehouseDir> [limit]
            |  health <warehouseDir>
            |  show <warehouseDir> <collection> [n]""".stripMargin)
