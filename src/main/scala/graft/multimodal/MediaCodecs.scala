@@ -239,9 +239,12 @@ object MediaCodecs {
       case 6 => 4
       case _ => return None
     }
+    // Division, not multiplication: (stride+1)*height on crafted 2³¹-ish
+    // dimensions wraps Long and would sail past the bomb guard into a
+    // NegativeArraySizeException. stride+1 ≤ 2³³ can't overflow.
     val stride = width.toLong * bpp
+    if (height.toLong > MaxRasterBytes / (stride + 1)) return None
     val rawLen = (stride + 1) * height
-    if (rawLen > MaxRasterBytes) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -253,6 +256,16 @@ object MediaCodecs {
         off += n
       }
       if (off != raw.length) return None
+      // The stream must END here: an IDAT that inflates past the raster
+      // is a wrong-size stream and must be rejected, not truncated.
+      val scratch = new Array[Byte](1)
+      var guard = 0
+      while (!inf.finished() && guard < 4) {
+        if (inf.inflate(scratch, 0, 1) > 0) return None
+        if (inf.needsInput() || inf.needsDictionary()) return None
+        guard += 1
+      }
+      if (!inf.finished()) return None
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()

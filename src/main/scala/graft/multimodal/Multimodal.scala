@@ -12,14 +12,14 @@ import graft.core.Tables
   *
   * The Spark-side plumbing — schema, partition-parallel batch processing,
   * frame explosion, feature aggregation — is real and tested. The codec
-  * step is REAL for the uncompressed formats whose layout is a fixed
-  * header + raw samples ([[MediaCodecs]]: 24bpp BMP pixels, PCM-16 WAV
-  * samples — pure byte parsing, no libraries) and STUBBED with a
-  * deterministic fake for compressed codecs (png/jpeg/mp4/… need codec
-  * libraries this container doesn't ship): [[decode]] dispatches per row
-  * and falls back to `decodeStub`. Swapping in a real compressed-codec
-  * decoder means adding ONE case to that dispatch; every plan shape stays
-  * identical.
+  * step is REAL for every format this JVM can honestly parse
+  * ([[MediaCodecs]]: 24bpp BMP pixels, PCM-16 WAV samples, and
+  * zlib-compressed PNG via the JDK's own `java.util.zip` — no external
+  * libraries) and STUBBED with a deterministic fake for the codecs that
+  * genuinely need libraries this container doesn't ship (jpeg/mp3/mp4):
+  * [[decode]] dispatches per row and falls back to `decodeStub`.
+  * Swapping in a further real decoder means adding ONE case to that
+  * dispatch; every plan shape stays identical.
   *
   * Scale notes: media rows are large — the media table should be written
   * with a small `spark.sql.files.maxPartitionBytes` so a partition of

@@ -18,10 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the batch dimension table has).
   *
   * Ordering: changes are sorted by `ord` within each micro-batch; a
-  * change at or before the current version's `valid_from` is LATE
+  * change strictly BEFORE the current version's `valid_from` is LATE
   * (delivery reordered across batches) and is dropped rather than
-  * allowed to mint a negative-duration version — the streaming analogue
-  * of [[graft.warehouse.Scd2.merge]]'s strict guard. Feed batches in
+  * allowed to mint a negative-duration version — the same boundary as
+  * [[graft.warehouse.Scd2.merge]]'s strict guard (`ord < valid_from`). Feed batches in
   * `ord` order (or bound disorder with a watermark upstream) for a
   * lossless fold; [[graft.warehouse.Scd2.buildHistory]] re-derives
   * affected keys when late data must be honored.
@@ -41,7 +41,11 @@ object Scd2Stream {
     sorted.foreach { c =>
       cur match {
         case Some(s) if s.attr == c.attr => () // same-value run collapses
-        case Some(s) if c.ord > s.valid_from =>
+        // `>=`, matching Scd2.merge's strict guard exactly (only
+        // `ord < valid_from` is late): a change at the current version's
+        // own ord closes it as a zero-duration version, as the batch
+        // merge does.
+        case Some(s) if c.ord >= s.valid_from =>
           closed += Version(key, s.attr, s.valid_from, Some(c.ord), 0)
           cur = Some(CurrentVersion(c.attr, c.ord))
         case Some(_) => () // late arrival — dropped (see scaladoc)

@@ -13,32 +13,68 @@ import graft.core.ParquetMeta
   *
   * [[compact]] walks the table's LEAF directories (so Hive-style
   * partition/bucket layout — and therefore partition pruning — is
-  * preserved exactly), bin-packs each leaf's data files toward
-  * `targetBytes` outputs, and swaps the rewritten files in with the same
-  * backup-rename discipline as [[MergeWriter]]'s bucket swap. Before any
-  * swap the new files' footer row count must equal the old — a compaction
-  * that would lose rows aborts that leaf instead of installing it.
+  * preserved exactly) and bin-packs each leaf's data files toward
+  * `targetBytes` outputs. Before installing, the rewritten files' footer
+  * row count must equal the old — a compaction that would lose rows
+  * aborts that leaf instead of installing it.
   *
-  * Planning is metadata-only (file sizes from the listing, row counts
-  * from parquet footers); only leaves that actually need work (≥
-  * `minFiles` files AND more files than the byte-target requires) pay a
-  * read+write, and each leaf is rewritten independently so a crash
-  * mid-compaction leaves every leaf either old or new, never mixed.
+  * Crash safety is a per-leaf two-phase FILE swap entirely inside the
+  * leaf (no writes outside the table, works when the table root is
+  * itself the leaf):
+  *
+  *  1. rewrite into `<leaf>/.compact_tmp` (hidden — readers ignore it)
+  *  2. move the old data files into `<leaf>/.compact_bak`
+  *  3. create the `<leaf>/.compact_commit` marker — the decision point
+  *  4. move the tmp files up into the leaf; remove marker, bak, tmp
+  *
+  * [[recover]] (run automatically per leaf) rolls BACK any leaf that
+  * crashed before step 3 (restore bak, drop tmp) and rolls FORWARD any
+  * leaf that crashed after it (finish step 4) — every leaf lands fully
+  * old or fully new, never mixed, under the marker's direction.
+  *
+  * Concurrency: takes the table's [[graft.core.PathLocks]] JVM lock and,
+  * with `lease = true`, the cross-driver [[LeaseLock]] — the same
+  * serialization contract as [[MergeWriter]]; compacting a table while
+  * another UNSERIALIZED writer commits into it would sweep that writer's
+  * files into the backup.
   */
 object Compactor {
 
+  private val TmpName = ".compact_tmp"
+  private val BakName = ".compact_bak"
+  private val CommitName = ".compact_commit"
+
   final case class CompactReport(leavesSeen: Int, leavesCompacted: Int,
-                                 filesBefore: Long, filesAfter: Long, rows: Long) {
+                                 filesBefore: Long, filesAfter: Long,
+                                 rowsCompacted: Long) {
     def summary: String =
       s"$leavesCompacted/$leavesSeen leaves compacted, " +
-        s"$filesBefore -> $filesAfter files, $rows rows"
+        s"$filesBefore -> $filesAfter files, $rowsCompacted rows rewritten"
   }
 
   /** Compact every leaf directory under `tablePath`. Returns what was
-    * seen/done; a table already in good shape is a metadata-only no-op.
+    * seen/done; a table already in good shape pays only the file listing
+    * (row counts are read only for leaves actually rewritten).
     */
   def compact(spark: SparkSession, tablePath: String,
-              targetBytes: Long = 128L << 20, minFiles: Int = 4): CompactReport = {
+              targetBytes: Long = 128L << 20, minFiles: Int = 4,
+              lease: Boolean = false): CompactReport =
+    graft.core.PathLocks.forPath(tablePath).synchronized {
+      withLease(spark, tablePath, lease) {
+        compactImpl(spark, tablePath, targetBytes, minFiles)
+      }
+    }
+
+  private def withLease[T](spark: SparkSession, tablePath: String, lease: Boolean)(body: => T): T =
+    if (!lease) body
+    else LeaseLock.acquire(spark, tablePath, waitMs = 60000L) match {
+      case Some(l) => try body finally LeaseLock.release(spark, l)
+      case None => sys.error(s"could not acquire lease for $tablePath " +
+        "(another driver holds it; raise waitMs or investigate a stale holder)")
+    }
+
+  private def compactImpl(spark: SparkSession, tablePath: String,
+                          targetBytes: Long, minFiles: Int): CompactReport = {
     require(targetBytes > 0 && minFiles >= 2,
       s"need targetBytes > 0 and minFiles >= 2, got $targetBytes/$minFiles")
     val root = new Path(tablePath)
@@ -49,43 +85,79 @@ object Compactor {
     var after = 0L
     var rows = 0L
     leaves.foreach { leaf =>
+      recover(hfs, leaf)
       val files = dataFiles(hfs, leaf)
       before += files.size
       val totalBytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       if (files.size >= minFiles && nOut < files.size) {
         val oldRows = ParquetMeta.rowCount(spark, leaf.toString)
-        val tmp = new Path(leaf.getParent, s".compact_${leaf.getName}")
+        val tmp = new Path(leaf, TmpName)
         if (hfs.exists(tmp)) hfs.delete(tmp, true)
+        // repartition, not coalesce: the small-file read often packs the
+        // whole leaf into fewer input partitions than nOut, and coalesce
+        // can only shrink — the byte target would silently overshoot.
         spark.read.parquet(leaf.toString)
-          .coalesce(nOut)
+          .repartition(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
         val newRows = ParquetMeta.rowCount(spark, tmp.toString)
         if (newRows != oldRows) {
           // Never install a lossy rewrite; leave the leaf untouched.
           hfs.delete(tmp, true)
           after += files.size
-          rows += oldRows
         } else {
-          val bak = new Path(leaf.getParent, s".bak_${leaf.getName}")
+          val bak = new Path(leaf, BakName)
           if (hfs.exists(bak)) hfs.delete(bak, true)
-          if (!hfs.rename(leaf, bak)) sys.error(s"backup rename failed for $leaf")
-          if (!hfs.rename(tmp, leaf)) {
-            // Roll back: restore the original leaf.
-            hfs.rename(bak, leaf)
-            sys.error(s"install rename failed for $leaf")
+          hfs.mkdirs(bak)
+          files.foreach { f =>
+            if (!hfs.rename(f.getPath, new Path(bak, f.getPath.getName)))
+              sys.error(s"backup move failed for ${f.getPath}")
           }
-          hfs.delete(bak, true)
+          hfs.create(new Path(leaf, CommitName), true).close() // decision point
+          installTmp(hfs, leaf)
           compacted += 1
           after += dataFiles(hfs, leaf).size
           rows += newRows
         }
       } else {
         after += files.size
-        rows += ParquetMeta.rowCount(spark, leaf.toString)
       }
     }
     CompactReport(leaves.size, compacted, before, after, rows)
+  }
+
+  /** Finish step 4: move tmp files up, clear marker/bak/tmp. */
+  private def installTmp(hfs: FileSystem, leaf: Path): Unit = {
+    val tmp = new Path(leaf, TmpName)
+    if (hfs.exists(tmp)) {
+      dataFiles(hfs, tmp).foreach { f =>
+        val dst = new Path(leaf, f.getPath.getName)
+        if (hfs.exists(dst)) hfs.delete(dst, false) // idempotent re-run
+        if (!hfs.rename(f.getPath, dst)) sys.error(s"install move failed for ${f.getPath}")
+      }
+      hfs.delete(tmp, true)
+    }
+    hfs.delete(new Path(leaf, BakName), true)
+    hfs.delete(new Path(leaf, CommitName), false)
+  }
+
+  /** Heal a leaf a previous run crashed in: marker present → roll
+    * forward (the rewrite was complete and verified); absent → roll
+    * back (restore the original files, drop any partial rewrite).
+    */
+  private[warehouse] def recover(hfs: FileSystem, leaf: Path): Unit = {
+    val bak = new Path(leaf, BakName)
+    val marker = new Path(leaf, CommitName)
+    if (hfs.exists(marker)) installTmp(hfs, leaf)
+    else if (hfs.exists(bak)) {
+      dataFiles(hfs, bak).foreach { f =>
+        val dst = new Path(leaf, f.getPath.getName)
+        if (!hfs.exists(dst) && !hfs.rename(f.getPath, dst))
+          sys.error(s"rollback move failed for ${f.getPath}")
+      }
+      hfs.delete(bak, true)
+      hfs.delete(new Path(leaf, TmpName), true)
+    } else hfs.delete(new Path(leaf, TmpName), true)
   }
 
   /** Directories that directly contain ≥1 visible data file. */
@@ -96,7 +168,9 @@ object Compactor {
       val entries = hfs.listStatus(dir).filter(s => visible(s.getPath))
       val subdirs = entries.filter(_.isDirectory).map(_.getPath)
       val hasData = entries.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      (if (hasData) Seq(dir) else Nil) ++ subdirs.flatMap(walk)
+      val self = if (hasData || hfs.exists(new Path(dir, BakName)) ||
+        hfs.exists(new Path(dir, CommitName))) Seq(dir) else Nil
+      self ++ subdirs.flatMap(walk)
     }
     if (hfs.exists(root)) walk(root) else Nil
   }

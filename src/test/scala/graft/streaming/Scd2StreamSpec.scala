@@ -32,8 +32,16 @@ class Scd2StreamSpec extends SparkSpec {
   test("streaming fold emits closed versions across micro-batches; late changes drop") {
     val dir = tmpDir("scd2-stream-src")
     val ckpt = tmpDir("scd2-stream-ckpt")
-    def writeBatch(name: String, lines: Seq[String]): Unit =
-      Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes)
+    val scratch = tmpDir("scd2-stream-scratch")
+    // The file source requires files to APPEAR atomically: write outside
+    // the watched dir, then move in — a direct create-then-write can be
+    // listed empty and recorded as processed.
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = Paths.get(scratch, name)
+      Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     writeBatch("b1.ndjson", Seq(
       """{"key": 1, "attr": "bronze", "ord": 10}""",

@@ -71,9 +71,15 @@ class SessionizeSpec extends SparkSpec {
   test("streaming sessionization closes sessions via event-time timeout") {
     val dir = tmpDir("sess-src")
     val ckpt = tmpDir("sess-ckpt")
-    def writeBatch(name: String, lines: Seq[String]): Unit =
-      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
-        lines.mkString("\n").getBytes("UTF-8"))
+    val scratch = tmpDir("sess-scratch")
+    // Atomic appearance in the watched dir (file-source contract): a
+    // direct create-then-write can be listed empty and marked processed.
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(scratch, name)
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     writeBatch("b1.ndjson", Seq(
       """{"event_id": 1, "user_id": 1, "ts": "2024-01-01T10:00:00.000Z", "event_type": "click", "value": 1.0}""",

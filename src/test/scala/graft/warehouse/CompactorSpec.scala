@@ -24,7 +24,7 @@ class CompactorSpec extends SparkSpec {
     val report = Compactor.compact(spark, dir, targetBytes = 512L << 20)
     assert(report.leavesCompacted == 1 && report.filesBefore == 24)
     assert(parquetFiles(dir).size == 1, "one sub-target leaf must pack to one file")
-    assert(report.rows == 10000 && ParquetMeta.rowCount(spark, dir) == 10000)
+    assert(report.rowsCompacted == 10000 && ParquetMeta.rowCount(spark, dir) == 10000)
     assert(spark.read.parquet(dir).as[Long].collect().sorted.sameElements(0L until 10000L))
   }
 
@@ -52,8 +52,49 @@ class CompactorSpec extends SparkSpec {
     spark.range(100).coalesce(2).write.mode("overwrite").parquet(dir)
     val names = parquetFiles(dir).map(_.getName).toSet
     val report = Compactor.compact(spark, dir, targetBytes = 512L << 20, minFiles = 4)
-    assert(report.leavesCompacted == 0 && report.rows == 100)
+    assert(report.leavesCompacted == 0 && report.rowsCompacted == 0,
+      "no-op runs must not even read footers for untouched leaves")
     assert(parquetFiles(dir).map(_.getName).toSet == names, "files must be untouched")
+  }
+
+  test("crash recovery: pre-commit rolls back, post-commit rolls forward") {
+    import org.apache.hadoop.fs.Path
+    val hfs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Pre-commit crash: originals moved to .compact_bak, tmp written, NO
+    // marker → recover must restore the originals and drop the rewrite.
+    val d1 = tmpDir("compact-crash-back")
+    spark.range(500).repartition(6).write.mode("overwrite").parquet(d1)
+    val leaf1 = new Path(d1)
+    val bak1 = new Path(leaf1, ".compact_bak")
+    hfs.mkdirs(bak1)
+    spark.read.parquet(d1).repartition(1)
+      .write.mode("overwrite").parquet(new Path(leaf1, ".compact_tmp").toString)
+    parquetFiles(d1).foreach { f =>
+      hfs.rename(new Path(f.getPath), new Path(bak1, f.getName))
+    }
+    assert(parquetFiles(d1).isEmpty, "simulated crash: leaf emptied")
+    Compactor.compact(spark, d1, targetBytes = 512L << 20)
+    assert(spark.read.parquet(d1).count() == 500, "rollback must restore the originals")
+    assert(!hfs.exists(bak1) && !hfs.exists(new Path(leaf1, ".compact_tmp")))
+
+    // Post-commit crash: same state PLUS the marker → recover must
+    // finish installing the rewrite.
+    val d2 = tmpDir("compact-crash-fwd")
+    spark.range(700).repartition(6).write.mode("overwrite").parquet(d2)
+    val leaf2 = new Path(d2)
+    val bak2 = new Path(leaf2, ".compact_bak")
+    hfs.mkdirs(bak2)
+    spark.read.parquet(d2).repartition(1)
+      .write.mode("overwrite").parquet(new Path(leaf2, ".compact_tmp").toString)
+    parquetFiles(d2).foreach { f =>
+      hfs.rename(new Path(f.getPath), new Path(bak2, f.getName))
+    }
+    hfs.create(new Path(leaf2, ".compact_commit"), true).close()
+    Compactor.compact(spark, d2, targetBytes = 512L << 20)
+    assert(spark.read.parquet(d2).count() == 700, "roll-forward must install the rewrite")
+    assert(parquetFiles(d2).size == 1, "installed leaf must be the compacted form")
+    assert(!hfs.exists(bak2) && !hfs.exists(new Path(leaf2, ".compact_commit")))
   }
 
   test("byte target caps output file count") {
