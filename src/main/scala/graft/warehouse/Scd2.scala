@@ -135,6 +135,64 @@ object Scd2 {
       |       AS INT) AS is_current
       |FROM starts""".stripMargin
 
+  /** Point-in-time (temporal) join — the consumption side of Type-2
+    * history and the reason it exists: each fact row joins the dimension
+    * version whose validity interval contained the fact's `ord`. The
+    * key equality makes this a plain hash/sort-merge equi-join with the
+    * interval test as a residual — no range explosion at any scale —
+    * and each fact matches AT MOST one version (intervals per key are
+    * disjoint by construction).
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      ord: String): DataFrame = {
+    val d = dim.withColumnRenamed(key, "__k")
+    facts.join(d,
+      facts(key) === d("__k") && facts(ord) >= d("valid_from") &&
+        (d("valid_to").isNull || facts(ord) < d("valid_to")))
+      .drop("__k")
+  }
+
+  // ---------------------------------------------------------------- q67
+  /** Events temporally joined to the q63 user-state history: every event
+    * resolves the state version active at its own timestamp, and the
+    * query reports events-per-version — the run length each Type-2
+    * interval actually covered. End-to-end SCD2 round trip (derive
+    * history → consume it) under one oracle.
+    */
+  def eventsPointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val history = userStateHistory(spark, dir)
+      .withColumnRenamed("event_type", "state")
+    val facts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+    pointInTimeJoin(facts, history, "user_id", "sec")
+      .groupBy("user_id", "state", "valid_from")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  private val eventsPointInTimeSql =
+    """WITH log AS (
+      |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec, event_id
+      |  FROM events
+      |), runs AS (
+      |  SELECT user_id, event_type, sec, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+      |  FROM log
+      |), starts AS (
+      |  SELECT user_id, event_type, sec AS valid_from, event_id
+      |  FROM runs WHERE prev IS NULL OR prev <> event_type
+      |), hist AS (
+      |  SELECT user_id, event_type AS state, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+      |  FROM starts
+      |)
+      |SELECT h.user_id, h.state, h.valid_from,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM log l JOIN hist h
+      |  ON l.user_id = h.user_id AND l.sec >= h.valid_from
+      |  AND (h.valid_to IS NULL OR l.sec < h.valid_to)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery("q63_scd2_history", userStateHistory _, Some(userStateHistorySql)))
+    NamedQuery("q63_scd2_history", userStateHistory _, Some(userStateHistorySql)),
+    NamedQuery("q67_point_in_time", eventsPointInTime _, Some(eventsPointInTimeSql)))
 }

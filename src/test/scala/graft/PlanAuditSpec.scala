@@ -215,6 +215,12 @@ class PlanAuditSpec extends SparkSpec {
       s"q63 must stay window-only: $s")
   }
 
+  test("q67 point-in-time join stays key-equi (interval test is residual only)") {
+    val s = stats("q67_point_in_time")
+    assert(s.nestedLoops == 0, s"q67 must never range-nested-loop: $s")
+    assert(s.smj + s.broadcast >= 1, s"q67 must hash/merge join on the key: $s")
+  }
+
   test("q64/q65 histogram and cube stay scan+aggregate (no global sort)") {
     // q64: rows bucket against collected quantile literals — a global
     // ntile sort (single-partition Exchange over the corpus) is the

@@ -110,6 +110,19 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("integer-typed columns rewrite too (bin math casts through double)") {
+    val p = (0 to 100 by 2).toDF("pt").select(col("pt").cast("int").as("pt"))
+    val iv = Seq((1, 0, 37), (2, 30, 71)).toDF("iv_id", "lo", "hi")
+      .select(col("iv_id"), col("lo").cast("int").as("lo"), col("hi").cast("int").as("hi"))
+    val q = p.join(iv, col("pt") >= col("lo") && col("pt") < col("hi"))
+    val expected = q.select("iv_id", "pt").as[(Int, Int)].collect().toSet
+    withRule(width = 8) {
+      val s = Explain.audit(q)
+      assert(s.smj + s.broadcast >= 1, s"int columns must also rewrite: $s")
+      assert(q.select("iv_id", "pt").as[(Int, Int)].collect().toSet == expected)
+    }
+  }
+
   test("rewritten plan equals RangeJoin.pointInInterval's hand-built shape") {
     val expected = graft.analytics.RangeJoin
       .pointInInterval(points, "pt", intervals, "lo", "hi", binWidth = 10)

@@ -71,6 +71,26 @@ class Scd2Spec extends SparkSpec {
     assert(collect(again) == oneShot)
   }
 
+  test("pointInTimeJoin resolves each fact to exactly its containing version") {
+    val dim = Scd2.buildHistory(
+      Seq((1L, "bronze", 10L), (1L, "silver", 30L), (2L, "gold", 5L))
+        .toDF("key", "attr", "ord"), "key", "attr", "ord")
+    val facts = Seq(
+      (1L, 10L), // exactly at valid_from → bronze
+      (1L, 29L), // last second of bronze
+      (1L, 30L), // boundary: valid_to is exclusive → silver
+      (1L, 99L), // open current version → silver
+      (1L, 5L),  // before the first version → no match
+      (3L, 50L)  // unknown key → no match
+    ).toDF("key", "sec")
+    val got = Scd2.pointInTimeJoin(facts, dim, "key", "sec")
+      .select("key", "sec", "attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got == Map(
+      (1L, 10L) -> "bronze", (1L, 29L) -> "bronze",
+      (1L, 30L) -> "silver", (1L, 99L) -> "silver"))
+  }
+
   test("strict merge rejects late-arriving updates instead of corrupting") {
     val dim = Scd2.buildHistory(
       Seq((1L, "gold", 50L)).toDF("key", "attr", "ord"), "key", "attr", "ord")
