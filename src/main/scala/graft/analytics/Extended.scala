@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -350,6 +350,34 @@ object Extended {
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** INTERSECT / EXCEPT over customer cohorts — the set-operator half of
+    * §2.G (q07 covers UNION): customers ordering in both the early and
+    * late eras, only early, only late. Spark plans both operators as
+    * distinct + semi/anti joins on the full row — the same hash-join
+    * shapes q24 audits — so nothing here is driver-side set math.
+    */
+  def eraCustomerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def era(pred: Column) = orders.filter(pred).select("o_custkey").distinct()
+    val early = era(year(col("o_orderdate")) <= 1997)
+    val late = era(year(col("o_orderdate")) >= 1998)
+    early.intersect(late).agg(count(lit(1)).as("n_both"))
+      .crossJoin(early.except(late).agg(count(lit(1)).as("n_early_only")))
+      .crossJoin(late.except(early).agg(count(lit(1)).as("n_late_only")))
+  }
+
+  private val eraCustomerSetOpsSql =
+    """WITH early AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) <= 1997
+      |), late AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 1998
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late)) AS n_both,
+      |  (SELECT count(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)) AS n_early_only,
+      |  (SELECT count(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_late_only""".stripMargin
+
   // ---------------------------------------------------------------- q59
   /** Daily event-type matrix via `pivot` — long-to-wide reshaping with an
     * EXPLICIT pivot value list. The explicit list matters twice over: the
@@ -391,5 +419,6 @@ object Extended {
     NamedQuery("q33_running_order_totals", runningOrderTotals _, Some(runningOrderTotalsSql)),
     NamedQuery("q59_daily_event_pivot", dailyEventPivot _, Some(dailyEventPivotSql)),
     NamedQuery("q64_price_histogram", (s, d) => priceHistogram(s, d), Some(priceHistogramSql)),
-    NamedQuery("q65_cube_revenue", cubeRevenue _, Some(cubeRevenueSql)))
+    NamedQuery("q65_cube_revenue", cubeRevenue _, Some(cubeRevenueSql)),
+    NamedQuery("q68_era_customer_setops", eraCustomerSetOps _, Some(eraCustomerSetOpsSql)))
 }

@@ -234,6 +234,15 @@ class PlanAuditSpec extends SparkSpec {
       s"q65 must stay a single expand+agg pass: $s65")
   }
 
+  test("q68 set ops stay hash semi/anti joins (1-row cross joins aside)") {
+    val s = stats("q68_era_customer_setops")
+    // INTERSECT/EXCEPT must plan as broadcast/hash semi+anti joins; the
+    // nestedLoops are the three single-ROW summary cross joins (q19
+    // pattern), and singleParts exchanges carry one row each.
+    assert(s.broadcast >= 3, s"q68 set ops must hash-join: $s")
+    assert(s.nestedLoops <= 4, s"q68 grew a real nested loop: $s")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join
