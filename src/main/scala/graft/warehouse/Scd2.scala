@@ -117,8 +117,13 @@ object Scd2 {
         col("is_current"))
   }
 
-  private val userStateHistorySql =
-    """WITH log AS (
+  /** Shared q63/q67 oracle CTE chain deriving the user-state run history
+    * from events — ONE copy so the two oracles can never drift apart
+    * (the plantedTwinCte discipline). Exposes `log(user_id, event_type,
+    * sec, event_id)` and `hist(user_id, state, valid_from, valid_to)`.
+    */
+  private val historyCtes =
+    """log AS (
       |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec, event_id
       |  FROM events
       |), runs AS (
@@ -128,12 +133,17 @@ object Scd2 {
       |), starts AS (
       |  SELECT user_id, event_type, sec AS valid_from, event_id
       |  FROM runs WHERE prev IS NULL OR prev <> event_type
-      |)
-      |SELECT user_id, event_type, valid_from,
-      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
-      |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
-      |       AS INT) AS is_current
-      |FROM starts""".stripMargin
+      |), hist AS (
+      |  SELECT user_id, event_type AS state, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+      |  FROM starts
+      |)""".stripMargin
+
+  private val userStateHistorySql =
+    s"""WITH $historyCtes
+       |SELECT user_id, state AS event_type, valid_from, valid_to,
+       |  CAST(valid_to IS NULL AS INT) AS is_current
+       |FROM hist""".stripMargin
 
   /** Point-in-time (temporal) join — the consumption side of Type-2
     * history and the reason it exists: each fact row joins the dimension
@@ -170,27 +180,13 @@ object Scd2 {
   }
 
   private val eventsPointInTimeSql =
-    """WITH log AS (
-      |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec, event_id
-      |  FROM events
-      |), runs AS (
-      |  SELECT user_id, event_type, sec, event_id,
-      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
-      |  FROM log
-      |), starts AS (
-      |  SELECT user_id, event_type, sec AS valid_from, event_id
-      |  FROM runs WHERE prev IS NULL OR prev <> event_type
-      |), hist AS (
-      |  SELECT user_id, event_type AS state, valid_from,
-      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
-      |  FROM starts
-      |)
-      |SELECT h.user_id, h.state, h.valid_from,
-      |  CAST(count(*) AS BIGINT) AS n_events
-      |FROM log l JOIN hist h
-      |  ON l.user_id = h.user_id AND l.sec >= h.valid_from
-      |  AND (h.valid_to IS NULL OR l.sec < h.valid_to)
-      |GROUP BY 1, 2, 3""".stripMargin
+    s"""WITH $historyCtes
+       |SELECT h.user_id, h.state, h.valid_from,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM log l JOIN hist h
+       |  ON l.user_id = h.user_id AND l.sec >= h.valid_from
+       |  AND (h.valid_to IS NULL OR l.sec < h.valid_to)
+       |GROUP BY 1, 2, 3""".stripMargin
 
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q63_scd2_history", userStateHistory _, Some(userStateHistorySql)),

@@ -237,8 +237,9 @@ class PlanAuditSpec extends SparkSpec {
   test("q68 set ops stay hash semi/anti joins (1-row cross joins aside)") {
     val s = stats("q68_era_customer_setops")
     // INTERSECT/EXCEPT must plan as broadcast/hash semi+anti joins; the
-    // nestedLoops are the three single-ROW summary cross joins (q19
-    // pattern), and singleParts exchanges carry one row each.
+    // nestedLoops are the TWO single-ROW summary cross joins combining
+    // the three aggregates (q19 pattern; AQE prints each twice → 4),
+    // and singleParts exchanges carry one row each.
     assert(s.broadcast >= 3, s"q68 set ops must hash-join: $s")
     assert(s.nestedLoops <= 4, s"q68 grew a real nested loop: $s")
   }

@@ -56,7 +56,9 @@ class RangeJoinRewriteSpec extends SparkSpec {
         col("pt") >= col("lo") && col("pt") < col("hi") && col("iv_id") =!= 5L)
       val s = Explain.audit(flipped)
       assert(s.smj + s.broadcast >= 1, s"flipped orientation must also rewrite: $s")
-      assert(flipped.select("iv_id", "pt").as[(Long, Long)].collect().toSet == expected)
+      val got = flipped.select("iv_id", "pt").as[(Long, Long)].collect()
+      assert(got.toSet == expected && got.length == expected.size,
+        "results must match with no multi-bin duplicates")
     }
   }
 
@@ -119,7 +121,9 @@ class RangeJoinRewriteSpec extends SparkSpec {
     withRule(width = 8) {
       val s = Explain.audit(q)
       assert(s.smj + s.broadcast >= 1, s"int columns must also rewrite: $s")
-      assert(q.select("iv_id", "pt").as[(Int, Int)].collect().toSet == expected)
+      val got = q.select("iv_id", "pt").as[(Int, Int)].collect()
+      assert(got.toSet == expected && got.length == expected.size,
+        "results must match with no multi-bin duplicates")
     }
   }
 

@@ -83,9 +83,11 @@ class Scd2Spec extends SparkSpec {
       (1L, 5L),  // before the first version → no match
       (3L, 50L)  // unknown key → no match
     ).toDF("key", "sec")
-    val got = Scd2.pointInTimeJoin(facts, dim, "key", "sec")
+    val rows = Scd2.pointInTimeJoin(facts, dim, "key", "sec")
       .select("key", "sec", "attr")
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      .collect()
+    assert(rows.length == 4, s"each fact must match at most ONE version, got ${rows.length}")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
     assert(got == Map(
       (1L, 10L) -> "bronze", (1L, 29L) -> "bronze",
       (1L, 30L) -> "silver", (1L, 99L) -> "silver"))
