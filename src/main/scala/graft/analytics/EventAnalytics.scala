@@ -49,8 +49,14 @@ object EventAnalytics {
       .withColumn("s2", sum(nDec * nDec).over(w))
       .withColumn("nd", count(lit(1)).over(w))
       .withColumn("mean", col("s1").cast("double") / col("nd"))
+      // Clamp at 0: fl(s2/nd) can land one ulp below fl(mean²) on
+      // near-constant counts, and sqrt(negative) is NaN here but an
+      // ERROR in DuckDB — clamping identically on both sides keeps the
+      // engines bit-aligned (z is then null via the 0-divide, which both
+      // engines also agree on).
       .withColumn("variance",
-        col("s2").cast("double") / col("nd") - col("mean") * col("mean"))
+        greatest(col("s2").cast("double") / col("nd") - col("mean") * col("mean"),
+          lit(0.0)))
       .withColumn("z", (col("n_events") - col("mean")) / sqrt(col("variance")))
       .select(col("day"), col("n_events"),
         round(col("z"), 4).as("z"),
@@ -69,7 +75,8 @@ object EventAnalytics {
       |), scored AS (
       |  SELECT day, n_events,
       |    (n_events - s1::DOUBLE / nd) /
-      |      sqrt(s2::DOUBLE / nd - (s1::DOUBLE / nd) * (s1::DOUBLE / nd)) AS z
+      |      sqrt(greatest(s2::DOUBLE / nd - (s1::DOUBLE / nd) * (s1::DOUBLE / nd), 0))
+      |      AS z
       |  FROM daily CROSS JOIN stats
       |)
       |SELECT day, CAST(n_events AS BIGINT) AS n_events, round(z, 4) AS z,

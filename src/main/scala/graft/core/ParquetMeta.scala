@@ -13,14 +13,6 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetMeta {
 
-  /** Total rows across all `*.parquet` data files under `path` (a single
-    * file or a directory tree). `_`/`.`-prefixed entries are metadata and
-    * skipped at EVERY path level below the root — a crashed write's
-    * `_temporary/…/part-*.parquet` must not count, exactly as Spark's own
-    * reader hides it. Layouts whose data files lack the `.parquet` suffix
-    * (e.g. Hive-written `000000_0`) are outside this helper's contract —
-    * count those through the reader.
-    */
   /** Per-data-file (path, min, max) footer statistics of an integral
     * column under `path` — the metadata a stats-based reader consults to
     * skip files/row groups, surfaced so specs can assert a layout's
@@ -72,6 +64,14 @@ object ParquetMeta {
     out.toSeq
   }
 
+  /** Total rows across all `*.parquet` data files under `path` (a single
+    * file or a directory tree). `_`/`.`-prefixed entries are metadata and
+    * skipped at EVERY path level below the root — a crashed write's
+    * `_temporary/…/part-*.parquet` must not count, exactly as Spark's own
+    * reader hides it. Layouts whose data files lack the `.parquet` suffix
+    * (e.g. Hive-written `000000_0`) are outside this helper's contract —
+    * count those through the reader.
+    */
   def rowCount(spark: SparkSession, path: String): Long = {
     val root = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration

@@ -60,17 +60,9 @@ object Compactor {
               targetBytes: Long = 128L << 20, minFiles: Int = 4,
               lease: Boolean = false): CompactReport =
     graft.core.PathLocks.forPath(tablePath).synchronized {
-      withLease(spark, tablePath, lease) {
+      LeaseLock.withLease(spark, tablePath, lease) {
         compactImpl(spark, tablePath, targetBytes, minFiles)
       }
-    }
-
-  private def withLease[T](spark: SparkSession, tablePath: String, lease: Boolean)(body: => T): T =
-    if (!lease) body
-    else LeaseLock.acquire(spark, tablePath, waitMs = 60000L) match {
-      case Some(l) => try body finally LeaseLock.release(spark, l)
-      case None => sys.error(s"could not acquire lease for $tablePath " +
-        "(another driver holds it; raise waitMs or investigate a stale holder)")
     }
 
   private def compactImpl(spark: SparkSession, tablePath: String,
@@ -91,13 +83,19 @@ object Compactor {
       val totalBytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       if (files.size >= minFiles && nOut < files.size) {
-        val oldRows = ParquetMeta.rowCount(spark, leaf.toString)
+        // Read and count EXACTLY the direct files being swapped — a leaf
+        // that also has visible subdirectories (mixed layouts) must not
+        // absorb nested rows into the rewrite (duplication the recursive
+        // row-count comparison could never catch, since both sides would
+        // include them).
+        val filePaths = files.map(_.getPath.toString)
+        val oldRows = filePaths.map(ParquetMeta.rowCount(spark, _)).sum
         val tmp = new Path(leaf, TmpName)
         if (hfs.exists(tmp)) hfs.delete(tmp, true)
         // repartition, not coalesce: the small-file read often packs the
         // whole leaf into fewer input partitions than nOut, and coalesce
         // can only shrink — the byte target would silently overshoot.
-        spark.read.parquet(leaf.toString)
+        spark.read.parquet(filePaths: _*)
           .repartition(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
         val newRows = ParquetMeta.rowCount(spark, tmp.toString)

@@ -135,4 +135,16 @@ object LeaseLock {
         case _ => None
       }
     } catch { case _: java.io.IOException => None }
+
+  /** Run `body` under the table's cross-driver lease when `lease` is
+    * set — the ONE bracket every leased writer (merge, compaction, …)
+    * shares, so wait/takeover/error semantics cannot drift per caller.
+    */
+  def withLease[T](spark: SparkSession, tablePath: String, lease: Boolean)(body: => T): T =
+    if (!lease) body
+    else acquire(spark, tablePath, waitMs = 60000L) match {
+      case Some(l) => try body finally release(spark, l)
+      case None => sys.error(s"could not acquire lease for $tablePath " +
+        "(another driver holds it; raise waitMs or investigate a stale holder)")
+    }
 }

@@ -46,12 +46,7 @@ object MergeWriter {
   private def lockFor(tablePath: String): Object = graft.core.PathLocks.forPath(tablePath)
 
   private def withLease[T](spark: SparkSession, tablePath: String, lease: Boolean)(body: => T): T =
-    if (!lease) body
-    else LeaseLock.acquire(spark, tablePath, waitMs = 60000L) match {
-      case Some(l) => try body finally LeaseLock.release(spark, l)
-      case None => sys.error(s"could not acquire merge lease for $tablePath " +
-        "(another driver holds it; raise waitMs or investigate a stale holder)")
-    }
+    LeaseLock.withLease(spark, tablePath, lease)(body)
 
   // The bucket count is a table-creation-time invariant: merging with a
   // different modulus would route existing keys to fresh buckets and

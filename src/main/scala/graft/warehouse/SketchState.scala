@@ -34,12 +34,21 @@ object SketchState {
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
              groupCols: Seq[String], itemCol: String): DataFrame =
     graft.core.PathLocks.forPath(statePath).synchronized {
+      val p0 = new Path(statePath)
+      val hfs0 = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Crash recovery (the Checkpoints discipline): a kill between the
+      // two swap renames leaves the live path missing and the only copy
+      // in .bak — restore it, or the next update would silently rebuild
+      // state from one batch and delete all accumulated history.
+      val bak0 = new Path(p0.getParent, s".bak_${p0.getName}")
+      if (!hfs0.exists(p0) && hfs0.exists(bak0)) {
+        if (!hfs0.rename(bak0, p0)) sys.error(s"state recovery failed for $p0")
+      }
       val gs = groupCols.map(col)
       val batchSketches = batch.groupBy(gs: _*)
         .agg(expr(s"hll_sketch_agg($itemCol)").as(SketchCol))
       val merged =
-        if (!new Path(statePath).getFileSystem(
-          spark.sparkContext.hadoopConfiguration).exists(new Path(statePath))) {
+        if (!hfs0.exists(p0)) {
           batchSketches
         } else {
           spark.read.parquet(statePath)

@@ -57,6 +57,20 @@ class CompactorSpec extends SparkSpec {
     assert(parquetFiles(dir).map(_.getName).toSet == names, "files must be untouched")
   }
 
+  test("mixed layouts: a leaf with visible subdirs compacts only its direct files") {
+    val dir = tmpDir("compact-mixed")
+    spark.range(1000).repartition(8).write.mode("overwrite").parquet(dir)
+    spark.range(1000, 1500).repartition(5)
+      .write.mode("overwrite").parquet(s"$dir/sub")
+    val report = Compactor.compact(spark, dir, targetBytes = 512L << 20)
+    // Both leaves compact independently; the parent rewrite must not
+    // absorb (and thereby duplicate) the nested rows.
+    assert(report.leavesSeen == 2 && report.leavesCompacted == 2, report.summary)
+    assert(spark.read.parquet(s"$dir/sub").count() == 500)
+    val all = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    assert(all.count() == 1500, "no row may be duplicated or lost across the layout")
+  }
+
   test("crash recovery: pre-commit rolls back, post-commit rolls forward") {
     import org.apache.hadoop.fs.Path
     val hfs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
