@@ -215,6 +215,29 @@ object Stress {
     val hit = ranges.count { case (_, mn, mx) => mx >= 0 && mn <= 2000 }
     println(s"[stress]   price-band files hit = $hit/${ranges.size} (linear layout hits all)")
 
+    // 2e. Incremental HLL distinct-state over 2M events in 10 batches —
+    //     per-update cost must track batch + state size, never history.
+    val hllState = tmpDir("stress-hll") + "/state"
+    val ev2m = replicate(
+      graft.core.Tables.events(spark, dir).select(col("user_id"), col("event_type")),
+      "user_id", 20)
+    time("HLL state: 10 batch updates over 2M events") {
+      (0 until 10).foreach { i =>
+        graft.warehouse.SketchState.update(spark, hllState,
+          ev2m.filter(col("user_id") % 10 === i), Seq("event_type"), "user_id")
+      }
+    }
+    println(s"[stress]   state rows = ${spark.read.parquet(hllState).count()}")
+
+    // 2f. Compact a 512-small-file table (the accumulation pathology).
+    val fragDir = tmpDir("stress-compact") + "/tbl"
+    replicate(graft.core.Tables.orders(spark, dir), "o_orderkey", 7)
+      .repartition(512).write.mode("overwrite").parquet(fragDir)
+    val creport = time("compact 512-file 1M-row table") {
+      graft.warehouse.Compactor.compact(spark, fragDir)
+    }
+    println(s"[stress]   ${creport.summary}")
+
     // 3. Merge 10k updates into a 1M-row bucketed table: cost must track the
     //    batch + affected buckets, not the table.
     val wh = tmpDir("stress-wh")
