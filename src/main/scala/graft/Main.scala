@@ -190,7 +190,9 @@ object Main {
     case "compact" :: table :: rest =>
       val spark = session()
       val targetMb = rest.headOption.map(_.toLong).getOrElse(128L)
-      val report = graft.warehouse.Compactor.compact(spark, table, targetMb << 20)
+      // lease=true: the CLI runs against live tables other drivers may be
+      // reading/writing — cross-driver serialization is the safe default.
+      val report = graft.warehouse.Compactor.compact(spark, table, targetMb << 20, lease = true)
       println(s"[compact] ${report.summary}")
       spark.stop()
 

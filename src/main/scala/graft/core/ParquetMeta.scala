@@ -64,6 +64,19 @@ object ParquetMeta {
     out.toSeq
   }
 
+  /** Footer (physical) schema of a single parquet data file, as the
+    * canonical message-type string — cheap driver-side metadata, used to
+    * assert a file set is schema-homogeneous before a rewrite that would
+    * otherwise silently drop columns absent from the sampled footer
+    * (schema evolution across batches).
+    */
+  def fileSchema(spark: SparkSession, path: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try reader.getFooter.getFileMetaData.getSchema.toString
+    finally reader.close()
+  }
+
   /** Total rows across all `*.parquet` data files under `path` (a single
     * file or a directory tree). `_`/`.`-prefixed entries are metadata and
     * skipped at EVERY path level below the root — a crashed write's

@@ -111,7 +111,17 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             val (pointSide, ivSide) = if (swapped) (right, left) else (left, right)
             val hiMinus1 = Subtract(hi, Cast(Literal(1L), hi.dataType))
             val nonEmpty = LessThan(lo, hi)
-            val narrow = LessThan(Subtract(bin(hiMinus1), bin(lo)), Literal(maxBins))
+            // Span check in DOUBLE arithmetic: Long subtraction wraps
+            // (non-ANSI) for sentinel intervals like (Long.MinValue/2,
+            // Long.MaxValue) and would misclassify a huge interval as
+            // narrow, generating an impossible Sequence. Doubles lose
+            // precision at that magnitude but never wrap, so a huge span
+            // always lands in the wide branch; boundary imprecision only
+            // flips narrow/wide, and both branches are correct.
+            val narrow = LessThan(
+              Subtract(Divide(Cast(hiMinus1, DoubleType), Literal(w.toDouble)),
+                Divide(Cast(lo, DoubleType), Literal(w.toDouble))),
+              Literal(maxBins.toDouble))
 
             // Narrow branch: bin equality + residual original condition.
             val binP = Alias(bin(p), "__graft_bin_p")()

@@ -36,7 +36,19 @@ import graft.core.ParquetMeta
   * with `lease = true`, the cross-driver [[LeaseLock]] — the same
   * serialization contract as [[MergeWriter]]; compacting a table while
   * another UNSERIALIZED writer commits into it would sweep that writer's
-  * files into the backup.
+  * files into the backup. READERS need serializing too: between step 2
+  * (old files → bak) and step 4 (tmp files → leaf) a concurrent listing
+  * of the leaf sees zero or partial data files, so an unserialized
+  * reader can observe transiently-missing rows (never wrong or
+  * duplicated rows — the bak/tmp dirs are hidden). Run compaction in
+  * the same maintenance window as readers' lease, or accept the
+  * transient under-count. The `compact` CLI passes `lease = true` for
+  * this reason.
+  *
+  * Schema evolution: a leaf whose files carry different footer schemas
+  * is SKIPPED (left untouched), because a plain rewrite samples one
+  * footer and would silently drop the other files' extra columns while
+  * still passing the row-count check.
   */
 object Compactor {
 
@@ -89,33 +101,45 @@ object Compactor {
         // row-count comparison could never catch, since both sides would
         // include them).
         val filePaths = files.map(_.getPath.toString)
-        val oldRows = filePaths.map(ParquetMeta.rowCount(spark, _)).sum
-        val tmp = new Path(leaf, TmpName)
-        if (hfs.exists(tmp)) hfs.delete(tmp, true)
-        // repartition, not coalesce: the small-file read often packs the
-        // whole leaf into fewer input partitions than nOut, and coalesce
-        // can only shrink — the byte target would silently overshoot.
-        spark.read.parquet(filePaths: _*)
-          .repartition(nOut)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val newRows = ParquetMeta.rowCount(spark, tmp.toString)
-        if (newRows != oldRows) {
-          // Never install a lossy rewrite; leave the leaf untouched.
-          hfs.delete(tmp, true)
+        // Schema-evolution guard: spark.read.parquet samples ONE footer
+        // for the schema, so a leaf whose files disagree (columns added
+        // across batches) would be rewritten with the sampled subset —
+        // columns silently dropped while the row-count equality check
+        // still passes. Heterogeneous leaves are left untouched; resolve
+        // the evolution (backfill or mergeSchema rewrite) explicitly.
+        val schemaHomogeneous =
+          filePaths.map(ParquetMeta.fileSchema(spark, _)).distinct.size == 1
+        if (!schemaHomogeneous) {
           after += files.size
         } else {
-          val bak = new Path(leaf, BakName)
-          if (hfs.exists(bak)) hfs.delete(bak, true)
-          hfs.mkdirs(bak)
-          files.foreach { f =>
-            if (!hfs.rename(f.getPath, new Path(bak, f.getPath.getName)))
-              sys.error(s"backup move failed for ${f.getPath}")
+          val oldRows = filePaths.map(ParquetMeta.rowCount(spark, _)).sum
+          val tmp = new Path(leaf, TmpName)
+          if (hfs.exists(tmp)) hfs.delete(tmp, true)
+          // repartition, not coalesce: the small-file read often packs the
+          // whole leaf into fewer input partitions than nOut, and coalesce
+          // can only shrink — the byte target would silently overshoot.
+          spark.read.parquet(filePaths: _*)
+            .repartition(nOut)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val newRows = ParquetMeta.rowCount(spark, tmp.toString)
+          if (newRows != oldRows) {
+            // Never install a lossy rewrite; leave the leaf untouched.
+            hfs.delete(tmp, true)
+            after += files.size
+          } else {
+            val bak = new Path(leaf, BakName)
+            if (hfs.exists(bak)) hfs.delete(bak, true)
+            hfs.mkdirs(bak)
+            files.foreach { f =>
+              if (!hfs.rename(f.getPath, new Path(bak, f.getPath.getName)))
+                sys.error(s"backup move failed for ${f.getPath}")
+            }
+            hfs.create(new Path(leaf, CommitName), true).close() // decision point
+            installTmp(hfs, leaf)
+            compacted += 1
+            after += dataFiles(hfs, leaf).size
+            rows += newRows
           }
-          hfs.create(new Path(leaf, CommitName), true).close() // decision point
-          installTmp(hfs, leaf)
-          compacted += 1
-          after += dataFiles(hfs, leaf).size
-          rows += newRows
         }
       } else {
         after += files.size

@@ -11,7 +11,7 @@ import graft.core.Tables
   * intervals — every change closes the prior version (`valid_to`) and
   * opens a new one, the current version carrying `valid_to IS NULL`. The
   * SCD1 last-write-wins upsert ([[MergeWriter.merge]], reference
-  * analogue load.py:60-74's idempotent re-load) keeps only the latest
+  * analogue src/services/etl.py:60-76's ON CONFLICT upsert) keeps only the latest
   * state; Type 2 is what a warehouse needs the moment anyone asks "what
   * was this attribute when that order shipped?".
   *
@@ -58,16 +58,23 @@ object Scd2 {
     * (closing a version before it opened would mint a negative-duration
     * interval). Late-arriving changes need a [[buildHistory]]
     * re-derivation of the affected keys instead. `strict = true` (the
-    * default) enforces this with one key-join count over the
-    * (dimension-sized, not history-replay-sized) inputs and throws
-    * instead of corrupting; pass `strict = false` only when the caller
-    * already orders its batches.
+    * default) enforces this — plus the at-most-one-row-per-key contract
+    * on `updates` (a duplicate key would fan out the left join and
+    * silently duplicate that key's entire history) — with one key-join
+    * count and one groupBy-count over the (dimension/batch-sized, not
+    * history-replay-sized) inputs, throwing instead of corrupting; pass
+    * `strict = false` only when the caller already orders AND dedups its
+    * batches.
     */
   def merge(dim: DataFrame, updates: DataFrame, key: String, attr: String,
             ord: String, strict: Boolean = true): DataFrame = {
     val up = updates.select(
       col(key), col(attr).as("__new_attr"), col(ord).as("__new_from"))
     if (strict) {
+      val dupKeys = up.groupBy(key).count().filter(col("count") > 1).count()
+      require(dupKeys == 0,
+        s"Scd2.merge: $dupKeys update key(s) appear more than once in the batch — " +
+          "collapse to the latest row per key (e.g. a row_number LWW pass) first")
       val late = dim.filter(col("is_current") === 1)
         .join(up, Seq(key))
         .filter(col("__new_from") < col("valid_from"))

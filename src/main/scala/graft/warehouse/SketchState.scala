@@ -29,7 +29,10 @@ object SketchState {
 
   /** Fold one batch into the distinct-count state at `statePath`:
     * per-group sketches of `itemCol` from the batch union-merge with the
-    * stored sketches. Returns the post-merge per-group estimates.
+    * stored sketches. Returns the post-merge per-group estimates,
+    * eagerly materialized (localCheckpoint) — the snapshot stays valid
+    * even after a LATER update's two-rename swap deletes the files this
+    * read was planned against.
     */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
              groupCols: Seq[String], itemCol: String): DataFrame =
@@ -69,7 +72,9 @@ object SketchState {
         sys.error(s"state install failed for $p")
       }
       hfs.delete(bak, true)
-      estimates(spark, statePath, groupCols)
+      // Estimates are groups-sized (KB/group sketches collapsed to one
+      // double each) — cheap to pin; lazy file-listing lineage is not.
+      estimates(spark, statePath, groupCols).localCheckpoint(eager = true)
     }
 
   /** Current per-group distinct estimates — a state-table read, no raw

@@ -96,6 +96,22 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("bin-span check cannot wrap: large-negative lo with a MaxValue sentinel goes wide") {
+    // bin(hi-1) - bin(lo) ≈ 1.4e19 overflows Long (non-ANSI wraps to
+    // NEGATIVE) — a wrapped span would classify this enormous interval
+    // as narrow and die generating its Sequence. The span compare runs
+    // in double arithmetic, which saturates instead of wrapping.
+    val iv = Seq((1L, Long.MinValue / 2, Long.MaxValue), (2L, 47L, 113L))
+      .toDF("iv_id", "lo", "hi")
+    val q = points.join(iv, col("pt") >= col("lo") && col("pt") < col("hi"))
+    val expected = q.select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    withRule(width = 1) { // width 1 maximizes the bin span
+      val got = q.select("iv_id", "pt").as[(Long, Long)].collect().toSeq
+      assert(got.toSet == expected && got.size == expected.size,
+        "sentinel interval must keep matching via the wide branch")
+    }
+  }
+
   test("an unrelated cross-side threshold predicate does not shadow the range pattern") {
     // points also carry a weight compared against the interval's floor —
     // a second cross-side >= conjunct that precedes the range pattern.

@@ -71,6 +71,24 @@ class CompactorSpec extends SparkSpec {
     assert(all.count() == 1500, "no row may be duplicated or lost across the layout")
   }
 
+  test("schema-heterogeneous leaves are skipped, never rewritten lossily") {
+    val dir = tmpDir("compact-evolved")
+    // Schema evolution across batches: later files carry an extra column.
+    spark.range(500).select(col("id")).coalesce(3)
+      .write.mode("append").parquet(dir)
+    spark.range(500, 1000).select(col("id"), lit("x").as("tag")).coalesce(3)
+      .write.mode("append").parquet(dir)
+    val names = parquetFiles(dir).map(_.getName).toSet
+    assert(names.size >= 6, "fixture must be fragmented enough to trigger compaction")
+    val report = Compactor.compact(spark, dir, targetBytes = 512L << 20)
+    assert(report.leavesCompacted == 0, "a heterogeneous leaf must be left untouched")
+    assert(parquetFiles(dir).map(_.getName).toSet == names, "files must be untouched")
+    // The evolved column is still fully readable the way evolution intends.
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "tag"))
+    assert(merged.filter(col("tag").isNotNull).count() == 500)
+  }
+
   test("crash recovery: pre-commit rolls back, post-commit rolls forward") {
     import org.apache.hadoop.fs.Path
     val hfs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)

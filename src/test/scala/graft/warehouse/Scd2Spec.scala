@@ -106,4 +106,16 @@ class Scd2Spec extends SparkSpec {
     assert(collect(Scd2.merge(dim, replay, "key", "attr", "ord")) ==
       history(Seq((1L, "gold", 50L, None, 1))))
   }
+
+  test("strict merge rejects duplicate update keys instead of fanning out history") {
+    val dim = Scd2.buildHistory(
+      Seq((1L, "gold", 50L)).toDF("key", "attr", "ord"), "key", "attr", "ord")
+    // Two rows for key 1 — would fan out the left join and duplicate the
+    // key's entire history if allowed through.
+    val dup = Seq((1L, "silver", 60L), (1L, "bronze", 70L)).toDF("key", "attr", "ord")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.merge(dim, dup, "key", "attr", "ord")
+    }
+    assert(e.getMessage.contains("more than once"))
+  }
 }

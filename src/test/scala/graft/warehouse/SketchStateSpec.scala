@@ -43,6 +43,21 @@ class SketchStateSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == exact.size)
   }
 
+  test("estimates returned by update stay valid across the next update's file swap") {
+    val path = tmpDir("hll-snapshot") + "/state"
+    val snap = SketchState.update(spark, path,
+      events.filter(col("user_id") % 2 === 0), Seq("event_type"), "user_id")
+    // Second update's two-rename swap deletes the files snap was planned
+    // over; the materialized snapshot must still read, with the OLD values.
+    SketchState.update(spark, path, events, Seq("event_type"), "user_id")
+    val snapVals = snap.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val halfPath = tmpDir("hll-snapshot-oracle") + "/state"
+    val expected = SketchState.update(spark, halfPath,
+      events.filter(col("user_id") % 2 === 0), Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snapVals == expected, "snapshot must be the pre-swap estimates, not fail or drift")
+  }
+
   test("re-merging the same batch cannot inflate the estimate") {
     val path = tmpDir("hll-idem") + "/state"
     val first = SketchState.update(spark, path, events, Seq("event_type"), "user_id")
