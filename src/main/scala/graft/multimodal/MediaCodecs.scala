@@ -10,9 +10,12 @@ package graft.multimodal
   *  - PNG, non-interlaced 8-bit RGB/RGBA — a genuinely COMPRESSED
   *    format: its codec is zlib, which ships in the JDK
   *    (`java.util.zip`), plus the five scanline filters decoded here.
+  *  - JPEG, via the JDK's own `javax.imageio` plugin (every JRE ships a
+  *    baseline JPEG reader/writer — still zero external dependencies).
+  *    The dominant format of real image-text corpora.
   *
-  * Codecs that truly need external libraries (jpeg/mp3/mp4/…) remain
-  * behind the documented stub boundary in [[Multimodal.decode]].
+  * Codecs that truly need external libraries (mp3/mp4/…) remain behind
+  * the documented stub boundary in [[Multimodal.decode]].
   *
   * Encoders exist so specs can round-trip known pixels/samples through
   * the real decoder and assert exact features — and so fixtures are
@@ -186,7 +189,7 @@ object MediaCodecs {
   // compression is zlib, and `java.util.zip.{Inflater, Deflater, CRC32}`
   // ship in the JDK — so non-interlaced 8-bit RGB/RGBA PNG decodes for
   // real, moving the stub boundary down to formats whose codecs
-  // genuinely don't exist on this JVM (JPEG/MP3/MP4).
+  // genuinely don't exist on this JVM (MP3/MP4).
 
   private def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
@@ -332,6 +335,119 @@ object MediaCodecs {
       (if (quadN(2) > 0) quad(2) / quadN(2) / 255.0 else 0.0).toFloat,
       (if (quadN(3) > 0) quad(3) / quadN(3) / 255.0 else 0.0).toFloat)
     Some((width, height, feats))
+  }
+
+  // ---------------------------------------------------------------- JPEG
+  // The JDK bundles a baseline JPEG codec behind javax.imageio (the
+  // com.sun.imageio plugin is part of every JRE) — so JPEG, the format
+  // real image corpora are actually made of, decodes for real without
+  // adding a dependency. Unlike BMP/WAV/PNG the bit layout isn't parsed
+  // here; the contract is the same: total function, None on any
+  // malformation, bomb-guarded before the raster materializes.
+
+  /** JPEG → (width, height, the same 8 pixel-statistics features as
+    * [[decodeBmp24]]). Dimensions are peeked from the frame header
+    * BEFORE the raster decodes (the bomb guard — a crafted 65k×65k
+    * header must yield None, not a 12 GiB allocation). Any
+    * malformation — missing SOI, truncated entropy stream, corrupt
+    * segment — yields None, never a throw.
+    *
+    * JPEG is LOSSY: round-trips preserve dimensions exactly but pixel
+    * statistics only approximately (DCT quantization + chroma
+    * subsampling), so callers gate features with a tolerance, not
+    * equality — the q69 pattern, vs q66's bit-exact PNG.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    // SOI marker: every JPEG stream starts FF D8.
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || h.toLong > MaxRasterBytes / (w.toLong * 3 + 1))
+            return None
+          val img = reader.read(0)
+          var sumR, sumG, sumB = 0.0
+          val quad = new Array[Double](4)
+          val quadN = new Array[Long](4)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val px = row(x)
+              val r = (px >> 16) & 0xFF
+              val g = (px >> 8) & 0xFF
+              val b = px & 0xFF
+              sumR += r; sumG += g; sumB += b
+              val q = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+              quad(q) += (r + g + b) / 3.0
+              quadN(q) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val feats = Array(
+            ((sumR + sumG + sumB) / (3.0 * n) / 255.0).toFloat,
+            (sumR / n / 255.0).toFloat, (sumG / n / 255.0).toFloat, (sumB / n / 255.0).toFloat,
+            (if (quadN(0) > 0) quad(0) / quadN(0) / 255.0 else 0.0).toFloat,
+            (if (quadN(1) > 0) quad(1) / quadN(1) / 255.0 else 0.0).toFloat,
+            (if (quadN(2) > 0) quad(2) / quadN(2) / 255.0 else 0.0).toFloat,
+            (if (quadN(3) > 0) quad(3) / quadN(3) / 255.0 else 0.0).toFloat)
+          Some((w, h, feats))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      // imageio throws IIOException/IllegalArgument/... on corrupt
+      // streams; totality (None) is this codec family's contract.
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** RGB8 JPEG encoder (ImageIO baseline writer, explicit quality) —
+    * spec/oracle fixtures synthesize blobs through the real compressor
+    * so the decode path under test is the full Huffman/DCT pipeline.
+    */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte], quality: Float = 0.92f): Array[Byte] = {
+    require(rgb.length == width * height * 3, "need width*height RGB triples")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    var k = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          ((rgb(k) & 0xFF) << 16) | ((rgb(k + 1) & 0xFF) << 8) | (rgb(k + 2) & 0xFF))
+        k += 3
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
   }
 
   /** Minimal RGB8 PNG encoder (filter 0 rows, one zlib stream) — spec

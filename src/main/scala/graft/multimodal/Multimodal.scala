@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,10 +13,11 @@ import graft.core.Tables
   * The Spark-side plumbing — schema, partition-parallel batch processing,
   * frame explosion, feature aggregation — is real and tested. The codec
   * step is REAL for every format this JVM can honestly parse
-  * ([[MediaCodecs]]: 24bpp BMP pixels, PCM-16 WAV samples, and
-  * zlib-compressed PNG via the JDK's own `java.util.zip` — no external
-  * libraries) and STUBBED with a deterministic fake for the codecs that
-  * genuinely need libraries this container doesn't ship (jpeg/mp3/mp4):
+  * ([[MediaCodecs]]: 24bpp BMP pixels, PCM-16 WAV samples,
+  * zlib-compressed PNG via the JDK's own `java.util.zip`, and JPEG via
+  * the JDK's bundled `javax.imageio` plugin — no external libraries)
+  * and STUBBED with a deterministic fake for the codecs that
+  * genuinely need libraries this container doesn't ship (mp3/mp4):
   * [[decode]] dispatches per row and falls back to `decodeStub`.
   * Swapping in a further real decoder means adding ONE case to that
   * dispatch; every plan shape stays identical.
@@ -62,9 +63,9 @@ object Multimodal {
           col("declared_format")).as("meta")) ++ keep.map(col): _*)
 
   /** The decode pipeline: REAL decoders for every format this JVM can
-    * honestly parse ([[MediaCodecs]] — BMP and zlib-compressed PNG pixel
-    * statistics, WAV RMS contours), stub fallback for the rest
-    * (JPEG/MP3/MP4 need codec libraries the container doesn't ship).
+    * honestly parse ([[MediaCodecs]] — BMP/PNG/JPEG pixel statistics,
+    * WAV RMS contours), stub fallback for the rest
+    * (MP3/MP4 need codec libraries the container doesn't ship).
     * Partition-parallel batch shape (the
     * Scala analogue of a pandas-batch UDF): one iterator pass per
     * partition, no driver involvement, no shuffle; blobs are decoded
@@ -87,10 +88,11 @@ object Multimodal {
         // they don't.
         val real =
           try m.declared_format match {
-            case "bmp" => MediaCodecs.decodeBmp24(m.media)
-            case "png" => MediaCodecs.decodePng(m.media)
-            case "wav" => MediaCodecs.decodeWavPcm16(m.media)
-            case _     => None // ??? — jpeg/mp3/mp4 decoders would go here
+            case "bmp"          => MediaCodecs.decodeBmp24(m.media)
+            case "png"          => MediaCodecs.decodePng(m.media)
+            case "jpeg" | "jpg" => MediaCodecs.decodeJpeg(m.media)
+            case "wav"          => MediaCodecs.decodeWavPcm16(m.media)
+            case _              => None // ??? — mp3/mp4 decoders would go here
           } catch { case _: RuntimeException => None }
         real match {
           case Some((w, h, feats)) =>
@@ -315,9 +317,62 @@ object Multimodal {
       |  round(CAST(CAST(sum(r)::DOUBLE / count(*) / 255.0 AS FLOAT) AS DOUBLE), 6) AS mean_r
       |FROM px GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** The REAL JPEG decode path, driver-gated: synthesize a FLAT-COLOR
+    * raster per document (color a pure integer function of doc_id),
+    * compress it through the JDK's actual JPEG writer
+    * ([[MediaCodecs.encodeJpeg]]), decode through the [[decode]]
+    * dispatch — real Huffman/DCT, not the stub — and report dimensions
+    * plus a bounded-error flag on the channel means.
+    *
+    * JPEG is lossy and decoder-dependent, so unlike q66 (PNG,
+    * bit-exact) the gate is: dimensions EXACT (lossless header
+    * metadata, hash-compared against the generating formula) and
+    * channel means within 3% of the source color (flat fields are
+    * DC-only, surviving quantization nearly exactly; the stub fallback
+    * fails BOTH — its md5-derived dimensions and features can't track
+    * the formula across 500 rows).
+    */
+  def jpegDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 6).toInt * 8
+        val h = 16 + (id % 5).toInt * 8
+        val r = ((id * 31) % 256).toInt
+        val g = ((id * 57) % 256).toInt
+        val b = ((id * 91) % 256).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var k = 0
+        while (k < rgb.length) {
+          rgb(k) = r.toByte; rgb(k + 1) = g.toByte; rgb(k + 2) = b.toByte
+          k += 3
+        }
+        MediaRow(id, "image", MediaCodecs.encodeJpeg(w, h, rgb), "jpeg")
+      })
+    val tol = 0.03
+    def near(featIdx: Int, expected: Column): Column =
+      abs(element_at(col("features"), featIdx).cast("double") - expected) < tol
+    decode(blobs).toDF()
+      .select(
+        col("media_id"), col("width"), col("height"),
+        (near(2, (col("media_id") * 31 % 256).cast("double") / 255.0) &&
+          near(3, (col("media_id") * 57 % 256).cast("double") / 255.0) &&
+          near(4, (col("media_id") * 91 % 256).cast("double") / 255.0))
+          .as("decode_ok"))
+  }
+
+  private val jpegDecodeStatsSql =
+    """SELECT doc_id AS media_id,
+      |  CAST(16 + (doc_id % 6) * 8 AS INT) AS width,
+      |  CAST(16 + (doc_id % 5) * 8 AS INT) AS height,
+      |  TRUE AS decode_ok
+      |FROM documents""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)),
     NamedQuery("q41_frame_sample_stats", frameSampleStats _, Some(frameSampleStatsSql)),
     NamedQuery("q42_wav_decode_stats", wavDecodeStats _, Some(wavDecodeStatsSql)),
-    NamedQuery("q66_png_decode_stats", pngDecodeStats _, Some(pngDecodeStatsSql)))
+    NamedQuery("q66_png_decode_stats", pngDecodeStats _, Some(pngDecodeStatsSql)),
+    NamedQuery("q69_jpeg_decode_stats", jpegDecodeStats _, Some(jpegDecodeStatsSql)))
 }

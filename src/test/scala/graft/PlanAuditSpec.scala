@@ -87,6 +87,9 @@ class PlanAuditSpec extends SparkSpec {
     val s66 = stats("q66_png_decode_stats")
     assert(s66.scans <= 1 && s66.shuffles == 0,
       s"q66 must stay a single-scan mapPartitions pipeline: $s66")
+    val s69 = stats("q69_jpeg_decode_stats")
+    assert(s69.scans <= 1 && s69.shuffles == 0,
+      s"q69 must stay a single-scan mapPartitions pipeline: $s69")
     val s43 = stats("q43_repetition_quality")
     assert(s43.shuffles <= 6 && s43.nestedLoops == 0, s"q43 regressed: $s43")
     val s44 = stats("q44_quantization_fidelity")

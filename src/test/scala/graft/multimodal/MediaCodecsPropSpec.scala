@@ -149,6 +149,51 @@ class MediaCodecsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG round-trip: dimensions exact, lossy features within tolerance") {
+    val rnd = new Random(47)
+    (1 to 40).foreach { _ =>
+      val w = 8 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(40)
+      // Flat color: DC-only blocks, so the lossy error stays small and
+      // the round-trip tolerance is a real assertion, not a tautology.
+      val cr = rnd.nextInt(256); val cg = rnd.nextInt(256); val cb = rnd.nextInt(256)
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < rgb.length) {
+        rgb(k) = cr.toByte; rgb(k + 1) = cg.toByte; rgb(k + 2) = cb.toByte
+        k += 3
+      }
+      val (dw, dh, feats) = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpeg(w, h, rgb)).get
+      assert(dw == w && dh == h, s"dimensions must survive lossy compression: ${w}x$h")
+      assert(feats.forall(f => f >= 0.0f && f <= 1.0f))
+      assert(math.abs(feats(1) - cr / 255.0) < 0.03, s"R ${feats(1)} vs ${cr / 255.0}")
+      assert(math.abs(feats(2) - cg / 255.0) < 0.03, s"G ${feats(2)} vs ${cg / 255.0}")
+      assert(math.abs(feats(3) - cb / 255.0) < 0.03, s"B ${feats(3)} vs ${cb / 255.0}")
+    }
+  }
+
+  test("JPEG decode is total: garbage, truncation, and bombs yield None, never a throw") {
+    val rnd = new Random(48)
+    (1 to 200).foreach { _ =>
+      val junk = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte)
+      MediaCodecs.decodeJpeg(junk)
+      // Valid SOI marker with garbage after it — the adversarial corner.
+      MediaCodecs.decodeJpeg(Array(0xFF.toByte, 0xD8.toByte) ++ junk)
+    }
+    // Truncate a real stream at every length: the entropy decoder must
+    // fail closed at all of them (or, for near-complete prefixes, decode).
+    val ok = MediaCodecs.encodeJpeg(16, 16, new Array[Byte](16 * 16 * 3))
+    (0 until ok.length by 7).foreach { n =>
+      MediaCodecs.decodeJpeg(ok.take(n)) // must not throw
+    }
+    assert(MediaCodecs.decodeJpeg(ok).isDefined)
+    // Byte-flip corruption across the stream.
+    (0 until ok.length by 11).foreach { i =>
+      val bad = ok.clone(); bad(i) = (bad(i) ^ 0x5A).toByte
+      MediaCodecs.decodeJpeg(bad) // must not throw
+    }
+  }
+
   test("PNG zip-bomb headers and truncated streams yield None, never OOM/throw") {
     // 2^15 × 2^15 RGB header claims a 3 GiB raster: must refuse.
     val bomb = {
