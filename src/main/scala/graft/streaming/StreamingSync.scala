@@ -89,6 +89,41 @@ object StreamingSync {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** Watermarked stream-stream INNER join — the funnel/attribution shape
+    * (a view joined to the purchases it led to within a time bound), the
+    * one Structured Streaming staple the windowed/dedup/sessionize
+    * surface didn't yet cover. Each left event joins right events with
+    * equal keys whose timestamp lands in `[leftTs, leftTs + within]`.
+    *
+    * Both sides MUST carry watermarks and the join MUST bound the two
+    * event times against each other — that pair is what lets Spark prove
+    * a buffered row can never match again and evict it, so join state is
+    * bounded by `within + lateness` of stream history instead of growing
+    * forever (the 100 TB/day property; an unbounded stream-stream join
+    * is refused by Spark in append mode for exactly this reason).
+    *
+    * Inner-join matches emit as soon as both rows have arrived (no
+    * watermark wait on the output path); rows later than `lateness` may
+    * silently lose matches — the documented watermark contract, same as
+    * [[windowedCounts]]. Column names must be disjoint across the two
+    * sides (rename before calling), leaving the output unambiguous.
+    */
+  def streamJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String,
+                 within: String = "1 hour",
+                 lateness: String = "10 minutes"): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"streamJoin: rename overlapping columns first: ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   /** Run the windowed aggregation over a file-source stream into an
     * in-memory sink table (for tests / interactive inspection).
     */
