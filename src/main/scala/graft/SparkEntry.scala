@@ -17,7 +17,8 @@ object Registry {
       graft.analytics.Extended.queries ++ graft.analytics.IvfIndex.queries ++
       graft.analytics.RatingsSummary.queries ++ graft.analytics.TrainingData.queries ++
       graft.analytics.RangeJoin.queries ++ graft.warehouse.ZOrder.queries ++
-      graft.analytics.EventAnalytics.queries ++ graft.warehouse.Scd2.queries
+      graft.analytics.EventAnalytics.queries ++ graft.warehouse.Scd2.queries ++
+      graft.warehouse.QuantileState.queries
 }
 
 object SparkEntry {

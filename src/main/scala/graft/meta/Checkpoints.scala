@@ -63,17 +63,25 @@ final class Checkpoints(spark: SparkSession, metaDir: String) {
       .map(_.getTimestamp(0))
 
   /** Upsert the watermark for (source, collection) — `INSERT ... ON CONFLICT
-    * DO UPDATE` parity (reference etl.py:108-123).
+    * DO UPDATE` parity (reference etl.py:108-123). The JVM lock serializes
+    * writers within THIS driver; `lease = true` extends the exclusion
+    * across drivers via [[graft.warehouse.LeaseLock]] — two drivers
+    * advancing the same metadata table would otherwise interleave the
+    * read-modify-write and the slower one would erase the faster one's
+    * watermark (re-sync, not corruption — but a 100 TB re-scan).
     */
-  def advance(source: String, collection: String, hwm: Timestamp): Unit = lock.synchronized {
-    val others = all()
-      .filter(!(col("source_uri") === source && col("collection_name") === collection))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
-      .toSeq
-    val updated = (others :+ ((source, collection, hwm)))
-      .toDF("source_uri", "collection_name", "last_synced_at")
-    atomicWrite(updated)
+  def advance(source: String, collection: String, hwm: Timestamp,
+              lease: Boolean = false): Unit = lock.synchronized {
+    graft.warehouse.LeaseLock.withLease(spark, path, lease) {
+      val others = all()
+        .filter(!(col("source_uri") === source && col("collection_name") === collection))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
+        .toSeq
+      val updated = (others :+ ((source, collection, hwm)))
+        .toDF("source_uri", "collection_name", "last_synced_at")
+      atomicWrite(updated)
+    }
   }
 
   private def atomicWrite(df: DataFrame): Unit = {

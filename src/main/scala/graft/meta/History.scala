@@ -109,7 +109,11 @@ final class History(spark: SparkSession, metaDir: String) {
     * before the fold (compacted) or after (picked up next time).
     * Returns the number of surviving rows.
     */
-  def compact(): Long = lock.synchronized {
+  def compact(lease: Boolean = false): Long = lock.synchronized {
+    graft.warehouse.LeaseLock.withLease(spark, path, lease) { compactImpl() }
+  }
+
+  private def compactImpl(): Long = {
     if (!exists) return 0L
     val tmp = new Path(s"$metaDir/.staging_sync_history")
     val bak = new Path(s"$metaDir/.bak_sync_history")

@@ -1,6 +1,5 @@
 package graft.warehouse
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,7 +20,8 @@ import org.apache.spark.sql.functions._
   * one-shot, bit-for-bit on the estimate).
   *
   * Persistence uses the Checkpoints-style staged swap ([[MergeWriter]]
-  * discipline); single-writer per state path (same contract as merge).
+  * discipline); single-writer per state path (same contract as merge —
+  * in-JVM via the path lock, cross-driver opt-in via `lease = true`).
   */
 object SketchState {
 
@@ -35,23 +35,18 @@ object SketchState {
     * read was planned against.
     */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
-             groupCols: Seq[String], itemCol: String): DataFrame =
+             groupCols: Seq[String], itemCol: String,
+             lease: Boolean = false): DataFrame =
     graft.core.PathLocks.forPath(statePath).synchronized {
-      val p0 = new Path(statePath)
-      val hfs0 = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // Crash recovery (the Checkpoints discipline): a kill between the
-      // two swap renames leaves the live path missing and the only copy
-      // in .bak — restore it, or the next update would silently rebuild
-      // state from one batch and delete all accumulated history.
-      val bak0 = new Path(p0.getParent, s".bak_${p0.getName}")
-      if (!hfs0.exists(p0) && hfs0.exists(bak0)) {
-        if (!hfs0.rename(bak0, p0)) sys.error(s"state recovery failed for $p0")
-      }
+      LeaseLock.withLease(spark, statePath, lease) {
+      // Crash recovery + staged swap: the StateFiles discipline (shared
+      // with QuantileState) — state is never observable half-written.
+      StateFiles.recover(spark, statePath)
       val gs = groupCols.map(col)
       val batchSketches = batch.groupBy(gs: _*)
         .agg(expr(s"hll_sketch_agg($itemCol)").as(SketchCol))
       val merged =
-        if (!hfs0.exists(p0)) {
+        if (!StateFiles.exists(spark, statePath)) {
           batchSketches
         } else {
           spark.read.parquet(statePath)
@@ -59,22 +54,11 @@ object SketchState {
             .groupBy(gs: _*)
             .agg(expr(s"hll_union_agg($SketchCol)").as(SketchCol))
         }
-      // Two-rename staged swap: the state must never be half-written.
-      val p = new Path(statePath)
-      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new Path(p.getParent, s".tmp_${p.getName}")
-      val bak = new Path(p.getParent, s".bak_${p.getName}")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      if (hfs.exists(bak)) hfs.delete(bak, true)
-      if (hfs.exists(p) && !hfs.rename(p, bak)) sys.error(s"state backup failed for $p")
-      if (!hfs.rename(tmp, p)) {
-        hfs.rename(bak, p)
-        sys.error(s"state install failed for $p")
-      }
-      hfs.delete(bak, true)
+      StateFiles.install(spark, statePath, merged)
       // Estimates are groups-sized (KB/group sketches collapsed to one
       // double each) — cheap to pin; lazy file-listing lineage is not.
       estimates(spark, statePath, groupCols).localCheckpoint(eager = true)
+      }
     }
 
   /** Current per-group distinct estimates — a state-table read, no raw
