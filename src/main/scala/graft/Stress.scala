@@ -254,6 +254,84 @@ object Stress {
       graft.warehouse.MergeWriter.merge(spark, tbl, updates)
     }
     println(s"[stress] merged table rows = ${graft.warehouse.MergeWriter.read(spark, tbl).count()}")
+
+    // 4. Streaming state paths at 2M+ events — throughput and, crucially,
+    //    STATE SIZE: keyed/join state must track keys / the watermark
+    //    horizon, never total rows streamed (the unbounded-stream
+    //    property the specs assert and this section puts numbers on).
+    //    The fixture streams through 10 time-ordered files (one
+    //    micro-batch each), so watermarks actually advance mid-run.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val streamSrc = tmpDir("stress-stream") + "/src"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev2mFull = replicate(
+      graft.core.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("value")),
+      "user_id", 20)
+      .withColumn("event_id",
+        col("event_id") + (col("user_id") / 10_000_000L).cast("long") * 100_000_000L)
+    ev2mFull.repartitionByRange(10, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(streamSrc)
+    // Pin arrival order = time order (file source sorts by mod time).
+    new java.io.File(streamSrc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 60000L) }
+    val nStream = spark.read.parquet(streamSrc).count()
+    println(s"[stress] stream fixture rows = $nStream (10 time-ordered files)")
+
+    def runStream(name: String)(build: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val src = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", 1).parquet(streamSrc)
+      val t0 = System.nanoTime()
+      val q = build(src).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir(s"stress-ckpt-$name"))
+        .format("noop").start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val state = q.recentProgress.lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      println(f"[stress] $name%-42s $secs%8.2f s  " +
+        f"(${nStream / secs / 1e6}%.2f M rows/s in; state=$state rows, evicted=$removed)")
+    }
+
+    // 4a. Streaming SCD2 CDC fold: state = one current version per key.
+    runStream("scd2 stream fold, 2M changes") { src =>
+      import spark.implicits._
+      graft.streaming.Scd2Stream.historyStream(
+        src.select(col("user_id").as("key"), col("event_type").as("attr"),
+          col("ts").cast("long").as("ord")).as[graft.streaming.Scd2Stream.Change]
+      ).toDF()
+    }
+
+    // 4b. Watermarked ingestion dedup: every event arrives twice (self-
+    //     union), state = keys within the watermark horizon only.
+    runStream("watermark dedup, 2M events x2 arrivals") { src =>
+      graft.streaming.StreamingSync.dedupedStream(
+        src.unionByName(src), Seq("event_id"), "ts", lateness = "1 hour")
+    }
+
+    // 4c. Stream-stream funnel join: views x purchases within 30 min.
+    runStream("stream-stream join, 2M events") { src =>
+      graft.streaming.StreamingSync.streamJoin(
+        src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts")),
+        src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("ts").as("b_ts")),
+        leftKey = "v_user", rightKey = "b_user",
+        leftTs = "v_ts", rightTs = "b_ts",
+        within = "30 minutes", lateness = "10 minutes")
+    }
+
     spark.stop()
     cleanup()
   }
