@@ -107,12 +107,21 @@ object StreamingSync {
     * silently lose matches — the documented watermark contract, same as
     * [[windowedCounts]]. Column names must be disjoint across the two
     * sides (rename before calling), leaving the output unambiguous.
+    *
+    * `joinType = "left_outer"` (or right/full) adds the abandoned-funnel
+    * half: a left row that found NO match emits with null right columns
+    * once the watermark proves no match can still arrive (i.e.
+    * `lateness + within` after its event time) — so unmatched results
+    * trail matched ones by the horizon, and rows near the end of a
+    * drained stream may still be waiting. Spark requires exactly the
+    * watermark + event-time bound this function always builds.
     */
   def streamJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  leftTs: String, rightTs: String,
                  within: String = "1 hour",
-                 lateness: String = "10 minutes"): DataFrame = {
+                 lateness: String = "10 minutes",
+                 joinType: String = "inner"): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"streamJoin: rename overlapping columns first: ${overlap.mkString(", ")}")
@@ -121,7 +130,8 @@ object StreamingSync {
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      joinType)
   }
 
   /** Run the windowed aggregation over a file-source stream into an

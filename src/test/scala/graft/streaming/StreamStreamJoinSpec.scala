@@ -104,6 +104,81 @@ class StreamStreamJoinSpec extends SparkSpec {
       s"final state ($finalState rows) must be smaller than total input ($totalInput)")
   }
 
+  test("left-outer stream join emits abandoned funnels, never false ones") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.core.Tables.events(spark, dir)
+    val cond = col("v_user") === col("b_user") &&
+      col("b_ts") >= col("v_ts") &&
+      col("b_ts") <= col("v_ts") + expr("INTERVAL 30 minutes")
+    val batchOuter = views(ev).join(buys(ev), cond, "left_outer")
+    val batchMatched = batchOuter.filter(col("b_id").isNotNull)
+      .select("v_id", "b_id").as[(Long, Long)].collect().toSet
+    val batchUnmatched = batchOuter.filter(col("b_id").isNull)
+      .select("v_id").as[Long].collect().toSet
+    assert(batchUnmatched.nonEmpty, "fixture must contain abandoned funnels")
+    // Unmatched views provably closed by a watermark the stream ACTED on
+    // must have emitted by stream end. The last file's own watermark only
+    // flushes via a trailing no-data batch (timing Spark doesn't
+    // guarantee at AvailableNow termination), so the conservative bound
+    // is the second-to-last file's horizon: anything older than
+    // (day-20 cut) - lateness - within emitted while batch 3 processed.
+    // Younger unmatched views may legitimately still be buffered.
+    val closedBySec = 1704067200L + 20 * 86400L - (10 + 30 + 1) * 60
+    val mustEmit = views(ev)
+      .filter(col("v_ts").cast("long") < closedBySec &&
+        col("v_id").isin(batchUnmatched.toSeq: _*))
+      .select("v_id").as[Long].collect().toSet
+
+    // Reuse the three time-ordered files written by the inner-join test's
+    // layout: rebuild them here so this test stands alone.
+    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+    val srcDir = tmpDir("ssjo-src")
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val jan1Ns = 1704067200L * 1000 * 1000 * 1000
+    val cuts = Seq(jan1Ns + 10 * dayNs, jan1Ns + 20 * dayNs, Long.MaxValue)
+    cuts.zipWithIndex.foreach { case (hi, i) =>
+      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val stage = tmpDir(s"ssjo-stage$i")
+      raw.filter(col("ts") >= lo && col("ts") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir, f"$i%02d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    def src(): DataFrame = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val q = StreamingSync.streamJoin(
+      views(src()), buys(src()),
+      leftKey = "v_user", rightKey = "b_user",
+      leftTs = "v_ts", rightTs = "b_ts",
+      within = "30 minutes", lateness = "10 minutes",
+      joinType = "left_outer")
+      .select("v_id", "b_id")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ssjo-ckpt"))
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssjo_out")
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.sql("SELECT * FROM ssjo_out").collect()
+    val gotMatched = rows.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotUnmatched = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(gotMatched == batchMatched, "matched pairs must equal the batch inner join")
+    assert(gotUnmatched.subsetOf(batchUnmatched),
+      s"false abandonments emitted: ${(gotUnmatched -- batchUnmatched).take(5)}")
+    assert(mustEmit.subsetOf(gotUnmatched),
+      s"watermark-closed abandonments missing: ${(mustEmit -- gotUnmatched).take(5)}")
+  }
+
   test("streamJoin refuses ambiguous column names") {
     val df = Seq((1L, 1L)).toDF("k", "ts")
     val e = intercept[IllegalArgumentException] {
