@@ -361,6 +361,36 @@ object MediaCodecs {
     // SOI marker: every JPEG stream starts FF D8.
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
       return None
+    decodeImageIO(bytes)
+  }
+
+  /** GIF via the same JDK plugin registry (LZW + 256-color palette —
+    * lossless for palette-sized fixtures; real GIFs quantize at ENCODE
+    * time, so decode is exact w.r.t. the stored frame).
+    */
+  def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    // GIF87a/GIF89a signature.
+    if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+      return None
+    decodeImageIO(bytes)
+  }
+
+  /** TIFF via the JDK plugin (bundled since Java 9). */
+  def decodeTiff(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    // Little- or big-endian TIFF magic: II*\0 or MM\0*.
+    val ok = bytes.length >= 8 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+        (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))
+    if (!ok) return None
+    decodeImageIO(bytes)
+  }
+
+  /** Shared imageio decode path: dimension peek BEFORE raster decode
+    * (bomb guard), per-row bulk pixel read, the standard 8 features.
+    * Which formats land here is decided by the magic-byte gates above —
+    * the registry itself would happily sniff anything it knows.
+    */
+  private def decodeImageIO(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
