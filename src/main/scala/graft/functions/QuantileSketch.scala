@@ -99,7 +99,16 @@ object QuantileSketch {
       extends Aggregator[Array[Byte], QuantileSummaries, Array[Byte]] {
     def zero: QuantileSummaries = empty(relativeError)
     def reduce(b: QuantileSummaries, bytes: Array[Byte]): QuantileSummaries =
-      if (bytes == null) b else b.compress().merge(fromBytes(bytes))
+      if (bytes == null) b
+      else {
+        val other = fromBytes(bytes)
+        // A persisted sketch carries its own ε; silently merging a looser
+        // sketch would void the stated error bound — fail loudly instead.
+        require(other.relativeError == relativeError,
+          s"sketch relativeError mismatch: persisted ${other.relativeError}, " +
+            s"configured $relativeError — rebuild the state with one epsilon")
+        b.compress().merge(other)
+      }
     def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
       a.compress().merge(b.compress())
     def finish(b: QuantileSummaries): Array[Byte] = toBytes(b)

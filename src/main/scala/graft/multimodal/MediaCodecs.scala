@@ -444,6 +444,244 @@ object MediaCodecs {
     }
   }
 
+  // ------------------------------------------------------- MP3 metadata
+  // Full MP3 DECODE needs a synthesis filterbank no JDK ships — that
+  // remains the documented external-library boundary. But the CONTAINER
+  // is public-format header walking, the same class as the WAV/PNG
+  // parsing above: every MPEG audio frame announces its version, layer,
+  // bitrate, sample rate, and (implicitly) byte length in a 4-byte
+  // header, so duration/bitrate/channel metadata — what a corpus
+  // pipeline actually filters on — comes from a linear frame walk with
+  // zero dependencies.
+
+  private val Mp3BitrateKbpsV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3BitrateKbpsV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000, -1)
+
+  /** MPEG audio (Layer III) metadata: (channels, sampleRate, 8 features:
+    * duration seconds, mean bitrate kbps, frame count, VBR flag,
+    * 0×4). A leading ID3v2 tag is skipped (size is syncsafe); a trailing
+    * ID3v1 block ("TAG", 128 bytes) ends the walk cleanly. None if no
+    * valid frame sequence is found — truncated mid-frame data, garbage,
+    * or a reserved version/bitrate/samplerate code all fail totality-
+    * style, never throw.
+    */
+  def parseMp3Meta(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    var off = 0L
+    // ID3v2 header: "ID3" vv flags size(4 × 7-bit syncsafe).
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10L + size
+    }
+    var frames = 0L
+    var samples = 0L
+    var rateSum = 0.0
+    var firstRate = -1
+    var firstBitrate = -1
+    var vbr = false
+    var channels = -1
+    var sampleRate = -1
+    while (off + 4 <= bytes.length) {
+      val b1 = bytes(off.toInt) & 0xFF
+      val b2 = bytes(off.toInt + 1) & 0xFF
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) {
+        // Not a frame sync. Trailing ID3v1 ("TAG" + 125 bytes) after ≥1
+        // frame is the one tolerated coda; anything else is malformation.
+        if (frames > 0 && off + 3 <= bytes.length &&
+          bytes(off.toInt) == 'T' && bytes(off.toInt + 1) == 'A' && bytes(off.toInt + 2) == 'G')
+          return finishMp3(frames, samples, rateSum, vbr, channels, sampleRate)
+        return None
+      }
+      val versionBits = (b2 >> 3) & 0x3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+      val layerBits = (b2 >> 1) & 0x3   // 1=Layer III
+      if (versionBits == 1 || layerBits != 1) return None
+      val b3 = bytes(off.toInt + 2) & 0xFF
+      val bitrateIdx = (b3 >> 4) & 0xF
+      val rateIdx = (b3 >> 2) & 0x3
+      val padding = (b3 >> 1) & 0x1
+      val kbps =
+        (if (versionBits == 3) Mp3BitrateKbpsV1L3 else Mp3BitrateKbpsV2L3)(bitrateIdx)
+      val baseRate = Mp3SampleRateV1.lift(rateIdx).getOrElse(-1)
+      if (kbps <= 0 || baseRate <= 0) return None // free-format/reserved codes
+      val rate = versionBits match {
+        case 3 => baseRate      // MPEG1
+        case 2 => baseRate / 2  // MPEG2
+        case _ => baseRate / 4  // MPEG2.5
+      }
+      val b4 = bytes(off.toInt + 3) & 0xFF
+      val chans = if (((b4 >> 6) & 0x3) == 3) 1 else 2 // 3 = mono
+      val samplesPerFrame = if (versionBits == 3) 1152 else 576
+      val frameLen = samplesPerFrame / 8 * kbps * 1000 / rate + padding
+      if (frameLen < 4 || off + frameLen > bytes.length) return None // truncated frame
+      if (frames == 0) { firstRate = rate; firstBitrate = kbps; channels = chans; sampleRate = rate }
+      else if (rate != firstRate || chans != channels) return None // mid-stream format change
+      if (kbps != firstBitrate) vbr = true
+      frames += 1
+      samples += samplesPerFrame
+      rateSum += kbps
+      off += frameLen
+    }
+    if (off != bytes.length) return None // dangling partial header
+    finishMp3(frames, samples, rateSum, vbr, channels, sampleRate)
+  }
+
+  private def finishMp3(frames: Long, samples: Long, rateSum: Double, vbr: Boolean,
+                        channels: Int, sampleRate: Int): Option[(Int, Int, Array[Float])] =
+    if (frames == 0) None
+    else Some((channels, sampleRate, Array(
+      (samples.toDouble / sampleRate).toFloat,
+      (rateSum / frames).toFloat,
+      frames.toFloat,
+      if (vbr) 1.0f else 0.0f,
+      0.0f, 0.0f, 0.0f, 0.0f)))
+
+  /** Fixture encoder: a valid constant-bitrate MPEG1 Layer III stream of
+    * `frames` frames (headers real, payload zeros — the parser never
+    * reads past the header, exactly like real duration scanners).
+    */
+  def encodeMp3(frames: Int, bitrateKbps: Int, sampleRate: Int,
+                mono: Boolean = false): Array[Byte] = {
+    val bitrateIdx = Mp3BitrateKbpsV1L3.indexOf(bitrateKbps)
+    val rateIdx = Mp3SampleRateV1.indexOf(sampleRate)
+    require(bitrateIdx > 0 && rateIdx >= 0 && rateIdx < 3,
+      s"unsupported MPEG1 L3 bitrate/rate: $bitrateKbps kbps @ $sampleRate Hz")
+    val frameLen = 144 * bitrateKbps * 1000 / sampleRate
+    val out = new java.io.ByteArrayOutputStream(frames * frameLen)
+    (0 until frames).foreach { _ =>
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xFF.toByte
+      frame(1) = 0xFB.toByte // sync | MPEG1 | Layer III | no CRC
+      frame(2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte
+      frame(3) = (if (mono) 0xC0 else 0x00).toByte
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------- MP4 metadata
+  // Same boundary call as MP3: frame DECODE needs H.264/AAC codecs, but
+  // the ISO BMFF CONTAINER is a public length-prefixed box tree —
+  // `mvhd` carries timescale+duration, `tkhd` carries track dims. A
+  // box walk (with 64-bit largesize support and strict bounds) covers
+  // the metadata pass a multimodal corpus pipeline runs before any
+  // decode fan-out.
+
+  private def be32L(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+  private def be64L(b: Array[Byte], off: Int): Long =
+    (be32L(b, off) << 32) | be32L(b, off + 4)
+  private def boxType(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Child box spans of a container: (typeString, payloadStart, payloadEnd). */
+  private def mp4Children(bytes: Array[Byte], start: Long, end: Long):
+      Option[List[(String, Long, Long)]] = {
+    val out = List.newBuilder[(String, Long, Long)]
+    var off = start
+    while (off < end) {
+      if (off + 8 > end) return None // dangling partial header
+      var size = be32L(bytes, off.toInt)
+      var headerLen = 8L
+      if (size == 1) {
+        if (off + 16 > end) return None
+        size = be64L(bytes, off.toInt + 8)
+        headerLen = 16L
+      } else if (size == 0) size = end - off // "to end of enclosing box"
+      // `size > end - off` (not `off + size > end`): a crafted 64-bit
+      // largesize near Long.MaxValue would wrap the addition negative and
+      // sail through the bounds check into a negative array index.
+      if (size < headerLen || size > end - off) return None // bounds lie
+      out += ((boxType(bytes, off.toInt + 4), off + headerLen, off + size))
+      off += size
+    }
+    Some(out.result())
+  }
+
+  /** MP4/ISO-BMFF metadata: (width, height — the max tkhd dims across
+    * tracks, 0 for audio-only, 8 features: duration seconds
+    * (mvhd duration/timescale), timescale, track count, 0×5). None on
+    * any malformation — missing ftyp/moov/mvhd, truncated box, a size
+    * field pointing outside the blob.
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val top = mp4Children(bytes, 0L, bytes.length.toLong).getOrElse(return None)
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    val (_, moovS, moovE) = top.find(_._1 == "moov").getOrElse(return None)
+    val moov = mp4Children(bytes, moovS, moovE).getOrElse(return None)
+    val (_, mvS, mvE) = moov.find(_._1 == "mvhd").getOrElse(return None)
+    if (mvS + 4 > mvE) return None
+    val mvhdV = bytes(mvS.toInt) & 0xFF
+    // v0: ver/flags 4, creation 4, modification 4, timescale 4, duration 4
+    // v1: ver/flags 4, creation 8, modification 8, timescale 4, duration 8
+    val (timescale, duration) = mvhdV match {
+      case 0 if mvS + 20 <= mvE => (be32L(bytes, mvS.toInt + 12), be32L(bytes, mvS.toInt + 16))
+      case 1 if mvS + 32 <= mvE => (be32L(bytes, mvS.toInt + 20), be64L(bytes, mvS.toInt + 24))
+      case _                    => return None
+    }
+    if (timescale <= 0) return None
+    var width = 0
+    var height = 0
+    var tracks = 0
+    moov.filter(_._1 == "trak").foreach { case (_, tS, tE) =>
+      val trak = mp4Children(bytes, tS, tE).getOrElse(return None)
+      val (_, kS, kE) = trak.find(_._1 == "tkhd").getOrElse(return None)
+      if (kS + 4 > kE) return None
+      // tkhd dims are the LAST 8 payload bytes (16.16 fixed) in both
+      // versions — offset from the end sidesteps the v0/v1 field widths.
+      val tkhdV = bytes(kS.toInt) & 0xFF
+      val needed = if (tkhdV == 0) 84L else 96L
+      if (tkhdV > 1 || kE - kS < needed) return None
+      val w = (be32L(bytes, (kE - 8).toInt) >> 16).toInt
+      val h = (be32L(bytes, (kE - 4).toInt) >> 16).toInt
+      width = math.max(width, w)
+      height = math.max(height, h)
+      tracks += 1
+    }
+    if (tracks == 0) return None
+    Some((width, height, Array(
+      (duration.toDouble / timescale).toFloat,
+      timescale.toFloat, tracks.toFloat, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)))
+  }
+
+  /** Fixture encoder: minimal `ftyp` + `moov(mvhd, trak(tkhd)*)` tree
+    * with real timescale/duration/dims (payload fields beyond those are
+    * zero — the walk never reads them).
+    */
+  def encodeMp4(timescale: Int, duration: Long, trackDims: Seq[(Int, Int)]): Array[Byte] = {
+    def putBe32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write(((v >> 24) & 0xFF).toInt); o.write(((v >> 16) & 0xFF).toInt)
+      o.write(((v >> 8) & 0xFF).toInt); o.write((v & 0xFF).toInt)
+    }
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(8 + payload.length)
+      putBe32(o, 8L + payload.length)
+      o.write(t.getBytes("US-ASCII")); o.write(payload)
+      o.toByteArray
+    }
+    val ftyp = box("ftyp", "isom0000isomiso2".getBytes("US-ASCII"))
+    val mvhdP = new java.io.ByteArrayOutputStream()
+    putBe32(mvhdP, 0) // v0 + flags
+    putBe32(mvhdP, 0); putBe32(mvhdP, 0) // creation, modification
+    putBe32(mvhdP, timescale); putBe32(mvhdP, duration)
+    (0 until 19).foreach(_ => putBe32(mvhdP, 0)) // rate..next_track_ID
+    val traks = trackDims.map { case (w, h) =>
+      val p = new java.io.ByteArrayOutputStream()
+      (0 until 19).foreach(_ => putBe32(p, 0)) // v0 fields through matrix
+      putBe32(p, w.toLong << 16); putBe32(p, h.toLong << 16)
+      box("trak", box("tkhd", p.toByteArray))
+    }
+    val moovP = new java.io.ByteArrayOutputStream()
+    moovP.write(box("mvhd", mvhdP.toByteArray))
+    traks.foreach(moovP.write)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(box("moov", moovP.toByteArray))
+    out.toByteArray
+  }
+
   /** RGB8 JPEG encoder (ImageIO baseline writer, explicit quality) —
     * spec/oracle fixtures synthesize blobs through the real compressor
     * so the decode path under test is the full Huffman/DCT pipeline.

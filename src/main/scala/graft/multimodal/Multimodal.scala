@@ -14,13 +14,14 @@ import graft.core.Tables
   * frame explosion, feature aggregation — is real and tested. The codec
   * step is REAL for every format this JVM can honestly parse
   * ([[MediaCodecs]]: 24bpp BMP pixels, PCM-16 WAV samples,
-  * zlib-compressed PNG via the JDK's own `java.util.zip`, and JPEG via
-  * the JDK's bundled `javax.imageio` plugin — no external libraries)
-  * and STUBBED with a deterministic fake for the codecs that
-  * genuinely need libraries this container doesn't ship (mp3/mp4):
-  * [[decode]] dispatches per row and falls back to `decodeStub`.
-  * Swapping in a further real decoder means adding ONE case to that
-  * dispatch; every plan shape stays identical.
+  * zlib-compressed PNG via the JDK's own `java.util.zip`, JPEG/GIF/TIFF
+  * via the JDK's bundled `javax.imageio` plugins, and MP3/MP4
+  * CONTAINER metadata — duration, bitrate, sample rate, track dims —
+  * via pure-JVM frame-header/box walks). Only mp3/mp4 SAMPLE decode
+  * (needs codec libraries this container doesn't ship) falls back to
+  * the deterministic `decodeStub` fake. Swapping in a further real
+  * decoder means adding ONE case to the [[decode]] dispatch; every
+  * plan shape stays identical.
   *
   * Scale notes: media rows are large — the media table should be written
   * with a small `spark.sql.files.maxPartitionBytes` so a partition of
@@ -91,8 +92,16 @@ object Multimodal {
             case "bmp"          => MediaCodecs.decodeBmp24(m.media)
             case "png"          => MediaCodecs.decodePng(m.media)
             case "jpeg" | "jpg" => MediaCodecs.decodeJpeg(m.media)
+            case "gif"          => MediaCodecs.decodeGif(m.media)
+            case "tiff" | "tif" => MediaCodecs.decodeTiff(m.media)
             case "wav"          => MediaCodecs.decodeWavPcm16(m.media)
-            case _              => None // ??? — mp3/mp4 decoders would go here
+            // mp3/mp4: container-metadata parse (duration/rate/dims) is
+            // real; SAMPLE decode would need codec libraries this
+            // container doesn't ship — that boundary is documented on
+            // [[MediaCodecs.parseMp3Meta]]/[[parseMp4Meta]].
+            case "mp3"          => MediaCodecs.parseMp3Meta(m.media)
+            case "mp4"          => MediaCodecs.parseMp4Meta(m.media)
+            case _              => None // unknown formats fall to the stub
           } catch { case _: RuntimeException => None }
         real match {
           case Some((w, h, feats)) =>
@@ -369,10 +378,71 @@ object Multimodal {
       |  TRUE AS decode_ok
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** The MP3/MP4 CONTAINER metadata path, driver-gated: synthesize a
+    * valid MPEG1-Layer-III stream (even doc_ids) or ISO-BMFF box tree
+    * (odd doc_ids) per document — frame counts, bitrates, timescales,
+    * durations, and track dims all pure integer functions of doc_id —
+    * and run them through the [[decode]] dispatch
+    * ([[MediaCodecs.parseMp3Meta]]/[[parseMp4Meta]], real header/box
+    * walks, not the stub). Every reported value is integer-derived
+    * (duration is one exact-integer division pushed through the q42
+    * float32-rounding contract), so the gate is a FULL hash match: the
+    * stub's md5-derived dims/features cannot track the formulas across
+    * 500 rows.
+    */
+  def containerMetaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 2 == 0) {
+          val frames = 20 + (id % 30).toInt
+          val kbps = Array(64, 96, 128, 160, 192)((id % 5).toInt)
+          val rate = Array(44100, 48000, 32000)((id % 3).toInt)
+          MediaRow(id, "audio", MediaCodecs.encodeMp3(frames, kbps, rate, mono = id % 4 == 0), "mp3")
+        } else {
+          val ts = 600 + (id % 7).toInt * 100
+          val durUnits = ts.toLong * (3 + id % 15) + id % 53
+          val w = 320 + (id % 8).toInt * 16
+          val h = 240 + (id % 6).toInt * 16
+          // A second, smaller track on every 3rd id: max-dims semantics
+          // and the track counter both get exercised.
+          val dims = if (id % 3 == 0) Seq((w, h), (w / 2, h / 2)) else Seq((w, h))
+          MediaRow(id, "video", MediaCodecs.encodeMp4(ts, durUnits, dims), "mp4")
+        }
+      })
+    decode(blobs).toDF()
+      .select(
+        col("media_id"), col("kind"),
+        col("width"), col("height"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("dur_s"),
+        element_at(col("features"), 3).cast("int").as("n_units"))
+  }
+
+  private val containerMetaStatsSql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END
+      |    ELSE 320 + (doc_id % 8) * 16 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+      |    ELSE 240 + (doc_id % 6) * 16 END AS INT) AS height,
+      |  round(CAST(CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN (20 + doc_id % 30) * 1152
+      |      / (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)::DOUBLE
+      |    ELSE ((600 + (doc_id % 7) * 100) * (3 + doc_id % 15) + doc_id % 53)
+      |      / (600 + (doc_id % 7) * 100)::DOUBLE
+      |    END AS FLOAT) AS DOUBLE), 6) AS dur_s,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 20 + doc_id % 30
+      |    WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_units
+      |FROM documents""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)),
     NamedQuery("q41_frame_sample_stats", frameSampleStats _, Some(frameSampleStatsSql)),
     NamedQuery("q42_wav_decode_stats", wavDecodeStats _, Some(wavDecodeStatsSql)),
     NamedQuery("q66_png_decode_stats", pngDecodeStats _, Some(pngDecodeStatsSql)),
-    NamedQuery("q69_jpeg_decode_stats", jpegDecodeStats _, Some(jpegDecodeStatsSql)))
+    NamedQuery("q69_jpeg_decode_stats", jpegDecodeStats _, Some(jpegDecodeStatsSql)),
+    NamedQuery("q71_container_meta_stats", containerMetaStats _, Some(containerMetaStatsSql)))
 }

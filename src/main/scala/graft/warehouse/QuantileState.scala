@@ -77,12 +77,16 @@ object QuantileState {
       .select(groupCols.map(col) ++ pCols: _*)
   }
 
-  /** 0.95 → "p95", 0.999 → "p99_9" (column-name-safe). */
+  /** 0.95 → "p95", 0.999 → "p99_9", 0.9995 → "p99_95" (column-name-safe;
+    * the FULL fractional part survives, so nearby percentiles like 0.951
+    * vs 0.9505 get distinct names instead of colliding).
+    */
   private def pName(p: Double): String = {
-    val pct = p * 100
-    val whole = math.floor(pct).toLong
-    val frac = math.rint((pct - whole) * 10).toLong
-    if (frac == 0) s"p$whole" else s"p${whole}_$frac"
+    val pct = (BigDecimal(p) * 100).bigDecimal.stripTrailingZeros.toPlainString
+    "p" + (pct.split('.') match {
+      case Array(whole)       => whole
+      case Array(whole, frac) => s"${whole}_$frac"
+    })
   }
 
   // ---------------------------------------------------------------- q70
@@ -99,16 +103,20 @@ object QuantileState {
     val orders = graft.core.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").cast("double").as("price"))
-    val statePath =
-      java.nio.file.Files.createTempDirectory("graft-qstate").toString + "/state"
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft-qstate")
+    val statePath = stateRoot.toString + "/state"
     val ps = Seq(0.5, 0.95)
     (0 until 3).foreach { i =>
       update(spark, statePath, orders.filter(col("o_orderkey") % 3 === i),
         Seq("o_orderpriority"), "price", ps)
     }
     // ε=0.01 sketches, 3-batch fold → rank error ≲ 4ε; 5% headroom.
+    // Eager checkpoint so the scratch state dir can be reclaimed NOW
+    // (bench reps + correctness runs would otherwise accumulate in /tmp).
     val est = estimates(spark, statePath, Seq("o_orderpriority"), ps)
+      .localCheckpoint(eager = true)
       .withColumnRenamed("o_orderpriority", "__g")
+    graft.core.Fs.deleteRecursively(stateRoot)
     orders.join(broadcast(est), col("o_orderpriority") === col("__g"))
       .groupBy("o_orderpriority")
       .agg(

@@ -194,6 +194,147 @@ class MediaCodecsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF/TIFF round-trips: dims exact; TIFF lossless matches BMP features; GIF flat-color exact") {
+    def encodeVia(fmt: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0; var k = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            ((rgb(k) & 0xFF) << 16) | ((rgb(k + 1) & 0xFF) << 8) | (rgb(k + 2) & 0xFF))
+          k += 3; x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must ship a $fmt writer")
+      out.toByteArray
+    }
+    val rnd = new Random(51)
+    (1 to 40).foreach { _ =>
+      val w = 1 + rnd.nextInt(17)
+      val h = 1 + rnd.nextInt(17)
+      // TIFF is lossless: arbitrary pixels must reproduce the BMP
+      // features of the same buffer bit-for-bit.
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt().toByte)
+      val tiff = MediaCodecs.decodeTiff(encodeVia("tiff", w, h, rgb)).get
+      val bmp = MediaCodecs.decodeBmp24(MediaCodecs.encodeBmp24(w, h, rgb)).get
+      assert(tiff._1 == w && tiff._2 == h)
+      assert(tiff._3.toSeq == bmp._3.toSeq, s"${w}x$h TIFF/BMP feature divergence")
+      // GIF palettizes at encode; a flat color fits one palette slot so
+      // the stored frame is exact.
+      val cr = rnd.nextInt(256); val cg = rnd.nextInt(256); val cb = rnd.nextInt(256)
+      val flat = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < flat.length) {
+        flat(k) = cr.toByte; flat(k + 1) = cg.toByte; flat(k + 2) = cb.toByte; k += 3
+      }
+      val gif = MediaCodecs.decodeGif(encodeVia("gif", w, h, flat)).get
+      assert(gif._1 == w && gif._2 == h)
+      assert(math.abs(gif._3(1) - cr / 255.0) < 1e-5, s"GIF R ${gif._3(1)} vs ${cr / 255.0}")
+      assert(math.abs(gif._3(2) - cg / 255.0) < 1e-5)
+      assert(math.abs(gif._3(3) - cb / 255.0) < 1e-5)
+    }
+    // Magic-byte gates: a GIF blob through the TIFF gate (and vice versa)
+    // must refuse even though imageio could sniff both.
+    val gifBytes = encodeVia("gif", 4, 4, new Array[Byte](48))
+    val tiffBytes = encodeVia("tiff", 4, 4, new Array[Byte](48))
+    assert(MediaCodecs.decodeTiff(gifBytes).isEmpty)
+    assert(MediaCodecs.decodeGif(tiffBytes).isEmpty)
+  }
+
+  test("MP3 frame walk: duration/bitrate/rate/channels exact; ID3 tags handled; VBR flagged") {
+    val rnd = new Random(52)
+    (1 to 100).foreach { _ =>
+      val frames = 1 + rnd.nextInt(60)
+      val kbps = Array(32, 64, 96, 128, 160, 192, 256, 320)(rnd.nextInt(8))
+      val rate = Array(44100, 48000, 32000)(rnd.nextInt(3))
+      val mono = rnd.nextBoolean()
+      val bytes = MediaCodecs.encodeMp3(frames, kbps, rate, mono)
+      val (ch, r, f) = MediaCodecs.parseMp3Meta(bytes).get
+      assert(ch == (if (mono) 1 else 2) && r == rate)
+      assert(f(0) == (frames.toLong * 1152.0 / rate).toFloat, s"duration $frames@$rate")
+      assert(f(1) == kbps.toFloat && f(2) == frames.toFloat && f(3) == 0.0f)
+      // A leading ID3v2 tag (syncsafe size) and trailing ID3v1 block must
+      // both be stepped over, not break the walk.
+      val id3size = rnd.nextInt(200)
+      val id3v2 = Array[Byte]('I', 'D', '3', 4, 0, 0,
+        ((id3size >> 21) & 0x7F).toByte, ((id3size >> 14) & 0x7F).toByte,
+        ((id3size >> 7) & 0x7F).toByte, (id3size & 0x7F).toByte) ++ new Array[Byte](id3size)
+      val id3v1 = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+      val tagged = MediaCodecs.parseMp3Meta(id3v2 ++ bytes ++ id3v1).get
+      assert(tagged._3(2) == frames.toFloat, "frame count must survive ID3 wrapping")
+    }
+    // Two CBR runs at different bitrates = a VBR stream: flag set, mean
+    // bitrate the frame-weighted mean.
+    val vbr = MediaCodecs.parseMp3Meta(
+      MediaCodecs.encodeMp3(10, 128, 44100) ++ MediaCodecs.encodeMp3(10, 64, 44100)).get
+    assert(vbr._3(3) == 1.0f && vbr._3(1) == 96.0f && vbr._3(2) == 20.0f)
+  }
+
+  test("MP3 walk is total: garbage, truncation, mid-stream format change yield None") {
+    val rnd = new Random(53)
+    (1 to 300).foreach { _ =>
+      val junk = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte)
+      MediaCodecs.parseMp3Meta(junk) // must not throw
+      MediaCodecs.parseMp3Meta(Array(0xFF.toByte, 0xFB.toByte) ++ junk)
+      MediaCodecs.parseMp3Meta("ID3".getBytes("US-ASCII") ++ junk)
+    }
+    val ok = MediaCodecs.encodeMp3(8, 128, 44100)
+    (0 until ok.length).foreach { n =>
+      val r = MediaCodecs.parseMp3Meta(ok.take(n))
+      // Any cut that is not a whole number of frames must fail closed.
+      assert(r.isEmpty || n % (144 * 128 * 1000 / 44100) == 0, s"cut at $n parsed")
+    }
+    // A sample-rate change mid-stream is malformation, not VBR.
+    assert(MediaCodecs.parseMp3Meta(
+      MediaCodecs.encodeMp3(4, 128, 44100) ++ MediaCodecs.encodeMp3(4, 128, 48000)).isEmpty)
+  }
+
+  test("MP4 box walk: timescale/duration/dims/tracks exact") {
+    val rnd = new Random(54)
+    (1 to 100).foreach { _ =>
+      val ts = 1 + rnd.nextInt(100000)
+      val dur = rnd.nextInt(Int.MaxValue).toLong
+      val nTracks = 1 + rnd.nextInt(3)
+      val dims = Seq.fill(nTracks)((rnd.nextInt(4000), rnd.nextInt(4000)))
+      val (w, h, f) = MediaCodecs.parseMp4Meta(MediaCodecs.encodeMp4(ts, dur, dims)).get
+      assert(w == dims.map(_._1).max && h == dims.map(_._2).max)
+      assert(f(0) == (dur.toDouble / ts).toFloat)
+      assert(f(1) == ts.toFloat && f(2) == nTracks.toFloat)
+    }
+  }
+
+  test("MP4 walk is total: garbage, truncation, lying box sizes yield None") {
+    val rnd = new Random(55)
+    (1 to 300).foreach { _ =>
+      val junk = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte)
+      MediaCodecs.parseMp4Meta(junk) // must not throw
+      MediaCodecs.parseMp4Meta(Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII") ++ junk)
+    }
+    val ok = MediaCodecs.encodeMp4(1000, 5000, Seq((640, 480)))
+    (0 until ok.length).foreach(n => MediaCodecs.parseMp4Meta(ok.take(n))) // never throws
+    assert(MediaCodecs.parseMp4Meta(ok.dropRight(1)).isEmpty, "truncated tail must fail closed")
+    // 64-bit largesize near Long.MaxValue: the bounds check must not be
+    // defeated by addition overflow.
+    val bomb = ok.clone()
+    // Rewrite moov's 32-bit size to 1 (= "64-bit size follows") — the
+    // following 8 bytes (mvhd's header) now read as a huge largesize.
+    val moovOff = {
+      var i = 0; var found = -1
+      while (found < 0 && i + 8 <= bomb.length) {
+        if (new String(bomb, i + 4, 4, "US-ASCII") == "moov") found = i
+        else i += 1
+      }
+      found
+    }
+    assert(moovOff >= 0)
+    bomb(moovOff) = 0; bomb(moovOff + 1) = 0; bomb(moovOff + 2) = 0; bomb(moovOff + 3) = 1
+    assert(MediaCodecs.parseMp4Meta(bomb).isEmpty)
+  }
+
   test("PNG zip-bomb headers and truncated streams yield None, never OOM/throw") {
     // 2^15 × 2^15 RGB header claims a 3 GiB raster: must refuse.
     val bomb = {

@@ -83,6 +83,31 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodeWavPcm16(evilWav).isEmpty)
   }
 
+  test("decode() dispatches gif/tiff/mp3/mp4 to the real parsers, not the stub") {
+    def flatImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, 0x804020)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val ds = Seq(
+      (1L, "image", flatImage("gif", 21, 13), "gif"),
+      (2L, "image", flatImage("tiff", 19, 11), "tiff"),
+      (3L, "audio", MediaCodecs.encodeMp3(frames = 25, bitrateKbps = 128, sampleRate = 32000), "mp3"),
+      (4L, "video", MediaCodecs.encodeMp4(timescale = 1000, duration = 7500, Seq((640, 480))), "mp4"))
+      .toDF("media_id", "kind", "media", "declared_format")
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.decode(ds).collect().sortBy(_.media_id)
+    assert(out(0).width == 21 && out(0).height == 13, "gif dims must be real, not md5-derived")
+    assert(out(1).width == 19 && out(1).height == 11)
+    assert(out(2).width == 2 && out(2).height == 32000, "mp3 → (channels, sampleRate)")
+    assert(out(2).features(0) == (25L * 1152.0 / 32000).toFloat, "mp3 duration from frame walk")
+    assert(out(3).width == 640 && out(3).height == 480)
+    assert(out(3).features(0) == 7.5f, "mp4 duration = mvhd duration/timescale")
+  }
+
   test("sampleFrames slices blobs with correct offsets and stride") {
     val frames = Multimodal.sampleFrames(media.filter($"media_id" === 3),
       frameBytes = 16, everyNth = 2).collect()
