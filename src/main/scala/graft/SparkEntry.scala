@@ -18,7 +18,7 @@ object Registry {
       graft.analytics.RatingsSummary.queries ++ graft.analytics.TrainingData.queries ++
       graft.analytics.RangeJoin.queries ++ graft.warehouse.ZOrder.queries ++
       graft.analytics.EventAnalytics.queries ++ graft.warehouse.Scd2.queries ++
-      graft.warehouse.QuantileState.queries
+      graft.warehouse.QuantileState.queries ++ graft.analytics.Profile.queries
 }
 
 object SparkEntry {

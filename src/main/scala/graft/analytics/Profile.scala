@@ -1,0 +1,149 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.NamedQuery
+import graft.core.Tables
+import graft.functions.{FrequentItems, QuantileSketch}
+
+/** One-pass column profiler — the first thing a warehouse user runs on
+  * any new table: per column, null count/fraction, min/max, approximate
+  * distinct count (HLL++), top-k frequent values (Misra–Gries), and for
+  * numeric columns mean/stddev and approximate quantiles (GK sketch) —
+  * computed in a SINGLE scan.
+  *
+  * The one-scan shape is the 100 TB design point: every statistic is a
+  * partial-aggregable function (native HLL/min/max/avg plus this
+  * engine's own mergeable MG and GK typed Aggregators), so the whole
+  * profile is ONE global aggregate — map-side partials, a
+  * rows-×-columns-independent final reduce, no per-column jobs, no
+  * domain-sized hash tables (MG is O(k)/column, GK is O(1/ε)/column).
+  * Profiling an 11-column 100 TB table costs exactly one read of it.
+  *
+  * The per-column pivot happens AFTER aggregation, on the single
+  * result row (explode of an 11-element struct array) — driver-trivial,
+  * never touching the corpus again.
+  */
+object Profile {
+
+  /** Profile every column of `df`: one row per column —
+    * (col_name, dtype, n_rows, n_nulls, null_frac, approx_distinct,
+    * min_num, max_num, min_str, max_str, mean, stddev, top_values,
+    * approx_quantiles). String-ish columns carry min/max as strings
+    * (min_num/max_num null); numeric columns the reverse, plus
+    * mean/stddev/quantiles. `top_values` is the MG summary (approximate
+    * counts, every item with frequency > n/(topCapacity+1) guaranteed
+    * present).
+    */
+  def profile(df: DataFrame, topCapacity: Int = 8,
+              quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+              relativeError: Double = 0.01,
+              distinctRsd: Double = 0.02): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def isNum(f: StructField): Boolean = f.dataType.isInstanceOf[NumericType]
+    def num(f: StructField): Column = col(f.name).cast("double")
+
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +: fields.flatMap { f =>
+        val c = col(f.name)
+        Seq(
+          count(c).as(s"__nn_${f.name}"),
+          approx_count_distinct(c, distinctRsd).as(s"__ad_${f.name}"),
+          min(c).cast("string").as(s"__min_${f.name}"),
+          max(c).cast("string").as(s"__max_${f.name}"),
+          FrequentItems.misraGries(df, c.cast("string"), topCapacity)
+            .as(s"__top_${f.name}")) ++
+          (if (isNum(f)) Seq(
+            min(num(f)).as(s"__minn_${f.name}"),
+            max(num(f)).as(s"__maxn_${f.name}"),
+            avg(num(f)).as(s"__mean_${f.name}"),
+            stddev_samp(num(f)).as(s"__std_${f.name}"),
+            QuantileSketch.sketchAgg(df, num(f), relativeError).as(s"__qs_${f.name}"))
+          else Nil)
+      }
+
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val perCol = fields.map { f =>
+      val n = col("__n")
+      val nn = col(s"__nn_${f.name}")
+      struct(
+        lit(f.name).as("col_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        n.as("n_rows"),
+        (n - nn).as("n_nulls"),
+        when(n > 0, (n - nn).cast("double") / n).otherwise(0.0).as("null_frac"),
+        col(s"__ad_${f.name}").as("approx_distinct"),
+        (if (isNum(f)) col(s"__minn_${f.name}") else nullD).as("min_num"),
+        (if (isNum(f)) col(s"__maxn_${f.name}") else nullD).as("max_num"),
+        (if (isNum(f)) nullS else col(s"__min_${f.name}")).as("min_str"),
+        (if (isNum(f)) nullS else col(s"__max_${f.name}")).as("max_str"),
+        (if (isNum(f)) col(s"__mean_${f.name}") else nullD).as("mean"),
+        (if (isNum(f)) col(s"__std_${f.name}") else nullD).as("stddev"),
+        col(s"__top_${f.name}").as("top_values"),
+        (if (isNum(f))
+          QuantileSketch.queryValues(col(s"__qs_${f.name}"), quantiles)
+        else lit(null).cast(ArrayType(DoubleType, containsNull = false)))
+          .as("approx_quantiles"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  // ---------------------------------------------------------------- q72
+  private val LineitemNumCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val LineitemStrCols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Profiler gate: profile lineitem (the operator under test — ONE
+    * scan), then audit the approximate column against exact distinct
+    * counts computed separately (gate-only work, the q70 pattern). The
+    * hash-compared output is the exact surface — row/null counts,
+    * numeric min/max as doubles, string/timestamp min/max as strings,
+    * exact distincts — plus a boolean `add_ok` asserting HLL++ (rsd
+    * 0.02) landed within 5% of truth for every column. Mean/stddev/
+    * quantiles/top-k stay out of the hash (float-sum order-dependence /
+    * sketch freedom) and are spec-gated instead (ProfileSpec).
+    */
+  def profileLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val prof = profile(li)
+    val exactAggs = (LineitemNumCols ++ LineitemStrCols).map(c =>
+      count_distinct(col(c)).as(c))
+    val exact = li.agg(exactAggs.head, exactAggs.tail: _*)
+    val exactPerCol = (LineitemNumCols ++ LineitemStrCols).map(c =>
+      struct(lit(c).as("col_name"), col(c).as("n_distinct")))
+    val exactRows = exact.select(explode(array(exactPerCol: _*)).as("e")).select(col("e.*"))
+    prof.join(broadcast(exactRows), "col_name")
+      .select(
+        col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        col("n_distinct"),
+        (abs(col("approx_distinct") - col("n_distinct")) <=
+          col("n_distinct").cast("double") * 0.05).as("add_ok"))
+  }
+
+  private val profileLineitemSql: String = {
+    def sel(c: String, numeric: Boolean): String = {
+      val minNum = if (numeric) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val maxNum = if (numeric) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val minStr = if (numeric) "CAST(NULL AS VARCHAR)" else s"CAST(min($c) AS VARCHAR)"
+      val maxStr = if (numeric) "CAST(NULL AS VARCHAR)" else s"CAST(max($c) AS VARCHAR)"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  $minNum AS min_num, $maxNum AS max_num,
+         |  $minStr AS min_str, $maxStr AS max_str,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, TRUE AS add_ok
+         |FROM lineitem""".stripMargin
+    }
+    (LineitemNumCols.map(sel(_, numeric = true)) ++
+      LineitemStrCols.map(sel(_, numeric = false))).mkString("\nUNION ALL\n")
+  }
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q72_profile_lineitem", profileLineitem _, Some(profileLineitemSql)))
+}

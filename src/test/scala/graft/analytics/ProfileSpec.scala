@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.{Explain, SparkSpec}
+
+/** The one-pass profiler: statistic correctness on known data, the
+  * single-scan plan shape (its whole reason to exist), and degenerate
+  * columns (all-null, constant).
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some(10.0), "a"),
+    (2L, Some(20.0), "b"),
+    (3L, Some(30.0), "a"),
+    (4L, None, "a"),
+    (5L, Some(50.0), null)
+  ).toDF("id", "x", "s")
+
+  test("per-column statistics are correct on known data") {
+    val p = Profile.profile(df).collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(p.keySet == Set("id", "x", "s"))
+
+    val id = p("id")
+    assert(id.getAs[Long]("n_rows") == 5 && id.getAs[Long]("n_nulls") == 0)
+    assert(id.getAs[Double]("min_num") == 1.0 && id.getAs[Double]("max_num") == 5.0)
+    assert(id.getAs[String]("dtype") == "bigint")
+    assert(id.getAs[Long]("approx_distinct") == 5, "HLL is exact at tiny cardinality")
+
+    val x = p("x")
+    assert(x.getAs[Long]("n_nulls") == 1)
+    assert(math.abs(x.getAs[Double]("null_frac") - 0.2) < 1e-12)
+    assert(x.getAs[Double]("mean") == 27.5, "mean over non-null values only")
+    assert(x.getAs[Double]("min_num") == 10.0 && x.getAs[Double]("max_num") == 50.0)
+    val q = x.getSeq[Double](x.fieldIndex("approx_quantiles"))
+    assert(q.length == 3 && q(1) >= 10.0 && q(1) <= 50.0, s"p50 inside range: $q")
+
+    val s = p("s")
+    assert(s.getAs[Long]("n_nulls") == 1)
+    assert(s.getAs[String]("min_str") == "a" && s.getAs[String]("max_str") == "b")
+    assert(s.isNullAt(s.fieldIndex("min_num")) && s.isNullAt(s.fieldIndex("mean")))
+    // Small domain ≤ capacity ⇒ MG counts are exact, nulls excluded.
+    assert(s.getAs[Map[String, Long]]("top_values") == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("degenerate columns: all-null and constant") {
+    val d = Seq((1, Option.empty[Double], "k"), (2, Option.empty[Double], "k"))
+      .toDF("id", "dead", "konst")
+    val p = Profile.profile(d).collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val dead = p("dead")
+    assert(dead.getAs[Long]("n_nulls") == 2 && dead.getAs[Double]("null_frac") == 1.0)
+    assert(dead.isNullAt(dead.fieldIndex("min_num")))
+    assert(dead.getAs[Long]("approx_distinct") == 0)
+    assert(p("konst").getAs[Long]("approx_distinct") == 1)
+    assert(p("konst").getAs[Map[String, Long]]("top_values") == Map("k" -> 2L))
+  }
+
+  test("the profile is ONE scan of the input regardless of column count") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val s = Explain.audit(Profile.profile(li))
+    // 11 columns × 7 statistics each — still a single global aggregate:
+    // one scan, one exchange (scans=2 is the AQE stage double-print).
+    assert(s.scans <= 2, s"profiler must stay single-scan: $s")
+    assert(s.shuffles <= 2, s"profiler must stay single-exchange: $s")
+    assert(s.nestedLoops == 0 && s.smj == 0, s"no joins in a profile: $s")
+  }
+}
