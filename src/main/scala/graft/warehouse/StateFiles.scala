@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * half-written. Callers hold the table's [[graft.core.PathLocks]] lock
   * (and optionally the cross-driver [[LeaseLock]]) around both calls.
   */
-private[warehouse] object StateFiles {
+private[graft] object StateFiles {
 
   private def bakPath(p: Path) = new Path(p.getParent, s".bak_${p.getName}")
   private def tmpPath(p: Path) = new Path(p.getParent, s".tmp_${p.getName}")
