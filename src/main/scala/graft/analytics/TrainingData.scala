@@ -557,6 +557,136 @@ object TrainingData {
       |  md5(array_to_string(chunk, ' ')) AS chunk_hash
       |FROM chunks""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** Hashed-feature space for DSIR: unigram+bigram occurrences bucketed
+    * by the first 8 md5 hex digits — both engines parse the same hex, so
+    * bucket membership is portable (the q35 keyHash property, extended
+    * to a modulus).
+    */
+  val DsirBuckets = 256
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): keep the raw-corpus documents whose hashed
+    * n-gram feature distribution most resembles a small TARGET domain.
+    * Bag-of-buckets models with add-one smoothing are fit on both sides
+    * — p(b) on target, q(b) on raw — and each raw document scores
+    * log w(x) = Σ_features [ln p(b(f)) − ln q(b(f))]; the top `keep` by
+    * weight are the resampled set.
+    *
+    * Exactness design (the q49 contract): the per-bucket log ratio is
+    * ONE ln over a ratio of exact integer products —
+    * ln[(t_b+1)(R+B) / ((r_b+1)(T+B))] — floored to integer MICRO-NATS,
+    * so each document's weight is an order-independent integer sum
+    * n_db · lr_b and the output is all-BIGINT, hash-exact in any engine.
+    * Selection ranks on that exact integer (ties broken by id), so the
+    * resampled set is deterministic across engines, runs, and layouts.
+    *
+    * Scale shape: ONE pass over the corpus builds the per-(doc, bucket)
+    * occurrence aggregate; the bucket models, their totals, and the
+    * per-document scores are all derived from that aggregate (the model
+    * fit is a 256-row reduction of it, broadcast back — B = 256 buckets
+    * ≪ vocabulary is the POINT of hashed DSIR: the model stays
+    * machine-sized at 100 TB while a raw n-gram LM would not). Both
+    * consumers share the base aggregate's exchange (AQE reuse), the
+    * corpus never joins itself, and the top-N is a partial-top-k
+    * `orderBy.limit`, never a global sort of the corpus.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, keep: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val b = lit(DsirBuckets.toLong)
+    val base = docs
+      .select(col(idCol), isTarget.as("tgt"),
+        explode(concat(
+          graft.functions.shingleStrings(col(textCol), 1),
+          graft.functions.shingleStrings(col(textCol), 2))).as("f"))
+      .select(col(idCol), col("tgt"),
+        (conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % b).as("b"))
+      .groupBy(col(idCol), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("n_db"))
+    val bucket = base.groupBy("b").agg(
+      sum(when(col("tgt"), col("n_db")).otherwise(0L)).as("t_b"),
+      sum(when(!col("tgt"), col("n_db")).otherwise(0L)).as("r_b"))
+    val tot = bucket.agg(sum("t_b").as("t_tot"), sum("r_b").as("r_tot"))
+    val lr = spark.range(DsirBuckets).toDF("b")
+      .join(broadcast(bucket), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(log(
+          ((coalesce(col("t_b"), lit(0L)) + lit(1L)) * (col("r_tot") + b)).cast("double") /
+          ((coalesce(col("r_b"), lit(0L)) + lit(1L)) * (col("t_tot") + b)).cast("double"))
+          * lit(LmUnat) + lit(0.5)).as("lr_unats"))
+    base.filter(!col("tgt"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(idCol)
+      .agg(sum("n_db").as("n_feats"), sum(col("n_db") * col("lr_unats")).as("w_unats"))
+      .orderBy(col("w_unats").desc, col(idCol))
+      .limit(keep)
+  }
+
+  /** Gated q73: resample the 100 documents most like the `src0` slice
+    * (the target-domain proxy), reporting the exact integer weights and
+    * the deterministic selection rank. The rank window runs on the
+    * already-selected `keep` rows — never a corpus-sized single
+    * partition.
+    */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sel = dsirSelect(docs, col("source") === "src0", keep = 100)
+      .withColumn("sel_rank",
+        row_number().over(Window.orderBy(col("w_unats").desc, col("doc_id"))))
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(broadcast(sel), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_feats"), col("w_unats"), col("sel_rank"))
+  }
+
+  private val dsirResampleSql =
+    s"""WITH ws AS (
+       |  SELECT doc_id, (source = 'src0') AS tgt,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |feat AS (
+       |  SELECT doc_id, tgt, unnest(w) AS f FROM ws
+       |  UNION ALL
+       |  SELECT doc_id, tgt, unnest(list_transform(range(1, greatest(len(w), 1)),
+       |    i -> w[i] || ' ' || w[i+1])) AS f
+       |  FROM ws
+       |),
+       |fb AS (
+       |  SELECT doc_id, tgt, ('0x' || substr(md5(f), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM feat
+       |),
+       |tc AS (SELECT b, count(*) AS t_b FROM fb WHERE tgt GROUP BY 1),
+       |rc AS (SELECT b, count(*) AS r_b FROM fb WHERE NOT tgt GROUP BY 1),
+       |tt AS (SELECT count(*) AS t_tot FROM fb WHERE tgt),
+       |rt AS (SELECT count(*) AS r_tot FROM fb WHERE NOT tgt),
+       |lr AS (
+       |  SELECT bs.b,
+       |    CAST(floor(ln(
+       |      ((coalesce(tc.t_b, 0) + 1) * (rt.r_tot + $DsirBuckets))::DOUBLE /
+       |      ((coalesce(rc.r_b, 0) + 1) * (tt.t_tot + $DsirBuckets))::DOUBLE)
+       |      * $LmUnat + 0.5) AS BIGINT) AS lr_unats
+       |  FROM (SELECT unnest(range($DsirBuckets)) AS b) bs
+       |  LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b
+       |  CROSS JOIN tt CROSS JOIN rt
+       |),
+       |wts AS (
+       |  SELECT doc_id, CAST(sum(n_db) AS BIGINT) AS n_feats,
+       |    CAST(sum(n_db * lr_unats) AS BIGINT) AS w_unats
+       |  FROM (SELECT doc_id, b, count(*) AS n_db FROM fb WHERE NOT tgt GROUP BY 1, 2) db
+       |  JOIN lr USING (b) GROUP BY 1
+       |),
+       |sel AS (
+       |  SELECT doc_id, n_feats, w_unats,
+       |    CAST(row_number() OVER (ORDER BY w_unats DESC, doc_id) AS INTEGER) AS sel_rank
+       |  FROM wts QUALIFY sel_rank <= 100
+       |)
+       |SELECT d.doc_id, d.source, d.lang, s.n_feats, s.w_unats, s.sel_rank
+       |FROM sel s JOIN documents d USING (doc_id)""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),
@@ -568,5 +698,6 @@ object TrainingData {
     NamedQuery("q49_bigram_lm", bigramLm _, Some(bigramLmSql)),
     NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)),
     NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
-    NamedQuery("q52_doc_chunks", (s, d) => docChunks(s, d), Some(docChunksSql)))
+    NamedQuery("q52_doc_chunks", (s, d) => docChunks(s, d), Some(docChunksSql)),
+    NamedQuery("q73_dsir_resample", dsirResample _, Some(dsirResampleSql)))
 }

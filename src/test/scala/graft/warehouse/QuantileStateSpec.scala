@@ -86,6 +86,35 @@ class QuantileStateSpec extends SparkSpec {
       s"snapshot leaked post-swap values: $vs")))
   }
 
+  test("merging sketches persisted at a different epsilon fails loudly") {
+    // A persisted sketch carries its own relativeError; silently merging
+    // into a looser/tighter aggregator would void the stated rank bound.
+    val vals = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val sk = vals.agg(
+      graft.functions.QuantileSketch.sketchAgg(vals, col("v"), 0.01).as("s"))
+    // Same epsilon: merges fine.
+    sk.agg(graft.functions.QuantileSketch.mergeAgg(sk, col("s"), 0.01).as("m")).collect()
+    // Mismatched epsilon: the task must fail with the explicit message,
+    // not produce an estimate with a silently broken bound.
+    val ex = intercept[Exception] {
+      sk.agg(graft.functions.QuantileSketch.mergeAgg(sk, col("s"), 0.05).as("m")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("relativeError mismatch")),
+      s"expected the epsilon guard, got: ${chain(ex).mkString(" | ")}")
+  }
+
+  test("percentile column names keep the full fractional part") {
+    val path = tmpDir("q-pname") + "/state"
+    val fine = Seq(0.5, 0.9995, 0.951, 0.9505)
+    QuantileState.update(spark, path, events, Seq("event_type"), "value", fine)
+    val cols = QuantileState.estimates(spark, path, Seq("event_type"), fine).columns
+    // 0.9995 and 0.951/0.9505 must not collide (the old one-digit
+    // rendering made all three p99_10/p95_1-ish duplicates).
+    assert(cols.toSeq == Seq("event_type", "p50", "p99_95", "p95_1", "p95_05"), cols.toSeq)
+  }
+
   test("update with lease=true acquires and releases the cross-driver lease") {
     val path = tmpDir("q-lease") + "/state"
     QuantileState.update(spark, path, events, Seq("event_type"), "value", Ps,
