@@ -18,7 +18,8 @@ object Registry {
       graft.analytics.RatingsSummary.queries ++ graft.analytics.TrainingData.queries ++
       graft.analytics.RangeJoin.queries ++ graft.warehouse.ZOrder.queries ++
       graft.analytics.EventAnalytics.queries ++ graft.warehouse.Scd2.queries ++
-      graft.warehouse.QuantileState.queries ++ graft.analytics.Profile.queries
+      graft.warehouse.QuantileState.queries ++ graft.analytics.Profile.queries ++
+      graft.analytics.Retrieval.queries
 }
 
 object SparkEntry {
