@@ -143,6 +143,136 @@ object Retrieval {
        |FROM scored
        |QUALIFY rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard way hybrid search combines a sparse (BM25) and a dense
+    * (embedding kNN) ranking without score calibration:
+    * rrf(d) = Σ_lists 1/(K + rank_d), K = 60.
+    *
+    * Exactness: each reciprocal is the INTEGER division
+    * 1e9 div (K + rank) — parts-per-billion units — so fused scores are
+    * exact integer sums and the final ordering (rrf desc, doc_id) is
+    * engine-deterministic, including the genuine cross-rank ties RRF
+    * produces (doc A at ranks (1,2) vs doc B at (2,1) sum identically;
+    * the id tiebreak makes that reproducible instead of flaky).
+    *
+    * Scale shape: fusion's inputs are ALREADY top-k lists — k·queries
+    * rows, broadcast-sized by construction — so the fuse itself is a
+    * tiny outer join + window; all corpus-scale work lives in the
+    * upstream rankers (q74's salted BM25, q19/q20/q28's kNN), which is
+    * the point of fusing on RANKS rather than scores.
+    */
+  val RrfK = 60
+
+  /** Fuse two (query_id, doc_id, rank) top-k lists; top `k` per query.
+    * Docs present in one list only score that list's reciprocal alone —
+    * the other rank stays null in the output for interpretability.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int): DataFrame = {
+    val s = sparse.select(col("query_id"), col("doc_id"), col("rank").as("sparse_rank"))
+    val d = dense.select(col("query_id"), col("doc_id"), col("rank").as("dense_rank"))
+    // `div` = exact integer division (parts-per-billion reciprocals).
+    def w(name: String) =
+      coalesce(expr(s"1000000000L div ($RrfK + $name)"), lit(0L))
+    s.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppb", w("sparse_rank") + w("dense_rank"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf_ppb").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("sparse_rank"), col("dense_rank"), col("rrf_ppb"))
+  }
+
+  /** Gated q75: hybrid search over the aligned documents/embeddings
+    * tables (doc_id ≡ vec_id). Each fixed text query carries an
+    * application-supplied probe vector (vec_id = its position), the two
+    * top-20 lists fuse, and the top-10 fused ranking is hash-gated.
+    */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val probes = BenchQueries.zipWithIndex
+      .map { case ((qid, _), i) => (qid, i.toLong) }.toDF("qid", "probe_vec")
+    val sparse = bm25Rank(Tables.documents(spark, dir),
+      BenchQueries.toDF("query_id", "query_text"), k = 20)
+      .select("query_id", "doc_id", "rank")
+    val dense = Similarity
+      .bruteForceKnn(emb, emb.filter(col("vec_id") < BenchQueries.size), k = 20)
+      .join(broadcast(probes), col("query_id") === col("probe_vec"))
+      .select(col("qid").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(sparse, dense, k = 10)
+  }
+
+  private val probeValues =
+    BenchQueries.zipWithIndex.map { case ((qid, _), i) => s"('$qid', $i)" }.mkString(", ")
+
+  private val hybridSearchSql =
+    s"""WITH q(query_id, query_text) AS (VALUES $bm25Values),
+       |probes(query_id, probe_vec) AS (VALUES $probeValues),
+       |qterms AS (
+       |  SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term FROM q
+       |),
+       |ws AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |toks AS (SELECT doc_id, unnest(w) AS term FROM ws),
+       |tfs AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2
+       |),
+       |dls AS (SELECT doc_id, len(w)::BIGINT AS dl FROM ws),
+       |dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+       |consts AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS t_tok FROM ws),
+       |bm AS (
+       |  SELECT qt.query_id, t.doc_id,
+       |    sum(CAST(floor(
+       |      ln((c.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+       |      * ((t.tf * 2.2::DOUBLE) /
+       |         (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+       |            ((l.dl * c.n_docs)::DOUBLE / c.t_tok))))
+       |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS score_unats
+       |  FROM tfs t
+       |  JOIN qterms qt USING (term)
+       |  JOIN dfs d USING (term)
+       |  JOIN dls l USING (doc_id)
+       |  CROSS JOIN consts c
+       |  GROUP BY 1, 2
+       |),
+       |sparse AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(row_number() OVER
+       |      (PARTITION BY query_id ORDER BY score_unats DESC, doc_id) AS INTEGER) AS sparse_rank
+       |  FROM bm QUALIFY sparse_rank <= 20
+       |),
+       |dense AS (
+       |  SELECT p.query_id, c.vec_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |               c.vec_id) AS INTEGER) AS dense_rank
+       |  FROM probes p
+       |  JOIN embeddings e ON e.vec_id = p.probe_vec
+       |  JOIN embeddings c ON c.vec_id <> p.probe_vec
+       |  QUALIFY dense_rank <= 20
+       |),
+       |fused AS (
+       |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+       |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |    s.sparse_rank, d.dense_rank,
+       |    CAST(coalesce(1000000000 // (${RrfK} + s.sparse_rank), 0)
+       |      + coalesce(1000000000 // (${RrfK} + d.dense_rank), 0) AS BIGINT) AS rrf_ppb
+       |  FROM sparse s FULL OUTER JOIN dense d
+       |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+       |)
+       |SELECT query_id,
+       |  CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY rrf_ppb DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id, sparse_rank, dense_rank, rrf_ppb
+       |FROM fused
+       |QUALIFY rank <= 10""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery("q74_bm25_topdocs", bm25TopDocs _, Some(bm25TopDocsSql)))
+    NamedQuery("q74_bm25_topdocs", bm25TopDocs _, Some(bm25TopDocsSql)),
+    NamedQuery("q75_hybrid_search", hybridSearch _, Some(hybridSearchSql)))
 }

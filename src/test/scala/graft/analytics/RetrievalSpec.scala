@@ -60,6 +60,29 @@ class RetrievalSpec extends SparkSpec {
     assert(hits == Map(1L -> 2L, 2L -> 1L), hits.toString)
   }
 
+  test("rrfFuse: both-list docs outrank single-list docs; ranks stay inspectable") {
+    val sparse = Seq(("q", 10L, 1), ("q", 20L, 2), ("q", 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq(("q", 20L, 1), ("q", 40L, 2), ("q", 10L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(sparse, dense, k = 10)
+      .orderBy("rank").collect()
+    // 10: 1/61+1/63, 20: 1/62+1/61 — 20 wins (1/62 > 1/63); 30/40 single-list.
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(20L, 10L, 40L, 30L))
+    val d30 = out.find(_.getAs[Long]("doc_id") == 30L).get
+    assert(d30.getAs[Integer]("dense_rank") == null && d30.getAs[Int]("sparse_rank") == 3)
+    assert(d30.getAs[Long]("rrf_ppb") == 1000000000L / 63)
+  }
+
+  test("rrfFuse: the symmetric cross-rank tie breaks on doc_id, deterministically") {
+    // A at (1,2), B at (2,1): identical integer sums by construction.
+    val sparse = Seq(("q", 5L, 1), ("q", 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq(("q", 3L, 1), ("q", 5L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(sparse, dense, k = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("rrf_ppb")).distinct.length == 1, "must tie exactly")
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 5L), "id tiebreak")
+  }
+
   test("salted two-phase top-k equals the plain per-query window exactly") {
     // 200 docs with word counts spread so scores are dense; every salt
     // bucket is populated (doc_id mod 16), so the partial phase prunes
