@@ -40,12 +40,20 @@ object Bench {
     } catch { case _: Exception => "[]" }
 
   /** Best-known per-query min from every committed bench artifact in the
-    * repo, keyed by the `qNN` prefix. Tolerant by construction: it greps
-    * `"qNN[_name]":<number>` pairs out of whatever JSON/tail text the
-    * files hold, so a missing or driver-reformatted artifact just
-    * contributes nothing.
+    * repo THAT RAN AT THIS SCALE, keyed by the `qNN` prefix. Tolerant by
+    * construction: it greps `"qNN[_name]":<number>` pairs out of whatever
+    * JSON/tail text the files hold, so a missing or driver-reformatted
+    * artifact just contributes nothing. Scale matching matters: a
+    * BENCH_DETAIL.json left behind by an sf0.001 dev run would otherwise
+    * set ~10× too-low floors and spuriously re-rep the whole sf0.1 suite
+    * (the driver writes `"sf": 0.1`; our line/detail write the dir path —
+    * both markers are accepted, an unmarked file sets floors for nothing).
     */
-  private def bestKnownMins(): Map[String, Double] = {
+  private def bestKnownMins(sfDir: String): Map[String, Double] = {
+    val sfNum = java.nio.file.Paths.get(sfDir).getFileName.toString.stripPrefix("sf")
+    def sameScale(text: String): Boolean =
+      text.contains(s""""sf":"$sfDir"""") ||
+        text.contains(s""""sf":$sfNum,""") || text.contains(s""""sf": $sfNum,""")
     val pair = """"(q\d+)[a-z0-9_]*":(\d+(?:\.\d+)?)""".r
     val files =
       try {
@@ -59,7 +67,8 @@ object Bench {
     files.flatMap { p =>
       try {
         val text = java.nio.file.Files.readString(p)
-        pair.findAllMatchIn(text)
+        if (!sameScale(text)) Nil
+        else pair.findAllMatchIn(text)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter(_._2 > 0) // a recorded -1 (failed rep) is not a floor
           .toList
@@ -74,7 +83,7 @@ object Bench {
     // Explicit env var is a HARD cap (REPS=1 must mean 1); the adaptive
     // stabilization headroom applies only to the default protocol.
     val maxReps = if (repsExplicit) reps else reps.max(6)
-    val priorMins = bestKnownMins()
+    val priorMins = bestKnownMins(sfDir)
     val loadPre = loadavg()
     val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 

@@ -416,6 +416,103 @@ object TextAnalysis {
       |GROUP BY t.token
       |HAVING count(*)::DOUBLE >= max(tot.total)::DOUBLE * 0.01""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Token salience per corpus slice — Dunning's log-likelihood keyness
+    * (Dunning 1993, "Accurate Methods for the Statistics of Surprise and
+    * Coincidence"): for each (source, term), the G² statistic of the 2×2
+    * contingency table (term-in-source vs term-elsewhere), the standard
+    * way to ask "which tokens characterize this slice vs the corpus" —
+    * the drift/quality monitor a mixture pipeline runs per source before
+    * reweighting.
+    *
+    * Exactness: all four cells derive from exact integer counts
+    * (a = c_st, source total c_s, term total c_t, corpus total N); G² is
+    * ONE fixed double-op sequence per row (casts before multiplies, so
+    * nothing overflows at any N), floored to integer micro-nats —
+    * order-independent and engine-identical. Over/under direction is a
+    * double-compare of the same casts.
+    *
+    * Scale shape: per-(source,term) counts equi-join the vocab-sized
+    * term totals; source totals and N are tiny broadcasts. The top-k
+    * window partitions by source over per-source DISTINCT-term lists —
+    * bounded by vocabulary, which is machine-sized regardless of corpus
+    * rows (the corpus itself never re-shuffles after the first count).
+    */
+  def tokenSalience(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("source"),
+      explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
+    val cst = toks.groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val cs = toks.groupBy("source").agg(count(lit(1)).as("c_s"))
+    val ct = toks.groupBy("term").agg(count(lit(1)).as("c_t"))
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    // G² = 2·Σ O·ln(O/E) over the 2×2 table; 0·ln0 terms drop out.
+    def cell(o: Column, row: Column, colm: Column, nn: Column): Column =
+      when(o > 0, o.cast("double") *
+        log((o.cast("double") * nn.cast("double")) /
+          (row.cast("double") * colm.cast("double")))).otherwise(lit(0.0))
+    val a = col("a"); val b = col("c_t") - col("a")
+    val c = col("c_s") - col("a")
+    val d = col("n_tok") - col("c_s") - col("c_t") + col("a")
+    val nOut = col("n_tok") - col("c_s")
+    val tOut = col("n_tok") - col("c_t")
+    val g2 = lit(2.0) * (
+      cell(a, col("c_s"), col("c_t"), col("n_tok")) +
+      cell(b, nOut, col("c_t"), col("n_tok")) +
+      cell(c, col("c_s"), tOut, col("n_tok")) +
+      cell(d, nOut, tOut, col("n_tok")))
+    val over = (a.cast("double") * col("n_tok").cast("double")) >
+      (col("c_s").cast("double") * col("c_t").cast("double"))
+    val scored = cst
+      .join(broadcast(cs), Seq("source"))
+      .join(ct, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("term"), col("a").as("n_in_source"),
+        col("c_t").as("n_corpus"), over.as("over_represented"),
+        floor(g2 * lit(1000000.0) + lit(0.5)).cast("long").as("g2_unats"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("source")
+        .orderBy(col("g2_unats").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select("source", "rank", "term", "n_in_source", "n_corpus",
+        "over_represented", "g2_unats")
+  }
+
+  private val tokenSalienceSql =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> x <> '')) AS term
+      |  FROM documents
+      |),
+      |cst AS (SELECT source, term, count(*) AS a FROM toks GROUP BY 1, 2),
+      |cs AS (SELECT source, count(*) AS c_s FROM toks GROUP BY 1),
+      |ct AS (SELECT term, count(*) AS c_t FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n_tok FROM toks),
+      |scored AS (
+      |  SELECT cst.source, cst.term, a AS n_in_source, c_t AS n_corpus,
+      |    (a::DOUBLE * n_tok::DOUBLE) > (c_s::DOUBLE * c_t::DOUBLE) AS over_represented,
+      |    CAST(floor(2.0::DOUBLE * (
+      |      CASE WHEN a > 0 THEN a::DOUBLE *
+      |        ln((a::DOUBLE * n_tok::DOUBLE) / (c_s::DOUBLE * c_t::DOUBLE)) ELSE 0.0 END
+      |      + CASE WHEN c_t - a > 0 THEN (c_t - a)::DOUBLE *
+      |        ln(((c_t - a)::DOUBLE * n_tok::DOUBLE) /
+      |           ((n_tok - c_s)::DOUBLE * c_t::DOUBLE)) ELSE 0.0 END
+      |      + CASE WHEN c_s - a > 0 THEN (c_s - a)::DOUBLE *
+      |        ln(((c_s - a)::DOUBLE * n_tok::DOUBLE) /
+      |           (c_s::DOUBLE * (n_tok - c_t)::DOUBLE)) ELSE 0.0 END
+      |      + CASE WHEN n_tok - c_s - c_t + a > 0 THEN (n_tok - c_s - c_t + a)::DOUBLE *
+      |        ln(((n_tok - c_s - c_t + a)::DOUBLE * n_tok::DOUBLE) /
+      |           ((n_tok - c_s)::DOUBLE * (n_tok - c_t)::DOUBLE)) ELSE 0.0 END
+      |    ) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS g2_unats
+      |  FROM cst JOIN cs USING (source) JOIN ct USING (term) CROSS JOIN n
+      |)
+      |SELECT source, rank, term, n_in_source, n_corpus, over_represented, g2_unats
+      |FROM (
+      |  SELECT *, CAST(row_number() OVER
+      |    (PARTITION BY source ORDER BY g2_unats DESC, term) AS INTEGER) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
@@ -424,5 +521,6 @@ object TextAnalysis {
     NamedQuery("q43_repetition_quality", repetitionQuality _, Some(repetitionQualitySql)),
     NamedQuery("q46_tfidf_terms", (s, d) => tfIdfTopTerms(s, d), Some(tfIdfTopTermsSql)),
     NamedQuery("q54_vocab_coverage", vocabCoverageByLang _, Some(vocabCoverageSql)),
-    NamedQuery("q58_heavy_tokens", heavyTokens _, Some(heavyTokensSql)))
+    NamedQuery("q58_heavy_tokens", heavyTokens _, Some(heavyTokensSql)),
+    NamedQuery("q77_token_salience", (s, d) => tokenSalience(s, d), Some(tokenSalienceSql)))
 }

@@ -1,0 +1,106 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.core.Tables
+
+/** Time-series regularization: densify an irregular per-key series onto
+  * a fixed calendar grid and carry the last observation forward — the
+  * resample/ffill step every downstream window, lag, or feature
+  * computation assumes has already happened. (The reference's reporting
+  * queries group by day and silently skip empty days; this operator is
+  * the explicit, correct version of that gap.)
+  *
+  * Scale shape: the dense grid is generated PER KEY — one `sequence()`
+  * row per key, exploded — so grid size is rows-out, never a cross
+  * join against a global calendar. The observed series, the grid, and
+  * the forward-fill window all hash-partition on the key, so the whole
+  * operator is one key-shuffle reused by join + window; no global sort,
+  * no driver-side calendar. Grids are bounded by each key's own
+  * [min, max] span, not the corpus's.
+  */
+object TimeSeries {
+
+  /** Densify `observed` (one row per (key, period) — `periodCol` must
+    * already be truncated to the grid step) onto every `stepDays`-spaced
+    * period between each key's first and last observation, then
+    * forward-fill `fillCols`. Adds `observed` (was this period present)
+    * and `gap_age` (periods since the last real observation, 0 when
+    * observed).
+    */
+  def gapFillForward(observed: DataFrame, keyCol: String, periodCol: String,
+                     stepDays: Int, fillCols: Seq[String]): DataFrame = {
+    val grid = observed.groupBy(col(keyCol))
+      .agg(min(col(periodCol)).as("__lo"), max(col(periodCol)).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
+        expr(s"interval $stepDays days"))).as(periodCol))
+    val w = Window.partitionBy(keyCol).orderBy(periodCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = grid.join(observed, Seq(keyCol, periodCol), "left")
+      .withColumn("observed", col(fillCols.head).isNotNull)
+      .withColumn("__obs_p", when(col("observed"), col(periodCol)))
+    val filled = fillCols.foldLeft(marked) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled
+      .withColumn("gap_age", (datediff(col(periodCol),
+        last(col("__obs_p"), ignoreNulls = true).over(w)) / stepDays).cast("int"))
+      .drop("__obs_p")
+  }
+
+  // ---------------------------------------------------------------- q76
+  /** Gated face: weekly order revenue per sampled customer, densified
+    * over each customer's active span with forward-filled totals.
+    * Exactness: revenue is summed in integer CENTS (o_totalprice carries
+    * exactly 2 decimals, so `round(x*100)` is drift-free), making the
+    * groupBy order-independent; the grid weeks are Monday-truncated on
+    * both engines and stride-7 aligned, so the calendars are identical.
+    */
+  def weeklyGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 20 === 0)
+      .groupBy(col("o_custkey").as("custkey"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("week_cents"),
+        count(lit(1)).as("week_orders"))
+    gapFillForward(weekly, "custkey", "week", 7,
+      Seq("week_cents", "week_orders"))
+      .select(col("custkey"),
+        date_format(col("week"), "yyyy-MM-dd").as("week_start"),
+        col("observed"), col("week_cents"), col("week_orders"), col("gap_age"))
+  }
+
+  private val weeklyGapfillSql =
+    """WITH weekly AS (
+      |  SELECT o_custkey AS custkey,
+      |    date_trunc('week', o_orderdate)::DATE AS week,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS week_cents,
+      |    count(*) AS week_orders
+      |  FROM orders WHERE o_custkey % 20 = 0 GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT custkey, unnest(generate_series(min(week), max(week),
+      |    INTERVAL 7 DAY))::DATE AS week
+      |  FROM weekly GROUP BY custkey
+      |),
+      |marked AS (
+      |  SELECT g.custkey, g.week,
+      |    w.week_cents IS NOT NULL AS observed,
+      |    w.week_cents, w.week_orders,
+      |    CASE WHEN w.week_cents IS NOT NULL THEN g.week END AS obs_p
+      |  FROM grid g LEFT JOIN weekly w USING (custkey, week)
+      |)
+      |SELECT custkey, strftime(week, '%Y-%m-%d') AS week_start, observed,
+      |  last_value(week_cents IGNORE NULLS) OVER win AS week_cents,
+      |  last_value(week_orders IGNORE NULLS) OVER win AS week_orders,
+      |  CAST(date_diff('day', last_value(obs_p IGNORE NULLS) OVER win, week) / 7 AS INTEGER) AS gap_age
+      |FROM marked
+      |WINDOW win AS (PARTITION BY custkey ORDER BY week
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q76_weekly_gapfill", weeklyGapfill _, Some(weeklyGapfillSql)))
+}

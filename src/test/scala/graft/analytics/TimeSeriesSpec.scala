@@ -1,0 +1,66 @@
+package graft.analytics
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("gapFillForward: densifies to the per-key span and carries values forward") {
+    // Key A observes weeks 0 and 3 of a 4-week span; key B observes once.
+    val observed = Seq(
+      ("a", d("2024-01-01"), 10L, 1L),
+      ("a", d("2024-01-22"), 40L, 2L),
+      ("b", d("2024-02-05"), 7L, 1L))
+      .toDF("k", "week", "cents", "n")
+    val out = TimeSeries.gapFillForward(observed, "k", "week", 7, Seq("cents", "n"))
+      .orderBy("k", "week").collect()
+
+    assert(out.length == 5, "a spans 4 weeks, b spans 1")
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getAs[Date]("week").toString).toSeq ==
+      Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"))
+    assert(a.map(_.getAs[Long]("cents")).toSeq == Seq(10L, 10L, 10L, 40L))
+    assert(a.map(_.getAs[Boolean]("observed")).toSeq ==
+      Seq(true, false, false, true))
+    assert(a.map(_.getAs[Int]("gap_age")).toSeq == Seq(0, 1, 2, 0))
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.map(_.getAs[Long]("cents")).toSeq == Seq(7L) &&
+      b.head.getAs[Int]("gap_age") == 0)
+  }
+
+  test("gapFillForward: fill columns move independently but share the observed flag") {
+    val observed = Seq(
+      ("k", d("2024-03-04"), 5L, 100L),
+      ("k", d("2024-03-18"), 9L, 300L))
+      .toDF("k", "week", "x", "y")
+    val out = TimeSeries.gapFillForward(observed, "k", "week", 7, Seq("x", "y"))
+      .orderBy("week").collect()
+    assert(out.map(_.getAs[Long]("x")).toSeq == Seq(5L, 5L, 9L))
+    assert(out.map(_.getAs[Long]("y")).toSeq == Seq(100L, 100L, 300L))
+    assert(out.map(_.getAs[Boolean]("observed")).toSeq == Seq(true, false, true))
+  }
+
+  test("weeklyGapfill: grid length per key is exactly span/7 + 1 and keys are the sampled set") {
+    val out = TimeSeries.weeklyGapfill(spark, "/root/testdata/sf0.01")
+    val perKey = out.groupBy("custkey")
+      .agg(count(lit(1)).as("n"),
+        min("week_start").as("lo"), max("week_start").as("hi"),
+        sum(when(col("observed"), 1L).otherwise(0L)).as("n_obs"))
+      .collect()
+    assert(perKey.nonEmpty)
+    perKey.foreach { r =>
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(r.getAs[String]("lo")),
+        java.time.LocalDate.parse(r.getAs[String]("hi")))
+      assert(r.getAs[Long]("n") == span / 7 + 1, s"dense grid for ${r.get(0)}")
+      assert(r.getAs[Long]("n_obs") >= 1)
+      assert(r.getAs[Long]("custkey") % 20 == 0)
+    }
+  }
+}
