@@ -247,6 +247,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops <= 4, s"q68 grew a real nested loop: $s")
   }
 
+  test("q71 container metadata stays a single-scan mapPartitions pipeline") {
+    val s = stats("q71_container_meta_stats")
+    assert(s.scans <= 1 && s.shuffles == 0, s"q71 regressed: $s")
+  }
+
+  test("q72 profiler keeps the whole profile in one scan + one exchange") {
+    val s = stats("q72_profile_lineitem")
+    // singleParts carries the ONE-ROW profile/pivot exchanges (audited 4);
+    // a per-column re-scan would blow scans through the ceiling.
+    assert(s.scans <= 4 && s.shuffles <= 12, s"q72 must stay one-pass: $s")
+  }
+
+  test("q73 DSIR keeps the bucket models broadcast (corpus never self-joins)") {
+    val s = stats("q73_dsir_resample")
+    assert(s.broadcast >= 2 && s.smj == 0 && s.nestedLoops <= 2,
+      s"q73 bucket-model joins must stay broadcast: $s")
+    assert(s.shuffles <= 30, s"q73 shuffles regressed: $s") // audited 22
+  }
+
+  test("q74 BM25 keeps query terms/df/consts broadcast and the top-k salted") {
+    val s = stats("q74_bm25_topdocs")
+    assert(s.broadcast >= 4 && s.smj == 0 && s.nestedLoops <= 2,
+      s"q74 postings restriction must stay broadcast: $s")
+    assert(s.shuffles <= 40, s"q74 shuffles regressed: $s") // audited 31
+  }
+
+  test("q75 hybrid fusion stays a top-k-sized join over the two rankers") {
+    val s = stats("q75_hybrid_search")
+    // nestedLoops ≤4: the one-row consts join (q74) + the broadcast
+    // query-probe loop (q19 pattern), AQE-doubled; smj ≤2 is the dls join.
+    assert(s.nestedLoops <= 4 && s.smj <= 2, s"q75 regressed: $s")
+    assert(s.shuffles <= 52, s"q75 shuffles regressed: $s") // audited 43
+  }
+
+  test("q76 gap-fill generates the grid per key — no global calendar join") {
+    val s = stats("q76_weekly_gapfill")
+    assert(s.nestedLoops == 0 && s.singleParts == 0,
+      s"q76 must never cross-join a calendar or single-partition: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8, s"q76 regressed: $s") // audited 6
+  }
+
+  test("q77 salience joins vocab-sized totals; source totals stay broadcast") {
+    val s = stats("q77_token_salience")
+    assert(s.broadcast >= 2 && s.smj == 0 && s.nestedLoops <= 2,
+      s"q77 totals joins must stay broadcast: $s")
+    assert(s.shuffles <= 22, s"q77 shuffles regressed: $s") // audited 16
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join
