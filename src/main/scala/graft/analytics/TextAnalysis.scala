@@ -513,6 +513,84 @@ object TextAnalysis {
       |  FROM scored) t
       |WHERE rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Term co-occurrence + pointwise mutual information (Church & Hanks
+    * 1990) — which token pairs appear together in documents far more
+    * than chance: pmi(x,y) = ln(N·c_xy / (c_x·c_y)) over document-level
+    * co-occurrence, the standard association statistic behind collocation
+    * mining and phrase induction.
+    *
+    * Exactness: c_xy/c_x/c_y/N are exact integer document counts; PMI is
+    * one ln over cast-to-double integer products (overflow-free), floored
+    * to micro-nats; ranking ties break on the pair itself.
+    *
+    * Scale shape: the pair space is generated per document by a doc-keyed
+    * self-join of DISTINCT doc terms — work ∝ Σ_d t_d² (t_d = distinct
+    * terms per doc, bounded by doc length and vocabulary), never corpus²;
+    * the co-occurrence counts then aggregate by pair. A min-support gate
+    * (c_xy ≥ 5) drops the rare-pair noise PMI is known to amplify, and
+    * the final top-k window runs over the vocab²-bounded pair table, not
+    * the corpus.
+    */
+  def pmiPairs(spark: SparkSession, dir: String, minPairDocs: Int = 5,
+               k: Int = 50): DataFrame =
+    pmiPairsOf(Tables.documents(spark, dir), minPairDocs, k)
+
+  def pmiPairsOf(docs: DataFrame, minPairDocs: Int, k: Int): DataFrame = {
+    val docTerms = docs
+      .select(col("doc_id"),
+        explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
+      .distinct()
+    val cx = docTerms.groupBy("term").agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = docTerms.toDF("doc_id", "term_x")
+      .join(docTerms.toDF("doc_id", "term_y"), Seq("doc_id"))
+      .filter(col("term_x") < col("term_y"))
+      .groupBy("term_x", "term_y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minPairDocs)
+    val pmi = log((col("c_xy").cast("double") * col("n_docs").cast("double")) /
+      (col("c_x").cast("double") * col("c_y").cast("double")))
+    pairs
+      .join(cx.select(col("term").as("term_x"), col("c").as("c_x")), Seq("term_x"))
+      .join(cx.select(col("term").as("term_y"), col("c").as("c_y")), Seq("term_y"))
+      .crossJoin(broadcast(n))
+      .select(col("term_x"), col("term_y"), col("c_xy"), col("c_x"), col("c_y"),
+        floor(pmi * lit(1000000.0) + lit(0.5)).cast("long").as("pmi_unats"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("pmi_unats").desc, col("term_x"), col("term_y"))))
+      .filter(col("rank") <= k)
+      .select("rank", "term_x", "term_y", "c_xy", "c_x", "c_y", "pmi_unats")
+  }
+
+  private val pmiPairsSql =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> x <> '')) AS term
+      |  FROM documents
+      |),
+      |cx AS (SELECT term, count(*) AS c FROM dt GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |pairs AS (
+      |  SELECT a.term AS term_x, b.term AS term_y, count(*) AS c_xy
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2 HAVING count(*) >= 5
+      |)
+      |SELECT rank, term_x, term_y, c_xy, c_x, c_y, pmi_unats FROM (
+      |  SELECT term_x, term_y, c_xy, x.c AS c_x, y.c AS c_y,
+      |    CAST(floor(ln((c_xy::DOUBLE * n_docs::DOUBLE) /
+      |      (x.c::DOUBLE * y.c::DOUBLE)) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT) AS pmi_unats,
+      |    CAST(row_number() OVER (ORDER BY CAST(floor(
+      |      ln((c_xy::DOUBLE * n_docs::DOUBLE) / (x.c::DOUBLE * y.c::DOUBLE))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) DESC,
+      |      term_x, term_y) AS INTEGER) AS rank
+      |  FROM pairs
+      |  JOIN cx x ON pairs.term_x = x.term
+      |  JOIN cx y ON pairs.term_y = y.term
+      |  CROSS JOIN n) t
+      |WHERE rank <= 50""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
@@ -522,5 +600,6 @@ object TextAnalysis {
     NamedQuery("q46_tfidf_terms", (s, d) => tfIdfTopTerms(s, d), Some(tfIdfTopTermsSql)),
     NamedQuery("q54_vocab_coverage", vocabCoverageByLang _, Some(vocabCoverageSql)),
     NamedQuery("q58_heavy_tokens", heavyTokens _, Some(heavyTokensSql)),
-    NamedQuery("q77_token_salience", (s, d) => tokenSalience(s, d), Some(tokenSalienceSql)))
+    NamedQuery("q77_token_salience", (s, d) => tokenSalience(s, d), Some(tokenSalienceSql)),
+    NamedQuery("q79_pmi_pairs", (s, d) => pmiPairs(s, d), Some(pmiPairsSql)))
 }

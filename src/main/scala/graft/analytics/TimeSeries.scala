@@ -101,6 +101,61 @@ object TimeSeries {
       |WINDOW win AS (PARTITION BY custkey ORDER BY week
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Time-based moving-window statistics — RANGE frames over the actual
+    * calendar, not row counts: a 28-day moving sum/average that stays
+    * correct when days are missing (a ROWS frame silently widens its
+    * horizon on sparse series; q33's running totals are the ROWS form).
+    *
+    * Exactness: revenue in integer cents; the moving average is the
+    * INTEGER division moving_cents div n_days, so every output column is
+    * BIGINT and order-independent.
+    *
+    * Scale shape: one shuffle to (priority) partitions, then both RANGE
+    * frames and the running peak reuse that single sort — days-per-key
+    * rows, never corpus rows, flow through the window.
+    */
+  def movingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      .withColumn("day_i", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val moving = Window.partitionBy("priority").orderBy("day_i")
+      .rangeBetween(-27, Window.currentRow)
+    val peak = Window.partitionBy("priority").orderBy("day_i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("mov_cents", sum("day_cents").over(moving))
+      .withColumn("mov_days", count(lit(1)).over(moving))
+      .withColumn("mov_avg_cents", expr("mov_cents div mov_days"))
+      .withColumn("peak_cents", max("day_cents").over(peak))
+      .select(col("priority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("day_cents"), col("mov_cents"), col("mov_days"),
+        col("mov_avg_cents"), col("peak_cents"))
+  }
+
+  private val movingRevenueSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_cents,
+      |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day_i
+      |  FROM orders GROUP BY 1, 2, 4
+      |)
+      |SELECT priority, strftime(day, '%Y-%m-%d') AS day, day_cents,
+      |  sum(day_cents) OVER mov AS mov_cents,
+      |  count(*) OVER mov AS mov_days,
+      |  sum(day_cents) OVER mov // count(*) OVER mov AS mov_avg_cents,
+      |  max(day_cents) OVER peak AS peak_cents
+      |FROM daily
+      |WINDOW
+      |  mov AS (PARTITION BY priority ORDER BY day_i
+      |          RANGE BETWEEN 27 PRECEDING AND CURRENT ROW),
+      |  peak AS (PARTITION BY priority ORDER BY day_i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery("q76_weekly_gapfill", weeklyGapfill _, Some(weeklyGapfillSql)))
+    NamedQuery("q76_weekly_gapfill", weeklyGapfill _, Some(weeklyGapfillSql)),
+    NamedQuery("q78_moving_revenue", movingRevenue _, Some(movingRevenueSql)))
 }

@@ -295,6 +295,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.shuffles <= 22, s"q77 shuffles regressed: $s") // audited 16
   }
 
+  test("q78 moving windows reuse one priority-keyed sort (no extra exchange)") {
+    val s = stats("q78_moving_revenue")
+    assert(s.scans <= 2 && s.shuffles <= 6 && s.nestedLoops == 0 && s.singleParts == 0,
+      s"q78 must stay agg + one reused window sort: $s") // audited 4
+  }
+
+  test("q79 PMI pairs join doc-keyed (work per doc², never corpus²)") {
+    val s = stats("q79_pmi_pairs")
+    // The pair generation must stay an equi-join on doc_id; nestedLoops≤2
+    // is the one-row corpus-count crossJoin (q19-class), AQE-doubled.
+    assert(s.nestedLoops <= 2 && s.smj == 0, s"q79 pair join regressed: $s")
+    assert(s.shuffles <= 30, s"q79 shuffles regressed: $s") // audited 22
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

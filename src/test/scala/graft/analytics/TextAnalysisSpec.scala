@@ -127,4 +127,45 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_covered")).toMap
     assert(k3("en") == 5L && k3("fr") == 3L)
   }
+
+  test("pmiPairs: perfectly-associated pairs outrank independent ones; support gate holds") {
+    // (a,b) co-occur in all 4 docs; (a,c) in 2 of 4; (a,d) only once —
+    // below min support 2, so it must not appear at all.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "a b"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairsOf(docs, minPairDocs = 2, k = 10).collect()
+    val pairs = out.map(r => (r.getAs[String]("term_x"), r.getAs[String]("term_y")) ->
+      r.getAs[Long]("pmi_unats")).toMap
+    assert(!pairs.contains(("a", "d")) && !pairs.contains(("b", "d")),
+      "sub-support pairs must be gated out")
+    // pmi(a,b) = ln(4·4/(4·4)) = 0; pmi(b,c) = ln(4·2/(4·2)) = 0;
+    // pmi(a,c)=0 too — all independent-or-perfect here, so check exact values.
+    assert(pairs(("a", "b")) == 0L)
+    // (c appears in 2 docs, always with a and b): ln(4·2/(4·2)) = 0.
+    assert(pairs(("a", "c")) == 0L && pairs(("b", "c")) == 0L)
+    // Now make one pair anti-associated: e and f never co-occur → absent.
+    val docs2 = Seq(
+      (1L, "e x"), (2L, "f x"), (3L, "e x"), (4L, "f x"))
+      .toDF("doc_id", "text")
+    val out2 = TextAnalysis.pmiPairsOf(docs2, minPairDocs = 2, k = 10)
+      .collect().map(r => (r.getAs[String]("term_x"), r.getAs[String]("term_y")) ->
+        r.getAs[Long]("pmi_unats")).toMap
+    assert(!out2.contains(("e", "f")), "never-co-occurring pair absent")
+    // pmi(e,x) = ln(4·2/(2·4)) = 0 — e always rides with the global x.
+    assert(out2(("e", "x")) == 0L)
+  }
+
+  test("pmiPairs: positive association scores ln-exactly in micro-nats") {
+    // g,h co-occur in both their docs, each appearing nowhere else;
+    // corpus of 4 docs → pmi = ln(4·2/(2·2)) = ln 2.
+    val docs = Seq(
+      (1L, "g h"), (2L, "g h"), (3L, "z y"), (4L, "z y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairsOf(docs, minPairDocs = 2, k = 10)
+      .collect().map(r => (r.getAs[String]("term_x"), r.getAs[String]("term_y")) ->
+        r.getAs[Long]("pmi_unats")).toMap
+    val ln2unats = math.floor(math.log(2.0) * 1e6 + 0.5).toLong
+    assert(out(("g", "h")) == ln2unats && out(("y", "z")) == ln2unats)
+  }
 }

@@ -46,6 +46,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Boolean]("observed")).toSeq == Seq(true, false, true))
   }
 
+  test("movingRevenue: RANGE frame tracks the calendar, not row positions") {
+    val out = TimeSeries.movingRevenue(spark, "/root/testdata/sf0.001")
+      .filter(col("priority") === "1-URGENT").orderBy("day").collect()
+    assert(out.nonEmpty)
+    // Reconstruct each 28-day window from the daily rows themselves: the
+    // RANGE frame must include exactly the days within [d-27, d], however
+    // sparse the series is (a ROWS frame would widen across gaps).
+    val daily = out.map(r => r.getAs[String]("day") -> r.getAs[Long]("day_cents")).toMap
+    def dayOf(s: String) = java.time.LocalDate.parse(s)
+    out.foreach { r =>
+      val d = dayOf(r.getAs[String]("day"))
+      val win = daily.filter { case (k, _) =>
+        val kd = dayOf(k)
+        !kd.isAfter(d) && kd.isAfter(d.minusDays(28))
+      }
+      assert(r.getAs[Long]("mov_cents") == win.values.sum, s"window sum at $d")
+      assert(r.getAs[Long]("mov_days") == win.size, s"window size at $d")
+      assert(r.getAs[Long]("mov_avg_cents") == win.values.sum / win.size)
+    }
+  }
+
   test("weeklyGapfill: grid length per key is exactly span/7 + 1 and keys are the sampled set") {
     val out = TimeSeries.weeklyGapfill(spark, "/root/testdata/sf0.01")
     val perKey = out.groupBy("custkey")
