@@ -687,6 +687,90 @@ object TrainingData {
        |SELECT d.doc_id, d.source, d.lang, s.n_feats, s.w_unats, s.sel_rank
        |FROM sel s JOIN documents d USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Linear classifier inference over hashed text features — the
+    * fastText-shaped model-based quality filter (Joulin et al. 2016;
+    * the CCNet/RefinedWeb-style corpus gate): score(d) = Σ_f w[h(f)]
+    * over hashed unigram+bigram features, kept when the length-
+    * normalized score clears a threshold.
+    *
+    * The OPERATOR is the inference plumbing: features hash with the
+    * q73 kernel, the weight vector arrives as a (bucket, weight) table
+    * and joins BROADCAST (a real model is ≤ millions of rows — always
+    * broadcastable), the per-doc score is one hash aggregation. Weights
+    * are integer units so logits are exact BIGINT sums; the mean is the
+    * integer division logit div n_feats (length-invariant, like
+    * fastText's feature averaging).
+    *
+    * Scale shape: explode → broadcast join → doc-keyed agg; linear in
+    * corpus tokens, one shuffle on the doc key, nothing corpus-sized
+    * ever sits on one node.
+    */
+  val ClfBuckets = 1024
+
+  def classifierScore(docs: DataFrame, weights: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = lit(ClfBuckets.toLong)
+    docs
+      .select(col(idCol),
+        explode(concat(
+          graft.functions.shingleStrings(col(textCol), 1),
+          graft.functions.shingleStrings(col(textCol), 2))).as("f"))
+      .select(col(idCol),
+        (conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % b).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n_fb"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(idCol)
+      .agg(sum("n_fb").as("n_feats"),
+        sum(col("n_fb") * col("weight")).as("logit_units"))
+      .withColumn("mean_units", expr("logit_units div n_feats"))
+  }
+
+  /** Gated q80: score every document with a deterministic synthetic
+    * weight vector (md5-derived, range ±1000 — the stand-in for a
+    * trained model table; the inference path is what's under test) and
+    * report the exact integer scores plus the keep decision.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val weights = spark.range(ClfBuckets).toDF("b")
+      .select(col("b"),
+        ((conv(substring(md5(col("b").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % lit(2001L)) - lit(1000L)).as("weight"))
+    classifierScore(Tables.documents(spark, dir), weights)
+      .select(col("doc_id"), col("n_feats"), col("logit_units"),
+        col("mean_units"), (col("mean_units") > 0).as("kept"))
+  }
+
+  private val qualityClassifierSql =
+    s"""WITH ws AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |feat AS (
+       |  SELECT doc_id, unnest(w) AS f FROM ws
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+       |    i -> w[i] || ' ' || w[i+1])) AS f
+       |  FROM ws
+       |),
+       |fb AS (
+       |  SELECT doc_id, count(*) AS n_fb,
+       |    ('0x' || substr(md5(f), 1, 8))::BIGINT % $ClfBuckets AS b
+       |  FROM feat GROUP BY doc_id, b
+       |),
+       |wt AS (
+       |  SELECT b, ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS weight
+       |  FROM (SELECT unnest(range($ClfBuckets)) AS b)
+       |)
+       |SELECT doc_id, CAST(sum(n_fb) AS BIGINT) AS n_feats,
+       |  CAST(sum(n_fb * weight) AS BIGINT) AS logit_units,
+       |  CAST(sum(n_fb * weight) // sum(n_fb) AS BIGINT) AS mean_units,
+       |  (sum(n_fb * weight) // sum(n_fb)) > 0 AS kept
+       |FROM fb JOIN wt USING (b)
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),
@@ -699,5 +783,6 @@ object TrainingData {
     NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)),
     NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
     NamedQuery("q52_doc_chunks", (s, d) => docChunks(s, d), Some(docChunksSql)),
-    NamedQuery("q73_dsir_resample", dsirResample _, Some(dsirResampleSql)))
+    NamedQuery("q73_dsir_resample", dsirResample _, Some(dsirResampleSql)),
+    NamedQuery("q80_quality_classifier", qualityClassifier _, Some(qualityClassifierSql)))
 }

@@ -309,6 +309,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.shuffles <= 30, s"q79 shuffles regressed: $s") // audited 22
   }
 
+  test("q80 classifier keeps the weight vector broadcast (inference is one agg)") {
+    val s = stats("q80_quality_classifier")
+    assert(s.broadcast >= 1 && s.smj == 0 && s.nestedLoops == 0,
+      s"q80 weights join must stay broadcast: $s")
+    assert(s.scans <= 2 && s.shuffles <= 8, s"q80 regressed: $s") // audited 6
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

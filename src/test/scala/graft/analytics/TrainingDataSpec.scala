@@ -272,4 +272,43 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("chunk_id") -> r.getAs[Int]("n_tokens")).toMap
     assert(ov == Map(0 -> 4, 1 -> 4, 2 -> 4, 3 -> 4, 4 -> 2))
   }
+
+  test("classifierScore: exact integer logits against hand-computed feature weights") {
+    // "x y" → features: x, y, "x y" (unigrams + the one bigram). Compute
+    // each feature's bucket with the same kernel and a weights table
+    // that scores those buckets ±known values; everything else 0.
+    val docs = Seq((1L, "x y"), (2L, "x x")).toDF("doc_id", "text")
+    def bucket(f: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % TrainingData.ClfBuckets
+    }
+    val w = Map(bucket("x") -> 7L, bucket("y") -> -3L,
+      bucket("x y") -> 10L, bucket("x x") -> 1L)
+    val weights = (0L until TrainingData.ClfBuckets.toLong)
+      .map(b => (b, w.getOrElse(b, 0L))).toDF("b", "weight")
+    val out = TrainingData.classifierScore(docs, weights)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("logit_units"),
+          r.getAs[Long]("mean_units")))).toMap
+    // doc 1: x(7) + y(-3) + "x y"(10) = 14 over 3 feats → mean 4
+    assert(out(1L) == ((3L, 14L, 4L)))
+    // doc 2: x(7)·2 + "x x"(1) = 15 over 3 feats → mean 5
+    assert(out(2L) == ((3L, 15L, 5L)))
+  }
+
+  test("classifierScore: negative logits divide toward zero (engine parity)") {
+    val docs = Seq((1L, "p q")).toDF("doc_id", "text")
+    def bucket(f: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % TrainingData.ClfBuckets
+    }
+    val w = Map(bucket("p") -> -4L, bucket("q") -> -2L, bucket("p q") -> -1L)
+    val weights = (0L until TrainingData.ClfBuckets.toLong)
+      .map(b => (b, w.getOrElse(b, 0L))).toDF("b", "weight")
+    val r = TrainingData.classifierScore(docs, weights).collect().head
+    // -7 over 3 feats: truncation gives -2 (DuckDB // agrees; floor is -3).
+    assert(r.getAs[Long]("logit_units") == -7L && r.getAs[Long]("mean_units") == -2L)
+  }
 }
