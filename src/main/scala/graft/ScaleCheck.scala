@@ -34,7 +34,10 @@ object ScaleCheck {
     "q17_minhash_neardups", "q28_knn_ivf", "q30_dedup_corpus",
     "q47_semantic_dedup", "q48_canonical_docs", "q53_window_dupes",
     "q55_interval_shipments", "q64_price_histogram", "q69_jpeg_decode_stats",
-    "q70_quantile_state", "q72_profile_lineitem")
+    "q70_quantile_state", "q72_profile_lineitem",
+    // round-7 corpus-scale additions: BM25's salted retrieval and the
+    // doc-keyed PMI pair join (the Σ t_d² operator).
+    "q74_bm25_topdocs", "q79_pmi_pairs")
 
   /** Shuffle-write accounting per timed section. */
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {

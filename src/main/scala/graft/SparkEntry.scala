@@ -19,7 +19,8 @@ object Registry {
       graft.analytics.RangeJoin.queries ++ graft.warehouse.ZOrder.queries ++
       graft.analytics.EventAnalytics.queries ++ graft.warehouse.Scd2.queries ++
       graft.warehouse.QuantileState.queries ++ graft.analytics.Profile.queries ++
-      graft.analytics.Retrieval.queries ++ graft.analytics.TimeSeries.queries
+      graft.analytics.Retrieval.queries ++ graft.analytics.TimeSeries.queries ++
+      graft.analytics.GraphRank.queries
 }
 
 object SparkEntry {

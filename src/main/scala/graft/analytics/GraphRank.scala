@@ -1,0 +1,141 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.core.Tables
+
+/** Graph centrality over derived relationships — PageRank (Brin & Page
+  * 1998) on the document co-occurrence graph, the canonical ITERATIVE
+  * distributed workload: k rounds of (ranks ⋈ edges → re-aggregate).
+  *
+  * Exactness design: the whole computation is INTEGER arithmetic. Ranks
+  * live in parts-per-trillion units; the damping factor 0.85 is the
+  * exact rational 17/20, applied as `(17 * x) div 20`; each node's
+  * contribution is `rank div degree`. Sums of integers are
+  * order-independent, so ten iterations land bit-identically on any
+  * engine, partitioning, or schedule — no float-accumulation drift, the
+  * failure mode that makes naive PageRank oracles flaky. (Truncating
+  * division leaks a few units of mass per round; it does so identically
+  * everywhere, which is the point.)
+  *
+  * Scale shape: each iteration is one equi-join of the rank table
+  * (nodes-sized) against the edge list on `src` and one re-aggregation
+  * by `dst` — work ∝ edges, state ∝ nodes, the textbook Pregel round
+  * expressed relationally. Ranks `localCheckpoint` every iteration so
+  * the plan stays k-bounded instead of growing a 10-deep join lineage
+  * (the q30 label-propagation lesson); edges are cached once. Nothing
+  * corpus-sized ever converges on the driver.
+  */
+object GraphRank {
+
+  val Unit0 = 1000000000000L // rank unit: parts per trillion
+
+  /** `iters` rounds of integer PageRank over an undirected edge list
+    * (pass both directions for undirected graphs). Returns
+    * (node, degree, rank_units).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count() // nodes-sized metadata, not corpus data
+    val base = (3L * Unit0 / 20L) / n // (1-d)·UNIT/N in exact integer steps
+    var ranks = nodes.withColumn("r", lit(Unit0 / n))
+    (1 to iters).foreach { _ =>
+      ranks = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node")
+        .agg((lit(base) + expr("(17 * sum(c)) div 20")).as("r"))
+        .localCheckpoint() // truncate lineage: plan stays one-round deep
+    }
+    ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .select(col("node"), col("deg").as("degree"), col("r").as("rank_units"))
+  }
+
+  // ---------------------------------------------------------------- q81
+  /** Gated face: PageRank over the q79 co-occurrence graph (document
+    * co-occurrence pairs at min-support 5, both directions), 10 rounds,
+    * top-25 terms. The DuckDB oracle unrolls the ten iterations as
+    * chained CTEs — mechanical because the arithmetic is integer-exact.
+    */
+  val Iters = 10
+
+  def termPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // Min support RELATIVE to corpus size — 63% of docs — so the graph
+    // keeps its selective structure at every scale (an absolute count
+    // degenerates to the complete graph as the corpus grows). Exact
+    // integer arithmetic on both engines; the count is metadata-sized.
+    val minSup = (63L * docs.count()) / 100L
+    val docTerms = docs
+      .select(col("doc_id"),
+        explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
+      .distinct()
+    val pairs = docTerms.toDF("doc_id", "a")
+      .join(docTerms.toDF("doc_id", "b"), Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minSup)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    pageRank(edges, Iters)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rank_units").desc, col("node"))))
+      .filter(col("rank") <= 25)
+      .select(col("rank"), col("node").as("term"), col("degree"),
+        col("rank_units"))
+  }
+
+  private def termPageRankSql: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS node,
+         |    (3000000000000 // 20) // nn + (17 * sum(p.r // dg.deg)) // 20 AS r
+         |  FROM edges e
+         |  JOIN r${k - 1} p ON p.node = e.src
+         |  JOIN deg dg ON dg.node = e.src
+         |  CROSS JOIN ncount
+         |  GROUP BY e.dst, nn
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                       x -> x <> '')) AS term
+       |  FROM documents
+       |),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |pairs AS (
+       |  SELECT a.term AS a, b.term AS b, count(*) AS c_xy
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+       |  GROUP BY 1, 2 HAVING count(*) >= (SELECT (63 * n_docs) // 100 FROM nd)
+       |),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+       |),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |ncount AS (SELECT count(DISTINCT src) AS nn FROM edges),
+       |r0 AS (
+       |  SELECT src AS node, 1000000000000 // nn AS r
+       |  FROM (SELECT DISTINCT src FROM edges) CROSS JOIN ncount
+       |),
+       |$iterCtes
+       |SELECT rank, term, degree, rank_units FROM (
+       |  SELECT r$Iters.node AS term, dg.deg AS degree, r$Iters.r AS rank_units,
+       |    CAST(row_number() OVER (ORDER BY r$Iters.r DESC, r$Iters.node)
+       |      AS INTEGER) AS rank
+       |  FROM r$Iters JOIN deg dg ON dg.node = r$Iters.node) t
+       |WHERE rank <= 25""".stripMargin
+  }
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q81_term_pagerank", termPageRank _, Some(termPageRankSql)))
+}

@@ -316,6 +316,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 2 && s.shuffles <= 8, s"q80 regressed: $s") // audited 6
   }
 
+  test("q81 PageRank lineage stays one-round deep (localCheckpoint per iter)") {
+    val s = stats("q81_term_pagerank")
+    // Without the per-iteration checkpoint this plan grows ~10 join
+    // rounds deep (the q30 lesson); the audited shape is pair-build +
+    // final round + top-k only.
+    assert(s.scans <= 16 && s.shuffles <= 40, s"q81 lineage regressed: $s")
+    assert(s.nestedLoops == 0, s"q81 must stay equi-joined: $s")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

@@ -1,0 +1,48 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Undirected star: center c, leaves l1..l3 (edges in both directions).
+  private def star = {
+    val pairs = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"))
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("pageRank: one integer round matches the hand-computed recurrence exactly") {
+    // N=4, U=1e12: r0 = 250e9 each; base = ((3e12 div 20) div 4) = 37.5e9.
+    // center: 37.5e9 + (17·(3·250e9)) div 20                  = 675e9
+    // leaf:   37.5e9 + (17·(250e9 div 3)) div 20 = 37.5e9 + 70_833_333_333
+    val out = GraphRank.pageRank(star, iters = 1).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_units")).toMap
+    assert(out("c") == 675000000000L)
+    assert(out("l1") == 108333333333L)
+    assert(out("l2") == 108333333333L && out("l3") == 108333333333L)
+  }
+
+  test("pageRank: mass only shrinks (truncation) and the hub stays on top") {
+    val out = GraphRank.pageRank(star, iters = 5).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_units")).toMap
+    assert(out.values.sum <= 1000000000000L, "truncating division never adds mass")
+    assert(out("c") > out("l1"), "the hub outranks its leaves")
+    assert(out("l1") == out("l2") && out("l2") == out("l3"), "symmetric leaves tie")
+  }
+
+  test("pageRank: bit-identical across partitioning layouts") {
+    val a = GraphRank.pageRank(star, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq
+    val b = GraphRank.pageRank(star.repartition(7), iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b, "integer arithmetic must be schedule-invariant")
+  }
+
+  test("pageRank: degrees reported alongside ranks") {
+    val out = GraphRank.pageRank(star, iters = 1).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("degree")).toMap
+    assert(out("c") == 3L && out("l1") == 1L)
+  }
+}
