@@ -591,6 +591,62 @@ object TextAnalysis {
       |  CROSS JOIN n) t
       |WHERE rank <= 50""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Corpus-slice similarity matrix — pairwise n-gram Jaccard between
+    * sources: the leakage/redundancy map a mixture designer reads before
+    * weighting slices (two sources that share most of their 3-gram space
+    * are near-copies; disjoint ones add diversity).
+    *
+    * Exactness: shared/distinct shingle counts are exact integers;
+    * Jaccard is reported as the integer division
+    * `(shared · 1e6) div (|A| + |B| − shared)` — micro-units, no floats.
+    *
+    * Scale shape: the (shingle, source) pairs DISTINCT first (corpus
+    * collapses to its shingle space), then self-join ON SHINGLE — work
+    * ∝ shingles · S² with S = source count (tiny), never corpus². The
+    * per-source set sizes are an S-row broadcast.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val ss = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(shingleSet(col("text"), n)).as("sh"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    ss.toDF("source_a", "sh")
+      .join(ss.toDF("source_b", "sh2"), col("sh") === col("sh2") &&
+        col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.toDF("source_a", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.toDF("source_b", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("(n_shared * 1000000L) div (n_a + n_b - n_shared)").as("jaccard_u"))
+  }
+
+  private val sourceOverlapSql =
+    """WITH ws AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |ss AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM ws WHERE len(w) >= 3
+      |),
+      |sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_shared,
+      |  (n_shared * 1000000) // (sa.n_sh + sb.n_sh - n_shared) AS jaccard_u
+      |FROM shared
+      |JOIN sizes sa ON sa.source = shared.source_a
+      |JOIN sizes sb ON sb.source = shared.source_b""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
@@ -601,5 +657,6 @@ object TextAnalysis {
     NamedQuery("q54_vocab_coverage", vocabCoverageByLang _, Some(vocabCoverageSql)),
     NamedQuery("q58_heavy_tokens", heavyTokens _, Some(heavyTokensSql)),
     NamedQuery("q77_token_salience", (s, d) => tokenSalience(s, d), Some(tokenSalienceSql)),
-    NamedQuery("q79_pmi_pairs", (s, d) => pmiPairs(s, d), Some(pmiPairsSql)))
+    NamedQuery("q79_pmi_pairs", (s, d) => pmiPairs(s, d), Some(pmiPairsSql)),
+    NamedQuery("q83_source_overlap", (s, d) => sourceOverlap(s, d), Some(sourceOverlapSql)))
 }

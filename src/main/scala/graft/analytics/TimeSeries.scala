@@ -155,7 +155,90 @@ object TimeSeries {
       |  peak AS (PARTITION BY priority ORDER BY day_i
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Robust per-group outlier detection — median/MAD instead of
+    * mean/stddev (q60's z-score battery): the estimator that does not
+    * let the outliers it is hunting drag its own baseline (50% breakdown
+    * point vs 0% for the mean; Leys et al. 2013 is the standard
+    * reference for |x − med| > 3·MAD).
+    *
+    * Exactness: medians of BIGINTs are kept integer by the DOUBLED-
+    * median trick — med2 = the sum of the two middle order statistics
+    * (twice the median, exact for odd and even counts); deviations
+    * dev2 = |2x − med2| = 2|x − med|; mad4 = the middle-sum of dev2 =
+    * 4·MAD. The gate |x − med| > 3·MAD becomes the integer comparison
+    * 2·dev2 > 3·mad4. No division, no floats, no interpolation —
+    * bit-identical on any engine.
+    *
+    * Scale shape: two (key)-partitioned window passes + a broadcast-
+    * sized per-key stats join. Only days-per-key rows ever sort — the
+    * per-key series is calendar-bounded, never corpus-sized.
+    */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+    def middleSum(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("priority").orderBy(col(valueCol), col("day"))
+      df.withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("priority")))
+        .filter(col("__r") === expr("(__n + 1) div 2") ||
+          col("__r") === expr("(__n + 2) div 2"))
+        .groupBy("priority")
+        // Odd n: the same middle row twice; even n: the two middles.
+        .agg((sum(col(valueCol)) * lit(2) / count(lit(1))).cast("long").as(out))
+    }
+    val med = middleSum(daily, "day_cents", "med2")
+    val devs = daily.join(broadcast(med), Seq("priority"))
+      .withColumn("dev2", abs(col("day_cents") * 2 - col("med2")))
+    val mad = middleSum(devs, "dev2", "mad4")
+    devs.join(broadcast(mad), Seq("priority"))
+      .filter(col("dev2") * 2 > col("mad4") * 3)
+      .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("day_cents"), col("med2"), col("mad4"))
+  }
+
+  private val robustOutliersSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_cents
+      |  FROM orders GROUP BY 1, 2
+      |),
+      |med AS (
+      |  SELECT priority,
+      |    CAST(sum(day_cents) * 2 / count(*) AS BIGINT) AS med2
+      |  FROM (
+      |    SELECT priority, day_cents,
+      |      row_number() OVER (PARTITION BY priority ORDER BY day_cents, day) AS r,
+      |      count(*) OVER (PARTITION BY priority) AS n
+      |    FROM daily) t
+      |  WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+      |  GROUP BY priority
+      |),
+      |devs AS (
+      |  SELECT d.priority, d.day, d.day_cents, m.med2,
+      |    abs(d.day_cents * 2 - m.med2) AS dev2
+      |  FROM daily d JOIN med m USING (priority)
+      |),
+      |mad AS (
+      |  SELECT priority,
+      |    CAST(sum(dev2) * 2 / count(*) AS BIGINT) AS mad4
+      |  FROM (
+      |    SELECT priority, dev2,
+      |      row_number() OVER (PARTITION BY priority ORDER BY dev2, day) AS r,
+      |      count(*) OVER (PARTITION BY priority) AS n
+      |    FROM devs) t
+      |  WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+      |  GROUP BY priority
+      |)
+      |SELECT d.priority, strftime(d.day, '%Y-%m-%d') AS day,
+      |  d.day_cents, d.med2, a.mad4
+      |FROM devs d JOIN mad a USING (priority)
+      |WHERE d.dev2 * 2 > a.mad4 * 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q76_weekly_gapfill", weeklyGapfill _, Some(weeklyGapfillSql)),
-    NamedQuery("q78_moving_revenue", movingRevenue _, Some(movingRevenueSql)))
+    NamedQuery("q78_moving_revenue", movingRevenue _, Some(movingRevenueSql)),
+    NamedQuery("q82_robust_outliers", robustOutliers _, Some(robustOutliersSql)))
 }

@@ -325,6 +325,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops == 0, s"q81 must stay equi-joined: $s")
   }
 
+  test("q82 robust stats windows partition by key; stats joins broadcast") {
+    val s = stats("q82_robust_outliers")
+    assert(s.broadcast >= 2 && s.nestedLoops == 0 && s.singleParts == 0,
+      s"q82 med/mad joins must broadcast, windows must stay keyed: $s")
+    assert(s.shuffles <= 24, s"q82 shuffles regressed: $s") // audited 18
+  }
+
+  test("q83 source overlap self-joins on the shingle key only") {
+    val s = stats("q83_source_overlap")
+    assert(s.nestedLoops == 0, s"q83 must never pair sources cartesian: $s")
+    assert(s.shuffles <= 24, s"q83 shuffles regressed: $s") // audited 18
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

@@ -67,6 +67,34 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("robustOutliers: med2/mad4 match a driver-side exact recomputation") {
+    val out = TimeSeries.robustOutliers(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // Recompute the doubled median and 4·MAD for one priority from the
+    // raw daily series and check the operator's constants + membership.
+    val daily = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("c"))
+    def middleSum(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val med2 = middleSum(daily.map(_._2).toSeq)
+    val mad4 = middleSum(daily.map { case (_, c) => math.abs(2 * c - med2) }.toSeq)
+    val expected = daily.filter { case (_, c) =>
+      2 * math.abs(2 * c - med2) > 3 * mad4
+    }.map(_._1).toSet
+    val got = rows.filter(_.getAs[String]("priority") == "1-URGENT")
+    got.foreach { r =>
+      assert(r.getAs[Long]("med2") == med2 && r.getAs[Long]("mad4") == mad4)
+    }
+    assert(got.map(_.getAs[String]("day")).toSet == expected,
+      "outlier membership must match the exact integer gate")
+  }
+
   test("weeklyGapfill: grid length per key is exactly span/7 + 1 and keys are the sampled set") {
     val out = TimeSeries.weeklyGapfill(spark, "/root/testdata/sf0.01")
     val perKey = out.groupBy("custkey")
