@@ -54,7 +54,12 @@ object Bench {
     def sameScale(text: String): Boolean =
       text.contains(s""""sf":"$sfDir"""") ||
         text.contains(s""""sf":$sfNum,""") || text.contains(s""""sf": $sfNum,""")
-    val pair = """"(q\d+)[a-z0-9_]*":(\d+(?:\.\d+)?)""".r
+    // The driver's BENCH_rN.json artifacts hold our stdout line JSON-
+    // escaped inside their "tail" field (\"q28_knn_ivf\":9.7) — the
+    // optional backslash before the closing quote matches both the
+    // escaped and the plain form, so six rounds of committed history
+    // contribute floors, not just the latest BENCH_DETAIL.json.
+    val pair = """"(q\d+)[a-z0-9_]*\\?":(-?\d+(?:\.\d+)?)""".r
     val files =
       try {
         import scala.jdk.CollectionConverters._

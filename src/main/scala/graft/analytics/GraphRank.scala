@@ -55,8 +55,14 @@ object GraphRank {
         .agg((lit(base) + expr("(17 * sum(c)) div 20")).as("r"))
         .localCheckpoint() // truncate lineage: plan stays one-round deep
     }
-    ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+    val out = ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
       .select(col("node"), col("deg").as("degree"), col("r").as("rank_units"))
+      // The final ranks are checkpointed, so the cached inputs are no
+      // longer reachable — release them instead of leaking session cache
+      // (each bench rep would otherwise pin a fresh edge-list copy).
+      .localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------- q81

@@ -39,8 +39,13 @@ object TimeSeries {
         expr(s"interval $stepDays days"))).as(periodCol))
     val w = Window.partitionBy(keyCol).orderBy(periodCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marked = grid.join(observed, Seq(keyCol, periodCol), "left")
-      .withColumn("observed", col(fillCols.head).isNotNull)
+    // An explicit join marker, not `fillCols.head.isNotNull`: a present
+    // row whose first metric is legitimately NULL must still count as
+    // observed (and the flag must not change with fillCols ordering).
+    val marked = grid
+      .join(observed.withColumn("__present", lit(true)), Seq(keyCol, periodCol), "left")
+      .withColumn("observed", coalesce(col("__present"), lit(false)))
+      .drop("__present")
       .withColumn("__obs_p", when(col("observed"), col(periodCol)))
     val filled = fillCols.foldLeft(marked) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -613,9 +613,16 @@ object TrainingData {
       .join(broadcast(bucket), Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("b"),
+        // Cast each factor BEFORE multiplying (the q77 discipline): the
+        // BIGINT product (t_b+1)·(r_tot+B) overflows Long on a ~1e10-
+        // feature corpus; double products cannot, and at small magnitudes
+        // both orderings are exactly representable, so results are
+        // unchanged where the old form was valid.
         floor(log(
-          ((coalesce(col("t_b"), lit(0L)) + lit(1L)) * (col("r_tot") + b)).cast("double") /
-          ((coalesce(col("r_b"), lit(0L)) + lit(1L)) * (col("t_tot") + b)).cast("double"))
+          ((coalesce(col("t_b"), lit(0L)) + lit(1L)).cast("double") *
+            (col("r_tot") + b).cast("double")) /
+          ((coalesce(col("r_b"), lit(0L)) + lit(1L)).cast("double") *
+            (col("t_tot") + b).cast("double")))
           * lit(LmUnat) + lit(0.5)).as("lr_unats"))
     base.filter(!col("tgt"))
       .join(broadcast(lr), Seq("b"))
@@ -666,8 +673,8 @@ object TrainingData {
        |lr AS (
        |  SELECT bs.b,
        |    CAST(floor(ln(
-       |      ((coalesce(tc.t_b, 0) + 1) * (rt.r_tot + $DsirBuckets))::DOUBLE /
-       |      ((coalesce(rc.r_b, 0) + 1) * (tt.t_tot + $DsirBuckets))::DOUBLE)
+       |      ((coalesce(tc.t_b, 0) + 1)::DOUBLE * (rt.r_tot + $DsirBuckets)::DOUBLE) /
+       |      ((coalesce(rc.r_b, 0) + 1)::DOUBLE * (tt.t_tot + $DsirBuckets)::DOUBLE))
        |      * $LmUnat + 0.5) AS BIGINT) AS lr_unats
        |  FROM (SELECT unnest(range($DsirBuckets)) AS b) bs
        |  LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b

@@ -10,11 +10,17 @@ import scala.jdk.CollectionConverters._
   */
 object Fs {
 
-  /** Delete `root` and everything under it; missing paths are a no-op. */
+  /** Delete `root` and everything under it; missing paths are a no-op.
+    * `Files.walk` streams hold open directory handles until closed
+    * (javadoc mandates try-with-resources) — leak one per bench rep and
+    * a long session can hit EMFILE inside Spark's own shuffle files.
+    */
   def deleteRecursively(root: Path): Unit =
     if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(Files.deleteIfExists(_))
+      val stream = Files.walk(root)
+      val paths =
+        try stream.iterator().asScala.toSeq
+        finally stream.close()
+      paths.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
     }
 }

@@ -93,8 +93,12 @@ object StreamingCurate {
 
       // 1/3: publish the shard directory atomically.
       publishShards(spark, packed.drop("__before"), outDir, batchId, maxRecordsPerFile)
-      // 2/3: append this batch's kept docs to the dedup base.
-      fresh.write.mode("overwrite").parquet(keptDir(outDir, batchId))
+      // 2/3: append this batch's kept docs to the dedup base — read back
+      // from the checkpoint (projecting fresh's columns), NOT from
+      // `fresh` itself, whose lineage would re-run the whole minhash +
+      // band-join dedup a second time per batch.
+      packed.select(fresh.columns.map(col): _*)
+        .write.mode("overwrite").parquet(keptDir(outDir, batchId))
       // 3/3: advance pack offsets + last_batch (the commit point).
       val sums = packed.groupBy("split", "source").agg(sum("n_toks").as("__t"))
       val newOffsets = state.offsets.join(sums, Seq("split", "source"), "full")
