@@ -29,7 +29,8 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      asofCol: String = "asof"): DataFrame = {
+      asofCol: String = "asof",
+      toleranceSec: Option[Long] = None): DataFrame = {
 
     val rw = right.select(
       col(rightKey).as("__k"),
@@ -54,9 +55,67 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__isR").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    unioned
+    val matched = unioned
       .withColumn(asofCol, last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__isR") === 0)
-      .select(col("__l.*"), col(asofCol))
+    // pandas-style tolerance: a match older than `toleranceSec` nulls out.
+    val bounded = toleranceSec match {
+      case Some(tol) => matched.withColumn(asofCol,
+        when(col(s"$asofCol.$rightTime").cast("timestamp").cast("long")
+          >= col("__t").cast("long") - tol, col(asofCol)))
+      case None => matched
+    }
+    bounded.select(col("__l.*"), col(asofCol))
+  }
+
+  /** As-of FORWARD join — for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` on the same key (pandas `merge_asof
+    * direction='forward'`), optionally bounded by `toleranceSec` (a
+    * match farther than the tolerance nulls out, exactly pandas'
+    * `tolerance=`). Same log-merge shape as [[asOfBackward]] — the scan
+    * just runs time-DESCENDING, so the running `last` carries the
+    * nearest FUTURE right row; still one key shuffle, O(L + R), no
+    * range nested loop.
+    */
+  def asOfForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      asofCol: String = "asof",
+      toleranceSec: Option[Long] = None): DataFrame = {
+
+    val rw = right.select(
+      col(rightKey).as("__k"),
+      col(rightTime).cast("timestamp").as("__t"),
+      struct(right.columns.map(col): _*).as("__r"),
+      lit(1).as("__isR"))
+    val rType = rw.schema("__r").dataType
+
+    val lw = left.select(
+      col(leftKey).as("__k"),
+      col(leftTime).cast("timestamp").as("__t"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(0).as("__isR"))
+    val lType = lw.schema("__l").dataType
+
+    val unioned = lw.withColumn("__r", lit(null).cast(rType))
+      .unionByName(rw.withColumn("__l", lit(null).cast(lType)))
+
+    // Descending scan with right-before-left at equal timestamps → a
+    // left row at time t sees a right row at exactly t (inclusive).
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").desc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn(asofCol, last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__isR") === 0)
+    val bounded = toleranceSec match {
+      case Some(tol) => matched.withColumn(asofCol,
+        when(col(s"$asofCol.$rightTime").cast("timestamp").cast("long")
+          <= col("__t").cast("long") + tol, col(asofCol)))
+      case None => matched
+    }
+    bounded.select(col("__l.*"), col(asofCol))
   }
 }

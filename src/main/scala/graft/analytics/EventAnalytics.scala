@@ -121,6 +121,83 @@ object EventAnalytics {
         .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec")),
       Seq("view", "click", "purchase"))
 
+  // ---------------------------------------------------------------- q85
+  /** Per-occurrence event-sequence matching with time bounds — the
+    * CEP/MATCH_RECOGNIZE-shaped question the first-touch funnel (q61)
+    * cannot answer: EVERY click anchored by a view ≤1 h before it and a
+    * purchase ≤24 h after it, not just each user's first. The anchor
+    * semantics (nearest-preceding / nearest-following per anchor) make
+    * each click match ≤1 chain, so the result is well-defined and the
+    * work is bounded — no combinatorial all-chains blowup.
+    *
+    * Composition: one as-of BACKWARD join (click→view, tolerance 1 h)
+    * and one as-of FORWARD join (click→purchase, tolerance 24 h) — two
+    * key-shuffle log-merges, O(events) total, no range nested loop.
+    * Exactness: everything runs on integer epoch seconds (both engines
+    * floor identically); sides pre-collapse to one row per (user, sec)
+    * by MIN event id so equal-second ties resolve identically.
+    */
+  def clickChains(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id"), col("sec"))
+      .agg(min("event_id").as(s"${t}_id"))
+      .select(col("user_id"), col("sec").as(s"${t}_sec"), col(s"${t}_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("sec"))
+    val withView = AsOfJoin.asOfBackward(
+      clicks, side("view"), "user_id", "user_id", "sec", "view_sec",
+      asofCol = "v", toleranceSec = Some(3600L))
+    val withBoth = AsOfJoin.asOfForward(
+      withView, side("purchase"), "user_id", "user_id", "sec", "purchase_sec",
+      asofCol = "p", toleranceSec = Some(86400L))
+    withBoth
+      .withColumn("chain",
+        col("v").isNotNull && col("p").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("chain"), 1L).otherwise(0L)).as("n_chains"),
+        min(when(col("chain"), col("p.purchase_sec") - col("v.view_sec")))
+          .as("min_chain_secs"),
+        max(when(col("chain"), col("p.purchase_sec") - col("v.view_sec")))
+          .as("max_chain_secs"))
+  }
+
+  private val clickChainsSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events
+      |),
+      |v AS (SELECT user_id, sec AS view_sec, min(event_id) AS view_id
+      |      FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (SELECT user_id, sec AS purchase_sec, min(event_id) AS purchase_id
+      |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT user_id, event_id AS click_id, sec
+      |      FROM ev WHERE event_type = 'click'),
+      |cv AS (
+      |  SELECT c.user_id, c.click_id, c.sec,
+      |    CASE WHEN v.view_sec >= c.sec - 3600 THEN v.view_sec END AS view_sec
+      |  FROM c ASOF LEFT JOIN v
+      |    ON c.user_id = v.user_id AND c.sec >= v.view_sec
+      |),
+      |cvp AS (
+      |  SELECT cv.user_id, cv.click_id, cv.sec, cv.view_sec,
+      |    CASE WHEN p.purchase_sec <= cv.sec + 86400 THEN p.purchase_sec END AS purchase_sec
+      |  FROM cv ASOF LEFT JOIN p
+      |    ON cv.user_id = p.user_id AND cv.sec <= p.purchase_sec
+      |)
+      |SELECT user_id, count(*) AS n_clicks,
+      |  CAST(sum(CASE WHEN view_sec IS NOT NULL AND purchase_sec IS NOT NULL
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_chains,
+      |  min(CASE WHEN view_sec IS NOT NULL AND purchase_sec IS NOT NULL
+      |      THEN purchase_sec - view_sec END) AS min_chain_secs,
+      |  max(CASE WHEN view_sec IS NOT NULL AND purchase_sec IS NOT NULL
+      |      THEN purchase_sec - view_sec END) AS max_chain_secs
+      |FROM cvp GROUP BY user_id""".stripMargin
+
   private val conversionFunnelSql =
     """WITH per AS (
       |  SELECT user_id,
@@ -166,5 +243,6 @@ object EventAnalytics {
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q60_daily_anomalies", dailyAnomalies _, Some(dailyAnomaliesSql)),
     NamedQuery("q61_conversion_funnel", conversionFunnel _, Some(conversionFunnelSql)),
-    NamedQuery("q62_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)))
+    NamedQuery("q62_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
+    NamedQuery("q85_click_chains", clickChains _, Some(clickChainsSql)))
 }

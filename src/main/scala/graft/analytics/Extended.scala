@@ -407,8 +407,45 @@ object Extended {
       |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Forward as-of with tolerance: for each event, the customer's NEXT
+    * order at-or-after the event, nulled when it is more than 30 days
+    * out (pandas `merge_asof(direction='forward', tolerance=...)`).
+    * Right side pre-collapsed to the LOWEST orderkey per (custkey, date)
+    * so both engines resolve equal-time ties identically; DuckDB's
+    * native forward ASOF (`e.ts <= o.date`) is the independent oracle.
+    */
+  def asofNextOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(asc("o_orderkey"))
+    val orders1 = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val events = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    AsOfJoin.asOfForward(events, orders1, "user_id", "o_custkey", "ts", "o_orderdate",
+      toleranceSec = Some(30L * 86400L))
+      .select(
+        col("event_id"), col("user_id"),
+        col("asof.o_orderkey").as("next_orderkey"),
+        round(col("asof.o_totalprice"), 2).as("next_price"))
+  }
+
+  private val asofNextOrderSql =
+    """WITH o1 AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey ASC) AS rn
+      |    FROM orders) t WHERE rn = 1
+      |)
+      |SELECT e.event_id, e.user_id,
+      |  CASE WHEN o1.o_orderdate <= e.ts + INTERVAL 30 DAY
+      |       THEN o1.o_orderkey END AS next_orderkey,
+      |  CASE WHEN o1.o_orderdate <= e.ts + INTERVAL 30 DAY
+      |       THEN round(o1.o_totalprice, 2) END AS next_price
+      |FROM events e ASOF LEFT JOIN o1
+      |  ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
+    NamedQuery("q84_asof_next_order", asofNextOrder _, Some(asofNextOrderSql)),
     NamedQuery("q24_segment_order_presence", segmentOrderPresence _, Some(segmentOrderPresenceSql)),
     NamedQuery("q25_rollup_revenue", rollupRevenue _, Some(rollupRevenueSql)),
     NamedQuery("q26_event_deltas", eventDeltas _, Some(eventDeltasSql)),

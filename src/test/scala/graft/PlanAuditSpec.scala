@@ -338,6 +338,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.shuffles <= 24, s"q83 shuffles regressed: $s") // audited 18
   }
 
+  test("q84 forward as-of stays a log-merge (no range nested loop)") {
+    val s = stats("q84_asof_next_order")
+    assert(s.nestedLoops == 0, s"q84 must not regress to a range loop: $s")
+    assert(s.shuffles <= 8, s"q84 shuffles regressed: $s") // audited 4
+  }
+
+  test("q85 click chains compose two as-of log-merges, nothing quadratic") {
+    val s = stats("q85_click_chains")
+    assert(s.nestedLoops == 0 && s.smj == 0, s"q85 regressed: $s")
+    assert(s.shuffles <= 14, s"q85 shuffles regressed: $s") // audited 10
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join

@@ -36,6 +36,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(5L).isEmpty)
   }
 
+  test("forward as-of join picks earliest right row at-or-after left time") {
+    val out = AsOfJoin.asOfForward(trades, quotes, "sym", "sym", "tt", "qt")
+      .select($"trade_id", $"asof.price".as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(101.0)) // 10:03 → next quote 10:05
+    assert(out(2L).contains(101.0)) // equal time → inclusive match 10:05
+    assert(out(3L).contains(100.0)) // 09:00 → first quote 10:00
+    assert(out(4L).isEmpty)         // 11:00 → no later B quote
+    assert(out(5L).isEmpty)         // no C quotes
+  }
+
+  test("tolerance nulls out matches beyond the bound, both directions") {
+    val fwd = AsOfJoin.asOfForward(trades, quotes, "sym", "sym", "tt", "qt",
+      toleranceSec = Some(60L))
+      .select($"trade_id", $"asof.price".as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fwd(1L).isEmpty)          // 10:03 → 10:05 is 120s out > 60s
+    assert(fwd(2L).contains(101.0))  // equal time, 0s ≤ 60s
+    assert(fwd(3L).isEmpty)          // 09:00 → 10:00 is 3600s out
+    val bwd = AsOfJoin.asOfBackward(trades, quotes, "sym", "sym", "tt", "qt",
+      toleranceSec = Some(120L))
+      .select($"trade_id", $"asof.price".as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(bwd(1L).isEmpty)          // 10:03 → 10:00 is 180s back > 120s
+    assert(bwd(2L).contains(101.0))  // equal time, 0s ≤ 120s
+    assert(bwd(4L).isEmpty)          // 11:00 → 10:00 is 3600s back
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     val big = (1 to 1000).map(i => (i % 3, s"v$i")).toDF("k", "v")
     val small = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("k", "name")
