@@ -20,7 +20,7 @@ object Registry {
       graft.analytics.EventAnalytics.queries ++ graft.warehouse.Scd2.queries ++
       graft.warehouse.QuantileState.queries ++ graft.analytics.Profile.queries ++
       graft.analytics.Retrieval.queries ++ graft.analytics.TimeSeries.queries ++
-      graft.analytics.GraphRank.queries
+      graft.analytics.GraphRank.queries ++ graft.warehouse.TableDiff.queries
 }
 
 object SparkEntry {

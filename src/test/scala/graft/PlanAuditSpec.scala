@@ -350,6 +350,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.shuffles <= 14, s"q85 shuffles regressed: $s") // audited 10
   }
 
+  test("q86 snapshot diff is one key-join pass (no sort, no loop)") {
+    val s = stats("q86_snapshot_diff")
+    assert(s.nestedLoops == 0, s"q86 must stay a single equi-join diff: $s")
+    assert(s.scans <= 6 && s.shuffles <= 10, s"q86 regressed: $s") // audited 4/6
+  }
+
+  test("q87 FK audit: every edge anti-checks via hash joins, never a loop") {
+    val s = stats("q87_fk_audit")
+    // nestedLoops ≤12 are the six ONE-ROW crossJoins pairing each edge's
+    // two scalar aggregates (AQE prints each twice); singleParts carries
+    // the same one-row exchanges. A real nested-loop on table data would
+    // also blow the shuffle ceiling.
+    assert(s.nestedLoops <= 12 && s.singleParts <= 24, s"q87 regressed: $s")
+    assert(s.broadcast >= 6, s"q87 dim joins must broadcast: $s")
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join
