@@ -443,8 +443,51 @@ object Extended {
       |FROM events e ASOF LEFT JOIN o1
       |  ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** The ranking-window family under REAL tie semantics — rank,
+    * dense_rank, percent_rank, cume_dist, ntile per source over a
+    * deliberately COARSE score (n_chars div 100) so ties actually occur
+    * and the five functions genuinely differ (on a total order they all
+    * collapse to row_number, which q06/q11 already gate).
+    *
+    * Exactness: rank/dense_rank/ntile are integers; percent_rank and
+    * cume_dist are each ONE division of exact integers floored to
+    * micro-units. ntile gets its own TOTAL order (score, doc_id) —
+    * ntile under ties is engine-ambiguous otherwise.
+    *
+    * Scale shape: one shuffle on the group key; every window reuses the
+    * same sort. Groups are source-sized — the standard quantile-
+    * normalization shape for per-slice score calibration.
+    */
+  def qualityRanks(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("n_chars div 100").as("score"))
+    val tied = Window.partitionBy("source").orderBy("score")
+    val total = Window.partitionBy("source").orderBy("score", "doc_id")
+    base
+      .withColumn("rnk", rank().over(tied))
+      .withColumn("drnk", dense_rank().over(tied))
+      .withColumn("pr_u", floor(percent_rank().over(tied) * 1000000).cast("long"))
+      .withColumn("cd_u", floor(cume_dist().over(tied) * 1000000).cast("long"))
+      .withColumn("decile", ntile(10).over(total))
+  }
+
+  private val qualityRanksSql =
+    """SELECT doc_id, source, n_chars // 100 AS score,
+      |  CAST(rank() OVER tied AS INTEGER) AS rnk,
+      |  CAST(dense_rank() OVER tied AS INTEGER) AS drnk,
+      |  CAST(floor(percent_rank() OVER tied * 1000000) AS BIGINT) AS pr_u,
+      |  CAST(floor(cume_dist() OVER tied * 1000000) AS BIGINT) AS cd_u,
+      |  CAST(ntile(10) OVER total AS INTEGER) AS decile
+      |FROM documents
+      |WINDOW
+      |  tied AS (PARTITION BY source ORDER BY n_chars // 100),
+      |  total AS (PARTITION BY source ORDER BY n_chars // 100, doc_id)""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
+    NamedQuery("q88_quality_ranks", qualityRanks _, Some(qualityRanksSql)),
     NamedQuery("q84_asof_next_order", asofNextOrder _, Some(asofNextOrderSql)),
     NamedQuery("q24_segment_order_presence", segmentOrderPresence _, Some(segmentOrderPresenceSql)),
     NamedQuery("q25_rollup_revenue", rollupRevenue _, Some(rollupRevenueSql)),

@@ -366,6 +366,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.broadcast >= 6, s"q87 dim joins must broadcast: $s")
   }
 
+  test("q88 ranking windows reuse one source-keyed sort") {
+    val s = stats("q88_quality_ranks")
+    assert(s.scans <= 2 && s.shuffles <= 4 && s.nestedLoops == 0 && s.singleParts == 0,
+      s"q88 must stay one keyed window pass: $s") // audited 2
+  }
+
   test("q46 tf-idf broadcasts the term dictionary and the doc count") {
     val s = stats("q46_tfidf_terms")
     // nestedLoops == 2 is the intended single-row doc-count cross join
