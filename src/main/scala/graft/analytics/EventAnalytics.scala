@@ -211,6 +211,70 @@ object EventAnalytics {
       |  CAST(count(CASE WHEN fv < fc AND fc < fp THEN 1 END) AS BIGINT) AS n_purchase
       |FROM per""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the "what happens next" model behind next-action
+    * prediction, anomalous-flow detection, and synthetic-session
+    * generation. One window pass (lead over the user's time-ordered
+    * stream) then a hash aggregate on (from, to): a single user-keyed
+    * shuffle plus a types²-sized result — at 100 TB the state stays
+    * bounded by the event-type vocabulary, never by the corpus.
+    *
+    * Exactness: ordering ties at equal epoch seconds resolve by
+    * event_id (a total order both engines share); row probabilities
+    * are integer micro-units via truncating division and gap averages
+    * are integer-second `div`s — every output column is BIGINT-exact.
+    */
+  /** Operator form over any `(user_id, event_type, event_id, sec)` frame —
+    * the spec drives it on hand-built sequences; [[markovTransitions]]
+    * gates it on the events table.
+    */
+  def markov(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val wFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    events
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("next_sec", lead("sec", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("next_sec") - col("sec")).as("sum_gap_secs"))
+      .withColumn("n_from", sum("n_trans").over(wFrom))
+      .withColumn("p_micro", expr("(1000000 * n_trans) div n_from"))
+      .withColumn("avg_gap_secs", expr("sum_gap_secs div n_trans"))
+      .select("from_type", "to_type", "n_trans", "n_from", "p_micro",
+        "avg_gap_secs")
+  }
+
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    markov(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("long").as("sec")))
+
+  private val markovTransitionsSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events
+      |), seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER w AS to_type,
+      |    lead(sec) OVER w - sec AS gap
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |), trans AS (
+      |  SELECT from_type, to_type, count(*) AS n_trans,
+      |    sum(gap) AS sum_gap_secs
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+      |  CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      |  CAST((1000000 * n_trans) // sum(n_trans) OVER (PARTITION BY from_type)
+      |    AS BIGINT) AS p_micro,
+      |  CAST(sum_gap_secs // n_trans AS BIGINT) AS avg_gap_secs
+      |FROM trans""".stripMargin
+
   // ---------------------------------------------------------------- q62
   /** Retention cohorts: users grouped by first-activity day, counted as
     * active per day offset. Two aggregates (first-day per user, then
@@ -244,5 +308,7 @@ object EventAnalytics {
     NamedQuery("q60_daily_anomalies", dailyAnomalies _, Some(dailyAnomaliesSql)),
     NamedQuery("q61_conversion_funnel", conversionFunnel _, Some(conversionFunnelSql)),
     NamedQuery("q62_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
-    NamedQuery("q85_click_chains", clickChains _, Some(clickChainsSql)))
+    NamedQuery("q85_click_chains", clickChains _, Some(clickChainsSql)),
+    NamedQuery("q89_markov_transitions", markovTransitions _,
+      Some(markovTransitionsSql)))
 }

@@ -647,6 +647,80 @@ object TextAnalysis {
       |JOIN sizes sa ON sa.source = shared.source_a
       |JOIN sizes sb ON sb.source = shared.source_b""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Unicode canonicalization audit over the corpus — drives the native
+    * [[graft.functions.NfcClean]] kernel (NFC compose + control-strip +
+    * blank-collapse + trim; the canonicalization every dedup/fingerprint
+    * pass needs FIRST, or byte-different canonically-equal strings defeat
+    * exact hashing). Per row the scan is map-only work — no shuffle at
+    * all until Verify's write; at 100 TB this is the cheapest possible
+    * plan shape (one pass, zero exchanges).
+    *
+    * The corpus text is (synthetic) ASCII, where NFC is the identity —
+    * so each row also canonicalizes a deterministically-chosen MESSY
+    * fixture (decomposed accents, Hangul jamo, strippable controls, tab
+    * runs, pad spaces) spliced with that row's text, and the oracle
+    * rebuilds the identical input from codepoints and re-cleans it with
+    * DuckDB's own `nfc_normalize` + RE2 pipeline. Full value-hash gate:
+    * any divergence in composition, stripping, collapsing, or trimming
+    * flips the string and fails the hash.
+    */
+  private val nfcFixtures: Seq[String] = Seq(
+    "  cafe\u0301  du\tmonde",     // decomposed e+acute; pad + tab + run
+    "A\u030Angstro\u0308m unit",   // decomposed ring/diaeresis
+    "ctl\u0001chars\u0007here",    // strippable C0 controls
+    "tabs\t\tand  runs",           // blank runs
+    "\u1100\u1161\u11A8 hangul",  // jamo sequence -> precomposed syllable
+    "already clean")
+
+  /** Renders a string as a `chr(cp) || ...` DuckDB expression — the
+    * fixture reaches the oracle as CODEPOINTS, immune to any SQL-literal
+    * escaping ambiguity for controls/combining marks.
+    */
+  private def chrLit(s: String): String =
+    s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")
+
+  def nfcCleanAudit(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureArr = array(nfcFixtures.map(lit): _*)
+    val k = nfcFixtures.size
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % k).cast("int").as("variant"),
+        col("text"))
+      .withColumn("messy",
+        concat(element_at(fixtureArr, col("variant") + 1), lit(" "),
+          substring(col("text"), 1, 24)))
+      .select(col("doc_id"), col("variant"),
+        graft.functions.nfcClean(col("messy")).as("cleaned"),
+        length(col("messy")).as("len_raw"),
+        length(graft.functions.nfcClean(col("messy"))).as("len_clean"),
+        length(graft.functions.nfcClean(col("text"))).as("text_clean_len"))
+  }
+
+  private val nfcCleanAuditSql = {
+    val fixList = nfcFixtures.map(chrLit).mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(doc_id % ${nfcFixtures.size} AS INT) AS variant,
+       |    $fixList[CAST(doc_id % ${nfcFixtures.size} AS INT) + 1]
+       |      || ' ' || substring(text, 1, 24) AS messy,
+       |    text
+       |  FROM documents
+       |), cleaned AS (
+       |  SELECT doc_id, variant, messy,
+       |    trim(regexp_replace(regexp_replace(nfc_normalize(messy),
+       |      '[\\x01-\\x08\\x0B-\\x1F\\x7F]', '', 'g'), '[ \\t]+', ' ', 'g'))
+       |      AS cleaned,
+       |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       |      '[\\x01-\\x08\\x0B-\\x1F\\x7F]', '', 'g'), '[ \\t]+', ' ', 'g'))
+       |      AS text_clean
+       |  FROM base
+       |)
+       |SELECT doc_id, variant, cleaned,
+       |  CAST(length(messy) AS INT) AS len_raw,
+       |  CAST(length(cleaned) AS INT) AS len_clean,
+       |  CAST(length(text_clean) AS INT) AS text_clean_len
+       |FROM cleaned""".stripMargin
+  }
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
@@ -658,5 +732,6 @@ object TextAnalysis {
     NamedQuery("q58_heavy_tokens", heavyTokens _, Some(heavyTokensSql)),
     NamedQuery("q77_token_salience", (s, d) => tokenSalience(s, d), Some(tokenSalienceSql)),
     NamedQuery("q79_pmi_pairs", (s, d) => pmiPairs(s, d), Some(pmiPairsSql)),
-    NamedQuery("q83_source_overlap", (s, d) => sourceOverlap(s, d), Some(sourceOverlapSql)))
+    NamedQuery("q83_source_overlap", (s, d) => sourceOverlap(s, d), Some(sourceOverlapSql)),
+    NamedQuery("q90_nfc_clean", nfcCleanAudit _, Some(nfcCleanAuditSql)))
 }

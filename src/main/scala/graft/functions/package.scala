@@ -41,6 +41,13 @@ package object functions {
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(expr(a), expr(b)))
 
+  /** Unicode canonicalization: NFC + control-strip + blank-collapse +
+    * trim (native kernel with an ASCII zero-alloc fast path; see
+    * [[graft.functions.TextKernels]]).
+    */
+  def nfcClean(text: Column): Column =
+    toCol(NfcClean(expr(text)))
+
   /** Distinct word-n-gram shingle hashes (native byte-scan kernel). */
   def shingleHashes(text: Column, n: Int): Column =
     toCol(ShingleHashArray(expr(text), n))

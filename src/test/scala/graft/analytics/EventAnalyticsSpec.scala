@@ -89,4 +89,38 @@ class EventAnalyticsSpec extends SparkSpec {
       _.find(_.getAs[Int]("day_offset") == 0).get.getAs[Long]("n_active")).sum
     assert(day0Sum == users)
   }
+
+  test("markov transitions: counts, probabilities, gaps, equal-sec tiebreak") {
+    // u1: a@0 -> b@10 -> a@20 (gaps 10, 10).
+    // u2: a@5 -> a@5 with event_id tiebreak (7 before 8 -> a->b at gap 0
+    //     would be wrong; ids 7,8 order a then b), then c@15.
+    val ev = Seq(
+      (1L, "a", 1L, 0L), (1L, "b", 2L, 10L), (1L, "a", 3L, 20L),
+      (2L, "a", 7L, 5L), (2L, "b", 8L, 5L), (2L, "c", 9L, 15L)
+    ).toDF("user_id", "event_type", "event_id", "sec")
+    val m = EventAnalytics.markov(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Long]("n_from"),
+          r.getAs[Long]("p_micro"), r.getAs[Long]("avg_gap_secs"))).toMap
+    // a->b twice (gaps 10 and 0 -> avg 5), b->a once, b->c once.
+    assert(m(("a", "b")) == ((2L, 2L, 1000000L, 5L)))
+    assert(m(("b", "a")) == ((1L, 2L, 500000L, 10L)))
+    assert(m(("b", "c")) == ((1L, 2L, 500000L, 10L)))
+    assert(m.size == 3) // terminal events emit no transition
+  }
+
+  test("markov rows are a valid stochastic matrix on real data") {
+    val rows = EventAnalytics.markovTransitions(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, rs) =>
+      val nFrom = rs.map(_.getAs[Long]("n_from")).distinct
+      assert(nFrom.size == 1, s"$f: inconsistent n_from")
+      assert(rs.map(_.getAs[Long]("n_trans")).sum == nFrom.head,
+        s"$f: transition counts must partition n_from")
+      val pSum = rs.map(_.getAs[Long]("p_micro")).sum
+      // Truncating division loses < 1 micro-unit per cell.
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"$f: row probabilities sum to $pSum")
+      rs.foreach(r => assert(r.getAs[Long]("avg_gap_secs") >= 0L))
+    }
+  }
 }
