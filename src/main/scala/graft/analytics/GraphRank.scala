@@ -73,7 +73,12 @@ object GraphRank {
     */
   val Iters = 10
 
-  def termPageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The q79-style document co-occurrence graph at 63%-of-corpus min
+    * support (relative, so the structure survives any scale-up), both
+    * edge directions — shared by the PageRank (q81) and hop-distance
+    * (q91) faces.
+    */
+  private[analytics] def coocEdges(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Min support RELATIVE to corpus size — 63% of docs — so the graph
     // keeps its selective structure at every scale (an absolute count
@@ -89,8 +94,31 @@ object GraphRank {
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minSup)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** The matching DuckDB CTE prefix (dt/nd/pairs/edges) for [[coocEdges]]. */
+  private def coocSqlCtes: String =
+    """dt AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> x <> '')) AS term
+      |  FROM documents
+      |),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |pairs AS (
+      |  SELECT a.term AS a, b.term AS b, count(*) AS c_xy
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2 HAVING count(*) >= (SELECT (63 * n_docs) // 100 FROM nd)
+      |),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+      |)""".stripMargin
+
+  def termPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coocEdges(spark, dir)
     pageRank(edges, Iters)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("rank_units").desc, col("node"))))
@@ -111,22 +139,7 @@ object GraphRank {
          |  GROUP BY e.dst, nn
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dt AS (
-       |  SELECT DISTINCT doc_id,
-       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-       |                       x -> x <> '')) AS term
-       |  FROM documents
-       |),
-       |nd AS (SELECT count(*) AS n_docs FROM documents),
-       |pairs AS (
-       |  SELECT a.term AS a, b.term AS b, count(*) AS c_xy
-       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
-       |  GROUP BY 1, 2 HAVING count(*) >= (SELECT (63 * n_docs) // 100 FROM nd)
-       |),
-       |edges AS (
-       |  SELECT a AS src, b AS dst FROM pairs
-       |  UNION ALL SELECT b AS src, a AS dst FROM pairs
-       |),
+    s"""WITH $coocSqlCtes,
        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
        |ncount AS (SELECT count(DISTINCT src) AS nn FROM edges),
        |r0 AS (
@@ -142,6 +155,70 @@ object GraphRank {
        |WHERE rank <= 25""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q91
+  /** Multi-source BFS hop distances — the OTHER canonical iterative graph
+    * workload next to PageRank: `iters` rounds of frontier relaxation
+    * (dist ⋈ edges → min-merge), work ∝ edges and state ∝ nodes per
+    * round, lineage truncated per round like [[pageRank]]. Distances are
+    * integers from day one, so cross-engine agreement is trivial; what
+    * the oracle actually guards is the ROUND SEMANTICS (min-merge, seed
+    * handling, unreachable marking) against DuckDB's unrolled CTEs.
+    *
+    * Nodes not reached within `iters` hops report -1 (at k rounds the
+    * frontier is exact for all distances ≤ k — standard bounded-BFS
+    * semantics, and the honest answer under a fixed round budget).
+    */
+  def hopDistances(edges: DataFrame, seeds: DataFrame, iters: Int,
+                   srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val nodes = e.select(col("src").as("node")).distinct().cache()
+    var dist = seeds.select(col("node")).distinct().withColumn("d", lit(0L))
+    (1 to iters).foreach { _ =>
+      dist = dist
+        .union(e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("d") + 1L).as("d")))
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint() // keep the plan one-round deep (q30/q81 lesson)
+    }
+    val out = nodes.join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("d"), lit(-1L)).as("hops"))
+      .localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  val HopIters = 6
+
+  /** Gated face: hop distances over the q81 co-occurrence graph from the
+    * lexicographically smallest term (a deterministic seed both engines
+    * derive the same way).
+    */
+  def termHops(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coocEdges(spark, dir)
+    val seeds = edges.agg(min("src").as("node"))
+    hopDistances(edges, seeds, HopIters)
+  }
+
+  private def termHopsSql: String = {
+    val rounds = (1 to HopIters).map { k =>
+      s"""d$k AS (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.d + 1 AS d
+         |    FROM d${k - 1} p JOIN edges e ON e.src = p.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coocSqlCtes,
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM edges),
+       |$rounds
+       |SELECT n.node, CAST(coalesce(dd.d, -1) AS BIGINT) AS hops
+       |FROM nodes n LEFT JOIN d$HopIters dd ON dd.node = n.node""".stripMargin
+  }
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery("q81_term_pagerank", termPageRank _, Some(termPageRankSql)))
+    NamedQuery("q81_term_pagerank", termPageRank _, Some(termPageRankSql)),
+    NamedQuery("q91_term_hops", termHops _, Some(termHopsSql)))
 }

@@ -144,6 +144,74 @@ object Profile {
       LineitemStrCols.map(sel(_, numeric = false))).mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------- q92
+  /** Benford leading-digit audit — the classic fabricated-data /
+    * broken-ETL smell test: compare each monetary column's first-
+    * significant-digit distribution against Benford's log10(1 + 1/d)
+    * law and report the per-digit deviation. One scan + one 9-bucket
+    * hash aggregate per column (unioned) — at 100 TB it's two map-side
+    * passes and a 18-row result.
+    *
+    * Exactness: values land in integer cents via `floor(x · 100)` (one
+    * identical double op per row on both engines), the leading digit
+    * comes from the BIGINT's string form (no log10 on data), observed
+    * shares are truncating integer divisions, and the Benford
+    * expectation is precomputed ONCE here in µ-units and inlined into
+    * both plans as literals — no engine computes a transcendental.
+    */
+  private val benfordMicro: Map[Int, Long] = (1 to 9).map { d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
+  }.toMap
+
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expected = benfordMicro.foldLeft(lit(0L)) { case (acc, (d, m)) =>
+      when(col("digit") === d, lit(m)).otherwise(acc)
+    }
+    def digits(df: DataFrame, colName: String, tag: String): DataFrame =
+      df.select(floor(col(colName) * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .select(lit(tag).as("col_name"), col("digit"), col("n_obs"))
+    val counted =
+      digits(Tables.orders(spark, dir), "o_totalprice", "o_totalprice")
+        .unionAll(
+          digits(Tables.lineitem(spark, dir), "l_extendedprice", "l_extendedprice"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("col_name")
+    counted
+      .withColumn("n_total", sum("n_obs").over(w))
+      .withColumn("p_obs_micro", expr("(1000000 * n_obs) div n_total"))
+      .withColumn("p_benford_micro", expected)
+      .withColumn("dev_micro", col("p_obs_micro") - col("p_benford_micro"))
+      .select("col_name", "digit", "n_obs", "n_total", "p_obs_micro",
+        "p_benford_micro", "dev_micro")
+  }
+
+  private def benfordAuditSql: String = {
+    val expectedCase = (1 to 9)
+      .map(d => s"WHEN $d THEN ${benfordMicro(d)}").mkString(" ")
+    def cte(table: String, c: String) =
+      s"""SELECT '$c' AS col_name,
+         |    CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    count(*) AS n_obs
+         |  FROM (SELECT CAST(floor($c * 100) AS BIGINT) AS cents FROM $table)
+         |  WHERE cents > 0 GROUP BY 1, 2""".stripMargin
+    s"""WITH counted AS (
+       |  ${cte("orders", "o_totalprice")}
+       |  UNION ALL
+       |  ${cte("lineitem", "l_extendedprice")}
+       |)
+       |SELECT col_name, digit, CAST(n_obs AS BIGINT) AS n_obs,
+       |  CAST(sum(n_obs) OVER (PARTITION BY col_name) AS BIGINT) AS n_total,
+       |  (1000000 * n_obs) // sum(n_obs) OVER (PARTITION BY col_name)
+       |    AS p_obs_micro,
+       |  CAST(CASE digit $expectedCase END AS BIGINT) AS p_benford_micro,
+       |  (1000000 * n_obs) // sum(n_obs) OVER (PARTITION BY col_name)
+       |    - (CASE digit $expectedCase END) AS dev_micro
+       |FROM counted""".stripMargin
+  }
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery("q72_profile_lineitem", profileLineitem _, Some(profileLineitemSql)))
+    NamedQuery("q72_profile_lineitem", profileLineitem _, Some(profileLineitemSql)),
+    NamedQuery("q92_benford_audit", benfordAudit _, Some(benfordAuditSql)))
 }

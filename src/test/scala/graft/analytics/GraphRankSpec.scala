@@ -45,4 +45,30 @@ class GraphRankSpec extends SparkSpec {
       .map(r => r.getAs[String]("node") -> r.getAs[Long]("degree")).toMap
     assert(out("c") == 3L && out("l1") == 1L)
   }
+
+  // Path a-b-c-d plus isolated pair x-y (undirected: both directions).
+  private lazy val path = {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("hopDistances: exact BFS levels, unreachable marked -1") {
+    val seeds = Seq("a").toDF("node")
+    val out = GraphRank.hopDistances(path, seeds, iters = 6).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("hops")).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L,
+      "x" -> -1L, "y" -> -1L))
+  }
+
+  test("hopDistances: multi-source takes the minimum over seeds") {
+    val out = GraphRank.hopDistances(path, Seq("a", "d").toDF("node"), 6)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("hops")).toMap
+    assert(out("b") == 1L && out("c") == 1L && out("a") == 0L && out("d") == 0L)
+  }
+
+  test("hopDistances: a round budget below the diameter reports the frontier honestly") {
+    val out = GraphRank.hopDistances(path, Seq("a").toDF("node"), iters = 1)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("hops")).toMap
+    assert(out("b") == 1L && out("c") == -1L && out("d") == -1L)
+  }
 }

@@ -66,4 +66,32 @@ class ProfileSpec extends SparkSpec {
     assert(s.shuffles <= 2, s"profiler must stay single-exchange: $s")
     assert(s.nestedLoops == 0 && s.smj == 0, s"no joins in a profile: $s")
   }
+
+  test("benford audit: digits, shares, and deviations on real data") {
+    val rows = Profile.benfordAudit(spark, "/root/testdata/sf0.001").collect()
+    val byCol = rows.groupBy(_.getAs[String]("col_name"))
+    assert(byCol.keySet == Set("o_totalprice", "l_extendedprice"))
+    byCol.foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
+      // Counts partition the total and observed shares sum to ~1e6
+      // (truncating division loses < 1 µ-unit per digit).
+      val total = rs.head.getAs[Long]("n_total")
+      assert(rs.map(_.getAs[Long]("n_obs")).sum == total, s"$c counts")
+      val pSum = rs.map(_.getAs[Long]("p_obs_micro")).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length, s"$c shares: $pSum")
+      rs.foreach { r =>
+        // dev is exactly obs-share minus the inlined Benford constant.
+        assert(r.getAs[Long]("dev_micro") ==
+          r.getAs[Long]("p_obs_micro") - r.getAs[Long]("p_benford_micro"))
+      }
+    }
+  }
+
+  test("benford constants are the log10 law in micro-units") {
+    // Spot-check the two ends of the inlined table via a known digit:
+    // log10(2) ≈ 0.301030, log10(10/9) ≈ 0.045757.
+    val rows = Profile.benfordAudit(spark, "/root/testdata/sf0.001").collect()
+    val m = rows.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("p_benford_micro")).toMap
+    assert(m(1) == 301029L && m(9) == 45757L)
+  }
 }
