@@ -304,11 +304,60 @@ object EventAnalytics {
       |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Interval concurrency by sweep-line — "how many orders were OPEN on
+    * each day", the resource-utilization / max-concurrency question that
+    * per-row aggregation can't answer (each interval covers many days)
+    * and a per-day interval-stabbing join answers at days × orders cost.
+    * The sweep line is the scalable form: each interval contributes a
+    * +1 at its start day and a -1 past its end day, a delta-days-sized
+    * table whose running sum IS the concurrency. Work: two hash
+    * aggregates over the facts + one cumulative window over the
+    * days-sized delta frame (single tiny partition, the q60 shape) —
+    * at 100 TB the fact scans parallelize and only ~10³ day rows ever
+    * sort. Orders are given a fixed 30-day open window here; any
+    * (start, end) interval source drops in unchanged.
+    *
+    * Day keys are ISO strings (lexicographic = chronological) and all
+    * counts are integers, so the running sums agree bit-for-bit.
+    */
+  def openOrderConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(to_date(col("o_orderdate")).as("d"))
+    val starts = o.groupBy("d").agg(count(lit(1)).as("n_starts"))
+    val ends = o.select(date_add(col("d"), 30).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_ends"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(Long.MinValue, 0)
+    starts.join(ends, Seq("d"), "full_outer")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        coalesce(col("n_ends"), lit(0L)).as("n_ends"))
+      .withColumn("n_open", sum(col("n_starts") - col("n_ends")).over(w))
+  }
+
+  private val openOrderConcurrencySql =
+    """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+      |s AS (SELECT d, count(*) AS n_starts FROM o GROUP BY 1),
+      |e AS (SELECT d + 30 AS d, count(*) AS n_ends FROM o GROUP BY 1),
+      |merged AS (
+      |  SELECT strftime(coalesce(s.d, e.d), '%Y-%m-%d') AS day,
+      |    coalesce(n_starts, 0) AS n_starts,
+      |    coalesce(n_ends, 0) AS n_ends
+      |  FROM s FULL OUTER JOIN e ON s.d = e.d
+      |)
+      |SELECT day, CAST(n_starts AS BIGINT) AS n_starts,
+      |  CAST(n_ends AS BIGINT) AS n_ends,
+      |  CAST(sum(n_starts - n_ends) OVER (
+      |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+      |FROM merged""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q60_daily_anomalies", dailyAnomalies _, Some(dailyAnomaliesSql)),
     NamedQuery("q61_conversion_funnel", conversionFunnel _, Some(conversionFunnelSql)),
     NamedQuery("q62_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
     NamedQuery("q85_click_chains", clickChains _, Some(clickChainsSql)),
     NamedQuery("q89_markov_transitions", markovTransitions _,
-      Some(markovTransitionsSql)))
+      Some(markovTransitionsSql)),
+    NamedQuery("q94_open_order_concurrency", openOrderConcurrency _,
+      Some(openOrderConcurrencySql)))
 }

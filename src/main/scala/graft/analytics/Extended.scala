@@ -485,8 +485,89 @@ object Extended {
       |  tied AS (PARTITION BY source ORDER BY n_chars // 100),
       |  total AS (PARTITION BY source ORDER BY n_chars // 100, doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Winsorization — the robust-preprocessing counterpart of q82's
+    * outlier DETECTION: clamp each group's values at its exact p05/p95
+    * order statistics and report what clipping did to the sums (the
+    * standard tail-taming step before training a regression or
+    * aggregating a heavy-tailed metric).
+    *
+    * Exactness: values are integer cents; the fences are SINGLE order
+    * statistics selected by rank (k = ceil(q·n) via integer ceil-div) —
+    * no interpolation, no floats anywhere, so both engines agree bit
+    * for bit even at tie-heavy fences.
+    *
+    * Scale shape: one rank window per group (the same sort a per-group
+    * quantile needs anyway), a group-sized fence table broadcast back
+    * onto the rows, one final hash aggregate. At 100 TB the fence scan
+    * and clamp scan parallelize freely; for approximate fences at scale
+    * swap the rank window for the GK sketch (q70) — the clamp plumbing
+    * is unchanged.
+    */
+  def winsorize(rows: DataFrame, grp: String, cents: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp).orderBy(col(cents))
+    val ranked = rows
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(grp)))
+    val fences = ranked
+      .withColumn("lo_rank", expr("(5 * n + 99) div 100"))
+      .withColumn("hi_rank", expr("(95 * n + 99) div 100"))
+      .groupBy(grp)
+      .agg(min(when(col("rn") === col("lo_rank"), col(cents))).as("lo_cents"),
+        min(when(col("rn") === col("hi_rank"), col(cents))).as("hi_cents"))
+    rows.join(broadcast(fences), Seq(grp))
+      .withColumn("clamped",
+        greatest(least(col(cents), col("hi_cents")), col("lo_cents")))
+      .groupBy(grp)
+      .agg(count(lit(1)).as("n"),
+        min("lo_cents").as("lo_cents"),
+        min("hi_cents").as("hi_cents"),
+        sum(when(col(cents) < col("lo_cents"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col(cents) > col("hi_cents"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col(cents)).as("sum_raw"),
+        sum(col("clamped")).as("sum_winsorized"))
+  }
+
+  def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame =
+    winsorize(
+      Tables.orders(spark, dir).select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents")),
+      "o_orderpriority", "cents")
+
+  private val winsorizedRevenueSql =
+    """WITH rows_c AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), ranked AS (
+      |  SELECT grp, cents,
+      |    row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY grp) AS n
+      |  FROM rows_c
+      |), fences AS (
+      |  SELECT grp,
+      |    min(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END) AS lo_cents,
+      |    min(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS hi_cents
+      |  FROM ranked GROUP BY grp
+      |)
+      |SELECT r.grp AS o_orderpriority, count(*) AS n,
+      |  min(f.lo_cents) AS lo_cents, min(f.hi_cents) AS hi_cents,
+      |  CAST(sum(CASE WHEN r.cents < f.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(sum(CASE WHEN r.cents > f.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi,
+      |  CAST(sum(r.cents) AS BIGINT) AS sum_raw,
+      |  CAST(sum(greatest(least(r.cents, f.hi_cents), f.lo_cents)) AS BIGINT)
+      |    AS sum_winsorized
+      |FROM rows_c r JOIN fences f ON f.grp = r.grp
+      |GROUP BY r.grp""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
+    NamedQuery("q93_winsorized_revenue", winsorizedRevenue _,
+      Some(winsorizedRevenueSql)),
     NamedQuery("q88_quality_ranks", qualityRanks _, Some(qualityRanksSql)),
     NamedQuery("q84_asof_next_order", asofNextOrder _, Some(asofNextOrderSql)),
     NamedQuery("q24_segment_order_presence", segmentOrderPresence _, Some(segmentOrderPresenceSql)),

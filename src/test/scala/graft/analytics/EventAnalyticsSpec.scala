@@ -123,4 +123,24 @@ class EventAnalyticsSpec extends SparkSpec {
       rs.foreach(r => assert(r.getAs[Long]("avg_gap_secs") >= 0L))
     }
   }
+
+  test("open-order concurrency: sweep line conserves mass and ends at zero") {
+    val rows = EventAnalytics.openOrderConcurrency(spark, dir).collect()
+      .sortBy(_.getAs[String]("day"))
+    val nOrders = graft.core.Tables.orders(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_starts")).sum == nOrders)
+    assert(rows.map(_.getAs[Long]("n_ends")).sum == nOrders)
+    // Concurrency is non-negative throughout and exactly zero after the
+    // last interval closes (every +1 has its -1 thirty days later).
+    rows.foreach(r => assert(r.getAs[Long]("n_open") >= 0L,
+      s"negative concurrency on ${r.getAs[String]("day")}"))
+    assert(rows.last.getAs[Long]("n_open") == 0L)
+    // Running sum is self-consistent: n_open - prev = starts - ends.
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_open") - a.getAs[Long]("n_open") ==
+          b.getAs[Long]("n_starts") - b.getAs[Long]("n_ends"))
+      case _ =>
+    }
+  }
 }

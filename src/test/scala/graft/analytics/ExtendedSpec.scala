@@ -3,6 +3,7 @@ package graft.analytics
 import graft.SparkSpec
 
 class ExtendedSpec extends SparkSpec {
+  import spark.implicits._
 
   test("HLL approx distinct stays within the configured error of exact") {
     val out = Extended.approxDistinctUsersFull(spark, "/root/testdata/sf0.001").collect()
@@ -31,5 +32,34 @@ class ExtendedSpec extends SparkSpec {
         assert(math.abs(a - e) / e <= 0.02, s"$flag: approx $a vs exact $e")
       }
     }
+  }
+
+  test("winsorize: exact rank fences, clip counts, and clamped sums") {
+    // Group g: 1..100 cents. ceil(0.05·100)=5 -> lo=5; ceil(0.95·100)=95.
+    // 4 values below the fence, 5 above; clamping adds (5-1..5-4) at the
+    // bottom and removes (96..100 -> 95) at the top.
+    val rows = (1L to 100L).map(("g", _)).toDF("grp", "cents")
+    val r = Extended.winsorize(rows, "grp", "cents").head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("lo_cents") == 5L && r.getAs[Long]("hi_cents") == 95L)
+    assert(r.getAs[Long]("n_clip_lo") == 4L && r.getAs[Long]("n_clip_hi") == 5L)
+    assert(r.getAs[Long]("sum_raw") == 5050L)
+    // Bottom: 1+2+3+4 -> 5×4 (+10); top: 96+...+100 -> 95×5 (-15).
+    assert(r.getAs[Long]("sum_winsorized") == 5050L + 10L - 15L)
+  }
+
+  test("winsorize: tiny and tie-heavy groups keep fences inside the data") {
+    val rows = Seq(("a", 7L), ("a", 7L), ("a", 7L), ("b", 1L), ("b", 9L))
+      .toDF("grp", "cents")
+    val out = Extended.winsorize(rows, "grp", "cents").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    // All-ties group: fences equal the value, nothing clips.
+    assert(out("a").getAs[Long]("lo_cents") == 7L)
+    assert(out("a").getAs[Long]("hi_cents") == 7L)
+    assert(out("a").getAs[Long]("sum_winsorized") == 21L)
+    // n=2: lo rank ceil(0.1)=1, hi rank ceil(1.9)=2 — full span, no clip.
+    assert(out("b").getAs[Long]("n_clip_lo") == 0L)
+    assert(out("b").getAs[Long]("n_clip_hi") == 0L)
+    assert(out("b").getAs[Long]("sum_winsorized") == 10L)
   }
 }
