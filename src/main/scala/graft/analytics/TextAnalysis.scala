@@ -721,8 +721,98 @@ object TextAnalysis {
        |FROM cleaned""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q96
+  /** Fuzzy vocabulary pairs — entity-resolution-shaped blocked fuzzy
+    * join: all DISTINCT token pairs within edit distance 1, found via
+    * blocking + verify instead of a vocab² nested loop. The blocking is
+    * EXACT-recall for lev ≤ 1: one edit between strings not both of
+    * length 1 leaves the first or the last character untouched, so
+    * every qualifying pair collides in a (first-char, len-window) or
+    * (last-char, len-window) block — the length window is {len, len+1}
+    * emitted per token, which catches Δlen = 1 pairs — and the single
+    * residual case (two length-1 tokens) gets one tiny dedicated block.
+    * Work ∝ Σ block² over vocab-sized blocks, never corpus² or vocab²;
+    * verification is the codegen'd `levenshtein` on candidates only.
+    */
+  def fuzzyTokenPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(explode(graft.functions.shingleStrings(col("text"), 1)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    // The synthetic corpus vocabulary has no genuine edit-distance-1
+    // pairs, so the gate would pass vacuously on zero rows. Augment it
+    // with a deterministic TYPO set — drop-first / drop-last variants of
+    // every token of length ≥ 4, at weight 0 — which both engines derive
+    // identically; every variant pairs with its source (and often with
+    // other tokens: park/part), so the blocking and verify paths are
+    // exercised on real matches.
+    val longTok = base.filter(length(col("t")) >= 4)
+    val vocab = base
+      .unionAll(longTok.select(expr("substring(t, 2)").as("t"), lit(0L).as("n")))
+      .unionAll(longTok.select(
+        expr("substring(t, 1, length(t) - 1)").as("t"), lit(0L).as("n")))
+      .groupBy("t").agg(sum("n").as("n"))
+    val v = vocab.select(col("t"), length(col("t")).as("len"))
+    def block(tag: String, part: Column, lenCol: Column) =
+      v.select(col("t"),
+        concat_ws("|", lit(tag), part, lenCol.cast("string")).as("bkey"))
+    val blocks =
+      block("F", substring(col("t"), 1, 1), col("len"))
+        .unionAll(block("F", substring(col("t"), 1, 1), col("len") + 1))
+        .unionAll(block("L", substring(col("t"), -1, 1), col("len")))
+        .unionAll(block("L", substring(col("t"), -1, 1), col("len") + 1))
+        .unionAll(v.filter(col("len") === 1)
+          .select(col("t"), lit("S").as("bkey")))
+    CandidateJoin.pairs(blocks, "t", Seq("bkey"), maxBucketSize = None)
+      .distinct()
+      .filter(levenshtein(col("a_id"), col("b_id")) <= 1)
+      .join(vocab.select(col("t").as("a_id"), col("n").as("n_t1")), Seq("a_id"))
+      .join(vocab.select(col("t").as("b_id"), col("n").as("n_t2")), Seq("b_id"))
+      .select(col("a_id").as("t1"), col("b_id").as("t2"),
+        col("n_t1"), col("n_t2"))
+  }
+
+  private val fuzzyTokenPairsSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x <> '')) AS t
+      |  FROM documents
+      |), base AS (
+      |  SELECT t, count(*) AS n FROM toks GROUP BY t
+      |), vocab AS (
+      |  SELECT t, sum(n) AS n FROM (
+      |    SELECT t, n FROM base
+      |    UNION ALL
+      |    SELECT substring(t, 2) AS t, 0 AS n FROM base WHERE length(t) >= 4
+      |    UNION ALL
+      |    SELECT substring(t, 1, length(t) - 1) AS t, 0 AS n
+      |    FROM base WHERE length(t) >= 4
+      |  ) GROUP BY t
+      |), v AS (
+      |  SELECT t, length(t) AS len FROM vocab
+      |), blocks AS (
+      |  SELECT t, 'F|' || substring(t, 1, 1) || '|' || len AS bkey FROM v
+      |  UNION ALL
+      |  SELECT t, 'F|' || substring(t, 1, 1) || '|' || (len + 1) FROM v
+      |  UNION ALL
+      |  SELECT t, 'L|' || substring(t, -1, 1) || '|' || len FROM v
+      |  UNION ALL
+      |  SELECT t, 'L|' || substring(t, -1, 1) || '|' || (len + 1) FROM v
+      |  UNION ALL
+      |  SELECT t, 'S' FROM v WHERE len = 1
+      |), cand AS (
+      |  SELECT DISTINCT x.t AS t1, y.t AS t2
+      |  FROM blocks x JOIN blocks y ON x.bkey = y.bkey AND x.t < y.t
+      |)
+      |SELECT t1, t2, va.n AS n_t1, vb.n AS n_t2
+      |FROM cand
+      |JOIN vocab va ON va.t = cand.t1
+      |JOIN vocab vb ON vb.t = cand.t2
+      |WHERE levenshtein(t1, t2) <= 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
+    NamedQuery("q96_fuzzy_token_pairs", fuzzyTokenPairs _,
+      Some(fuzzyTokenPairsSql)),
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
     NamedQuery("q15_exact_dedup", exactDedup _, Some(exactDedupSql)),
     NamedQuery("q16_jaccard_pairs", jaccardPairs _, Some(jaccardPairsSql)),

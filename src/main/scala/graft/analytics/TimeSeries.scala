@@ -242,8 +242,57 @@ object TimeSeries {
       |FROM devs d JOIN mad a USING (priority)
       |WHERE d.dev2 * 2 > a.mad4 * 3""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Activity streaks — the classic gaps-and-islands decomposition: each
+    * user's distinct active days split into maximal runs of consecutive
+    * days via the `day − row_number` island key (consecutive days share
+    * it, any gap shifts it — no self-join, no recursion). Everything is
+    * integer epoch-day arithmetic on ONE user-keyed sort: dedupe, rank,
+    * island-aggregate, and user-aggregate all reuse the same partitioning,
+    * so at 100 TB the whole decomposition is a single exchange.
+    */
+  def activityStreaks(events: DataFrame, userCol: String = "user_id",
+                      dayCol: String = "day_num"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(dayCol)
+    events
+      .select(col(userCol), col(dayCol)).distinct()
+      .withColumn("island", col(dayCol) - row_number().over(w))
+      .groupBy(col(userCol), col("island"))
+      .agg(count(lit(1)).as("streak_days"))
+      .groupBy(userCol)
+      .agg(sum("streak_days").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("streak_days").as("max_streak_days"))
+  }
+
+  def userStreaks(spark: SparkSession, dir: String): DataFrame =
+    activityStreaks(Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long").as("day_num")))
+
+  private val userStreaksSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      |  FROM events
+      |), islands AS (
+      |  SELECT user_id,
+      |    day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+      |      AS island
+      |  FROM days
+      |), streaks AS (
+      |  SELECT user_id, island, count(*) AS streak_days
+      |  FROM islands GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(sum(streak_days) AS BIGINT) AS n_active_days,
+      |  count(*) AS n_streaks,
+      |  CAST(max(streak_days) AS BIGINT) AS max_streak_days
+      |FROM streaks GROUP BY user_id""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q76_weekly_gapfill", weeklyGapfill _, Some(weeklyGapfillSql)),
+    NamedQuery("q95_user_streaks", userStreaks _, Some(userStreaksSql)),
     NamedQuery("q78_moving_revenue", movingRevenue _, Some(movingRevenueSql)),
     NamedQuery("q82_robust_outliers", robustOutliers _, Some(robustOutliersSql)))
 }

@@ -168,4 +168,25 @@ class TextAnalysisSpec extends SparkSpec {
     val ln2unats = math.floor(math.log(2.0) * 1e6 + 0.5).toLong
     assert(out(("g", "h")) == ln2unats && out(("y", "z")) == ln2unats)
   }
+
+  test("fuzzy token pairs: blocking is exact-recall vs brute force, verify is lev=1") {
+    val dir = "/root/testdata/sf0.001"
+    val blocked = TextAnalysis.fuzzyTokenPairs(spark, dir).collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"))).toSet
+    assert(blocked.nonEmpty, "typo-augmented vocab must yield pairs")
+    // Brute-force ground truth over the same augmented vocabulary.
+    val base = graft.core.Tables.documents(spark, dir)
+      .select(explode(graft.functions.shingleStrings(col("text"), 1)).as("t"))
+      .distinct()
+    val aug = base
+      .unionAll(base.filter(length(col("t")) >= 4).select(expr("substring(t, 2)").as("t")))
+      .unionAll(base.filter(length(col("t")) >= 4)
+        .select(expr("substring(t, 1, length(t) - 1)").as("t")))
+      .distinct()
+    val brute = aug.toDF("a").crossJoin(aug.toDF("b"))
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked == brute,
+      s"missed: ${(brute -- blocked).take(5)}; extra: ${(blocked -- brute).take(5)}")
+  }
 }

@@ -112,4 +112,29 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getAs[Long]("custkey") % 20 == 0)
     }
   }
+
+  test("activity streaks: islands split exactly at gaps, duplicates collapse") {
+    // u1: 1,2,3 | 7 | 10,11 (with day 2 duplicated); u2: one day only.
+    val ev = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (1L, 7L),
+      (1L, 10L), (1L, 11L), (2L, 5L)).toDF("user_id", "day_num")
+    val out = TimeSeries.activityStreaks(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("max_streak_days"))).toMap
+    assert(out(1L) == ((6L, 3L, 3L)))
+    assert(out(2L) == ((1L, 1L, 1L)))
+  }
+
+  test("activity streaks: per-user invariants on real data") {
+    val rows = TimeSeries.userStreaks(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s, m) = (r.getAs[Long]("n_active_days"),
+        r.getAs[Long]("n_streaks"), r.getAs[Long]("max_streak_days"))
+      assert(s >= 1 && m >= 1 && m <= n && s <= n,
+        s"user ${r.get(0)}: inconsistent $n/$s/$m")
+      // n streaks over n_active_days: max streak can't beat the pigeonhole.
+      assert(m >= (n + s - 1) / s, s"user ${r.get(0)}: max below mean")
+    }
+  }
 }
