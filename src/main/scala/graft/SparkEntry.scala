@@ -20,7 +20,8 @@ object Registry {
       graft.analytics.EventAnalytics.queries ++ graft.warehouse.Scd2.queries ++
       graft.warehouse.QuantileState.queries ++ graft.analytics.Profile.queries ++
       graft.analytics.Retrieval.queries ++ graft.analytics.TimeSeries.queries ++
-      graft.analytics.GraphRank.queries ++ graft.warehouse.TableDiff.queries
+      graft.analytics.GraphRank.queries ++ graft.warehouse.TableDiff.queries ++
+      graft.analytics.FrequencySketches.queries
 }
 
 object SparkEntry {

@@ -68,4 +68,50 @@ class StreamingSketchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Map[String, Long]]("mg")).toMap
     assert(batch(w1) == streamed(w1), "stream and batch sketches must agree")
   }
+
+  test("windowed count-min sketches stream == batch once windows close") {
+    import graft.functions.CountMin
+    val dir = tmpDir("cms-stream-src")
+    val ckpt = tmpDir("cms-stream-ckpt")
+    val scratch = tmpDir("cms-stream-scratch")
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = Paths.get(scratch, name)
+      Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+    }
+    def ev(ts: String, item: String) = s"""{"ts": "$ts", "item": "$item"}"""
+    writeBatch("b1.ndjson",
+      Seq.fill(4)(ev("2024-01-01T10:01:00.000Z", "x")) ++
+        Seq.fill(2)(ev("2024-01-01T10:02:00.000Z", "y")))
+    val schema = "ts TIMESTAMP, item STRING"
+    val width = 32
+    val src = spark.readStream.schema(schema).json(dir)
+      .withWatermark("ts", "0 seconds")
+    val sketch = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(window(col("ts"), "1 hour"))
+        .agg(CountMin.sketch(df, col("item"), lit(1L), width).as("cms"))
+        .select(col("window.start").cast("long").as("w"), col("cms"))
+    val q = sketch(src).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").format("memory").queryName("cms_out").start()
+    q.processAllAvailable()
+    writeBatch("b2.ndjson", Seq(ev("2024-01-01T12:30:00.000Z", "z")))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM cms_out").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("cms").toSeq).toMap
+    val w1 = java.time.Instant.parse("2024-01-01T10:00:00Z").getEpochSecond
+    assert(streamed.contains(w1), s"window 1 must have closed, saw ${streamed.keySet}")
+    // The closed window's sketch answers point queries exactly here
+    // (2 items, width 32 — collision-free with these hashes or not, the
+    // one-sided bound still must hold).
+    val cells = streamed(w1).toArray
+    assert(CountMin.estimate(cells, "x", width) >= 4L)
+    assert(CountMin.estimate(cells, "y", width) >= 2L)
+    // And the streaming fold equals the batch sketch of the same files.
+    val batch = sketch(spark.read.schema(schema).json(dir)).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("cms").toSeq).toMap
+    assert(batch(w1) == streamed(w1), "stream and batch CMS must agree")
+  }
 }
