@@ -211,7 +211,75 @@ object Profile {
        |FROM counted""".stripMargin
   }
 
+  // --------------------------------------------------------------- q101
+  /** Join-key skew profile — the diagnostic read before choosing a join
+    * strategy at 100 TB: per candidate key, how concentrated is the row
+    * distribution? Output is one row per (key, ⌊log₂ count⌋) bucket —
+    * the counts-of-counts histogram — with the global stats (distinct
+    * keys, rows, top-1 and top-10 share in integer micro-units) carried
+    * on every row. A top-1 share in the percents says "salt this key"
+    * (warehouse.Skew); an even histogram says a plain shuffle is fine.
+    *
+    * Scale shape: one hash aggregation to per-key counts, then a
+    * keys-sized log₂-bucket aggregation; the top-10 is a partial top-k
+    * (`orderBy.limit`), never a global sort. No step holds more than
+    * the distinct-key space, and nothing is driver-materialized.
+    *
+    * Exactness: ⌊log₂ c⌋ is `length(bin(c)) − 1` — pure integer/string
+    * ops on BIGINT, identical in both engines — and the shares are
+    * integer micro-unit divisions.
+    */
+  def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val buckets = counts
+      .groupBy((length(bin(col("c"))) - 1).as("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"))
+    val top = counts.orderBy(col("c").desc, col("k")).limit(10)
+      .agg(max("c").as("top1"), sum("c").as("top10"))
+    val global = counts.agg(count(lit(1)).as("n_keys_total"),
+      sum("c").as("n_rows_total"))
+    buckets.crossJoin(broadcast(global)).crossJoin(broadcast(top))
+      .select(lit(label).as("key_col"),
+        col("log2_bucket").cast("long").as("log2_bucket"),
+        col("n_keys"), col("n_rows"), col("n_keys_total"), col("n_rows_total"),
+        expr("(1000000 * top1) div n_rows_total").as("top1_share_micro"),
+        expr("(1000000 * top10) div n_rows_total").as("top10_share_micro"))
+  }
+
+  /** Gated q101: skew profiles of the two natural big-join keys —
+    * events.user_id and lineitem.l_orderkey.
+    */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame =
+    keySkew(Tables.events(spark, dir), "user_id", "events.user_id")
+      .unionByName(
+        keySkew(Tables.lineitem(spark, dir), "l_orderkey", "lineitem.l_orderkey"))
+
+  private def keySkewSqlFor(table: String, key: String): String =
+    s"""SELECT '$table.$key' AS key_col,
+       |  CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bucket,
+       |  count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+       |  (SELECT count(*) FROM ${table}_c) AS n_keys_total,
+       |  (SELECT CAST(sum(c) AS BIGINT) FROM ${table}_c) AS n_rows_total,
+       |  (1000000 * (SELECT max(c) FROM (SELECT c FROM ${table}_c ORDER BY c DESC, k LIMIT 10)))
+       |    // (SELECT sum(c) FROM ${table}_c) AS top1_share_micro,
+       |  (1000000 * (SELECT sum(c) FROM (SELECT c FROM ${table}_c ORDER BY c DESC, k LIMIT 10)))
+       |    // (SELECT sum(c) FROM ${table}_c) AS top10_share_micro
+       |FROM ${table}_c GROUP BY 1, 2""".stripMargin
+
+  private val keySkewProfileSql =
+    s"""WITH events_c AS (
+       |  SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1
+       |),
+       |lineitem_c AS (
+       |  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+       |)
+       |${keySkewSqlFor("events", "user_id")}
+       |UNION ALL
+       |${keySkewSqlFor("lineitem", "l_orderkey")}""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q72_profile_lineitem", profileLineitem _, Some(profileLineitemSql)),
-    NamedQuery("q92_benford_audit", benfordAudit _, Some(benfordAuditSql)))
+    NamedQuery("q92_benford_audit", benfordAudit _, Some(benfordAuditSql)),
+    NamedQuery("q101_key_skew", keySkewProfile _, Some(keySkewProfileSql)))
 }

@@ -290,7 +290,87 @@ object TimeSeries {
       |  CAST(max(streak_days) AS BIGINT) AS max_streak_days
       |FROM streaks GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Group-wise ordinary-least-squares trend — "is this segment's revenue
+    * growing, and how fast?" as closed-form regression over per-group
+    * sums: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Everything is ONE
+    * hash aggregation per group (every term is a plain sum — fully
+    * partial-aggregable, no sort, no iteration), so the trend of a
+    * 100 TB fact table costs one scan + one groups-sized shuffle.
+    *
+    * Exactness: x is the day offset from the group's own first day
+    * (keeps magnitudes small), y integer cents; numerator/denominator
+    * are exact BIGINT, and the slope is emitted in integer MICRO-cents
+    * per day via the two-step long division q·1e6 + (1e6·r) div den —
+    * every output column engine-exact, negative slopes truncate
+    * identically under Spark `div` ≡ DuckDB `//`. Headroom: terms stay
+    * under 2^63 while n_days·Σxy < 9.2e18 — for daily-grain groups
+    * (n ≤ ~2.5k, x ≤ ~2.5k) that allows ~1.5e12 cents/day of group
+    * revenue, orders of magnitude past the sf levels bench uses.
+    */
+  def olsTrend(perX: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    perX
+      .withColumn("x", (col(xCol) - min(col(xCol)).over(w)).cast("long"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum(col(yCol)).as("sy"), sum(col("x") * col(yCol)).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", expr("n_days * sxy - sx * sy"))
+      .withColumn("den", expr("n_days * sxx - sx * sx"))
+      .withColumn("slope_micro", expr(
+        "(num div den) * 1000000 + (1000000 * (num - (num div den) * den)) div den"))
+      .drop("sx", "sxy", "sxx")
+  }
+
+  /** Gated q99: daily revenue trend per market segment in micro-cents
+    * per day.
+    */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("day_i", datediff(col("day"), lit("1970-01-01").cast("date")))
+    olsTrend(daily, "segment", "day_i", "cents")
+      .select(col("segment"), col("n_days"), col("sy").as("total_cents"),
+        col("num"), col("den"), col("slope_micro"))
+  }
+
+  private val revenueTrendSql =
+    """WITH daily AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderdate::DATE AS day,
+      |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |xs AS (
+      |  SELECT segment, cents,
+      |    date_diff('day', min(day) OVER (PARTITION BY segment), day) AS x
+      |  FROM daily
+      |),
+      |s AS (
+      |  SELECT segment, count(*) AS n_days, sum(x) AS sx, sum(cents) AS sy,
+      |    sum(x * cents) AS sxy, sum(x * x) AS sxx
+      |  FROM xs GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT segment, n_days, sy,
+      |    n_days * sxy - sx * sy AS num, n_days * sxx - sx * sx AS den
+      |  FROM s
+      |)
+      |SELECT segment, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(sy AS BIGINT) AS total_cents,
+      |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+      |  CAST((num // den) * 1000000
+      |    + (1000000 * (num - (num // den) * den)) // den AS BIGINT) AS slope_micro
+      |FROM f""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q99_revenue_trend", revenueTrend _, Some(revenueTrendSql)),
     NamedQuery("q76_weekly_gapfill", weeklyGapfill _, Some(weeklyGapfillSql)),
     NamedQuery("q95_user_streaks", userStreaks _, Some(userStreaksSql)),
     NamedQuery("q78_moving_revenue", movingRevenue _, Some(movingRevenueSql)),

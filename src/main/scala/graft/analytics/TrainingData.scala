@@ -778,7 +778,59 @@ object TrainingData {
        |FROM fb JOIN wt USING (b)
        |GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup 2007): each item draws a deterministic
+    * 60-bit "uniform" from md5 of its id and gets priority key
+    * `hash div weight`; the N smallest keys are the sample. Inclusion
+    * probability scales with weight (a doc with 10× the tokens is ~10×
+    * as likely in), the scheme is without-replacement by construction,
+    * and — unlike exponential-key Efraimidis–Spirtes — the key needs NO
+    * floating-point log, so both engines rank the identical integers
+    * and the gate is airtight rather than ulp-lucky.
+    *
+    * Scale shape: key assignment is a map-only projection; the top-N
+    * is `orderBy(key).limit(N)` — Spark's partial top-k (per-partition
+    * heaps, no global sort, nothing corpus-sized on one node).
+    */
+  def prioritySample(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                     weight: Column): DataFrame = {
+    val keyed = docs
+      .withColumn("w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("h",
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("key", expr("h div w"))
+    keyed.orderBy(col("key"), col(idCol)).limit(n)
+      .withColumn("sel_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("key"), col(idCol))))
+      .select(col("sel_rank"), col(idCol), col("w"), col("key"))
+  }
+
+  /** Gated q100: 100 documents priority-sampled ∝ token count. */
+  def prioritySampleDocs(spark: SparkSession, dir: String): DataFrame =
+    prioritySample(graft.core.Tables.documents(spark, dir), 100,
+      weight = size(graft.functions.shingleStrings(col("text"), 1)))
+
+  private val prioritySampleSql =
+    """WITH tw AS (
+      |  SELECT doc_id,
+      |    greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '')), 1) AS w
+      |  FROM documents
+      |),
+      |ks AS (
+      |  SELECT doc_id, CAST(w AS BIGINT) AS w,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // w AS key
+      |  FROM tw
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS INTEGER) AS sel_rank,
+      |  doc_id, w, key
+      |FROM ks ORDER BY key, doc_id LIMIT 100""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q100_priority_sample", prioritySampleDocs _, Some(prioritySampleSql)),
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),
     NamedQuery("q37_stratified_sample", stratifiedSampleByLang _, Some(stratifiedSampleSql)),

@@ -380,4 +380,47 @@ class PlanAuditSpec extends SparkSpec {
       s"q46 dictionary join must stay broadcast: $s")
     assert(s.shuffles <= 20, s"q46 shuffles regressed: $s")
   }
+
+  test("q97 CMS builds one sketch row and probes it broadcast") {
+    val s = stats("q97_cms_shingle_counts")
+    // nestedLoops ≤ 2 is the intended ONE-ROW sketch crossJoin (the
+    // q19/q46 single-row broadcast pattern — AQE prints it twice); a
+    // real pair blowup would also blow the scan/shuffle ceilings.
+    assert(s.nestedLoops <= 2 && s.scans <= 4 && s.shuffles <= 10,
+      s"q97 regressed: $s") // audited 3 scans / 8 shuffles
+  }
+
+  test("q98 KMV pair estimates never rejoin the corpus") {
+    val s = stats("q98_kmv_source_overlap")
+    // The pairwise stage works over 20 sketch rows: corpus scans stay
+    // bounded by the two sketch-build branches.
+    assert(s.scans <= 4, s"q98 must compute pair stats from sketches alone: $s")
+    assert(s.smj == 0, s"q98 regressed: $s")
+  }
+
+  test("q99 OLS trend is one keyed window + one hash aggregation") {
+    val s = stats("q99_revenue_trend")
+    assert(s.broadcast >= 1, s"q99 customer dim must broadcast: $s")
+    assert(s.shuffles <= 6 && s.nestedLoops == 0 && s.singleParts == 0,
+      s"q99 must stay sums-only: $s") // audited 4
+  }
+
+  test("q100 priority sample is a partial top-k, not a global sort") {
+    val df = Registry.all.find(_.name == "q100_priority_sample").get.run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q100 must select via partial top-k; plan:\n${plan.take(2000)}")
+    val s = Explain.audit(df)
+    assert(s.scans <= 2, s"q100 regressed: $s")
+  }
+
+  test("q101 skew profile: aggregations only, top-10 via partial top-k") {
+    val df = Registry.all.find(_.name == "q101_key_skew").get.run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q101 top-10 must be a partial top-k; plan:\n${plan.take(2000)}")
+    val s = Explain.audit(df)
+    assert(s.nestedLoops <= 8 && s.smj == 0,
+      s"q101 must stay hash aggregations + one-row joins: $s")
+  }
 }

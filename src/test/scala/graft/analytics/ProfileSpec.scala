@@ -94,4 +94,24 @@ class ProfileSpec extends SparkSpec {
     val m = rows.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("p_benford_micro")).toMap
     assert(m(1) == 301029L && m(9) == 45757L)
   }
+
+  test("keySkew: hand-built distribution lands in the right log2 buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4 keys: counts 1, 2, 3, 10 → buckets 0, 1, 1, 3; total 16 rows.
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(10)("d")).toDF("k")
+    val rows = Profile.keySkew(df, "k", "t.k").collect()
+    val byBucket = rows.map(r => r.getAs[Long]("log2_bucket") ->
+      (r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"))).toMap
+    assert(byBucket == Map(0L -> ((1L, 1L)), 1L -> ((2L, 5L)), 3L -> ((1L, 10L))))
+    rows.foreach { r =>
+      assert(r.getAs[String]("key_col") == "t.k")
+      assert(r.getAs[Long]("n_keys_total") == 4L)
+      assert(r.getAs[Long]("n_rows_total") == 16L)
+      // top1 = 10/16 = 0.625; top10 covers everything (only 4 keys).
+      assert(r.getAs[Long]("top1_share_micro") == 625000L)
+      assert(r.getAs[Long]("top10_share_micro") == 1000000L)
+    }
+  }
 }

@@ -137,4 +137,37 @@ class TimeSeriesSpec extends SparkSpec {
       assert(m >= (n + s - 1) / s, s"user ${r.get(0)}: max below mean")
     }
   }
+
+  test("OLS trend: hand-computed slopes, including exact negative division") {
+    // g1: y = 100 + 250·x exactly → num/den = 250, slope_micro = 250e6.
+    // g2: y falls 7 per 2 days → slope = -3.5 = -3500000 micro exactly.
+    // g3: pure noise around a flat line → slope 0 when symmetric.
+    val rows = Seq(
+      ("g1", 10L, 100L), ("g1", 11L, 350L), ("g1", 12L, 600L), ("g1", 13L, 850L),
+      ("g2", 5L, 107L), ("g2", 7L, 100L), ("g2", 9L, 93L),
+      ("g3", 1L, 50L), ("g3", 2L, 60L), ("g3", 3L, 50L), ("g3", 4L, 60L), ("g3", 5L, 50L)
+    ).toDF("g", "x", "y")
+    val out = TimeSeries.olsTrend(rows, "g", "x", "y").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("num"), r.getAs[Long]("den"),
+          r.getAs[Long]("slope_micro"))).toMap
+    assert(out("g1") == ((4L, 1250L * 4, 20L, 250000000L)), s"got ${out("g1")}")
+    assert(out("g2")._4 == -3500000L, s"got ${out("g2")}")
+    // g3: x centered 0..4, Σx=10, Σy=270, Σxy=540, Σxx=30 →
+    // num = 5·540 − 10·270 = 0 → slope 0.
+    assert(out("g3")._2 == 0L && out("g3")._4 == 0L, s"got ${out("g3")}")
+  }
+
+  test("OLS trend: truncating two-step division matches BigInt reference") {
+    // Deterministic pseudo-random group: verify slope_micro ==
+    // (1e6·num)/den truncated, computed in BigInt (no overflow).
+    val rows = (0 until 37).map { i =>
+      ("g", i.toLong * 3 + 2, ((i * 7919) % 101 - 50).toLong * (i % 5 + 1))
+    }.toDF("g", "x", "y")
+    val r = TimeSeries.olsTrend(rows, "g", "x", "y").head()
+    val (num, den, got) = (BigInt(r.getAs[Long]("num")),
+      BigInt(r.getAs[Long]("den")), r.getAs[Long]("slope_micro"))
+    val want = (BigInt(1000000) * num) / den // BigInt / truncates toward zero
+    assert(BigInt(got) == want, s"two-step division drifted: $got vs $want")
+  }
 }

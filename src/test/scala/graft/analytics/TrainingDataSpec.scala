@@ -311,4 +311,35 @@ class TrainingDataSpec extends SparkSpec {
     // -7 over 3 feats: truncation gives -2 (DuckDB // agrees; floor is -3).
     assert(r.getAs[Long]("logit_units") == -7L && r.getAs[Long]("mean_units") == -2L)
   }
+
+  test("prioritySample: keys are hash div weight; heavier weight never hurts") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def md560(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // Weight 1 everywhere: key must equal the raw 60-bit hash (and the
+    // zero/negative weight floor must clamp to 1, not divide by zero).
+    val flat = TrainingData.prioritySample(docs, 10, weight = lit(0L)).collect()
+    flat.foreach { r =>
+      assert(r.getAs[Long]("key") == md560(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("w") == 1L)
+    }
+    // The sample IS the 10 smallest hashes under flat weights.
+    val wantFlat = (1L to 50L).sortBy(md560).take(10).toSet
+    assert(flat.map(_.getAs[Long]("doc_id")).toSet == wantFlat)
+    // Monotonicity: boosting one excluded doc's weight enough must pull
+    // it in (key = h div w is decreasing in w), without perturbing the
+    // keys of any other doc.
+    val outsider = (1L to 50L).sortBy(md560).last
+    val boosted = TrainingData.prioritySample(docs, 10,
+      weight = org.apache.spark.sql.functions
+        .when(col("doc_id") === outsider, lit(1L << 60)).otherwise(lit(1L))).collect()
+    assert(boosted.map(_.getAs[Long]("doc_id")).contains(outsider),
+      "a dominant weight must guarantee inclusion")
+    // Deterministic: same inputs, same sample, stable ranks 1..10.
+    assert(boosted.map(_.getAs[Int]("sel_rank")).sorted.toSeq == (1 to 10))
+  }
 }
