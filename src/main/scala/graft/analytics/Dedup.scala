@@ -625,7 +625,91 @@ object Dedup {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |WHERE d.doc_id % 5 = 0""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  /** Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995) — the
+    * third candidate-generation strategy next to LSH banding (q17) and
+    * pigeonhole chunking (q18): sort by a cheap blocking key, compare
+    * each record only to its `window` successors in sort order, verify
+    * candidates exactly. Work is O(n·window), and near-identical records
+    * (which share key prefixes) land adjacent.
+    *
+    * Distributed shape: the sort is PARTITIONED by the key's first
+    * character, so each partition sorts and slides independently — the
+    * multi-pass-SN trade (pairs straddling a partition boundary are a
+    * second pass's job) made explicit rather than hidden in a global
+    * row_number. Within a partition the W successors ride `lead()`
+    * structs off ONE window sort — no self-join on rank arithmetic.
+    *
+    * Exactness: verification is integer-micro word-set Jaccard, and the
+    * (partition, rank) space is engine-deterministic (ties broken by
+    * doc_id), so the oracle reproduces the exact candidate set.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int,
+                              minJaccardMicro: Long): DataFrame = {
+    val s = docs.select(col("doc_id"),
+      substring(col("text"), 1, 40).as("bkey"),
+      TextAnalysis.tokenSet(col("text")).as("ws"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("bkey"), 1, 1))
+      .orderBy(col("bkey"), col("doc_id"))
+    val leads = (1 to window).map(d =>
+      lead(struct(col("doc_id").as("b_id"), col("ws").as("b_ws")), d).over(w))
+    s.withColumn("nbrs", array(leads: _*))
+      .select(col("doc_id").as("a_id"), col("ws"),
+        posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .filter(col("nbr").isNotNull)
+      .select(col("a_id"), col("nbr.b_id").as("b_id"),
+        (col("pos") + 1).cast("long").as("dist"),
+        expr("(1000000 * size(array_intersect(ws, nbr.b_ws)))" +
+          " div size(array_union(ws, nbr.b_ws))").as("jaccard_micro"))
+      .filter(col("jaccard_micro") >= minJaccardMicro)
+  }
+
+  /** Gated q102: SN blocking over the q30-style planted-twin corpus
+    * (each doc unioned with a re-keyed copy suffixed " zz" — twins share
+    * the 40-char block key, so the window provably has work to find),
+    * window 5, verify at Jaccard ≥ 0.5.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    sortedNeighborhoodPairs(planted, window = 5, minJaccardMicro = 500000L)
+  }
+
+  private val sortedNeighborhoodSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' zz' FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS bkey,
+      |    list_distinct(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS ws
+      |  FROM corpus
+      |),
+      |r AS (
+      |  SELECT doc_id, bkey, ws, substr(bkey, 1, 1) AS p,
+      |    row_number() OVER (PARTITION BY substr(bkey, 1, 1)
+      |                       ORDER BY bkey, doc_id) AS rn
+      |  FROM s
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(b.rn - a.rn AS BIGINT) AS dist, a.ws AS aws, b.ws AS bws
+      |  FROM r a JOIN r b
+      |    ON a.p = b.p AND b.rn > a.rn AND b.rn <= a.rn + 5
+      |)
+      |SELECT a_id, b_id, dist,
+      |  (1000000 * len(list_intersect(aws, bws)))
+      |    // len(list_distinct(list_concat(aws, bws))) AS jaccard_micro
+      |FROM pairs
+      |WHERE (1000000 * len(list_intersect(aws, bws)))
+      |    // len(list_distinct(list_concat(aws, bws))) >= 500000""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q102_sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),
     NamedQuery("q17_minhash_neardups", minHashSummary _, Some(minHashSummarySql)),
     NamedQuery("q18_simhash_signatures", simHashSummary _, Some(simHashSummarySql)),
     NamedQuery("q30_dedup_corpus", dedupCorpusSummary _, Some(dedupCorpusSummarySql)),

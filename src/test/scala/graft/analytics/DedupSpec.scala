@@ -204,4 +204,40 @@ class DedupSpec extends SparkSpec {
     assert(cross.nonEmpty, "harness corpus must contain cross-side near-dups")
     assert(got == cross, s"got ${got.size} pairs, exact cross set has ${cross.size}")
   }
+
+  test("sortedNeighborhoodPairs equals the rank-window ground truth; twins found") {
+    import spark.implicits._
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    val got = Dedup.sortedNeighborhoodPairs(planted, window = 5,
+      minJaccardMicro = 500000L)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("dist"), r.getAs[Long]("jaccard_micro"))).toSet
+
+    // Driver-side ground truth from the SAME definition: per first-char
+    // partition, sort by (40-char key, id), pair ranks ≤ 5 apart, keep
+    // integer-micro word-set Jaccard ≥ 0.5.
+    val rows = planted.collect().map(r => (r.getLong(0), r.getString(1)))
+    def wset(t: String) = t.split(" ").filter(_.nonEmpty).toSet
+    val want = rows.map { case (id, t) => (id, t.take(40), wset(t)) }
+      .groupBy(_._2.take(1)).values.flatMap { part =>
+        val sorted = part.sortBy { case (id, k, _) => (k, id) }
+        for {
+          i <- sorted.indices; d <- 1 to 5; if i + d < sorted.length
+          (aId, _, aWs) = sorted(i); (bId, _, bWs) = sorted(i + d)
+          jm = 1000000L * aWs.intersect(bWs).size / aWs.union(bWs).size
+          if jm >= 500000L
+        } yield (aId, bId, d.toLong, jm)
+      }.toSet
+    assert(got == want, s"got ${got.size} pairs, ground truth ${want.size}")
+    // Every planted twin shares its 40-char block key with its original
+    // — the window must surface them all (the blocking-efficacy claim).
+    val twinPairs = got.collect {
+      case (a, b, _, _) if b == a + 1000000L => a
+      case (a, b, _, _) if a == b + 1000000L => b
+    }
+    assert(twinPairs.size == docs.count(),
+      s"all twins must be found, got ${twinPairs.size}")
+  }
 }
