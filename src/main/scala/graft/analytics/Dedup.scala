@@ -708,8 +708,102 @@ object Dedup {
       |WHERE (1000000 * len(list_intersect(aws, bws)))
       |    // len(list_distinct(list_concat(aws, bws))) >= 500000""".stripMargin
 
+  // --------------------------------------------------------------- q104
+  /** Prefix-filtering set-similarity self-join (the PPJoin candidate
+    * principle, Chaudhuri et al. 2006 / Xiao et al. 2008) — the fourth
+    * candidate-generation strategy next to LSH banding (q17), pigeonhole
+    * chunking (q18), and sorted neighborhoods (q102), and the only one of
+    * the four that is EXACT: if Jaccard(x, y) ≥ t then the two records'
+    * prefixes provably share a token, so verified output = the complete
+    * set of qualifying pairs (no LSH recall loss, no SN boundary loss).
+    *
+    * Mechanics: order every record's token set by a GLOBAL rarest-first
+    * total order (document frequency asc, token asc — deterministic, so
+    * the oracle rebuilds the same order), keep only the first
+    * |x| − ⌈t·|x|⌉ + 1 tokens as the prefix, and generate candidates by
+    * equi-joining prefixes on their tokens. Rare tokens lead, so prefix
+    * buckets stay small — the frequency ordering IS the skew defense.
+    * Guarantee: J ≥ t ⇒ |x∩y| ≥ ⌈t·|x|⌉, and x's non-prefix suffix has
+    * only ⌈t·|x|⌉ − 1 slots, so some shared token sits in both prefixes.
+    *
+    * Distributed shape: two hash aggregations (token df, per-doc ordered
+    * list), a prefix explode, the [[CandidateJoin]] bucket self-join, and
+    * an exact integer-micro Jaccard verify on candidates only — never the
+    * n² pair space, and at 100 TB the df dictionary join is a plain
+    * shuffle equi-join (no driver-side vocabulary).
+    */
+  def prefixFilterPairs(docs: DataFrame, minJaccardMicro: Long): DataFrame = {
+    val s = docs.select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ws"))
+    val tok = s.select(col("doc_id"), explode(col("ws")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // Rarest-first per-doc order; struct sort ≡ ORDER BY (df, token).
+    val ordered = tok.join(dfreq, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
+    // t = minJaccardMicro/1e6; prefix len = n − ⌈t·n⌉ + 1 in pure integer
+    // arithmetic (⌈t·n⌉ = (micro·n + 999999) div 1e6) — no float ever.
+    val prefix = ordered.select(col("doc_id"),
+      expr(s"transform(slice(ord, 1, size(ord) - (($minJaccardMicro * size(ord)" +
+        s" + 999999) div 1000000) + 1), x -> x.token)").as("pref"))
+      .select(col("doc_id"), explode(col("pref")).as("token"))
+    val cand = CandidateJoin.pairs(prefix, "doc_id", Seq("token"), None).distinct()
+    cand
+      .join(s.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr("(1000000 * size(array_intersect(a_ws, b_ws)))" +
+          " div size(array_union(a_ws, b_ws))").as("jaccard_micro"))
+      .filter(col("jaccard_micro") >= minJaccardMicro)
+  }
+
+  /** Gated q104: exact prefix-filter join over the raw documents corpus
+    * at Jaccard ≥ 0.9 (the corpus is templated — median 25 distinct
+    * tokens — so lower thresholds qualify a large fraction of the n²
+    * pair space; 0.9 is the near-dup regime the operator exists for, and
+    * it keeps prefixes at ~2-3 tokens). The hash gate proves the
+    * complete qualifying pair set against DuckDB's rebuild of the
+    * identical prefix scheme.
+    */
+  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    prefixFilterPairs(docs.select(col("doc_id"), col("text")),
+      minJaccardMicro = 900000L)
+  }
+
+  private val prefixFilterSql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS ws
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, unnest(ws) AS token FROM s),
+      |dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+      |ord AS (
+      |  SELECT t.doc_id, t.token,
+      |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn,
+      |    count(*) OVER (PARTITION BY t.doc_id) AS sz
+      |  FROM tok t JOIN dfreq d USING (token)
+      |),
+      |pref AS (
+      |  SELECT doc_id, token FROM ord
+      |  WHERE rn <= sz - ((900000 * sz + 999999) // 1000000) + 1
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+      |)
+      |SELECT c.a_id, c.b_id,
+      |  (1000000 * len(list_intersect(sa.ws, sb.ws)))
+      |    // len(list_distinct(list_concat(sa.ws, sb.ws))) AS jaccard_micro
+      |FROM cand c
+      |JOIN s sa ON c.a_id = sa.doc_id
+      |JOIN s sb ON c.b_id = sb.doc_id
+      |WHERE (1000000 * len(list_intersect(sa.ws, sb.ws)))
+      |    // len(list_distinct(list_concat(sa.ws, sb.ws))) >= 900000""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q102_sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),
+    NamedQuery("q104_prefix_filter_join", prefixFilterJoin _, Some(prefixFilterSql)),
     NamedQuery("q17_minhash_neardups", minHashSummary _, Some(minHashSummarySql)),
     NamedQuery("q18_simhash_signatures", simHashSummary _, Some(simHashSummarySql)),
     NamedQuery("q30_dedup_corpus", dedupCorpusSummary _, Some(dedupCorpusSummarySql)),

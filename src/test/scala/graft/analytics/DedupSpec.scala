@@ -240,4 +240,28 @@ class DedupSpec extends SparkSpec {
     assert(twinPairs.size == docs.count(),
       s"all twins must be found, got ${twinPairs.size}")
   }
+
+  test("prefixFilterPairs is COMPLETE: equals brute-force word-set Jaccard") {
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    val got = Dedup.prefixFilterPairs(planted, minJaccardMicro = 500000L)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("jaccard_micro"))).toSet
+
+    // Brute-force ALL pairs with integer-micro word-set Jaccard ≥ 0.5 —
+    // prefix filtering claims exactness, so the sets must be EQUAL (no
+    // recall loss like LSH, no boundary loss like sorted neighborhoods).
+    val rows = planted.collect().map(r => (r.getLong(0), r.getString(1)))
+    def wset(t: String) = t.split(" ").filter(_.nonEmpty).toSet
+    val sets = rows.map { case (id, t) => (id, wset(t)) }
+    val want = (for {
+      i <- sets.indices; j <- sets.indices; if sets(i)._1 < sets(j)._1
+      (aId, aWs) = sets(i); (bId, bWs) = sets(j)
+      jm = 1000000L * aWs.intersect(bWs).size / aWs.union(bWs).size
+      if jm >= 500000L
+    } yield (aId, bId, jm)).toSet
+    assert(got == want, s"got ${got.size} pairs, brute force ${want.size}")
+    assert(want.nonEmpty, "planted twins must qualify at 0.5")
+  }
 }
