@@ -21,7 +21,8 @@ object Registry {
       graft.warehouse.QuantileState.queries ++ graft.analytics.Profile.queries ++
       graft.analytics.Retrieval.queries ++ graft.analytics.TimeSeries.queries ++
       graft.analytics.GraphRank.queries ++ graft.warehouse.TableDiff.queries ++
-      graft.analytics.FrequencySketches.queries ++ graft.warehouse.MomentsState.queries
+      graft.analytics.FrequencySketches.queries ++ graft.warehouse.MomentsState.queries ++
+      graft.analytics.Statistics.queries
 }
 
 object SparkEntry {

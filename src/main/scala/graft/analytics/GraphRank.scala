@@ -218,7 +218,107 @@ object GraphRank {
        |FROM nodes n LEFT JOIN d$HopIters dd ON dd.node = n.node""".stripMargin
   }
 
+  // --------------------------------------------------------------- q106
+  /** Triangle counting — the third canonical graph workload next to
+    * PageRank (q81) and BFS (q91), and the standard clustering-coefficient
+    * / community-density primitive. Uses the degree-ordered orientation
+    * (Chiba–Nishizeki / Schank–Wagner): every undirected edge is oriented
+    * from its lower-(degree, id) endpoint to the higher, so each wedge is
+    * enumerated at its LOWEST-degree apex — total wedge work is
+    * O(Σ d_out²) = O(m^{3/2}) instead of the O(Σ d²) a naive self-join
+    * pays, which is exactly the hub-skew defense a power-law graph needs
+    * at scale.
+    *
+    * Mechanics: rank nodes by (degree, node) — a nodes-sized window, the
+    * vocabulary not the corpus — orient edges by rank, wedge-join oriented
+    * adjacency on the apex, and close each wedge with one more equi-join
+    * probing the oriented edge set. Per-node counts attribute each
+    * triangle to all three corners. Every column is an exact integer.
+    */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+                dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // Total order by (degree, node): ranks are a vocabulary-sized window,
+    // acceptable as a single sort because nodes ≪ edges ≪ corpus.
+    val idx = deg.withColumn("idx",
+      row_number().over(Window.orderBy(col("degree"), col("node"))).cast("long"))
+    val o = und
+      .join(idx.select(col("node").as("a"), col("idx").as("ia")), Seq("a"))
+      .join(idx.select(col("node").as("b"), col("idx").as("ib")), Seq("b"))
+      .select(least(col("ia"), col("ib")).as("u"),
+        greatest(col("ia"), col("ib")).as("v"))
+    val tri = o.select(col("u"), col("v").as("x"))
+      .join(o.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = tri.select(col("u").as("idx"))
+      .union(tri.select(col("x").as("idx")))
+      .union(tri.select(col("y").as("idx")))
+      .groupBy("idx").agg(count(lit(1)).as("tri_count"))
+    idx.join(perNode, Seq("idx"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+  }
+
+  /** Gated face: per-term triangle participation over the q81
+    * co-occurrence graph, top-15 by (tri_count, term).
+    */
+  def termTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coocEdges(spark, dir)
+    triangles(edges)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tri_count").desc, col("node"))))
+      .filter(col("rank") <= 15)
+      .select(col("rank"), col("node").as("term"), col("degree"),
+        col("tri_count"))
+  }
+
+  private def termTrianglesSql: String =
+    s"""WITH $coocSqlCtes,
+       |und AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+       |deg AS (
+       |  SELECT node, count(*) AS degree FROM (
+       |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+       |  ) GROUP BY 1
+       |),
+       |idx AS (
+       |  SELECT node, degree,
+       |    CAST(row_number() OVER (ORDER BY degree, node) AS BIGINT) AS idx
+       |  FROM deg
+       |),
+       |o AS (
+       |  SELECT least(ia.idx, ib.idx) AS u, greatest(ia.idx, ib.idx) AS v
+       |  FROM und
+       |  JOIN idx ia ON ia.node = und.a
+       |  JOIN idx ib ON ib.node = und.b
+       |),
+       |tri AS (
+       |  SELECT w.u, w.x, w.y
+       |  FROM (SELECT o1.u, o1.v AS x, o2.v AS y
+       |        FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v) w
+       |  JOIN o o3 ON o3.u = w.x AND o3.v = w.y
+       |),
+       |per_node AS (
+       |  SELECT idx, count(*) AS tri_count FROM (
+       |    SELECT u AS idx FROM tri
+       |    UNION ALL SELECT x AS idx FROM tri
+       |    UNION ALL SELECT y AS idx FROM tri
+       |  ) GROUP BY 1
+       |)
+       |SELECT rank, term, degree, tri_count FROM (
+       |  SELECT i.node AS term, i.degree,
+       |    CAST(coalesce(p.tri_count, 0) AS BIGINT) AS tri_count,
+       |    CAST(row_number() OVER (
+       |      ORDER BY coalesce(p.tri_count, 0) DESC, i.node) AS INTEGER) AS rank
+       |  FROM idx i LEFT JOIN per_node p ON p.idx = i.idx) t
+       |WHERE rank <= 15""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q81_term_pagerank", termPageRank _, Some(termPageRankSql)),
-    NamedQuery("q91_term_hops", termHops _, Some(termHopsSql)))
+    NamedQuery("q91_term_hops", termHops _, Some(termHopsSql)),
+    NamedQuery("q106_term_triangles", termTriangles _, Some(termTrianglesSql)))
 }

@@ -21,16 +21,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses to
-    * read as TimestampType. Read it as raw int64 nanos (legacy conf) and
-    * truncate to a microsecond TimestampType column — consumers see a normal
-    * timestamp; oracle engines that keep ns agree once values are floored to
-    * seconds or formatted, which every query does at its edge.
+  /** `events.ts` is nanosecond-precision parquet. Spark ≤4.0 refuses to
+    * read it as TimestampType, so we read raw int64 nanos (legacy conf) and
+    * truncate to microseconds; Spark ≥4.1 instead reads ns natively as a
+    * micros-truncated TIMESTAMP_NTZ (the legacy conf no longer yields a
+    * long). Handle BOTH by dispatching on the delivered type — consumers
+    * always see a normal session-UTC TimestampType column either way, and
+    * oracle engines that keep ns agree once values are floored to seconds
+    * or formatted, which every query does at its edge.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => // session tz is UTC, so ntz -> ltz is value-identical
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

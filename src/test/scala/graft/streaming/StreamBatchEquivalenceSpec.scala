@@ -18,11 +18,11 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     val batch = graft.analytics.Relational.hourlyEventWindows(spark, dir)
       .collect().map(_.toSeq).toSet
 
-    // Stream the same parquet file (ns timestamps read as long, truncated
-    // to µs exactly like core.Tables.events).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stream the same parquet file. Spark ≥4.1 reads the ns timestamps as
+    // micros-truncated TIMESTAMP_NTZ (exactly core.Tables.events' value);
+    // cast to the session-UTC timestamp at the edge.
     val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // File-stream sources require a directory — symlink the single table
@@ -33,7 +33,7 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val src = spark.readStream.schema(rawSchema)
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
 
     val q = src
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -18,8 +18,12 @@ import graft.SparkSpec
 class StreamStreamJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  // Spark ≥4.1 reads the fixture's ns-precision parquet as a
+  // micros-truncated TIMESTAMP_NTZ (a LongType user schema no longer
+  // yields raw nanos — it delivers µs, silently double-truncating any
+  // `div 1000`). Ask for NTZ explicitly and cast at the edge.
   private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -51,13 +55,14 @@ class StreamStreamJoinSpec extends SparkSpec {
     // (in-order arrival: nothing is late, so parity must be exact).
     val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
     val srcDir = tmpDir("ssj-src")
-    val dayNs = 86400L * 1000 * 1000 * 1000
-    val jan1Ns = 1704067200L * 1000 * 1000 * 1000 // 2024-01-01 UTC
-    val cuts = Seq(jan1Ns + 10 * dayNs, jan1Ns + 20 * dayNs, Long.MaxValue)
+    // Day-10 / day-20 cuts from 2024-01-01 UTC, as NTZ literals.
+    val cuts = Seq(Some("2024-01-11 00:00:00"), Some("2024-01-21 00:00:00"), None)
     cuts.zipWithIndex.foreach { case (hi, i) =>
-      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val lo = if (i == 0) None else cuts(i - 1)
       val stage = tmpDir(s"ssj-stage$i")
-      raw.filter(col("ts") >= lo && col("ts") < hi)
+      val pred = lo.map(l => col("ts") >= expr(s"to_timestamp_ntz('$l')")).getOrElse(lit(true)) &&
+        hi.map(h => col("ts") < expr(s"to_timestamp_ntz('$h')")).getOrElse(lit(true))
+      raw.filter(pred)
         .coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -69,7 +74,7 @@ class StreamStreamJoinSpec extends SparkSpec {
 
     def src(): DataFrame = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp")) // UTC session: value-identical
 
     val joined = StreamingSync.streamJoin(
       views(src()), buys(src()),
@@ -134,13 +139,13 @@ class StreamStreamJoinSpec extends SparkSpec {
     // layout: rebuild them here so this test stands alone.
     val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
     val srcDir = tmpDir("ssjo-src")
-    val dayNs = 86400L * 1000 * 1000 * 1000
-    val jan1Ns = 1704067200L * 1000 * 1000 * 1000
-    val cuts = Seq(jan1Ns + 10 * dayNs, jan1Ns + 20 * dayNs, Long.MaxValue)
+    val cuts = Seq(Some("2024-01-11 00:00:00"), Some("2024-01-21 00:00:00"), None)
     cuts.zipWithIndex.foreach { case (hi, i) =>
-      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val lo = if (i == 0) None else cuts(i - 1)
       val stage = tmpDir(s"ssjo-stage$i")
-      raw.filter(col("ts") >= lo && col("ts") < hi)
+      val pred = lo.map(l => col("ts") >= expr(s"to_timestamp_ntz('$l')")).getOrElse(lit(true)) &&
+        hi.map(h => col("ts") < expr(s"to_timestamp_ntz('$h')")).getOrElse(lit(true))
+      raw.filter(pred)
         .coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -150,7 +155,7 @@ class StreamStreamJoinSpec extends SparkSpec {
     }
     def src(): DataFrame = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
 
     val q = StreamingSync.streamJoin(
       views(src()), buys(src()),
