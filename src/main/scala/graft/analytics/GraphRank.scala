@@ -237,7 +237,12 @@ object GraphRank {
     */
   def triangles(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst"): DataFrame = {
-    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // Canonicalize each undirected edge to (low, high) BEFORE distinct —
+    // an edge supplied only as (high, low) must not be dropped; self-loops
+    // (least = greatest) can never close a triangle and are.
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b")).distinct()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
@@ -279,7 +284,8 @@ object GraphRank {
 
   private def termTrianglesSql: String =
     s"""WITH $coocSqlCtes,
-       |und AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges WHERE src <> dst),
        |deg AS (
        |  SELECT node, count(*) AS degree FROM (
        |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und

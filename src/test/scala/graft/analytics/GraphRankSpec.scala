@@ -71,4 +71,42 @@ class GraphRankSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("hops")).toMap
     assert(out("b") == 1L && out("c") == -1L && out("d") == -1L)
   }
+
+  test("triangles: K4 has four triangles, three at every corner") {
+    val nodes = Seq("a", "b", "c", "d")
+    val k4 = (for (u <- nodes; v <- nodes if u != v) yield (u, v)).toDF("src", "dst")
+    val out = GraphRank.triangles(k4).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("tri_count")).toMap
+    assert(out == nodes.map(_ -> 3L).toMap)
+  }
+
+  test("triangles: square plus one diagonal — the diagonal's endpoints sit in both") {
+    // a-b-c-d-a plus a-c: triangles (a,b,c) and (a,c,d) only.
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
+    val g = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = GraphRank.triangles(g).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("tri_count")).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("triangles: duplicate, reversed, and self-loop edges never inflate counts") {
+    val noisy = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+      ("a", "a")).toDF("src", "dst")
+    val out = GraphRank.triangles(noisy).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("tri_count")).toMap
+    assert(out == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    val deg = GraphRank.triangles(noisy).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("degree")).toMap
+    assert(deg == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), "self-loop dropped from degree")
+  }
+
+  test("triangles: identical counts across partitioning layouts") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"))
+    val g = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val a = GraphRank.triangles(g).collect()
+      .map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq
+    val b = GraphRank.triangles(g.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }

@@ -1,0 +1,58 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class StatisticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def perDay(rows: (String, Int, Long, Long)*) =
+    rows.toDF("g", "day", "a", "b")
+
+  private def rho(rows: (String, Int, Long, Long)*): Map[String, Long] =
+    Statistics.spearman(perDay(rows: _*), "g", "day", "a", "b").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("rho_micro")).toMap
+
+  test("spearman: monotone agreement is exactly +1e6") {
+    val out = rho(("g", 1, 10L, 100L), ("g", 2, 20L, 200L),
+      ("g", 3, 30L, 400L), ("g", 4, 40L, 800L))
+    assert(out("g") == 1000000L)
+  }
+
+  test("spearman: perfect reversal is exactly -1e6") {
+    // Reversed ranks, n=4: sum_d2 = 9+1+1+9 = 20; 1e6 - 6e6*20/60 = -1e6.
+    val out = rho(("g", 1, 10L, 800L), ("g", 2, 20L, 400L),
+      ("g", 3, 30L, 200L), ("g", 4, 40L, 100L))
+    assert(out("g") == -1000000L)
+  }
+
+  test("spearman: hand-computed mid-range value with one swapped pair") {
+    // a-ranks 1..4 by day; b swaps days 3,4: rb = 1,2,4,3 → sum_d2 = 2.
+    // rho_micro = 1e6 - (6e6*2) div 60 = 1e6 - 200000 = 800000.
+    val out = rho(("g", 1, 10L, 1L), ("g", 2, 20L, 2L),
+      ("g", 3, 30L, 4L), ("g", 4, 40L, 3L))
+    assert(out("g") == 800000L)
+  }
+
+  test("spearman: metric ties break by the x column, deterministically") {
+    // a ties on days 1,2 → ra follows day order (1,2); any engine agrees.
+    val out = rho(("g", 1, 10L, 5L), ("g", 2, 10L, 6L), ("g", 3, 30L, 7L))
+    assert(out("g") == 1000000L, "tie broken by day keeps monotone agreement")
+  }
+
+  test("spearman: degenerate single-row groups are filtered, not divided by zero") {
+    val out = rho(("lone", 1, 10L, 20L),
+      ("ok", 1, 1L, 1L), ("ok", 2, 2L, 2L))
+    assert(!out.contains("lone") && out("ok") == 1000000L)
+  }
+
+  test("spearman: groups are independent and sum_d2/n are reported exactly") {
+    val df = Statistics.spearman(perDay(
+      ("up", 1, 1L, 10L), ("up", 2, 2L, 20L), ("up", 3, 3L, 30L),
+      ("down", 1, 1L, 30L), ("down", 2, 2L, 20L), ("down", 3, 3L, 10L)),
+      "g", "day", "a", "b").collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_d2")))).toMap
+    assert(df("up") == ((3L, 0L)))
+    assert(df("down") == ((3L, 8L))) // (1-3)^2 + 0 + (3-1)^2
+  }
+}
