@@ -93,7 +93,92 @@ object Statistics {
       |    AS rho_micro
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q107
+  /** Tie-broken Mann–Whitney U — the rank-sum two-sample test: "do these
+    * two cohorts draw from the same distribution?", the non-parametric
+    * alternative to a t-test an analyst reaches for on skewed warehouse
+    * metrics. Samples carry a boolean side flag; per group we rank the
+    * COMBINED sample (deterministic tiebreak: value, then id — the
+    * cross-engine-exact variant, same discipline as [[spearman]]),
+    * sum side-A ranks, and derive U_a = R_a − n_a(n_a+1)/2,
+    * U_b = n_a·n_b − U_a, plus the rank-biserial effect size
+    * r = 2·U_a/(n_a·n_b) − 1 in integer micro-units via truncating
+    * division (Spark `div` ≡ DuckDB `//`).
+    *
+    * Scale shape: rank statistics need a total order per group — ONE
+    * key-partitioned window sort (groups sort in parallel), then a hash
+    * aggregate; nothing global, nothing driver-sized. Groups where
+    * either side is empty are reported with null effect (U undefined),
+    * not dropped silently.
+    */
+  def mannWhitney(samples: DataFrame, groupCol: String, isACol: String,
+                  valueCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    samples
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col(isACol), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col(isACol), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(isACol), col("rk")).otherwise(0L)).as("r_a"))
+      .withColumn("u_a", expr("r_a - (n_a * (n_a + 1)) div 2"))
+      .withColumn("u_b", col("n_a") * col("n_b") - col("u_a"))
+      .withColumn("rb_micro",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(2000000 * u_a) div (n_a * n_b) - 1000000")))
+  }
+
+  /** Gated face: BUILDING vs MACHINERY order spend per order priority —
+    * same-shaped cohorts whose U statistic a reviewer can sanity-read
+    * (rb_micro near 0 ⇒ the segments spend alike at every priority).
+    */
+  def segmentSpendMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val samples = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("o_orderpriority").as("priority"),
+        (col("c_mktsegment") === "BUILDING").as("is_a"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    mannWhitney(samples, "priority", "is_a", "cents", "o_orderkey")
+      .select(col("priority"), col("n_a"), col("n_b"), col("u_a"),
+        col("u_b"), col("rb_micro"))
+  }
+
+  private val segmentSpendMannWhitneySql =
+    """WITH samples AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    c.c_mktsegment = 'BUILDING' AS is_a,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+      |    o.o_orderkey
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |),
+      |ranked AS (
+      |  SELECT priority, is_a,
+      |    CAST(row_number() OVER (PARTITION BY priority
+      |      ORDER BY cents, o_orderkey) AS BIGINT) AS rk
+      |  FROM samples
+      |),
+      |s AS (
+      |  SELECT priority,
+      |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+      |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b,
+      |    sum(CASE WHEN is_a THEN rk ELSE 0 END) AS r_a
+      |  FROM ranked GROUP BY 1
+      |)
+      |SELECT priority, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(r_a - (n_a * (n_a + 1)) // 2 AS BIGINT) AS u_a,
+      |  CAST(n_a * n_b - (r_a - (n_a * (n_a + 1)) // 2) AS BIGINT) AS u_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST((2000000 * (r_a - (n_a * (n_a + 1)) // 2)) // (n_a * n_b)
+      |      - 1000000 AS BIGINT) END AS rb_micro
+      |FROM s""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q105_spearman_rank_corr", revenueVolumeSpearman _,
-      Some(revenueVolumeSpearmanSql)))
+      Some(revenueVolumeSpearmanSql)),
+    NamedQuery("q107_mann_whitney", segmentSpendMannWhitney _,
+      Some(segmentSpendMannWhitneySql)))
 }

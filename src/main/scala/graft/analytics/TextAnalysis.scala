@@ -647,6 +647,111 @@ object TextAnalysis {
       |JOIN sizes sa ON sa.source = shared.source_a
       |JOIN sizes sb ON sb.source = shared.source_b""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the DISTRIBUTIONAL drift matrix next to q83's
+    * set-overlap matrix: q83 asks "do these slices share content?",
+    * this asks "do they use language the same way?" (0 = identical
+    * usage, ln 2 ≈ 0.693 = disjoint). The matrix an engineer reads
+    * before mixture-weighting (q51) or domain-balancing a corpus.
+    *
+    * Definition: add-one smoothing over the GLOBAL vocabulary V, so
+    * p_t = (c1_t+1)/(n1+|V|), q_t = (c2_t+1)/(n2+|V|), and
+    * JSD = Σ_t [p·ln(2p/(p+q)) + q·ln(2q/(p+q))] / 2 — we emit the
+    * un-halved sum so the disjoint ceiling is 2·ln 2.
+    *
+    * Exactness (the q77/q79 ln discipline): each term's contribution is
+    * ONE fixed double-op sequence over cast integer counts, floored to
+    * integer NANO-nats per term; the pair's divergence is then a sum of
+    * integers — order-independent and engine-identical.
+    *
+    * Scale shape: the corpus collapses to its (source, term) count
+    * table in one scan; everything after lives on the S²·|V| grid —
+    * vocabulary-sized work (the vocabulary, not the corpus), with the
+    * source-count/total tables broadcast. At 100 TB the corpus is read
+    * once; S is dozens, V is machine-sized.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("source"),
+      explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
+    val cst = toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val totals = toks.groupBy("source").agg(count(lit(1)).as("n_tok"))
+    val vocab = cst.select("term").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val srcs = totals.select(col("source"))
+    val pairs = srcs.toDF("source_a")
+      .crossJoin(srcs.toDF("source_b"))
+      .filter(col("source_a") < col("source_b"))
+    val grid = broadcast(pairs).crossJoin(vocab)
+      .join(cst.toDF("source_a", "term", "c1"), Seq("source_a", "term"), "left")
+      .join(cst.toDF("source_b", "term", "c2"), Seq("source_b", "term"), "left")
+      .join(broadcast(totals.toDF("source_a", "n1")), Seq("source_a"))
+      .join(broadcast(totals.toDF("source_b", "n2")), Seq("source_b"))
+      .crossJoin(broadcast(vSize))
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        col("n1"), col("n2"), col("v"))
+    val p = (col("c1") + 1).cast("double") / (col("n1") + col("v")).cast("double")
+    val q = (col("c2") + 1).cast("double") / (col("n2") + col("v")).cast("double")
+    val contrib =
+      p * log((lit(2.0) * p) / (p + q)) + q * log((lit(2.0) * q) / (p + q))
+    grid
+      .withColumn("term_nn",
+        floor(contrib * lit(1000000000.0) + lit(0.5)).cast("long"))
+      .withColumn("shared", (col("c1") > 0 && col("c2") > 0).cast("long"))
+      .groupBy("source_a", "source_b")
+      .agg(sum("shared").as("n_shared_terms"),
+        sum("term_nn").as("jsd_nanonats"))
+  }
+
+  private val sourceDivergenceSql =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> x <> '')) AS term
+      |  FROM documents
+      |),
+      |cst AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      |totals AS (SELECT source, count(*) AS n_tok FROM toks GROUP BY 1),
+      |vocab AS (SELECT DISTINCT term FROM cst),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b
+      |  FROM totals a, totals b WHERE a.source < b.source
+      |),
+      |grid AS (
+      |  SELECT p.source_a, p.source_b,
+      |    coalesce(ca.c, 0) AS c1, coalesce(cb.c, 0) AS c2,
+      |    ta.n_tok AS n1, tb.n_tok AS n2, vs.v
+      |  FROM pairs p
+      |  CROSS JOIN vocab t
+      |  CROSS JOIN vs
+      |  LEFT JOIN cst ca ON ca.source = p.source_a AND ca.term = t.term
+      |  LEFT JOIN cst cb ON cb.source = p.source_b AND cb.term = t.term
+      |  JOIN totals ta ON ta.source = p.source_a
+      |  JOIN totals tb ON tb.source = p.source_b
+      |),
+      |pq AS (
+      |  SELECT source_a, source_b,
+      |    CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END AS shared,
+      |    (c1 + 1)::DOUBLE / (n1 + v)::DOUBLE AS p,
+      |    (c2 + 1)::DOUBLE / (n2 + v)::DOUBLE AS q
+      |  FROM grid
+      |),
+      |terms AS (
+      |  SELECT source_a, source_b, shared,
+      |    CAST(floor(
+      |      (p * ln((2.0::DOUBLE * p) / (p + q)) +
+      |       q * ln((2.0::DOUBLE * q) / (p + q)))
+      |      * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS term_nn
+      |  FROM pq
+      |)
+      |SELECT source_a, source_b,
+      |  CAST(sum(shared) AS BIGINT) AS n_shared_terms,
+      |  CAST(sum(term_nn) AS BIGINT) AS jsd_nanonats
+      |FROM terms GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q90
   /** Unicode canonicalization audit over the corpus — drives the native
     * [[graft.functions.NfcClean]] kernel (NFC compose + control-strip +
@@ -823,5 +928,7 @@ object TextAnalysis {
     NamedQuery("q77_token_salience", (s, d) => tokenSalience(s, d), Some(tokenSalienceSql)),
     NamedQuery("q79_pmi_pairs", (s, d) => pmiPairs(s, d), Some(pmiPairsSql)),
     NamedQuery("q83_source_overlap", (s, d) => sourceOverlap(s, d), Some(sourceOverlapSql)),
+    NamedQuery("q108_source_divergence", sourceDivergence _,
+      Some(sourceDivergenceSql)),
     NamedQuery("q90_nfc_clean", nfcCleanAudit _, Some(nfcCleanAuditSql)))
 }

@@ -45,6 +45,40 @@ class StatisticsSpec extends SparkSpec {
     assert(!out.contains("lone") && out("ok") == 1000000L)
   }
 
+  private def mw(rows: (String, Boolean, Long, Long)*): Map[String, (Long, Long, Long, Long, Option[Long])] =
+    Statistics.mannWhitney(rows.toDF("g", "is_a", "v", "id"), "g", "is_a", "v", "id")
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("u_a"),
+          r.getAs[Long]("u_b"),
+          Option(r.getAs[Any]("rb_micro")).map(_.asInstanceOf[Long])))).toMap
+
+  test("mannWhitney: total separation hits the ±1e6 effect-size poles") {
+    val lo = mw(("g", true, 1L, 1L), ("g", true, 2L, 2L),
+      ("g", false, 3L, 3L), ("g", false, 4L, 4L))
+    assert(lo("g") == ((2L, 2L, 0L, 4L, Some(-1000000L))))
+    val hi = mw(("g", true, 3L, 1L), ("g", true, 4L, 2L),
+      ("g", false, 1L, 3L), ("g", false, 2L, 4L))
+    assert(hi("g") == ((2L, 2L, 4L, 0L, Some(1000000L))))
+  }
+
+  test("mannWhitney: interleaved cohorts land mid-scale, hand-computed") {
+    // A ranks {1,3}: R_a=4, U_a=1, U_b=3, rb = (2e6*1) div 4 - 1e6.
+    val out = mw(("g", true, 10L, 1L), ("g", false, 20L, 2L),
+      ("g", true, 30L, 3L), ("g", false, 40L, 4L))
+    assert(out("g") == ((2L, 2L, 1L, 3L, Some(-500000L))))
+  }
+
+  test("mannWhitney: value ties break by id, deterministically") {
+    // Both rows value 10: rank follows id, so A gets rank 1.
+    val out = mw(("g", true, 10L, 1L), ("g", false, 10L, 2L))
+    assert(out("g") == ((1L, 1L, 0L, 1L, Some(-1000000L))))
+  }
+
+  test("mannWhitney: a one-sided group reports null effect, not a crash") {
+    val out = mw(("g", true, 1L, 1L), ("g", true, 2L, 2L))
+    assert(out("g") == ((2L, 0L, 0L, 0L, None)))
+  }
+
   test("spearman: groups are independent and sum_d2/n are reported exactly") {
     val df = Statistics.spearman(perDay(
       ("up", 1, 1L, 10L), ("up", 2, 2L, 20L), ("up", 3, 3L, 30L),

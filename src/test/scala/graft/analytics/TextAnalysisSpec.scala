@@ -189,4 +189,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(blocked == brute,
       s"missed: ${(brute -- blocked).take(5)}; extra: ${(blocked -- brute).take(5)}")
   }
+
+  test("sourceDivergence: identical sources score 0, disjoint ones cap at 2·ln2") {
+    import spark.implicits._
+    val dir = tmpDir("srcdiv")
+    // s1 ≡ s2 token-for-token; s3 shares no vocabulary with either.
+    Seq(
+      (1L, "alpha beta beta gamma", "s1"),
+      (2L, "alpha beta beta gamma", "s2"),
+      (3L, "delta epsilon zeta eta", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.sourceDivergence(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_shared_terms"), r.getAs[Long]("jsd_nanonats")))).toMap
+    val (sharedIdent, jsdIdent) = out(("s1", "s2"))
+    assert(jsdIdent == 0L, "identical distributions diverge by exactly zero")
+    assert(sharedIdent == 3L, "alpha/beta/gamma are the shared types")
+    val (shared13, jsd13) = out(("s1", "s3"))
+    assert(shared13 == 0L && jsd13 > 0L)
+    assert(jsd13 <= math.ceil(2 * math.log(2) * 1e9).toLong,
+      "JSD (un-halved) is bounded by 2·ln2")
+    assert(out(("s1", "s3"))._2 == out(("s2", "s3"))._2,
+      "identical sources diverge identically from a third")
+  }
 }
