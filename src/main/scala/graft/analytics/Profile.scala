@@ -278,8 +278,151 @@ object Profile {
        |UNION ALL
        |${keySkewSqlFor("lineitem", "l_orderkey")}""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** One data-quality expectation: `violation` is a row-level predicate
+    * counted when true (null ⇒ not a violation, matching SQL WHERE);
+    * `uniqueCols` switches the check to `count(*) − count(distinct …)`
+    * (rows with a null key column are excluded from the distinct count —
+    * pair a not_null check with every unique check, as the face does).
+    */
+  final case class Expect(id: String, kind: String, target: String,
+                          violation: Column = lit(false),
+                          uniqueCols: Seq[String] = Nil)
+
+  /** dbt-test-style constraint audit — the declarative "is this table
+    * sane?" gate run after every load: unique keys, not-null columns,
+    * accepted values, numeric ranges, cross-column consistency. All
+    * checks against one table fold into a SINGLE aggregate projection
+    * (one scan per table regardless of check count — the q72 profiler
+    * discipline); the per-check rows are exploded from that one row.
+    */
+  def expectationsAudit(df: DataFrame, table: String,
+                        checks: Seq[Expect]): DataFrame = {
+    val aggs = checks.zipWithIndex.map { case (e, i) =>
+      (if (e.uniqueCols.nonEmpty)
+        (count(lit(1)) - count_distinct(col(e.uniqueCols.head),
+          e.uniqueCols.tail.map(col): _*))
+      else sum(when(e.violation, 1L).otherwise(0L))).as(s"v_$i")
+    }
+    df.agg(count(lit(1)).as("checked"), aggs: _*)
+      .select(explode(array(checks.zipWithIndex.map { case (e, i) =>
+        struct(lit(e.id).as("check_id"), lit(e.kind).as("check_type"),
+          lit(table).as("target_table"), lit(e.target).as("target"),
+          col("checked"), col(s"v_$i").as("violations"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .withColumn("pass", col("violations") === 0)
+  }
+
+  /** Gated face: the star-schema expectation suite — every check is one
+    * row, so new violations show up as a changed row, not a failed job.
+    */
+  def starSchemaExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    expectationsAudit(Tables.customer(spark, dir), "customer", Seq(
+      Expect("customer_key_unique", "unique", "c_custkey",
+        uniqueCols = Seq("c_custkey")),
+      Expect("customer_key_not_null", "not_null", "c_custkey",
+        col("c_custkey").isNull),
+      Expect("customer_segment_accepted", "accepted_values", "c_mktsegment",
+        !col("c_mktsegment").isin(segs: _*))))
+    .unionByName(expectationsAudit(Tables.orders(spark, dir), "orders", Seq(
+      Expect("orders_key_unique", "unique", "o_orderkey",
+        uniqueCols = Seq("o_orderkey")),
+      Expect("orders_custkey_not_null", "not_null", "o_custkey",
+        col("o_custkey").isNull),
+      Expect("orders_status_accepted", "accepted_values", "o_orderstatus",
+        !col("o_orderstatus").isin("O", "F", "P")),
+      Expect("orders_priority_accepted", "accepted_values", "o_orderpriority",
+        !col("o_orderpriority").isin(prios: _*)),
+      Expect("orders_price_positive", "range", "o_totalprice",
+        !(col("o_totalprice") > 0)))))
+    .unionByName(expectationsAudit(Tables.lineitem(spark, dir), "lineitem", Seq(
+      Expect("lineitem_key_unique", "unique", "l_orderkey,l_linenumber",
+        uniqueCols = Seq("l_orderkey", "l_linenumber")),
+      Expect("lineitem_qty_range", "range", "l_quantity",
+        !(col("l_quantity") >= 1 && col("l_quantity") <= 50)),
+      Expect("lineitem_discount_range", "range", "l_discount",
+        !(col("l_discount") >= 0 && col("l_discount") <= 0.1)),
+      Expect("lineitem_returnflag_accepted", "accepted_values", "l_returnflag",
+        !col("l_returnflag").isin("A", "N", "R")),
+      Expect("lineitem_linestatus_accepted", "accepted_values", "l_linestatus",
+        !col("l_linestatus").isin("O", "F")))))
+    .unionByName(expectationsAudit(Tables.part(spark, dir), "part", Seq(
+      Expect("part_key_unique", "unique", "p_partkey",
+        uniqueCols = Seq("p_partkey")),
+      Expect("part_price_positive", "range", "p_retailprice",
+        !(col("p_retailprice") > 0)))))
+    .unionByName(expectationsAudit(Tables.supplier(spark, dir), "supplier", Seq(
+      Expect("supplier_key_unique", "unique", "s_suppkey",
+        uniqueCols = Seq("s_suppkey")),
+      Expect("supplier_nation_not_null", "not_null", "s_nationkey",
+        col("s_nationkey").isNull))))
+    .unionByName(expectationsAudit(Tables.documents(spark, dir), "documents", Seq(
+      Expect("documents_key_unique", "unique", "doc_id",
+        uniqueCols = Seq("doc_id")),
+      Expect("documents_text_not_null", "not_null", "text",
+        col("text").isNull),
+      Expect("documents_nchars_consistent", "consistency", "n_chars",
+        col("n_chars") =!= length(col("text"))))))
+  }
+
+  private def expectSqlRow(id: String, kind: String, table: String,
+                           target: String, violSql: String): String =
+    s"""SELECT '$id' AS check_id, '$kind' AS check_type,
+       |  '$table' AS target_table, '$target' AS target,
+       |  (SELECT count(*) FROM $table) AS checked,
+       |  CAST(($violSql) AS BIGINT) AS violations,
+       |  ($violSql) = 0 AS pass""".stripMargin
+
+  private val starSchemaExpectationsSql = Seq(
+    expectSqlRow("customer_key_unique", "unique", "customer", "c_custkey",
+      "(SELECT count(*) FROM customer) - (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL))"),
+    expectSqlRow("customer_key_not_null", "not_null", "customer", "c_custkey",
+      "SELECT count(*) FROM customer WHERE c_custkey IS NULL"),
+    expectSqlRow("customer_segment_accepted", "accepted_values", "customer", "c_mktsegment",
+      "SELECT count(*) FROM customer WHERE NOT c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')"),
+    expectSqlRow("orders_key_unique", "unique", "orders", "o_orderkey",
+      "(SELECT count(*) FROM orders) - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))"),
+    expectSqlRow("orders_custkey_not_null", "not_null", "orders", "o_custkey",
+      "SELECT count(*) FROM orders WHERE o_custkey IS NULL"),
+    expectSqlRow("orders_status_accepted", "accepted_values", "orders", "o_orderstatus",
+      "SELECT count(*) FROM orders WHERE NOT o_orderstatus IN ('O','F','P')"),
+    expectSqlRow("orders_priority_accepted", "accepted_values", "orders", "o_orderpriority",
+      "SELECT count(*) FROM orders WHERE NOT o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')"),
+    expectSqlRow("orders_price_positive", "range", "orders", "o_totalprice",
+      "SELECT count(*) FROM orders WHERE NOT (o_totalprice > 0)"),
+    expectSqlRow("lineitem_key_unique", "unique", "lineitem", "l_orderkey,l_linenumber",
+      "(SELECT count(*) FROM lineitem) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL))"),
+    expectSqlRow("lineitem_qty_range", "range", "lineitem", "l_quantity",
+      "SELECT count(*) FROM lineitem WHERE NOT (l_quantity >= 1 AND l_quantity <= 50)"),
+    expectSqlRow("lineitem_discount_range", "range", "lineitem", "l_discount",
+      "SELECT count(*) FROM lineitem WHERE NOT (l_discount >= 0 AND l_discount <= 0.1)"),
+    expectSqlRow("lineitem_returnflag_accepted", "accepted_values", "lineitem", "l_returnflag",
+      "SELECT count(*) FROM lineitem WHERE NOT l_returnflag IN ('A','N','R')"),
+    expectSqlRow("lineitem_linestatus_accepted", "accepted_values", "lineitem", "l_linestatus",
+      "SELECT count(*) FROM lineitem WHERE NOT l_linestatus IN ('O','F')"),
+    expectSqlRow("part_key_unique", "unique", "part", "p_partkey",
+      "(SELECT count(*) FROM part) - (SELECT count(*) FROM (SELECT DISTINCT p_partkey FROM part WHERE p_partkey IS NOT NULL))"),
+    expectSqlRow("part_price_positive", "range", "part", "p_retailprice",
+      "SELECT count(*) FROM part WHERE NOT (p_retailprice > 0)"),
+    expectSqlRow("supplier_key_unique", "unique", "supplier", "s_suppkey",
+      "(SELECT count(*) FROM supplier) - (SELECT count(*) FROM (SELECT DISTINCT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL))"),
+    expectSqlRow("supplier_nation_not_null", "not_null", "supplier", "s_nationkey",
+      "SELECT count(*) FROM supplier WHERE s_nationkey IS NULL"),
+    expectSqlRow("documents_key_unique", "unique", "documents", "doc_id",
+      "(SELECT count(*) FROM documents) - (SELECT count(*) FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL))"),
+    expectSqlRow("documents_text_not_null", "not_null", "documents", "text",
+      "SELECT count(*) FROM documents WHERE text IS NULL"),
+    expectSqlRow("documents_nchars_consistent", "consistency", "documents", "n_chars",
+      "SELECT count(*) FROM documents WHERE n_chars <> length(text)"))
+    .mkString("", "\nUNION ALL\n", "")
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q72_profile_lineitem", profileLineitem _, Some(profileLineitemSql)),
     NamedQuery("q92_benford_audit", benfordAudit _, Some(benfordAuditSql)),
-    NamedQuery("q101_key_skew", keySkewProfile _, Some(keySkewProfileSql)))
+    NamedQuery("q101_key_skew", keySkewProfile _, Some(keySkewProfileSql)),
+    NamedQuery("q110_expectations_audit", starSchemaExpectations _,
+      Some(starSchemaExpectationsSql)))
 }

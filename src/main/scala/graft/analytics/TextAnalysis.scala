@@ -647,6 +647,68 @@ object TextAnalysis {
       |JOIN sizes sa ON sa.source = shared.source_a
       |JOIN sizes sb ON sb.source = shared.source_b""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Per-source lexical-diversity profile: token/type/hapax counts,
+    * type-token ratio, hapax share, and unigram Shannon entropy — the
+    * one-line-per-slice "how varied is this text?" summary an engineer
+    * reads next to q14's quality scores when weighing corpus slices
+    * (low entropy + low TTR = template/boilerplate-heavy slice).
+    *
+    * Entropy is Σ −p·ln p over the source's unigram distribution, each
+    * term's contribution floored to integer nano-nats (the q108
+    * discipline) so the per-source sum is order-independent and
+    * engine-identical; TTR and hapax share are integer micro-units.
+    *
+    * Scale shape: one corpus scan → (source, term) counts; every later
+    * step aggregates that vocabulary-sized table. No windows, no joins
+    * beyond a broadcast of per-source totals.
+    */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("source"),
+      explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
+    val cst = toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val totals = toks.groupBy("source").agg(count(lit(1)).as("n_tok"))
+    val p = col("c").cast("double") / col("n_tok").cast("double")
+    cst
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("term_nn", floor(-(p * log(p)) * lit(1000000000.0) +
+        lit(0.5)).cast("long"))
+      .groupBy("source")
+      .agg(first(col("n_tok")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum("term_nn").as("entropy_nanonats"))
+      .select(col("source"), col("n_tok"), col("n_types"), col("n_hapax"),
+        expr("(n_types * 1000000) div n_tok").as("ttr_micro"),
+        expr("(n_hapax * 1000000) div n_types").as("hapax_micro"),
+        col("entropy_nanonats"))
+  }
+
+  private val sourceDiversitySql =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       x -> x <> '')) AS term
+      |  FROM documents
+      |),
+      |cst AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      |totals AS (SELECT source, count(*) AS n_tok FROM toks GROUP BY 1),
+      |terms AS (
+      |  SELECT cst.source, c, n_tok,
+      |    CAST(floor(-((c::DOUBLE / n_tok::DOUBLE) *
+      |      ln(c::DOUBLE / n_tok::DOUBLE))
+      |      * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS term_nn
+      |  FROM cst JOIN totals ON totals.source = cst.source
+      |)
+      |SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST((count(*) * 1000000) // n_tok AS BIGINT) AS ttr_micro,
+      |  CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+      |    AS BIGINT) AS hapax_micro,
+      |  CAST(sum(term_nn) AS BIGINT) AS entropy_nanonats
+      |FROM terms GROUP BY source, n_tok""".stripMargin
+
   // ---------------------------------------------------------------- q108
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions — the DISTRIBUTIONAL drift matrix next to q83's
@@ -930,5 +992,7 @@ object TextAnalysis {
     NamedQuery("q83_source_overlap", (s, d) => sourceOverlap(s, d), Some(sourceOverlapSql)),
     NamedQuery("q108_source_divergence", sourceDivergence _,
       Some(sourceDivergenceSql)),
+    NamedQuery("q109_source_diversity", sourceDiversity _,
+      Some(sourceDiversitySql)),
     NamedQuery("q90_nfc_clean", nfcCleanAudit _, Some(nfcCleanAuditSql)))
 }

@@ -114,4 +114,41 @@ class ProfileSpec extends SparkSpec {
       assert(r.getAs[Long]("top10_share_micro") == 1000000L)
     }
   }
+
+  test("expectationsAudit: planted violations are counted exactly per check") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // id 2 duplicated (1 unique violation); one null name; one value
+    // outside the accepted set; two out of range.
+    val df = Seq(
+      (Some(1L), Some("a"), "X", 5L), (Some(2L), Some("b"), "Y", 60L),
+      (Some(2L), None, "X", 10L), (Some(3L), Some("d"), "Z", -1L))
+      .toDF("id", "name", "cat", "qty")
+    val out = Profile.expectationsAudit(df, "t", Seq(
+      Profile.Expect("t_id_unique", "unique", "id", uniqueCols = Seq("id")),
+      Profile.Expect("t_name_not_null", "not_null", "name", col("name").isNull),
+      Profile.Expect("t_cat_accepted", "accepted_values", "cat",
+        !col("cat").isin("X", "Y")),
+      Profile.Expect("t_qty_range", "range", "qty",
+        !(col("qty") >= 0 && col("qty") <= 50))))
+      .collect().map(r => r.getAs[String]("check_id") ->
+        ((r.getAs[Long]("checked"), r.getAs[Long]("violations"),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(out("t_id_unique") == ((4L, 1L, false)))
+    assert(out("t_name_not_null") == ((4L, 1L, false)))
+    assert(out("t_cat_accepted") == ((4L, 1L, false)))
+    assert(out("t_qty_range") == ((4L, 2L, false)))
+  }
+
+  test("expectationsAudit: a clean table passes every check") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val out = Profile.expectationsAudit(df, "t", Seq(
+      Profile.Expect("u", "unique", "id", uniqueCols = Seq("id")),
+      Profile.Expect("n", "not_null", "name", col("name").isNull)))
+      .collect()
+    assert(out.forall(_.getAs[Boolean]("pass")))
+    assert(out.forall(_.getAs[Long]("violations") == 0L))
+  }
 }

@@ -190,6 +190,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"missed: ${(brute -- blocked).take(5)}; extra: ${(blocked -- brute).take(5)}")
   }
 
+  test("sourceDiversity: degenerate and uniform slices hit exact entropy poles") {
+    import spark.implicits._
+    val dir = tmpDir("srcdiv2")
+    Seq(
+      (1L, "spam spam spam spam", "mono"),  // one type, entropy 0
+      (2L, "alpha beta gamma delta", "uni")) // uniform over 4 types: ln 4
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.sourceDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Long]("ttr_micro"),
+          r.getAs[Long]("hapax_micro"), r.getAs[Long]("entropy_nanonats")))).toMap
+    assert(out("mono") == ((4L, 1L, 0L, 250000L, 0L, 0L)))
+    // Uniform over 4: each term contributes floor(0.25·ln4·1e9 + 0.5).
+    val perTerm = math.floor(0.25 * math.log(4.0) * 1e9 + 0.5).toLong
+    assert(out("uni") == ((4L, 4L, 4L, 1000000L, 1000000L, 4 * perTerm)))
+  }
+
   test("sourceDivergence: identical sources score 0, disjoint ones cap at 2·ln2") {
     import spark.implicits._
     val dir = tmpDir("srcdiv")
