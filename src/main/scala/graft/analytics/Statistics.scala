@@ -176,9 +176,96 @@ object Statistics {
       |      - 1000000 AS BIGINT) END AS rb_micro
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q111
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the contingency-table member of the battery ([[spearman]]
+    * ranks × ranks, [[mannWhitney]] cohort × metric, this one category ×
+    * category): "does order priority depend on market segment?".
+    *
+    * Exactness (the q77 G² discipline): each cell's term
+    * (O − E)²/E = (O·N − R·C)² / (N·R·C) is ONE fixed double-op
+    * sequence over cast exact-integer counts, floored to integer
+    * nano-units per cell; the statistic is then a sum of integers —
+    * order-independent, engine-identical. Degrees of freedom ride along
+    * as exact integers.
+    *
+    * Scale shape: the corpus collapses to its R×C contingency table in
+    * one hash aggregation; marginals and N are cell-table aggregates
+    * joined broadcast. The fact table is scanned once, and everything
+    * after is category-cardinality-sized.
+    */
+  def chiSquare(obs: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = obs.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("r").agg(sum("o").as("rt"))
+    val colTot = cells.groupBy("c").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    // Dense grid: absent (r, c) combinations still carry E = R·C/N.
+    val grid = rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("r", "c"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"),
+        col("rt"), col("ct"), col("n"))
+    val d = (col("o").cast("double") * col("n").cast("double")) -
+      (col("rt").cast("double") * col("ct").cast("double"))
+    val term = (d * d) / (col("n").cast("double") *
+      col("rt").cast("double") * col("ct").cast("double"))
+    grid
+      .withColumn("cell_nn", floor(term * lit(1000000000.0) + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+        countDistinct(col("r")).as("n_rows_cat"),
+        countDistinct(col("c")).as("n_cols_cat"),
+        first(col("n")).as("n"),
+        sum("cell_nn").as("chi2_nanounits"))
+      .select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
+        col("chi2_nanounits"))
+  }
+
+  /** Gated face: market segment × order priority over all orders. */
+  def segmentPriorityChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+    chiSquare(obs, "c_mktsegment", "o_orderpriority")
+  }
+
+  private val segmentPriorityChiSquareSql =
+    """WITH obs AS (
+      |  SELECT c.c_mktsegment AS r, o.o_orderpriority AS c
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |cells AS (SELECT r, c, count(*) AS o FROM obs GROUP BY 1, 2),
+      |rt AS (SELECT r, sum(o) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY 1),
+      |n AS (SELECT sum(o) AS n FROM cells),
+      |grid AS (
+      |  SELECT rt.r, ct.c, coalesce(cells.o, 0) AS o, rt.rt, ct.ct, n.n
+      |  FROM rt CROSS JOIN ct CROSS JOIN n
+      |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+      |),
+      |terms AS (
+      |  SELECT r, c,
+      |    CAST(floor(
+      |      ((o::DOUBLE * n::DOUBLE) - (rt::DOUBLE * ct::DOUBLE)) *
+      |      ((o::DOUBLE * n::DOUBLE) - (rt::DOUBLE * ct::DOUBLE)) /
+      |      (n::DOUBLE * rt::DOUBLE * ct::DOUBLE)
+      |      * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cell_nn,
+      |    n
+      |  FROM grid
+      |)
+      |SELECT CAST(max(n) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT r) AS BIGINT) AS n_rows_cat,
+      |  CAST(count(DISTINCT c) AS BIGINT) AS n_cols_cat,
+      |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+      |  CAST(sum(cell_nn) AS BIGINT) AS chi2_nanounits
+      |FROM terms""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q105_spearman_rank_corr", revenueVolumeSpearman _,
       Some(revenueVolumeSpearmanSql)),
     NamedQuery("q107_mann_whitney", segmentSpendMannWhitney _,
-      Some(segmentSpendMannWhitneySql)))
+      Some(segmentSpendMannWhitneySql)),
+    NamedQuery("q111_chi_square", segmentPriorityChiSquare _,
+      Some(segmentPriorityChiSquareSql)))
 }

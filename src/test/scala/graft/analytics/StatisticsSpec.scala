@@ -79,6 +79,34 @@ class StatisticsSpec extends SparkSpec {
     assert(out("g") == ((2L, 0L, 0L, 0L, None)))
   }
 
+  private def chi(rows: (String, String, Int)*): (Long, Long, Long) = {
+    val obs = rows.flatMap { case (r, c, k) => Seq.fill(k)((r, c)) }
+      .toDF("r", "c")
+    val row = Statistics.chiSquare(obs, "r", "c").collect().head
+    (row.getAs[Long]("n"), row.getAs[Long]("dof"),
+      row.getAs[Long]("chi2_nanounits"))
+  }
+
+  test("chiSquare: exact independence scores exactly zero") {
+    // Every cell O = R·C/N: 10,20 / 20,40.
+    val (n, dof, chi2) = chi(("r1", "c1", 10), ("r1", "c2", 20),
+      ("r2", "c1", 20), ("r2", "c2", 40))
+    assert((n, dof, chi2) == ((90L, 1L, 0L)))
+  }
+
+  test("chiSquare: a perfectly dependent 2x2 diagonal scores chi2 = N") {
+    // Diagonal-only: each of the 4 grid cells contributes exactly 5e9.
+    val (n, dof, chi2) = chi(("r1", "c1", 10), ("r2", "c2", 10))
+    assert((n, dof, chi2) == ((20L, 1L, 20000000000L)))
+  }
+
+  test("chiSquare: absent grid cells still carry their expected mass") {
+    // 2x3 with an empty (r2,c3) cell — dof counts categories, not cells.
+    val (_, dof, chi2) = chi(("r1", "c1", 5), ("r1", "c2", 5), ("r1", "c3", 5),
+      ("r2", "c1", 5), ("r2", "c2", 5))
+    assert(dof == 2L && chi2 > 0L)
+  }
+
   test("spearman: groups are independent and sum_d2/n are reported exactly") {
     val df = Statistics.spearman(perDay(
       ("up", 1, 1L, 10L), ("up", 2, 2L, 20L), ("up", 3, 3L, 30L),
