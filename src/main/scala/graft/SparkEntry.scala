@@ -22,7 +22,7 @@ object Registry {
       graft.analytics.Retrieval.queries ++ graft.analytics.TimeSeries.queries ++
       graft.analytics.GraphRank.queries ++ graft.warehouse.TableDiff.queries ++
       graft.analytics.FrequencySketches.queries ++ graft.warehouse.MomentsState.queries ++
-      graft.analytics.Statistics.queries
+      graft.analytics.Statistics.queries ++ graft.warehouse.FrequentItemsState.queries
 }
 
 object SparkEntry {

@@ -36,6 +36,32 @@ object FrequentItems {
 
   type Summary = Map[String, Long]
 
+  /** MG eviction: decrement every counter by the (capacity+1)-th
+    * LARGEST count and drop the non-positives. For the single-item
+    * case this equals the classic decrement-by-min step; after a bulk
+    * merge (where the buffer can be ~2·capacity) it is the
+    * mergeable-summaries rule that restores `size ≤ capacity` in one
+    * pass — at most `capacity` counters can exceed the (capacity+1)-th
+    * largest value. Decrement mass per shrink stays ≤ n_subset/(k+1),
+    * so the global undercount bound is preserved through any merge
+    * tree.
+    */
+  private[functions] def shrinkMap(b: Map[String, Long],
+                                   capacity: Int): Map[String, Long] =
+    if (b.size <= capacity) b
+    else {
+      val counts = b.valuesIterator.toArray
+      java.util.Arrays.sort(counts)
+      val dec = counts(counts.length - capacity - 1)
+      b.collect { case (k, v) if v > dec => k -> (v - dec) }
+    }
+
+  private[functions] def addMaps(a: Map[String, Long],
+                                 b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (k, v)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + v)
+    }
+
   /** Misra–Gries aggregator over a string column. Partial aggregates and
     * merges both run the decrement rule, so the result is a valid
     * mergeable summary of whatever subset each task saw.
@@ -44,35 +70,38 @@ object FrequentItems {
       extends Aggregator[String, Map[String, Long], Summary] {
     require(capacity > 0, s"capacity must be positive, got $capacity")
 
-    def zero: Map[String, Long] = Map.empty
-
-    /** MG eviction: decrement every counter by the (capacity+1)-th
-      * LARGEST count and drop the non-positives. For the single-item
-      * case this equals the classic decrement-by-min step; after a bulk
-      * merge (where the buffer can be ~2·capacity) it is the
-      * mergeable-summaries rule that restores `size ≤ capacity` in one
-      * pass — at most `capacity` counters can exceed the (capacity+1)-th
-      * largest value. Decrement mass per shrink stays ≤ n_subset/(k+1),
-      * so the global undercount bound is preserved through any merge
-      * tree.
-      */
-    private def shrink(b: Map[String, Long]): Map[String, Long] =
-      if (b.size <= capacity) b
-      else {
-        val counts = b.valuesIterator.toArray
-        java.util.Arrays.sort(counts)
-        val dec = counts(counts.length - capacity - 1)
-        b.collect { case (k, v) if v > dec => k -> (v - dec) }
-      }
-
     def reduce(b: Map[String, Long], item: String): Map[String, Long] =
       if (item == null) b
-      else shrink(b.updated(item, b.getOrElse(item, 0L) + 1L))
+      else shrinkMap(b.updated(item, b.getOrElse(item, 0L) + 1L), capacity)
+
+    def zero: Map[String, Long] = Map.empty
 
     def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      shrink(b.foldLeft(a) { case (acc, (k, v)) =>
-        acc.updated(k, acc.getOrElse(k, 0L) + v)
-      })
+      shrinkMap(addMaps(a, b), capacity)
+
+    def finish(b: Map[String, Long]): Summary = b
+
+    def bufferEncoder: Encoder[Map[String, Long]] = mapEnc
+    def outputEncoder: Encoder[Summary] = mapEnc
+  }
+
+  /** Already-built MG summaries → their MG-merged summary (the
+    * `hll_union_agg` analogue for heavy hitters): counterwise addition
+    * followed by the same shrink rule, so the result is the summary the
+    * one-shot sketch of the concatenated inputs could have produced,
+    * with the same guarantee bounds. Null inputs are ignored.
+    */
+  final class MisraGriesMerge(capacity: Int)(implicit mapEnc: Encoder[Map[String, Long]])
+      extends Aggregator[Map[String, Long], Map[String, Long], Summary] {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(b: Map[String, Long], m: Map[String, Long]): Map[String, Long] =
+      if (m == null) b else shrinkMap(addMaps(b, m), capacity)
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrinkMap(addMaps(a, b), capacity)
 
     def finish(b: Map[String, Long]): Summary = b
 
