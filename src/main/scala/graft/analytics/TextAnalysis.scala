@@ -647,6 +647,68 @@ object TextAnalysis {
       |JOIN sizes sa ON sa.source = shared.source_a
       |JOIN sizes sb ON sb.source = shared.source_b""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Positional skip-gram co-occurrence — the word2vec/GloVe training
+    * prep: count (center, context) pairs within a ±`window` WORD
+    * distance, the position-level complement of q79's document-level
+    * PMI pairs (q79 asks "do these terms appear in the same docs?",
+    * this asks "do they appear NEXT TO each other?").
+    *
+    * Scale shape: the window join is a pure EQUI-join — each token row
+    * explodes into `window` (doc, pos+k) probe keys, so work is exactly
+    * tokens·window with no per-document quadratic residual (the naive
+    * `0 < b.pos − a.pos ≤ w` band join degenerates on long documents).
+    * Counts then collapse to the pair vocabulary, and the top-k window
+    * runs over that vocabulary-sized table. Ordered pairs (left term,
+    * right term, so (a,b) ≠ (b,a)) keep every count engine-exact.
+    */
+  def skipgramPairs(spark: SparkSession, dir: String, window: Int = 3,
+                    k: Int = 50): DataFrame = {
+    val pt = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.shingleStrings(col("text"), 1))
+          .as(Seq("pos", "term")))
+    val probes = pt
+      .withColumn("off", explode(sequence(lit(1), lit(window))))
+      .select(col("doc_id"), col("term").as("term_a"),
+        (col("pos") + col("off")).as("pos_b"))
+    val counts = probes
+      .join(pt.toDF("doc_id", "pos_b", "term_b"), Seq("doc_id", "pos_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_cooc"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_cooc").desc, col("term_a"), col("term_b"))))
+      .filter(col("rank") <= k)
+      .select("rank", "term_a", "term_b", "n_cooc")
+  }
+
+  private val skipgramPairsSql =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |pt AS (
+      |  SELECT doc_id, s.pos AS pos, s.term AS term
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(w) + 1),
+      |            i -> struct_pack(pos := i, term := w[i]))) AS s
+      |        FROM ws)
+      |),
+      |counts AS (
+      |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_cooc
+      |  FROM pt a
+      |  JOIN pt b ON b.doc_id = a.doc_id
+      |    AND b.pos > a.pos AND b.pos <= a.pos + 3
+      |  GROUP BY 1, 2
+      |)
+      |SELECT rank, term_a, term_b, n_cooc FROM (
+      |  SELECT term_a, term_b, CAST(n_cooc AS BIGINT) AS n_cooc,
+      |    CAST(row_number() OVER (
+      |      ORDER BY n_cooc DESC, term_a, term_b) AS INTEGER) AS rank
+      |  FROM counts) t
+      |WHERE rank <= 50""".stripMargin
+
   // ---------------------------------------------------------------- q109
   /** Per-source lexical-diversity profile: token/type/hapax counts,
     * type-token ratio, hapax share, and unigram Shannon entropy — the
@@ -994,5 +1056,7 @@ object TextAnalysis {
       Some(sourceDivergenceSql)),
     NamedQuery("q109_source_diversity", sourceDiversity _,
       Some(sourceDiversitySql)),
+    NamedQuery("q113_skipgram_pairs", (s, d) => skipgramPairs(s, d),
+      Some(skipgramPairsSql)),
     NamedQuery("q90_nfc_clean", nfcCleanAudit _, Some(nfcCleanAuditSql)))
 }

@@ -190,6 +190,26 @@ class TextAnalysisSpec extends SparkSpec {
       s"missed: ${(brute -- blocked).take(5)}; extra: ${(blocked -- brute).take(5)}")
   }
 
+  test("skipgramPairs: window bounds and duplicate tokens count exactly") {
+    import spark.implicits._
+    val dir = tmpDir("skipgram")
+    Seq((1L, "a b c d", "s"), (2L, "a b a", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(w: Int) = TextAnalysis.skipgramPairs(spark, dir, window = w, k = 100)
+      .collect().map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b")) ->
+        r.getAs[Long]("n_cooc")).toMap
+    // window=1: adjacency only. Doc2 "a b a" adds (a,b) and (b,a).
+    assert(pairs(1) == Map(("a", "b") -> 2L, ("b", "c") -> 1L,
+      ("c", "d") -> 1L, ("b", "a") -> 1L))
+    // window=3: all ordered pairs within distance 3; doc2 adds (a,a) at
+    // distance 2 — self-pairs at nonzero distance are real skip-grams.
+    val w3 = pairs(3)
+    assert(w3(("a", "d")) == 1L && w3(("a", "c")) == 1L && w3(("a", "a")) == 1L)
+    assert(w3(("a", "b")) == 2L, "duplicate-token doc keeps both (a,b) hits")
+    assert(!w3.contains(("d", "a")), "pairs are ordered left-to-right only")
+  }
+
   test("sourceDiversity: degenerate and uniform slices hit exact entropy poles") {
     import spark.implicits._
     val dir = tmpDir("srcdiv2")
