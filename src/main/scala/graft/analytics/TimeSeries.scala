@@ -369,7 +369,92 @@ object TimeSeries {
       |    + (1000000 * (num - (num // den) * den)) // den AS BIGINT) AS slope_micro
       |FROM f""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** Lead-lag cross-correlation of two daily series — "does X lead Y by
+    * k days?", the standard question before attributing one metric's
+    * movement to another (marketing → orders, views → purchases). For
+    * each lag 0..maxLag, align x_t with y_{t+lag} on the calendar (an
+    * equi-join on day+lag over DAYS-sized frames) and report the exact
+    * integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² — the q99
+    * closed-form shape) plus Pearson r from ONE fixed double sequence,
+    * rounded to 4 (the q60 z-score discipline). Squared sums ride
+    * DECIMAL so daily volumes past ~3e9 cannot wrap silently.
+    *
+    * Scale shape: the corpus collapses to per-day counts in one hash
+    * aggregation; every later step lives on days × lags rows. The lag
+    * table is generated, broadcast, and joined — no driver loops.
+    */
+  def crossCorrelation(x: DataFrame, y: DataFrame, maxLag: Int): DataFrame = {
+    val lags = x.sparkSession.range(0, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val xd = col("x").cast("decimal(19,0)")
+    val yd = col("y").cast("decimal(19,0)")
+    val sums = broadcast(lags)
+      .crossJoin(x.select(col("day_i"), col("x")))
+      .withColumn("day_y", col("day_i") + col("lag"))
+      .join(y.select(col("day_i").as("day_y"), col("y")), Seq("day_y"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(xd * yd).as("sum_xy"), sum(xd * xd).as("sum_xx"),
+        sum(yd * yd).as("sum_yy"))
+    val n = col("n_days").cast("double")
+    val num = n * col("sum_xy").cast("double") -
+      col("sum_x").cast("double") * col("sum_y").cast("double")
+    val denx = n * col("sum_xx").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double")
+    val deny = n * col("sum_yy").cast("double") -
+      col("sum_y").cast("double") * col("sum_y").cast("double")
+    sums.withColumn("r",
+      when(denx > 0 && deny > 0, round(num / sqrt(denx * deny), 4)))
+  }
+
+  /** Gated face: do daily views lead daily purchases (lags 0..7)? */
+  def viewPurchaseLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .as("day_i"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    crossCorrelation(
+      daily.filter(col("event_type") === "view").select(col("day_i"), col("n").as("x")),
+      daily.filter(col("event_type") === "purchase").select(col("day_i"), col("n").as("y")),
+      maxLag = 7)
+  }
+
+  private val viewPurchaseLeadLagSql =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', ts::DATE) AS day_i,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |x AS (SELECT day_i, n AS x FROM daily WHERE event_type = 'view'),
+      |y AS (SELECT day_i, n AS y FROM daily WHERE event_type = 'purchase'),
+      |sums AS (
+      |  SELECT l.lag, count(*) AS n_days,
+      |    sum(x.x) AS sum_x, sum(y.y) AS sum_y,
+      |    sum(x.x::DECIMAL(19,0) * y.y::DECIMAL(19,0)) AS sum_xy,
+      |    sum(x.x::DECIMAL(19,0) * x.x::DECIMAL(19,0)) AS sum_xx,
+      |    sum(y.y::DECIMAL(19,0) * y.y::DECIMAL(19,0)) AS sum_yy
+      |  FROM (SELECT unnest(range(0, 8)) AS lag) l
+      |  CROSS JOIN x
+      |  JOIN y ON y.day_i = x.day_i + l.lag
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(lag AS INT) AS lag, n_days,
+      |  CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y,
+      |  sum_xy, sum_xx, sum_yy,
+      |  CASE WHEN n_days::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0
+      |        AND n_days::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0
+      |    THEN round(
+      |      (n_days::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE) /
+      |      sqrt((n_days::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE) *
+      |           (n_days::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE)), 4)
+      |  END AS r
+      |FROM sums""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q114_lead_lag_corr", viewPurchaseLeadLag _,
+      Some(viewPurchaseLeadLagSql)),
     NamedQuery("q99_revenue_trend", revenueTrend _, Some(revenueTrendSql)),
     NamedQuery("q76_weekly_gapfill", weeklyGapfill _, Some(weeklyGapfillSql)),
     NamedQuery("q95_user_streaks", userStreaks _, Some(userStreaksSql)),

@@ -170,4 +170,41 @@ class TimeSeriesSpec extends SparkSpec {
     val want = (BigInt(1000000) * num) / den // BigInt / truncates toward zero
     assert(BigInt(got) == want, s"two-step division drifted: $got vs $want")
   }
+
+  test("crossCorrelation: a pure 2-day shift peaks at exactly r = 1 at lag 2") {
+    // Nonlinear series so only the true shift aligns perfectly.
+    val xs = (0 to 9).map(t => (t.toLong, (t * t + 1).toLong))
+    val x = xs.toDF("day_i", "x")
+    val y = xs.map { case (d, v) => (d + 2, v) }.toDF("day_i", "y")
+    val out = TimeSeries.crossCorrelation(x, y, maxLag = 3).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        ((r.getAs[Long]("n_days"), Option(r.getAs[Any]("r"))
+          .map(_.asInstanceOf[Double])))).toMap
+    assert(out(2)._1 == 10L && out(2)._2.contains(1.0),
+      "aligning at the true shift correlates the series with itself")
+    Seq(0, 1, 3).foreach { l =>
+      assert(out(l)._2.exists(_ < 1.0), s"lag $l must not reach a perfect fit")
+    }
+  }
+
+  test("crossCorrelation: sufficient statistics are exact integers") {
+    // x = (1,2), y aligned at lag 0 = (3,5): Σx=3 Σy=8 Σxy=13 Σxx=5 Σyy=34.
+    val x = Seq((0L, 1L), (1L, 2L)).toDF("day_i", "x")
+    val y = Seq((0L, 3L), (1L, 5L)).toDF("day_i", "y")
+    val r0 = TimeSeries.crossCorrelation(x, y, maxLag = 0).collect().head
+    assert(r0.getAs[Long]("n_days") == 2L)
+    assert(r0.getAs[Long]("sum_x") == 3L && r0.getAs[Long]("sum_y") == 8L)
+    assert(r0.getAs[java.math.BigDecimal]("sum_xy").longValueExact == 13L)
+    assert(r0.getAs[java.math.BigDecimal]("sum_xx").longValueExact == 5L)
+    assert(r0.getAs[java.math.BigDecimal]("sum_yy").longValueExact == 34L)
+    // (1,2) vs (3,5) is an exact affine map → r = 1.
+    assert(r0.getAs[Double]("r") == 1.0)
+  }
+
+  test("crossCorrelation: a constant side yields null r, not a NaN or error") {
+    val x = Seq((0L, 4L), (1L, 4L)).toDF("day_i", "x")
+    val y = Seq((0L, 3L), (1L, 5L)).toDF("day_i", "y")
+    val r0 = TimeSeries.crossCorrelation(x, y, maxLag = 0).collect().head
+    assert(r0.isNullAt(r0.fieldIndex("r")))
+  }
 }
