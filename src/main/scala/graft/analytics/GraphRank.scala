@@ -240,10 +240,16 @@ object GraphRank {
     // Canonicalize each undirected edge to (low, high) BEFORE distinct —
     // an edge supplied only as (high, low) must not be dropped; self-loops
     // (least = greatest) can never close a triangle and are.
+    // The edge list is referenced four times below (degree count, two
+    // wedge sides, the closing probe) — localCheckpoint it once so the
+    // upstream pipeline (e.g. q81's full co-occurrence derivation) isn't
+    // re-executed per reference (the q30 lineage lesson: without this the
+    // plan re-derives the corpus scan ~190 times).
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -251,11 +257,13 @@ object GraphRank {
     // acceptable as a single sort because nodes ≪ edges ≪ corpus.
     val idx = deg.withColumn("idx",
       row_number().over(Window.orderBy(col("degree"), col("node"))).cast("long"))
+      .localCheckpoint()
     val o = und
       .join(idx.select(col("node").as("a"), col("idx").as("ia")), Seq("a"))
       .join(idx.select(col("node").as("b"), col("idx").as("ib")), Seq("b"))
       .select(least(col("ia"), col("ib")).as("u"),
         greatest(col("ia"), col("ib")).as("v"))
+      .localCheckpoint()
     val tri = o.select(col("u"), col("v").as("x"))
       .join(o.select(col("u"), col("v").as("y")), Seq("u"))
       .filter(col("x") < col("y"))

@@ -195,8 +195,11 @@ object Statistics {
     * after is category-cardinality-sized.
     */
   def chiSquare(obs: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    // The contingency table feeds four derivations (marginals, N, grid) —
+    // checkpoint it so the observation scan runs exactly once.
     val cells = obs.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rowTot = cells.groupBy("r").agg(sum("o").as("rt"))
     val colTot = cells.groupBy("c").agg(sum("o").as("ct"))
     val n = cells.agg(sum("o").as("n"))

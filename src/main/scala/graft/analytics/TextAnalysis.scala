@@ -728,8 +728,12 @@ object TextAnalysis {
   def sourceDiversity(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir).select(col("source"),
       explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
+    // One corpus scan: the count table is checkpointed (it feeds both the
+    // entropy terms and the totals), and totals fold out of it rather
+    // than re-aggregating the token stream.
     val cst = toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
-    val totals = toks.groupBy("source").agg(count(lit(1)).as("n_tok"))
+      .localCheckpoint()
+    val totals = cst.groupBy("source").agg(sum("c").as("n_tok"))
     val p = col("c").cast("double") / col("n_tok").cast("double")
     cst
       .join(broadcast(totals), Seq("source"))
@@ -798,8 +802,13 @@ object TextAnalysis {
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir).select(col("source"),
       explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
+    // The count table is the hub of the whole grid (joined for c1, c2,
+    // and reduced to vocab/totals) — checkpoint it so the corpus is
+    // scanned exactly once, and derive totals from it instead of
+    // re-aggregating the token stream.
     val cst = toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
-    val totals = toks.groupBy("source").agg(count(lit(1)).as("n_tok"))
+      .localCheckpoint()
+    val totals = cst.groupBy("source").agg(sum("c").as("n_tok"))
     val vocab = cst.select("term").distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
     val srcs = totals.select(col("source"))
