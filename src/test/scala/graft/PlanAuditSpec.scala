@@ -423,4 +423,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops <= 8 && s.smj == 0,
       s"q101 must stay hash aggregations + one-row joins: $s")
   }
+
+  test("q105/q107 rank statistics stay one aggregate + keyed windows") {
+    Seq("q105_spearman_rank_corr", "q107_mann_whitney").foreach { name =>
+      val s = stats(name)
+      assert(s.broadcast >= 1, s"$name customer dim must broadcast: $s")
+      assert(s.shuffles <= 12 && s.nestedLoops == 0 && s.singleParts == 0,
+        s"$name regressed: $s") // audited 6 / 4 shuffles
+    }
+  }
+
+  test("q106 triangles keep the co-occurrence derivation checkpointed") {
+    // Pre-fix this plan re-derived the corpus pipeline per edge-list
+    // reference: 542 shuffles / 189 scans. Post-fix: 28 / 0.
+    val s = stats("q106_term_triangles")
+    assert(s.shuffles <= 60, s"q106 lineage must stay truncated: $s")
+    assert(s.scans <= 4, s"q106 must not re-derive the corpus: $s")
+  }
+
+  test("q108/q111 grid statistics checkpoint their count tables") {
+    // Intended nested loops: broadcast one-row/cross frames (pair grids).
+    val s8 = stats("q108_source_divergence")
+    assert(s8.shuffles <= 60 && s8.scans <= 4, s"q108 regressed: $s8")
+    val s11 = stats("q111_chi_square")
+    assert(s11.shuffles <= 40 && s11.scans <= 4, s"q111 regressed: $s11")
+  }
+
+  test("q109/q113 corpus text passes stay scan+aggregate shaped") {
+    val s9 = stats("q109_source_diversity")
+    assert(s9.shuffles <= 12 && s9.nestedLoops == 0 && s9.singleParts == 0,
+      s"q109 regressed: $s9") // audited 6
+    val s13 = stats("q113_skipgram_pairs")
+    assert(s13.shuffles <= 8 && s13.nestedLoops == 0,
+      s"q113 window join must stay equi-shaped: $s13") // audited 4
+  }
+
+  test("q114 lead-lag stays a days-sized lag join (lags broadcast)") {
+    val s = stats("q114_lead_lag_corr")
+    // The lag table rides a broadcast nested loop by design (8 rows).
+    assert(s.shuffles <= 20 && s.smj == 0, s"q114 regressed: $s")
+  }
 }
