@@ -12,6 +12,13 @@ library — it exists so we catch oracle mismatches before the driver does.
 import sys, json, glob, os
 import duckdb
 
+# --exact: compare floats bit-for-bit (models the driver's value hash, which
+# is stricter than the 9-decimal round). Default keeps the historical 1e-9
+# tolerance for quick iteration.
+EXACT = "--exact" in sys.argv
+if EXACT:
+    sys.argv.remove("--exact")
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -27,7 +34,7 @@ def canon(rows, cols):
 
 def norm(v):
     if isinstance(v, float):
-        return round(v, 9)
+        return v if EXACT else round(v, 9)
     return v
 
 
@@ -61,6 +68,30 @@ def main(sf_dir, out_dir):
             orows = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # Physical-type parity: the driver's value hash goes through a
+        # pandas conversion where DuckDB HUGEINT / DECIMAL become float64
+        # while Spark's BIGINT stays int64 — equal values, different hash.
+        # Round 7 lost 10 green queries to exactly this, so it is a FAIL
+        # here even when every value compares equal numerically.
+        stypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+        otypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE {oracles[name]}").fetchall()}
+        INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+        def hostile(st, ot):
+            if ot == "HUGEINT" or ot.startswith("DECIMAL"):
+                return True
+            if st is not None and (st.startswith("DECIMAL") or st == "FLOAT"):
+                return True
+            return st is not None and st != ot and not (st in INTS and ot in INTS)
+
+        risky = {c: (stypes.get(c), t) for c, t in otypes.items()
+                 if hostile(stypes.get(c), t)}
+        if risky:
+            print(f"FAIL {name}: hash-hostile dtypes (spark, oracle): {risky}")
             n_fail += 1
             continue
         sc, sr = canon(srows, scols)

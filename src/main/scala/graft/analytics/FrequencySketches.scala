@@ -189,7 +189,7 @@ object FrequencySketches {
        |SELECT sa AS source_a, sb AS source_b,
        |  CAST(union_k AS BIGINT) AS union_k, kth_min,
        |  CAST(both_k AS BIGINT) AS both_k,
-       |  (both_k * 1000000) // union_k AS jaccard_micro,
+       |  CAST((both_k * 1000000) // union_k AS BIGINT) AS jaccard_micro,
        |  CASE WHEN union_k < $KmvK THEN union_k
        |       ELSE ${(KmvK - 1).toLong * (1L << KmvHashBits)} // kth_min
        |  END AS union_est

@@ -147,7 +147,7 @@ object GraphRank {
        |  FROM (SELECT DISTINCT src FROM edges) CROSS JOIN ncount
        |),
        |$iterCtes
-       |SELECT rank, term, degree, rank_units FROM (
+       |SELECT rank, term, degree, CAST(rank_units AS BIGINT) AS rank_units FROM (
        |  SELECT r$Iters.node AS term, dg.deg AS degree, r$Iters.r AS rank_units,
        |    CAST(row_number() OVER (ORDER BY r$Iters.r DESC, r$Iters.node)
        |      AS INTEGER) AS rank

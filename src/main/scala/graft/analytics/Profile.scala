@@ -203,11 +203,11 @@ object Profile {
        |)
        |SELECT col_name, digit, CAST(n_obs AS BIGINT) AS n_obs,
        |  CAST(sum(n_obs) OVER (PARTITION BY col_name) AS BIGINT) AS n_total,
-       |  (1000000 * n_obs) // sum(n_obs) OVER (PARTITION BY col_name)
-       |    AS p_obs_micro,
+       |  CAST((1000000 * n_obs) // sum(n_obs) OVER (PARTITION BY col_name)
+       |    AS BIGINT) AS p_obs_micro,
        |  CAST(CASE digit $expectedCase END AS BIGINT) AS p_benford_micro,
-       |  (1000000 * n_obs) // sum(n_obs) OVER (PARTITION BY col_name)
-       |    - (CASE digit $expectedCase END) AS dev_micro
+       |  CAST((1000000 * n_obs) // sum(n_obs) OVER (PARTITION BY col_name)
+       |    - (CASE digit $expectedCase END) AS BIGINT) AS dev_micro
        |FROM counted""".stripMargin
   }
 
@@ -261,10 +261,10 @@ object Profile {
        |  count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
        |  (SELECT count(*) FROM ${table}_c) AS n_keys_total,
        |  (SELECT CAST(sum(c) AS BIGINT) FROM ${table}_c) AS n_rows_total,
-       |  (1000000 * (SELECT max(c) FROM (SELECT c FROM ${table}_c ORDER BY c DESC, k LIMIT 10)))
-       |    // (SELECT sum(c) FROM ${table}_c) AS top1_share_micro,
-       |  (1000000 * (SELECT sum(c) FROM (SELECT c FROM ${table}_c ORDER BY c DESC, k LIMIT 10)))
-       |    // (SELECT sum(c) FROM ${table}_c) AS top10_share_micro
+       |  CAST((1000000 * (SELECT max(c) FROM (SELECT c FROM ${table}_c ORDER BY c DESC, k LIMIT 10)))
+       |    // (SELECT sum(c) FROM ${table}_c) AS BIGINT) AS top1_share_micro,
+       |  CAST((1000000 * (SELECT sum(c) FROM (SELECT c FROM ${table}_c ORDER BY c DESC, k LIMIT 10)))
+       |    // (SELECT sum(c) FROM ${table}_c) AS BIGINT) AS top10_share_micro
        |FROM ${table}_c GROUP BY 1, 2""".stripMargin
 
   private val keySkewProfileSql =

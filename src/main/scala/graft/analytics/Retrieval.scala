@@ -139,7 +139,8 @@ object Retrieval {
        |SELECT query_id,
        |  CAST(row_number() OVER
        |    (PARTITION BY query_id ORDER BY score_unats DESC, doc_id) AS INTEGER) AS rank,
-       |  doc_id, terms_hit, score_unats
+       |  doc_id, terms_hit,
+       |  CAST(score_unats AS BIGINT) AS score_unats
        |FROM scored
        |QUALIFY rank <= 10""".stripMargin
 

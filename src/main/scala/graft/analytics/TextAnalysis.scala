@@ -1041,7 +1041,7 @@ object TextAnalysis {
       |  SELECT DISTINCT x.t AS t1, y.t AS t2
       |  FROM blocks x JOIN blocks y ON x.bkey = y.bkey AND x.t < y.t
       |)
-      |SELECT t1, t2, va.n AS n_t1, vb.n AS n_t2
+      |SELECT t1, t2, CAST(va.n AS BIGINT) AS n_t1, CAST(vb.n AS BIGINT) AS n_t2
       |FROM cand
       |JOIN vocab va ON va.t = cand.t1
       |JOIN vocab vb ON vb.t = cand.t2

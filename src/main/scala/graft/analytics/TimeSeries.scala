@@ -82,7 +82,7 @@ object TimeSeries {
     """WITH weekly AS (
       |  SELECT o_custkey AS custkey,
       |    date_trunc('week', o_orderdate)::DATE AS week,
-      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS week_cents,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS week_cents,
       |    count(*) AS week_orders
       |  FROM orders WHERE o_custkey % 20 = 0 GROUP BY 1, 2
       |),
@@ -144,14 +144,14 @@ object TimeSeries {
   private val movingRevenueSql =
     """WITH daily AS (
       |  SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
-      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_cents,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents,
       |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day_i
       |  FROM orders GROUP BY 1, 2, 4
       |)
       |SELECT priority, strftime(day, '%Y-%m-%d') AS day, day_cents,
-      |  sum(day_cents) OVER mov AS mov_cents,
+      |  CAST(sum(day_cents) OVER mov AS BIGINT) AS mov_cents,
       |  count(*) OVER mov AS mov_days,
-      |  sum(day_cents) OVER mov // count(*) OVER mov AS mov_avg_cents,
+      |  CAST(sum(day_cents) OVER mov // count(*) OVER mov AS BIGINT) AS mov_avg_cents,
       |  max(day_cents) OVER peak AS peak_cents
       |FROM daily
       |WINDOW
@@ -207,7 +207,7 @@ object TimeSeries {
   private val robustOutliersSql =
     """WITH daily AS (
       |  SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
-      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_cents
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
       |  FROM orders GROUP BY 1, 2
       |),
       |med AS (
@@ -407,6 +407,12 @@ object TimeSeries {
       col("sum_y").cast("double") * col("sum_y").cast("double")
     sums.withColumn("r",
       when(denx > 0 && deny > 0, round(num / sqrt(denx * deny), 4)))
+      // Gate-facing face: the sufficient statistics are emitted as BIGINT
+      // (exact here; DECIMAL only guards the in-flight accumulation) so the
+      // cross-engine value hash never sees a decimal/int128 representation.
+      .withColumn("sum_xy", col("sum_xy").cast("long"))
+      .withColumn("sum_xx", col("sum_xx").cast("long"))
+      .withColumn("sum_yy", col("sum_yy").cast("long"))
   }
 
   /** Gated face: do daily views lead daily purchases (lags 0..7)? */
@@ -442,7 +448,8 @@ object TimeSeries {
       |)
       |SELECT CAST(lag AS INT) AS lag, n_days,
       |  CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y,
-      |  sum_xy, sum_xx, sum_yy,
+      |  CAST(sum_xy AS BIGINT) AS sum_xy, CAST(sum_xx AS BIGINT) AS sum_xx,
+      |  CAST(sum_yy AS BIGINT) AS sum_yy,
       |  CASE WHEN n_days::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0
       |        AND n_days::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0
       |    THEN round(
