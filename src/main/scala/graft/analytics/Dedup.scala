@@ -801,7 +801,115 @@ object Dedup {
       |WHERE (1000000 * len(list_intersect(sa.ws, sb.ws)))
       |    // len(list_distinct(list_concat(sa.ws, sb.ws))) >= 900000""".stripMargin
 
+  // --------------------------------------------------------------- q115
+  /** Asymmetric containment self-join — "is document a (mostly) inside
+    * document b?": C(a→b) = |a∩b| / |a| over token sets. Jaccard (q16/
+    * q17/q104) is symmetric and misses exactly the duplication mode that
+    * plagues scraped training corpora: a short document quoted whole
+    * inside a much longer one has J ≈ |a|/|b| → 0 but C(a→b) = 1. The
+    * directional measure is the standard fix (Broder's containment, the
+    * same quantity DataComp/RefinedWeb-style pipelines gate quote
+    * inclusion on).
+    *
+    * Candidate generation is EXACT, not probabilistic — the containment
+    * form of the prefix-filter principle (q104): C(a→b) ≥ t ⇒
+    * |a∩b| ≥ ⌈t·|a|⌉, and a's rarest-first prefix of
+    * |a| − ⌈t·|a|⌉ + 1 tokens cannot ALL miss b (the remaining slots are
+    * too few), so probing b's full inverted index with just a's prefix
+    * provably finds every qualifying ordered pair. One direction only:
+    * (a→b) and (b→a) are different facts and both rows can legitimately
+    * appear.
+    *
+    * Distributed shape: token-df hash agg → rarest-first per-doc sort →
+    * prefix explode (2-3 tokens/doc at t=0.9) joined against the full
+    * posting lists — work ∝ Σ_prefix-token df, which the rarest-first
+    * order keeps near the minimum possible for an exact join (a Zipf
+    * vocabulary puts prefix tokens in the short postings). The n² pair
+    * space is never materialized; the exact verify runs on candidates
+    * only.
+    */
+  def containmentPairs(docs: DataFrame, minContainMicro: Long): DataFrame = {
+    val s = docs.select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ws"))
+    val tok = s.select(col("doc_id"), explode(col("ws")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
+    // Prefix length |a| − ⌈t·|a|⌉ + 1 in pure integer arithmetic (q104's
+    // discipline): ⌈t·n⌉ = (micro·n + 999999) div 1e6.
+    val prefix = ordered.select(col("doc_id").as("a_id"),
+      expr(s"transform(slice(ord, 1, size(ord) - (($minContainMicro * size(ord)" +
+        s" + 999999) div 1000000) + 1), x -> x.token)").as("pref"))
+      .select(col("a_id"), explode(col("pref")).as("token"))
+    val cand = prefix
+      .join(tok.select(col("doc_id").as("b_id"), col("token")), "token")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(s.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(col("a_ws")).cast("long").as("a_size"),
+        size(col("b_ws")).cast("long").as("b_size"),
+        expr("(1000000 * size(array_intersect(a_ws, b_ws))) div size(a_ws)")
+          .as("containment_micro"),
+        expr("(1000000 * size(array_intersect(a_ws, b_ws)))" +
+          " div size(array_union(a_ws, b_ws))").as("jaccard_micro"))
+      .filter(col("containment_micro") >= minContainMicro)
+  }
+
+  /** Gated q115: containment pairs at C ≥ 0.9 where b is at least 4×
+    * larger — exactly the quote-inclusion rows a symmetric gate cannot
+    * see (the size ratio forces Jaccard ≤ ~0.25, far under any near-dup
+    * threshold; the templated corpus makes the unrestricted C ≥ 0.9 set
+    * 79k-pairs dense at sf0.01, which is a dedup input, not a report).
+    * The jaccard_micro column rides along to exhibit the asymmetry.
+    */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      minContainMicro = 900000L)
+      .filter(col("b_size") >= col("a_size") * 4)
+
+  private val containmentSql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS ws
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, unnest(ws) AS token FROM s),
+      |dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+      |ord AS (
+      |  SELECT t.doc_id, t.token,
+      |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn,
+      |    count(*) OVER (PARTITION BY t.doc_id) AS sz
+      |  FROM tok t JOIN dfreq d USING (token)
+      |),
+      |pref AS (
+      |  SELECT doc_id, token FROM ord
+      |  WHERE rn <= sz - ((900000 * sz + 999999) // 1000000) + 1
+      |),
+      |cand AS (
+      |  SELECT DISTINCT p.doc_id AS a_id, t.doc_id AS b_id
+      |  FROM pref p JOIN tok t ON p.token = t.token AND p.doc_id <> t.doc_id
+      |)
+      |SELECT c.a_id, c.b_id,
+      |  CAST(len(sa.ws) AS BIGINT) AS a_size,
+      |  CAST(len(sb.ws) AS BIGINT) AS b_size,
+      |  CAST((1000000 * len(list_intersect(sa.ws, sb.ws))) // len(sa.ws)
+      |    AS BIGINT) AS containment_micro,
+      |  CAST((1000000 * len(list_intersect(sa.ws, sb.ws)))
+      |    // len(list_distinct(list_concat(sa.ws, sb.ws)))
+      |    AS BIGINT) AS jaccard_micro
+      |FROM cand c
+      |JOIN s sa ON c.a_id = sa.doc_id
+      |JOIN s sb ON c.b_id = sb.doc_id
+      |WHERE (1000000 * len(list_intersect(sa.ws, sb.ws))) // len(sa.ws)
+      |  >= 900000
+      |  AND len(sb.ws) >= 4 * len(sa.ws)""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q115_containment_join", containmentJoin _, Some(containmentSql)),
     NamedQuery("q102_sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),
     NamedQuery("q104_prefix_filter_join", prefixFilterJoin _, Some(prefixFilterSql)),
     NamedQuery("q17_minhash_neardups", minHashSummary _, Some(minHashSummarySql)),

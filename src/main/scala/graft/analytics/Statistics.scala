@@ -264,7 +264,128 @@ object Statistics {
       |  CAST(sum(cell_nn) AS BIGINT) AS chi2_nanounits
       |FROM terms""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** Two-sample Kolmogorov–Smirnov statistic, each group against the
+    * pooled rest — the drift test for CONTINUOUS distributions, closing
+    * the family next to Mann-Whitney (q107: location shift) and
+    * chi-square (q111: categorical): KS is sensitive to any shape
+    * difference (spread, tails, bimodality), not just a median shift.
+    *
+    * Exactness: D = sup_x |F1(x) − F2(x)| is attained at a jump point,
+    * i.e. at one of the pooled sample's distinct values, so
+    * D = max_x |n2·c1(x) − n1·c2(x)| / (n1·n2) with c1/c2 the cumulative
+    * counts — an integer maximum over integer products. d_micro is the
+    * integer division (1e6·d_num) div (n1·n2). No floats anywhere.
+    * (n1·n2 bounds the honest range: past ~3e9 rows per side the product
+    * wraps int64 — at that scale you test on a sketch, not row counts.)
+    *
+    * Scale shape: ONE corpus-sized hash aggregation down to per-(group,
+    * value) counts; the ECDF windows then sort only the distinct-value
+    * grid per group. The grid is values × groups — metadata-scale next
+    * to the fact table, and each group's window is independent (no
+    * global sort).
+    *
+    * Returns one row per group: (group, n1, n2, d_num, d_micro) with
+    * d_micro = (1e6·d_num) div (n1·n2); single-value-side groups (n1 or
+    * n2 zero elsewhere) are kept — D is still well-defined as long as
+    * both sides are non-empty, and groups that ARE the whole pool
+    * (n2 = 0) are filtered rather than divided by zero.
+    */
+  def ksAgainstRest(perRow: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    // Six downstream consumers (grid, both ECDFs, totals, pool size) —
+    // materialize the corpus-collapsing aggregate once (the chiSquare
+    // discipline) or every consumer re-scans the fact table.
+    val counts = perRow.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // Dense (group × pooled distinct value) grid: a group's ECDF must
+    // step at OTHER groups' values too, or c1 at a pooled jump point
+    // where this group has no observation is missed.
+    val values = counts.select(col("v")).distinct()
+    val groups = counts.select(col("g")).distinct()
+    val grid = values.crossJoin(broadcast(groups))
+      .join(counts, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val cum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = grid.withColumn("c1", sum("cnt").over(cum))
+    // Pooled ECDF: one global window over the distinct-value axis only
+    // (single partition by construction — it sorts values, not rows).
+    val pooled = counts.groupBy("v").agg(sum("cnt").as("tot"))
+      .withColumn("call", sum("tot").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = counts.groupBy("g").agg(sum("cnt").as("n1"))
+    val nAll = counts.agg(sum("cnt").as("n_all"))
+    stepped
+      .join(pooled.select(col("v"), col("call")), Seq("v"))
+      .join(broadcast(totals), Seq("g"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("n2", col("n_all") - col("n1"))
+      // D numerator at this value: |n2·c1 − n1·c2| with c2 = call − c1.
+      .withColumn("d_at_v",
+        abs(col("n2") * col("c1") - col("n1") * (col("call") - col("c1"))))
+      .groupBy(col("g"))
+      .agg(first("n1").as("n1"), first("n2").as("n2"),
+        max("d_at_v").as("d_num"))
+      .filter(col("n2") > 0)
+      .withColumn("d_micro", expr("(1000000 * d_num) div (n1 * n2)"))
+  }
+
+  /** Gated face (q116): order-price cents per market segment vs rest. */
+  def segmentPriceKs(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    ksAgainstRest(obs, "segment", "cents")
+      .withColumnRenamed("g", "segment")
+  }
+
+  private val segmentPriceKsSql =
+    """WITH obs AS (
+      |  SELECT c.c_mktsegment AS g,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |counts AS (
+      |  SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM obs GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT gs.g, vs.v, coalesce(c.cnt, 0) AS cnt
+      |  FROM (SELECT DISTINCT v FROM counts) vs
+      |  CROSS JOIN (SELECT DISTINCT g FROM counts) gs
+      |  LEFT JOIN counts c ON c.g = gs.g AND c.v = vs.v
+      |),
+      |stepped AS (
+      |  SELECT g, v, CAST(sum(cnt) OVER
+      |    (PARTITION BY g ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1
+      |  FROM grid
+      |),
+      |pooled AS (
+      |  SELECT v, CAST(sum(tot) OVER
+      |    (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS call
+      |  FROM (SELECT v, sum(cnt) AS tot FROM counts GROUP BY 1)
+      |),
+      |totals AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n1 FROM counts GROUP BY 1),
+      |nall AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM counts)
+      |SELECT g AS segment,
+      |  CAST(any_value(n1) AS BIGINT) AS n1,
+      |  CAST(any_value(n_all - n1) AS BIGINT) AS n2,
+      |  CAST(max(abs((n_all - n1) * c1 - n1 * (call - c1))) AS BIGINT) AS d_num,
+      |  CAST((1000000 * max(abs((n_all - n1) * c1 - n1 * (call - c1))))
+      |    // (any_value(n1) * any_value(n_all - n1)) AS BIGINT) AS d_micro
+      |FROM stepped
+      |JOIN pooled USING (v)
+      |JOIN totals USING (g)
+      |CROSS JOIN nall
+      |GROUP BY g""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q116_ks_drift", segmentPriceKs _, Some(segmentPriceKsSql)),
     NamedQuery("q105_spearman_rank_corr", revenueVolumeSpearman _,
       Some(revenueVolumeSpearmanSql)),
     NamedQuery("q107_mann_whitney", segmentSpendMannWhitney _,

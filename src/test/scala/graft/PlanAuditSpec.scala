@@ -463,4 +463,24 @@ class PlanAuditSpec extends SparkSpec {
     // The lag table rides a broadcast nested loop by design (8 rows).
     assert(s.shuffles <= 20 && s.smj == 0, s"q114 regressed: $s")
   }
+
+  test("q115 containment join stays an exact equi-join (no pair blowup)") {
+    val s = stats("q115_containment_join")
+    // Prefix-probe ⋈ posting-list is an equi-join on token; the n² pair
+    // space must never appear as a nested loop. Audited 9 scans / 12
+    // shuffles at sf0.001.
+    assert(s.nestedLoops == 0, s"q115 must stay prefix-filtered: $s")
+    assert(s.scans <= 20 && s.shuffles <= 24, s"q115 regressed: $s")
+  }
+
+  test("q116 KS drift collapses the corpus once, then works on the value grid") {
+    val s = stats("q116_ks_drift")
+    // The counts aggregate is localCheckpointed (scans=0 downstream);
+    // the only intended nested loops are broadcast tiny frames (segment
+    // list, one-row total), and singleParts windows sort the distinct-
+    // value axis, not rows. Audited 28 shuffles / 4 NLJ / 4 singleParts.
+    assert(s.scans <= 4, s"q116 must not re-derive the corpus: $s")
+    assert(s.nestedLoops <= 6 && s.singleParts <= 6 && s.shuffles <= 56,
+      s"q116 regressed: $s")
+  }
 }

@@ -264,4 +264,43 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} pairs, brute force ${want.size}")
     assert(want.nonEmpty, "planted twins must qualify at 0.5")
   }
+
+  test("containmentPairs is COMPLETE and directional: equals brute-force containment") {
+    // Plant quote-inclusions: a tiny excerpt (first 4 tokens) of each doc
+    // becomes its own document — C(excerpt→doc) = 1 while Jaccard is tiny,
+    // the exact pair class the symmetric joins cannot see.
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, 4), ' ')").as("text")))
+    val got = Dedup.containmentPairs(planted, minContainMicro = 900000L)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("containment_micro"))).toSet
+
+    val rows = planted.collect().map(r => (r.getLong(0), r.getString(1)))
+    def wset(t: String) = t.split(" ").filter(_.nonEmpty).toSet
+    val sets = rows.map { case (id, t) => (id, wset(t)) }
+    // Brute force is over ORDERED pairs (containment is directional).
+    val want = (for {
+      i <- sets.indices; j <- sets.indices; if sets(i)._1 != sets(j)._1
+      (aId, aWs) = sets(i); (bId, bWs) = sets(j)
+      cm = 1000000L * aWs.intersect(bWs).size / aWs.size
+      if cm >= 900000L
+    } yield (aId, bId, cm)).toSet
+    assert(got == want, s"got ${got.size} pairs, brute force ${want.size}")
+    val planted1 = got.filter { case (a, b, c) => a >= 1000000L && c == 1000000L }
+    assert(planted1.nonEmpty, "planted excerpts must surface at containment 1.0")
+  }
+
+  test("containment hand case: subset scores 1.0 one way, |b∩a|/|b| the other") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, minContainMicro = 500000L)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        (r.getAs[Long]("containment_micro"), r.getAs[Long]("jaccard_micro"))).toMap
+    assert(out((2L, 1L)) == (1000000L, 500000L),
+      "the subset doc is fully contained; jaccard only 4/8")
+    assert(out((1L, 2L)) == (500000L, 500000L),
+      "the superset doc is half-contained in the subset")
+  }
 }

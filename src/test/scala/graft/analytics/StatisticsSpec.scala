@@ -117,4 +117,34 @@ class StatisticsSpec extends SparkSpec {
     assert(df("up") == ((3L, 0L)))
     assert(df("down") == ((3L, 8L))) // (1-3)^2 + 0 + (3-1)^2
   }
+
+  private def ks(rows: (String, Long)*): Map[String, (Long, Long, Long, Long)] =
+    Statistics.ksAgainstRest(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Long]("d_num"), r.getAs[Long]("d_micro")))).toMap
+
+  test("ks: disjoint supports reach exactly D = 1") {
+    val out = ks(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+    assert(out("a") == ((2L, 2L, 4L, 1000000L)))
+    assert(out("b") == ((2L, 2L, 4L, 1000000L)))
+  }
+
+  test("ks: identical distributions give exactly D = 0") {
+    val out = ks(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+    assert(out("a") == ((2L, 2L, 0L, 0L)))
+  }
+
+  test("ks: hand-computed half-overlap case") {
+    // a={1,3}, b={2,3}: ECDFs differ only on [1,2) → D = 1/2.
+    // d_num at v=1: |n2·c1 − n1·c2| = |2·1 − 2·0| = 2; n1·n2 = 4.
+    val out = ks(("a", 1L), ("a", 3L), ("b", 2L), ("b", 3L))
+    assert(out("a") == ((2L, 2L, 2L, 500000L)))
+  }
+
+  test("ks: each group tests against the POOLED rest, not pairwise") {
+    // c's rest is {1,2}: at v=2, c1=0, c2=2 → d_num = |2·0 − 1·2| = 2.
+    val out = ks(("a", 1L), ("b", 2L), ("c", 3L))
+    assert(out("c") == ((1L, 2L, 2L, 1000000L)))
+  }
 }

@@ -194,9 +194,11 @@ class TimeSeriesSpec extends SparkSpec {
     val r0 = TimeSeries.crossCorrelation(x, y, maxLag = 0).collect().head
     assert(r0.getAs[Long]("n_days") == 2L)
     assert(r0.getAs[Long]("sum_x") == 3L && r0.getAs[Long]("sum_y") == 8L)
-    assert(r0.getAs[java.math.BigDecimal]("sum_xy").longValueExact == 13L)
-    assert(r0.getAs[java.math.BigDecimal]("sum_xx").longValueExact == 5L)
-    assert(r0.getAs[java.math.BigDecimal]("sum_yy").longValueExact == 34L)
+    // The gate face emits the sums as BIGINT (DECIMAL stays internal to
+    // the accumulation only) so cross-engine hashes agree.
+    assert(r0.getAs[Long]("sum_xy") == 13L)
+    assert(r0.getAs[Long]("sum_xx") == 5L)
+    assert(r0.getAs[Long]("sum_yy") == 34L)
     // (1,2) vs (3,5) is an exact affine map → r = 1.
     assert(r0.getAs[Double]("r") == 1.0)
   }
