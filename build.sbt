@@ -15,6 +15,11 @@ run / fork := true
 // driver reads the LAST stdout line as the JSON artifact, and the
 // trailer was shadowing it every round (BENCH_r*.json "parsed": null).
 Global / showSuccess := false
+// Pass the forked JVM's stdout through verbatim instead of re-logging
+// each line with an "[info] " prefix — BENCH_r07.json shows the JSON
+// artifact line arrived as `[info] {...}`, which the driver's parser
+// rejects. StdoutOutput connects the child's stdout to sbt's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,7 +22,8 @@ object Registry {
       graft.analytics.Retrieval.queries ++ graft.analytics.TimeSeries.queries ++
       graft.analytics.GraphRank.queries ++ graft.warehouse.TableDiff.queries ++
       graft.analytics.FrequencySketches.queries ++ graft.warehouse.MomentsState.queries ++
-      graft.analytics.Statistics.queries ++ graft.warehouse.FrequentItemsState.queries
+      graft.analytics.Statistics.queries ++ graft.warehouse.FrequentItemsState.queries ++
+      graft.analytics.PqIndex.queries ++ graft.analytics.Pca.queries
 }
 
 object SparkEntry {

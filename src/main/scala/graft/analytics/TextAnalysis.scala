@@ -1047,7 +1047,92 @@ object TextAnalysis {
       |JOIN vocab vb ON vb.t = cand.t2
       |WHERE levenshtein(t1, t2) <= 1""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  /** Boilerplate POSITION coverage — the removal-accounting counterpart
+    * to q53's window-pair detection: a window of `w` tokens whose text
+    * recurs in ≥ `minSources` distinct SOURCES is template boilerplate
+    * (cross-source recurrence separates site furniture from legitimate
+    * within-source quotation), and the number a curation pipeline needs
+    * is how much of each document boilerplate REMOVAL would delete.
+    * Window-count ratios (q53's dup_ratio) overstate that: overlapping
+    * duplicated windows double-count tokens. This operator unions the
+    * covered token POSITIONS — each flagged window at start p covers
+    * p..p+w−1; distinct-counting positions gives the exact removable
+    * fraction, reported in integer millis.
+    *
+    * Plan: one scan → in-order window explode (position = posexplode
+    * index, the shingle kernel keeps duplicates) → window-text hash agg
+    * (distinct sources) → equi-join flagged windows back → per-window
+    * position explode (w small, map-side) → per-doc distinct-position
+    * count. At 100 TB the join key becomes the 64-bit shingle hash and
+    * the flagged-window table broadcasts (boilerplate vocabularies are
+    * tiny relative to the corpus — Zipf again).
+    */
+  def boilerplateCoverage(docs: DataFrame, w: Int = 8, minSources: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          srcCol: String = "source"): DataFrame = {
+    val wins = docs.select(col(idCol), col(srcCol),
+      size(tokens(col(textCol))).as("n_tokens"),
+      posexplode_outer(graft.functions.shingleStrings(col(textCol), w))
+        .as(Seq("p", "win")))
+    val boiler = wins.filter(col("win").isNotNull)
+      .groupBy("win")
+      .agg(countDistinct(col(srcCol)).as("ns"))
+      .filter(col("ns") >= minSources)
+      .select("win")
+    val covered = wins
+      .join(boiler, Seq("win"))
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (w - 1))).as("pos"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("pos")).as("n_cov"))
+    docs.select(col(idCol), size(tokens(col(textCol))).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+        when(col("n_tokens") > 0,
+          expr("(1000 * coalesce(n_cov, CAST(0 AS BIGINT))) div n_tokens"))
+          .otherwise(lit(0L)).as("cov_millis"))
+  }
+
+  /** Gated q119: per-document boilerplate coverage over the documents
+    * corpus (8-token windows, ≥3 distinct sources). Integer-exact — the
+    * covered-position count and the millis division have no float path.
+    */
+  def boilerplateCoverageDocs(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCoverage(Tables.documents(spark, dir))
+
+  private val boilerplateCoverageSql = {
+    val w = 8
+    val gram = (0 until w).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents
+       |), ws AS (
+       |  SELECT doc_id, source, toks,
+       |    unnest(generate_series(1, len(toks)-${w - 1})) AS i
+       |  FROM toks
+       |), wins AS (
+       |  SELECT doc_id, source, i - 1 AS p, $gram AS win FROM ws
+       |), boiler AS (
+       |  SELECT win FROM wins GROUP BY win HAVING count(DISTINCT source) >= 3
+       |), cov AS (
+       |  SELECT w.doc_id, count(DISTINCT w.p + o.o) AS n_cov
+       |  FROM wins w JOIN boiler b USING (win),
+       |       (SELECT unnest(range(0, $w)) AS o) o
+       |  GROUP BY 1
+       |)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_cov,
+       |  CAST(CASE WHEN len(t.toks) > 0
+       |       THEN (1000 * coalesce(c.n_cov, 0)) // len(t.toks)
+       |       ELSE 0 END AS BIGINT) AS cov_millis
+       |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin
+  }
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q119_boilerplate_coverage", boilerplateCoverageDocs _,
+      Some(boilerplateCoverageSql)),
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),
     NamedQuery("q96_fuzzy_token_pairs", fuzzyTokenPairs _,
       Some(fuzzyTokenPairsSql)),

@@ -483,4 +483,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops <= 6 && s.singleParts <= 6 && s.shuffles <= 56,
       s"q116 regressed: $s")
   }
+
+  test("q117 PQ-ADC scans codes, broadcasts query LUTs, never a corpus NLJ") {
+    val s = stats("q117_knn_pq_adc")
+    // The only nested loops are the broadcast query-set joins (the q19
+    // convention: LUT rows + re-rank queries, both user-sized). Audited
+    // 4 scans / 4 shuffles / 2 NLJ at sf0.001.
+    assert(s.nestedLoops <= 4, s"q117 corpus-sized join appeared: $s")
+    assert(s.scans <= 8 && s.shuffles <= 8 && s.singleParts == 0,
+      s"q117 regressed: $s")
+  }
+
+  test("q118 covariance stays one scan + one hash aggregation") {
+    val s = stats("q118_embedding_covariance")
+    // Map-side combine collapses each partition to ≤2,080 rows before the
+    // exchange; nothing corpus-sized ever shuffles. Audited 2 scans /
+    // 2 shuffles at sf0.001.
+    assert(s.scans <= 4 && s.shuffles <= 4 && s.nestedLoops == 0 &&
+      s.singleParts == 0, s"q118 regressed: $s")
+  }
+
+  test("q119 boilerplate coverage stays window equi-joins (no pair space)") {
+    val s = stats("q119_boilerplate_coverage")
+    // Windows join the flagged-window table on the window text — never a
+    // doc×doc pair join. Audited 6 scans / 12 shuffles / 0 NLJ at sf0.001.
+    assert(s.nestedLoops == 0, s"q119 regressed to a pair join: $s")
+    assert(s.scans <= 12 && s.shuffles <= 24 && s.singleParts == 0,
+      s"q119 regressed: $s")
+  }
 }

@@ -39,6 +39,10 @@ class AnnExactnessSpec extends SparkSpec {
     dirs.foreach(d => assertSame("q28", d, IvfIndex.ivfKnn(spark, d)))
   }
 
+  test("q117 PQ-ADC ANN equals exact kNN at every harness SF") {
+    dirs.foreach(d => assertSame("q117", d, PqIndex.pqKnn(spark, d)))
+  }
+
   test("q21 gated LSH near-dup recall stays 1.0 at every harness SF") {
     dirs.foreach { d =>
       val corpus = Similarity.plantedTwinCorpus(graft.core.Tables.embeddings(spark, d))
