@@ -351,8 +351,131 @@ object EventAnalytics {
       |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
       |FROM merged""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Sliding-window active users: for every day with activity, the
+    * distinct users over the trailing 7 days (WAU), that day's distinct
+    * users (DAU), and the DAU/WAU stickiness ratio — the canonical
+    * engagement battery, and the canonical "COUNT(DISTINCT) over a
+    * sliding window" problem: distinct counts do NOT decompose over
+    * window frames, so a naive per-day `RANGE` window re-scans 7 days of
+    * raw events per output day.
+    *
+    * Scale shape: events first collapse to distinct (user, day) pairs
+    * (one hash aggregate, the only pass over the corpus). Each user-day
+    * then explodes into the ≤ 7 window-END days it contributes to — a
+    * constant ×7 on the already-collapsed pairs, not on raw events — and
+    * a second hash aggregate counts distinct users per window end. The
+    * calendar of real days is a broadcast semi-join (days-sized). At
+    * 100 TB the same plan holds (user-days ≪ events); the documented
+    * approx path swaps the explode for per-day HLL sketches merged over
+    * a 7-row days-sized window (q31's machinery), trading exactness for
+    * a ×1 pass.
+    *
+    * Exactness: every output is an integer count or an integer-division
+    * ppm ratio — no floats anywhere.
+    */
+  def slidingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = userDays.select("day").distinct()
+    val contrib = userDays.select(col("user_id"),
+      explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
+    val wau = contrib
+      .join(broadcast(days.withColumnRenamed("day", "w_day")), Seq("w_day"), "left_semi")
+      .groupBy("w_day").agg(countDistinct(col("user_id")).as("wau"))
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, dau("day") === wau("w_day"))
+      .select(date_format(dau("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"))
+      .withColumn("stickiness_ppm", expr("CAST(dau * 1000000 DIV wau AS BIGINT)"))
+      .select("day", "dau", "wau", "stickiness_ppm")
+  }
+
+  private val slidingActiveUsersSql =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |wau AS (
+      |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+      |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+      |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day""".stripMargin
+
+  // ---------------------------------------------------------------- q121
+  /** Inter-arrival-time profile per user with a machine-traffic flag —
+    * the standard bot screen for a training-data pipeline ingesting web
+    * events: humans produce heavy-tailed gap distributions; schedulers
+    * and scrapers repeat the SAME gap (a dominant modal gap) over many
+    * events. Emits the exact sufficient statistics (Σgap, Σgap² as
+    * BIGINTs — the q60 float-discipline contract) so downstream scoring
+    * can derive variance/CV without touching the corpus again.
+    *
+    * Ordering: gaps are lags over the TOTAL per-user order
+    * (ts, event_id) — the id tiebreak makes same-timestamp events
+    * deterministic in both engines. Gap unit is whole epoch seconds
+    * (floor-of-epoch difference, identical in Spark `unix_timestamp`
+    * subtraction and DuckDB `date_diff('second', …)`), which also keeps
+    * Σgap² within BIGINT at any realistic horizon (µs gaps would
+    * overflow at a ~3-hour gap).
+    *
+    * Scale shape: one shuffle to user partitions; the lag window, the
+    * per-(user, gap) modal count, and the per-user rollup all reuse that
+    * partitioning. State per user is O(distinct gap values) in the modal
+    * aggregate, never O(events); no global sort, no driver loops.
+    */
+  def interArrivalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_s").isNotNull)
+      .select("user_id", "gap_s")
+    val base = gaps.groupBy("user_id").agg(
+      count(lit(1)).as("n_gaps"),
+      min(col("gap_s")).as("min_gap_s"),
+      max(col("gap_s")).as("max_gap_s"),
+      sum(col("gap_s")).as("sum_gap_s"),
+      sum(col("gap_s") * col("gap_s")).as("sum_gap_sq"))
+    val modal = gaps.groupBy("user_id", "gap_s").agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(max(col("c")).as("modal_gap_n"),
+        count(lit(1)).as("distinct_gaps"))
+    base.join(modal, Seq("user_id"))
+      .withColumn("modal_ppm", expr("CAST(modal_gap_n * 1000000 DIV n_gaps AS BIGINT)"))
+      .withColumn("bot_flag", col("modal_ppm") >= 300000 && col("n_gaps") >= 20)
+      .select("user_id", "n_gaps", "min_gap_s", "max_gap_s", "sum_gap_s",
+        "sum_gap_sq", "distinct_gaps", "modal_gap_n", "modal_ppm", "bot_flag")
+  }
+
+  private val interArrivalProfileSql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    date_diff('second',
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+      |  FROM events
+      |), gg AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL),
+      |base AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |    min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s,
+      |    CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+      |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+      |  FROM gg GROUP BY 1),
+      |modal AS (
+      |  SELECT user_id, max(c) AS modal_gap_n, count(*) AS distinct_gaps
+      |  FROM (SELECT user_id, gap_s, count(*) AS c FROM gg GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT b.user_id, n_gaps, min_gap_s, max_gap_s, sum_gap_s, sum_gap_sq,
+      |  distinct_gaps, modal_gap_n,
+      |  CAST(modal_gap_n * 1000000 // n_gaps AS BIGINT) AS modal_ppm,
+      |  (modal_gap_n * 1000000 // n_gaps >= 300000 AND n_gaps >= 20) AS bot_flag
+      |FROM base b JOIN modal m ON m.user_id = b.user_id""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q60_daily_anomalies", dailyAnomalies _, Some(dailyAnomaliesSql)),
+    NamedQuery("q120_sliding_wau", slidingActiveUsers _, Some(slidingActiveUsersSql)),
+    NamedQuery("q121_interarrival_bots", interArrivalProfile _,
+      Some(interArrivalProfileSql)),
     NamedQuery("q61_conversion_funnel", conversionFunnel _, Some(conversionFunnelSql)),
     NamedQuery("q62_retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
     NamedQuery("q85_click_chains", clickChains _, Some(clickChainsSql)),

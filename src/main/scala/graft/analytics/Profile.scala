@@ -419,8 +419,176 @@ object Profile {
       "SELECT count(*) FROM documents WHERE n_chars <> length(text)"))
     .mkString("", "\nUNION ALL\n", "")
 
+  // --------------------------------------------------------------- q122
+  /** Join-cardinality forecast — predict a join's output size and skew
+    * WITHOUT executing it, from the per-key degree tables alone: for
+    * each key, the join emits n_left × n_right rows, so the exact output
+    * size is Σₖ nₗ(k)·nᵣ(k). At 100 TB this is the difference between
+    * "the self-join is 10⁹ rows" and "the self-join is 10¹⁵ rows —
+    * re-plan"; every pair-generation operator in this engine (LSH band
+    * joins, blocking joins) is sized by exactly this sum.
+    *
+    * Output is a digit-magnitude histogram (keys bucketed by the decimal
+    * digit count of their pair contribution — `length(CAST(n AS
+    * STRING))`, pure integer/string ops, engine-identical) per forecast,
+    * so one glance shows whether the total is spread over many small
+    * keys or concentrated in a few mega-keys that need salting
+    * (warehouse.Skew). Keys present on one side only land in the
+    * pair_digits = 0 row: they forecast anti-join/miss volume.
+    *
+    * Scale shape: two hash aggregations to degree tables (keys-sized),
+    * one keys-sized outer join between them, one digits-sized rollup.
+    * The forecast never materializes a single joined row — that is the
+    * entire point.
+    */
+  def joinCardinalityForecast(left: DataFrame, leftKey: String,
+                              right: DataFrame, rightKey: String,
+                              label: String): DataFrame = {
+    val dl = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("nl"))
+    val dr = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("nr"))
+    dl.join(dr, Seq("k"), "full_outer")
+      .select(coalesce(col("nl"), lit(0L)).as("nl"),
+        coalesce(col("nr"), lit(0L)).as("nr"))
+      .withColumn("pairs", col("nl") * col("nr"))
+      .groupBy(when(col("pairs") === 0, lit(0))
+        .otherwise(length(col("pairs").cast("string"))).cast("int").as("pair_digits"))
+      .agg(count(lit(1)).as("n_keys"), sum("pairs").as("pairs_total"),
+        sum("nl").as("lhs_rows"), sum("nr").as("rhs_rows"))
+      .select(lit(label).as("join_name"), col("pair_digits"), col("n_keys"),
+        col("pairs_total"), col("lhs_rows"), col("rhs_rows"))
+  }
+
+  /** Gated face: the FK join orders⋈lineitem (bounded fan-out — every
+    * bucket small) next to the lineitem self-join on l_suppkey (the
+    * classic quadratic-blowup shape LSH-style pair generation hits).
+    */
+  def joinForecasts(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    joinCardinalityForecast(orders, "o_orderkey", lineitem, "l_orderkey",
+        "orders_lineitem")
+      .unionByName(joinCardinalityForecast(lineitem, "l_suppkey",
+        lineitem, "l_suppkey", "lineitem_self_supp"))
+  }
+
+  private val joinForecastsSql =
+    """WITH dl1 AS (SELECT o_orderkey AS k, count(*) AS nl FROM orders GROUP BY 1),
+      |dr1 AS (SELECT l_orderkey AS k, count(*) AS nr FROM lineitem GROUP BY 1),
+      |j1 AS (
+      |  SELECT coalesce(nl, 0) AS nl, coalesce(nr, 0) AS nr,
+      |    coalesce(nl, 0) * coalesce(nr, 0) AS pairs
+      |  FROM dl1 FULL JOIN dr1 ON dl1.k = dr1.k),
+      |d2 AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+      |j2 AS (SELECT n AS nl, n AS nr, n * n AS pairs FROM d2),
+      |u AS (
+      |  SELECT 'orders_lineitem' AS join_name, nl, nr, pairs FROM j1
+      |  UNION ALL
+      |  SELECT 'lineitem_self_supp' AS join_name, nl, nr, pairs FROM j2)
+      |SELECT join_name,
+      |  CAST(CASE WHEN pairs = 0 THEN 0
+      |            ELSE length(CAST(pairs AS VARCHAR)) END AS INTEGER) AS pair_digits,
+      |  count(*) AS n_keys,
+      |  CAST(sum(pairs) AS BIGINT) AS pairs_total,
+      |  CAST(sum(nl) AS BIGINT) AS lhs_rows,
+      |  CAST(sum(nr) AS BIGINT) AS rhs_rows
+      |FROM u GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q123
+  /** Storage-layout advisor — the decision input for choosing a table's
+    * sort/cluster key (the question warehouse.ZOrder answers the 2-D
+    * version of): per candidate column, how run-length-compressible is
+    * it under the CURRENT clustering (orderkey, linenumber), and how
+    * much would dedicating the sort order to it help? `runs_clustered`
+    * counts the value-change segments the encoder actually sees;
+    * `runs_if_sorted` is its floor (= distinct values); the ppm gain is
+    * the segment reduction a re-sort would buy. A column already riding
+    * the clustering (few long runs) needs nothing; a high-cardinality
+    * shuffled column (runs ≈ rows) is a z-order/sort candidate.
+    *
+    * Runs are counted WITHIN each orderkey partition (each order opens a
+    * fresh run: Σ_orders (1 + changes)) — so the window is partitioned
+    * by l_orderkey and NO global sort exists in the plan; this matches
+    * how row groups see locally-clustered data and is the 100 TB-legal
+    * formulation (a global row_number would single-partition the scan).
+    * All six columns' change flags ride ONE window pass, and the rollup
+    * is a single aggregate — one scan, one key-shuffle total. The exact
+    * multi-column count-distinct is Spark's expand strategy (×7 rows in
+    * the aggregate, still one scan); at 100 TB swap the exact distincts
+    * for approx_count_distinct and the plan shape is unchanged.
+    */
+  def layoutAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipday", "l_partkey",
+      "l_suppkey", "l_quantity")
+    // (orderkey, linenumber) is NOT unique in the harness data, so the
+    // within-order sort tiebreaks on every compared column: rows still
+    // tied are then identical in all compared columns, making the run
+    // count invariant to their relative order in both engines.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber") +: cols.map(col): _*)
+    val base = Tables.lineitem(spark, dir)
+      .withColumn("l_shipday", to_date(col("l_shipdate")))
+    val flagged = cols.foldLeft(base) { (df, c) =>
+      val prev = lag(col(c), 1).over(w)
+      df.withColumn(s"__chg_$c",
+        when(prev.isNull, lit(0L)).otherwise(when(col(c) =!= prev, lit(1L)).otherwise(lit(0L))))
+    }
+    val aggCols = count(lit(1)).as("n_rows") +:
+      countDistinct(col("l_orderkey")).as("n_orders") +:
+      cols.flatMap(c => Seq(
+        sum(col(s"__chg_$c")).as(s"__sum_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")))
+    val agg = flagged.agg(aggCols.head, aggCols.tail: _*)
+    cols.map { c =>
+      agg.select(lit(c).as("column_name"), col("n_rows"),
+        col(s"__nd_$c").as("n_distinct"),
+        (col("n_orders") + col(s"__sum_$c")).as("runs_clustered"))
+    }.reduce(_.unionByName(_))
+      .withColumn("avg_run_len_x1000",
+        expr("CAST(n_rows * 1000 DIV runs_clustered AS BIGINT)"))
+      .withColumn("resort_gain_ppm",
+        expr("CAST((runs_clustered - n_distinct) * 1000000 DIV runs_clustered AS BIGINT)"))
+  }
+
+  private val layoutAdvisorSql = {
+    val cols = Seq("l_returnflag" -> "l_returnflag",
+      "l_linestatus" -> "l_linestatus", "l_shipday" -> "CAST(l_shipdate AS DATE)",
+      "l_partkey" -> "l_partkey", "l_suppkey" -> "l_suppkey",
+      "l_quantity" -> "l_quantity")
+    val flags = cols.map { case (n, e) =>
+      s"""    CASE WHEN lag($e) OVER w IS NULL THEN 0
+         |         WHEN $e <> lag($e) OVER w THEN 1 ELSE 0 END AS chg_$n""".stripMargin
+    }.mkString(",\n")
+    val aggs = cols.map { case (n, e) =>
+      s"    CAST(sum(chg_$n) AS BIGINT) AS sum_$n, count(DISTINCT $e) AS nd_$n"
+    }.mkString(",\n")
+    val rows = cols.map { case (n, _) =>
+      s"""SELECT '$n' AS column_name, n_rows, nd_$n AS n_distinct,
+         |  n_orders + sum_$n AS runs_clustered FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+       |  SELECT *,
+       |$flags
+       |  FROM lineitem
+       |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber,
+       |    l_returnflag, l_linestatus, CAST(l_shipdate AS DATE), l_partkey,
+       |    l_suppkey, l_quantity)
+       |), agg AS (
+       |  SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+       |$aggs
+       |  FROM f
+       |), long AS ($rows)
+       |SELECT column_name, n_rows, n_distinct, runs_clustered,
+       |  CAST(n_rows * 1000 // runs_clustered AS BIGINT) AS avg_run_len_x1000,
+       |  CAST((runs_clustered - n_distinct) * 1000000 // runs_clustered AS BIGINT)
+       |    AS resort_gain_ppm
+       |FROM long""".stripMargin
+  }
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q72_profile_lineitem", profileLineitem _, Some(profileLineitemSql)),
+    NamedQuery("q122_join_cardinality", joinForecasts _, Some(joinForecastsSql)),
+    NamedQuery("q123_layout_advisor", layoutAdvisor _, Some(layoutAdvisorSql)),
     NamedQuery("q92_benford_audit", benfordAudit _, Some(benfordAuditSql)),
     NamedQuery("q101_key_skew", keySkewProfile _, Some(keySkewProfileSql)),
     NamedQuery("q110_expectations_audit", starSchemaExpectations _,
