@@ -364,8 +364,9 @@ object EventAnalytics {
     * (one hash aggregate, the only pass over the corpus). Each user-day
     * then explodes into the ≤ 7 window-END days it contributes to — a
     * constant ×7 on the already-collapsed pairs, not on raw events — and
-    * a second hash aggregate counts distinct users per window end. The
-    * calendar of real days is a broadcast semi-join (days-sized). At
+    * a second hash aggregate counts distinct users per window end, with
+    * DAU riding the same aggregate as a conditional distinct (days with
+    * no own activity drop out via dau > 0, so no calendar join). At
     * 100 TB the same plan holds (user-days ≪ events); the documented
     * approx path swaps the explode for per-day HLL sketches merged over
     * a 7-row days-sized window (q31's machinery), trading exactness for
@@ -375,19 +376,21 @@ object EventAnalytics {
     * ppm ratio — no floats anywhere.
     */
   def slidingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
-    val userDays = Tables.events(spark, dir)
+    // ONE linear cascade — a single corpus scan: collapse to user-days,
+    // explode each into its ≤7 window-end days tagged with whether it IS
+    // that day, then one aggregate computes DAU and WAU together. Days
+    // with no activity of their own fall out via dau > 0, so no calendar
+    // join exists in the plan at all.
+    Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-    val days = userDays.select("day").distinct()
-    val contrib = userDays.select(col("user_id"),
-      explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
-    val wau = contrib
-      .join(broadcast(days.withColumnRenamed("day", "w_day")), Seq("w_day"), "left_semi")
-      .groupBy("w_day").agg(countDistinct(col("user_id")).as("wau"))
-    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
-    dau.join(wau, dau("day") === wau("w_day"))
-      .select(date_format(dau("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"))
+      .select(col("user_id"), col("day"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
+      .groupBy("w_day")
+      .agg(countDistinct(when(col("day") === col("w_day"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+      .filter(col("dau") > 0)
+      .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"))
       .withColumn("stickiness_ppm", expr("CAST(dau * 1000000 DIV wau AS BIGINT)"))
-      .select("day", "dau", "wau", "stickiness_ppm")
   }
 
   private val slidingActiveUsersSql =

@@ -539,11 +539,14 @@ object Profile {
         sum(col(s"__chg_$c")).as(s"__sum_$c"),
         countDistinct(col(c)).as(s"__nd_$c")))
     val agg = flagged.agg(aggCols.head, aggCols.tail: _*)
-    cols.map { c =>
-      agg.select(lit(c).as("column_name"), col("n_rows"),
+    // Pivot to long form INSIDE the one plan (explode of a 6-struct
+    // array over the single aggregate row) — a per-column union of
+    // selects would re-execute the corpus aggregate once per column.
+    agg.select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
         col(s"__nd_$c").as("n_distinct"),
-        (col("n_orders") + col(s"__sum_$c")).as("runs_clustered"))
-    }.reduce(_.unionByName(_))
+        (col("n_orders") + col(s"__sum_$c")).as("runs_clustered"))): _*)).as("r"))
+      .select("r.*")
       .withColumn("avg_run_len_x1000",
         expr("CAST(n_rows * 1000 DIV runs_clustered AS BIGINT)"))
       .withColumn("resort_gain_ppm",

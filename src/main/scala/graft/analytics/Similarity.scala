@@ -575,8 +575,70 @@ object Similarity {
       |    i -> abs(v[i] - dq[i]))), 9) AS max_err
       |FROM d""".stripMargin
 
+  // --------------------------------------------------------------- q125
+  /** Hard-negative mining — for each query vector, the top-k most
+    * similar candidates that are NOT near-duplicates (cosine below the
+    * dup ceiling, self excluded). The third leg of the embedding-
+    * training data loop next to kNN (positives) and near-dup removal
+    * (leakage): contrastive objectives need the closest non-duplicate
+    * neighbors as negatives, and mining them is exactly "kNN with a
+    * similarity ceiling".
+    *
+    * Scale shape: identical to [[bruteForceKnn]] — broadcast query set,
+    * per-partition scoring, partial top-k per query — with the ceiling
+    * applied before ranking, so the dup band never enters the window.
+    * At 100 TB the candidate generation swaps to the IVF/LSH paths
+    * (q20/q28) and this post-filter composes unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dupCeiling: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol)))
+      .filter(col("score") < dupCeiling)
+    topK(scored, k, idCol)
+  }
+
+  /** Gated face over [[plantedKnnCorpus]]: every query's planted twins
+    * sit at cosine ≈ 0.992–0.996 and its true non-dup neighbors at
+    * ≤ ≈ 0.48, so the 0.9 ceiling is in the middle of a ~0.5 margin —
+    * no boundary row exists for cross-engine float noise to flip, and
+    * the output is exactly "q19-shape kNN with the twins excised",
+    * which DuckDB recomputes exactly.
+    */
+  def knnHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedKnnCorpus(Tables.embeddings(spark, dir))
+    hardNegatives(corpus, corpus.filter(col("vec_id") < 10), k = 5,
+      dupCeiling = 0.9)
+  }
+
+  private val hardNegativesSql =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      |), corpus AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT 100000 + b.vec_id * 10 + t.t AS vec_id,
+      |         list_transform(b.embedding,
+      |           (x, i) -> x + ((b.vec_id * 31 + t.t * 7 + i - 1) % 97 - 48) / 2000.0) AS embedding
+      |  FROM base b, (SELECT unnest(range(0, 5)) AS t) t
+      |  WHERE b.vec_id < 10
+      |)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  row_number() OVER (PARTITION BY q.vec_id
+      |                     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank,
+      |  round(list_cosine_similarity(q.embedding, c.embedding), 4) AS score_r
+      |FROM corpus q JOIN corpus c
+      |  ON c.vec_id <> q.vec_id
+      |  AND list_cosine_similarity(q.embedding, c.embedding) < 0.9
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q19_knn_brute", knnBrute _, Some(knnBruteSql)),
+    NamedQuery("q125_hard_negatives", knnHardNegatives _, Some(hardNegativesSql)),
     NamedQuery("q20_knn_ann", knnAnn _, Some(plantedKnnSql)),
     NamedQuery("q21_embedding_neardups", embNearDups _, Some(embNearDupsSql)),
     NamedQuery("q44_quantization_fidelity", quantizationFidelity _,

@@ -1152,5 +1152,78 @@ object TextAnalysis {
       Some(sourceDiversitySql)),
     NamedQuery("q113_skipgram_pairs", (s, d) => skipgramPairs(s, d),
       Some(skipgramPairsSql)),
-    NamedQuery("q90_nfc_clean", nfcCleanAudit _, Some(nfcCleanAuditSql)))
+    NamedQuery("q90_nfc_clean", nfcCleanAudit _, Some(nfcCleanAuditSql)),
+    // shingleNoveltySql is a lazy val: this Seq sits above the q124
+    // definitions, and an eager val would capture null during object
+    // init (object vals initialize in declaration order).
+    NamedQuery("q124_ngram_novelty", shingleNovelty _, Some(shingleNoveltySql)))
+
+  // --------------------------------------------------------------- q124
+  /** Per-document n-gram novelty — what fraction of a doc's word
+    * 3-gram shingles appear for the FIRST time (by doc_id order) in
+    * this doc. The curation signal between exact dedup and near-dup
+    * clustering: a low-novelty doc is mostly recombined existing text
+    * (template spam, scraped aggregations) even when no single pair
+    * crosses a Jaccard threshold — the standard "contribution to corpus
+    * diversity" score for training-data selection.
+    *
+    * Scale shape: one shingle explode (corpus-linear), a min-aggregate
+    * keyed by shingle (first occurrence), and two doc-keyed count
+    * aggregates — three hash shuffles, no joins against the corpus, no
+    * pair generation at all (novelty is a property of the shingle→
+    * first-doc map, not of doc pairs). At 100 TB swap the string grams
+    * for [[Dedup.shingleHashSet]]'s 64-bit hashes (novelty over hashes
+    * equals novelty over grams modulo ~1e-11 collisions) so the shuffle
+    * carries 8-byte keys; the gated face keeps strings so DuckDB
+    * reproduces the exact gram space (the q17 oracle contract).
+    *
+    * Docs with zero shingles (< 3 tokens) have no defined novelty and
+    * are absent, in both engines, by the same explode-drops-empty rule.
+    */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val n = Dedup.ShingleN
+    val gram = (0 until n).map(o => s"toks[i-1+$o]").mkString(", ")
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= n,
+        expr(s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', $gram)))"))
+        .otherwise(array().cast("array<string>"))).as("s"))
+    val novel = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id")).agg(count(lit(1)).as("n_novel"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("CAST(n_novel * 1000000 DIV n_shingles AS BIGINT)"))
+  }
+
+  private lazy val shingleNoveltySql = {
+    val n = Dedup.ShingleN
+    val gram = (0 until n).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0) AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= $n THEN
+       |    list_distinct(list_transform(generate_series(1, len(toks)-${n - 1}),
+       |      i -> $gram))
+       |    ELSE []::VARCHAR[] END AS ws
+       |  FROM toks
+       |), sh_ex AS (
+       |  SELECT doc_id, unnest(ws) AS s FROM sh
+       |), novel AS (
+       |  SELECT first_doc AS doc_id, count(*) AS n_novel
+       |  FROM (SELECT s, min(doc_id) AS first_doc FROM sh_ex GROUP BY 1)
+       |  GROUP BY 1
+       |), totals AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM sh_ex GROUP BY 1
+       |)
+       |SELECT t.doc_id, t.n_shingles,
+       |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CAST(coalesce(n.n_novel, 0) * 1000000 // t.n_shingles AS BIGINT)
+       |    AS novelty_ppm
+       |FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id""".stripMargin
+  }
 }

@@ -511,4 +511,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 12 && s.shuffles <= 24 && s.singleParts == 0,
       s"q119 regressed: $s")
   }
+
+  test("q120 sliding WAU stays one scan + linear aggregates (no calendar join)") {
+    val s = stats("q120_sliding_wau")
+    // Audited 2 scans / 6 shuffles at sf0.001: distinct user-days,
+    // explode, one dual-distinct aggregate; no join anywhere.
+    assert(s.scans <= 4 && s.shuffles <= 12 && s.nestedLoops == 0 &&
+      s.smj == 0 && s.singleParts == 0, s"q120 regressed: $s")
+  }
+
+  test("q121 gap profile reuses one user partitioning, no global sort") {
+    val s = stats("q121_interarrival_bots")
+    // Audited 3 scans / 6 shuffles at sf0.001: lag window + two rollups,
+    // all keyed by user_id.
+    assert(s.scans <= 6 && s.shuffles <= 12 && s.nestedLoops == 0 &&
+      s.singleParts == 0, s"q121 regressed: $s")
+  }
+
+  test("q122 join forecast never materializes a joined row") {
+    val s = stats("q122_join_cardinality")
+    // Degree tables meet in keys-sized SMJ/hash joins; audited 7 scans /
+    // 12 shuffles / 4 SMJ at sf0.001. The forecast must stay free of
+    // corpus-sized joins: no nested loops, no single-partition funnels.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q122 regressed: $s")
+    assert(s.scans <= 10 && s.shuffles <= 24, s"q122 regressed: $s")
+  }
+
+  test("q123 layout advisor is one corpus aggregate, pivoted in-plan") {
+    val s = stats("q123_layout_advisor")
+    // Audited 2 scans / 6 shuffles / 2 single-partition exchanges at
+    // sf0.001 — the singleParts are the global one-row aggregate itself
+    // (inherent and 1-row-sized), NOT a corpus funnel.
+    assert(s.scans <= 4 && s.shuffles <= 12 && s.nestedLoops == 0,
+      s"q123 regressed: $s")
+    assert(s.singleParts <= 4, s"q123 must not re-execute per column: $s")
+  }
+
+  test("q124 novelty is explode + keyed aggregates, never a pair join") {
+    val s = stats("q124_ngram_novelty")
+    // Audited 4 scans / 8 shuffles at sf0.001. Novelty is a property of
+    // the shingle->first-doc map: no doc-pair space may appear.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q124 regressed: $s")
+    assert(s.scans <= 8 && s.shuffles <= 16, s"q124 regressed: $s")
+  }
+
+  test("q125 hard negatives stays a broadcast query-set scoring pass") {
+    val s = stats("q125_hard_negatives")
+    // The =!= self-exclusion makes the broadcast join a BNLJ by
+    // construction (same audited shape as q19: one-row/query-set
+    // broadcast, corpus streamed once per side of the planted union).
+    assert(s.nestedLoops <= 2 && s.smj == 0, s"q125 regressed: $s")
+    assert(s.scans <= 8 && s.shuffles <= 8 && s.singleParts == 0,
+      s"q125 regressed: $s")
+  }
 }

@@ -143,4 +143,46 @@ class EventAnalyticsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q120 sliding WAU: explode formulation equals a direct range recount") {
+    val out = EventAnalytics.slidingActiveUsers(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    assert(out.nonEmpty)
+    // Independent recount: distinct users whose day lands in [d-6, d].
+    val ud = graft.core.Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = ud.map(_._1).distinct
+    for (d <- days) {
+      val expectWau = ud.filter { case (ud1, _) =>
+        !ud1.isAfter(d) && !ud1.isBefore(d.minusDays(6)) }.map(_._2).distinct.length
+      val expectDau = ud.filter(_._1 == d).map(_._2).distinct.length
+      val (dau, wau) = out(d.toString)
+      assert(dau == expectDau && wau == expectWau, s"day $d")
+      assert(dau <= wau)
+    }
+  }
+
+  test("q121 gap profile: one user's statistics recomputed directly") {
+    val rows = EventAnalytics.interArrivalProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("min_gap_s") <= r.getAs[Long]("max_gap_s"))
+      assert(r.getAs[Long]("modal_gap_n") <= r.getAs[Long]("n_gaps"))
+      assert(r.getAs[Long]("distinct_gaps") <= r.getAs[Long]("n_gaps"))
+    }
+    val u = rows.head.getAs[Long]("user_id")
+    val ts = graft.core.Tables.events(spark, dir)
+      .filter(col("user_id") === u)
+      .orderBy("ts", "event_id")
+      .select((col("ts").cast("long")).as("s")).collect().map(_.getLong(0))
+    val gaps = ts.sliding(2).map(p => p(1) - p(0)).toSeq
+    val r = rows.find(_.getAs[Long]("user_id") == u).get
+    assert(r.getAs[Long]("n_gaps") == gaps.length)
+    assert(r.getAs[Long]("sum_gap_s") == gaps.sum)
+    assert(r.getAs[Long]("sum_gap_sq") == gaps.map(g => g * g).sum)
+    assert(r.getAs[Long]("modal_gap_n") ==
+      gaps.groupBy(identity).values.map(_.size).max)
+  }
 }

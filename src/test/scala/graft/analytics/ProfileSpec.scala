@@ -151,4 +151,50 @@ class ProfileSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("pass")))
     assert(out.forall(_.getAs[Long]("violations") == 0L))
   }
+
+  test("q122 join forecast equals the measured join size") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Profile.joinForecasts(spark, dir).collect()
+    val forecast = out.filter(_.getString(0) == "orders_lineitem")
+      .map(_.getAs[Long]("pairs_total")).sum
+    val measured = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(forecast == measured, s"forecast $forecast vs measured $measured")
+    val self = out.filter(_.getString(0) == "lineitem_self_supp")
+      .map(_.getAs[Long]("pairs_total")).sum
+    val measuredSelf = {
+      val l = graft.core.Tables.lineitem(spark, dir).select("l_suppkey")
+      l.join(l.withColumnRenamed("l_suppkey", "r"),
+        col("l_suppkey") === col("r")).count()
+    }
+    assert(self == measuredSelf)
+  }
+
+  test("q123 layout advisor: runs floor at n_distinct; returnflag recount agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Profile.layoutAdvisor(spark, dir).collect()
+    assert(out.length == 6)
+    for (r <- out) {
+      assert(r.getAs[Long]("runs_clustered") >= r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("runs_clustered") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("resort_gain_ppm") >= 0)
+    }
+    // Independent recount of l_returnflag runs: per order, sort lines by
+    // the same total tiebreak order and count change boundaries.
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), to_date(col("l_shipdate")).as("sd"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2), r.getString(3),
+        r.getDate(4).toString, r.getLong(5), r.getLong(6), r.getDouble(7))))
+    val runs = li.groupBy(_._1).values.map { lines =>
+      val flags = lines.map(_._2).sortBy(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7))
+        .map(_._2)
+      1 + flags.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    }.sum
+    val rf = out.find(_.getString(0) == "l_returnflag").get
+    assert(rf.getAs[Long]("runs_clustered") == runs)
+  }
 }

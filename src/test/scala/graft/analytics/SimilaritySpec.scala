@@ -196,4 +196,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L)._1 == 1.0, out(2L).toString)
     assert(out(2L)._2 == 0.0, out(2L).toString)
   }
+
+  test("q125 hard negatives: twins excised, ranks dense, ceiling respected") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.knnHardNegatives(spark, dir).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    for ((q, rows) <- byQuery) {
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      for (r <- rows) {
+        val n = r.getAs[Long]("neighbor_id")
+        assert(r.getAs[Double]("score_r") < 0.9)
+        assert(!(n >= 100000L + q * 10 && n < 100000L + q * 10 + 5),
+          s"own twin $n leaked into query $q's negatives")
+      }
+    }
+    // The negatives are the natural-corpus kNN: q19's brute-force top-5
+    // restricted to the same ceiling must agree on the neighbor sets.
+    val brute = Similarity.bruteForceKnn(
+      graft.core.Tables.embeddings(spark, dir).withColumn("embedding",
+        col("embedding").cast("array<double>")),
+      graft.core.Tables.embeddings(spark, dir).withColumn("embedding",
+        col("embedding").cast("array<double>")).filter(col("vec_id") < 10), k = 5)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    for ((q, rows) <- byQuery) {
+      val expected = brute(q).map(_.getAs[Long]("neighbor_id")).toSet
+      val got = rows.map(_.getAs[Long]("neighbor_id")).toSet
+      // Twins of OTHER queries may legitimately enter if they beat the
+      // natural neighbors; on this corpus they do not (cos ≈ natural).
+      assert(got == expected, s"query $q: $got vs brute $expected")
+    }
+  }
 }

@@ -252,4 +252,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("s1", "s3"))._2 == out(("s2", "s3"))._2,
       "identical sources diverge identically from a third")
   }
+
+  test("q124 novelty: first doc is all-novel and novel counts tile the gram space") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.shingleNovelty(spark, dir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("novelty_ppm") <= 1000000L)
+    }
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // The smallest doc_id cannot have seen any earlier shingle.
+    val first = byId(byId.keySet.min)
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L)
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_shingles"))
+    // Every distinct shingle in the corpus is novel in exactly one doc.
+    val distinctShingles = graft.core.Tables.documents(spark, dir)
+      .select(explode(graft.analytics.Dedup.shingleHashSet(col("text"))).as("h"))
+      .agg(countDistinct(col("h"))).collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_novel")).sum == distinctShingles,
+      "sum of per-doc novel counts == corpus distinct shingle count " +
+        "(string grams and 64-bit hash grams agree at this density)")
+  }
 }
