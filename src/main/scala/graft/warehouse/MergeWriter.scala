@@ -159,8 +159,23 @@ object MergeWriter {
       }
     }
 
+  /** [[TimeTravel]]'s entry points: the same table lock + optional lease
+    * discipline as [[merge]], exposed so the versioned wrapper can hold
+    * ONE critical section around its version-counter bump and the merge.
+    */
+  private[warehouse] def withTableLock[T](spark: SparkSession, tablePath: String,
+                                          lease: Boolean)(body: => T): T =
+    lockFor(tablePath).synchronized(withLease(spark, tablePath, lease)(body))
+
+  /** Unlocked merge with bucket archiving — callers hold [[withTableLock]]. */
+  private[warehouse] def mergeArchiving(spark: SparkSession, tablePath: String,
+                                        batch: DataFrame, key: String, numBuckets: Int,
+                                        archiveTo: Option[Path]): Long =
+    mergeImpl(spark, tablePath, batch, key, numBuckets, archiveTo)
+
   private def mergeImpl(spark: SparkSession, tablePath: String, batch: DataFrame,
-                        key: String, numBuckets: Int): Long = {
+                        key: String, numBuckets: Int,
+                        archiveTo: Option[Path] = None): Long = {
     if (!batch.columns.contains(key)) {
       // Keep the original contract: an empty batch is a successful no-op
       // even when it lacks the key column (zero-row incremental slices of
@@ -215,7 +230,7 @@ object MergeWriter {
       // Stage, then swap only the affected bucket dirs.
       val staging = stagingPath(tablePath)
       merged.write.mode("overwrite").partitionBy(BucketCol).parquet(staging)
-      swapBuckets(spark, tablePath, staging, affected)
+      swapBuckets(spark, tablePath, staging, affected, archiveTo)
       batchCount
     } finally bucketed.unpersist()
   }
@@ -225,21 +240,39 @@ object MergeWriter {
     new Path(p.getParent, s".staging_${p.getName}").toString
   }
 
+  /** With `archiveTo` set ([[TimeTravel]]), a replaced bucket's previous
+    * content moves into the archive dir instead of being dropped, and a
+    * bucket born in this merge (no previous live dir) leaves an
+    * absent-marker so version reconstruction knows it did not exist
+    * before. The crash discipline is unchanged: live → .bak,
+    * staging → live, then .bak is archived-or-deleted — a crash still
+    * leaves either the old or the new bucket plus a recoverable .bak.
+    */
   private def swapBuckets(spark: SparkSession, tablePath: String, staging: String,
-                          buckets: Seq[Int]): Unit = {
+                          buckets: Seq[Int], archiveTo: Option[Path] = None): Unit = {
     val hfs = fs(spark, tablePath)
+    archiveTo.foreach(hfs.mkdirs(_))
     buckets.foreach { b =>
       val live = new Path(tablePath, s"$BucketCol=$b")
       val stag = new Path(staging, s"$BucketCol=$b")
       val bak = new Path(tablePath, s".bak_$BucketCol=$b")
       if (hfs.exists(bak)) hfs.delete(bak, true)
-      if (hfs.exists(live)) {
+      val hadLive = hfs.exists(live)
+      if (hadLive) {
         if (!hfs.rename(live, bak)) sys.error(s"backup rename failed for bucket $b")
       }
       if (hfs.exists(stag)) {
         if (!hfs.rename(stag, live)) sys.error(s"staging rename failed for bucket $b")
       }
-      hfs.delete(bak, true)
+      archiveTo match {
+        case Some(arch) if hadLive =>
+          if (!hfs.rename(bak, new Path(arch, s"$BucketCol=$b")))
+            sys.error(s"archive rename failed for bucket $b")
+        case Some(arch) =>
+          val marker = hfs.create(new Path(arch, s".absent_$BucketCol=$b"), true)
+          marker.close()
+        case None => hfs.delete(bak, true)
+      }
     }
     hfs.delete(new Path(staging), true)
   }
