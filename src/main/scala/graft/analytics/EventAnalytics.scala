@@ -474,8 +474,81 @@ object EventAnalytics {
       |  (modal_gap_n * 1000000 // n_gaps >= 300000 AND n_gaps >= 20) AS bot_flag
       |FROM base b JOIN modal m ON m.user_id = b.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  /** Touch attribution — for every purchase, whether (and how recently) a
+    * click/view preceded it within the 7-day attribution window, rolled
+    * up per purchase day: last-touch click attribution plus view-assist
+    * coverage, with attributed revenue in integer cents. The missing
+    * member of the event battery next to the funnel (q61: did the
+    * ordered stages ever happen), retention (q62) and chains (q85):
+    * attribution asks WHICH prior touch gets credit for each conversion
+    * under a bounded lookback.
+    *
+    * Scale shape: the q23/q84 log-merge discipline — one shuffle to user
+    * partitions, then running `max(CASE type)` windows over the merged
+    * event log compute each purchase's most recent prior click and view
+    * in the same sort; the day rollup is a days-sized aggregate. No
+    * self-join of events against events, no range join, nothing
+    * quadratic — the window IS the as-of join.
+    *
+    * Exactness: timestamps compare in whole microseconds, the window
+    * test is integer epoch arithmetic, revenue is integer cents, and the
+    * per-user order is total via the (ts, event_id) tiebreak.
+    */
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val horizonUs = 7L * 24 * 3600 * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+    ev.withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (col("last_click_us") >= col("us") - horizonUs).as("click_attr"),
+        (col("last_view_us") >= col("us") - horizonUs).as("view_assist"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("click_attr"), 1L).otherwise(0L)).as("n_click_attributed"),
+        sum(when(col("view_assist"), 1L).otherwise(0L)).as("n_view_assisted"),
+        sum(when(col("click_attr"), col("cents")).otherwise(0L))
+          .as("attributed_cents"),
+        sum(col("cents")).as("total_cents"))
+  }
+
+  private val touchAttributionSql =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    epoch_us(ts) AS us,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER w AS last_click_us,
+      |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER w AS last_view_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), p AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |    coalesce(last_click_us >= us - 604800000000, false) AS click_attr,
+      |    coalesce(last_view_us >= us - 604800000000, false) AS view_assist,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT day, count(*) AS n_purchases,
+      |  CAST(sum(CASE WHEN click_attr THEN 1 ELSE 0 END) AS BIGINT) AS n_click_attributed,
+      |  CAST(sum(CASE WHEN view_assist THEN 1 ELSE 0 END) AS BIGINT) AS n_view_assisted,
+      |  CAST(sum(CASE WHEN click_attr THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM p GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q60_daily_anomalies", dailyAnomalies _, Some(dailyAnomaliesSql)),
+    NamedQuery("q126_touch_attribution", touchAttribution _,
+      Some(touchAttributionSql)),
     NamedQuery("q120_sliding_wau", slidingActiveUsers _, Some(slidingActiveUsersSql)),
     NamedQuery("q121_interarrival_bots", interArrivalProfile _,
       Some(interArrivalProfileSql)),

@@ -459,9 +459,62 @@ object TimeSeries {
       |  END AS r
       |FROM sums""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** Weekday seasonality profile — the per-ISO-weekday decomposition of
+    * order volume and revenue, with each day's deviation from a flat
+    * week as an integer ×1000 seasonality index (1000 = no effect).
+    * The calendar-shape complement to q60's outlier days and q78's
+    * moving windows: q60 asks "is this day abnormal vs all days"; this
+    * asks "what does a NORMAL Monday look like", which is the baseline
+    * every anomaly/forecast consumer actually wants to subtract.
+    *
+    * Scale shape: one scan, one 7-group hash aggregate; the week-total
+    * denominators ride a partition-less window over the 7-row result
+    * (the q60 days-sized-window discipline — a second corpus pass for a
+    * stats subquery would be the wrong shape).
+    *
+    * Exactness: revenue in integer cents, shares and indices as integer
+    * divisions; weekday is Spark `weekday()+1` ≡ DuckDB `isodow`
+    * (Monday = 1) — both pure calendar integer functions.
+    */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy((weekday(col("o_orderdate")) + 1).as("isodow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .select(col("isodow").cast("int").as("isodow"), col("n_orders"),
+        col("revenue_cents"),
+        expr("CAST(revenue_cents * 1000000 DIV " +
+          "sum(revenue_cents) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "UNBOUNDED FOLLOWING) AS BIGINT)").as("revenue_share_ppm"),
+        expr("CAST(revenue_cents * 7000 DIV " +
+          "sum(revenue_cents) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "UNBOUNDED FOLLOWING) AS BIGINT)").as("seasonality_x1000"),
+        expr("CAST(n_orders * 7000 DIV " +
+          "sum(n_orders) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "UNBOUNDED FOLLOWING) AS BIGINT)").as("orders_seasonality_x1000"))
+  }
+
+  private val weekdaySeasonalitySql =
+    """WITH d AS (
+      |  SELECT isodow(o_orderdate) AS isodow, count(*) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT CAST(isodow AS INTEGER) AS isodow, n_orders, revenue_cents,
+      |  CAST(revenue_cents * 1000000 // sum(revenue_cents) OVER () AS BIGINT)
+      |    AS revenue_share_ppm,
+      |  CAST(revenue_cents * 7000 // sum(revenue_cents) OVER () AS BIGINT)
+      |    AS seasonality_x1000,
+      |  CAST(n_orders * 7000 // sum(n_orders) OVER () AS BIGINT)
+      |    AS orders_seasonality_x1000
+      |FROM d""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q114_lead_lag_corr", viewPurchaseLeadLag _,
       Some(viewPurchaseLeadLagSql)),
+    NamedQuery("q127_weekday_seasonality", weekdaySeasonality _,
+      Some(weekdaySeasonalitySql)),
     NamedQuery("q99_revenue_trend", revenueTrend _, Some(revenueTrendSql)),
     NamedQuery("q76_weekly_gapfill", weeklyGapfill _, Some(weeklyGapfillSql)),
     NamedQuery("q95_user_streaks", userStreaks _, Some(userStreaksSql)),

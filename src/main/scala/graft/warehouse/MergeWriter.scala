@@ -235,6 +235,48 @@ object MergeWriter {
     } finally bucketed.unpersist()
   }
 
+  /** Re-bucket a table to a new bucket count — the escape hatch from the
+    * create-time bucket-modulus invariant (a table outgrowing its bucket
+    * count gets executor-swamping buckets; merging with a different
+    * modulus would duplicate keys, so the ONLY legal path is this full
+    * rewrite). One table scan, staged write under the new modulus, then
+    * the usual per-bucket swap — buckets that exist only under the old
+    * modulus are swept (their staging side is empty), and the stored
+    * bucket count is updated last so a crash mid-swap still reads as the
+    * old count with recoverable `.bak` dirs.
+    *
+    * Time-travel aware: on a table with versioning metadata the rewrite
+    * captures a full version (every replaced bucket archived, new
+    * buckets birth-marked), so [[TimeTravel.readAsOf]] keeps
+    * reconstructing pre-rebucket versions from archives alone. Returns
+    * (rows rewritten, new version — 0 when unversioned).
+    */
+  def rebucket(spark: SparkSession, tablePath: String, key: String, newBuckets: Int,
+               lease: Boolean = false): (Long, Long) =
+    withTableLock(spark, tablePath, lease) {
+      require(tableExists(spark, tablePath), s"no table at $tablePath")
+      val hfs = fs(spark, tablePath)
+      val obs = org.apache.spark.sql.Observation()
+      val rewritten = spark.read.option("mergeSchema", "true").parquet(tablePath)
+        .drop(BucketCol)
+        .observe(obs, count(lit(1)).as("rows"))
+        .withColumn(BucketCol, bucketOf(col(key), newBuckets))
+      val staging = stagingPath(tablePath)
+      rewritten.write.mode("overwrite").partitionBy(BucketCol).parquet(staging)
+
+      def bucketIds(root: String): Seq[Int] =
+        hfs.listStatus(new Path(root)).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+          .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+      val affected = (bucketIds(tablePath) ++ bucketIds(staging)).distinct
+
+      val archiveTo = TimeTravel.archiveForRewrite(spark, tablePath)
+      swapBuckets(spark, tablePath, staging, affected, archiveTo)
+      writeBucketCount(spark, tablePath, newBuckets)
+      (obs.get("rows").asInstanceOf[Long],
+        if (archiveTo.isDefined) TimeTravel.currentVersion(spark, tablePath) else 0L)
+    }
+
   private def stagingPath(tablePath: String): String = {
     val p = new Path(tablePath)
     new Path(p.getParent, s".staging_${p.getName}").toString

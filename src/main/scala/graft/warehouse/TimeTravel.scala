@@ -74,6 +74,23 @@ object TimeTravel {
   def oldestReadable(spark: SparkSession, tablePath: String): Long =
     readLong(fs(spark, tablePath), horizonPath(tablePath), 0L) + 1L
 
+  /** Whole-table rewrites ([[MergeWriter.rebucket]]) on a table that has
+    * versioning metadata must capture a version, or old reads would mix
+    * stale archives with rewritten live buckets. Callers hold the table
+    * lock. Returns the archive target for the rewrite, or None when the
+    * table has never been versioned.
+    */
+  private[warehouse] def archiveForRewrite(spark: SparkSession,
+                                           tablePath: String): Option[Path] = {
+    val hfs = fs(spark, tablePath)
+    if (!hfs.exists(counterPath(tablePath))) None
+    else {
+      val cur = readLong(hfs, counterPath(tablePath), 1L)
+      writeLong(hfs, counterPath(tablePath), cur + 1)
+      Some(archivePath(tablePath, cur))
+    }
+  }
+
   /** [[MergeWriter.merge]] with version capture. Returns
     * (rows upserted, new table version).
     */

