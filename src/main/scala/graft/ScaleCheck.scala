@@ -37,7 +37,10 @@ object ScaleCheck {
     "q70_quantile_state", "q72_profile_lineitem",
     // round-7 corpus-scale additions: BM25's salted retrieval and the
     // doc-keyed PMI pair join (the Σ t_d² operator).
-    "q74_bm25_topdocs", "q79_pmi_pairs")
+    "q74_bm25_topdocs", "q79_pmi_pairs",
+    // round-8: the shingle→first-doc map (corpus-linear explode + three
+    // hash aggs) and the sliding-distinct cascade (×7 bounded explode).
+    "q124_ngram_novelty", "q120_sliding_wau")
 
   /** Shuffle-write accounting per timed section. */
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {

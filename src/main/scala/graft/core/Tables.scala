@@ -43,4 +43,26 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Every warehouse table by name, through its normalizing reader (so
+    * `events` gets the ns-timestamp handling, not a raw scan).
+    */
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register the full warehouse as temp views so plain `spark.sql`
+    * works over it — the ANSI-SQL front door next to the DataFrame
+    * faces (Catalyst plans both identically; every oracle query in this
+    * repo is runnable verbatim after this call). Returns the view names.
+    */
+  def registerAll(spark: SparkSession, dir: String): Seq[String] = {
+    all.foreach { name =>
+      val df = name match {
+        case "events" => events(spark, dir)
+        case other    => table(spark, dir, other)
+      }
+      df.createOrReplaceTempView(name)
+    }
+    all
+  }
 }
