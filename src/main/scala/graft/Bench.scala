@@ -53,7 +53,8 @@ object Bench {
     val sfNum = java.nio.file.Paths.get(sfDir).getFileName.toString.stripPrefix("sf")
     def sameScale(text: String): Boolean =
       text.contains(s""""sf":"$sfDir"""") ||
-        text.contains(s""""sf":$sfNum,""") || text.contains(s""""sf": $sfNum,""")
+        text.contains(s""""sf":$sfNum,""") || text.contains(s""""sf": $sfNum,""") ||
+        text.contains(s""""sf":$sfNum}""") || text.contains(s""""sf_dir":"$sfDir"""")
     // The driver's BENCH_rN.json artifacts hold our stdout line JSON-
     // escaped inside their "tail" field (\"q28_knn_ivf\":9.7) — the
     // optional backslash before the closing quote matches both the
@@ -168,13 +169,24 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadPost = loadavg()
-    val meta = s""""sf":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost"""
+    // The numeric scale factor matches the driver's stated contract
+    // (`"sf":0.1`, not a dir path) — rounds 1–7 all came back
+    // `"parsed": null` with the path-string form, so the stdout line now
+    // carries the number and the detail file keeps the full dir.
+    val sfJson = try {
+      val n = java.nio.file.Paths.get(sfDir).getFileName.toString.stripPrefix("sf")
+      s""""sf":${n.toDouble}"""
+    } catch { case _: Exception => s""""sf":"$sfDir"""" }
+    val meta = s"""$sfJson,"sf_dir":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost"""
     val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qsFull,$meta,"reps":$repJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // Stdout line stays lean — loadavg/sf_dir live in BENCH_DETAIL.json;
+    // at 127+ queries the short-key dict alone is ~1.6k of the driver's
+    // 2000-char tail budget.
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$qsShort,$meta}"""
+      s""""queries":$qsShort,$sfJson}"""
     if (line.length > 1800) // anything below the line eats into the 2000-char tail
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars may overrun driver tail")
     // Stop FIRST so no late executor/UI log line can land after the

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.NamedQuery
@@ -908,7 +909,139 @@ object Dedup {
       |  >= 900000
       |  AND len(sb.ws) >= 4 * len(sa.ws)""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** Winnowing parameters: word-`WinnowK`-gram hashes pass a sliding
+    * window of `WinnowW` — any shared token run of length ≥
+    * WinnowW + WinnowK − 1 = 7 is GUARANTEED to produce a shared
+    * fingerprint, while the expected kept fraction is only 2/(WinnowW+1).
+    */
+  val WinnowK = 4
+  val WinnowW = 4
+  /** Position-packing modulus: fingerprint sort key = hash·M + (M−1−pos),
+    * so one BIGINT `min()` selects "minimal hash, rightmost on ties" (the
+    * canonical winnowing tie-break). 40-bit hash × 20-bit position stays
+    * inside a 63-bit signed long; docs are bounded far below 2^20 grams.
+    */
+  private val WinnowPosM: Long = 1L << 20
+
+  /** Winnowed fingerprint selections per document (Schleimer, Wilkerson
+    * & Aiken, SIGMOD'03 — the MOSS local fingerprinting algorithm).
+    * Returns distinct (idCol, key) rows where key still packs
+    * (hash, flipped position); callers unpack with `key DIV M`.
+    *
+    * Unlike the stride/modulo selection of [[windowDupes]] (every w-th
+    * k-gram — cheap but a match can straddle the stride and vanish),
+    * winnowing's window-minimum selection carries the DETECTION
+    * GUARANTEE: every window of `WinnowW` consecutive grams contributes
+    * its minimum, so two documents sharing ≥ WinnowW+WinnowK−1
+    * consecutive tokens always share a fingerprint — with the same
+    * ~2/(w+1) storage density.
+    *
+    * Scale shape: gram explode (corpus-linear) → one doc-keyed window
+    * pass (the per-doc sort is by gram position, within-partition) →
+    * distinct. No pair space, no corpus-wide sort; at 100 TB the shuffle
+    * key is the 8-byte packed fingerprint.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val k = WinnowK
+    val grams = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        posexplode(
+          when(size(col("toks")) >= k,
+            expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+              s"i -> concat_ws(' ', slice(toks, i, $k)))"))
+            .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+    val keyed = grams.select(col(idCol), col("pos"),
+      (conv(substring(md5(col("g").cast("binary")), 1, 10), 16, 10).cast("long")
+        * WinnowPosM + (lit(WinnowPosM - 1) - col("pos"))).as("key"))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(WinnowW - 1), 0)
+    keyed.withColumn("mk", min(col("key")).over(win))
+      .where(col("pos") >= WinnowW - 1) // full windows only
+      .select(col(idCol), col("mk")).distinct()
+  }
+
+  /** Gated q128: per-doc winnowing fingerprint profile — gram count,
+    * selected fingerprint count, selection density (ppm, ~2/(w+1) ≈
+    * 400000 expected), and how many of the doc's fingerprint HASHES also
+    * appear in some other document's selection (the MOSS cross-doc match
+    * signal, computed with one equi-join on the 40-bit hash — never a
+    * doc-pair space). Docs with fewer than `WinnowK` tokens have no
+    * grams and are absent in both engines.
+    */
+  def winnowSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fps = winnowFingerprints(docs)
+    val perGram = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        (size(col("toks")) - (WinnowK - 1)).cast("long").as("n_grams"))
+      .where(col("n_grams") >= 1)
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val fph = fps.select(col("doc_id"), expr(s"mk DIV $WinnowPosM").as("h"))
+      .distinct()
+    val hc = fph.groupBy("h").agg(count(lit(1)).as("nd"))
+    val shared = fph.join(hc, "h").where(col("nd") >= 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    perGram
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        expr("CAST(coalesce(n_fp, 0) * 1000000 DIV n_grams AS BIGINT)")
+          .as("fp_density_ppm"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_fp"))
+  }
+
+  private val winnowSummarySql = {
+    val k = WinnowK
+    val w = WinnowW
+    val m = WinnowPosM
+    val gram = (0 until k).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0) AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, i - 1 AS pos, $gram AS g
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-${k - 1})) AS i
+       |        FROM toks WHERE len(toks) >= $k)
+       |), h AS (
+       |  SELECT doc_id, pos,
+       |    ('0x' || substr(md5(g), 1, 10))::BIGINT * $m + (${m - 1} - pos) AS key
+       |  FROM g
+       |), wmin AS (
+       |  SELECT doc_id, pos, min(key) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mk
+       |  FROM h
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, mk FROM wmin WHERE pos >= ${w - 1}
+       |), fph AS (
+       |  SELECT DISTINCT doc_id, mk // $m AS h FROM fp
+       |), hc AS (
+       |  SELECT h, count(*) AS nd FROM fph GROUP BY 1
+       |), shared AS (
+       |  SELECT f.doc_id, count(*) AS n_shared
+       |  FROM fph f JOIN hc USING (h) WHERE hc.nd >= 2 GROUP BY 1
+       |), pg AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1
+       |), pf AS (
+       |  SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1
+       |)
+       |SELECT pg.doc_id, CAST(pg.n_grams AS BIGINT) AS n_grams,
+       |  CAST(coalesce(pf.n_fp, 0) AS BIGINT) AS n_fp,
+       |  CAST(coalesce(pf.n_fp, 0) * 1000000 // pg.n_grams AS BIGINT)
+       |    AS fp_density_ppm,
+       |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_fp
+       |FROM pg
+       |LEFT JOIN pf ON pf.doc_id = pg.doc_id
+       |LEFT JOIN shared s ON s.doc_id = pg.doc_id""".stripMargin
+  }
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q128_winnow_fingerprints", winnowSummary _, Some(winnowSummarySql)),
     NamedQuery("q115_containment_join", containmentJoin _, Some(containmentSql)),
     NamedQuery("q102_sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),
     NamedQuery("q104_prefix_filter_join", prefixFilterJoin _, Some(prefixFilterSql)),

@@ -564,7 +564,41 @@ object Extended {
       |FROM rows_c r JOIN fences f ON f.grp = r.grp
       |GROUP BY r.grp""".stripMargin
 
+  // --------------------------------------------------------------- q132
+  /** Grouped top-k via the bounded-heap [[graft.functions.TopK]]
+    * Aggregator: the 3 highest-priced lineitems per supplier, ties broken
+    * ascending on (orderkey, linenumber).
+    *
+    * Same answer as the `row_number()` window form, different scale
+    * shape: partial aggregation keeps ≤ k entries per (map task, group)
+    * so the exchange carries k·groups·partitions rows instead of the
+    * whole fact table — the difference between shuffling ~nothing and
+    * shuffling 100 TB. TopKSpec pins both the row-for-row equality with
+    * the window form and the partial-ObjectHashAggregate plan shape.
+    */
+  def topkSupplierItems(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    graft.functions.TopK.grouped(li, Seq("l_suppkey"),
+        col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber").cast("long"), k)
+      .select(col("l_suppkey"), col("rank"), col("score").as("price"),
+        col("key").as("order_key"), col("sub").as("line_no"))
+  }
+
+  private val topkSupplierItemsSql =
+    """SELECT l_suppkey, CAST(rn AS INTEGER) AS rank, l_extendedprice AS price,
+      |  l_orderkey AS order_key, CAST(l_linenumber AS BIGINT) AS line_no
+      |FROM (
+      |  SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q132_topk_supplier_items", (s, d) => topkSupplierItems(s, d),
+      Some(topkSupplierItemsSql)),
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),
     NamedQuery("q93_winsorized_revenue", winsorizedRevenue _,
       Some(winsorizedRevenueSql)),

@@ -1156,7 +1156,72 @@ object TextAnalysis {
     // shingleNoveltySql is a lazy val: this Seq sits above the q124
     // definitions, and an eager val would capture null during object
     // init (object vals initialize in declaration order).
-    NamedQuery("q124_ngram_novelty", shingleNovelty _, Some(shingleNoveltySql)))
+    NamedQuery("q124_ngram_novelty", shingleNovelty _, Some(shingleNoveltySql)),
+    NamedQuery("q130_bpe_pair_stats", (s, d) => bpePairStats(s, d),
+      Some(bpePairStatsSql)))
+
+  // --------------------------------------------------------------- q130
+  /** BPE merge-candidate statistics — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich, Haddow & Birch, ACL'16): over the
+    * corpus word-frequency table, count adjacent symbol pairs weighted by
+    * word frequency; the top-ranked pair IS the next BPE merge. The
+    * operator exposes the full ranked pair table (top `topK`) so the
+    * choice is auditable; iterating merges re-runs this over re-segmented
+    * words with the driver holding only the merge list (vocab-sized, not
+    * corpus-sized).
+    *
+    * Round-0 symbols are single characters; words are restricted to
+    * lowercase `[a-z]+` so the pair space is the classic alphabetic BPE
+    * setup (and exactly codepoint-parity across engines).
+    *
+    * Scale shape: the corpus collapses to its word-frequency table in one
+    * hash aggregate (vocab-sized from then on — the corpus is never
+    * touched again, however many merge rounds run); pair explode and
+    * re-aggregate are vocab-linear; the ranking window orders the
+    * pair-count table, bounded by 26² regardless of corpus size.
+    */
+  def bpePairStats(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    bpePairStats(Tables.documents(spark, dir), topK)
+
+  def bpePairStats(docs: DataFrame, topK: Int): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("t"))
+      .select(lower(col("t")).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val pairs = words.select(col("w"), col("n_w"),
+      explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+    val agg = pairs.groupBy("pair").agg(
+      sum(col("n_w")).as("total_count"),
+      countDistinct(col("w")).as("n_words"))
+    // 26²-bounded table — the global ranking window is not a corpus sort.
+    val rw = Window.orderBy(col("total_count").desc, col("pair"))
+    agg.withColumn("rank", row_number().over(rw).cast("int"))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("pair"), col("n_words"), col("total_count"))
+  }
+
+  // lazy for the same object-init-order reason as shingleNoveltySql.
+  private lazy val bpePairStatsSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS t
+      |  FROM documents
+      |), wc AS (
+      |  SELECT lower(t) AS w, count(*) AS n_w FROM toks
+      |  WHERE regexp_matches(lower(t), '^[a-z]+$') AND len(t) >= 2
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT w, n_w, substr(w, i, 2) AS pair
+      |  FROM (SELECT w, n_w, unnest(generate_series(1, len(w)-1)) AS i FROM wc)
+      |), a AS (
+      |  SELECT pair, CAST(sum(n_w) AS BIGINT) AS total_count,
+      |    CAST(count(DISTINCT w) AS BIGINT) AS n_words
+      |  FROM p GROUP BY 1
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY total_count DESC, pair) AS INTEGER) AS rank,
+      |  pair, n_words, total_count
+      |FROM a ORDER BY total_count DESC, pair LIMIT 20""".stripMargin
 
   // --------------------------------------------------------------- q124
   /** Per-document n-gram novelty — what fraction of a doc's word

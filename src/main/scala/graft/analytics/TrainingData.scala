@@ -829,7 +829,139 @@ object TrainingData {
       |  doc_id, w, key
       |FROM ks ORDER BY key, doc_id LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  /** Cross-split near-dup leakage audit — the check that closes the gap
+    * q36 (verbatim contamination) and q45 (n-gram decontamination) leave
+    * open: a train doc that is a NEAR-duplicate of a val/test doc leaks
+    * the eval answer into training even though no fingerprint or 8-gram
+    * matches verbatim. Near-dup pairs come from the q17 kernel
+    * ([[Dedup.minHashNearDups]], exact shingle-Jaccard ≥ 0.7 verified on
+    * LSH candidates); split assignment is the per-row [[hashSplit]].
+    *
+    * Output: one row per observed (split_lo, split_hi) label pair
+    * (alphabetical order, so same-split rows read e.g. train/train) with
+    * the pair count and the distinct docs touched on each side — the
+    * numbers a release gate thresholds on (cross-split rows must be
+    * purged or re-split before training).
+    *
+    * Scale shape: the pair space is LSH-banded (never n²), split labels
+    * are per-row projections joined onto pair endpoints by doc id, and
+    * the final aggregate has at most 6 groups. Work beyond q17 itself is
+    * two doc-keyed equi-joins + a tiny agg.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir))
+
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.7, maxBucketSize = None)
+      .select("a_id", "b_id")
+    val sp = docs.select(col("doc_id"), hashSplit(col("doc_id")).as("sp"))
+    val ps = pairs
+      .join(sp.select(col("doc_id").as("a_id"), col("sp").as("sa")), "a_id")
+      .join(sp.select(col("doc_id").as("b_id"), col("sp").as("sb")), "b_id")
+      .withColumn("split_lo", least(col("sa"), col("sb")))
+      .withColumn("split_hi", greatest(col("sa"), col("sb")))
+    // Explode each pair into its two endpoints so n_pairs and both
+    // per-side distinct-doc counts ride ONE aggregate over one evaluation
+    // of the (expensive) LSH pair DAG — separate counts/ends/dlo/dhi
+    // branches would replicate that DAG 4×.
+    ps.select(col("split_lo"), col("split_hi"), col("a_id"), col("b_id"),
+        explode(array(
+          struct(col("sa").as("dsp"), col("a_id").as("doc")),
+          struct(col("sb").as("dsp"), col("b_id").as("doc")))).as("e"))
+      .select(col("split_lo"), col("split_hi"), col("a_id"), col("b_id"),
+        col("e.dsp").as("dsp"), col("e.doc").as("doc"))
+      .groupBy("split_lo", "split_hi")
+      .agg(
+        countDistinct(col("a_id"), col("b_id")).as("n_pairs"),
+        countDistinct(when(col("dsp") === col("split_lo"), col("doc")))
+          .as("n_docs_lo"),
+        countDistinct(when(col("dsp") === col("split_hi"), col("doc")))
+          .as("n_docs_hi"))
+  }
+
+  private lazy val splitLeakageSql = {
+    val splitCase =
+      """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) BETWEEN '0' AND 'b' THEN 'train'
+        |     WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('c','d') THEN 'val'
+        |     ELSE 'test' END""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |), ${Dedup.exactPairCtes(0.7)},
+       |sp AS (
+       |  SELECT doc_id, $splitCase AS sp FROM documents
+       |), ps AS (
+       |  SELECT p.a_id, p.b_id, sa.sp AS sa, sb.sp AS sb,
+       |    least(sa.sp, sb.sp) AS split_lo, greatest(sa.sp, sb.sp) AS split_hi
+       |  FROM pairs p
+       |  JOIN sp sa ON sa.doc_id = p.a_id
+       |  JOIN sp sb ON sb.doc_id = p.b_id
+       |), ends AS (
+       |  SELECT split_lo, split_hi, sa AS dsp, a_id AS doc FROM ps
+       |  UNION ALL
+       |  SELECT split_lo, split_hi, sb AS dsp, b_id AS doc FROM ps
+       |)
+       |SELECT c.split_lo, c.split_hi, CAST(c.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(lo.n AS BIGINT) AS n_docs_lo, CAST(hi.n AS BIGINT) AS n_docs_hi
+       |FROM (SELECT split_lo, split_hi, count(*) AS n_pairs FROM ps GROUP BY 1, 2) c
+       |JOIN (SELECT split_lo, split_hi, count(DISTINCT doc) AS n FROM ends
+       |      WHERE dsp = split_lo GROUP BY 1, 2) lo USING (split_lo, split_hi)
+       |JOIN (SELECT split_lo, split_hi, count(DISTINCT doc) AS n FROM ends
+       |      WHERE dsp = split_hi GROUP BY 1, 2) hi USING (split_lo, split_hi)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q131
+  /** Purged temporal holdout with an embargo gap (the time-series split
+    * discipline of López de Prado's "Advances in Financial ML", ch.7,
+    * applied to pipeline data): the trailing `holdoutDays` of order dates
+    * are eval, the `embargoDays` before the boundary are PURGED — rows
+    * whose effects straddle the boundary (an order placed just before it
+    * ships/settles inside eval) would otherwise leak future state into
+    * training. Hash splits (q35) cannot give this property: temporal
+    * leakage is about adjacency in time, not identity.
+    *
+    * Everything is integer day arithmetic off the corpus max date, so the
+    * split is deterministic and re-derivable on any engine. One scan +
+    * one 3-group aggregate; the max-date scalar broadcasts.
+    */
+  def embargoSplit(spark: SparkSession, dir: String,
+                   holdoutDays: Int = 60, embargoDays: Int = 7): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_totalprice"), to_date(col("o_orderdate")).as("d"))
+    val mx = o.agg(max(col("d")).as("mxd"))
+    o.crossJoin(broadcast(mx))
+      .withColumn("days_back", datediff(col("mxd"), col("d")))
+      .withColumn("bucket",
+        when(col("days_back") < holdoutDays, "eval")
+          .when(col("days_back") < holdoutDays + embargoDays, "embargo")
+          .otherwise("train"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"),
+        min(col("d")).as("d_min"),
+        max(col("d")).as("d_max"))
+  }
+
+  private val embargoSplitSql =
+    """WITH o AS (
+      |  SELECT o_totalprice, o_orderdate::DATE AS d FROM orders
+      |), mx AS (
+      |  SELECT max(d) AS mxd FROM o
+      |)
+      |SELECT CASE WHEN date_diff('day', d, mxd) < 60 THEN 'eval'
+      |            WHEN date_diff('day', d, mxd) < 67 THEN 'embargo'
+      |            ELSE 'train' END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  min(d) AS d_min, max(d) AS d_max
+      |FROM o, mx GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q131_embargo_split", (s, d) => embargoSplit(s, d),
+      Some(embargoSplitSql)),
+    NamedQuery("q129_split_leakage", splitLeakage _, Some(splitLeakageSql)),
     NamedQuery("q100_priority_sample", prioritySampleDocs _, Some(prioritySampleSql)),
     NamedQuery("q35_hash_split", hashSplitSummary _, Some(hashSplitSql)),
     NamedQuery("q36_contamination", contaminationCheck _, Some(contaminationSql)),

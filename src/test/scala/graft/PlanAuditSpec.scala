@@ -583,4 +583,46 @@ class PlanAuditSpec extends SparkSpec {
       s"q127 regressed: $s")
     assert(s.singleParts <= 4, s"q127 single-partition use must stay 7-row-sized: $s")
   }
+
+  test("q128 winnowing stays a doc-keyed window pass, never a pair space") {
+    val s = stats("q128_winnow_fingerprints")
+    // Audited 7 scans / 14 shuffles at sf0.001 (the fingerprint relation
+    // feeds three aggregates; a deployment would persist it). The hard
+    // invariants: no doc-pair join, no global sort.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q128 regressed: $s")
+    assert(s.scans <= 14 && s.shuffles <= 28, s"q128 regressed: $s")
+  }
+
+  test("q129 split leakage rides one aggregate over one LSH pair DAG") {
+    val s = stats("q129_split_leakage")
+    // Audited 9 scans / 20 shuffles at sf0.001 — the endpoint explode +
+    // single multi-distinct aggregate keeps the banded pair DAG evaluated
+    // once (the naive counts/ends branches replicated it to 33/80).
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q129 regressed: $s")
+    assert(s.scans <= 18 && s.shuffles <= 40, s"q129 regressed: $s")
+  }
+
+  test("q131 embargo split is scan + 3-group agg; NLJs are the one-row max-date broadcast") {
+    val s = stats("q131_embargo_split")
+    // Audited 4 scans / 6 shuffles / 2 one-row BNLJs (the max-date scalar
+    // cross join — the same documented one-row-broadcast shape as q19).
+    assert(s.nestedLoops <= 3 && s.singleParts <= 4, s"q131 regressed: $s")
+    assert(s.scans <= 8 && s.shuffles <= 12, s"q131 regressed: $s")
+  }
+
+  test("q132 grouped top-k stays a two-phase aggregate, never a window sort") {
+    val s = stats("q132_topk_supplier_items")
+    // Audited 2 scans / 2 shuffles: partial ObjectHashAggregate ships ≤k
+    // rows per (task, group); TopKSpec separately pins no-Window.
+    assert(s.scans <= 4 && s.shuffles <= 4, s"q132 regressed: $s")
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q132 regressed: $s")
+  }
+
+  test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
+    val s = stats("q130_bpe_pair_stats")
+    // Audited 2 scans / 4 shuffles; the ranking window orders the
+    // 26²-bounded pair table, so no corpus-sized single partition exists.
+    assert(s.nestedLoops == 0, s"q130 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8, s"q130 regressed: $s")
+  }
 }

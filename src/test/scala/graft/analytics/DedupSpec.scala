@@ -303,4 +303,72 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == (500000L, 500000L),
       "the superset doc is half-contained in the subset")
   }
+
+  /** Driver-side recompute of the winnowing selection for one token
+    * sequence — the independent oracle for [[Dedup.winnowFingerprints]].
+    */
+  private def h40(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(5).map(b => f"$b%02x").mkString, 16)
+  }
+
+  private def winnowByHand(toks: Seq[String]): Set[Long] = {
+    val k = Dedup.WinnowK
+    val w = Dedup.WinnowW
+    val m = 1L << 20
+    val keys = toks.sliding(k).toSeq.zipWithIndex.map { case (g, pos) =>
+      h40(g.mkString(" ")) * m + (m - 1 - pos)
+    }
+    keys.sliding(w).map(_.min).toSet
+  }
+
+  test("winnowing: fingerprint selection matches a by-hand window-minimum recompute") {
+    val toks = Seq("the", "quick", "brown", "fox", "jumps", "over", "the",
+      "lazy", "dog", "while", "the", "cat", "naps", "nearby", "today")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(df).collect()
+      .map(_.getAs[Long]("mk")).toSet
+    assert(got == winnowByHand(toks))
+  }
+
+  test("winnowing: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    val run = (1 to 7).map(i => s"shared$i") // exactly WinnowW + WinnowK - 1
+    val a = (1 to 9).map(i => s"lefta$i") ++ run ++ (1 to 9).map(i => s"righta$i")
+    // Different left-context length: the guarantee must hold even though
+    // the run sits at different positions in the two docs (the hash
+    // dominates the packed key, so the same in-run gram wins both windows).
+    val b = (1 to 11).map(i => s"leftb$i") ++ run ++ (1 to 9).map(i => s"rightb$i")
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+    val m = 1L << 20
+    val byDoc = Dedup.winnowFingerprints(df).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("mk") / m).toSet).toMap
+    val sharedHashes = byDoc(1L).intersect(byDoc(2L))
+    assert(sharedHashes.nonEmpty,
+      "winnowing's detection guarantee: a w+k-1 token run must surface in both docs")
+    // And every shared hash really is one of the run's own grams (the
+    // contexts are disjoint, so no other gram can coincide).
+    val runHashes = run.sliding(Dedup.WinnowK).map(g => h40(g.mkString(" "))).toSet
+    assert(sharedHashes.subsetOf(runHashes))
+  }
+
+  test("winnowing summary: density bounds hold corpus-wide") {
+    val w = Dedup.WinnowW
+    val rows = Dedup.winnowSummary(spark, dir).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val nGrams = r.getAs[Long]("n_grams")
+      val nFp = r.getAs[Long]("n_fp")
+      val nWin = nGrams - (w - 1)
+      if (nWin >= 1) {
+        assert(nFp >= 1 && nFp <= nWin,
+          s"doc ${r.getAs[Long]("doc_id")}: $nFp fingerprints vs $nWin windows")
+        // One selection can be the minimum of at most w consecutive windows.
+        assert(nFp * w >= nWin,
+          s"doc ${r.getAs[Long]("doc_id")}: density below the 1/w floor")
+      } else assert(nFp == 0)
+      assert(r.getAs[Long]("n_shared_fp") <= nFp)
+    }
+  }
 }

@@ -274,4 +274,33 @@ class TextAnalysisSpec extends SparkSpec {
       "sum of per-doc novel counts == corpus distinct shingle count " +
         "(string grams and 64-bit hash grams agree at this density)")
   }
+
+  test("bpe pair stats: hand-computed weighted adjacent-pair table") {
+    import spark.implicits._
+    // Vocab after filtering: abab×1, ab×3, baba×1 ("X9"/"7q"/"a" drop:
+    // non-alphabetic or single char). Pair occurrences weighted by word
+    // frequency: ab = 2(abab) + 3(ab) + 1(baba) = 6, ba = 1 + 2 = 3.
+    val docs = Seq(
+      (1L, "abab ab ab X9 a"),
+      (2L, "ab baba 7q")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(docs, topK = 20).collect().map(r =>
+      (r.getAs[Int]("rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("total_count"))).toSeq
+    assert(got == Seq((1, "ab", 3L, 6L), (2, "ba", 2L, 3L)),
+      s"got $got")
+    // The rank-1 row IS the next BPE merge — determinism is the contract.
+  }
+
+  test("bpe pair stats: corpus ranking is consistent and bounded") {
+    val rows = TextAnalysis.bpePairStats(spark, "/root/testdata/sf0.001", topK = 20)
+      .collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val totals = rows.map(_.getAs[Long]("total_count")).toSeq
+    assert(totals == totals.sortBy(-_), "rows ordered by descending weight")
+    rows.foreach { r =>
+      assert(r.getAs[String]("pair").length == 2)
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("total_count"))
+    }
+  }
 }

@@ -342,4 +342,63 @@ class TrainingDataSpec extends SparkSpec {
     // Deterministic: same inputs, same sample, stable ranks 1..10.
     assert(boosted.map(_.getAs[Int]("sel_rank")).sorted.toSeq == (1 to 10))
   }
+
+  test("split leakage: planted cross-split and same-split near-dups land in the right rows") {
+    // Find concrete ids per split using the operator's own assignment.
+    val splitOf = spark.range(1, 200).select(col("id").as("doc_id"),
+        TrainingData.hashSplit(col("doc_id")).as("sp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sp")).toMap
+    val trainIds = splitOf.collect { case (id, "train") => id }.toSeq.sorted
+    val valId = splitOf.collectFirst { case (id, "val") => id }.get
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      trainIds(0) -> base, // near-dup (identical) of the val doc → cross row
+      valId -> base,
+      trainIds(1) -> other, // identical pair inside train → same-split row
+      trainIds(2) -> other,
+      trainIds(3) -> (1 to 40).map(i => s"solo$i").mkString(" ") // no partner
+    ).toDF("doc_id", "text")
+    val got = TrainingData.splitLeakage(docs).collect().map(r =>
+      (r.getAs[String]("split_lo"), r.getAs[String]("split_hi")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_lo"),
+          r.getAs[Long]("n_docs_hi"))).toMap
+    assert(got == Map(
+      ("train", "val") -> ((1L, 1L, 1L)),
+      ("train", "train") -> ((1L, 2L, 2L))))
+  }
+
+  test("embargo split: buckets partition the orders with disjoint, ordered date ranges") {
+    val orders = graft.core.Tables.orders(spark, dir)
+    val total = orders.count()
+    val rows = TrainingData.embargoSplit(spark, dir).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_orders"), r.getAs[java.sql.Date]("d_min"),
+          r.getAs[java.sql.Date]("d_max"))).toMap
+    assert(rows.keySet == Set("train", "embargo", "eval"))
+    assert(rows.values.map(_._1).sum == total, "every order lands in exactly one bucket")
+    val (_, _, trainMax) = rows("train")
+    val (_, embMin, embMax) = rows("embargo")
+    val (_, evalMin, evalMax) = rows("eval")
+    assert(trainMax.before(embMin), "train ends strictly before the embargo")
+    assert(embMax.before(evalMin), "the embargo ends strictly before eval")
+    // Widths: eval is the trailing 60 days, the purged gap at most 7.
+    def days(a: java.sql.Date, b: java.sql.Date) =
+      (b.toLocalDate.toEpochDay - a.toLocalDate.toEpochDay).toInt
+    assert(days(evalMin, evalMax) <= 59)
+    assert(days(embMin, embMax) <= 6)
+    assert(days(embMax, evalMin) >= 1)
+  }
+
+  test("split leakage: pair totals reconcile with the q17 pair set on the corpus") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val allPairs = Dedup.minHashNearDups(docs, threshold = 0.7, maxBucketSize = None).count()
+    val rows = TrainingData.splitLeakage(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == allPairs,
+      "every near-dup pair is attributed to exactly one split-pair row")
+    rows.foreach { r =>
+      assert(r.getAs[String]("split_lo") <= r.getAs[String]("split_hi"))
+      assert(r.getAs[Long]("n_docs_lo") >= 1L && r.getAs[Long]("n_docs_hi") >= 1L)
+    }
+  }
 }
