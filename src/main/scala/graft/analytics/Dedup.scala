@@ -1040,7 +1040,121 @@ object Dedup {
        |LEFT JOIN shared s ON s.doc_id = pg.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q134
+  /** Content-defined chunking (the rsync/LBFS boundary discipline,
+    * Muthitacharoen et al., SOSP'01, at word granularity): a chunk
+    * boundary falls after token `p` whenever the hash of the
+    * `CdcK`-token window ending at `p` is ≡ 0 mod `CdcD` — so boundaries
+    * are a function of CONTENT, not position, and an insertion early in a
+    * document shifts every chunk of a fixed-stride scheme but only the
+    * one chunk it touches here. Expected chunk length = `CdcD` tokens.
+    *
+    * This is the third granularity of the dedup family: document-level
+    * (q15/q17), window/fingerprint-level (q53/q128), and here
+    * storage-chunk-level — the measure of how much of the corpus is
+    * REDUNDANT SPANS reusable across documents (boilerplate headers,
+    * quoted replies, license blocks) even when no two documents match.
+    *
+    * Scale shape: token explode (corpus-linear), one doc-keyed window
+    * pass for the running boundary count, one (doc, chunk) aggregate
+    * that rebuilds chunk text order-deterministically (array_sort on
+    * (pos, tok) structs — never a bare collect_list ordering
+    * assumption), and one equi-join on the chunk's md5 — the shuffle key
+    * is 16 bytes however long the chunk. No pair space anywhere.
+    */
+  val CdcK = 4
+  val CdcD = 16
+
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val k = CdcK
+    val toks = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+    // Window hash at positions with a full k-window; earlier tokens can
+    // never close a chunk.
+    val wgram = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(k - 1), 0)
+    val flagged = toks
+      .withColumn("g", concat_ws(" ",
+        collect_list(col("tok")).over(wgram)))
+      .withColumn("bnd",
+        col("pos") >= k - 1 &&
+          conv(substring(md5(col("g").cast("binary")), 1, 10), 16, 10)
+            .cast("long") % CdcD === 0)
+    val wrun = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk",
+        coalesce(sum(when(col("bnd"), 1L).otherwise(0L)).over(wrun), lit(0L)))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(
+        count(lit(1)).as("chunk_len"),
+        expr("md5(concat_ws(' ', transform(" +
+          "array_sort(collect_list(struct(pos, tok))), x -> x.tok)))")
+          .as("chunk_hash"))
+  }
+
+  /** Gated q134: per-doc content-defined chunk profile — token/chunk
+    * counts and how many of the doc's distinct chunk hashes also occur in
+    * another document (cross-doc reusable spans).
+    */
+  def cdcSummary(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(spark, dir))
+    val perDoc = chunks.groupBy("doc_id").agg(
+      sum(col("chunk_len")).as("n_tokens"),
+      count(lit(1)).as("n_chunks"))
+    val dh = chunks.select(col("doc_id"), col("chunk_hash")).distinct()
+    val hc = dh.groupBy("chunk_hash").agg(count(lit(1)).as("nd"))
+    val shared = dh.join(hc, "chunk_hash").where(col("nd") >= 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    perDoc.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_chunks"))
+  }
+
+  private val cdcSummarySql = {
+    val k = CdcK
+    val gram = (0 until k).map(o => s"toks[i-${k - 1 - o}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0) AS toks
+       |  FROM documents
+       |), tk AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+       |    CASE WHEN i >= $k THEN
+       |      ('0x' || substr(md5($gram), 1, 10))::BIGINT % $CdcD = 0
+       |    ELSE false END AS bnd
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+       |        FROM toks WHERE len(toks) >= 1)
+       |), ck AS (
+       |  SELECT doc_id, pos, tok,
+       |    coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM tk
+       |), ch AS (
+       |  SELECT doc_id, chunk, count(*) AS chunk_len,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM ck GROUP BY 1, 2
+       |), per AS (
+       |  SELECT doc_id, CAST(sum(chunk_len) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_chunks
+       |  FROM ch GROUP BY 1
+       |), dh AS (
+       |  SELECT DISTINCT doc_id, chunk_hash FROM ch
+       |), hc AS (
+       |  SELECT chunk_hash, count(*) AS nd FROM dh GROUP BY 1
+       |), shared AS (
+       |  SELECT d.doc_id, count(*) AS n_shared
+       |  FROM dh d JOIN hc USING (chunk_hash) WHERE hc.nd >= 2 GROUP BY 1
+       |)
+       |SELECT p.doc_id, p.n_tokens, CAST(p.n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_chunks
+       |FROM per p LEFT JOIN shared s ON s.doc_id = p.doc_id""".stripMargin
+  }
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q134_cdc_chunks", cdcSummary _, Some(cdcSummarySql)),
     NamedQuery("q128_winnow_fingerprints", winnowSummary _, Some(winnowSummarySql)),
     NamedQuery("q115_containment_join", containmentJoin _, Some(containmentSql)),
     NamedQuery("q102_sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),

@@ -596,7 +596,66 @@ object Extended {
       |  FROM lineitem)
       |WHERE rn <= 3""".stripMargin
 
+  // --------------------------------------------------------------- q133
+  /** Per-brand Pareto frontier (2D skyline): parts not dominated on
+    * (retail price ↓, size ↑) — the classic "skyline query" (Börzsönyi,
+    * Kossmann & Stocker, ICDE'01) that SQL expresses as a quadratic
+    * `NOT EXISTS` self-join.
+    *
+    * The scale-correct form exploits the 2D structure: collapse to price
+    * levels (one hash agg), take each level's max size, and sweep prices
+    * ascending with a running strictly-before max — a level survives iff
+    * its max size beats every cheaper level's. One aggregate + one
+    * brand-keyed window pass, O(n log n) per brand, versus the O(n²)
+    * NOT EXISTS the oracle runs. Survivor rule proved in two directions:
+    * a point below its level max is dominated at equal price; a level max
+    * not above the running max is dominated by some cheaper level; and a
+    * surviving level max has no dominator (nothing cheaper is as large,
+    * nothing equal-priced is larger).
+    *
+    * Output: distinct frontier points with the count of parts sitting
+    * exactly on each (duplicates tie — neither dominates).
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
+    paretoFrontier(Tables.part(spark, dir))
+
+  def paretoFrontier(parts: DataFrame): DataFrame = {
+    val levels = parts
+      .groupBy(col("p_brand"), col("p_retailprice").as("price"),
+        col("p_size").as("sz"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("p_brand"), col("price"))
+      .agg(max(struct(col("sz"), col("n"))).as("m"))
+      .select(col("p_brand"), col("price"),
+        col("m.sz").as("sz"), col("m.n").as("n_parts"))
+    val w = Window.partitionBy("p_brand").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    levels
+      .withColumn("run_max", max(col("sz")).over(w))
+      .where(col("run_max").isNull || col("sz") > col("run_max"))
+      .select(col("p_brand"), col("price"), col("sz"), col("n_parts"))
+  }
+
+  private val paretoFrontierSql =
+    """WITH pts AS (
+      |  SELECT p_brand, p_retailprice AS price, p_size AS sz FROM part
+      |), fr AS (
+      |  SELECT DISTINCT a.p_brand, a.price, a.sz
+      |  FROM pts a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM pts b
+      |    WHERE b.p_brand = a.p_brand
+      |      AND b.price <= a.price AND b.sz >= a.sz
+      |      AND (b.price < a.price OR b.sz > a.sz))
+      |)
+      |SELECT f.p_brand, f.price, f.sz,
+      |  CAST(count(*) AS BIGINT) AS n_parts
+      |FROM fr f JOIN pts p
+      |  ON p.p_brand = f.p_brand AND p.price = f.price AND p.sz = f.sz
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q133_pareto_frontier", paretoFrontier _, Some(paretoFrontierSql)),
     NamedQuery("q132_topk_supplier_items", (s, d) => topkSupplierItems(s, d),
       Some(topkSupplierItemsSql)),
     NamedQuery("q23_asof_latest_order", asofLatestOrder _, Some(asofLatestOrderSql)),

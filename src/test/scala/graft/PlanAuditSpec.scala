@@ -618,6 +618,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops == 0 && s.singleParts == 0, s"q132 regressed: $s")
   }
 
+  test("q133 pareto frontier stays a level-sweep window, never the quadratic NOT EXISTS") {
+    val s = stats("q133_pareto_frontier")
+    // Audited 2 scans / 6 shuffles: price-level aggregate + brand-keyed
+    // running-max window; the O(n²) anti-join form must never reappear.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q133 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 12, s"q133 regressed: $s")
+  }
+
+  test("q134 cdc chunking is explode + doc-keyed windows + hash joins, no pair space") {
+    val s = stats("q134_cdc_chunks")
+    // Audited 5 scans / 11 shuffles at sf0.001: the chunk relation feeds
+    // the per-doc and cross-doc aggregates; shuffle keys are md5 hashes.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q134 regressed: $s")
+    assert(s.scans <= 10 && s.shuffles <= 22, s"q134 regressed: $s")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

@@ -353,6 +353,58 @@ class DedupSpec extends SparkSpec {
     assert(sharedHashes.subsetOf(runHashes))
   }
 
+  /** Driver-side recompute of CDC chunk boundaries for one token list. */
+  private def cdcChunksByHand(toks: Seq[String]): Seq[Seq[String]] = {
+    val k = Dedup.CdcK
+    val bnd = toks.indices.map { p =>
+      p >= k - 1 && h40(toks.slice(p - k + 1, p + 1).mkString(" ")) % Dedup.CdcD == 0
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    var cur = scala.collection.mutable.ArrayBuffer[String]()
+    toks.indices.foreach { p =>
+      cur += toks(p)
+      if (bnd(p)) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() }
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
+  }
+
+  test("cdc chunks: chunk partition matches a by-hand boundary recompute") {
+    // Fixed pseudo-random tokens: enough that some window hash ≡ 0 mod 16.
+    val toks = (1 to 300).map(i => s"w${(i * 2654435761L) % 997}")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(df).collect()
+      .map(r => r.getAs[Long]("chunk") -> r.getAs[Long]("chunk_len"))
+      .sortBy(_._1).map(_._2).toSeq
+    val want = cdcChunksByHand(toks).map(_.length.toLong)
+    assert(got == want, s"chunk lengths diverge: got $got want $want")
+    assert(want.length > 5, "fixture must actually chunk (several boundaries)")
+  }
+
+  test("cdc chunks: boundaries are shift-resistant (one insertion, chunks mostly shared)") {
+    val toks = (1 to 400).map(i => s"w${(i * 2246822519L) % 1009}")
+    val shifted = "inserted" +: toks
+    val df = Seq((1L, toks.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.cdcChunks(df).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("chunk_hash")).toSet).toMap
+    val inter = byDoc(1L).intersect(byDoc(2L))
+    val minChunks = math.min(byDoc(1L).size, byDoc(2L).size)
+    // A fixed-stride chunking would share ~nothing after a front insert;
+    // CDC re-synchronizes at the first content boundary past the edit.
+    assert(inter.size >= minChunks - 3,
+      s"only ${inter.size} of $minChunks chunks survive a front insertion")
+    assert(inter.size >= 5)
+    // And the summary agrees: token totals conserved per doc.
+    val sums = Dedup.cdcSummary(spark, dir).collect()
+    sums.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= 1)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("n_shared_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
   test("winnowing summary: density bounds hold corpus-wide") {
     val w = Dedup.WinnowW
     val rows = Dedup.winnowSummary(spark, dir).collect()

@@ -1,5 +1,7 @@
 package graft.analytics
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class ExtendedSpec extends SparkSpec {
@@ -61,5 +63,50 @@ class ExtendedSpec extends SparkSpec {
     assert(out("b").getAs[Long]("n_clip_lo") == 0L)
     assert(out("b").getAs[Long]("n_clip_hi") == 0L)
     assert(out("b").getAs[Long]("sum_winsorized") == 10L)
+  }
+
+  test("pareto frontier: hand case with dominance, equal-price and duplicate ties") {
+    import spark.implicits._
+    val parts = Seq(
+      // brand A: (10, 5) dominates (12, 5) and (10, 3); (11, 7) survives
+      // on size; duplicate frontier point (10, 5) ties with itself.
+      ("A", 10.0, 5), ("A", 10.0, 5), ("A", 10.0, 3),
+      ("A", 12.0, 5), ("A", 11.0, 7), ("A", 15.0, 6),
+      // brand B: a real trade-off keeps both; a cheaper-AND-larger point
+      // would have evicted the second.
+      ("B", 1.0, 5), ("B", 2.0, 8)
+    ).toDF("p_brand", "p_retailprice", "p_size")
+    val got = Extended.paretoFrontier(parts).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Double]("price"),
+        r.getAs[Int]("sz"), r.getAs[Long]("n_parts"))).toSet
+    assert(got == Set(
+      ("A", 10.0, 5, 2L), ("A", 11.0, 7, 1L),
+      ("B", 1.0, 5, 1L), ("B", 2.0, 8, 1L)))
+  }
+
+  test("pareto frontier equals the quadratic NOT-EXISTS form on the part table") {
+    val parts = graft.core.Tables.part(spark, "/root/testdata/sf0.001")
+      .select(col("p_brand"), col("p_retailprice"), col("p_size"))
+    val a = parts.select(col("p_brand"), col("p_retailprice").as("pa"),
+      col("p_size").as("sa"))
+    val b = parts.select(col("p_brand").as("bb"), col("p_retailprice").as("pb"),
+      col("p_size").as("sb"))
+    val dominated = a.join(b,
+      col("p_brand") === col("bb") && col("pb") <= col("pa") &&
+        col("sb") >= col("sa") && (col("pb") < col("pa") || col("sb") > col("sa")),
+      "left_semi")
+    val brute = a.exceptAll(dominated).distinct()
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+    val fast = Extended.paretoFrontier(parts).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Double]("price"),
+        r.getAs[Int]("sz"))).toSet
+    assert(fast == brute)
+    assert(fast.nonEmpty)
+    // Frontier shape: within a brand, ascending price ⇒ strictly ascending size.
+    fast.groupBy(_._1).foreach { case (_, pts) =>
+      val sorted = pts.toSeq.sortBy(_._2)
+      assert(sorted.map(_._3) == sorted.map(_._3).sorted, "sizes ascend with price")
+      assert(sorted.map(_._3).distinct.size == sorted.size, "strictly ascending")
+    }
   }
 }
