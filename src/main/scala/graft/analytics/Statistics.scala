@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -384,7 +384,68 @@ object Statistics {
       |CROSS JOIN nall
       |GROUP BY g""".stripMargin
 
+  // --------------------------------------------------------------- q135
+  /** Precision/recall threshold sweep — the full operating-characteristic
+    * table of a binary decision rule "predict positive when score ≥ t",
+    * one row per distinct score level: predicted count, true positives,
+    * precision and recall in exact integer ppm. The model-eval
+    * counterpart of q107's rank-sum AUC: AUC summarizes the sweep, this
+    * IS the sweep (pick a threshold off it, plot the PR curve, set a
+    * quality gate).
+    *
+    * Scale shape: the corpus collapses to its distinct-score level table
+    * in one hash aggregate (with map-side combine); the cumulative sums
+    * ride one window over that LEVEL table. Levels are bounded by the
+    * score's value space — for a continuous score, quantile-bucket it
+    * first (q64's boundary method) so the level table stays thousands of
+    * rows at any corpus size; the windows never see the corpus.
+    *
+    * The gated face scores documents by `n_chars` against the label
+    * `lang = 'en'` — the mechanics (cumulative confusion matrix, exact
+    * ppm ratios, total-order levels) are what is under test.
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val levels = df
+      .select(score.as("threshold"), label.cast("int").as("y"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val wDesc = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    levels
+      .withColumn("n_pred", sum("n").over(wDesc))
+      .withColumn("n_tp", sum("pos").over(wDesc))
+      .withColumn("total_pos", sum("pos").over(wAll))
+      .select(col("threshold"), col("n_pred"), col("n_tp"),
+        expr("CAST(n_tp * 1000000 DIV n_pred AS BIGINT)").as("precision_ppm"),
+        expr("CAST(n_tp * 1000000 DIV total_pos AS BIGINT)").as("recall_ppm"))
+  }
+
+  def docLengthPrCurve(spark: SparkSession, dir: String): DataFrame =
+    prCurve(Tables.documents(spark, dir), col("n_chars"), col("lang") === "en")
+
+  private val docLengthPrCurveSql =
+    """WITH base AS (
+      |  SELECT n_chars AS threshold,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |), lv AS (
+      |  SELECT threshold, count(*) AS n, sum(y) AS pos FROM base GROUP BY 1
+      |)
+      |SELECT threshold,
+      |  CAST(sum(n) OVER w AS BIGINT) AS n_pred,
+      |  CAST(sum(pos) OVER w AS BIGINT) AS n_tp,
+      |  CAST((sum(pos) OVER w) * 1000000 // (sum(n) OVER w) AS BIGINT)
+      |    AS precision_ppm,
+      |  CAST((sum(pos) OVER w) * 1000000 // (SELECT sum(y) FROM base) AS BIGINT)
+      |    AS recall_ppm
+      |FROM lv
+      |WINDOW w AS (ORDER BY threshold DESC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q135_pr_curve", docLengthPrCurve _, Some(docLengthPrCurveSql)),
     NamedQuery("q116_ks_drift", segmentPriceKs _, Some(segmentPriceKsSql)),
     NamedQuery("q105_spearman_rank_corr", revenueVolumeSpearman _,
       Some(revenueVolumeSpearmanSql)),

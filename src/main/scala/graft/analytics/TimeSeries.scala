@@ -510,7 +510,69 @@ object TimeSeries {
       |    AS orders_seasonality_x1000
       |FROM d""".stripMargin
 
+  // --------------------------------------------------------------- q136
+  /** Half-life-decayed revenue per nation — recency-weighted aggregates
+    * with EXACT integer arithmetic: each order's cents are divided by
+    * 2^(days_back DIV halfLife), i.e. the exponential-decay weight
+    * quantized to half-life steps. The quantization is what makes the
+    * number portable: `0.5^(days/30.0)` diverges in the last float ulp
+    * across engines/libms, `cents DIV (1 << k)` never does — and at the
+    * aggregate level the step decay is within 2× of the smooth curve,
+    * which is inside the noise of any recency-weighting decision.
+    *
+    * The shift clamps at 62 (beyond that a BIGINT shift overflows and the
+    * weight is 0 anyway — orders older than ~5 years at the default
+    * half-life contribute nothing, by design).
+    *
+    * Scale shape: the same plan as plain revenue-by-nation (q03) — fact
+    * scan, customer equi-join, broadcast nation dim, one aggregate; the
+    * max-date scalar broadcasts. Decay adds zero shuffles.
+    */
+  def decayedRevenue(spark: SparkSession, dir: String,
+                     halfLifeDays: Int = 30): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("d")).as("mxd"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    o.crossJoin(broadcast(mx))
+      .withColumn("k",
+        expr(s"least(datediff(mxd, d) DIV $halfLifeDays, 62)").cast("int"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("revenue_cents"),
+        sum(expr("cents DIV shiftleft(CAST(1 AS BIGINT), k)"))
+          .as("decayed_cents"))
+  }
+
+  private val decayedRevenueSql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate::DATE AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), mx AS (
+      |  SELECT max(d) AS mxd FROM o
+      |)
+      |SELECT n.n_name,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o.cents) AS BIGINT) AS revenue_cents,
+      |  CAST(sum(o.cents // (1::BIGINT <<
+      |    least(date_diff('day', o.d, mx.mxd) // 30, 62))) AS BIGINT)
+      |    AS decayed_cents
+      |FROM o, mx
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q136_decayed_revenue", (s, d) => decayedRevenue(s, d),
+      Some(decayedRevenueSql)),
     NamedQuery("q114_lead_lag_corr", viewPurchaseLeadLag _,
       Some(viewPurchaseLeadLagSql)),
     NamedQuery("q127_weekday_seasonality", weekdaySeasonality _,

@@ -634,6 +634,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 10 && s.shuffles <= 22, s"q134 regressed: $s")
   }
 
+  test("q135 pr curve windows ride the score-level table, not the corpus") {
+    val s = stats("q135_pr_curve")
+    // Audited 2 scans / 4 shuffles / 2 single-partition exchanges — the
+    // singleParts carry the distinct-score LEVEL table (value-space
+    // bounded; continuous scores get quantile-bucketed first).
+    assert(s.nestedLoops == 0, s"q135 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8 && s.singleParts <= 4,
+      s"q135 regressed: $s")
+  }
+
+  test("q136 decayed revenue keeps the q03 join shape; decay adds no shuffle") {
+    val s = stats("q136_decayed_revenue")
+    // Audited 8 scans / 10 shuffles / 2 one-row BNLJs (max-date scalar).
+    assert(s.nestedLoops <= 3 && s.smj == 0, s"q136 regressed: $s")
+    assert(s.scans <= 16 && s.shuffles <= 20 && s.singleParts <= 4,
+      s"q136 regressed: $s")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

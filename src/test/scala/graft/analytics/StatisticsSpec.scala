@@ -1,9 +1,13 @@
 package graft.analytics
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class StatisticsSpec extends SparkSpec {
   import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
 
   private def perDay(rows: (String, Int, Long, Long)*) =
     rows.toDF("g", "day", "a", "b")
@@ -146,5 +150,34 @@ class StatisticsSpec extends SparkSpec {
     // c's rest is {1,2}: at v=2, c1=0, c2=2 → d_num = |2·0 − 1·2| = 2.
     val out = ks(("a", 1L), ("b", 2L), ("c", 3L))
     assert(out("c") == ((1L, 2L, 2L, 1000000L)))
+  }
+
+  test("pr curve: hand-computed cumulative confusion table") {
+    import spark.implicits._
+    val df = Seq((3L, true), (3L, false), (2L, true), (1L, false), (1L, true))
+      .toDF("s", "y")
+    val got = Statistics.prCurve(df, col("s"), col("y")).collect()
+      .map(r => r.getAs[Long]("threshold") ->
+        (r.getAs[Long]("n_pred"), r.getAs[Long]("n_tp"),
+          r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(got == Map(
+      3L -> ((2L, 1L, 500000L, 333333L)),
+      2L -> ((3L, 2L, 666666L, 666666L)),
+      1L -> ((5L, 3L, 600000L, 1000000L))))
+  }
+
+  test("pr curve: corpus sweep is monotone and terminates at full recall") {
+    val rows = Statistics.docLengthPrCurve(spark, dir).collect()
+      .sortBy(-_.getAs[Long]("threshold"))
+    assert(rows.length > 10)
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Long]("n_pred") < lo.getAs[Long]("n_pred"),
+        "lowering the threshold strictly grows the predicted set")
+      assert(hi.getAs[Long]("recall_ppm") <= lo.getAs[Long]("recall_ppm"),
+        "recall is monotone in the sweep direction")
+      assert(hi.getAs[Long]("n_tp") <= lo.getAs[Long]("n_tp"))
+    }
+    assert(rows.last.getAs[Long]("recall_ppm") == 1000000L,
+      "the all-inclusive threshold captures every positive")
   }
 }

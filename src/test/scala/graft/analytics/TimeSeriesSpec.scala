@@ -223,4 +223,37 @@ class TimeSeriesSpec extends SparkSpec {
       .filter(weekday(col("o_orderdate")) === 0).count()
     assert(out.find(_.getAs[Int]("isodow") == 1).get.getAs[Long]("n_orders") == monday)
   }
+
+  test("decayed revenue: matches a driver-side per-order recompute") {
+    val sfDir = "/root/testdata/sf0.001"
+    // Independent recompute: collect the (nation, date, cents) fact rows
+    // and fold the exact same quantized half-life weights in plain Scala.
+    val facts = graft.core.Tables.orders(spark, sfDir)
+      .join(graft.core.Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.core.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getAs[String]("n_name"),
+        r.getAs[Date]("d").toLocalDate, r.getAs[Long]("cents")))
+    val mxd = facts.map(_._2).maxBy(_.toEpochDay)
+    val expect = facts.groupBy(_._1).map { case (n, rs) =>
+      val decayed = rs.map { case (_, dt, c) =>
+        val k = math.min((mxd.toEpochDay - dt.toEpochDay) / 30, 62L).toInt
+        c / (1L << k)
+      }.sum
+      n -> (rs.length.toLong, rs.map(_._3).sum, decayed)
+    }
+    val got = TimeSeries.decayedRevenue(spark, sfDir).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Long]("decayed_cents"))).toMap
+    assert(got == expect)
+    got.values.foreach { case (_, rev, dec) =>
+      assert(dec <= rev, "decay can only shrink revenue")
+      assert(dec >= 0)
+    }
+  }
 }
