@@ -40,7 +40,12 @@ object ScaleCheck {
     "q74_bm25_topdocs", "q79_pmi_pairs",
     // round-8: the shingle→first-doc map (corpus-linear explode + three
     // hash aggs) and the sliding-distinct cascade (×7 bounded explode).
-    "q124_ngram_novelty", "q120_sliding_wau")
+    "q124_ngram_novelty", "q120_sliding_wau",
+    // round-8b: winnowing's window-minimum selection, the LSH pair DAG
+    // under split attribution, and CDC's chunk-rebuild aggregate — all
+    // corpus-linear by construction (suffix-replica docs share no
+    // grams/chunks across replicas).
+    "q128_winnow_fingerprints", "q129_split_leakage", "q134_cdc_chunks")
 
   /** Shuffle-write accounting per timed section. */
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {

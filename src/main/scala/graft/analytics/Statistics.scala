@@ -444,7 +444,81 @@ object Statistics {
       |WINDOW w AS (ORDER BY threshold DESC
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // --------------------------------------------------------------- q138
+  /** Quantile normalization across groups — map every row's value onto
+    * the POOLED distribution at the same within-group quantile (the
+    * batch-effect correction standard from expression-array statistics,
+    * Bolstad et al. 2003, applied to per-source score drift): after
+    * normalization every source has the same marginal distribution, so
+    * downstream thresholds mean the same thing for every source.
+    *
+    * Deterministic integer formulation: within-group rank r (total order
+    * via the id tiebreak), target pooled rank ⌈r·N/n_g⌉ in integer
+    * arithmetic, and the normalized value is the pooled value whose
+    * cumulative-count interval contains that target rank.
+    *
+    * Scale shape: ranks are group-keyed windows; the pooled distribution
+    * collapses to its VALUE-LEVEL table (one hash aggregate + one
+    * level-sized cumulative window), and the rank→value lookup is a
+    * broadcast interval join against that level table — value-space
+    * bounded, like q135's sweep. A corpus-sized global sort never
+    * exists; for unbounded-cardinality scores, quantile-bucket first.
+    */
+  def quantileNormalize(df: DataFrame, group: Column, value: Column,
+                        id: Column): DataFrame = {
+    val base = df.select(id.as("id"), group.as("g"), value.as("v"))
+    val n = base.agg(count(lit(1)).as("n_total"))
+    val wsrc = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val wg = Window.partitionBy("g")
+    val ranked = base
+      .withColumn("r", row_number().over(wsrc))
+      .withColumn("n_g", count(lit(1)).over(wg))
+      .crossJoin(broadcast(n))
+      .withColumn("tr", expr("(r * n_total + n_g - 1) DIV n_g"))
+    val wlev = Window.orderBy("lvv").rowsBetween(Window.unboundedPreceding, 0)
+    val lev = base.groupBy(col("v").as("lvv")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wlev))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    ranked.join(broadcast(lev),
+        col("tr") > col("cum_prev") && col("tr") <= col("cum"))
+      .select(col("id"), col("g"), col("v"), col("lvv"),
+        col("r").cast("long").as("rank_in_group"))
+  }
+
+  def docLengthQuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalize(Tables.documents(spark, dir), col("source"),
+      col("n_chars"), col("doc_id"))
+      .select(col("id").as("doc_id"), col("g").as("source"),
+        col("v").as("n_chars"), col("lvv").as("norm_chars"),
+        col("rank_in_group"))
+
+  private val docLengthQuantileNormSql =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars AS v FROM documents
+      |), n AS (
+      |  SELECT count(*) AS n_total FROM base
+      |), rk AS (
+      |  SELECT doc_id, source, v,
+      |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n_g
+      |  FROM base
+      |), tr AS (
+      |  SELECT rk.*, (r * n.n_total + n_g - 1) // n_g AS tr FROM rk, n
+      |), lv AS (
+      |  SELECT v AS lvv, count(*) AS cnt FROM base GROUP BY 1
+      |), cl AS (
+      |  SELECT lvv, cnt, sum(cnt) OVER (ORDER BY lvv
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM lv
+      |)
+      |SELECT t.doc_id, t.source, t.v AS n_chars,
+      |  CAST(c.lvv AS BIGINT) AS norm_chars,
+      |  CAST(t.r AS BIGINT) AS rank_in_group
+      |FROM tr t JOIN cl c ON t.tr > c.cum - c.cnt AND t.tr <= c.cum""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q138_quantile_norm", docLengthQuantileNorm _,
+      Some(docLengthQuantileNormSql)),
     NamedQuery("q135_pr_curve", docLengthPrCurve _, Some(docLengthPrCurveSql)),
     NamedQuery("q116_ks_drift", segmentPriceKs _, Some(segmentPriceKsSql)),
     NamedQuery("q105_spearman_rank_corr", revenueVolumeSpearman _,

@@ -15,6 +15,12 @@ import graft.core.Tables
   */
 object TextAnalysis {
 
+  /** q137 checkpoint width (docs per vocabulary-growth checkpoint).
+    * Declared ahead of the `queries` Seq: the oracle SQL interpolates it
+    * at init time (object vals initialize in declaration order).
+    */
+  val CkptDocs = 50
+
   /** Non-empty whitespace tokens. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
@@ -1158,7 +1164,8 @@ object TextAnalysis {
     // init (object vals initialize in declaration order).
     NamedQuery("q124_ngram_novelty", shingleNovelty _, Some(shingleNoveltySql)),
     NamedQuery("q130_bpe_pair_stats", (s, d) => bpePairStats(s, d),
-      Some(bpePairStatsSql)))
+      Some(bpePairStatsSql)),
+    NamedQuery("q137_vocab_growth", vocabGrowthDocs _, Some(vocabGrowthSql)))
 
   // --------------------------------------------------------------- q130
   /** BPE merge-candidate statistics — the inner loop of byte-pair-encoding
@@ -1201,6 +1208,70 @@ object TextAnalysis {
       .where(col("rank") <= topK)
       .select(col("rank"), col("pair"), col("n_words"), col("total_count"))
   }
+
+  // --------------------------------------------------------------- q137
+  /** Heaps-law vocabulary growth curve — cumulative token and distinct-
+    * vocabulary counts at fixed doc-count checkpoints (doc-id order),
+    * plus the type-token ratio in ppm. The corpus-health measurement
+    * behind "is more data still adding vocabulary": vocab_cum flattening
+    * against tokens_cum says the source is exhausted (Heaps' law
+    * V ≈ K·nᵝ, reported as the raw curve — fitting β is a driver-side
+    * two-point log ratio if wanted, never an engine concern).
+    *
+    * Scale shape: cumulative-distinct is the q124 trick — a token's
+    * checkpoint of FIRST occurrence (min doc_id) is a hash aggregate, so
+    * "distinct tokens by checkpoint c" = Σ new_vocab over cp ≤ c. Both
+    * cumulative sums ride the CHECKPOINT table (corpus_size / CkptDocs
+    * rows); the corpus shuffles only for the two keyed aggregates. No
+    * window ever sees a corpus-sized partition.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    // ceil(doc/C) in INTEGER arithmetic (Column./ would promote to double).
+    def cpOf(c: String): Column =
+      expr(s"CAST(($c + ${CkptDocs - 1}) DIV $CkptDocs AS BIGINT)")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val perCp = tok.groupBy(cpOf("doc_id").as("cp"))
+      .agg(count(lit(1)).as("toks"), countDistinct(col("doc_id")).as("docs"))
+    val newVocab = tok.groupBy("t").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(cpOf("first_doc").as("cp"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
+    perCp.join(newVocab, Seq("cp"), "left")
+      .withColumn("docs_cum", sum(col("docs")).over(w))
+      .withColumn("tokens_cum", sum(col("toks")).over(w))
+      .withColumn("vocab_cum", sum(coalesce(col("new_vocab"), lit(0L))).over(w))
+      .select(col("cp"), col("docs_cum"), col("tokens_cum"), col("vocab_cum"),
+        expr("CAST(vocab_cum * 1000000 DIV tokens_cum AS BIGINT)")
+          .as("ttr_ppm"))
+  }
+
+  def vocabGrowthDocs(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(spark, dir))
+
+  // lazy: declared below the queries Seq (object-init-order, as q124).
+  private lazy val vocabGrowthSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS t
+       |  FROM documents
+       |), per_cp AS (
+       |  SELECT (doc_id + ${CkptDocs - 1}) // $CkptDocs AS cp,
+       |    count(*) AS toks, count(DISTINCT doc_id) AS docs
+       |  FROM tok GROUP BY 1
+       |), nv AS (
+       |  SELECT (first_doc + ${CkptDocs - 1}) // $CkptDocs AS cp,
+       |    count(*) AS new_vocab
+       |  FROM (SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY 1)
+       |  GROUP BY 1
+       |)
+       |SELECT p.cp,
+       |  CAST(sum(p.docs) OVER w AS BIGINT) AS docs_cum,
+       |  CAST(sum(p.toks) OVER w AS BIGINT) AS tokens_cum,
+       |  CAST(sum(coalesce(n.new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum,
+       |  CAST((sum(coalesce(n.new_vocab, 0)) OVER w) * 1000000
+       |    // (sum(p.toks) OVER w) AS BIGINT) AS ttr_ppm
+       |FROM per_cp p LEFT JOIN nv n ON n.cp = p.cp
+       |WINDOW w AS (ORDER BY p.cp ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND CURRENT ROW)""".stripMargin
 
   // lazy for the same object-init-order reason as shingleNoveltySql.
   private lazy val bpePairStatsSql =

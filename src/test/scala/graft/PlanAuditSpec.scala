@@ -652,6 +652,25 @@ class PlanAuditSpec extends SparkSpec {
       s"q136 regressed: $s")
   }
 
+  test("q137 vocab growth rides the checkpoint table, not a corpus window") {
+    val s = stats("q137_vocab_growth")
+    // Audited 4 scans / 12 shuffles / 2 singleParts (the checkpoint-table
+    // cumulative window — corpus_size/50 rows, never the corpus).
+    assert(s.nestedLoops == 0, s"q137 regressed: $s")
+    assert(s.scans <= 8 && s.shuffles <= 24 && s.singleParts <= 4,
+      s"q137 regressed: $s")
+  }
+
+  test("q138 quantile normalization: interval lookup stays broadcast against the level table") {
+    val s = stats("q138_quantile_norm")
+    // Audited 6 scans / 12 shuffles / 4 BNLJs — the BNLJs are the
+    // broadcast rank→value interval join (value-space bounded) and the
+    // one-row N scalar; group ranks are source-keyed windows.
+    assert(s.nestedLoops <= 6 && s.smj == 0, s"q138 regressed: $s")
+    assert(s.scans <= 12 && s.shuffles <= 24 && s.singleParts <= 8,
+      s"q138 regressed: $s")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

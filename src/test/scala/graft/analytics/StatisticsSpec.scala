@@ -166,6 +166,40 @@ class StatisticsSpec extends SparkSpec {
       1L -> ((5L, 3L, 600000L, 1000000L))))
   }
 
+  test("quantile normalization: hand-computed pooled mapping") {
+    import spark.implicits._
+    val df = Seq(("g1", 1L, 101L), ("g1", 2L, 102L), ("g1", 3L, 103L),
+      ("g1", 4L, 104L), ("g2", 10L, 201L), ("g2", 20L, 202L))
+      .toDF("g", "v", "id")
+    val got = Statistics.quantileNormalize(df, col("g"), col("v"), col("id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("lvv"), r.getAs[Long]("rank_in_group"))).toMap
+    // N=6; g1 (n=4): target ranks ⌈r·6/4⌉ = 2,3,5,6 → pooled values
+    // 2,3,10,20; g2 (n=2): targets 3,6 → 3,20.
+    assert(got == Map(
+      101L -> ((2L, 1L)), 102L -> ((3L, 2L)), 103L -> ((10L, 3L)),
+      104L -> ((20L, 4L)), 201L -> ((3L, 1L)), 202L -> ((20L, 2L))))
+  }
+
+  test("quantile normalization: every row maps to exactly one pooled level; monotone per group") {
+    val out = Statistics.docLengthQuantileNorm(spark, dir).collect()
+    val docs = graft.core.Tables.documents(spark, dir).count()
+    assert(out.length.toLong == docs, "the interval join is a bijection on rows")
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank_in_group"))
+      val norms = byRank.map(_.getAs[Long]("norm_chars")).toSeq
+      assert(norms == norms.sorted, "normalized values are monotone in rank")
+    }
+    // Equal-sized groups receive identical normalized multisets — the
+    // defining property of quantile normalization.
+    val bySize = out.groupBy(_.getAs[String]("source"))
+      .values.groupBy(_.size).filter(_._2.size >= 2)
+    bySize.foreach { case (_, groups) =>
+      val sets = groups.map(_.map(_.getAs[Long]("norm_chars")).sorted.toSeq).toSet
+      assert(sets.size == 1, "same-size groups must normalize identically")
+    }
+  }
+
   test("pr curve: corpus sweep is monotone and terminates at full recall") {
     val rows = Statistics.docLengthPrCurve(spark, dir).collect()
       .sortBy(-_.getAs[Long]("threshold"))

@@ -291,6 +291,37 @@ class TextAnalysisSpec extends SparkSpec {
     // The rank-1 row IS the next BPE merge — determinism is the contract.
   }
 
+  test("vocab growth: hand-computed checkpoint curve") {
+    import spark.implicits._
+    // cp1 = docs 1,2 (CkptDocs=50); cp2 = doc 51.
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (51L, "c d d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => r.getAs[Long]("cp") ->
+        (r.getAs[Long]("docs_cum"), r.getAs[Long]("tokens_cum"),
+          r.getAs[Long]("vocab_cum"), r.getAs[Long]("ttr_ppm"))).toMap
+    assert(got == Map(
+      1L -> ((2L, 5L, 3L, 600000L)),
+      2L -> ((3L, 8L, 4L, 500000L))))
+  }
+
+  test("vocab growth: corpus curve terminates at the exact corpus totals") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val rows = TextAnalysis.vocabGrowthDocs(spark, dir).collect()
+      .sortBy(_.getAs[Long]("cp"))
+    assert(rows.length >= 2, "fixture spans several checkpoints")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("vocab_cum") <= b.getAs[Long]("vocab_cum"))
+      assert(a.getAs[Long]("tokens_cum") < b.getAs[Long]("tokens_cum"))
+    }
+    val tok = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val last = rows.last
+    assert(last.getAs[Long]("tokens_cum") == tok.count())
+    assert(last.getAs[Long]("vocab_cum") ==
+      tok.agg(countDistinct(col("t"))).collect().head.getLong(0))
+  }
+
   test("bpe pair stats: corpus ranking is consistent and bounded") {
     val rows = TextAnalysis.bpePairStats(spark, "/root/testdata/sf0.001", topK = 20)
       .collect()
