@@ -545,7 +545,188 @@ object EventAnalytics {
       |  CAST(sum(cents) AS BIGINT) AS total_cents
       |FROM p GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q139
+  /** Session MRR — mean reciprocal rank of the first `purchase` within
+    * each 30-minute session, cohorted by the session's FIRST event type
+    * (the "entry point"). The search-relevance metric applied to
+    * conversion: how early in a session does the goal event land, per
+    * acquisition path. All arithmetic is exact integers — reciprocal
+    * ranks in micro units (1e6 DIV position), their sum, and the mean
+    * over converting sessions.
+    *
+    * Session identity is the q32 gaps-and-islands id (same 1800-second
+    * gap, same (ts, event_id) total order), so the session boundary
+    * semantics are already oracle-pinned; this query adds the
+    * within-session position layer on the SAME user-keyed window pass —
+    * no extra shuffle beyond the final cohort aggregate.
+    */
+  def sessionMrr(spark: SparkSession, dir: String): DataFrame =
+    sessionMrr(Tables.events(spark, dir))
+
+  def sessionMrr(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wu = w.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wu))
+          > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wu))
+    val ws = w.partitionBy("user_id", "sid").orderBy(col("ts"), col("event_id"))
+    val inSession = marked
+      .withColumn("pos", row_number().over(ws))
+      .groupBy("user_id", "sid")
+      .agg(
+        min(when(col("event_type") === "purchase", col("pos"))).as("first_buy"),
+        min(struct(col("pos"), col("event_type"))).as("first_ev"))
+    inSession
+      .groupBy(col("first_ev.event_type").as("entry_type"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count(col("first_buy")).as("n_converting"),
+        sum(when(col("first_buy").isNotNull,
+          expr("CAST(1000000 DIV first_buy AS BIGINT)")).otherwise(0L))
+          .as("sum_rr_micro"))
+      .withColumn("conv_ppm",
+        expr("CAST(n_converting * 1000000 DIV n_sessions AS BIGINT)"))
+      .withColumn("mrr_micro",
+        expr("CAST(CASE WHEN n_converting > 0 " +
+          "THEN sum_rr_micro DIV n_converting ELSE 0 END AS BIGINT)"))
+  }
+
+  private val sessionMrrSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), islands AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |), pos AS (
+      |  SELECT user_id, sid, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id)
+      |      AS pos
+      |  FROM islands
+      |), per_session AS (
+      |  SELECT user_id, sid,
+      |    min(CASE WHEN event_type = 'purchase' THEN pos END) AS first_buy,
+      |    min_by(event_type, pos) AS entry_type
+      |  FROM pos GROUP BY 1, 2
+      |)
+      |SELECT entry_type,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(count(first_buy) AS BIGINT) AS n_converting,
+      |  CAST(sum(CASE WHEN first_buy IS NOT NULL
+      |           THEN 1000000 // first_buy ELSE 0 END) AS BIGINT)
+      |    AS sum_rr_micro,
+      |  CAST(count(first_buy) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+      |  CAST(CASE WHEN count(first_buy) > 0
+      |       THEN sum(CASE WHEN first_buy IS NOT NULL
+      |                THEN 1000000 // first_buy ELSE 0 END)
+      |            // count(first_buy)
+      |       ELSE 0 END AS BIGINT) AS mrr_micro
+      |FROM per_session GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q140
+  /** Association rules over sessions (Apriori level 2, Agrawal &
+    * Srikant '94, on the session×event-type basket matrix): for every
+    * ordered pair of event types (antecedent → consequent), the
+    * co-occurrence count, support, confidence, and lift — all in exact
+    * integer ppm/milli units. The "users who error also churn"-class
+    * analysis, run entirely on DISTINCT per-session types so a burst of
+    * repeated clicks cannot inflate a rule.
+    *
+    * Scale shape: sessions collapse to their distinct type sets (one
+    * aggregate on the session key), the pair space is |types|² — a
+    * BOUNDED self-join on the session id over rows-per-session ≤
+    * |types|, and the rule table is |types|²-sized however large the
+    * corpus. Lift in milli units = (n_both · N · 1000) DIV (n_a · n_b).
+    */
+  def sessionAssocRules(spark: SparkSession, dir: String): DataFrame =
+    sessionAssocRules(Tables.events(spark, dir))
+
+  def sessionAssocRules(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wu = w.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val types = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wu))
+          > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wu))
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    val nSessions = types.select("user_id", "sid").distinct().count()
+    val perType = types.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = types.alias("a")
+      .join(types.select(col("user_id"), col("sid"),
+        col("event_type").as("consequent")).alias("b"),
+        Seq("user_id", "sid"))
+      .where(col("event_type") =!= col("consequent"))
+      .groupBy(col("event_type").as("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("t").as("antecedent"),
+        col("n_t").as("n_a"))), Seq("antecedent"))
+      .join(broadcast(perType.select(col("t").as("consequent"),
+        col("n_t").as("n_c"))), Seq("consequent"))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_a"), col("n_c"),
+        expr(s"CAST(n_both * 1000000 DIV $nSessions AS BIGINT)")
+          .as("support_ppm"),
+        expr("CAST(n_both * 1000000 DIV n_a AS BIGINT)").as("confidence_ppm"),
+        expr(s"CAST(n_both * $nSessions * 1000 DIV (n_a * n_c) AS BIGINT)")
+          .as("lift_milli"))
+  }
+
+  private val sessionAssocRulesSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), islands AS (
+      |  SELECT user_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |), types AS (
+      |  SELECT DISTINCT user_id, sid, event_type FROM islands
+      |), n AS (
+      |  SELECT count(*) AS n_sessions
+      |  FROM (SELECT DISTINCT user_id, sid FROM types)
+      |), per_type AS (
+      |  SELECT event_type AS t, count(*) AS n_t FROM types GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+      |    count(*) AS n_both
+      |  FROM types a JOIN types b
+      |    ON a.user_id = b.user_id AND a.sid = b.sid
+      |   AND a.event_type <> b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.antecedent, p.consequent,
+      |  CAST(p.n_both AS BIGINT) AS n_both,
+      |  CAST(pa.n_t AS BIGINT) AS n_a,
+      |  CAST(pc.n_t AS BIGINT) AS n_c,
+      |  CAST(p.n_both * 1000000 // n.n_sessions AS BIGINT) AS support_ppm,
+      |  CAST(p.n_both * 1000000 // pa.n_t AS BIGINT) AS confidence_ppm,
+      |  CAST(p.n_both * n.n_sessions * 1000 // (pa.n_t * pc.n_t) AS BIGINT)
+      |    AS lift_milli
+      |FROM pairs p
+      |JOIN per_type pa ON pa.t = p.antecedent
+      |JOIN per_type pc ON pc.t = p.consequent
+      |CROSS JOIN n""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q139_session_mrr", sessionMrr _, Some(sessionMrrSql)),
+    NamedQuery("q140_session_assoc_rules", sessionAssocRules _,
+      Some(sessionAssocRulesSql)),
     NamedQuery("q60_daily_anomalies", dailyAnomalies _, Some(dailyAnomaliesSql)),
     NamedQuery("q126_touch_attribution", touchAttribution _,
       Some(touchAttributionSql)),

@@ -671,6 +671,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q138 regressed: $s")
   }
 
+  test("q139 session MRR reuses the q32 user-keyed window pass") {
+    val s = stats("q139_session_mrr")
+    // Audited 2 scans / 4 shuffles: gaps-and-islands + position windows
+    // ride one user partitioning; the cohort aggregate is 5 groups.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q139 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8, s"q139 regressed: $s")
+  }
+
+  test("q140 assoc rules: basket self-join bounded by session type sets") {
+    val s = stats("q140_session_assoc_rules")
+    // Audited 6 scans / 18 shuffles: the pair join is an equi-join on the
+    // session id over ≤|types| rows per session — never an event-level
+    // pair space; the rule table is |types|²-sized.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q140 regressed: $s")
+    assert(s.scans <= 12 && s.shuffles <= 36, s"q140 regressed: $s")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

@@ -216,4 +216,62 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(d9.getAs[Long]("n_click_attributed") == 0,
       "a click 8.5 days before the purchase must not attribute")
   }
+
+  test("session MRR: hand journeys — entry cohorts, reciprocal ranks, session breaks") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1, session A: view → purchase at pos 2 (rr 500000), entry view.
+    //          session B (gap > 30 min): click, error — no conversion.
+    // user 2: purchase alone → pos 1, rr 1000000, entry purchase.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "purchase"),
+      (3L, 1L, ts("2024-01-01 11:00:00"), "click"),
+      (4L, 1L, ts("2024-01-01 11:05:00"), "error"),
+      (5L, 2L, ts("2024-01-01 09:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.sessionMrr(ev).collect()
+      .map(r => r.getAs[String]("entry_type") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converting"),
+          r.getAs[Long]("sum_rr_micro"), r.getAs[Long]("conv_ppm"),
+          r.getAs[Long]("mrr_micro"))).toMap
+    assert(out == Map(
+      "view" -> ((1L, 1L, 500000L, 1000000L, 500000L)),
+      "click" -> ((1L, 0L, 0L, 0L, 0L)),
+      "purchase" -> ((1L, 1L, 1000000L, 1000000L, 1000000L))))
+  }
+
+  test("session assoc rules: hand baskets — support, confidence, lift") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Three sessions (distinct users, no gaps): {A,B}, {A}, {A,B} with a
+    // repeated B that must NOT inflate the rule (distinct types per basket).
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "B"),
+      (3L, 2L, ts("2024-01-01 10:00:00"), "A"),
+      (4L, 3L, ts("2024-01-01 10:00:00"), "A"),
+      (5L, 3L, ts("2024-01-01 10:01:00"), "B"),
+      (6L, 3L, ts("2024-01-01 10:02:00"), "B")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.sessionAssocRules(ev).collect()
+      .map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) ->
+        (r.getAs[Long]("n_both"), r.getAs[Long]("support_ppm"),
+          r.getAs[Long]("confidence_ppm"), r.getAs[Long]("lift_milli"))).toMap
+    // N=3 sessions; n_A=3, n_B=2, n_both=2.
+    // A→B: supp 2/3, conf 2/3, lift (2·3)/(3·2) = 1.0.
+    assert(out == Map(
+      ("A", "B") -> ((2L, 666666L, 666666L, 1000L)),
+      ("B", "A") -> ((2L, 666666L, 1000000L, 1000L))))
+  }
+
+  test("session metrics agree on session identity with q32 on the events table") {
+    val dir = "/root/testdata/sf0.001"
+    val sessions = Extended.eventSessions(spark, dir).count()
+    val mrr = EventAnalytics.sessionMrr(spark, dir).collect()
+    assert(mrr.map(_.getAs[Long]("n_sessions")).sum == sessions,
+      "entry-type cohorts partition exactly the q32 session set")
+    mrr.foreach { r =>
+      assert(r.getAs[Long]("n_converting") <= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Long]("mrr_micro") <= 1000000L)
+    }
+  }
 }
