@@ -723,7 +723,80 @@ object EventAnalytics {
       |JOIN per_type pc ON pc.t = p.consequent
       |CROSS JOIN n""".stripMargin
 
+  // --------------------------------------------------------------- q141
+  /** Capped-at-zero running balance per user (credits add, debits
+    * subtract, the balance can never go negative — inventory levels,
+    * prepaid accounts, rate-limit token buckets). The naive reading is an
+    * imperative per-row fold (`bal = max(0, bal + δ)`), which SQL cannot
+    * window — but the fold has a closed form over prefix sums:
+    *
+    *   capped_i = p_i − min(0, min_{k ≤ i} p_k)
+    *
+    * (the floor "absorbs" exactly the most negative prefix reached so
+    * far), and a floor hit occurs at i iff p_i < min(0, min_{k<i} p_k).
+    * So the whole computation is ONE user-keyed window pass — no
+    * mapGroups collect, no per-key memory, no sequential bottleneck; the
+    * identity is spec-proven against a literal driver-side fold.
+    *
+    * Deltas are integer cents (purchase/signup credit, everything else
+    * debits), so the fold is exact and engine-portable.
+    */
+  def cappedBalance(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wu = w.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = wu.rowsBetween(Long.MinValue, 0)
+    val before = wu.rowsBetween(Long.MinValue, -1)
+    events
+      .withColumn("delta",
+        when(col("event_type").isin("purchase", "signup"),
+          expr("CAST(round(value * 100) AS BIGINT)"))
+          .otherwise(expr("-CAST(round(value * 100) AS BIGINT)")))
+      .withColumn("p", sum(col("delta")).over(run))
+      .withColumn("m_prev",
+        least(lit(0L), coalesce(min(col("p")).over(before), lit(0L))))
+      .withColumn("hit", (col("p") < col("m_prev")).cast("long"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        // final balance = p_n − min(0, min_k p_k): both terms aggregate.
+        (sum(col("delta")) - least(lit(0L), min(col("p")))).as("final_cents"),
+        sum(col("hit")).as("n_floor_hits"))
+  }
+
+  def cappedBalanceEvents(spark: SparkSession, dir: String): DataFrame =
+    cappedBalance(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")))
+
+  private val cappedBalanceSql =
+    """WITH d AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_type IN ('purchase', 'signup')
+      |         THEN CAST(round(value * 100) AS BIGINT)
+      |         ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+      |  FROM events
+      |), p1 AS (
+      |  SELECT user_id, event_id, ts, delta,
+      |    sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM d
+      |), p2 AS (
+      |  SELECT user_id, delta, p,
+      |    least(0, coalesce(min(p) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS m_prev
+      |  FROM p1
+      |)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(delta) - least(0, min(p)) AS BIGINT) AS final_cents,
+      |  CAST(sum(CASE WHEN p < m_prev THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_floor_hits
+      |FROM p2 GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q141_capped_balance", cappedBalanceEvents _,
+      Some(cappedBalanceSql)),
     NamedQuery("q139_session_mrr", sessionMrr _, Some(sessionMrrSql)),
     NamedQuery("q140_session_assoc_rules", sessionAssocRules _,
       Some(sessionAssocRulesSql)),

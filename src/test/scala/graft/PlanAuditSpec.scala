@@ -688,6 +688,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 12 && s.shuffles <= 36, s"q140 regressed: $s")
   }
 
+  test("q141 capped balance is one user-keyed window pass (no imperative fold)") {
+    val s = stats("q141_capped_balance")
+    // Audited 2 scans / 2 shuffles: the prefix-min identity turns the
+    // sequential max(0, bal+d) fold into windows + one aggregate.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q141 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 4, s"q141 regressed: $s")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

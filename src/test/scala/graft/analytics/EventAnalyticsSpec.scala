@@ -263,6 +263,51 @@ class EventAnalyticsSpec extends SparkSpec {
       ("B", "A") -> ((2L, 666666L, 1000000L, 1000L))))
   }
 
+  test("capped balance: window identity equals the literal imperative fold") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Hand case exercising floor hits, recovery, and an all-debit user.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase", 50.0), // +5000 → 5000
+      (2L, 1L, ts("2024-01-01 10:01:00"), "error", 70.0),    // −7000 → 0 (hit)
+      (3L, 1L, ts("2024-01-01 10:02:00"), "signup", 30.0),   // +3000 → 3000
+      (4L, 2L, ts("2024-01-01 10:00:00"), "click", 20.0),    // −2000 → 0 (hit)
+      (5L, 2L, ts("2024-01-01 10:01:00"), "view", 10.0)      // −1000 → 0 (hit)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.cappedBalance(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("final_cents"),
+          r.getAs[Long]("n_floor_hits"))).toMap
+    assert(got == Map(1L -> ((3L, 3000L, 1L)), 2L -> ((2L, 0L, 2L))))
+  }
+
+  test("capped balance: corpus-wide equality with a driver-side fold") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val expect = raw.groupBy(_._1).map { case (u, rows) =>
+      var bal = 0L; var hits = 0L
+      rows.sortBy(r => (r._3, r._2)).foreach { r =>
+        // HALF_UP like Spark's round() (math.rint would be half-even).
+        val cents = BigDecimal(r._5 * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        val d = if (r._4 == "purchase" || r._4 == "signup") cents else -cents
+        if (bal + d < 0) { bal = 0L; hits += 1 } else bal += d
+      }
+      u -> (rows.length.toLong, bal, hits)
+    }
+    val got = EventAnalytics.cappedBalanceEvents(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("final_cents"),
+          r.getAs[Long]("n_floor_hits"))).toMap
+    assert(got == expect,
+      "the prefix-min identity must equal the imperative max(0, bal+d) fold")
+  }
+
   test("session metrics agree on session identity with q32 on the events table") {
     val dir = "/root/testdata/sf0.001"
     val sessions = Extended.eventSessions(spark, dir).count()
