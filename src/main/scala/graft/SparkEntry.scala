@@ -23,7 +23,8 @@ object Registry {
       graft.analytics.GraphRank.queries ++ graft.warehouse.TableDiff.queries ++
       graft.analytics.FrequencySketches.queries ++ graft.warehouse.MomentsState.queries ++
       graft.analytics.Statistics.queries ++ graft.warehouse.FrequentItemsState.queries ++
-      graft.analytics.PqIndex.queries ++ graft.analytics.Pca.queries
+      graft.analytics.PqIndex.queries ++ graft.analytics.Pca.queries ++
+      graft.warehouse.SkylineState.queries
 }
 
 object SparkEntry {
