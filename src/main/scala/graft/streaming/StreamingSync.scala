@@ -81,6 +81,34 @@ object StreamingSync {
     * bounded key set — the property that matters at 100 TB/day; plain
     * `dropDuplicates` on a stream would grow state forever.
     */
+  /** Exact top-k per (event-time window, group) on a stream — the
+    * streaming face of [[graft.functions.TopK]]: the same bounded-heap
+    * typed Aggregator runs inside a watermarked windowed aggregation, so
+    * streaming state per open (window, group) is ≤ k entries (the
+    * aggregation buffer IS the heap — no row log), windows emit once the
+    * watermark closes them, and the result equals the batch aggregator
+    * run over the same data (StreamingTopKSpec pins stream ≡ batch).
+    * Complements the approximate windowed Misra–Gries path: MG bounds
+    * memory for UNBOUNDED key cardinality; this is exact for a FIXED k.
+    */
+  def windowedTopK(events: DataFrame, winDur: String, tsCol: String,
+                   groupCol: String, score: org.apache.spark.sql.Column,
+                   key: org.apache.spark.sql.Column,
+                   sub: org.apache.spark.sql.Column, k: Int,
+                   lateness: String = "10 minutes")(
+      implicit bufEnc: org.apache.spark.sql.Encoder[List[graft.functions.TopK.Entry]],
+      outEnc: org.apache.spark.sql.Encoder[Seq[graft.functions.TopK.Entry]]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), winDur), col(groupCol))
+      .agg(graft.functions.TopK.topK(k)(score, key, sub).as("top"))
+      .select(col("window.start").cast("long").as("w_start"), col(groupCol),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("w_start"), col(groupCol),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.score").as("score"), col("e.key").as("key"),
+        col("e.sub").as("sub"))
+
   def dedupedStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
                     lateness: String = "1 hour"): DataFrame = {
     require(keyCols.nonEmpty, "dedupedStream needs at least one key column")
