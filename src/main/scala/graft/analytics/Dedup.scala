@@ -1153,7 +1153,84 @@ object Dedup {
        |FROM per p LEFT JOIN shared s ON s.doc_id = p.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q144
+  /** Dedup savings report — the number a curation run is judged by:
+    * per source, how many documents AND how much token mass near-dup
+    * deduplication removes (keep-min-id per cluster, q30 semantics, on
+    * the planted-twin corpus so dup structure is dense and known).
+    * Token savings ≠ doc savings when duplicates skew long — which is
+    * exactly why budget decisions need the token row, not the doc row.
+    *
+    * Same cached-eager clustering + lazy summary discipline as q30; the
+    * token accounting adds one `size(tokens())` projection on each side
+    * — no new shuffles beyond the per-source aggregates.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.select(col("doc_id"), col("text"), col("source")).unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"), col("source")))
+      .cache()
+    try {
+      val kept = dedupedCorpus(planted, threshold = 0.7, maxBucketSize = None)
+      def tok(df: DataFrame) =
+        df.select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      val before = tok(planted).groupBy("source")
+        .agg(count(lit(1)).as("n_before"), sum(col("nt")).as("tokens_before"))
+      val after = tok(kept).groupBy(col("source").as("s2"))
+        .agg(count(lit(1)).as("n_after"), sum(col("nt")).as("tokens_after"))
+      before.join(after, col("source") === col("s2"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          col("tokens_before"),
+          coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
+        .withColumn("token_savings_ppm",
+          expr("CAST((tokens_before - tokens_after) * 1000000 DIV tokens_before AS BIGINT)"))
+    } finally planted.unpersist(blocking = false)
+  }
+
+  private val dedupSavingsSql =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text, source FROM documents
+       |), ${exactPairCtes(0.7)},
+       |edges AS (
+       |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON r.dst = e.a_id
+       |),
+       |labels AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+       |),
+       |toks2 AS (
+       |  SELECT c.doc_id, c.source,
+       |    len(list_filter(str_split(c.text, ' '), t -> len(t) > 0)) AS nt,
+       |    l.cluster_id
+       |  FROM corpus c JOIN labels l ON c.doc_id = l.doc_id
+       |),
+       |bef AS (
+       |  SELECT source, count(*) AS n_before, sum(nt) AS tokens_before
+       |  FROM toks2 GROUP BY 1
+       |),
+       |aft AS (
+       |  SELECT source, count(*) AS n_after, sum(nt) AS tokens_after
+       |  FROM toks2 WHERE doc_id = cluster_id GROUP BY 1
+       |)
+       |SELECT b.source, CAST(b.n_before AS BIGINT) AS n_before,
+       |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+       |  CAST(b.tokens_before AS BIGINT) AS tokens_before,
+       |  CAST(coalesce(a.tokens_after, 0) AS BIGINT) AS tokens_after,
+       |  CAST((b.tokens_before - coalesce(a.tokens_after, 0)) * 1000000
+       |    // b.tokens_before AS BIGINT) AS token_savings_ppm
+       |FROM bef b LEFT JOIN aft a ON b.source = a.source""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q144_dedup_savings", dedupSavings _, Some(dedupSavingsSql)),
     NamedQuery("q134_cdc_chunks", cdcSummary _, Some(cdcSummarySql)),
     NamedQuery("q128_winnow_fingerprints", winnowSummary _, Some(winnowSummarySql)),
     NamedQuery("q115_containment_join", containmentJoin _, Some(containmentSql)),

@@ -794,7 +794,73 @@ object EventAnalytics {
       |    AS n_floor_hits
       |FROM p2 GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  /** Cohort LTV curves — cumulative per-user revenue by (acquisition
+    * cohort week, weeks since acquisition): the lifetime-value layer on
+    * top of q62's retention counts. Cohort = epoch-week of the user's
+    * FIRST event; revenue = purchase values in integer cents; the
+    * cumulative axis rides a cohort-keyed window over the (cohort × age)
+    * table — weeks-sized, never events-sized. cum_cents_per_user divides
+    * by the FIXED cohort size (not the week's active users), the
+    * standard LTV denominator, in exact integer division.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("datediff(to_date(ts), DATE '1970-01-01') DIV 7").as("wk"))
+    val firstWk = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sized = firstWk.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_users"))
+    val perAge = ev.join(firstWk, "user_id")
+      .withColumn("age", col("wk") - col("cohort_wk"))
+      .groupBy("cohort_wk", "age")
+      .agg(
+        countDistinct(col("user_id")).as("n_active"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("revenue_cents"))
+    val wc = w.partitionBy("cohort_wk").orderBy("age")
+      .rowsBetween(Long.MinValue, 0)
+    perAge.join(broadcast(sized), "cohort_wk")
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(wc))
+      .select(col("cohort_wk"), col("age"), col("cohort_users"),
+        col("n_active"), col("revenue_cents"), col("cum_revenue_cents"),
+        expr("CAST(cum_revenue_cents DIV cohort_users AS BIGINT)")
+          .as("cum_cents_per_user"))
+  }
+
+  private val cohortLtvSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    (ts::DATE - DATE '1970-01-01') // 7 AS wk
+      |  FROM events
+      |), fy AS (
+      |  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1
+      |), sized AS (
+      |  SELECT cohort_wk, count(*) AS cohort_users FROM fy GROUP BY 1
+      |), per_age AS (
+      |  SELECT f.cohort_wk, e.wk - f.cohort_wk AS age,
+      |    count(DISTINCT e.user_id) AS n_active,
+      |    sum(CASE WHEN e.event_type = 'purchase' THEN e.cents ELSE 0 END)
+      |      AS revenue_cents
+      |  FROM ev e JOIN fy f ON f.user_id = e.user_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.cohort_wk, p.age,
+      |  CAST(s.cohort_users AS BIGINT) AS cohort_users,
+      |  CAST(p.n_active AS BIGINT) AS n_active,
+      |  CAST(p.revenue_cents AS BIGINT) AS revenue_cents,
+      |  CAST(sum(p.revenue_cents) OVER (PARTITION BY p.cohort_wk ORDER BY p.age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_revenue_cents,
+      |  CAST((sum(p.revenue_cents) OVER (PARTITION BY p.cohort_wk ORDER BY p.age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |    // s.cohort_users AS BIGINT) AS cum_cents_per_user
+      |FROM per_age p JOIN sized s ON s.cohort_wk = p.cohort_wk""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q143_cohort_ltv", cohortLtv _, Some(cohortLtvSql)),
     NamedQuery("q141_capped_balance", cappedBalanceEvents _,
       Some(cappedBalanceSql)),
     NamedQuery("q139_session_mrr", sessionMrr _, Some(sessionMrrSql)),

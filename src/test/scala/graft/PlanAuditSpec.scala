@@ -696,6 +696,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 4 && s.shuffles <= 4, s"q141 regressed: $s")
   }
 
+  test("q143 cohort LTV: cumulative axis rides the cohort-age table") {
+    val s = stats("q143_cohort_ltv")
+    // Audited 6 scans / 16 shuffles; the cumulative window partitions by
+    // cohort over the weeks-sized (cohort × age) table.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q143 regressed: $s")
+    assert(s.scans <= 12 && s.shuffles <= 32, s"q143 regressed: $s")
+  }
+
+  test("q144 dedup savings keeps the q30 clustering shape + token aggregates") {
+    val s = stats("q144_dedup_savings")
+    // Audited 8 scans / 7 shuffles (clustering labels pre-materialized,
+    // the returned plan is joins + two per-source aggregates).
+    assert(s.nestedLoops == 0, s"q144 regressed: $s")
+    assert(s.scans <= 16 && s.shuffles <= 14, s"q144 regressed: $s")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

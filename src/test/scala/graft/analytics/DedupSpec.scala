@@ -405,6 +405,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup savings: doc counts reconcile with q30 and twins halve the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val savings = Dedup.dedupSavings(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[Long]("tokens_before"), r.getAs[Long]("tokens_after"),
+          r.getAs[Long]("token_savings_ppm"))).toMap
+    val q30 = Dedup.dedupCorpusSummary(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))).toMap
+    assert(savings.view.mapValues(v => (v._1, v._2)).toMap == q30,
+      "savings doc counts must equal the q30 dedup summary")
+    savings.values.foreach { case (nb, na, tb, ta, ppm) =>
+      assert(na <= nb / 2, "every doc has a planted twin, so kept <= half")
+      assert(ta < tb)
+      assert(ppm >= 400000L && ppm < 1000000L,
+        s"twin removal should save roughly half the token mass, got $ppm")
+    }
+  }
+
   test("winnowing summary: density bounds hold corpus-wide") {
     val w = Dedup.WinnowW
     val rows = Dedup.winnowSummary(spark, dir).collect()

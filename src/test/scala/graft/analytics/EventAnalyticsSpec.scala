@@ -308,6 +308,28 @@ class EventAnalyticsSpec extends SparkSpec {
       "the prefix-min identity must equal the imperative max(0, bal+d) fold")
   }
 
+  test("cohort LTV: curves are cumulative, bounded, and partition the user base") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EventAnalytics.cohortLtv(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val users = graft.core.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    val cohorts = rows.groupBy(_.getAs[Long]("cohort_wk"))
+    assert(cohorts.values.map(_.head.getAs[Long]("cohort_users")).sum == users,
+      "cohort sizes partition the distinct-user base")
+    cohorts.foreach { case (_, rs) =>
+      val byAge = rs.sortBy(_.getAs[Long]("age"))
+      assert(byAge.head.getAs[Long]("age") == 0L, "every cohort starts at age 0")
+      val cums = byAge.map(_.getAs[Long]("cum_revenue_cents")).toSeq
+      assert(cums == cums.sorted, "cumulative revenue is monotone in age")
+      assert(byAge.last.getAs[Long]("cum_revenue_cents") ==
+        byAge.map(_.getAs[Long]("revenue_cents")).sum)
+      byAge.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_users"))
+      }
+    }
+  }
+
   test("session metrics agree on session identity with q32 on the events table") {
     val dir = "/root/testdata/sf0.001"
     val sessions = Extended.eventSessions(spark, dir).count()
