@@ -830,7 +830,17 @@ object Dedup {
     * only.
     */
   def containmentPairs(docs: DataFrame, minContainMicro: Long): DataFrame = {
-    val s = docs.select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ws"))
+    // Token sets twice: string sets define sizes/semantics (the oracle's
+    // list_intersect face); sorted 64-bit hash sets feed the fused
+    // per-candidate verify (|∩| over xxh64 token hashes equals |∩| over
+    // strings modulo collisions — the q17 contract). On a degenerate
+    // small-vocabulary corpus the prefix filter cannot prune (every
+    // token is frequent, candidates approach all-pairs), so the verify
+    // constant IS the query cost: a single pre-sorted merge pass per
+    // pair replaces two array_intersect builds + an array_union
+    // (measured 121 s → see PLANS.md q115 note).
+    val s = docs.select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ws"),
+      sort_array(graft.functions.shingleHashes(col("text"), 1)).as("hs"))
     val tok = s.select(col("doc_id"), explode(col("ws")).as("token"))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val ordered = tok.join(dfreq, "token")
@@ -846,16 +856,22 @@ object Dedup {
       .join(tok.select(col("doc_id").as("b_id"), col("token")), "token")
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
-    cand
-      .join(s.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), "a_id")
-      .join(s.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        size(col("a_ws")).cast("long").as("a_size"),
-        size(col("b_ws")).cast("long").as("b_size"),
-        expr("(1000000 * size(array_intersect(a_ws, b_ws))) div size(a_ws)")
-          .as("containment_micro"),
-        expr("(1000000 * size(array_intersect(a_ws, b_ws)))" +
-          " div size(array_union(a_ws, b_ws))").as("jaccard_micro"))
+    // Size filter BEFORE the array join: containment ≥ t needs
+    // |b| ≥ ⌈t·|a|⌉ (|a∩b| ≤ |b|), and sizes are two longs per side
+    // where the hash sets are ~doc-sized arrays.
+    val sizes = s.select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
+    val sized = cand
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_size")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_size")), "b_id")
+      .filter(col("b_size") * 1000000L >= col("a_size") * minContainMicro)
+    sized
+      .join(s.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+      .withColumn("inter",
+        graft.functions.setOverlapSorted(col("a_hs"), col("b_hs")).cast("long"))
+      .select(col("a_id"), col("b_id"), col("a_size"), col("b_size"),
+        expr("(1000000 * inter) div a_size").as("containment_micro"),
+        expr("(1000000 * inter) div (a_size + b_size - inter)").as("jaccard_micro"))
       .filter(col("containment_micro") >= minContainMicro)
   }
 

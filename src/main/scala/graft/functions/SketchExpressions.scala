@@ -134,6 +134,26 @@ object SketchKernels {
     (buf, w, hasNull)
   }
 
+  /** |a ∩ b| of two SORTED, distinct, null-free long arrays in one merge
+    * pass — no per-call sort, no allocation. The per-candidate verify of
+    * the containment join (q115): at a degenerate-vocabulary corpus the
+    * candidate space approaches all-pairs, so the per-pair constant IS
+    * the query cost. Callers pre-sort once per row (`sort_array`); an
+    * unsorted input silently undercounts, which is why the public wrapper
+    * name carries the contract.
+    */
+  def overlapSortedLongSets(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Bit width of the portable SimHash: 60 = 15 hex chars of an md5
     * digest, the widest value every ANSI engine can hold in a signed
     * 64-bit integer (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`).
@@ -329,6 +349,31 @@ case class JaccardSets(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernels.jaccardLongSets($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection size of two sorted distinct long-set columns (fused merge
+  * kernel; see [[SketchKernels.overlapSortedLongSets]] for the sortedness
+  * contract).
+  */
+case class SetOverlapSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "set_overlap_sorted"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got ${l.simpleString} / ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.overlapSortedLongSets(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernels.overlapSortedLongSets($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

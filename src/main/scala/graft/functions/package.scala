@@ -72,6 +72,13 @@ package object functions {
   def jaccardSets(a: Column, b: Column): Column =
     toCol(JaccardSets(expr(a), expr(b)))
 
+  /** Intersection size of two SORTED distinct long-set columns — one
+    * merge pass, no per-call sort or allocation. Callers pre-sort once
+    * per row (`sort_array`); the name carries the contract.
+    */
+  def setOverlapSorted(a: Column, b: Column): Column =
+    toCol(SetOverlapSorted(expr(a), expr(b)))
+
   /** All multi-table hyperplane-LSH bucket codes of a vector column in one
     * native fused pass — element t is table t's packed sign bits under the
     * row-major flattened plane matrix.

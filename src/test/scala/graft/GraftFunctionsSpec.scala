@@ -117,4 +117,31 @@ class GraftFunctionsSpec extends SparkSpec {
         "simhash_sig", "jaccard_sets", "duration_mmss"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
+
+  test("setOverlapSorted equals size(array_intersect) on sorted distinct sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)), // overlap 2
+      (Seq(1L, 2L), Seq(3L, 4L)),                  // disjoint
+      (Seq.empty[Long], Seq(1L)),                  // empty side
+      (Seq(7L, 8L, 9L), Seq(7L, 8L, 9L))           // identical
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.setOverlapSorted(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // And against the corpus-shaped input: sorted token-hash sets.
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(sort_array(graft.functions.shingleHashes(col("text"), 1)).as("hs"),
+        col("doc_id"))
+    val pairs = docs.alias("x").crossJoin(
+      docs.select(col("hs").as("hs2"), col("doc_id").as("d2")).alias("y"))
+      .select(
+        graft.functions.setOverlapSorted(col("hs"), col("hs2")).as("k"),
+        size(array_intersect(col("hs"), col("hs2"))).as("ref"))
+      .collect()
+    pairs.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
 }
