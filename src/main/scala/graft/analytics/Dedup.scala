@@ -734,7 +734,12 @@ object Dedup {
     * shuffle equi-join (no driver-side vocabulary).
     */
   def prefixFilterPairs(docs: DataFrame, minJaccardMicro: Long): DataFrame = {
-    val s = docs.select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ws"))
+    // Verify via the fused sorted-merge |∩| kernel + a size pre-filter,
+    // the q115 discipline: Jaccard ≥ t bounds the size ratio
+    // (t·|a| ≤ |b| ≤ |a|/t), and |∩| over sorted 64-bit token hashes
+    // equals the string-set intersection modulo collisions.
+    val s = docs.select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ws"),
+      sort_array(graft.functions.shingleHashes(col("text"), 1)).as("hs"))
     val tok = s.select(col("doc_id"), explode(col("ws")).as("token"))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     // Rarest-first per-doc order; struct sort ≡ ORDER BY (df, token).
@@ -748,12 +753,20 @@ object Dedup {
         s" + 999999) div 1000000) + 1), x -> x.token)").as("pref"))
       .select(col("doc_id"), explode(col("pref")).as("token"))
     val cand = CandidateJoin.pairs(prefix, "doc_id", Seq("token"), None).distinct()
-    cand
-      .join(s.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), "a_id")
-      .join(s.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), "b_id")
+    val sizes = s.select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
+    val sized = cand
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_size")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_size")), "b_id")
+      // |a∩b| ≤ min and |a∪b| ≥ max ⇒ J ≥ t needs t·max ≤ min.
+      .filter(greatest(col("a_size"), col("b_size")) * minJaccardMicro
+        <= least(col("a_size"), col("b_size")) * 1000000L)
+    sized
+      .join(s.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+      .withColumn("inter",
+        graft.functions.setOverlapSorted(col("a_hs"), col("b_hs")).cast("long"))
       .select(col("a_id"), col("b_id"),
-        expr("(1000000 * size(array_intersect(a_ws, b_ws)))" +
-          " div size(array_union(a_ws, b_ws))").as("jaccard_micro"))
+        expr("(1000000 * inter) div (a_size + b_size - inter)").as("jaccard_micro"))
       .filter(col("jaccard_micro") >= minJaccardMicro)
   }
 
