@@ -863,20 +863,20 @@ object Dedup {
     // discipline): ⌈t·n⌉ = (micro·n + 999999) div 1e6.
     val prefix = ordered.select(col("doc_id").as("a_id"),
       expr(s"transform(slice(ord, 1, size(ord) - (($minContainMicro * size(ord)" +
-        s" + 999999) div 1000000) + 1), x -> x.token)").as("pref"))
-      .select(col("a_id"), explode(col("pref")).as("token"))
-    val cand = prefix
-      .join(tok.select(col("doc_id").as("b_id"), col("token")), "token")
-      .filter(col("a_id") =!= col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // Size filter BEFORE the array join: containment ≥ t needs
-    // |b| ≥ ⌈t·|a|⌉ (|a∩b| ≤ |b|), and sizes are two longs per side
-    // where the hash sets are ~doc-sized arrays.
-    val sizes = s.select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
-    val sized = cand
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_size")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_size")), "b_id")
-      .filter(col("b_size") * 1000000L >= col("a_size") * minContainMicro)
+        s" + 999999) div 1000000) + 1), x -> x.token)").as("pref"),
+      size(col("ord")).cast("long").as("a_size"))
+      .select(col("a_id"), col("a_size"), explode(col("pref")).as("token"))
+    // Sizes ride the candidate rows as two longs, so the containment
+    // size bound (|b| ≥ ⌈t·|a|⌉, since |a∩b| ≤ |b|) prunes BEFORE the
+    // pair distinct — the biggest shuffle of the query — and the verify
+    // needs no separate size joins at all.
+    val tokB = s.select(col("doc_id").as("b_id"),
+      size(col("ws")).cast("long").as("b_size"), explode(col("ws")).as("token"))
+    val sized = prefix
+      .join(tokB, "token")
+      .filter(col("a_id") =!= col("b_id") &&
+        col("b_size") * 1000000L >= col("a_size") * minContainMicro)
+      .select("a_id", "b_id", "a_size", "b_size").distinct()
     sized
       .join(s.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
