@@ -859,7 +859,107 @@ object EventAnalytics {
       |    // s.cohort_users AS BIGINT) AS cum_cents_per_user
       |FROM per_age p JOIN sized s ON s.cohort_wk = p.cohort_wk""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  /** Position-based (U-shaped) multi-touch attribution — the complement
+    * of q126's last-touch rule: every click in the 7-day lookback before
+    * a purchase gets credit, weighted 40/20/40 (first / middles split /
+    * last), so acquisition AND closing touches both show up in the
+    * report. Credit is integer milli-units per touch with the division
+    * remainder assigned to the FIRST touch (Σ credit = 1000 exactly per
+    * touched purchase, engine-portable); attributed revenue is
+    * cents·credit DIV 1000. Purchases with no touch in the window land
+    * in the `none` class with zero credit — the rollup conserves the
+    * purchase count.
+    *
+    * Scale shape: the touch enumeration is a USER-keyed equi-join with
+    * the window bound as residual (per-user work ∝ clicks·purchases of
+    * that user — bounded by per-user activity, the multi-touch
+    * alternative to q126's window-only plan which can't enumerate
+    * many-to-many credit); position windows ride the purchase key.
+    */
+  def positionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("sec").as("p_sec"), col("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("sec").as("c_sec"))
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .where(col("c_sec") <= col("p_sec") &&
+        col("c_sec") > col("p_sec") - 7L * 86400L)
+    val wp = w.partitionBy("p_id").orderBy(col("c_sec"), col("c_id"))
+    val scored = touches
+      .withColumn("pos", row_number().over(wp))
+      .withColumn("n", count(lit(1)).over(w.partitionBy("p_id")))
+      .withColumn("credit_milli",
+        when(col("n") === 1, 1000L)
+          .when(col("n") === 2, 500L)
+          .when(col("pos") === 1,
+            expr("400 + (200 - (200 DIV (n - 2)) * (n - 2))"))
+          .when(col("pos") === col("n"), 400L)
+          .otherwise(expr("200 DIV (n - 2)")))
+      .withColumn("cls",
+        when(col("n") === 1, "solo")
+          .when(col("pos") === 1, "first")
+          .when(col("pos") === col("n"), "last")
+          .otherwise("middle"))
+    val credited = scored.groupBy("cls").agg(
+      count(lit(1)).as("n_touches"),
+      sum(expr("cents * credit_milli DIV 1000")).as("attributed_cents"))
+    val untouched = purchases
+      .join(touches.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"))
+      .select(lit("none").as("cls"), col("n_touches"),
+        lit(0L).as("attributed_cents"))
+    credited.unionByName(untouched)
+  }
+
+  private val positionAttributionSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+      |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, event_id AS p_id, sec AS p_sec, cents FROM ev
+      |  WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, event_id AS c_id, sec AS c_sec FROM ev
+      |  WHERE event_type = 'click'
+      |), t AS (
+      |  SELECT p.p_id, p.cents, c.c_id, c.c_sec
+      |  FROM p JOIN c ON c.user_id = p.user_id
+      |   AND c.c_sec <= p.p_sec AND c.c_sec > p.p_sec - 7 * 86400
+      |), scored AS (
+      |  SELECT p_id, cents,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY c_sec, c_id) AS pos,
+      |    count(*) OVER (PARTITION BY p_id) AS n
+      |  FROM t
+      |), cr AS (
+      |  SELECT p_id, cents, pos, n,
+      |    CASE WHEN n = 1 THEN 1000
+      |         WHEN n = 2 THEN 500
+      |         WHEN pos = 1 THEN 400 + (200 - (200 // (n - 2)) * (n - 2))
+      |         WHEN pos = n THEN 400
+      |         ELSE 200 // (n - 2) END AS credit_milli,
+      |    CASE WHEN n = 1 THEN 'solo'
+      |         WHEN pos = 1 THEN 'first'
+      |         WHEN pos = n THEN 'last'
+      |         ELSE 'middle' END AS cls
+      |  FROM scored
+      |)
+      |SELECT cls, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(cents * credit_milli // 1000) AS BIGINT) AS attributed_cents
+      |FROM cr GROUP BY 1
+      |UNION ALL
+      |SELECT 'none', CAST(count(*) AS BIGINT), 0
+      |FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM t)""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q146_position_attribution", positionAttribution _,
+      Some(positionAttributionSql)),
     NamedQuery("q143_cohort_ltv", cohortLtv _, Some(cohortLtvSql)),
     NamedQuery("q141_capped_balance", cappedBalanceEvents _,
       Some(cappedBalanceSql)),

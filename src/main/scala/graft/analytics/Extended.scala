@@ -654,7 +654,60 @@ object Extended {
       |  ON p.p_brand = f.p_brand AND p.price = f.price AND p.sz = f.sz
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- q145
+  /** Exact weighted median per group — the lower weighted median of
+    * `l_extendedprice` weighted by quantity, per (returnflag, status):
+    * the smallest price whose cumulative weight reaches half the total
+    * (2·cum ≥ total in pure integer arithmetic — no float percentile
+    * machinery anywhere). The robust-statistics counterpart of q27's
+    * unweighted percentiles: a weighted median answers "the price at
+    * which half the UNITS trade", which the row median cannot.
+    *
+    * Scale shape: collapse to (group, price) weight levels in one hash
+    * aggregate, then two windows over the LEVEL table (value-space
+    * bounded) — never a corpus sort, same discipline as q135/q138.
+    */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val levels = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "l_linestatus", "price")
+      .agg(sum(col("qty")).as("wt"))
+    val wcum = Window.partitionBy("l_returnflag", "l_linestatus")
+      .orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+    val wall = Window.partitionBy("l_returnflag", "l_linestatus")
+    levels
+      .withColumn("cum", sum(col("wt")).over(wcum))
+      .withColumn("total", sum(col("wt")).over(wall))
+      .where(col("cum") * 2 >= col("total"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(min(col("price")).as("w_median_price"),
+        min(col("total")).as("total_weight"))
+  }
+
+  private val weightedMedianPriceSql =
+    """WITH lv AS (
+      |  SELECT l_returnflag, l_linestatus, l_extendedprice AS price,
+      |    sum(CAST(l_quantity AS BIGINT)) AS wt
+      |  FROM lineitem GROUP BY 1, 2, 3
+      |), c AS (
+      |  SELECT l_returnflag, l_linestatus, price, wt,
+      |    sum(wt) OVER (PARTITION BY l_returnflag, l_linestatus
+      |      ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum,
+      |    sum(wt) OVER (PARTITION BY l_returnflag, l_linestatus) AS total
+      |  FROM lv
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |  min(price) AS w_median_price,
+      |  CAST(min(total) AS BIGINT) AS total_weight
+      |FROM c WHERE cum * 2 >= total
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q145_weighted_median", weightedMedianPrice _,
+      Some(weightedMedianPriceSql)),
     NamedQuery("q133_pareto_frontier", paretoFrontier _, Some(paretoFrontierSql)),
     NamedQuery("q132_topk_supplier_items", (s, d) => topkSupplierItems(s, d),
       Some(topkSupplierItemsSql)),

@@ -712,6 +712,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 16 && s.shuffles <= 14, s"q144 regressed: $s")
   }
 
+  test("q145 weighted median windows ride the price-level table") {
+    val s = stats("q145_weighted_median")
+    // Audited 2 scans / 4 shuffles — level aggregate + two group-keyed
+    // windows over the value-space-bounded level table.
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q145 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8, s"q145 regressed: $s")
+  }
+
+  test("q146 position attribution enumerates touches via a user-keyed join only") {
+    val s = stats("q146_position_attribution")
+    // Audited 10 scans / 15 shuffles; the touch join is user-keyed with
+    // the lookback bound as residual — never a time-range nested loop.
+    assert(s.nestedLoops == 0, s"q146 regressed: $s")
+    assert(s.scans <= 20 && s.shuffles <= 30 && s.singleParts <= 4,
+      s"q146 regressed: $s")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

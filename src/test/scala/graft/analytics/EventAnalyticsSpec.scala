@@ -263,6 +263,47 @@ class EventAnalyticsSpec extends SparkSpec {
       ("B", "A") -> ((2L, 666666L, 1000000L, 1000L))))
   }
 
+  test("position attribution: hand journeys — U-shape, remainder rule, window edge") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: 3 touches → 400/200/400.
+      (1L, 1L, ts("2024-01-05 10:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-06 10:00:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-07 10:00:00"), "click", 0.0),
+      (4L, 1L, ts("2024-01-08 10:00:00"), "purchase", 10.0),
+      // u2: purchase, no clicks → none.
+      (5L, 2L, ts("2024-01-08 10:00:00"), "purchase", 5.0),
+      // u3: click 8 days before → outside the 7-day lookback → none.
+      (6L, 3L, ts("2024-01-01 09:00:00"), "click", 0.0),
+      (7L, 3L, ts("2024-01-09 10:00:00"), "purchase", 7.0),
+      // u4: single touch → solo 1000.
+      (8L, 4L, ts("2024-01-08 09:00:00"), "click", 0.0),
+      (9L, 4L, ts("2024-01-08 10:00:00"), "purchase", 3.0),
+      // u5: 5 touches → first 402 (remainder 2), middles 66, last 400.
+      (10L, 5L, ts("2024-01-08 01:00:00"), "click", 0.0),
+      (11L, 5L, ts("2024-01-08 02:00:00"), "click", 0.0),
+      (12L, 5L, ts("2024-01-08 03:00:00"), "click", 0.0),
+      (13L, 5L, ts("2024-01-08 04:00:00"), "click", 0.0),
+      (14L, 5L, ts("2024-01-08 05:00:00"), "click", 0.0),
+      (15L, 5L, ts("2024-01-08 06:00:00"), "purchase", 10.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    // The operator reads via Tables.events(dir); route through a temp dir.
+    val dir = java.nio.file.Files.createTempDirectory("posattr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.positionAttribution(spark, dir).collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("attributed_cents"))).toMap
+    // u1 cents 1000: 400 + 200 + 400; u5 cents 1000: 402 + 3×66 + 400.
+    assert(got == Map(
+      "first" -> ((2L, 400L + 402L)),
+      "middle" -> ((4L, 200L + 3 * 66L)),
+      "last" -> ((2L, 400L + 400L)),
+      "solo" -> ((1L, 300L)),
+      "none" -> ((2L, 0L))))
+    // Credit conservation: touched purchases allocate Σ = 1000 milli each
+    // (up to the per-touch cents floor division, absent here by whole cents).
+  }
+
   test("capped balance: window identity equals the literal imperative fold") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // Hand case exercising floor hits, recovery, and an all-debit user.

@@ -65,6 +65,43 @@ class ExtendedSpec extends SparkSpec {
     assert(out("b").getAs[Long]("sum_winsorized") == 10L)
   }
 
+  test("weighted median: hand cases — mass concentration and the lower-median tie rule") {
+    import spark.implicits._
+    val li = Seq(
+      // group (A,X): weight concentrated at price 3 → median 3.
+      ("A", "X", 1.0, 1.0), ("A", "X", 2.0, 1.0), ("A", "X", 3.0, 10.0),
+      // group (B,Y): 5 units at 1, 5 at 2 → lower weighted median = 1.
+      ("B", "Y", 1.0, 5.0), ("B", "Y", 2.0, 5.0)
+    ).toDF("l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("wmed").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Extended.weightedMedianPrice(spark, dir).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")) ->
+        (r.getAs[Double]("w_median_price"), r.getAs[Long]("total_weight"))).toMap
+    assert(got == Map(("A", "X") -> ((3.0, 12L)), ("B", "Y") -> ((1.0, 10L))))
+  }
+
+  test("weighted median: corpus groups match a driver-side recompute") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice"), col("l_quantity").cast("long"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(2), r.getLong(3))))
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val byPrice = rs.map(_._2).groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      val total = byPrice.map(_._2).sum
+      var cum = 0L
+      val med = byPrice.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      g -> (med, total)
+    }
+    val got = Extended.weightedMedianPrice(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")) ->
+        (r.getAs[Double]("w_median_price"), r.getAs[Long]("total_weight"))).toMap
+    assert(got == expect)
+  }
+
   test("pareto frontier: hand case with dominance, equal-price and duplicate ties") {
     import spark.implicits._
     val parts = Seq(
