@@ -705,7 +705,39 @@ object Extended {
       |FROM c WHERE cum * 2 >= total
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q147
+  /** SQL-surface gate: a multi-feature query — three-table join, custom
+    * GROUPING SETS (the general form q25's ROLLUP and q65's CUBE are
+    * special cases of), grouping-bit disambiguation — executed through
+    * `spark.sql` over the registered temp-view catalog
+    * ([[Tables.registerAll]]), not the DataFrame API. The point IS the
+    * dialect face: a reference user who writes SQL verbatim gets the
+    * same Catalyst plan (broadcast dims, expand+agg) and, per this gate,
+    * the same bytes as DuckDB running near-identical text.
+    */
+  def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql("""
+      SELECT n_name, o_orderpriority,
+        count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+        CAST(grouping_id(n_name, o_orderpriority) AS BIGINT) AS gid
+      FROM orders JOIN customer ON c_custkey = o_custkey
+                  JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+    """)
+  }
+
+  private val sqlGroupingSetsSql =
+    """SELECT n_name, o_orderpriority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+      |  CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |            JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q147_sql_grouping_sets", sqlGroupingSets _,
+      Some(sqlGroupingSetsSql)),
     NamedQuery("q145_weighted_median", weightedMedianPrice _,
       Some(weightedMedianPriceSql)),
     NamedQuery("q133_pareto_frontier", paretoFrontier _, Some(paretoFrontierSql)),

@@ -277,6 +277,76 @@ object MergeWriter {
         if (archiveTo.isDefined) TimeTravel.currentVersion(spark, tablePath) else 0L)
     }
 
+  /** Predicate DELETE — the warehouse mutation primitive between
+    * row-level upsert ([[merge]]) and whole-table truncate: remove every
+    * row where `predicate` is TRUE (NULL keeps the row, standard SQL
+    * DELETE semantics), rewriting ONLY the buckets that contain a match.
+    * Unmatched buckets' files are never touched — at 100 TB a
+    * key-constrained predicate costs the affected buckets, not a table
+    * rewrite. Staged swap + same lock/lease discipline as merge;
+    * time-travel-aware (a versioned table captures the replaced buckets,
+    * so pre-delete reads keep reconstructing). Returns rows deleted.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column,
+                  lease: Boolean = false): Long =
+    withTableLock(spark, tablePath, lease) {
+      require(tableExists(spark, tablePath), s"no table at $tablePath")
+      val t = spark.read.option("mergeSchema", "true").parquet(tablePath)
+      val hit = coalesce(predicate, lit(false))
+      val affected = t.filter(hit).select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (affected.isEmpty) 0L
+      else {
+        val scoped = t.filter(col(BucketCol).isin(affected: _*))
+        val deleted = scoped.filter(hit).count()
+        val staging = stagingPath(tablePath)
+        scoped.filter(!hit)
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(staging)
+        val archiveTo = TimeTravel.archiveForRewrite(spark, tablePath)
+        swapBuckets(spark, tablePath, staging, affected, archiveTo)
+        deleted
+      }
+    }
+
+  /** Predicate UPDATE — SET `assignments` on every row where `predicate`
+    * is TRUE (NULL leaves the row unchanged), with the same bucket-pruned
+    * staged-swap discipline as [[deleteWhere]]. Assignments may not
+    * change the merge key's bucket routing: updating the key itself is a
+    * delete + merge, not an in-place update (enforced for the bucket
+    * column; key renames are the caller's contract). Returns rows
+    * updated.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String, predicate: Column,
+                  assignments: Map[String, Column],
+                  lease: Boolean = false): Long =
+    withTableLock(spark, tablePath, lease) {
+      require(tableExists(spark, tablePath), s"no table at $tablePath")
+      require(!assignments.contains(BucketCol),
+        s"cannot assign the bucket routing column $BucketCol")
+      val t = spark.read.option("mergeSchema", "true").parquet(tablePath)
+      assignments.keys.foreach(k => require(t.columns.contains(k),
+        s"assignment target '$k' not in table schema"))
+      val hit = coalesce(predicate, lit(false))
+      val affected = t.filter(hit).select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (affected.isEmpty) 0L
+      else {
+        val scoped = t.filter(col(BucketCol).isin(affected: _*))
+        val updated = scoped.filter(hit).count()
+        val projected = scoped.select(t.columns.map { c =>
+          assignments.get(c) match {
+            case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        val staging = stagingPath(tablePath)
+        projected.write.mode("overwrite").partitionBy(BucketCol).parquet(staging)
+        val archiveTo = TimeTravel.archiveForRewrite(spark, tablePath)
+        swapBuckets(spark, tablePath, staging, affected, archiveTo)
+        updated
+      }
+    }
+
   private def stagingPath(tablePath: String): String = {
     val p = new Path(tablePath)
     new Path(p.getParent, s".staging_${p.getName}").toString
