@@ -157,10 +157,14 @@ object Bench {
     // locale, which renders comma decimal separators (de_DE "12,345") and
     // silently corrupts the JSON artifact. Double.toString never does.
     def r3(t: Double): String = (math.rint(t * 1000) / 1000).toString
+    // Stdout line precision drops to 2 decimals: at 147 queries the
+    // 3-decimal dict alone brushes the driver's 2000-char tail budget;
+    // BENCH_DETAIL.json keeps full precision and every rep.
+    def r2(t: Double): String = (math.rint(t * 100) / 100).toString
     // Stdout keys: the qNN prefix only — 69 full names is ~2.2k chars and
     // the driver tail keeps 2000. Prefixes are unique by construction.
     def short(name: String): String = name.takeWhile(_ != '_')
-    val qsShort = results.map { case (k, v, _) => "\"" + short(k) + "\":" + r3(v) }
+    val qsShort = results.map { case (k, v, _) => "\"" + short(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

@@ -1258,8 +1258,102 @@ object Dedup {
        |    // b.tokens_before AS BIGINT) AS token_savings_ppm
        |FROM bef b LEFT JOIN aft a ON b.source = a.source""".stripMargin
 
+  // --------------------------------------------------------------- q148
+  /** Dedup method evaluation — the tuning table for the SimHash radius:
+    * for each hamming threshold h ∈ 0..3, how many pairs the 60-bit
+    * SimHash predicts, how many of those are TRUE near-dups (exact
+    * shingle-Jaccard ≥ 0.7), and the resulting precision/recall in exact
+    * ppm. Both sides are exactly computable — the signature is the
+    * portable md5 basis (q18) and the truth set is the verified exact
+    * pair set (q17, recall 1.0 on the harness corpora) — so the
+    * operating points are facts, not estimates: the table that answers
+    * "which radius do we ship".
+    *
+    * Scale shape: predictions come from the pigeonhole chunk join (never
+    * all-pairs at scale; the oracle's quadratic form is gate-only),
+    * truth from the banded LSH pipeline; the evaluation join is
+    * pair-keyed and the final table is 4 rows.
+    */
+  def dedupMethodEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = simHashNearDups(docs, maxHamming = 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    val truth = minHashNearDups(docs, threshold = 0.7, maxBucketSize = None)
+      .select(col("a_id").as("t_a"), col("b_id").as("t_b"))
+    val nTrue = truth.count()
+    val joined = pred
+      .join(truth, col("a_id") === col("t_a") && col("b_id") === col("t_b"),
+        "left")
+      .select(col("hamming"), col("t_a").isNotNull.cast("long").as("hit"))
+    val byH = joined.groupBy("hamming")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("nh"))
+    spark.range(0, 4).select(col("id").cast("int").as("max_hamming"))
+      .join(byH, col("hamming") <= col("max_hamming"), "left")
+      .groupBy("max_hamming")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("nh")), lit(0L)).as("n_hit"))
+      .select(col("max_hamming"), col("n_pred"), col("n_hit"),
+        lit(nTrue).as("n_true"),
+        expr("CAST(CASE WHEN n_pred > 0 THEN n_hit * 1000000 DIV n_pred " +
+          "ELSE 0 END AS BIGINT)").as("precision_ppm"),
+        expr(s"CAST(CASE WHEN $nTrue > 0 THEN n_hit * 1000000 DIV $nTrue " +
+          "ELSE 0 END AS BIGINT)").as("recall_ppm"))
+  }
+
+  private lazy val dedupMethodEvalSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |), ${exactPairCtes(0.7)},
+       |ws2 AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |sh2 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+       |  FROM ws2
+       |),
+       |hx2 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh2),
+       |bits2 AS (
+       |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hx2, (SELECT unnest(range(60)) AS b)
+       |  GROUP BY 1, 2
+       |),
+       |sig2 AS (
+       |  SELECT w.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) AS simhash
+       |  FROM ws2 w LEFT JOIN (
+       |    SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS sig
+       |    FROM bits2 GROUP BY 1) s ON w.doc_id = s.doc_id
+       |),
+       |prs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    bit_count(xor(a.simhash, b.simhash)) AS h
+       |  FROM sig2 a JOIN sig2 b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |),
+       |j AS (
+       |  SELECT p.h, CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM prs p LEFT JOIN pairs t ON t.a_id = p.a_id AND t.b_id = p.b_id
+       |),
+       |nt AS (SELECT count(*) AS n_true FROM pairs),
+       |th AS (SELECT unnest(range(4)) AS max_hamming)
+       |SELECT CAST(th.max_hamming AS INT) AS max_hamming,
+       |  CAST(count(j.h) AS BIGINT) AS n_pred,
+       |  CAST(coalesce(sum(j.hit), 0) AS BIGINT) AS n_hit,
+       |  CAST(nt.n_true AS BIGINT) AS n_true,
+       |  CAST(CASE WHEN count(j.h) > 0
+       |       THEN coalesce(sum(j.hit), 0) * 1000000 // count(j.h)
+       |       ELSE 0 END AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN nt.n_true > 0
+       |       THEN coalesce(sum(j.hit), 0) * 1000000 // nt.n_true
+       |       ELSE 0 END AS BIGINT) AS recall_ppm
+       |FROM th CROSS JOIN nt LEFT JOIN j ON j.h <= th.max_hamming
+       |GROUP BY th.max_hamming, nt.n_true""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q144_dedup_savings", dedupSavings _, Some(dedupSavingsSql)),
+    NamedQuery("q148_dedup_method_eval", dedupMethodEval _,
+      Some(dedupMethodEvalSql)),
     NamedQuery("q134_cdc_chunks", cdcSummary _, Some(cdcSummarySql)),
     NamedQuery("q128_winnow_fingerprints", winnowSummary _, Some(winnowSummarySql)),
     NamedQuery("q115_containment_join", containmentJoin _, Some(containmentSql)),

@@ -425,6 +425,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup method eval: operating points are monotone and exactly bounded") {
+    val rows = Dedup.dedupMethodEval(spark, dir).collect()
+      .sortBy(_.getAs[Int]("max_hamming"))
+    assert(rows.map(_.getAs[Int]("max_hamming")).toSeq == Seq(0, 1, 2, 3))
+    val nTrue = rows.head.getAs[Long]("n_true")
+    assert(rows.map(_.getAs[Long]("n_true")).distinct.length == 1)
+    rows.foreach { r =>
+      val (p, h) = (r.getAs[Long]("n_pred"), r.getAs[Long]("n_hit"))
+      assert(h <= p && h <= nTrue)
+      assert(r.getAs[Long]("precision_ppm") <= 1000000L)
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_pred") <= b.getAs[Long]("n_pred"),
+        "widening the radius can only add predictions")
+      assert(a.getAs[Long]("n_hit") <= b.getAs[Long]("n_hit"))
+    }
+    assert(rows.last.getAs[Long]("n_pred") > 0,
+      "the corpus has near-identical docs; radius 3 must fire")
+  }
+
   test("winnowing summary: density bounds hold corpus-wide") {
     val w = Dedup.WinnowW
     val rows = Dedup.winnowSummary(spark, dir).collect()
