@@ -735,7 +735,114 @@ object Extended {
       |            JOIN nation ON n_nationkey = c_nationkey
       |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  /** Period-over-period movers — per part brand, revenue in the first
+    * versus second half of the order-date range, the delta in exact
+    * integer cents and basis points vs the early period, ranked risers
+    * first. The standard "what moved" report between any two periods;
+    * the midpoint is derived from the data (min + span DIV 2 in epoch
+    * days), so the split is deterministic on any engine.
+    *
+    * Scale shape: one fact scan bucketed into the two periods by a
+    * per-row comparison against broadcast scalars, a conditional
+    * aggregate per brand, and a ranking window over the brands-sized
+    * table.
+    */
+  def periodMovers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), to_date(col("l_shipdate")).as("d"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("cents"))
+    val span = li.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val byBrand = li.crossJoin(broadcast(span))
+      .withColumn("late",
+        datediff(col("d"), col("d0")) * 2 >= datediff(col("d1"), col("d0")) + 1)
+      .groupBy("p_brand")
+      .agg(
+        sum(when(!col("late"), col("cents")).otherwise(0L)).as("early_cents"),
+        sum(when(col("late"), col("cents")).otherwise(0L)).as("late_cents"))
+      .withColumn("delta_cents", col("late_cents") - col("early_cents"))
+      .withColumn("delta_bps",
+        expr("CAST(CASE WHEN early_cents > 0 " +
+          "THEN (late_cents - early_cents) * 10000 DIV early_cents " +
+          "ELSE 0 END AS BIGINT)"))
+    val w = Window.orderBy(col("delta_cents").desc, col("p_brand"))
+    byBrand.withColumn("mover_rank", row_number().over(w).cast("int"))
+  }
+
+  private val periodMoversSql =
+    """WITH li AS (
+      |  SELECT p.p_brand, l.l_shipdate::DATE AS d,
+      |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |), span AS (
+      |  SELECT min(d) AS d0, max(d) AS d1 FROM li
+      |), b AS (
+      |  SELECT p_brand,
+      |    CAST(sum(CASE WHEN date_diff('day', s.d0, li.d) * 2
+      |                       >= date_diff('day', s.d0, s.d1) + 1
+      |             THEN 0 ELSE cents END) AS BIGINT) AS early_cents,
+      |    CAST(sum(CASE WHEN date_diff('day', s.d0, li.d) * 2
+      |                       >= date_diff('day', s.d0, s.d1) + 1
+      |             THEN cents ELSE 0 END) AS BIGINT) AS late_cents
+      |  FROM li, span s GROUP BY 1
+      |)
+      |SELECT p_brand, early_cents, late_cents,
+      |  late_cents - early_cents AS delta_cents,
+      |  CAST(CASE WHEN early_cents > 0
+      |       THEN (late_cents - early_cents) * 10000 // early_cents
+      |       ELSE 0 END AS BIGINT) AS delta_bps,
+      |  CAST(row_number() OVER (ORDER BY late_cents - early_cents DESC, p_brand)
+      |    AS INTEGER) AS mover_rank
+      |FROM b""".stripMargin
+
+  // --------------------------------------------------------------- q150
+  /** Open-order SLA aging snapshot — as of the corpus max date, every
+    * order still inside its 30-day fulfillment interval (the q94 sweep's
+    * open set at the horizon) bucketed by age: 0–9, 10–19, 20–29 days,
+    * with counts and value at stake per priority. The ops report behind
+    * every "what's at risk" dashboard; ages are integer day arithmetic
+    * off broadcast scalars, one scan + one aggregate.
+    */
+  def slaAging(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("d")).as("mxd"))
+    o.crossJoin(broadcast(mx))
+      .withColumn("age", datediff(col("mxd"), col("d")))
+      .where(col("age") < 30) // still open under the 30-day interval
+      .withColumn("age_bucket",
+        expr("CAST(age DIV 10 AS INT) * 10"))
+      .groupBy("priority", "age_bucket")
+      .agg(count(lit(1)).as("n_open"),
+        sum(col("cents")).as("cents_at_stake"))
+  }
+
+  private val slaAgingSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority, o_orderdate::DATE AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), mx AS (
+      |  SELECT max(d) AS mxd FROM o
+      |)
+      |SELECT priority,
+      |  CAST((date_diff('day', d, mxd) // 10) * 10 AS INTEGER) AS age_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_open,
+      |  CAST(sum(cents) AS BIGINT) AS cents_at_stake
+      |FROM o, mx
+      |WHERE date_diff('day', d, mxd) < 30
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q149_period_movers", periodMovers _, Some(periodMoversSql)),
+    NamedQuery("q150_sla_aging", slaAging _, Some(slaAgingSql)),
     NamedQuery("q147_sql_grouping_sets", sqlGroupingSets _,
       Some(sqlGroupingSetsSql)),
     NamedQuery("q145_weighted_median", weightedMedianPrice _,

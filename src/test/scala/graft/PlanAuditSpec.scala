@@ -729,6 +729,32 @@ class PlanAuditSpec extends SparkSpec {
       s"q146 regressed: $s")
   }
 
+  test("q147 SQL grouping sets plan like their DataFrame cousins (broadcast dims, expand+agg)") {
+    val s = stats("q147_sql_grouping_sets")
+    assert(s.broadcast >= 2 && s.nestedLoops == 0, s"q147 regressed: $s")
+    assert(s.scans <= 12 && s.shuffles <= 12 && s.singleParts == 0,
+      s"q147 regressed: $s")
+  }
+
+  test("q148 method eval keeps both pair pipelines index-joined") {
+    val s = stats("q148_dedup_method_eval")
+    // The 2 NLJs are the 4-row threshold table and one-row totals —
+    // q19-class; neither pair pipeline may regress to all-pairs.
+    assert(s.nestedLoops <= 4, s"q148 regressed: $s")
+    assert(s.scans <= 20 && s.shuffles <= 48, s"q148 regressed: $s")
+  }
+
+  test("q149/q150 stay scan + broadcast-scalar + aggregate shapes") {
+    val s149 = stats("q149_period_movers")
+    assert(s149.nestedLoops <= 3 && s149.smj == 0, s"q149 regressed: $s149")
+    assert(s149.scans <= 16 && s149.shuffles <= 24 && s149.singleParts <= 8,
+      s"q149 regressed: $s149")
+    val s150 = stats("q150_sla_aging")
+    assert(s150.nestedLoops <= 3 && s150.smj == 0, s"q150 regressed: $s150")
+    assert(s150.scans <= 8 && s150.shuffles <= 12 && s150.singleParts <= 4,
+      s"q150 regressed: $s150")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

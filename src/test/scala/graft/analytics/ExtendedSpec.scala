@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
@@ -63,6 +63,44 @@ class ExtendedSpec extends SparkSpec {
     assert(out("b").getAs[Long]("n_clip_lo") == 0L)
     assert(out("b").getAs[Long]("n_clip_hi") == 0L)
     assert(out("b").getAs[Long]("sum_winsorized") == 10L)
+  }
+
+  test("period movers: halves reconcile with the total and ranks are total") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Extended.periodMovers(spark, sfDir).collect()
+    val total = graft.core.Tables.lineitem(spark, sfDir)
+      .join(graft.core.Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(org.apache.spark.sql.functions.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => r.getAs[String]("p_brand") -> r.getAs[Long]("cents")).toMap
+    rows.foreach { r =>
+      val b = r.getAs[String]("p_brand")
+      assert(r.getAs[Long]("early_cents") + r.getAs[Long]("late_cents") == total(b),
+        s"brand $b: periods must partition total revenue")
+      assert(r.getAs[Long]("delta_cents") ==
+        r.getAs[Long]("late_cents") - r.getAs[Long]("early_cents"))
+    }
+    val ranks = rows.map(_.getAs[Int]("mover_rank")).sorted.toSeq
+    assert(ranks == (1 to rows.length))
+    val byRank = rows.sortBy(_.getAs[Int]("mover_rank"))
+      .map(_.getAs[Long]("delta_cents")).toSeq
+    assert(byRank == byRank.sortBy(-_), "risers rank first")
+  }
+
+  test("sla aging: buckets partition the open set with a direct recount") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Extended.slaAging(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("age_bucket")).toSet.subsetOf(Set(0, 10, 20)))
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("d")).collect().map(_.getDate(0))
+    val mxd = orders.maxBy(_.getTime)
+    def age(d: java.sql.Date) =
+      ((mxd.toLocalDate.toEpochDay - d.toLocalDate.toEpochDay)).toInt
+    val openCount = orders.count(age(_) < 30)
+    assert(rows.map(_.getAs[Long]("n_open")).sum == openCount.toLong)
   }
 
   test("weighted median: hand cases — mass concentration and the lower-median tie rule") {
