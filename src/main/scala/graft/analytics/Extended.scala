@@ -840,7 +840,128 @@ object Extended {
       |WHERE date_diff('day', d, mxd) < 30
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  /** RFM segmentation — every customer scored 1..5 on Recency (days
+    * since last order, fresher = higher), Frequency (order count) and
+    * Monetary (lifetime cents), quintiles by EXPLICIT integer rank
+    * arithmetic (q = (rank−1)·5 DIV n + 1 over a total (metric, key)
+    * order — `ntile` semantics differ across engines, this formula
+    * cannot). Output: one row per observed RFM code with the customer
+    * count and total monetary value — the marketing-warehouse
+    * segmentation standard.
+    *
+    * Scale shape: per-customer rollup (one fact shuffle), three
+    * customer-keyed rank windows, and a ≤125-group aggregate.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("d")).as("mxd"))
+    val per = o.crossJoin(broadcast(mx))
+      .groupBy("o_custkey")
+      .agg(min(datediff(col("mxd"), col("d"))).as("recency_days"),
+        count(lit(1)).as("freq"), sum(col("cents")).as("monetary"))
+    val n = per.count()
+    // Three explicit rank passes (windows over the customers-sized
+    // rollup); rank 1 = best on each axis, and the 6−quintile flip makes
+    // 5 the best score, the RFM convention.
+    def scored(c: Column, name: String, bestIsSmall: Boolean) = {
+      val w = Window.orderBy(
+        (if (bestIsSmall) c.asc else c.desc), col("o_custkey"))
+      row_number().over(w).as(name)
+    }
+    val ranked = per.select(col("o_custkey"), col("monetary"),
+      scored(col("recency_days"), "r_rank", bestIsSmall = true),
+      scored(col("freq"), "f_rank", bestIsSmall = false),
+      scored(col("monetary"), "m_rank", bestIsSmall = false))
+    val coded = ranked.select(col("monetary"),
+      expr(s"CAST(6 - ((r_rank - 1) * 5 DIV $n + 1) AS INT)").as("r"),
+      expr(s"CAST(6 - ((f_rank - 1) * 5 DIV $n + 1) AS INT)").as("f"),
+      expr(s"CAST(6 - ((m_rank - 1) * 5 DIV $n + 1) AS INT)").as("m"))
+    coded.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).as("monetary_cents"))
+  }
+
+  private lazy val rfmSegmentsSql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate::DATE AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), mx AS (
+      |  SELECT max(d) AS mxd FROM o
+      |), per AS (
+      |  SELECT o_custkey, min(date_diff('day', d, mxd)) AS recency_days,
+      |    count(*) AS freq, sum(cents) AS monetary
+      |  FROM o, mx GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS n FROM per
+      |), ranked AS (
+      |  SELECT monetary,
+      |    row_number() OVER (ORDER BY recency_days ASC, o_custkey) AS r_rank,
+      |    row_number() OVER (ORDER BY freq DESC, o_custkey) AS f_rank,
+      |    row_number() OVER (ORDER BY monetary DESC, o_custkey) AS m_rank
+      |  FROM per
+      |)
+      |SELECT CAST(6 - ((r_rank - 1) * 5 // n.n + 1) AS INT) AS r,
+      |  CAST(6 - ((f_rank - 1) * 5 // n.n + 1) AS INT) AS f,
+      |  CAST(6 - ((m_rank - 1) * 5 // n.n + 1) AS INT) AS m,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(monetary) AS BIGINT) AS monetary_cents
+      |FROM ranked, n
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- q152
+  /** Point-in-time feature panel — the feature-store discipline: for a
+    * grid of snapshot dates, each customer's features computed from data
+    * AS OF that snapshot only (orders-to-date, lifetime cents-to-date,
+    * days since last order). Training a churn model on this panel can
+    * never leak the future, which a naive "features from the whole
+    * table" join silently does. Snapshots are the span's quartile dates
+    * (data-derived, deterministic); the panel is built with one
+    * snapshot×order comparison bounded by the 4-row broadcast grid —
+    * never a range self-join.
+    */
+  def pitFeaturePanel(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val span = o.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val snaps = span.select(explode(sequence(lit(1), lit(4))).as("k"),
+        col("d0"), col("d1"))
+      .select(col("k").cast("long").as("k"),
+        expr("date_add(d0, CAST(datediff(d1, d0) * k DIV 4 AS INT))")
+          .as("snap_d"))
+    o.join(broadcast(snaps), col("d") <= col("snap_d"))
+      .groupBy(col("o_custkey"), col("k"), col("snap_d"))
+      .agg(count(lit(1)).as("orders_to_date"),
+        sum(col("cents")).as("cents_to_date"),
+        min(datediff(col("snap_d"), col("d"))).as("days_since_last"))
+  }
+
+  private lazy val pitFeaturePanelSql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate::DATE AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), span AS (
+      |  SELECT min(d) AS d0, max(d) AS d1 FROM o
+      |), snaps AS (
+      |  SELECT k, d0 + CAST(date_diff('day', d0, d1) * k // 4 AS INT) AS snap_d
+      |  FROM span, (SELECT unnest(range(1, 5)) AS k)
+      |)
+      |SELECT o.o_custkey, CAST(s.k AS BIGINT) AS k, s.snap_d::DATE AS snap_d,
+      |  CAST(count(*) AS BIGINT) AS orders_to_date,
+      |  CAST(sum(o.cents) AS BIGINT) AS cents_to_date,
+      |  CAST(min(date_diff('day', o.d, s.snap_d::DATE)) AS INTEGER)
+      |    AS days_since_last
+      |FROM o JOIN snaps s ON o.d <= s.snap_d::DATE
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q151_rfm_segments", rfmSegments _, Some(rfmSegmentsSql)),
+    NamedQuery("q152_pit_features", pitFeaturePanel _, Some(pitFeaturePanelSql)),
     NamedQuery("q149_period_movers", periodMovers _, Some(periodMoversSql)),
     NamedQuery("q150_sla_aging", slaAging _, Some(slaAgingSql)),
     NamedQuery("q147_sql_grouping_sets", sqlGroupingSets _,

@@ -755,6 +755,22 @@ class PlanAuditSpec extends SparkSpec {
       s"q150 regressed: $s150")
   }
 
+  test("q151/q152 RFM + PIT panel stay customer-rollup shapes") {
+    val s151 = stats("q151_rfm_segments")
+    // The rank windows order the CUSTOMERS-sized rollup (singleParts are
+    // that table, never the fact scan); the NLJs are the one-row max-date
+    // scalar.
+    assert(s151.nestedLoops <= 3 && s151.smj == 0, s"q151 regressed: $s151")
+    assert(s151.scans <= 8 && s151.shuffles <= 16 && s151.singleParts <= 8,
+      s"q151 regressed: $s151")
+    val s152 = stats("q152_pit_features")
+    // The snapshot grid is a 4-row broadcast; the panel join must never
+    // become a range self-join of the fact table.
+    assert(s152.nestedLoops <= 3 && s152.smj == 0, s"q152 regressed: $s152")
+    assert(s152.scans <= 8 && s152.shuffles <= 12 && s152.singleParts <= 4,
+      s"q152 regressed: $s152")
+  }
+
   test("q130 bpe pair stats collapse the corpus to vocab in one scan pass") {
     val s = stats("q130_bpe_pair_stats")
     // Audited 2 scans / 4 shuffles; the ranking window orders the

@@ -103,6 +103,60 @@ class ExtendedSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_open")).sum == openCount.toLong)
   }
 
+  test("rfm segments: scores bounded, customers conserved, quintiles balanced") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Extended.rfmSegments(spark, sfDir).collect()
+    val nCust = graft.core.Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    rows.foreach { r =>
+      Seq("r", "f", "m").foreach { a =>
+        val v = r.getAs[Int](a); assert(v >= 1 && v <= 5, s"$a=$v out of range")
+      }
+    }
+    // Marginal counts per score on each axis are the exact quintile
+    // bucket sizes of the rank formula.
+    val expectSizes = (0 until 5).map { q =>
+      (0 until nCust.toInt).count(rk => rk * 5 / nCust.toInt == q).toLong
+    }
+    Seq("r", "f", "m").foreach { a =>
+      val marg = rows.groupBy(_.getAs[Int](a))
+        .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      // score 5 is quintile 0 (best) after the 6−q flip.
+      (1 to 5).foreach { score =>
+        assert(marg.getOrElse(score, 0L) == expectSizes(5 - score),
+          s"axis $a score $score marginal mismatch")
+      }
+    }
+  }
+
+  test("pit feature panel: as-of features are cumulative and leak-free") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Extended.pitFeaturePanel(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("k"),
+        r.getAs[Long]("orders_to_date"), r.getAs[Long]("cents_to_date"),
+        r.getAs[Int]("days_since_last")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, c, dsl) =>
+      assert(n >= 1 && c > 0 && dsl >= 0, "no future data can enter a snapshot")
+    }
+    val perCust = rows.groupBy(_._1)
+    val totals = graft.core.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("count")).toMap
+    perCust.foreach { case (cust, rs) =>
+      val byK = rs.sortBy(_._2)
+      byK.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 <= b._3 && a._4 <= b._4,
+            s"customer $cust: features must be cumulative in snapshot order")
+        case _ =>
+      }
+      assert(byK.last._2 == 4L && byK.last._3 == totals(cust),
+        s"customer $cust: the final snapshot sees the whole history")
+    }
+  }
+
   test("weighted median: hand cases — mass concentration and the lower-median tie rule") {
     import spark.implicits._
     val li = Seq(
