@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Divide, Expression, ExpressionInfo, Floor, IntegerLiteral, Literal, Remainder}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
-import graft.functions.{CosineSim, DotProduct, JaccardSets, MinHashSig, ShingleHashArray, ShingleStrings, SimHashSig}
+import graft.functions.{CosineSim, DotProduct, JaccardSets, MinHashSig, SetOverlapSorted, ShingleHashArray, ShingleStrings, SimHashSig}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -43,6 +43,8 @@ object GraftFunctions {
       "simhash_sig(text, n) - portable 60-bit SimHash (md5 basis) over word n-gram shingles"),
     ("jaccard_sets", es => JaccardSets(es(0), es(1)),
       "jaccard_sets(a, b) - exact set-semantics Jaccard of two bigint arrays (duplicates count once, null is one member; fused sort-merge pass)"),
+    ("set_overlap_sorted", es => SetOverlapSorted(es(0), es(1)),
+      "set_overlap_sorted(a, b) - intersection size of two SORTED distinct bigint arrays (single merge pass; callers pre-sort)"),
     ("duration_mmss", es => durationExpr(es(0)),
       "duration_mmss(secs) - seconds to '<M>m <S>s' with uncapped minutes"))
 

@@ -351,7 +351,68 @@ object Relational {
       |LEFT JOIN fulfil ON c_custkey = fulfil.o_custkey
       |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q153
+  /** Supply concentration per nation — the Herfindahl–Hirschman index
+    * over part-brand revenue shares within each supplier nation, in
+    * exact integer arithmetic: shares in basis points (cents·10⁴ DIV
+    * national total), HHI = Σ share_bp² (10⁸ = monopoly). The
+    * antitrust-style concentration metric a procurement/risk report
+    * wants: a nation whose revenue is one brand is fragile however large
+    * its total.
+    *
+    * Scale shape: one fact aggregate to (nation, brand), a nation-keyed
+    * window over that ≤ nations×brands table, and a 25-row rollup —
+    * dims broadcast.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val byBrand = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("n_name")
+    byBrand
+      .withColumn("total", sum(col("cents")).over(w))
+      .withColumn("share_bp", expr("cents * 10000 DIV total"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_brands"),
+        min(col("total")).as("total_cents"),
+        sum(expr("share_bp * share_bp")).as("hhi"))
+  }
+
+  private val revenueConcentrationSql =
+    """WITH b AS (
+      |  SELECT n.n_name, p.p_brand,
+      |    sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+      |      AS cents
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT n_name, p_brand, cents,
+      |    sum(cents) OVER (PARTITION BY n_name) AS total
+      |  FROM b
+      |)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS n_brands,
+      |  CAST(min(total) AS BIGINT) AS total_cents,
+      |  CAST(sum((cents * 10000 // total) * (cents * 10000 // total)) AS BIGINT)
+      |    AS hhi
+      |FROM sh GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q153_revenue_concentration", revenueConcentration _,
+      Some(revenueConcentrationSql)),
     NamedQuery("q01_pricing_summary", pricingSummary _, Some(pricingSummarySql)),
     NamedQuery("q02_topk_orders", topkOrders _, Some(topkOrdersSql)),
     NamedQuery("q03_revenue_by_nation", revenueByNation _, Some(revenueByNationSql)),

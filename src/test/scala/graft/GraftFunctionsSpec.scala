@@ -114,7 +114,7 @@ class GraftFunctionsSpec extends SparkSpec {
     // the registry wiring is exercised (builder list is shared).
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("vec_cosine", "vec_dot", "shingle_hashes", "shingle_strings", "minhash_sig",
-        "simhash_sig", "jaccard_sets", "duration_mmss"))
+        "simhash_sig", "jaccard_sets", "set_overlap_sorted", "duration_mmss"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 

@@ -103,6 +103,35 @@ class ExtendedSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_open")).sum == openCount.toLong)
   }
 
+  test("revenue concentration: HHI bounded and totals reconcile") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Relational.revenueConcentration(spark, sfDir).collect()
+    assert(rows.nonEmpty) // sf0.001 has suppliers in only some nations
+    rows.foreach { r =>
+      val hhi = r.getAs[Long]("hhi")
+      val nb = r.getAs[Long]("n_brands")
+      // Perfect equality floor (n equal shares → hhi ≈ 1e8/n, truncation
+      // only lowers it) and the monopoly ceiling.
+      assert(hhi <= 100000000L, s"${r.getAs[String]("n_name")}: hhi $hhi")
+      assert(hhi >= (10000L / nb) * (10000L / nb) * nb / 2,
+        "hhi can't sit far below the equal-share floor")
+    }
+    val direct = graft.core.Tables.lineitem(spark, sfDir)
+      .join(graft.core.Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.core.Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => r.getAs[String]("n_name") -> r.getAs[Long]("cents")).toMap
+    assert(rows.map(_.getAs[String]("n_name")).toSet == direct.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_cents") == direct(r.getAs[String]("n_name")))
+    }
+  }
+
   test("rfm segments: scores bounded, customers conserved, quintiles balanced") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = Extended.rfmSegments(spark, sfDir).collect()
