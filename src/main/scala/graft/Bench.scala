@@ -177,9 +177,15 @@ object Bench {
     // (`"sf":0.1`, not a dir path) — rounds 1–7 all came back
     // `"parsed": null` with the path-string form, so the stdout line now
     // carries the number and the detail file keeps the full dir.
+    // Emit the RAW stripped dir number (validated parseable) so the
+    // bestKnownMins sameScale matcher — which greps for "sf":<raw>, /
+    // "sf":<raw>} — always matches artifacts this emitter wrote (a
+    // Double.toString round-trip would turn sf1 into "sf":1.0 and
+    // orphan those artifacts as floors).
     val sfJson = try {
       val n = java.nio.file.Paths.get(sfDir).getFileName.toString.stripPrefix("sf")
-      s""""sf":${n.toDouble}"""
+      n.toDouble // validate only
+      s""""sf":$n"""
     } catch { case _: Exception => s""""sf":"$sfDir"""" }
     val meta = s"""$sfJson,"sf_dir":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost"""
     val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +

@@ -982,9 +982,16 @@ object Dedup {
             expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
               s"i -> concat_ws(' ', slice(toks, i, $k)))"))
             .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+    // The packing bound is a documented assumption — make it LOUD: a
+    // doc beyond 2^20 grams would borrow position bits from the hash and
+    // silently invert the tie-break on BOTH engines (the oracle gate
+    // would stay green on wrong numbers).
+    val checkedPos = expr(s"CASE WHEN pos < $WinnowPosM THEN pos ELSE " +
+      "CAST(raise_error('winnowing position overflow: document exceeds " +
+      "2^20 grams') AS INT) END")
     val keyed = grams.select(col(idCol), col("pos"),
       (conv(substring(md5(col("g").cast("binary")), 1, 10), 16, 10).cast("long")
-        * WinnowPosM + (lit(WinnowPosM - 1) - col("pos"))).as("key"))
+        * WinnowPosM + (lit(WinnowPosM - 1) - checkedPos)).as("key"))
     val win = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(-(WinnowW - 1), 0)
     keyed.withColumn("mk", min(col("key")).over(win))
@@ -1278,9 +1285,13 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val pred = simHashNearDups(docs, maxHamming = 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
+    // ONE lazy plan: the truth pipeline (the costliest subDAG) feeds the
+    // evaluation join and the one-row count through the same tree — no
+    // eager driver count() re-deriving LSH + exact verify a second time
+    // (the quantileNormalize broadcast-scalar pattern).
     val truth = minHashNearDups(docs, threshold = 0.7, maxBucketSize = None)
       .select(col("a_id").as("t_a"), col("b_id").as("t_b"))
-    val nTrue = truth.count()
+    val nTrueDf = truth.agg(count(lit(1)).as("n_true"))
     val joined = pred
       .join(truth, col("a_id") === col("t_a") && col("b_id") === col("t_b"),
         "left")
@@ -1292,11 +1303,12 @@ object Dedup {
       .groupBy("max_hamming")
       .agg(coalesce(sum(col("n")), lit(0L)).as("n_pred"),
         coalesce(sum(col("nh")), lit(0L)).as("n_hit"))
+      .crossJoin(broadcast(nTrueDf))
       .select(col("max_hamming"), col("n_pred"), col("n_hit"),
-        lit(nTrue).as("n_true"),
+        col("n_true"),
         expr("CAST(CASE WHEN n_pred > 0 THEN n_hit * 1000000 DIV n_pred " +
           "ELSE 0 END AS BIGINT)").as("precision_ppm"),
-        expr(s"CAST(CASE WHEN $nTrue > 0 THEN n_hit * 1000000 DIV $nTrue " +
+        expr("CAST(CASE WHEN n_true > 0 THEN n_hit * 1000000 DIV n_true " +
           "ELSE 0 END AS BIGINT)").as("recall_ppm"))
   }
 

@@ -560,18 +560,28 @@ object EventAnalytics {
     * within-session position layer on the SAME user-keyed window pass —
     * no extra shuffle beyond the final cohort aggregate.
     */
-  def sessionMrr(spark: SparkSession, dir: String): DataFrame =
-    sessionMrr(Tables.events(spark, dir))
-
-  def sessionMrr(events: DataFrame): DataFrame = {
+  /** The q32 gaps-and-islands session id — ONE definition (1800-second
+    * gap, (ts, event_id) total order) shared by every session-keyed
+    * query here, so the session-boundary contract cannot drift between
+    * q32/q139/q140.
+    */
+  private def withSessionIds(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val wu = w.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val marked = events
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("brk",
         when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wu))
           > 1800L * 1000000L, 1).otherwise(0))
       .withColumn("sid", sum(col("brk")).over(wu))
+  }
+
+  def sessionMrr(spark: SparkSession, dir: String): DataFrame =
+    sessionMrr(Tables.events(spark, dir))
+
+  def sessionMrr(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val marked = withSessionIds(events)
     val ws = w.partitionBy("user_id", "sid").orderBy(col("ts"), col("event_id"))
     val inSession = marked
       .withColumn("pos", row_number().over(ws))
@@ -650,16 +660,13 @@ object EventAnalytics {
     sessionAssocRules(Tables.events(spark, dir))
 
   def sessionAssocRules(events: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val wu = w.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val types = events
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("brk",
-        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wu))
-          > 1800L * 1000000L, 1).otherwise(0))
-      .withColumn("sid", sum(col("brk")).over(wu))
+    val types = withSessionIds(events)
       .select(col("user_id"), col("sid"), col("event_type")).distinct()
-    val nSessions = types.select("user_id", "sid").distinct().count()
+    // Session count as a one-row broadcast inside the SAME lazy plan —
+    // an eager count() would re-run the corpus-wide sessionization as a
+    // separate job before the query proper evaluates it again.
+    val nSessionsDf = types.select("user_id", "sid").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
     val perType = types.groupBy(col("event_type").as("t"))
       .agg(count(lit(1)).as("n_t"))
     val pairs = types.alias("a")
@@ -674,12 +681,13 @@ object EventAnalytics {
         col("n_t").as("n_a"))), Seq("antecedent"))
       .join(broadcast(perType.select(col("t").as("consequent"),
         col("n_t").as("n_c"))), Seq("consequent"))
+      .crossJoin(broadcast(nSessionsDf))
       .select(col("antecedent"), col("consequent"), col("n_both"),
         col("n_a"), col("n_c"),
-        expr(s"CAST(n_both * 1000000 DIV $nSessions AS BIGINT)")
+        expr("CAST(n_both * 1000000 DIV n_sessions AS BIGINT)")
           .as("support_ppm"),
         expr("CAST(n_both * 1000000 DIV n_a AS BIGINT)").as("confidence_ppm"),
-        expr(s"CAST(n_both * $nSessions * 1000 DIV (n_a * n_c) AS BIGINT)")
+        expr("CAST(n_both * n_sessions * 1000 DIV (n_a * n_c) AS BIGINT)")
           .as("lift_milli"))
   }
 

@@ -619,21 +619,32 @@ object Extended {
   def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
     paretoFrontier(Tables.part(spark, dir))
 
-  def paretoFrontier(parts: DataFrame): DataFrame = {
-    val levels = parts
+  def paretoFrontier(parts: DataFrame): DataFrame =
+    paretoSweep(parts
       .groupBy(col("p_brand"), col("p_retailprice").as("price"),
         col("p_size").as("sz"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+      .withColumnRenamed("n", "n_parts")
+
+  /** The skyline survivor sweep over aggregated (p_brand, price, sz, n)
+    * points — THE one definition of the q133 rule, shared with the
+    * incremental [[graft.warehouse.SkylineState]] so the "3-batch fold ≡
+    * one-shot" gate can never drift against a second copy.
+    */
+  def paretoSweep(pts: DataFrame): DataFrame = {
+    val levels = pts
+      .groupBy(col("p_brand"), col("price"), col("sz"))
+      .agg(sum(col("n")).as("n"))
       .groupBy(col("p_brand"), col("price"))
       .agg(max(struct(col("sz"), col("n"))).as("m"))
       .select(col("p_brand"), col("price"),
-        col("m.sz").as("sz"), col("m.n").as("n_parts"))
+        col("m.sz").as("sz"), col("m.n").as("n"))
     val w = Window.partitionBy("p_brand").orderBy("price")
       .rowsBetween(Window.unboundedPreceding, -1)
     levels
       .withColumn("run_max", max(col("sz")).over(w))
       .where(col("run_max").isNull || col("sz") > col("run_max"))
-      .select(col("p_brand"), col("price"), col("sz"), col("n_parts"))
+      .select(col("p_brand"), col("price"), col("sz"), col("n"))
   }
 
   private val paretoFrontierSql =

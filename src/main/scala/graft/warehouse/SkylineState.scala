@@ -23,25 +23,12 @@ import graft.NamedQuery
   */
 object SkylineState {
 
-  /** The q133 level-sweep over aggregated (group, price, sz, n) points:
-    * collapse to price levels (max size + its tie count), then keep the
-    * levels whose size beats every cheaper level's running max.
+  /** The q133 survivor sweep — delegated to the ONE shared definition
+    * ([[graft.analytics.Extended.paretoSweep]]) so the incremental and
+    * one-shot faces can never drift apart.
     */
-  private def sweep(pts: DataFrame): DataFrame = {
-    val levels = pts
-      .groupBy(col("p_brand"), col("price"), col("sz"))
-      .agg(sum(col("n")).as("n"))
-      .groupBy(col("p_brand"), col("price"))
-      .agg(max(struct(col("sz"), col("n"))).as("m"))
-      .select(col("p_brand"), col("price"),
-        col("m.sz").as("sz"), col("m.n").as("n"))
-    val w = Window.partitionBy("p_brand").orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    levels
-      .withColumn("run_max", max(col("sz")).over(w))
-      .where(col("run_max").isNull || col("sz") > col("run_max"))
-      .select(col("p_brand"), col("price"), col("sz"), col("n"))
-  }
+  private def sweep(pts: DataFrame): DataFrame =
+    graft.analytics.Extended.paretoSweep(pts)
 
   /** Fold one batch of raw parts rows (`p_brand`, `p_retailprice`,
     * `p_size`) into the skyline state; returns the post-merge frontier,

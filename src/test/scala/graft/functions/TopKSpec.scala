@@ -66,9 +66,11 @@ class TopKSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       "typed Aggregator must run as ObjectHashAggregate")
-    assert(plan.contains("partial_topkagg") || plan.contains("partial_TopKAgg")
-      || plan.toLowerCase.contains("partial"),
-      s"partial aggregation (map-side top-k) must be present:\n$plan")
+    // The partial mode must be on the TopK aggregate's own line — a
+    // partial_count elsewhere in the plan must not satisfy this pin.
+    assert(plan.split("\n").exists(l => l.contains("ObjectHashAggregate")
+      && l.toLowerCase.contains("partial_topkagg")),
+      s"map-side partial top-k aggregation must be present:\n$plan")
     assert(!plan.contains("Window"),
       "the aggregator form must not fall back to a window")
   }
