@@ -681,11 +681,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q140 assoc rules: basket self-join bounded by session type sets") {
     val s = stats("q140_session_assoc_rules")
-    // Audited 6 scans / 18 shuffles: the pair join is an equi-join on the
+    // Audited 8 scans / 24 shuffles: the pair join is an equi-join on the
     // session id over ≤|types| rows per session — never an event-level
-    // pair space; the rule table is |types|²-sized.
-    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q140 regressed: $s")
-    assert(s.scans <= 12 && s.shuffles <= 36, s"q140 regressed: $s")
+    // pair space; the 2 NLJs/singleParts are the ONE-ROW session-count
+    // scalar broadcast (the review fix that removed the eager count job).
+    assert(s.nestedLoops <= 3 && s.singleParts <= 4, s"q140 regressed: $s")
+    assert(s.scans <= 16 && s.shuffles <= 48, s"q140 regressed: $s")
   }
 
   test("q141 capped balance is one user-keyed window pass (no imperative fold)") {
