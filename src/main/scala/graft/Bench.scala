@@ -129,7 +129,13 @@ object Bench {
       (if (times.exists(_ < 0)) -1.0 else best, times.toSeq)
     }
 
+    // Local-iteration subset: SPARK_GRAFT_BENCH_QUERIES="q104,q115" runs
+    // only the named qNN prefixes. Unset (the driver protocol) = full suite.
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        onlyPrefixes.forall(_.contains(name.takeWhile(_ != '_'))) }
     val firstPass = sorted.map { case (name, fn) =>
       val (best, times) = repQuery(name, fn)
       (name, best, times)

@@ -748,19 +748,43 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
     // t = minJaccardMicro/1e6; prefix len = n − ⌈t·n⌉ + 1 in pure integer
     // arithmetic (⌈t·n⌉ = (micro·n + 999999) div 1e6) — no float ever.
-    val prefix = ordered.select(col("doc_id"),
-      expr(s"transform(slice(ord, 1, size(ord) - (($minJaccardMicro * size(ord)" +
-        s" + 999999) div 1000000) + 1), x -> x.token)").as("pref"))
-      .select(col("doc_id"), explode(col("pref")).as("token"))
-    val cand = CandidateJoin.pairs(prefix, "doc_id", Seq("token"), None).distinct()
-    val sizes = s.select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
-    val sized = cand
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_size")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_size")), "b_id")
-      // |a∩b| ≤ min and |a∪b| ≥ max ⇒ J ≥ t needs t·max ≤ min.
+    // Each prefix token carries its 1-indexed POSITION in the rarest-first
+    // order plus the set size, feeding the PPJoin candidate-time filters.
+    val prefix = ordered.select(col("doc_id"), size(col("ord")).cast("long").as("sz"),
+      posexplode(expr(s"transform(slice(ord, 1, size(ord) - (($minJaccardMicro" +
+        s" * size(ord) + 999999) div 1000000) + 1), x -> x.token)")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("token"))
+    // Pinned-partition spread BEFORE the two column-rename sides so both
+    // join inputs are the same exchange subtree (ReuseExchange: the
+    // tokenize→df→sort pipeline runs once, not twice).
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = prefix.repartition(nPart, col("token"))
+    val aSide = spread.select(col("doc_id").as("a_id"), col("sz").as("a_size"),
+      col("p").as("a_p"), col("token"))
+    val bSide = spread.select(col("doc_id").as("b_id"), col("sz").as("b_size"),
+      col("p").as("b_p"), col("token"))
+    // PPJoin (Xiao et al. 2008) candidate-time pruning, both in exact
+    // integer arithmetic and both BEFORE the pair `distinct` (the largest
+    // shuffle of the query):
+    //  - length filter: |a∩b| ≤ min ∧ |a∪b| ≥ max ⇒ J ≥ t needs t·max ≤ min;
+    //  - positional filter: common tokens sorting before the matched one
+    //    number ≤ min(pa−1, pb−1); the rest ≤ 1 + min(|a|−pa, |b|−pb), so
+    //    overlap ≤ that sum, which must reach the equivalent-overlap
+    //    threshold ⌈t·(|a|+|b|)/(1+t)⌉ (J ≥ t ⇔ |∩| ≥ t/(1+t)·(|a|+|b|)).
+    val ovDenom = 1000000L + minJaccardMicro
+    val cand = aSide.join(bSide, "token")
+      .filter(col("a_id") < col("b_id"))
       .filter(greatest(col("a_size"), col("b_size")) * minJaccardMicro
         <= least(col("a_size"), col("b_size")) * 1000000L)
-    sized
+      .filter(least(col("a_p"), col("b_p")) +
+        least(col("a_size") - col("a_p"), col("b_size") - col("b_p"))
+        >= expr(s"($minJaccardMicro * (a_size + b_size) + $ovDenom - 1)" +
+          s" div $ovDenom"))
+      .select("a_id", "b_id", "a_size", "b_size").distinct()
+    // Sizes rode the candidate rows, so the verify needs only the two
+    // sorted-hash joins — no separate size lookups.
+    cand
       .join(s.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
       .withColumn("inter",
@@ -859,23 +883,39 @@ object Dedup {
     val ordered = tok.join(dfreq, "token")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ord"))
+    // Every token row carries its 1-indexed rank in the rarest-first
+    // order plus the set size; ONE pinned exchange on `token` feeds both
+    // join sides (a's prefix subset, b's full posting list) so
+    // ReuseExchange runs the tokenize→df→sort pipeline once.
+    val pos = ordered.select(col("doc_id"), size(col("ord")).cast("long").as("sz"),
+      posexplode(expr("transform(ord, x -> x.token)")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("token"))
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = pos.repartition(nPart, col("token"))
     // Prefix length |a| − ⌈t·|a|⌉ + 1 in pure integer arithmetic (q104's
     // discipline): ⌈t·n⌉ = (micro·n + 999999) div 1e6.
-    val prefix = ordered.select(col("doc_id").as("a_id"),
-      expr(s"transform(slice(ord, 1, size(ord) - (($minContainMicro * size(ord)" +
-        s" + 999999) div 1000000) + 1), x -> x.token)").as("pref"),
-      size(col("ord")).cast("long").as("a_size"))
-      .select(col("a_id"), col("a_size"), explode(col("pref")).as("token"))
-    // Sizes ride the candidate rows as two longs, so the containment
-    // size bound (|b| ≥ ⌈t·|a|⌉, since |a∩b| ≤ |b|) prunes BEFORE the
-    // pair distinct — the biggest shuffle of the query — and the verify
-    // needs no separate size joins at all.
-    val tokB = s.select(col("doc_id").as("b_id"),
-      size(col("ws")).cast("long").as("b_size"), explode(col("ws")).as("token"))
-    val sized = prefix
-      .join(tokB, "token")
+    val aSide = spread
+      .filter(col("p") <= col("sz")
+        - expr(s"($minContainMicro * sz + 999999) div 1000000") + 1L)
+      .select(col("doc_id").as("a_id"), col("sz").as("a_size"),
+        col("p").as("a_p"), col("token"))
+    val bSide = spread.select(col("doc_id").as("b_id"), col("sz").as("b_size"),
+      col("p").as("b_p"), col("token"))
+    // All three candidate-time prunes run BEFORE the pair distinct — the
+    // biggest shuffle of the query — and sizes ride the candidate rows so
+    // the verify needs no separate size joins:
+    //  - size bound: |a∩b| ≤ |b| ⇒ C ≥ t needs |b| ≥ ⌈t·|a|⌉;
+    //  - positional bound (PPJoin adapted to containment): common tokens
+    //    before the matched rank ≤ min(pa−1, pb−1), the rest
+    //    ≤ 1 + min(|a|−pa, |b|−pb); the sum must reach ⌈t·|a|⌉.
+    val sized = aSide
+      .join(bSide, "token")
       .filter(col("a_id") =!= col("b_id") &&
         col("b_size") * 1000000L >= col("a_size") * minContainMicro)
+      .filter(least(col("a_p"), col("b_p")) +
+        least(col("a_size") - col("a_p"), col("b_size") - col("b_p"))
+        >= expr(s"($minContainMicro * a_size + 999999) div 1000000"))
       .select("a_id", "b_id", "a_size", "b_size").distinct()
     sized
       .join(s.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")

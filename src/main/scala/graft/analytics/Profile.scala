@@ -37,10 +37,26 @@ object Profile {
     * counts, every item with frequency > n/(topCapacity+1) guaranteed
     * present).
     */
-  def profile(df: DataFrame, topCapacity: Int = 8,
+  /** Spread an under-parallel scan across the cluster before a fused
+    * sketch aggregate. A row-dense table landing in one or two small
+    * files (the harness shape: sf0.1 lineitem is ONE 11 MB file → one
+    * scan partition) would otherwise run the whole per-row sketch work
+    * on a single task; the row-level cost of MG/GK/HLL updates — not the
+    * bytes — is the job, so buying parallelism with one round-robin
+    * shuffle of the (small) input is the right trade. At real scale the
+    * scan already carries ≥ cores partitions and this is a no-op: no
+    * 100 TB table ever pays the shuffle.
+    */
+  private def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
+  def profile(df0: DataFrame, topCapacity: Int = 8,
               quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
               relativeError: Double = 0.01,
               distinctRsd: Double = 0.02): DataFrame = {
+    val df = spreadIfNarrow(df0)
     val fields = df.schema.fields.toSeq
     def isNum(f: StructField): Boolean = f.dataType.isInstanceOf[NumericType]
     def num(f: StructField): Column = col(f.name).cast("double")
@@ -112,9 +128,12 @@ object Profile {
   def profileLineitem(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val prof = profile(li)
+    // The exact-distinct audit pass expands ×11 before aggregating — the
+    // same single-small-file shape would serialize 6.6M expanded rows
+    // onto one task, so it gets the same spread.
     val exactAggs = (LineitemNumCols ++ LineitemStrCols).map(c =>
       count_distinct(col(c)).as(c))
-    val exact = li.agg(exactAggs.head, exactAggs.tail: _*)
+    val exact = spreadIfNarrow(li).agg(exactAggs.head, exactAggs.tail: _*)
     val exactPerCol = (LineitemNumCols ++ LineitemStrCols).map(c =>
       struct(lit(c).as("col_name"), col(c).as("n_distinct")))
     val exactRows = exact.select(explode(array(exactPerCol: _*)).as("e")).select(col("e.*"))

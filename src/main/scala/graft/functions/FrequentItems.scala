@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * the refined output is EXACT — not sketch-approximate — whenever
   * 1/(capacity+1) ≤ support, and [[heavyHitters]] enforces that.
   *
-  * Buffers are immutable maps encoded by Catalyst's native map encoder
-  * (no Kryo — runtime-serializer registration is JPMS-hostile on Java
-  * 17); the buffer lives as a plain JVM object between `reduce` calls
+  * Build-side buffers are mutable hash maps crossing partial-aggregate
+  * boundaries via Java serialization (no Kryo — runtime-serializer
+  * registration is JPMS-hostile on Java 17); published summaries are
+  * immutable maps under Catalyst's native map encoder. The buffer lives
+  * as a plain JVM object between `reduce` calls
   * (TypedImperativeAggregate), so encoding costs are paid only at
   * partial-aggregate boundaries, not per row.
   */
@@ -62,26 +64,82 @@ object FrequentItems {
       acc.updated(k, acc.getOrElse(k, 0L) + v)
     }
 
+  /** In-place MG eviction on the mutable working buffer: decrement by
+    * the (capacity+1)-th largest count, drop non-positives. Identical
+    * bound math to [[shrinkMap]]; the mutation avoids rebuilding an
+    * immutable map in the per-row hot path.
+    */
+  private def shrinkInPlace(b: java.util.HashMap[String, java.lang.Long],
+                            capacity: Int): Unit =
+    if (b.size > capacity) {
+      val counts = new Array[Long](b.size)
+      var i = 0
+      val vit = b.values.iterator
+      while (vit.hasNext) { counts(i) = vit.next().longValue; i += 1 }
+      java.util.Arrays.sort(counts)
+      val dec = counts(counts.length - capacity - 1)
+      val it = b.entrySet.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue.longValue
+        if (v <= dec) it.remove() else e.setValue(v - dec)
+      }
+    }
+
   /** Misra–Gries aggregator over a string column. Partial aggregates and
     * merges both run the decrement rule, so the result is a valid
     * mergeable summary of whatever subset each task saw.
+    *
+    * Hot-path shape (the q72 profiler runs one of these per column over
+    * the whole table): the working buffer is a MUTABLE hash map with 2×
+    * slack — eviction fires on overflow past 2·capacity, not per row.
+    * The classic decrement argument is slack-invariant (every shrink
+    * removes ≥ (capacity+1)·dec mass, so Σ dec ≤ n/(capacity+1)), and
+    * `finish` shrinks to ≤ capacity entries, so the published summary
+    * carries the exact same MG guarantees — at ~1/capacity the eviction
+    * work on high-cardinality columns, with zero per-row allocation.
     */
   final class MisraGries(capacity: Int)(implicit mapEnc: Encoder[Map[String, Long]])
-      extends Aggregator[String, Map[String, Long], Summary] {
+      extends Aggregator[String, java.util.HashMap[String, java.lang.Long], Summary] {
     require(capacity > 0, s"capacity must be positive, got $capacity")
 
-    def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-      if (item == null) b
-      else shrinkMap(b.updated(item, b.getOrElse(item, 0L) + 1L), capacity)
+    def zero: java.util.HashMap[String, java.lang.Long] =
+      new java.util.HashMap[String, java.lang.Long]
 
-    def zero: Map[String, Long] = Map.empty
+    def reduce(b: java.util.HashMap[String, java.lang.Long],
+               item: String): java.util.HashMap[String, java.lang.Long] = {
+      if (item != null) {
+        val prev = b.get(item)
+        b.put(item, if (prev == null) 1L else prev.longValue + 1L)
+        if (b.size > 2 * capacity) shrinkInPlace(b, capacity)
+      }
+      b
+    }
 
-    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      shrinkMap(addMaps(a, b), capacity)
+    def merge(a: java.util.HashMap[String, java.lang.Long],
+              b: java.util.HashMap[String, java.lang.Long])
+        : java.util.HashMap[String, java.lang.Long] = {
+      val it = b.entrySet.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        val prev = a.get(e.getKey)
+        a.put(e.getKey,
+          if (prev == null) e.getValue else prev.longValue + e.getValue.longValue)
+      }
+      if (a.size > 2 * capacity) shrinkInPlace(a, capacity)
+      a
+    }
 
-    def finish(b: Map[String, Long]): Summary = b
+    def finish(b: java.util.HashMap[String, java.lang.Long]): Summary = {
+      shrinkInPlace(b, capacity)
+      val out = Map.newBuilder[String, Long]
+      val it = b.entrySet.iterator
+      while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.longValue }
+      out.result()
+    }
 
-    def bufferEncoder: Encoder[Map[String, Long]] = mapEnc
+    def bufferEncoder: Encoder[java.util.HashMap[String, java.lang.Long]] =
+      Encoders.javaSerialization[java.util.HashMap[String, java.lang.Long]]
     def outputEncoder: Encoder[Summary] = mapEnc
   }
 

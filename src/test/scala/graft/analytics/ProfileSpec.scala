@@ -61,9 +61,12 @@ class ProfileSpec extends SparkSpec {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val s = Explain.audit(Profile.profile(li))
     // 11 columns × 7 statistics each — still a single global aggregate:
-    // one scan, one exchange (scans=2 is the AQE stage double-print).
+    // one scan, plus ≤ 2 exchanges (the aggregation exchange and the
+    // narrow-scan spread repartition — the round-robin that buys map-side
+    // parallelism when the input lands in fewer partitions than cores;
+    // a wide production scan skips it). scans=2 is the AQE double-print.
     assert(s.scans <= 2, s"profiler must stay single-scan: $s")
-    assert(s.shuffles <= 2, s"profiler must stay single-exchange: $s")
+    assert(s.shuffles <= 4, s"profiler: agg + spread exchanges only: $s")
     assert(s.nestedLoops == 0 && s.smj == 0, s"no joins in a profile: $s")
   }
 
