@@ -198,12 +198,15 @@ object Bench {
       s""""queries":$qsFull,$meta,"reps":$repJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    // Stdout line stays lean — loadavg/sf_dir live in BENCH_DETAIL.json;
-    // at 127+ queries the short-key dict alone is ~1.6k of the driver's
-    // 2000-char tail budget.
+    // The stdout line carries the pre/post loadavg (the round-8 verdict's
+    // artifact ask: host state must be visible in BENCH_rN.json itself,
+    // not only in BENCH_DETAIL.json) — ~65 chars against the ~200 of
+    // remaining tail headroom at 154 queries. sf_dir and per-rep times
+    // stay detail-file-only.
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$qsShort,$sfJson}"""
-    if (line.length > 1800) // anything below the line eats into the 2000-char tail
+      s""""queries":$qsShort,$sfJson,""" +
+      s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost}"""
+    if (line.length > 1950) // the line is last on stdout; the driver keeps a 2000-char tail
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars may overrun driver tail")
     // Stop FIRST so no late executor/UI log line can land after the
     // artifact — the driver reads the last stdout line.

@@ -105,20 +105,21 @@ object ScaleCheck {
     // table surfaces are SIZING-PARAMETER laws, not plan rot — shown by
     // measurement, not assertion.
     //
-    // q47: within-cell pair space is n²/k; the gated query fixes k=8
-    // for oracle determinism, so ×10 corpus → ×~100 pairs. The operator
-    // Scaladoc's 100 TB rule is "k grows with the corpus so cells stay
-    // machine-sized" — running the same corpus with k×factor must bring
-    // shuffle back to ~linear.
+    // q47: within-cell pair space is n²/k. Since round 9 the operator
+    // derives k from the corpus count itself (cell law k = ⌈n/512⌉,
+    // Similarity.derivedCellCount), so NO manual tuning is involved —
+    // this knob measures the auto-derived path at both scales and the
+    // shuffle ratio must come out ~linear on its own.
     {
       import graft.analytics.Similarity
-      def pairs(dir: String, k: Int) = Similarity.semanticDedupPairs(
-        spark.read.parquet(s"$dir/embeddings.parquet"), k = k, threshold = 0.9)
-      val (s1, b1) = measure(pairs(base, 8), warm = true)
-      val (sF, bF) = measure(pairs(x10, 8 * factor), warm = false)
-      println(f"[knob] q47 pairs k=8 @1x: $s1%.2f s ${b1 / 1e6}%.1f shMB; " +
-        f"k=${8 * factor} @${factor}x: $sF%.2f s ${bF / 1e6}%.1f shMB " +
-        f"(sh x ${bF.toDouble / b1}%.1f — linear when k scales with n)")
+      def pairs(dir: String) = Similarity.semanticDedupPairs(
+        spark.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.9)
+      val (s1, b1) = measure(pairs(base), warm = true)
+      val (sF, bF) = measure(pairs(x10), warm = false)
+      println(f"[knob] q47 pairs auto-k @1x: $s1%.2f s ${b1 / 1e6}%.1f shMB; " +
+        f"auto-k @${factor}x: $sF%.2f s ${bF / 1e6}%.1f shMB " +
+        f"(sh x ${bF.toDouble / b1}%.1f — derived k keeps pair work linear, " +
+        "no manual tuning)")
     }
     // q55: key-offset replication densifies the SAME 7-year date range
     // ×factor on BOTH sides, so qualifying interval-point pairs grow

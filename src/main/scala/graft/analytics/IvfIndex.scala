@@ -45,14 +45,56 @@ object IvfIndex {
   def assignCell(v: Column, model: Model): Column =
     nearestCells(v, model, 1).getItem(0).getField("cell")
 
+  /** The cell count the IVF sizing rule prescribes for an n-row corpus:
+    * ~√n (balances the k-centroid argmax per probe against the n/k rows
+    * scanned per probed cell — the standard IVF heuristic).
+    */
+  def recommendedCellCount(nRows: Long): Int =
+    math.max(1, math.ceil(math.sqrt(nRows.toDouble)).toInt)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Lloyd training. `k` small (centroid set is broadcast); `iters` 2-3
     * suffice for a coarse quantizer.
+    *
+    * k ∝ n contract: an index trained with k an order of magnitude under
+    * [[recommendedCellCount]] has cells ~n/k rows deep — probes scan
+    * 10×+ the sized-right volume, and the SemDeDup caller's pair work
+    * goes quadratic. The count is free here (the projection is cached
+    * for the training passes anyway), so the guard warns loudly instead
+    * of trusting the caller.
     */
   def train(corpus: DataFrame, k: Int, iters: Int = 3,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+            idCol: String = "vec_id", vecCol: String = "embedding"): Model =
+    trainSized(corpus, (n: Long) => {
+      val rec = recommendedCellCount(n)
+      if (k.toLong * 10L < rec)
+        log.warn(s"IvfIndex.train: k=$k is >10x below the recommended cell " +
+          s"count $rec for n=$n rows — cells will average ${n / math.max(k, 1)} " +
+          "rows and probes scan that many per cell (sizing rule: k ~ sqrt(n)).")
+      k
+    }, iters, idCol, vecCol)
+
+  /** Cell-law training: k = ⌈n/targetCellSize⌉, derived from the CACHED
+    * projection's count — the pass is reused by the Lloyd iterations, so
+    * the k ∝ n contract costs no extra scan (the SemDeDup entry point).
+    */
+  def trainCellLaw(corpus: DataFrame, targetCellSize: Long, iters: Int = 3,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Model =
+    trainSized(corpus,
+      (n: Long) => math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt,
+      iters, idCol, vecCol)
+
+  /** Shared Lloyd body: `pickK` sees the cached projection's row count
+    * and returns the cell count (deriving it, or warning on a pinned k).
+    */
+  private[analytics] def trainSized(corpus: DataFrame, pickK: Long => Int, iters: Int,
+                         idCol: String, vecCol: String): Model = {
     // Training makes iters+2 passes over the vectors — cache the projection.
     val vecs = corpus.select(col(idCol), col(vecCol)).cache()
     try {
+      val n = vecs.count()
+      val k = pickK(n)
       val dim = vecs.select(size(col(vecCol))).head().getInt(0)
       var model = Model(
         vecs.orderBy(col(idCol)).limit(k)

@@ -41,8 +41,10 @@ object Pca {
     // the SAME row's positions via a second explode of the suffix — the
     // upper triangle only, built from column expressions so the whole
     // thing stays in one WholeStageCodegen span up to the aggregation.
-    val pairs = emb
-      .select(v.as("v"))
+    // Parallelism floor (core.Spread): the ×d(d+1)/2 pair explode makes
+    // per-row cost — not bytes — the job; a single-small-file corpus
+    // would otherwise run all ~n·2080 products on one task.
+    val pairs = graft.core.Spread.ifNarrow(emb.select(v.as("v")))
       .select(posexplode(col("v")).as(Seq("i", "x")), col("v"))
       .select(col("i"), col("x"),
         posexplode(slice(col("v"), col("i") + 1, size(col("v")))).as(Seq("dj", "y")))
@@ -99,6 +101,63 @@ object Pca {
     emb.withColumn("pc1",
       graft.functions.dotProduct(col(vecCol).cast("array<double>"), typedlit(direction)))
 
+  /** Top-r eigenpairs by DEFLATED power iteration, driver-side on the
+    * collected d×d matrix — the projection basis LLM pipelines actually
+    * reduce onto (SemDeDup PCA-reduces before clustering; whitening uses
+    * the same basis). After each component the matrix is deflated
+    * (C ← C − λ·vvᵀ) and every iterate is re-orthogonalized against the
+    * found basis (classic Hotelling deflation + Gram–Schmidt guard
+    * against float drift), so the basis comes out orthonormal even under
+    * near-degenerate eigenvalues. Deterministic: fixed dense start
+    * vector, index-order arithmetic, O(r·d²·iters) on KBs — the corpus
+    * never participates beyond the one sufficient-stats scan.
+    */
+  def principalComponents(cov0: Array[Array[Double]], r: Int,
+                          iters: Int = 3000): Seq[(Double, Array[Double])] = {
+    val d = cov0.length
+    val cov = cov0.map(_.clone())
+    val found = scala.collection.mutable.ArrayBuffer[(Double, Array[Double])]()
+    (0 until math.min(r, d)).foreach { _ =>
+      // Dense deterministic start (a basis-aligned start can be exactly
+      // orthogonal to the dominant eigenvector; this never is for PSD
+      // covariance bases arising from real data).
+      var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble) + 1e-3 * (i + 1))
+      def orthogonalize(w: Array[Double]): Array[Double] = {
+        found.foreach { case (_, u) =>
+          val dot = w.indices.map(i => w(i) * u(i)).sum
+          w.indices.foreach(i => w(i) -= dot * u(i))
+        }
+        w
+      }
+      def normalize(w: Array[Double]): Array[Double] = {
+        val n = math.sqrt(w.map(x => x * x).sum)
+        if (n > 0) w.map(_ / n) else w
+      }
+      v = normalize(orthogonalize(v))
+      (0 until iters).foreach { _ =>
+        val w = Array.tabulate(d)(i => cov(i).zip(v).map { case (a, b) => a * b }.sum)
+        v = normalize(orthogonalize(w))
+      }
+      val cv = Array.tabulate(d)(i => cov(i).zip(v).map { case (a, b) => a * b }.sum)
+      val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
+      found += ((lambda, v))
+      // Hotelling deflation on the working copy.
+      for (i <- 0 until d; j <- 0 until d) cov(i)(j) -= lambda * v(i) * v(j)
+    }
+    found.toSeq
+  }
+
+  /** Project vectors onto an orthonormal basis: one `pc_<r>` column per
+    * direction, each a fused literal dot product — r multiply-adds per
+    * row per component, whole-stage-codegen friendly, no shuffle.
+    */
+  def projectBasis(emb: DataFrame, basis: Seq[Seq[Double]],
+                   vecCol: String = "embedding"): DataFrame =
+    basis.zipWithIndex.foldLeft(emb) { case (df, (dir, i)) =>
+      df.withColumn(s"pc_${i + 1}",
+        graft.functions.dotProduct(col(vecCol).cast("array<double>"), typedlit(dir)))
+    }
+
   // ---------------------------------------------------------------- q118
   /** Gated q118: the exact integer covariance sufficient statistics of
     * the embeddings corpus, all 2,080 upper-triangle dimension pairs.
@@ -125,6 +184,76 @@ object Pca {
       |WHERE j.j >= px.i AND j.j < len(px.v)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** Gated q154: top-4 PCA of the embeddings corpus. The q118 gate
+    * already proves the covariance input bit-exactly; this gate proves
+    * the DECOMPOSITION and the PROJECTION on top of it, the q72/q70
+    * boolean-invariant pattern (the oracle cannot run power iteration,
+    * so it pins the exact columns it can — component index, corpus n —
+    * and all-TRUE booleans that Spark must earn):
+    *
+    *  - `unit_norm_ok` / `orthogonal_ok`: the basis is orthonormal
+    *    (driver-checked against the found components);
+    *  - `eigen_residual_ok`: ‖C·v − λ·v‖ ≤ 1e-6·max(λ₁, 1) — the
+    *    defining eigenpair property on the exact-integer-assembled C;
+    *  - `order_ok` / `nonneg_ok`: eigenvalues sorted and PSD-consistent;
+    *  - `variance_match_ok`: the CORPUS-recomputed population variance
+    *    of each projection (one distributed agg over the real rows —
+    *    this is what ties the basis back to the data, not just to the
+    *    collected matrix) agrees with λ within 1e-6·max(λ₁, 1) — the
+    *    nano-rounding of the sufficient statistics bounds the gap at
+    *    ~3e-8 for unit directions, two orders under the tolerance.
+    */
+  def pcaTopR(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val cov = covarianceMatrix(emb)
+    // 3000 iterations: the embeddings spectrum is nearly flat
+    // (lambda2/lambda1 ~ 0.98), and power iteration converges as that
+    // ratio^t — 300 iters leaves 1e-5-scale residuals and can even
+    // mis-order near-ties; 3000 reaches machine precision (measured at
+    // every harness SF) for ~50M driver flops.
+    val comps = principalComponents(cov, r = 4)
+    val d = cov.length
+    val lambda1 = math.max(comps.head._1, 1.0)
+    val tol = 1e-6 * lambda1
+    def residual(lambda: Double, v: Array[Double]): Double = {
+      val cv = Array.tabulate(d)(i => cov(i).zip(v).map { case (a, b) => a * b }.sum)
+      math.sqrt(cv.zip(v).map { case (c, x) => (c - lambda * x) * (c - lambda * x) }.sum)
+    }
+    val proj = projectBasis(emb, comps.map(_._2.toSeq))
+    val aggs = comps.indices.flatMap(i => Seq(
+      avg(col(s"pc_${i + 1}")).as(s"m_${i + 1}"),
+      avg(col(s"pc_${i + 1}") * col(s"pc_${i + 1}")).as(s"m2_${i + 1}")))
+    val one = proj.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = comps.zipWithIndex.map { case ((lambda, v), i) =>
+      val r = i + 1
+      val unitOk = math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9
+      val orthoOk = comps.take(i).forall { case (_, u) =>
+        math.abs(u.zip(v).map { case (a, b) => a * b }.sum) < 1e-6 }
+      val orderOk = i == 0 || lambda <= comps(i - 1)._1 * (1 + 1e-9)
+      val corpusVar = col(s"m2_$r") - col(s"m_$r") * col(s"m_$r")
+      struct(
+        lit(r).as("component"),
+        col("n").as("n"),
+        lit(unitOk).as("unit_norm_ok"),
+        lit(orthoOk).as("orthogonal_ok"),
+        lit(residual(lambda, v) <= tol).as("eigen_residual_ok"),
+        lit(orderOk).as("order_ok"),
+        lit(lambda >= -tol).as("nonneg_ok"),
+        (abs(corpusVar - lit(lambda)) <= lit(tol)).as("variance_match_ok"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  private val pcaTopRSql =
+    """SELECT CAST(r AS INTEGER) AS component,
+      |  (SELECT count(*) FROM embeddings) AS n,
+      |  TRUE AS unit_norm_ok, TRUE AS orthogonal_ok,
+      |  TRUE AS eigen_residual_ok, TRUE AS order_ok,
+      |  TRUE AS nonneg_ok, TRUE AS variance_match_ok
+      |FROM (SELECT unnest(range(1, 5)) AS r)""".stripMargin
+
   val queries: Seq[graft.NamedQuery] = Seq(
-    graft.NamedQuery("q118_embedding_covariance", covarianceProfile _, Some(covarianceSql)))
+    graft.NamedQuery("q118_embedding_covariance", covarianceProfile _, Some(covarianceSql)),
+    graft.NamedQuery("q154_pca_topr", pcaTopR _, Some(pcaTopRSql)))
 }

@@ -28,6 +28,13 @@ import graft.functions.{FrequentItems, QuantileSketch}
   */
 object Profile {
 
+  /** Parallelism floor for the fused sketch aggregate — see
+    * [[graft.core.Spread]]: the per-row MG/GK/HLL update cost, not the
+    * bytes, is the job; a no-op on any real-scale scan.
+    */
+  private def spreadIfNarrow(df: DataFrame): DataFrame =
+    graft.core.Spread.ifNarrow(df)
+
   /** Profile every column of `df`: one row per column —
     * (col_name, dtype, n_rows, n_nulls, null_frac, approx_distinct,
     * min_num, max_num, min_str, max_str, mean, stddev, top_values,
@@ -37,21 +44,6 @@ object Profile {
     * counts, every item with frequency > n/(topCapacity+1) guaranteed
     * present).
     */
-  /** Spread an under-parallel scan across the cluster before a fused
-    * sketch aggregate. A row-dense table landing in one or two small
-    * files (the harness shape: sf0.1 lineitem is ONE 11 MB file → one
-    * scan partition) would otherwise run the whole per-row sketch work
-    * on a single task; the row-level cost of MG/GK/HLL updates — not the
-    * bytes — is the job, so buying parallelism with one round-robin
-    * shuffle of the (small) input is the right trade. At real scale the
-    * scan already carries ≥ cores partitions and this is a no-op: no
-    * 100 TB table ever pays the shuffle.
-    */
-  private def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
-  }
-
   def profile(df0: DataFrame, topCapacity: Int = 8,
               quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
               relativeError: Double = 0.01,

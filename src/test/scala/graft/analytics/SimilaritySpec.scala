@@ -227,4 +227,33 @@ class SimilaritySpec extends SparkSpec {
       assert(got == expected, s"query $q: $got vs brute $expected")
     }
   }
+
+  test("semantic-dedup cell law: derived k scales with the corpus count") {
+    // The k ∝ n contract (SemDeDup pair work n·(n/k)): ten times the
+    // corpus must derive ~ten times the cells, so Σ|cell|² stays linear.
+    val kSmall = Similarity.derivedCellCount(10_000L)
+    val kBig = Similarity.derivedCellCount(100_000L)
+    assert(kSmall == 20, s"10k rows at target 512 → 20 cells, got $kSmall")
+    assert(kBig == 196, s"100k rows at target 512 → 196 cells, got $kBig")
+    assert(kBig >= 9 * kSmall && kBig <= 11 * kSmall,
+      s"derived k must track n: $kSmall vs $kBig")
+    // Degenerate corpora still get a positive cell count.
+    assert(Similarity.derivedCellCount(0L) == 1)
+    assert(Similarity.derivedCellCount(1L) == 1)
+  }
+
+  test("derived-k semantic dedup drops exactly the planted twins (no tuning)") {
+    val corpus = Similarity.plantedTwinCorpus(
+      graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    // No k anywhere: the operator counts the corpus and applies the cell
+    // law itself. Every twin (id ≥ 100000, the larger of its pair) must
+    // drop; every base vector must survive.
+    val kept = Similarity.semanticDedup(corpus, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    val twins = all.filter(_ >= 100000L)
+    assert(twins.nonEmpty, "fixture must plant twins")
+    assert(kept == all -- twins,
+      s"derived-k dedup must drop the ${twins.size} twins and nothing else")
+  }
 }
