@@ -45,20 +45,38 @@ object ScaleCheck {
     // under split attribution, and CDC's chunk-rebuild aggregate — all
     // corpus-linear by construction (suffix-replica docs share no
     // grams/chunks across replicas).
-    "q128_winnow_fingerprints", "q129_split_leakage", "q134_cdc_chunks")
+    "q128_winnow_fingerprints", "q129_split_leakage", "q134_cdc_chunks",
+    // round-9: the PPJoin-filtered exact-candidate family and the
+    // covariance sufficient-stats scan join the measured set (the round-8
+    // verdict's five 100×-decade targets are q104/q115/q72/q118/q30).
+    "q104_prefix_filter_join", "q115_containment_join",
+    "q118_embedding_covariance")
 
-  /** Shuffle-write accounting per timed section. */
+  /** Shuffle-write + peak-execution-memory accounting per timed section.
+    * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe
+    * operator memory: hash maps, sort buffers) — the executor-sizing
+    * number for the scale table.
+    */
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakMem.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+      }
     }
   }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // SPARK_GRAFT_SCALE_QUERIES="q104,q115" restricts the sweep — the
+    // 100× decade runs the verdict's top five, not all ~20 heavy rows.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt.max(1)
     val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
@@ -67,44 +85,52 @@ object ScaleCheck {
     println(s"[scale] materializing ${factor}x fixture at $x10")
     materialize(spark, base, x10, factor)
 
-    def measure(mk: => DataFrame, warm: Boolean): (Double, Long) = {
-      // min-of-2 wall clock (plus an untimed warmup rep when `warm` —
+    def measure(mk: => DataFrame, warm: Boolean): (Double, Long, Long) = {
+      // min-of-reps wall clock (plus an untimed warmup rep when `warm` —
       // first-execution JIT/codegen cost is JVM state, not plan cost);
-      // shuffle bytes from the LAST rep (identical across reps — the
-      // plan doesn't change).
+      // shuffle bytes and peak memory from the LAST rep (identical across
+      // reps — the plan doesn't change).
       if (warm) mk.write.mode("overwrite").format("noop").save()
       var best = Double.MaxValue
       var bytes = 0L
-      (1 to 2).foreach { _ =>
+      var peak = 0L
+      (1 to reps).foreach { _ =>
         // Drain pending task-end events so the meter reads THIS query.
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 60000)
         meter.bytes.set(0L)
+        meter.peakMem.set(0L)
         val t0 = System.nanoTime()
         mk.write.mode("overwrite").format("noop").save()
         val t = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 60000)
         if (t < best) best = t
         bytes = meter.bytes.get()
+        peak = meter.peakMem.get()
       }
-      (best, bytes)
+      (best, bytes, peak)
     }
-    def run(name: String, dir: String): (Double, Long) =
+    def run(name: String, dir: String): (Double, Long, Long) =
       measure(SparkEntry.queries(name)(spark, dir), warm = dir == base)
 
-    println(f"${"query"}%-26s ${"sf0.1 s"}%9s ${"x10 s"}%9s ${"wall x"}%7s " +
-      f"${"sf0.1 shMB"}%11s ${"x10 shMB"}%10s ${"sh x"}%6s")
-    Heavy.foreach { name =>
-      val (s1, b1) = run(name, base)
-      val (s10, b10) = run(name, x10)
+    println(f"${"query"}%-26s ${"base s"}%9s ${"xN s"}%9s ${"wall x"}%7s " +
+      f"${"base shMB"}%11s ${"xN shMB"}%10s ${"sh x"}%6s " +
+      f"${"base pkMB"}%10s ${"xN pkMB"}%9s")
+    Heavy.filter(n => only.forall(_.contains(n.takeWhile(_ != '_')))).foreach { name =>
+      val (s1, b1, p1) = run(name, base)
+      val (s10, b10, p10) = run(name, x10)
       val shx = if (b1 > 0) f"${b10.toDouble / b1}%5.1f" else "    -"
       println(f"$name%-26s $s1%9.2f $s10%9.2f ${s10 / s1}%7.1f " +
-        f"${b1 / 1e6}%11.1f ${b10 / 1e6}%10.1f $shx%6s")
+        f"${b1 / 1e6}%11.1f ${b10 / 1e6}%10.1f $shx%6s " +
+        f"${p1 / 1e6}%10.1f ${p10 / 1e6}%9.1f")
     }
 
     // ---- knob checks: the two super-linear shuffle ratios the main
     // table surfaces are SIZING-PARAMETER laws, not plan rot — shown by
-    // measurement, not assertion.
-    //
+    // measurement, not assertion. Skipped under a query filter (the q55
+    // knob's qualifying-pair count grows ×factor² by fixture construction
+    // — at 100× that is 10,000× the pairs, a fixture artifact the 10×
+    // default run already documents).
+    if (only.isEmpty) {
     // q47: within-cell pair space is n²/k. Since round 9 the operator
     // derives k from the corpus count itself (cell law k = ⌈n/512⌉,
     // Similarity.derivedCellCount), so NO manual tuning is involved —
@@ -114,8 +140,8 @@ object ScaleCheck {
       import graft.analytics.Similarity
       def pairs(dir: String) = Similarity.semanticDedupPairs(
         spark.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.9)
-      val (s1, b1) = measure(pairs(base), warm = true)
-      val (sF, bF) = measure(pairs(x10), warm = false)
+      val (s1, b1, _) = measure(pairs(base), warm = true)
+      val (sF, bF, _) = measure(pairs(x10), warm = false)
       println(f"[knob] q47 pairs auto-k @1x: $s1%.2f s ${b1 / 1e6}%.1f shMB; " +
         f"auto-k @${factor}x: $sF%.2f s ${bF / 1e6}%.1f shMB " +
         f"(sh x ${bF.toDouble / b1}%.1f — derived k keeps pair work linear, " +
@@ -133,6 +159,7 @@ object ScaleCheck {
       val (p1, pF) = (qualifying(base), qualifying(x10))
       println(f"[knob] q55 qualifying pairs @1x: $p1%,d; @${factor}x: $pF%,d " +
         f"(x ${pF.toDouble / p1}%.1f — the shuffle ratio IS the output ratio)")
+    }
     }
     spark.stop()
     graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(x10))

@@ -970,7 +970,159 @@ object Extended {
       |FROM o JOIN snaps s ON o.d <= s.snap_d::DATE
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  /** Small-quantity revenue audit — the TPC-H Q17 shape: per brand, the
+    * revenue sitting in line items whose quantity is under 20% of that
+    * PART's average quantity. The reference semantics is a correlated
+    * scalar subquery (`WHERE l_quantity < (SELECT 0.2·avg(l_quantity)
+    * FROM lineitem WHERE l_partkey = outer.l_partkey)`); the Spark-first
+    * plan decorrelates it into one per-part aggregate joined back to the
+    * fact — one extra keys-sized shuffle instead of a per-row subquery
+    * re-scan, the decorrelation every engine at scale performs.
+    *
+    * Exactness: quantities are whole integers in this corpus, so
+    * `qty < 0.2·avg` becomes the integer cross-multiplication
+    * `5·qty·n_part < Σqty_part` — no float division crosses engines —
+    * and revenue folds in exact integer cents.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_part"), sum("qty").as("sum_qty"))
+    li.join(perPart, "l_partkey")
+      .filter(col("qty") * 5L * col("n_part") < col("sum_qty"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum("cents").as("revenue_cents"))
+  }
+
+  private val smallQuantityRevenueSql =
+    """SELECT p.p_brand AS brand, count(*) AS n_small_lines,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+      |    (SELECT count(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+      |  < (SELECT CAST(sum(CAST(i.l_quantity AS BIGINT)) AS BIGINT)
+      |     FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q157
+  /** Lone-late-supplier audit — the TPC-H Q21 shape: suppliers who were
+    * the ONLY late shipper (> 60 days after the order date) on a
+    * finished multi-supplier order. The reference semantics is a
+    * double-correlated EXISTS / NOT EXISTS pair; the Spark-first plan
+    * computes per-order distinct supplier / distinct-late-supplier
+    * counts in ONE order-keyed aggregate and joins the late lines back —
+    * two key-shuffles total, no correlated re-scan per row.
+    *
+    * Late is integer day arithmetic (epoch-day difference > 60), exact
+    * in both engines; the per-supplier output counts distinct ORDERS so
+    * multi-line lateness cannot double-count.
+    */
+  def loneLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    li.filter(col("late"))
+      .join(perOrder, "l_orderkey")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count_distinct(col("l_orderkey")).as("n_lone_late_orders"))
+  }
+
+  private val loneLateSupplierSql =
+    """WITH f AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    datediff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) > 60 AS late
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |)
+      |SELECT l1.l_suppkey AS suppkey,
+      |  count(DISTINCT l1.l_orderkey) AS n_lone_late_orders
+      |FROM f l1
+      |WHERE l1.late
+      |  AND EXISTS (SELECT 1 FROM f l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM f l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q158
+  /** Revenue-inequality profile (Gini over customers) per market
+    * segment — the concentration complement of q153's HHI (that one is
+    * share-of-squares over brands; this is the full Lorenz-order
+    * statistic over customers). Gini from the sorted-rank identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with revenue ascending,
+    * (revenue, custkey) total order so ties rank identically in both
+    * engines; all terms exact BIGINT (cents), emitted with the ppm
+    * quotient AND the raw numerator/denominator so the gate is integer-
+    * exact. One fact aggregate to customer grain, one segment-keyed rank
+    * window over the customers-sized table, one final aggregate.
+    */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cents"), col("o_custkey"))
+    perCust
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("total_cents"),
+        (lit(2L) * sum(col("rk") * col("cents"))
+          - (count(lit(1)) + 1L) * sum("cents")).as("gini_numer"),
+        (count(lit(1)) * sum("cents")).as("gini_denom"))
+      .withColumn("gini_ppm", expr("(1000000 * gini_numer) div gini_denom"))
+  }
+
+  private val revenueGiniSql =
+    """WITH pc AS (
+      |  SELECT o.o_custkey, c.c_mktsegment,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT c_mktsegment, cents,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY cents, o_custkey) AS rk
+      |  FROM pc
+      |)
+      |SELECT c_mktsegment AS segment, count(*) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(2 * sum(rk * cents) - (count(*) + 1) * sum(cents) AS BIGINT)
+      |    AS gini_numer,
+      |  CAST(count(*) * sum(cents) AS BIGINT) AS gini_denom,
+      |  CAST((1000000 * (2 * sum(rk * cents) - (count(*) + 1) * sum(cents)))
+      |    // (count(*) * sum(cents)) AS BIGINT) AS gini_ppm
+      |FROM rk GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q156_small_quantity_revenue", smallQuantityRevenue _,
+      Some(smallQuantityRevenueSql)),
+    NamedQuery("q157_lone_late_supplier", loneLateSupplier _,
+      Some(loneLateSupplierSql)),
+    NamedQuery("q158_revenue_gini", revenueGini _, Some(revenueGiniSql)),
     NamedQuery("q151_rfm_segments", rfmSegments _, Some(rfmSegmentsSql)),
     NamedQuery("q152_pit_features", pitFeaturePanel _, Some(pitFeaturePanelSql)),
     NamedQuery("q149_period_movers", periodMovers _, Some(periodMoversSql)),

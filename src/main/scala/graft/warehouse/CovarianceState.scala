@@ -1,0 +1,119 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+
+/** Incremental covariance / PCA maintenance — the d×d member of the
+  * exact state-table family ([[MomentsState]] holds per-group scalars;
+  * this holds the embedding corpus's upper-triangle sufficient
+  * statistics): per dimension pair (i ≤ j), persist
+  * (n, s_x_nano, s_y_nano, s_xy_nano) — the q118 integer statistics —
+  * and fold each batch in by plain BIGINT addition. Integer sums are
+  * order-independent, so a replayed fold equals the one-shot aggregate
+  * bit-for-bit with no error term, and "tonight's PCA basis over
+  * everything ingested so far" reads d(d+1)/2 rows of state instead of
+  * re-scanning every batch ever loaded — the incremental form of the
+  * SemDeDup-style reduce-then-cluster pipeline ([[graft.analytics.Pca]]).
+  *
+  * Same persistence discipline as the family: [[StateFiles]] staged swap
+  * + crash recovery, in-JVM path lock, opt-in cross-driver [[LeaseLock]].
+  *
+  * Headroom: each product is nano-rounded once (|x| ≲ 1 ⇒ terms ≲ 2e9),
+  * so s_xy_nano stays exact to ~4e9 accumulated rows per pair — far past
+  * any single state table's life; re-base (subtract a checkpointed mean)
+  * long before that.
+  */
+object CovarianceState {
+
+  /** Fold one batch of vectors into the covariance state at `statePath`;
+    * returns the post-merge pair statistics, eagerly materialized so the
+    * snapshot survives the next swap.
+    */
+  def update(spark: SparkSession, statePath: String, batch: DataFrame,
+             vecCol: String = "embedding", lease: Boolean = false): DataFrame =
+    graft.core.PathLocks.forPath(statePath).synchronized {
+      LeaseLock.withLease(spark, statePath, lease) {
+        StateFiles.recover(spark, statePath)
+        val batchStats = graft.analytics.Pca.covarianceStats(batch, vecCol)
+        val merged =
+          if (!StateFiles.exists(spark, statePath)) batchStats
+          else spark.read.parquet(statePath)
+            .unionByName(batchStats)
+            .groupBy("i", "j")
+            .agg(sum("n").as("n"), sum("s_x_nano").as("s_x_nano"),
+              sum("s_y_nano").as("s_y_nano"), sum("s_xy_nano").as("s_xy_nano"))
+        StateFiles.install(spark, statePath, merged)
+        spark.read.parquet(statePath).localCheckpoint(eager = true)
+      }
+    }
+
+  /** Assemble the dense covariance from the state (nano units undone
+    * AFTER the exact fold — the q118 discipline) — a state-table read,
+    * never a history scan.
+    */
+  def covariance(spark: SparkSession, statePath: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(statePath).collect()
+    val d = rows.map(_.getInt(1)).max + 1
+    val m = Array.fill(d, d)(0.0)
+    rows.foreach { r =>
+      val (i, j, n) = (r.getInt(0), r.getInt(1), r.getLong(2).toDouble)
+      val sx = r.getLong(3) / 1e9; val sy = r.getLong(4) / 1e9
+      val sxy = r.getLong(5) / 1e9
+      val c = sxy / n - (sx / n) * (sy / n)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    m
+  }
+
+  /** Top-r PCA basis of everything folded so far — driver-side deflated
+    * power iteration ([[graft.analytics.Pca.principalComponents]]) on the
+    * KB-sized assembled matrix; no corpus pass at all.
+    */
+  def principalComponents(spark: SparkSession, statePath: String,
+                          r: Int): Seq[(Double, Array[Double])] =
+    graft.analytics.Pca.principalComponents(covariance(spark, statePath), r)
+
+  // --------------------------------------------------------------- q155
+  /** End-to-end incremental-covariance gate: fold the embeddings corpus
+    * into the state in 3 batches split by vec_id, then emit the full
+    * pair-statistics state. The DuckDB oracle is q118's ONE-SHOT
+    * aggregate — so the hash gate proves 3-batch fold ≡ one-shot
+    * bit-for-bit across all 2,080 BIGINT rows (the mergeable-summary
+    * claim itself, with no error bound to hide behind).
+    */
+  def covarianceStateCheck(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft-cstate")
+    val statePath = stateRoot.toString + "/state"
+    var out: DataFrame = null
+    (0 until 3).foreach { i =>
+      out = update(spark, statePath, emb.filter(col("vec_id") % 3 === i))
+    }
+    // Snapshot is checkpointed; reclaim scratch state before returning
+    // (the q70 lesson — bench reps would otherwise accumulate /tmp dirs).
+    graft.core.Fs.deleteRecursively(stateRoot)
+    out.select("i", "j", "n", "s_x_nano", "s_y_nano", "s_xy_nano")
+  }
+
+  private val covarianceStateSql =
+    """WITH v AS (
+      |  SELECT embedding::DOUBLE[] AS v FROM embeddings
+      |), px AS (
+      |  SELECT v, i.i AS i, v[i.i + 1] AS x
+      |  FROM v, (SELECT unnest(range(0, 64)) AS i) i
+      |  WHERE i.i < len(v)
+      |)
+      |SELECT CAST(px.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(px.x * 1e9) AS BIGINT)) AS BIGINT) AS s_x_nano,
+      |  CAST(sum(CAST(round(px.v[j.j + 1] * 1e9) AS BIGINT)) AS BIGINT) AS s_y_nano,
+      |  CAST(sum(CAST(round(px.x * px.v[j.j + 1] * 1e9) AS BIGINT)) AS BIGINT) AS s_xy_nano
+      |FROM px, (SELECT unnest(range(0, 64)) AS j) j
+      |WHERE j.j >= px.i AND j.j < len(px.v)
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q155_covariance_state", covarianceStateCheck _, Some(covarianceStateSql)))
+}

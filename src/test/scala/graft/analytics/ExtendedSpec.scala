@@ -267,4 +267,82 @@ class ExtendedSpec extends SparkSpec {
       assert(sorted.map(_._3).distinct.size == sorted.size, "strictly ascending")
     }
   }
+
+  test("small-quantity revenue (q156) matches a driver-side correlated recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong,
+        math.round(r.getDouble(2) * 100)))
+    val brands = graft.core.Tables.part(spark, dir)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // The literal correlated-subquery semantics: qty < 0.2·avg(part).
+    val perPart = li.groupBy(_._1).view
+      .mapValues(ls => (ls.length.toLong, ls.map(_._2).sum)).toMap
+    val expected = li
+      .filter { case (p, q, _) =>
+        val (n, s) = perPart(p); q * 5 * n < s }
+      .groupBy { case (p, _, _) => brands(p) }.view
+      .mapValues(ls => (ls.length.toLong, ls.map(_._3).sum)).toMap
+    val got = Extended.smallQuantityRevenue(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "decorrelated plan must equal correlated semantics")
+  }
+
+  test("lone-late supplier (q157) matches the EXISTS/NOT-EXISTS definition") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.core.Tables.lineitem(spark, dir)
+      .join(graft.core.Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"),
+        col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = rows.groupBy(_._1)
+    val expected = rows
+      .filter(_._3)
+      .filter { case (o, s, _) =>
+        val others = byOrder(o).filter(_._2 != s)
+        others.nonEmpty && !others.exists(_._3) // EXISTS other ∧ NOT EXISTS other-late
+      }
+      .groupBy(_._2).view.mapValues(_.map(_._1).distinct.length.toLong).toMap
+    val got = Extended.loneLateSupplier(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "aggregate plan must equal the correlated definition")
+    assert(got.nonEmpty, "fixture must produce lone-late suppliers")
+  }
+
+  test("revenue gini (q158): bounds, and one segment matches a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Extended.revenueGini(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_customers"),
+        r.getAs[Long]("total_cents"), r.getAs[Long]("gini_numer"),
+        r.getAs[Long]("gini_denom"), r.getAs[Long]("gini_ppm"))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (seg, (n, total, numer, denom, ppm)) =>
+      assert(denom == n * total, s"$seg denom identity")
+      assert(ppm >= 0 && ppm < 1000000L, s"$seg gini in [0,1): $ppm")
+    }
+    // Driver recompute for the lexicographically first segment.
+    val seg = out.keys.min
+    val cents = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === seg),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = cents.length.toLong
+    val total = cents.sum
+    val numer = 2 * cents.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum -
+      (n + 1) * total
+    assert(out(seg) == ((n, total, numer, n * total, 1000000L * numer / (n * total))),
+      s"$seg gini drifted from the sorted-rank identity")
+  }
 }

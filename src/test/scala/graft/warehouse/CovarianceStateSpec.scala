@@ -1,0 +1,78 @@
+package graft.warehouse
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental covariance state: replay ≡ one-shot bit-for-bit (integer
+  * sufficient statistics, no error term), the assembled matrix matches
+  * the direct [[graft.analytics.Pca.covarianceMatrix]], and the PCA
+  * basis read from state solves the eigen equation of the directly
+  * computed matrix — incremental PCA with zero history re-scan.
+  */
+class CovarianceStateSpec extends SparkSpec {
+
+  private def emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private def read(p: String) =
+    spark.read.parquet(p).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s_x_nano"),
+          r.getAs[Long]("s_y_nano"), r.getAs[Long]("s_xy_nano"))).toMap
+
+  test("3-batch replay equals one-shot EXACTLY, any partitioning") {
+    val onePath = tmpDir("cov-one") + "/state"
+    val repPath = tmpDir("cov-rep") + "/state"
+    CovarianceState.update(spark, onePath, emb)
+    Seq(0, 1, 2).foreach { i =>
+      CovarianceState.update(spark, repPath,
+        emb.filter(col("vec_id") % 3 === i).repartition(i + 2))
+    }
+    val one = read(onePath)
+    assert(one.nonEmpty && one == read(repPath),
+      "integer covariance stats must merge with zero drift")
+    // And the state equals the direct one-shot sufficient statistics.
+    val direct = graft.analytics.Pca.covarianceStats(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s_x_nano"),
+          r.getAs[Long]("s_y_nano"), r.getAs[Long]("s_xy_nano"))).toMap
+    assert(one == direct, "state drifted from the direct aggregate")
+  }
+
+  test("PCA basis from state solves the directly-computed eigen equation") {
+    val path = tmpDir("cov-pca") + "/state"
+    Seq(0, 1).foreach { i =>
+      CovarianceState.update(spark, path, emb.filter(col("vec_id") % 2 === i))
+    }
+    val fromState = CovarianceState.covariance(spark, path)
+    val direct = graft.analytics.Pca.covarianceMatrix(emb)
+    for (i <- direct.indices; j <- direct.indices)
+      assert(math.abs(fromState(i)(j) - direct(i)(j)) < 1e-12,
+        s"assembled covariance drifted at ($i,$j)")
+    val comps = CovarianceState.principalComponents(spark, path, r = 2)
+    val l1 = math.max(comps.head._1, 1.0)
+    comps.foreach { case (l, v) =>
+      val av = direct.map(_.zip(v).map { case (a, b) => a * b }.sum)
+      val resid = math.sqrt(
+        av.zip(v).map { case (a, b) => (a - l * b) * (a - l * b) }.sum)
+      assert(resid < 1e-6 * l1, s"state-derived component residual $resid")
+    }
+  }
+
+  test("snapshot survives the next swap; foreign lease excludes") {
+    val path = tmpDir("cov-snap") + "/state"
+    val snap1 = CovarianceState.update(spark, path,
+      emb.filter(col("vec_id") % 2 === 0))
+    val n1 = snap1.agg(max("n")).head.getLong(0)
+    CovarianceState.update(spark, path, emb.filter(col("vec_id") % 2 === 1),
+      lease = true)
+    // The first snapshot was checkpointed — still readable post-swap.
+    assert(snap1.agg(max("n")).head.getLong(0) == n1)
+    // The leased update released its lease: a foreign driver can take it,
+    // and while held no second holder fits (the MetaLeaseSpec shape).
+    val foreign = LeaseLock.acquire(spark, path).get
+    assert(LeaseLock.acquire(spark, path).isEmpty,
+      "foreign lease must exclude a second holder")
+    LeaseLock.release(spark, foreign)
+  }
+}
