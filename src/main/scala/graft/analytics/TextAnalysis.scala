@@ -1136,7 +1136,87 @@ object TextAnalysis {
        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q159
+  /** Per-document bigram cross-entropy under the corpus's own add-one-
+    * smoothed bigram language model — the perplexity-style quality
+    * filter LLM curation pipelines run (CCNet/RedPajama gate on LM
+    * perplexity; an n-gram LM is its warehouse-native, training-free
+    * form): documents whose token transitions are improbable under the
+    * corpus model (boilerplate salad, OCR noise, wrong-language
+    * fragments) score high and get culled.
+    *
+    * Model: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), V = corpus unigram
+    * vocabulary. Per-bigram surprisal −ln P is ONE ln over a cast-
+    * to-double ratio of exact integers, floored to integer micro-nats
+    * (the q77/q79 discipline), so each document's total is an
+    * order-independent BIGINT sum and the mean is a truncating integer
+    * division — engine-exact end to end.
+    *
+    * Scale shape: one bigram explode (corpus-linear), two hash aggs to
+    * the bigram/context count tables, one vocab scalar, and a model
+    * equi-join back to the bigram stream — no pair space, no corpus
+    * self-join; the model tables are vocabulary-sized, never
+    * corpus-sized.
+    */
+  def bigramCrossEntropyOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val big = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1)," +
+          " (w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("w")).agg(
+      count_distinct(col("w")).as("v"))
+    val model = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(log((col("c1") + col("v")).cast("double") /
+          (col("c12") + 1L).cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("surprisal_unats"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("surprisal_unats").as("xent_sum_unats"))
+      .withColumn("xent_mean_unats",
+        expr("xent_sum_unats div n_bigrams"))
+  }
+
+  def bigramCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    bigramCrossEntropyOf(Tables.documents(spark, dir))
+
+  private val bigramCrossEntropySql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(text, ' '), w -> len(w) > 0) AS t
+      |  FROM documents
+      |), big AS (
+      |  SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+      |  FROM t, (SELECT unnest(range(1, 100000)) AS i) i
+      |  WHERE i.i < len(t)
+      |), c12 AS (
+      |  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v
+      |  FROM (SELECT unnest(t) AS w FROM t)
+      |), model AS (
+      |  SELECT c12.w1, c12.w2,
+      |    CAST(floor(ln(CAST(c1.c1 + v.v AS DOUBLE)
+      |      / CAST(c12.c12 + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS surprisal_unats
+      |  FROM c12 JOIN c1 USING (w1), v
+      |)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(m.surprisal_unats) AS BIGINT) AS xent_sum_unats,
+      |  CAST(sum(m.surprisal_unats) // count(*) AS BIGINT) AS xent_mean_unats
+      |FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q159_bigram_xent", bigramCrossEntropy _,
+      Some(bigramCrossEntropySql)),
     NamedQuery("q119_boilerplate_coverage", boilerplateCoverageDocs _,
       Some(boilerplateCoverageSql)),
     NamedQuery("q13_token_stats", tokenStats _, Some(tokenStatsSql)),

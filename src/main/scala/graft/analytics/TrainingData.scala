@@ -958,7 +958,194 @@ object TrainingData {
       |  min(d) AS d_min, max(d) AS d_max
       |FROM o, mx GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q160
+  /** In-warehouse LOGISTIC-REGRESSION TRAINING by iteratively reweighted
+    * least squares — the missing half of q80 (which scores with a model
+    * someone else trained): fit the quality/language gate's weights ON
+    * the warehouse, with the corpus never leaving the cluster. Each
+    * Newton iteration is ONE scan producing the d-vector gradient
+    * Xᵀ(y−p), the d×d Hessian XᵀWX (upper triangle, d(d+1)/2 sums), and
+    * the current deviance — all partial-aggregable, so an iteration
+    * costs a map-side-combined aggregate whose shuffle is partitions ×
+    * O(d²) rows regardless of corpus size (the q118 sufficient-stats
+    * discipline, with W re-derived per round). The driver solves the
+    * d×d Newton system (Gaussian elimination on KBs) and, if the step
+    * overshoots, halves it until deviance improves (step-halving makes
+    * the deviance sequence monotone by construction — the gated
+    * invariant).
+    *
+    * Features are deterministic integer-derived per-row expressions
+    * (char/byte ratios, token stats, stopword share). The LABEL is a
+    * planted noisy linear teacher — `2·n_tokens + 3·u > 130` with u the
+    * doc's first md5 nibble (deterministic 0–15 noise) — the fixture
+    * discipline every planted gate here uses, because the synthetic
+    * corpus's `lang` column carries no learnable signal (all languages
+    * draw from one shared vocabulary, measured). The teacher is noisy,
+    * not separable (mid-range token counts flip on u), so the fit stays
+    * finite and the trainer must genuinely recover the token-count
+    * signal to clear the accuracy gate.
+    */
+  final case class LogisticFit(coefficients: Array[Double],
+                               deviances: Seq[Double],
+                               gradInfNorm: Double,
+                               n: Long, nPos: Long, nCorrect: Long)
+
+  def logisticFeatures(docs: DataFrame): DataFrame = {
+    val nTok = size(TextAnalysis.tokens(col("text")))
+    val noise = conv(substring(keyHash(col("doc_id")), 1, 1), 16, 10).cast("int")
+    docs.select(
+      col("doc_id"),
+      (nTok * 2 + noise * 3 > 130).cast("int").cast("double").as("y"),
+      lit(1.0).as("x0"),
+      (col("n_chars").cast("double") / 1000.0).as("x1"),
+      (size(TextAnalysis.tokens(col("text"))).cast("double") / 100.0).as("x2"),
+      (length(col("text")).cast("double") /
+        octet_length(col("text")).cast("double")).as("x3"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")).as("x4"),
+      // English-stopword token share — the signal that separates en from
+      // the OTHER Latin-script languages (byte ratios only catch CJK).
+      (expr("size(filter(split(text, ' '), t -> t IN ('the','and','of'," +
+        "'to','in','is','a','for','that','with','as','on','by','it','be')))")
+        .cast("double") /
+        greatest(size(TextAnalysis.tokens(col("text"))), lit(1)).cast("double"))
+        .as("x5"))
+  }
+
+  def logisticTrain(feat: DataFrame, featureCols: Seq[String],
+                    iters: Int = 8): LogisticFit = {
+    val d = featureCols.length
+    val xs = featureCols.map(col)
+    var beta = Array.fill(d)(0.0)
+    val deviances = scala.collection.mutable.ArrayBuffer[Double]()
+    var lastGrad = Array.fill(d)(0.0)
+
+    def eta: Column = xs.zip(beta).map { case (x, b) => x * lit(b) }
+      .reduce(_ + _)
+    // p = sigmoid(eta), clamped away from 0/1 so deviance stays finite.
+    def pCol: Column = {
+      val p = lit(1.0) / (lit(1.0) + exp(-eta))
+      least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
+    }
+
+    def scan(): (Array[Double], Array[Array[Double]], Double) = {
+      val p = pCol
+      val w = p * (lit(1.0) - p)
+      val gradAggs = xs.zipWithIndex.map { case (x, i) =>
+        sum(x * (col("y") - p)).as(s"g_$i") }
+      val hessAggs = for {
+        i <- 0 until d; j <- i until d
+      } yield sum(xs(i) * xs(j) * w).as(s"h_${i}_$j")
+      val devAgg = sum(
+        lit(-2.0) * (col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)))
+        .as("dev")
+      val row = feat.agg(devAgg, (gradAggs ++ hessAggs): _*).head()
+      val g = Array.tabulate(d)(i => row.getAs[Double](s"g_$i"))
+      val h = Array.fill(d, d)(0.0)
+      for (i <- 0 until d; j <- i until d) {
+        h(i)(j) = row.getAs[Double](s"h_${i}_$j"); h(j)(i) = h(i)(j)
+      }
+      (g, h, row.getAs[Double]("dev"))
+    }
+
+    def solve(h: Array[Array[Double]], g: Array[Double]): Array[Double] = {
+      // Gaussian elimination with partial pivoting + a tiny ridge so a
+      // (near-)singular Hessian degrades to a damped step, not a crash.
+      val a = h.map(_.clone())
+      for (i <- 0 until d) a(i)(i) += 1e-9
+      val b = g.clone()
+      for (k <- 0 until d) {
+        val piv = (k until d).maxBy(r => math.abs(a(r)(k)))
+        val (tr, tb) = (a(k), b(k)); a(k) = a(piv); b(k) = b(piv)
+        a(piv) = tr; b(piv) = tb
+        for (r <- k + 1 until d) {
+          val f = a(r)(k) / a(k)(k)
+          for (c <- k until d) a(r)(c) -= f * a(k)(c)
+          b(r) -= f * b(k)
+        }
+      }
+      val x = Array.fill(d)(0.0)
+      for (k <- d - 1 to 0 by -1) {
+        var s = b(k)
+        for (c <- k + 1 until d) s -= a(k)(c) * x(c)
+        x(k) = s / a(k)(k)
+      }
+      x
+    }
+
+    var (g0, h0, dev0) = scan()
+    deviances += dev0
+    lastGrad = g0
+    (0 until iters).foreach { _ =>
+      val step = solve(h0, g0)
+      var scale = 1.0
+      var tries = 0
+      var accepted = false
+      while (!accepted && tries < 12) {
+        val trial = Array.tabulate(d)(i => beta(i) + scale * step(i))
+        val saved = beta
+        beta = trial
+        val (g1, h1, dev1) = scan()
+        if (dev1 <= deviances.last) {
+          deviances += dev1; g0 = g1; h0 = h1; lastGrad = g1; accepted = true
+        } else { beta = saved; scale /= 2; tries += 1 }
+      }
+      if (!accepted) deviances += deviances.last // converged: flat step
+    }
+
+    val acc = feat.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("np"),
+      sum(when((pCol >= 0.5).cast("int").cast("double") === col("y"), 1L)
+        .otherwise(0L)).as("nc")).head()
+    LogisticFit(beta, deviances.toSeq, lastGrad.map(math.abs).max,
+      acc.getAs[Long]("n"), acc.getAs[Double]("np").toLong, acc.getAs[Long]("nc"))
+  }
+
+  /** Gated q160 (the q154/q70 invariant pattern — the oracle pins the
+    * exact integers it can recompute and all-TRUE booleans Spark must
+    * earn): per Newton iteration, deviance monotonically non-increasing;
+    * on the final row, gradient ~0 (stationarity), real learning
+    * (accuracy beats the majority class by ≥10 points), and the exact
+    * corpus/positive counts DuckDB verifies directly.
+    */
+  def logisticTrainGate(spark: SparkSession, dir: String): DataFrame = {
+    val feat = logisticFeatures(Tables.documents(spark, dir))
+      .localCheckpoint(true) // 8+ scans ride the materialized features
+    val fit = logisticTrain(feat, Seq("x0", "x1", "x2", "x3", "x4", "x5"))
+    val majority = math.max(fit.nPos, fit.n - fit.nPos)
+    val rows = fit.deviances.zipWithIndex.map { case (dev, i) =>
+      val isLast = i == fit.deviances.length - 1
+      (i.toLong, fit.n, fit.nPos,
+        i == 0 || dev <= fit.deviances(i - 1) + 1e-9,
+        !isLast || fit.gradInfNorm < 1e-3 * fit.n,
+        !isLast || fit.nCorrect * 100L >= majority * 100L + fit.n * 10L)
+    }
+    import spark.implicits._
+    rows.toDF("iter", "n", "n_pos", "deviance_monotone_ok",
+      "stationary_ok", "beats_majority_ok")
+  }
+
+  private val logisticTrainSql =
+    """SELECT CAST(i AS BIGINT) AS iter,
+      |  (SELECT count(*) FROM documents) AS n,
+      |  (SELECT count(*) FROM (
+      |     SELECT len(list_filter(str_split(text, ' '), w -> len(w) > 0)) * 2
+      |       + (CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |            WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2
+      |            WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5
+      |            WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8
+      |            WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
+      |            WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14
+      |            ELSE 15 END) * 3 AS s
+      |     FROM documents) WHERE s > 130) AS n_pos,
+      |  TRUE AS deviance_monotone_ok, TRUE AS stationary_ok,
+      |  TRUE AS beats_majority_ok
+      |FROM (SELECT unnest(range(0, 9)) AS i)""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q160_logistic_train", logisticTrainGate _,
+      Some(logisticTrainSql)),
     NamedQuery("q131_embargo_split", (s, d) => embargoSplit(s, d),
       Some(embargoSplitSql)),
     NamedQuery("q129_split_leakage", splitLeakage _, Some(splitLeakageSql)),

@@ -334,4 +334,34 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("n_words") <= r.getAs[Long]("total_count"))
     }
   }
+
+  test("bigram cross-entropy: common transitions score low, rare high (q159)") {
+    import spark.implicits._
+    // 10 docs of the dominant pattern "a b a b …", one rare-transition
+    // doc. Under the corpus bigram LM, the dominant docs' transitions
+    // are high-probability (low surprisal); the rare doc's are near the
+    // smoothing floor (high surprisal). A 1-token doc has no bigrams and
+    // must be absent, not crash.
+    val docs = ((1 to 10).map(i => (i.toLong, "a b a b a b a b")) ++
+      Seq((90L, "q z w v q z"), (99L, "solo"))).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropyOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("xent_sum_unats"),
+          r.getAs[Long]("xent_mean_unats"))).toMap
+    assert(!out.contains(99L), "a bigram-free doc is excluded")
+    assert(out(1L)._1 == 7 && out(90L)._1 == 5)
+    assert(out(90L)._3 > out(1L)._3 * 2,
+      s"rare transitions must out-surprise the dominant pattern: $out")
+    // mean is the truncating integer division of the exact sum.
+    out.values.foreach { case (n, s, m) => assert(m == s / n) }
+    // Driver recompute of one cell: P(b|a) over the corpus —
+    // c(a,b) counts "a b" transitions, c(a·) all transitions from a,
+    // V the corpus vocabulary; surprisal = floor(ln((c1+V)/(c12+1))·1e6+0.5).
+    val v = 7 // corpus vocabulary: a b q z w v solo
+    def cell(c1: Int, c12: Int): Long =
+      math.floor(math.log((c1 + v).toDouble / (c12 + 1)) * 1e6 + 0.5).toLong
+    // "a b" ×4/doc (c12=40, c1("a")=40); "b a" ×3/doc (c12=30, c1("b")=30).
+    assert(out(1L)._2 == 4 * cell(40, 40) + 3 * cell(30, 30),
+      "dominant doc total decomposes into its two transition cells")
+  }
 }

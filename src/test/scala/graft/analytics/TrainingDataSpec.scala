@@ -401,4 +401,32 @@ class TrainingDataSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs_lo") >= 1L && r.getAs[Long]("n_docs_hi") >= 1L)
     }
   }
+
+  test("logistic IRLS recovers a planted noisy teacher (q160 trainer)") {
+    // 400 rows, one signal feature x; teacher: y = (10x + u > 12) with
+    // deterministic noise u ∈ {0..7} — learnable, provably not separable
+    // (x ∈ (0.5, 1.2) flips on u), so coefficients stay finite.
+    val rows = (0 until 400).map { i =>
+      val x = i / 200.0 // 0 .. 2
+      val u = (i * 2654435761L >>> 13) % 8 // deterministic pseudo-noise
+      val y = if (10 * x + u > 12) 1.0 else 0.0
+      (y, 1.0, x)
+    }
+    val feat = rows.toDF("y", "x0", "x1")
+    val fit = TrainingData.logisticTrain(feat, Seq("x0", "x1"))
+    // Step-halved Newton: deviance never increases, ever.
+    fit.deviances.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"deviance rose: $a -> $b")
+    }
+    assert(fit.deviances.last < fit.deviances.head * 0.7,
+      "training must actually reduce deviance")
+    // The signal coefficient is positive (higher x ⇒ higher P(y=1))
+    // and the fit classifies far above the majority class.
+    assert(fit.coefficients(1) > 0, "signal coefficient sign")
+    val majority = math.max(fit.nPos, fit.n - fit.nPos)
+    assert(fit.nCorrect.toDouble / fit.n > majority.toDouble / fit.n + 0.1,
+      s"accuracy ${fit.nCorrect}/${fit.n} must beat majority $majority")
+    // Stationarity at the optimum: tiny gradient.
+    assert(fit.gradInfNorm < 1e-3 * fit.n, s"gradient ${fit.gradInfNorm}")
+  }
 }
