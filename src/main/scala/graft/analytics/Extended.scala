@@ -1077,45 +1077,59 @@ object Extended {
     * window over the customers-sized table, one final aggregate.
     */
   def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    // Whole DOLLARS, not cents — the MomentsState headroom discipline:
+    // the rank-weighted sum Σ rk·x is bounded by n·Σx, so cents would
+    // overflow BIGINT around an sf1-equivalent segment (measured: long
+    // overflow at sf0.1×100); dollars buy 100× headroom, and the ppm
+    // quotient splits its scaling (1000 into the numerator, 1000 out of
+    // the denominator — identical truncating ops in both engines) so
+    // the 1e6 factor never multiplies the full-magnitude numerator.
     val perCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("d"))
       .join(broadcast(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("cents"), col("o_custkey"))
+      .orderBy(col("d"), col("o_custkey"))
     perCust
       .withColumn("rk", row_number().over(w))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_customers"),
-        sum("cents").as("total_cents"),
-        (lit(2L) * sum(col("rk") * col("cents"))
-          - (count(lit(1)) + 1L) * sum("cents")).as("gini_numer"),
-        (count(lit(1)) * sum("cents")).as("gini_denom"))
-      .withColumn("gini_ppm", expr("(1000000 * gini_numer) div gini_denom"))
+        sum("d").as("total_dollars"),
+        (lit(2L) * sum(col("rk") * col("d"))
+          - (count(lit(1)) + 1L) * sum("d")).as("gini_numer"),
+        (count(lit(1)) * sum("d")).as("gini_denom"))
+      .withColumn("gini_ppm", expr(
+        "CASE WHEN gini_denom >= 1000000 THEN" +
+          " (1000 * gini_numer) div (gini_denom div 1000)" +
+          " ELSE (1000000 * gini_numer) div gini_denom END"))
   }
 
   private val revenueGiniSql =
     """WITH pc AS (
       |  SELECT o.o_custkey, c.c_mktsegment,
-      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |    CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS d
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |  GROUP BY 1, 2
       |), rk AS (
-      |  SELECT c_mktsegment, cents,
+      |  SELECT c_mktsegment, d,
       |    row_number() OVER (PARTITION BY c_mktsegment
-      |                       ORDER BY cents, o_custkey) AS rk
+      |                       ORDER BY d, o_custkey) AS rk
       |  FROM pc
+      |), agg AS (
+      |  SELECT c_mktsegment AS segment, count(*) AS n_customers,
+      |    CAST(sum(d) AS BIGINT) AS total_dollars,
+      |    CAST(2 * sum(rk * d) - (count(*) + 1) * sum(d) AS BIGINT)
+      |      AS gini_numer,
+      |    CAST(count(*) * sum(d) AS BIGINT) AS gini_denom
+      |  FROM rk GROUP BY 1
       |)
-      |SELECT c_mktsegment AS segment, count(*) AS n_customers,
-      |  CAST(sum(cents) AS BIGINT) AS total_cents,
-      |  CAST(2 * sum(rk * cents) - (count(*) + 1) * sum(cents) AS BIGINT)
-      |    AS gini_numer,
-      |  CAST(count(*) * sum(cents) AS BIGINT) AS gini_denom,
-      |  CAST((1000000 * (2 * sum(rk * cents) - (count(*) + 1) * sum(cents)))
-      |    // (count(*) * sum(cents)) AS BIGINT) AS gini_ppm
-      |FROM rk GROUP BY 1""".stripMargin
+      |SELECT segment, n_customers, total_dollars, gini_numer, gini_denom,
+      |  CAST(CASE WHEN gini_denom >= 1000000
+      |    THEN (1000 * gini_numer) // (gini_denom // 1000)
+      |    ELSE (1000000 * gini_numer) // gini_denom END AS BIGINT) AS gini_ppm
+      |FROM agg""".stripMargin
 
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q156_small_quantity_revenue", smallQuantityRevenue _,

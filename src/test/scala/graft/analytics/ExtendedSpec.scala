@@ -321,7 +321,7 @@ class ExtendedSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val out = Extended.revenueGini(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("n_customers"),
-        r.getAs[Long]("total_cents"), r.getAs[Long]("gini_numer"),
+        r.getAs[Long]("total_dollars"), r.getAs[Long]("gini_numer"),
         r.getAs[Long]("gini_denom"), r.getAs[Long]("gini_ppm"))).toMap
     assert(out.nonEmpty)
     out.foreach { case (seg, (n, total, numer, denom, ppm)) =>
@@ -330,19 +330,22 @@ class ExtendedSpec extends SparkSpec {
     }
     // Driver recompute for the lexicographically first segment.
     val seg = out.keys.min
-    val cents = graft.core.Tables.orders(spark, dir)
+    val dollars = graft.core.Tables.orders(spark, dir)
       .join(graft.core.Tables.customer(spark, dir)
         .filter(col("c_mktsegment") === seg),
         col("o_custkey") === col("c_custkey"))
       .groupBy("o_custkey")
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("d"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(t => (t._2, t._1)).map(_._2)
-    val n = cents.length.toLong
-    val total = cents.sum
-    val numer = 2 * cents.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum -
+    val n = dollars.length.toLong
+    val total = dollars.sum
+    val numer = 2 * dollars.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum -
       (n + 1) * total
-    assert(out(seg) == ((n, total, numer, n * total, 1000000L * numer / (n * total))),
+    val denom = n * total
+    val ppm = if (denom >= 1000000L) 1000L * numer / (denom / 1000L)
+              else 1000000L * numer / denom
+    assert(out(seg) == ((n, total, numer, denom, ppm)),
       s"$seg gini drifted from the sorted-rank identity")
   }
 }
