@@ -24,7 +24,8 @@ object Registry {
       graft.analytics.FrequencySketches.queries ++ graft.warehouse.MomentsState.queries ++
       graft.analytics.Statistics.queries ++ graft.warehouse.FrequentItemsState.queries ++
       graft.analytics.PqIndex.queries ++ graft.analytics.Pca.queries ++
-      graft.warehouse.SkylineState.queries ++ graft.warehouse.CovarianceState.queries
+      graft.warehouse.SkylineState.queries ++ graft.warehouse.CovarianceState.queries ++
+      graft.warehouse.RetrievalIndex.queries
 }
 
 object SparkEntry {

@@ -59,6 +59,18 @@ object Retrieval {
     val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
     val consts = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(graft.functions.shingleStrings(col(textCol), 1)).cast("long")).as("t_tok"))
+    scoreAndRank(tfs, dls, dfs, consts, qterms, k, idCol)
+  }
+
+  /** The shared BM25 scoring + salted top-k tail: exact-integer inputs
+    * (tf, dl, df, n_docs, t_tok) through ONE fixed double sequence,
+    * floored to µnats — shared by the direct ranker above and the
+    * incremental index ([[graft.warehouse.RetrievalIndex]]) so the two
+    * paths can never drift by an op-order ulp.
+    */
+  private[graft] def scoreAndRank(tfs: DataFrame, dls: DataFrame, dfs: DataFrame,
+                                  consts: DataFrame, qterms: DataFrame, k: Int,
+                                  idCol: String): DataFrame = {
     // One fixed double sequence over exact integers, floored to µnats.
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf") * lit(2.2)) /
@@ -101,6 +113,10 @@ object Retrieval {
 
   private val bm25Values =
     BenchQueries.map { case (i, t) => s"('$i', '$t')" }.mkString(", ")
+
+  /** q74's oracle SQL, shared with the q161 incremental-index gate (the
+    * index must reproduce the one-shot ranking exactly). */
+  private[graft] def bm25OracleSql: String = bm25TopDocsSql
 
   private val bm25TopDocsSql =
     s"""WITH q(query_id, query_text) AS (VALUES $bm25Values),
