@@ -693,7 +693,45 @@ object Similarity {
       |WHERE q.vec_id < 10
       |QUALIFY rank <= 5""".stripMargin
 
+  // --------------------------------------------------------------- q164
+  /** Per-class embedding centroids (class prototypes) — the monitoring /
+    * prototype-classification primitive over a labeled embedding table:
+    * per (label, dimension), the exact nano-integer coordinate sum and
+    * count (the q118 sufficient-stats discipline applied per class), so
+    * centroid drift between snapshots, class separability, and
+    * prototype-distance classification all read from a labels×d table
+    * instead of re-scanning vectors. One scan, one posexplode, one hash
+    * aggregate — shuffle capped at partitions × labels × d rows by
+    * map-side combine, corpus-size-independent.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    graft.core.Spread.ifNarrow(
+      emb.select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v")))
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * 1e9).cast("long")).as("s_nano"))
+      .withColumn("mean_nano", expr("s_nano div n"))
+
+  def labelCentroidProfile(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(Tables.embeddings(spark, dir))
+
+  private val labelCentroidsSql =
+    """WITH v AS (
+      |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+      |)
+      |SELECT label, CAST(i.i AS INTEGER) AS i, count(*) AS n,
+      |  CAST(sum(CAST(round(v[i.i + 1] * 1e9) AS BIGINT)) AS BIGINT) AS s_nano,
+      |  CAST(sum(CAST(round(v[i.i + 1] * 1e9) AS BIGINT)) // count(*) AS BIGINT)
+      |    AS mean_nano
+      |FROM v, (SELECT unnest(range(0, 64)) AS i) i
+      |WHERE i.i < len(v)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q164_label_centroids", labelCentroidProfile _,
+      Some(labelCentroidsSql)),
     NamedQuery("q19_knn_brute", knnBrute _, Some(knnBruteSql)),
     NamedQuery("q125_hard_negatives", knnHardNegatives _, Some(hardNegativesSql)),
     NamedQuery("q20_knn_ann", knnAnn _, Some(plantedKnnSql)),

@@ -516,7 +516,87 @@ object Statistics {
       |  CAST(t.r AS BIGINT) AS rank_in_group
       |FROM tr t JOIN cl c ON t.tr > c.cum - c.cnt AND t.tr <= c.cum""".stripMargin
 
+  // --------------------------------------------------------------- q163
+  /** Two-proportion z-test — the A/B-test significance read (the
+    * drift-family member for BINARY rates, next to location (q107 MW),
+    * categorical (q111 χ²), and shape (q116 KS)): did cohort A convert
+    * at a different rate than cohort B? z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂))
+    * with the pooled p̂ — the standard large-sample test.
+    *
+    * Cohorts are the deterministic even/odd user-id split; "converted" =
+    * the user has ≥10 purchase events (every fixture user purchases at
+    * least once, so the ≥1 rate is degenerately 1.0 — the ≥10 gate has
+    * genuine variance at every harness SF). Degenerate pooled rates
+    * (all or none converted) emit z = 0 instead of dividing by zero —
+    * the same guard in both engines. Sufficient statistics (n, successes
+    * per cohort) are exact integers from one user-grain aggregate; z
+    * runs them through ONE fixed double sequence floored to micro-units,
+    * so both engines emit the identical BIGINT. One corpus scan, one
+    * user-keyed aggregate, a 2-row rollup.
+    */
+  def conversionZTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = graft.core.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 10L)
+        .cast("long").as("converted"))
+      .select(pmod(col("user_id"), lit(2)).as("cohort"), col("converted"))
+    val g = users.groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum("converted").as("k"))
+    val a = g.filter(col("cohort") === 0)
+      .select(col("n").as("n1"), col("k").as("k1"))
+    val b = g.filter(col("cohort") === 1)
+      .select(col("n").as("n2"), col("k").as("k2"))
+    // One fixed double sequence over the four exact integers.
+    val p1 = col("k1").cast("double") / col("n1").cast("double")
+    val p2 = col("k2").cast("double") / col("n2").cast("double")
+    val pp = (col("k1") + col("k2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    val zRaw = (p1 - p2) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+    val degenerate = (col("k1") + col("k2") === 0L) ||
+      (col("k1") + col("k2") === col("n1") + col("n2"))
+    val z = when(degenerate, lit(0.0)).otherwise(zRaw)
+    a.crossJoin(b).select(
+      col("n1"), col("k1"), col("n2"), col("k2"),
+      floor(z * lit(1000000.0) + lit(0.5)).cast("long").as("z_micro"),
+      (abs(z) >= lit(1.959964)).as("significant_05"))
+  }
+
+  private val conversionZTestSql =
+    """WITH u AS (
+      |  SELECT user_id % 2 AS cohort,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 10
+      |         THEN 1 ELSE 0 END AS converted
+      |  FROM events GROUP BY user_id
+      |), g AS (
+      |  SELECT cohort, count(*) AS n, CAST(sum(converted) AS BIGINT) AS k
+      |  FROM u GROUP BY 1
+      |), ab AS (
+      |  SELECT
+      |    (SELECT n FROM g WHERE cohort = 0) AS n1,
+      |    (SELECT k FROM g WHERE cohort = 0) AS k1,
+      |    (SELECT n FROM g WHERE cohort = 1) AS n2,
+      |    (SELECT k FROM g WHERE cohort = 1) AS k2
+      |)
+      |, zc AS (
+      |  SELECT n1, k1, n2, k2,
+      |    CASE WHEN k1 + k2 = 0 OR k1 + k2 = n1 + n2 THEN 0.0::DOUBLE
+      |      ELSE ((k1::DOUBLE / n1::DOUBLE) - (k2::DOUBLE / n2::DOUBLE))
+      |        / sqrt(((k1 + k2)::DOUBLE / (n1 + n2)::DOUBLE)
+      |            * (1.0::DOUBLE - (k1 + k2)::DOUBLE / (n1 + n2)::DOUBLE)
+      |            * (1.0::DOUBLE / n1::DOUBLE + 1.0::DOUBLE / n2::DOUBLE))
+      |    END AS z
+      |  FROM ab
+      |)
+      |SELECT n1, k1, n2, k2,
+      |  CAST(floor(z * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS z_micro,
+      |  abs(z) >= 1.959964::DOUBLE AS significant_05
+      |FROM zc""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q163_conversion_ztest", conversionZTest _,
+      Some(conversionZTestSql)),
     NamedQuery("q138_quantile_norm", docLengthQuantileNorm _,
       Some(docLengthQuantileNormSql)),
     NamedQuery("q135_pr_curve", docLengthPrCurve _, Some(docLengthPrCurveSql)),

@@ -1143,7 +1143,74 @@ object TrainingData {
       |  TRUE AS beats_majority_ok
       |FROM (SELECT unnest(range(0, 9)) AS i)""".stripMargin
 
+  // --------------------------------------------------------------- q162
+  /** Split-conformal calibration per group — the distribution-free
+    * prediction-interval discipline (Vovk et al.; Angelopoulos & Bates
+    * 2021 tutorial): on a held-out CALIBRATION split, take the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score as the group's
+    * threshold; on the EVAL split, coverage (score ≤ threshold) is then
+    * guaranteed ≥ 1−α in expectation regardless of the score's
+    * distribution. Run per language so one threshold never silently
+    * means different things across slices (the q138 lesson).
+    *
+    * Everything is exact: the score is an integer (n_chars), the
+    * threshold an exact order statistic via one rank window (rank =
+    * ceil-free integer compare against ⌈(n+1)·0.9⌉ computed as
+    * (n+1)·9 div 10 + sign correction — here (n+1)*9 div 10 suffices
+    * since ⌈x⌉ over tenths is (9(n+1)+9) div 10... both engines run the
+    * IDENTICAL integer formula), and coverage is an integer count with
+    * a ppm quotient. Splits are the deterministic md5 hash-splits of
+    * q35, so the gate is reproducible anywhere.
+    */
+  def conformalCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        hashSplit(col("doc_id")).as("split"))
+    val cal = docs.filter(col("split") === "val")
+    val eval = docs.filter(col("split") === "test")
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = cal.withColumn("rk", row_number().over(w))
+    val nCal = cal.groupBy("lang").agg(count(lit(1)).as("n_cal"))
+    // target rank = ceil(0.9·(n+1)) = (9·(n+1) + 9) div 10, capped at n.
+    val thresholds = ranked.join(nCal, "lang")
+      .filter(col("rk") === expr("least(((n_cal + 1) * 9 + 9) div 10, n_cal)"))
+      .select(col("lang"), col("n_cal"), col("n_chars").as("threshold"))
+    eval.join(thresholds, "lang")
+      .groupBy(col("lang"), col("n_cal"), col("threshold"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("n_chars") <= col("threshold"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage_ppm", expr("(1000000 * n_covered) div n_eval"))
+  }
+
+  private val conformalCalibrationSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) BETWEEN '0' AND 'b' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('c','d') THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |), cal AS (
+      |  SELECT lang, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n_cal
+      |  FROM d WHERE split = 'val'
+      |), thr AS (
+      |  SELECT lang, n_cal, n_chars AS threshold FROM cal
+      |  WHERE rk = least(((n_cal + 1) * 9 + 9) // 10, n_cal)
+      |)
+      |SELECT e.lang, t.n_cal, t.threshold, count(*) AS n_eval,
+      |  CAST(sum(CASE WHEN e.n_chars <= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  CAST((1000000 * sum(CASE WHEN e.n_chars <= t.threshold THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS coverage_ppm
+      |FROM d e JOIN thr t USING (lang)
+      |WHERE e.split = 'test'
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q162_conformal_calibration", conformalCalibration _,
+      Some(conformalCalibrationSql)),
     NamedQuery("q160_logistic_train", logisticTrainGate _,
       Some(logisticTrainSql)),
     NamedQuery("q131_embargo_split", (s, d) => embargoSplit(s, d),

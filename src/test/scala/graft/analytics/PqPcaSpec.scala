@@ -152,4 +152,19 @@ class PqPcaSpec extends SparkSpec {
     val manual = vec.zip(comps.head._2).map { case (a, b) => a * b }.sum
     assert(math.abs(r.getDouble(1) - manual) < 1e-12)
   }
+
+  test("label centroids: exact nano sums and means on hand vectors (q164)") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(0.5f, 0.25f)))
+      .toDF("label", "embedding")
+    val rows = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("i")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s_nano"), r.getAs[Long]("mean_nano")))
+      .toMap
+    assert(rows((0, 0)) == ((2L, 4000000000L, 2000000000L)))
+    assert(rows((0, 1)) == ((2L, 2000000000L, 1000000000L)))
+    assert(rows((1, 0)) == ((1L, 500000000L, 500000000L)))
+    assert(rows((1, 1)) == ((1L, 250000000L, 250000000L)))
+  }
 }

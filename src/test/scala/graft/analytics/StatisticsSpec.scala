@@ -214,4 +214,20 @@ class StatisticsSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("recall_ppm") == 1000000L,
       "the all-inclusive threshold captures every positive")
   }
+
+  test("two-proportion z-test matches a driver recompute of the formula (q163)") {
+    val r = Statistics.conversionZTest(spark, "/root/testdata/sf0.001").head()
+    val (n1, k1) = (r.getAs[Long]("n1"), r.getAs[Long]("k1"))
+    val (n2, k2) = (r.getAs[Long]("n2"), r.getAs[Long]("k2"))
+    assert(n1 > 0 && n2 > 0)
+    val z =
+      if (k1 + k2 == 0 || k1 + k2 == n1 + n2) 0.0
+      else {
+        val (p1, p2) = (k1.toDouble / n1, k2.toDouble / n2)
+        val pp = (k1 + k2).toDouble / (n1 + n2)
+        (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+      }
+    assert(r.getAs[Long]("z_micro") == math.floor(z * 1e6 + 0.5).toLong)
+    assert(r.getAs[Boolean]("significant_05") == (math.abs(z) >= 1.959964))
+  }
 }

@@ -402,6 +402,38 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("conformal calibration: threshold is the exact order statistic (q162)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TrainingData.conformalCalibration(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // Driver recompute: per lang, the val-split scores sorted; threshold =
+    // the ceil(0.9*(n+1))-th smallest (capped at n); coverage recounted on
+    // the test split.
+    val all = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val nib = (h(0) >> 4) & 0xf
+      if (nib <= 0xb) "train" else if (nib <= 0xd) "val" else "test"
+    }
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val cal = all.filter(t => t._2 == lang && split(t._1) == "val")
+        .sortBy(t => (t._3, t._1)).map(_._3)
+      val n = cal.length
+      val target = math.min(((n + 1) * 9 + 9) / 10, n)
+      assert(r.getAs[Long]("n_cal") == n.toLong)
+      assert(r.getAs[Long]("threshold") == cal(target - 1),
+        s"$lang threshold is not the rank-$target order statistic")
+      val ev = all.filter(t => t._2 == lang && split(t._1) == "test").map(_._3)
+      assert(r.getAs[Long]("n_eval") == ev.length.toLong)
+      assert(r.getAs[Long]("n_covered") ==
+        ev.count(_ <= r.getAs[Long]("threshold")).toLong)
+    }
+  }
+
   test("logistic IRLS recovers a planted noisy teacher (q160 trainer)") {
     // 400 rows, one signal feature x; teacher: y = (10x + u > 12) with
     // deterministic noise u ∈ {0..7} — learnable, provably not separable
