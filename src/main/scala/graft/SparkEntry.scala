@@ -25,7 +25,7 @@ object Registry {
       graft.analytics.Statistics.queries ++ graft.warehouse.FrequentItemsState.queries ++
       graft.analytics.PqIndex.queries ++ graft.analytics.Pca.queries ++
       graft.warehouse.SkylineState.queries ++ graft.warehouse.CovarianceState.queries ++
-      graft.warehouse.RetrievalIndex.queries
+      graft.warehouse.RetrievalIndex.queries ++ graft.warehouse.DedupIndex.queries
 }
 
 object SparkEntry {

@@ -62,7 +62,9 @@ object Dedup {
     * candidate join and the cross-side incremental join must band
     * identically or their recall arguments stop composing).
     */
-  private def bandSignatures(sigs: DataFrame, idCol: String): DataFrame = {
+  /** private[graft]: the incremental dedup index (warehouse.DedupIndex)
+    * persists exactly these band rows. */
+  private[graft] def bandSignatures(sigs: DataFrame, idCol: String): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
@@ -260,7 +262,7 @@ object Dedup {
     * DedupSpec's brute-force comparison, and this SQL recomputes the exact
     * answer independently.
     */
-  private[analytics] def exactPairCtes(threshold: Double): String = {
+  private[graft] def exactPairCtes(threshold: Double): String = {
     val gram = (0 until ShingleN).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
     s"""toks AS (
        |  SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0) AS toks FROM corpus
