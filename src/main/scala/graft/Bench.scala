@@ -163,10 +163,14 @@ object Bench {
     // locale, which renders comma decimal separators (de_DE "12,345") and
     // silently corrupts the JSON artifact. Double.toString never does.
     def r3(t: Double): String = (math.rint(t * 1000) / 1000).toString
-    // Stdout line precision drops to 2 decimals: at 147 queries the
-    // 3-decimal dict alone brushes the driver's 2000-char tail budget;
+    // Stdout line precision: 2 decimals under 1 s (where the second
+    // decimal is signal), 1 decimal from 1 s up — at 165 queries the
+    // 2-decimal dict left 11 chars of the driver's 2000-char tail, so
+    // the ~40 multi-second entries each give a char back.
     // BENCH_DETAIL.json keeps full precision and every rep.
-    def r2(t: Double): String = (math.rint(t * 100) / 100).toString
+    def r2(t: Double): String =
+      if (t >= 0 && t < 1) (math.rint(t * 100) / 100).toString
+      else (math.rint(t * 10) / 10).toString
     // Stdout keys: the qNN prefix only — 69 full names is ~2.2k chars and
     // the driver tail keeps 2000. Prefixes are unique by construction.
     def short(name: String): String = name.takeWhile(_ != '_')
@@ -200,12 +204,12 @@ object Bench {
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The stdout line carries the pre/post loadavg (the round-8 verdict's
     // artifact ask: host state must be visible in BENCH_rN.json itself,
-    // not only in BENCH_DETAIL.json) — ~65 chars against the ~200 of
-    // remaining tail headroom at 154 queries. sf_dir and per-rep times
-    // stay detail-file-only.
+    // not only in BENCH_DETAIL.json) as "loadavg":[[pre],[post]] — the
+    // nested form saves ~20 chars of the tight tail budget. sf_dir and
+    // per-rep times stay detail-file-only.
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qsShort,$sfJson,""" +
-      s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost}"""
+      s""""loadavg":[$loadPre,$loadPost]}"""
     if (line.length > 1950) // the line is last on stdout; the driver keeps a 2000-char tail
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars may overrun driver tail")
     // Stop FIRST so no late executor/UI log line can land after the
