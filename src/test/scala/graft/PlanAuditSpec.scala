@@ -779,4 +779,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops == 0, s"q130 regressed: $s")
     assert(s.scans <= 4 && s.shuffles <= 8, s"q130 regressed: $s")
   }
+
+  test("round-9 exact-candidate kernels keep PPJoin shape (q104/q115)") {
+    // Audited r9: q104 21 shuffles / 9 scans, q115 22/9 — the positional
+    // filters ride the candidate join; NO nested-loop pair space and no
+    // SMJ (both self-join sides share one pinned token exchange and
+    // broadcast at this SF).
+    val s104 = stats("q104_prefix_filter_join")
+    assert(s104.nestedLoops == 0 && s104.smj == 0, s"q104 regressed: $s104")
+    assert(s104.scans <= 18 && s104.shuffles <= 42, s"q104 regressed: $s104")
+    val s115 = stats("q115_containment_join")
+    assert(s115.nestedLoops == 0 && s115.smj == 0, s"q115 regressed: $s115")
+    assert(s115.scans <= 18 && s115.shuffles <= 44, s"q115 regressed: $s115")
+  }
+
+  test("round-9 relational additions stay aggregate/join-shaped (q156-q158)") {
+    // q156: decorrelated Q17 — per-part agg + fact join; no correlated
+    // re-scan shape (that would be a nested loop or a per-row subquery).
+    val s156 = stats("q156_small_quantity_revenue")
+    assert(s156.nestedLoops == 0, s"q156 regressed: $s156")
+    assert(s156.scans <= 12 && s156.shuffles <= 16, s"q156 regressed: $s156")
+    // q157: decorrelated Q21 — one order-keyed distinct-count aggregate
+    // + join-back (the one SMJ is the order-keyed fact-fact join).
+    val s157 = stats("q157_lone_late_supplier")
+    assert(s157.nestedLoops == 0 && s157.smj <= 2, s"q157 regressed: $s157")
+    assert(s157.scans <= 16 && s157.shuffles <= 26, s"q157 regressed: $s157")
+    // q158: customer-grain agg + segment rank window + rollup.
+    val s158 = stats("q158_revenue_gini")
+    assert(s158.nestedLoops == 0 && s158.singleParts == 0, s"q158 regressed: $s158")
+    assert(s158.scans <= 8 && s158.shuffles <= 12, s"q158 regressed: $s158")
+  }
+
+  test("round-9 text/ML additions keep corpus-linear shape (q159/q162-q164)") {
+    // q159: bigram explode + model equi-join; the nestedLoops=2 is the
+    // one-row vocab-count broadcast cross join (the q46 scalar shape),
+    // never a doc-pair space.
+    val s159 = stats("q159_bigram_xent")
+    assert(s159.nestedLoops <= 3 && s159.smj == 0, s"q159 regressed: $s159")
+    assert(s159.scans <= 16 && s159.shuffles <= 32, s"q159 regressed: $s159")
+    // q162: two split-filtered passes + one rank window per lang.
+    val s162 = stats("q162_conformal_calibration")
+    assert(s162.nestedLoops == 0 && s162.singleParts == 0, s"q162 regressed: $s162")
+    assert(s162.scans <= 12 && s162.shuffles <= 16, s"q162 regressed: $s162")
+    // q163: user-grain aggregate + 2-row rollup; the nestedLoops=2 is
+    // the one-row × one-row cohort cross join.
+    val s163 = stats("q163_conversion_ztest")
+    assert(s163.nestedLoops <= 3 && s163.smj == 0, s"q163 regressed: $s163")
+    assert(s163.scans <= 8 && s163.shuffles <= 20, s"q163 regressed: $s163")
+    // q164: one posexplode + hash aggregate, map-side-combined.
+    val s164 = stats("q164_label_centroids")
+    assert(s164.nestedLoops == 0 && s164.smj == 0 && s164.singleParts == 0,
+      s"q164 regressed: $s164")
+    assert(s164.scans <= 4 && s164.shuffles <= 8, s"q164 regressed: $s164")
+  }
 }
