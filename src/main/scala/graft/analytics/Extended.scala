@@ -1131,7 +1131,64 @@ object Extended {
       |    ELSE (1000000 * gini_numer) // gini_denom END AS BIGINT) AS gini_ppm
       |FROM agg""".stripMargin
 
+  // --------------------------------------------------------------- q166
+  /** Dormant high-value customers — the TPC-H Q22 shape adapted to a
+    * corpus where every customer has SOME order (verbatim "no orders
+    * ever" is vacuous here): per nation, customers whose account balance
+    * beats the global positive-balance average but who placed no order
+    * in the trailing 180 days of the data. The "global-scalar correlated
+    * subquery + NOT EXISTS" pattern, decorrelated Spark-first: two tiny
+    * global aggregates broadcast as scalars (positive-balance stats, max
+    * order date), the balance test as an integer CROSS-MULTIPLICATION
+    * (cents·n_pos > total_pos_cents — no float division crosses
+    * engines), and the NOT EXISTS as a left-anti hash join against the
+    * recent-window order keys — never a per-row subquery.
+    */
+  def dormantRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val posAvg = cust.filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum("bal_cents").as("sum_pos"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val maxDate = orders.agg(max("od").as("max_od"))
+    val recent = orders.crossJoin(broadcast(maxDate))
+      .filter(col("od") >= date_sub(col("max_od"), 180))
+      .select("o_custkey")
+    cust
+      .crossJoin(broadcast(posAvg))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_dormant"),
+        sum("bal_cents").as("balance_cents"))
+  }
+
+  private val dormantRichCustomersSql =
+    """SELECT n.n_name AS nation, count(*) AS n_dormant,
+      |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS balance_cents
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) *
+      |    (SELECT count(*) FROM customer
+      |     WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+      |  > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |     FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND CAST(o.o_orderdate AS DATE) >=
+      |        (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)
+      |        - INTERVAL 180 DAY)
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q166_dormant_customers", dormantRichCustomers _,
+      Some(dormantRichCustomersSql)),
     NamedQuery("q156_small_quantity_revenue", smallQuantityRevenue _,
       Some(smallQuantityRevenueSql)),
     NamedQuery("q157_lone_late_supplier", loneLateSupplier _,

@@ -594,7 +594,81 @@ object Statistics {
       |  abs(z) >= 1.959964::DOUBLE AS significant_05
       |FROM zc""".stripMargin
 
+  // --------------------------------------------------------------- q167
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
+    * the experimentation-platform companion of q163: adjust each user's
+    * post-period metric by their PRE-period metric,
+    * Y' = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X), which shrinks metric
+    * variance by exactly ρ² and makes A/B tests correspondingly more
+    * sensitive. The pre/post boundary is the data-derived epoch-second
+    * midpoint (deterministic integer), per-user metrics are integer
+    * event counts, and the sufficient statistics (n, Σx, Σy, Σx², Σy²,
+    * Σxy — the q99 shape) are exact BIGINTs from ONE user-grain
+    * aggregate; θ and the variance-reduction ratio run through one
+    * fixed double sequence floored to micro-units. One corpus scan, one
+    * user-keyed aggregate, a one-row rollup.
+    */
+  def cupedVarianceReduction(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val bounds = ev.agg(min("es").as("lo"), max("es").as("hi"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(col("es") * 2 < col("lo") + col("hi"), 1L).otherwise(0L).as("pre"),
+        when(col("es") * 2 >= col("lo") + col("hi"), 1L).otherwise(0L).as("post"))
+      .groupBy("user_id")
+      .agg(sum("pre").as("x"), sum("post").as("y"))
+    val s = perUser.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    // θ = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²tot); var reduction = ρ².
+    val covNum = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varXNum = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varYNum = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val theta = covNum / varXNum
+    val rho2 = (covNum * covNum) / (varXNum * varYNum)
+    s.select(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+      floor(theta * lit(1000000.0) + lit(0.5)).cast("long").as("theta_micro"),
+      floor(rho2 * lit(1000000.0) + lit(0.5)).cast("long").as("var_reduction_ppm"))
+  }
+
+  private val cupedSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+      |), b AS (SELECT min(es) AS lo, max(es) AS hi FROM ev),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN es * 2 < (SELECT lo + hi FROM b) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN es * 2 >= (SELECT lo + hi FROM b) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM ev GROUP BY 1
+      |), s AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pu
+      |)
+      |SELECT n, sx, sy, sxx, syy, sxy,
+      |  CAST(floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS theta_micro,
+      |  CAST(floor(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |      * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+      |    / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS var_reduction_ppm
+      |FROM s""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q167_cuped_reduction", cupedVarianceReduction _,
+      Some(cupedSql)),
     NamedQuery("q163_conversion_ztest", conversionZTest _,
       Some(conversionZTestSql)),
     NamedQuery("q138_quantile_norm", docLengthQuantileNorm _,

@@ -348,4 +348,29 @@ class ExtendedSpec extends SparkSpec {
     assert(out(seg) == ((n, total, numer, denom, ppm)),
       s"$seg gini drifted from the sorted-rank identity")
   }
+
+  test("dormant rich customers (q166) match the correlated definition") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val cust = graft.core.Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), math.round(r.getDouble(2) * 100)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val orders = graft.core.Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val maxD = orders.map(_._2).maxBy(_.toEpochDay)
+    val recent = orders.filter(_._2.toEpochDay >= maxD.toEpochDay - 180).map(_._1).toSet
+    val nations = graft.core.Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expected = cust
+      .filter { case (ck, _, bal) => bal * pos.length > pos.sum && !recent(ck) }
+      .groupBy { case (_, nk, _) => nations(nk) }.view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._3).sum)).toMap
+    val got = Extended.dormantRichCustomers(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "anti-join plan must equal the correlated definition")
+    assert(got.nonEmpty, "fixture must produce dormant customers")
+  }
 }

@@ -230,4 +230,21 @@ class StatisticsSpec extends SparkSpec {
     assert(r.getAs[Long]("z_micro") == math.floor(z * 1e6 + 0.5).toLong)
     assert(r.getAs[Boolean]("significant_05") == (math.abs(z) >= 1.959964))
   }
+
+  test("CUPED (q167): sufficient stats exact, theta/rho2 match the formula") {
+    val r = Statistics.cupedVarianceReduction(spark, "/root/testdata/sf0.001").head()
+    val (n, sx, sy) = (r.getAs[Long]("n"), r.getAs[Long]("sx"), r.getAs[Long]("sy"))
+    val (sxx, syy, sxy) = (r.getAs[Long]("sxx"), r.getAs[Long]("syy"), r.getAs[Long]("sxy"))
+    assert(n > 0 && sx > 0 && sy > 0, "both periods must carry events")
+    val covN = n.toDouble * sxy - sx.toDouble * sy
+    val varX = n.toDouble * sxx - sx.toDouble * sx
+    val varY = n.toDouble * syy - sy.toDouble * sy
+    assert(varX > 0 && varY > 0)
+    assert(r.getAs[Long]("theta_micro") ==
+      math.floor(covN / varX * 1e6 + 0.5).toLong)
+    val rho2 = covN * covN / (varX * varY)
+    assert(r.getAs[Long]("var_reduction_ppm") ==
+      math.floor(rho2 * 1e6 + 0.5).toLong)
+    assert(rho2 >= 0 && rho2 <= 1.0 + 1e-12, s"rho2 out of range: $rho2")
+  }
 }
