@@ -1186,7 +1186,126 @@ object Extended {
       |        - INTERVAL 180 DAY)
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q168
+  /** Regional market share by year — the TPC-H Q8 shape: the deepest
+    * multi-way join in the battery (lineitem ⋈ orders ⋈ customer ⋈
+    * supplier ⋈ nation×2 ⋈ region — six tables, two roles for nation),
+    * the classic join-ORDER stress: Catalyst must broadcast the four
+    * dimension tables and chain the two fact joins, never materialize an
+    * intermediate cross product. Share = revenue from suppliers local to
+    * the customer's region over all revenue into that region, by year —
+    * integer cents and a ppm quotient.
+    */
+  def regionalMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long").as("cents"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val reg = graft.core.Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("c_region"))), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_regionkey").as("s_region"))), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(reg), col("c_region") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("yr"))
+      .agg(sum("cents").as("total_cents"),
+        sum(when(col("s_region") === col("c_region"), col("cents"))
+          .otherwise(0L)).as("local_cents"))
+      .withColumn("local_share_ppm",
+        expr("(1000000 * local_cents) div total_cents"))
+  }
+
+  private val regionalMarketShareSql =
+    """SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+      |    AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(sum(CASE WHEN sn.n_regionkey = cn.n_regionkey
+      |    THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+      |      AS BIGINT) ELSE 0 END) AS BIGINT) AS local_cents,
+      |  CAST((1000000 * sum(CASE WHEN sn.n_regionkey = cn.n_regionkey
+      |    THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+      |      AS BIGINT) ELSE 0 END))
+      |    // sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+      |      AS BIGINT)) AS BIGINT) AS local_share_ppm
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |JOIN region r ON cn.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q169
+  /** INTERSECT ALL / EXCEPT ALL — the BAG-semantics set operations q68's
+    * distinct forms don't cover (a customer ordering 5 times early and 3
+    * times late contributes multiplicity min(5,3) = 3 to the
+    * intersection and 5−3 = 2 to the difference — duplicate-sensitive
+    * audit arithmetic the distinct forms erase). Planned Spark-first as
+    * per-side multiplicity aggregates + one full-outer equi-join (the
+    * decorrelated form of Spark's own INTERSECT ALL planning, without
+    * the generate/replicate tail since only counts are reported).
+    */
+  def customerOrderBagOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .crossJoin(broadcast(Tables.orders(spark, dir)
+        .agg(max(to_date(col("o_orderdate"))).as("max_od"))))
+      .select(col("o_custkey"),
+        (to_date(col("o_orderdate")) >= date_sub(col("max_od"), 365)).as("late"))
+    val early = ord.filter(!col("late")).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_early"))
+    val late = ord.filter(col("late")).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_late"))
+    early.join(late, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(least(col("n_early"), col("n_late"))).as("intersect_all_rows"),
+        sum(greatest(col("n_early") - col("n_late"), lit(0L)))
+          .as("except_all_rows"),
+        sum(when(col("n_early") > 0 && col("n_late") > 0, 1L).otherwise(0L))
+          .as("intersect_distinct"),
+        sum(when(col("n_early") > 0 && col("n_late") === 0, 1L).otherwise(0L))
+          .as("except_distinct"))
+  }
+
+  private val customerOrderBagOpsSql =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(o_orderdate AS DATE) >=
+      |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)
+      |      - INTERVAL 365 DAY AS late
+      |  FROM orders
+      |), m AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+      |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      |  FROM o GROUP BY 1
+      |)
+      |SELECT count(*) AS n_customers,
+      |  CAST(sum(least(n_early, n_late)) AS BIGINT) AS intersect_all_rows,
+      |  CAST(sum(greatest(n_early - n_late, 0)) AS BIGINT) AS except_all_rows,
+      |  CAST(sum(CASE WHEN n_early > 0 AND n_late > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS intersect_distinct,
+      |  CAST(sum(CASE WHEN n_early > 0 AND n_late = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS except_distinct
+      |FROM m""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q168_market_share", regionalMarketShare _,
+      Some(regionalMarketShareSql)),
+    NamedQuery("q169_bag_setops", customerOrderBagOps _,
+      Some(customerOrderBagOpsSql)),
     NamedQuery("q166_dormant_customers", dormantRichCustomers _,
       Some(dormantRichCustomersSql)),
     NamedQuery("q156_small_quantity_revenue", smallQuantityRevenue _,

@@ -373,4 +373,58 @@ class ExtendedSpec extends SparkSpec {
     assert(got == expected, "anti-join plan must equal the correlated definition")
     assert(got.nonEmpty, "fixture must produce dormant customers")
   }
+
+  test("regional market share (q168): shares bounded, totals reconcile") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Extended.regionalMarketShare(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("local_cents") <= r.getAs[Long]("total_cents"))
+      val ppm = r.getAs[Long]("local_share_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L, s"share out of range: $ppm")
+    }
+    // Totals reconcile with a direct revenue rollup by customer region/year.
+    val direct = graft.core.Tables.lineitem(spark, dir)
+      .join(graft.core.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.core.Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(graft.core.Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_cents") ==
+        direct((r.getAs[String]("region"), r.getAs[Int]("yr"))))
+    }
+  }
+
+  test("bag set-ops (q169): multiplicity identities hold against a recount") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = Extended.customerOrderBagOps(spark, dir).head()
+    // Driver recompute of the per-customer multiplicity table.
+    val ords = graft.core.Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d")).collect()
+      .map(x => (x.getLong(0), x.getDate(1).toLocalDate))
+    val maxD = ords.map(_._2).maxBy(_.toEpochDay)
+    val m = ords.groupBy(_._1).view.mapValues { os =>
+      val late = os.count(_._2.toEpochDay >= maxD.toEpochDay - 365)
+      (os.length - late, late)
+    }.toMap
+    assert(r.getAs[Long]("n_customers") == m.size.toLong)
+    assert(r.getAs[Long]("intersect_all_rows") ==
+      m.values.map { case (e, l) => math.min(e, l).toLong }.sum)
+    assert(r.getAs[Long]("except_all_rows") ==
+      m.values.map { case (e, l) => math.max(e - l, 0).toLong }.sum)
+    assert(r.getAs[Long]("intersect_distinct") ==
+      m.values.count { case (e, l) => e > 0 && l > 0 }.toLong)
+    // Bag-vs-set sanity: ALL counts dominate their distinct counterparts.
+    assert(r.getAs[Long]("intersect_all_rows") >= r.getAs[Long]("intersect_distinct"))
+  }
 }
