@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.warehouse.{DedupIndex, RetrievalIndex}
+
+/** Streaming ingestion faces for the incremental indices: a document
+  * file stream drains into the BM25 retrieval index and/or the near-dup
+  * index via `foreachBatch`, exactly once.
+  *
+  * The exactly-once story is the indices' own commit protocol
+  * ([[graft.warehouse.RetrievalIndex]]): each micro-batch's effects are
+  * deterministic per-batch partition dirs committed by a `last_batch`
+  * marker, and the foreachBatch EPOCH is passed as the batch id — so a
+  * crash-replayed epoch either overwrites identical bytes (uncommitted)
+  * or short-circuits (committed). Spark's streaming checkpoint owns the
+  * source offsets; the index state is the sink's own idempotence, the
+  * [[StreamingCurate]] division of labor.
+  *
+  * `Trigger.AvailableNow` drains everything present then stops — the
+  * reference's scheduled-drain semantics (SURVEY §2.I S1); a resident
+  * deployment swaps in a processing-time trigger unchanged.
+  */
+object StreamingIndex {
+
+  /** Drain `sourceDir` (json files of `schema`) into the retrieval
+    * index at `indexRoot`; blocks until the drain completes.
+    */
+  def retrievalAvailableNow(spark: SparkSession, sourceDir: String,
+                            schema: StructType, indexRoot: String,
+                            checkpoint: String): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        RetrievalIndex.update(spark, indexRoot, batch, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain `sourceDir` into the near-dup index at `indexRoot`; each
+    * micro-batch's matches against the prior corpus persist under the
+    * index's `matches/batch=N/` dirs (query them any time).
+    */
+  def dedupAvailableNow(spark: SparkSession, sourceDir: String,
+                        schema: StructType, indexRoot: String,
+                        checkpoint: String, threshold: Double = 0.7): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        DedupIndex.matchAndIngest(spark, indexRoot, batch, threshold,
+          batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -12,88 +12,118 @@ import graft.analytics.Dedup
   * deduping a new batch reads the (narrow) index tables, never the
   * corpus text again.
   *
-  * Layout under one root:
-  *  - `bands/` (doc_id, band, sig)    — append-only; LSH candidate keys;
-  *  - `sets/`  (doc_id, ws)           — append-only; 64-bit shingle hash
-  *    sets for the exact verify (the q17 contract: |∩| over xxh64 hashes
-  *    ≡ string-set |∩| modulo collisions);
-  *  - `stats`  (n_docs)               — folded under [[StateFiles]].
+  * Layout under one root (one partition dir per ingested batch; `batch`
+  * surfaces as a partition column):
+  *  - `bands/batch=N/`   (doc_id, band, sig) — LSH candidate keys;
+  *  - `sets/batch=N/`    (doc_id, ws)        — 64-bit shingle hash sets
+  *    for the exact verify (the q17 contract);
+  *  - `matches/batch=N/` (batch_id, base_id, jaccard) — batch N's
+  *    matches against the prior index, persisted so a committed replay
+  *    returns the identical result;
+  *  - `stats`            (n_docs, last_batch) — [[StateFiles]] swap;
+  *    `last_batch` is the COMMIT MARKER.
+  *
+  * EXACTLY-ONCE ingestion (the [[RetrievalIndex]] protocol): per-batch
+  * dirs are overwrite-idempotent with deterministic content; the stats
+  * install happens LAST; a committed replay (`batchId <= last_batch`)
+  * short-circuits and re-reads its persisted matches — which makes
+  * `matchAndIngest` a safe `foreachBatch` sink
+  * ([[graft.streaming.StreamingIndex]]). Reads filter to committed
+  * partitions so a crash's orphan dir can neither trip the re-ingest
+  * guard nor leak candidates.
   *
   * `matchAndIngest` is the pipeline verb: report the batch's near-dups
-  * against everything indexed SO FAR (work ∝ batch-side candidates —
-  * the band join probes the posting-like band table), then append the
-  * batch. Batches must be new docs (anti-join guard, the
-  * [[RetrievalIndex]] discipline). Signatures are deterministic, so an
-  * index built in any batch order carries exactly the signatures a
-  * one-shot build would — q165 gates batch-built match sets against the
-  * one-shot exact pair space.
+  * against everything indexed SO FAR (work ∝ batch-side candidates),
+  * then append the batch. Signatures are deterministic, so an index
+  * built in any batch order carries exactly the signatures a one-shot
+  * build would — q165 gates batch-built match sets against the one-shot
+  * exact pair space.
   */
 object DedupIndex {
 
   private def bandsPath(root: String) = s"$root/bands"
   private def setsPath(root: String) = s"$root/sets"
+  private def matchesPath(root: String) = s"$root/matches"
   private def statsPath(root: String) = s"$root/stats"
+
+  private def readStats(spark: SparkSession, root: String): Option[(Long, Long)] =
+    if (!StateFiles.exists(spark, statsPath(root))) None
+    else {
+      val r = spark.read.parquet(statsPath(root)).head()
+      Some((r.getAs[Long]("n_docs"), r.getAs[Long]("last_batch")))
+    }
 
   /** Near-dups of `batch` against the PRIOR index (empty result on the
     * first batch), then ingest the batch. Returns (batch_id, base_id,
-    * jaccard) matches at `threshold`.
+    * jaccard) matches at `threshold`. `batchId` defaults to
+    * last_batch + 1; pass the foreachBatch epoch for replay idempotence
+    * (a committed replay returns the persisted matches).
     */
   def matchAndIngest(spark: SparkSession, root: String, batch: DataFrame,
                      threshold: Double, idCol: String = "doc_id",
-                     textCol: String = "text", lease: Boolean = false): DataFrame =
+                     textCol: String = "text", batchId: Option[Long] = None,
+                     lease: Boolean = false): DataFrame =
     graft.core.PathLocks.forPath(root).synchronized {
       LeaseLock.withLease(spark, root, lease) {
         StateFiles.recover(spark, statsPath(root))
-        val docs = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        val hasIndex = StateFiles.exists(spark, statsPath(root))
-        if (hasIndex) {
-          val dup = docs.join(
-            spark.read.parquet(setsPath(root)).select("doc_id"),
-            Seq("doc_id"), "left_semi").limit(1).count()
-          require(dup == 0L,
-            s"DedupIndex.matchAndIngest: batch re-ingests already-indexed " +
-              s"doc ids under $root")
-        }
-        val batchBands = Dedup.bandSignatures(
-          Dedup.minHashSignatures(docs, "doc_id", "text"), "doc_id")
-        val batchSets = docs.select(col("doc_id"),
-          Dedup.shingleHashSet(col("text")).as("ws"))
-        val matches =
-          if (!hasIndex)
-            spark.emptyDataFrame
-              .withColumn("batch_id", lit(0L)).withColumn("base_id", lit(0L))
-              .withColumn("jaccard", lit(0.0)).limit(0)
-          else {
-            val candidates = batchBands
-              .withColumnRenamed("doc_id", "batch_id")
-              .join(spark.read.parquet(bandsPath(root))
-                .withColumnRenamed("doc_id", "base_id"), Seq("band", "sig"))
-              .select("batch_id", "base_id").distinct()
-            candidates
-              .join(batchSets.select(col("doc_id").as("batch_id"),
-                col("ws").as("batch_ws")), "batch_id")
-              .join(spark.read.parquet(setsPath(root))
-                .select(col("doc_id").as("base_id"), col("ws").as("base_ws")),
-                "base_id")
-              .withColumn("jaccard",
-                graft.functions.jaccardSets(col("batch_ws"), col("base_ws")))
-              .filter(col("jaccard") >= threshold)
-              .select(col("batch_id"), col("base_id"),
-                round(col("jaccard"), 6).as("jaccard"))
-              // The index tables are re-read and appended below; pin the
-              // match rows NOW so the returned plan cannot observe its
-              // own batch's appended signatures.
-              .localCheckpoint(eager = true)
+        val prior = readStats(spark, root)
+        val last = prior.map(_._2).getOrElse(-1L)
+        val id = batchId.getOrElse(last + 1)
+        if (id > last) {
+          val docs = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          if (prior.isDefined) {
+            val dup = docs.join(
+              spark.read.parquet(setsPath(root))
+                .filter(col("batch") <= last).select("doc_id"),
+              Seq("doc_id"), "left_semi").limit(1).count()
+            require(dup == 0L,
+              s"DedupIndex.matchAndIngest: batch re-ingests already-indexed " +
+                s"doc ids under $root")
           }
-        batchBands.write.mode("append").parquet(bandsPath(root))
-        batchSets.write.mode("append").parquet(setsPath(root))
-        val batchStats = docs.agg(count(lit(1)).as("n_docs"))
-        val merged =
-          if (!hasIndex) batchStats
-          else spark.read.parquet(statsPath(root)).unionByName(batchStats)
-            .agg(sum("n_docs").as("n_docs"))
-        StateFiles.install(spark, statsPath(root), merged)
-        matches
+          val batchBands = Dedup.bandSignatures(
+            Dedup.minHashSignatures(docs, "doc_id", "text"), "doc_id")
+          val batchSets = docs.select(col("doc_id"),
+            Dedup.shingleHashSet(col("text")).as("ws"))
+          val matches =
+            if (prior.isEmpty)
+              batchSets.select(col("doc_id").as("batch_id"),
+                col("doc_id").as("base_id"), lit(0.0).as("jaccard")).limit(0)
+            else {
+              val candidates = batchBands
+                .withColumnRenamed("doc_id", "batch_id")
+                .join(spark.read.parquet(bandsPath(root))
+                  .filter(col("batch") <= last)
+                  .withColumnRenamed("doc_id", "base_id"), Seq("band", "sig"))
+                .select("batch_id", "base_id").distinct()
+              candidates
+                .join(batchSets.select(col("doc_id").as("batch_id"),
+                  col("ws").as("batch_ws")), "batch_id")
+                .join(spark.read.parquet(setsPath(root))
+                  .filter(col("batch") <= last)
+                  .select(col("doc_id").as("base_id"), col("ws").as("base_ws")),
+                  "base_id")
+                .withColumn("jaccard",
+                  graft.functions.jaccardSets(col("batch_ws"), col("base_ws")))
+                .filter(col("jaccard") >= threshold)
+                .select(col("batch_id"), col("base_id"),
+                  round(col("jaccard"), 6).as("jaccard"))
+            }
+          // A zero-partition plan (the first batch's limit(0)) would
+          // write no part files and leave an uninferrable empty dir —
+          // force one task so the schema always lands on disk.
+          val writable =
+            if (matches.rdd.getNumPartitions == 0) matches.repartition(1)
+            else matches
+          writable.write.mode("overwrite").parquet(s"${matchesPath(root)}/batch=$id")
+          batchBands.write.mode("overwrite").parquet(s"${bandsPath(root)}/batch=$id")
+          batchSets.write.mode("overwrite").parquet(s"${setsPath(root)}/batch=$id")
+          import spark.implicits._
+          val merged = Seq((prior.map(_._1).getOrElse(0L) + docs.count(), id))
+            .toDF("n_docs", "last_batch")
+          StateFiles.install(spark, statsPath(root), merged)
+        }
+        spark.read.parquet(s"${matchesPath(root)}/batch=$id")
+          .select("batch_id", "base_id", "jaccard")
       }
     }
 

@@ -10,28 +10,40 @@ import graft.NamedQuery
   * queries at any time WITHOUT re-tokenizing the corpus.
   *
   * Layout under one root:
-  *  - `postings/`   (doc_id, term, tf)  — append-only parquet; a batch
-  *    writes ONLY its own postings (work ∝ batch, never ∝ index);
-  *  - `doclen/`     (doc_id, dl)        — append-only, one row per doc;
-  *  - `stats`       (n_docs, t_tok)     — the scalar corpus constants,
-  *    folded by integer addition under the [[StateFiles]] staged swap.
+  *  - `postings/batch=N/` (doc_id, term, tf) — one partition dir per
+  *    ingested batch (a batch writes ONLY its own postings, work ∝
+  *    batch, never ∝ index; `batch` surfaces as a partition column);
+  *  - `doclen/batch=N/`   (doc_id, dl);
+  *  - `stats`             (n_docs, t_tok, last_batch) — the scalar
+  *    corpus constants plus the COMMIT MARKER, folded by integer
+  *    addition under the [[StateFiles]] staged swap.
+  *
+  * EXACTLY-ONCE ingestion: batch content is deterministic and the
+  * partition dirs are written with per-dir overwrite, so re-writing a
+  * batch is byte-idempotent; the stats install (which carries
+  * `last_batch`) is the commit point and happens LAST. A crash before
+  * it leaves `last_batch` at N−1 and the replay overwrites the partial
+  * dirs with identical content; a replay after it short-circuits on
+  * `batchId <= last_batch` — the [[graft.streaming.StreamingCurate]]
+  * protocol, which makes the index a safe `foreachBatch` sink
+  * ([[graft.streaming.StreamingIndex]]).
   *
   * df(term) is derived at query time from the postings restricted to
-  * the query's terms (a term-pruned aggregation over the posting lists
-  * — work ∝ query-term postings, the q74 discipline), so no vocab-sized
-  * state table needs folding and a batch append cannot double-count.
+  * the query's terms (work ∝ query-term postings, the q74 discipline),
+  * so no vocab-sized state folds and appends cannot double-count.
   *
   * EXACTNESS: every scoring input (tf, dl, df, n_docs, t_tok) is an
   * exact integer equal to what a one-shot build over the full corpus
   * produces, and the scoring tail is literally SHARED with
-  * [[graft.analytics.Retrieval.bm25Rank]] (same fixed double sequence,
-  * same µnat floor, same salted top-k) — so incremental-index ranking ≡
-  * one-shot ranking row for row, which is exactly what q161 gates.
+  * [[graft.analytics.Retrieval.bm25Rank]] — so incremental-index
+  * ranking ≡ one-shot ranking row for row, which is what q161 gates.
   *
   * New-doc contract: batches must carry documents not already indexed
-  * (a re-ingested doc would double its postings). `update` enforces it
-  * with an anti-join probe against `doclen` — one narrow-table read,
-  * failing loudly instead of silently corrupting tf/df.
+  * (a re-ingested doc under a NEW batch id would double its postings).
+  * `update` enforces it with an anti-join probe against `doclen` — one
+  * narrow-table read, failing loudly instead of silently corrupting
+  * tf/df. (A REPLAYED batch id is not a violation: it short-circuits
+  * before the probe.)
   */
 object RetrievalIndex {
 
@@ -39,39 +51,60 @@ object RetrievalIndex {
   private def doclenPath(root: String) = s"$root/doclen"
   private def statsPath(root: String) = s"$root/stats"
 
-  /** Ingest one batch of (idCol, textCol) documents. Returns the
-    * post-update corpus constants.
+  /** (n_docs, t_tok, last_batch) of the installed state, or None. */
+  private def readStats(spark: SparkSession, root: String): Option[(Long, Long, Long)] =
+    if (!StateFiles.exists(spark, statsPath(root))) None
+    else {
+      val r = spark.read.parquet(statsPath(root)).head()
+      Some((r.getAs[Long]("n_docs"), r.getAs[Long]("t_tok"),
+        r.getAs[Long]("last_batch")))
+    }
+
+  /** Ingest one batch of (idCol, textCol) documents. `batchId` defaults
+    * to last_batch + 1; passing an explicit id (the foreachBatch epoch)
+    * makes the call replay-idempotent. Returns the post-update corpus
+    * constants.
     */
   def update(spark: SparkSession, root: String, batch: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
-             lease: Boolean = false): DataFrame =
+             batchId: Option[Long] = None, lease: Boolean = false): DataFrame =
     graft.core.PathLocks.forPath(root).synchronized {
       LeaseLock.withLease(spark, root, lease) {
         StateFiles.recover(spark, statsPath(root))
-        val docs = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        val hasIndex = StateFiles.exists(spark, statsPath(root))
-        if (hasIndex) {
-          val dup = docs.join(spark.read.parquet(doclenPath(root)),
-            Seq("doc_id"), "left_semi").limit(1).count()
-          require(dup == 0L,
-            s"RetrievalIndex.update: batch re-ingests already-indexed " +
-              s"doc ids under $root — postings/df would double-count")
+        val prior = readStats(spark, root)
+        val last = prior.map(_._3).getOrElse(-1L)
+        val id = batchId.getOrElse(last + 1)
+        if (id > last) { // else: committed replay, every effect installed
+          val docs = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          if (prior.isDefined) {
+            // Committed partitions only: a crash can leave an orphan
+            // batch=N dir with last_batch still N−1; its docs are NOT
+            // indexed (the replay will overwrite the dir), so they must
+            // not trip the guard.
+            val dup = docs.join(
+              spark.read.parquet(doclenPath(root))
+                .filter(col("batch") <= last).select("doc_id"),
+              Seq("doc_id"), "left_semi").limit(1).count()
+            require(dup == 0L,
+              s"RetrievalIndex.update: batch re-ingests already-indexed " +
+                s"doc ids under $root — postings/df would double-count")
+          }
+          val toks = docs.select(col("doc_id"),
+            explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
+          toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+            .write.mode("overwrite").parquet(s"${postingsPath(root)}/batch=$id")
+          docs.select(col("doc_id"),
+            size(graft.functions.shingleStrings(col("text"), 1)).cast("long").as("dl"))
+            .write.mode("overwrite").parquet(s"${doclenPath(root)}/batch=$id")
+          val b = docs.agg(count(lit(1)).as("n"),
+            sum(size(graft.functions.shingleStrings(col("text"), 1)).cast("long"))
+              .as("t")).head()
+          val (pn, pt) = prior.map(p => (p._1, p._2)).getOrElse((0L, 0L))
+          import spark.implicits._
+          val merged = Seq((pn + b.getAs[Long]("n"), pt + b.getAs[Long]("t"), id))
+            .toDF("n_docs", "t_tok", "last_batch")
+          StateFiles.install(spark, statsPath(root), merged)
         }
-        val toks = docs.select(col("doc_id"),
-          explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
-        toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .write.mode("append").parquet(postingsPath(root))
-        docs.select(col("doc_id"),
-          size(graft.functions.shingleStrings(col("text"), 1)).cast("long").as("dl"))
-          .write.mode("append").parquet(doclenPath(root))
-        val batchStats = docs.agg(count(lit(1)).as("n_docs"),
-          sum(size(graft.functions.shingleStrings(col("text"), 1)).cast("long"))
-            .as("t_tok"))
-        val merged =
-          if (!hasIndex) batchStats
-          else spark.read.parquet(statsPath(root)).unionByName(batchStats)
-            .agg(sum("n_docs").as("n_docs"), sum("t_tok").as("t_tok"))
-        StateFiles.install(spark, statsPath(root), merged)
         spark.read.parquet(statsPath(root)).localCheckpoint(eager = true)
       }
     }
@@ -83,14 +116,22 @@ object RetrievalIndex {
     */
   def rank(spark: SparkSession, root: String, queries: DataFrame,
            k: Int): DataFrame = {
+    // Committed batches only (`batch` is a partition column, so the
+    // filter PRUNES orphan dirs at the scan): an uncommitted crash
+    // residue must not leak into rankings.
+    val last = readStats(spark, root)
+      .getOrElse(sys.error(s"RetrievalIndex.rank: no index at $root"))._3
     val qterms = queries
       .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
       .distinct()
     val tfs = spark.read.parquet(postingsPath(root))
+      .filter(col("batch") <= last)
+      .select("doc_id", "term", "tf")
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
     val dls = spark.read.parquet(doclenPath(root))
-    val consts = spark.read.parquet(statsPath(root))
+      .filter(col("batch") <= last).select("doc_id", "dl")
+    val consts = spark.read.parquet(statsPath(root)).select("n_docs", "t_tok")
     graft.analytics.Retrieval.scoreAndRank(tfs, dls, dfs, consts, qterms, k,
       "doc_id")
   }

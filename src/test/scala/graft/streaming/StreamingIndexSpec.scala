@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.warehouse.{DedupIndex, RetrievalIndex}
+
+/** Streaming index ingestion: a real availableNow file stream drained
+  * through foreachBatch equals the one-shot builds exactly, and the
+  * epoch-keyed commit protocol makes replays no-ops.
+  */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Stage `parts` as one NDJSON file each under a watch dir with
+    * strictly increasing mtimes (oldest-first source order).
+    */
+  private def stageFiles(parts: Seq[org.apache.spark.sql.DataFrame],
+                         watch: String): Unit =
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val stage = tmpDir("sidx-stage")
+      p.coalesce(1).write.mode("overwrite").json(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".json")).get
+      val target = Paths.get(watch, f"$i%04d.json")
+      Files.move(Paths.get(part), target, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000))
+    }
+
+  test("file-streamed retrieval index ranks identically to the one-shot ranker") {
+    val watch = tmpDir("sidx-src")
+    val root = tmpDir("sidx-root") + "/idx"
+    val ckpt = tmpDir("sidx-ckpt")
+    val small = docs.filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    stageFiles(Seq(
+      small.filter(col("doc_id") < 70),
+      small.filter(col("doc_id") >= 70 && col("doc_id") < 140),
+      small.filter(col("doc_id") >= 140)), watch)
+    StreamingIndex.retrievalAvailableNow(spark, watch, small.schema, root, ckpt)
+    val queries = graft.analytics.Retrieval.BenchQueries.toDF("query_id", "query_text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_unats"))).toMap
+    val streamed = key(RetrievalIndex.rank(spark, root, queries, k = 5))
+    val oneShot = key(graft.analytics.Retrieval.bm25Rank(small, queries, k = 5))
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "streamed index must reproduce the one-shot ranking")
+  }
+
+  test("file-streamed dedup index reports exactly the cross-batch matches") {
+    val watch = tmpDir("sdidx-src")
+    val root = tmpDir("sdidx-root") + "/idx"
+    val ckpt = tmpDir("sdidx-ckpt")
+    // Plant twins across batch boundaries: docs 0-49 stream first, their
+    // twins (id+1000, text + suffix token removed → same text) second.
+    val base = docs.filter(col("doc_id") < 50).select("doc_id", "text")
+    val twins = base.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    stageFiles(Seq(base, twins), watch)
+    StreamingIndex.dedupAvailableNow(spark, watch, base.schema, root, ckpt)
+    val matches = spark.read.parquet(root + "/matches")
+      .select("batch_id", "base_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // Every twin matches exactly its source (identical text ⇒ J = 1).
+    val expected = (0 until 50)
+      .map(i => (i + 1000L) -> i.toLong)
+      .filter { case (_, b) => base.filter(col("doc_id") === b).count() == 1 }
+      .toSet
+    assert(matches.filter { case (a, b) => a - 1000 == b } ==
+      expected.filter { case (a, b) => a - 1000 == b },
+      "each twin must match its cross-batch source")
+    assert(matches.nonEmpty)
+  }
+
+  test("a replayed epoch is a no-op for both indices") {
+    val root = tmpDir("sidx-replay") + "/idx"
+    val small = docs.filter(col("doc_id") < 100).select("doc_id", "text")
+    RetrievalIndex.update(spark, root, small, batchId = Some(0L))
+    val s1 = spark.read.parquet(root + "/stats").head()
+    // Same epoch again — with DIFFERENT (overlapping) content: a
+    // committed replay must short-circuit before the re-ingest guard.
+    RetrievalIndex.update(spark, root, small, batchId = Some(0L))
+    val s2 = spark.read.parquet(root + "/stats").head()
+    assert(s1.getAs[Long]("n_docs") == s2.getAs[Long]("n_docs"))
+    assert(s2.getAs[Long]("last_batch") == 0L)
+
+    val droot = tmpDir("sdidx-replay") + "/idx"
+    DedupIndex.matchAndIngest(spark, droot, small, 0.7, batchId = Some(0L))
+    val m1 = DedupIndex.matchAndIngest(spark, droot, small, 0.7, batchId = Some(0L))
+    assert(m1.count() == 0L, "replayed first batch returns its persisted (empty) matches")
+    assert(spark.read.parquet(droot + "/stats").head()
+      .getAs[Long]("n_docs") == small.count())
+  }
+}
