@@ -69,7 +69,12 @@ object MediaCodecs {
     * — real pixel statistics, orientation-corrected for the bottom-up row
     * order. None if the bytes are not 24bpp uncompressed BMP.
     */
-  def decodeBmp24(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  /** Raw top-down row-major RGB raster of a 24bpp uncompressed BMP —
+    * the pixel source for both the feature decoder below and the
+    * perceptual hash ([[aHash64]]). Same totality contract: None on any
+    * malformation, never a crash.
+    */
+  def decodeBmp24Raster(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
     val dataOffset = le32(bytes, 10)
     val width = le32(bytes, 18)
@@ -81,28 +86,51 @@ object MediaCodecs {
     // Int bound check into "passes", then the pixel loop walks off the
     // array — a corrupt blob must yield None, never an executor crash.
     if (dataOffset < 54) return None
+    if (height.toLong > (64L << 20) / (width.toLong * 3 + 1)) return None
     val rowPad = (4 - (width * 3) % 4) % 4
     val need = dataOffset.toLong + (width.toLong * 3 + rowPad) * height.toLong
     if (bytes.length.toLong < need) return None
-    var sumR, sumG, sumB = 0.0
-    val quad = new Array[Double](4)
-    val quadN = new Array[Long](4)
+    val raster = new Array[Byte](width * height * 3)
     var fy = 0
     while (fy < height) {
       val imgY = height - 1 - fy // bottom-up
       val rowOff = dataOffset + fy * (width * 3 + rowPad)
       var x = 0
       while (x < width) {
-        val b = bytes(rowOff + x * 3) & 0xFF
-        val g = bytes(rowOff + x * 3 + 1) & 0xFF
-        val r = bytes(rowOff + x * 3 + 2) & 0xFF
+        val o = (imgY * width + x) * 3
+        raster(o) = bytes(rowOff + x * 3 + 2)     // R
+        raster(o + 1) = bytes(rowOff + x * 3 + 1) // G
+        raster(o + 2) = bytes(rowOff + x * 3)     // B
+        x += 1
+      }
+      fy += 1
+    }
+    Some((width, height, raster))
+  }
+
+  def decodeBmp24(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val (width, height, raster) = decodeBmp24Raster(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    var sumR, sumG, sumB = 0.0
+    val quad = new Array[Double](4)
+    val quadN = new Array[Long](4)
+    var imgY = 0
+    while (imgY < height) {
+      var x = 0
+      while (x < width) {
+        val o = (imgY * width + x) * 3
+        val r = raster(o) & 0xFF
+        val g = raster(o + 1) & 0xFF
+        val b = raster(o + 2) & 0xFF
         sumR += r; sumG += g; sumB += b
         val q = (if (imgY >= height / 2) 2 else 0) + (if (x >= width / 2) 1 else 0)
         quad(q) += (r + g + b) / 3.0
         quadN(q) += 1
         x += 1
       }
-      fy += 1
+      imgY += 1
     }
     val n = width.toLong * height
     val feats = Array(
@@ -209,7 +237,12 @@ object MediaCodecs {
     * signature, wrong IHDR shape, truncated/corrupt zlib stream, wrong
     * raster size, unknown filter type — yields None.
     */
-  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  /** Raw top-down row-major RGB(A) raster of a non-interlaced 8-bit
+    * truecolor PNG — (width, height, bytesPerPixel, raster); the pixel
+    * source for the feature decoder and the perceptual hash. Totality
+    * contract unchanged: None on any malformation.
+    */
+  def decodePngRaster(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes.length < PngSig.length + 25 + 12) return None
     var i = 0
     while (i < PngSig.length) { if (bytes(i) != PngSig(i)) return None; i += 1 }
@@ -304,7 +337,15 @@ object MediaCodecs {
       }
       y += 1
     }
+    Some((width, height, bpp, raster))
+  }
 
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val (width, height, bpp, raster) = decodePngRaster(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val st = width * bpp
     // Same feature semantics as decodeBmp24 (mean luma + RGB means +
     // quadrant lumas), over top-down RGB(A) rows.
     var sumR, sumG, sumB = 0.0
@@ -335,6 +376,53 @@ object MediaCodecs {
       (if (quadN(2) > 0) quad(2) / quadN(2) / 255.0 else 0.0).toFloat,
       (if (quadN(3) > 0) quad(3) / quadN(3) / 255.0 else 0.0).toFloat)
     Some((width, height, feats))
+  }
+
+  // -------------------------------------------------------- perceptual hash
+  /** 64-bit average-hash (aHash) over a raw RGB(A) raster — the classic
+    * perceptual image fingerprint: partition the image into an 8×8 grid
+    * of cells, bit(i,j) = 1 iff cell luma-mean > global luma-mean, MSB
+    * first by (i·8+j). Near-identical images (re-encodes, format
+    * conversions, slight noise) land within a few bits; unrelated images
+    * differ in ~32.
+    *
+    * EXACT integer arithmetic start to finish (the oracle contract):
+    * luma = r+g+b (no division), cell bounds are the integer partitions
+    * [i·h div 8, (i+1)·h div 8), and the mean comparison is the
+    * cross-multiplication cell_sum · n_total > total_sum · cell_n — so
+    * any engine that can index pixels reproduces the hash bit for bit.
+    * Images smaller than 8×8 yield None (a cell would be empty).
+    */
+  def aHash64(width: Int, height: Int, bytesPerPixel: Int,
+              raster: Array[Byte]): Option[Long] = {
+    if (width < 8 || height < 8 || bytesPerPixel < 3) return None
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < height) {
+      val ci = (y * 8) / height // inverse of the bound partition: cell of row y
+      var x = 0
+      while (x < width) {
+        val cj = (x * 8) / width
+        val o = (y * width + x) * bytesPerPixel
+        val luma = (raster(o) & 0xFF) + (raster(o + 1) & 0xFF) + (raster(o + 2) & 0xFF)
+        val c = ci * 8 + cj
+        cellSum(c) += luma
+        cellN(c) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val nTotal = width.toLong * height
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellSum(c) * nTotal > total * cellN(c)) hash |= 1L << (63 - c)
+      c += 1
+    }
+    Some(hash)
   }
 
   // ---------------------------------------------------------------- JPEG

@@ -438,8 +438,136 @@ object Multimodal {
       |    WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_units
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- q170
+  /** IMAGE near-dup detection by perceptual hash — the multimodal member
+    * of the dedup family (text has q15/q17/q104; embeddings q21/q47;
+    * this is the pixels path): decode each image blob through the REAL
+    * codecs, fingerprint the decoded raster with the 64-bit average
+    * hash ([[MediaCodecs.aHash64]] — integer-exact 8×8 cell/global
+    * luma-mean comparison), and find pairs within hamming ≤ 3 via the
+    * q18 pigeonhole discipline (4×16-bit chunk equi-join — ≤3 differing
+    * bits leave ≥1 chunk identical, so candidate recall is EXACT; the
+    * verify is one codegen'd `bit_count(a^b)`).
+    *
+    * The fixture plants the scenario this operator exists for: every
+    * 5th document's image is stored TWICE — once as a real zlib PNG,
+    * once as a BMP — so the gated pairs are cross-FORMAT duplicates
+    * (identical pixels through two different codec paths ⇒ identical
+    * raster ⇒ hamming 0), which byte-level dedup can never see. The
+    * DuckDB oracle rebuilds every hash arithmetically from the pixel
+    * formula and brute-forces the exact pair space, so a hash match
+    * proves decode → fingerprint → pair search end to end.
+    *
+    * Scale shape: per-row decode+hash (one scan, no shuffle), chunk
+    * explode ×4, bucket equi-join, verify on candidates — never an
+    * image-pair space, and blobs never ride the join (only 8-byte
+    * hashes shuffle).
+    */
+  def imageHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def pixels(src: Long, w: Int, h: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0; var k = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = src * 3 + y.toLong * w + x
+          rgb(k) = ((base * 3) % 256).toByte
+          rgb(k + 1) = ((base * 5) % 256).toByte
+          rgb(k + 2) = ((base * 7) % 256).toByte
+          k += 3; x += 1
+        }
+        y += 1
+      }
+      rgb
+    }
+    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val w = 16 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val rgb = pixels(id, w, h)
+        val primary =
+          if (id % 2 == 0) MediaRow(id, "image", MediaCodecs.encodePng(w, h, rgb), "png")
+          else MediaRow(id, "image", MediaCodecs.encodeBmp24(w, h, rgb), "bmp")
+        val twin =
+          if (id % 5 == 0) {
+            // Same PIXELS through the OTHER codec — the cross-format dup.
+            if (id % 2 == 0)
+              Seq(MediaRow(id + 100000L, "image", MediaCodecs.encodeBmp24(w, h, rgb), "bmp"))
+            else
+              Seq(MediaRow(id + 100000L, "image", MediaCodecs.encodePng(w, h, rgb), "png"))
+          } else Nil
+        primary +: twin
+      })
+    val hashes = blobs.mapPartitions(_.flatMap { m =>
+      val raster = m.declared_format match {
+        case "png" => MediaCodecs.decodePngRaster(m.media)
+          .map { case (w, h, bpp, r) => (w, h, bpp, r) }
+        case _ => MediaCodecs.decodeBmp24Raster(m.media)
+          .map { case (w, h, r) => (w, h, 3, r) }
+      }
+      raster.flatMap { case (w, h, bpp, r) =>
+        MediaCodecs.aHash64(w, h, bpp, r).map(hsh => (m.media_id, hsh))
+      }
+    }).toDF("media_id", "phash")
+    val chunks = hashes.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("phash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("k", "chunk")))
+    val cand = chunks.select(col("media_id").as("a_id"), col("phash").as("a_h"),
+        col("k"), col("chunk"))
+      .join(chunks.select(col("media_id").as("b_id"), col("phash").as("b_h"),
+        col("k"), col("chunk")), Seq("k", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_h", "b_h").distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  private val imageHashPairsSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id AS src FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 5 = 0
+      |), dims AS (
+      |  SELECT media_id, src, CAST(16 + src % 9 AS INT) AS w,
+      |    CAST(16 + src % 7 AS INT) AS h
+      |  FROM m
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    (yy * 8) // h AS ci, (xx * 8) // w AS cj,
+      |    ((src * 3 + yy * w + xx) * 3) % 256
+      |      + ((src * 3 + yy * w + xx) * 5) % 256
+      |      + ((src * 3 + yy * w + xx) * 7) % 256 AS luma
+      |  FROM dims,
+      |    LATERAL (SELECT unnest(range(0, h)) AS yy) ys,
+      |    LATERAL (SELECT unnest(range(0, w)) AS xx) xs
+      |), cells AS (
+      |  SELECT media_id, ci * 8 + cj AS c, sum(luma) AS cs, count(*) AS cn,
+      |    sum(sum(luma)) OVER (PARTITION BY media_id) AS total,
+      |    sum(count(*)) OVER (PARTITION BY media_id) AS ntotal
+      |  FROM px GROUP BY 1, 2
+      |), hs AS (
+      |  SELECT media_id,
+      |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+      |         THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h
+      |  FROM (
+      |    SELECT media_id,
+      |      sum(CASE WHEN cs * ntotal > total * cn
+      |          THEN (1::HUGEINT << (63 - c)) ELSE 0::HUGEINT END) AS s
+      |    FROM cells GROUP BY 1)
+      |)
+      |SELECT a.media_id AS a_id, b.media_id AS b_id,
+      |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |FROM hs a JOIN hs b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)),
+    NamedQuery("q170_image_phash_pairs", imageHashPairs _, Some(imageHashPairsSql)),
     NamedQuery("q41_frame_sample_stats", frameSampleStats _, Some(frameSampleStatsSql)),
     NamedQuery("q42_wav_decode_stats", wavDecodeStats _, Some(wavDecodeStatsSql)),
     NamedQuery("q66_png_decode_stats", pngDecodeStats _, Some(pngDecodeStatsSql)),

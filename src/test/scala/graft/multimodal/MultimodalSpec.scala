@@ -115,4 +115,36 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Array(0, 2, 4, 6)))
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 16))
   }
+
+  test("aHash: cross-codec identity, sensitivity, and the sub-grid guard (q170)") {
+    // One deterministic 16x14 raster through BOTH real codecs must land
+    // on the SAME 64-bit hash (identical decoded pixels), a different
+    // image lands far away, and images smaller than the 8x8 grid refuse.
+    def pixels(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      var i = 0
+      while (i < w * h) {
+        val base = seed * 3 + i
+        rgb(k) = ((base * 3) % 256).toByte
+        rgb(k + 1) = ((base * 5) % 256).toByte
+        rgb(k + 2) = ((base * 7) % 256).toByte
+        k += 3; i += 1
+      }
+      rgb
+    }
+    val (w, h) = (16, 14)
+    val rgb = pixels(42L, w, h)
+    val viaPng = MediaCodecs.decodePngRaster(MediaCodecs.encodePng(w, h, rgb))
+      .flatMap { case (pw, ph, bpp, r) => MediaCodecs.aHash64(pw, ph, bpp, r) }
+    val viaBmp = MediaCodecs.decodeBmp24Raster(MediaCodecs.encodeBmp24(w, h, rgb))
+      .flatMap { case (bw, bh, r) => MediaCodecs.aHash64(bw, bh, 3, r) }
+    assert(viaPng.isDefined && viaPng == viaBmp,
+      s"same pixels through two codecs must hash identically: $viaPng vs $viaBmp")
+    val other = MediaCodecs.aHash64(w, h, 3, pixels(43L, w, h)).get
+    assert(java.lang.Long.bitCount(viaPng.get ^ other) > 3,
+      "different formula images must not collide inside the dedup radius")
+    assert(MediaCodecs.aHash64(7, 14, 3, pixels(1L, 7, 14)).isEmpty,
+      "an image narrower than the 8x8 grid must refuse, not emit garbage")
+  }
 }
