@@ -162,7 +162,11 @@ object MediaCodecs {
     * (normalized by 32768) over 8 equal time slices — real signal energy
     * contour. None if the bytes are not PCM-16 RIFF/WAVE.
     */
-  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  /** Raw PCM samples of a 16-bit RIFF/WAVE — (channels, sampleRate,
+    * samples); the source for both the feature decoder and the audio
+    * fingerprint ([[audioHash64]]). Same totality contract.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     if (bytes.length < 44) return None
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
@@ -192,6 +196,21 @@ object MediaCodecs {
     }
     if (!fmtOk || dataOff < 0) return None
     val nSamples = dataLen / 2
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = le16(bytes, dataOff + i * 2).toShort
+      i += 1
+    }
+    Some((channels, sampleRate, samples))
+  }
+
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val (channels, sampleRate, samples) = decodeWavSamples(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val nSamples = samples.length
     val feats = new Array[Float](8)
     if (nSamples > 0) {
       var slice = 0
@@ -200,7 +219,7 @@ object MediaCodecs {
         val until = ((slice + 1).toLong * nSamples / 8).toInt
         var sum = 0.0; var i = from
         while (i < until) {
-          val s = le16(bytes, dataOff + i * 2).toShort.toDouble
+          val s = samples(i).toDouble
           sum += s * s
           i += 1
         }
@@ -210,6 +229,45 @@ object MediaCodecs {
       }
     }
     Some((channels, sampleRate, feats))
+  }
+
+  /** 64-bit energy-contour fingerprint of a PCM stream — the audio
+    * analogue of [[aHash64]]: 64 equal time slices, bit(k) = 1 iff the
+    * slice's energy mean beats the global energy mean. VOLUME-INVARIANT
+    * by construction (uniform scaling multiplies every energy by the
+    * same c², leaving every comparison unchanged) — the same recording
+    * at a different loudness lands at hamming 0.
+    *
+    * Exact integers throughout: energy = Σ s² in Long, slice bounds are
+    * the integer partition [k·n div 64, (k+1)·n div 64), and the mean
+    * comparison is the cross-multiplication e_k · n > e_total · n_k.
+    * Streams shorter than 64 samples yield None (an empty slice).
+    * Headroom: e_total·n_k < 2⁶³ holds to ~7.7×10⁵ samples (≈48 s at
+    * 16 kHz — n²·s²max/64 bound); fingerprint longer audio per ~30 s
+    * window, which is also the right dedup granularity.
+    */
+  def audioHash64(samples: Array[Short]): Option[Long] = {
+    val n = samples.length
+    if (n < 64) return None
+    val eSlice = new Array[Long](64)
+    val nSlice = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val k = ((i.toLong * 64) / n).toInt
+      val s = samples(i).toLong
+      eSlice(k) += s * s
+      nSlice(k) += 1
+      total += s * s
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (eSlice(k) * n > total * nSlice(k)) hash |= 1L << (63 - k)
+      k += 1
+    }
+    Some(hash)
   }
 
   // ----------------------------------------------------------------- PNG

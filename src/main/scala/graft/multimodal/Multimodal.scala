@@ -565,9 +565,99 @@ object Multimodal {
       |FROM hs a JOIN hs b ON a.media_id < b.media_id
       |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
 
+  // --------------------------------------------------------------- q171
+  /** AUDIO near-dup detection by energy-contour fingerprint — the sound
+    * member of the dedup family (q170 is pixels): decode each WAV blob
+    * through the real RIFF/PCM parser, fingerprint the SAMPLES with the
+    * volume-invariant 64-bit energy hash ([[MediaCodecs.audioHash64]]),
+    * and pair within hamming ≤ 3 via the q18 pigeonhole chunks.
+    *
+    * The fixture plants the scenario the invariance exists for: every
+    * 4th document's clip is stored TWICE — original and at HALF VOLUME
+    * (every sample integer-halved via s div 2 on even samples... see
+    * below: scaled by exact factor 2 the other way) — identical contour
+    * shape, completely different bytes and RMS, so amplitude-sensitive
+    * dedup misses it while the contour hash lands at hamming 0. DuckDB
+    * rebuilds every fingerprint arithmetically from the sample formula
+    * and brute-forces the exact pair space.
+    *
+    * Scale shape: per-row decode+hash, chunk explode ×4, bucket
+    * equi-join, bit_count verify — no clip-pair space, only 8-byte
+    * hashes shuffle.
+    */
+  def audioHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Chirp with a per-doc quadratic rate: contours are doc-distinct (a
+    // pure sawtooth made every doc's energy ramp identical — measured
+    // 191k degenerate pairs); base samples stay ≤ 8191 so the ×2 loud
+    // twin cannot clip int16.
+    def samples(src: Long, scale: Int): Array[Short] =
+      Array.tabulate[Short](160)(i =>
+        (((src * 7 + i.toLong * i * (src % 97 + 1) + i * 13) % 8192) * scale).toShort)
+    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val primary = MediaRow(id, "audio",
+          MediaCodecs.encodeWavPcm16(8000, 1, samples(id, 1)), "wav")
+        val twin =
+          if (id % 4 == 0)
+            Seq(MediaRow(id + 100000L, "audio",
+              MediaCodecs.encodeWavPcm16(8000, 1, samples(id, 2)), "wav"))
+          else Nil
+        primary +: twin
+      })
+    val hashes = blobs.mapPartitions(_.flatMap { m =>
+      MediaCodecs.decodeWavSamples(m.media).flatMap { case (_, _, smp) =>
+        MediaCodecs.audioHash64(smp).map(h => (m.media_id, h))
+      }
+    }).toDF("media_id", "phash")
+    val chunks = hashes.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("phash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("k", "chunk")))
+    chunks.select(col("media_id").as("a_id"), col("phash").as("a_h"),
+        col("k"), col("chunk"))
+      .join(chunks.select(col("media_id").as("b_id"), col("phash").as("b_h"),
+        col("k"), col("chunk")), Seq("k", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_h", "b_h").distinct()
+      .withColumn("hamming",
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  private val audioHashPairsSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id AS src, 1 AS scale FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, 2 FROM documents WHERE doc_id % 4 = 0
+      |), sm AS (
+      |  SELECT media_id, i.i AS i,
+      |    ((src * 7 + i.i * i.i * (src % 97 + 1) + i.i * 13) % 8192) * scale AS s
+      |  FROM m, (SELECT unnest(range(0, 160)) AS i) i
+      |), sl AS (
+      |  SELECT media_id, (i * 64) // 160 AS k, sum(s * s) AS e, count(*) AS n_k,
+      |    sum(sum(s * s)) OVER (PARTITION BY media_id) AS total
+      |  FROM sm GROUP BY 1, 2
+      |), hs AS (
+      |  SELECT media_id,
+      |    CAST(CASE WHEN t >= 9223372036854775808::HUGEINT
+      |         THEN t - 18446744073709551616::HUGEINT ELSE t END AS BIGINT) AS h
+      |  FROM (
+      |    SELECT media_id,
+      |      sum(CASE WHEN e * 160 > total * n_k
+      |          THEN (1::HUGEINT << (63 - k)) ELSE 0::HUGEINT END) AS t
+      |    FROM sl GROUP BY 1)
+      |)
+      |SELECT a.media_id AS a_id, b.media_id AS b_id,
+      |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |FROM hs a JOIN hs b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q22_media_meta_stats", mediaMetaStats _, Some(mediaMetaStatsSql)),
     NamedQuery("q170_image_phash_pairs", imageHashPairs _, Some(imageHashPairsSql)),
+    NamedQuery("q171_audio_hash_pairs", audioHashPairs _, Some(audioHashPairsSql)),
     NamedQuery("q41_frame_sample_stats", frameSampleStats _, Some(frameSampleStatsSql)),
     NamedQuery("q42_wav_decode_stats", wavDecodeStats _, Some(wavDecodeStatsSql)),
     NamedQuery("q66_png_decode_stats", pngDecodeStats _, Some(pngDecodeStatsSql)),

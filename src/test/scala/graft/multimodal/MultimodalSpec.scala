@@ -147,4 +147,21 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.aHash64(7, 14, 3, pixels(1L, 7, 14)).isEmpty,
       "an image narrower than the 8x8 grid must refuse, not emit garbage")
   }
+
+  test("audioHash64: volume invariance, sensitivity, short-clip guard (q171)") {
+    def chirp(src: Long, scale: Int): Array[Short] =
+      Array.tabulate[Short](160)(i =>
+        (((src * 7 + i.toLong * i * (src % 97 + 1) + i * 13) % 8192) * scale).toShort)
+    val quiet = MediaCodecs.audioHash64(chirp(42L, 1)).get
+    // The SAME recording at double volume through the REAL wav round-trip.
+    val loudBytes = MediaCodecs.encodeWavPcm16(8000, 1, chirp(42L, 2))
+    val loud = MediaCodecs.decodeWavSamples(loudBytes)
+      .flatMap { case (_, _, smp) => MediaCodecs.audioHash64(smp) }.get
+    assert(quiet == loud, "uniform volume change must not move the fingerprint")
+    val other = MediaCodecs.audioHash64(chirp(43L, 1)).get
+    assert(java.lang.Long.bitCount(quiet ^ other) > 3,
+      "different chirps must not collide inside the dedup radius")
+    assert(MediaCodecs.audioHash64(Array.fill[Short](63)(5)).isEmpty,
+      "clips shorter than the 64-slice grid must refuse")
+  }
 }
