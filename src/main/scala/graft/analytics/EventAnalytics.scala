@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.NamedQuery
@@ -965,7 +966,83 @@ object EventAnalytics {
       |SELECT 'none', CAST(count(*) AS BIGINT), 0
       |FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM t)""".stripMargin
 
+  // --------------------------------------------------------------- q172
+  /** Next-event model evaluation — train/test the q89 Markov model IN
+    * the warehouse (the eval loop a personalization team runs before
+    * shipping a "predicted next action"): transitions from the FIRST
+    * half of the time range (the q167 epoch-midpoint split) train the
+    * model, whose prediction per state is the argmax-count next type
+    * (count desc, type asc — a deterministic total order); transitions
+    * from the SECOND half score it. Per state: test transitions, hit@1
+    * count, hit rate in exact ppm — all integers, so the gate is exact.
+    *
+    * Scale shape: one user-keyed lead-window pass over the event log
+    * (the q89 shape), two vocabulary-sized aggregates, a broadcast-able
+    * model join; no corpus self-join, no driver-side model.
+    */
+  def markovHoldoutEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"), col("event_id"))
+    val bounds = ev.agg(min("es").as("lo"), max("es").as("hi"))
+    val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+    // Transitions carry the SOURCE event's split (a train→test boundary
+    // transition counts as training data ending, evaluated nowhere —
+    // the simple convention, applied identically in both engines).
+    val trans = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type").as("from_type"), col("next_type"),
+        (col("es") * 2 < col("lo") + col("hi")).as("is_train"))
+    val model = trans.filter(col("is_train"))
+      .groupBy("from_type", "next_type").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("from_type").orderBy(desc("c"), asc("next_type"))))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("next_type").as("predicted"))
+    trans.filter(!col("is_train"))
+      .join(broadcast(model), Seq("from_type"))
+      .groupBy("from_type", "predicted")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .withColumn("hit_ppm", expr("(1000000 * n_hits) div n_test"))
+  }
+
+  private val markovHoldoutEvalSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    event_id
+      |  FROM events
+      |), b AS (SELECT min(es) AS lo, max(es) AS hi FROM ev),
+      |tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY es, event_id) AS next_type,
+      |    es * 2 < (SELECT lo + hi FROM b) AS is_train
+      |  FROM ev
+      |), t AS (SELECT * FROM tr WHERE next_type IS NOT NULL),
+      |model AS (
+      |  SELECT from_type, next_type AS predicted FROM (
+      |    SELECT from_type, next_type,
+      |      row_number() OVER (PARTITION BY from_type
+      |        ORDER BY count(*) DESC, next_type) AS rn
+      |    FROM t WHERE is_train GROUP BY 1, 2)
+      |  WHERE rn = 1
+      |)
+      |SELECT t.from_type, m.predicted, count(*) AS n_test,
+      |  CAST(sum(CASE WHEN t.next_type = m.predicted THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hits,
+      |  CAST((1000000 * sum(CASE WHEN t.next_type = m.predicted THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS hit_ppm
+      |FROM t JOIN model m USING (from_type)
+      |WHERE NOT t.is_train
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q172_markov_holdout", markovHoldoutEval _,
+      Some(markovHoldoutEvalSql)),
     NamedQuery("q146_position_attribution", positionAttribution _,
       Some(positionAttributionSql)),
     NamedQuery("q143_cohort_ltv", cohortLtv _, Some(cohortLtvSql)),

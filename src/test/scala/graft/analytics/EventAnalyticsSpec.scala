@@ -382,4 +382,40 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("mrr_micro") <= 1000000L)
     }
   }
+
+  test("markov holdout eval (q172): model and hits match a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = EventAnalytics.markovHoldoutEval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // Driver recompute of the whole train/predict/score loop.
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val lo = ev.map(_._3).min; val hi = ev.map(_._3).max
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        (a._2, b._2, a._3 * 2 < lo + hi) }
+    }.toSeq
+    val model = trans.filter(_._3).groupBy(_._1).view.mapValues { ts =>
+      ts.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (t, c) => (-c, t) }.head._1
+    }.toMap
+    val expected = trans.filterNot(_._3)
+      .filter(t => model.contains(t._1))
+      .groupBy(_._1).view.mapValues { ts =>
+        (ts.size.toLong, ts.count(_._2 == model(ts.head._1)).toLong)
+      }.toMap
+    rows.foreach { r =>
+      val f = r.getAs[String]("from_type")
+      assert(r.getAs[String]("predicted") == model(f), s"$f model prediction")
+      assert((r.getAs[Long]("n_test"), r.getAs[Long]("n_hits")) == expected(f),
+        s"$f eval counts")
+      assert(r.getAs[Long]("hit_ppm") ==
+        1000000L * expected(f)._2 / expected(f)._1)
+    }
+    assert(rows.length == expected.size)
+  }
 }
