@@ -25,7 +25,8 @@ object Registry {
       graft.analytics.Statistics.queries ++ graft.warehouse.FrequentItemsState.queries ++
       graft.analytics.PqIndex.queries ++ graft.analytics.Pca.queries ++
       graft.warehouse.SkylineState.queries ++ graft.warehouse.CovarianceState.queries ++
-      graft.warehouse.RetrievalIndex.queries ++ graft.warehouse.DedupIndex.queries
+      graft.warehouse.RetrievalIndex.queries ++ graft.warehouse.DedupIndex.queries ++
+      graft.analytics.ModelEval.queries
 }
 
 object SparkEntry {

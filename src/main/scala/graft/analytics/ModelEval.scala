@@ -1,0 +1,286 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.core.Tables
+
+/** Model-evaluation battery over scored corpora — the measurements a
+  * training-data pipeline runs on every candidate quality/filter model
+  * before trusting it to gate a corpus: ranking power (AUC), probability
+  * calibration (reliability bins), and multiple-testing control when many
+  * segment-level metrics are compared at once (Benjamini–Hochberg).
+  *
+  * Scores/labels for the gated faces are the q80/q160 stand-in pattern: a
+  * deterministic md5-derived score in micro-units with a label drawn from a
+  * SECOND independent md5 channel thresholded at the score, so the synthetic
+  * scorer is calibrated by construction (P(label) = score) and the AUC is
+  * meaningfully above ½ — the evaluation PLUMBING is what is under test and
+  * oracle-gated, exactly as q80 gates inference with synthetic weights.
+  *
+  * Exactness design (the q99/q107 discipline): every gated column is integer
+  * arithmetic end to end — average-rank ties are carried as DOUBLED ranks
+  * (2·avg-rank is always an integer), ratios are emitted in micro-units via
+  * the two-step truncating division `(q div d)·1e6 + (1e6·(q mod d)) div d`
+  * (Spark `div` ≡ DuckDB `//`), so no float ever crosses the gate.
+  *
+  * Scale shape: each face is one corpus scan into either a per-group rank
+  * window (groups sort in parallel — the q107 shape) or a ≤10-group hash
+  * aggregate; nothing corpus-sized is ever collected or single-partitioned.
+  */
+object ModelEval {
+
+  /** Deterministic synthetic scored corpus: (doc_id, source, score_micro ∈
+    * [0, 1e6), label) with P(label | score) = score/1e6 by construction —
+    * the md5 channels are independent (distinct prefixes), so the scorer is
+    * perfectly calibrated in expectation and ranking-informative.
+    */
+  def scoredDocs(docs: DataFrame): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L
+    docs.select(col("doc_id"), col("source"),
+        h(col("doc_id").cast("string")).as("score_micro"),
+        h(concat(lit("lbl:"), col("doc_id").cast("string"))).as("u"))
+      .withColumn("label", col("u") < col("score_micro"))
+      .drop("u")
+  }
+
+  // --------------------------------------------------------------- q173
+  /** Exact tie-aware ROC AUC per group — the rank-statistic identity
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with AVERAGE ranks over score
+    * ties (the statistically standard treatment: a tie contributes ½).
+    * Average ranks are fractional, so the whole statistic rides doubled
+    * integers: rk2 = 2·min_rank + tie_size − 1 (= 2·avg-rank, always an
+    * integer), u2 = Σ⁺rk2 − 2·n⁺(n⁺+1)/2·... = Σ⁺rk2 − n⁺(n⁺+1), and
+    * auc_micro = (u2·1e6) div (2·n⁺·n⁻) via the overflow-safe two-step
+    * division. Headroom: u2 ≤ 2n² and n⁺·n⁻ ≤ n²/4 stay under 2⁶³ for
+    * n ≤ ~2·10⁹ rows per group — far past any per-source corpus slice
+    * the bench runs, and the two-step division never multiplies u2 by
+    * 1e6 directly.
+    *
+    * Groups where either class is absent report null AUC (undefined),
+    * not a division error — same contract as q107's empty-side rule.
+    *
+    * Scale shape (the q107 window discipline): ONE key-partitioned
+    * window sort per group (parallel across groups) + one hash
+    * aggregate; no global sort, nothing driver-sized.
+    */
+  def aucExact(scored: DataFrame, groupCol: String, scoreCol: String,
+               labelCol: String): DataFrame = {
+    val wr = Window.partitionBy(groupCol).orderBy(col(scoreCol))
+    val wt = Window.partitionBy(groupCol, scoreCol)
+    scored
+      .withColumn("min_rk", rank().over(wr).cast("long"))
+      .withColumn("tie_n", count(lit(1)).over(wt).cast("long"))
+      .withColumn("rk2", col("min_rk") * 2L + col("tie_n") - 1L)
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col(labelCol), col("rk2")).otherwise(0L)).as("r2_pos"))
+      .withColumn("u2", expr("r2_pos - n_pos * (n_pos + 1)"))
+      .withColumn("auc_micro",
+        when(col("n_pos") > 0 && col("n_neg") > 0, expr(
+          """(u2 div (2 * n_pos * n_neg)) * 1000000
+            | + (1000000 * (u2 - (u2 div (2 * n_pos * n_neg)) * (2 * n_pos * n_neg)))
+            |   div (2 * n_pos * n_neg)""".stripMargin)))
+  }
+
+  /** Gated q173: AUC of the synthetic calibrated scorer per source. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame =
+    aucExact(scoredDocs(Tables.documents(spark, dir)),
+      "source", "score_micro", "label")
+      .select(col("source"), col("n_pos"), col("n_neg"), col("u2"),
+        col("auc_micro"))
+
+  private val classifierAucSql =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |),
+      |ranked AS (
+      |  SELECT source, label,
+      |    2 * CAST(rank() OVER (PARTITION BY source ORDER BY score_micro) AS BIGINT)
+      |      + CAST(count(*) OVER (PARTITION BY source, score_micro) AS BIGINT)
+      |      - 1 AS rk2
+      |  FROM scored
+      |),
+      |s AS (
+      |  SELECT source,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+      |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg,
+      |    sum(CASE WHEN label THEN rk2 ELSE 0 END) AS r2_pos
+      |  FROM ranked GROUP BY 1
+      |),
+      |u AS (
+      |  SELECT source, n_pos, n_neg,
+      |    r2_pos - n_pos * (n_pos + 1) AS u2
+      |  FROM s
+      |)
+      |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg, CAST(u2 AS BIGINT) AS u2,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN CAST(
+      |    (u2 // (2 * n_pos * n_neg)) * 1000000
+      |    + (1000000 * (u2 - (u2 // (2 * n_pos * n_neg)) * (2 * n_pos * n_neg)))
+      |      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_micro
+      |FROM u""".stripMargin
+
+  // --------------------------------------------------------------- q174
+  /** Calibration reliability table — the per-bin half of an ECE report:
+    * predictions bucketed into 10 equal-width probability bins, each bin
+    * reporting its count, mean predicted probability, observed positive
+    * rate, and |gap| — all in integer micro-units (mean via the two-step
+    * division, so Σscore_micro never multiplies by 1e6). A calibrated
+    * model shows gap_micro ≈ 0 in every bin; the synthetic scorer is
+    * calibrated by construction, so the gate doubles as a distribution
+    * check on the md5 channels.
+    *
+    * Scale shape: one scan → 10-group hash aggregate (fully partial);
+    * the output is constant-sized regardless of corpus size.
+    */
+  def reliabilityBins(scored: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame =
+    scored
+      .groupBy((col(scoreCol) / 100000L).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(scoreCol)).as("sum_score"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("avg_score_micro", expr("sum_score div n"))
+      .withColumn("pos_rate_micro", expr(
+        "(n_pos div n) * 1000000 + (1000000 * (n_pos - (n_pos div n) * n)) div n"))
+      .withColumn("gap_micro",
+        abs(col("avg_score_micro") - col("pos_rate_micro")))
+
+  /** Gated q174: reliability bins of the synthetic calibrated scorer. */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame =
+    reliabilityBins(scoredDocs(Tables.documents(spark, dir)),
+      "score_micro", "label")
+      .select(col("bin"), col("n"), col("n_pos"), col("avg_score_micro"),
+        col("pos_rate_micro"), col("gap_micro"))
+
+  private val calibrationBinsSql =
+    """WITH scored AS (
+      |  SELECT
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |),
+      |b AS (
+      |  SELECT score_micro // 100000 AS bin, count(*) AS n,
+      |    sum(score_micro) AS sum_score,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos
+      |  FROM scored GROUP BY 1
+      |),
+      |m AS (
+      |  SELECT bin, n, n_pos, sum_score // n AS avg_score_micro,
+      |    (n_pos // n) * 1000000
+      |      + (1000000 * (n_pos - (n_pos // n) * n)) // n AS pos_rate_micro
+      |  FROM b
+      |)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+      |  CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(avg_score_micro AS BIGINT) AS avg_score_micro,
+      |  CAST(pos_rate_micro AS BIGINT) AS pos_rate_micro,
+      |  CAST(abs(avg_score_micro - pos_rate_micro) AS BIGINT) AS gap_micro
+      |FROM m""".stripMargin
+
+  // --------------------------------------------------------------- q178
+  /** Benjamini–Hochberg step-up FDR control — when a pipeline tests many
+    * segment metrics at once (one z-test per cohort, one drift test per
+    * feature…), raw p < 0.05 cuts produce false alarms ∝ the number of
+    * tests; BH finds the largest rank k with p₍ₖ₎ ≤ (k/m)·q and rejects
+    * exactly ranks ≤ k, controlling the expected false-discovery rate at
+    * q. Implemented entirely in integers: p in micro-units, the step-up
+    * criterion as p_micro·m ≤ rank·q_micro (cross-multiplied — no
+    * division at all), k via a global max over flagged ranks.
+    *
+    * The gated face runs m = |source×lang| hypotheses with md5-derived
+    * p-values where a deterministic half of the cells are planted "true
+    * effects" (p concentrated below 1e-3), so the step-up boundary is
+    * actually exercised — some planted cells are rejected, null cells
+    * survive.
+    *
+    * Scale shape: hypotheses are AGGREGATE-level rows (one per segment —
+    * metadata-sized by construction); the sort is one window over that
+    * table. The corpus-sized work, had the p-values come from real
+    * tests, happens upstream in the tests themselves (q163/q111/q116).
+    */
+  def bhStepUp(tests: DataFrame, pCol: String, idCols: Seq[String],
+               qMicro: Long = 50000L): DataFrame = {
+    val wAll = Window.partitionBy()
+    val ord = Window.orderBy(col(pCol) +: idCols.map(col): _*)
+    tests
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("crit_met", col(pCol) * col("m") <= col("rk") * lit(qMicro))
+      .withColumn("k_max",
+        max(when(col("crit_met"), col("rk"))).over(wAll))
+      .withColumn("rejected",
+        col("k_max").isNotNull && col("rk") <= col("k_max"))
+      .drop("crit_met")
+  }
+
+  /** Gated q178: BH at q=0.05 over per-(source, lang) planted p-values. */
+  def bhFdr(spark: SparkSession, dir: String): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("key", concat(col("source"), lit("/"), col("lang")))
+      .withColumn("p_micro",
+        when(h(concat(lit("eff:"), col("key"))) % 2L === 0L,
+          h(concat(lit("p:"), col("key"))) % 1000L)
+          .otherwise(h(concat(lit("p:"), col("key"))) % 1000000L))
+    bhStepUp(cells, "p_micro", Seq("key"))
+      .select(col("source"), col("lang"), col("n_docs"), col("p_micro"),
+        col("rk"), col("m"), col("k_max"), col("rejected"))
+  }
+
+  private val bhFdrSql =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS n_docs,
+      |    source || '/' || lang AS key
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |ps AS (
+      |  SELECT source, lang, n_docs, key,
+      |    CASE WHEN ('0x' || substr(md5('eff:' || key), 1, 8))::BIGINT % 2 = 0
+      |      THEN ('0x' || substr(md5('p:' || key), 1, 8))::BIGINT % 1000
+      |      ELSE ('0x' || substr(md5('p:' || key), 1, 8))::BIGINT % 1000000
+      |    END AS p_micro
+      |  FROM cells
+      |),
+      |rk AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY p_micro, key) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM ps
+      |),
+      |km AS (
+      |  SELECT *,
+      |    max(CASE WHEN p_micro * m <= rk * 50000 THEN rk END) OVER () AS k_max
+      |  FROM rk
+      |)
+      |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(p_micro AS BIGINT) AS p_micro, rk, m,
+      |  CAST(k_max AS BIGINT) AS k_max,
+      |  k_max IS NOT NULL AND rk <= k_max AS rejected
+      |FROM km""".stripMargin
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q173_classifier_auc", classifierAuc _, Some(classifierAucSql)),
+    NamedQuery("q174_reliability_bins", calibrationBins _,
+      Some(calibrationBinsSql)),
+    NamedQuery("q178_bh_fdr", bhFdr _, Some(bhFdrSql)))
+}

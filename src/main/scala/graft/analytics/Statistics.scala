@@ -666,7 +666,103 @@ object Statistics {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS var_reduction_ppm
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q179
+  /** Kendall tau-b rank concordance — the pair-counting complement of
+    * Spearman (q105): over all C(n,2) pairs of a per-(group, x) metric
+    * table, count concordant, discordant, and tied pairs, and emit the
+    * tie-corrected tau-b = (nc − nd) / √((n0 − n1)(n0 − n2)). Unlike
+    * rank-based Spearman, every pair count is a pure integer and the
+    * only float is the final √ — which IEEE requires to be correctly
+    * rounded, so floor(τ·1e6 + ½) is cross-engine exact (the CUPED
+    * floor discipline; negative τ rounds identically since both engines
+    * run the same formula on the same doubles).
+    *
+    * Scale shape: the corpus-sized work is ONE hash aggregation to the
+    * (group, week) metric table; the pair self-join runs on that
+    * CALENDAR-BOUNDED series (n = weeks, not rows — it does not grow
+    * with data volume), partitioned by group, so the quadratic term is
+    * a constant ~n²/2 per group forever. Fact data is never pair-joined.
+    */
+  def kendallTauB(perX: DataFrame, groupCol: String, xCol: String,
+                  aCol: String, bCol: String): DataFrame = {
+    val l = perX.select(col(groupCol), col(xCol).as("x1"),
+      col(aCol).as("a1"), col(bCol).as("b1"))
+    val r = perX.select(col(groupCol), col(xCol).as("x2"),
+      col(aCol).as("a2"), col(bCol).as("b2"))
+    val pairs = l.join(r, Seq(groupCol)).filter(col("x1") < col("x2"))
+    val da = col("a2") - col("a1")
+    val db = col("b2") - col("b1")
+    pairs
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(da * db > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(da * db < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(da === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(db === 0, 1L).otherwise(0L)).as("n2"))
+      .withColumn("tau_b_micro",
+        when((col("n0") > col("n1")) && (col("n0") > col("n2")),
+          floor((col("nc") - col("nd")).cast("double")
+            / sqrt((col("n0") - col("n1")).cast("double")
+              * (col("n0") - col("n2")).cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long")))
+  }
+
+  /** Gated q179: weekly revenue-vs-order-count concordance per nation. */
+  def revenueVolumeKendall(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    kendallTauB(weekly, "nation", "week", "cents", "n_orders")
+      .select(col("nation"), col("n0"), col("nc"), col("nd"), col("n1"),
+        col("n2"), col("tau_b_micro"))
+  }
+
+  private val revenueVolumeKendallSql =
+    """WITH weekly AS (
+      |  SELECT n.n_name AS nation,
+      |    date_trunc('week', o.o_orderdate)::DATE AS week,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    count(*) AS n_orders
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT l.nation,
+      |    (r.cents - l.cents) AS da, (r.n_orders - l.n_orders) AS db
+      |  FROM weekly l JOIN weekly r
+      |    ON l.nation = r.nation AND l.week < r.week
+      |),
+      |s AS (
+      |  SELECT nation, count(*) AS n0,
+      |    sum(CASE WHEN da * db > 0 THEN 1 ELSE 0 END) AS nc,
+      |    sum(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS nd,
+      |    sum(CASE WHEN da = 0 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS n2
+      |  FROM pairs GROUP BY 1
+      |)
+      |SELECT nation, CAST(n0 AS BIGINT) AS n0, CAST(nc AS BIGINT) AS nc,
+      |  CAST(nd AS BIGINT) AS nd, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n2 AS BIGINT) AS n2,
+      |  CASE WHEN n0 > n1 AND n0 > n2 THEN CAST(floor(
+      |    (nc - nd)::DOUBLE
+      |    / sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS tau_b_micro
+      |FROM s""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q179_kendall_tau", revenueVolumeKendall _,
+      Some(revenueVolumeKendallSql)),
     NamedQuery("q167_cuped_reduction", cupedVarianceReduction _,
       Some(cupedSql)),
     NamedQuery("q163_conversion_ztest", conversionZTest _,

@@ -570,7 +570,288 @@ object TimeSeries {
       |JOIN nation n ON n.n_nationkey = c.c_nationkey
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q175
+  /** Kaplan–Meier survival estimator — the churn/retention curve done
+    * right: right-censored observations (customers still active at the
+    * observation cutoff) reduce the at-risk set without counting as
+    * churn, which the naive "fraction still active at t" chart gets
+    * wrong. Per group and event time t: d (events), c (censored),
+    * n_risk = Σ_{u≥t}(d+c) (a reverse cumulative sum — one window, no
+    * self-join), and Ŝ(t) = Π_{u≤t}(1 − d_u/n_u) carried as
+    * exp(Σ ln(1−d/n)) over the time-ordered prefix.
+    *
+    * Exactness: d/n is an IEEE-exact division of two small integers on
+    * both engines, ln/exp agree to ~1 ulp (the BM25/TF-IDF precedent),
+    * and the prefix sum order is pinned by the per-group time sort, so
+    * emitting survival floored to PPM (+½) leaves ~9 orders of magnitude
+    * of margin. The d = n_risk boundary (everyone at risk exits — ln(0))
+    * is handled structurally: a prefix flag pins survival to exactly 0
+    * from that time on, so neither engine ever evaluates ln(0).
+    *
+    * Scale shape (the q107 discipline): the corpus-sized work is the
+    * per-subject first/last aggregation; the KM table itself is one row
+    * per (group, distinct time) — bounded by the calendar, not the data —
+    * and both windows run inside each group partition in parallel.
+    */
+  def kaplanMeier(obs: DataFrame, groupCol: String, timeCol: String,
+                  eventCol: String): DataFrame = {
+    val wPost = Window.partitionBy(groupCol).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPre = Window.partitionBy(groupCol).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs
+      .groupBy(col(groupCol), col(timeCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("d"),
+        sum(when(!col(eventCol), 1L).otherwise(0L)).as("c"))
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wPost))
+      .withColumn("hit_zero",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wPre))
+      .withColumn("lnf",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("surv_ppm",
+        when(col("hit_zero") === 1, 0L)
+          .otherwise(floor(exp(sum(col("lnf")).over(wPre)) * 1e6 + 0.5)
+            .cast("long")))
+      .drop("lnf")
+  }
+
+  /** Gated q175: customer-lifetime survival per market segment. A
+    * customer's lifetime runs first→last order day; they churn if the
+    * last order predates the global cutoff (max order date) by more than
+    * 90 days, else they are censored at the cutoff.
+    */
+  def customerSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+    val cutoff = life.agg(max(col("last_d")).as("cut"))
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val obs = life.crossJoin(broadcast(cutoff))
+      .withColumn("event", datediff(col("cut"), col("last_d")) > 90)
+      .withColumn("t",
+        when(col("event"), datediff(col("last_d"), col("first_d")))
+          .otherwise(datediff(col("cut"), col("first_d"))))
+      .join(seg, col("o_custkey") === col("c_custkey"))
+    kaplanMeier(obs, "segment", "t", "event")
+      .select(col("segment"), col("t"), col("d"), col("c"), col("n_risk"),
+        col("hit_zero"), col("surv_ppm"))
+  }
+
+  private val customerSurvivalSql =
+    """WITH life AS (
+      |  SELECT o_custkey, min(o_orderdate::DATE) AS first_d,
+      |    max(o_orderdate::DATE) AS last_d
+      |  FROM orders GROUP BY 1
+      |),
+      |cut AS (SELECT max(last_d) AS cut FROM life),
+      |obs AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    date_diff('day', cut.cut, l.last_d) < -90 AS event,
+      |    CASE WHEN date_diff('day', cut.cut, l.last_d) < -90
+      |      THEN date_diff('day', l.first_d, l.last_d)
+      |      ELSE date_diff('day', l.first_d, cut.cut) END AS t
+      |  FROM life l CROSS JOIN cut JOIN customer c ON c.c_custkey = l.o_custkey
+      |),
+      |byt AS (
+      |  SELECT segment, CAST(t AS BIGINT) AS t,
+      |    sum(CASE WHEN event THEN 1 ELSE 0 END) AS d,
+      |    sum(CASE WHEN event THEN 0 ELSE 1 END) AS c
+      |  FROM obs GROUP BY 1, 2
+      |),
+      |risk AS (
+      |  SELECT *, sum(d + c) OVER (PARTITION BY segment ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+      |  FROM byt
+      |),
+      |flags AS (
+      |  SELECT *,
+      |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY segment ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero,
+      |    CASE WHEN d < n_risk
+      |      THEN ln(1.0::DOUBLE - d::DOUBLE / n_risk::DOUBLE)
+      |      ELSE 0.0::DOUBLE END AS lnf
+      |  FROM risk
+      |)
+      |SELECT segment, t, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+      |  CAST(n_risk AS BIGINT) AS n_risk, CAST(hit_zero AS INTEGER) AS hit_zero,
+      |  CASE WHEN hit_zero = 1 THEN 0 ELSE CAST(floor(
+      |    exp(sum(lnf) OVER (PARTITION BY segment ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS surv_ppm
+      |FROM flags""".stripMargin
+
+  // --------------------------------------------------------------- q176
+  /** Truncated-EWMA one-step-ahead forecast — the cheap online baseline
+    * every metric-monitoring pipeline runs before reaching for real
+    * models: ŷ_t = Σ_{j=1..8} w_j·y_{t−j} with exponential weights
+    * α(1−α)^{j−1}, α = 0.3, truncated at 8 lags and renormalized. The
+    * whole forecast is EXACT integer arithmetic: with α = 3/10 the
+    * weights over a common denominator 10⁸ are the integers
+    * 3·7^{j−1}·10^{8−j}, whose sum is 10⁸ − 7⁸ = 94 235 199, so
+    * ŷ = (Σ cents_{t−j}·w_j) div 94 235 199 — no float ever appears.
+    * Headroom: Σ terms ≤ 8·3e7·max_cents keeps BIGINT for weekly group
+    * revenue up to ~3.8·10¹⁰ cents (≈ $380M/week/nation) — past any sf
+    * the bench runs; wider groups should feed whole dollars (the q158
+    * unit-scaling precedent).
+    *
+    * Scale shape: one fact aggregation to (nation, week), then eight
+    * `lag`s inside ONE per-nation window sort over a calendar-bounded
+    * series. Rows without a full 8-lag history are reported with null
+    * forecast (warm-up), not silently dropped.
+    */
+  def ewmaForecast(perT: DataFrame, keyCol: String, tCol: String,
+                   yCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tCol))
+    val weights = Seq.tabulate(8)(j =>
+      3L * math.pow(7, j).toLong * math.pow(10, 7 - j).toLong)
+    val den = 100000000L - 5764801L
+    val num = weights.zipWithIndex.map { case (wt, j) =>
+      lag(col(yCol), j + 1).over(w) * lit(wt)
+    }.reduce(_ + _)
+    perT
+      .withColumn("fnum", num)
+      .withColumn("forecast", expr(s"fnum div $den"))
+      .drop("fnum")
+      .withColumn("abs_err",
+        when(col("forecast").isNotNull, abs(col(yCol) - col("forecast"))))
+  }
+
+  /** Gated q176: weekly revenue EWMA forecast + error per nation. */
+  def weeklyEwmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    ewmaForecast(weekly, "nation", "week", "cents")
+      .select(col("nation"),
+        date_format(col("week"), "yyyy-MM-dd").as("week_start"),
+        col("cents"), col("forecast"), col("abs_err"))
+  }
+
+  private val weeklyEwmaForecastSql =
+    """WITH weekly AS (
+      |  SELECT n.n_name AS nation,
+      |    date_trunc('week', o.o_orderdate)::DATE AS week,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2
+      |),
+      |lagged AS (
+      |  SELECT nation, week, cents,
+      |    lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+      |    lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+      |    lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+      |    lag(cents, 7) OVER w AS l7, lag(cents, 8) OVER w AS l8
+      |  FROM weekly
+      |  WINDOW w AS (PARTITION BY nation ORDER BY week)
+      |),
+      |f AS (
+      |  SELECT nation, week, cents,
+      |    (l1 * 30000000 + l2 * 21000000 + l3 * 14700000 + l4 * 10290000
+      |     + l5 * 7203000 + l6 * 5042100 + l7 * 3529470 + l8 * 2470629)
+      |      // 94235199 AS forecast
+      |  FROM lagged
+      |)
+      |SELECT nation, strftime(week, '%Y-%m-%d') AS week_start, cents,
+      |  CAST(forecast AS BIGINT) AS forecast,
+      |  CASE WHEN forecast IS NOT NULL
+      |    THEN CAST(abs(cents - forecast) AS BIGINT) END AS abs_err
+      |FROM f""".stripMargin
+
+  // --------------------------------------------------------------- q177
+  /** CUSUM drift detection — the sequential change-point monitor: the
+    * one-sided cumulative sum S_t = max(0, S_{t−1} + (y_t − ref))
+    * accumulates only sustained upward deviation from a reference level
+    * and fires when it clears a threshold, catching slow drifts a
+    * per-point z-score (q60) misses. The recursion is not directly
+    * window-expressible, but the q141 prefix-min identity is:
+    * S_t = cum_t − min(0, min_{u≤t} cum_u) where cum is the plain prefix
+    * sum of deviations — two windows, zero iteration, exact BIGINT cents
+    * end to end (ref is the group's integer-mean via truncating
+    * division; the threshold is 2·ref — a deterministic default).
+    *
+    * Scale shape: one fact aggregation to (group, day), then two windows
+    * inside the same per-group sort; series length is calendar-bounded.
+    */
+  def cusumDrift(perT: DataFrame, keyCol: String, tCol: String,
+                 yCol: String): DataFrame = {
+    val wAll = Window.partitionBy(keyCol)
+    val wPre = Window.partitionBy(keyCol).orderBy(col(tCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("tot", sum(col(yCol)).over(wAll))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("ref", expr("tot div cnt"))
+      .drop("tot", "cnt")
+      .withColumn("cum", sum(col(yCol) - col("ref")).over(wPre))
+      .withColumn("s",
+        col("cum") - least(lit(0L), min(col("cum")).over(wPre)))
+      .withColumn("flagged", col("s") > col("ref") * 2L)
+      .drop("cum")
+  }
+
+  /** Gated q177: daily revenue CUSUM per market segment. */
+  def revenueCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    cusumDrift(daily, "segment", "day", "cents")
+      .select(col("segment"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("cents"), col("ref"), col("s"), col("flagged"))
+  }
+
+  private val revenueCusumSql =
+    """WITH daily AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderdate::DATE AS day,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |r AS (
+      |  SELECT *, sum(cents) OVER (PARTITION BY segment)
+      |    // count(*) OVER (PARTITION BY segment) AS ref
+      |  FROM daily
+      |),
+      |cu AS (
+      |  SELECT *, sum(cents - ref) OVER (PARTITION BY segment ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM r
+      |),
+      |s AS (
+      |  SELECT *, cum - least(0, min(cum) OVER (PARTITION BY segment
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      |  FROM cu
+      |)
+      |SELECT segment, strftime(day, '%Y-%m-%d') AS day_s, cents,
+      |  CAST(ref AS BIGINT) AS ref, CAST(s AS BIGINT) AS s,
+      |  s > ref * 2 AS flagged
+      |FROM s""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q175_survival_curve", customerSurvival _,
+      Some(customerSurvivalSql)),
+    NamedQuery("q176_ewma_forecast", weeklyEwmaForecast _,
+      Some(weeklyEwmaForecastSql)),
+    NamedQuery("q177_cusum_drift", revenueCusum _, Some(revenueCusumSql)),
     NamedQuery("q136_decayed_revenue", (s, d) => decayedRevenue(s, d),
       Some(decayedRevenueSql)),
     NamedQuery("q114_lead_lag_corr", viewPurchaseLeadLag _,

@@ -1,0 +1,90 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class ModelEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- aucExact
+
+  private def auc(rows: (String, Long, Boolean)*): Map[String, Option[Long]] =
+    ModelEval.aucExact(rows.toDF("g", "score", "label"), "g", "score", "label")
+      .collect()
+      .map(r => r.getAs[String]("g") ->
+        Option(r.getAs[Any]("auc_micro")).map(_.asInstanceOf[Long])).toMap
+
+  test("aucExact: perfect separation is exactly 1e6, reversal exactly 0") {
+    val out = auc(
+      ("hi", 1L, false), ("hi", 2L, false), ("hi", 3L, true), ("hi", 4L, true),
+      ("lo", 1L, true), ("lo", 2L, true), ("lo", 3L, false), ("lo", 4L, false))
+    assert(out("hi") == Some(1000000L))
+    assert(out("lo") == Some(0L))
+  }
+
+  test("aucExact: a full tie averages to exactly 1/2 via doubled ranks") {
+    // 4 rows, one score: rk2 = 2*1 + 4 - 1 = 7 each; u2 = 14 - 6 = 8;
+    // auc = 8 / (2*2*2) = 1/2 exactly.
+    val out = auc(("g", 5L, true), ("g", 5L, true),
+      ("g", 5L, false), ("g", 5L, false))
+    assert(out("g") == Some(500000L))
+  }
+
+  test("aucExact: single-class groups report null, not a division error") {
+    val out = auc(("pos", 1L, true), ("pos", 2L, true),
+      ("ok", 1L, false), ("ok", 2L, true))
+    assert(out("pos").isEmpty)
+    assert(out("ok") == Some(1000000L))
+  }
+
+  test("aucExact: hand-computed mixed ordering") {
+    // scores asc: n(1) p(2) n(3) p(4) → pairs won by pos: (2>1)=1, (4>1)=1,
+    // (4>3)=1 of 4 → auc = 3/4.
+    val out = auc(("g", 1L, false), ("g", 2L, true),
+      ("g", 3L, false), ("g", 4L, true))
+    assert(out("g") == Some(750000L))
+  }
+
+  // ------------------------------------------------------- reliabilityBins
+
+  test("reliabilityBins: bin assignment, exact means and gaps") {
+    val scored = Seq((50000L, true), (50000L, false), (950000L, true))
+      .toDF("score_micro", "label")
+    val out = ModelEval.reliabilityBins(scored, "score_micro", "label")
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("avg_score_micro"), r.getAs[Long]("pos_rate_micro"),
+          r.getAs[Long]("gap_micro")))).toMap
+    assert(out(0L) == ((2L, 1L, 50000L, 500000L, 450000L)))
+    assert(out(9L) == ((1L, 1L, 950000L, 1000000L, 50000L)))
+  }
+
+  // --------------------------------------------------------------- bhStepUp
+
+  private def bh(ps: Long*): Seq[(Long, Boolean)] =
+    ModelEval.bhStepUp(
+      ps.zipWithIndex.map { case (p, i) => (s"h$i", p) }.toDF("key", "p"),
+      "p", Seq("key"))
+      .orderBy(col("rk"))
+      .collect().map(r => (r.getAs[Long]("p"), r.getAs[Boolean]("rejected")))
+      .toSeq
+
+  test("bhStepUp: classic step-up — k_max=3 rejects exactly ranks 1..3") {
+    // m=5, q=0.05: crit p*5 <= i*50000 holds for i=1,2,3 only.
+    val out = bh(1000L, 9000L, 30000L, 200000L, 800000L)
+    assert(out == Seq((1000L, true), (9000L, true), (30000L, true),
+      (200000L, false), (800000L, false)))
+  }
+
+  test("bhStepUp: step-up property — a later success rescues earlier ranks") {
+    // m=3: i=1,2 fail the criterion but i=3 meets it → ALL rejected.
+    val out = bh(40000L, 45000L, 48000L)
+    assert(out.forall(_._2))
+  }
+
+  test("bhStepUp: no criterion met → k_max null, nothing rejected") {
+    val out = bh(600000L, 700000L)
+    assert(out.forall(!_._2))
+  }
+}

@@ -247,4 +247,34 @@ class StatisticsSpec extends SparkSpec {
       math.floor(rho2 * 1e6 + 0.5).toLong)
     assert(rho2 >= 0 && rho2 <= 1.0 + 1e-12, s"rho2 out of range: $rho2")
   }
+
+  // ------------------------------------------------------------ kendallTauB
+
+  private def tau(rows: (String, Int, Long, Long)*) =
+    Statistics.kendallTauB(rows.toDF("g", "x", "a", "b"), "g", "x", "a", "b")
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n0"), r.getAs[Long]("nc"), r.getAs[Long]("nd"),
+          r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          Option(r.getAs[Any]("tau_b_micro")).map(_.asInstanceOf[Long])))).toMap
+
+  test("kendallTauB: perfect concordance and perfect reversal hit the poles") {
+    val out = tau(
+      ("up", 1, 1L, 1L), ("up", 2, 2L, 2L), ("up", 3, 3L, 3L), ("up", 4, 4L, 4L),
+      ("dn", 1, 1L, 4L), ("dn", 2, 2L, 3L), ("dn", 3, 3L, 2L), ("dn", 4, 4L, 1L))
+    assert(out("up") == ((6L, 6L, 0L, 0L, 0L, Some(1000000L))))
+    assert(out("dn") == ((6L, 0L, 6L, 0L, 0L, Some(-1000000L))))
+  }
+
+  test("kendallTauB: hand-computed tie correction") {
+    // a = 1,2,2,3 vs b = 1,2,3,4: nc=5, n1=1 (the a-tie), nd=n2=0.
+    // tau_b = 5/sqrt(5*6) = 0.91287... -> floor(912870.93 + 0.5) = 912871.
+    val out = tau(("g", 1, 1L, 1L), ("g", 2, 2L, 2L),
+      ("g", 3, 2L, 3L), ("g", 4, 3L, 4L))
+    assert(out("g") == ((6L, 5L, 0L, 1L, 0L, Some(912871L))))
+  }
+
+  test("kendallTauB: a fully-tied side reports null, not a division error") {
+    val out = tau(("g", 1, 7L, 1L), ("g", 2, 7L, 2L), ("g", 3, 7L, 3L))
+    assert(out("g")._6.isEmpty)
+  }
 }

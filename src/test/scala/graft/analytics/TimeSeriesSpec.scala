@@ -256,4 +256,76 @@ class TimeSeriesSpec extends SparkSpec {
       assert(dec >= 0)
     }
   }
+
+  // ------------------------------------------------------------ kaplanMeier
+
+  test("kaplanMeier: hand-computed curve with censoring and the d=n boundary") {
+    // Subjects in one group: event@1, censor@2, event@3, censor@3, event@5.
+    val obs = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 3L, false), ("g", 5L, true)).toDF("g", "t", "event")
+    val out = TimeSeries.kaplanMeier(obs, "g", "t", "event")
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("d"), r.getAs[Long]("c"), r.getAs[Long]("n_risk"),
+          r.getAs[Int]("hit_zero"), r.getAs[Long]("surv_ppm")))).toMap
+    // t=1: n=5, d=1 -> S=0.8; t=2 censor-only keeps S; t=3: n=3, d=1 ->
+    // S=0.8*2/3=0.533333...; t=5: d=n=1 -> survival exactly 0.
+    assert(out(1L) == ((1L, 0L, 5L, 0, 800000L)))
+    assert(out(2L) == ((0L, 1L, 4L, 0, 800000L)))
+    assert(out(3L) == ((1L, 1L, 3L, 0, 533333L)))
+    assert(out(5L) == ((1L, 0L, 1L, 1, 0L)))
+  }
+
+  test("kaplanMeier: censored-only group never drops below 1") {
+    val obs = Seq(("g", 1L, false), ("g", 2L, false)).toDF("g", "t", "event")
+    val out = TimeSeries.kaplanMeier(obs, "g", "t", "event").collect()
+    assert(out.forall(_.getAs[Long]("surv_ppm") == 1000000L))
+  }
+
+  // ----------------------------------------------------------- ewmaForecast
+
+  test("ewmaForecast: constant series forecasts the constant exactly; warm-up is null") {
+    val perT = (1 to 10).map(i => ("k", i, 100L)).toDF("k", "t", "y")
+    val out = TimeSeries.ewmaForecast(perT, "k", "t", "y")
+      .orderBy(col("t")).collect()
+    out.take(8).foreach(r => assert(r.isNullAt(r.fieldIndex("forecast"))))
+    out.drop(8).foreach { r =>
+      assert(r.getAs[Long]("forecast") == 100L, "weights renormalize exactly")
+      assert(r.getAs[Long]("abs_err") == 0L)
+    }
+  }
+
+  test("ewmaForecast: recent lags dominate — a level shift pulls the forecast up") {
+    // 100s through t=8, 200s from t=9. At t=13 the four recent lags are
+    // 200 and the four old ones 100: forecast = (200*75,990,000 +
+    // 100*18,245,199) div 94,235,199 = 180 — above the midpoint because
+    // geometric weights favor recency.
+    val ys = (1 to 8).map(_ => 100L) ++ (9 to 16).map(_ => 200L)
+    val perT = ys.zipWithIndex.map { case (y, i) => ("k", i + 1, y) }
+      .toDF("k", "t", "y")
+    val f = TimeSeries.ewmaForecast(perT, "k", "t", "y")
+      .filter(col("t") === 13).collect().head.getAs[Long]("forecast")
+    assert(f == 180L, s"expected recency-weighted forecast 180, got $f")
+  }
+
+  // ------------------------------------------------------------- cusumDrift
+
+  test("cusumDrift: matches the direct max(0, .) recursion on a hand series") {
+    val perT = Seq(("g", 1, 10L), ("g", 2, 10L), ("g", 3, 10L),
+      ("g", 4, 60L), ("g", 5, 60L), ("g", 6, 60L)).toDF("g", "t", "y")
+    val out = TimeSeries.cusumDrift(perT, "g", "t", "y")
+      .orderBy(col("t")).collect()
+    // ref = 210 div 6 = 35; dev = -25,-25,-25,+25,+25,+25.
+    // Direct recursion S = 0,0,0,25,50,75; threshold 2*ref = 70.
+    assert(out.map(_.getAs[Long]("ref")).toSeq == Seq.fill(6)(35L))
+    assert(out.map(_.getAs[Long]("s")).toSeq == Seq(0L, 0L, 0L, 25L, 50L, 75L))
+    assert(out.map(_.getAs[Boolean]("flagged")).toSeq ==
+      Seq(false, false, false, false, false, true))
+  }
+
+  test("cusumDrift: downward excursions cap at zero, never negative") {
+    val perT = Seq(("g", 1, 100L), ("g", 2, 0L), ("g", 3, 0L), ("g", 4, 60L))
+      .toDF("g", "t", "y")
+    val out = TimeSeries.cusumDrift(perT, "g", "t", "y").collect()
+    assert(out.forall(_.getAs[Long]("s") >= 0L))
+  }
 }
