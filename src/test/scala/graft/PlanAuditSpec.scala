@@ -832,4 +832,67 @@ class PlanAuditSpec extends SparkSpec {
       s"q164 regressed: $s164")
     assert(s164.scans <= 4 && s164.shuffles <= 8, s"q164 regressed: $s164")
   }
+
+  test("round-9 tail additions stay scalar-broadcast + aggregate shapes (q166-q172)") {
+    // Audited r9: every nestedLoops count below is the one-row scalar
+    // broadcast cross join (q136 shape) — cutoff dates, corpus totals —
+    // never a row-pair space; singleParts are one-row scalar frames or
+    // metadata-sized windows.
+    val s166 = stats("q166_dormant_customers")
+    assert(s166.nestedLoops <= 4 && s166.smj == 0, s"q166 regressed: $s166")
+    assert(s166.scans <= 20 && s166.shuffles <= 28, s"q166 regressed: $s166")
+    val s168 = stats("q168_market_share")
+    assert(s168.nestedLoops == 0 && s168.smj == 0, s"q168 must broadcast all five dims: $s168")
+    assert(s168.scans <= 28 && s168.shuffles <= 28, s"q168 regressed: $s168")
+    val s169 = stats("q169_bag_setops")
+    assert(s169.nestedLoops <= 6, s"q169 regressed: $s169")
+    assert(s169.scans <= 14 && s169.shuffles <= 26, s"q169 regressed: $s169")
+    val s170 = stats("q170_image_phash_pairs")
+    assert(s170.nestedLoops == 0 && s170.singleParts == 0,
+      s"q170 must stay hash-bucketed, never all-pairs: $s170")
+    assert(s170.scans <= 8 && s170.shuffles <= 8, s"q170 regressed: $s170")
+    val s171 = stats("q171_audio_hash_pairs")
+    assert(s171.nestedLoops == 0 && s171.singleParts == 0,
+      s"q171 must stay hash-bucketed, never all-pairs: $s171")
+    assert(s171.scans <= 8 && s171.shuffles <= 8, s"q171 regressed: $s171")
+    val s172 = stats("q172_markov_holdout")
+    assert(s172.nestedLoops <= 6 && s172.smj == 0, s"q172 regressed: $s172")
+    assert(s172.scans <= 12 && s172.shuffles <= 38, s"q172 regressed: $s172")
+  }
+
+  test("model-eval battery stays window/aggregate-shaped (q173-q179)") {
+    // q173/q174: one documents scan -> per-source rank window or 10-bin
+    // hash aggregate; 2 shuffles each, nothing single-partitioned.
+    val s173 = stats("q173_classifier_auc")
+    assert(s173.nestedLoops == 0 && s173.singleParts == 0, s"q173 regressed: $s173")
+    assert(s173.scans <= 4 && s173.shuffles <= 4, s"q173 regressed: $s173")
+    val s174 = stats("q174_reliability_bins")
+    assert(s174.nestedLoops == 0 && s174.singleParts == 0, s"q174 regressed: $s174")
+    assert(s174.scans <= 4 && s174.shuffles <= 4, s"q174 regressed: $s174")
+    // q178: the global BH window runs over the hypothesis table (one row
+    // per source x lang cell — metadata-sized by construction), so its
+    // singleParts=2 is the documented exception, bounded here.
+    val s178 = stats("q178_bh_fdr")
+    assert(s178.nestedLoops == 0 && s178.singleParts <= 2, s"q178 regressed: $s178")
+    assert(s178.scans <= 4 && s178.shuffles <= 8, s"q178 regressed: $s178")
+    // q175: KM windows partition by segment; the nestedLoops=2 is the
+    // one-row cutoff-date broadcast (q136 scalar shape).
+    val s175 = stats("q175_survival_curve")
+    assert(s175.nestedLoops <= 2 && s175.smj == 0, s"q175 regressed: $s175")
+    assert(s175.scans <= 12 && s175.shuffles <= 28, s"q175 regressed: $s175")
+    // q176/q177: fact agg -> per-key window lags; zero NLJ, zero SMJ.
+    val s176 = stats("q176_ewma_forecast")
+    assert(s176.nestedLoops == 0 && s176.smj == 0 && s176.singleParts == 0,
+      s"q176 regressed: $s176")
+    assert(s176.scans <= 12 && s176.shuffles <= 16, s"q176 regressed: $s176")
+    val s177 = stats("q177_cusum_drift")
+    assert(s177.nestedLoops == 0 && s177.smj == 0 && s177.singleParts == 0,
+      s"q177 regressed: $s177")
+    assert(s177.scans <= 8 && s177.shuffles <= 12, s"q177 regressed: $s177")
+    // q179: the one SMJ is the weekly-table self-join — calendar-bounded
+    // rows, never fact data (the scale argument lives in the operator doc).
+    val s179 = stats("q179_kendall_tau")
+    assert(s179.nestedLoops == 0 && s179.smj <= 2, s"q179 regressed: $s179")
+    assert(s179.scans <= 18 && s179.shuffles <= 28, s"q179 regressed: $s179")
+  }
 }
