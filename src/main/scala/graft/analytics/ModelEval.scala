@@ -278,9 +278,110 @@ object ModelEval {
       |  k_max IS NOT NULL AND rk <= k_max AS rejected
       |FROM km""".stripMargin
 
+  // --------------------------------------------------------------- q180
+  /** Inverse-propensity-scored offline policy evaluation — the
+    * counterfactual "what would the NEW policy have earned?" replay every
+    * recommender/bandit pipeline runs on logged interaction data before
+    * an online test: V̂(π) = (1/n)·Σ rᵢ·1[π(xᵢ)=aᵢ]/p̂(aᵢ), keeping only
+    * logged events whose action matches the candidate policy's choice and
+    * re-weighting each by its logged propensity (here the empirical
+    * action share n_a/n — the uniform-ish logger the events table
+    * records). The algebra telescopes per action:
+    * V̂ = Σ_a sum_r_match_a / n_a, so the gate emits one EXACT row per
+    * action (rewards in integer cents; the contribution via the
+    * micro-unit two-step division) and never sums truncated terms.
+    *
+    * The candidate policy is deterministic md5-over-user (the q80
+    * stand-in discipline): π(user) = action whose alphabetical index is
+    * H(user) mod k — any real scoring policy slots into the same plumbing.
+    *
+    * Scale shape: one events scan + a 5-row broadcast (the action
+    * index), one hash aggregate per action. Nothing user- or
+    * event-sized shuffles except the single keyed aggregate.
+    */
+  def ipsPolicyValue(logged: DataFrame, actionCol: String, userCol: String,
+                     rewardCol: String): DataFrame = {
+    // Internal renames keep the operator usable when the caller's own
+    // column is already named "action".
+    val base = logged.select(col(actionCol).as("_a"), col(userCol).as("_u"),
+      col(rewardCol).as("_r"))
+    // The action index is a ≤k-row frame; its global window is k-sized,
+    // not data-sized (the q178 metadata-window exception).
+    val idx = base.select(col("_a").as("action")).distinct()
+      .withColumn("a_idx",
+        row_number().over(Window.orderBy(col("action"))).cast("long") - 1L)
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    base
+      .join(broadcast(idx), col("_a") === col("action"))
+      .withColumn("pi_idx",
+        conv(substring(md5(concat(lit("pi:"), col("_u").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % col("k"))
+      .withColumn("matched", col("a_idx") === col("pi_idx"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_a"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("matched"), col("_r")).otherwise(0L))
+          .as("match_cents"),
+        sum(col("_r")).as("logged_cents"))
+      .withColumn("ips_contrib_micro", expr(
+        """(match_cents div n_a) * 1000000
+          | + (1000000 * (match_cents - (match_cents div n_a) * n_a)) div n_a"""
+          .stripMargin))
+      .withColumn("avg_logged_micro", expr(
+        """(logged_cents div n_a) * 1000000
+          | + (1000000 * (logged_cents - (logged_cents div n_a) * n_a)) div n_a"""
+          .stripMargin))
+  }
+
+  /** Gated q180: replay a hash-over-user candidate policy on the events
+    * log; reward = event value in cents.
+    */
+  def offlinePolicyValue(spark: SparkSession, dir: String): DataFrame =
+    ipsPolicyValue(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "event_type", "user_id", "cents")
+      .select(col("action"), col("n_a"), col("n_match"), col("match_cents"),
+        col("ips_contrib_micro"), col("avg_logged_micro"))
+
+  private val offlinePolicyValueSql =
+    """WITH idx AS (
+      |  SELECT event_type AS action,
+      |    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) - 1 AS a_idx,
+      |    CAST(count(*) OVER () AS BIGINT) AS k
+      |  FROM (SELECT DISTINCT event_type FROM events)
+      |),
+      |logged AS (
+      |  SELECT e.event_type AS action, i.a_idx, i.k,
+      |    CAST(round(e.value * 100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5('pi:' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % i.k AS pi_idx
+      |  FROM events e JOIN idx i ON i.action = e.event_type
+      |),
+      |s AS (
+      |  SELECT action, count(*) AS n_a,
+      |    sum(CASE WHEN a_idx = pi_idx THEN 1 ELSE 0 END) AS n_match,
+      |    sum(CASE WHEN a_idx = pi_idx THEN cents ELSE 0 END) AS match_cents,
+      |    sum(cents) AS logged_cents
+      |  FROM logged GROUP BY 1
+      |)
+      |SELECT action, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_match AS BIGINT) AS n_match,
+      |  CAST(match_cents AS BIGINT) AS match_cents,
+      |  CAST((match_cents // n_a) * 1000000
+      |    + (1000000 * (match_cents - (match_cents // n_a) * n_a)) // n_a
+      |    AS BIGINT) AS ips_contrib_micro,
+      |  CAST((logged_cents // n_a) * 1000000
+      |    + (1000000 * (logged_cents - (logged_cents // n_a) * n_a)) // n_a
+      |    AS BIGINT) AS avg_logged_micro
+      |FROM s""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q173_classifier_auc", classifierAuc _, Some(classifierAucSql)),
     NamedQuery("q174_reliability_bins", calibrationBins _,
       Some(calibrationBinsSql)),
-    NamedQuery("q178_bh_fdr", bhFdr _, Some(bhFdrSql)))
+    NamedQuery("q178_bh_fdr", bhFdr _, Some(bhFdrSql)),
+    NamedQuery("q180_offline_policy", offlinePolicyValue _,
+      Some(offlinePolicyValueSql)))
 }

@@ -1208,7 +1208,125 @@ object TrainingData {
       |WHERE e.split = 'test'
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- q181
+  /** Group k-fold assignment — cross-validation splits with GROUP
+    * integrity: every document of the same group (here source/lang — in
+    * real corpora a domain, author, or dedup cluster) lands in the same
+    * fold, because hashing the GROUP key rather than the row key is what
+    * prevents near-duplicate leakage across folds (the q129 lesson at
+    * split-assignment time, and the grouped complement of q35's per-row
+    * split). Fold = md5(group) mod k — stable under corpus growth: new
+    * rows of a known group join its fold, no reshuffling of past folds.
+    *
+    * Output: per-fold doc/char totals plus the distinct-group count —
+    * the balance report a pipeline checks before training k models.
+    *
+    * Scale shape: one scan, one hash aggregate; the group key is a
+    * per-row projection (no join needed to assign folds).
+    */
+  def groupKFold(docs: DataFrame, groupCol: Column, k: Int): DataFrame =
+    docs
+      .withColumn("grp", groupCol)
+      .withColumn("fold",
+        conv(substring(md5(concat(lit("fold:"), col("grp")).cast("binary")),
+          1, 8), 16, 10).cast("long") % lit(k.toLong))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        countDistinct("grp").as("n_groups"))
+
+  /** Gated q181: 5-fold group split of documents by (source, lang). */
+  def groupKFoldSummary(spark: SparkSession, dir: String): DataFrame =
+    groupKFold(Tables.documents(spark, dir),
+      concat(col("source"), lit("/"), col("lang")), 5)
+      .select(col("fold"), col("n_docs"), col("total_chars"), col("n_groups"))
+
+  private val groupKFoldSql =
+    """SELECT
+      |  ('0x' || substr(md5('fold:' || source || '/' || lang), 1, 8))::BIGINT
+      |    % 5 AS fold,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(count(DISTINCT source || '/' || lang) AS BIGINT) AS n_groups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q182
+  /** Span-corruption masking statistics — the T5/BERT-style preprocessing
+    * audit: mask each token position with probability ~15% from a
+    * deterministic per-(doc, position) hash channel and report, per doc,
+    * how many tokens were masked and how many CONTIGUOUS SPANS the masks
+    * form (span count drives sentinel-token budget and effective sequence
+    * length in denoising training). The span count needs no window: a
+    * position starts a span iff it is masked and position−1 is not, and
+    * both flags are pure hash expressions of (doc_id, pos) — the
+    * adjacency logic is stateless, so the whole operator is one explode
+    * + one doc-keyed aggregate.
+    *
+    * Scale shape: corpus-linear in tokens, one shuffle on doc_id (the
+    * aggregate); masking decisions never materialize per-token state.
+    */
+  def spanCorruptionStats(docs: DataFrame, maskPct: Int = 15): DataFrame = {
+    def maskedAt(pos: Column): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        pos.cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100L < lit(maskPct.toLong)
+    docs
+      .select(col("doc_id"),
+        size(graft.functions.shingleStrings(col("text"), 1)).cast("long")
+          .as("n_tokens"))
+      // Token-less docs are excluded on BOTH engines (Spark's sequence()
+      // would otherwise DESCEND for start > stop and fabricate positions).
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1), col("n_tokens"))).as("pos"))
+      .withColumn("m", maskedAt(col("pos")))
+      .withColumn("span_start",
+        col("m") && (col("pos") === 1 || !maskedAt(col("pos") - 1)))
+      .groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("span_start"), 1L).otherwise(0L)).as("n_spans"))
+      .withColumn("corruption_ppm",
+        expr("(1000000 * n_masked) div n_tokens"))
+  }
+
+  /** Gated q182: 15% span-corruption plan over the documents corpus. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptionStats(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"), col("corruption_ppm"))
+
+  private val spanCorruptionSql =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        x -> x <> '')) AS n_tokens
+      |  FROM documents
+      |),
+      |pos AS (
+      |  SELECT doc_id, n_tokens, unnest(range(1, n_tokens + 1)) AS pos
+      |  FROM ws WHERE n_tokens > 0
+      |),
+      |flags AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 100 < 15 AS m,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(pos - 1 AS VARCHAR)), 1, 8))::BIGINT % 100 < 15 AS m_prev
+      |  FROM pos
+      |)
+      |SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |  CAST(sum(CASE WHEN m AND (pos = 1 OR NOT m_prev) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_spans,
+      |  CAST((1000000 * sum(CASE WHEN m THEN 1 ELSE 0 END)) // max(n_tokens)
+      |    AS BIGINT) AS corruption_ppm
+      |FROM flags GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q181_group_kfold", groupKFoldSummary _, Some(groupKFoldSql)),
+    NamedQuery("q182_span_corruption", spanCorruption _,
+      Some(spanCorruptionSql)),
     NamedQuery("q162_conformal_calibration", conformalCalibration _,
       Some(conformalCalibrationSql)),
     NamedQuery("q160_logistic_train", logisticTrainGate _,

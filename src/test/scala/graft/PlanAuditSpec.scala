@@ -895,4 +895,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(s179.nestedLoops == 0 && s179.smj <= 2, s"q179 regressed: $s179")
     assert(s179.scans <= 18 && s179.shuffles <= 28, s"q179 regressed: $s179")
   }
+
+  test("policy/split/masking additions stay scan+aggregate shaped (q180-q182)") {
+    // q180: events scan + 5-row broadcast action index + one keyed agg;
+    // singleParts=2 is the k-row index window (metadata-sized).
+    val s180 = stats("q180_offline_policy")
+    assert(s180.nestedLoops == 0 && s180.smj == 0 && s180.singleParts <= 2,
+      s"q180 regressed: $s180")
+    assert(s180.scans <= 8 && s180.shuffles <= 16, s"q180 regressed: $s180")
+    // q181: one scan, one hash aggregate — fold assignment is a projection.
+    val s181 = stats("q181_group_kfold")
+    assert(s181.nestedLoops == 0 && s181.singleParts == 0, s"q181 regressed: $s181")
+    assert(s181.scans <= 4 && s181.shuffles <= 8, s"q181 regressed: $s181")
+    // q182: token-position explode + doc-keyed agg; masking is stateless.
+    val s182 = stats("q182_span_corruption")
+    assert(s182.nestedLoops == 0 && s182.singleParts == 0, s"q182 regressed: $s182")
+    assert(s182.scans <= 4 && s182.shuffles <= 4, s"q182 regressed: $s182")
+  }
 }

@@ -87,4 +87,39 @@ class ModelEvalSpec extends SparkSpec {
     val out = bh(600000L, 700000L)
     assert(out.forall(!_._2))
   }
+
+  // --------------------------------------------------------- ipsPolicyValue
+
+  private def md5Head8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("ipsPolicyValue: single-action policy always matches — IPS equals the logged mean") {
+    val logged = Seq(("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 400L))
+      .toDF("action", "user", "r")
+    val out = ModelEval.ipsPolicyValue(logged, "action", "user", "r")
+      .collect().head
+    assert(out.getAs[Long]("n_match") == 3L)
+    assert(out.getAs[Long]("ips_contrib_micro") ==
+      out.getAs[Long]("avg_logged_micro"))
+    // mean = 700/3 -> two-step micro division: 233 * 1e6 + (1e6*1)/3.
+    assert(out.getAs[Long]("avg_logged_micro") ==
+      233L * 1000000L + 1000000L / 3L)
+  }
+
+  test("ipsPolicyValue: match sets agree with a reference policy walk") {
+    val logged = Seq(("a", 10L, 100L), ("a", 11L, 100L), ("b", 10L, 50L),
+      ("b", 12L, 50L), ("b", 13L, 50L)).toDF("action", "user", "r")
+    val out = ModelEval.ipsPolicyValue(logged, "action", "user", "r")
+      .collect().map(r => r.getAs[String]("action") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_match")))).toMap
+    // Reference: actions sorted (a=0, b=1), pi(user) = md5("pi:u") % 2.
+    def pi(u: Long): Long = md5Head8(s"pi:$u") % 2
+    val expA = Seq(10L, 11L).count(pi(_) == 0L).toLong
+    val expB = Seq(10L, 12L, 13L).count(pi(_) == 1L).toLong
+    assert(out("a") == ((2L, expA)))
+    assert(out("b") == ((3L, expB)))
+  }
 }

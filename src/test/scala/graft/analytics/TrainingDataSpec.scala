@@ -461,4 +461,65 @@ class TrainingDataSpec extends SparkSpec {
     // Stationarity at the optimum: tiny gradient.
     assert(fit.gradInfNorm < 1e-3 * fit.n, s"gradient ${fit.gradInfNorm}")
   }
+
+  // ----------------------------------------------------- groupKFold (q181)
+
+  private def md5Head8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("groupKFold: fold is a pure function of the group — no group straddles folds") {
+    val rows = Seq(
+      ("s1", "en", 10L), ("s1", "en", 20L), ("s1", "de", 5L),
+      ("s2", "en", 7L), ("s2", "en", 3L), ("s3", "fr", 9L))
+      .toDF("source", "lang", "n_chars")
+    val out = TrainingData.groupKFold(rows,
+      concat(col("source"), lit("/"), col("lang")), 5).collect()
+    // Sum of per-fold distinct groups must equal the global distinct
+    // count (4) — a group split across folds would double-count.
+    assert(out.map(_.getAs[Long]("n_groups")).sum == 4L)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 6L)
+    assert(out.map(_.getAs[Long]("total_chars")).sum == 54L)
+    // Cross-check one fold id against a reference md5.
+    val expected = md5Head8("fold:s1/en") % 5
+    val f = out.filter(_.getAs[Long]("n_groups") > 0)
+    assert(out.exists(_.getAs[Long]("fold") == expected))
+  }
+
+  test("groupKFold: assignment is stable under corpus growth") {
+    val base = Seq(("s1", "en", 1L), ("s2", "de", 2L))
+      .toDF("source", "lang", "n_chars")
+    val grown = base union Seq(("s1", "en", 3L)).toDF("source", "lang", "n_chars")
+    def foldOf(df: org.apache.spark.sql.DataFrame) =
+      TrainingData.groupKFold(df,
+        concat(col("source"), lit("/"), col("lang")), 5)
+        .collect().map(r => r.getAs[Long]("fold")).toSet
+    assert(foldOf(grown).subsetOf(foldOf(base)) || foldOf(base).subsetOf(foldOf(grown)))
+  }
+
+  // ---------------------------------------------- spanCorruptionStats (q182)
+
+  test("spanCorruptionStats: matches a reference mask walk, spans <= masked") {
+    val oneDoc = Seq((7L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TrainingData.spanCorruptionStats(oneDoc).collect().head
+    // Reference walk with the same hash channel.
+    val masked = (1 to 40).map(p => md5Head8(s"7:$p") % 100 < 15)
+    val nMasked = masked.count(identity).toLong
+    val nSpans = masked.zipWithIndex.count { case (m, i) =>
+      m && (i == 0 || !masked(i - 1)) }.toLong
+    assert(r.getAs[Long]("n_tokens") == 40L)
+    assert(r.getAs[Long]("n_masked") == nMasked)
+    assert(r.getAs[Long]("n_spans") == nSpans)
+    assert(r.getAs[Long]("n_spans") <= r.getAs[Long]("n_masked"))
+    assert(r.getAs[Long]("corruption_ppm") == 1000000L * nMasked / 40L)
+  }
+
+  test("spanCorruptionStats: token-less docs are excluded, not fabricated") {
+    val d = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
+    val out = TrainingData.spanCorruptionStats(d).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+  }
 }
