@@ -760,7 +760,95 @@ object Statistics {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS tau_b_micro
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q183
+  /** Population Stability Index — the industry-standard drift score a
+    * model-monitoring pipeline computes between a reference window and
+    * the current one: PSI = Σ_bins (pᵢ − qᵢ)·ln(pᵢ/qᵢ). Completes the
+    * drift family (q107 location, q111 categorical, q116 shape, q163
+    * rates, q108 JSD) with the score ops teams actually threshold
+    * (<0.1 stable, >0.25 investigate).
+    *
+    * Determinism: bins are FIXED-WIDTH on integer cents (quantile bins
+    * would need cross-engine edge agreement; fixed bins are standard
+    * practice and engine-exact), shares are add-one smoothed — (nᵢ+1)/
+    * (N+B) — so ln never sees 0, and each bin's term is floored to ppm
+    * INDIVIDUALLY: per-bin terms are integers, so the segment total is
+    * an order-independent integer sum, never a float reduction (every
+    * (p−q)·ln(p/q) term is ≥ 0, so ppm flooring is monotone too).
+    *
+    * Scale shape: one fact scan → (segment, window, bin) hash aggregate
+    * (fully partial); the PSI arithmetic runs on the B·segments-sized
+    * result. Nothing corpus-sized crosses a window.
+    */
+  def psi(binned: DataFrame, groupCol: String, isRefCol: String,
+          binCol: String, nBins: Int): DataFrame = {
+    val counts = binned
+      .groupBy(col(groupCol), col(binCol).as("bin"))
+      .agg(sum(when(col(isRefCol), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col(isRefCol), 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.partitionBy(groupCol)
+    counts
+      .withColumn("tot_ref", sum(col("n_ref")).over(w))
+      .withColumn("tot_cur", sum(col("n_cur")).over(w))
+      .withColumn("p", (col("n_ref") + 1).cast("double")
+        / (col("tot_ref") + nBins).cast("double"))
+      .withColumn("q", (col("n_cur") + 1).cast("double")
+        / (col("tot_cur") + nBins).cast("double"))
+      .withColumn("term_ppm",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .drop("p", "q")
+  }
+
+  /** Gated q183: order-price PSI per market segment, reference = orders
+    * before 1998, current = 1998 onward; ten fixed 50k-dollar bins.
+    */
+  def priceDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (year(col("o_orderdate")) < 1998).as("is_ref"),
+        expr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 5000000, 9)")
+          .as("bin"))
+    psi(binned, "segment", "is_ref", "bin", 10)
+      .select(col("segment"), col("bin"), col("n_ref"), col("n_cur"),
+        col("tot_ref"), col("tot_cur"), col("term_ppm"))
+  }
+
+  private val priceDriftPsiSql =
+    """WITH binned AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    year(o.o_orderdate) < 1998 AS is_ref,
+      |    least(CAST(round(o.o_totalprice * 100) AS BIGINT) // 5000000, 9)
+      |      AS bin
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |counts AS (
+      |  SELECT segment, bin,
+      |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+      |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      |  FROM binned GROUP BY 1, 2
+      |),
+      |tot AS (
+      |  SELECT *, sum(n_ref) OVER (PARTITION BY segment) AS tot_ref,
+      |    sum(n_cur) OVER (PARTITION BY segment) AS tot_cur
+      |  FROM counts
+      |)
+      |SELECT segment, CAST(bin AS BIGINT) AS bin,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(tot_ref AS BIGINT) AS tot_ref, CAST(tot_cur AS BIGINT) AS tot_cur,
+      |  CAST(floor(
+      |    ((n_ref + 1)::DOUBLE / (tot_ref + 10)::DOUBLE
+      |     - (n_cur + 1)::DOUBLE / (tot_cur + 10)::DOUBLE)
+      |    * ln(((n_ref + 1)::DOUBLE / (tot_ref + 10)::DOUBLE)
+      |         / ((n_cur + 1)::DOUBLE / (tot_cur + 10)::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS term_ppm
+      |FROM tot""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q183_psi_drift", priceDriftPsi _, Some(priceDriftPsiSql)),
     NamedQuery("q179_kendall_tau", revenueVolumeKendall _,
       Some(revenueVolumeKendallSql)),
     NamedQuery("q167_cuped_reduction", cupedVarianceReduction _,

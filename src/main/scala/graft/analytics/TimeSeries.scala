@@ -846,7 +846,116 @@ object TimeSeries {
       |  s > ref * 2 AS flagged
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q184
+  /** Forecast backtest — the "is the model better than doing nothing?"
+    * harness: replay the truncated-EWMA forecaster (the q176 kernel) and
+    * the naive last-value forecast over the same held-out rows and score
+    * both by MAE, plus the MASE-style skill ratio
+    * skill_ppm = 1e6·ΣAE_ewma / ΣAE_naive (<1e6 ⇒ the model beats
+    * naive — the Hyndman guard against deploying a forecaster worse
+    * than persistence). Errors are integer cents; MAEs and the ratio ride
+    * the micro-unit two-step division, so the whole scoreboard is
+    * engine-exact. Only rows where BOTH forecasts exist (full 8-lag
+    * warm-up) are scored — same eval set for both models by construction.
+    *
+    * Scale shape: the q176 plan plus one more lag inside the SAME
+    * per-key window sort, then a key-sized aggregate. Zero extra
+    * shuffles over the forecast itself.
+    */
+  def forecastBacktest(perT: DataFrame, keyCol: String, tCol: String,
+                       yCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tCol))
+    ewmaForecast(perT, keyCol, tCol, yCol)
+      .withColumn("naive", lag(col(yCol), 1).over(w))
+      .filter(col("forecast").isNotNull && col("naive").isNotNull)
+      .withColumn("ae_naive", abs(col(yCol) - col("naive")))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_eval"),
+        sum("abs_err").as("sae_ewma"),
+        sum("ae_naive").as("sae_naive"))
+      .withColumn("mae_ewma_micro", expr(
+        """(sae_ewma div n_eval) * 1000000
+          | + (1000000 * (sae_ewma - (sae_ewma div n_eval) * n_eval)) div n_eval"""
+          .stripMargin))
+      .withColumn("mae_naive_micro", expr(
+        """(sae_naive div n_eval) * 1000000
+          | + (1000000 * (sae_naive - (sae_naive div n_eval) * n_eval)) div n_eval"""
+          .stripMargin))
+      .withColumn("skill_ppm",
+        when(col("sae_naive") > 0, expr(
+          """(sae_ewma div sae_naive) * 1000000
+            | + (1000000 * (sae_ewma - (sae_ewma div sae_naive) * sae_naive))
+            |   div sae_naive""".stripMargin)))
+  }
+
+  /** Gated q184: weekly-revenue backtest per nation (EWMA vs naive). */
+  def weeklyForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    forecastBacktest(weekly, "nation", "week", "cents")
+      .select(col("nation"), col("n_eval"), col("sae_ewma"),
+        col("sae_naive"), col("mae_ewma_micro"), col("mae_naive_micro"),
+        col("skill_ppm"))
+  }
+
+  private val weeklyForecastBacktestSql =
+    """WITH weekly AS (
+      |  SELECT n.n_name AS nation,
+      |    date_trunc('week', o.o_orderdate)::DATE AS week,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2
+      |),
+      |lagged AS (
+      |  SELECT nation, week, cents,
+      |    lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+      |    lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+      |    lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+      |    lag(cents, 7) OVER w AS l7, lag(cents, 8) OVER w AS l8
+      |  FROM weekly
+      |  WINDOW w AS (PARTITION BY nation ORDER BY week)
+      |),
+      |f AS (
+      |  SELECT nation, cents, l1 AS naive,
+      |    (l1 * 30000000 + l2 * 21000000 + l3 * 14700000 + l4 * 10290000
+      |     + l5 * 7203000 + l6 * 5042100 + l7 * 3529470 + l8 * 2470629)
+      |      // 94235199 AS forecast
+      |  FROM lagged
+      |),
+      |s AS (
+      |  SELECT nation, count(*) AS n_eval,
+      |    sum(abs(cents - forecast)) AS sae_ewma,
+      |    sum(abs(cents - naive)) AS sae_naive
+      |  FROM f WHERE forecast IS NOT NULL AND naive IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT nation, CAST(n_eval AS BIGINT) AS n_eval,
+      |  CAST(sae_ewma AS BIGINT) AS sae_ewma,
+      |  CAST(sae_naive AS BIGINT) AS sae_naive,
+      |  CAST((sae_ewma // n_eval) * 1000000
+      |    + (1000000 * (sae_ewma - (sae_ewma // n_eval) * n_eval)) // n_eval
+      |    AS BIGINT) AS mae_ewma_micro,
+      |  CAST((sae_naive // n_eval) * 1000000
+      |    + (1000000 * (sae_naive - (sae_naive // n_eval) * n_eval)) // n_eval
+      |    AS BIGINT) AS mae_naive_micro,
+      |  CASE WHEN sae_naive > 0 THEN CAST((sae_ewma // sae_naive) * 1000000
+      |    + (1000000 * (sae_ewma - (sae_ewma // sae_naive) * sae_naive))
+      |      // sae_naive AS BIGINT) END AS skill_ppm
+      |FROM s""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q184_forecast_backtest", weeklyForecastBacktest _,
+      Some(weeklyForecastBacktestSql)),
     NamedQuery("q175_survival_curve", customerSurvival _,
       Some(customerSurvivalSql)),
     NamedQuery("q176_ewma_forecast", weeklyEwmaForecast _,

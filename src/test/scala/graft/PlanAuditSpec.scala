@@ -912,4 +912,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(s182.nestedLoops == 0 && s182.singleParts == 0, s"q182 regressed: $s182")
     assert(s182.scans <= 4 && s182.shuffles <= 4, s"q182 regressed: $s182")
   }
+
+  test("drift/backtest additions stay aggregate+window shaped (q183/q184)") {
+    // q183: fact scan -> (segment, bin) hash agg -> segment-partitioned
+    // totals window; PSI arithmetic rides the 10-bin result.
+    val s183 = stats("q183_psi_drift")
+    assert(s183.nestedLoops == 0 && s183.smj == 0 && s183.singleParts == 0,
+      s"q183 regressed: $s183")
+    assert(s183.scans <= 8 && s183.shuffles <= 12, s"q183 regressed: $s183")
+    // q184: the q176 window plan + one extra lag + key-sized aggregate.
+    val s184 = stats("q184_forecast_backtest")
+    assert(s184.nestedLoops == 0 && s184.smj == 0 && s184.singleParts == 0,
+      s"q184 regressed: $s184")
+    assert(s184.scans <= 12 && s184.shuffles <= 16, s"q184 regressed: $s184")
+  }
 }

@@ -277,4 +277,40 @@ class StatisticsSpec extends SparkSpec {
     val out = tau(("g", 1, 7L, 1L), ("g", 2, 7L, 2L), ("g", 3, 7L, 3L))
     assert(out("g")._6.isEmpty)
   }
+
+  // ---------------------------------------------------------------- psi
+
+  test("psi: identical distributions yield zero terms; a shifted bin is positive") {
+    val binned = Seq(
+      // "same": ref and cur both 10 rows in bin 0, 10 in bin 1.
+      ("same", true, 0L), ("same", false, 0L), ("same", true, 1L), ("same", false, 1L),
+      // "shift": ref all in bin 0, cur all in bin 1.
+      ("shift", true, 0L), ("shift", true, 0L), ("shift", false, 1L), ("shift", false, 1L))
+      .toDF("g", "is_ref", "bin")
+    val out = Statistics.psi(binned, "g", "is_ref", "bin", 10)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("term_ppm")).toMap
+    // Equal counts -> p = q exactly -> term is exactly 0 ppm.
+    assert(out(("same", 0L)) == 0L && out(("same", 1L)) == 0L)
+    // Shifted mass -> strictly positive terms on both bins.
+    assert(out(("shift", 0L)) > 0L && out(("shift", 1L)) > 0L)
+  }
+
+  test("psi: terms are never negative (same-sign identity)") {
+    val binned = Seq(("g", true, 0L), ("g", true, 1L), ("g", false, 1L),
+      ("g", false, 2L), ("g", false, 2L)).toDF("g", "is_ref", "bin")
+    val out = Statistics.psi(binned, "g", "is_ref", "bin", 10).collect()
+    assert(out.forall(_.getAs[Long]("term_ppm") >= 0L))
+  }
+
+  test("psi: matches a hand-computed smoothed term") {
+    // One bin, ref 3 of 3, cur 0 of 1; B=10.
+    // p = 4/13, q = 1/11; term = (p-q)*ln(p/q).
+    val binned = Seq(("g", true, 0L), ("g", true, 0L), ("g", true, 0L),
+      ("g", false, 1L)).toDF("g", "is_ref", "bin")
+    val out = Statistics.psi(binned, "g", "is_ref", "bin", 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("term_ppm")).toMap
+    val p = 4.0 / 13.0; val q = 1.0 / 11.0
+    assert(out(0L) == math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong)
+  }
 }

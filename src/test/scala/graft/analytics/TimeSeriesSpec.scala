@@ -328,4 +328,25 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeries.cusumDrift(perT, "g", "t", "y").collect()
     assert(out.forall(_.getAs[Long]("s") >= 0L))
   }
+
+  // -------------------------------------------------------- forecastBacktest
+
+  test("forecastBacktest: constant series — both models perfect, skill undefined") {
+    val perT = (1 to 12).map(i => ("k", i, 100L)).toDF("k", "t", "y")
+    val r = TimeSeries.forecastBacktest(perT, "k", "t", "y").collect().head
+    assert(r.getAs[Long]("n_eval") == 4L) // rows 9..12 have full warm-up
+    assert(r.getAs[Long]("sae_ewma") == 0L && r.getAs[Long]("sae_naive") == 0L)
+    assert(r.isNullAt(r.fieldIndex("skill_ppm")), "0/0 skill must be null")
+  }
+
+  test("forecastBacktest: alternating series — naive is maximally wrong, EWMA beats it") {
+    // y alternates 0/1000: naive error is 1000 every step; EWMA of the
+    // mixed window lands near the mean, so error ~500 per step.
+    val perT = (1 to 16).map(i => ("k", i, if (i % 2 == 0) 1000L else 0L))
+      .toDF("k", "t", "y")
+    val r = TimeSeries.forecastBacktest(perT, "k", "t", "y").collect().head
+    assert(r.getAs[Long]("sae_naive") == 1000L * r.getAs[Long]("n_eval"))
+    assert(r.getAs[Long]("skill_ppm") < 1000000L,
+      s"EWMA must beat naive here: $r")
+  }
 }
