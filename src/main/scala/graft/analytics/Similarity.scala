@@ -729,7 +729,80 @@ object Similarity {
       |WHERE i.i < len(v)
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q186
+  /** Matryoshka-truncation recall — the dimension-efficiency audit MRL
+    * embeddings (Kusupati et al. 2022) make routine: re-rank with only
+    * the FIRST 16 of 64 dimensions and measure recall@5 against the
+    * full-dimension exact top-5. Truncated search costs 4× less compute
+    * and memory at serving time; this gate quantifies what that buys on
+    * the planted-margin corpus (q20's kernel: true neighbors sit ~0.5
+    * cosine above the natural background in the full space, so the
+    * FULL ranking is engine-exact; the truncated ranking is computed
+    * identically in both engines over the identical double slices, and
+    * the OVERLAP COUNT is an integer — no float crosses the gate).
+    *
+    * Scale shape: two q19-shaped broadcast-kNN passes (queries are the
+    * tiny side, corpus streams) + a per-query 5-row join; at corpus
+    * scale the truncated pass is the cheap one by construction — that
+    * asymmetry is the operator's point.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedKnnCorpus(Tables.embeddings(spark, dir))
+    val trunc = corpus.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val full5 = bruteForceKnn(corpus, corpus.filter(col("vec_id") < 10), 5)
+    val trunc5 = bruteForceKnn(trunc, trunc.filter(col("vec_id") < 10), 5)
+    trunc5.select(col("query_id"), col("neighbor_id"))
+      .join(full5.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(1000000 * n_overlap) div k"))
+  }
+
+  private val matryoshkaRecallSql =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      |), corpus AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT 100000 + b.vec_id * 10 + t.t AS vec_id,
+      |         list_transform(b.embedding,
+      |           (x, i) -> x + ((b.vec_id * 31 + t.t * 7 + i - 1) % 97 - 48) / 2000.0) AS embedding
+      |  FROM base b, (SELECT unnest(range(0, 5)) AS t) t
+      |  WHERE b.vec_id < 10
+      |),
+      |full5 AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |               c.vec_id) AS rank
+      |  FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10
+      |  QUALIFY rank <= 5
+      |),
+      |trunc5 AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding[1:16], c.embedding[1:16]) DESC,
+      |               c.vec_id) AS rank
+      |  FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10
+      |  QUALIFY rank <= 5
+      |)
+      |SELECT t.query_id, count(*) AS k,
+      |  CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_overlap,
+      |  CAST((1000000 * sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS recall_ppm
+      |FROM trunc5 t LEFT JOIN full5 f
+      |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q186_matryoshka_recall", matryoshkaRecall _,
+      Some(matryoshkaRecallSql)),
     NamedQuery("q164_label_centroids", labelCentroidProfile _,
       Some(labelCentroidsSql)),
     NamedQuery("q19_knn_brute", knnBrute _, Some(knnBruteSql)),

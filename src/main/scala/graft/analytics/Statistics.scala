@@ -781,11 +781,21 @@ object Statistics {
     * result. Nothing corpus-sized crosses a window.
     */
   def psi(binned: DataFrame, groupCol: String, isRefCol: String,
-          binCol: String, nBins: Int): DataFrame = {
-    val counts = binned
+          binCol: String, nBins: Int): DataFrame =
+    psiFromCounts(binned
       .groupBy(col(groupCol), col(binCol).as("bin"))
       .agg(sum(when(col(isRefCol), 1L).otherwise(0L)).as("n_ref"),
-        sum(when(!col(isRefCol), 1L).otherwise(0L)).as("n_cur"))
+        sum(when(!col(isRefCol), 1L).otherwise(0L)).as("n_cur")),
+      groupCol, nBins)
+
+  /** The PSI arithmetic over an already-aggregated (group, bin, n_ref,
+    * n_cur) counts table — LITERALLY SHARED between the one-shot q183
+    * gate and [[graft.warehouse.DriftState]]'s snapshot (the
+    * RetrievalIndex shared-tail discipline: two paths, one kernel, zero
+    * drift).
+    */
+  def psiFromCounts(counts: DataFrame, groupCol: String,
+                    nBins: Int): DataFrame = {
     val w = Window.partitionBy(groupCol)
     counts
       .withColumn("tot_ref", sum(col("n_ref")).over(w))

@@ -926,4 +926,19 @@ class PlanAuditSpec extends SparkSpec {
       s"q184 regressed: $s184")
     assert(s184.scans <= 12 && s184.shuffles <= 16, s"q184 regressed: $s184")
   }
+
+  test("drift state + matryoshka recall keep their family shapes (q185/q186)") {
+    // q185 returns a checkpointed snapshot (codegen=1 in the audit — the
+    // q155/q103 state-family caveat); its live plans execute inside the
+    // fold, whose kernel is the gated q183 (audited above). Pin only
+    // that the snapshot read stays trivially flat.
+    val s185 = stats("q185_drift_state")
+    assert(s185.nestedLoops == 0 && s185.shuffles == 0, s"q185 regressed: $s185")
+    // q186: two q19-shaped broadcast-query kNN passes — the nestedLoops
+    // are the broadcast query-probe loops (q19-class, 2 per pass),
+    // never a corpus×corpus product.
+    val s186 = stats("q186_matryoshka_recall")
+    assert(s186.nestedLoops <= 6, s"q186 regressed: $s186")
+    assert(s186.scans <= 32 && s186.shuffles <= 28, s"q186 regressed: $s186")
+  }
 }

@@ -256,4 +256,28 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == all -- twins,
       s"derived-k dedup must drop the ${twins.size} twins and nothing else")
   }
+
+  // ------------------------------------------------------ matryoshkaRecall
+
+  test("matryoshkaRecall: per-query recall is bounded, deterministic, and high on the planted corpus") {
+    val out = Similarity.matryoshkaRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("n_overlap"),
+          r.getAs[Long]("recall_ppm")))).toMap
+    assert(out.size == 10, "one row per planted query")
+    out.values.foreach { case (k, ov, ppm) =>
+      assert(k == 5L && ov >= 0L && ov <= 5L)
+      assert(ppm == 1000000L * ov / 5L)
+    }
+    // The planted twins dominate BOTH rankings by a ~0.5 cosine margin,
+    // so 16-dim truncation must keep recall perfect on this corpus.
+    assert(out.values.forall(_._2 == 5L),
+      s"expected full recall on planted margins, got $out")
+    // Determinism: a second run returns the identical map.
+    val again = Similarity.matryoshkaRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("n_overlap"),
+          r.getAs[Long]("recall_ppm")))).toMap
+    assert(again == out)
+  }
 }
