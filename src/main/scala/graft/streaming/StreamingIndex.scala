@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.warehouse.{DedupIndex, RetrievalIndex}
+import org.apache.spark.sql.Column
+
+import graft.warehouse.{DedupIndex, DriftState, RetrievalIndex}
 
 /** Streaming ingestion faces for the incremental indices: a document
   * file stream drains into the BM25 retrieval index and/or the near-dup
@@ -39,6 +41,35 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         RetrievalIndex.update(spark, indexRoot, batch, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain `sourceDir` (json files of `schema`) into the drift-monitor
+    * state at `stateRoot`: each micro-batch's binned histogram folds
+    * into the CURRENT side under [[DriftState]]'s delta-dir + marker
+    * protocol (the reference side is frozen beforehand via
+    * `DriftState.initReference`). `binExpr` maps a raw row to its
+    * integer bin id. Same exactly-once story as the index faces: the
+    * epoch is the batch id, replays short-circuit, orphan dirs are
+    * excluded from reads.
+    */
+  def driftAvailableNow(spark: SparkSession, sourceDir: String,
+                        schema: StructType, stateRoot: String,
+                        checkpoint: String, groupCols: Seq[String],
+                        binExpr: Column): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        DriftState.update(spark, stateRoot,
+          batch.withColumn("__bin", binExpr), groupCols, "__bin",
+          batchId = Some(epoch))
         ()
       }
       .start()

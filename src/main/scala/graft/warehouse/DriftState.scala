@@ -7,23 +7,51 @@ import graft.NamedQuery
 
 /** Incremental drift-monitor state — the monitoring member of the exact
   * state-table family (moments: [[MomentsState]]; covariance:
-  * [[CovarianceState]]): persist per (group, bin) REFERENCE and CURRENT
-  * counts and fold each production batch in by plain BIGINT addition, so
-  * "is today's traffic drifting off the training distribution?" never
-  * re-scans history. The reference histogram is frozen once (the
-  * training-window snapshot a model ships with); current counts
-  * accumulate per batch; the PSI read is [[graft.analytics.Statistics
-  * .psiFromCounts]] — LITERALLY the q183 kernel, so the monitored score
-  * and the one-shot score cannot drift an ulp apart.
+  * [[CovarianceState]]; indices: [[RetrievalIndex]], [[DedupIndex]]):
+  * persist per (group, bin) REFERENCE and CURRENT histogram counts and
+  * fold each production batch in, so "is today's traffic drifting off
+  * the training distribution?" never re-scans history. The reference
+  * histogram is frozen once (the training-window snapshot a model ships
+  * with); current counts accumulate per batch; the PSI read is
+  * [[graft.analytics.Statistics.psiFromCounts]] — LITERALLY the q183
+  * kernel, so the monitored score and the one-shot score cannot drift
+  * an ulp apart.
   *
-  * Integer sums are order-independent, so replayed/permuted batches
-  * equal the one-shot aggregate bit-for-bit — no error term at all.
-  * State is (groups × bins)-sized; updates cost one batch scan.
+  * Layout under one root (the [[RetrievalIndex]] protocol):
+  *  - `ref/batch=N/`, `cur/batch=N/` (group…, bin, n_ref, n_cur) — one
+  *    partition dir per folded batch, per-dir overwrite
+  *    (byte-idempotent rewrite); the two SIDES have independent id
+  *    spaces so foreachBatch epochs (which start at 0) never collide
+  *    with the pre-frozen reference;
+  *  - `stats` (last_ref, last_batch) — the COMMIT MARKERS under the
+  *    [[StateFiles]] staged swap, installed LAST.
   *
-  * Same persistence discipline as its siblings: [[StateFiles]] staged
-  * swap + crash recovery, in-JVM path lock, opt-in [[LeaseLock]].
+  * EXACTLY-ONCE: a crash before the marker leaves an orphan delta dir
+  * that reads EXCLUDE (`batch <= marker` prunes at the scan) and the
+  * replay overwrites with identical bytes; a replay after the marker
+  * short-circuits on `batchId <= marker` — which makes the state a
+  * safe `foreachBatch` sink ([[graft.streaming.StreamingIndex
+  * .driftAvailableNow]]). Integer sums are order-independent, so any
+  * committed batch partitioning equals the one-shot aggregate
+  * bit-for-bit — no error term at all.
   */
 object DriftState {
+
+  private def refPath(root: String)   = s"$root/ref"
+  private def curPath(root: String)   = s"$root/cur"
+  private def statsPath(root: String) = s"$root/stats"
+
+  /** (last_ref, last_batch) of the installed state, or None. Reference
+    * and current batches have INDEPENDENT id spaces, so a foreachBatch
+    * stream whose epochs start at 0 never collides with the frozen
+    * reference (which the caller installs before the stream starts).
+    */
+  def markers(spark: SparkSession, root: String): Option[(Long, Long)] =
+    if (!StateFiles.exists(spark, statsPath(root))) None
+    else {
+      val r = spark.read.parquet(statsPath(root)).head()
+      Some((r.getAs[Long]("last_ref"), r.getAs[Long]("last_batch")))
+    }
 
   private def binCounts(batch: DataFrame, groupCols: Seq[String],
                         binCol: String, side: String): DataFrame =
@@ -33,46 +61,75 @@ object DriftState {
       .withColumn("n_cur", if (side == "cur") col("n") else lit(0L))
       .drop("n")
 
-  private def fold(spark: SparkSession, statePath: String, delta: DataFrame,
-                   groupCols: Seq[String], lease: Boolean): DataFrame =
-    graft.core.PathLocks.forPath(statePath).synchronized {
-      LeaseLock.withLease(spark, statePath, lease) {
-        StateFiles.recover(spark, statePath)
-        val keys = groupCols :+ "bin"
-        val merged =
-          if (!StateFiles.exists(spark, statePath)) delta
-          else spark.read.parquet(statePath)
-            .unionByName(delta)
-            .groupBy(keys.map(col): _*)
-            .agg(sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"))
-        StateFiles.install(spark, statePath, merged)
-        spark.read.parquet(statePath).localCheckpoint(eager = true)
+  private def fold(spark: SparkSession, root: String, delta: DataFrame,
+                   side: String, batchId: Option[Long],
+                   lease: Boolean): Long =
+    graft.core.PathLocks.forPath(root).synchronized {
+      LeaseLock.withLease(spark, root, lease) {
+        StateFiles.recover(spark, statsPath(root))
+        val (lastRef, lastCur) = markers(spark, root).getOrElse((-1L, -1L))
+        val last = if (side == "ref") lastRef else lastCur
+        val id = batchId.getOrElse(last + 1)
+        if (id > last) { // else: committed replay — every effect installed
+          val dir = if (side == "ref") refPath(root) else curPath(root)
+          delta.write.mode("overwrite").parquet(s"$dir/batch=$id")
+          import spark.implicits._
+          val m =
+            if (side == "ref") Seq((id, lastCur)) else Seq((lastRef, id))
+          StateFiles.install(spark, statsPath(root),
+            m.toDF("last_ref", "last_batch"))
+        }
+        math.max(id, last)
       }
     }
 
   /** Freeze (or extend) the reference histogram from a training-window
     * batch. `binCol` must already hold the integer bin id.
     */
-  def initReference(spark: SparkSession, statePath: String, ref: DataFrame,
+  def initReference(spark: SparkSession, root: String, ref: DataFrame,
                     groupCols: Seq[String], binCol: String,
-                    lease: Boolean = false): DataFrame =
-    fold(spark, statePath, binCounts(ref, groupCols, binCol, "ref"),
-      groupCols, lease)
+                    batchId: Option[Long] = None, lease: Boolean = false): Long =
+    fold(spark, root, binCounts(ref, groupCols, binCol, "ref"), "ref",
+      batchId, lease)
 
-  /** Fold one production batch into the CURRENT side of the state. */
-  def update(spark: SparkSession, statePath: String, batch: DataFrame,
-             groupCols: Seq[String], binCol: String,
-             lease: Boolean = false): DataFrame =
-    fold(spark, statePath, binCounts(batch, groupCols, binCol, "cur"),
-      groupCols, lease)
-
-  /** Current PSI table — a state-table read through the q183 kernel; no
-    * history scan. One row per (group, bin) with the ppm term.
+  /** Fold one production batch into the CURRENT side of the state.
+    * `batchId` defaults to last_batch + 1; passing the foreachBatch
+    * epoch makes the call replay-idempotent.
     */
-  def psiSnapshot(spark: SparkSession, statePath: String, groupCol: String,
+  def update(spark: SparkSession, root: String, batch: DataFrame,
+             groupCols: Seq[String], binCol: String,
+             batchId: Option[Long] = None, lease: Boolean = false): Long =
+    fold(spark, root, binCounts(batch, groupCols, binCol, "cur"), "cur",
+      batchId, lease)
+
+  /** Committed per-(group, bin) counts — orphan (uncommitted) delta dirs
+    * are pruned AT THE SCAN by the partition-column filter; a state with
+    * no committed current batch reads as all-zero n_cur.
+    */
+  def counts(spark: SparkSession, root: String,
+             groupCols: Seq[String]): DataFrame = {
+    val (lastRef, lastCur) = markers(spark, root)
+      .getOrElse(sys.error(s"DriftState.counts: no state at $root"))
+    val keys = groupCols :+ "bin"
+    def side(dir: String, last: Long): Option[DataFrame] =
+      if (last < 0) None
+      else Some(spark.read.parquet(dir).filter(col("batch") <= last)
+        .select((keys :+ "n_ref" :+ "n_cur").map(col): _*))
+    val parts = side(refPath(root), lastRef).toSeq ++
+      side(curPath(root), lastCur).toSeq
+    require(parts.nonEmpty, s"DriftState.counts: empty state at $root")
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"))
+  }
+
+  /** Current PSI table — a state read through the q183 kernel; no
+    * history re-scan. One row per (group, bin) with the ppm term.
+    */
+  def psiSnapshot(spark: SparkSession, root: String, groupCol: String,
                   nBins: Int): DataFrame =
     graft.analytics.Statistics.psiFromCounts(
-      spark.read.parquet(statePath), groupCol, nBins)
+      counts(spark, root, Seq(groupCol)), groupCol, nBins)
 
   // --------------------------------------------------------------- q185
   /** End-to-end incremental-drift gate: freeze the pre-1998 order-price
@@ -93,15 +150,15 @@ object DriftState {
         expr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 5000000, 9)")
           .as("bin"))
     val stateRoot = java.nio.file.Files.createTempDirectory("graft-dstate")
-    val statePath = stateRoot.toString + "/state"
-    initReference(spark, statePath, binned.filter(col("is_ref")),
+    val root = stateRoot.toString + "/state"
+    initReference(spark, root, binned.filter(col("is_ref")),
       Seq("segment"), "bin")
     (0 until 3).foreach { i =>
-      update(spark, statePath,
+      update(spark, root,
         binned.filter(!col("is_ref") && col("o_orderkey") % 3 === i),
         Seq("segment"), "bin")
     }
-    val out = psiSnapshot(spark, statePath, "segment", 10)
+    val out = psiSnapshot(spark, root, "segment", 10)
       .select(col("segment"), col("bin"), col("n_ref"), col("n_cur"),
         col("tot_ref"), col("tot_cur"), col("term_ppm"))
       .localCheckpoint(eager = true)

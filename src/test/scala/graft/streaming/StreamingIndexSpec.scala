@@ -97,4 +97,35 @@ class StreamingIndexSpec extends SparkSpec {
     assert(spark.read.parquet(droot + "/stats").head()
       .getAs[Long]("n_docs") == small.count())
   }
+
+  test("file-streamed drift state equals the one-shot PSI bit-for-bit") {
+    import graft.warehouse.DriftState
+    val watch = tmpDir("sdrift-src")
+    val root = tmpDir("sdrift-root") + "/state"
+    val ckpt = tmpDir("sdrift-ckpt")
+    // Bin documents by n_chars span; ref = sources s0, cur = the rest,
+    // streamed as three files.
+    val binExpr = expr("least(n_chars div 200, 9)")
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val all = base.withColumn("bin", binExpr)
+    val ref = all.filter(col("doc_id") % 2 === 0)
+    val cur = base.filter(col("doc_id") % 2 === 1)
+    DriftState.initReference(spark, root, ref, Seq("source"), "bin")
+    stageFiles(Seq(
+      cur.filter(col("doc_id") % 3 === 0),
+      cur.filter(col("doc_id") % 3 === 1),
+      cur.filter(col("doc_id") % 3 === 2)), watch)
+    StreamingIndex.driftAvailableNow(spark, watch, cur.schema, root, ckpt,
+      Seq("source"), binExpr)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin")) ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("term_ppm")))).toMap
+    val streamed = key(DriftState.psiSnapshot(spark, root, "source", 10))
+    val oneShot = key(graft.analytics.Statistics.psi(
+      all.withColumn("is_ref", col("doc_id") % 2 === 0),
+      "source", "is_ref", "bin", 10))
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "streamed drift state must reproduce the one-shot PSI")
+  }
 }
