@@ -26,7 +26,8 @@ object Registry {
       graft.analytics.PqIndex.queries ++ graft.analytics.Pca.queries ++
       graft.warehouse.SkylineState.queries ++ graft.warehouse.CovarianceState.queries ++
       graft.warehouse.RetrievalIndex.queries ++ graft.warehouse.DedupIndex.queries ++
-      graft.analytics.ModelEval.queries ++ graft.warehouse.DriftState.queries
+      graft.analytics.ModelEval.queries ++ graft.warehouse.DriftState.queries ++
+      graft.analytics.Linkage.queries
 }
 
 object SparkEntry {

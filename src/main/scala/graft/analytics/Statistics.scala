@@ -857,7 +857,163 @@ object Statistics {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS term_ppm
       |FROM tot""".stripMargin
 
+  // --------------------------------------------------------------- q188
+  /** Neyman-optimal sample allocation — when a fixed measurement budget
+    * must be split across strata, sampling n_h ∝ N_h·S_h (stratum size ×
+    * stratum spread) minimizes the estimator variance; proportional
+    * allocation over-samples quiet strata and starves volatile ones.
+    * The spread enters through the exact integer variance numerator
+    * n·Σx² − (Σx)² (the q99 sufficient-stats shape, in whole dollars for
+    * Σx² headroom); the per-stratum weight w = N·S is ONE fixed double
+    * sequence — BIGINT→double casts and √ are IEEE-correctly-rounded,
+    * so both engines produce the identical integer after the +½ floor —
+    * and the final shares divide INTEGER weights (order-independent
+    * sums; the q183 no-float-reduction discipline).
+    *
+    * Scale shape: one fact scan → strata-sized aggregate; everything
+    * after runs on one row per stratum.
+    */
+  def neymanAllocation(perRow: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy()
+    perRow
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+        sum(col(valueCol) * col(valueCol)).as("ss"))
+      .filter(col("n") > 1)
+      .withColumn("var_num", expr("n * ss - s * s"))
+      // w = N·S = N·sqrt(var_num / (n(n−1))) = sqrt(N²·var_num / (n(n−1)))
+      .withColumn("w_int",
+        floor(sqrt(col("n").cast("double") * col("n").cast("double")
+          * col("var_num").cast("double")
+          / (col("n").cast("double") * (col("n") - 1).cast("double")))
+          + lit(0.5)).cast("long"))
+      .withColumn("w_sum", sum(col("w_int")).over(w))
+      .withColumn("alloc", expr(s"($budget * w_int) div w_sum"))
+      .drop("s", "ss", "w_sum")
+  }
+
+  /** Gated q188: allocate 1,000 audit samples across market segments by
+    * order-price spread (whole dollars).
+    */
+  def auditSampleAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+    neymanAllocation(rows, "segment", "dollars", 1000L)
+      .select(col("segment"), col("n"), col("var_num"), col("w_int"),
+        col("alloc"))
+  }
+
+  private val auditSampleAllocationSql =
+    """WITH rows_ AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    CAST(floor(o.o_totalprice) AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |s AS (
+      |  SELECT segment, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+      |  FROM rows_ GROUP BY 1 HAVING count(*) > 1
+      |),
+      |wgt AS (
+      |  SELECT segment, n, n * ss - s * s AS var_num,
+      |    CAST(floor(sqrt(n::DOUBLE * n::DOUBLE * (n * ss - s * s)::DOUBLE
+      |      / (n::DOUBLE * (n - 1)::DOUBLE)) + 0.5::DOUBLE) AS BIGINT)
+      |      AS w_int
+      |  FROM s
+      |)
+      |SELECT segment, CAST(n AS BIGINT) AS n,
+      |  CAST(var_num AS BIGINT) AS var_num, w_int,
+      |  CAST((1000 * w_int) // sum(w_int) OVER () AS BIGINT) AS alloc
+      |FROM wgt""".stripMargin
+
+  // --------------------------------------------------------------- q189
+  /** Difference-in-differences — the workhorse quasi-experimental
+    * estimator: when a change hits one cohort at a known time, the
+    * treatment effect is (post_T − pre_T) − (post_C − pre_C), with the
+    * control cohort's trend differencing out the seasonality both
+    * cohorts share. Completes the experimentation family (q163 z-test,
+    * q167 CUPED) with its observational member. All four cell means are
+    * exact micro-unit integers (two-step division), so the DiD is an
+    * exact integer difference — no float anywhere; the intervention
+    * boundary is the deterministic epoch-midpoint date (the q167
+    * discipline).
+    *
+    * Scale shape: one fact scan → 4-cell aggregate (fully partial);
+    * the estimator reads four rows.
+    */
+  def diffInDiff(rows: DataFrame, treatedCol: String, postCol: String,
+                 valueCol: String): DataFrame = {
+    val w = Window.partitionBy()
+    rows
+      .groupBy(col(treatedCol).as("treated"), col(postCol).as("post"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .withColumn("mean_micro", expr(
+        """(total div n) * 1000000
+          | + (1000000 * (total - (total div n) * n)) div n""".stripMargin))
+      .withColumn("did_micro",
+        sum(when(col("treated") && col("post"), col("mean_micro"))
+          .when(col("treated") && !col("post"), -col("mean_micro"))
+          .when(!col("treated") && col("post"), -col("mean_micro"))
+          .otherwise(col("mean_micro"))).over(w))
+  }
+
+  /** Gated q189: BUILDING-segment order spend vs all other segments,
+    * pre/post the midpoint of the order-date span.
+    */
+  def segmentSpendDiD(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val bounds = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("cut", expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))"))
+      .withColumn("treated", col("c_mktsegment") === "BUILDING")
+      .withColumn("post", col("d") > col("cut"))
+      .transform(df => diffInDiff(df, "treated", "post", "cents"))
+      .select(col("treated"), col("post"), col("n"), col("total"),
+        col("mean_micro"), col("did_micro"))
+  }
+
+  private val segmentSpendDiDSql =
+    """WITH o AS (
+      |  SELECT c.c_mktsegment, o.o_orderdate::DATE AS d,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |b AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+      |cells AS (
+      |  SELECT o.c_mktsegment = 'BUILDING' AS treated,
+      |    o.d > b.lo + CAST(date_diff('day', b.lo, b.hi) // 2 AS INTEGER)
+      |      AS post,
+      |    count(*) AS n, sum(cents) AS total
+      |  FROM o CROSS JOIN b
+      |  GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT treated, post, n, total,
+      |    (total // n) * 1000000
+      |      + (1000000 * (total - (total // n) * n)) // n AS mean_micro
+      |  FROM cells
+      |)
+      |SELECT treated, post, CAST(n AS BIGINT) AS n,
+      |  CAST(total AS BIGINT) AS total,
+      |  CAST(mean_micro AS BIGINT) AS mean_micro,
+      |  CAST(sum(CASE WHEN treated = post THEN mean_micro
+      |                ELSE -mean_micro END) OVER () AS BIGINT) AS did_micro
+      |FROM m""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q188_neyman_allocation", auditSampleAllocation _,
+      Some(auditSampleAllocationSql)),
+    NamedQuery("q189_diff_in_diff", segmentSpendDiD _,
+      Some(segmentSpendDiDSql)),
     NamedQuery("q183_psi_drift", priceDriftPsi _, Some(priceDriftPsiSql)),
     NamedQuery("q179_kendall_tau", revenueVolumeKendall _,
       Some(revenueVolumeKendallSql)),

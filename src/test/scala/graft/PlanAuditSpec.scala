@@ -941,4 +941,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(s186.nestedLoops <= 6, s"q186 regressed: $s186")
     assert(s186.scans <= 32 && s186.shuffles <= 28, s"q186 regressed: $s186")
   }
+
+  test("linkage/allocation/DiD additions stay blocked-join + aggregate shaped (q187-q189)") {
+    // q187: one equi-join on the block key — comparators ride the join's
+    // codegen stage; NEVER an all-pairs product.
+    val s187 = stats("q187_record_linkage")
+    assert(s187.nestedLoops == 0 && s187.smj == 0 && s187.singleParts == 0,
+      s"q187 regressed: $s187")
+    assert(s187.scans <= 8 && s187.shuffles <= 4, s"q187 regressed: $s187")
+    // q188: fact scan -> strata aggregate; singleParts=2 is the 5-row
+    // strata window (metadata-sized).
+    val s188 = stats("q188_neyman_allocation")
+    assert(s188.nestedLoops == 0 && s188.singleParts <= 2, s"q188 regressed: $s188")
+    assert(s188.scans <= 8 && s188.shuffles <= 12, s"q188 regressed: $s188")
+    // q189: 4-cell aggregate; NLJ = the one-row date-bounds broadcast
+    // (q136 scalar shape); singleParts bound the 4-row estimator window.
+    val s189 = stats("q189_diff_in_diff")
+    assert(s189.nestedLoops <= 2 && s189.smj == 0 && s189.singleParts <= 4,
+      s"q189 regressed: $s189")
+    assert(s189.scans <= 16 && s189.shuffles <= 24, s"q189 regressed: $s189")
+  }
 }

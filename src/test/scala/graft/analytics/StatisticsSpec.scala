@@ -313,4 +313,51 @@ class StatisticsSpec extends SparkSpec {
     val p = 4.0 / 13.0; val q = 1.0 / 11.0
     assert(out(0L) == math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong)
   }
+
+  // ----------------------------------------------------- neymanAllocation
+
+  test("neymanAllocation: zero-variance strata get zero; spread dominates size") {
+    val rows = Seq(
+      ("flat", 10L), ("flat", 10L), ("flat", 10L), ("flat", 10L),
+      ("wild", 0L), ("wild", 100L), ("wild", 0L), ("wild", 100L))
+      .toDF("h", "v")
+    val out = Statistics.neymanAllocation(rows, "h", "v", 1000L)
+      .collect().map(r => r.getAs[String]("h") ->
+        ((r.getAs[Long]("var_num"), r.getAs[Long]("w_int"),
+          r.getAs[Long]("alloc")))).toMap
+    assert(out("flat") == ((0L, 0L, 0L)), "no spread -> no samples needed")
+    // wild: var_num = 4*20000 - 200^2 = 40000; w = sqrt(16*40000/12)
+    // = sqrt(53333.33) = 230.94 -> 231; alloc = all 1000.
+    assert(out("wild") == ((40000L, 231L, 1000L)))
+  }
+
+  test("neymanAllocation: equal strata split the budget equally") {
+    val rows = Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 10L))
+      .toDF("h", "v")
+    val out = Statistics.neymanAllocation(rows, "h", "v", 1000L)
+      .collect().map(r => r.getAs[String]("h") -> r.getAs[Long]("alloc")).toMap
+    assert(out == Map("a" -> 500L, "b" -> 500L))
+  }
+
+  // ----------------------------------------------------------- diffInDiff
+
+  test("diffInDiff: hand-computed cells — control trend differences out") {
+    // T: pre mean 100, post 150 (+50); C: pre 10, post 40 (+30) -> DiD 20.
+    val rows = Seq(
+      (true, false, 100L), (true, true, 150L),
+      (false, false, 10L), (false, true, 40L))
+      .toDF("t", "p", "v")
+    val out = Statistics.diffInDiff(rows, "t", "p", "v").collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getAs[Long]("did_micro") == 20L * 1000000L))
+  }
+
+  test("diffInDiff: parallel trends yield exactly zero effect") {
+    val rows = Seq(
+      (true, false, 100L), (true, true, 130L),
+      (false, false, 50L), (false, true, 80L))
+      .toDF("t", "p", "v")
+    val out = Statistics.diffInDiff(rows, "t", "p", "v").collect()
+    out.foreach(r => assert(r.getAs[Long]("did_micro") == 0L))
+  }
 }
