@@ -377,7 +377,148 @@ object ModelEval {
       |    AS BIGINT) AS avg_logged_micro
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q190
+  /** Cumulative gain / lift table — the decile chart a targeting team
+    * reads before spending on the model's top segments: rank by score
+    * descending, cut into 10 equal ntiles, and report per decile the
+    * response rate, the cumulative capture of all positives, and the
+    * lift over the base rate. Completes the threshold-free ranking
+    * battery (q173 AUC summarizes it; q135 sweeps thresholds; this is
+    * the business-facing slice). Every column is integer micro/ppm via
+    * cross-multiplied exact division — lift_ppm = (n_pos·tot_n·1e6) div
+    * (n·tot_pos) never computes a float rate.
+    *
+    * ntile ties break by the deterministic (score desc, doc_id) order,
+    * identical in both engines.
+    *
+    * Scale shape: one corpus scan → one global-ish rank window — but
+    * over DOCS per source? No: the gated face windows over the whole
+    * scored corpus; at 100 TB the same table would be ntiled per
+    * partition-friendly group or sampled — the decile boundaries are
+    * score quantiles, and the GK sketch (q70) replaces the exact window
+    * at that scale. The exact form is gated because the oracle can
+    * verify it; the sketch form is the documented scale path.
+    */
+  def gainTable(scored: DataFrame, scoreCol: String, labelCol: String,
+                idCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val ord = Window.orderBy(col(scoreCol).desc, col(idCol))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("decile", ntile(10).over(ord))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("tot_n", sum(col("n")).over(wAll))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("resp_ppm", expr("(1000000 * n_pos) div n"))
+      .withColumn("capture_ppm", expr("(1000000 * cum_pos) div tot_pos"))
+      .withColumn("lift_ppm", expr("(1000000 * n_pos * tot_n) div (n * tot_pos)"))
+      .drop("tot_n", "tot_pos")
+  }
+
+  /** Gated q190: gain/lift deciles of the synthetic calibrated scorer. */
+  def classifierGainChart(spark: SparkSession, dir: String): DataFrame =
+    gainTable(scoredDocs(Tables.documents(spark, dir)),
+      "score_micro", "label", "doc_id")
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        col("resp_ppm"), col("capture_ppm"), col("lift_ppm"))
+
+  private val classifierGainChartSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |),
+      |d AS (
+      |  SELECT label,
+      |    ntile(10) OVER (ORDER BY score_micro DESC, doc_id) AS decile
+      |  FROM scored
+      |),
+      |g AS (
+      |  SELECT decile, count(*) AS n,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos
+      |  FROM d GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT *, sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos,
+      |    sum(n_pos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      |  FROM g
+      |)
+      |SELECT CAST(decile AS INTEGER) AS decile, CAST(n AS BIGINT) AS n,
+      |  CAST(n_pos AS BIGINT) AS n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+      |  CAST((1000000 * n_pos) // n AS BIGINT) AS resp_ppm,
+      |  CAST((1000000 * cum_pos) // tot_pos AS BIGINT) AS capture_ppm,
+      |  CAST((1000000 * n_pos * tot_n) // (n * tot_pos) AS BIGINT) AS lift_ppm
+      |FROM t""".stripMargin
+
+  // --------------------------------------------------------------- q191
+  /** Cross-validated metric stability — one AUC per q181-style fold, the
+    * "is the headline number luck?" check: a metric whose per-fold
+    * spread is wide is not a metric to ship on. Pure composition of two
+    * gated kernels (the q181 deterministic fold hash as the group, the
+    * q173 doubled-rank AUC as the statistic) — which is the point:
+    * evaluation primitives must compose without new machinery.
+    */
+  def cvAuc(spark: SparkSession, dir: String): DataFrame = {
+    val folded = scoredDocs(Tables.documents(spark, dir))
+      .withColumn("fold",
+        conv(substring(md5(concat(lit("fold:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % 5L)
+    aucExact(folded, "fold", "score_micro", "label")
+      .select(col("fold"), col("n_pos"), col("n_neg"), col("auc_micro"))
+  }
+
+  private val cvAucSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 5 AS fold,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |),
+      |ranked AS (
+      |  SELECT fold, label,
+      |    2 * CAST(rank() OVER (PARTITION BY fold ORDER BY score_micro) AS BIGINT)
+      |      + CAST(count(*) OVER (PARTITION BY fold, score_micro) AS BIGINT)
+      |      - 1 AS rk2
+      |  FROM scored
+      |),
+      |s AS (
+      |  SELECT fold,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+      |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg,
+      |    sum(CASE WHEN label THEN rk2 ELSE 0 END) AS r2_pos
+      |  FROM ranked GROUP BY 1
+      |),
+      |u AS (
+      |  SELECT fold, n_pos, n_neg, r2_pos - n_pos * (n_pos + 1) AS u2 FROM s
+      |)
+      |SELECT fold, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN CAST(
+      |    (u2 // (2 * n_pos * n_neg)) * 1000000
+      |    + (1000000 * (u2 - (u2 // (2 * n_pos * n_neg)) * (2 * n_pos * n_neg)))
+      |      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_micro
+      |FROM u""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q190_gain_chart", classifierGainChart _,
+      Some(classifierGainChartSql)),
+    NamedQuery("q191_cv_auc", cvAuc _, Some(cvAucSql)),
     NamedQuery("q173_classifier_auc", classifierAuc _, Some(classifierAucSql)),
     NamedQuery("q174_reliability_bins", calibrationBins _,
       Some(calibrationBinsSql)),

@@ -1009,7 +1009,164 @@ object Statistics {
       |                ELSE -mean_micro END) OVER () AS BIGINT) AS did_micro
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------------- q192
+  /** Hash-Poisson bootstrap confidence interval — the distributed form
+    * of the bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): instead of resampling rows
+    * (which needs global coordination), each row draws a DETERMINISTIC
+    * Poisson(1)-distributed weight per replicate from an md5 channel —
+    * one scan computes all B replicate sums as a (replicate → weighted
+    * sum) aggregate, and the CI is an order statistic over the B
+    * replicate means. Everything is integer: the truncated-Poisson
+    * inverse CDF maps h∈[0,1000) through fixed thresholds
+    * (368/736/920/981 → weights 0,1,2,3,4), replicate means ride the
+    * micro two-step division, and the 2.5%/97.5% bounds are the 3rd and
+    * 98th smallest of B=100 integers (rank windows over a B-row frame).
+    *
+    * Scale shape: ONE corpus scan exploded ×B into a B-group aggregate
+    * (fully partial, B bounded) — the replicate table is B rows forever;
+    * the CI windows run on that metadata-sized frame.
+    */
+  def bootstrapMeanCi(rows: DataFrame, valueCol: String, idCol: String,
+                      b: Int = 100): DataFrame = {
+    val wAll = Window.partitionBy()
+    val reps = rows
+      .select(col(idCol).cast("string").as("id"), col(valueCol).as("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("boot:"), col("id"), lit(":"),
+          col("rep").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 1000L)
+      .withColumn("w",
+        when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+          .when(col("h") < 920, 2L).when(col("h") < 981, 3L).otherwise(4L))
+      .groupBy("rep")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("wsum"))
+      .filter(col("n_eff") > 0)
+      .withColumn("mean_micro", expr(
+        """(wsum div n_eff) * 1000000
+          | + (1000000 * (wsum - (wsum div n_eff) * n_eff)) div n_eff"""
+          .stripMargin))
+    reps
+      .withColumn("rk", rank().over(Window.orderBy(col("mean_micro"), col("rep"))))
+      .withColumn("n_reps", count(lit(1)).over(wAll))
+      .withColumn("ci_lo_micro",
+        max(when(col("rk") === 3, col("mean_micro"))).over(wAll))
+      .withColumn("ci_hi_micro",
+        max(when(col("rk") === col("n_reps") - 2, col("mean_micro"))).over(wAll))
+      .drop("rk")
+  }
+
+  /** Gated q192: bootstrap CI for mean document length (chars). */
+  def docLengthBootstrap(spark: SparkSession, dir: String): DataFrame =
+    bootstrapMeanCi(Tables.documents(spark, dir), "n_chars", "doc_id")
+      .select(col("rep"), col("n_eff"), col("wsum"), col("mean_micro"),
+        col("n_reps"), col("ci_lo_micro"), col("ci_hi_micro"))
+
+  private val docLengthBootstrapSql =
+    """WITH reps AS (
+      |  SELECT d.doc_id, d.n_chars, r.rep,
+      |    ('0x' || substr(md5('boot:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+      |      CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT % 1000 AS h
+      |  FROM documents d, (SELECT unnest(range(0, 100)) AS rep) r
+      |),
+      |ws AS (
+      |  SELECT rep,
+      |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
+      |         WHEN h < 981 THEN 3 ELSE 4 END AS w,
+      |    n_chars AS v
+      |  FROM reps
+      |),
+      |agg AS (
+      |  SELECT rep, sum(w) AS n_eff, sum(w * v) AS wsum
+      |  FROM ws GROUP BY 1 HAVING sum(w) > 0
+      |),
+      |m AS (
+      |  SELECT rep, n_eff, wsum,
+      |    (wsum // n_eff) * 1000000
+      |      + (1000000 * (wsum - (wsum // n_eff) * n_eff)) // n_eff
+      |      AS mean_micro
+      |  FROM agg
+      |),
+      |rk AS (
+      |  SELECT *, rank() OVER (ORDER BY mean_micro, rep) AS rk,
+      |    count(*) OVER () AS n_reps
+      |  FROM m
+      |)
+      |SELECT CAST(rep AS BIGINT) AS rep, CAST(n_eff AS BIGINT) AS n_eff,
+      |  CAST(wsum AS BIGINT) AS wsum, CAST(mean_micro AS BIGINT) AS mean_micro,
+      |  CAST(n_reps AS BIGINT) AS n_reps,
+      |  CAST(max(CASE WHEN rk = 3 THEN mean_micro END) OVER () AS BIGINT)
+      |    AS ci_lo_micro,
+      |  CAST(max(CASE WHEN rk = n_reps - 2 THEN mean_micro END) OVER ()
+      |    AS BIGINT) AS ci_hi_micro
+      |FROM rk""".stripMargin
+
+  // --------------------------------------------------------------- q193
+  /** Empirical-Bayes rate shrinkage — the fix for "this user converted
+    * 1-for-1, ship them as a 100% segment": blend each entity's raw rate
+    * toward the GLOBAL rate with K pseudo-observations (beta-binomial
+    * posterior mean), so thin entities shrink hard and thick ones barely
+    * move. EXACT integer form via cross-multiplication:
+    * shrunk_ppm = 1e6·(nₚ·totᵥ + K·totₚ) div (totᵥ·(nᵥ + K)) — the
+    * global prior enters as the totₚ/totᵥ fraction without ever being
+    * computed as a float. Headroom: 1e6·nₚ·totᵥ < 2⁶³ holds through
+    * ~9·10⁶ per-user events × 10⁹ total — document-scale safe; beyond
+    * that, shift to per-mille units (the q158 precedent).
+    *
+    * Scale shape: one events scan → user-grain aggregate + two global
+    * scalars (broadcast one-row frame); output is user-sized.
+    */
+  def ebShrunkRates(perEntity: DataFrame, nCol: String, posCol: String,
+                    k: Int): DataFrame = {
+    val tot = perEntity.agg(sum(col(nCol)).as("tot_n"),
+      sum(col(posCol)).as("tot_pos"))
+    perEntity.crossJoin(broadcast(tot))
+      .withColumn("raw_ppm", expr(s"(1000000 * $posCol) div $nCol"))
+      .withColumn("shrunk_ppm", expr(
+        s"(1000000 * ($posCol * tot_n + $k * tot_pos))" +
+          s" div (tot_n * ($nCol + $k))"))
+  }
+
+  /** Gated q193: per-user view→purchase rate, shrunk with K=20. */
+  def userConversionShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
+      .filter(col("n_view") > 0)
+    ebShrunkRates(perUser, "n_view", "n_purchase", 20)
+      .select(col("user_id"), col("n_view"), col("n_purchase"),
+        col("raw_ppm"), col("shrunk_ppm"))
+  }
+
+  private val userConversionShrinkageSql =
+    """WITH perUser AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS n_purchase
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1 HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+      |),
+      |tot AS (
+      |  SELECT sum(n_view) AS tot_n, sum(n_purchase) AS tot_pos FROM perUser
+      |)
+      |SELECT user_id, CAST(n_view AS BIGINT) AS n_view,
+      |  CAST(n_purchase AS BIGINT) AS n_purchase,
+      |  CAST((1000000 * n_purchase) // n_view AS BIGINT) AS raw_ppm,
+      |  CAST((1000000 * (n_purchase * tot_n + 20 * tot_pos))
+      |    // (tot_n * (n_view + 20)) AS BIGINT) AS shrunk_ppm
+      |FROM perUser CROSS JOIN tot""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q192_bootstrap_ci", docLengthBootstrap _,
+      Some(docLengthBootstrapSql)),
+    NamedQuery("q193_eb_shrinkage", userConversionShrinkage _,
+      Some(userConversionShrinkageSql)),
     NamedQuery("q188_neyman_allocation", auditSampleAllocation _,
       Some(auditSampleAllocationSql)),
     NamedQuery("q189_diff_in_diff", segmentSpendDiD _,

@@ -961,4 +961,26 @@ class PlanAuditSpec extends SparkSpec {
       s"q189 regressed: $s189")
     assert(s189.scans <= 16 && s189.shuffles <= 24, s"q189 regressed: $s189")
   }
+
+  test("gain/CV/bootstrap/shrinkage additions stay aggregate shaped (q190-q193)") {
+    // q190: corpus scan -> global ntile window (documented exact form;
+    // the GK sketch is the stated 100 TB path) -> 10-row gain frame.
+    val s190 = stats("q190_gain_chart")
+    assert(s190.nestedLoops == 0 && s190.singleParts <= 2, s"q190 regressed: $s190")
+    assert(s190.scans <= 4 && s190.shuffles <= 4, s"q190 regressed: $s190")
+    // q191: per-fold window sort + aggregate, the q173/q107 shape.
+    val s191 = stats("q191_cv_auc")
+    assert(s191.nestedLoops == 0 && s191.singleParts == 0, s"q191 regressed: $s191")
+    assert(s191.scans <= 4 && s191.shuffles <= 4, s"q191 regressed: $s191")
+    // q192: one scan exploded xB -> B-group aggregate; CI windows ride
+    // the 100-row replicate frame (singleParts bounded).
+    val s192 = stats("q192_bootstrap_ci")
+    assert(s192.nestedLoops == 0 && s192.singleParts <= 2, s"q192 regressed: $s192")
+    assert(s192.scans <= 4 && s192.shuffles <= 8, s"q192 regressed: $s192")
+    // q193: user-grain aggregate + one-row totals broadcast (q136 scalar
+    // shape — the NLJ count).
+    val s193 = stats("q193_eb_shrinkage")
+    assert(s193.nestedLoops <= 2 && s193.smj == 0, s"q193 regressed: $s193")
+    assert(s193.scans <= 6 && s193.shuffles <= 16, s"q193 regressed: $s193")
+  }
 }

@@ -122,4 +122,34 @@ class ModelEvalSpec extends SparkSpec {
     assert(out("a") == ((2L, expA)))
     assert(out("b") == ((3L, expB)))
   }
+
+  // -------------------------------------------------------------- gainTable
+
+  test("gainTable: hand-computed deciles — capture reaches 1e6, lift ordering holds") {
+    // 20 rows, scores 20..1; positives are exactly the top 5 scorers.
+    val scored = (1 to 20).map(i => (i.toLong, i.toLong, i > 15))
+      .toDF("id", "score", "label")
+    val out = ModelEval.gainTable(scored, "score", "label", "id")
+      .collect().map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"), r.getAs[Long]("cum_pos"),
+          r.getAs[Long]("resp_ppm"), r.getAs[Long]("capture_ppm"),
+          r.getAs[Long]("lift_ppm")))).toMap
+    // Deciles of 2: decile 1 = scores 20,19 (both pos), 2 = 18,17 (pos),
+    // 3 = 16,15 (one pos), rest none.
+    assert(out(1) == ((2L, 2L, 2L, 1000000L, 400000L, 4000000L)))
+    assert(out(2) == ((2L, 2L, 4L, 1000000L, 800000L, 4000000L)))
+    assert(out(3) == ((2L, 1L, 5L, 500000L, 1000000L, 2000000L)))
+    (4 to 10).foreach(d => assert(out(d)._2 == 0L && out(d)._5 == 1000000L))
+  }
+
+  test("cvAuc: five folds, each with a defined AUC on the calibrated fixture") {
+    val out = ModelEval.cvAuc(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val auc = r.getAs[Long]("auc_micro")
+      // The calibrated synthetic scorer must rank well above chance in
+      // every fold (population AUC ~ 2/3 for label = U < score).
+      assert(auc > 550000L && auc <= 1000000L, s"fold AUC out of range: $r")
+    }
+  }
 }

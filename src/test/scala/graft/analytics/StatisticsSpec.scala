@@ -360,4 +360,48 @@ class StatisticsSpec extends SparkSpec {
     val out = Statistics.diffInDiff(rows, "t", "p", "v").collect()
     out.foreach(r => assert(r.getAs[Long]("did_micro") == 0L))
   }
+
+  // -------------------------------------------------------- bootstrapMeanCi
+
+  test("bootstrapMeanCi: replicate means bracket the point estimate; CI ranks are exact") {
+    val rows = (1 to 200).map(i => (i.toLong, (i % 50).toLong * 10))
+      .toDF("id", "v")
+    val out = Statistics.bootstrapMeanCi(rows, "v", "id", b = 100).collect()
+    assert(out.length == 100, "every replicate must have positive mass")
+    val means = out.map(_.getAs[Long]("mean_micro")).sorted
+    val lo = out.head.getAs[Long]("ci_lo_micro")
+    val hi = out.head.getAs[Long]("ci_hi_micro")
+    assert(lo == means(2) && hi == means(97), "CI = 3rd and 98th order stats")
+    assert(out.forall(r => r.getAs[Long]("ci_lo_micro") == lo &&
+      r.getAs[Long]("ci_hi_micro") == hi))
+    // The true mean must sit inside the 95% CI.
+    val vs = (1 to 200).map(i => (i % 50).toLong * 10)
+    val trueMean = vs.sum * 1000000L / vs.length
+    assert(lo <= trueMean && trueMean <= hi, s"$lo <= $trueMean <= $hi")
+  }
+
+  test("bootstrapMeanCi: weights are deterministic — identical runs agree") {
+    val rows = (1 to 50).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    def run() = Statistics.bootstrapMeanCi(rows, "v", "id", b = 20)
+      .collect().map(r => r.getAs[Long]("rep") -> r.getAs[Long]("mean_micro")).toMap
+    assert(run() == run())
+  }
+
+  // ---------------------------------------------------------- ebShrunkRates
+
+  test("ebShrunkRates: thin entities shrink to the prior, thick ones barely move") {
+    // Global rate: 100 pos / 1000 n = 10%.
+    val rows = Seq(("thin", 1L, 1L), ("thick", 899L, 89L), ("mid", 100L, 10L))
+      .toDF("e", "n", "pos")
+    val out = Statistics.ebShrunkRates(rows, "n", "pos", 20)
+      .collect().map(r => r.getAs[String]("e") ->
+        ((r.getAs[Long]("raw_ppm"), r.getAs[Long]("shrunk_ppm")))).toMap
+    // thin: raw 100%; shrunk = 1e6*(1*1000 + 20*100)/(1000*21) = 142857.
+    assert(out("thin") == ((1000000L, 142857L)))
+    // mid sits exactly at the global rate -> shrinkage is a no-op.
+    assert(out("mid")._1 == 100000L && out("mid")._2 == 100000L)
+    // thick: raw 99000/1000000-ish; shrunk moves < 1% of the gap.
+    val (rawT, shrT) = out("thick")
+    assert(math.abs(shrT - rawT) * 20 < math.abs(out("thin")._2 - out("thin")._1))
+  }
 }
