@@ -953,7 +953,127 @@ object TimeSeries {
       |      // sae_naive AS BIGINT) END AS skill_ppm
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q194
+  /** Weekday-adjusted (de-seasonalized) daily revenue — divide each
+    * day's revenue by its weekday's seasonality index (the q127 ratio:
+    * weekday share × 7), so Monday dips and Friday peaks stop
+    * masquerading as trend. The index is exact integer per-mille
+    * (idx_x1000 = 7000·dow_cents div total_cents) and the adjustment is
+    * one more integer division (adj = cents·1000 div idx) — the whole
+    * correction is float-free and self-normalizing (mean idx ≈ 1000 by
+    * construction).
+    *
+    * Scale shape: one fact scan → daily aggregate; the weekday index is
+    * a 7-row broadcast derived from the same aggregate — no second
+    * corpus pass, no extra shuffle beyond the daily rollup.
+    */
+  def weekdayAdjusted(daily: DataFrame, dayCol: String,
+                      centsCol: String): DataFrame = {
+    val idx = daily
+      .groupBy(dayofweek(col(dayCol)).as("dw"))
+      .agg(sum(col(centsCol)).as("dow_cents"))
+      .withColumn("tot", sum(col("dow_cents")).over(Window.partitionBy()))
+      .withColumn("idx_x1000", expr("(7000 * dow_cents) div tot"))
+      .select("dw", "idx_x1000")
+    daily
+      .withColumn("dw", dayofweek(col(dayCol)))
+      .join(broadcast(idx), Seq("dw"))
+      .withColumn("adj_cents", expr(s"($centsCol * 1000) div idx_x1000"))
+  }
+
+  /** Gated q194: weekday-adjusted daily order revenue. */
+  def adjustedDailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    weekdayAdjusted(daily, "day", "cents")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("dw"), col("cents"), col("idx_x1000"), col("adj_cents"))
+  }
+
+  private val adjustedDailyRevenueSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |),
+      |idx AS (
+      |  SELECT dayofweek(day) + 1 AS dw, sum(cents) AS dow_cents,
+      |    sum(sum(cents)) OVER () AS tot
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day_s,
+      |  CAST(dayofweek(d.day) + 1 AS INTEGER) AS dw, d.cents,
+      |  CAST((7000 * i.dow_cents) // i.tot AS BIGINT) AS idx_x1000,
+      |  CAST((d.cents * 1000) // ((7000 * i.dow_cents) // i.tot) AS BIGINT)
+      |    AS adj_cents
+      |FROM daily d JOIN idx i ON dayofweek(d.day) + 1 = i.dw""".stripMargin
+
+  // --------------------------------------------------------------- q195
+  /** Log-log price elasticity of demand — the economist's regression
+    * "1% price increase moves quantity by β%": per brand, the OLS slope
+    * of ln(quantity) on ln(unit price), run through the EXACT integer
+    * q99 kernel after flooring both logs to MILLI-nats (the q159
+    * floor-at-the-edge discipline, at 1e3 so the sufficient-statistic
+    * products stay far under 2⁶³: x·y ≤ ~2·10⁷ per row, n·Σxy ≤ ~10¹⁴
+    * per brand at bench scale). slope_micro is the elasticity in
+    * micro-units, engine-exact because only floored integers enter the
+    * regression.
+    *
+    * Scale shape: fact scan + broadcast part dim → per-brand q99
+    * aggregate; one shuffle on brand.
+    */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("brand"),
+        floor(log(col("l_extendedprice") / col("l_quantity")) * 1000)
+          .cast("long").as("ln_price_milli"),
+        floor(log(col("l_quantity")) * 1000).cast("long").as("ln_qty_milli"))
+    olsTrend(li, "brand", "ln_price_milli", "ln_qty_milli")
+      .select(col("brand"), col("n_days").as("n_lines"),
+        col("sy").as("sum_lnq_milli"), col("num"), col("den"),
+        col("slope_micro").as("elasticity_micro"))
+  }
+
+  private val priceElasticitySql =
+    """WITH li AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(floor(ln(l.l_extendedprice / l.l_quantity) * 1000) AS BIGINT)
+      |      AS x,
+      |    CAST(floor(ln(l.l_quantity) * 1000) AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |),
+      |xs AS (
+      |  SELECT brand, y, x - min(x) OVER (PARTITION BY brand) AS xo
+      |  FROM li
+      |),
+      |s AS (
+      |  SELECT brand, count(*) AS n, sum(xo) AS sx, sum(y) AS sy,
+      |    sum(xo * y) AS sxy, sum(xo * xo) AS sxx
+      |  FROM xs GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT brand, n, sy, n * sxy - sx * sy AS num,
+      |    n * sxx - sx * sx AS den
+      |  FROM s
+      |)
+      |SELECT brand, CAST(n AS BIGINT) AS n_lines,
+      |  CAST(sy AS BIGINT) AS sum_lnq_milli,
+      |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+      |  CAST((num // den) * 1000000
+      |    + (1000000 * (num - (num // den) * den)) // den AS BIGINT)
+      |    AS elasticity_micro
+      |FROM f""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q194_seasonal_adjust", adjustedDailyRevenue _,
+      Some(adjustedDailyRevenueSql)),
+    NamedQuery("q195_price_elasticity", priceElasticity _,
+      Some(priceElasticitySql)),
     NamedQuery("q184_forecast_backtest", weeklyForecastBacktest _,
       Some(weeklyForecastBacktestSql)),
     NamedQuery("q175_survival_curve", customerSurvival _,

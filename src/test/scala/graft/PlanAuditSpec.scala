@@ -983,4 +983,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(s193.nestedLoops <= 2 && s193.smj == 0, s"q193 regressed: $s193")
     assert(s193.scans <= 6 && s193.shuffles <= 16, s"q193 regressed: $s193")
   }
+
+  test("seasonal adjustment + elasticity stay aggregate shaped (q194/q195)") {
+    // q194: daily aggregate + 7-row broadcast index (derived from the
+    // same aggregate; singleParts=2 is the 7-row index window).
+    val s194 = stats("q194_seasonal_adjust")
+    assert(s194.nestedLoops == 0 && s194.smj == 0 && s194.singleParts <= 2,
+      s"q194 regressed: $s194")
+    assert(s194.scans <= 8 && s194.shuffles <= 20, s"q194 regressed: $s194")
+    // q195: fact scan + broadcast part dim -> per-brand q99 aggregate.
+    val s195 = stats("q195_price_elasticity")
+    assert(s195.nestedLoops == 0 && s195.smj == 0 && s195.singleParts == 0,
+      s"q195 regressed: $s195")
+    assert(s195.scans <= 8 && s195.shuffles <= 8, s"q195 regressed: $s195")
+  }
 }

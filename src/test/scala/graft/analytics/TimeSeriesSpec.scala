@@ -349,4 +349,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("skill_ppm") < 1000000L,
       s"EWMA must beat naive here: $r")
   }
+
+  // -------------------------------------------------------- weekdayAdjusted
+
+  test("weekdayAdjusted: a flat series with one spiked weekday flattens back") {
+    // 14 days; every Wednesday doubles. The index absorbs the doubling:
+    // adjusted values come out near-equal across all days.
+    val daily = (0 until 14).map { i =>
+      val day = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString)
+      val wed = java.time.LocalDate.of(2024, 1, 1).plusDays(i).getDayOfWeek ==
+        java.time.DayOfWeek.WEDNESDAY
+      (day, if (wed) 2000L else 1000L)
+    }.toDF("day", "cents")
+    val out = TimeSeries.weekdayAdjusted(daily, "day", "cents").collect()
+    val adj = out.map(_.getAs[Long]("adj_cents"))
+    assert(adj.max - adj.min <= adj.min / 10,
+      s"adjustment should flatten the spike: ${adj.toSeq.sorted}")
+    // Index integrates to ~7000 per-mille over the 7 weekdays.
+    val idx = out.map(r => r.getAs[Int]("dw") -> r.getAs[Long]("idx_x1000")).toMap
+    assert(math.abs(idx.values.sum - 7000L) <= 7, s"index sums to ~7000: $idx")
+  }
+
+  // -------------------------------------------------------- priceElasticity
+
+  test("priceElasticity: per-brand slopes are defined and finite on real data") {
+    val out = TimeSeries.priceElasticity(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length > 1)
+    out.foreach { r =>
+      assert(r.getAs[Long]("den") > 0, "price variation exists per brand")
+      val e = r.getAs[Long]("elasticity_micro")
+      assert(math.abs(e) < 10000000L, s"elasticity within +-10: $r")
+    }
+  }
+
+  test("priceElasticity kernel: planted log-log slope recovered exactly") {
+    // y_milli = -2000 + (-500/1000)*x? Use olsTrend directly on exact
+    // integers: y = 3000 - 2*x over x in 0..4 -> slope_micro = -2e6.
+    val rows = Seq(("b", 0L, 3000L), ("b", 1L, 2998L), ("b", 2L, 2996L),
+      ("b", 3L, 2994L), ("b", 4L, 2992L))
+      .toDF("g", "x", "y")
+    val out = TimeSeries.olsTrend(rows, "g", "x", "y").collect().head
+    assert(out.getAs[Long]("slope_micro") == -2000000L)
+  }
 }
