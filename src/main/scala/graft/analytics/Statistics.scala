@@ -1162,7 +1162,88 @@ object Statistics {
       |    // (tot_n * (n_view + 20)) AS BIGINT) AS shrunk_ppm
       |FROM perUser CROSS JOIN tot""".stripMargin
 
+  // --------------------------------------------------------------- q197
+  /** Direct standardization — the epidemiologist's fix for confounded
+    * group comparisons: segment A's average order looks bigger than B's,
+    * but A skews toward URGENT orders, which run bigger everywhere. Re-
+    * weight each group's per-stratum means by a COMMON standard
+    * population (the global stratum mix) and the composition effect
+    * cancels, leaving the real group difference. The integer form:
+    * per-stratum means in micro (two-step division), then
+    * std_micro = Σ_h w_h·mean_{g,h} div Σ_h w_h with the GLOBAL stratum
+    * counts as weights — per-term products exact, the sum an
+    * order-independent integer reduction (truncate-before-weight is the
+    * documented convention; the ±1 micro it can move is far under any
+    * decision threshold). Groups missing a stratum standardize over
+    * their observed strata (their weight sum shrinks accordingly).
+    *
+    * Scale shape: one fact scan → (group, stratum) aggregate; weights
+    * derive from the same aggregate (stratum-partitioned window); the
+    * final rollup is groups-sized.
+    */
+  def standardizedMeans(rows: DataFrame, groupCol: String, stratumCol: String,
+                        valueCol: String): DataFrame = {
+    val wStratum = Window.partitionBy(stratumCol)
+    rows
+      .groupBy(col(groupCol), col(stratumCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .withColumn("w", sum(col("n")).over(wStratum))
+      .withColumn("mean_micro", expr(
+        """(total div n) * 1000000
+          | + (1000000 * (total - (total div n) * n)) div n""".stripMargin))
+      .groupBy(col(groupCol))
+      .agg(sum("n").as("n"), sum("total").as("total"),
+        sum(col("w")).as("w_sum"),
+        sum(col("w") * col("mean_micro")).as("wm_sum"))
+      .withColumn("crude_micro", expr(
+        """(total div n) * 1000000
+          | + (1000000 * (total - (total div n) * n)) div n""".stripMargin))
+      .withColumn("std_micro", expr("wm_sum div w_sum"))
+      .drop("wm_sum")
+  }
+
+  /** Gated q197: priority-standardized mean order price per segment. */
+  def segmentStandardizedSpend(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    standardizedMeans(rows, "segment", "priority", "cents")
+      .select(col("segment"), col("n"), col("total"), col("w_sum"),
+        col("crude_micro"), col("std_micro"))
+  }
+
+  private val segmentStandardizedSpendSql =
+    """WITH rows_ AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |gh AS (
+      |  SELECT segment, priority, count(*) AS n, sum(cents) AS total
+      |  FROM rows_ GROUP BY 1, 2
+      |),
+      |ww AS (
+      |  SELECT *, sum(n) OVER (PARTITION BY priority) AS w,
+      |    (total // n) * 1000000
+      |      + (1000000 * (total - (total // n) * n)) // n AS mean_micro
+      |  FROM gh
+      |)
+      |SELECT segment, CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(sum(total) AS BIGINT) AS total,
+      |  CAST(sum(w) AS BIGINT) AS w_sum,
+      |  CAST((sum(total) // sum(n)) * 1000000
+      |    + (1000000 * (sum(total) - (sum(total) // sum(n)) * sum(n)))
+      |      // sum(n) AS BIGINT) AS crude_micro,
+      |  CAST(sum(w * mean_micro) // sum(w) AS BIGINT) AS std_micro
+      |FROM ww GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q197_standardized_rates", segmentStandardizedSpend _,
+      Some(segmentStandardizedSpendSql)),
     NamedQuery("q192_bootstrap_ci", docLengthBootstrap _,
       Some(docLengthBootstrapSql)),
     NamedQuery("q193_eb_shrinkage", userConversionShrinkage _,

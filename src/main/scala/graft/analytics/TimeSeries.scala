@@ -1069,7 +1069,141 @@ object TimeSeries {
       |    AS elasticity_micro
       |FROM f""".stripMargin
 
+  // --------------------------------------------------------------- q196
+  /** TWAP / VWAP — the two canonical price averages, computed exactly:
+    * VWAP weights each trade by its quantity (Σ extended-cents div
+    * Σ quantity — exact because extendedprice IS qty × unit price), and
+    * TWAP weights each observed DAILY price by how long it remained the
+    * last observation (lead(day) − day; the final observation carries
+    * one day). Irregular observation gaps are exactly what makes naive
+    * averaging wrong and TWAP right — the same gap-awareness as q76's
+    * forward fill, without materializing the dense grid.
+    *
+    * All integer: daily VWAP cents = ext_cents div qty; the TWAP
+    * numerator Σ(daily_cents·gap_days) stays under 2⁶³ for any
+    * realistic price × calendar span.
+    *
+    * Scale shape: fact scan + broadcast dim → (brand, day) aggregate →
+    * one per-brand window (lead) → brand-sized aggregate.
+    */
+  def twapVwap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("brand").orderBy(col("day"))
+    val daily = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("brand"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("ext_cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("day_cents", expr("ext_cents div qty"))
+      .withColumn("gap_days",
+        coalesce(datediff(lead(col("day"), 1).over(w), col("day")), lit(1))
+          .cast("long"))
+    daily.groupBy("brand")
+      .agg(count(lit(1)).as("n_days"),
+        sum("gap_days").as("span_days"),
+        sum("ext_cents").as("tot_ext_cents"),
+        sum("qty").as("tot_qty"),
+        sum(col("day_cents") * col("gap_days")).as("twap_num"))
+      .withColumn("vwap_cents", expr("tot_ext_cents div tot_qty"))
+      .withColumn("twap_cents", expr("twap_num div span_days"))
+  }
+
+  private val twapVwapSql =
+    """WITH daily AS (
+      |  SELECT p.p_brand AS brand, l.l_shipdate::DATE AS day,
+      |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS ext_cents,
+      |    sum(CAST(l.l_quantity AS BIGINT)) AS qty
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2
+      |),
+      |gaps AS (
+      |  SELECT brand, ext_cents, qty, ext_cents // qty AS day_cents,
+      |    CAST(coalesce(date_diff('day', day,
+      |      lead(day, 1) OVER (PARTITION BY brand ORDER BY day)), 1)
+      |      AS BIGINT) AS gap_days
+      |  FROM daily
+      |)
+      |SELECT brand, count(*) AS n_days,
+      |  CAST(sum(gap_days) AS BIGINT) AS span_days,
+      |  CAST(sum(ext_cents) AS BIGINT) AS tot_ext_cents,
+      |  CAST(sum(qty) AS BIGINT) AS tot_qty,
+      |  CAST(sum(day_cents * gap_days) AS BIGINT) AS twap_num,
+      |  CAST(sum(ext_cents) // sum(qty) AS BIGINT) AS vwap_cents,
+      |  CAST(sum(day_cents * gap_days) // sum(gap_days) AS BIGINT)
+      |    AS twap_cents
+      |FROM gaps GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q198
+  /** Monthly p95 latency trend — the SLA chart: per month, the EXACT
+    * 95th-percentile order→ship latency as an order statistic
+    * (rank ⌈0.95·n⌉ = (19n+19) div 20 — the POSITIVE-operand ceil
+    * identity, because Spark `div` truncates while DuckDB `//` floors
+    * and they disagree on negatives — under a deterministic (latency,
+    * orderkey, line) tiebreak, the q162 discipline; no float), plus
+    * the p50 for contrast and the attainment rate against a fixed
+    * 30-day SLA in exact ppm.
+    *
+    * Scale shape: fact-fact equi-join on the order key, one month-
+    * partitioned rank window (months sort in parallel), month-sized
+    * output.
+    */
+  def slaLatencyTrend(spark: SparkSession, dir: String,
+                      slaDays: Int = 30): DataFrame = {
+    val lat = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat_days"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("month")
+      .orderBy(col("lat_days"), col("l_orderkey"), col("l_linenumber"))
+    lat
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("month")))
+      .groupBy(col("month"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rk") === expr("(19 * n + 19) div 20"), col("lat_days")))
+          .as("p95_days"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("lat_days")))
+          .as("p50_days"),
+        sum(when(col("lat_days") <= slaDays, 1L).otherwise(0L))
+          .as("n_within"))
+      .withColumn("attain_ppm", expr("(1000000 * n_within) div n"))
+  }
+
+  private val slaLatencyTrendSql =
+    """WITH lat AS (
+      |  SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+      |    CAST(date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE)
+      |      AS BIGINT) AS lat_days,
+      |    l.l_orderkey, l.l_linenumber
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |),
+      |rk AS (
+      |  SELECT month, lat_days,
+      |    CAST(row_number() OVER (PARTITION BY month
+      |      ORDER BY lat_days, l_orderkey, l_linenumber) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY month) AS BIGINT) AS n
+      |  FROM lat
+      |)
+      |SELECT month, max(n) AS n,
+      |  CAST(max(CASE WHEN rk = (19 * n + 19) // 20 THEN lat_days END)
+      |    AS BIGINT) AS p95_days,
+      |  CAST(max(CASE WHEN rk = (n + 1) // 2 THEN lat_days END) AS BIGINT)
+      |    AS p50_days,
+      |  CAST(sum(CASE WHEN lat_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_within,
+      |  CAST((1000000 * sum(CASE WHEN lat_days <= 30 THEN 1 ELSE 0 END))
+      |    // max(n) AS BIGINT) AS attain_ppm
+      |FROM rk GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q196_twap_vwap", twapVwap _, Some(twapVwapSql)),
+    NamedQuery("q198_sla_p95_trend", (s, d) => slaLatencyTrend(s, d),
+      Some(slaLatencyTrendSql)),
     NamedQuery("q194_seasonal_adjust", adjustedDailyRevenue _,
       Some(adjustedDailyRevenueSql)),
     NamedQuery("q195_price_elasticity", priceElasticity _,

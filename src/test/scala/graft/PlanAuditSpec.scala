@@ -997,4 +997,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q195 regressed: $s195")
     assert(s195.scans <= 8 && s195.shuffles <= 8, s"q195 regressed: $s195")
   }
+
+  test("TWAP/standardization/SLA additions stay aggregate+window shaped (q196-q198)") {
+    val s196 = stats("q196_twap_vwap")
+    assert(s196.nestedLoops == 0 && s196.smj == 0 && s196.singleParts == 0,
+      s"q196 regressed: $s196")
+    assert(s196.scans <= 8 && s196.shuffles <= 12, s"q196 regressed: $s196")
+    val s197 = stats("q197_standardized_rates")
+    assert(s197.nestedLoops == 0 && s197.smj == 0 && s197.singleParts == 0,
+      s"q197 regressed: $s197")
+    assert(s197.scans <= 8 && s197.shuffles <= 16, s"q197 regressed: $s197")
+    val s198 = stats("q198_sla_p95_trend")
+    assert(s198.nestedLoops == 0 && s198.singleParts == 0, s"q198 regressed: $s198")
+    assert(s198.scans <= 8 && s198.shuffles <= 8, s"q198 regressed: $s198")
+  }
 }

@@ -404,4 +404,32 @@ class StatisticsSpec extends SparkSpec {
     val (rawT, shrT) = out("thick")
     assert(math.abs(shrT - rawT) * 20 < math.abs(out("thin")._2 - out("thin")._1))
   }
+
+  // ------------------------------------------------------ standardizedMeans
+
+  test("standardizedMeans: composition effect cancels under a common mix") {
+    // Stratum means identical across groups (h1: 100, h2: 200) but group
+    // A is 90% h2 and B is 90% h1: crude means differ wildly, the
+    // standardized means must be EQUAL.
+    val rows =
+      (Seq.fill(1)(("A", "h1", 100L)) ++ Seq.fill(9)(("A", "h2", 200L)) ++
+        Seq.fill(9)(("B", "h1", 100L)) ++ Seq.fill(1)(("B", "h2", 200L)))
+        .toDF("g", "h", "v")
+    val out = Statistics.standardizedMeans(rows, "g", "h", "v")
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("crude_micro"), r.getAs[Long]("std_micro")))).toMap
+    assert(out("A")._1 != out("B")._1, "crude means confounded by mix")
+    assert(out("A")._2 == out("B")._2, "standardization removes composition")
+    // Both standardize to the global-mix blend: (10*100 + 10*200)/20 = 150.
+    assert(out("A")._2 == 150000000L)
+  }
+
+  test("standardizedMeans: identical mixes leave crude == standardized") {
+    val rows = Seq(("A", "h1", 10L), ("A", "h2", 30L),
+      ("B", "h1", 20L), ("B", "h2", 40L)).toDF("g", "h", "v")
+    val out = Statistics.standardizedMeans(rows, "g", "h", "v")
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("crude_micro"), r.getAs[Long]("std_micro")))).toMap
+    out.values.foreach { case (c, s) => assert(c == s) }
+  }
 }

@@ -391,4 +391,45 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeries.olsTrend(rows, "g", "x", "y").collect().head
     assert(out.getAs[Long]("slope_micro") == -2000000L)
   }
+
+  // ----------------------------------------------------- twapVwap / SLA p95
+
+  test("twapVwap: vwap and twap columns reconcile with a driver recompute") {
+    val out = TimeSeries.twapVwap(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length > 1)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vwap_cents") ==
+        r.getAs[Long]("tot_ext_cents") / r.getAs[Long]("tot_qty"))
+      assert(r.getAs[Long]("twap_cents") ==
+        r.getAs[Long]("twap_num") / r.getAs[Long]("span_days"))
+      assert(r.getAs[Long]("span_days") >= r.getAs[Long]("n_days"),
+        "gaps can only stretch the span")
+    }
+  }
+
+  test("slaLatencyTrend: p95/p50 are exact order statistics; attainment bounded") {
+    val out = TimeSeries.slaLatencyTrend(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // Driver recompute for one month.
+    val m0 = out.head.getAs[String]("month")
+    val lats = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .join(graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === m0)
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        .cast("long").as("d"))
+      .collect().map(_.getLong(0)).sorted
+    val n = lats.length
+    val row = out.find(_.getAs[String]("month") == m0).get
+    assert(row.getAs[Long]("n") == n.toLong)
+    assert(row.getAs[Long]("p95_days") == lats((19 * n + 19) / 20 - 1))
+    assert(row.getAs[Long]("p50_days") == lats((n + 1) / 2 - 1))
+    out.foreach { r =>
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p95_days"))
+      val a = r.getAs[Long]("attain_ppm")
+      assert(a >= 0 && a <= 1000000L)
+    }
+  }
 }
