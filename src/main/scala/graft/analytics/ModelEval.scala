@@ -515,7 +515,85 @@ object ModelEval {
       |      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_micro
       |FROM u""".stripMargin
 
+  // --------------------------------------------------------------- q199
+  /** Weight-of-Evidence / Information-Value binning — the credit-scoring
+    * feature audit: per feature bin, WOE = ln(pos-share / neg-share)
+    * says which way the bin votes, and IV = Σ (pos-share − neg-share)·WOE
+    * ranks features by separating power (IV < 0.02 useless, > 0.5
+    * suspiciously strong). Structurally PSI's supervised sibling — the
+    * same smoothed-share ln arithmetic with (positives, negatives)
+    * replacing (reference, current) — and gated under the same
+    * discipline: add-one smoothing so ln never sees 0, per-bin terms
+    * floored to micro/ppm individually so any total is an integer sum.
+    *
+    * Scale shape: one scan → bins-sized aggregate; shares derive from
+    * two global sums over the bin frame.
+    */
+  def woeIv(scored: DataFrame, binCol: String, labelCol: String,
+            nBins: Int): DataFrame = {
+    val wAll = Window.partitionBy()
+    scored
+      .groupBy(col(binCol).as("bin"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("n_neg"))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("tot_neg", sum(col("n_neg")).over(wAll))
+      .withColumn("p", (col("n_pos") + 1).cast("double")
+        / (col("tot_pos") + nBins).cast("double"))
+      .withColumn("q", (col("n_neg") + 1).cast("double")
+        / (col("tot_neg") + nBins).cast("double"))
+      .withColumn("woe_micro",
+        floor(log(col("p") / col("q")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("iv_ppm",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .drop("p", "q")
+  }
+
+  /** Gated q199: WOE/IV of the synthetic calibrated score's deciles. */
+  def scoreWoeIv(spark: SparkSession, dir: String): DataFrame =
+    woeIv(scoredDocs(Tables.documents(spark, dir))
+      .withColumn("bin", expr("score_micro div 100000")),
+      "bin", "label", 10)
+      .select(col("bin"), col("n_pos"), col("n_neg"), col("tot_pos"),
+        col("tot_neg"), col("woe_micro"), col("iv_ppm"))
+
+  private val scoreWoeIvSql =
+    """WITH scored AS (
+      |  SELECT
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |),
+      |b AS (
+      |  SELECT score_micro // 100000 AS bin,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+      |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+      |  FROM scored GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT *, sum(n_pos) OVER () AS tot_pos, sum(n_neg) OVER () AS tot_neg
+      |  FROM b
+      |)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg, CAST(tot_pos AS BIGINT) AS tot_pos,
+      |  CAST(tot_neg AS BIGINT) AS tot_neg,
+      |  CAST(floor(ln(((n_pos + 1)::DOUBLE / (tot_pos + 10)::DOUBLE)
+      |    / ((n_neg + 1)::DOUBLE / (tot_neg + 10)::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS woe_micro,
+      |  CAST(floor(((n_pos + 1)::DOUBLE / (tot_pos + 10)::DOUBLE
+      |    - (n_neg + 1)::DOUBLE / (tot_neg + 10)::DOUBLE)
+      |    * ln(((n_pos + 1)::DOUBLE / (tot_pos + 10)::DOUBLE)
+      |      / ((n_neg + 1)::DOUBLE / (tot_neg + 10)::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS iv_ppm
+      |FROM t""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q199_woe_iv", scoreWoeIv _, Some(scoreWoeIvSql)),
     NamedQuery("q190_gain_chart", classifierGainChart _,
       Some(classifierGainChartSql)),
     NamedQuery("q191_cv_auc", cvAuc _, Some(cvAucSql)),

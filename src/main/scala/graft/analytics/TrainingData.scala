@@ -1323,7 +1323,89 @@ object TrainingData {
       |    AS BIGINT) AS corruption_ppm
       |FROM flags GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q200
+  /** Curation funnel — the flagship composite: the per-source survivor
+    * counts after each stage of a standard LLM-corpus curation pass,
+    * chaining three gated kernels end to end:
+    *   S1  exact dedup, keep-first (the q15 fingerprint group-by);
+    *   S2  quality floor — top token-count quartile PER LANGUAGE,
+    *       computed ON the dedup survivors (the q50 percentile gate;
+    *       running it post-dedup is the order real pipelines use, so
+    *       duplicate mass cannot distort the quantile);
+    *   S3  outlier cap — n_chars ≤ 3000 (the degenerate-document
+    *       guard).
+    * One row per source with n0..n3 and the end-to-end retention in
+    * exact ppm — the report a data lead reads before a training run.
+    *
+    * Scale shape: one fingerprint shuffle (S1), one per-language window
+    * over survivors (S2), then a projection filter (S3) and a
+    * sources-sized rollup. Every stage is the already-audited kernel
+    * plan; the funnel adds one aggregate.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("text"))
+    val s1 = docs
+      .withColumn("fp", graft.analytics.TextAnalysis.fingerprint(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+    val s2 = percentileGate(
+      s1.withColumn("n_toks",
+        size(graft.functions.shingleStrings(col("text"), 1)).cast("long")),
+      col("lang"), col("n_toks"), col("doc_id"), keepFrom = 0.75)
+      .filter(col("kept") === 1)
+    val s3 = s2.filter(col("n_chars") <= 3000)
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    cnt(docs, "n0")
+      .join(cnt(s1, "n1"), Seq("source"), "left")
+      .join(cnt(s2, "n2"), Seq("source"), "left")
+      .join(cnt(s3, "n3"), Seq("source"), "left")
+      .select(col("source"), col("n0"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
+      .withColumn("retention_ppm", expr("(1000000 * n3) div n0"))
+  }
+
+  private val curationFunnelSql =
+    """WITH docs AS (
+      |  SELECT doc_id, source, lang, n_chars, text,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |),
+      |s1 AS (
+      |  SELECT * FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM docs)
+      |  WHERE doc_id = keep_id
+      |),
+      |s2 AS (
+      |  SELECT * FROM (
+      |    SELECT *,
+      |      percent_rank() OVER (PARTITION BY lang ORDER BY
+      |        len(list_filter(string_split_regex(lower(text), '\s+'),
+      |            x -> x <> '')), doc_id) AS pr
+      |    FROM s1)
+      |  WHERE pr >= 0.75
+      |),
+      |s3 AS (SELECT * FROM s2 WHERE n_chars <= 3000)
+      |SELECT d.source, count(DISTINCT d.doc_id) AS n0,
+      |  CAST(count(DISTINCT s1.doc_id) AS BIGINT) AS n1,
+      |  CAST(count(DISTINCT s2.doc_id) AS BIGINT) AS n2,
+      |  CAST(count(DISTINCT s3.doc_id) AS BIGINT) AS n3,
+      |  CAST((1000000 * count(DISTINCT s3.doc_id)) // count(DISTINCT d.doc_id)
+      |    AS BIGINT) AS retention_ppm
+      |FROM docs d
+      |LEFT JOIN s1 ON s1.doc_id = d.doc_id
+      |LEFT JOIN s2 ON s2.doc_id = d.doc_id
+      |LEFT JOIN s3 ON s3.doc_id = d.doc_id
+      |GROUP BY 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q200_curation_funnel", curationFunnel _,
+      Some(curationFunnelSql)),
     NamedQuery("q181_group_kfold", groupKFoldSummary _, Some(groupKFoldSql)),
     NamedQuery("q182_span_corruption", spanCorruption _,
       Some(spanCorruptionSql)),

@@ -1011,4 +1011,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(s198.nestedLoops == 0 && s198.singleParts == 0, s"q198 regressed: $s198")
     assert(s198.scans <= 8 && s198.shuffles <= 8, s"q198 regressed: $s198")
   }
+
+  test("WOE/IV + curation funnel stay kernel-composed shapes (q199/q200)") {
+    // q199: one scan -> 10-bin aggregate; singleParts=2 is the bin-frame
+    // totals window (metadata-sized, the q178 exception).
+    val s199 = stats("q199_woe_iv")
+    assert(s199.nestedLoops == 0 && s199.singleParts <= 2, s"q199 regressed: $s199")
+    assert(s199.scans <= 4 && s199.shuffles <= 8, s"q199 regressed: $s199")
+    // q200: the q15 fingerprint shuffle + the q50 per-language window +
+    // a sources rollup; dims broadcast, no pair space, no global funnel.
+    val s200 = stats("q200_curation_funnel")
+    assert(s200.nestedLoops == 0 && s200.smj == 0 && s200.singleParts == 0,
+      s"q200 regressed: $s200")
+    assert(s200.scans <= 16 && s200.shuffles <= 48, s"q200 regressed: $s200")
+  }
 }

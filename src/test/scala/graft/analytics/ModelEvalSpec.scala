@@ -152,4 +152,30 @@ class ModelEvalSpec extends SparkSpec {
       assert(auc > 550000L && auc <= 1000000L, s"fold AUC out of range: $r")
     }
   }
+
+  // ------------------------------------------------------------------ woeIv
+
+  test("woeIv: balanced bins score zero WOE; enriched bins are positive") {
+    val scored = (Seq.fill(10)((0L, true)) ++ Seq.fill(10)((0L, false)) ++
+      Seq.fill(18)((1L, true)) ++ Seq.fill(2)((1L, false)))
+      .toDF("bin", "label")
+    val out = ModelEval.woeIv(scored, "bin", "label", 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("woe_micro"), r.getAs[Long]("iv_ppm")))).toMap
+    // bin 0: p = 11/38, q = 11/22 -> WOE < 0; bin 1: p = 19/38, q = 3/22
+    // -> WOE > 0. IV contributions are same-sign products -> >= 0.
+    assert(out(0L)._1 < 0 && out(1L)._1 > 0)
+    assert(out.values.forall(_._2 >= 0L), "IV terms are never negative")
+    // Hand value for bin 1: (19/38 - 3/22) * ln((19/38)/(3/22)).
+    val p = 19.0 / 38.0; val q = 3.0 / 22.0
+    assert(out(1L)._2 == math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong)
+  }
+
+  test("woeIv: an uninformative feature has near-zero IV everywhere") {
+    val scored = (0 until 100).map(i => ((i / 10).toLong, i % 2 == 0))
+      .toDF("bin", "label")
+    val out = ModelEval.woeIv(scored, "bin", "label", 10).collect()
+    assert(out.forall(_.getAs[Long]("iv_ppm") <= 100L),
+      "balanced bins contribute ~0 IV")
+  }
 }

@@ -522,4 +522,24 @@ class TrainingDataSpec extends SparkSpec {
     val out = TrainingData.spanCorruptionStats(d).collect()
     assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
   }
+
+  // --------------------------------------------------------- curationFunnel
+
+  test("curationFunnel: stages only shrink; totals reconcile with the kernels") {
+    val out = TrainingData.curationFunnel(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n0, n1, n2, n3) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"), r.getAs[Long]("n3"))
+      assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= 0,
+        s"funnel must be monotone: $r")
+      assert(r.getAs[Long]("retention_ppm") == 1000000L * n3 / n0)
+    }
+    // S2 keeps the top quartile per language of S1: the global S2 total
+    // must be ~25% of S1 (within per-language rounding).
+    val t1 = out.map(_.getAs[Long]("n1")).sum
+    val t2 = out.map(_.getAs[Long]("n2")).sum
+    assert(t2 * 10 >= t1 * 2 && t2 * 10 <= t1 * 4,
+      s"quartile gate should keep ~25%: $t1 -> $t2")
+  }
 }
