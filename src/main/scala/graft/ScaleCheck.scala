@@ -50,7 +50,13 @@ object ScaleCheck {
     // covariance sufficient-stats scan join the measured set (the round-8
     // verdict's five 100×-decade targets are q104/q115/q72/q118/q30).
     "q104_prefix_filter_join", "q115_containment_join",
-    "q118_embedding_covariance")
+    "q118_embedding_covariance",
+    // round-9 session-2: the masking explode (corpus-linear in tokens),
+    // the milli-nat OLS scan, and the three-stage curation composite
+    // (fingerprint shuffle + per-language window + rollup) — the three
+    // new operators whose work is corpus-proportional (the rest of the
+    // session's additions are calendar- or metadata-bounded).
+    "q182_span_corruption", "q195_price_elasticity", "q200_curation_funnel")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -1014,12 +1014,13 @@ object TimeSeries {
   /** Log-log price elasticity of demand — the economist's regression
     * "1% price increase moves quantity by β%": per brand, the OLS slope
     * of ln(quantity) on ln(unit price), run through the EXACT integer
-    * q99 kernel after flooring both logs to MILLI-nats (the q159
-    * floor-at-the-edge discipline, at 1e3 so the sufficient-statistic
-    * products stay far under 2⁶³: x·y ≤ ~2·10⁷ per row, n·Σxy ≤ ~10¹⁴
-    * per brand at bench scale). slope_micro is the elasticity in
-    * micro-units, engine-exact because only floored integers enter the
-    * regression.
+    * q99 sufficient statistics after flooring both logs to MILLI-nats
+    * (the q159 floor-at-the-edge discipline). The SUMS are exact BIGINT
+    * (x·y ≤ ~2·10⁷ per row — exact through ~4·10¹¹ rows per brand); the
+    * slope finisher is the q167 CUPED fixed-double-sequence + floor(+½),
+    * NOT the q99 long two-step, because the determinant n·Σxx − (Σx)²
+    * grows ∝ n² with corpus-sized n and the two-step overflows
+    * (ScaleCheck measured exactly that at 10×).
     *
     * Scale shape: fact scan + broadcast part dim → per-brand q99
     * aggregate; one shuffle on brand.
@@ -1031,12 +1032,29 @@ object TimeSeries {
         col("l_partkey") === col("p_partkey"))
       .select(col("brand"),
         floor(log(col("l_extendedprice") / col("l_quantity")) * 1000)
-          .cast("long").as("ln_price_milli"),
-        floor(log(col("l_quantity")) * 1000).cast("long").as("ln_qty_milli"))
-    olsTrend(li, "brand", "ln_price_milli", "ln_qty_milli")
-      .select(col("brand"), col("n_days").as("n_lines"),
-        col("sy").as("sum_lnq_milli"), col("num"), col("den"),
-        col("slope_micro").as("elasticity_micro"))
+          .cast("long").as("x"),
+        floor(log(col("l_quantity")) * 1000).cast("long").as("y"))
+    val w = Window.partitionBy("brand")
+    li
+      .withColumn("xo", col("x") - min(col("x")).over(w))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_lines"), sum("xo").as("sx"),
+        sum("y").as("sum_lnq_milli"), sum(col("xo") * col("y")).as("sxy"),
+        sum(col("xo") * col("xo")).as("sxx"))
+      // The slope finisher is the q167 CUPED discipline, NOT the q99 long
+      // two-step: with corpus-sized n the determinant n·Σxx − (Σx)² grows
+      // ∝ n² and the two-step's 1e6·remainder multiply overflows BIGINT
+      // (ScaleCheck caught exactly this at 10×). The sums stay EXACT
+      // BIGINTs; num/den are one fixed double sequence from those exact
+      // integers, so both engines floor the identical value.
+      .withColumn("elasticity_micro",
+        floor((col("n_lines").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sum_lnq_milli").cast("double"))
+          / (col("n_lines").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .select(col("brand"), col("n_lines"), col("sx"), col("sum_lnq_milli"),
+        col("sxy"), col("sxx"), col("elasticity_micro"))
   }
 
   private val priceElasticitySql =
@@ -1055,19 +1073,14 @@ object TimeSeries {
       |  SELECT brand, count(*) AS n, sum(xo) AS sx, sum(y) AS sy,
       |    sum(xo * y) AS sxy, sum(xo * xo) AS sxx
       |  FROM xs GROUP BY 1
-      |),
-      |f AS (
-      |  SELECT brand, n, sy, n * sxy - sx * sy AS num,
-      |    n * sxx - sx * sx AS den
-      |  FROM s
       |)
-      |SELECT brand, CAST(n AS BIGINT) AS n_lines,
-      |  CAST(sy AS BIGINT) AS sum_lnq_milli,
-      |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
-      |  CAST((num // den) * 1000000
-      |    + (1000000 * (num - (num // den) * den)) // den AS BIGINT)
-      |    AS elasticity_micro
-      |FROM f""".stripMargin
+      |SELECT brand, CAST(n AS BIGINT) AS n_lines, CAST(sx AS BIGINT) AS sx,
+      |  CAST(sy AS BIGINT) AS sum_lnq_milli, CAST(sxy AS BIGINT) AS sxy,
+      |  CAST(sxx AS BIGINT) AS sxx,
+      |  CAST(floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS elasticity_micro
+      |FROM s""".stripMargin
 
   // --------------------------------------------------------------- q196
   /** TWAP / VWAP — the two canonical price averages, computed exactly:

@@ -372,13 +372,18 @@ class TimeSeriesSpec extends SparkSpec {
 
   // -------------------------------------------------------- priceElasticity
 
-  test("priceElasticity: per-brand slopes are defined and finite on real data") {
+  test("priceElasticity: per-brand slopes are defined, finite, and match a driver recompute") {
     val out = TimeSeries.priceElasticity(spark, "/root/testdata/sf0.001").collect()
     assert(out.length > 1)
     out.foreach { r =>
-      assert(r.getAs[Long]("den") > 0, "price variation exists per brand")
-      val e = r.getAs[Long]("elasticity_micro")
-      assert(math.abs(e) < 10000000L, s"elasticity within +-10: $r")
+      val (n, sx, sy, sxy, sxx) = (r.getAs[Long]("n_lines"), r.getAs[Long]("sx"),
+        r.getAs[Long]("sum_lnq_milli"), r.getAs[Long]("sxy"), r.getAs[Long]("sxx"))
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      assert(den > 0, "price variation exists per brand")
+      assert(r.getAs[Long]("elasticity_micro") ==
+        math.floor(num / den * 1e6 + 0.5).toLong)
+      assert(math.abs(r.getAs[Long]("elasticity_micro")) < 10000000L)
     }
   }
 
