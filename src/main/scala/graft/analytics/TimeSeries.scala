@@ -1150,10 +1150,12 @@ object TimeSeries {
   // --------------------------------------------------------------- q198
   /** Monthly p95 latency trend — the SLA chart: per month, the EXACT
     * 95th-percentile order→ship latency as an order statistic
-    * (rank ⌈0.95·n⌉ = (19n+19) div 20 — the POSITIVE-operand ceil
-    * identity, because Spark `div` truncates while DuckDB `//` floors
-    * and they disagree on negatives — under a deterministic (latency,
-    * orderkey, line) tiebreak, the q162 discipline; no float), plus
+    * (rank ⌈0.95·n⌉ = (19n+19) div 20 — the positive-operand ceil
+    * identity; positives keep the arithmetic trivially engine-exact
+    * (both engines truncate integer division toward zero, verified, so
+    * negatives would also agree — positives just need no proof) — under
+    * a deterministic (latency, orderkey, line) tiebreak, the q162
+    * discipline; no float), plus
     * the p50 for contrast and the attainment rate against a fixed
     * 30-day SLA in exact ppm.
     *
