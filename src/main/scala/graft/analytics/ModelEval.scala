@@ -592,7 +592,122 @@ object ModelEval {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS iv_ppm
       |FROM t""".stripMargin
 
+  // --------------------------------------------------------------- q202
+  /** Cohen's kappa between two REAL quality gates — the labeling-QA
+    * measure: raw agreement between two filters overstates consensus
+    * when both keep most documents; kappa subtracts the agreement their
+    * marginal keep-rates would produce by chance. Rater A is the q50
+    * per-language token-count quartile gate; rater B is the q80 hashed
+    * linear classifier — two filters a curation pipeline actually runs
+    * side by side. The 2×2 confusion cells (a,b,c,d) are exact BIGINTs;
+    * kappa = (N(a+d) − [(a+b)(a+c)+(c+d)(b+d)]) / (N² − [...]) finishes
+    * through the q167 CUPED fixed-double-sequence + floor(+½) because
+    * N² outgrows BIGINT at corpus scale (the q195 lesson, applied
+    * preemptively).
+    *
+    * Scale shape: the two gates' own audited plans (per-language window;
+    * explode + broadcast model join) joined on doc_id, collapsed to one
+    * 4-cell aggregate.
+    */
+  def raterKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gateA = TrainingData.percentileGate(
+      docs.select(col("lang"), col("doc_id"),
+        size(graft.functions.shingleStrings(col("text"), 1)).cast("long")
+          .as("n_toks")),
+      col("lang"), col("n_toks"), col("doc_id"), keepFrom = 0.75)
+      .select(col("doc_id"), (col("kept") === 1).as("keep_a"))
+    val weights = spark.range(TrainingData.ClfBuckets).toDF("b")
+      .select(col("b"),
+        ((conv(substring(md5(col("b").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % lit(2001L)) - lit(1000L)).as("weight"))
+    val gateB = TrainingData.classifierScore(docs, weights)
+      .select(col("doc_id"), (col("mean_units") > 0).as("keep_b"))
+    gateA.join(gateB, Seq("doc_id"))
+      .groupBy()
+      .agg(
+        sum(when(col("keep_a") && col("keep_b"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("keep_a") && !col("keep_b"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("keep_a") && col("keep_b"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("keep_a") && !col("keep_b"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("kappa_ppm",
+        floor((col("n").cast("double")
+          * (col("a") + col("d")).cast("double")
+          - ((col("a") + col("b")).cast("double")
+            * (col("a") + col("c")).cast("double")
+            + (col("c") + col("d")).cast("double")
+              * (col("b") + col("d")).cast("double")))
+          / (col("n").cast("double") * col("n").cast("double")
+            - ((col("a") + col("b")).cast("double")
+              * (col("a") + col("c")).cast("double")
+              + (col("c") + col("d")).cast("double")
+                * (col("b") + col("d")).cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+  }
+
+  private val raterKappaSql =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |        x -> x <> '')) AS n_toks
+       |  FROM documents
+       |),
+       |ga AS (
+       |  SELECT doc_id,
+       |    percent_rank() OVER (PARTITION BY lang ORDER BY n_toks, doc_id)
+       |      >= 0.75 AS keep_a
+       |  FROM t
+       |),
+       |ws AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |feat AS (
+       |  SELECT doc_id, unnest(w) AS f FROM ws
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+       |    i -> w[i] || ' ' || w[i+1])) AS f
+       |  FROM ws
+       |),
+       |fb AS (
+       |  SELECT doc_id, count(*) AS n_fb,
+       |    ('0x' || substr(md5(f), 1, 8))::BIGINT % ${TrainingData.ClfBuckets} AS b
+       |  FROM feat GROUP BY doc_id, b
+       |),
+       |wt AS (
+       |  SELECT b, ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT
+       |    % 2001 - 1000 AS weight
+       |  FROM (SELECT unnest(range(${TrainingData.ClfBuckets})) AS b)
+       |),
+       |gb AS (
+       |  SELECT doc_id,
+       |    (sum(n_fb * weight) // sum(n_fb)) > 0 AS keep_b
+       |  FROM fb JOIN wt USING (b) GROUP BY doc_id
+       |),
+       |cells AS (
+       |  SELECT
+       |    sum(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END) AS a,
+       |    sum(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS b,
+       |    sum(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END) AS c,
+       |    sum(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS d
+       |  FROM ga JOIN gb USING (doc_id)
+       |)
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       |  CAST(a + b + c + d AS BIGINT) AS n,
+       |  CAST(floor(((a + b + c + d)::DOUBLE * (a + d)::DOUBLE
+       |    - ((a + b)::DOUBLE * (a + c)::DOUBLE
+       |       + (c + d)::DOUBLE * (b + d)::DOUBLE))
+       |    / ((a + b + c + d)::DOUBLE * (a + b + c + d)::DOUBLE
+       |      - ((a + b)::DOUBLE * (a + c)::DOUBLE
+       |         + (c + d)::DOUBLE * (b + d)::DOUBLE))
+       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS kappa_ppm
+       |FROM cells""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q202_rater_kappa", raterKappa _, Some(raterKappaSql)),
     NamedQuery("q199_woe_iv", scoreWoeIv _, Some(scoreWoeIvSql)),
     NamedQuery("q190_gain_chart", classifierGainChart _,
       Some(classifierGainChartSql)),

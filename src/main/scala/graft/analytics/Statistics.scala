@@ -1241,7 +1241,85 @@ object Statistics {
       |  CAST(sum(w * mean_micro) // sum(w) AS BIGINT) AS std_micro
       |FROM ww GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q201
+  /** Sequential probability ratio test (SPRT) trace — Wald's
+    * early-stopping monitor, the thing a fixed-horizon z-test (q163)
+    * cannot do: watch the cumulative log-likelihood ratio day by day and
+    * stop the moment the evidence crosses a boundary, with error rates
+    * still controlled. For Bernoulli H₀: p=p₀ vs H₁: p=p₁ the day's
+    * increment is n_pos·ln(p₁/p₀) + n_neg·ln((1−p₁)/(1−p₀)) — and both
+    * ln CONSTANTS are computed ONCE in Scala, floored to micro, and
+    * interpolated as integer literals into BOTH the Spark plan and the
+    * oracle SQL, so the whole trace is integer arithmetic with zero
+    * cross-engine ln calls. Boundaries ±ln((1−β)/α) at α=β=0.05.
+    *
+    * Scale shape: one events scan → day-grain aggregate → one
+    * time-ordered prefix window over the calendar-bounded trace.
+    */
+  def sprtTrace(daily: DataFrame, dayCol: String, nCol: String,
+                posCol: String, p0: Double, p1: Double,
+                alpha: Double): DataFrame = {
+    val l1 = math.floor(math.log(p1 / p0) * 1e6 + 0.5).toLong
+    val l0 = math.floor(math.log((1 - p1) / (1 - p0)) * 1e6 + 0.5).toLong
+    val bound = math.floor(math.log((1 - alpha) / alpha) * 1e6 + 0.5).toLong
+    val wPre = Window.orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("llr_day_micro",
+        col(posCol) * lit(l1) + (col(nCol) - col(posCol)) * lit(l0))
+      .withColumn("cum_llr_micro", sum(col("llr_day_micro")).over(wPre))
+      .withColumn("decision",
+        when(col("cum_llr_micro") >= bound, "accept_h1")
+          .when(col("cum_llr_micro") <= -bound, "accept_h0")
+          .otherwise("continue"))
+  }
+
+  /** Gated q201: daily purchase-share SPRT (p₀=0.18 vs p₁=0.22). */
+  def conversionSprt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_pos"))
+    sprtTrace(daily, "day", "n_obs", "n_pos", p0 = 0.18, p1 = 0.22,
+      alpha = 0.05)
+      .select(col("day"), col("n_obs"), col("n_pos"), col("llr_day_micro"),
+        col("cum_llr_micro"), col("decision"))
+  }
+
+  private val conversionSprtSql = {
+    val l1 = math.floor(math.log(0.22 / 0.18) * 1e6 + 0.5).toLong
+    val l0 = math.floor(math.log(0.78 / 0.82) * 1e6 + 0.5).toLong
+    val bound = math.floor(math.log(0.95 / 0.05) * 1e6 + 0.5).toLong
+    s"""WITH daily AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_obs,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY 1
+       |),
+       |t AS (
+       |  SELECT day, n_obs, n_pos,
+       |    n_pos * ($l1) + (n_obs - n_pos) * ($l0) AS llr_day_micro
+       |  FROM daily
+       |),
+       |c AS (
+       |  SELECT *, sum(llr_day_micro) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_llr_micro
+       |  FROM t
+       |)
+       |SELECT day, CAST(n_obs AS BIGINT) AS n_obs,
+       |  CAST(n_pos AS BIGINT) AS n_pos,
+       |  CAST(llr_day_micro AS BIGINT) AS llr_day_micro,
+       |  CAST(cum_llr_micro AS BIGINT) AS cum_llr_micro,
+       |  CASE WHEN cum_llr_micro >= $bound THEN 'accept_h1'
+       |       WHEN cum_llr_micro <= -$bound THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM c""".stripMargin
+  }
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q201_sprt_trace", conversionSprt _, Some(conversionSprtSql)),
     NamedQuery("q197_standardized_rates", segmentStandardizedSpend _,
       Some(segmentStandardizedSpendSql)),
     NamedQuery("q192_bootstrap_ci", docLengthBootstrap _,

@@ -1025,4 +1025,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q200 regressed: $s200")
     assert(s200.scans <= 16 && s200.shuffles <= 48, s"q200 regressed: $s200")
   }
+
+  test("SPRT + kappa additions stay aggregate shaped (q201/q202)") {
+    // q201: events scan -> day-grain aggregate -> one calendar-bounded
+    // prefix window (singleParts = that trace window, days-sized).
+    val s201 = stats("q201_sprt_trace")
+    assert(s201.nestedLoops == 0 && s201.singleParts <= 2, s"q201 regressed: $s201")
+    assert(s201.scans <= 4 && s201.shuffles <= 8, s"q201 regressed: $s201")
+    // q202: the q50 window + the q80 explode/broadcast-model plans joined
+    // on doc_id -> one 4-cell aggregate (singleParts = the 1-row cell frame).
+    val s202 = stats("q202_rater_kappa")
+    assert(s202.nestedLoops == 0 && s202.smj == 0 && s202.singleParts <= 2,
+      s"q202 regressed: $s202")
+    assert(s202.scans <= 8 && s202.shuffles <= 24, s"q202 regressed: $s202")
+  }
 }

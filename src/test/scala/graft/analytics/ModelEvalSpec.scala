@@ -178,4 +178,23 @@ class ModelEvalSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("iv_ppm") <= 100L),
       "balanced bins contribute ~0 IV")
   }
+
+  // --------------------------------------------------------------- raterKappa
+
+  test("raterKappa: cells reconcile with the two gates run separately") {
+    val out = ModelEval.raterKappa(spark, "/root/testdata/sf0.001").collect().head
+    val (a, b, c, d, n) = (out.getAs[Long]("a"), out.getAs[Long]("b"),
+      out.getAs[Long]("c"), out.getAs[Long]("d"), out.getAs[Long]("n"))
+    assert(a + b + c + d == n && n > 0)
+    // Marginals: gate A keeps ~25% per language by construction.
+    assert((a + b) * 10 >= n * 2 && (a + b) * 10 <= n * 4,
+      s"quartile gate marginal ~25%: ${(a, b, c, d)}")
+    // Kappa formula recomputed driver-side from the exact cells.
+    val po = (a + d).toDouble / n
+    val pe = ((a + b).toDouble * (a + c) + (c + d).toDouble * (b + d)) / (n.toDouble * n)
+    assert(out.getAs[Long]("kappa_ppm") ==
+      math.floor((po - pe) / (1 - pe) * 1e6 + 0.5).toLong)
+    // Two hash-independent gates should agree near chance: |kappa| small.
+    assert(math.abs(out.getAs[Long]("kappa_ppm")) < 300000L)
+  }
 }

@@ -432,4 +432,27 @@ class StatisticsSpec extends SparkSpec {
         ((r.getAs[Long]("crude_micro"), r.getAs[Long]("std_micro")))).toMap
     out.values.foreach { case (c, s) => assert(c == s) }
   }
+
+  // -------------------------------------------------------------- sprtTrace
+
+  test("sprtTrace: strong positive evidence crosses the H1 boundary and sticks") {
+    // p0=0.1 vs p1=0.3; feed days at 50% conversion — overwhelming H1.
+    val daily = (1 to 10).map(i => (f"day$i%02d", 20L, 10L))
+      .toDF("day", "n", "pos")
+    val out = Statistics.sprtTrace(daily, "day", "n", "pos", 0.1, 0.3, 0.05)
+      .orderBy(col("day")).collect()
+    assert(out.last.getAs[String]("decision") == "accept_h1")
+    // Cumulative sum is a strict prefix sum of the day terms.
+    val terms = out.map(_.getAs[Long]("llr_day_micro"))
+    val cums = out.map(_.getAs[Long]("cum_llr_micro"))
+    assert(cums.toSeq == terms.scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
+  test("sprtTrace: null-rate data drifts to accept_h0, never accept_h1") {
+    val daily = (1 to 40).map(i => (f"day$i%02d", 20L, 2L))
+      .toDF("day", "n", "pos") // exactly p0 = 0.1
+    val out = Statistics.sprtTrace(daily, "day", "n", "pos", 0.1, 0.3, 0.05)
+      .collect()
+    assert(!out.exists(_.getAs[String]("decision") == "accept_h1"))
+  }
 }
