@@ -862,13 +862,19 @@ object Statistics {
     * must be split across strata, sampling n_h ∝ N_h·S_h (stratum size ×
     * stratum spread) minimizes the estimator variance; proportional
     * allocation over-samples quiet strata and starves volatile ones.
-    * The spread enters through the exact integer variance numerator
-    * n·Σx² − (Σx)² (the q99 sufficient-stats shape, in whole dollars for
-    * Σx² headroom); the per-stratum weight w = N·S is ONE fixed double
-    * sequence — BIGINT→double casts and √ are IEEE-correctly-rounded,
-    * so both engines produce the identical integer after the +½ floor —
-    * and the final shares divide INTEGER weights (order-independent
-    * sums; the q183 no-float-reduction discipline).
+    * The SUMS Σx / Σx² are exact BIGINT (per-row x² in whole dollars is
+    * ≤ ~4·10¹¹, exact through millions of rows per stratum); the
+    * determinant n·Σx² − (Σx)² grows ∝ n² with stratum-sized n, so —
+    * the q195 discipline, which ScaleCheck's decade first caught there
+    * and the sf0.1 bench caught here — it is NOT materialized as a
+    * BIGINT but folded into the ONE fixed double sequence that produces
+    * the per-stratum weight w = N·S. BIGINT→double casts, ·, −, / and √
+    * are IEEE-correctly-rounded, so both engines produce the identical
+    * integer after the +½ floor, and the final shares divide INTEGER
+    * weights (order-independent sums; the q183 no-float-reduction
+    * discipline). The `greatest(·, 0)` guard pins the cancellation edge
+    * (a flat stratum's determinant is exactly 0 in both engines, but the
+    * guard keeps √ total by construction under ANSI).
     *
     * Scale shape: one fact scan → strata-sized aggregate; everything
     * after runs on one row per stratum.
@@ -881,16 +887,17 @@ object Statistics {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
         sum(col(valueCol) * col(valueCol)).as("ss"))
       .filter(col("n") > 1)
-      .withColumn("var_num", expr("n * ss - s * s"))
-      // w = N·S = N·sqrt(var_num / (n(n−1))) = sqrt(N²·var_num / (n(n−1)))
+      // w = N·S = sqrt(N²·var/(n(n−1))) = sqrt(n·(n·Σx²−(Σx)²)/(n−1)),
+      // with the n²-growing determinant computed in double, never BIGINT.
       .withColumn("w_int",
-        floor(sqrt(col("n").cast("double") * col("n").cast("double")
-          * col("var_num").cast("double")
-          / (col("n").cast("double") * (col("n") - 1).cast("double")))
+        floor(sqrt(col("n").cast("double")
+          * greatest(col("n").cast("double") * col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double"), lit(0.0))
+          / (col("n") - 1).cast("double"))
           + lit(0.5)).cast("long"))
       .withColumn("w_sum", sum(col("w_int")).over(w))
       .withColumn("alloc", expr(s"($budget * w_int) div w_sum"))
-      .drop("s", "ss", "w_sum")
+      .drop("w_sum")
   }
 
   /** Gated q188: allocate 1,000 audit samples across market segments by
@@ -904,7 +911,7 @@ object Statistics {
       .select(col("c_mktsegment").as("segment"),
         floor(col("o_totalprice")).cast("long").as("dollars"))
     neymanAllocation(rows, "segment", "dollars", 1000L)
-      .select(col("segment"), col("n"), col("var_num"), col("w_int"),
+      .select(col("segment"), col("n"), col("s"), col("ss"), col("w_int"),
         col("alloc"))
   }
 
@@ -919,14 +926,15 @@ object Statistics {
       |  FROM rows_ GROUP BY 1 HAVING count(*) > 1
       |),
       |wgt AS (
-      |  SELECT segment, n, n * ss - s * s AS var_num,
-      |    CAST(floor(sqrt(n::DOUBLE * n::DOUBLE * (n * ss - s * s)::DOUBLE
-      |      / (n::DOUBLE * (n - 1)::DOUBLE)) + 0.5::DOUBLE) AS BIGINT)
-      |      AS w_int
+      |  SELECT segment, n, s, ss,
+      |    CAST(floor(sqrt(n::DOUBLE
+      |      * greatest(n::DOUBLE * ss::DOUBLE - s::DOUBLE * s::DOUBLE,
+      |                 0.0::DOUBLE)
+      |      / (n - 1)::DOUBLE) + 0.5::DOUBLE) AS BIGINT) AS w_int
       |  FROM s
       |)
-      |SELECT segment, CAST(n AS BIGINT) AS n,
-      |  CAST(var_num AS BIGINT) AS var_num, w_int,
+      |SELECT segment, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+      |  CAST(ss AS BIGINT) AS ss, w_int,
       |  CAST((1000 * w_int) // sum(w_int) OVER () AS BIGINT) AS alloc
       |FROM wgt""".stripMargin
 

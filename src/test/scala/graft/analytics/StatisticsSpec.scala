@@ -323,12 +323,12 @@ class StatisticsSpec extends SparkSpec {
       .toDF("h", "v")
     val out = Statistics.neymanAllocation(rows, "h", "v", 1000L)
       .collect().map(r => r.getAs[String]("h") ->
-        ((r.getAs[Long]("var_num"), r.getAs[Long]("w_int"),
+        ((r.getAs[Long]("s"), r.getAs[Long]("ss"), r.getAs[Long]("w_int"),
           r.getAs[Long]("alloc")))).toMap
-    assert(out("flat") == ((0L, 0L, 0L)), "no spread -> no samples needed")
-    // wild: var_num = 4*20000 - 200^2 = 40000; w = sqrt(16*40000/12)
-    // = sqrt(53333.33) = 230.94 -> 231; alloc = all 1000.
-    assert(out("wild") == ((40000L, 231L, 1000L)))
+    assert(out("flat") == ((40L, 400L, 0L, 0L)), "no spread -> no samples")
+    // wild: det = 4*20000 - 200^2 = 40000 (in double, exact);
+    // w = sqrt(4*40000/3) = sqrt(53333.33) = 230.94 -> 231; alloc = 1000.
+    assert(out("wild") == ((200L, 20000L, 231L, 1000L)))
   }
 
   test("neymanAllocation: equal strata split the budget equally") {
