@@ -938,6 +938,77 @@ object Statistics {
       |  CAST((1000 * w_int) // sum(w_int) OVER () AS BIGINT) AS alloc
       |FROM wgt""".stripMargin
 
+  // --------------------------------------------------------------- q204
+  /** Mutual information between two categorical columns — the
+    * information-theoretic complement of [[chiSquare]] (q111): where
+    * chi-square answers "are these dependent at all?", MI answers "how
+    * many nats does knowing one buy about the other?" — the standard
+    * feature-selection and corpus-mixture diagnostic (a source column
+    * that carries high MI with language means per-source sampling skews
+    * the language mix). I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over
+    * OBSERVED cells (absent cells contribute exactly 0, so both engines
+    * sum the same support).
+    *
+    * Exactness (the q183 PSI discipline): marginals and N are exact
+    * BIGINT window sums over the cells frame; each cell's term is ONE
+    * fixed double sequence over casts of those exact integers, floored
+    * to integer PPM-nats; the statistic is then a sum of integers —
+    * order-independent, engine-identical.
+    *
+    * Scale shape: the corpus collapses to its R×C contingency table in
+    * one hash aggregation (fully partial); the window sums run on the
+    * cells-sized frame. One scan, one cells-sized shuffle.
+    */
+  def mutualInformation(obs: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    obs.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("x")))
+      .withColumn("n_y", sum("n_xy").over(Window.partitionBy("y")))
+      .withColumn("n_tot", sum("n_xy").over(wAll))
+      .withColumn("term_ppm", floor(
+        col("n_xy").cast("double") / col("n_tot").cast("double")
+          * log(col("n_xy").cast("double") * col("n_tot").cast("double")
+            / (col("n_x").cast("double") * col("n_y").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("mi_ppm", sum("term_ppm").over(wAll))
+  }
+
+  /** Gated q204: how much does a document's source tell you about its
+    * language? Per observed (source, lang) cell plus the corpus MI.
+    */
+  def sourceLangMi(spark: SparkSession, dir: String): DataFrame =
+    mutualInformation(Tables.documents(spark, dir), "source", "lang")
+      .select(col("x").as("source"), col("y").as("lang"), col("n_xy"),
+        col("n_x"), col("n_y"), col("n_tot"), col("term_ppm"),
+        col("mi_ppm"))
+
+  private val sourceLangMiSql =
+    """WITH cells AS (
+      |  SELECT source AS x, lang AS y, count(*) AS n_xy
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT x, y, n_xy,
+      |    sum(n_xy) OVER (PARTITION BY x) AS n_x,
+      |    sum(n_xy) OVER (PARTITION BY y) AS n_y,
+      |    sum(n_xy) OVER () AS n_tot
+      |  FROM cells
+      |),
+      |t AS (
+      |  SELECT x AS source, y AS lang, CAST(n_xy AS BIGINT) AS n_xy,
+      |    CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+      |    CAST(n_tot AS BIGINT) AS n_tot,
+      |    CAST(floor(n_xy::DOUBLE / n_tot::DOUBLE
+      |      * ln(n_xy::DOUBLE * n_tot::DOUBLE
+      |           / (n_x::DOUBLE * n_y::DOUBLE))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS term_ppm
+      |  FROM m
+      |)
+      |SELECT source, lang, n_xy, n_x, n_y, n_tot, term_ppm,
+      |  CAST(sum(term_ppm) OVER () AS BIGINT) AS mi_ppm
+      |FROM t""".stripMargin
+
   // --------------------------------------------------------------- q189
   /** Difference-in-differences — the workhorse quasi-experimental
     * estimator: when a change hits one cohort at a known time, the
@@ -1327,6 +1398,7 @@ object Statistics {
   }
 
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q204_source_lang_mi", sourceLangMi _, Some(sourceLangMiSql)),
     NamedQuery("q201_sprt_trace", conversionSprt _, Some(conversionSprtSql)),
     NamedQuery("q197_standardized_rates", segmentStandardizedSpend _,
       Some(segmentStandardizedSpendSql)),

@@ -369,6 +369,100 @@ object TimeSeries {
       |    + (1000000 * (num - (num // den) * den)) // den AS BIGINT) AS slope_micro
       |FROM f""".stripMargin
 
+  // --------------------------------------------------------------- q203
+  /** Theil–Sen robust trend — q99's OLS complement for contaminated
+    * series: the slope is the MEDIAN of all pairwise slopes
+    * (y_j−y_i)/(x_j−x_i), which survives up to ~29% of the points being
+    * corrupted (one bad holiday spike drags an OLS slope arbitrarily;
+    * it moves the pairwise-slope median by one rank). Engine-exact: each
+    * pair's slope is floored to integer MICRO-cents/week via the q99
+    * two-step long division (truncation identical under Spark `div` ≡
+    * DuckDB `//` for negative deltas), and the median is the exact
+    * lower-median element at rank ⌈n/2⌉ of the sorted slopes — the
+    * selected VALUE at a rank is deterministic however ties order, so
+    * no tiebreaker column is needed.
+    *
+    * Scale shape: the only corpus-proportional stage is the fact scan
+    * feeding the weekly aggregate; the weekly frame is CALENDAR-bounded
+    * (≤ ~320 weeks per group at any corpus size), so the pair space is
+    * weeks² ≈ 50k/group — fixed, broadcast-joinable, and independent of
+    * data volume. 100 TB costs the same pairs as 100 GB.
+    */
+  def theilSenTrend(perX: DataFrame, keyCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val l = perX.select(col(keyCol).as("k"), col(xCol).cast("long").as("x1"),
+      col(yCol).cast("long").as("y1"))
+    val r = perX.select(col(keyCol).as("k2"), col(xCol).cast("long").as("x2"),
+      col(yCol).cast("long").as("y2"))
+    val wk = Window.partitionBy("k")
+    l.join(broadcast(r), col("k") === col("k2") && col("x2") > col("x1"))
+      .withColumn("dy", col("y2") - col("y1"))
+      .withColumn("dx", col("x2") - col("x1"))
+      .withColumn("slope_micro", expr(
+        "(dy div dx) * 1000000 + (1000000 * (dy - (dy div dx) * dx)) div dx"))
+      .withColumn("rn", row_number().over(wk.orderBy(col("slope_micro"))))
+      .withColumn("n_pairs", count(lit(1)).over(wk))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("k"), col("n_pairs"),
+        col("slope_micro").as("ts_slope_micro"))
+  }
+
+  /** Gated q203: robust weekly revenue trend per market segment in
+    * micro-cents per week, alongside the week count behind it.
+    */
+  def robustRevenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    // The weekly frame feeds three consumers (pair left, pair right,
+    // week counts) — checkpoint the calendar-bounded aggregate so the
+    // fact scan runs exactly once (the chiSquare discipline).
+    val weekly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        (datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")) / 7).cast("long").as("week_i"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val weeks = weekly.groupBy(col("segment").as("seg2"))
+      .agg(count(lit(1)).as("n_weeks"))
+    theilSenTrend(weekly, "segment", "week_i", "cents")
+      .join(broadcast(weeks), col("k") === col("seg2"))
+      .select(col("k").as("segment"), col("n_weeks"), col("n_pairs"),
+        col("ts_slope_micro"))
+  }
+
+  private val robustRevenueTrendSql =
+    """WITH weekly AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE) // 7
+      |      AS week_i,
+      |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2
+      |),
+      |sl AS (
+      |  SELECT a.segment,
+      |    ((b.cents - a.cents) // (b.week_i - a.week_i)) * 1000000
+      |      + (1000000 * ((b.cents - a.cents)
+      |          - ((b.cents - a.cents) // (b.week_i - a.week_i))
+      |            * (b.week_i - a.week_i)))
+      |        // (b.week_i - a.week_i) AS slope_micro
+      |  FROM weekly a JOIN weekly b
+      |    ON a.segment = b.segment AND b.week_i > a.week_i
+      |),
+      |rk AS (
+      |  SELECT segment, slope_micro,
+      |    row_number() OVER (PARTITION BY segment ORDER BY slope_micro)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY segment) AS n_pairs
+      |  FROM sl
+      |),
+      |wc AS (SELECT segment, count(*) AS n_weeks FROM weekly GROUP BY 1)
+      |SELECT r.segment, CAST(w.n_weeks AS BIGINT) AS n_weeks,
+      |  CAST(r.n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(r.slope_micro AS BIGINT) AS ts_slope_micro
+      |FROM rk r JOIN wc w ON r.segment = w.segment
+      |WHERE r.rn = (r.n_pairs + 1) // 2""".stripMargin
+
   // --------------------------------------------------------------- q114
   /** Lead-lag cross-correlation of two daily series — "does X lead Y by
     * k days?", the standard question before attributing one metric's
@@ -1216,6 +1310,8 @@ object TimeSeries {
       |FROM rk GROUP BY 1""".stripMargin
 
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q203_theilsen_trend", robustRevenueTrend _,
+      Some(robustRevenueTrendSql)),
     NamedQuery("q196_twap_vwap", twapVwap _, Some(twapVwapSql)),
     NamedQuery("q198_sla_p95_trend", (s, d) => slaLatencyTrend(s, d),
       Some(slaLatencyTrendSql)),

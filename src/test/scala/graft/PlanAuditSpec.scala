@@ -1039,4 +1039,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q202 regressed: $s202")
     assert(s202.scans <= 8 && s202.shuffles <= 24, s"q202 regressed: $s202")
   }
+
+  test("Theil-Sen + MI additions stay bounded-frame shaped (q203/q204)") {
+    // q203: one checkpointed weekly aggregate (scans=0 post-checkpoint)
+    // -> broadcast self pair-join over the calendar-bounded frame ->
+    // per-segment rank window. The pair join must stay a broadcast HASH
+    // join on the segment key (never a nested loop), and no global
+    // single-partition funnel exists.
+    val s203 = stats("q203_theilsen_trend")
+    assert(s203.nestedLoops == 0 && s203.singleParts <= 2,
+      s"q203 regressed: $s203")
+    assert(s203.broadcast >= 2 && s203.shuffles <= 16,
+      s"q203 regressed: $s203")
+    // q204: one scan -> R*C cells aggregate; singleParts=2 is the
+    // cells-frame total windows (metadata-sized, the q178 exception).
+    val s204 = stats("q204_source_lang_mi")
+    assert(s204.nestedLoops == 0 && s204.singleParts <= 3,
+      s"q204 regressed: $s204")
+    assert(s204.scans <= 4 && s204.shuffles <= 8, s"q204 regressed: $s204")
+  }
 }

@@ -455,4 +455,25 @@ class StatisticsSpec extends SparkSpec {
       .collect()
     assert(!out.exists(_.getAs[String]("decision") == "accept_h1"))
   }
+
+  // -------------------------------------------------- mutualInformation
+
+  test("mutualInformation: perfectly dependent pair carries ln(2) nats") {
+    // X == Y over two balanced values: each observed cell's term is
+    // 0.5*ln(2) -> 346,574 ppm-nats; MI = 693,148 ppm (~= ln 2).
+    val obs = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val out = Statistics.mutualInformation(obs, "x", "y").collect()
+    assert(out.length == 2, "only observed cells are emitted")
+    assert(out.forall(_.getAs[Long]("term_ppm") == 346574L))
+    assert(out.forall(_.getAs[Long]("mi_ppm") == 693148L))
+  }
+
+  test("mutualInformation: independent uniform pair has zero MI") {
+    val obs = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val out = Statistics.mutualInformation(obs, "x", "y").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("mi_ppm") == 0L))
+  }
 }

@@ -437,4 +437,27 @@ class TimeSeriesSpec extends SparkSpec {
       assert(a >= 0 && a <= 1000000L)
     }
   }
+
+  // -------------------------------------------------------- theilSenTrend
+
+  test("theilSenTrend: one outlier point does not move the median slope") {
+    // Slope-10 line with a wild final point. Pairwise micro-slopes:
+    // three 10.0s from the clean points, then 333.333/495/980 from the
+    // outlier pairs — lower median (rank 3 of 6) stays 10,000,000.
+    val pts = Seq(("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 20L),
+      ("a", 3L, 1000L)).toDF("k", "x", "y")
+    val out = TimeSeries.theilSenTrend(pts, "k", "x", "y").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_pairs") == 6L)
+    assert(out.head.getAs[Long]("ts_slope_micro") == 10000000L)
+  }
+
+  test("theilSenTrend: negative slope truncates exactly; single pair") {
+    val pts = Seq(("d", 0L, 100L), ("d", 3L, 0L)).toDF("k", "x", "y")
+    val out = TimeSeries.theilSenTrend(pts, "k", "x", "y").collect()
+    // -100/3: q = -33, r = -1 -> -33*1e6 + (-1e6 div 3) = -33333333
+    // (both engines truncate toward zero at each step).
+    assert(out.head.getAs[Long]("n_pairs") == 1L)
+    assert(out.head.getAs[Long]("ts_slope_micro") == -33333333L)
+  }
 }
