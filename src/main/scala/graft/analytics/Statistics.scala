@@ -938,6 +938,101 @@ object Statistics {
       |  CAST((1000 * w_int) // sum(w_int) OVER () AS BIGINT) AS alloc
       |FROM wgt""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  /** One-way ANOVA F — the parametric member of the battery next to
+    * [[mannWhitney]] (two-cohort, rank-based) and [[chiSquare]]
+    * (category × category): "does the MEAN differ across k groups?",
+    * partitioning total variance into between-group and within-group
+    * sums of squares, F = (SSB/(k−1)) / (SSW/(N−k)).
+    *
+    * Exactness: per-group sufficient sums n/Σx/Σx² are exact BIGINT
+    * (whole dollars — the q188 headroom discipline); each group's
+    * ratio term Σx²ᵍ/nᵍ — the n²-growing piece — is ONE fixed double
+    * sequence floored to an integer PER GROUP before summing (the q183
+    * no-float-reduction discipline: integer sums are order-independent
+    * where a double Σ of group terms would be reduction-order-
+    * sensitive). SSB/SSW are then integer differences, and F/η² are
+    * single fixed double sequences over those integers.
+    *
+    * Scale shape: one fact scan → k-group aggregate (fully partial) →
+    * one k-row fold. Everything after the scan is group-cardinality-
+    * sized.
+    */
+  def anovaF(perRow: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    perRow
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+        sum(col(valueCol) * col(valueCol)).as("ss"))
+      .withColumn("tg", floor(col("s").cast("double") * col("s").cast("double")
+        / col("n").cast("double") + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("k_groups"), sum("n").as("n_total"),
+        sum("s").as("s_total"), sum("ss").as("ss_total"),
+        sum("tg").as("tg_total"))
+      .withColumn("ssb", col("tg_total")
+        - floor(col("s_total").cast("double") * col("s_total").cast("double")
+          / col("n_total").cast("double") + lit(0.5)).cast("long"))
+      .withColumn("ssw", col("ss_total") - col("tg_total"))
+      .withColumn("f_micro", floor(
+        (col("ssb").cast("double") / (col("k_groups") - 1).cast("double"))
+          / (col("ssw").cast("double")
+            / (col("n_total") - col("k_groups")).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("eta2_ppm", floor(col("ssb").cast("double")
+        / (col("ssb") + col("ssw")).cast("double")
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("k_groups"), col("n_total"), col("ssb"), col("ssw"),
+        col("f_micro"), col("eta2_ppm"))
+
+  /** Gated q205: does mean order spend (whole dollars) differ across
+    * market segments? One row: F statistic in micro-units + η² in ppm.
+    */
+  def segmentSpendAnova(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+    anovaF(rows, "segment", "dollars")
+  }
+
+  private val segmentSpendAnovaSql =
+    """WITH rows_ AS (
+      |  SELECT c.c_mktsegment AS g,
+      |    CAST(floor(o.o_totalprice) AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |grp AS (
+      |  SELECT g, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+      |  FROM rows_ GROUP BY 1
+      |),
+      |tg AS (
+      |  SELECT g, n, s, ss,
+      |    CAST(floor(s::DOUBLE * s::DOUBLE / n::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT) AS tg
+      |  FROM grp
+      |),
+      |tot AS (
+      |  SELECT count(*) AS k_groups, sum(n) AS n_total, sum(s) AS s_total,
+      |    sum(ss) AS ss_total, sum(tg) AS tg_total
+      |  FROM tg
+      |),
+      |sq AS (
+      |  SELECT k_groups, n_total,
+      |    CAST(tg_total - CAST(floor(s_total::DOUBLE * s_total::DOUBLE
+      |        / n_total::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS BIGINT) AS ssb,
+      |    CAST(ss_total - tg_total AS BIGINT) AS ssw
+      |  FROM tot
+      |)
+      |SELECT CAST(k_groups AS BIGINT) AS k_groups,
+      |  CAST(n_total AS BIGINT) AS n_total, ssb, ssw,
+      |  CAST(floor((ssb::DOUBLE / (k_groups - 1)::DOUBLE)
+      |    / (ssw::DOUBLE / (n_total - k_groups)::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS f_micro,
+      |  CAST(floor(ssb::DOUBLE / (ssb + ssw)::DOUBLE
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS eta2_ppm
+      |FROM sq""".stripMargin
+
   // --------------------------------------------------------------- q204
   /** Mutual information between two categorical columns — the
     * information-theoretic complement of [[chiSquare]] (q111): where
@@ -1398,6 +1493,8 @@ object Statistics {
   }
 
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q205_spend_anova", segmentSpendAnova _,
+      Some(segmentSpendAnovaSql)),
     NamedQuery("q204_source_lang_mi", sourceLangMi _, Some(sourceLangMiSql)),
     NamedQuery("q201_sprt_trace", conversionSprt _, Some(conversionSprtSql)),
     NamedQuery("q197_standardized_rates", segmentStandardizedSpend _,

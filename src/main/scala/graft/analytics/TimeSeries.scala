@@ -779,6 +779,148 @@ object TimeSeries {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS surv_ppm
       |FROM flags""".stripMargin
 
+  // --------------------------------------------------------------- q206
+  /** Two-cohort log-rank test — [[kaplanMeier]]'s inferential partner:
+    * "are these two survival curves DIFFERENT, beyond censoring noise?"
+    * At each pooled event time t with d_t ≥ 1 events: cohort 1's
+    * expected share under H₀ is E1_t = d_t·N1_t/N_t and the
+    * hypergeometric variance is V_t = d_t·N1·N2·(N_t−d_t)/(N_t²(N_t−1));
+    * the statistic (ΣO1 − ΣE1)²/ΣV is χ²(1). Censored exits reduce the
+    * at-risk sets without contributing terms — the property the naive
+    * two-proportion z-test on "churn rate" lacks.
+    *
+    * Exactness: the time table carries exact BIGINT d/c counts split by
+    * cohort in ONE group-by (no outer join needed); at-risk counts are
+    * reverse-inclusive integer window sums (the q175 shape); each
+    * time's E1/V terms are fixed double sequences over those integers
+    * floored to NANO units, so the three Σs are order-independent
+    * integer sums and the final statistic is one more fixed double
+    * sequence. The N_t = 1 tail (variance term undefined) contributes
+    * exactly 0 by guard in both engines.
+    *
+    * Scale shape: corpus-sized work is the per-subject lifetime
+    * aggregate; the merged time table is calendar-bounded (distinct
+    * lifetime days), so the global-order windows run on a bounded
+    * frame — the q178 single-partition exception.
+    */
+  def logRank(obs: DataFrame, cohort1Col: String, timeCol: String,
+              eventCol: String): DataFrame = {
+    val wPost = Window.partitionBy().orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val g1 = col(cohort1Col)
+    obs
+      .groupBy(col(timeCol).cast("long").as("t"))
+      .agg(sum(when(g1 && col(eventCol), 1L).otherwise(0L)).as("d1"),
+        sum(when(g1 && !col(eventCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(!g1 && col(eventCol), 1L).otherwise(0L)).as("d2"),
+        sum(when(!g1 && !col(eventCol), 1L).otherwise(0L)).as("c2"))
+      .withColumn("n1", sum(col("d1") + col("c1")).over(wPost))
+      .withColumn("n2", sum(col("d2") + col("c2")).over(wPost))
+      .filter(col("d1") + col("d2") >= 1)
+      .withColumn("nt", col("n1") + col("n2"))
+      .withColumn("dt", col("d1") + col("d2"))
+      .withColumn("e1_nano", floor(col("dt").cast("double")
+        * col("n1").cast("double") / col("nt").cast("double")
+        * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("v_nano", when(col("nt") > 1, floor(
+        col("dt").cast("double") * col("n1").cast("double")
+          * col("n2").cast("double") * (col("nt") - col("dt")).cast("double")
+          / (col("nt").cast("double") * col("nt").cast("double")
+            * (col("nt") - 1).cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long")).otherwise(lit(0L)))
+      .agg(count(lit(1)).as("n_times"), sum("d1").as("o1"),
+        sum("e1_nano").as("e1_nano"), sum("v_nano").as("v_nano"))
+      .withColumn("z2_micro", floor(
+        (col("o1").cast("double") - col("e1_nano").cast("double") / lit(1e9))
+          * (col("o1").cast("double")
+            - col("e1_nano").cast("double") / lit(1e9))
+          / (col("v_nano").cast("double") / lit(1e9))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+  }
+
+  /** Gated q206: do funded customers (non-negative account balance)
+    * survive longer than overdrawn ones? Lifetime/churn defined exactly
+    * as q175.
+    */
+  def balanceChurnLogRank(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+    val cutoff = life.agg(max(col("last_d")).as("cut"))
+    val bal = Tables.customer(spark, dir)
+      .select(col("c_custkey"), (col("c_acctbal") >= 0).as("funded"))
+    val obs = life.crossJoin(broadcast(cutoff))
+      .withColumn("event", datediff(col("cut"), col("last_d")) > 90)
+      .withColumn("t",
+        when(col("event"), datediff(col("last_d"), col("first_d")))
+          .otherwise(datediff(col("cut"), col("first_d"))))
+      .join(bal, col("o_custkey") === col("c_custkey"))
+    logRank(obs, "funded", "t", "event")
+      .select(col("n_times"), col("o1"), col("e1_nano"), col("v_nano"),
+        col("z2_micro"))
+  }
+
+  private val balanceChurnLogRankSql =
+    """WITH life AS (
+      |  SELECT o_custkey, min(o_orderdate::DATE) AS first_d,
+      |    max(o_orderdate::DATE) AS last_d
+      |  FROM orders GROUP BY 1
+      |),
+      |cut AS (SELECT max(last_d) AS cut FROM life),
+      |obs AS (
+      |  SELECT c.c_acctbal >= 0 AS g1,
+      |    date_diff('day', cut.cut, l.last_d) < -90 AS event,
+      |    CASE WHEN date_diff('day', cut.cut, l.last_d) < -90
+      |      THEN date_diff('day', l.first_d, l.last_d)
+      |      ELSE date_diff('day', l.first_d, cut.cut) END AS t
+      |  FROM life l CROSS JOIN cut JOIN customer c ON c.c_custkey = l.o_custkey
+      |),
+      |byt AS (
+      |  SELECT CAST(t AS BIGINT) AS t,
+      |    sum(CASE WHEN g1 AND event THEN 1 ELSE 0 END) AS d1,
+      |    sum(CASE WHEN g1 AND NOT event THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN NOT g1 AND event THEN 1 ELSE 0 END) AS d2,
+      |    sum(CASE WHEN NOT g1 AND NOT event THEN 1 ELSE 0 END) AS c2
+      |  FROM obs GROUP BY 1
+      |),
+      |risk AS (
+      |  SELECT *,
+      |    sum(d1 + c1) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1,
+      |    sum(d2 + c2) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n2
+      |  FROM byt
+      |),
+      |terms AS (
+      |  SELECT d1, d1 + d2 AS dt, n1, n2, n1 + n2 AS nt
+      |  FROM risk WHERE d1 + d2 >= 1
+      |),
+      |nano AS (
+      |  SELECT d1,
+      |    CAST(floor(dt::DOUBLE * n1::DOUBLE / nt::DOUBLE
+      |      * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS e1_nano,
+      |    CASE WHEN nt > 1 THEN CAST(floor(
+      |      dt::DOUBLE * n1::DOUBLE * n2::DOUBLE * (nt - dt)::DOUBLE
+      |      / (nt::DOUBLE * nt::DOUBLE * (nt - 1)::DOUBLE)
+      |      * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+      |      ELSE 0 END AS v_nano
+      |  FROM terms
+      |),
+      |agg AS (
+      |  SELECT count(*) AS n_times, sum(d1) AS o1,
+      |    sum(e1_nano) AS e1_nano, sum(v_nano) AS v_nano
+      |  FROM nano
+      |)
+      |SELECT CAST(n_times AS BIGINT) AS n_times, CAST(o1 AS BIGINT) AS o1,
+      |  CAST(e1_nano AS BIGINT) AS e1_nano, CAST(v_nano AS BIGINT) AS v_nano,
+      |  CAST(floor(
+      |    (o1::DOUBLE - e1_nano::DOUBLE / 1000000000.0::DOUBLE)
+      |    * (o1::DOUBLE - e1_nano::DOUBLE / 1000000000.0::DOUBLE)
+      |    / (v_nano::DOUBLE / 1000000000.0::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS z2_micro
+      |FROM agg""".stripMargin
+
   // --------------------------------------------------------------- q176
   /** Truncated-EWMA one-step-ahead forecast — the cheap online baseline
     * every metric-monitoring pipeline runs before reaching for real
@@ -1310,6 +1452,8 @@ object TimeSeries {
       |FROM rk GROUP BY 1""".stripMargin
 
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q206_logrank_test", balanceChurnLogRank _,
+      Some(balanceChurnLogRankSql)),
     NamedQuery("q203_theilsen_trend", robustRevenueTrend _,
       Some(robustRevenueTrendSql)),
     NamedQuery("q196_twap_vwap", twapVwap _, Some(twapVwapSql)),

@@ -1058,4 +1058,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q204 regressed: $s204")
     assert(s204.scans <= 4 && s204.shuffles <= 8, s"q204 regressed: $s204")
   }
+
+  test("ANOVA + log-rank additions stay aggregate shaped (q205/q206)") {
+    // q205: fact scan + broadcast dim -> k-group aggregate -> one k-row
+    // fold; singleParts=2 is the k-row finisher.
+    val s205 = stats("q205_spend_anova")
+    assert(s205.nestedLoops == 0 && s205.singleParts <= 2,
+      s"q205 regressed: $s205")
+    assert(s205.scans <= 8 && s205.shuffles <= 8, s"q205 regressed: $s205")
+    // q206: per-subject lifetime aggregate + one-row cutoff broadcast
+    // (the q189 scalar-bound NLJ exception) -> calendar-bounded global
+    // time windows (the q178 single-partition exception) -> 1-row fold.
+    val s206 = stats("q206_logrank_test")
+    assert(s206.nestedLoops <= 2 && s206.singleParts <= 4,
+      s"q206 regressed: $s206")
+    assert(s206.scans <= 12 && s206.shuffles <= 28, s"q206 regressed: $s206")
+  }
 }

@@ -456,6 +456,32 @@ class StatisticsSpec extends SparkSpec {
     assert(!out.exists(_.getAs[String]("decision") == "accept_h1"))
   }
 
+  // --------------------------------------------------------------- anovaF
+
+  test("anovaF: hand-computed two-group case — F and eta-squared exact") {
+    // a = {0,10}, b = {100,110}: group means 5/105, grand 55.
+    // SSB = 2*50^2 + 2*50^2 = 10000; SSW = 25+25+25+25 = 100.
+    // F = (10000/1)/(100/2) = 200; eta2 = 10000/10100 = 0.990099...
+    val rows = Seq(("a", 0L), ("a", 10L), ("b", 100L), ("b", 110L))
+      .toDF("g", "v")
+    val out = Statistics.anovaF(rows, "g", "v").collect().head
+    assert(out.getAs[Long]("k_groups") == 2L)
+    assert(out.getAs[Long]("n_total") == 4L)
+    assert(out.getAs[Long]("ssb") == 10000L)
+    assert(out.getAs[Long]("ssw") == 100L)
+    assert(out.getAs[Long]("f_micro") == 200000000L)
+    assert(out.getAs[Long]("eta2_ppm") == 990099L)
+  }
+
+  test("anovaF: identical group means yield zero between-group variance") {
+    val rows = Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 10L))
+      .toDF("g", "v")
+    val out = Statistics.anovaF(rows, "g", "v").collect().head
+    assert(out.getAs[Long]("ssb") == 0L)
+    assert(out.getAs[Long]("f_micro") == 0L)
+    assert(out.getAs[Long]("eta2_ppm") == 0L)
+  }
+
   // -------------------------------------------------- mutualInformation
 
   test("mutualInformation: perfectly dependent pair carries ln(2) nats") {

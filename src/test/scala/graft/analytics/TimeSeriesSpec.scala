@@ -438,6 +438,38 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------------- logRank
+
+  test("logRank: censored exit reduces at-risk without contributing a term") {
+    // A: event t=2. B: censored t=1, event t=3. Event times: t=2 has
+    // n1=n2=1 -> E1=0.5, V=0.25; t=3 has n1=0 -> E1=0, and nt=1 -> V=0.
+    // z2 = (1-0.5)^2/0.25 = 1 exactly.
+    val obs = Seq((true, 2L, true), (false, 1L, false), (false, 3L, true))
+      .toDF("g1", "t", "event")
+    val out = TimeSeries.logRank(obs, "g1", "t", "event").collect().head
+    assert(out.getAs[Long]("o1") == 1L)
+    assert(out.getAs[Long]("e1_nano") == 500000000L)
+    assert(out.getAs[Long]("v_nano") == 250000000L)
+    assert(out.getAs[Long]("z2_micro") == 1000000L)
+  }
+
+  test("logRank: pooled-time hypergeometric terms match a driver recompute") {
+    // A events at t=1,2; B events at t=2,3 — tied deaths at t=2 pool.
+    val obs = Seq((true, 1L, true), (true, 2L, true),
+      (false, 2L, true), (false, 3L, true)).toDF("g1", "t", "event")
+    val out = TimeSeries.logRank(obs, "g1", "t", "event").collect().head
+    // t=1: E1=1*2/4 -> 5e8 nano; V=1*2*2*3/(16*3)=0.25 -> 2.5e8.
+    // t=2: E1=2*1/3 -> 666666667; V=2*1*2*1/(9*2) -> 222222222.
+    // t=3: n1=0 -> both 0.
+    assert(out.getAs[Long]("o1") == 2L)
+    assert(out.getAs[Long]("e1_nano") == 500000000L + 666666667L)
+    assert(out.getAs[Long]("v_nano") == 250000000L + 222222222L)
+    val e1 = (500000000L + 666666667L).toDouble / 1e9
+    val v = (250000000L + 222222222L).toDouble / 1e9
+    val expected = math.floor((2.0 - e1) * (2.0 - e1) / v * 1e6 + 0.5).toLong
+    assert(out.getAs[Long]("z2_micro") == expected)
+  }
+
   // -------------------------------------------------------- theilSenTrend
 
   test("theilSenTrend: one outlier point does not move the median slope") {
