@@ -642,6 +642,116 @@ object EventAnalytics {
       |       ELSE 0 END AS BIGINT) AS mrr_micro
       |FROM per_session GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q207
+  /** Session nDCG@10 — the graded-relevance ranking metric the eval
+    * family was missing (AUC/PR judge binary labels, MRR only the first
+    * hit): how front-loaded is each session's value, per entry cohort?
+    * Gains are 2^rel − 1 over the graded event ladder purchase=3,
+    * click=2, view=1 (else 0); DCG discounts 1/log₂(pos+1) for
+    * positions 1..10.
+    *
+    * Exactness (the q201 SPRT-constant discipline): the TEN discount
+    * constants are computed ONCE in Scala, floored to integer
+    * NANO-units, and interpolated as literals into BOTH engines — so
+    * per-position contributions are exact integer products, DCG/IDCG
+    * are exact integer sums, and nDCG is one exact integer division in
+    * PPM. No float exists anywhere in either engine. The ideal ordering
+    * ranks by (rel DESC, pos ASC) — a total order, so IDCG is
+    * deterministic under gain ties.
+    *
+    * Scale shape: rides the SAME user-keyed session window pass as
+    * q32/q139/q140 (one shuffle on user_id, windows within partitions),
+    * then a cohort-sized aggregate. Sessions with IDCG = 0 (no graded
+    * event) are excluded from the mean in both engines.
+    */
+  private val ndcgDiscNano: IndexedSeq[Long] = (1 to 10).map { p =>
+    math.floor(1e9 / (math.log(p + 1.0) / math.log(2.0)) + 0.5).toLong
+  }
+
+  def sessionNdcg(spark: SparkSession, dir: String): DataFrame =
+    sessionNdcg(Tables.events(spark, dir))
+
+  def sessionNdcg(events: DataFrame): DataFrame = {
+    val marked = withSessionIds(events)
+    val ws = Window.partitionBy("user_id", "sid")
+      .orderBy(col("ts"), col("event_id"))
+    val discOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      pos => (1 to 10).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+        (acc, p) => when(pos === p, lit(ndcgDiscNano(p - 1))).otherwise(acc)
+      }
+    val graded = marked
+      .withColumn("pos", row_number().over(ws))
+      .withColumn("gain",
+        when(col("event_type") === "purchase", 7L)
+          .when(col("event_type") === "click", 3L)
+          .when(col("event_type") === "view", 1L).otherwise(0L))
+      .withColumn("ipos", row_number().over(
+        Window.partitionBy("user_id", "sid")
+          .orderBy(col("gain").desc, col("pos"))))
+    graded
+      .groupBy("user_id", "sid")
+      .agg(
+        sum(when(col("pos") <= 10, col("gain") * discOf(col("pos")))
+          .otherwise(0L)).as("dcg_nano"),
+        sum(when(col("ipos") <= 10, col("gain") * discOf(col("ipos")))
+          .otherwise(0L)).as("idcg_nano"),
+        min(struct(col("pos"), col("event_type"))).as("first_ev"))
+      .filter(col("idcg_nano") > 0)
+      .withColumn("ndcg_ppm",
+        expr("CAST(1000000 * dcg_nano DIV idcg_nano AS BIGINT)"))
+      .groupBy(col("first_ev.event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum("ndcg_ppm").as("sum_ndcg_ppm"))
+      .withColumn("mean_ndcg_ppm",
+        expr("CAST(sum_ndcg_ppm DIV n_scored AS BIGINT)"))
+  }
+
+  private def sessionNdcgSql: String = {
+    def discCase(posCol: String): String =
+      (1 to 10).map(p => s"WHEN $posCol = $p THEN ${ndcgDiscNano(p - 1)}")
+        .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), islands AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |), graded AS (
+      |  SELECT user_id, sid, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sid
+      |                       ORDER BY ts, event_id) AS pos,
+      |    CASE event_type WHEN 'purchase' THEN 7 WHEN 'click' THEN 3
+      |      WHEN 'view' THEN 1 ELSE 0 END AS gain
+      |  FROM islands
+      |), ideal AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+      |      ORDER BY gain DESC, pos) AS ipos
+      |  FROM graded
+      |), per_session AS (
+      |  SELECT user_id, sid,
+      |    sum(CASE WHEN pos <= 10
+      |        THEN CAST(gain AS BIGINT) * (${discCase("pos")})
+      |        ELSE 0 END) AS dcg_nano,
+      |    sum(CASE WHEN ipos <= 10
+      |        THEN CAST(gain AS BIGINT) * (${discCase("ipos")})
+      |        ELSE 0 END) AS idcg_nano,
+      |    min_by(event_type, pos) AS entry_type
+      |  FROM ideal GROUP BY 1, 2
+      |)
+      |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_scored,
+      |  CAST(sum(1000000 * dcg_nano // idcg_nano) AS BIGINT)
+      |    AS sum_ndcg_ppm,
+      |  CAST(sum(1000000 * dcg_nano // idcg_nano) // count(*) AS BIGINT)
+      |    AS mean_ndcg_ppm
+      |FROM per_session WHERE idcg_nano > 0
+      |GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------------- q140
   /** Association rules over sessions (Apriori level 2, Agrawal &
     * Srikant '94, on the session×event-type basket matrix): for every
@@ -1041,6 +1151,9 @@ object EventAnalytics {
       |GROUP BY 1, 2""".stripMargin
 
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q207_session_ndcg",
+      (s: SparkSession, d: String) => sessionNdcg(s, d),
+      Some(sessionNdcgSql)),
     NamedQuery("q172_markov_holdout", markovHoldoutEval _,
       Some(markovHoldoutEvalSql)),
     NamedQuery("q146_position_attribution", positionAttribution _,

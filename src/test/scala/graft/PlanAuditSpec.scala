@@ -1074,4 +1074,11 @@ class PlanAuditSpec extends SparkSpec {
       s"q206 regressed: $s206")
     assert(s206.scans <= 12 && s206.shuffles <= 28, s"q206 regressed: $s206")
   }
+
+  test("session nDCG rides the one user-keyed window pass (q207)") {
+    val s207 = stats("q207_session_ndcg")
+    assert(s207.nestedLoops == 0 && s207.singleParts == 0,
+      s"q207 regressed: $s207")
+    assert(s207.scans <= 4 && s207.shuffles <= 8, s"q207 regressed: $s207")
+  }
 }

@@ -418,4 +418,41 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     assert(rows.length == expected.size)
   }
+
+  // ----------------------------------------------------------- sessionNdcg
+
+  test("session nDCG: ideal-ordered session scores exactly 1000000 ppm") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // purchase then view IS the ideal ordering -> DCG == IDCG.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.sessionNdcg(ev).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("entry_type") == "purchase")
+    assert(out.head.getAs[Long]("mean_ndcg_ppm") == 1000000L)
+  }
+
+  test("session nDCG: misordered session matches a driver recompute; zero-gain sessions drop") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Session: view(g1), purchase(g7), error(g0); ideal: purchase, view.
+    // Second user: errors only -> IDCG 0 -> excluded from the cohort mean.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "purchase"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "error"),
+      (4L, 2L, ts("2024-01-01 09:00:00"), "error")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    def disc(p: Int): Long =
+      math.floor(1e9 / (math.log(p + 1.0) / math.log(2.0)) + 0.5).toLong
+    val dcg = 1L * disc(1) + 7L * disc(2)
+    val idcg = 7L * disc(1) + 1L * disc(2)
+    val expected = 1000000L * dcg / idcg
+    val out = EventAnalytics.sessionNdcg(ev).collect()
+    assert(out.length == 1, "the zero-gain session contributes no cohort")
+    assert(out.head.getAs[String]("entry_type") == "view")
+    assert(out.head.getAs[Long]("n_scored") == 1L)
+    assert(out.head.getAs[Long]("mean_ndcg_ppm") == expected)
+  }
 }
