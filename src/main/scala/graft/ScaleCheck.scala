@@ -56,7 +56,13 @@ object ScaleCheck {
     // (fingerprint shuffle + per-language window + rollup) — the three
     // new operators whose work is corpus-proportional (the rest of the
     // session's additions are calendar- or metadata-bounded).
-    "q182_span_corruption", "q195_price_elasticity", "q200_curation_funnel")
+    "q182_span_corruption", "q195_price_elasticity", "q200_curation_funnel",
+    // round-10 (ADVICE): the EWMA forecast (weekly groups densify ×N in
+    // the fixed calendar — the decimal-numerator headroom path) and the
+    // Fellegi–Sunter blocked join (customer now replicates with
+    // re-derived names, so the name-fragment block-key cardinality grows
+    // with N and candidate pairs must stay ~linear).
+    "q176_ewma_forecast", "q187_record_linkage")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe
@@ -207,8 +213,23 @@ object ScaleCheck {
       df.withColumn("o_orderkey", offset("o_orderkey", i)))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // customer: key-offset replicas with names RE-DERIVED from the new
+    // key (TPC-H "Customer#%09d"), so name-derived block keys (q187's
+    // fragment) stay unique per replica — verbatim names would make the
+    // blocked pair space grow ×factor² across replicas, a fixture
+    // artifact, not a plan property. Replica customers simply have no
+    // orders (o_custkey is not offset), which only grows join build
+    // sides — the correct 10× shape for customer-dimension work.
+    replicate(spark.read.parquet(s"$base/customer.parquet"), (df, i) =>
+      df.withColumn("c_custkey", offset("c_custkey", i))
+        .withColumn("c_name",
+          if (i == 0) col("c_name")
+          else concat(lit("Customer#"),
+            lpad(col("c_custkey").cast("string"), 9, "0"))))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     // Everything else rides along unchanged (dims + events).
-    Seq("region", "nation", "customer", "supplier", "part", "events").foreach { t =>
+    Seq("region", "nation", "supplier", "part", "events").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$base/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"))

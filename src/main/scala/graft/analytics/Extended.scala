@@ -1071,7 +1071,9 @@ object Extended {
     * statistic over customers). Gini from the sorted-rank identity
     * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with revenue ascending,
     * (revenue, custkey) total order so ties rank identically in both
-    * engines; all terms exact BIGINT (cents), emitted with the ppm
+    * engines; all terms exact integers (whole dollars, with the
+    * quadratic rank-weighted sum widened to DECIMAL(38,0) and a loud
+    * guard on the BIGINT output contract), emitted with the ppm
     * quotient AND the raw numerator/denominator so the gate is integer-
     * exact. One fact aggregate to customer grain, one segment-keyed rank
     * window over the customers-sized table, one final aggregate.
@@ -1090,20 +1092,48 @@ object Extended {
       .join(broadcast(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
+    giniProfile(perCust)
+  }
+
+  /** Gini kernel over (o_custkey, c_mktsegment, d) rows — split out so
+    * the overflow guard is spec-testable on synthetic over-bound data.
+    */
+  def giniProfile(perCust: DataFrame): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("d"), col("o_custkey"))
+    // Widen-then-check (r9 verdict item 3): the rank-weighted sum Σrk·d
+    // is quadratic by construction (bounded only by n·Σd), so it rides
+    // DECIMAL(38,0) — exact to 1e38, no silent wrap, no anonymous ANSI
+    // throw mid-aggregation — and the BIGINT *output* contract is then
+    // enforced with a named raise_error carrying the rescaling hint.
+    // The decimal terms touch customer-grain rows only, never the fact
+    // scan. The ppm quotient keeps the exact branch structure of the
+    // original long form (identical truncating ops in both engines).
+    val maxL = Long.MaxValue
+    val boom = "CAST(raise_error('q158 revenueGini: BIGINT output headroom " +
+      "exceeded (|gini_numer| or gini_denom > 2^63-1); feed coarser units " +
+      "than whole dollars') AS BIGINT)"
     perCust
       .withColumn("rk", row_number().over(w))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_customers"),
         sum("d").as("total_dollars"),
-        (lit(2L) * sum(col("rk") * col("d"))
-          - (count(lit(1)) + 1L) * sum("d")).as("gini_numer"),
-        (count(lit(1)) * sum("d")).as("gini_denom"))
+        sum(col("rk").cast("decimal(38,0)") * col("d")).as("srkd"))
+      .withColumn("numer_d", expr(
+        "2 * srkd - (n_customers + 1) * CAST(total_dollars AS DECIMAL(38,0))"))
+      .withColumn("denom_d", expr(
+        "CAST(n_customers AS DECIMAL(38,0)) * total_dollars"))
+      .withColumn("gini_numer", expr(
+        s"CASE WHEN abs(numer_d) > ${maxL}L OR denom_d > ${maxL}L" +
+          s" THEN $boom ELSE CAST(numer_d AS BIGINT) END"))
+      .withColumn("gini_denom", expr(
+        s"CASE WHEN abs(numer_d) > ${maxL}L OR denom_d > ${maxL}L" +
+          s" THEN $boom ELSE CAST(denom_d AS BIGINT) END"))
       .withColumn("gini_ppm", expr(
-        "CASE WHEN gini_denom >= 1000000 THEN" +
-          " (1000 * gini_numer) div (gini_denom div 1000)" +
-          " ELSE (1000000 * gini_numer) div gini_denom END"))
+        "CASE WHEN denom_d >= 1000000 THEN" +
+          " (1000 * numer_d) div (denom_d div 1000)" +
+          " ELSE (1000000 * numer_d) div denom_d END"))
+      .drop("srkd", "numer_d", "denom_d")
   }
 
   private val revenueGiniSql =

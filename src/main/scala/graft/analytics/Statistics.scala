@@ -1284,9 +1284,14 @@ object Statistics {
     * move. EXACT integer form via cross-multiplication:
     * shrunk_ppm = 1e6·(nₚ·totᵥ + K·totₚ) div (totᵥ·(nᵥ + K)) — the
     * global prior enters as the totₚ/totᵥ fraction without ever being
-    * computed as a float. Headroom: 1e6·nₚ·totᵥ < 2⁶³ holds through
-    * ~9·10⁶ per-user events × 10⁹ total — document-scale safe; beyond
-    * that, shift to per-mille units (the q158 precedent).
+    * computed as a float. Headroom: the numerator rides DECIMAL(38,0)
+    * because 1e6·nₚ·totᵥ crosses 2⁶³ once nₚ·totᵥ > ~9.2·10¹² (e.g.
+    * ~9 200 per-user positives against 10⁹ total events — well inside
+    * plausible corpora; an earlier doc here overstated the BIGINT bound
+    * by ~1000×). Decimal keeps the identical truncating-division result
+    * to 1e38 while DuckDB reaches the same values via HUGEINT
+    * promotion; the decimal terms touch only the entity-grain rows, not
+    * the corpus scan.
     *
     * Scale shape: one events scan → user-grain aggregate + two global
     * scalars (broadcast one-row frame); output is user-sized.
@@ -1298,8 +1303,8 @@ object Statistics {
     perEntity.crossJoin(broadcast(tot))
       .withColumn("raw_ppm", expr(s"(1000000 * $posCol) div $nCol"))
       .withColumn("shrunk_ppm", expr(
-        s"(1000000 * ($posCol * tot_n + $k * tot_pos))" +
-          s" div (tot_n * ($nCol + $k))"))
+        s"(1000000 * (CAST($posCol AS DECIMAL(38,0)) * tot_n + $k * tot_pos))" +
+          s" div (CAST(tot_n AS DECIMAL(38,0)) * ($nCol + $k))"))
   }
 
   /** Gated q193: per-user view→purchase rate, shrunk with K=20. */
@@ -1366,9 +1371,17 @@ object Statistics {
         """(total div n) * 1000000
           | + (1000000 * (total - (total div n) * n)) div n""".stripMargin))
       .groupBy(col(groupCol))
+      // wm_sum rides DECIMAL(38,0): per-term w·mean_micro is ~5e18 at
+      // TPC-H sf1 (stratum count ~3e5 × mean_micro ~1.5e13) and the sum
+      // crosses 2^63 one decade above the bench floor — BIGINT would
+      // ANSI-throw there while DuckDB promotes sum(BIGINT) to HUGEINT.
+      // Decimal keeps the same exact integer semantics to 1e38, and the
+      // input to THIS aggregate is (group,stratum)-sized, so the decimal
+      // arithmetic never touches a corpus-sized row stream.
       .agg(sum("n").as("n"), sum("total").as("total"),
         sum(col("w")).as("w_sum"),
-        sum(col("w") * col("mean_micro")).as("wm_sum"))
+        sum(col("w").cast("decimal(38,0)") * col("mean_micro"))
+          .as("wm_sum"))
       .withColumn("crude_micro", expr(
         """(total div n) * 1000000
           | + (1000000 * (total - (total div n) * n)) div n""".stripMargin))

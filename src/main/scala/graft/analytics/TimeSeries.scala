@@ -303,22 +303,43 @@ object TimeSeries {
     * are exact BIGINT, and the slope is emitted in integer MICRO-cents
     * per day via the two-step long division q·1e6 + (1e6·r) div den —
     * every output column engine-exact, negative slopes truncate
-    * identically under Spark `div` ≡ DuckDB `//`. Headroom: terms stay
-    * under 2^63 while n_days·Σxy < 9.2e18 — for daily-grain groups
-    * (n ≤ ~2.5k, x ≤ ~2.5k) that allows ~1.5e12 cents/day of group
-    * revenue, orders of magnitude past the sf levels bench uses.
+    * identically under Spark `div` ≡ DuckDB `//`. Headroom: each
+    * determinant term must stay under 2^62 — for daily-grain groups
+    * (n ≤ ~2.5k, x ≤ ~2.5k) that allows ~7e11 cents/day of group
+    * revenue, orders of magnitude past the sf levels bench uses — and
+    * the bound is now ENFORCED by a named raise_error on the aggregate
+    * row (see the guard below), so exceeding the contract fails loudly
+    * with a rescaling hint instead of an anonymous overflow.
     */
   def olsTrend(perX: DataFrame, keyCol: String, xCol: String,
                yCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol)
+    // Loud headroom guard (r9 verdict item 3): the determinant terms
+    // n·Σxy, n·Σx², Σx·Σy, (Σx)² are exact only while each stays under
+    // 2^62 (so the subtraction cannot wrap either). The bound is checked
+    // on the groups-sized aggregate row — conservative by at most one
+    // integer-division rounding — and raises a NAMED error telling the
+    // caller how to rescale, instead of an anonymous ANSI overflow (or,
+    // with ANSI off, a silent wrap). q188's repair made this class loud
+    // at the gate; this makes the documented contract self-enforcing.
+    val B = 4611686018427387904L // 2^62
+    val risk =
+      s"""abs(sxy) > $B div n_days OR abs(sxx) > $B div n_days
+         | OR abs(sy) > $B div greatest(abs(sx), 1) OR abs(sx) > 2147483647
+         |""".stripMargin.replace('\n', ' ')
+    val boom = "CAST(raise_error('q99 olsTrend: BIGINT headroom exceeded " +
+      "(a determinant term passed 2^62); feed coarser y units (e.g. whole " +
+      "dollars, the q158 precedent) or shorter x offsets') AS BIGINT)"
     perX
       .withColumn("x", (col(xCol) - min(col(xCol)).over(w)).cast("long"))
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
         sum(col(yCol)).as("sy"), sum(col("x") * col(yCol)).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-      .withColumn("num", expr("n_days * sxy - sx * sy"))
-      .withColumn("den", expr("n_days * sxx - sx * sx"))
+      .withColumn("num",
+        expr(s"CASE WHEN $risk THEN $boom ELSE n_days * sxy - sx * sy END"))
+      .withColumn("den",
+        expr(s"CASE WHEN $risk THEN $boom ELSE n_days * sxx - sx * sx END"))
       .withColumn("slope_micro", expr(
         "(num div den) * 1000000 + (1000000 * (num - (num div den) * den)) div den"))
       .drop("sx", "sxy", "sxx")
@@ -930,10 +951,14 @@ object TimeSeries {
     * weights over a common denominator 10⁸ are the integers
     * 3·7^{j−1}·10^{8−j}, whose sum is 10⁸ − 7⁸ = 94 235 199, so
     * ŷ = (Σ cents_{t−j}·w_j) div 94 235 199 — no float ever appears.
-    * Headroom: Σ terms ≤ 8·3e7·max_cents keeps BIGINT for weekly group
-    * revenue up to ~3.8·10¹⁰ cents (≈ $380M/week/nation) — past any sf
-    * the bench runs; wider groups should feed whole dollars (the q158
-    * unit-scaling precedent).
+    * Headroom: the weighted numerator rides DECIMAL(38,0) because the
+    * BIGINT bound (Σ terms ≤ 8·3e7·max_cents < 2⁶³ ⇒ ≤ ~$380M/week per
+    * group) is crossed within plausible bench decades — sf100 weekly
+    * per-nation revenue is ~2.3·10¹¹ cents — and under ANSI that fails
+    * hard instead of degrading. Decimal keeps the identical truncating
+    * division to 1e38 (the oracle reaches the same values via HUGEINT),
+    * and it touches only the (key, week)-grain rows, never the fact
+    * scan.
     *
     * Scale shape: one fact aggregation to (nation, week), then eight
     * `lag`s inside ONE per-nation window sort over a calendar-bounded
@@ -947,7 +972,7 @@ object TimeSeries {
       3L * math.pow(7, j).toLong * math.pow(10, 7 - j).toLong)
     val den = 100000000L - 5764801L
     val num = weights.zipWithIndex.map { case (wt, j) =>
-      lag(col(yCol), j + 1).over(w) * lit(wt)
+      lag(col(yCol), j + 1).over(w).cast("decimal(38,0)") * lit(wt)
     }.reduce(_ + _)
     perT
       .withColumn("fnum", num)
@@ -996,8 +1021,10 @@ object TimeSeries {
       |),
       |f AS (
       |  SELECT nation, week, cents,
-      |    (l1 * 30000000 + l2 * 21000000 + l3 * 14700000 + l4 * 10290000
-      |     + l5 * 7203000 + l6 * 5042100 + l7 * 3529470 + l8 * 2470629)
+      |    (CAST(l1 AS HUGEINT) * 30000000 + CAST(l2 AS HUGEINT) * 21000000
+      |     + CAST(l3 AS HUGEINT) * 14700000 + CAST(l4 AS HUGEINT) * 10290000
+      |     + CAST(l5 AS HUGEINT) * 7203000 + CAST(l6 AS HUGEINT) * 5042100
+      |     + CAST(l7 AS HUGEINT) * 3529470 + CAST(l8 AS HUGEINT) * 2470629)
       |      // 94235199 AS forecast
       |  FROM lagged
       |)
@@ -1163,8 +1190,10 @@ object TimeSeries {
       |),
       |f AS (
       |  SELECT nation, cents, l1 AS naive,
-      |    (l1 * 30000000 + l2 * 21000000 + l3 * 14700000 + l4 * 10290000
-      |     + l5 * 7203000 + l6 * 5042100 + l7 * 3529470 + l8 * 2470629)
+      |    (CAST(l1 AS HUGEINT) * 30000000 + CAST(l2 AS HUGEINT) * 21000000
+      |     + CAST(l3 AS HUGEINT) * 14700000 + CAST(l4 AS HUGEINT) * 10290000
+      |     + CAST(l5 AS HUGEINT) * 7203000 + CAST(l6 AS HUGEINT) * 5042100
+      |     + CAST(l7 AS HUGEINT) * 3529470 + CAST(l8 AS HUGEINT) * 2470629)
       |      // 94235199 AS forecast
       |  FROM lagged
       |),

@@ -963,11 +963,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("gain/CV/bootstrap/shrinkage additions stay aggregate shaped (q190-q193)") {
-    // q190: corpus scan -> global ntile window (documented exact form;
-    // the GK sketch is the stated 100 TB path) -> 10-row gain frame.
+    // q190 (r10 rewrite): distributed exact ntile — distinct-score
+    // offset window + per-score rank join; NLJ = the one-row tot_rows
+    // broadcast (q136 scalar shape); singleParts carry ONLY aggregated
+    // inputs (the dedicated containment test below proves that).
     val s190 = stats("q190_gain_chart")
-    assert(s190.nestedLoops == 0 && s190.singleParts <= 2, s"q190 regressed: $s190")
-    assert(s190.scans <= 4 && s190.shuffles <= 4, s"q190 regressed: $s190")
+    assert(s190.nestedLoops <= 2 && s190.singleParts <= 8, s"q190 regressed: $s190")
+    assert(s190.scans <= 8 && s190.shuffles <= 24, s"q190 regressed: $s190")
     // q191: per-fold window sort + aggregate, the q173/q107 shape.
     val s191 = stats("q191_cv_auc")
     assert(s191.nestedLoops == 0 && s191.singleParts == 0, s"q191 regressed: $s191")
@@ -1080,5 +1082,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(s207.nestedLoops == 0 && s207.singleParts == 0,
       s"q207 regressed: $s207")
     assert(s207.scans <= 4 && s207.shuffles <= 8, s"q207 regressed: $s207")
+  }
+
+  test("q190 gain chart never single-partitions a corpus-sized input") {
+    // The r9 verdict's one `weak` plan: the old form ran ntile(10) over
+    // a GLOBAL window — a corpus-sized single-partition sort. The fixed
+    // form derives the same ranks distributively, so every remaining
+    // SinglePartition exchange must carry an AGGREGATED (cardinality-
+    // bounded) input: the distinct-score offset window and the 10-row
+    // decile windows. This walks the final AQE plan and asserts exactly
+    // that containment — a raw-scan single-partition funnel fails here.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case r: ReusedExchangeExec => p +: flatten(r.child)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val df = Registry.all.find(_.name == "q190_gain_chart").get.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("ntile"),
+      "q190 must not fall back to the global ntile window")
+    val offenders = flatten(plan).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
+        !flatten(e.child).exists(_.isInstanceOf[BaseAggregateExec]) => e
+    }
+    assert(offenders.isEmpty,
+      s"q190 has a single-partition exchange over un-aggregated input:\n" +
+        offenders.mkString("\n"))
   }
 }

@@ -316,6 +316,32 @@ class ExtendedSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must produce lone-late suppliers")
   }
 
+  test("revenue gini (q158): decimal widening is exact and the BIGINT " +
+    "output guard fails loudly past 2^63") {
+    // In-range but past the OLD long bound: n=3 equal spenders at 9e17
+    // dollars — the old `2·Σrk·d` long intermediate (1.08e19) would have
+    // ANSI-thrown mid-plan; the decimal path must produce the exact
+    // answer (equal spend → gini exactly 0) with denom still in-bound
+    // (9·9e17 = 8.1e18 < 2^63-1).
+    val d = 900_000_000_000_000_000L
+    val near = Seq((1L, "A", d), (2L, "A", d), (3L, "A", d))
+      .toDF("o_custkey", "c_mktsegment", "d")
+    val r = Extended.giniProfile(near).head()
+    // n=3 equal values: numer = 2·(1+2+3)·d − 4·3d = 0 → gini 0.
+    assert(r.getAs[Long]("gini_numer") == 0L &&
+      r.getAs[Long]("gini_ppm") == 0L, s"exactness drifted: $r")
+    // Over the OUTPUT contract: Σd = 9.15e18 still fits BIGINT but
+    // gini_denom = n·Σd = 2.7e19 > 2^63-1 → the named raise_error, not
+    // a wrap or anonymous overflow (r9 verdict item 3).
+    val over = Seq((1L, "A", 3_050_000_000_000_000_000L),
+      (2L, "A", 3_050_000_000_000_000_000L),
+      (3L, "A", 3_050_000_000_000_000_000L))
+      .toDF("o_custkey", "c_mktsegment", "d")
+    val e = intercept[Exception] { Extended.giniProfile(over).collect() }
+    assert(e.getMessage.contains("revenueGini: BIGINT output headroom"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
   test("revenue gini (q158): bounds, and one segment matches a driver recompute") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

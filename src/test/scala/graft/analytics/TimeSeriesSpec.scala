@@ -158,6 +158,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("g3")._2 == 0L && out("g3")._4 == 0L, s"got ${out("g3")}")
   }
 
+  test("OLS trend: over-bound input fails LOUDLY with the named headroom error") {
+    // r9 verdict item 3: the documented 2^62 determinant contract must
+    // be self-enforcing. Two rows of ~4.6e18 cents put n·Σxy past the
+    // bound → expect the named raise_error, not a wrap or an anonymous
+    // ANSI overflow.
+    val rows = Seq(("g", 0L, 4_600_000_000_000_000_000L),
+      ("g", 1L, 4_600_000_000_000_000_000L)).toDF("g", "x", "y")
+    val e = intercept[Exception] {
+      TimeSeries.olsTrend(rows, "g", "x", "y").collect()
+    }
+    assert(e.getMessage.contains("olsTrend: BIGINT headroom exceeded"),
+      s"wrong failure mode: ${e.getMessage}")
+    // And in-bound inputs of the same shape still compute.
+    val ok = Seq(("g", 0L, 100L), ("g", 1L, 200L)).toDF("g", "x", "y")
+    assert(TimeSeries.olsTrend(ok, "g", "x", "y").collect().nonEmpty)
+  }
+
   test("OLS trend: truncating two-step division matches BigInt reference") {
     // Deterministic pseudo-random group: verify slope_micro ==
     // (1e6·num)/den truncated, computed in BigInt (no overflow).
