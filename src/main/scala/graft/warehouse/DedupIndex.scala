@@ -66,6 +66,8 @@ object DedupIndex {
     graft.core.PathLocks.forPath(root).synchronized {
       LeaseLock.withLease(spark, root, lease) {
         StateFiles.recover(spark, statsPath(root))
+        IndexCompaction.recover(spark, bandsPath(root))
+        IndexCompaction.recover(spark, setsPath(root))
         val prior = readStats(spark, root)
         val last = prior.map(_._2).getOrElse(-1L)
         val id = batchId.getOrElse(last + 1)
@@ -124,6 +126,30 @@ object DedupIndex {
         }
         spark.read.parquet(s"${matchesPath(root)}/batch=$id")
           .select("batch_id", "base_id", "jaccard")
+      }
+    }
+
+  /** Fold the committed per-batch partitions of `bands` and `sets` into
+    * one consolidated partition each ([[IndexCompaction]]) — run on a
+    * maintenance cadence so thousands of micro-batches don't turn every
+    * candidate probe into a thousand-dir listing. `matches` is NOT
+    * folded: a committed replay reads `matches/batch=id` back BY id, so
+    * its per-batch dirs are the replay contract (they are also the
+    * narrow table — pairs, not signatures). Read results are unchanged:
+    * folded rows land in `batch=last_batch`, which every committed-only
+    * filter (`batch <= last`) still admits.
+    */
+  def compact(spark: SparkSession, root: String,
+              lease: Boolean = false): Seq[IndexCompaction.FoldReport] =
+    graft.core.PathLocks.forPath(root).synchronized {
+      LeaseLock.withLease(spark, root, lease) {
+        StateFiles.recover(spark, statsPath(root))
+        readStats(spark, root) match {
+          case None => Nil
+          case Some((_, last)) =>
+            Seq(bandsPath(root), setsPath(root))
+              .map(IndexCompaction.foldBatches(spark, _, last))
+        }
       }
     }
 

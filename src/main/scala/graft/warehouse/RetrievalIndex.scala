@@ -71,6 +71,8 @@ object RetrievalIndex {
     graft.core.PathLocks.forPath(root).synchronized {
       LeaseLock.withLease(spark, root, lease) {
         StateFiles.recover(spark, statsPath(root))
+        IndexCompaction.recover(spark, postingsPath(root))
+        IndexCompaction.recover(spark, doclenPath(root))
         val prior = readStats(spark, root)
         val last = prior.map(_._3).getOrElse(-1L)
         val id = batchId.getOrElse(last + 1)
@@ -106,6 +108,28 @@ object RetrievalIndex {
           StateFiles.install(spark, statsPath(root), merged)
         }
         spark.read.parquet(statsPath(root)).localCheckpoint(eager = true)
+      }
+    }
+
+  /** Fold the committed per-batch partitions of `postings` and `doclen`
+    * into one consolidated partition each ([[IndexCompaction]]) — the
+    * maintenance verb that keeps a long-lived streaming-fed index from
+    * accumulating one dir per micro-batch. Ranking reads are unchanged:
+    * folded rows land in `batch=last_batch`, still admitted by the
+    * committed-only filter, and `stats`/`last_batch` (the replay
+    * short-circuit) is never touched.
+    */
+  def compact(spark: SparkSession, root: String,
+              lease: Boolean = false): Seq[IndexCompaction.FoldReport] =
+    graft.core.PathLocks.forPath(root).synchronized {
+      LeaseLock.withLease(spark, root, lease) {
+        StateFiles.recover(spark, statsPath(root))
+        readStats(spark, root) match {
+          case None => Nil
+          case Some((_, _, last)) =>
+            Seq(postingsPath(root), doclenPath(root))
+              .map(IndexCompaction.foldBatches(spark, _, last))
+        }
       }
     }
 
