@@ -17,8 +17,17 @@ import graft.NamedQuery
   * re-scanning every batch ever loaded — the incremental form of the
   * SemDeDup-style reduce-then-cluster pipeline ([[graft.analytics.Pca]]).
   *
-  * Same persistence discipline as the family: [[StateFiles]] staged swap
-  * + crash recovery, in-JVM path lock, opt-in cross-driver [[LeaseLock]].
+  * Persistence is the family's delta-dir + marker protocol (r10: it was
+  * a single folded table before, which could DOUBLE-fold a replayed
+  * batch — the one state member without a streaming face for exactly
+  * that reason): each batch's pair statistics land in
+  * `deltas/batch=N/`, the `stats` table ([[StateFiles]] staged swap)
+  * carries `last_batch` as the COMMIT MARKER, reads aggregate committed
+  * deltas only (integer sums — order-independent, so delta-sharded ≡
+  * one-shot bit-for-bit), and a committed replay short-circuits. That
+  * makes `update` a safe `foreachBatch` sink
+  * ([[graft.streaming.StreamingIndex.covarianceAvailableNow]]), and
+  * [[IndexCompaction]] folds the delta dirs on a maintenance cadence.
   *
   * Headroom: each product is nano-rounded once (|x| ≲ 1 ⇒ terms ≲ 2e9),
   * so s_xy_nano stays exact to ~4e9 accumulated rows per pair — far past
@@ -27,25 +36,66 @@ import graft.NamedQuery
   */
 object CovarianceState {
 
+  private def deltasPath(root: String) = s"$root/deltas"
+  private def statsPath(root: String) = s"$root/stats"
+
+  private def readLast(spark: SparkSession, root: String): Option[Long] =
+    if (!StateFiles.exists(spark, statsPath(root))) None
+    else Some(spark.read.parquet(statsPath(root)).head().getAs[Long]("last_batch"))
+
   /** Fold one batch of vectors into the covariance state at `statePath`;
     * returns the post-merge pair statistics, eagerly materialized so the
-    * snapshot survives the next swap.
+    * snapshot survives the next swap. `batchId` defaults to
+    * last_batch + 1; pass the foreachBatch epoch for replay idempotence
+    * (a committed replay ingests nothing and returns the snapshot).
     */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
-             vecCol: String = "embedding", lease: Boolean = false): DataFrame =
+             vecCol: String = "embedding", batchId: Option[Long] = None,
+             lease: Boolean = false): DataFrame =
     graft.core.PathLocks.forPath(statePath).synchronized {
       LeaseLock.withLease(spark, statePath, lease) {
-        StateFiles.recover(spark, statePath)
-        val batchStats = graft.analytics.Pca.covarianceStats(batch, vecCol)
-        val merged =
-          if (!StateFiles.exists(spark, statePath)) batchStats
-          else spark.read.parquet(statePath)
-            .unionByName(batchStats)
-            .groupBy("i", "j")
-            .agg(sum("n").as("n"), sum("s_x_nano").as("s_x_nano"),
-              sum("s_y_nano").as("s_y_nano"), sum("s_xy_nano").as("s_xy_nano"))
-        StateFiles.install(spark, statePath, merged)
-        spark.read.parquet(statePath).localCheckpoint(eager = true)
+        StateFiles.recover(spark, statsPath(statePath))
+        IndexCompaction.recover(spark, deltasPath(statePath))
+        val last = readLast(spark, statePath).getOrElse(-1L)
+        val id = batchId.getOrElse(last + 1)
+        if (id > last) { // else: committed replay, every effect installed
+          graft.analytics.Pca.covarianceStats(batch, vecCol)
+            .write.mode("overwrite")
+            .parquet(s"${deltasPath(statePath)}/batch=$id")
+          import spark.implicits._
+          StateFiles.install(spark, statsPath(statePath),
+            Seq(id).toDF("last_batch"))
+        }
+        snapshot(spark, statePath).localCheckpoint(eager = true)
+      }
+    }
+
+  /** The folded pair statistics over COMMITTED deltas (orphan dirs from
+    * a crash are pruned at the scan by the partition-column filter).
+    */
+  def snapshot(spark: SparkSession, statePath: String): DataFrame = {
+    val last = readLast(spark, statePath)
+      .getOrElse(sys.error(s"CovarianceState.snapshot: no state at $statePath"))
+    spark.read.parquet(deltasPath(statePath))
+      .filter(col("batch") <= last)
+      .groupBy("i", "j")
+      .agg(sum("n").as("n"), sum("s_x_nano").as("s_x_nano"),
+        sum("s_y_nano").as("s_y_nano"), sum("s_xy_nano").as("s_xy_nano"))
+  }
+
+  /** Fold committed delta dirs into one consolidated partition
+    * ([[IndexCompaction]]) — the same maintenance verb as the indices.
+    */
+  def compact(spark: SparkSession, statePath: String,
+              lease: Boolean = false): Seq[IndexCompaction.FoldReport] =
+    graft.core.PathLocks.forPath(statePath).synchronized {
+      LeaseLock.withLease(spark, statePath, lease) {
+        StateFiles.recover(spark, statsPath(statePath))
+        readLast(spark, statePath) match {
+          case None => Nil
+          case Some(last) =>
+            Seq(IndexCompaction.foldBatches(spark, deltasPath(statePath), last))
+        }
       }
     }
 
@@ -54,7 +104,7 @@ object CovarianceState {
     * never a history scan.
     */
   def covariance(spark: SparkSession, statePath: String): Array[Array[Double]] = {
-    val rows = spark.read.parquet(statePath).collect()
+    val rows = snapshot(spark, statePath).collect()
     val d = rows.map(_.getInt(1)).max + 1
     val m = Array.fill(d, d)(0.0)
     rows.foreach { r =>

@@ -128,4 +128,37 @@ class StreamingIndexSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == oneShot,
       "streamed drift state must reproduce the one-shot PSI")
   }
+
+  test("file-streamed covariance state equals the one-shot sufficient " +
+    "statistics bit-for-bit; a replayed epoch is a no-op") {
+    import graft.warehouse.CovarianceState
+    val watch = tmpDir("scov-src")
+    val root = tmpDir("scov-root") + "/state"
+    val ckpt = tmpDir("scov-ckpt")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    stageFiles(Seq(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2)), watch)
+    StreamingIndex.covarianceAvailableNow(spark, watch, emb.schema, root, ckpt)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s_x_nano"),
+          r.getAs[Long]("s_y_nano"), r.getAs[Long]("s_xy_nano"))).toMap
+    val streamed = key(CovarianceState.snapshot(spark, root))
+    val oneShot = key(graft.analytics.Pca.covarianceStats(emb))
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "streamed covariance state must equal the one-shot integer stats")
+    // Replaying a committed epoch with DIFFERENT content short-circuits.
+    CovarianceState.update(spark, root,
+      emb.filter(col("vec_id") < 3), batchId = Some(0L))
+    assert(key(CovarianceState.snapshot(spark, root)) == oneShot,
+      "a committed replay must not re-fold")
+    // And compaction preserves the snapshot exactly.
+    val reports = CovarianceState.compact(spark, root)
+    assert(reports.exists(_.dirsAfter == 1), s"fold: $reports")
+    assert(key(CovarianceState.snapshot(spark, root)) == oneShot,
+      "compaction must not change the folded statistics")
+  }
 }

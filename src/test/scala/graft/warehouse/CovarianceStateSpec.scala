@@ -15,7 +15,7 @@ class CovarianceStateSpec extends SparkSpec {
   private def emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
 
   private def read(p: String) =
-    spark.read.parquet(p).collect()
+    CovarianceState.snapshot(spark, p).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
         (r.getAs[Long]("n"), r.getAs[Long]("s_x_nano"),
           r.getAs[Long]("s_y_nano"), r.getAs[Long]("s_xy_nano"))).toMap
