@@ -90,6 +90,17 @@ object ScaleCheck {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt.max(1)
     val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // SPARK_GRAFT_NO_BROADCAST=1 pins the at-scale plan shape at BOTH
+    // scales (no auto-broadcast, statically or via AQE), so shuffle
+    // ratios compare like plans against like — the r9 verdict's ask for
+    // separating the broadcast→shuffle plan TRANSITION from real
+    // super-linearity. Wall times under this knob are NOT the production
+    // numbers (the broadcast plan is the right one at base scale).
+    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      println("[scale] auto-broadcast DISABLED (fixed shuffle-join plan shape)")
+    }
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
