@@ -785,8 +785,13 @@ class PlanAuditSpec extends SparkSpec {
     // filters ride the candidate join; NO nested-loop pair space and no
     // SMJ (both self-join sides share one pinned token exchange and
     // broadcast at this SF).
+    // r10: the inline-verify rewrite attaches the sorted hash sets to
+    // the prefix rows with one doc_id equi-join — array payloads put it
+    // over the broadcast threshold, so ONE SortMergeJoin is the correct
+    // shape (it replaced TWO post-candidate verify joins; see
+    // BASELINE.md round-10 table: 100× wall 232→75 s).
     val s104 = stats("q104_prefix_filter_join")
-    assert(s104.nestedLoops == 0 && s104.smj == 0, s"q104 regressed: $s104")
+    assert(s104.nestedLoops == 0 && s104.smj <= 1, s"q104 regressed: $s104")
     assert(s104.scans <= 18 && s104.shuffles <= 42, s"q104 regressed: $s104")
     val s115 = stats("q115_containment_join")
     assert(s115.nestedLoops == 0 && s115.smj == 0, s"q115 regressed: $s115")
