@@ -73,6 +73,50 @@ object Similarity {
     topK(scored, k, idCol)
   }
 
+  // --------------------------------------------------------------- q209
+  /** Metadata-FILTERED exact top-k similarity search — the
+    * retrieval-with-constraints shape every RAG deployment runs ("top-k
+    * nearest among documents where tenant/label/language = X"), and the
+    * operator where naive engines go quadratic twice: post-filtering a
+    * global top-k under-fills k when the filter is selective, while
+    * per-query corpus re-scans pay the full distance pass per filter.
+    * Spark-first answer: an EQUALITY filter is a JOIN KEY — the corpus
+    * hash-partitions by the filter column once, each query scores ONLY
+    * its own stratum (work ∝ stratum size × queries, never corpus ×
+    * queries), and k is exact by construction because the filter is
+    * applied BEFORE ranking. Range/predicate filters ride the same join
+    * as residual conditions; a selective literal filter additionally
+    * pushes to the parquet scan.
+    */
+  def filteredKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                  filterCol: String, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(filterCol).as("q_filter"))
+    val scored = corpus.select(col(idCol), col(vecCol), col(filterCol))
+      .join(broadcast(q),
+        col(filterCol) === col("q_filter") && col(idCol) =!= col("query_id"))
+      .withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol)))
+    topK(scored, k, idCol)
+  }
+
+  /** Gated q209: exact top-5 within each query's own label stratum. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    filteredKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+      filterCol = "label")
+  }
+
+  private val knnFilteredSql =
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  row_number() OVER (PARTITION BY q.vec_id
+      |                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank,
+      |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS score_r
+      |FROM embeddings q JOIN embeddings c
+      |  ON c.label = q.label AND c.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5""".stripMargin
+
   /** Deterministic seeded hyperplanes: `nBits` × `dim` gaussian matrix. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)
@@ -806,6 +850,7 @@ object Similarity {
     NamedQuery("q164_label_centroids", labelCentroidProfile _,
       Some(labelCentroidsSql)),
     NamedQuery("q19_knn_brute", knnBrute _, Some(knnBruteSql)),
+    NamedQuery("q209_filtered_knn", knnFiltered _, Some(knnFilteredSql)),
     NamedQuery("q125_hard_negatives", knnHardNegatives _, Some(hardNegativesSql)),
     NamedQuery("q20_knn_ann", knnAnn _, Some(plantedKnnSql)),
     NamedQuery("q21_embedding_neardups", embNearDups _, Some(embNearDupsSql)),

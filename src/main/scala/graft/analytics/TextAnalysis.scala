@@ -108,6 +108,71 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  // --------------------------------------------------------------- q208
+  /** Good–Turing frequency-of-frequencies profile — the vocabulary-
+    * coverage planner's statistic (Good 1953; Gale & Sampson's SGT is
+    * the smoothed extension): per source, the missing probability mass
+    * P₀ = N₁/N (the chance the NEXT token drawn is one never seen — the
+    * number a tokenizer/vocab design reads before fixing vocab size),
+    * plus the Turing-discounted counts r* = (r+1)·N_{r+1}/N_r for
+    * r = 1, 2 (how much observed singleton/doubleton counts over-state
+    * their true probability). Complements q137 (Heaps growth: how fast
+    * vocabulary GROWS) and q124 (novelty attribution) with the
+    * closed-form unseen-mass estimate; every output is exact integer —
+    * counts are BIGINT, ratios micro-ppm via truncating division, the
+    * r* emits null when N_r = 0 (undefined, not zero).
+    *
+    * Scale shape: one corpus scan → (source, token) hash agg →
+    * (source, count) hash agg → source rollup. All three are fully
+    * partial-aggregable; no window, no sort, state bounded by
+    * vocabulary, then by distinct observed counts. 100 TB costs three
+    * map-side-combined shuffles.
+    */
+  def goodTuringProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ff = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("c").as("r"))
+      .agg(count(lit(1)).as("nr"))
+    ff.groupBy("source")
+      .agg(sum(expr("r * nr")).as("n_tokens"),
+        sum("nr").as("vocab"),
+        coalesce(sum(when(col("r") === 1, col("nr"))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("r") === 2, col("nr"))), lit(0L)).as("n2"),
+        coalesce(sum(when(col("r") === 3, col("nr"))), lit(0L)).as("n3"))
+      .withColumn("missing_mass_ppm", expr("(1000000 * n1) div n_tokens"))
+      .withColumn("rstar1_micro",
+        when(col("n1") > 0, expr("(2000000 * n2) div n1")))
+      .withColumn("rstar2_micro",
+        when(col("n2") > 0, expr("(3000000 * n3) div n2")))
+  }
+
+  private val goodTuringSql =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS token
+      |  FROM documents
+      |), tc AS (
+      |  SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+      |), ff AS (
+      |  SELECT source, c AS r, count(*) AS nr FROM tc GROUP BY 1, 2
+      |)
+      |SELECT source,
+      |  CAST(sum(r * nr) AS BIGINT) AS n_tokens,
+      |  CAST(sum(nr) AS BIGINT) AS vocab,
+      |  CAST(coalesce(sum(CASE WHEN r = 1 THEN nr END), 0) AS BIGINT) AS n1,
+      |  CAST(coalesce(sum(CASE WHEN r = 2 THEN nr END), 0) AS BIGINT) AS n2,
+      |  CAST(coalesce(sum(CASE WHEN r = 3 THEN nr END), 0) AS BIGINT) AS n3,
+      |  CAST((1000000 * coalesce(sum(CASE WHEN r = 1 THEN nr END), 0))
+      |    // sum(r * nr) AS BIGINT) AS missing_mass_ppm,
+      |  CASE WHEN coalesce(sum(CASE WHEN r = 1 THEN nr END), 0) > 0 THEN
+      |    CAST((2000000 * coalesce(sum(CASE WHEN r = 2 THEN nr END), 0))
+      |      // sum(CASE WHEN r = 1 THEN nr END) AS BIGINT) END AS rstar1_micro,
+      |  CASE WHEN coalesce(sum(CASE WHEN r = 2 THEN nr END), 0) > 0 THEN
+      |    CAST((3000000 * coalesce(sum(CASE WHEN r = 3 THEN nr END), 0))
+      |      // sum(CASE WHEN r = 2 THEN nr END) AS BIGINT) END AS rstar2_micro
+      |FROM ff GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------- q13
   /** Per-source token statistics. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -1245,7 +1310,8 @@ object TextAnalysis {
     NamedQuery("q124_ngram_novelty", shingleNovelty _, Some(shingleNoveltySql)),
     NamedQuery("q130_bpe_pair_stats", (s, d) => bpePairStats(s, d),
       Some(bpePairStatsSql)),
-    NamedQuery("q137_vocab_growth", vocabGrowthDocs _, Some(vocabGrowthSql)))
+    NamedQuery("q137_vocab_growth", vocabGrowthDocs _, Some(vocabGrowthSql)),
+    NamedQuery("q208_good_turing", goodTuringProfile _, Some(goodTuringSql)))
 
   // --------------------------------------------------------------- q130
   /** BPE merge-candidate statistics — the inner loop of byte-pair-encoding

@@ -1089,6 +1089,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(s207.scans <= 4 && s207.shuffles <= 8, s"q207 regressed: $s207")
   }
 
+  test("round-10 additions stay aggregate/broadcast shaped (q208/q209)") {
+    // q208: corpus scan -> three chained map-side-combined hash aggs
+    // (token counts -> frequency-of-frequencies -> source rollup); no
+    // window, no sort, no pair space.
+    val s208 = stats("q208_good_turing")
+    assert(s208.nestedLoops == 0 && s208.singleParts == 0,
+      s"q208 regressed: $s208")
+    assert(s208.scans <= 2 && s208.shuffles <= 6, s"q208 regressed: $s208")
+    // q209: filtered kNN — the equality filter IS the join key; the
+    // query side broadcasts, ranking rides per-query window partitions.
+    val s209 = stats("q209_filtered_knn")
+    assert(s209.nestedLoops == 0 && s209.broadcast >= 1 &&
+      s209.singleParts == 0, s"q209 regressed: $s209")
+    assert(s209.scans <= 4 && s209.shuffles <= 4, s"q209 regressed: $s209")
+  }
+
   test("q190 gain chart never single-partitions a corpus-sized input") {
     // The r9 verdict's one `weak` plan: the old form ran ntile(10) over
     // a GLOBAL window — a corpus-sized single-partition sort. The fixed

@@ -280,4 +280,31 @@ class SimilaritySpec extends SparkSpec {
           r.getAs[Long]("recall_ppm")))).toMap
     assert(again == out)
   }
+
+  test("filteredKnn (q209): neighbors stay inside the query's stratum " +
+    "and equal brute force over the pre-filtered corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = Similarity.filteredKnn(emb, queries, k = 3, filterCol = "label")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // (a) every neighbor shares its query's label.
+    got.foreach { case ((q, _), n) =>
+      assert(labels(n) == labels(q), s"neighbor $n left query $q's stratum")
+    }
+    // (b) per query, identical to brute force over the filtered corpus.
+    (0L until 4L).foreach { q =>
+      val expect = Similarity.bruteForceKnn(
+        emb.filter(col("label") === labels(q)), queries.filter(col("vec_id") === q),
+        k = 3).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          r.getAs[Long]("neighbor_id")).toMap
+      expect.foreach { case (key, n) =>
+        assert(got(key) == n, s"rank mismatch at $key: ${got(key)} vs $n")
+      }
+    }
+  }
 }

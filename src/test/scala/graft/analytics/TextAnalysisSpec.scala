@@ -364,4 +364,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 == 4 * cell(40, 40) + 3 * cell(30, 30),
       "dominant doc total decomposes into its two transition cells")
   }
+
+  test("Good–Turing profile (q208): identities hold and one source " +
+    "matches a full driver recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.goodTuringProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("n3"),
+          r.getAs[Long]("missing_mass_ppm"))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, v, n1, n2, n3, mm) =>
+      assert(v >= n1 + n2 + n3 && n >= v, "count identities")
+      assert(mm == 1000000L * n1 / n, "missing mass is the exact quotient")
+    }
+    // Driver recompute of the first source from raw tokens.
+    val src = out.keys.min
+    val counts = graft.core.Tables.documents(spark, dir)
+      .filter(col("source") === src).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val byR = counts.values.groupBy(identity).view.mapValues(_.size.toLong)
+    assert(out(src) == ((n, counts.size.toLong,
+      byR.getOrElse(1L, 0L), byR.getOrElse(2L, 0L), byR.getOrElse(3L, 0L),
+      1000000L * byR.getOrElse(1L, 0L) / n)),
+      s"driver recompute mismatch for $src: ${out(src)}")
+  }
 }
