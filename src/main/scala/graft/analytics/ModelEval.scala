@@ -415,13 +415,16 @@ object ModelEval {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Rank offsets over the DISTINCT score domain: rows strictly above
     // this score. The window sorts score-domain-sized input only.
-    val offsets = scored.groupBy(col(scoreCol))
+    val perScore = scored.groupBy(col(scoreCol))
       .agg(count(lit(1)).as("score_n"))
+    val offsets = perScore
       .withColumn("rank_start", coalesce(
         sum("score_n").over(Window.orderBy(col(scoreCol).desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(scoreCol), col("rank_start"))
-    val tot = scored.agg(count(lit(1)).as("tot_rows"))
+    // tot_rows folds off the score-domain aggregate — no third corpus
+    // scan; at 100 TB the corpus is read exactly twice (counts + join).
+    val tot = perScore.agg(sum("score_n").as("tot_rows"))
     scored
       .join(offsets, Seq(scoreCol))
       .crossJoin(broadcast(tot))

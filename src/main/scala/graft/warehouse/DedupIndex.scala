@@ -147,8 +147,12 @@ object DedupIndex {
         readStats(spark, root) match {
           case None => Nil
           case Some((_, last)) =>
-            Seq(bandsPath(root), setsPath(root))
+            val folds = Seq(bandsPath(root), setsPath(root))
               .map(IndexCompaction.foldBatches(spark, _, last))
+            // matches keeps its per-batch dirs (replay reads by id) but
+            // still deserves the FILE-level bin-pack within each dir.
+            Compactor.compact(spark, matchesPath(root))
+            folds
         }
       }
     }
