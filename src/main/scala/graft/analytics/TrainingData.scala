@@ -500,6 +500,134 @@ object TrainingData {
       |FROM quota q LEFT JOIN ranked r ON r.source = q.source AND r.lang = q.lang
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** Exact per-stratum quota selection WITHOUT a per-stratum sort — the
+    * 100 TB shape of [[stratifiedSample]]/[[mixtureSample]]'s
+    * `row_number() OVER (PARTITION BY stratum)` selection, whose window
+    * funnels each stratum into one task (fine when strata are small;
+    * a single-task sort of the largest stratum when one domain is 10 TB
+    * of a 100 TB corpus).
+    *
+    * Two passes, selection IDENTICAL to the rank form (proved row-for-row
+    * in TrainingDataSpec):
+    *
+    *  1. Bucket every row by the first 3 hex nibbles of its md5 order
+    *     hash (4096 buckets; lowercase-hex LEXICOGRAPHIC order ==
+    *     NUMERIC prefix order, so bucket boundaries respect the global
+    *     hash order). One hash aggregate → a (strata × ≤4096)-row count
+    *     table; a window over THAT table (never the corpus) finds, per
+    *     stratum, the boundary bucket where the running count crosses the
+    *     quota and the residual quota inside it.
+    *  2. Rows in buckets strictly below the boundary are taken outright
+    *     via a BROADCAST semi-join of the marker table; only the boundary
+    *     bucket's rows (~n/4096 of the stratum) are exactly ranked — the
+    *     one remaining per-stratum window sorts 1/4096th of the data.
+    *
+    * Quota ≥ stratum size ⇒ no boundary bucket exists and every bucket
+    * marker says "whole" — the degenerate case costs nothing. No corpus
+    * sort, no SinglePartition exchange, every join broadcast: the plan
+    * scales with the corpus scan, not with the largest stratum.
+    */
+  def hashQuotaSample(df: DataFrame, stratum: Seq[String], key: Column,
+                      quotas: DataFrame): DataFrame = {
+    val (rows, bcounts) = bucketize(df, stratum, key)
+    selectByQuota(rows, bcounts.join(quotas, stratum), stratum, key)
+  }
+
+  /** [[hashQuotaSample]] where the quota is a LAW over the stratum size
+    * (`takeOfN`, e.g. the T=2 temperature `floor(C·√n)`) instead of a
+    * caller-supplied table: per-stratum totals fold off the bucket-count
+    * aggregate, so the law costs a bucket-table rollup, not a second
+    * corpus scan.
+    */
+  def hashQuotaSampleByLaw(df: DataFrame, stratum: Seq[String], key: Column,
+                           takeOfN: Column => Column): DataFrame = {
+    val (rows, bcounts) = bucketize(df, stratum, key)
+    val quotas = bcounts.groupBy(stratum.map(col): _*)
+      .agg(sum("qs_n").as("qs_tot"))
+      .withColumn("take", takeOfN(col("qs_tot")))
+      .drop("qs_tot")
+    selectByQuota(rows, bcounts.join(quotas, stratum), stratum, key)
+  }
+
+  private def bucketize(df: DataFrame, stratum: Seq[String],
+                        key: Column): (DataFrame, DataFrame) = {
+    val rows = df.withColumn("qs_h", keyHash(key))
+      .withColumn("qs_b", conv(substring(col("qs_h"), 1, 3), 16, 10).cast("int"))
+    val bcounts = rows.groupBy((stratum.map(col) :+ col("qs_b")): _*)
+      .agg(count(lit(1)).as("qs_n"))
+    (rows, bcounts)
+  }
+
+  private def selectByQuota(rows: DataFrame, counts: DataFrame,
+                            stratum: Seq[String], key: Column): DataFrame = {
+    // Window over the bucket-count table: strata × ≤4096 rows, never the corpus.
+    val w = Window.partitionBy(stratum.map(col): _*).orderBy(col("qs_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Materialize the marker table once (strata × ≤4096 rows, KB-scale):
+    // it feeds BOTH broadcast joins below, and without the checkpoint the
+    // plan expands its corpus-aggregate subtree twice — one extra full
+    // scan + shuffle for a table that fits in a driver page.
+    val marked = counts
+      .withColumn("qs_before", coalesce(sum("qs_n").over(w), lit(0L)))
+      .withColumn("qs_kind",
+        when(col("qs_before") + col("qs_n") <= col("take"), lit("whole"))
+          .when(col("qs_before") < col("take"), lit("boundary")))
+      .filter(col("qs_kind").isNotNull)
+      .withColumn("qs_residual", col("take") - col("qs_before"))
+      .localCheckpoint()
+    val joinKeys = stratum :+ "qs_b"
+    val whole = rows.join(
+      broadcast(marked.filter(col("qs_kind") === "whole").select(joinKeys.map(col): _*)),
+      joinKeys, "left_semi")
+    val wB = Window.partitionBy(stratum.map(col): _*)
+      .orderBy(col("qs_h"), key)
+    val boundary = rows.join(
+      broadcast(marked.filter(col("qs_kind") === "boundary")
+        .select((joinKeys :+ "qs_residual").map(col): _*)),
+      joinKeys)
+      .withColumn("qs_rk", row_number().over(wB))
+      .filter(col("qs_rk") <= col("qs_residual"))
+      .drop("qs_residual", "qs_rk")
+    whole.unionByName(boundary).drop("qs_h", "qs_b")
+  }
+
+  /** Gated q210: the T=2 temperature mixture of q51 re-selected through
+    * [[hashQuotaSample]] — per-SOURCE quotas `floor(8·√n)` (source-only
+    * strata are the few-big-strata regime where the per-stratum-sort
+    * window is at its worst), checksummed per source so any selection
+    * drift (one wrong doc) breaks the gate: the md5-rank sample the
+    * oracle computes by sorting must be EXACTLY the sample the bucket
+    * refinement computes without sorting.
+    */
+  def bucketQuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    hashQuotaSampleByLaw(docs, Seq("source"), col("doc_id"),
+      n => floor(lit(8.0) * sqrt(n.cast("double"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_taken"),
+        sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+  }
+
+  private val bucketQuotaSampleSql =
+    """WITH quota AS (
+      |  SELECT source,
+      |    CAST(floor(8.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS take
+      |  FROM documents GROUP BY 1
+      |), ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT r.source, CAST(count(*) AS BIGINT) AS n_taken,
+      |  CAST(sum(r.doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(r.n_chars) AS BIGINT) AS sum_chars
+      |FROM ranked r JOIN quota q ON q.source = r.source
+      |WHERE r.rk <= q.take
+      |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q52
   /** RAG-style document chunking: fixed token windows with overlap
     * (window=32, stride=24 → 8-token overlap), the retrieval-prep shape
@@ -1427,6 +1555,8 @@ object TrainingData {
     NamedQuery("q49_bigram_lm", bigramLm _, Some(bigramLmSql)),
     NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)),
     NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
+    NamedQuery("q210_bucket_quota_sample", bucketQuotaSample _,
+      Some(bucketQuotaSampleSql)),
     NamedQuery("q52_doc_chunks", (s, d) => docChunks(s, d), Some(docChunksSql)),
     NamedQuery("q73_dsir_resample", dsirResample _, Some(dsirResampleSql)),
     NamedQuery("q80_quality_classifier", qualityClassifier _, Some(qualityClassifierSql)))

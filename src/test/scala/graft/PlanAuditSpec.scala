@@ -1105,6 +1105,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(s209.scans <= 4 && s209.shuffles <= 4, s"q209 regressed: $s209")
   }
 
+  test("q210 bucket quota sample: broadcast markers, no corpus funnel") {
+    // The whole point of the operator: exact per-stratum quota selection
+    // with NO per-stratum corpus sort — both marker joins broadcast, the
+    // only windows run over the bucket-count table and the boundary
+    // slice, and nothing single-partitions.
+    val s = stats("q210_bucket_quota_sample")
+    assert(s.broadcast >= 2, s"q210 marker joins must broadcast: $s")
+    assert(s.nestedLoops == 0 && s.singleParts == 0 && s.smj == 0,
+      s"q210 regressed: $s")
+    // Audited: scans=3 shuffles=6 broadcast=3 (the marker localCheckpoint
+    // keeps the corpus at exactly 3 passes: bucket-count, whole, boundary).
+    assert(s.scans <= 6 && s.shuffles <= 12, s"q210 shuffles regressed: $s")
+  }
+
   test("q190 gain chart never single-partitions a corpus-sized input") {
     // The r9 verdict's one `weak` plan: the old form ran ntile(10) over
     // a GLOBAL window — a corpus-sized single-partition sort. The fixed

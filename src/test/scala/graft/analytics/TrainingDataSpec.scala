@@ -542,4 +542,40 @@ class TrainingDataSpec extends SparkSpec {
     assert(t2 * 10 >= t1 * 2 && t2 * 10 <= t1 * 4,
       s"quartile gate should keep ~25%: $t1 -> $t2")
   }
+
+  test("hashQuotaSample selects row-for-row what the per-stratum rank sort selects") {
+    // 10k rows over 3 skewed strata forces multi-row md5 buckets, so the
+    // boundary-bucket residual ranking (not just whole-bucket keeps) is
+    // exercised; quotas hit all three regimes: deep inside the hash order
+    // (5k of 8k), near-total (190 of 200), and over-quota (keep all).
+    val rows = spark.range(10000).selectExpr(
+      "CASE WHEN id < 8000 THEN 'big' WHEN id < 9800 THEN 'mid' ELSE 'tiny' END AS src",
+      "id AS k")
+    val quotas = Seq(("big", 5000L), ("mid", 190L), ("tiny", 400L))
+      .toDF("src", "take")
+    val fast = TrainingData.hashQuotaSample(rows, Seq("src"), col("k"), quotas)
+      .select("src", "k")
+    val ranked = rows
+      .withColumn("h", md5(col("k").cast("string").cast("binary")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("h"), col("k"))))
+      .join(quotas, "src").filter(col("rk") <= col("take"))
+      .select("src", "k")
+    assert(fast.count() == 5000 + 190 + 200)
+    assert(fast.except(ranked).count() == 0 && ranked.except(fast).count() == 0,
+      "bucket refinement must equal the rank-sort selection exactly")
+    // Per-stratum quota exactness (tiny is over-quota: all 200 kept).
+    val per = fast.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("big" -> 5000L, "mid" -> 190L, "tiny" -> 200L))
+  }
+
+  test("hashQuotaSample: zero quota and empty stratum degenerate cleanly") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("src", "k")
+    val quotas = Seq(("a", 0L), ("b", 5L), ("ghost", 3L)).toDF("src", "take")
+    val got = TrainingData.hashQuotaSample(rows, Seq("src"), col("k"), quotas)
+      .select("src", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 3L)), s"zero-quota stratum must vanish: $got")
+  }
 }
