@@ -62,7 +62,11 @@ object ScaleCheck {
     // Fellegi–Sunter blocked join (customer now replicates with
     // re-derived names, so the name-fragment block-key cardinality grows
     // with N and candidate pairs must stay ~linear).
-    "q176_ewma_forecast", "q187_record_linkage")
+    "q176_ewma_forecast", "q187_record_linkage",
+    // round-10: the sort-free quota sampler — its whole claim is scale
+    // shape (3 corpus passes, boundary-only ranking), so its decade
+    // ratios belong in the measured set.
+    "q210_bucket_quota_sample")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -40,7 +40,10 @@ object TrainingData {
   /** Deterministic stratified sample: keep `perStratum` rows per stratum,
     * chosen by hash rank — reproducible "random" sampling with exact
     * per-group quotas (a fractional `sample()` can't guarantee either).
-    * One shuffle on the stratum key.
+    * One shuffle on the stratum key. The rank window funnels each stratum
+    * into one task — fine for many small strata; when one stratum is a
+    * corpus-sized domain, use [[hashQuotaSample]] (identical selection,
+    * no per-stratum sort).
     */
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column, perStratum: Int): DataFrame = {
     val w = Window.partitionBy(stratum).orderBy(keyHash(key), key)
