@@ -173,6 +173,98 @@ object TextAnalysis {
       |      // sum(CASE WHEN r = 2 THEN nr END) AS BIGINT) END AS rstar2_micro
       |FROM ff GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------------- q211
+  /** Zipf head size: the rank cutoff the slope is fitted over. Zipf's
+    * law holds in the head and bends in the tail (Mandelbrot), so a
+    * fixed-R head fit is the standard estimator — and it also bounds the
+    * OLS input at R rows per source at any corpus scale.
+    */
+  val ZipfHead = 500
+
+  /** Zipf rank–frequency slope — the third leg of the vocabulary-shape
+    * battery (q137 Heaps: how vocabulary GROWS; q208 Good–Turing: how
+    * much mass is UNSEEN; q211: how the seen mass is CONCENTRATED): per
+    * source, the OLS slope of ln(frequency) on ln(rank) over the top-
+    * [[ZipfHead]] tokens, ≈ −1 for natural language (Zipf 1949), nearer
+    * 0 for templated/synthetic text — a corpus-health smell test next to
+    * the q43 repetition signals. Logs ride the q195 milli-nat floor
+    * discipline, sums are exact BIGINT (x ≤ ln(500)·10³, y ≤ ln(N)·10³:
+    * products ≤ ~2·10⁸ per row, ≤ 10¹¹ per source), and slope/R² are the
+    * q167 fixed-double-sequence finishers over those exact integers —
+    * both engines floor identical values. Degenerate heads (all-equal x,
+    * i.e. vocab < 2) emit null, not NaN.
+    *
+    * Scale shape: corpus scan → (source, token) hash agg → per-source
+    * rank window over the VOCABULARY table (Heaps-sublinear in corpus;
+    * the q38 top-tokens precedent) pruned to R rows → one tiny OLS
+    * aggregate. The corpus itself is never sorted.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy(desc("n"), asc("token"))
+    val head = tc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ZipfHead)
+      .select(col("source"),
+        floor(log(col("rk").cast("double")) * 1000).cast("long").as("x"),
+        floor(log(col("n").cast("double")) * 1000).cast("long").as("y"))
+    val det = col("n_ranks").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val num = col("n_ranks").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dety = col("n_ranks").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    head.groupBy("source")
+      .agg(count(lit(1)).as("n_ranks"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("zipf_slope_micro",
+        when(col("sxx") * col("n_ranks") =!= col("sx") * col("sx"),
+          floor(num / det * lit(1e6) + lit(0.5)).cast("long")))
+      .withColumn("fit_r2_ppm",
+        when((col("sxx") * col("n_ranks") =!= col("sx") * col("sx")) &&
+          (col("syy") * col("n_ranks") =!= col("sy") * col("sy")),
+          floor(num * num / (det * dety) * lit(1e6)).cast("long")))
+      .select("source", "n_ranks", "sx", "sy", "sxy", "sxx", "syy",
+        "zipf_slope_micro", "fit_r2_ppm")
+  }
+
+  private val zipfSlopeSql =
+    s"""WITH tc AS (
+      |  SELECT source,
+      |    unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS token
+      |  FROM documents
+      |), tn AS (
+      |  SELECT source, token, count(*) AS n FROM tc GROUP BY 1, 2
+      |), head AS (
+      |  SELECT source,
+      |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y
+      |  FROM (
+      |    SELECT source, n,
+      |      row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+      |    FROM tn) WHERE rk <= $ZipfHead
+      |), s AS (
+      |  SELECT source, count(*) AS nr, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM head GROUP BY 1
+      |)
+      |SELECT source, CAST(nr AS BIGINT) AS n_ranks, CAST(sx AS BIGINT) AS sx,
+      |  CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+      |  CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+      |  CASE WHEN sxx * nr <> sx * sx THEN
+      |    CAST(floor((nr::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |      / (nr::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS zipf_slope_micro,
+      |  CASE WHEN sxx * nr <> sx * sx AND syy * nr <> sy * sy THEN
+      |    CAST(floor((nr::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |      * (nr::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |      / ((nr::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |        * (nr::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+      |      * 1000000.0::DOUBLE) AS BIGINT) END AS fit_r2_ppm
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q13
   /** Per-source token statistics. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -1311,7 +1403,8 @@ object TextAnalysis {
     NamedQuery("q130_bpe_pair_stats", (s, d) => bpePairStats(s, d),
       Some(bpePairStatsSql)),
     NamedQuery("q137_vocab_growth", vocabGrowthDocs _, Some(vocabGrowthSql)),
-    NamedQuery("q208_good_turing", goodTuringProfile _, Some(goodTuringSql)))
+    NamedQuery("q208_good_turing", goodTuringProfile _, Some(goodTuringSql)),
+    NamedQuery("q211_zipf_slope", zipfSlope _, Some(zipfSlopeSql)))
 
   // --------------------------------------------------------------- q130
   /** BPE merge-candidate statistics — the inner loop of byte-pair-encoding

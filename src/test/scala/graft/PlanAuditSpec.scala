@@ -1119,6 +1119,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 6 && s.shuffles <= 12, s"q210 shuffles regressed: $s")
   }
 
+  test("q211 Zipf slope: vocab-bounded window, no corpus sort") {
+    // Audited: scans=2 shuffles=4 (token agg + per-source vocab window +
+    // the R-row OLS aggregate). The rank window's input is the
+    // VOCABULARY table; a corpus-sized funnel would show as singleParts.
+    val s = stats("q211_zipf_slope")
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q211 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8, s"q211 regressed: $s")
+  }
+
   test("q190 gain chart never single-partitions a corpus-sized input") {
     // The r9 verdict's one `weak` plan: the old form ran ntile(10) over
     // a GLOBAL window — a corpus-sized single-partition sort. The fixed

@@ -392,4 +392,71 @@ class TextAnalysisSpec extends SparkSpec {
       1000000L * byR.getOrElse(1L, 0L) / n)),
       s"driver recompute mismatch for $src: ${out(src)}")
   }
+
+  test("Zipf slope (q211): full driver recompute for one source; heads bounded, slopes negative") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.zipfSlope(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // Structural: every head is min(vocab, R) rows and natural text slopes down.
+    val vocab = graft.core.Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("source").agg(countDistinct("t").as("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_ranks") == math.min(vocab(src), TextAnalysis.ZipfHead.toLong))
+      assert(r.getAs[Long]("zipf_slope_micro") < 0L, s"$src slope must be negative")
+      val r2 = r.getAs[Long]("fit_r2_ppm")
+      assert(r2 >= 0L && r2 <= 1000000L, s"$src r2 out of range: $r2")
+    }
+    // Full recompute of one source in plain JVM arithmetic.
+    val src = out.keys.min
+    val counts = graft.core.Tables.documents(spark, dir)
+      .filter(col("source") === src).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val head = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextAnalysis.ZipfHead)
+    val xs = head.indices.map(i => math.floor(math.log((i + 1).toDouble) * 1000).toLong)
+    val ys = head.map { case (_, n) => math.floor(math.log(n.toDouble) * 1000).toLong }
+    val nr = head.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(b => b * b).sum)
+    val num = nr.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val det = nr.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val dety = nr.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+    val r = out(src)
+    assert((r.getAs[Long]("sx"), r.getAs[Long]("sy"), r.getAs[Long]("sxy"),
+      r.getAs[Long]("sxx"), r.getAs[Long]("syy")) == ((sx, sy, sxy, sxx, syy)),
+      s"sufficient stats mismatch for $src")
+    assert(r.getAs[Long]("zipf_slope_micro") ==
+      math.floor(num / det * 1e6 + 0.5).toLong)
+    assert(r.getAs[Long]("fit_r2_ppm") ==
+      math.floor(num * num / (det * dety) * 1e6).toLong)
+  }
+
+  test("Zipf slope (q211): milli-nat floors sit clear of their boundaries") {
+    // The q159/q195 floor-at-the-edge audit: floor(ln(k)·1000) is only
+    // engine-portable when ln(k)·1000 is not within double-rounding
+    // distance of an integer. Check every rank 1..R and every head
+    // frequency observed at every harness SF (k = 1 hits 0 EXACTLY in
+    // both engines — excluded by the k ≥ 2 guard).
+    def margin(k: Long): Double = {
+      val v = math.log(k.toDouble) * 1000
+      math.abs(v - math.rint(v))
+    }
+    (2 to TextAnalysis.ZipfHead).foreach { k =>
+      assert(margin(k) > 1e-7, s"rank $k milli-nat sits on a floor boundary")
+    }
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val freqs = graft.core.Tables.documents(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("source", "t").count()
+        .filter(col("count") >= 2)
+        .select("count").distinct().collect().map(_.getLong(0))
+      freqs.foreach { n =>
+        assert(margin(n) > 1e-7, s"frequency $n milli-nat sits on a floor boundary ($dir)")
+      }
+    }
+  }
 }
