@@ -196,6 +196,111 @@ object ModelEval {
       |  CAST(abs(avg_score_micro - pos_rate_micro) AS BIGINT) AS gap_micro
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------------- q212
+  /** Murphy decomposition of the Brier score (Murphy 1973) — the WHY
+    * behind q174's per-bin gaps, as one number each per source:
+    * reliability (how far bin forecasts sit from bin outcomes — smaller
+    * is better-calibrated), resolution (how far bin outcomes spread from
+    * the base rate — larger is more discriminating), uncertainty
+    * (ō·(1−ō), the irreducible floor), and the raw Brier mean itself.
+    * Murphy's identity Brier = UNC + REL − RES holds up to within-bin
+    * variance (forecasts inside a 0.1-wide bin are not constant) and
+    * micro truncation — the spec pins that residual; the oracle pins
+    * every emitted value exactly.
+    *
+    * Integer discipline: per-row squared error (score − 1e6·o)² ≤ 1e12
+    * rides a DECIMAL(38,0) sum; per-bin gap numerators d = Σscore −
+    * 1e6·pos and e = 1e6·pos − n·ō_micro are BIGINT (|·| ≤ n_bin·1e6,
+    * exact through ~9·10¹² rows per source-bin), squared in
+    * DECIMAL(38,0) (the q158 widen-then-check discipline), and every
+    * division is a truncating `div` both engines floor identically.
+    * ō_micro is the TRUNCATED base rate — resolution is defined against
+    * it, deterministically in both engines.
+    *
+    * Scale shape: one corpus scan → (source, bin) hash aggregate (≤10
+    * rows per source) → bin-frame total windows (the q199 shape) → one
+    * per-source rollup. Nothing corpus-sized past the first aggregate.
+    */
+  def brierDecomposition(scored: DataFrame, groupCol: String,
+                         scoreCol: String, labelCol: String): DataFrame = {
+    val bins = scored
+      .groupBy(col(groupCol), (col(scoreCol) / 100000L).cast("long").as("bin"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col(scoreCol)).as("sb"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pb"),
+        sum(((col(scoreCol) - when(col(labelCol), 1000000L).otherwise(0L)) *
+          (col(scoreCol) - when(col(labelCol), 1000000L).otherwise(0L)))
+          .cast("decimal(38,0)")).as("ssq"))
+    val w = Window.partitionBy(groupCol)
+    bins
+      .withColumn("n", sum("nb").over(w))
+      .withColumn("n_pos", sum("pb").over(w))
+      .withColumn("obar_micro", expr("(1000000 * n_pos) div n"))
+      .withColumn("rel_t", expr(
+        "(CAST(sb - 1000000 * pb AS DECIMAL(38,0)) * (sb - 1000000 * pb))" +
+          " div (nb * 1000000)"))
+      .withColumn("res_t", expr(
+        "(CAST(1000000 * pb - nb * obar_micro AS DECIMAL(38,0))" +
+          " * (1000000 * pb - nb * obar_micro)) div (nb * 1000000)"))
+      .groupBy(col(groupCol), col("n"), col("n_pos"), col("obar_micro"))
+      .agg(sum("ssq").as("ssq_tot"), sum("rel_t").as("rel_num"),
+        sum("res_t").as("res_num"))
+      .withColumn("brier_micro", expr("CAST(ssq_tot div (n * 1000000) AS BIGINT)"))
+      .withColumn("rel_micro", expr("CAST(rel_num div n AS BIGINT)"))
+      .withColumn("res_micro", expr("CAST(res_num div n AS BIGINT)"))
+      .withColumn("unc_micro", expr(
+        "(obar_micro * (1000000 - obar_micro)) div 1000000"))
+      .drop("ssq_tot", "rel_num", "res_num")
+  }
+
+  /** Gated q212: Brier decomposition of the synthetic calibrated scorer
+    * per source — REL ≈ 0 and RES ≈ UNC are the calibrated-scorer
+    * signatures the gate doubles as a check on.
+    */
+  def brierBySource(spark: SparkSession, dir: String): DataFrame =
+    brierDecomposition(scoredDocs(Tables.documents(spark, dir)),
+      "source", "score_micro", "label")
+
+  private val brierSql =
+    """WITH scored AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |), b AS (
+      |  SELECT source, score_micro // 100000 AS bin, count(*) AS nb,
+      |    sum(score_micro) AS sb,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS pb,
+      |    sum(CAST(score_micro - CASE WHEN label THEN 1000000 ELSE 0 END
+      |        AS HUGEINT)
+      |      * (score_micro - CASE WHEN label THEN 1000000 ELSE 0 END)) AS ssq
+      |  FROM scored GROUP BY 1, 2
+      |), t AS (
+      |  SELECT *, sum(nb) OVER (PARTITION BY source) AS n,
+      |    sum(pb) OVER (PARTITION BY source) AS n_pos
+      |  FROM b
+      |), m AS (
+      |  SELECT *, (1000000 * n_pos) // n AS obar_micro,
+      |    (CAST(sb - 1000000 * pb AS HUGEINT) * (sb - 1000000 * pb))
+      |      // (nb * 1000000) AS rel_t,
+      |    (CAST(1000000 * pb - nb * ((1000000 * n_pos) // n) AS HUGEINT)
+      |      * (1000000 * pb - nb * ((1000000 * n_pos) // n)))
+      |      // (nb * 1000000) AS res_t
+      |  FROM t
+      |)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(obar_micro AS BIGINT) AS obar_micro,
+      |  CAST(sum(ssq) // (n * 1000000) AS BIGINT) AS brier_micro,
+      |  CAST(sum(rel_t) // n AS BIGINT) AS rel_micro,
+      |  CAST(sum(res_t) // n AS BIGINT) AS res_micro,
+      |  CAST((obar_micro * (1000000 - obar_micro)) // 1000000 AS BIGINT)
+      |    AS unc_micro
+      |FROM m GROUP BY source, n, n_pos, obar_micro""".stripMargin
+
   // --------------------------------------------------------------- q178
   /** Benjamini–Hochberg step-up FDR control — when a pipeline tests many
     * segment metrics at once (one z-test per cohort, one drift test per
@@ -748,6 +853,7 @@ object ModelEval {
     NamedQuery("q173_classifier_auc", classifierAuc _, Some(classifierAucSql)),
     NamedQuery("q174_reliability_bins", calibrationBins _,
       Some(calibrationBinsSql)),
+    NamedQuery("q212_brier_decomposition", brierBySource _, Some(brierSql)),
     NamedQuery("q178_bh_fdr", bhFdr _, Some(bhFdrSql)),
     NamedQuery("q180_offline_policy", offlinePolicyValue _,
       Some(offlinePolicyValueSql)))

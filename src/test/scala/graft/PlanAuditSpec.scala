@@ -1119,6 +1119,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 6 && s.shuffles <= 12, s"q210 shuffles regressed: $s")
   }
 
+  test("q212 Brier decomposition stays a bin-frame aggregate") {
+    // Audited: scans=2 shuffles=4 singleParts=0 — corpus scan → (source,
+    // bin) hash agg, then windows/rollup over the ≤10-bins-per-source
+    // frame only.
+    val s = stats("q212_brier_decomposition")
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q212 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8, s"q212 regressed: $s")
+  }
+
   test("q211 Zipf slope: vocab-bounded window, no corpus sort") {
     // Audited: scans=2 shuffles=4 (token agg + per-source vocab window +
     // the R-row OLS aggregate). The rank window's input is the

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkSpec
 
@@ -196,5 +196,59 @@ class ModelEvalSpec extends SparkSpec {
       math.floor((po - pe) / (1 - pe) * 1e6 + 0.5).toLong)
     // Two hash-independent gates should agree near chance: |kappa| small.
     assert(math.abs(out.getAs[Long]("kappa_ppm")) < 300000L)
+  }
+
+  // --------------------------------------------- brierDecomposition (q212)
+
+  test("brierDecomposition: hand case — constant-forecast bins decompose exactly") {
+    // Two bins, constant forecast within each (within-bin variance 0),
+    // so Murphy's identity is exact up to truncation: bin A forecasts
+    // 0.2 over 5 rows with 1 positive (gap 0), bin B forecasts 0.9 over
+    // 5 rows with 3 positives (gap 0.3). Base rate 0.4.
+    val rows = (Seq.fill(4)((200000L, false)) :+ ((200000L, true))) ++
+      (Seq.fill(3)((900000L, true)) ++ Seq.fill(2)((900000L, false)))
+    val df = rows.zipWithIndex
+      .map { case ((s, l), i) => ("g", i.toLong, s, l) }
+      .toDF("g", "id", "score", "label")
+    val out = ModelEval.brierDecomposition(df, "g", "score", "label")
+      .collect().head
+    assert(out.getAs[Long]("n") == 10L && out.getAs[Long]("n_pos") == 4L)
+    assert(out.getAs[Long]("obar_micro") == 400000L)
+    // REL = (5·0² + 5·0.3²)/10 = 0.045 (B: forecast 0.9 vs outcome 0.6);
+    // RES = (5·(0.2−0.4)² + 5·(0.6−0.4)²)/10 = 0.04; UNC = 0.4·0.6 = 0.24;
+    // Brier = UNC + REL − RES = 0.245 exactly (within-bin variance 0).
+    assert(out.getAs[Long]("rel_micro") == 45000L)
+    assert(out.getAs[Long]("res_micro") == 40000L)
+    assert(out.getAs[Long]("unc_micro") == 240000L)
+    assert(out.getAs[Long]("brier_micro") == 245000L)
+  }
+
+  test("brierDecomposition: calibrated corpus — REL small, identity within bin width") {
+    // Calibration check on the WHOLE corpus as one group (N = 500 at
+    // sf0.01 → E[REL | calibrated] = Σ_k p̄(1−p̄)/N ≈ 3400 micro; the
+    // 25-doc per-source slices put REL sampling noise near 0.1 and
+    // assert nothing).
+    val scored = ModelEval.scoredDocs(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.01"))
+      .withColumn("g", lit("all"))
+    val all = ModelEval.brierDecomposition(scored, "g", "score_micro", "label")
+      .collect().head
+    val rel = all.getAs[Long]("rel_micro")
+    assert(rel < 20000L, s"whole-corpus rel=$rel — scorer should be calibrated")
+    // The gated per-source face: identity + range sanity per row
+    // (REL there is legitimately sampling-dominated at 25 docs/source).
+    val out = ModelEval.brierBySource(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (brier, bRel, res, unc) = (r.getAs[Long]("brier_micro"),
+        r.getAs[Long]("rel_micro"), r.getAs[Long]("res_micro"),
+        r.getAs[Long]("unc_micro"))
+      // Murphy identity up to the generalized within-bin variance AND
+      // covariance terms + truncation slack; at 25 docs/source the
+      // within-bin terms dominate — 3% of the unit scale bounds them.
+      val resid = math.abs(brier - (unc + bRel - res))
+      assert(resid <= 30000L, s"${r.getString(0)} identity residual $resid")
+      assert(brier >= 0L && bRel >= 0L && res >= 0L && unc <= 250000L)
+    }
   }
 }
