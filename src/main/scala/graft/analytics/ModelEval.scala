@@ -301,6 +301,95 @@ object ModelEval {
       |    AS unc_micro
       |FROM m GROUP BY source, n, n_pos, obar_micro""".stripMargin
 
+  // --------------------------------------------------------------- q213
+  /** Operating-point sweep — the deployment-threshold table read next to
+    * q173's AUC (which ranks) and q174's bins (which calibrate): at each
+    * candidate cut t ∈ {0.1, …, 0.9}, the confusion counts and exact
+    * precision / recall / F1 in micro units, so "where do we set the
+    * gate?" is answered from one table. F1 avoids the unstable
+    * harmonic-of-ratios form: f1 = 2·tp / (2·tp + fp + fn) in one
+    * truncating division — exact through tp ≤ ~4.6·10¹² rows.
+    *
+    * Scale shape: one corpus scan → 10-bin hash aggregate; the sweep is
+    * cumulative sums over the 10-row bin frame (the q199 bin-frame
+    * window — singleParts carries 10 rows, never the corpus), one row
+    * per threshold. Thresholds align with bin boundaries by
+    * construction, so the cumulative IS the exact confusion count.
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String,
+                     labelCol: String): DataFrame = {
+    val bins = scored
+      .groupBy((col(scoreCol) / 100000L).cast("long").as("bin"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pb"))
+    // Cum-from-top: rows predicted POSITIVE at threshold t = bin·1e5 are
+    // the bins ≥ t; the frame is ≤10 rows.
+    val wUp = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    bins
+      .withColumn("pred_pos", sum("nb").over(wUp))
+      .withColumn("tp", sum("pb").over(wUp))
+      .withColumn("n", sum("nb").over(wAll))
+      .withColumn("n_pos", sum("pb").over(wAll))
+      .filter(col("bin").between(1L, 9L))
+      .select(
+        (col("bin") * 100000L).as("threshold_micro"),
+        col("pred_pos"), col("tp"),
+        (col("pred_pos") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n") - col("pred_pos") - col("n_pos") + col("tp")).as("tn"))
+      .withColumn("precision_micro",
+        when(col("pred_pos") > 0, expr("(1000000 * tp) div pred_pos")))
+      .withColumn("recall_micro",
+        when(col("tp") + col("fn") > 0, expr("(1000000 * tp) div (tp + fn)")))
+      .withColumn("f1_micro",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("(2000000 * tp) div (2 * tp + fp + fn)")))
+  }
+
+  /** Gated q213: the sweep over the synthetic calibrated scorer. */
+  def thresholdSweepDocs(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweep(scoredDocs(Tables.documents(spark, dir)),
+      "score_micro", "label")
+
+  private val thresholdSweepSql =
+    """WITH scored AS (
+      |  SELECT
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |), b AS (
+      |  SELECT score_micro // 100000 AS bin, count(*) AS nb,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS pb
+      |  FROM scored GROUP BY 1
+      |), c AS (
+      |  SELECT bin,
+      |    sum(nb) OVER (ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred_pos,
+      |    sum(pb) OVER (ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    sum(nb) OVER () AS n, sum(pb) OVER () AS n_pos
+      |  FROM b
+      |)
+      |SELECT CAST(bin * 100000 AS BIGINT) AS threshold_micro,
+      |  CAST(pred_pos AS BIGINT) AS pred_pos, CAST(tp AS BIGINT) AS tp,
+      |  CAST(pred_pos - tp AS BIGINT) AS fp,
+      |  CAST(n_pos - tp AS BIGINT) AS fn,
+      |  CAST(n - pred_pos - n_pos + tp AS BIGINT) AS tn,
+      |  CASE WHEN pred_pos > 0
+      |    THEN CAST((1000000 * tp) // pred_pos AS BIGINT) END AS precision_micro,
+      |  CASE WHEN n_pos > 0
+      |    THEN CAST((1000000 * tp) // n_pos AS BIGINT) END AS recall_micro,
+      |  CASE WHEN 2 * tp + (pred_pos - tp) + (n_pos - tp) > 0
+      |    THEN CAST((2000000 * tp) // (2 * tp + (pred_pos - tp) + (n_pos - tp))
+      |      AS BIGINT) END AS f1_micro
+      |FROM c WHERE bin BETWEEN 1 AND 9""".stripMargin
+
   // --------------------------------------------------------------- q178
   /** Benjamini–Hochberg step-up FDR control — when a pipeline tests many
     * segment metrics at once (one z-test per cohort, one drift test per
@@ -854,6 +943,8 @@ object ModelEval {
     NamedQuery("q174_reliability_bins", calibrationBins _,
       Some(calibrationBinsSql)),
     NamedQuery("q212_brier_decomposition", brierBySource _, Some(brierSql)),
+    NamedQuery("q213_threshold_sweep", thresholdSweepDocs _,
+      Some(thresholdSweepSql)),
     NamedQuery("q178_bh_fdr", bhFdr _, Some(bhFdrSql)),
     NamedQuery("q180_offline_policy", offlinePolicyValue _,
       Some(offlinePolicyValueSql)))

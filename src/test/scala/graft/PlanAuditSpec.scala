@@ -1128,6 +1128,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 4 && s.shuffles <= 8, s"q212 regressed: $s")
   }
 
+  test("q213 threshold sweep: 10-bin frame only past the first aggregate") {
+    // Audited: scans=2 shuffles=4 singleParts=2 — the SinglePartition
+    // exchanges carry the ≤10-row bin frame (the q199 precedent), never
+    // the corpus.
+    val s = stats("q213_threshold_sweep")
+    assert(s.nestedLoops == 0 && s.singleParts <= 4, s"q213 regressed: $s")
+    assert(s.scans <= 4 && s.shuffles <= 8, s"q213 regressed: $s")
+  }
+
   test("q211 Zipf slope: vocab-bounded window, no corpus sort") {
     // Audited: scans=2 shuffles=4 (token agg + per-source vocab window +
     // the R-row OLS aggregate). The rank window's input is the

@@ -198,6 +198,53 @@ class ModelEvalSpec extends SparkSpec {
     assert(math.abs(out.getAs[Long]("kappa_ppm")) < 300000L)
   }
 
+  // ------------------------------------------------- thresholdSweep (q213)
+
+  test("thresholdSweep: hand confusion table at every cut") {
+    // 10 rows, scores 0.05,0.15,…,0.95 (one per bin), labels = top 4
+    // scores positive. At t=0.5: pred_pos=5, tp=4, fp=1, fn=0, tn=5
+    // (the 6 negatives split 1 above / 5 below the cut).
+    val rows = (0 until 10).map(i =>
+      (i.toLong, i * 100000L + 50000L, i >= 6))
+    val df = rows.toDF("id", "score", "label")
+    val out = ModelEval.thresholdSweep(df, "score", "label")
+      .collect().map(r => r.getAs[Long]("threshold_micro") -> r).toMap
+    assert(out.size == 9)
+    val t5 = out(500000L)
+    assert((t5.getAs[Long]("pred_pos"), t5.getAs[Long]("tp"),
+      t5.getAs[Long]("fp"), t5.getAs[Long]("fn"), t5.getAs[Long]("tn")) ==
+      ((5L, 4L, 1L, 0L, 5L)))
+    assert(t5.getAs[Long]("precision_micro") == 800000L)
+    assert(t5.getAs[Long]("recall_micro") == 1000000L)
+    // F1 = 2·4/(2·4+1+0) = 8/9.
+    assert(t5.getAs[Long]("f1_micro") == 8000000L / 9L)
+    // Degenerate top cut t=0.9: pred_pos=1, tp=1 → precision 1, recall 1/4.
+    val t9 = out(900000L)
+    assert(t9.getAs[Long]("precision_micro") == 1000000L)
+    assert(t9.getAs[Long]("recall_micro") == 250000L)
+  }
+
+  test("thresholdSweep: corpus sweep is monotone and conserves totals") {
+    val scored = ModelEval.scoredDocs(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val out = ModelEval.thresholdSweep(scored, "score_micro", "label")
+      .orderBy("threshold_micro").collect()
+    assert(out.length == 9)
+    val n = scored.count()
+    val nPos = scored.filter(col("label")).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == nPos)
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn") == n)
+    }
+    // Raising the cut only removes predictions: pred_pos and recall
+    // are nonincreasing in t.
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("pred_pos") <= lo.getAs[Long]("pred_pos"))
+      assert(hi.getAs[Long]("tp") <= lo.getAs[Long]("tp"))
+    }
+  }
+
   // --------------------------------------------- brierDecomposition (q212)
 
   test("brierDecomposition: hand case — constant-forecast bins decompose exactly") {
