@@ -66,7 +66,12 @@ object ScaleCheck {
     // round-10: the sort-free quota sampler — its whole claim is scale
     // shape (3 corpus passes, boundary-only ranking), so its decade
     // ratios belong in the measured set.
-    "q210_bucket_quota_sample")
+    "q210_bucket_quota_sample",
+    // round-10 session-2: the distributed-ntile family face (q218 — the
+    // corpus joins the score-domain offsets, work ∝ rows) and the two
+    // corpus-scale token aggregations (Chao1 freq-of-freq, coverage-curve
+    // vocab window — both Heaps-sublinear past the first agg).
+    "q218_qini_uplift", "q219_chao1_richness", "q222_coverage_curve")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -390,6 +390,104 @@ object ModelEval {
       |      AS BIGINT) END AS f1_micro
       |FROM c WHERE bin BETWEEN 1 AND 9""".stripMargin
 
+  // --------------------------------------------------------------- q215
+  /** McNemar's paired-classifier test — the statistically honest way to
+    * claim "model A beats model B" when both score the SAME documents:
+    * accuracy deltas double-count the rows both models get right (or
+    * wrong); only the DISCORDANT pairs b (A right, B wrong) and
+    * c (B right, A wrong) carry evidence. The continuity-corrected
+    * statistic (|b−c|−1)²/(b+c) is χ²₁-distributed under H₀ — next to
+    * q202's kappa (do two raters agree?) this answers "is the
+    * disagreement DIRECTIONAL?".
+    *
+    * Exactness: the full 2×2 concordance table (n11/n00/b/c) is exact
+    * BIGINT from one aggregation; the statistic is integer micro via the
+    * overflow-safe two-step truncating division — (|b−c|−1)² ≤ n² stays
+    * under 2⁶³ through n ≈ 3·10⁹ rows per source, and the two-step form
+    * never multiplies it by 1e6 directly. b+c = 0 reports null (no
+    * discordant evidence), not a division error.
+    *
+    * Paired models for the gated face: classifier A is the calibrated
+    * q173 scorer (P(label) = score); classifier B is an INDEPENDENT md5
+    * channel — informative vs uninformative at the same 0.5 cut, so the
+    * test should fire on every source slice.
+    *
+    * Scale shape: one corpus scan → per-source hash aggregate (fully
+    * partial, source-cardinality output). Nothing windowed, nothing
+    * single-partitioned.
+    */
+  def mcnemar(paired: DataFrame, groupCol: String, correctACol: String,
+              correctBCol: String): DataFrame =
+    paired
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctACol) && col(correctBCol), 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(!col(correctACol) && !col(correctBCol), 1L).otherwise(0L))
+          .as("n00"),
+        sum(when(col(correctACol) && !col(correctBCol), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(!col(correctACol) && col(correctBCol), 1L).otherwise(0L))
+          .as("c"))
+      .withColumn("mcnemar_micro",
+        when(col("b") + col("c") > 0, expr(
+          """((abs(b - c) - 1) * (abs(b - c) - 1) div (b + c)) * 1000000
+            | + (1000000 * ((abs(b - c) - 1) * (abs(b - c) - 1)
+            |    - ((abs(b - c) - 1) * (abs(b - c) - 1) div (b + c)) * (b + c)))
+            |   div (b + c)""".stripMargin)))
+
+  /** Gated q215: calibrated scorer vs independent-channel scorer at the
+    * 0.5 operating point, per source.
+    */
+  def pairedModelMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L
+    val paired = Tables.documents(spark, dir).select(
+        col("source"),
+        h(col("doc_id").cast("string")).as("s1"),
+        h(concat(lit("m2:"), col("doc_id").cast("string"))).as("s2"),
+        h(concat(lit("lbl:"), col("doc_id").cast("string"))).as("u"))
+      .withColumn("label", col("u") < col("s1"))
+      .withColumn("correct_a", (col("s1") >= 500000L) === col("label"))
+      .withColumn("correct_b", (col("s2") >= 500000L) === col("label"))
+    mcnemar(paired, "source", "correct_a", "correct_b")
+  }
+
+  private val mcnemarSql =
+    """WITH paired AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS s1,
+      |    ('0x' || substr(md5('m2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS s2,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS u
+      |  FROM documents
+      |),
+      |flags AS (
+      |  SELECT source,
+      |    (s1 >= 500000) = (u < s1) AS correct_a,
+      |    (s2 >= 500000) = (u < s1) AS correct_b
+      |  FROM paired
+      |),
+      |t AS (
+      |  SELECT source, count(*) AS n,
+      |    sum(CASE WHEN correct_a AND correct_b THEN 1 ELSE 0 END) AS n11,
+      |    sum(CASE WHEN NOT correct_a AND NOT correct_b THEN 1 ELSE 0 END) AS n00,
+      |    sum(CASE WHEN correct_a AND NOT correct_b THEN 1 ELSE 0 END) AS b,
+      |    sum(CASE WHEN NOT correct_a AND correct_b THEN 1 ELSE 0 END) AS c
+      |  FROM flags GROUP BY 1
+      |)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+      |  CAST(n00 AS BIGINT) AS n00, CAST(b AS BIGINT) AS b,
+      |  CAST(c AS BIGINT) AS c,
+      |  CASE WHEN b + c > 0 THEN CAST(
+      |    ((abs(b - c) - 1) * (abs(b - c) - 1) // (b + c)) * 1000000
+      |    + (1000000 * ((abs(b - c) - 1) * (abs(b - c) - 1)
+      |       - ((abs(b - c) - 1) * (abs(b - c) - 1) // (b + c)) * (b + c)))
+      |      // (b + c) AS BIGINT) END AS mcnemar_micro
+      |FROM t""".stripMargin
+
   // --------------------------------------------------------------- q178
   /** Benjamini–Hochberg step-up FDR control — when a pipeline tests many
     * segment metrics at once (one z-test per cohort, one drift test per
@@ -602,13 +700,20 @@ object ModelEval {
     * balanced for any non-degenerate scorer; a scorer that emits one
     * constant score would re-concentrate and should pre-quantize.
     */
-  def gainTable(scored: DataFrame, scoreCol: String, labelCol: String,
-                idCol: String): DataFrame = {
-    val wAll = Window.partitionBy()
-    val wCum = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Rank offsets over the DISTINCT score domain: rows strictly above
-    // this score. The window sorts score-domain-sized input only.
+  /** Distributed exact ntile — bit-identical to
+    * `ntile(k) OVER (ORDER BY score DESC, id)` with NO global sort:
+    * rank offsets are prefix sums over the DISTINCT-score frame (the
+    * only single-partition input, domain-sized at any corpus scale),
+    * each row adds `row_number` WITHIN its score partition (scores sort
+    * in parallel), and the tile falls out of the global rank via the
+    * closed form Spark itself uses (first n mod k tiles take ⌈n/k⌉
+    * rows). Adds `decile` (1..k) and `tot_rows`; callers drop what they
+    * don't need. Factored out of q190 so every decile-shaped operator
+    * (gain/lift, Lorenz concentration, Qini uplift) shares the one
+    * scale-safe implementation.
+    */
+  private[analytics] def distributedNtile(scored: DataFrame, scoreCol: String,
+                                          idCol: String, k: Int): DataFrame = {
     val perScore = scored.groupBy(col(scoreCol))
       .agg(count(lit(1)).as("score_n"))
     val offsets = perScore
@@ -624,16 +729,25 @@ object ModelEval {
       .crossJoin(broadcast(tot))
       .withColumn("rk", col("rank_start") + row_number()
         .over(Window.partitionBy(col(scoreCol)).orderBy(col(idCol))))
-      // ntile(10) closed form on the global rank: q = n div 10 and the
-      // first n mod 10 buckets take q+1 rows (when q = 0 the first
-      // branch covers every row, so the q-divisor branch never runs).
+      // ntile(k) closed form on the global rank: q = n div k and the
+      // first n mod k tiles take q+1 rows (when q = 0 the first branch
+      // covers every row, so the q-divisor branch never runs).
       .withColumn("decile", expr(
-        """CASE WHEN rk <= (tot_rows % 10) * (tot_rows div 10 + 1)
-          |  THEN CAST((rk - 1) div (tot_rows div 10 + 1) + 1 AS INT)
-          |  ELSE CAST((tot_rows % 10)
-          |    + (rk - (tot_rows % 10) * (tot_rows div 10 + 1) - 1)
-          |      div (tot_rows div 10) + 1 AS INT)
-          |END""".stripMargin))
+        s"""CASE WHEN rk <= (tot_rows % $k) * (tot_rows div $k + 1)
+           |  THEN CAST((rk - 1) div (tot_rows div $k + 1) + 1 AS INT)
+           |  ELSE CAST((tot_rows % $k)
+           |    + (rk - (tot_rows % $k) * (tot_rows div $k + 1) - 1)
+           |      div (tot_rows div $k) + 1 AS INT)
+           |END""".stripMargin))
+      .drop("rank_start", "rk")
+  }
+
+  def gainTable(scored: DataFrame, scoreCol: String, labelCol: String,
+                idCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    distributedNtile(scored, scoreCol, idCol, 10)
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
@@ -686,6 +800,137 @@ object ModelEval {
       |  CAST((1000000 * cum_pos) // tot_pos AS BIGINT) AS capture_ppm,
       |  CAST((1000000 * n_pos * tot_n) // (n * tot_pos) AS BIGINT) AS lift_ppm
       |FROM t""".stripMargin
+
+  // --------------------------------------------------------------- q218
+  /** Qini / uplift decile table — q190's gain chart for TREATMENT
+    * EFFECT: a targeting model is only worth deploying if the customers
+    * it ranks highest respond BECAUSE of the treatment, not anyway.
+    * Rank by model score descending (the q190 distributed exact ntile —
+    * no global sort), then per decile compare treated vs control
+    * response rates and accumulate the Qini value
+    * Q(k) = cum_rt − cum_rc·(cum_nt/cum_nc) — the incremental responders
+    * the treatment bought among the top k deciles, control-scaled.
+    *
+    * Exactness: all counts exact BIGINT from one hash aggregate; the
+    * per-decile uplift and cumulative Qini ride the overflow-safe
+    * two-step truncating division (numerators ≤ n², exact through
+    * n ≈ 3·10⁹ rows). Deciles where a side is absent report null rates
+    * (the q173 single-class rule).
+    *
+    * The gated face draws treatment from an independent md5 channel
+    * (50/50) and gives treated rows a +10% response boost on top of the
+    * calibrated base rate — so true uplift is FLAT across deciles
+    * (~100k ppm) while response rises with score: exactly the case
+    * where a naive response-ranked read overstates targeting value,
+    * which is the lesson the table teaches.
+    *
+    * Scale shape: inherits [[distributedNtile]] (the only
+    * single-partition exchange carries the distinct-score frame), then
+    * one 10-group hash aggregate and 10-row frame windows.
+    */
+  def qiniTable(scored: DataFrame, scoreCol: String, treatedCol: String,
+                outcomeCol: String, idCol: String): DataFrame = {
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    distributedNtile(scored, scoreCol, idCol, 10)
+      .groupBy("decile")
+      .agg(
+        sum(when(col(treatedCol), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col(treatedCol), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col(treatedCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("r_t"),
+        sum(when(!col(treatedCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("r_c"))
+      .withColumn("uplift_ppm",
+        when(col("n_t") > 0 && col("n_c") > 0, expr(
+          "(1000000 * r_t) div n_t - (1000000 * r_c) div n_c")))
+      .withColumn("cum_nt", sum("n_t").over(wCum))
+      .withColumn("cum_nc", sum("n_c").over(wCum))
+      .withColumn("cum_rt", sum("r_t").over(wCum))
+      .withColumn("cum_rc", sum("r_c").over(wCum))
+      .withColumn("qini_micro",
+        when(col("cum_nc") > 0, expr(
+          """((cum_rt * cum_nc - cum_rc * cum_nt) div cum_nc) * 1000000
+            | + (1000000 * (cum_rt * cum_nc - cum_rc * cum_nt
+            |    - ((cum_rt * cum_nc - cum_rc * cum_nt) div cum_nc) * cum_nc))
+            |   div cum_nc""".stripMargin)))
+      .select(col("decile"), col("n_t"), col("n_c"), col("r_t"), col("r_c"),
+        col("uplift_ppm"), col("qini_micro"))
+  }
+
+  /** Gated q218: Qini deciles of the calibrated scorer under a synthetic
+    * +10%-uplift treatment drawn from an independent channel.
+    */
+  def classifierQini(spark: SparkSession, dir: String): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L
+    val rows = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        h(col("doc_id").cast("string")).as("score_micro"),
+        h(concat(lit("lbl:"), col("doc_id").cast("string"))).as("u"),
+        (h(concat(lit("trt:"), col("doc_id").cast("string"))) < 500000L)
+          .as("treated"))
+      .withColumn("outcome", col("u") < when(col("treated"),
+        least(col("score_micro") + 100000L, lit(1000000L)))
+        .otherwise(col("score_micro")))
+    qiniTable(rows, "score_micro", "treated", "outcome", "doc_id")
+  }
+
+  private val classifierQiniSql =
+    """WITH rows_ AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS u,
+      |    ('0x' || substr(md5('trt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 < 500000 AS treated
+      |  FROM documents
+      |),
+      |o AS (
+      |  SELECT doc_id, score_micro, treated,
+      |    u < CASE WHEN treated
+      |      THEN least(score_micro + 100000, 1000000)
+      |      ELSE score_micro END AS outcome
+      |  FROM rows_
+      |),
+      |d AS (
+      |  SELECT treated, outcome,
+      |    ntile(10) OVER (ORDER BY score_micro DESC, doc_id) AS decile
+      |  FROM o
+      |),
+      |g AS (
+      |  SELECT decile,
+      |    sum(CASE WHEN treated THEN 1 ELSE 0 END) AS n_t,
+      |    sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS n_c,
+      |    sum(CASE WHEN treated AND outcome THEN 1 ELSE 0 END) AS r_t,
+      |    sum(CASE WHEN NOT treated AND outcome THEN 1 ELSE 0 END) AS r_c
+      |  FROM d GROUP BY 1
+      |),
+      |c AS (
+      |  SELECT *,
+      |    sum(n_t) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nt,
+      |    sum(n_c) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nc,
+      |    sum(r_t) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rt,
+      |    sum(r_c) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rc
+      |  FROM g
+      |)
+      |SELECT CAST(decile AS INTEGER) AS decile, CAST(n_t AS BIGINT) AS n_t,
+      |  CAST(n_c AS BIGINT) AS n_c, CAST(r_t AS BIGINT) AS r_t,
+      |  CAST(r_c AS BIGINT) AS r_c,
+      |  CASE WHEN n_t > 0 AND n_c > 0 THEN CAST(
+      |    (1000000 * r_t) // n_t - (1000000 * r_c) // n_c AS BIGINT)
+      |    END AS uplift_ppm,
+      |  CASE WHEN cum_nc > 0 THEN CAST(
+      |    ((cum_rt * cum_nc - cum_rc * cum_nt) // cum_nc) * 1000000
+      |    + (1000000 * (cum_rt * cum_nc - cum_rc * cum_nt
+      |       - ((cum_rt * cum_nc - cum_rc * cum_nt) // cum_nc) * cum_nc))
+      |      // cum_nc AS BIGINT) END AS qini_micro
+      |FROM c""".stripMargin
 
   // --------------------------------------------------------------- q191
   /** Cross-validated metric stability — one AUC per q181-style fold, the
@@ -945,6 +1190,10 @@ object ModelEval {
     NamedQuery("q212_brier_decomposition", brierBySource _, Some(brierSql)),
     NamedQuery("q213_threshold_sweep", thresholdSweepDocs _,
       Some(thresholdSweepSql)),
+    NamedQuery("q215_mcnemar_paired", pairedModelMcnemar _,
+      Some(mcnemarSql)),
+    NamedQuery("q218_qini_uplift", classifierQini _,
+      Some(classifierQiniSql)),
     NamedQuery("q178_bh_fdr", bhFdr _, Some(bhFdrSql)),
     NamedQuery("q180_offline_policy", offlinePolicyValue _,
       Some(offlinePolicyValueSql)))

@@ -1505,7 +1505,325 @@ object Statistics {
        |FROM c""".stripMargin
   }
 
+  // --------------------------------------------------------------- q214
+  /** Kruskal–Wallis H — the k-sample rank test completing the battery:
+    * [[mannWhitney]] compares TWO cohorts by ranks, [[anovaF]] compares
+    * k group MEANS parametrically; this is "do the k distributions
+    * differ at all?" on ranks, robust to the skew that warehouse money
+    * columns always carry. H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1) with
+    * AVERAGE ranks over ties and the standard tie correction
+    * C = 1 − Σ_v(t_v³−t_v)/(N³−N), reported as H and H/C.
+    *
+    * Rank exactness rides the q173 doubled-rank trick lifted to the
+    * VALUE DOMAIN: per distinct value v, rank2(v) = 2·(rows below) +
+    * t_v + 1 (= 2·avg-rank, always an integer), so the per-group rank
+    * sum R2_g = Σ_v n_{g,v}·rank2(v) is exact BIGINT (≤ 2N², under 2⁶³
+    * through N ≈ 2·10⁹ rows). The n²-growing ratio R2_g²/n_g follows the
+    * [[anovaF]] discipline — ONE fixed double sequence per group floored
+    * to DECIMAL(38,0) (DuckDB reaches the identical integer via the same
+    * double), summed order-independently; tie cubes ride DECIMAL(38,0)
+    * end to end. H itself is then a single fixed double sequence over
+    * those exact integers, floored to micro.
+    *
+    * Scale shape — the reason this is not "ntile(N)": rank statistics
+    * over ONE global order would need a corpus sort, the q190 anti-
+    * pattern. Instead the corpus collapses to (group, value) cells in
+    * one fully-partial hash aggregate; every window after that runs on
+    * the VALUE-DOMAIN frame (whole dollars — bounded by the price
+    * domain, ~6·10⁵ rows at ANY corpus scale), so the only
+    * single-partition exchange carries a domain-bounded input, exactly
+    * the q190 rationale. One corpus scan total.
+    */
+  def kruskalWallis(perRow: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    // cells is domain-bounded (k × value domain); localCheckpoint severs
+    // the lineage so the corpus is scanned ONCE even though cells feeds
+    // both the value-domain frame and the join probe (the q210 marker
+    // discipline — without it Spark replays the corpus aggregate per use).
+    val cells = perRow
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint()
+    val wBelow = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // tie_sum rides the SAME domain frame as the rank window (a second
+    // whole-frame window, not a second aggregation lineage) so the
+    // corpus is scanned once, not re-derived for the tie term.
+    val vt = cells.groupBy(col("v")).agg(sum("n_gv").as("t_v"))
+      .withColumn("rank2",
+        coalesce(sum("t_v").over(wBelow), lit(0L)) * 2L + col("t_v") + 1L)
+      .withColumn("tie_sum", sum(col("t_v").cast("decimal(38,0)")
+        * col("t_v") * col("t_v") - col("t_v"))
+        .over(Window.partitionBy()))
+    cells.join(vt, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum("n_gv").as("n_g"),
+        sum(col("n_gv") * col("rank2")).as("r2_g"),
+        max("tie_sum").as("tie_sum"))
+      .withColumn("term_g", floor(col("r2_g").cast("double")
+        * col("r2_g").cast("double") / col("n_g").cast("double")
+        + lit(0.5)).cast("decimal(38,0)"))
+      .agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+        sum("term_g").as("s2"), max("tie_sum").as("tie_sum"))
+      .withColumn("h_micro", floor(
+        (lit(3.0) * col("s2").cast("double")
+          / (col("n_total").cast("double") * (col("n_total").cast("double") + lit(1.0)))
+          - lit(3.0) * (col("n_total").cast("double") + lit(1.0)))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("hc_micro", floor(
+        (lit(3.0) * col("s2").cast("double")
+          / (col("n_total").cast("double") * (col("n_total").cast("double") + lit(1.0)))
+          - lit(3.0) * (col("n_total").cast("double") + lit(1.0)))
+          / (lit(1.0) - col("tie_sum").cast("double")
+            / (col("n_total").cast("double") * col("n_total").cast("double")
+              * col("n_total").cast("double") - col("n_total").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("k_groups"), col("n_total"), col("h_micro"),
+        col("hc_micro"))
+  }
+
+  /** Gated q214: do the k market segments draw order spend (whole
+    * dollars — the domain-bounding unit) from the same distribution?
+    * One row: H and tie-corrected H/C in micro-units. Same fixture as
+    * q205's ANOVA, so a reviewer can read the parametric and rank
+    * answers side by side.
+    */
+  def segmentSpendKruskal(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+    kruskalWallis(rows, "segment", "dollars")
+  }
+
+  private val segmentSpendKruskalSql =
+    """WITH rows_ AS (
+      |  SELECT c.c_mktsegment AS g,
+      |    CAST(floor(o.o_totalprice) AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |cells AS (
+      |  SELECT g, v, count(*) AS n_gv FROM rows_ GROUP BY 1, 2
+      |),
+      |vt AS (
+      |  SELECT v, sum(n_gv) AS t_v FROM cells GROUP BY 1
+      |),
+      |vr AS (
+      |  SELECT v, t_v,
+      |    coalesce(sum(t_v) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      |      + t_v + 1 AS rank2,
+      |    sum(t_v::HUGEINT * t_v * t_v - t_v) OVER () AS tie_sum
+      |  FROM vt
+      |),
+      |grp AS (
+      |  SELECT c.g, sum(c.n_gv) AS n_g, sum(c.n_gv * vr.rank2) AS r2_g,
+      |    max(vr.tie_sum) AS tie_sum
+      |  FROM cells c JOIN vr ON vr.v = c.v
+      |  GROUP BY 1
+      |),
+      |tg AS (
+      |  SELECT g, n_g, r2_g, tie_sum,
+      |    CAST(floor(r2_g::DOUBLE * r2_g::DOUBLE / n_g::DOUBLE
+      |      + 0.5::DOUBLE) AS HUGEINT) AS term_g
+      |  FROM grp
+      |),
+      |tot AS (
+      |  SELECT count(*) AS k_groups, sum(n_g) AS n_total, sum(term_g) AS s2,
+      |    max(tie_sum) AS tie_sum
+      |  FROM tg
+      |)
+      |SELECT CAST(k_groups AS BIGINT) AS k_groups,
+      |  CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(floor(
+      |    (3.0::DOUBLE * s2::DOUBLE
+      |      / (n_total::DOUBLE * (n_total::DOUBLE + 1.0::DOUBLE))
+      |      - 3.0::DOUBLE * (n_total::DOUBLE + 1.0::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS h_micro,
+      |  CAST(floor(
+      |    (3.0::DOUBLE * s2::DOUBLE
+      |      / (n_total::DOUBLE * (n_total::DOUBLE + 1.0::DOUBLE))
+      |      - 3.0::DOUBLE * (n_total::DOUBLE + 1.0::DOUBLE))
+      |    / (1.0::DOUBLE - tie_sum::DOUBLE
+      |      / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+      |         - n_total::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS hc_micro
+      |FROM tot""".stripMargin
+
+  // --------------------------------------------------------------- q217
+  /** Lorenz concentration deciles — the inequality table next to q158's
+    * Gini scalar: rank customers by total spend descending, cut into
+    * ten equal-population tiles, and report each tile's spend share and
+    * the cumulative capture — "the top 10% of customers carry X% of
+    * revenue" as a readable table rather than one coefficient.
+    *
+    * Ranking rides [[ModelEval.distributedNtile]] (the q190 machinery):
+    * the tile key is WHOLE DOLLARS of customer spend (a scale-free
+    * domain — TPC-H per-customer totals live in a fixed dollar range at
+    * any SF) with custkey tie-break, so the only single-partition
+    * exchange carries the dollar domain, never the customer table.
+    * Spend itself stays exact cents; shares are exact truncating ppm.
+    *
+    * Scale shape: orders scan → customer-grain hash aggregate →
+    * distributed ntile over the dollar domain → 10-group aggregate →
+    * 10-row frame windows.
+    */
+  def lorenzDeciles(perEntity: DataFrame, valueCol: String,
+                    idCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ModelEval.distributedNtile(
+        perEntity.withColumn("tile_key", expr(s"$valueCol div 100")),
+        "tile_key", idCol, 10)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("cents"))
+      .withColumn("tot_cents", sum("cents").over(wAll))
+      .withColumn("cum_cents", sum("cents").over(wCum))
+      // 1e6·cents crosses 2⁶³ once corpus revenue passes ~$9·10¹⁰, so
+      // the share numerators ride DECIMAL(38,0) (DuckDB's sum() is
+      // already HUGEINT there) — exact integer semantics to 1e38, on a
+      // 10-row frame.
+      .withColumn("share_ppm", expr(
+        "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) div tot_cents AS BIGINT)"))
+      .withColumn("cum_share_ppm", expr(
+        "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) div tot_cents AS BIGINT)"))
+      .select(col("decile"), col("n"), col("cents"), col("cum_cents"),
+        col("share_ppm"), col("cum_share_ppm"))
+  }
+
+  /** Gated q217: revenue concentration across customers. */
+  def customerSpendLorenz(spark: SparkSession, dir: String): DataFrame =
+    lorenzDeciles(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")),
+      "cents", "o_custkey")
+
+  private val customerSpendLorenzSql =
+    """WITH per AS (
+      |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    AS cents
+      |  FROM orders GROUP BY 1
+      |),
+      |d AS (
+      |  SELECT cents,
+      |    ntile(10) OVER (ORDER BY cents // 100 DESC, o_custkey) AS decile
+      |  FROM per
+      |),
+      |g AS (
+      |  SELECT decile, count(*) AS n, sum(cents) AS cents
+      |  FROM d GROUP BY 1
+      |),
+      |c AS (
+      |  SELECT *, sum(cents) OVER () AS tot_cents,
+      |    sum(cents) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      |  FROM g
+      |)
+      |SELECT CAST(decile AS INTEGER) AS decile, CAST(n AS BIGINT) AS n,
+      |  CAST(cents AS BIGINT) AS cents, CAST(cum_cents AS BIGINT) AS cum_cents,
+      |  CAST((1000000 * cents) // tot_cents AS BIGINT) AS share_ppm,
+      |  CAST((1000000 * cum_cents) // tot_cents AS BIGINT) AS cum_share_ppm
+      |FROM c""".stripMargin
+
+  // --------------------------------------------------------------- q221
+  /** Cochran–Armitage trend test — the ORDERED-category member of the
+    * dependence battery: chi-square (q111) asks "are category and
+    * outcome associated at all?" and burns power on non-monotone
+    * patterns; when the categories carry an ordering (priority bands,
+    * quality deciles, dose tiers) the one-df trend statistic
+    * T = Σ sᵢ(rᵢ − nᵢR/N), Var = R(N−R)/N²·(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N)
+    * is the right question: "does the POSITIVE RATE move with the
+    * order?".
+    *
+    * Exactness: per-category nᵢ/rᵢ and the score-weighted sums
+    * Σsr/Σsn/Σs²n are exact BIGINT (s ≤ k keeps every term linear in
+    * N); z is ONE fixed double sequence over those integers, floored to
+    * micro and attached to every category row (the q204 convention), so
+    * the table reads rates AND the verdict together. Degenerate inputs
+    * (all-positive, all-negative, or a single category) report null z.
+    *
+    * Scale shape: one fact scan → k-category hash aggregate →
+    * k-row frame windows. Nothing corpus-sized past the scan.
+    */
+  def cochranArmitage(rows: DataFrame, scoreCol: String,
+                      positiveCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val z = {
+      val (nD, rD) = (col("n_tot").cast("double"), col("r_tot").cast("double"))
+      val (srD, snD, ssnD) = (col("sr").cast("double"),
+        col("sn").cast("double"), col("ssn").cast("double"))
+      val t = srD - rD * snD / nD
+      val v = rD * (nD - rD) / (nD * nD) * (ssnD - snD * snD / nD)
+      floor(t / sqrt(v) * lit(1000000.0) + lit(0.5)).cast("long")
+    }
+    rows
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n_i"),
+        sum(when(col(positiveCol), 1L).otherwise(0L)).as("r_i"))
+      .withColumn("rate_ppm", expr("(1000000 * r_i) div n_i"))
+      .withColumn("n_tot", sum("n_i").over(wAll))
+      .withColumn("r_tot", sum("r_i").over(wAll))
+      .withColumn("sr", sum(col("s") * col("r_i")).over(wAll))
+      .withColumn("sn", sum(col("s") * col("n_i")).over(wAll))
+      .withColumn("ssn", sum(col("s") * col("s") * col("n_i")).over(wAll))
+      .withColumn("k_cats", count(lit(1)).over(wAll))
+      .withColumn("trend_z_micro",
+        when(col("r_tot") > 0 && col("r_tot") < col("n_tot")
+          && col("k_cats") > 1, z))
+      .select(col("s"), col("n_i"), col("r_i"), col("rate_ppm"),
+        col("trend_z_micro"))
+  }
+
+  /** Gated q221: does the big-order rate (≥ $150k) trend across the five
+    * ordered priority bands?
+    */
+  def priorityBigOrderTrend(spark: SparkSession, dir: String): DataFrame =
+    cochranArmitage(
+      Tables.orders(spark, dir).select(
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"),
+        (col("o_totalprice") >= 150000.0).as("big")),
+      "prio", "big")
+
+  private val priorityTrendSql =
+    """WITH rows_ AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+      |    o_totalprice >= 150000 AS big
+      |  FROM orders
+      |),
+      |g AS (
+      |  SELECT s, count(*) AS n_i,
+      |    sum(CASE WHEN big THEN 1 ELSE 0 END) AS r_i
+      |  FROM rows_ GROUP BY 1
+      |),
+      |w AS (
+      |  SELECT *, sum(n_i) OVER () AS n_tot, sum(r_i) OVER () AS r_tot,
+      |    sum(s * r_i) OVER () AS sr, sum(s * n_i) OVER () AS sn,
+      |    sum(s * s * n_i) OVER () AS ssn, count(*) OVER () AS k_cats
+      |  FROM g
+      |)
+      |SELECT s, CAST(n_i AS BIGINT) AS n_i, CAST(r_i AS BIGINT) AS r_i,
+      |  CAST((1000000 * r_i) // n_i AS BIGINT) AS rate_ppm,
+      |  CASE WHEN r_tot > 0 AND r_tot < n_tot AND k_cats > 1 THEN
+      |    CAST(floor(
+      |      (sr::DOUBLE - r_tot::DOUBLE * sn::DOUBLE / n_tot::DOUBLE)
+      |      / sqrt(r_tot::DOUBLE * (n_tot::DOUBLE - r_tot::DOUBLE)
+      |        / (n_tot::DOUBLE * n_tot::DOUBLE)
+      |        * (ssn::DOUBLE - sn::DOUBLE * sn::DOUBLE / n_tot::DOUBLE))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+      |    END AS trend_z_micro
+      |FROM w""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q221_cochran_armitage", priorityBigOrderTrend _,
+      Some(priorityTrendSql)),
+    NamedQuery("q217_lorenz_deciles", customerSpendLorenz _,
+      Some(customerSpendLorenzSql)),
+    NamedQuery("q214_kruskal_wallis", segmentSpendKruskal _,
+      Some(segmentSpendKruskalSql)),
     NamedQuery("q205_spend_anova", segmentSpendAnova _,
       Some(segmentSpendAnovaSql)),
     NamedQuery("q204_source_lang_mi", sourceLangMi _, Some(sourceLangMiSql)),

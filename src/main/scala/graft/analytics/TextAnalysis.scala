@@ -173,6 +173,151 @@ object TextAnalysis {
       |      // sum(CASE WHEN r = 2 THEN nr END) AS BIGINT) END AS rstar2_micro
       |FROM ff GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------------- q219
+  /** Chao1 + first-order jackknife species-richness estimators — "how
+    * big is this source's TRUE vocabulary, counting the words we never
+    * sampled?" — the capture–recapture view of q208's unseen mass:
+    * Good–Turing prices the probability of an unseen token, Chao1
+    * counts the unseen TYPES. Chao1 (bias-corrected, Chao 1984) =
+    * D + N₁(N₁−1)/(2(N₂+1)); jackknife-1 (Burnham & Overton) = D + N₁;
+    * sample coverage Ĉ = 1 − N₁/N. A vocab-size / tokenizer budget is
+    * set against the estimated richness, not the observed D, so this is
+    * the number that decision actually needs.
+    *
+    * Exactness: every count is exact BIGINT off the same freq-of-freq
+    * aggregate as q208; the Chao1 correction rides the overflow-safe
+    * two-step truncating division (N₁² stays under 2⁶³ through
+    * per-source vocabularies of ~3·10⁹ types). N₂ = 0 is handled by the
+    * bias-corrected form itself (the +1 in the denominator — no special
+    * case, no division by zero).
+    *
+    * Scale shape: identical to q208 — three chained fully-partial hash
+    * aggregates (corpus → vocabulary → distinct counts → sources), no
+    * window, no sort.
+    */
+  def richnessEstimate(spark: SparkSession, dir: String): DataFrame =
+    richnessOf(Tables.documents(spark, dir))
+
+  def richnessOf(docs: DataFrame): DataFrame = {
+    val ff = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("c").as("r"))
+      .agg(count(lit(1)).as("nr"))
+    ff.groupBy("source")
+      .agg(sum(expr("r * nr")).as("n_tokens"),
+        sum("nr").as("d_obs"),
+        coalesce(sum(when(col("r") === 1, col("nr"))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("r") === 2, col("nr"))), lit(0L)).as("n2"))
+      .withColumn("chao1_micro", expr(
+        """d_obs * 1000000
+          | + ((n1 * (n1 - 1)) div (2 * (n2 + 1))) * 1000000
+          | + (1000000 * (n1 * (n1 - 1)
+          |    - ((n1 * (n1 - 1)) div (2 * (n2 + 1))) * (2 * (n2 + 1))))
+          |   div (2 * (n2 + 1))""".stripMargin))
+      .withColumn("jack1", col("d_obs") + col("n1"))
+      .withColumn("coverage_ppm",
+        expr("1000000 - (1000000 * n1) div n_tokens"))
+  }
+
+  private val richnessSql =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS token
+      |  FROM documents
+      |), tc AS (
+      |  SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+      |), ff AS (
+      |  SELECT source, c AS r, count(*) AS nr FROM tc GROUP BY 1, 2
+      |), s AS (
+      |  SELECT source,
+      |    CAST(sum(r * nr) AS BIGINT) AS n_tokens,
+      |    CAST(sum(nr) AS BIGINT) AS d_obs,
+      |    CAST(coalesce(sum(CASE WHEN r = 1 THEN nr END), 0) AS BIGINT) AS n1,
+      |    CAST(coalesce(sum(CASE WHEN r = 2 THEN nr END), 0) AS BIGINT) AS n2
+      |  FROM ff GROUP BY source
+      |)
+      |SELECT source, n_tokens, d_obs, n1, n2,
+      |  CAST(d_obs * 1000000
+      |    + ((n1 * (n1 - 1)) // (2 * (n2 + 1))) * 1000000
+      |    + (1000000 * (n1 * (n1 - 1)
+      |       - ((n1 * (n1 - 1)) // (2 * (n2 + 1))) * (2 * (n2 + 1))))
+      |      // (2 * (n2 + 1)) AS BIGINT) AS chao1_micro,
+      |  CAST(d_obs + n1 AS BIGINT) AS jack1,
+      |  CAST(1000000 - (1000000 * n1) // n_tokens AS BIGINT) AS coverage_ppm
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- q222
+  /** Vocabulary coverage curve — the tokenizer-budget planner's other
+    * number: q219 estimates how many types EXIST, this reports how few
+    * you actually NEED — the smallest top-frequency vocabulary covering
+    * 90% / 99% of token mass per source (R₉₀/R₉₉). A steep curve
+    * (R₉₀ ≪ vocab) says a compact vocab suffices; templated corpora are
+    * steeper than natural text (the q211 Zipf slope explains why).
+    *
+    * Exactness: counts and the rank/cumulative sums are exact BIGINT;
+    * the coverage cuts are the division-free comparisons 10·cum ≥ 9·N
+    * and 100·cum ≥ 99·N (no ratio is ever materialized); the rank
+    * tie-break (count desc, token asc) is deterministic cross-engine.
+    *
+    * Scale shape: corpus scan → (source, token) hash agg → ONE
+    * per-source window over the VOCABULARY table (Heaps-sublinear in
+    * corpus, parallel across sources — the q211 rank-window shape) →
+    * source rollup. The corpus is never sorted.
+    */
+  def coverageCurve(docs: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("token"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy("source")
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n_tok", sum("cnt").over(wSrc))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        max("n_tok").as("n_tokens"),
+        min(when(col("cum") * 10L >= col("n_tok") * 9L, col("rk")))
+          .as("r90"),
+        min(when(col("cum") * 100L >= col("n_tok") * 99L, col("rk")))
+          .as("r99"))
+      .withColumn("r90_vocab_ppm", expr("(1000000 * r90) div vocab"))
+      .withColumn("r99_vocab_ppm", expr("(1000000 * r99) div vocab"))
+  }
+
+  def coverageCurveGate(spark: SparkSession, dir: String): DataFrame =
+    coverageCurve(Tables.documents(spark, dir))
+
+  private val coverageCurveSql =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS token
+      |  FROM documents
+      |), tc AS (
+      |  SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+      |), r AS (
+      |  SELECT source, cnt,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, token) AS BIGINT) AS rk,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY cnt DESC, token
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS n_tok
+      |  FROM tc
+      |), s AS (
+      |  SELECT source, count(*) AS vocab, max(n_tok) AS n_tokens,
+      |    min(CASE WHEN cum * 10 >= n_tok * 9 THEN rk END) AS r90,
+      |    min(CASE WHEN cum * 100 >= n_tok * 99 THEN rk END) AS r99
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT source, CAST(vocab AS BIGINT) AS vocab,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(r90 AS BIGINT) AS r90, CAST(r99 AS BIGINT) AS r99,
+      |  CAST((1000000 * r90) // vocab AS BIGINT) AS r90_vocab_ppm,
+      |  CAST((1000000 * r99) // vocab AS BIGINT) AS r99_vocab_ppm
+      |FROM s""".stripMargin
+
   // --------------------------------------------------------------- q211
   /** Zipf head size: the rank cutoff the slope is fitted over. Zipf's
     * law holds in the head and bends in the tail (Mandelbrot), so a
@@ -1404,6 +1549,9 @@ object TextAnalysis {
       Some(bpePairStatsSql)),
     NamedQuery("q137_vocab_growth", vocabGrowthDocs _, Some(vocabGrowthSql)),
     NamedQuery("q208_good_turing", goodTuringProfile _, Some(goodTuringSql)),
+    NamedQuery("q219_chao1_richness", richnessEstimate _, Some(richnessSql)),
+    NamedQuery("q222_coverage_curve", coverageCurveGate _,
+      Some(coverageCurveSql)),
     NamedQuery("q211_zipf_slope", zipfSlope _, Some(zipfSlopeSql)))
 
   // --------------------------------------------------------------- q130

@@ -1109,6 +1109,114 @@ object TimeSeries {
       |  s > ref * 2 AS flagged
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q220
+  /** Wald–Wolfowitz runs test — "is this series RANDOM around its
+    * level, or does it trend/oscillate?": dichotomize each day as
+    * above/below the series mean, count the runs of consecutive
+    * same-side days, and compare against the exact randomness null
+    * μ = 1 + 2n₁n₂/n, σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)). Too FEW runs ⇒
+    * sticky drift (the regime q177's CUSUM then locates); too MANY ⇒
+    * oscillation/over-correction. The monitoring battery reads this
+    * first: it needs no reference period and no threshold.
+    *
+    * Exactness: the above/below cut is the division-free comparison
+    * cents·n > Σcents (ties land on the below side, deterministically);
+    * runs and side counts are exact BIGINT via one lag window; z is ONE
+    * fixed double sequence over those exact integers, floored to micro.
+    * Degenerate series (either side empty, n < 2, or 2n₁n₂ ≤ n where
+    * σ = 0) report null z.
+    *
+    * Scale shape: the q177 shape exactly — fact scan → (group, day)
+    * aggregate, one lag inside the per-group calendar-bounded window,
+    * one group rollup.
+    */
+  def runsTest(perT: DataFrame, keyCol: String, tCol: String,
+               yCol: String): DataFrame = {
+    val wAll = Window.partitionBy(keyCol)
+    val wSeq = Window.partitionBy(keyCol).orderBy(col(tCol))
+    perT
+      .withColumn("above",
+        col(yCol) * count(lit(1)).over(wAll) > sum(col(yCol)).over(wAll))
+      .withColumn("brk",
+        when(lag(col("above"), 1).over(wSeq).isNull
+          || lag(col("above"), 1).over(wSeq) =!= col("above"), 1L)
+          .otherwise(0L))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("above"), 1L).otherwise(0L)).as("n_below"),
+        sum("brk").as("runs"))
+      .withColumn("z_micro",
+        when(col("n_above") > 0 && col("n_below") > 0 && col("n_days") > 1
+          && lit(2L) * col("n_above") * col("n_below") > col("n_days"),
+          floor(
+            (col("runs").cast("double")
+              - (lit(1.0) + lit(2.0) * col("n_above").cast("double")
+                * col("n_below").cast("double") / col("n_days").cast("double")))
+              / sqrt(lit(2.0) * col("n_above").cast("double")
+                * col("n_below").cast("double")
+                * (lit(2.0) * col("n_above").cast("double")
+                  * col("n_below").cast("double") - col("n_days").cast("double"))
+                / (col("n_days").cast("double") * col("n_days").cast("double")
+                  * (col("n_days").cast("double") - lit(1.0))))
+              * lit(1000000.0) + lit(0.5)).cast("long")))
+  }
+
+  /** Gated q220: is daily segment revenue random around its mean? */
+  def revenueRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    runsTest(daily, "segment", "day", "cents")
+  }
+
+  private val revenueRunsSql =
+    """WITH daily AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderdate::DATE AS day,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |ab AS (
+      |  SELECT segment, day,
+      |    cents * count(*) OVER (PARTITION BY segment)
+      |      > sum(cents) OVER (PARTITION BY segment) AS above
+      |  FROM daily
+      |),
+      |brk AS (
+      |  SELECT segment, above,
+      |    CASE WHEN lag(above, 1) OVER (PARTITION BY segment ORDER BY day)
+      |      IS DISTINCT FROM above THEN 1 ELSE 0 END AS brk
+      |  FROM ab
+      |),
+      |s AS (
+      |  SELECT segment, count(*) AS n_days,
+      |    sum(CASE WHEN above THEN 1 ELSE 0 END) AS n_above,
+      |    sum(CASE WHEN NOT above THEN 1 ELSE 0 END) AS n_below,
+      |    sum(brk) AS runs
+      |  FROM brk GROUP BY 1
+      |)
+      |SELECT segment, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(n_above AS BIGINT) AS n_above,
+      |  CAST(n_below AS BIGINT) AS n_below, CAST(runs AS BIGINT) AS runs,
+      |  CASE WHEN n_above > 0 AND n_below > 0 AND n_days > 1
+      |      AND 2 * n_above * n_below > n_days THEN
+      |    CAST(floor(
+      |      (runs::DOUBLE - (1.0::DOUBLE + 2.0::DOUBLE * n_above::DOUBLE
+      |        * n_below::DOUBLE / n_days::DOUBLE))
+      |      / sqrt(2.0::DOUBLE * n_above::DOUBLE * n_below::DOUBLE
+      |        * (2.0::DOUBLE * n_above::DOUBLE * n_below::DOUBLE
+      |           - n_days::DOUBLE)
+      |        / (n_days::DOUBLE * n_days::DOUBLE
+      |           * (n_days::DOUBLE - 1.0::DOUBLE)))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS z_micro
+      |FROM s""".stripMargin
+
   // --------------------------------------------------------------- q184
   /** Forecast backtest — the "is the model better than doing nothing?"
     * harness: replay the truncated-EWMA forecaster (the q176 kernel) and
@@ -1499,6 +1607,7 @@ object TimeSeries {
     NamedQuery("q176_ewma_forecast", weeklyEwmaForecast _,
       Some(weeklyEwmaForecastSql)),
     NamedQuery("q177_cusum_drift", revenueCusum _, Some(revenueCusumSql)),
+    NamedQuery("q220_runs_test", revenueRunsTest _, Some(revenueRunsSql)),
     NamedQuery("q136_decayed_revenue", (s, d) => decayedRevenue(s, d),
       Some(decayedRevenueSql)),
     NamedQuery("q114_lead_lag_corr", viewPurchaseLeadLag _,

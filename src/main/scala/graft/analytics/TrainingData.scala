@@ -1534,7 +1534,95 @@ object TrainingData {
       |LEFT JOIN s3 ON s3.doc_id = d.doc_id
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q216
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling recipe (the XLM-R / mT5 α-smoothing): sampling sources
+    * proportional to size lets the biggest source drown the tail, while
+    * uniform sampling overfits tiny sources; w_i ∝ p_i^α with α < 1
+    * interpolates, up-sampling the tail by a bounded factor. This is the
+    * table a data lead signs off before a training run: natural token
+    * share p, smoothed weight w (α = 0.7), and the per-source up/down-
+    * sampling factor w/p it implies.
+    *
+    * Exactness: token counts are exact BIGINT (the q200 whitespace
+    * tokenizer); p_ppm is the exact truncating share. The irrational
+    * power rides the ONE-fixed-double-sequence discipline — p_i^α is
+    * computed as exp(α·ln(toks)) (the q175 exp∘ln composition both
+    * engines evaluate identically), floored to an integer ONCE per
+    * source — and every cross-source reduction after that floor is an
+    * integer sum, so no float ever crosses an order-dependent reduce.
+    * boost_ppm derives from the already-floored integers (documented
+    * ±1-ppm truncation convention, the q197 precedent).
+    *
+    * Scale shape: one corpus scan → per-source hash aggregate (fully
+    * partial; the token counter is a projection inside the scan) →
+    * whole-frame window sums over the SOURCES frame (bounded by source
+    * cardinality, never the corpus).
+    */
+  def mixtureWeights(docs: DataFrame, sourceCol: String, toksCol: String,
+                     alphaTenths: Int = 7): DataFrame = {
+    val alpha = lit(alphaTenths.toDouble / 10.0)
+    val wAll = Window.partitionBy()
+    docs
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(toksCol)).as("n_toks"))
+      .withColumn("pow_micro",
+        when(col("n_toks") > 0, floor(
+          exp(alpha * log(col("n_toks").cast("double"))) * lit(1000000.0)
+            + lit(0.5)).cast("long")).otherwise(0L))
+      .withColumn("tot_toks", sum("n_toks").over(wAll))
+      .withColumn("tot_pow", sum("pow_micro").over(wAll))
+      .withColumn("p_ppm", expr("(1000000 * n_toks) div tot_toks"))
+      .withColumn("w_ppm", expr("(1000000 * pow_micro) div tot_pow"))
+      .withColumn("boost_ppm",
+        when(col("p_ppm") > 0, expr("(1000000 * w_ppm) div p_ppm")))
+      .drop("tot_toks", "tot_pow")
+  }
+
+  /** Gated q216: α = 0.7 mixture table over the documents corpus. */
+  def sourceMixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeights(
+      Tables.documents(spark, dir).select(col("source"),
+        size(graft.functions.shingleStrings(col("text"), 1)).cast("long")
+          .as("n_toks")),
+      "source", "n_toks")
+
+  private val mixtureWeightsSql =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS toks
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT source, count(*) AS n_docs, sum(toks) AS n_toks
+      |  FROM per GROUP BY 1
+      |),
+      |p AS (
+      |  SELECT source, n_docs, n_toks,
+      |    CASE WHEN n_toks > 0 THEN CAST(floor(
+      |      exp(0.7::DOUBLE * ln(n_toks::DOUBLE)) * 1000000.0::DOUBLE
+      |        + 0.5::DOUBLE) AS BIGINT) ELSE 0 END AS pow_micro
+      |  FROM s
+      |),
+      |t AS (
+      |  SELECT *, sum(n_toks) OVER () AS tot_toks,
+      |    sum(pow_micro) OVER () AS tot_pow
+      |  FROM p
+      |)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_toks AS BIGINT) AS n_toks,
+      |  CAST(pow_micro AS BIGINT) AS pow_micro,
+      |  CAST((1000000 * n_toks) // tot_toks AS BIGINT) AS p_ppm,
+      |  CAST((1000000 * pow_micro) // tot_pow AS BIGINT) AS w_ppm,
+      |  CASE WHEN (1000000 * n_toks) // tot_toks > 0 THEN
+      |    CAST((1000000 * ((1000000 * pow_micro) // tot_pow))
+      |      // ((1000000 * n_toks) // tot_toks) AS BIGINT) END AS boost_ppm
+      |FROM t""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q216_mixture_weights", sourceMixtureWeights _,
+      Some(mixtureWeightsSql)),
     NamedQuery("q200_curation_funnel", curationFunnel _,
       Some(curationFunnelSql)),
     NamedQuery("q181_group_kfold", groupKFoldSummary _, Some(groupKFoldSql)),

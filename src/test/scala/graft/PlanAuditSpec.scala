@@ -1137,6 +1137,70 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 4 && s.shuffles <= 8, s"q213 regressed: $s")
   }
 
+  test("q214 Kruskal-Wallis: domain-frame windows, corpus scanned once") {
+    // Audited: scans=0 (the one corpus aggregate materializes behind a
+    // localCheckpoint), shuffles=10, singleParts=3 — the single-partition
+    // exchanges carry the whole-dollar VALUE-DOMAIN frame (price-bounded
+    // at any corpus scale), never corpus rows.
+    val s = stats("q214_kruskal_wallis")
+    assert(s.nestedLoops == 0 && s.singleParts <= 6, s"q214 regressed: $s")
+    assert(s.scans <= 2 && s.shuffles <= 16, s"q214 regressed: $s")
+  }
+
+  test("q215/q216 stay single-aggregate shaped") {
+    // q215 McNemar: one corpus scan -> source hash agg; no windows.
+    val s215 = stats("q215_mcnemar_paired")
+    assert(s215.nestedLoops == 0 && s215.singleParts == 0,
+      s"q215 regressed: $s215")
+    assert(s215.scans <= 3 && s215.shuffles <= 4, s"q215 regressed: $s215")
+    // q216 mixture weights: corpus scan -> source agg -> sources-frame
+    // windows (singleParts carry source cardinality only).
+    val s216 = stats("q216_mixture_weights")
+    assert(s216.nestedLoops == 0 && s216.singleParts <= 4,
+      s"q216 regressed: $s216")
+    assert(s216.scans <= 3 && s216.shuffles <= 6, s"q216 regressed: $s216")
+  }
+
+  test("q217/q218 decile tables inherit the distributed-ntile shape") {
+    // Both ride ModelEval.distributedNtile (the q190 machinery, deep-
+    // checked by the q190 corpus-single-partition test): NLJs are the
+    // one-row tot broadcast; singleParts carry the distinct-score frame
+    // and the 10-row decile frame.
+    for (q <- Seq("q217_lorenz_deciles", "q218_qini_uplift")) {
+      val s = stats(q)
+      assert(s.nestedLoops <= 2 && s.singleParts <= 8, s"$q regressed: $s")
+      assert(s.scans <= 6 && s.shuffles <= 24, s"$q regressed: $s")
+    }
+  }
+
+  test("q219/q220 stay aggregate shaped") {
+    // q219 Chao1: the q208 three-chained-hash-agg shape; no windows.
+    val s219 = stats("q219_chao1_richness")
+    assert(s219.nestedLoops == 0 && s219.singleParts == 0,
+      s"q219 regressed: $s219")
+    assert(s219.scans <= 3 && s219.shuffles <= 8, s"q219 regressed: $s219")
+    // q220 runs test: the q177 per-group calendar-bounded window shape.
+    val s220 = stats("q220_runs_test")
+    assert(s220.nestedLoops == 0 && s220.singleParts == 0,
+      s"q220 regressed: $s220")
+    assert(s220.scans <= 6 && s220.shuffles <= 8, s"q220 regressed: $s220")
+  }
+
+  test("q221/q222 stay aggregate/vocab-window shaped") {
+    // q221 Cochran-Armitage: scan -> k-category agg -> k-row frame
+    // windows (singleParts carry <= k rows).
+    val s221 = stats("q221_cochran_armitage")
+    assert(s221.nestedLoops == 0 && s221.singleParts <= 4,
+      s"q221 regressed: $s221")
+    assert(s221.scans <= 3 && s221.shuffles <= 6, s"q221 regressed: $s221")
+    // q222 coverage curve: the q211 per-source vocab-window shape —
+    // no single-partition exchange anywhere.
+    val s222 = stats("q222_coverage_curve")
+    assert(s222.nestedLoops == 0 && s222.singleParts == 0,
+      s"q222 regressed: $s222")
+    assert(s222.scans <= 3 && s222.shuffles <= 6, s"q222 regressed: $s222")
+  }
+
   test("q211 Zipf slope: vocab-bounded window, no corpus sort") {
     // Audited: scans=2 shuffles=4 (token agg + per-source vocab window +
     // the R-row OLS aggregate). The rank window's input is the

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 import graft.SparkSpec
 
@@ -242,6 +242,73 @@ class ModelEvalSpec extends SparkSpec {
     out.sliding(2).foreach { case Array(lo, hi) =>
       assert(hi.getAs[Long]("pred_pos") <= lo.getAs[Long]("pred_pos"))
       assert(hi.getAs[Long]("tp") <= lo.getAs[Long]("tp"))
+    }
+  }
+
+  // ------------------------------------------------------- mcnemar (q215)
+
+  test("mcnemar: hand confusion table with continuity correction") {
+    // b=5 (A right, B wrong), c=1, n11=2, n00=2:
+    // stat = (|5-1|-1)^2 / 6 = 9/6 = 1.5.
+    val rows =
+      Seq.fill(2)(("s", true, true)) ++ Seq.fill(2)(("s", false, false)) ++
+        Seq.fill(5)(("s", true, false)) ++ Seq.fill(1)(("s", false, true))
+    val out = ModelEval.mcnemar(rows.toDF("g", "ca", "cb"), "g", "ca", "cb")
+      .collect().head
+    assert((out.getAs[Long]("n"), out.getAs[Long]("n11"),
+      out.getAs[Long]("n00"), out.getAs[Long]("b"), out.getAs[Long]("c")) ==
+      ((10L, 2L, 2L, 5L, 1L)))
+    assert(out.getAs[Long]("mcnemar_micro") == 1500000L)
+  }
+
+  test("mcnemar: zero discordant pairs reports null, not an error") {
+    val rows = Seq(("s", true, true), ("s", false, false))
+    val out = ModelEval.mcnemar(rows.toDF("g", "ca", "cb"), "g", "ca", "cb")
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("mcnemar_micro")))
+  }
+
+  test("mcnemar: gated face fires — informative beats independent scorer") {
+    // Classifier A is calibrated to the label channel; B is independent.
+    // Discordant pairs must lean heavily toward "A right, B wrong".
+    val out = ModelEval.pairedModelMcnemar(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("b")).as("b"), sum(col("c")).as("c")).collect().head
+    assert(out.getAs[Long]("b") > out.getAs[Long]("c"))
+  }
+
+  // ----------------------------------------------------- qiniTable (q218)
+
+  test("qiniTable: hand case — unit uplift per decile accumulates linearly") {
+    // Two rows per decile (same score, id tiebreak): one treated
+    // responder, one silent control. uplift = 1e6 in every decile;
+    // Q(k) = cum_rt - cum_rc*(cum_nt/cum_nc) = k.
+    val rows = (1 to 10).flatMap { d =>
+      val s = (10 - d) * 1000L
+      Seq((2L * d, s, true, true), (2L * d + 1L, s, false, false))
+    }.toDF("id", "score", "treated", "outcome")
+    val out = ModelEval.qiniTable(rows, "score", "treated", "outcome", "id")
+      .orderBy("decile").collect()
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert((r.getAs[Long]("n_t"), r.getAs[Long]("n_c"),
+        r.getAs[Long]("r_t"), r.getAs[Long]("r_c")) == ((1L, 1L, 1L, 0L)))
+      assert(r.getAs[Long]("uplift_ppm") == 1000000L)
+      assert(r.getAs[Long]("qini_micro") == (i + 1) * 1000000L)
+    }
+  }
+
+  test("qiniTable: zero treatment effect scores zero uplift and Qini") {
+    // Treated and control respond identically in every decile.
+    val rows = (1 to 10).flatMap { d =>
+      val s = (10 - d) * 1000L
+      Seq((4L * d, s, true, true), (4L * d + 1L, s, true, false),
+        (4L * d + 2L, s, false, true), (4L * d + 3L, s, false, false))
+    }.toDF("id", "score", "treated", "outcome")
+    val out = ModelEval.qiniTable(rows, "score", "treated", "outcome", "id")
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("uplift_ppm") == 0L)
+      assert(r.getAs[Long]("qini_micro") == 0L)
     }
   }
 

@@ -473,6 +473,38 @@ class StatisticsSpec extends SparkSpec {
     assert(out.getAs[Long]("eta2_ppm") == 990099L)
   }
 
+  // ----------------------------------------------------- kruskalWallis
+
+  test("kruskalWallis: hand-computed three-group no-tie case") {
+    // g1={1,2} g2={3,4} g3={5,6}: ranks 1..6, R = 3/7/11.
+    // H = 12/(6*7)*(9/2+49/2+121/2) - 3*7 = 4.571428...; no ties -> Hc = H.
+    val rows = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L), ("g2", 4L),
+      ("g3", 5L), ("g3", 6L)).toDF("g", "v")
+    val out = Statistics.kruskalWallis(rows, "g", "v").collect().head
+    assert(out.getAs[Long]("k_groups") == 3L)
+    assert(out.getAs[Long]("n_total") == 6L)
+    assert(out.getAs[Long]("h_micro") == 4571429L)
+    assert(out.getAs[Long]("hc_micro") == 4571429L)
+  }
+
+  test("kruskalWallis: ties take average ranks and the correction divides") {
+    // g1={1,1} g2={2,2}: avg ranks 1.5/3.5, H = 2.4;
+    // tie sum = 6+6 = 12, C = 1 - 12/60 = 0.8, Hc = 3.0.
+    val rows = Seq(("g1", 1L), ("g1", 1L), ("g2", 2L), ("g2", 2L))
+      .toDF("g", "v")
+    val out = Statistics.kruskalWallis(rows, "g", "v").collect().head
+    assert(out.getAs[Long]("h_micro") == 2400000L)
+    assert(out.getAs[Long]("hc_micro") == 3000000L)
+  }
+
+  test("kruskalWallis: identical distributions score near zero") {
+    // Same multiset in both groups -> rank sums proportional to size.
+    val rows = (1 to 50).flatMap(i => Seq(("a", i.toLong), ("b", i.toLong)))
+      .toDF("g", "v")
+    val out = Statistics.kruskalWallis(rows, "g", "v").collect().head
+    assert(math.abs(out.getAs[Long]("h_micro")) < 1000L)
+  }
+
   test("anovaF: identical group means yield zero between-group variance") {
     val rows = Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 10L))
       .toDF("g", "v")
@@ -501,5 +533,61 @@ class StatisticsSpec extends SparkSpec {
     val out = Statistics.mutualInformation(obs, "x", "y").collect()
     assert(out.length == 4)
     assert(out.forall(_.getAs[Long]("mi_ppm") == 0L))
+  }
+
+  // ----------------------------------------------------- lorenzDeciles
+
+  test("lorenzDeciles: hand shares — one entity per tile, exact ppm") {
+    // Values 100..1000 cents (1..10 whole dollars — the tile key needs
+    // distinct dollars), deciles by value desc: tile 1 = {1000}, tile 10
+    // = {100}; shares reduce to 10/55 etc.
+    val per = (1L to 10L).map(v => (v, v * 100L)).toDF("id", "cents")
+    val out = Statistics.lorenzDeciles(per, "cents", "id")
+      .orderBy("decile").collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("n") == 1L))
+    assert(out.head.getAs[Long]("cents") == 1000L)
+    assert(out.head.getAs[Long]("share_ppm") == 181818L)
+    assert(out.last.getAs[Long]("cents") == 100L)
+    assert(out.last.getAs[Long]("cum_share_ppm") == 1000000L)
+    // Cumulative share is concave: per-tile share nonincreasing.
+    out.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Long]("share_ppm") >= lo.getAs[Long]("share_ppm"))
+    }
+  }
+
+  // --------------------------------------------------- cochranArmitage
+
+  test("cochranArmitage: hand two-band trend z") {
+    // s=1: 1/10 positive; s=2: 9/10. T = 19 - 10*30/20 = 4;
+    // Var = 0.25*(50 - 900/20) = 1.25; z = 4/sqrt(1.25) = 3.577709.
+    val rows = (Seq.fill(1)((1L, true)) ++ Seq.fill(9)((1L, false)) ++
+      Seq.fill(9)((2L, true)) ++ Seq.fill(1)((2L, false))).toDF("s", "pos")
+    val out = Statistics.cochranArmitage(rows, "s", "pos")
+      .orderBy("s").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("rate_ppm") == 100000L)
+    assert(out.last.getAs[Long]("rate_ppm") == 900000L)
+    out.foreach(r => assert(r.getAs[Long]("trend_z_micro") == 3577709L))
+  }
+
+  test("cochranArmitage: flat rates score zero; degenerate outcomes null") {
+    val flat = (1L to 4L).flatMap(s =>
+      Seq((s, true), (s, false))).toDF("s", "pos")
+    Statistics.cochranArmitage(flat, "s", "pos").collect()
+      .foreach(r => assert(r.getAs[Long]("trend_z_micro") == 0L))
+    val allPos = Seq((1L, true), (2L, true)).toDF("s", "pos")
+    Statistics.cochranArmitage(allPos, "s", "pos").collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("trend_z_micro")))
+    }
+  }
+
+  test("lorenzDeciles: decile populations differ by at most one") {
+    val per = (1L to 23L).map(v => (v, (v * 7L % 13L + 1L) * 100L))
+      .toDF("id", "cents")
+    val sizes = Statistics.lorenzDeciles(per, "cents", "id")
+      .collect().map(_.getAs[Long]("n"))
+    assert(sizes.sum == 23L)
+    assert(sizes.max - sizes.min <= 1L)
   }
 }

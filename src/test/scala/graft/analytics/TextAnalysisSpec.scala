@@ -459,4 +459,48 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------------------ richness (q219)
+
+  test("richnessOf: hand Chao1 / jackknife / coverage values") {
+    // "a a b c": D=3, N=4, n1=2 (b,c), n2=1 (a).
+    // chao1 = 3 + 2*1/(2*2) = 3.5; jack1 = 5; coverage = 1 - 2/4 = 0.5.
+    val docs = Seq(("s", "a a b c")).toDF("source", "text")
+    val out = TextAnalysis.richnessOf(docs).collect().head
+    assert((out.getAs[Long]("n_tokens"), out.getAs[Long]("d_obs"),
+      out.getAs[Long]("n1"), out.getAs[Long]("n2")) == ((4L, 3L, 2L, 1L)))
+    assert(out.getAs[Long]("chao1_micro") == 3500000L)
+    assert(out.getAs[Long]("jack1") == 5L)
+    assert(out.getAs[Long]("coverage_ppm") == 500000L)
+  }
+
+  // ------------------------------------------------- coverageCurve (q222)
+
+  test("coverageCurve: hand R90/R99 on a 9-1 split") {
+    // "a"x9 "b"x1: rank 1 covers 90% exactly (10*9 >= 9*10), rank 2
+    // needed for 99%.
+    val docs = Seq(("s", ("a " * 9 + "b").trim)).toDF("source", "text")
+    val out = TextAnalysis.coverageCurve(docs).collect().head
+    assert((out.getAs[Long]("vocab"), out.getAs[Long]("n_tokens")) == ((2L, 10L)))
+    assert((out.getAs[Long]("r90"), out.getAs[Long]("r99")) == ((1L, 2L)))
+    assert(out.getAs[Long]("r90_vocab_ppm") == 500000L)
+    assert(out.getAs[Long]("r99_vocab_ppm") == 1000000L)
+  }
+
+  test("coverageCurve: uniform corpus needs 90% of the vocabulary") {
+    // 10 tokens once each: cum at rank k is k/10 -> r90 = 9, r99 = 10.
+    val docs = Seq(("s", (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("source", "text")
+    val out = TextAnalysis.coverageCurve(docs).collect().head
+    assert((out.getAs[Long]("r90"), out.getAs[Long]("r99")) == ((9L, 10L)))
+  }
+
+  test("richnessOf: fully-repeated corpus estimates no unseen types") {
+    // No singletons -> chao1 = D, jack1 = D, coverage = 1.
+    val docs = Seq(("s", "x x y y")).toDF("source", "text")
+    val out = TextAnalysis.richnessOf(docs).collect().head
+    assert(out.getAs[Long]("chao1_micro") == 2000000L)
+    assert(out.getAs[Long]("jack1") == 2L)
+    assert(out.getAs[Long]("coverage_ppm") == 1000000L)
+  }
 }

@@ -509,4 +509,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_pairs") == 1L)
     assert(out.head.getAs[Long]("ts_slope_micro") == -33333333L)
   }
+
+  // -------------------------------------------------------- runsTest (q220)
+
+  test("runsTest: run counting and the zero-z expectation case") {
+    // 10,10,1,1,10,1 around mean 5.5 -> T,T,F,F,T,F: runs = 4 = mu -> z = 0.
+    val pts = Seq(("k", 1L, 10L), ("k", 2L, 10L), ("k", 3L, 1L),
+      ("k", 4L, 1L), ("k", 5L, 10L), ("k", 6L, 1L)).toDF("k", "t", "y")
+    val out = TimeSeries.runsTest(pts, "k", "t", "y").collect().head
+    assert((out.getAs[Long]("n_days"), out.getAs[Long]("n_above"),
+      out.getAs[Long]("n_below"), out.getAs[Long]("runs")) ==
+      ((6L, 3L, 3L, 4L)))
+    assert(out.getAs[Long]("z_micro") == 0L)
+  }
+
+  test("runsTest: perfect alternation scores the positive hand z") {
+    // 10,1,10,1: runs = 4, n1 = n2 = 2 -> z = 1/sqrt(2/3) = 1.224745.
+    val pts = Seq(("k", 1L, 10L), ("k", 2L, 1L), ("k", 3L, 10L),
+      ("k", 4L, 1L)).toDF("k", "t", "y")
+    val out = TimeSeries.runsTest(pts, "k", "t", "y").collect().head
+    assert(out.getAs[Long]("runs") == 4L)
+    assert(out.getAs[Long]("z_micro") == 1224745L)
+  }
+
+  test("runsTest: one-sided and sigma-zero series report null z") {
+    // All values equal -> ties land below the (strict) mean cut: one side
+    // empty. Two points split 1/1 -> 2*n1*n2 = n -> sigma = 0.
+    val flat = Seq(("k", 1L, 5L), ("k", 2L, 5L)).toDF("k", "t", "y")
+    val o1 = TimeSeries.runsTest(flat, "k", "t", "y").collect().head
+    assert(o1.isNullAt(o1.fieldIndex("z_micro")))
+    val two = Seq(("k", 1L, 1L), ("k", 2L, 9L)).toDF("k", "t", "y")
+    val o2 = TimeSeries.runsTest(two, "k", "t", "y").collect().head
+    assert(o2.isNullAt(o2.fieldIndex("z_micro")))
+  }
 }

@@ -578,4 +578,41 @@ class TrainingDataSpec extends SparkSpec {
       .select("src", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set(("b", 3L)), s"zero-quota stratum must vanish: $got")
   }
+
+  // ------------------------------------------------- mixtureWeights (q216)
+
+  test("mixtureWeights: alpha < 1 up-samples the tail, down-samples the head") {
+    val rows = Seq(("big", 1000000L), ("small", 1000L)).toDF("src", "toks")
+    val out = TrainingData.mixtureWeights(rows, "src", "toks")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val (big, small) = (out("big"), out("small"))
+    // Natural share of the tail is ~999 ppm; smoothed weight must exceed it.
+    assert(small.getAs[Long]("w_ppm") > small.getAs[Long]("p_ppm"))
+    assert(big.getAs[Long]("w_ppm") < big.getAs[Long]("p_ppm"))
+    assert(small.getAs[Long]("boost_ppm") > 1000000L)
+    assert(big.getAs[Long]("boost_ppm") < 1000000L)
+    // pow_micro matches the JVM's own exp/ln composition exactly.
+    assert(big.getAs[Long]("pow_micro") ==
+      math.floor(math.exp(0.7 * math.log(1000000.0)) * 1e6 + 0.5).toLong)
+    // Weights sum to 1e6 within the k-source truncation slack.
+    assert(math.abs(out.values.map(_.getAs[Long]("w_ppm")).sum - 1000000L) <= 2L)
+  }
+
+  test("mixtureWeights: alpha = 1 reproduces the natural shares") {
+    val rows = Seq(("a", 750L), ("b", 250L)).toDF("src", "toks")
+    val out = TrainingData.mixtureWeights(rows, "src", "toks", alphaTenths = 10)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    out.values.foreach { r =>
+      assert(math.abs(r.getAs[Long]("w_ppm") - r.getAs[Long]("p_ppm")) <= 1L)
+      assert(math.abs(r.getAs[Long]("boost_ppm") - 1000000L) <= 10L)
+    }
+  }
+
+  test("mixtureWeights: an empty source carries zero weight, null boost") {
+    val rows = Seq(("a", 100L), ("z", 0L)).toDF("src", "toks")
+    val out = TrainingData.mixtureWeights(rows, "src", "toks")
+      .filter(col("src") === "z").collect().head
+    assert(out.getAs[Long]("w_ppm") == 0L)
+    assert(out.isNullAt(out.fieldIndex("boost_ppm")))
+  }
 }
