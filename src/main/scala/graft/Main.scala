@@ -196,6 +196,26 @@ object Main {
       println(s"[compact] ${report.summary}")
       spark.stop()
 
+    case "compact-index" :: kind :: root :: Nil =>
+      // Maintenance verb for the incremental index/state family: fold the
+      // per-batch delta dirs into one consolidated partition without
+      // touching the `last_batch` commit marker (IndexCompaction). Same
+      // lease default as `compact` — these roots are live foreachBatch
+      // sinks.
+      val spark = session()
+      val reports = kind match {
+        case "dedup" => graft.warehouse.DedupIndex.compact(spark, root, lease = true)
+        case "retrieval" => graft.warehouse.RetrievalIndex.compact(spark, root, lease = true)
+        case "covariance" => graft.warehouse.CovarianceState.compact(spark, root, lease = true)
+        case "eval" => graft.warehouse.EvalState.compact(spark, root, lease = true)
+        case other =>
+          System.err.println(s"unknown index kind: $other " +
+            "(expected dedup|retrieval|covariance|eval)")
+          spark.stop(); sys.exit(2)
+      }
+      reports.foreach(r => println(s"[compact-index] $r"))
+      spark.stop()
+
     case "show" :: wh :: collection :: rest =>
       val spark = session()
       val runner = new SyncRunner(spark, Settings(wh))
@@ -216,6 +236,7 @@ object Main {
            |  ann-search <outDir> <queriesParquet> [k] [nprobe]
            |  report <warehouseDir> <outFile.json>
            |  compact <tableDir> [targetMB]
+           |  compact-index <dedup|retrieval|covariance|eval> <rootDir>
            |  logs <warehouseDir> [limit]
            |  health <warehouseDir>
            |  show <warehouseDir> <collection> [n]""".stripMargin)

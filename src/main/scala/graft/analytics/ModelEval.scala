@@ -317,11 +317,18 @@ object ModelEval {
     * construction, so the cumulative IS the exact confusion count.
     */
   def thresholdSweep(scored: DataFrame, scoreCol: String,
-                     labelCol: String): DataFrame = {
-    val bins = scored
+                     labelCol: String): DataFrame =
+    sweepFromBins(scored
       .groupBy((col(scoreCol) / 100000L).cast("long").as("bin"))
       .agg(count(lit(1)).as("nb"),
-        sum(when(col(labelCol), 1L).otherwise(0L)).as("pb"))
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pb")))
+
+  /** The q213 finisher over an already-aggregated bin frame
+    * (bin, nb, pb) — split out so the incremental eval state
+    * ([[graft.warehouse.EvalState]]) can sweep its persisted counts with
+    * the identical arithmetic.
+    */
+  def sweepFromBins(bins: DataFrame): DataFrame = {
     // Cum-from-top: rows predicted POSITIVE at threshold t = bin·1e5 are
     // the bins ≥ t; the frame is ≤10 rows.
     val wUp = Window.orderBy(col("bin").desc)

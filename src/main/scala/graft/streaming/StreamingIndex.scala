@@ -103,6 +103,35 @@ object StreamingIndex {
     q.awaitTermination()
   }
 
+  /** Drain `sourceDir` (json files of scored predictions) into the
+    * incremental eval-monitoring state — the streaming face of
+    * [[graft.warehouse.EvalState]], completing streaming parity for the
+    * model-monitoring state family (DriftState and CovarianceState have
+    * theirs). Exactly-once rides the state's delta-dir + `last_batch`
+    * marker protocol with the epoch as the batch id, so crash replays
+    * short-circuit and stream-built bin counts ≡ one-shot bit-for-bit
+    * (integer sums).
+    */
+  def evalAvailableNow(spark: SparkSession, sourceDir: String,
+                       schema: StructType, stateRoot: String,
+                       checkpoint: String, groupCol: String = "source",
+                       scoreCol: String = "score_micro",
+                       labelCol: String = "label"): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.warehouse.EvalState.update(spark, stateRoot, batch, groupCol,
+          scoreCol, labelCol, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `sourceDir` into the near-dup index at `indexRoot`; each
     * micro-batch's matches against the prior corpus persist under the
     * index's `matches/batch=N/` dirs (query them any time).

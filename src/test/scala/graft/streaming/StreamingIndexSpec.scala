@@ -129,6 +129,35 @@ class StreamingIndexSpec extends SparkSpec {
       "streamed drift state must reproduce the one-shot PSI")
   }
 
+  test("file-streamed eval state equals the one-shot bin counts " +
+    "bit-for-bit; a replayed epoch is a no-op") {
+    import graft.warehouse.EvalState
+    val watch = tmpDir("seval-src")
+    val root = tmpDir("seval-root") + "/state"
+    val ckpt = tmpDir("seval-ckpt")
+    val scored = graft.analytics.ModelEval.scoredDocs(docs)
+      .withColumn("doc_id", col("doc_id")) // keep id for the split
+    stageFiles(Seq(
+      scored.filter(col("doc_id") % 3 === 0),
+      scored.filter(col("doc_id") % 3 === 1),
+      scored.filter(col("doc_id") % 3 === 2)), watch)
+    StreamingIndex.evalAvailableNow(spark, watch, scored.schema, root, ckpt)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("pos"))).toMap
+    val streamed = key(EvalState.snapshot(spark, root))
+    val oneShot = key(graft.analytics.ModelEval.scoredDocs(docs)
+      .groupBy(col("source"), (col("score_micro") / 100000L).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos")))
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "streamed eval state must equal the one-shot bin counts")
+    // Replaying a committed epoch with DIFFERENT content short-circuits.
+    EvalState.update(spark, root, scored.limit(7), batchId = Some(0L))
+    assert(key(EvalState.snapshot(spark, root)) == oneShot,
+      "a committed replay must not re-fold")
+  }
+
   test("file-streamed covariance state equals the one-shot sufficient " +
     "statistics bit-for-bit; a replayed epoch is a no-op") {
     import graft.warehouse.CovarianceState
