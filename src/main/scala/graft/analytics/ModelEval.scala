@@ -577,6 +577,90 @@ object ModelEval {
       |  k_max IS NOT NULL AND rk <= k_max AS rejected
       |FROM km""".stripMargin
 
+  // --------------------------------------------------------------- q224
+  /** Holm–Bonferroni step-down FWER control — the STRICT sibling of
+    * q178's BH: BH bounds the expected FALSE-DISCOVERY RATE (fine for
+    * screening many segment alarms), Holm bounds the probability of
+    * even ONE false rejection (what a launch/no-launch decision or a
+    * compliance report needs), uniformly more powerful than plain
+    * Bonferroni and valid under arbitrary dependence. Sort p ascending;
+    * reject ranks while p₍ᵣ₎ ≤ α/(m−r+1) and STOP at the first failure
+    * (step-down: everything after the first survivor survives).
+    *
+    * Integer form (the q178 discipline): the criterion is the
+    * cross-multiplied p_micro·(m−rk+1) ≤ α_micro — no division — and
+    * the stop point is one window min over failed ranks. Ties on p are
+    * broken by the id columns, deterministically in both engines.
+    *
+    * Scale shape: identical to q178 — hypotheses are aggregate-level
+    * rows (metadata-sized by construction); one window over that frame.
+    */
+  def holmStepDown(tests: DataFrame, pCol: String, idCols: Seq[String],
+                   alphaMicro: Long = 50000L): DataFrame = {
+    val wAll = Window.partitionBy()
+    val ord = Window.orderBy(col(pCol) +: idCols.map(col): _*)
+    tests
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("crit_met",
+        col(pCol) * (col("m") - col("rk") + 1L) <= lit(alphaMicro))
+      .withColumn("k_stop",
+        min(when(!col("crit_met"), col("rk"))).over(wAll))
+      .withColumn("rejected",
+        col("k_stop").isNull || col("rk") < col("k_stop"))
+      .drop("crit_met")
+  }
+
+  /** Gated q224: Holm at α=0.05 over the SAME planted per-(source, lang)
+    * p-values as q178 — so the two tables read side by side show the
+    * FDR-vs-FWER gap (Holm's rejections are a subset of BH's).
+    */
+  def holmFwer(spark: SparkSession, dir: String): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("key", concat(col("source"), lit("/"), col("lang")))
+      .withColumn("p_micro",
+        when(h(concat(lit("eff:"), col("key"))) % 2L === 0L,
+          h(concat(lit("p:"), col("key"))) % 1000L)
+          .otherwise(h(concat(lit("p:"), col("key"))) % 1000000L))
+    holmStepDown(cells, "p_micro", Seq("key"))
+      .select(col("source"), col("lang"), col("n_docs"), col("p_micro"),
+        col("rk"), col("m"), col("k_stop"), col("rejected"))
+  }
+
+  private val holmFwerSql =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS n_docs,
+      |    source || '/' || lang AS key
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |ps AS (
+      |  SELECT source, lang, n_docs, key,
+      |    CASE WHEN ('0x' || substr(md5('eff:' || key), 1, 8))::BIGINT % 2 = 0
+      |      THEN ('0x' || substr(md5('p:' || key), 1, 8))::BIGINT % 1000
+      |      ELSE ('0x' || substr(md5('p:' || key), 1, 8))::BIGINT % 1000000
+      |    END AS p_micro
+      |  FROM cells
+      |),
+      |rk AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY p_micro, key) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM ps
+      |),
+      |ks AS (
+      |  SELECT *,
+      |    min(CASE WHEN p_micro * (m - rk + 1) > 50000 THEN rk END) OVER ()
+      |      AS k_stop
+      |  FROM rk
+      |)
+      |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(p_micro AS BIGINT) AS p_micro, rk, m,
+      |  CAST(k_stop AS BIGINT) AS k_stop,
+      |  k_stop IS NULL OR rk < k_stop AS rejected
+      |FROM ks""".stripMargin
+
   // --------------------------------------------------------------- q180
   /** Inverse-propensity-scored offline policy evaluation — the
     * counterfactual "what would the NEW policy have earned?" replay every
@@ -1202,6 +1286,7 @@ object ModelEval {
     NamedQuery("q218_qini_uplift", classifierQini _,
       Some(classifierQiniSql)),
     NamedQuery("q178_bh_fdr", bhFdr _, Some(bhFdrSql)),
+    NamedQuery("q224_holm_fwer", holmFwer _, Some(holmFwerSql)),
     NamedQuery("q180_offline_policy", offlinePolicyValue _,
       Some(offlinePolicyValueSql)))
 }

@@ -1438,6 +1438,89 @@ object TextAnalysis {
        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q225
+  /** Dedup-rate growth curve — the duplication SCALING LAW probe: the
+    * exact-dup rate of a corpus is not a constant, it GROWS with corpus
+    * size (more chances to collide), so the rate measured on a pilot
+    * sample understates what the full crawl will carry. Measure it on
+    * NESTED deterministic samples (25% ⊂ 50% ⊂ 100% by an md5 channel)
+    * in one pass and read the trend directly — the planning number for
+    * "how much dedup capacity does the 10× crawl need?".
+    *
+    * One-pass nesting trick: per fingerprint, keep min(u) and the
+    * conditional doc counts; a fingerprint is PRESENT in sample level t
+    * iff min(u) < t, so every level's (n, distinct, dupes) falls out of
+    * the same fingerprint-grain aggregate — the corpus is scanned once
+    * for all three levels. All counts exact BIGINT; rates exact
+    * truncating ppm.
+    *
+    * Scale shape: corpus scan → fingerprint-grain hash agg (the q15
+    * kernel's shuffle) → 3-row rollup.
+    */
+  def dedupGrowth(docs: DataFrame): DataFrame = {
+    val u = conv(substring(md5(concat(lit("smp:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val perFp = docs
+      .select(fingerprint(col("text")).as("fp"), u.as("u"))
+      .groupBy("fp")
+      .agg(min("u").as("min_u"),
+        sum(when(col("u") < 250000L, 1L).otherwise(0L)).as("c25"),
+        sum(when(col("u") < 500000L, 1L).otherwise(0L)).as("c50"),
+        count(lit(1)).as("c100"))
+    // One rollup row carries all three levels, then a 3-row stack — the
+    // fingerprint aggregate (and the corpus scan under it) runs ONCE.
+    perFp.agg(
+        sum("c25").as("n25"),
+        sum(when(col("min_u") < 250000L, 1L).otherwise(0L)).as("d25"),
+        sum("c50").as("n50"),
+        sum(when(col("min_u") < 500000L, 1L).otherwise(0L)).as("d50"),
+        sum("c100").as("n100"),
+        count(lit(1)).as("d100"))
+      .select(expr(
+        """stack(3, 25L, n25, d25, 50L, n50, d50, 100L, n100, d100)
+          | AS (level_pct, n_docs, n_distinct)""".stripMargin))
+      .withColumn("n_dupes", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dupes) div n_docs"))
+  }
+
+  def dedupGrowthGate(spark: SparkSession, dir: String): DataFrame =
+    dedupGrowth(Tables.documents(spark, dir))
+
+  private val dedupGrowthSql =
+    """WITH d AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS u
+      |  FROM documents
+      |),
+      |perfp AS (
+      |  SELECT fp, min(u) AS min_u,
+      |    sum(CASE WHEN u < 250000 THEN 1 ELSE 0 END) AS c25,
+      |    sum(CASE WHEN u < 500000 THEN 1 ELSE 0 END) AS c50,
+      |    count(*) AS c100
+      |  FROM d GROUP BY 1
+      |),
+      |lv AS (
+      |  SELECT 25 AS level_pct, sum(c25) AS n_docs,
+      |    sum(CASE WHEN min_u < 250000 THEN 1 ELSE 0 END) AS n_distinct
+      |  FROM perfp
+      |  UNION ALL
+      |  SELECT 50, sum(c50),
+      |    sum(CASE WHEN min_u < 500000 THEN 1 ELSE 0 END)
+      |  FROM perfp
+      |  UNION ALL
+      |  SELECT 100, sum(c100),
+      |    sum(CASE WHEN min_u < 1000000 THEN 1 ELSE 0 END)
+      |  FROM perfp
+      |)
+      |SELECT CAST(level_pct AS BIGINT) AS level_pct,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(n_docs - n_distinct AS BIGINT) AS n_dupes,
+      |  CAST((1000000 * (n_docs - n_distinct)) // n_docs AS BIGINT) AS dup_ppm
+      |FROM lv""".stripMargin
+
   // --------------------------------------------------------------- q159
   /** Per-document bigram cross-entropy under the corpus's own add-one-
     * smoothed bigram language model — the perplexity-style quality
@@ -1552,6 +1635,7 @@ object TextAnalysis {
     NamedQuery("q219_chao1_richness", richnessEstimate _, Some(richnessSql)),
     NamedQuery("q222_coverage_curve", coverageCurveGate _,
       Some(coverageCurveSql)),
+    NamedQuery("q225_dedup_growth", dedupGrowthGate _, Some(dedupGrowthSql)),
     NamedQuery("q211_zipf_slope", zipfSlope _, Some(zipfSlopeSql)))
 
   // --------------------------------------------------------------- q130

@@ -1572,8 +1572,14 @@ object TrainingData {
             + lit(0.5)).cast("long")).otherwise(0L))
       .withColumn("tot_toks", sum("n_toks").over(wAll))
       .withColumn("tot_pow", sum("pow_micro").over(wAll))
-      .withColumn("p_ppm", expr("(1000000 * n_toks) div tot_toks"))
-      .withColumn("w_ppm", expr("(1000000 * pow_micro) div tot_pow"))
+      // 1e6·n_toks crosses 2⁶³ once a source holds ~9.2·10¹² tokens —
+      // inside 100 TB reach — so the share numerators ride DECIMAL(38,0)
+      // (DuckDB's window sum() is already HUGEINT there); the q217
+      // precedent, on a sources-sized frame.
+      .withColumn("p_ppm", expr(
+        "CAST((CAST(n_toks AS DECIMAL(38,0)) * 1000000) div tot_toks AS BIGINT)"))
+      .withColumn("w_ppm", expr(
+        "CAST((CAST(pow_micro AS DECIMAL(38,0)) * 1000000) div tot_pow AS BIGINT)"))
       .withColumn("boost_ppm",
         when(col("p_ppm") > 0, expr("(1000000 * w_ppm) div p_ppm")))
       .drop("tot_toks", "tot_pow")

@@ -1201,6 +1201,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(s222.scans <= 3 && s222.shuffles <= 6, s"q222 regressed: $s222")
   }
 
+  test("q224/q225 stay aggregate shaped") {
+    // q224 Holm: the q178 metadata-window shape (hypotheses frame only).
+    val s224 = stats("q224_holm_fwer")
+    assert(s224.nestedLoops == 0 && s224.singleParts <= 4,
+      s"q224 regressed: $s224")
+    assert(s224.scans <= 3 && s224.shuffles <= 6, s"q224 regressed: $s224")
+    // q225 dedup growth: one fp-grain agg + 1-row stack (singleParts
+    // carry the one rollup row).
+    val s225 = stats("q225_dedup_growth")
+    assert(s225.nestedLoops == 0 && s225.singleParts <= 4,
+      s"q225 regressed: $s225")
+    assert(s225.scans <= 3 && s225.shuffles <= 6, s"q225 regressed: $s225")
+  }
+
   test("q211 Zipf slope: vocab-bounded window, no corpus sort") {
     // Audited: scans=2 shuffles=4 (token agg + per-source vocab window +
     // the R-row OLS aggregate). The rank window's input is the

@@ -312,6 +312,44 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------- holmStepDown (q224)
+
+  test("holmStepDown: hand step-down boundary vs BH's step-up") {
+    // p = {0.01, 0.02, 0.03, 0.9}, alpha = 0.05, m = 4.
+    // Holm: rank 1 passes (0.01*4 <= 0.05), rank 2 fails (0.02*3 > 0.05)
+    // -> reject {1}. BH: k_max = 3 -> rejects {1,2,3}. Holm strictly
+    // stricter on the same inputs.
+    val tests = Seq(("a", 10000L), ("b", 20000L), ("c", 30000L),
+      ("d", 900000L)).toDF("key", "p_micro")
+    val holm = ModelEval.holmStepDown(tests, "p_micro", Seq("key"))
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Boolean]("rejected")).toMap
+    assert(holm == Map("a" -> true, "b" -> false, "c" -> false,
+      "d" -> false))
+    val bh = ModelEval.bhStepUp(tests, "p_micro", Seq("key"))
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Boolean]("rejected")).toMap
+    assert(bh == Map("a" -> true, "b" -> true, "c" -> true, "d" -> false))
+  }
+
+  test("holmStepDown: all-tiny p rejects everything (k_stop null)") {
+    val tests = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("key", "p_micro")
+    val out = ModelEval.holmStepDown(tests, "p_micro", Seq("key")).collect()
+    assert(out.forall(_.getAs[Boolean]("rejected")))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("k_stop"))))
+  }
+
+  test("holmFwer rejections are a subset of bhFdr's on the gated fixture") {
+    val dir = "/root/testdata/sf0.001"
+    def rej(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("rejected")).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val holm = rej(ModelEval.holmFwer(spark, dir))
+    val bh = rej(ModelEval.bhFdr(spark, dir))
+    assert(holm.nonEmpty && holm.subsetOf(bh),
+      s"Holm must be stricter: holm=${holm.size} bh=${bh.size}")
+  }
+
   // --------------------------------------------- brierDecomposition (q212)
 
   test("brierDecomposition: hand case — constant-forecast bins decompose exactly") {

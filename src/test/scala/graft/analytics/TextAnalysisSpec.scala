@@ -495,6 +495,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert((out.getAs[Long]("r90"), out.getAs[Long]("r99")) == ((9L, 10L)))
   }
 
+  // -------------------------------------------------- dedupGrowth (q225)
+
+  test("dedupGrowth: full level counts exact dupes; levels nest") {
+    val docs = Seq((1L, "x x"), (2L, "x x"), (3L, "x  x"), (4L, "y"),
+      (5L, "Y"), (6L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupGrowth(docs).collect()
+      .map(r => r.getAs[Long]("level_pct") -> r).toMap
+    // Normalization folds case/whitespace: fps = {x x}x3, {y}x2, {z}.
+    val full = out(100L)
+    assert(full.getAs[Long]("n_docs") == 6L)
+    assert(full.getAs[Long]("n_distinct") == 3L)
+    assert(full.getAs[Long]("dup_ppm") == 500000L)
+    // Nesting: counts monotone in the level.
+    assert(out(25L).getAs[Long]("n_docs") <= out(50L).getAs[Long]("n_docs"))
+    assert(out(50L).getAs[Long]("n_docs") <= 6L)
+  }
+
+  test("dedupGrowth: per-level counts equal an independent filter+distinct") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.dedupGrowth(docs).collect()
+      .map(r => r.getAs[Long]("level_pct") -> r).toMap
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      (conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L).as("u"))
+    Seq(25L -> 250000L, 50L -> 500000L, 100L -> 1000000L).foreach {
+      case (pct, t) =>
+        val in = base.filter(col("u") < t)
+        assert(out(pct).getAs[Long]("n_docs") == in.count())
+        assert(out(pct).getAs[Long]("n_distinct") ==
+          in.select("fp").distinct().count(),
+          s"distinct mismatch at level $pct")
+    }
+  }
+
   test("richnessOf: fully-repeated corpus estimates no unseen types") {
     // No singletons -> chao1 = D, jack1 = D, coverage = 1.
     val docs = Seq(("s", "x x y y")).toDF("source", "text")
