@@ -1817,7 +1817,264 @@ object Statistics {
       |    END AS trend_z_micro
       |FROM w""".stripMargin
 
+  // --------------------------------------------------------------- q226
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel pooled odds ratio —
+    * the stratified member of the causal battery: q189's DiD removes a
+    * TIME confounder, q197's standardization removes a COMPOSITION
+    * confounder from means; CMH asks "does treatment associate with a
+    * binary outcome at all, POOLING evidence within strata?" — immune
+    * to the Simpson's-paradox reversal a collapsed 2×2 invites. Per
+    * stratum i: a_i observed treated-positives, E[a_i] = n1_i·m1_i/N_i,
+    * Var_i = n1_i·n0_i·m1_i·m0_i/(N_i²(N_i−1));
+    * CMH = (Σa − ΣE)²/ΣVar (χ²₁), OR_MH = Σ(a_i·d_i/N_i)/Σ(b_i·c_i/N_i).
+    *
+    * Exactness: the 2×2 cells are exact BIGINT from one per-stratum
+    * aggregate; each stratum's E/Var/OR terms are ONE fixed double
+    * sequence floored to integer micro PER STRATUM (the q197
+    * truncate-before-weight convention — documented ±1-micro-per-stratum
+    * truncation), so every cross-stratum reduction is an integer sum,
+    * order-independent in both engines; no integer product of two
+    * corpus-sized counts is ever formed (the per-stratum terms go
+    * through doubles, immune to the n1·m1 BIGINT overflow at ~3·10⁹
+    * rows/stratum). The OR ratio rides DECIMAL(38,0) (the q217 widen).
+    * Degenerate strata (N < 2) contribute zero, structurally.
+    *
+    * Scale shape: one corpus scan → strata-sized hash aggregate →
+    * strata-frame windows. The gated face is the q218 uplift fixture
+    * stratified by source, so CMH and Qini read the same experiment.
+    */
+  def cmhTest(rows: DataFrame, stratumCol: String, treatedCol: String,
+              outcomeCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val (aD, bD, cD, dD) = (col("a").cast("double"), col("b").cast("double"),
+      col("c").cast("double"), col("d").cast("double"))
+    val nD = aD + bD + cD + dD
+    rows
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        sum(when(col(treatedCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col(treatedCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(!col(treatedCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("c"),
+        sum(when(!col(treatedCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("d"))
+      .withColumn("e_micro", when(nD > 1,
+        floor((aD + bD) * (aD + cD) / nD * lit(1000000.0) + lit(0.5))
+          .cast("long")).otherwise(0L))
+      .withColumn("var_micro", when(nD > 1,
+        floor((aD + bD) * (cD + dD) * (aD + cD) * (bD + dD)
+          / (nD * nD * (nD - lit(1.0))) * lit(1000000.0) + lit(0.5))
+          .cast("long")).otherwise(0L))
+      .withColumn("ad_micro", when(nD > 0,
+        floor(aD * dD / nD * lit(1000000.0) + lit(0.5)).cast("long"))
+        .otherwise(0L))
+      .withColumn("bc_micro", when(nD > 0,
+        floor(bD * cD / nD * lit(1000000.0) + lit(0.5)).cast("long"))
+        .otherwise(0L))
+      .withColumn("sum_a", sum("a").over(wAll))
+      .withColumn("sum_e_micro", sum("e_micro").over(wAll))
+      .withColumn("sum_var_micro", sum("var_micro").over(wAll))
+      .withColumn("sum_ad_micro", sum("ad_micro").over(wAll))
+      .withColumn("sum_bc_micro", sum("bc_micro").over(wAll))
+      .withColumn("cmh_micro", when(col("sum_var_micro") > 0, floor(
+        (col("sum_a").cast("double") * lit(1000000.0)
+          - col("sum_e_micro").cast("double"))
+          * (col("sum_a").cast("double") * lit(1000000.0)
+            - col("sum_e_micro").cast("double"))
+          / (col("sum_var_micro").cast("double") * lit(1000000.0))
+          * lit(1000000.0) + lit(0.5)).cast("long")))
+      .withColumn("or_mh_micro", when(col("sum_bc_micro") > 0, expr(
+        """CAST((CAST(sum_ad_micro AS DECIMAL(38,0)) * 1000000)
+          | div sum_bc_micro AS BIGINT)""".stripMargin)))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        col("e_micro"), col("var_micro"), col("cmh_micro"),
+        col("or_mh_micro"))
+  }
+
+  /** Gated q226: the q218 synthetic uplift experiment (independent
+    * treatment channel, +10% boost for treated), stratified by source.
+    */
+  def sourceStratifiedCmh(spark: SparkSession, dir: String): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L
+    val rows = Tables.documents(spark, dir).select(
+        col("source"),
+        h(col("doc_id").cast("string")).as("score_micro"),
+        h(concat(lit("lbl:"), col("doc_id").cast("string"))).as("u"),
+        (h(concat(lit("trt:"), col("doc_id").cast("string"))) < 500000L)
+          .as("treated"))
+      .withColumn("outcome", col("u") < when(col("treated"),
+        least(col("score_micro") + 100000L, lit(1000000L)))
+        .otherwise(col("score_micro")))
+    cmhTest(rows, "source", "treated", "outcome")
+  }
+
+  private val cmhSql =
+    """WITH rows_ AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS u,
+      |    ('0x' || substr(md5('trt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 < 500000 AS treated
+      |  FROM documents
+      |),
+      |o AS (
+      |  SELECT source, treated,
+      |    u < CASE WHEN treated
+      |      THEN least(score_micro + 100000, 1000000)
+      |      ELSE score_micro END AS outcome
+      |  FROM rows_
+      |),
+      |t AS (
+      |  SELECT source AS stratum,
+      |    sum(CASE WHEN treated AND outcome THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN treated AND NOT outcome THEN 1 ELSE 0 END) AS b,
+      |    sum(CASE WHEN NOT treated AND outcome THEN 1 ELSE 0 END) AS c,
+      |    sum(CASE WHEN NOT treated AND NOT outcome THEN 1 ELSE 0 END) AS d
+      |  FROM o GROUP BY 1
+      |),
+      |m AS (
+      |  SELECT stratum, a, b, c, d,
+      |    CASE WHEN a + b + c + d > 1 THEN CAST(floor(
+      |      (a + b)::DOUBLE * (a + c)::DOUBLE / (a + b + c + d)::DOUBLE
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) ELSE 0 END
+      |      AS e_micro,
+      |    CASE WHEN a + b + c + d > 1 THEN CAST(floor(
+      |      (a + b)::DOUBLE * (c + d)::DOUBLE * (a + c)::DOUBLE
+      |      * (b + d)::DOUBLE
+      |      / ((a + b + c + d)::DOUBLE * (a + b + c + d)::DOUBLE
+      |         * ((a + b + c + d)::DOUBLE - 1.0::DOUBLE))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) ELSE 0 END
+      |      AS var_micro,
+      |    CASE WHEN a + b + c + d > 0 THEN CAST(floor(
+      |      a::DOUBLE * d::DOUBLE / (a + b + c + d)::DOUBLE
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) ELSE 0 END
+      |      AS ad_micro,
+      |    CASE WHEN a + b + c + d > 0 THEN CAST(floor(
+      |      b::DOUBLE * c::DOUBLE / (a + b + c + d)::DOUBLE
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) ELSE 0 END
+      |      AS bc_micro
+      |  FROM t
+      |),
+      |w AS (
+      |  SELECT *, sum(a) OVER () AS sum_a,
+      |    sum(e_micro) OVER () AS sum_e_micro,
+      |    sum(var_micro) OVER () AS sum_var_micro,
+      |    sum(ad_micro) OVER () AS sum_ad_micro,
+      |    sum(bc_micro) OVER () AS sum_bc_micro
+      |  FROM m
+      |)
+      |SELECT stratum, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+      |  e_micro, var_micro,
+      |  CASE WHEN sum_var_micro > 0 THEN CAST(floor(
+      |    (sum_a::DOUBLE * 1000000.0::DOUBLE - sum_e_micro::DOUBLE)
+      |    * (sum_a::DOUBLE * 1000000.0::DOUBLE - sum_e_micro::DOUBLE)
+      |    / (sum_var_micro::DOUBLE * 1000000.0::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS cmh_micro,
+      |  CASE WHEN sum_bc_micro > 0 THEN CAST(
+      |    (sum_ad_micro::HUGEINT * 1000000) // sum_bc_micro AS BIGINT)
+      |    END AS or_mh_micro
+      |FROM w""".stripMargin
+
+  // --------------------------------------------------------------- q227
+  /** Hill tail-index estimator — "how heavy is the tail?" as a number:
+    * for the k largest values x₍₁₎ ≥ … ≥ x₍ₖ₎ above the threshold
+    * x₍ₖ₊₁₎, Ĥ = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) and the tail exponent
+    * α̂ = 1/Ĥ (Hill 1975). α ≤ 2 means infinite variance — means and
+    * z-tests on that column are lies; α large means a thin tail a
+    * truncation cap won't distort. The number a pipeline reads before
+    * trusting q192's bootstrap or capping document lengths.
+    *
+    * Exactness: each of the k+1 order statistics takes ONE
+    * floored-micro-nat log (the q195 discipline), after which
+    * Ĥ_micro = (Σlᵢ − k·l₍ₖ₊₁₎) div k and α_micro = 10¹² div Ĥ_micro
+    * are pure integer arithmetic — identical in both engines.
+    *
+    * Scale shape — the reason this uses [[graft.functions.TopK]]: order
+    * statistics via a rank window would shuffle and sort the corpus per
+    * group; the bounded-heap Aggregator is partial-aggregable, so the
+    * exchange carries ≤ (k+1)·groups·partitions rows — top-101 over any
+    * corpus size shuffles effectively nothing. Groups with fewer than
+    * k+1 qualifying rows report null (underpowered, not zero).
+    */
+  def hillTailIndex(spark: SparkSession, perRow: DataFrame, groupCol: String,
+                    valueCol: String, idCol: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val top = graft.functions.TopK.grouped(
+      perRow.filter(col(valueCol) >= 1L), Seq(groupCol),
+      col(valueCol).cast("double"), col(idCol), lit(0L), k + 1)
+      .withColumn("l_micro",
+        floor(log(col("score")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    top
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_top"),
+        sum(when(col("rank") <= k, col("l_micro"))).as("sum_l"),
+        max(when(col("rank") === k + 1, col("l_micro"))).as("l_k1"),
+        max(when(col("rank") === k + 1, col("score"))).cast("long")
+          .as("x_k1"))
+      .withColumn("h_micro", when(col("n_top") === k + 1,
+        expr(s"(sum_l - $k * l_k1) div $k")))
+      .withColumn("alpha_micro", when(col("h_micro") > 0,
+        expr("1000000000000 div h_micro")))
+      .select(col(groupCol), col("n_top"), col("x_k1"), col("h_micro"),
+        col("alpha_micro"))
+  }
+
+  /** Gated q227: tail exponent of order spend (cents) per market
+    * segment — k = 100 top orders per segment.
+    */
+  def spendTailIndex(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    hillTailIndex(spark, rows, "segment", "cents", "o_orderkey")
+  }
+
+  private val spendTailSql =
+    """WITH rows_ AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+      |    o.o_orderkey
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE round(o.o_totalprice * 100) >= 1
+      |),
+      |r AS (
+      |  SELECT segment, cents,
+      |    CAST(row_number() OVER (PARTITION BY segment
+      |      ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rank,
+      |    CAST(floor(ln(cents::DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT) AS l_micro
+      |  FROM rows_
+      |  QUALIFY rank <= 101
+      |),
+      |s AS (
+      |  SELECT segment, count(*) AS n_top,
+      |    sum(CASE WHEN rank <= 100 THEN l_micro END) AS sum_l,
+      |    max(CASE WHEN rank = 101 THEN l_micro END) AS l_k1,
+      |    max(CASE WHEN rank = 101 THEN cents END) AS x_k1
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT segment, CAST(n_top AS BIGINT) AS n_top,
+      |  CAST(x_k1 AS BIGINT) AS x_k1,
+      |  CASE WHEN n_top = 101
+      |    THEN CAST((sum_l - 100 * l_k1) // 100 AS BIGINT) END AS h_micro,
+      |  CASE WHEN n_top = 101 AND (sum_l - 100 * l_k1) // 100 > 0
+      |    THEN CAST(1000000000000 // ((sum_l - 100 * l_k1) // 100) AS BIGINT)
+      |    END AS alpha_micro
+      |FROM s""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q227_hill_tail", spendTailIndex _, Some(spendTailSql)),
+    NamedQuery("q226_cmh_stratified", sourceStratifiedCmh _, Some(cmhSql)),
     NamedQuery("q221_cochran_armitage", priorityBigOrderTrend _,
       Some(priorityTrendSql)),
     NamedQuery("q217_lorenz_deciles", customerSpendLorenz _,

@@ -1215,6 +1215,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(s225.scans <= 3 && s225.shuffles <= 6, s"q225 regressed: $s225")
   }
 
+  test("q226 CMH stays strata-frame shaped") {
+    val s = stats("q226_cmh_stratified")
+    assert(s.nestedLoops == 0 && s.singleParts <= 4, s"q226 regressed: $s")
+    assert(s.scans <= 3 && s.shuffles <= 6, s"q226 regressed: $s")
+  }
+
+  test("q227 Hill tail: bounded-heap aggregate, no corpus window") {
+    // The TopK Aggregator partial-aggregates; no single-partition
+    // exchange anywhere (the window form would corpus-sort per group).
+    val s = stats("q227_hill_tail")
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q227 regressed: $s")
+    assert(s.scans <= 6 && s.shuffles <= 6, s"q227 regressed: $s")
+  }
+
   test("q211 Zipf slope: vocab-bounded window, no corpus sort") {
     // Audited: scans=2 shuffles=4 (token agg + per-source vocab window +
     // the R-row OLS aggregate). The rank window's input is the

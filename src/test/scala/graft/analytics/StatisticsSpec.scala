@@ -556,6 +556,89 @@ class StatisticsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------- hillTailIndex
+
+  test("hillTailIndex: hand k=2 estimate over micro-floored logs") {
+    // Top-3 of {100,50,25,10,5}: H = ((l100 - l25) + (l50 - l25)) / 2
+    // = 1039720 micro-nats; alpha = 1e12 div H = 961797.
+    val rows = Seq(100L, 50L, 25L, 10L, 5L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
+    val out = Statistics.hillTailIndex(spark, rows, "g", "v", "id", k = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_top") == 3L)
+    assert(out.getAs[Long]("x_k1") == 25L)
+    assert(out.getAs[Long]("h_micro") == 1039720L)
+    assert(out.getAs[Long]("alpha_micro") == 961797L)
+  }
+
+  test("hillTailIndex: underpowered group reports null, not a guess") {
+    val rows = Seq(("g", 10L, 1L), ("g", 5L, 2L)).toDF("g", "v", "id")
+    val out = Statistics.hillTailIndex(spark, rows, "g", "v", "id", k = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_top") == 2L)
+    assert(out.isNullAt(out.fieldIndex("h_micro")))
+    assert(out.isNullAt(out.fieldIndex("alpha_micro")))
+  }
+
+  test("hillTailIndex: heavier synthetic tail scores lower alpha") {
+    // Pareto-ish alpha=1 tail (x = N/i) vs thin geometric-ish tail.
+    val heavy = (1 to 300).map(i => ("h", (30000L / i).max(1L), i.toLong))
+    val thin = (1 to 300).map(i => ("t", 1000L + i % 7L, 1000L + i.toLong))
+    val out = Statistics.hillTailIndex(spark, (heavy ++ thin)
+      .toDF("g", "v", "id"), "g", "v", "id")
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Long]("alpha_micro")).toMap
+    assert(out("h") < out("t"),
+      s"heavy tail must score a smaller exponent: $out")
+  }
+
+  // ----------------------------------------------------------- cmhTest
+
+  test("cmhTest: hand single-stratum table") {
+    // a=10 b=5 c=5 d=10: E = 7.5, Var = 50625/26100 = 1.939655...,
+    // CMH = 2.5^2/Var = 3.222223 (over the floored var_micro); OR_MH = 4.
+    val rows = (Seq.fill(10)(("s", true, true)) ++
+      Seq.fill(5)(("s", true, false)) ++ Seq.fill(5)(("s", false, true)) ++
+      Seq.fill(10)(("s", false, false))).toDF("g", "trt", "out")
+    val r = Statistics.cmhTest(rows, "g", "trt", "out").collect().head
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")) == ((10L, 5L, 5L, 10L)))
+    assert(r.getAs[Long]("e_micro") == 7500000L)
+    assert(r.getAs[Long]("var_micro") == 1939655L)
+    assert(r.getAs[Long]("cmh_micro") == 3222223L)
+    assert(r.getAs[Long]("or_mh_micro") == 4000001L)
+  }
+
+  test("cmhTest: no association scores zero; pooling beats collapsing") {
+    val flat = (Seq.fill(5)(("s", true, true)) ++
+      Seq.fill(5)(("s", true, false)) ++ Seq.fill(5)(("s", false, true)) ++
+      Seq.fill(5)(("s", false, false))).toDF("g", "trt", "out")
+    val r0 = Statistics.cmhTest(flat, "g", "trt", "out").collect().head
+    assert(r0.getAs[Long]("cmh_micro") == 0L)
+    // Two strata with the SAME within-stratum effect: CMH pools — the
+    // statistic grows with the evidence (two strata > one stratum).
+    def stratum(g: String) = Seq.fill(10)((g, true, true)) ++
+      Seq.fill(5)((g, true, false)) ++ Seq.fill(5)((g, false, true)) ++
+      Seq.fill(10)((g, false, false))
+    val one = Statistics.cmhTest(stratum("a").toDF("g", "trt", "out"),
+      "g", "trt", "out").collect().head.getAs[Long]("cmh_micro")
+    val two = Statistics.cmhTest((stratum("a") ++ stratum("b"))
+      .toDF("g", "trt", "out"), "g", "trt", "out")
+      .collect().head.getAs[Long]("cmh_micro")
+    assert(two > one, s"pooled evidence must grow the statistic: $two vs $one")
+  }
+
+  test("cmhTest: gated face detects the planted +10% uplift") {
+    // sf0.1 (5,000 docs) — the +10% boost is decisive there (CMH ≈ 53);
+    // sf0.001's 60 docs are honestly underpowered for a 0.1 effect.
+    val out = Statistics.sourceStratifiedCmh(spark, "/root/testdata/sf0.1")
+      .collect()
+    // chi-square_1 at p=0.001 is 10.83; the planted effect is far above.
+    assert(out.head.getAs[Long]("cmh_micro") > 10830000L)
+    // OR_MH > 1: treatment raises the outcome odds in every stratum.
+    assert(out.head.getAs[Long]("or_mh_micro") > 1000000L)
+  }
+
   // --------------------------------------------------- cochranArmitage
 
   test("cochranArmitage: hand two-band trend z") {
