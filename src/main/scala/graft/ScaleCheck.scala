@@ -71,7 +71,17 @@ object ScaleCheck {
     // corpus joins the score-domain offsets, work ∝ rows) and the two
     // corpus-scale token aggregations (Chao1 freq-of-freq, coverage-curve
     // vocab window — both Heaps-sublinear past the first agg).
-    "q218_qini_uplift", "q219_chao1_richness", "q222_coverage_curve")
+    "q218_qini_uplift", "q219_chao1_richness", "q222_coverage_curve",
+    // round-10 session-2 (cont.): the value-domain rank test, the
+    // entity-grain ntile, the fp-grain growth probe, the strata-frame
+    // CMH, and the bounded-heap Hill estimator — every corpus-scale
+    // addition gets a measured decade on arrival.
+    "q214_kruskal_wallis", "q217_lorenz_deciles", "q225_dedup_growth",
+    "q226_cmh_stratified", "q227_hill_tail",
+    // session-2 (cont.): the per-block rank test and the exact-median
+    // test — both collapse to calendar/domain frames after one
+    // corpus-proportional aggregate.
+    "q228_friedman_test", "q230_moods_median")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

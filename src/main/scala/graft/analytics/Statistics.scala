@@ -2072,7 +2072,363 @@ object Statistics {
       |    END AS alpha_micro
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q228
+  /** Friedman rank test — the repeated-measures member of the rank
+    * battery: q214's Kruskal–Wallis pools INDEPENDENT samples, but when
+    * the same k treatments are observed in every block (the same
+    * segments every week), between-block level shifts swamp KW; Friedman
+    * ranks WITHIN each block first, so only the consistent ordering
+    * survives: χ²_F = 12/(bk(k+1))·ΣR_j² − 3b(k+1), plus Kendall's
+    * W = χ²/(b(k−1)) as the 0–1 concordance effect size.
+    *
+    * Ranks are plain row_number under the deterministic total order
+    * (value, treatment) — the documented convention for the
+    * integer-exact variant (same choice as q105's tie-broken Spearman);
+    * R_j and ΣR_j² are exact BIGINT (blocks are calendar-bounded, so
+    * ΣR_j² ≤ k·(bk)² never approaches 2⁶³); χ²/W are one fixed double
+    * sequence each over those integers. Only COMPLETE blocks (all k
+    * treatments present) enter, by construction of the block filter.
+    *
+    * Scale shape: fact scan → (block, treatment) aggregate → rank
+    * window inside each block (parallel across blocks, k rows each) →
+    * treatment-frame rollup.
+    */
+  def friedmanTest(cells: DataFrame, blockCol: String, treatCol: String,
+                   valueCol: String): DataFrame = {
+    val wBlock = Window.partitionBy(blockCol)
+    val wRank = Window.partitionBy(blockCol)
+      .orderBy(col(valueCol), col(treatCol))
+    val wAll = Window.partitionBy()
+    val complete = cells
+      .withColumn("k_chk", count(lit(1)).over(wBlock))
+      .withColumn("k_all",
+        size(collect_set(col(treatCol)).over(wAll)).cast("long"))
+      .filter(col("k_chk") === col("k_all"))
+    complete
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .groupBy(col(treatCol).as("treatment"))
+      .agg(count(lit(1)).as("b_blocks"), sum("rk").as("r_sum"))
+      .withColumn("k_treat", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("sum_r2",
+        sum(col("r_sum") * col("r_sum")).over(wAll))
+      .withColumn("mean_rank_micro", expr(
+        """(r_sum div b_blocks) * 1000000
+          | + (1000000 * (r_sum - (r_sum div b_blocks) * b_blocks))
+          |   div b_blocks""".stripMargin))
+      .withColumn("chi2_micro", floor(
+        lit(12.0) * col("sum_r2").cast("double")
+          / (col("b_blocks").cast("double") * col("k_treat").cast("double")
+            * (col("k_treat").cast("double") + lit(1.0)))
+          * lit(1000000.0)
+          - lit(3000000.0) * col("b_blocks").cast("double")
+          * (col("k_treat").cast("double") + lit(1.0)) + lit(0.5))
+        .cast("long"))
+      .withColumn("w_ppm", floor(
+        (lit(12.0) * col("sum_r2").cast("double")
+          / (col("b_blocks").cast("double") * col("k_treat").cast("double")
+            * (col("k_treat").cast("double") + lit(1.0)))
+          - lit(3.0) * col("b_blocks").cast("double")
+          * (col("k_treat").cast("double") + lit(1.0)))
+          / (col("b_blocks").cast("double")
+            * (col("k_treat").cast("double") - lit(1.0)))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("treatment"), col("b_blocks"), col("r_sum"),
+        col("mean_rank_micro"), col("chi2_micro"), col("w_ppm"))
+  }
+
+  /** Gated q228: do the market segments keep a consistent weekly revenue
+    * ordering? Blocks = ISO weeks with all segments present.
+    */
+  def segmentWeeklyFriedman(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    friedmanTest(cells, "week", "segment", "cents")
+  }
+
+  private val friedmanSql =
+    """WITH cells AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    date_trunc('week', o.o_orderdate)::DATE AS week,
+      |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |complete AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY week) AS k_chk,
+      |      CAST((SELECT count(DISTINCT segment) FROM cells) AS BIGINT)
+      |        AS k_all
+      |    FROM cells)
+      |  WHERE k_chk = k_all
+      |),
+      |ranked AS (
+      |  SELECT segment,
+      |    CAST(row_number() OVER (PARTITION BY week ORDER BY cents, segment)
+      |      AS BIGINT) AS rk
+      |  FROM complete
+      |),
+      |s AS (
+      |  SELECT segment AS treatment, count(*) AS b_blocks, sum(rk) AS r_sum
+      |  FROM ranked GROUP BY 1
+      |),
+      |w AS (
+      |  SELECT *, CAST(count(*) OVER () AS BIGINT) AS k_treat,
+      |    sum(r_sum * r_sum) OVER () AS sum_r2
+      |  FROM s
+      |)
+      |SELECT treatment, CAST(b_blocks AS BIGINT) AS b_blocks,
+      |  CAST(r_sum AS BIGINT) AS r_sum,
+      |  CAST((r_sum // b_blocks) * 1000000
+      |    + (1000000 * (r_sum - (r_sum // b_blocks) * b_blocks))
+      |      // b_blocks AS BIGINT) AS mean_rank_micro,
+      |  CAST(floor(
+      |    12.0::DOUBLE * sum_r2::DOUBLE
+      |    / (b_blocks::DOUBLE * k_treat::DOUBLE
+      |       * (k_treat::DOUBLE + 1.0::DOUBLE))
+      |    * 1000000.0::DOUBLE
+      |    - 3000000.0::DOUBLE * b_blocks::DOUBLE
+      |      * (k_treat::DOUBLE + 1.0::DOUBLE) + 0.5::DOUBLE) AS BIGINT)
+      |    AS chi2_micro,
+      |  CAST(floor(
+      |    (12.0::DOUBLE * sum_r2::DOUBLE
+      |     / (b_blocks::DOUBLE * k_treat::DOUBLE
+      |        * (k_treat::DOUBLE + 1.0::DOUBLE))
+      |     - 3.0::DOUBLE * b_blocks::DOUBLE
+      |       * (k_treat::DOUBLE + 1.0::DOUBLE))
+      |    / (b_blocks::DOUBLE * (k_treat::DOUBLE - 1.0::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS w_ppm
+      |FROM w""".stripMargin
+
+  // --------------------------------------------------------------- q229
+  /** Overdispersion (variance-to-mean) check — the Poisson-sanity gate a
+    * count monitor runs before alerting off "±3σ of a Poisson": event
+    * counts with hidden clustering carry variance ≫ mean, and a
+    * Poisson-calibrated alarm on them pages every night. D = s²/x̄ per
+    * group over the daily-count series, with the Poisson-null
+    * z = (D−1)·√((n−1)/2) — D ≈ 1 means Poisson alarms are honest,
+    * D ≫ 1 means switch to a negative-binomial (or q60's empirical-σ)
+    * threshold.
+    *
+    * Exactness: n/Σc/Σc² are exact BIGINT sufficient sums (counts are
+    * day-grain, so Σc² is calendar-bounded × daily-rate² — documented
+    * headroom c ≤ ~3·10⁹/day); s² uses the n·Σc² − (Σc)² identity and
+    * D/z are fixed double sequences floored to micro. Series with n < 2
+    * or x̄ = 0 report null.
+    *
+    * Scale shape: fact scan → (group, day) count → group rollup. The
+    * q177/q220 monitoring family shape.
+    */
+  def overdispersion(perT: DataFrame, groupCol: String,
+                     countCol: String): DataFrame = {
+    val (nD, sD, ssD) = (col("n_days").cast("double"),
+      col("sum_c").cast("double"), col("sum_c2").cast("double"))
+    val varD = (nD * ssD - sD * sD) / (nD * (nD - lit(1.0)))
+    val meanD = sD / nD
+    perT
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"), sum(col(countCol)).as("sum_c"),
+        sum(col(countCol) * col(countCol)).as("sum_c2"))
+      .withColumn("mean_micro", expr(
+        """(sum_c div n_days) * 1000000
+          | + (1000000 * (sum_c - (sum_c div n_days) * n_days))
+          |   div n_days""".stripMargin))
+      .withColumn("dispersion_micro",
+        when(col("n_days") > 1 && col("sum_c") > 0,
+          floor(varD / meanD * lit(1000000.0) + lit(0.5)).cast("long")))
+      .withColumn("z_micro",
+        when(col("n_days") > 1 && col("sum_c") > 0,
+          floor((varD / meanD - lit(1.0))
+            * sqrt((nD - lit(1.0)) / lit(2.0))
+            * lit(1000000.0) + lit(0.5)).cast("long")))
+  }
+
+  /** Gated q229: are daily order counts per segment Poisson-dispersed? */
+  def segmentOrderDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    overdispersion(daily, "segment", "c")
+  }
+
+  private val dispersionSql =
+    """WITH daily AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderdate::DATE AS day,
+      |    count(*) AS c
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |s AS (
+      |  SELECT segment, count(*) AS n_days, sum(c) AS sum_c,
+      |    sum(c * c) AS sum_c2
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT segment, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(sum_c AS BIGINT) AS sum_c, CAST(sum_c2 AS BIGINT) AS sum_c2,
+      |  CAST((sum_c // n_days) * 1000000
+      |    + (1000000 * (sum_c - (sum_c // n_days) * n_days))
+      |      // n_days AS BIGINT) AS mean_micro,
+      |  CASE WHEN n_days > 1 AND sum_c > 0 THEN CAST(floor(
+      |    (n_days::DOUBLE * sum_c2::DOUBLE - sum_c::DOUBLE * sum_c::DOUBLE)
+      |    / (n_days::DOUBLE * (n_days::DOUBLE - 1.0::DOUBLE))
+      |    / (sum_c::DOUBLE / n_days::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END
+      |    AS dispersion_micro,
+      |  CASE WHEN n_days > 1 AND sum_c > 0 THEN CAST(floor(
+      |    ((n_days::DOUBLE * sum_c2::DOUBLE - sum_c::DOUBLE * sum_c::DOUBLE)
+      |     / (n_days::DOUBLE * (n_days::DOUBLE - 1.0::DOUBLE))
+      |     / (sum_c::DOUBLE / n_days::DOUBLE) - 1.0::DOUBLE)
+      |    * sqrt((n_days::DOUBLE - 1.0::DOUBLE) / 2.0::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS z_micro
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- q230
+  /** Mood's median test — the robust k-group location test for when even
+    * ranks are too much structure: count each group's rows above vs
+    * at-or-below the GRAND median and chi-square the k×2 table. Blunter
+    * than Kruskal–Wallis but immune to extreme tails and trivially
+    * interpretable ("which groups sit above the corpus median?") — the
+    * pair of numbers an SLA review reads.
+    *
+    * The grand median is EXACT and sort-free via the q214 value-domain
+    * trick: per distinct value, a prefix sum over the (price-bounded)
+    * domain frame; the median is the first value whose cumulative count
+    * reaches ⌈N/2⌉ — division-free as 2·cum ≥ N. Group counts
+    * above/at-or-below are exact BIGINT; the χ² statistic over the k×2
+    * table uses the q205 per-group fixed-double-floor discipline
+    * (expected counts are one double sequence per cell, floored to
+    * micro, integer-summed).
+    *
+    * Scale shape: one corpus scan → (group, value) cells (the q214
+    * localCheckpoint) → domain-frame median window → k-row rollup.
+    */
+  def moodsMedianTest(perRow: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame = {
+    val cells = perRow
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint()
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val median = cells.groupBy("v").agg(sum("n_gv").as("t_v"))
+      .withColumn("cum", sum("t_v").over(wCum))
+      .withColumn("n_tot", sum("t_v").over(Window.partitionBy()))
+      .filter(col("cum") * 2L >= col("n_tot"))
+      .agg(min("v").as("median_v"))
+    val wAll = Window.partitionBy()
+    val chi2 = {
+      // Expected above-count per group: n_g·tot_above/N; the cell terms
+      // (obs−exp)²/exp for both cells, each ONE fixed double sequence
+      // floored to micro, then integer-summed across groups.
+      val (nG, aG) = (col("n_g").cast("double"), col("above_g").cast("double"))
+      val (nT, aT) = (col("n_tot").cast("double"),
+        col("tot_above").cast("double"))
+      val eA = nG * aT / nT
+      val eB = nG * (nT - aT) / nT
+      val termA = (aG - eA) * (aG - eA) / eA
+      val termB = ((nG - aG) - eB) * ((nG - aG) - eB) / eB
+      floor((termA + termB) * lit(1000000.0) + lit(0.5)).cast("long")
+    }
+    cells
+      .crossJoin(broadcast(median))
+      .groupBy(col("g"))
+      .agg(sum("n_gv").as("n_g"),
+        sum(when(col("v") > col("median_v"), col("n_gv")).otherwise(0L))
+          .as("above_g"),
+        max("median_v").as("median_v"))
+      .withColumn("n_tot", sum("n_g").over(wAll))
+      .withColumn("tot_above", sum("above_g").over(wAll))
+      .withColumn("above_ppm", expr("(1000000 * above_g) div n_g"))
+      .withColumn("term_micro",
+        when(col("tot_above") > 0 && col("tot_above") < col("n_tot"), chi2))
+      .withColumn("chi2_micro", sum("term_micro").over(wAll))
+      .select(col("g"), col("n_g"), col("above_g"), col("median_v"),
+        col("above_ppm"), col("term_micro"), col("chi2_micro"))
+  }
+
+  /** Gated q230: do the market segments split evenly around the grand
+    * median order value (whole dollars — the domain-bounding unit)?
+    */
+  def segmentMedianTest(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+    moodsMedianTest(rows, "segment", "dollars")
+  }
+
+  private val moodsMedianSql =
+    """WITH rows_ AS (
+      |  SELECT c.c_mktsegment AS g,
+      |    CAST(floor(o.o_totalprice) AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |cells AS (
+      |  SELECT g, v, count(*) AS n_gv FROM rows_ GROUP BY 1, 2
+      |),
+      |vt AS (
+      |  SELECT v, sum(n_gv) AS t_v FROM cells GROUP BY 1
+      |),
+      |med AS (
+      |  SELECT min(v) AS median_v FROM (
+      |    SELECT v,
+      |      sum(t_v) OVER (ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(t_v) OVER () AS n_tot
+      |    FROM vt)
+      |  WHERE cum * 2 >= n_tot
+      |),
+      |grp AS (
+      |  SELECT g, sum(n_gv) AS n_g,
+      |    sum(CASE WHEN v > (SELECT median_v FROM med)
+      |      THEN n_gv ELSE 0 END) AS above_g,
+      |    (SELECT median_v FROM med) AS median_v
+      |  FROM cells GROUP BY 1
+      |),
+      |w AS (
+      |  SELECT *, sum(n_g) OVER () AS n_tot,
+      |    sum(above_g) OVER () AS tot_above
+      |  FROM grp
+      |),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN tot_above > 0 AND tot_above < n_tot THEN CAST(floor(
+      |      ((above_g::DOUBLE - n_g::DOUBLE * tot_above::DOUBLE / n_tot::DOUBLE)
+      |       * (above_g::DOUBLE - n_g::DOUBLE * tot_above::DOUBLE / n_tot::DOUBLE)
+      |       / (n_g::DOUBLE * tot_above::DOUBLE / n_tot::DOUBLE)
+      |       + ((n_g - above_g)::DOUBLE
+      |          - n_g::DOUBLE * (n_tot - tot_above)::DOUBLE / n_tot::DOUBLE)
+      |         * ((n_g - above_g)::DOUBLE
+      |            - n_g::DOUBLE * (n_tot - tot_above)::DOUBLE / n_tot::DOUBLE)
+      |         / (n_g::DOUBLE * (n_tot - tot_above)::DOUBLE / n_tot::DOUBLE))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS term_micro
+      |  FROM w
+      |)
+      |SELECT g, CAST(n_g AS BIGINT) AS n_g,
+      |  CAST(above_g AS BIGINT) AS above_g,
+      |  CAST(median_v AS BIGINT) AS median_v,
+      |  CAST((1000000 * above_g) // n_g AS BIGINT) AS above_ppm,
+      |  term_micro,
+      |  CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro
+      |FROM t""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q230_moods_median", segmentMedianTest _,
+      Some(moodsMedianSql)),
+    NamedQuery("q229_overdispersion", segmentOrderDispersion _,
+      Some(dispersionSql)),
+    NamedQuery("q228_friedman_test", segmentWeeklyFriedman _,
+      Some(friedmanSql)),
     NamedQuery("q227_hill_tail", spendTailIndex _, Some(spendTailSql)),
     NamedQuery("q226_cmh_stratified", sourceStratifiedCmh _, Some(cmhSql)),
     NamedQuery("q221_cochran_armitage", priorityBigOrderTrend _,

@@ -1217,6 +1217,114 @@ object TimeSeries {
       |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS z_micro
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q231
+  /** Mann–Kendall trend test — the SIGNIFICANCE companion to q203's
+    * Theil–Sen slope: Theil–Sen answers "how steep?", this answers "is
+    * there a monotone trend at all?" without assuming linearity or any
+    * distribution: S = Σ_{i<j} sign(y_j − y_i) over time pairs, with the
+    * tie-corrected null variance
+    * Var = [n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)]/18 and the
+    * continuity-corrected z = (S ∓ 1)/√Var. The standard pairing in
+    * hydrology/monitoring — a pipeline flags a metric when |z| clears
+    * the gate and then reads q203's slope for the magnitude.
+    *
+    * Exactness: S, n, and the tie cubes are exact BIGINT (tie groups
+    * come from the same per-(key, value) aggregate discipline as q214);
+    * z is one fixed double sequence floored to micro. S = 0 or Var ≤ 0
+    * reports z = 0 / null respectively.
+    *
+    * Scale shape: the q203 shape exactly — the calendar-bounded weekly
+    * frame is localCheckpointed by the caller, pairs are per-key within
+    * that frame (≤ weeks²/2 per key at ANY corpus scale), plus one
+    * (key, value) tie aggregate.
+    */
+  def mannKendall(perX: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val l = perX.select(col(keyCol).as("k"), col(xCol).cast("long").as("x1"),
+      col(yCol).cast("long").as("y1"))
+    val r = perX.select(col(keyCol).as("k2"), col(xCol).cast("long").as("x2"),
+      col(yCol).cast("long").as("y2"))
+    val s = l.join(broadcast(r), col("k") === col("k2") && col("x2") > col("x1"))
+      .groupBy(col("k"))
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s_stat"))
+    val ties = perX
+      .groupBy(col(keyCol).as("k3"), col(yCol).as("yv"))
+      .agg(count(lit(1)).as("t_v"))
+      .groupBy(col("k3"))
+      .agg(count(lit(1)).as("n_distinct"), sum("t_v").as("n_obs"),
+        sum(col("t_v") * (col("t_v") - 1L) * (col("t_v") * 2L + 5L))
+          .as("tie_term"))
+    val (sD, nD, tD) = (col("s_stat").cast("double"),
+      col("n_obs").cast("double"), col("tie_term").cast("double"))
+    val varD = (nD * (nD - lit(1.0)) * (nD * 2.0 + lit(5.0)) - tD) / lit(18.0)
+    s.join(broadcast(ties), col("k") === col("k3"))
+      .withColumn("z_micro",
+        when(col("s_stat") === 0L, 0L)
+          .when(varD > 0, floor(
+            (sD - signum(sD)) / sqrt(varD) * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .select(col("k"), col("n_obs"), col("n_distinct"), col("s_stat"),
+        col("tie_term"), col("z_micro"))
+  }
+
+  /** Gated q231: is weekly segment revenue monotonically trending? Reads
+    * next to q203's Theil–Sen slope over the identical weekly frame.
+    */
+  def revenueMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        (datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")) / 7).cast("long").as("week_i"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    mannKendall(weekly, "segment", "week_i", "cents")
+      .select(col("k").as("segment"), col("n_obs"), col("n_distinct"),
+        col("s_stat"), col("tie_term"), col("z_micro"))
+  }
+
+  private val mannKendallSql =
+    """WITH weekly AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    CAST(datediff('day', DATE '1970-01-01', o.o_orderdate::DATE) // 7
+      |      AS BIGINT) AS week_i,
+      |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |s AS (
+      |  SELECT a.segment AS k,
+      |    sum(CASE WHEN b.cents > a.cents THEN 1
+      |             WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS s_stat
+      |  FROM weekly a JOIN weekly b
+      |    ON b.segment = a.segment AND b.week_i > a.week_i
+      |  GROUP BY 1
+      |),
+      |ties AS (
+      |  SELECT segment AS k3, count(*) AS n_distinct, sum(t_v) AS n_obs,
+      |    sum(t_v * (t_v - 1) * (t_v * 2 + 5)) AS tie_term
+      |  FROM (SELECT segment, cents, count(*) AS t_v
+      |        FROM weekly GROUP BY 1, 2)
+      |  GROUP BY 1
+      |)
+      |SELECT s.k AS segment, CAST(t.n_obs AS BIGINT) AS n_obs,
+      |  CAST(t.n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(s.s_stat AS BIGINT) AS s_stat,
+      |  CAST(t.tie_term AS BIGINT) AS tie_term,
+      |  CASE WHEN s.s_stat = 0 THEN 0
+      |    WHEN (t.n_obs::DOUBLE * (t.n_obs::DOUBLE - 1.0::DOUBLE)
+      |          * (t.n_obs::DOUBLE * 2.0::DOUBLE + 5.0::DOUBLE)
+      |          - t.tie_term::DOUBLE) / 18.0::DOUBLE > 0
+      |    THEN CAST(floor(
+      |      (s.s_stat::DOUBLE - CASE WHEN s.s_stat > 0 THEN 1.0::DOUBLE
+      |        WHEN s.s_stat < 0 THEN -1.0::DOUBLE ELSE 0.0::DOUBLE END)
+      |      / sqrt((t.n_obs::DOUBLE * (t.n_obs::DOUBLE - 1.0::DOUBLE)
+      |              * (t.n_obs::DOUBLE * 2.0::DOUBLE + 5.0::DOUBLE)
+      |              - t.tie_term::DOUBLE) / 18.0::DOUBLE)
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS z_micro
+      |FROM s JOIN ties t ON t.k3 = s.k""".stripMargin
+
   // --------------------------------------------------------------- q184
   /** Forecast backtest — the "is the model better than doing nothing?"
     * harness: replay the truncated-EWMA forecaster (the q176 kernel) and
@@ -1608,6 +1716,8 @@ object TimeSeries {
       Some(weeklyEwmaForecastSql)),
     NamedQuery("q177_cusum_drift", revenueCusum _, Some(revenueCusumSql)),
     NamedQuery("q220_runs_test", revenueRunsTest _, Some(revenueRunsSql)),
+    NamedQuery("q231_mann_kendall", revenueMannKendall _,
+      Some(mannKendallSql)),
     NamedQuery("q136_decayed_revenue", (s, d) => decayedRevenue(s, d),
       Some(decayedRevenueSql)),
     NamedQuery("q114_lead_lag_corr", viewPurchaseLeadLag _,

@@ -1221,6 +1221,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 3 && s.shuffles <= 6, s"q226 regressed: $s")
   }
 
+  test("q231 Mann-Kendall: calendar-bounded pair frame, no corpus sort") {
+    // The q203 shape: weekly frame checkpointed (scans=0), per-key pair
+    // join broadcast, plus the (key, value) tie aggregate.
+    val s = stats("q231_mann_kendall")
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q231 regressed: $s")
+    assert(s.scans <= 3 && s.shuffles <= 12, s"q231 regressed: $s")
+  }
+
+  test("q230 Mood's median: domain-frame median, no corpus sort") {
+    // NLJs = the one-row median broadcast; singleParts carry the
+    // price-bounded dollar domain (the q214 rationale); scans=0 behind
+    // the localCheckpointed cells aggregate.
+    val s = stats("q230_moods_median")
+    assert(s.nestedLoops <= 2 && s.singleParts <= 6, s"q230 regressed: $s")
+    assert(s.scans <= 3 && s.shuffles <= 12, s"q230 regressed: $s")
+  }
+
+  test("q229 overdispersion stays aggregate shaped") {
+    val s = stats("q229_overdispersion")
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q229 regressed: $s")
+    assert(s.scans <= 6 && s.shuffles <= 8, s"q229 regressed: $s")
+  }
+
+  test("q228 Friedman: per-block rank windows, treatment-frame rollup") {
+    // Blocks are calendar-bounded; the rank window partitions by block
+    // (k rows each); singleParts carry the treatment frame.
+    val s = stats("q228_friedman_test")
+    assert(s.nestedLoops == 0 && s.singleParts <= 4, s"q228 regressed: $s")
+    assert(s.scans <= 6 && s.shuffles <= 10, s"q228 regressed: $s")
+  }
+
   test("q227 Hill tail: bounded-heap aggregate, no corpus window") {
     // The TopK Aggregator partial-aggregates; no single-partition
     // exchange anywhere (the window form would corpus-sort per group).

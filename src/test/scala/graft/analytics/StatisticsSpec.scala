@@ -556,6 +556,92 @@ class StatisticsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------- moodsMedianTest
+
+  test("moodsMedianTest: hand k=2 split around the exact grand median") {
+    // g1 = {1,2,3,4}, g2 = {5,6,7,8}: N = 8, lower median = 4 (first v
+    // with 2*cum >= 8). above: g1 -> 0, g2 -> 4; tot_above = 4.
+    // Expected above per group = 2; each group's chi2 term =
+    // (0-2)^2/2 + (4-2)^2/2 = 4 for g1 and the same for g2 -> chi2 = 8.
+    val rows = ((1L to 4L).map(("g1", _)) ++ (5L to 8L).map(("g2", _)))
+      .toDF("g", "v")
+    val out = Statistics.moodsMedianTest(rows, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("g1").getAs[Long]("median_v") == 4L)
+    assert(out("g1").getAs[Long]("above_g") == 0L)
+    assert(out("g2").getAs[Long]("above_g") == 4L)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("term_micro") == 4000000L)
+      assert(r.getAs[Long]("chi2_micro") == 8000000L)
+    }
+  }
+
+  test("moodsMedianTest: identical groups score zero") {
+    val rows = (1L to 9L).flatMap(v => Seq(("a", v), ("b", v)))
+      .toDF("g", "v")
+    val out = Statistics.moodsMedianTest(rows, "g", "v").collect()
+    out.foreach(r => assert(r.getAs[Long]("chi2_micro") == 0L))
+    // Lower median of 1..9 duplicated is 5.
+    assert(out.head.getAs[Long]("median_v") == 5L)
+  }
+
+  // ---------------------------------------------------- overdispersion
+
+  test("overdispersion: hand variance-to-mean values") {
+    // counts {2,4,6}: mean 4, s^2 = (3*56 - 144)/(3*2) = 4 -> D = 1,
+    // z = 0. counts {0,0,12}: mean 4, s^2 = (3*144-144)/6 = 48 ->
+    // D = 12, z = 11 * sqrt(1) = 11.
+    val rows = Seq(("p", 1L, 2L), ("p", 2L, 4L), ("p", 3L, 6L),
+      ("c", 1L, 0L), ("c", 2L, 0L), ("c", 3L, 12L)).toDF("g", "day", "c")
+    val out = Statistics.overdispersion(rows.select(col("g"), col("c")),
+      "g", "c").collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("p").getAs[Long]("dispersion_micro") == 1000000L)
+    assert(out("p").getAs[Long]("z_micro") == 0L)
+    assert(out("c").getAs[Long]("dispersion_micro") == 12000000L)
+    assert(out("c").getAs[Long]("z_micro") == 11000000L)
+  }
+
+  test("overdispersion: degenerate series report null") {
+    val rows = Seq(("one", 5L), ("zero", 0L), ("zero", 0L)).toDF("g", "c")
+    val out = Statistics.overdispersion(rows, "g", "c").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("one").isNullAt(out("one").fieldIndex("dispersion_micro")))
+    assert(out("zero").isNullAt(out("zero").fieldIndex("z_micro")))
+  }
+
+  // ------------------------------------------------------ friedmanTest
+
+  test("friedmanTest: perfectly concordant blocks score W = 1") {
+    // 3 blocks, 3 treatments, same order every block: R = (3, 6, 9),
+    // chi2 = 12/(3*3*4)*126 - 36 = 6; W = 6/(3*2) = 1.
+    val cells = (1 to 3).flatMap(b =>
+      Seq((s"b$b", "A", 10L), (s"b$b", "B", 20L), (s"b$b", "C", 30L)))
+      .toDF("blk", "trt", "v")
+    val out = Statistics.friedmanTest(cells, "blk", "trt", "v")
+      .orderBy("treatment").collect()
+    assert(out.map(_.getAs[Long]("r_sum")).toSeq == Seq(3L, 6L, 9L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("b_blocks") == 3L)
+      assert(r.getAs[Long]("chi2_micro") == 6000000L)
+      assert(r.getAs[Long]("w_ppm") == 1000000L)
+    }
+  }
+
+  test("friedmanTest: alternating order scores zero; incomplete blocks drop") {
+    val cells = Seq(
+      ("b1", "A", 1L), ("b1", "B", 2L),
+      ("b2", "A", 2L), ("b2", "B", 1L),
+      ("b3", "A", 5L) // incomplete: B missing -> excluded
+    ).toDF("blk", "trt", "v")
+    val out = Statistics.friedmanTest(cells, "blk", "trt", "v")
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("b_blocks") == 2L)
+      assert(r.getAs[Long]("chi2_micro") == 0L)
+      assert(r.getAs[Long]("w_ppm") == 0L)
+    }
+  }
+
   // ----------------------------------------------------- hillTailIndex
 
   test("hillTailIndex: hand k=2 estimate over micro-floored logs") {

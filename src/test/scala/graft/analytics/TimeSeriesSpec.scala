@@ -510,6 +510,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getAs[Long]("ts_slope_micro") == -33333333L)
   }
 
+  // ----------------------------------------------------- mannKendall (q231)
+
+  test("mannKendall: strictly increasing series — hand S and z") {
+    // y = 1..5: S = 10, Var = 5*4*15/18 = 16.667, z = 9/4.0825 = 2.204541.
+    val pts = (1L to 5L).map(i => ("k", i, i * 10L)).toDF("k", "x", "y")
+    val out = TimeSeries.mannKendall(pts, "k", "x", "y").collect().head
+    assert(out.getAs[Long]("s_stat") == 10L)
+    assert(out.getAs[Long]("tie_term") == 0L)
+    assert(out.getAs[Long]("z_micro") == 2204541L)
+  }
+
+  test("mannKendall: ties enter the variance correction") {
+    // y = 1,2,2,3: S = 5; tie group t=2 -> term 2*1*9 = 18;
+    // Var = (4*3*13 - 18)/18 = 7.667; z = 4/sqrt(7.667) = 1.444630.
+    val pts = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 2L),
+      ("k", 4L, 3L)).toDF("k", "x", "y")
+    val out = TimeSeries.mannKendall(pts, "k", "x", "y").collect().head
+    assert(out.getAs[Long]("s_stat") == 5L)
+    assert(out.getAs[Long]("tie_term") == 18L)
+    assert(out.getAs[Long]("z_micro") == 1444630L)
+  }
+
+  test("mannKendall: trendless series scores zero; sign is symmetric") {
+    val flat = Seq(("k", 1L, 5L), ("k", 2L, 5L), ("k", 3L, 5L))
+      .toDF("k", "x", "y")
+    assert(TimeSeries.mannKendall(flat, "k", "x", "y")
+      .collect().head.getAs[Long]("z_micro") == 0L)
+    val down = (1L to 5L).map(i => ("k", i, 100L - i * 10L)).toDF("k", "x", "y")
+    val out = TimeSeries.mannKendall(down, "k", "x", "y").collect().head
+    assert(out.getAs[Long]("s_stat") == -10L)
+    assert(out.getAs[Long]("z_micro") == -2204541L)
+  }
+
   // -------------------------------------------------------- runsTest (q220)
 
   test("runsTest: run counting and the zero-z expectation case") {
