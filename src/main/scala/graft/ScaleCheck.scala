@@ -81,7 +81,10 @@ object ScaleCheck {
     // session-2 (cont.): the per-block rank test and the exact-median
     // test — both collapse to calendar/domain frames after one
     // corpus-proportional aggregate.
-    "q228_friedman_test", "q230_moods_median")
+    "q228_friedman_test", "q230_moods_median",
+    // the pair-free ordered-trend grid — its whole claim is "no pair
+    // join", so the decade belongs in the measured set.
+    "q232_jonckheere")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -2422,7 +2422,179 @@ object Statistics {
       |  CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro
       |FROM t""".stripMargin
 
+  // --------------------------------------------------------------- q232
+  /** Jonckheere–Terpstra ordered-alternative test — the missing middle
+    * of the trend battery: q221 (Cochran–Armitage) trends a BINARY rate
+    * across ordered categories, q214 (Kruskal–Wallis) detects ANY
+    * k-group difference; JT asks the sharper ordered question for a
+    * CONTINUOUS outcome — "does the distribution shift upward as the
+    * category order rises?" — by summing the pairwise Mann–Whitney
+    * counts J = Σ_{i<j} U_ij over ordered group pairs, and it beats KW
+    * exactly when the alternative really is monotone.
+    *
+    * Integer form: J rides DOUBLED units (J2 = 2·#less + #ties, always
+    * an integer) computed WITHOUT pair enumeration on the value-domain
+    * grid: a (group × value) dense frame (domain-bounded at any corpus
+    * scale) carries each group's below-v prefix in one per-group window,
+    * then a per-value window over the GROUP ORDER accumulates the
+    * lower-ordered groups' counts, so J2 = Σ n·(2·S_less + S_tie) is an
+    * exact DECIMAL(38,0) sum. The tie-corrected null variance
+    * (Hollander–Wolfe) uses exact BIGINT/DECIMAL group and tie cubes
+    * with z as ONE fixed double sequence over them; E[J2] =
+    * (N² − Σn_g²)/2 exact via decimal.
+    *
+    * Scale shape: one corpus scan → (group, value) cells
+    * (localCheckpointed, the q214 discipline) → domain×k grid windows →
+    * one rollup. No pair join anywhere.
+    */
+  def jonckheereTerpstra(perRow: DataFrame, scoreCol: String,
+                         valueCol: String): DataFrame = {
+    val cells = perRow
+      .groupBy(col(scoreCol).as("s"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint()
+    val groups = cells.select("s").distinct()
+    val values = cells.select("v").distinct()
+    val wBelow = Window.partitionBy("s").orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrev = Window.partitionBy("v").orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = values.crossJoin(groups)
+      .join(cells, Seq("s", "v"), "left")
+      .withColumn("n", coalesce(col("n_gv"), lit(0L)))
+      .withColumn("cum_below", coalesce(sum("n").over(wBelow), lit(0L)))
+      .withColumn("s_less", coalesce(sum("cum_below").over(wPrev), lit(0L)))
+      .withColumn("s_tie", coalesce(sum("n").over(wPrev), lit(0L)))
+    val j2 = grid.agg(sum(col("n").cast("decimal(38,0)")
+      * (col("s_less") * 2L + col("s_tie"))).as("j2"))
+    val gsums = cells.groupBy("s").agg(sum("n_gv").as("n_g"))
+      .agg(sum("n_g").as("n_tot"),
+        sum(col("n_g").cast("decimal(38,0)") * col("n_g")).as("sum_n2"),
+        sum(col("n_g").cast("decimal(38,0)") * (col("n_g") - 1L)
+          * (col("n_g") * 2L + 5L)).as("g_a"),
+        sum(col("n_g").cast("decimal(38,0)") * (col("n_g") - 1L)
+          * (col("n_g") - 2L)).as("g_b"),
+        sum(col("n_g").cast("decimal(38,0)") * (col("n_g") - 1L)).as("g_c"),
+        count(lit(1)).as("k_groups"))
+    val tsums = cells.groupBy("v").agg(sum("n_gv").as("t_v"))
+      .agg(
+        sum(col("t_v").cast("decimal(38,0)") * (col("t_v") - 1L)
+          * (col("t_v") * 2L + 5L)).as("t_a"),
+        sum(col("t_v").cast("decimal(38,0)") * (col("t_v") - 1L)
+          * (col("t_v") - 2L)).as("t_b"),
+        sum(col("t_v").cast("decimal(38,0)") * (col("t_v") - 1L)).as("t_c"))
+    val nD = col("n_tot").cast("double")
+    val varD = (nD * (nD - lit(1.0)) * (nD * 2.0 + lit(5.0))
+      - col("g_a").cast("double") - col("t_a").cast("double")) / lit(72.0) +
+      col("g_b").cast("double") * col("t_b").cast("double") /
+        (lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))) +
+      col("g_c").cast("double") * col("t_c").cast("double") /
+        (lit(8.0) * nD * (nD - lit(1.0)))
+    j2.crossJoin(broadcast(gsums)).crossJoin(broadcast(tsums))
+      // N² − Σn² is even by symmetry, so the integral div is exact; the
+      // LONG result bounds the gate at N ≲ 4·10⁹ rows (same contract as
+      // the BIGINT j2 output column).
+      .withColumn("e2", expr(
+        "(CAST(n_tot AS DECIMAL(38,0)) * n_tot - sum_n2) div 2"))
+      .withColumn("z_micro",
+        when(col("k_groups") > 1 && varD > 0, floor(
+          (col("j2").cast("double") - col("e2").cast("double"))
+            / (lit(2.0) * sqrt(varD)) * lit(1000000.0) + lit(0.5))
+          .cast("long")))
+      .select(col("k_groups"), col("n_tot"),
+        col("j2").cast("long").as("j2"), col("e2").cast("long").as("e2"),
+        col("z_micro"))
+  }
+
+  /** Gated q232: does order spend (whole dollars) shift upward as the
+    * priority band rises? Same ordered bands as q221, continuous
+    * outcome.
+    */
+  def prioritySpendJt(spark: SparkSession, dir: String): DataFrame =
+    jonckheereTerpstra(
+      Tables.orders(spark, dir).select(
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"),
+        floor(col("o_totalprice")).cast("long").as("dollars")),
+      "prio", "dollars")
+
+  private val jtSql =
+    """WITH rows_ AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+      |    CAST(floor(o_totalprice) AS BIGINT) AS v
+      |  FROM orders
+      |),
+      |cells AS (
+      |  SELECT s, v, count(*) AS n_gv FROM rows_ GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT g.s, vv.v, coalesce(c.n_gv, 0) AS n
+      |  FROM (SELECT DISTINCT v FROM cells) vv
+      |  CROSS JOIN (SELECT DISTINCT s FROM cells) g
+      |  LEFT JOIN cells c ON c.s = g.s AND c.v = vv.v
+      |),
+      |w1 AS (
+      |  SELECT *, coalesce(sum(n) OVER (PARTITION BY s ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+      |  FROM grid
+      |),
+      |w2 AS (
+      |  SELECT *,
+      |    coalesce(sum(cum_below) OVER (PARTITION BY v ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_less,
+      |    coalesce(sum(n) OVER (PARTITION BY v ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_tie
+      |  FROM w1
+      |),
+      |j AS (
+      |  SELECT sum(n::HUGEINT * (s_less * 2 + s_tie)) AS j2 FROM w2
+      |),
+      |gs AS (
+      |  SELECT sum(n_g) AS n_tot,
+      |    sum(n_g::HUGEINT * n_g) AS sum_n2,
+      |    sum(n_g::HUGEINT * (n_g - 1) * (n_g * 2 + 5)) AS g_a,
+      |    sum(n_g::HUGEINT * (n_g - 1) * (n_g - 2)) AS g_b,
+      |    sum(n_g::HUGEINT * (n_g - 1)) AS g_c,
+      |    count(*) AS k_groups
+      |  FROM (SELECT s, sum(n_gv) AS n_g FROM cells GROUP BY 1)
+      |),
+      |ts AS (
+      |  SELECT
+      |    sum(t_v::HUGEINT * (t_v - 1) * (t_v * 2 + 5)) AS t_a,
+      |    sum(t_v::HUGEINT * (t_v - 1) * (t_v - 2)) AS t_b,
+      |    sum(t_v::HUGEINT * (t_v - 1)) AS t_c
+      |  FROM (SELECT v, sum(n_gv) AS t_v FROM cells GROUP BY 1)
+      |)
+      |SELECT CAST(gs.k_groups AS BIGINT) AS k_groups,
+      |  CAST(gs.n_tot AS BIGINT) AS n_tot,
+      |  CAST(j.j2 AS BIGINT) AS j2,
+      |  CAST((gs.n_tot::HUGEINT * gs.n_tot - gs.sum_n2) // 2 AS BIGINT) AS e2,
+      |  CASE WHEN gs.k_groups > 1 AND
+      |    (gs.n_tot::DOUBLE * (gs.n_tot::DOUBLE - 1.0::DOUBLE)
+      |       * (gs.n_tot::DOUBLE * 2.0::DOUBLE + 5.0::DOUBLE)
+      |     - gs.g_a::DOUBLE - ts.t_a::DOUBLE) / 72.0::DOUBLE
+      |    + gs.g_b::DOUBLE * ts.t_b::DOUBLE
+      |      / (36.0::DOUBLE * gs.n_tot::DOUBLE * (gs.n_tot::DOUBLE - 1.0::DOUBLE)
+      |         * (gs.n_tot::DOUBLE - 2.0::DOUBLE))
+      |    + gs.g_c::DOUBLE * ts.t_c::DOUBLE
+      |      / (8.0::DOUBLE * gs.n_tot::DOUBLE * (gs.n_tot::DOUBLE - 1.0::DOUBLE))
+      |    > 0
+      |  THEN CAST(floor(
+      |    (j.j2::DOUBLE - ((gs.n_tot::HUGEINT * gs.n_tot - gs.sum_n2) // 2)::DOUBLE)
+      |    / (2.0::DOUBLE * sqrt(
+      |      (gs.n_tot::DOUBLE * (gs.n_tot::DOUBLE - 1.0::DOUBLE)
+      |         * (gs.n_tot::DOUBLE * 2.0::DOUBLE + 5.0::DOUBLE)
+      |       - gs.g_a::DOUBLE - ts.t_a::DOUBLE) / 72.0::DOUBLE
+      |      + gs.g_b::DOUBLE * ts.t_b::DOUBLE
+      |        / (36.0::DOUBLE * gs.n_tot::DOUBLE * (gs.n_tot::DOUBLE - 1.0::DOUBLE)
+      |           * (gs.n_tot::DOUBLE - 2.0::DOUBLE))
+      |      + gs.g_c::DOUBLE * ts.t_c::DOUBLE
+      |        / (8.0::DOUBLE * gs.n_tot::DOUBLE
+      |           * (gs.n_tot::DOUBLE - 1.0::DOUBLE))))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS z_micro
+      |FROM j, gs, ts""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q232_jonckheere", prioritySpendJt _, Some(jtSql)),
     NamedQuery("q230_moods_median", segmentMedianTest _,
       Some(moodsMedianSql)),
     NamedQuery("q229_overdispersion", segmentOrderDispersion _,

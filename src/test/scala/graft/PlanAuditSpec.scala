@@ -1221,6 +1221,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 3 && s.shuffles <= 6, s"q226 regressed: $s")
   }
 
+  test("q232 Jonckheere: grid windows, never a pair join") {
+    // NLJs are the (domain x k) grid crossJoin + one-row sum broadcasts;
+    // singleParts carry domain frames (the q214 rationale); scans=0
+    // behind the localCheckpointed cells.
+    val s = stats("q232_jonckheere")
+    assert(s.nestedLoops <= 6 && s.singleParts <= 8, s"q232 regressed: $s")
+    assert(s.scans <= 3 && s.shuffles <= 30, s"q232 regressed: $s")
+  }
+
   test("q231 Mann-Kendall: calendar-bounded pair frame, no corpus sort") {
     // The q203 shape: weekly frame checkpointed (scans=0), per-key pair
     // join broadcast, plus the (key, value) tie aggregate.

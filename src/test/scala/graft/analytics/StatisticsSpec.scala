@@ -556,6 +556,41 @@ class StatisticsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------- jonckheereTerpstra
+
+  test("jonckheereTerpstra: hand no-tie monotone case") {
+    // g1={1,2} g2={3,4} g3={5,6}: every cross-pair ascends -> J=12,
+    // J2=24; E2=12; Var=456/72=6.333; z=(24-12)/(2*2.5166)=2.384158.
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L),
+      (3L, 6L)).toDF("s", "v")
+    val out = Statistics.jonckheereTerpstra(rows, "s", "v").collect().head
+    assert(out.getAs[Long]("k_groups") == 3L)
+    assert(out.getAs[Long]("j2") == 24L)
+    assert(out.getAs[Long]("e2") == 12L)
+    assert(out.getAs[Long]("z_micro") == 2384158L)
+  }
+
+  test("jonckheereTerpstra: ties carry half-weight and correct the variance") {
+    // g1={1,1} g2={1,2}: U12 = 2 less + 2 ties/2 = 3 -> J2 = 6; E2 = 4;
+    // Var = 54/72 + 24/96 = 1.0 -> z = (6-4)/2 = 1.0.
+    val rows = Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 2L)).toDF("s", "v")
+    val out = Statistics.jonckheereTerpstra(rows, "s", "v").collect().head
+    assert(out.getAs[Long]("j2") == 6L)
+    assert(out.getAs[Long]("e2") == 4L)
+    assert(out.getAs[Long]("z_micro") == 1000000L)
+  }
+
+  test("jonckheereTerpstra: reversed order scores the negated z") {
+    val up = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L),
+      (3L, 6L))
+    val down = up.map { case (s, v) => (4L - s, v) }
+    val zUp = Statistics.jonckheereTerpstra(up.toDF("s", "v"), "s", "v")
+      .collect().head.getAs[Long]("z_micro")
+    val zDown = Statistics.jonckheereTerpstra(down.toDF("s", "v"), "s", "v")
+      .collect().head.getAs[Long]("z_micro")
+    assert(zUp == -zDown && zUp > 0L)
+  }
+
   // --------------------------------------------------- moodsMedianTest
 
   test("moodsMedianTest: hand k=2 split around the exact grand median") {
