@@ -51,6 +51,23 @@ class EvalStateSpec extends SparkSpec {
       "compaction must not change the folded counts")
   }
 
+  test("snapshot survives the next swap; foreign lease excludes") {
+    val path = tmpDir("eval-lease") + "/state"
+    val snap1 = EvalState.update(spark, path,
+      scored.filter(col("doc_id") % 2 === 0))
+    val n1 = snap1.agg(sum("n")).head.getLong(0)
+    EvalState.update(spark, path, scored.filter(col("doc_id") % 2 === 1),
+      lease = true)
+    // The first snapshot was checkpointed — still readable post-swap.
+    assert(snap1.agg(sum("n")).head.getLong(0) == n1)
+    // The leased update released its lease: a foreign driver can take it,
+    // and while held no second holder fits (the MetaLeaseSpec shape).
+    val foreign = LeaseLock.acquire(spark, path).get
+    assert(LeaseLock.acquire(spark, path).isEmpty,
+      "foreign lease must exclude a second holder")
+    LeaseLock.release(spark, foreign)
+  }
+
   test("sweepSnapshot from state equals the direct q213 sweep") {
     val path = tmpDir("eval-sw") + "/state"
     Seq(0, 1, 2).foreach { i =>
