@@ -916,9 +916,46 @@ object TextAnalysis {
     */
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val ss = Tables.documents(spark, dir)
-      .select(col("source"),
-        explode(shingleSet(col("text"), n)).as("sh"))
-      .distinct()
+      .select(col("source"), explode(shingleSet(col("text"), n)).as("sh"))
+    // ≤63 sources fit a LONG bitmask (r10 rewrite): per shingle,
+    // bit_or the source bits — idempotent, so no DISTINCT pass — then
+    // collapse to the tiny mask frame. The pairwise shared counts fall
+    // out of a 190-row pair join against that frame, deleting the
+    // (shingle × S²) self-join shuffle entirely. Sources above 63 fall
+    // back to the join form (same answer, spec-pinned equal).
+    val srcs = ss.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0))
+    if (srcs.length > 63) return sourceOverlapJoin(ss)
+    import spark.implicits._
+    val dim = srcs.zipWithIndex.map { case (s, i) => (s, i) }.toSeq
+      .toDF("source", "sid")
+    val masks = ss.join(broadcast(dim), Seq("source"))
+      .groupBy("sh").agg(expr("bit_or(shiftleft(1L, sid))").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val pairs = (for {
+      a <- srcs.indices; b <- srcs.indices if a < b
+    } yield (srcs(a), srcs(b), (1L << a) | (1L << b)))
+      .toDF("source_a", "source_b", "pair_bits")
+    val singles = srcs.zipWithIndex
+      .map { case (s, i) => (s, 1L << i) }.toSeq.toDF("src", "bit")
+    val sizes = masks.join(broadcast(singles),
+        (col("mask").bitwiseAND(col("bit"))) === col("bit"))
+      .groupBy(col("src")).agg(sum("cnt").as("n_sh"))
+    masks.join(broadcast(pairs),
+        (col("mask").bitwiseAND(col("pair_bits"))) === col("pair_bits"))
+      .groupBy("source_a", "source_b").agg(sum("cnt").as("n_shared"))
+      .join(broadcast(sizes.toDF("source_a", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.toDF("source_b", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("(n_shared * 1000000L) div (n_a + n_b - n_shared)").as("jaccard_u"))
+  }
+
+  /** The pre-r10 self-join form — kept as the >63-source fallback and
+    * the equality witness for SourceOverlapSpec.
+    */
+  private[analytics] def sourceOverlapJoin(pairsIn: DataFrame): DataFrame = {
+    val ss = pairsIn.distinct()
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
     ss.toDF("source_a", "sh")
       .join(ss.toDF("source_b", "sh2"), col("sh") === col("sh2") &&

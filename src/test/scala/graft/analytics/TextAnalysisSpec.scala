@@ -495,6 +495,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert((out.getAs[Long]("r90"), out.getAs[Long]("r99")) == ((9L, 10L)))
   }
 
+  // -------------------------------------------- sourceOverlap (q83, r10)
+
+  test("sourceOverlap: bitmask form equals the self-join form row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("jaccard_u"))).toMap
+    val fast = key(TextAnalysis.sourceOverlap(spark, dir))
+    val ss = graft.core.Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalysis.shingleSet(col("text"), 3)).as("sh"))
+    val slow = key(TextAnalysis.sourceOverlapJoin(ss))
+    assert(fast.nonEmpty && fast == slow,
+      s"bitmask rewrite drifted: fast=${fast.size} slow=${slow.size}")
+  }
+
   // -------------------------------------------------- dedupGrowth (q225)
 
   test("dedupGrowth: full level counts exact dupes; levels nest") {
