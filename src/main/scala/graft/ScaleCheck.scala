@@ -84,7 +84,17 @@ object ScaleCheck {
     "q228_friedman_test", "q230_moods_median",
     // the pair-free ordered-trend grid — its whole claim is "no pair
     // join", so the decade belongs in the measured set.
-    "q232_jonckheere")
+    "q232_jonckheere",
+    // round-11: the source-overlap bitmask aggregate — corpus-linear
+    // shingle explode + one bit_or collapse. The plan changed shape
+    // twice (r9 shingle self-join → r10 bitmask NLJ → r11 equi-join
+    // over exploded set bits), so the decade row pins the final shape:
+    // shuffle ∝ shingles, never ∝ shingles·S². Also r10's "bounded by
+    // construction" vocabulary-frame rows, converted to measured rows
+    // per the r10 verdict #5: Good–Turing (three chained hash aggs)
+    // and the Zipf rank–frequency slope (vocab window after one
+    // corpus-token agg).
+    "q83_source_overlap", "q208_good_turing", "q211_zipf_slope")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

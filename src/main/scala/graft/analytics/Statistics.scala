@@ -2100,7 +2100,13 @@ object Statistics {
       .orderBy(col(valueCol), col(treatCol))
     val wAll = Window.partitionBy()
     val complete = cells
-      .withColumn("k_chk", count(lit(1)).over(wBlock))
+      // r11 (advice): k_chk counts DISTINCT treatments, not rows — a
+      // caller passing duplicate (block, treatment) cells could match
+      // the row count while missing a treatment, silently corrupting
+      // the within-block ranks. The gated q228 fixture pre-aggregates,
+      // but the public contract is "only COMPLETE blocks enter".
+      .withColumn("k_chk",
+        size(collect_set(col(treatCol)).over(wBlock)).cast("long"))
       .withColumn("k_all",
         size(collect_set(col(treatCol)).over(wAll)).cast("long"))
       .filter(col("k_chk") === col("k_all"))

@@ -909,41 +909,57 @@ object TextAnalysis {
     * Jaccard is reported as the integer division
     * `(shared · 1e6) div (|A| + |B| − shared)` — micro-units, no floats.
     *
-    * Scale shape: the (shingle, source) pairs DISTINCT first (corpus
-    * collapses to its shingle space), then self-join ON SHINGLE — work
-    * ∝ shingles · S² with S = source count (tiny), never corpus². The
-    * per-source set sizes are an S-row broadcast.
+    * Scale shape: one map-side-combined `bit_or` agg collapses the
+    * corpus to its (distinct shingle-mask, count) frame; each mask row
+    * then explodes its ≤S set bits / ≤S²∕2 bit pairs and hash-aggregates
+    * — work ∝ shingles + masks·S², never corpus², and every join is a
+    * broadcast EQUI-join on the S-row source dim (no NLJ).
     */
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val ss = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val ss = docs
       .select(col("source"), explode(shingleSet(col("text"), n)).as("sh"))
     // ≤63 sources fit a LONG bitmask (r10 rewrite): per shingle,
     // bit_or the source bits — idempotent, so no DISTINCT pass — then
-    // collapse to the tiny mask frame. The pairwise shared counts fall
-    // out of a 190-row pair join against that frame, deleting the
-    // (shingle × S²) self-join shuffle entirely. Sources above 63 fall
-    // back to the join form (same answer, spec-pinned equal).
-    val srcs = ss.select("source").distinct().orderBy("source")
+    // collapse to the tiny mask frame. Sources above 63 fall back to
+    // the join form (same answer, spec-pinned equal).
+    // The source list comes from the PRUNED parquet scan of documents
+    // (a `source`-column-only pass), NOT from `ss` — a distinct over
+    // the exploded frame cannot prune the Generate, so it would cost a
+    // full corpus shingle pass just to learn the dimension. A source
+    // with zero shingles gets a dim row whose bit never fires: harmless.
+    val srcs = docs.select("source").distinct().orderBy("source")
       .collect().map(_.getString(0))
     if (srcs.length > 63) return sourceOverlapJoin(ss)
     import spark.implicits._
     val dim = srcs.zipWithIndex.map { case (s, i) => (s, i) }.toSeq
       .toDF("source", "sid")
+    // bit_or is idempotent, so no DISTINCT pass; the corpus collapses to
+    // its (distinct-mask, count) frame in one map-side-combined agg.
+    // localCheckpoint because BOTH the sizes and shared aggregates read
+    // this frame — without it the corpus-wide shingle explode ran twice
+    // (the r10 3.6→6.1 s regression).
     val masks = ss.join(broadcast(dim), Seq("source"))
       .groupBy("sh").agg(expr("bit_or(shiftleft(1L, sid))").as("mask"))
       .groupBy("mask").agg(count(lit(1)).as("cnt"))
-    val pairs = (for {
-      a <- srcs.indices; b <- srcs.indices if a < b
-    } yield (srcs(a), srcs(b), (1L << a) | (1L << b)))
-      .toDF("source_a", "source_b", "pair_bits")
-    val singles = srcs.zipWithIndex
-      .map { case (s, i) => (s, 1L << i) }.toSeq.toDF("src", "bit")
-    val sizes = masks.join(broadcast(singles),
-        (col("mask").bitwiseAND(col("bit"))) === col("bit"))
-      .groupBy(col("src")).agg(sum("cnt").as("n_sh"))
-    masks.join(broadcast(pairs),
-        (col("mask").bitwiseAND(col("pair_bits"))) === col("pair_bits"))
-      .groupBy("source_a", "source_b").agg(sum("cnt").as("n_shared"))
+      .withColumn("sids", expr(
+        "filter(sequence(0, 62), i -> (mask & shiftleft(1L, i)) <> 0L)"))
+      .localCheckpoint()
+    // Equi-join shape (r11): explode each mask row's set-bit list — ≤S
+    // sids and ≤S(S−1)/2 (sa,sb) pairs per row — hash-aggregate, then
+    // broadcast-join the S-row dim. No bit-test join predicates, hence
+    // no BroadcastNestedLoopJoin anywhere (PlanAuditSpec pins 0).
+    val sizes = masks.select(explode(col("sids")).as("sid"), col("cnt"))
+      .groupBy("sid").agg(sum("cnt").as("n_sh"))
+      .join(broadcast(dim), Seq("sid"))
+      .select(col("source"), col("n_sh"))
+    masks.select(col("cnt"), explode(expr(
+        "flatten(transform(sids, a -> transform(filter(sids, b -> b > a)," +
+          " b -> struct(a AS sa, b AS sb))))")).as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .agg(sum("cnt").as("n_shared"))
+      .join(broadcast(dim.toDF("source_a", "sa")), Seq("sa"))
+      .join(broadcast(dim.toDF("source_b", "sb")), Seq("sb"))
       .join(broadcast(sizes.toDF("source_a", "n_a")), Seq("source_a"))
       .join(broadcast(sizes.toDF("source_b", "n_b")), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),

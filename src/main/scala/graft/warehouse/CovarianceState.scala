@@ -39,6 +39,25 @@ object CovarianceState {
   private def deltasPath(root: String) = s"$root/deltas"
   private def statsPath(root: String) = s"$root/stats"
 
+  /** r11 (advice): the r10 layout change (single folded table at the
+    * root → stats/ + deltas/) must never silently orphan a pre-r10
+    * state — a root holding parquet data files but no stats/ commit
+    * table IS the legacy layout, and treating it as empty would discard
+    * every accumulated statistic on the next update. Fail loudly; the
+    * migration is a one-shot read-the-old-table → `update(batchId=0)`.
+    */
+  private def guardLegacyLayout(spark: SparkSession, root: String): Unit =
+    if (!StateFiles.exists(spark, statsPath(root))) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(p) && hfs.listStatus(p).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")))
+        sys.error(s"CovarianceState: legacy single-table layout at $root " +
+          "(parquet files at the state root, no stats/ commit table). " +
+          "Refusing to start fresh over accumulated statistics — migrate " +
+          "by reading the old table and re-ingesting it as batch 0.")
+    }
+
   private def readLast(spark: SparkSession, root: String): Option[Long] =
     if (!StateFiles.exists(spark, statsPath(root))) None
     else Some(spark.read.parquet(statsPath(root)).head().getAs[Long]("last_batch"))
@@ -54,12 +73,19 @@ object CovarianceState {
              lease: Boolean = false): DataFrame =
     graft.core.PathLocks.forPath(statePath).synchronized {
       LeaseLock.withLease(spark, statePath, lease) {
+        guardLegacyLayout(spark, statePath)
         StateFiles.recover(spark, statsPath(statePath))
         IndexCompaction.recover(spark, deltasPath(statePath))
         val last = readLast(spark, statePath).getOrElse(-1L)
         val id = batchId.getOrElse(last + 1)
         if (id > last) { // else: committed replay, every effect installed
+          // coalesce(1): a delta is a DOMAIN-bounded sufficient-statistics
+          // frame (d(d+1)/2 pair rows — KBs), not corpus data; letting it
+          // inherit the 32 shuffle partitions wrote 32 tiny files per
+          // batch, and every snapshot re-opened all of them (the r10
+          // q155 2.0→2.6 s write-amplification watch).
           graft.analytics.Pca.covarianceStats(batch, vecCol)
+            .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"${deltasPath(statePath)}/batch=$id")
           import spark.implicits._
@@ -74,6 +100,7 @@ object CovarianceState {
     * a crash are pruned at the scan by the partition-column filter).
     */
   def snapshot(spark: SparkSession, statePath: String): DataFrame = {
+    guardLegacyLayout(spark, statePath)
     val last = readLast(spark, statePath)
       .getOrElse(sys.error(s"CovarianceState.snapshot: no state at $statePath"))
     spark.read.parquet(deltasPath(statePath))

@@ -72,7 +72,9 @@ object DriftState {
         val id = batchId.getOrElse(last + 1)
         if (id > last) { // else: committed replay — every effect installed
           val dir = if (side == "ref") refPath(root) else curPath(root)
-          delta.write.mode("overwrite").parquet(s"$dir/batch=$id")
+          // coalesce(1): a delta is (groups × bins) count rows (KBs),
+          // not corpus data — one file per batch (the q155 lesson).
+          delta.coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$id")
           import spark.implicits._
           val m =
             if (side == "ref") Seq((id, lastCur)) else Seq((lastRef, id))

@@ -64,7 +64,11 @@ object EvalState {
         val last = readLast(spark, statePath).getOrElse(-1L)
         val id = batchId.getOrElse(last + 1)
         if (id > last) { // else: committed replay, every effect installed
+          // coalesce(1): a delta is groups×10 bin rows (KBs), not corpus
+          // data — one file per batch keeps snapshot's file-open count
+          // equal to the batch count (the q155 lesson).
           binStats(batch, groupCol, scoreCol, labelCol)
+            .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"${deltasPath(statePath)}/batch=$id")
           import spark.implicits._
@@ -125,14 +129,19 @@ object EvalState {
       graft.core.Tables.documents(spark, dir))
     val stateRoot = java.nio.file.Files.createTempDirectory("graft-estate")
     val statePath = stateRoot.toString + "/state"
-    var out: DataFrame = null
-    (0 until 3).foreach { i =>
-      out = update(spark, statePath, scored.filter(col("doc_id") % 3 === i))
-    }
-    // Snapshot is checkpointed; reclaim scratch state before returning
+    // The returned frame MUST remain eagerly materialized: update()'s
+    // eager localCheckpoint is what makes deleting the scratch state
+    // below safe — a refactor that drops the checkpoint would hand the
+    // caller a plan over deleted files. The delete sits in `finally`
+    // (r11 advice) so a failure mid-fold doesn't leak the temp dir
     // (the q70 lesson — bench reps would otherwise accumulate /tmp dirs).
-    graft.core.Fs.deleteRecursively(stateRoot)
-    out.select(col("g").as("source"), col("bin"), col("n"), col("pos"))
+    try {
+      var out: DataFrame = null
+      (0 until 3).foreach { i =>
+        out = update(spark, statePath, scored.filter(col("doc_id") % 3 === i))
+      }
+      out.select(col("g").as("source"), col("bin"), col("n"), col("pos"))
+    } finally graft.core.Fs.deleteRecursively(stateRoot)
   }
 
   private val evalStateSql =

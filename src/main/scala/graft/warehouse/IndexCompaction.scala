@@ -141,12 +141,23 @@ object IndexCompaction {
     if (!hfs.exists(root)) return
     val marker = new Path(root, MarkerName)
     if (hfs.exists(marker)) {
+      // Read the WHOLE marker (a single read() may underfill on some
+      // FileSystems) and parse defensively: a crash between marker
+      // create and content write leaves an empty/truncated file. An
+      // unparsable marker is PRE-decision — old-dir deletes only ever
+      // run after a fully-written marker exists — so roll BACK (drop
+      // tmp and the marker; originals are intact) instead of wedging
+      // every locked verb on a NumberFormatException.
+      val len = hfs.getFileStatus(marker).getLen.toInt
+      val bytes = new Array[Byte](len)
       val in = hfs.open(marker)
-      val bytes = new Array[Byte](32)
-      val n = in.read(bytes)
-      in.close()
-      val upTo = new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong
-      rollForward(hfs, root, upTo)
+      try in.readFully(0, bytes) finally in.close()
+      new String(bytes, "UTF-8").trim.toLongOption match {
+        case Some(upTo) => rollForward(hfs, root, upTo)
+        case None =>
+          hfs.delete(new Path(root, TmpName), true)
+          hfs.delete(marker, false)
+      }
     } else hfs.delete(new Path(root, TmpName), true)
   }
 }

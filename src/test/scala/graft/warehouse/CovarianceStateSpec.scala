@@ -20,6 +20,27 @@ class CovarianceStateSpec extends SparkSpec {
         (r.getAs[Long]("n"), r.getAs[Long]("s_x_nano"),
           r.getAs[Long]("s_y_nano"), r.getAs[Long]("s_xy_nano"))).toMap
 
+  test("legacy root-layout state fails loudly instead of starting fresh " +
+    "(r10 advice)") {
+    import spark.implicits._
+    val root = tmpDir("cov-legacy") + "/state"
+    // Simulate the pre-r10 layout: a folded pair-stats table at the
+    // state ROOT, no stats/ commit table.
+    Seq((0, 0, 10L, 5L, 5L, 3L))
+      .toDF("i", "j", "n", "s_x_nano", "s_y_nano", "s_xy_nano")
+      .write.parquet(root)
+    val eu = intercept[RuntimeException] {
+      CovarianceState.update(spark, root, emb)
+    }
+    assert(eu.getMessage.contains("legacy"),
+      s"update must refuse the legacy layout loudly: ${eu.getMessage}")
+    val es = intercept[RuntimeException] {
+      CovarianceState.snapshot(spark, root).collect()
+    }
+    assert(es.getMessage.contains("legacy"),
+      s"snapshot must refuse the legacy layout loudly: ${es.getMessage}")
+  }
+
   test("3-batch replay equals one-shot EXACTLY, any partitioning") {
     val onePath = tmpDir("cov-one") + "/state"
     val repPath = tmpDir("cov-rep") + "/state"

@@ -68,6 +68,44 @@ class EvalStateSpec extends SparkSpec {
     LeaseLock.release(spark, foreign)
   }
 
+  test("50-batch sustained ingest + compaction: result-identical, " +
+    "~10x fewer delta files, replay still short-circuits (r10 verdict #6)") {
+    val n = 50
+    val path = tmpDir("eval-50") + "/state"
+    (0 until n).foreach { i =>
+      EvalState.update(spark, path, scored.filter(col("doc_id") % n === i))
+    }
+    val before = read(path)
+    def deltaFiles: Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/deltas")
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(d: org.apache.hadoop.fs.Path): Int =
+        hfs.listStatus(d).map(st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) 1 else 0).sum
+      walk(p)
+    }
+    val filesBefore = deltaFiles
+    val reports = EvalState.compact(spark, path)
+    assert(reports.exists(r => r.dirsBefore == n && r.dirsAfter == 1),
+      s"fold must collapse $n delta dirs to 1: $reports")
+    val filesAfter = deltaFiles
+    assert(filesAfter * 10 <= filesBefore,
+      s"compaction must cut delta files ~10x: $filesBefore -> $filesAfter")
+    assert(read(path) == before,
+      "50-batch fold + compact changed the counts")
+    // Post-compact: a committed replay (epoch < last_batch) stays a no-op
+    // even though its delta dir was folded away...
+    EvalState.update(spark, path, scored.limit(7), batchId = Some(12L))
+    assert(read(path) == before, "post-compact replay must short-circuit")
+    // ...and fresh ingestion continues on top of the consolidated state.
+    EvalState.update(spark, path, scored.filter(col("doc_id") % n === 0))
+    val after = read(path)
+    assert(after.values.map(_._1).sum ==
+      before.values.map(_._1).sum + scored.filter(col("doc_id") % n === 0).count(),
+      "post-compact ingest must fold the new batch exactly once")
+  }
+
   test("sweepSnapshot from state equals the direct q213 sweep") {
     val path = tmpDir("eval-sw") + "/state"
     Seq(0, 1, 2).foreach { i =>

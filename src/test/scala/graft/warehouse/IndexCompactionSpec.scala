@@ -117,4 +117,28 @@ class IndexCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 4,
       "marker-only recovery must not delete the installed partition")
   }
+
+  test("crash between marker create and content write: empty marker " +
+    "rolls back instead of wedging the table (r10 advice)") {
+    val table = tmpDir("fold-crash-empty") + "/t"
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$table/batch=$i")
+    }
+    val hfs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((99L, "junk")).toDF("id", "v").write.parquet(s"$table/.fold_tmp")
+    // hfs.create + crash before write: the marker exists but is EMPTY —
+    // pre-decision, since deletes only run after a fully-written marker.
+    hfs.create(new Path(s"$table/.fold_commit"), true).close()
+    IndexCompaction.recover(spark, table) // must not throw
+    assert(!hfs.exists(new Path(s"$table/.fold_tmp")), "tmp must roll back")
+    assert(!hfs.exists(new Path(s"$table/.fold_commit")),
+      "the unreadable marker must be cleared, not left to wedge every verb")
+    assert(batchDirCount(table) == 3 && spark.read.parquet(table).count() == 3,
+      "original batch dirs must be untouched by the rollback")
+    // And recovery is idempotent + a subsequent real fold still works.
+    IndexCompaction.recover(spark, table)
+    val rep = IndexCompaction.foldBatches(spark, table, 2L)
+    assert(rep.dirsAfter == 1 && spark.read.parquet(table).count() == 3)
+  }
 }
