@@ -2100,16 +2100,21 @@ object Statistics {
       .orderBy(col(valueCol), col(treatCol))
     val wAll = Window.partitionBy()
     val complete = cells
-      // r11 (advice): k_chk counts DISTINCT treatments, not rows — a
-      // caller passing duplicate (block, treatment) cells could match
-      // the row count while missing a treatment, silently corrupting
-      // the within-block ranks. The gated q228 fixture pre-aggregates,
-      // but the public contract is "only COMPLETE blocks enter".
+      // A block enters only when it is EXACTLY one row per treatment:
+      // distinct-treatment count == k_all AND total row count == k_all.
+      // The distinct check alone (pre-r13) admitted duplicate
+      // (block, treatment) rows, which row_number then ranked beyond k
+      // and b_blocks counted twice — silently corrupting chi2/W on the
+      // public API (the gated q228 fixture pre-aggregates, so the
+      // oracle never saw it). Both predicates ride the same wBlock
+      // window frame, so the guard adds no extra shuffle.
       .withColumn("k_chk",
         size(collect_set(col(treatCol)).over(wBlock)).cast("long"))
+      .withColumn("n_chk", count(lit(1)).over(wBlock).cast("long"))
       .withColumn("k_all",
         size(collect_set(col(treatCol)).over(wAll)).cast("long"))
-      .filter(col("k_chk") === col("k_all"))
+      .filter(col("k_chk") === col("k_all") &&
+        col("n_chk") === col("k_all"))
     complete
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .groupBy(col(treatCol).as("treatment"))

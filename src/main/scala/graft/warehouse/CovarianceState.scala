@@ -50,12 +50,38 @@ object CovarianceState {
     if (!StateFiles.exists(spark, statsPath(root))) {
       val p = new org.apache.hadoop.fs.Path(root)
       val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (hfs.exists(p) && hfs.listStatus(p).exists(st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet")))
+      // Legacy = parquet data anywhere under the root that is NOT part
+      // of the new layout. Root-level files catch the unpartitioned old
+      // table; the subdirectory probe (r13, advice) catches a
+      // PARTITIONED legacy table whose data lives only under partition
+      // dirs — previously treated as empty and silently orphaned, the
+      // precise loss this guard exists to prevent. `deltas/` is skipped:
+      // a first-batch crash between the delta write and the stats
+      // install legitimately leaves deltas/ without stats/, and
+      // recovery (not this guard) owns that state.
+      def hasParquetUnder(dir: org.apache.hadoop.fs.Path): Boolean = {
+        val it = hfs.listFiles(dir, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val name = it.next().getPath.getName
+          found = name.endsWith(".parquet") &&
+            !name.startsWith("_") && !name.startsWith(".")
+        }
+        found
+      }
+      val legacy = hfs.exists(p) && hfs.listStatus(p).exists { st =>
+        val name = st.getPath.getName
+        if (st.isFile) name.endsWith(".parquet")
+        else name != "deltas" && name != "stats" &&
+          !name.startsWith(".") && !name.startsWith("_") &&
+          hasParquetUnder(st.getPath)
+      }
+      if (legacy)
         sys.error(s"CovarianceState: legacy single-table layout at $root " +
-          "(parquet files at the state root, no stats/ commit table). " +
-          "Refusing to start fresh over accumulated statistics — migrate " +
-          "by reading the old table and re-ingesting it as batch 0.")
+          "(parquet data under the state root, no stats/ commit table). " +
+          "Refusing to start fresh over accumulated statistics — run the " +
+          "`migrate-state` CLI verb (or read the old table and re-ingest " +
+          "it as batch 0).")
     }
 
   private def readLast(spark: SparkSession, root: String): Option[Long] =
@@ -165,12 +191,16 @@ object CovarianceState {
     val stateRoot = java.nio.file.Files.createTempDirectory("graft-cstate")
     val statePath = stateRoot.toString + "/state"
     var out: DataFrame = null
-    (0 until 3).foreach { i =>
-      out = update(spark, statePath, emb.filter(col("vec_id") % 3 === i))
+    try {
+      (0 until 3).foreach { i =>
+        out = update(spark, statePath, emb.filter(col("vec_id") % 3 === i))
+      }
+    } finally {
+      // Snapshot is checkpointed; reclaim scratch state even when a fold
+      // throws mid-way (the q70 lesson, and r11's EvalState fix — bench
+      // reps and failed runs would otherwise accumulate /tmp dirs).
+      graft.core.Fs.deleteRecursively(stateRoot)
     }
-    // Snapshot is checkpointed; reclaim scratch state before returning
-    // (the q70 lesson — bench reps would otherwise accumulate /tmp dirs).
-    graft.core.Fs.deleteRecursively(stateRoot)
     out.select("i", "j", "n", "s_x_nano", "s_y_nano", "s_xy_nano")
   }
 

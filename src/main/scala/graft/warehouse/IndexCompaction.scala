@@ -28,8 +28,8 @@ import org.apache.spark.sql.SparkSession
   *
   *  1. rewrite the committed partitions into `<table>/.fold_tmp`
   *     (dot-hidden — partition discovery ignores it), verify row count;
-  *  2. write `<table>/.fold_commit` containing `upTo` — the decision
-  *     point;
+  *  2. write `<table>/.fold_commit` containing `upTo;` (';'-terminated —
+  *     see [[recover]]'s truncation discussion) — the decision point;
   *  3. delete the old `batch ≤ upTo` dirs, rename tmp → `batch=upTo`,
   *     remove the marker.
   *
@@ -108,7 +108,14 @@ object IndexCompaction {
     }
     val marker = new Path(root, MarkerName)
     val out = hfs.create(marker, true)
-    out.write(upTo.toString.getBytes("UTF-8"))
+    // Terminator-required format: a crash mid-write can leave a numeric
+    // PREFIX of upTo ("1" surviving from "12"), which would parse as a
+    // valid smaller batch id and make recover() roll FORWARD to the
+    // wrong partition (tmp folded-through-12 installed as batch=1 while
+    // dirs 2..12 survive → double count). The parser only accepts a
+    // marker that carries the trailing ';', which no truncation of a
+    // longer marker can exhibit.
+    out.write(s"$upTo;".getBytes("UTF-8"))
     out.close() // decision point
     rollForward(hfs, root, upTo)
     val after = new Path(root, s"batch=$upTo")
@@ -143,16 +150,23 @@ object IndexCompaction {
     if (hfs.exists(marker)) {
       // Read the WHOLE marker (a single read() may underfill on some
       // FileSystems) and parse defensively: a crash between marker
-      // create and content write leaves an empty/truncated file. An
-      // unparsable marker is PRE-decision — old-dir deletes only ever
-      // run after a fully-written marker exists — so roll BACK (drop
-      // tmp and the marker; originals are intact) instead of wedging
-      // every locked verb on a NumberFormatException.
+      // create and content write leaves an empty/truncated file —
+      // including a truncation to a numeric PREFIX of upTo, which would
+      // otherwise parse as a valid smaller batch id. The writer appends
+      // a ';' terminator as the last byte; the parser accepts ONLY a
+      // terminated marker, so any truncation is unparsable and
+      // therefore PRE-decision — old-dir deletes only ever run after a
+      // fully-written marker exists — and we roll BACK (drop tmp and
+      // the marker; originals are intact) instead of installing tmp
+      // under the wrong partition or wedging on NumberFormatException.
       val len = hfs.getFileStatus(marker).getLen.toInt
       val bytes = new Array[Byte](len)
       val in = hfs.open(marker)
       try in.readFully(0, bytes) finally in.close()
-      new String(bytes, "UTF-8").trim.toLongOption match {
+      val txt = new String(bytes, "UTF-8")
+      val parsed =
+        if (txt.endsWith(";")) txt.dropRight(1).trim.toLongOption else None
+      parsed match {
         case Some(upTo) => rollForward(hfs, root, upTo)
         case None =>
           hfs.delete(new Path(root, TmpName), true)

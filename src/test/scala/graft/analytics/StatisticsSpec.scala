@@ -677,6 +677,26 @@ class StatisticsSpec extends SparkSpec {
     }
   }
 
+  test("friedmanTest: duplicate (block, treatment) rows exclude the block") {
+    // b1/b2 are clean concordant blocks; b3 has every treatment present
+    // but treatment A twice — pre-r13 the distinct-only completeness
+    // check admitted b3, ranking 4 rows in a k=3 block and counting A's
+    // b_blocks twice. The row-count guard must drop b3 entirely, so the
+    // result is exactly the two-block concordant answer (W = 1).
+    val cells = ((1 to 2).flatMap(b =>
+      Seq((s"b$b", "A", 10L), (s"b$b", "B", 20L), (s"b$b", "C", 30L)))
+      ++ Seq(("b3", "A", 5L), ("b3", "A", 6L),
+        ("b3", "B", 20L), ("b3", "C", 30L)))
+      .toDF("blk", "trt", "v")
+    val out = Statistics.friedmanTest(cells, "blk", "trt", "v")
+      .orderBy("treatment").collect()
+    assert(out.map(_.getAs[Long]("r_sum")).toSeq == Seq(2L, 4L, 6L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("b_blocks") == 2L)
+      assert(r.getAs[Long]("w_ppm") == 1000000L)
+    }
+  }
+
   // ----------------------------------------------------- hillTailIndex
 
   test("hillTailIndex: hand k=2 estimate over micro-floored logs") {

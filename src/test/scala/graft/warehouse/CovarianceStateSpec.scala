@@ -41,6 +41,48 @@ class CovarianceStateSpec extends SparkSpec {
       s"snapshot must refuse the legacy layout loudly: ${es.getMessage}")
   }
 
+  test("PARTITIONED legacy state (data only under partition dirs) also " +
+    "fails loudly — no silent orphaning (r12 advice)") {
+    import spark.implicits._
+    val root = tmpDir("cov-legacy-part") + "/state"
+    // A pre-r10 table written partitioned: no .parquet file sits at the
+    // root itself, every data file lives under part=X/ subdirs. The
+    // root-level-only probe treated this as an empty state and silently
+    // started fresh over it.
+    Seq((0, 0, 10L, 5L, 5L, 3L, "a"), (0, 1, 7L, 2L, 2L, 1L, "b"))
+      .toDF("i", "j", "n", "s_x_nano", "s_y_nano", "s_xy_nano", "part")
+      .write.partitionBy("part").parquet(root)
+    val eu = intercept[RuntimeException] {
+      CovarianceState.update(spark, root, emb)
+    }
+    assert(eu.getMessage.contains("legacy"),
+      s"update must refuse the partitioned legacy layout: ${eu.getMessage}")
+    val es = intercept[RuntimeException] {
+      CovarianceState.snapshot(spark, root).collect()
+    }
+    assert(es.getMessage.contains("legacy"),
+      s"snapshot must refuse the partitioned legacy layout: ${es.getMessage}")
+  }
+
+  test("first-batch crash residue (deltas/ without stats/) is NOT legacy: " +
+    "the next update recovers and proceeds") {
+    val root = tmpDir("cov-crash-resume") + "/state"
+    // Simulate: first update wrote deltas/batch=0 then crashed before
+    // the stats install. The legacy guard must not misread the orphan
+    // delta as a legacy table; update must succeed and re-ingest.
+    graft.analytics.Pca.covarianceStats(
+        emb.filter(col("vec_id") % 7 === 0))
+      .coalesce(1).write.parquet(s"$root/deltas/batch=0")
+    val out = CovarianceState.update(spark, root, emb)
+    assert(out.count() > 0, "update must proceed past crash residue")
+    // The state now equals a clean one-shot over the full corpus (the
+    // orphan batch=0 was never committed; the real batch 0 overwrote it).
+    val clean = tmpDir("cov-crash-clean") + "/state"
+    CovarianceState.update(spark, clean, emb)
+    assert(read(root) == read(clean),
+      "orphan delta must not leak into the committed snapshot")
+  }
+
   test("3-batch replay equals one-shot EXACTLY, any partitioning") {
     val onePath = tmpDir("cov-one") + "/state"
     val repPath = tmpDir("cov-rep") + "/state"

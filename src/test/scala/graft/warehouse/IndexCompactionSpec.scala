@@ -104,7 +104,7 @@ class IndexCompactionSpec extends SparkSpec {
     spark.read.parquet((0 until 4).map(i => s"$table/batch=$i"): _*)
       .repartition(1).write.parquet(s"$table/.fold_tmp")
     val out = hfs.create(new Path(s"$table/.fold_commit"), true)
-    out.write("3".getBytes("UTF-8")); out.close()
+    out.write("3;".getBytes("UTF-8")); out.close()
     IndexCompaction.recover(spark, table)
     assert(batchDirCount(table) == 1)
     assert(spark.read.parquet(table).count() == 4)
@@ -112,7 +112,7 @@ class IndexCompactionSpec extends SparkSpec {
       .get(0).toString == "3")
     // Idempotent re-entry AFTER the rename (marker alone remains).
     val out2 = hfs.create(new Path(s"$table/.fold_commit"), true)
-    out2.write("3".getBytes("UTF-8")); out2.close()
+    out2.write("3;".getBytes("UTF-8")); out2.close()
     IndexCompaction.recover(spark, table)
     assert(spark.read.parquet(table).count() == 4,
       "marker-only recovery must not delete the installed partition")
@@ -140,5 +140,33 @@ class IndexCompactionSpec extends SparkSpec {
     IndexCompaction.recover(spark, table)
     val rep = IndexCompaction.foldBatches(spark, table, 2L)
     assert(rep.dirsAfter == 1 && spark.read.parquet(table).count() == 3)
+  }
+
+  test("marker truncated to a numeric prefix rolls back, never installs " +
+    "tmp under the wrong partition (r12 advice)") {
+    // 13 batch dirs, fold through 12 crashes mid-marker-write leaving
+    // '1' (a numeric prefix of '12'). A naive parser reads upTo=1 and
+    // rolls FORWARD: tmp (folded through 12) installed as batch=1 while
+    // dirs 2..12 survive → every row in 2..12 double-counted. The
+    // terminator-required parse must treat it as pre-decision: tmp
+    // dropped, all 13 original dirs intact.
+    val table = tmpDir("fold-crash-prefix") + "/t"
+    (0 until 13).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$table/batch=$i")
+    }
+    val hfs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet((0 until 13).map(i => s"$table/batch=$i"): _*)
+      .repartition(1).write.parquet(s"$table/.fold_tmp")
+    val out = hfs.create(new Path(s"$table/.fold_commit"), true)
+    out.write("1".getBytes("UTF-8")); out.close() // truncated from "12;"
+    IndexCompaction.recover(spark, table)
+    assert(!hfs.exists(new Path(s"$table/.fold_tmp")), "tmp must roll back")
+    assert(!hfs.exists(new Path(s"$table/.fold_commit")))
+    assert(batchDirCount(table) == 13, "original dirs must be untouched")
+    assert(spark.read.parquet(table).count() == 13, "no double count")
+    // A real fold afterwards writes a terminated marker and completes.
+    val rep = IndexCompaction.foldBatches(spark, table, 12L)
+    assert(rep.dirsAfter == 1 && spark.read.parquet(table).count() == 13)
   }
 }
