@@ -216,6 +216,27 @@ object Main {
       reports.foreach(r => println(s"[compact-index] $r"))
       spark.stop()
 
+    case "migrate-state" :: kind :: root :: Nil =>
+      // One-shot layout migration for a pre-delta-dir state table (the
+      // verb CovarianceState's legacy guard points at): re-ingest the
+      // old root-layout statistics as batch 0, then clear the legacy
+      // files. Idempotent — safe to re-run after any crash point.
+      // Covariance is the only family that ever shipped the old layout
+      // (the other states were born on the delta-dir protocol).
+      val spark = session()
+      kind match {
+        case "covariance" =>
+          graft.warehouse.CovarianceState.migrateLegacy(spark, root, lease = true)
+          println(s"[migrate-state] covariance state at $root migrated to " +
+            "the delta-dir layout (legacy table ingested as batch 0)")
+        case other =>
+          System.err.println(s"unknown state kind: $other (expected " +
+            "covariance — dedup/retrieval/eval states were born on the " +
+            "delta-dir layout and have no legacy form)")
+          spark.stop(); sys.exit(2)
+      }
+      spark.stop()
+
     case "show" :: wh :: collection :: rest =>
       val spark = session()
       val runner = new SyncRunner(spark, Settings(wh))
@@ -237,6 +258,7 @@ object Main {
            |  report <warehouseDir> <outFile.json>
            |  compact <tableDir> [targetMB]
            |  compact-index <dedup|retrieval|covariance|eval> <rootDir>
+           |  migrate-state <covariance> <rootDir>
            |  logs <warehouseDir> [limit]
            |  health <warehouseDir>
            |  show <warehouseDir> <collection> [n]""".stripMargin)

@@ -94,7 +94,12 @@ object ScaleCheck {
     // per the r10 verdict #5: Good–Turing (three chained hash aggs)
     // and the Zipf rank–frequency slope (vocab window after one
     // corpus-token agg).
-    "q83_source_overlap", "q208_good_turing", "q211_zipf_slope")
+    "q83_source_overlap", "q208_good_turing", "q211_zipf_slope",
+    // round-13: exact substring decontamination — one train-corpus scan
+    // + posexplode + broadcast eval probe; the islands window runs over
+    // matched positions only, so work ∝ train tokens (decade row on
+    // arrival, the q210 discipline).
+    "q233_substring_decontamination")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -27,7 +27,8 @@ object Registry {
       graft.warehouse.SkylineState.queries ++ graft.warehouse.CovarianceState.queries ++
       graft.warehouse.RetrievalIndex.queries ++ graft.warehouse.DedupIndex.queries ++
       graft.analytics.ModelEval.queries ++ graft.warehouse.DriftState.queries ++
-      graft.analytics.Linkage.queries ++ graft.warehouse.EvalState.queries
+      graft.analytics.Linkage.queries ++ graft.warehouse.EvalState.queries ++
+      graft.warehouse.IvfState.queries
 }
 
 object SparkEntry {

@@ -239,7 +239,21 @@ object IvfIndex {
     */
   def search(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
              nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
-             excludeSelf: Boolean = true): DataFrame = {
+             excludeSelf: Boolean = true): DataFrame =
+    Similarity.topK(
+      scoredCandidates(indexed, queries, model, nprobe, idCol, vecCol, excludeSelf),
+      k, idCol)
+
+  /** The pre-top-k candidate frame of [[search]]: (query_id, idCol,
+    * score) for every corpus row in a probed cell. Exposed so a caller
+    * holding TWO candidate sources (e.g. [[graft.warehouse.IvfState]]'s
+    * bundle + unfolded tail) can union them BEFORE the rank window —
+    * ranking each source separately and unioning after would miss a
+    * tail row that belongs in the global top k.
+    */
+  private[graft] def scoredCandidates(indexed: DataFrame, queries: DataFrame,
+      model: Model, nprobe: Int, idCol: String, vecCol: String,
+      excludeSelf: Boolean): DataFrame = {
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cells", nearestCells(col("q_vec"), model, nprobe))
@@ -248,9 +262,8 @@ object IvfIndex {
     val joined = indexed.join(broadcast(q), Seq("cell"))
     val candidates =
       if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined
-    val scored = candidates
+    candidates
       .withColumn("score", graft.functions.cosineSimilarity(col("q_vec"), col(vecCol)))
-    Similarity.topK(scored, k, idCol)
   }
 
   /** Build model + partitioned index as ONE atomically-swapped bundle dir

@@ -30,7 +30,7 @@ object Similarity {
   /** Rank scored (query, candidate) rows and keep the top k per query —
     * the shared tail of every kNN variant (brute, LSH, IVF).
     */
-  private[analytics] def topK(scored: DataFrame, k: Int, idCol: String): DataFrame =
+  private[graft] def topK(scored: DataFrame, k: Int, idCol: String): DataFrame =
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))))
@@ -371,7 +371,7 @@ object Similarity {
     * oracle for both ANN variants (q20 LSH, q28 IVF): an approximate
     * index that recovers the planted margin produces exactly this.
     */
-  private[analytics] val plantedKnnSql =
+  private[graft] val plantedKnnSql =
     """WITH base AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
       |), corpus AS (

@@ -332,6 +332,110 @@ object TrainingData {
       |FROM ws w LEFT JOIN hits h ON w.doc_id = h.doc_id
       |WHERE w.split = 'train'""".stripMargin
 
+  // --------------------------------------------------------------- q233
+  /** Exact substring decontamination — the run-length member of the
+    * decontamination family (q36 = whole-doc verbatim, q45 = any-shared-
+    * n-gram): the public-pipeline standard flags a training doc when it
+    * shares an exact CONTIGUOUS token run of ≥ R tokens with any eval
+    * doc (the GPT-3/PaLM-style ~50-token substring rule; the harness
+    * corpus's 31-word vocabulary makes R = 8 the discriminating size —
+    * random 3-gram collisions chain to runs ≤ 7, the planted cross-split
+    * duplicate carries a 66-token run).
+    *
+    * Sorted token-k-gram join with run-length merge: seed on word
+    * k-grams WITH their token position, probe the eval set's distinct
+    * gram set, then merge CONSECUTIVE matched positions into islands
+    * (pos − row_number() per doc — the q95 gaps-and-islands kernel); a
+    * run of m consecutive matched k-gram positions is an exact shared
+    * substring of m + k − 1 tokens. Exact by construction — no
+    * fingerprint, no sketch; every reported run is a literal shared
+    * substring.
+    *
+    * Plan shape for 100 TB: the eval side is a benchmark suite — tiny by
+    * construction — so its distinct gram set BROADCASTS and the training
+    * corpus is never shuffled: one scan + posexplode + broadcast probe;
+    * the islands window partitions by doc over MATCHED positions only
+    * (≪ corpus grams after the probe — the q45 seam). Work ∝ train
+    * tokens; a corpus-sized eval side would swap the broadcast for the
+    * Bloom-prefilter seam exactly like [[contaminationAtScale]].
+    */
+  def substringOverlap(train: DataFrame, eval: DataFrame, k: Int = 3,
+                       minRun: Int = 8, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val evalGrams = eval
+      .select(explode(array_distinct(
+        graft.functions.shingleStrings(col(textCol), k))).as("s"))
+      .distinct()
+    val matched = train
+      .select(col(idCol),
+        posexplode(graft.functions.shingleStrings(col(textCol), k)))
+      .toDF(idCol, "pos", "s")
+      .join(broadcast(evalGrams), Seq("s"))
+    val wDoc = Window.partitionBy(idCol).orderBy("pos")
+    val runs = matched
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col(idCol), col("grp"))
+      .agg(count(lit(1)).as("m_grams"))
+      .withColumn("run_tokens", col("m_grams") + lit(k - 1).cast("long"))
+    val perDoc = runs.groupBy(idCol)
+      .agg(sum("m_grams").as("n_matched_grams"),
+        count(lit(1)).as("n_runs"),
+        max("run_tokens").as("max_run_tokens"))
+    train.select(idCol)
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"),
+        (coalesce(col("max_run_tokens"), lit(0L)) >= minRun)
+          .cast("int").as("contaminated"))
+  }
+
+  def substringDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), hashSplit(col("doc_id")).as("split"), col("text"))
+    substringOverlap(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"))
+  }
+
+  private val substringDecontaminationSql =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) BETWEEN '0' AND 'b' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('c','d') THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, split, i AS pos,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM ws, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+      |),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+      |m AS (
+      |  SELECT t.doc_id AS doc_id, t.pos,
+      |    t.pos - row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS grp
+      |  FROM sh t JOIN ev USING (s) WHERE t.split = 'train'
+      |),
+      |runs AS (
+      |  SELECT doc_id, count(*) AS m_grams, count(*) + 2 AS run_tokens
+      |  FROM m GROUP BY doc_id, grp
+      |),
+      |per_doc AS (
+      |  SELECT doc_id, sum(m_grams) AS n_matched_grams, count(*) AS n_runs,
+      |    max(run_tokens) AS max_run_tokens
+      |  FROM runs GROUP BY 1
+      |)
+      |SELECT w.doc_id AS doc_id,
+      |  CAST(coalesce(p.n_matched_grams, 0) AS BIGINT) AS n_matched_grams,
+      |  CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+      |  CAST(coalesce(p.max_run_tokens, 0) AS BIGINT) AS max_run_tokens,
+      |  CAST(coalesce(p.max_run_tokens, 0) >= 8 AS INT) AS contaminated
+      |FROM ws w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+      |WHERE w.split = 'train'""".stripMargin
+
   // ---------------------------------------------------------------- q49
   /** Scale of the integer log-probability grid: micro-nats. One constant
     * drives both the Spark plan and the oracle SQL.
@@ -1649,6 +1753,8 @@ object TrainingData {
     NamedQuery("q39_sequence_packing", (s, d) => packSequences(s, d), Some(packSequencesSql)),
     NamedQuery("q40_pii_scrub", piiScrub _, Some(piiScrubSql)),
     NamedQuery("q45_ngram_decontamination", ngramDecontamination _, Some(ngramDecontaminationSql)),
+    NamedQuery("q233_substring_decontamination", substringDecontamination _,
+      Some(substringDecontaminationSql)),
     NamedQuery("q49_bigram_lm", bigramLm _, Some(bigramLmSql)),
     NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)),
     NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),

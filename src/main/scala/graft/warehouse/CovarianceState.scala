@@ -46,42 +46,103 @@ object CovarianceState {
     * every accumulated statistic on the next update. Fail loudly; the
     * migration is a one-shot read-the-old-table → `update(batchId=0)`.
     */
+  /** The root entries holding LEGACY data: parquet data anywhere under
+    * the root that is NOT part of the new layout. Root-level files
+    * catch the unpartitioned old table; the subdirectory probe (r13,
+    * advice) catches a PARTITIONED legacy table whose data lives only
+    * under partition dirs — previously treated as empty and silently
+    * orphaned, the precise loss the guard exists to prevent. `deltas/`
+    * is skipped: a first-batch crash between the delta write and the
+    * stats install legitimately leaves deltas/ without stats/, and
+    * recovery (not the guard) owns that state.
+    */
+  private def legacyEntries(hfs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    def hasParquetUnder(dir: org.apache.hadoop.fs.Path): Boolean = {
+      val it = hfs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
+    if (!hfs.exists(p)) Nil
+    else hfs.listStatus(p).toSeq.filter { st =>
+      val name = st.getPath.getName
+      if (st.isFile) name.endsWith(".parquet")
+      else name != "deltas" && name != "stats" &&
+        !name.startsWith(".") && !name.startsWith("_") &&
+        hasParquetUnder(st.getPath)
+    }.map(_.getPath)
+  }
+
   private def guardLegacyLayout(spark: SparkSession, root: String): Unit =
     if (!StateFiles.exists(spark, statsPath(root))) {
       val p = new org.apache.hadoop.fs.Path(root)
       val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // Legacy = parquet data anywhere under the root that is NOT part
-      // of the new layout. Root-level files catch the unpartitioned old
-      // table; the subdirectory probe (r13, advice) catches a
-      // PARTITIONED legacy table whose data lives only under partition
-      // dirs — previously treated as empty and silently orphaned, the
-      // precise loss this guard exists to prevent. `deltas/` is skipped:
-      // a first-batch crash between the delta write and the stats
-      // install legitimately leaves deltas/ without stats/, and
-      // recovery (not this guard) owns that state.
-      def hasParquetUnder(dir: org.apache.hadoop.fs.Path): Boolean = {
-        val it = hfs.listFiles(dir, true)
-        var found = false
-        while (!found && it.hasNext) {
-          val name = it.next().getPath.getName
-          found = name.endsWith(".parquet") &&
-            !name.startsWith("_") && !name.startsWith(".")
-        }
-        found
-      }
-      val legacy = hfs.exists(p) && hfs.listStatus(p).exists { st =>
-        val name = st.getPath.getName
-        if (st.isFile) name.endsWith(".parquet")
-        else name != "deltas" && name != "stats" &&
-          !name.startsWith(".") && !name.startsWith("_") &&
-          hasParquetUnder(st.getPath)
-      }
-      if (legacy)
+      if (legacyEntries(hfs, p).nonEmpty)
         sys.error(s"CovarianceState: legacy single-table layout at $root " +
           "(parquet data under the state root, no stats/ commit table). " +
           "Refusing to start fresh over accumulated statistics — run the " +
-          "`migrate-state` CLI verb (or read the old table and re-ingest " +
-          "it as batch 0).")
+          "`migrate-state covariance <root>` CLI verb (or read the old " +
+          "table and re-ingest it as batch 0).")
+    }
+
+  /** One-shot migration of a pre-r10 legacy state (a folded pair-stats
+    * table at the root — partitioned or not) into the delta-dir layout:
+    * the legacy statistics are re-grouped to one row per (i, j) pair
+    * (a partitioned legacy table may shard a pair across partitions;
+    * BIGINT sums make the re-fold exact) and installed as `batch 0`,
+    * then the legacy files are removed. Crash-safe in the family's
+    * idempotent style:
+    *   - crash after the delta write, before the stats install → the
+    *     guard still sees legacy-without-stats; re-running migrate
+    *     overwrites the delta and proceeds;
+    *   - crash after the stats install, before the legacy delete → the
+    *     state is already live; re-running migrate skips ingestion and
+    *     finishes the cleanup.
+    * Refuses a root with NO legacy data and no state (nothing to
+    * migrate — likely a typo'd path).
+    */
+  def migrateLegacy(spark: SparkSession, statePath: String,
+                    lease: Boolean = false): Unit =
+    graft.core.PathLocks.forPath(statePath).synchronized {
+      LeaseLock.withLease(spark, statePath, lease) {
+        val p = new org.apache.hadoop.fs.Path(statePath)
+        val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val legacy = legacyEntries(hfs, p)
+        if (StateFiles.exists(spark, statsPath(statePath))) {
+          // Already migrated (or was never legacy): only the cleanup
+          // half can be outstanding.
+          legacy.foreach(hfs.delete(_, true))
+        } else {
+          if (legacy.isEmpty)
+            sys.error(s"CovarianceState.migrateLegacy: no legacy parquet " +
+              s"data under $statePath and no committed state — nothing to " +
+              "migrate")
+          val cols = Seq("i", "j", "n", "s_x_nano", "s_y_nano", "s_xy_nano")
+          val df = spark.read.parquet(legacy.map(_.toString): _*)
+          val missing = cols.filterNot(df.columns.contains)
+          if (missing.nonEmpty)
+            sys.error(s"CovarianceState.migrateLegacy: $statePath does not " +
+              s"look like a legacy covariance state (missing columns: " +
+              s"${missing.mkString(", ")})")
+          df.select(cols.map(col): _*)
+            .groupBy("i", "j")
+            .agg(sum("n").as("n"), sum("s_x_nano").as("s_x_nano"),
+              sum("s_y_nano").as("s_y_nano"), sum("s_xy_nano").as("s_xy_nano"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"${deltasPath(statePath)}/batch=0")
+          import spark.implicits._
+          StateFiles.install(spark, statsPath(statePath),
+            Seq(0L).toDF("last_batch"))
+          legacy.foreach(hfs.delete(_, true))
+        }
+      }
     }
 
   private def readLast(spark: SparkSession, root: String): Option[Long] =

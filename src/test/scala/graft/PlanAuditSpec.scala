@@ -125,6 +125,16 @@ class PlanAuditSpec extends SparkSpec {
       s"q45 eval probe must stay broadcast: $s")
   }
 
+  test("q233 substring decontamination keeps the eval gram set broadcast; " +
+    "the islands window sees matched rows only") {
+    val s = stats("q233_substring_decontamination")
+    // Same seam as q45: the training side never shuffles its grams for
+    // the probe; the exchanges are the post-probe islands window keyed
+    // on doc_id, the run/per-doc aggregates, and the final left join.
+    assert(s.shuffles <= 12 && s.nestedLoops == 0 && s.smj == 0,
+      s"q233 eval probe must stay broadcast: $s")
+  }
+
   test("q47 semantic dedup pairs only within cells — never a global pair join") {
     val s = stats("q47_semantic_dedup")
     // The pair join must be keyed on `cell` (broadcast or shuffle hash);

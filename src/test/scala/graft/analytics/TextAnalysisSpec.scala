@@ -512,6 +512,39 @@ class TextAnalysisSpec extends SparkSpec {
       s"bitmask rewrite drifted: fast=${fast.size} slow=${slow.size}")
   }
 
+  test("sourceOverlap: >63 sources dispatches to the join fallback and " +
+    "still answers exactly (r12 verdict)") {
+    // 70 sources blow the LONG bitmask; sourceOverlap must take the
+    // self-join path end-to-end (read from dir → explode → fallback)
+    // and match the directly-computed join form. Sources share shingle
+    // space in overlapping pairs so the answer is non-trivial.
+    import spark.implicits._
+    val dir = tmpDir("overlap-wide")
+    val docs = (0 until 70).flatMap { s =>
+      // Each source holds its own trigram plus its neighbor's: adjacent
+      // sources overlap, distant ones are disjoint.
+      Seq((s.toLong * 2, s"own$s alpha$s beta$s gamma$s", s"src$s"),
+        (s.toLong * 2 + 1, s"own${(s + 1) % 70} alpha${(s + 1) % 70} " +
+          s"beta${(s + 1) % 70} gamma${(s + 1) % 70}", s"src$s"))
+    }.toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("jaccard_u")).toMap
+    val ss = docs.select(col("source"),
+      explode(TextAnalysis.shingleSet(col("text"), 3)).as("sh"))
+    val direct = TextAnalysis.sourceOverlapJoin(ss).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("jaccard_u")).toMap
+    assert(out.nonEmpty && out == direct,
+      s"fallback drifted: out=${out.size} direct=${direct.size}")
+    // Each 4-word doc yields 2 trigrams, so source s's set is
+    // {T(s), T(s+1)} (4 shingles); adjacent sources share one doc's
+    // trigrams: jaccard = 2e6 / (4 + 4 - 2).
+    assert(out(("src0", "src1")) == 333333L)
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
   // -------------------------------------------------- dedupGrowth (q225)
 
   test("dedupGrowth: full level counts exact dupes; levels nest") {

@@ -80,6 +80,42 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("substringOverlap merges consecutive matched grams into exact runs") {
+    val train = Seq(
+      // Shares the 9-token run "one two three four five six seven eight
+      // nine" with eval doc 10 -> 7 consecutive matched trigrams ->
+      // max_run = 7 + 3 - 1 = 9 >= 8: contaminated.
+      (1L, "zz one two three four five six seven eight nine qq"),
+      // Two DISJOINT short matches ("one two three", "seven eight nine")
+      // -> two runs of 3 tokens each; 6 shared tokens total but no run
+      // >= 8: clean (the case q45's any-gram rule cannot distinguish).
+      (2L, "one two three kk mm seven eight nine"),
+      (3L, "x y z w"), // disjoint vocabulary
+      (4L, "a b")      // too short for any trigram
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val out = TrainingData.substringOverlap(train, eval).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((7L, 1L, 9L, 1)))
+    assert(out(2L) == ((2L, 2L, 3L, 0)))
+    assert(out(3L) == ((0L, 0L, 0L, 0)))
+    assert(out(4L) == ((0L, 0L, 0L, 0)))
+    assert(out.size == 4)
+  }
+
+  test("substringOverlap: a gram repeated at non-adjacent positions forms " +
+    "separate runs, not one inflated run") {
+    val train = Seq(
+      (1L, "one two three zz one two three")).toDF("doc_id", "text")
+    val eval = Seq((10L, "one two three")).toDF("doc_id", "text")
+    val r = TrainingData.substringOverlap(train, eval).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 3L,
+      s"expected two 3-token runs, got $r")
+  }
+
   test("q45 splits are disjoint and counts are brute-force-consistent") {
     // The gated query derives train/eval from the q35 hash split; spot-
     // check 25 train docs against a driver-side recomputation over the

@@ -64,6 +64,34 @@ class CovarianceStateSpec extends SparkSpec {
       s"snapshot must refuse the partitioned legacy layout: ${es.getMessage}")
   }
 
+  test("migrateLegacy round-trips: legacy -> migrate -> update -> snapshot " +
+    "equals the clean one-shot (r12 verdict)") {
+    val root = tmpDir("cov-migrate") + "/state"
+    val firstHalf = emb.filter(col("vec_id") % 2 === 0)
+    val secondHalf = emb.filter(col("vec_id") % 2 =!= 0)
+    // The pre-r10 layout: folded pair stats at the root, PARTITIONED
+    // (the harder shape — pairs sharded across partition dirs must
+    // re-fold exactly), no stats/ commit table.
+    graft.analytics.Pca.covarianceStats(firstHalf)
+      .withColumn("part", col("i") % 2)
+      .write.partitionBy("part").parquet(root)
+    CovarianceState.migrateLegacy(spark, root)
+    // Idempotent re-run (crash-after-install replay) is a no-op.
+    CovarianceState.migrateLegacy(spark, root)
+    // Legacy files are gone; the guard no longer fires; updates resume
+    // on top of the migrated batch 0.
+    CovarianceState.update(spark, root, secondHalf)
+    val clean = tmpDir("cov-migrate-clean") + "/state"
+    CovarianceState.update(spark, clean, emb)
+    assert(read(root) == read(clean),
+      "migrated-then-updated state must equal the clean one-shot")
+    // And a root with neither legacy data nor state refuses loudly.
+    val err = intercept[RuntimeException] {
+      CovarianceState.migrateLegacy(spark, tmpDir("cov-migrate-empty"))
+    }
+    assert(err.getMessage.contains("nothing to migrate"))
+  }
+
   test("first-batch crash residue (deltas/ without stats/) is NOT legacy: " +
     "the next update recovers and proceeds") {
     val root = tmpDir("cov-crash-resume") + "/state"
