@@ -132,6 +132,35 @@ object StreamingIndex {
     q.awaitTermination()
   }
 
+  /** Drain `sourceDir` (json files with an id and a numeric-array
+    * embedding) into the incremental IVF ANN state — the streaming face
+    * of [[graft.warehouse.IvfState]], completing streaming parity for
+    * the index family (r12 verdict: IVF/PQ was the one family without
+    * an incremental exactly-once variant). Each drained batch lands as
+    * a searchable tail delta; [[graft.warehouse.IvfState.recluster]]
+    * remains a scheduled maintenance verb, exactly like index
+    * compaction. Exactly-once rides the state's delta-dir +
+    * `last_batch` marker protocol with the epoch as the batch id.
+    */
+  def ivfAvailableNow(spark: SparkSession, sourceDir: String,
+                      schema: StructType, stateRoot: String,
+                      checkpoint: String, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.warehouse.IvfState.update(spark, stateRoot, batch, idCol,
+          vecCol, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `sourceDir` into the near-dup index at `indexRoot`; each
     * micro-batch's matches against the prior corpus persist under the
     * index's `matches/batch=N/` dirs (query them any time).

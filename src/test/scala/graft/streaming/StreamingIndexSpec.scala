@@ -190,4 +190,38 @@ class StreamingIndexSpec extends SparkSpec {
     assert(key(CovarianceState.snapshot(spark, root)) == oneShot,
       "compaction must not change the folded statistics")
   }
+
+  test("file-streamed IVF ANN state searches exactly like brute force at " +
+    "nprobe=all, before AND after a mid-stream recluster; replay no-ops") {
+    import graft.warehouse.IvfState
+    val watch = tmpDir("sivf-src")
+    val root = tmpDir("sivf-root") + "/state"
+    val ckpt = tmpDir("sivf-ckpt")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    stageFiles(Seq(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2)), watch)
+    StreamingIndex.ivfAvailableNow(spark, watch, emb.schema, root, ckpt)
+    val queries = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("rank").longValue()) ->
+        (r.getLong(1), r.getAs[Double]("score_r"))).toMap
+    val want = key(graft.analytics.Similarity.bruteForceKnn(emb, queries, k = 4))
+    // Tail-only search (stream drained, never reclustered) is exact.
+    assert(key(IvfState.search(spark, root, queries, k = 4, nprobe = 1)) == want,
+      "streamed tail must serve exact searches before any recluster")
+    // Maintenance recluster, then the probe-everything search matches.
+    IvfState.recluster(spark, root, k = Some(6))
+    assert(key(IvfState.search(spark, root, queries, k = 4, nprobe = 6)) == want,
+      "post-recluster bundle search must equal brute force at nprobe=all")
+    // Replaying a committed epoch with DIFFERENT content short-circuits.
+    IvfState.update(spark, root,
+      emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 700000L).as("vec_id"), col("embedding")),
+      batchId = Some(1L))
+    assert(key(IvfState.search(spark, root, queries, k = 4, nprobe = 6)) == want,
+      "a committed replay must not re-ingest")
+  }
 }
