@@ -99,7 +99,10 @@ object ScaleCheck {
     // + posexplode + broadcast eval probe; the islands window runs over
     // matched positions only, so work ∝ train tokens (decade row on
     // arrival, the q210 discipline).
-    "q233_substring_decontamination")
+    "q233_substring_decontamination",
+    // round-13: n-gram repetition signals — two posexplodes + per-doc
+    // windows/aggs, corpus-linear by construction.
+    "q235_ngram_repetition")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -510,6 +510,147 @@ object TextAnalysis {
       |  CAST(sum(n_copies - 1) AS BIGINT) AS n_removed
       |FROM groups GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------------- q235
+  /** Gopher-style REPETITION quality signals — the within-document
+    * complement of the corpus-level dedup battery (q15/q17/... find
+    * copies ACROSS documents; boilerplate-heavy or degenerate docs
+    * repeat themselves INTERNALLY and slip through; q43's token-level
+    * distinct/top ratios catch single-token degeneracy, these catch
+    * PHRASE-level boilerplate): per document,
+    * (a) the character fraction covered by occurrences of the single
+    * most frequent word `topN`-gram (MassiveText's "fraction of
+    * characters in most frequent n-gram" rule), and (b) the word
+    * fraction covered by the UNION of all word `dupN`-gram occurrences
+    * that appear ≥ 2 times (the "fraction of characters in duplicate
+    * n-grams" rule, computed as an exact interval union so overlapping
+    * occurrences are never double-counted — the published heuristic's
+    * documented pitfall). Gopher runs top-{2,3,4} and dup-{5..10};
+    * the harness corpus's 31-word vocabulary makes (top-2, dup-3) the
+    * discriminating sizes (the q45 calibration argument — dup-5 never
+    * fires on synthetic text, top-2 and dup-3 separate the corpus).
+    *
+    * Exactness: counts and interval unions are integers; the two
+    * fractions are integer ppm divisions over the normalized
+    * single-space token join (`n_chars`) and the token count
+    * (`n_words`). The top-gram tie-break is (count desc, gram asc) —
+    * total order, engine-portable. `top_char_ppm` is capped at 1e6:
+    * the published count×length heuristic ignores occurrence overlap,
+    * so a degenerate doc ("a a a a") can nominally exceed its own
+    * length.
+    *
+    * Scale shape: two posexplodes + per-doc hash aggregates and
+    * windows, all partitioned by doc_id — corpus-linear, no joins
+    * beyond the final per-doc assembly against the base projection.
+    */
+  def ngramRepetitionSignals(docs: DataFrame, topN: Int = 2, dupN: Int = 3,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = graft.functions.shingleStrings(col(textCol), 1)
+    val base = docs.select(col(idCol), size(toks).as("n_words"),
+      length(concat_ws(" ", toks)).as("n_chars"))
+    val wTop = Window.partitionBy(idCol).orderBy(desc("c"), asc("g"))
+    val top = docs
+      .select(col(idCol),
+        explode(graft.functions.shingleStrings(col(textCol), topN)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col(idCol), col("c").as("top_count"),
+        length(col("g")).cast("long").as("top_len"))
+    // Duplicate-n-gram coverage: occurrences of any gram with count ≥ 2
+    // cover word positions [pos, pos+n-1]; the per-doc interval union
+    // is the classic running-max sweep (sorted by start, contribution =
+    // end − max(start−1, max prior end), clamped at 0).
+    val wGram = Window.partitionBy(idCol, "g")
+    val wSweep = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = docs
+      .select(col(idCol),
+        posexplode(graft.functions.shingleStrings(col(textCol), dupN)))
+      .toDF(idCol, "pos", "g")
+      .withColumn("cg", count(lit(1)).over(wGram))
+      .filter(col("cg") >= 2)
+      .withColumn("endp", (col("pos") + dupN - 1).cast("long"))
+      .withColumn("pmax", max("endp").over(wSweep))
+      .withColumn("add", greatest(lit(0L),
+        col("endp") - greatest(col("pos").cast("long") - 1,
+          coalesce(col("pmax"), lit(-1L)))))
+      .groupBy(idCol).agg(sum("add").as("dup_words"))
+    base
+      .join(top, Seq(idCol), "left")
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        when(col("n_chars") === 0 || col("top_count").isNull, 0L)
+          .otherwise(least(lit(1000000L),
+            expr("(top_count * top_len * 1000000) div n_chars")))
+          .as("top_char_ppm"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("(coalesce(dup_words, 0) * 1000000) div n_words"))
+          .as("dup_word_ppm"))
+  }
+
+  def ngramRepetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    ngramRepetitionSignals(Tables.documents(spark, dir))
+
+  private val repetitionSql =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |base AS (
+      |  SELECT doc_id, len(w) AS n_words,
+      |    len(array_to_string(w, ' ')) AS n_chars
+      |  FROM ws
+      |),
+      |g2 AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      |  FROM ws, unnest(range(1, greatest(len(w), 1))) AS t(i)
+      |),
+      |g2c AS (
+      |  SELECT doc_id, g, count(*) AS c,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+      |  FROM g2 GROUP BY 1, 2
+      |),
+      |top2 AS (
+      |  SELECT doc_id, c AS top_count, len(g) AS top_len FROM g2c WHERE rn = 1
+      |),
+      |g3 AS (
+      |  SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM ws, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+      |),
+      |d3 AS (
+      |  SELECT doc_id, pos, pos + 2 AS endp,
+      |    count(*) OVER (PARTITION BY doc_id, g) AS cg
+      |  FROM g3 QUALIFY cg >= 2
+      |),
+      |iv AS (
+      |  SELECT doc_id, pos, endp,
+      |    max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM d3
+      |),
+      |cov AS (
+      |  SELECT doc_id,
+      |    sum(greatest(0, endp - greatest(pos - 1, coalesce(pmax, 0)))) AS dup_words
+      |  FROM iv GROUP BY 1
+      |)
+      |SELECT b.doc_id AS doc_id,
+      |  CAST(b.n_words AS BIGINT) AS n_words,
+      |  CAST(coalesce(t.top_count, 0) AS BIGINT) AS top_count,
+      |  CAST(CASE WHEN b.n_chars = 0 OR t.top_count IS NULL THEN 0
+      |    ELSE least(1000000, (t.top_count * t.top_len * 1000000) // b.n_chars)
+      |    END AS BIGINT) AS top_char_ppm,
+      |  CAST(coalesce(c.dup_words, 0) AS BIGINT) AS dup_words,
+      |  CAST(CASE WHEN b.n_words = 0 THEN 0
+      |    ELSE (coalesce(c.dup_words, 0) * 1000000) // b.n_words
+      |    END AS BIGINT) AS dup_word_ppm
+      |FROM base b
+      |LEFT JOIN top2 t USING (doc_id)
+      |LEFT JOIN cov c USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- q16
   /** Word-set Jaccard similarity between consecutive documents — the exact
     * n-gram-Jaccard kernel (the verification step of every near-dup
@@ -1663,6 +1804,7 @@ object TextAnalysis {
     NamedQuery("q14_lang_quality", langQuality _, Some(langQualitySql)),
     NamedQuery("q15_exact_dedup", exactDedup _, Some(exactDedupSql)),
     NamedQuery("q16_jaccard_pairs", jaccardPairs _, Some(jaccardPairsSql)),
+    NamedQuery("q235_ngram_repetition", ngramRepetitionProfile _, Some(repetitionSql)),
     NamedQuery("q43_repetition_quality", repetitionQuality _, Some(repetitionQualitySql)),
     NamedQuery("q46_tfidf_terms", (s, d) => tfIdfTopTerms(s, d), Some(tfIdfTopTermsSql)),
     NamedQuery("q54_vocab_coverage", vocabCoverageByLang _, Some(vocabCoverageSql)),

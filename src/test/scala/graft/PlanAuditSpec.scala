@@ -135,6 +135,14 @@ class PlanAuditSpec extends SparkSpec {
       s"q233 eval probe must stay broadcast: $s")
   }
 
+  test("q235 n-gram repetition stays per-doc windows + hash aggs — no " +
+    "corpus single-partition, no pair join") {
+    val s = stats("q235_ngram_repetition")
+    assert(s.nestedLoops == 0 && s.singleParts == 0,
+      s"q235 must stay doc-partitioned: $s")
+    assert(s.scans <= 6 && s.shuffles <= 12, s"q235 shuffles regressed: $s")
+  }
+
   test("q47 semantic dedup pairs only within cells — never a global pair join") {
     val s = stats("q47_semantic_dedup")
     // The pair join must be keyed on `cell` (broadcast or shuffle hash);

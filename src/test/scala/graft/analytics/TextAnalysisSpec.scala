@@ -545,6 +545,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.keys.forall { case (a, b) => a < b })
   }
 
+  // --------------------------------------- repetitionSignals (q235, r13)
+
+  test("ngramRepetitionSignals: hand-verified top-gram and overlap-safe " +
+    "duplicate-gram coverage") {
+    val docs = Seq(
+      // "a b a b a": 2-grams (a b, b a, a b, b a) -> top = "a b" (count
+      // 2, lexicographic tie-break over "b a"); chars = 2*3*1e6 / 9.
+      // 3-grams: "a b a"@0, "b a b"@1, "a b a"@2 -> "a b a" dup at
+      // 0 and 2; intervals [0,2] and [2,4] OVERLAP at position 2 ->
+      // union covers 5 words, not 6: ppm = 1e6 exactly.
+      (1L, "a b a b a"),
+      // Two disjoint islands: "x y z"@0/@5 dup -> [0,2] + [5,7] =
+      // 6 of 8 words covered; top 2-gram "x y" count 2, len 3,
+      // chars 15 -> 400000.
+      (2L, "x y z q w x y z"),
+      // No repetition at all: top gram count 1, dup coverage 0.
+      (3L, "p q r s"),
+      // Degenerate repetition: "a a a a" -> top 2-gram "a a" count 3,
+      // nominal chars 3*3=9 > total 7 -> capped at 1e6; 3-gram "a a a"
+      // dup at 0,1 -> union [0,3] = full coverage.
+      (4L, "a a a a"),
+      (5L, "solo"), // 1 word: no grams anywhere
+      (6L, "")      // empty: all zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("top_count"), r.getAs[Long]("top_char_ppm"),
+        r.getAs[Long]("dup_words"), r.getAs[Long]("dup_word_ppm")))).toMap
+    assert(out(1L) == ((5L, 2L, 2L * 3 * 1000000 / 9, 5L, 1000000L)))
+    assert(out(2L) == ((8L, 2L, 400000L, 6L, 750000L)))
+    assert(out(3L) == ((4L, 1L, 1L * 3 * 1000000 / 7, 0L, 0L)))
+    assert(out(4L) == ((4L, 3L, 1000000L, 4L, 1000000L)))
+    assert(out(5L) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(out(6L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(out.size == 6)
+  }
+
   // -------------------------------------------------- dedupGrowth (q225)
 
   test("dedupGrowth: full level counts exact dupes; levels nest") {
