@@ -138,7 +138,22 @@ object PqIndex {
   def searchAdc(encoded: DataFrame, queries: DataFrame, model: Model, k: Int,
                 shortlist: Int = 50,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                excludeSelf: Boolean = true): DataFrame = {
+                excludeSelf: Boolean = true): DataFrame =
+    Similarity.topK(
+      scoredShortlist(encoded, queries, model, shortlist, idCol, vecCol,
+        excludeSelf),
+      k, idCol)
+
+  /** The exactly-re-ranked shortlist of [[searchAdc]] BEFORE the final
+    * top-k window: (query_id, idCol, score) for the `shortlist` best ADC
+    * candidates per query, scored by exact cosine. Exposed so a caller
+    * holding TWO candidate sources (e.g. [[graft.warehouse.PqState]]'s
+    * encoded bundle + raw tail) can union them before ranking — the
+    * [[IvfIndex.scoredCandidates]] rationale.
+    */
+  private[graft] def scoredShortlist(encoded: DataFrame, queries: DataFrame,
+      model: Model, shortlist: Int, idCol: String, vecCol: String,
+      excludeSelf: Boolean): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val qRows = queries
@@ -172,9 +187,29 @@ object PqIndex {
       .filter(col("arank") <= shortlist)
       .select(col("query_id"), col("q_vec"), col(idCol),
         col(vecCol).cast("array<double>").as(vecCol))
-    Similarity.topK(
-      short.withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol))),
-      k, idCol)
+    short.withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol)))
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
+  /** Persist a trained model as a tiny parquet table (s, c, centroid) —
+    * the [[IvfIndex.save]] rationale; `m`/`dsub` round-trip from the
+    * row structure. Callers owning a larger atomic unit (PqState's
+    * bundle) write into their own staging dir instead.
+    */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    (for ((book, s) <- model.books.zipWithIndex; (c, ci) <- book.zipWithIndex)
+      yield (s, ci, c))
+      .toDF("s", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, bs) => bs.sortBy(_._2).map(_._3).toSeq }
+    Model(books.size, books.head.head.size, books)
   }
 
   // ---------------------------------------------------------------- q117

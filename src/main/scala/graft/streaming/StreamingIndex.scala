@@ -161,6 +161,30 @@ object StreamingIndex {
     q.awaitTermination()
   }
 
+  /** Drain `sourceDir` into the incremental PQ ANN state — the
+    * [[ivfAvailableNow]] sibling ([[graft.warehouse.PqState]]): drained
+    * batches land as an exact raw tail; codebook retraining stays a
+    * scheduled maintenance verb.
+    */
+  def pqAvailableNow(spark: SparkSession, sourceDir: String,
+                     schema: StructType, stateRoot: String,
+                     checkpoint: String, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.warehouse.PqState.update(spark, stateRoot, batch, idCol,
+          vecCol, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `sourceDir` into the near-dup index at `indexRoot`; each
     * micro-batch's matches against the prior corpus persist under the
     * index's `matches/batch=N/` dirs (query them any time).

@@ -224,4 +224,29 @@ class StreamingIndexSpec extends SparkSpec {
     assert(key(IvfState.search(spark, root, queries, k = 4, nprobe = 6)) == want,
       "a committed replay must not re-ingest")
   }
+
+  test("file-streamed PQ ANN state searches exactly like brute force at " +
+    "corpus-wide shortlist, before AND after a mid-stream retrain") {
+    import graft.warehouse.PqState
+    val watch = tmpDir("spq-src")
+    val root = tmpDir("spq-root") + "/state"
+    val ckpt = tmpDir("spq-ckpt")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    stageFiles(Seq(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2)), watch)
+    StreamingIndex.pqAvailableNow(spark, watch, emb.schema, root, ckpt)
+    val queries = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("rank").longValue()) ->
+        (r.getLong(1), r.getAs[Double]("score_r"))).toMap
+    val want = key(graft.analytics.Similarity.bruteForceKnn(emb, queries, k = 4))
+    assert(key(PqState.search(spark, root, queries, k = 4, shortlist = 600)) == want,
+      "streamed tail must serve exact searches before any retrain")
+    PqState.retrain(spark, root, m = 8, ksub = 8)
+    assert(key(PqState.search(spark, root, queries, k = 4, shortlist = 600)) == want,
+      "post-retrain ADC + re-rank must equal brute force at full shortlist")
+  }
 }
