@@ -153,41 +153,48 @@ object IvfState {
               val tail = readTail(spark, statePath, f, last)
               val all =
                 if (f >= 0) bundled.unionByName(tail) else tail
-              val model = k match {
-                case Some(cells) => IvfIndex.train(all, cells, iters)
-                case None => IvfIndex.trainCellLaw(all, targetCellSize, iters)
-              }
-              val staging = stagingPath(statePath)
-              hfs.delete(new Path(staging), true)
-              IvfIndex.save(spark, model, s"$staging/model")
-              IvfIndex.writePartitionedIndex(all, model, s"$staging/index")
-              import spark.implicits._
-              Seq(last).toDF("folded_through")
-                .coalesce(1).write.parquet(s"$staging/meta")
+              // A streaming face can legitimately commit EMPTY epochs
+              // (idle foreachBatch ticks); training's dimension probe
+              // has no row to read on an all-empty corpus, so an empty
+              // fold is a no-op — the empty delta dirs stay committed
+              // and every read of them is already empty.
               val nAll = all.count()
-              val nIdx = spark.read.parquet(s"$staging/index").count()
-              if (nIdx != nAll) { // never install a lossy rewrite
+              if (nAll > 0) {
+                val model = k match {
+                  case Some(cells) => IvfIndex.train(all, cells, iters)
+                  case None => IvfIndex.trainCellLaw(all, targetCellSize, iters)
+                }
+                val staging = stagingPath(statePath)
                 hfs.delete(new Path(staging), true)
-                sys.error(s"IvfState.recluster: staged index rows $nIdx != " +
-                  s"$nAll under $statePath — recluster aborted, state untouched")
+                IvfIndex.save(spark, model, s"$staging/model")
+                IvfIndex.writePartitionedIndex(all, model, s"$staging/index")
+                import spark.implicits._
+                Seq(last).toDF("folded_through")
+                  .coalesce(1).write.parquet(s"$staging/meta")
+                val nIdx = spark.read.parquet(s"$staging/index").count()
+                if (nIdx != nAll) { // never install a lossy rewrite
+                  hfs.delete(new Path(staging), true)
+                  sys.error(s"IvfState.recluster: staged index rows $nIdx != " +
+                    s"$nAll under $statePath — recluster aborted, state untouched")
+                }
+                val bundleP = new Path(bundlePath(statePath))
+                val bak = bakPath(bundleP)
+                if (hfs.exists(bak)) hfs.delete(bak, true)
+                if (hfs.exists(bundleP) && !hfs.rename(bundleP, bak))
+                  sys.error(s"IvfState.recluster: backup rename failed under $statePath")
+                if (!hfs.rename(new Path(staging), bundleP))
+                  sys.error(s"IvfState.recluster: install rename failed under $statePath")
+                hfs.delete(bak, true)
+                // Folded deltas are now dead to every read (the new
+                // folded_through excludes them); reclaim the dirs.
+                val deltas = new Path(deltasPath(statePath))
+                if (hfs.exists(deltas))
+                  hfs.listStatus(deltas).toSeq
+                    .filter(st => st.isDirectory &&
+                      st.getPath.getName.stripPrefix("batch=").toLongOption
+                        .exists(_ <= last))
+                    .foreach(st => hfs.delete(st.getPath, true))
               }
-              val bundleP = new Path(bundlePath(statePath))
-              val bak = bakPath(bundleP)
-              if (hfs.exists(bak)) hfs.delete(bak, true)
-              if (hfs.exists(bundleP) && !hfs.rename(bundleP, bak))
-                sys.error(s"IvfState.recluster: backup rename failed under $statePath")
-              if (!hfs.rename(new Path(staging), bundleP))
-                sys.error(s"IvfState.recluster: install rename failed under $statePath")
-              hfs.delete(bak, true)
-              // Folded deltas are now dead to every read (the new
-              // folded_through excludes them); reclaim the dirs.
-              val deltas = new Path(deltasPath(statePath))
-              if (hfs.exists(deltas))
-                hfs.listStatus(deltas).toSeq
-                  .filter(st => st.isDirectory &&
-                    st.getPath.getName.stripPrefix("batch=").toLongOption
-                      .exists(_ <= last))
-                  .foreach(st => hfs.delete(st.getPath, true))
             }
         }
       }

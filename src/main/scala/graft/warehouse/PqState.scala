@@ -121,38 +121,43 @@ object PqState {
                 else spark.emptyDataFrame
               val tail = readTail(spark, statePath, f, last)
               val all = if (f >= 0) bundled.unionByName(tail) else tail
-              val model = PqIndex.train(all, m, ksub, iters)
-              val staging = stagingPath(statePath)
-              hfs.delete(new Path(staging), true)
-              PqIndex.saveModel(spark, model, s"$staging/model")
-              PqIndex.encode(all, model)
-                .select("vec_id", "embedding", "codes")
-                .write.mode("overwrite").parquet(s"$staging/index")
-              import spark.implicits._
-              Seq(last).toDF("folded_through")
-                .coalesce(1).write.parquet(s"$staging/meta")
+              // Idle streaming epochs commit EMPTY deltas; an all-empty
+              // corpus has no row for the trainer's dimension probe, so
+              // an empty fold is a no-op (the IvfState.recluster rule).
               val nAll = all.count()
-              val nIdx = spark.read.parquet(s"$staging/index").count()
-              if (nIdx != nAll) { // never install a lossy rewrite
+              if (nAll > 0) {
+                val model = PqIndex.train(all, m, ksub, iters)
+                val staging = stagingPath(statePath)
                 hfs.delete(new Path(staging), true)
-                sys.error(s"PqState.retrain: staged index rows $nIdx != " +
-                  s"$nAll under $statePath — retrain aborted, state untouched")
+                PqIndex.saveModel(spark, model, s"$staging/model")
+                PqIndex.encode(all, model)
+                  .select("vec_id", "embedding", "codes")
+                  .write.mode("overwrite").parquet(s"$staging/index")
+                import spark.implicits._
+                Seq(last).toDF("folded_through")
+                  .coalesce(1).write.parquet(s"$staging/meta")
+                val nIdx = spark.read.parquet(s"$staging/index").count()
+                if (nIdx != nAll) { // never install a lossy rewrite
+                  hfs.delete(new Path(staging), true)
+                  sys.error(s"PqState.retrain: staged index rows $nIdx != " +
+                    s"$nAll under $statePath — retrain aborted, state untouched")
+                }
+                val bundleP = new Path(bundlePath(statePath))
+                val bak = bakPath(bundleP)
+                if (hfs.exists(bak)) hfs.delete(bak, true)
+                if (hfs.exists(bundleP) && !hfs.rename(bundleP, bak))
+                  sys.error(s"PqState.retrain: backup rename failed under $statePath")
+                if (!hfs.rename(new Path(staging), bundleP))
+                  sys.error(s"PqState.retrain: install rename failed under $statePath")
+                hfs.delete(bak, true)
+                val deltas = new Path(deltasPath(statePath))
+                if (hfs.exists(deltas))
+                  hfs.listStatus(deltas).toSeq
+                    .filter(st => st.isDirectory &&
+                      st.getPath.getName.stripPrefix("batch=").toLongOption
+                        .exists(_ <= last))
+                    .foreach(st => hfs.delete(st.getPath, true))
               }
-              val bundleP = new Path(bundlePath(statePath))
-              val bak = bakPath(bundleP)
-              if (hfs.exists(bak)) hfs.delete(bak, true)
-              if (hfs.exists(bundleP) && !hfs.rename(bundleP, bak))
-                sys.error(s"PqState.retrain: backup rename failed under $statePath")
-              if (!hfs.rename(new Path(staging), bundleP))
-                sys.error(s"PqState.retrain: install rename failed under $statePath")
-              hfs.delete(bak, true)
-              val deltas = new Path(deltasPath(statePath))
-              if (hfs.exists(deltas))
-                hfs.listStatus(deltas).toSeq
-                  .filter(st => st.isDirectory &&
-                    st.getPath.getName.stripPrefix("batch=").toLongOption
-                      .exists(_ <= last))
-                  .foreach(st => hfs.delete(st.getPath, true))
             }
         }
       }

@@ -90,6 +90,24 @@ class IvfStateSpec extends SparkSpec {
     assert(again.count() == 12, "post-residue recluster must serve searches")
   }
 
+  test("empty committed epochs (idle streaming ticks) neither break " +
+    "recluster nor leak into search") {
+    val root = tmpDir("ivfstate-empty") + "/state"
+    // Epoch 0 is EMPTY — the idle-foreachBatch shape — and must commit.
+    IvfState.update(spark, root, emb.filter(lit(false)))
+    // Recluster over an all-empty corpus is a no-op, not a crash.
+    IvfState.recluster(spark, root, k = Some(4))
+    // Real data afterwards: both verbs work and answers are exact.
+    IvfState.update(spark, root, emb.filter(col("vec_id") < 150))
+    IvfState.recluster(spark, root, k = Some(4))
+    IvfState.update(spark, root, emb.filter(lit(false))) // idle tail tick
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = key(IvfState.search(spark, root, queries, k = 3, nprobe = 4))
+    val want = key(graft.analytics.Similarity.bruteForceKnn(
+      emb.filter(col("vec_id") < 150), queries, k = 3))
+    assert(got == want, "empty epochs must be invisible to results")
+  }
+
   test("search before any recluster serves from deltas alone (exact)") {
     val root = tmpDir("ivfstate-tail") + "/state"
     (0 until 3).foreach { i =>

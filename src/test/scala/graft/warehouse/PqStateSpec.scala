@@ -60,6 +60,20 @@ class PqStateSpec extends SparkSpec {
       s"a fresh identical-vector batch must rank first: $after")
   }
 
+  test("empty committed epochs neither break retrain nor leak into search") {
+    val root = tmpDir("pqstate-empty") + "/state"
+    PqState.update(spark, root, emb.filter(lit(false))) // idle epoch commits
+    PqState.retrain(spark, root, m = 8, ksub = 8) // all-empty fold: no-op
+    PqState.update(spark, root, emb.filter(col("vec_id") < 150))
+    PqState.retrain(spark, root, m = 8, ksub = 8)
+    PqState.update(spark, root, emb.filter(lit(false))) // idle tail tick
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = key(PqState.search(spark, root, queries, k = 3, shortlist = 200))
+    val want = key(graft.analytics.Similarity.bruteForceKnn(
+      emb.filter(col("vec_id") < 150), queries, k = 3))
+    assert(got == want, "empty epochs must be invisible to results")
+  }
+
   test("retrain no-ops on empty and already-folded state; staging residue " +
     "is discarded; tail-only search is exact") {
     val root = tmpDir("pqstate-crash") + "/state"
