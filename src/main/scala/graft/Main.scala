@@ -208,12 +208,23 @@ object Main {
         case "retrieval" => graft.warehouse.RetrievalIndex.compact(spark, root, lease = true)
         case "covariance" => graft.warehouse.CovarianceState.compact(spark, root, lease = true)
         case "eval" => graft.warehouse.EvalState.compact(spark, root, lease = true)
+        // The ANN states' compaction IS their model-refresh verb:
+        // re-cluster / re-encode over everything committed, swap the
+        // bundle, reclaim folded deltas (cell law / default codebook
+        // sizing — the no-manual-tuning path).
+        case "ivf" =>
+          graft.warehouse.IvfState.recluster(spark, root, lease = true); Nil
+        case "pq" =>
+          graft.warehouse.PqState.retrain(spark, root, lease = true); Nil
         case other =>
           System.err.println(s"unknown index kind: $other " +
-            "(expected dedup|retrieval|covariance|eval)")
+            "(expected dedup|retrieval|covariance|eval|ivf|pq)")
           spark.stop(); sys.exit(2)
       }
       reports.foreach(r => println(s"[compact-index] $r"))
+      if (kind == "ivf" || kind == "pq")
+        println(s"[compact-index] $kind state at $root re-folded " +
+          "(bundle swapped, committed deltas reclaimed)")
       spark.stop()
 
     case "migrate-state" :: kind :: root :: Nil =>
@@ -257,7 +268,7 @@ object Main {
            |  ann-search <outDir> <queriesParquet> [k] [nprobe]
            |  report <warehouseDir> <outFile.json>
            |  compact <tableDir> [targetMB]
-           |  compact-index <dedup|retrieval|covariance|eval> <rootDir>
+           |  compact-index <dedup|retrieval|covariance|eval|ivf|pq> <rootDir>
            |  migrate-state <covariance> <rootDir>
            |  logs <warehouseDir> [limit]
            |  health <warehouseDir>

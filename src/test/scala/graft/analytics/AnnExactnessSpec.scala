@@ -43,6 +43,18 @@ class AnnExactnessSpec extends SparkSpec {
     dirs.foreach(d => assertSame("q117", d, PqIndex.pqKnn(spark, d)))
   }
 
+  test("q234 incremental IVF state search equals exact kNN at every " +
+    "harness SF (bundle + tail, gated shape)") {
+    dirs.foreach(d =>
+      assertSame("q234", d, graft.warehouse.IvfState.ivfStateKnn(spark, d)))
+  }
+
+  test("q236 incremental PQ state search equals exact kNN at every " +
+    "harness SF (encoded bundle + raw tail, gated shape)") {
+    dirs.foreach(d =>
+      assertSame("q236", d, graft.warehouse.PqState.pqStateKnn(spark, d)))
+  }
+
   test("q21 gated LSH near-dup recall stays 1.0 at every harness SF") {
     dirs.foreach { d =>
       val corpus = Similarity.plantedTwinCorpus(graft.core.Tables.embeddings(spark, d))
