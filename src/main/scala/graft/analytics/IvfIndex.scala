@@ -22,6 +22,14 @@ import graft.functions.dotProduct
   *
   * Determinism: initial centroids are the vectors with the k smallest ids
   * (seeded sampling would also do); every later step is pure.
+  *
+  * Assignment has two plan shapes, dispatched on k by [[withNearestCells]]:
+  * a per-centroid literal expression tree (cheapest at small k) and a
+  * broadcast (cell, centroid) table join with a bounded-heap top-n
+  * aggregation (plan size O(1) in k — the extreme-scale path, since
+  * k ~ √n reaches 10⁵ at the 10¹⁰-vector design point where a literal
+  * tree would defeat codegen and drown the driver in plan work). The two
+  * paths are pinned equal — doubles, ties and all — by IvfJoinAssignSpec.
   */
 object IvfIndex {
 
@@ -34,7 +42,14 @@ object IvfIndex {
     lit(c.map(x => x * x).sum) - lit(2.0) * dot
   }
 
-  /** Nearest-centroid ids for a vector column, cheapest-first. */
+  /** Nearest-centroid ids for a vector column, cheapest-first — the
+    * LITERAL assign path: one struct expression per centroid, sorted and
+    * sliced per row. Cheapest plan at small k (single map stage, fully
+    * whole-stage-codegen'd, zero shuffle) but the plan itself is O(k):
+    * at k ≳ 10⁴ the expression tree breaks codegen and plan build time
+    * dominates — which is why [[withNearestCells]] dispatches to
+    * [[joinNearestCells]] above [[literalAssignMaxK]].
+    */
   private def nearestCells(v: Column, model: Model, n: Int): Column = {
     val scored = model.centroids.map { case (id, c) =>
       struct(sqDist(v, c).as("d"), lit(id).as("cell"))
@@ -44,6 +59,86 @@ object IvfIndex {
 
   def assignCell(v: Column, model: Model): Column =
     nearestCells(v, model, 1).getItem(0).getField("cell")
+
+  /** k ceiling for the literal assign path. Below it the k-struct-literal
+    * expression tree is the cheapest plan; above it the plan is the
+    * bottleneck (k expression nodes defeat whole-stage codegen and the
+    * driver's analyze/optimize time grows super-linearly in k), so
+    * assignment becomes a broadcast join against a (cell, centroid)
+    * TABLE — plan size O(1) in k. Overridable for benchmarks via
+    * `-Dgraft.ivf.literalAssignMaxK=`; specs force a path thread-locally
+    * through [[literalAssignMaxKOverride]].
+    */
+  private[graft] def literalAssignMaxK: Int =
+    literalAssignMaxKOverride.value.getOrElse(
+      sys.props.get("graft.ivf.literalAssignMaxK").map(_.toInt).getOrElse(1024))
+
+  private[graft] val literalAssignMaxKOverride =
+    new scala.util.DynamicVariable[Option[Int]](None)
+
+  /** DataFrame-level nearest-cells: attaches `outCol` = the n cheapest
+    * cells as a sorted `array<struct<d:double, cell:int>>` (the literal
+    * path's exact shape — IvfJoinAssignSpec pins the two paths equal,
+    * doubles included). Every assignment in this object and its callers
+    * (index build, Lloyd training, probe selection, [[graft.warehouse
+    * .IvfState]]) routes through here, so the k-dispatch is global.
+    */
+  private[graft] def withNearestCells(df: DataFrame, vecCol: String, model: Model,
+                                      n: Int, outCol: String): DataFrame =
+    if (model.centroids.size <= literalAssignMaxK)
+      df.withColumn(outCol, nearestCells(col(vecCol), model, n))
+    else joinNearestCells(df, vecCol, model, n, outCol)
+
+  /** JOIN assign path — the extreme-scale form (k beyond what a literal
+    * expression tree tolerates, i.e. coarse quantizers sized k ~ √n for
+    * n ≳ 10⁸ vectors):
+    *
+    *  1. The codebook becomes a broadcast (cell, centroid, ‖c‖²) table —
+    *     DATA, not expressions, so the plan stays O(1) in k and the
+    *     executors receive one broadcast block instead of a k-node tree.
+    *  2. A broadcast nested-loop join scores every (row, centroid) pair
+    *     map-side with the same `‖c‖² − 2·v·c` ranking as the literal
+    *     path (same operand order → bitwise-equal doubles).
+    *  3. A bounded-heap top-n aggregation ([[graft.functions.TopK]],
+    *     ObjectHashAggregate) keyed by a per-row id collapses the ×k
+    *     pair stream back to one row per input row IN THE MAP TASK —
+    *     partial aggregation sees all k pairs of a row locally (the
+    *     broadcast join emits them contiguously), so the exchange
+    *     carries exactly one aggregated row per input row, never the
+    *     pair stream. IvfJoinAssignSpec pins the single-Exchange shape.
+    *
+    * Tie-break parity: TopK's total order is (−score asc, key asc) =
+    * (d asc, cell asc) — exactly `array_sort`'s lexicographic struct
+    * order on (d, cell), so equal-distance centroids resolve to the same
+    * cell on both paths. Score negation round-trips exactly (IEEE
+    * `-(-x) == x`), so the emitted `d` doubles are bit-identical too.
+    *
+    * Broadcast bound: k·dim·8 bytes — ~100 MB at k=10⁵, dim=128, fine to
+    * broadcast; the k ≳ 10⁷ regime (codebook > executor memory) needs a
+    * hierarchical coarse quantizer (assign to √k super-cells first),
+    * which no caller sizes into today — documented, not built.
+    */
+  private[graft] def joinNearestCells(df: DataFrame, vecCol: String, model: Model,
+                                      n: Int, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = model.centroids
+      .map { case (id, c) => (id, c, c.map(x => x * x).sum) }
+      .toDF("__cell", "__centroid", "__cnorm")
+    val rowKey = "__assign_row"
+    val origCols = df.columns.toSeq
+    val keyed = df.withColumn(rowKey, monotonically_increasing_id())
+    val d = col("__cnorm") - lit(2.0) * dotProduct(col(vecCol), col("__centroid"))
+    keyed.crossJoin(broadcast(cents))
+      .groupBy(col(rowKey))
+      .agg(
+        first(struct(origCols.map(col): _*)).as("__orig"),
+        graft.functions.TopK.topK(n)(-d, col("__cell").cast("long"), lit(0L)).as("__top"))
+      .select(origCols.map(c => col("__orig").getField(c).as(c)) :+
+        transform(col("__top"), e => struct(
+          (-e.getField("score")).as("d"),
+          e.getField("key").cast("int").as("cell"))).as(outCol): _*)
+  }
 
   /** The cell count the IVF sizing rule prescribes for an n-row corpus:
     * ~√n (balances the k-centroid argmax per probe against the n/k rows
@@ -106,8 +201,13 @@ object IvfIndex {
           }.toSeq)
 
       (0 until iters).foreach { _ =>
-        val assigned = vecs
-          .select(col(vecCol), assignCell(col(vecCol), model).as("cell"))
+        // Routed through the k-dispatched assign (literal below
+        // literalAssignMaxK, broadcast join above), so Lloyd training
+        // itself survives extreme k — the assignment was the only O(k)
+        // plan element; the mean update below is already a distributed
+        // (cell, dim) hash-agg whose collect is codebook-sized (k·dim),
+        // the same driver footprint as the Model value itself.
+        val assigned = index(vecs.select(col(vecCol)), model, vecCol)
       val means = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -183,7 +283,9 @@ object IvfIndex {
     * scan only `nprobe` of `k` partitions.
     */
   def index(corpus: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame =
-    corpus.withColumn("cell", assignCell(col(vecCol), model))
+    withNearestCells(corpus, vecCol, model, 1, "__cells")
+      .withColumn("cell", col("__cells").getItem(0).getField("cell"))
+      .drop("__cells")
 
   /** Materialize the index in its warehouse layout: one directory per
     * cell (`partitionBy("cell")`), so a probe's cell filter prunes at
@@ -212,8 +314,8 @@ object IvfIndex {
   def prunedIndexScan(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, model: Model, nprobe: Int = 2,
                       vecCol: String = "embedding"): DataFrame = {
-    val cells = queries
-      .select(explode(nearestCells(col(vecCol), model, nprobe).getField("cell")).as("cell"))
+    val cells = withNearestCells(queries.select(col(vecCol)), vecCol, model, nprobe, "__cells")
+      .select(explode(col("__cells").getField("cell")).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
     spark.read.parquet(path).filter(col("cell").isin(cells: _*))
   }
@@ -254,9 +356,9 @@ object IvfIndex {
   private[graft] def scoredCandidates(indexed: DataFrame, queries: DataFrame,
       model: Model, nprobe: Int, idCol: String, vecCol: String,
       excludeSelf: Boolean): DataFrame = {
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cells", nearestCells(col("q_vec"), model, nprobe))
+    val q = withNearestCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "q_vec", model, nprobe, "cells")
       .withColumn("cell", explode(col("cells").getField("cell")))
       .drop("cells")
     val joined = indexed.join(broadcast(q), Seq("cell"))
