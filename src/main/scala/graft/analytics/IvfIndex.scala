@@ -377,36 +377,47 @@ object IvfIndex {
     */
   def buildBundle(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                   path: String, k: Int, iters: Int = 3,
-                  vecCol: String = "embedding"): Model = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".staging_${p.getName}")
-    hfs.delete(tmp, true)
-    val model = train(corpus, k, iters, vecCol = vecCol)
-    save(spark, model, new org.apache.hadoop.fs.Path(tmp, "model").toString)
-    writePartitionedIndex(corpus, model, new org.apache.hadoop.fs.Path(tmp, "index").toString, vecCol)
-    recover(hfs, p)
-    val bak = bakPath(p)
-    if (hfs.exists(bak)) hfs.delete(bak, true)
-    if (hfs.exists(p) && !hfs.rename(p, bak))
-      sys.error(s"index bundle: backup rename of $path failed")
-    if (!hfs.rename(tmp, p)) sys.error(s"index bundle: rename into $path failed")
-    hfs.delete(bak, true)
-    model
-  }
+                  vecCol: String = "embedding"): Model =
+    graft.core.PathLocks.forPath(path).synchronized {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".staging_${p.getName}")
+      hfs.delete(tmp, true)
+      val model = train(corpus, k, iters, vecCol = vecCol)
+      save(spark, model, new org.apache.hadoop.fs.Path(tmp, "model").toString)
+      writePartitionedIndex(corpus, model, new org.apache.hadoop.fs.Path(tmp, "index").toString, vecCol)
+      recover(hfs, p)
+      val bak = bakPath(p)
+      if (hfs.exists(bak)) hfs.delete(bak, true)
+      if (hfs.exists(p) && !hfs.rename(p, bak))
+        sys.error(s"index bundle: backup rename of $path failed")
+      if (!hfs.rename(tmp, p)) sys.error(s"index bundle: rename into $path failed")
+      hfs.delete(bak, true)
+      model
+    }
 
-  /** Search a [[buildBundle]] layout; restores a crashed swap's .bak first.
-    * External query sets default to `excludeSelf = false` — their id space
-    * is unrelated to the corpus ids.
+  /** Search a [[buildBundle]] layout. Read-path recovery is NON-mutating
+    * (a crashed swap's `.bak_<bundle>` is served in place — the bak→live
+    * rename is reserved for [[buildBundle]], which holds the path lock;
+    * a reader-side rename racing a rebuild between its two swap renames
+    * could re-install the stale bundle over the fresh one, the
+    * [[graft.warehouse.IvfState]] r13-ADVICE hazard). External query
+    * sets default to `excludeSelf = false` — their id space is unrelated
+    * to the corpus ids.
     */
   def searchBundle(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, k: Int, nprobe: Int = 2,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    excludeSelf: Boolean = false): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
-    recover(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-    val model = load(spark, new org.apache.hadoop.fs.Path(p, "model").toString)
-    searchPartitioned(spark, new org.apache.hadoop.fs.Path(p, "index").toString,
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = if (hfs.exists(p)) p else {
+      val bak = bakPath(p)
+      if (hfs.exists(bak)) bak
+      else sys.error(s"IvfIndex.searchBundle: no bundle at $path")
+    }
+    val model = load(spark, new org.apache.hadoop.fs.Path(live, "model").toString)
+    searchPartitioned(spark, new org.apache.hadoop.fs.Path(live, "index").toString,
       queries, model, k, nprobe, idCol, vecCol, excludeSelf)
   }
 

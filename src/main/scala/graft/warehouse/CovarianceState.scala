@@ -116,21 +116,33 @@ object CovarianceState {
         val legacy = legacyEntries(hfs, p)
         if (StateFiles.exists(spark, statsPath(statePath))) {
           // Already migrated (or was never legacy): only the cleanup
-          // half can be outstanding.
-          legacy.foreach(hfs.delete(_, true))
+          // half can be outstanding. The delete is gated on the SAME
+          // six-column shape check as ingestion: every delta-dir state
+          // family keeps a stats/ table, so `migrate-state covariance`
+          // pointed at a RetrievalIndex/IvfState/PqState root would
+          // otherwise take this branch and silently destroy its
+          // postings/bundle data (r13 ADVICE). Unreadable-as-one-table
+          // entries refuse too — refusal is the safe outcome.
+          if (legacy.nonEmpty) readLegacyChecked(spark, statePath, legacy) match {
+            case Left(why) =>
+              sys.error(s"CovarianceState.migrateLegacy: refusing to clean " +
+                s"up $statePath — the residual entries do not look like a " +
+                s"legacy covariance table ($why); is this another state " +
+                "family's root?")
+            case Right(_) => legacy.foreach(hfs.delete(_, true))
+          }
         } else {
           if (legacy.isEmpty)
             sys.error(s"CovarianceState.migrateLegacy: no legacy parquet " +
               s"data under $statePath and no committed state — nothing to " +
               "migrate")
-          val cols = Seq("i", "j", "n", "s_x_nano", "s_y_nano", "s_xy_nano")
-          val df = spark.read.parquet(legacy.map(_.toString): _*)
-          val missing = cols.filterNot(df.columns.contains)
-          if (missing.nonEmpty)
-            sys.error(s"CovarianceState.migrateLegacy: $statePath does not " +
-              s"look like a legacy covariance state (missing columns: " +
-              s"${missing.mkString(", ")})")
-          df.select(cols.map(col): _*)
+          val df = readLegacyChecked(spark, statePath, legacy) match {
+            case Left(why) =>
+              sys.error(s"CovarianceState.migrateLegacy: $statePath does " +
+                s"not look like a legacy covariance state ($why)")
+            case Right(d) => d
+          }
+          df.select(legacyCols.map(col): _*)
             .groupBy("i", "j")
             .agg(sum("n").as("n"), sum("s_x_nano").as("s_x_nano"),
               sum("s_y_nano").as("s_y_nano"), sum("s_xy_nano").as("s_xy_nano"))
@@ -143,6 +155,27 @@ object CovarianceState {
           legacy.foreach(hfs.delete(_, true))
         }
       }
+    }
+
+  private val legacyCols = Seq("i", "j", "n", "s_x_nano", "s_y_nano", "s_xy_nano")
+
+  /** Read the legacy entries as ONE table, or say why they aren't one.
+    * `basePath` = the state root, so a legacy table PARTITIONED BY one of
+    * the six stats columns (whose leaf dirs are what [[legacyEntries]]
+    * lists) gets its partition column back instead of failing the shape
+    * check with a misleading missing-column message (r13 ADVICE).
+    */
+  private def readLegacyChecked(spark: SparkSession, root: String,
+      legacy: Seq[org.apache.hadoop.fs.Path]): Either[String, DataFrame] =
+    scala.util.Try(
+      spark.read.option("basePath", root).parquet(legacy.map(_.toString): _*)
+    ) match {
+      case scala.util.Failure(e) =>
+        Left(s"unreadable as one parquet table: ${e.getMessage}")
+      case scala.util.Success(df) =>
+        val missing = legacyCols.filterNot(df.columns.contains)
+        if (missing.nonEmpty) Left(s"missing columns: ${missing.mkString(", ")}")
+        else Right(df)
     }
 
   private def readLast(spark: SparkSession, root: String): Option[Long] =

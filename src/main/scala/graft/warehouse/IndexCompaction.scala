@@ -168,6 +168,27 @@ object IndexCompaction {
         if (txt.endsWith(";")) txt.dropRight(1).trim.toLongOption else None
       parsed match {
         case Some(upTo) => rollForward(hfs, root, upTo)
+        case None if txt.nonEmpty && txt.forall(_.isDigit) =>
+          // AMBIGUOUS (r13 ADVICE): a fully-numeric unterminated marker
+          // is either (a) a truncation of this binary's "N;" — PRE-
+          // decision, originals intact, rollback safe — or (b) a
+          // COMPLETE marker from the pre-r13 format that wrote bare
+          // digits — POST-decision, some old dirs may already be gone
+          // and tmp holds the only copy, so rollback destroys rows.
+          // Auto-accepting (b) isn't safe either: under (a), "1"
+          // surviving from "12;" would install fold-through-12 data as
+          // batch=1 beside the still-live dirs 2..12 — double count.
+          // Neither direction is provably safe, so refuse and hand the
+          // operator the discriminating check instead of guessing.
+          sys.error(s"IndexCompaction.recover: ambiguous unterminated " +
+            s"fold marker '$txt' under $table (pre-upgrade complete " +
+            "marker vs truncated current-format marker). If every " +
+            s"batch<=$txt dir is still present the fold never committed: " +
+            s"delete $MarkerName and $TmpName. If some are missing the " +
+            "old fold DID commit and .fold_tmp holds the only copy: " +
+            s"rewrite the marker as '$txt;' and re-run. In-flight folds " +
+            "should be drained (recovered) on the old binary before " +
+            "upgrading across the marker-format change.")
         case None =>
           hfs.delete(new Path(root, TmpName), true)
           hfs.delete(marker, false)

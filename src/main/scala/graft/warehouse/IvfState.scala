@@ -69,7 +69,14 @@ object IvfState {
 
   private def bakPath(p: Path) = new Path(p.getParent, s".bak_${p.getName}")
 
-  /** Restore a bundle whose swap crashed between the two renames. */
+  /** Restore a bundle whose swap crashed between the two renames. ONLY
+    * the PathLocks-serialized verbs may call this: the bak→bundle rename
+    * racing a live [[recluster]] between ITS two swap renames can land
+    * the staged bundle inside (or against) the restored dir — stale
+    * bundle live, folded deltas deleted, i.e. data loss. Readers resolve
+    * the crash window non-mutatingly via [[liveBundle]] instead
+    * (r13 ADVICE).
+    */
   private def recoverBundle(spark: SparkSession, root: String): Unit = {
     val p = new Path(bundlePath(root))
     val hfs = fs(spark, root)
@@ -77,14 +84,28 @@ object IvfState {
     if (!hfs.exists(p) && hfs.exists(bak)) hfs.rename(bak, p)
   }
 
-  /** Highest batch id folded into the bundle; -1 when no bundle exists
-    * (every committed delta is tail). Read AFTER [[recoverBundle]].
+  /** The bundle dir READERS should use, resolved WITHOUT mutation: the
+    * installed `bundle/`, else the `.bak_bundle` a crashed swap left
+    * (its folded_through predates the crash, and the matching delta dirs
+    * are still present — the swap deletes them only after the install
+    * rename succeeds — so .bak + tail is complete), else None.
     */
-  private def foldedThrough(spark: SparkSession, root: String): Long = {
-    val meta = s"${bundlePath(root)}/meta"
-    if (!StateFiles.exists(spark, meta)) -1L
-    else spark.read.parquet(meta).head().getAs[Long]("folded_through")
+  private def liveBundle(spark: SparkSession, root: String): Option[Path] = {
+    val p = new Path(bundlePath(root))
+    val hfs = fs(spark, root)
+    if (hfs.exists(p)) Some(p)
+    else { val b = bakPath(p); if (hfs.exists(b)) Some(b) else None }
   }
+
+  /** Highest batch id folded into the resolved bundle; -1 when no bundle
+    * exists (every committed delta is tail).
+    */
+  private def foldedThrough(spark: SparkSession, bundle: Option[Path]): Long =
+    bundle.map { b =>
+      val meta = s"$b/meta"
+      if (!StateFiles.exists(spark, meta)) -1L
+      else spark.read.parquet(meta).head().getAs[Long]("folded_through")
+    }.getOrElse(-1L)
 
   /** Committed-but-unfolded vectors: batches in `(from, last]`. */
   private def readTail(spark: SparkSession, root: String,
@@ -142,7 +163,7 @@ object IvfState {
         readLast(spark, statePath) match {
           case None => // empty state: nothing to cluster
           case Some(last) =>
-            val f = foldedThrough(spark, statePath)
+            val f = foldedThrough(spark, liveBundle(spark, statePath))
             if (last > f) {
               val hfs = fs(spark, statePath)
               val bundled =
@@ -210,15 +231,20 @@ object IvfState {
              excludeSelf: Boolean = true): DataFrame = {
     val last = readLast(spark, statePath)
       .getOrElse(sys.error(s"IvfState.search: no state at $statePath"))
-    recoverBundle(spark, statePath)
-    val f = foldedThrough(spark, statePath)
+    // Read path: resolve the live bundle WITHOUT the bak→bundle rename —
+    // search takes no lock, and a mutating recovery racing a recluster
+    // mid-swap can install the stale bundle over the fresh one while the
+    // folded deltas get deleted (r13 ADVICE). A .bak left by a real
+    // crash is served as-is; the next locked verb performs the rename.
+    val live = liveBundle(spark, statePath)
+    val f = foldedThrough(spark, live)
     val qn = queries.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
     val bundlePart =
       if (f >= 0) {
-        val model = IvfIndex.load(spark, s"${bundlePath(statePath)}/model")
-        val scan = IvfIndex.prunedIndexScan(spark,
-          s"${bundlePath(statePath)}/index", qn, model, nprobe)
+        val b = live.get
+        val model = IvfIndex.load(spark, s"$b/model")
+        val scan = IvfIndex.prunedIndexScan(spark, s"$b/index", qn, model, nprobe)
         Some(IvfIndex.scoredCandidates(scan, qn, model, nprobe,
           "vec_id", "embedding", excludeSelf))
       } else None

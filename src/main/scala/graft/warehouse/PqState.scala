@@ -52,6 +52,10 @@ object PqState {
 
   private def bakPath(p: Path) = new Path(p.getParent, s".bak_${p.getName}")
 
+  /** Locked-verb-only crash recovery; readers use [[liveBundle]] — see
+    * [[IvfState.recoverBundle]] for the data-loss race a reader-side
+    * rename opens (r13 ADVICE).
+    */
   private def recoverBundle(spark: SparkSession, root: String): Unit = {
     val p = new Path(bundlePath(root))
     val hfs = fs(spark, root)
@@ -59,11 +63,23 @@ object PqState {
     if (!hfs.exists(p) && hfs.exists(bak)) hfs.rename(bak, p)
   }
 
-  private def foldedThrough(spark: SparkSession, root: String): Long = {
-    val meta = s"${bundlePath(root)}/meta"
-    if (!StateFiles.exists(spark, meta)) -1L
-    else spark.read.parquet(meta).head().getAs[Long]("folded_through")
+  /** Non-mutating reader-side bundle resolution ([[IvfState.liveBundle]]
+    * semantics: installed dir, else the crashed swap's .bak — complete
+    * because folded deltas outlive any crash between the swap renames).
+    */
+  private def liveBundle(spark: SparkSession, root: String): Option[Path] = {
+    val p = new Path(bundlePath(root))
+    val hfs = fs(spark, root)
+    if (hfs.exists(p)) Some(p)
+    else { val b = bakPath(p); if (hfs.exists(b)) Some(b) else None }
   }
+
+  private def foldedThrough(spark: SparkSession, bundle: Option[Path]): Long =
+    bundle.map { b =>
+      val meta = s"$b/meta"
+      if (!StateFiles.exists(spark, meta)) -1L
+      else spark.read.parquet(meta).head().getAs[Long]("folded_through")
+    }.getOrElse(-1L)
 
   private def readTail(spark: SparkSession, root: String,
                        from: Long, last: Long): DataFrame =
@@ -111,7 +127,7 @@ object PqState {
         readLast(spark, statePath) match {
           case None => // empty state
           case Some(last) =>
-            val f = foldedThrough(spark, statePath)
+            val f = foldedThrough(spark, liveBundle(spark, statePath))
             if (last > f) {
               val hfs = fs(spark, statePath)
               val bundled =
@@ -173,14 +189,16 @@ object PqState {
              excludeSelf: Boolean = true): DataFrame = {
     val last = readLast(spark, statePath)
       .getOrElse(sys.error(s"PqState.search: no state at $statePath"))
-    recoverBundle(spark, statePath)
-    val f = foldedThrough(spark, statePath)
+    // Non-mutating read-path recovery — the IvfState.search rationale.
+    val live = liveBundle(spark, statePath)
+    val f = foldedThrough(spark, live)
     val qn = queries.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
     val bundlePart =
       if (f >= 0) {
-        val model = PqIndex.loadModel(spark, s"${bundlePath(statePath)}/model")
-        val encoded = spark.read.parquet(s"${bundlePath(statePath)}/index")
+        val b = live.get
+        val model = PqIndex.loadModel(spark, s"$b/model")
+        val encoded = spark.read.parquet(s"$b/index")
         Some(PqIndex.scoredShortlist(encoded, qn, model, shortlist,
           "vec_id", "embedding", excludeSelf))
       } else None

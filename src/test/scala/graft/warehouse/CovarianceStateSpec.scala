@@ -166,4 +166,46 @@ class CovarianceStateSpec extends SparkSpec {
       "foreign lease must exclude a second holder")
     LeaseLock.release(spark, foreign)
   }
+
+  test("migrateLegacy REFUSES to clean up another state family's root " +
+    "(r13 advice: the stats/-present branch must not delete foreign data)") {
+    import spark.implicits._
+    // Simulate a delta-dir sibling state's layout: stats/ (every family
+    // has one) plus a data dir whose schema is NOT the six covariance
+    // columns — the shape of RetrievalIndex postings / an IVF bundle.
+    val root = tmpDir("cov-foreign") + "/state"
+    StateFiles.install(spark, s"$root/stats", Seq(3L).toDF("last_batch"))
+    Seq((1L, Seq(0.1, 0.2), 7)).toDF("vec_id", "embedding", "cell")
+      .write.parquet(s"$root/bundle")
+    val err = intercept[RuntimeException] {
+      CovarianceState.migrateLegacy(spark, root)
+    }
+    assert(err.getMessage.contains("refusing"),
+      s"cleanup must refuse a foreign-looking root: ${err.getMessage}")
+    assert(new java.io.File(s"$root/bundle").exists,
+      "the foreign data dir must survive the refused migrate")
+    // Whereas genuine six-column residue (crash after the stats install,
+    // before the legacy delete) IS cleaned up on the re-run.
+    val resume = tmpDir("cov-resume") + "/state"
+    StateFiles.install(spark, s"$resume/stats", Seq(0L).toDF("last_batch"))
+    graft.analytics.Pca.covarianceStats(emb)
+      .coalesce(1).write.parquet(s"$resume/leftover")
+    CovarianceState.migrateLegacy(spark, resume)
+    assert(!new java.io.File(s"$resume/leftover").exists,
+      "genuine legacy residue must be cleaned up")
+  }
+
+  test("legacy table PARTITIONED BY a stats column migrates (r13 advice: " +
+    "basePath recovers the partition column)") {
+    val root = tmpDir("cov-migrate-bypart") + "/state"
+    // Pre-r10 layout partitioned by `i` itself: without basePath the
+    // leaf-dir read drops `i` and the shape check fails misleadingly.
+    graft.analytics.Pca.covarianceStats(emb)
+      .write.partitionBy("i").parquet(root)
+    CovarianceState.migrateLegacy(spark, root)
+    val clean = tmpDir("cov-migrate-bypart-clean") + "/state"
+    CovarianceState.update(spark, clean, emb)
+    assert(read(root) == read(clean),
+      "i-partitioned legacy state must migrate to the clean one-shot")
+  }
 }

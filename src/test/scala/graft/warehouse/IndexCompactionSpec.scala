@@ -142,14 +142,17 @@ class IndexCompactionSpec extends SparkSpec {
     assert(rep.dirsAfter == 1 && spark.read.parquet(table).count() == 3)
   }
 
-  test("marker truncated to a numeric prefix rolls back, never installs " +
-    "tmp under the wrong partition (r12 advice)") {
+  test("marker truncated to a numeric prefix REFUSES (never installs tmp " +
+    "under the wrong partition, never discards a pre-upgrade commit) — " +
+    "r12+r13 advice") {
     // 13 batch dirs, fold through 12 crashes mid-marker-write leaving
-    // '1' (a numeric prefix of '12'). A naive parser reads upTo=1 and
-    // rolls FORWARD: tmp (folded through 12) installed as batch=1 while
-    // dirs 2..12 survive → every row in 2..12 double-counted. The
-    // terminator-required parse must treat it as pre-decision: tmp
-    // dropped, all 13 original dirs intact.
+    // '1' (a numeric prefix of '12;'). Rolling FORWARD would install
+    // tmp (folded through 12) as batch=1 beside the live dirs 2..12 —
+    // double count. Rolling BACK silently is no better: the same bytes
+    // are what a COMPLETE pre-upgrade (unterminated-format) marker looks
+    // like, where some old dirs may already be deleted and tmp holds the
+    // only copy — rollback is data loss. The only safe move is to refuse
+    // with the discriminating instructions and touch NOTHING.
     val table = tmpDir("fold-crash-prefix") + "/t"
     (0 until 13).foreach { i =>
       Seq((i.toLong, s"v$i")).toDF("id", "v")
@@ -160,13 +163,50 @@ class IndexCompactionSpec extends SparkSpec {
       .repartition(1).write.parquet(s"$table/.fold_tmp")
     val out = hfs.create(new Path(s"$table/.fold_commit"), true)
     out.write("1".getBytes("UTF-8")); out.close() // truncated from "12;"
-    IndexCompaction.recover(spark, table)
-    assert(!hfs.exists(new Path(s"$table/.fold_tmp")), "tmp must roll back")
-    assert(!hfs.exists(new Path(s"$table/.fold_commit")))
+    val err = intercept[RuntimeException] { IndexCompaction.recover(spark, table) }
+    assert(err.getMessage.contains("ambiguous"), err.getMessage)
+    assert(hfs.exists(new Path(s"$table/.fold_tmp")),
+      "refusal must not delete tmp (it may be the only copy)")
+    assert(hfs.exists(new Path(s"$table/.fold_commit")))
     assert(batchDirCount(table) == 13, "original dirs must be untouched")
-    assert(spark.read.parquet(table).count() == 13, "no double count")
-    // A real fold afterwards writes a terminated marker and completes.
+    // Operator path A (this scenario: every batch<=1 dir present ⇒ the
+    // fold never committed): drop marker + tmp, then fold normally.
+    hfs.delete(new Path(s"$table/.fold_commit"), false)
+    hfs.delete(new Path(s"$table/.fold_tmp"), true)
     val rep = IndexCompaction.foldBatches(spark, table, 12L)
     assert(rep.dirsAfter == 1 && spark.read.parquet(table).count() == 13)
+  }
+
+  test("pre-upgrade COMPLETE (unterminated) marker after partial deletes: " +
+    "refuse preserves tmp; rewriting the terminated marker rolls forward " +
+    "losslessly (r13 advice)") {
+    // The other side of the ambiguity: an old binary wrote marker '12'
+    // (no ';'), deleted dirs 0..5, then died. tmp holds the ONLY copy of
+    // those rows. The old recover() would have finished the fold; the
+    // terminator-required parser must NOT silently roll back (that
+    // deletes tmp → permanent row loss). It refuses; the operator
+    // follows the message — some batch<=12 dirs are missing ⇒ the fold
+    // DID commit ⇒ rewrite the marker terminated — and recovery then
+    // completes the fold with all 13 rows.
+    val table = tmpDir("fold-crash-preupgrade") + "/t"
+    (0 until 13).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$table/batch=$i")
+    }
+    val hfs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet((0 until 13).map(i => s"$table/batch=$i"): _*)
+      .repartition(1).write.parquet(s"$table/.fold_tmp")
+    (0 until 6).foreach(i => hfs.delete(new Path(s"$table/batch=$i"), true))
+    val out = hfs.create(new Path(s"$table/.fold_commit"), true)
+    out.write("12".getBytes("UTF-8")); out.close() // old format: no ';'
+    val err = intercept[RuntimeException] { IndexCompaction.recover(spark, table) }
+    assert(err.getMessage.contains("ambiguous"), err.getMessage)
+    assert(hfs.exists(new Path(s"$table/.fold_tmp")),
+      "tmp holds the only copy of batches 0..5 — refusal must keep it")
+    val fixed = hfs.create(new Path(s"$table/.fold_commit"), true)
+    fixed.write("12;".getBytes("UTF-8")); fixed.close()
+    IndexCompaction.recover(spark, table)
+    assert(batchDirCount(table) == 1, "roll-forward must consolidate")
+    assert(spark.read.parquet(table).count() == 13, "no row lost")
   }
 }

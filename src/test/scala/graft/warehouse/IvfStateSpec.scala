@@ -118,4 +118,31 @@ class IvfStateSpec extends SparkSpec {
     val want = key(graft.analytics.Similarity.bruteForceKnn(emb, queries, k = 4))
     assert(got == want, "bundle-less search is brute force over the tail")
   }
+
+  test("search serves a crashed swap's .bak WITHOUT the bak->bundle " +
+    "rename (r13 advice: reader-side recovery must not mutate)") {
+    val root = tmpDir("ivfstate-bak") + "/state"
+    val queries = emb.filter(col("vec_id") < 5)
+    (0 until 4).foreach { i =>
+      IvfState.update(spark, root, emb.filter(col("vec_id") % 4 === i))
+      if (i == 2) IvfState.recluster(spark, root, k = Some(8))
+    }
+    val want = key(IvfState.search(spark, root, queries, k = 4, nprobe = 8))
+    // Simulate a recluster crash between its two swap renames: the old
+    // bundle sits at .bak_bundle, bundle/ is missing, and (per the swap
+    // order) the folded delta dirs are still present.
+    val hfs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(new Path(s"$root/bundle"), new Path(s"$root/.bak_bundle")))
+    val got = key(IvfState.search(spark, root, queries, k = 4, nprobe = 8))
+    assert(got == want, "search must serve the .bak bundle transparently")
+    assert(!hfs.exists(new Path(s"$root/bundle")) &&
+      hfs.exists(new Path(s"$root/.bak_bundle")),
+      "the read path must NOT perform the bak->bundle rename — that is " +
+        "reserved for the locked verbs")
+    // The next LOCKED verb performs the recovery rename and proceeds.
+    IvfState.recluster(spark, root, k = Some(8))
+    assert(hfs.exists(new Path(s"$root/bundle")) &&
+      !hfs.exists(new Path(s"$root/.bak_bundle")))
+    assert(key(IvfState.search(spark, root, queries, k = 4, nprobe = 8)) == want)
+  }
 }

@@ -92,4 +92,27 @@ class PqStateSpec extends SparkSpec {
       .write.parquet(s"$root/.staging_bundle/index")
     assert(key(PqState.search(spark, root, queries, k = 3, shortlist = 600)) == want)
   }
+
+  test("search serves a crashed swap's .bak without mutating (r13 advice)") {
+    val root = tmpDir("pqstate-bak") + "/state"
+    val queries = emb.filter(col("vec_id") < 5)
+    (0 until 4).foreach { i =>
+      PqState.update(spark, root, emb.filter(col("vec_id") % 4 === i))
+      if (i == 2) PqState.retrain(spark, root, m = 8, ksub = 8)
+    }
+    val want = key(PqState.search(spark, root, queries, k = 4, shortlist = 600))
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$root/bundle"),
+      new org.apache.hadoop.fs.Path(s"$root/.bak_bundle")))
+    val got = key(PqState.search(spark, root, queries, k = 4, shortlist = 600))
+    assert(got == want, "search must serve the .bak bundle transparently")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/bundle")) &&
+      hfs.exists(new org.apache.hadoop.fs.Path(s"$root/.bak_bundle")),
+      "the read path must not perform the bak->bundle rename")
+    PqState.retrain(spark, root, m = 8, ksub = 8)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$root/bundle")) &&
+      !hfs.exists(new org.apache.hadoop.fs.Path(s"$root/.bak_bundle")))
+    assert(key(PqState.search(spark, root, queries, k = 4, shortlist = 600)) == want)
+  }
 }
