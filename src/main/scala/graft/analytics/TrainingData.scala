@@ -436,6 +436,117 @@ object TrainingData {
       |FROM ws w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
       |WHERE w.split = 'train'""".stripMargin
 
+  // --------------------------------------------------------------- q237
+  /** Corpus-INTERNAL exact substring self-dedup — the within-train
+    * sibling of [[substringOverlap]] (q233 decontaminates train-vs-eval;
+    * this is the Lee-et-al-style public-pipeline standard: flag every
+    * span of ≥ R tokens that occurs verbatim MORE THAN ONCE corpus-wide,
+    * repeats within the same document included).
+    *
+    * The identity that keeps it linear: with gram size k = R, a
+    * duplicated k-gram IS an exact duplicated R-token substring, and a
+    * duplicated span of L ≥ R tokens is exactly the interval union of
+    * its L − R + 1 duplicated k-grams. So the removal set = the
+    * per-doc interval union of duplicated-k-gram positions — no suffix
+    * array, and crucially NO per-gram occurrence-pair self-join (that
+    * goes quadratic on boilerplate grams at corpus scale):
+    *   1. positional k-grams per doc (one scan + posexplode);
+    *   2. gram → occurrence count, keep ≥ 2 (hash-partitioned agg);
+    *   3. equi-join matched positions back (shuffle on the gram key,
+    *      work ∝ tokens — bucketed, never all-pairs);
+    *   4. per-doc interval union: fixed-length-k intervals sorted by
+    *      pos merge iff next.pos − prev.pos ≤ k (lag-break + running-sum
+    *      islands over MATCHED positions only, ≪ tokens after step 3);
+    *      an island spans max(pos) − min(pos) + k tokens.
+    *
+    * Output is all-BIGINT per doc plus a division-free strictly-more-
+    * than-half coverage flag — hash-exact in any engine. 100 TB note:
+    * the join key is the gram STRING (oracle-portable); web scale would
+    * key on xxhash64(gram) for ~10× fewer shuffle bytes at 2⁻⁶⁴
+    * false-dup odds, identical plan shape. The harness corpus's planted
+    * verbatim duplicates give multi-span coverage; its 31-word
+    * vocabulary keeps random-chance 8-gram repeats discriminatingly
+    * rare (the q233 run-length argument).
+    */
+  def selfSubstringDedup(docs: DataFrame, k: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        posexplode(graft.functions.shingleStrings(col(textCol), k)))
+      .toDF(idCol, "pos", "s")
+    val dup = grams.groupBy("s").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("s")
+    val matched = grams.join(dup, Seq("s")).select(col(idCol), col("pos"))
+    val wDoc = Window.partitionBy(idCol).orderBy("pos")
+    val spans = matched
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wDoc) > k, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(wDoc))
+      .groupBy(col(idCol), col("grp"))
+      .agg((max("pos") - min("pos") + lit(k)).cast("long").as("span_tokens"))
+    val perDoc = spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum("span_tokens").as("dup_tokens"),
+        max("span_tokens").as("max_span_tokens"))
+    docs
+      .select(col(idCol),
+        size(graft.functions.shingleStrings(col(textCol), 1))
+          .cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)) * 2 > col("n_tokens"))
+          .cast("int").as("mostly_dup"))
+  }
+
+  def selfSubstringDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    selfSubstringDedup(Tables.documents(spark, dir))
+
+  private val selfSubstringDedupSql =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, i AS pos,
+      |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+      |    w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS s
+      |  FROM ws, unnest(range(1, greatest(len(w) - 6, 1))) AS t(i)
+      |),
+      |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+      |brk AS (
+      |  SELECT sh.doc_id AS doc_id, sh.pos AS pos,
+      |    CASE WHEN sh.pos - lag(sh.pos) OVER
+      |      (PARTITION BY sh.doc_id ORDER BY sh.pos) > 8
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM sh JOIN dup USING (s)
+      |),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM brk
+      |),
+      |spans AS (
+      |  SELECT doc_id, grp, max(pos) - min(pos) + 8 AS span_tokens
+      |  FROM isl GROUP BY doc_id, grp
+      |),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens,
+      |         max(span_tokens) AS max_span_tokens
+      |  FROM spans GROUP BY 1
+      |)
+      |SELECT w.doc_id AS doc_id,
+      |  CAST(len(w.w) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(coalesce(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+      |  CAST(coalesce(p.dup_tokens, 0) * 2 > len(w.w) AS INT) AS mostly_dup
+      |FROM ws w LEFT JOIN per_doc p ON w.doc_id = p.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q49
   /** Scale of the integer log-probability grid: micro-nats. One constant
     * drives both the Spark plan and the oracle SQL.
@@ -1755,6 +1866,8 @@ object TrainingData {
     NamedQuery("q45_ngram_decontamination", ngramDecontamination _, Some(ngramDecontaminationSql)),
     NamedQuery("q233_substring_decontamination", substringDecontamination _,
       Some(substringDecontaminationSql)),
+    NamedQuery("q237_self_substring_dedup", selfSubstringDedupDocs _,
+      Some(selfSubstringDedupSql)),
     NamedQuery("q49_bigram_lm", bigramLm _, Some(bigramLmSql)),
     NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)),
     NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),

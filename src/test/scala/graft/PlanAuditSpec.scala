@@ -135,6 +135,19 @@ class PlanAuditSpec extends SparkSpec {
       s"q233 eval probe must stay broadcast: $s")
   }
 
+  test("q237 self substring dedup: gram-keyed equi-joins only — no pair " +
+    "self-join, no nested loop, no single-partition funnel") {
+    val s = stats("q237_self_substring_dedup")
+    // Shape: scan + posexplode, gram-count agg, gram equi-join back,
+    // doc-keyed islands window over matched rows, final left join. The
+    // dup-gram side is corpus-derived (NOT broadcastable by contract),
+    // so the probe is a shuffle equi-join — but never an occurrence-
+    // pair enumeration: nestedLoops must stay 0 and the exchange count
+    // bounded by the five keyed hops.
+    assert(s.shuffles <= 14 && s.nestedLoops == 0 && s.singleParts == 0,
+      s"q237 must stay gram/doc-keyed: $s")
+  }
+
   test("q235 n-gram repetition stays per-doc windows + hash aggs — no " +
     "corpus single-partition, no pair join") {
     val s = stats("q235_ngram_repetition")

@@ -651,4 +651,52 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.getAs[Long]("w_ppm") == 0L)
     assert(out.isNullAt(out.fieldIndex("boost_ppm")))
   }
+
+  test("q237 self substring dedup: cross-doc span, within-doc repeat, " +
+    "clean doc, strict majority flag") {
+    val x = (1 to 12).map(i => s"x$i").mkString(" ") // shared 12-token span
+    val y = (1 to 8).map(i => s"y$i").mkString(" ")  // 8-token self-repeat
+    val docs = Seq(
+      // A: 5 + 12 + 8 = 25 tokens; the shared span covers 12 (<= half).
+      (1L, s"a1 a2 a3 a4 a5 $x a6 a7 a8 a9 a10 a11 a12 a13"),
+      // B: 3 + 12 + 5 = 20 tokens; 12 duplicated > half -> flagged.
+      (2L, s"b1 b2 b3 $x b4 b5 b6 b7 b8"),
+      // C: clean.
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      // D: y ... (10-token gap > k) ... y — TWO islands of 8, within-doc.
+      (4L, s"$y d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 $y")
+    ).toDF("doc_id", "text")
+    val got = TrainingData.selfSubstringDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toMap
+    // A 12-token shared span = 5 consecutive duplicated 8-grams = ONE
+    // merged island of max-min+8 = 12 tokens.
+    assert(got(1L) == ((25L, 1L, 12L, 12L, 0)), s"doc A: ${got(1L)}")
+    assert(got(2L) == ((20L, 1L, 12L, 12L, 1)), s"doc B: ${got(2L)}")
+    assert(got(3L) == ((10L, 0L, 0L, 0L, 0)), s"doc C: ${got(3L)}")
+    assert(got(4L) == ((26L, 2L, 16L, 8L, 1)), s"doc D: ${got(4L)}")
+  }
+
+  test("q237 islands chain ADJACENT intervals (position gap exactly k) " +
+    "into one fully-covered span, and break beyond it") {
+    // doc 1 = P ++ Q back to back: the P-gram matches at pos 0 (shared
+    // with doc 2), the Q-gram at pos 8 (shared with doc 3); straddling
+    // grams are unique. Gap 8 == k means intervals [0,7] and [8,15]
+    // ADJOIN — every token 0..15 sits in a duplicated 8-gram, so they
+    // must merge into ONE 16-token span (a break there would double-
+    // count nothing but split a contiguous removal region).
+    val p = (1 to 8).map(i => s"p$i").mkString(" ")
+    val q = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p $q u1 u2 u3 u4"),                      // 20 tokens
+      (2L, s"z1 z2 $p z3 z4 z5 z6 z7 z8 z9 z10"),      // 18 tokens
+      (3L, s"$q w1 w2 w3 w4 w5 w6")                    // 14 tokens
+    ).toDF("doc_id", "text")
+    val got = TrainingData.selfSubstringDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toMap
+    assert(got(1L) == ((20L, 1L, 16L, 16L, 1)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((18L, 1L, 8L, 8L, 0)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((14L, 1L, 8L, 8L, 1)), s"doc 3: ${got(3L)}")
+  }
 }
