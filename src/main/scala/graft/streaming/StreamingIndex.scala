@@ -185,6 +185,35 @@ object StreamingIndex {
     q.awaitTermination()
   }
 
+  /** Drain `sourceDir` (json training docs) through exact substring
+    * decontamination against a FIXED eval set — q233's streaming face
+    * (r13 verdict item 7): each micro-batch is scored by
+    * [[graft.analytics.TrainingData.substringOverlap]] (eval gram set
+    * broadcast, islands run merge) and committed to the append-only
+    * [[graft.warehouse.DecontamState]] table exactly once (epoch = batch
+    * id, replays short-circuit). Per-doc rows are independent given the
+    * eval set, so the multi-batch snapshot ≡ the one-shot batch result
+    * row-for-row (StreamingIndexSpec pins it).
+    */
+  def decontamAvailableNow(spark: SparkSession, sourceDir: String,
+                           schema: StructType, evalDocs: org.apache.spark.sql.DataFrame,
+                           stateRoot: String, checkpoint: String,
+                           k: Int = 3, minRun: Int = 8): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.warehouse.DecontamState.update(spark, stateRoot, evalDocs,
+          batch, k, minRun, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `sourceDir` into the near-dup index at `indexRoot`; each
     * micro-batch's matches against the prior corpus persist under the
     * index's `matches/batch=N/` dirs (query them any time).

@@ -249,4 +249,41 @@ class StreamingIndexSpec extends SparkSpec {
     assert(key(PqState.search(spark, root, queries, k = 4, shortlist = 600)) == want,
       "post-retrain ADC + re-rank must equal brute force at full shortlist")
   }
+
+  test("file-streamed substring decontamination equals the one-shot batch " +
+    "row-for-row; a committed replay is a no-op (q233 streaming face)") {
+    import graft.warehouse.DecontamState
+    val watch = tmpDir("sdec-src")
+    val root = tmpDir("sdec-root") + "/state"
+    val ckpt = tmpDir("sdec-ckpt")
+    // The q233 shape: hash-split the corpus, stream the train side in 3
+    // micro-batches against the fixed test side.
+    val split = docs.select(col("doc_id"),
+      graft.analytics.TrainingData.hashSplit(col("doc_id")).as("split"),
+      col("text"))
+    val train = split.filter(col("split") === "train").select("doc_id", "text")
+    val eval = split.filter(col("split") === "test").select("doc_id", "text")
+    stageFiles(Seq(
+      train.filter(col("doc_id") % 3 === 0),
+      train.filter(col("doc_id") % 3 === 1),
+      train.filter(col("doc_id") % 3 === 2)), watch)
+    StreamingIndex.decontamAvailableNow(spark, watch, train.schema, eval,
+      root, ckpt)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toMap
+    val streamed = key(DecontamState.snapshot(spark, root))
+    val oneShot = key(graft.analytics.TrainingData.substringOverlap(train, eval))
+    assert(streamed.nonEmpty && streamed == oneShot,
+      s"streamed decontam must equal the one-shot batch " +
+        s"(${streamed.size} vs ${oneShot.size} rows)")
+    assert(streamed.values.exists(_._4 == 1),
+      "fixture must exercise a contaminated doc (planted cross-split dup)")
+    // Committed replay with DIFFERENT content short-circuits.
+    DecontamState.update(spark, root, eval,
+      train.limit(3).select((col("doc_id") + 900000L).as("doc_id"), col("text")),
+      batchId = Some(1L))
+    assert(key(DecontamState.snapshot(spark, root)) == oneShot,
+      "a committed replay must not re-ingest")
+  }
 }
