@@ -591,8 +591,11 @@ object MediaCodecs {
   }
 
   // ------------------------------------------------------- MP3 metadata
-  // Full MP3 DECODE needs a synthesis filterbank no JDK ships — that
-  // remains the documented external-library boundary. But the CONTAINER
+  // Full MP3 DECODE needs a synthesis filterbank no JDK ships — the
+  // PERMANENT external-codec boundary (decided round 14; contract and
+  // rationale in COVERAGE.md's "MP3/MP4 SAMPLE decode" row: no codec in
+  // the JDK, no reference PCM in a zero-egress container to honestly
+  // spec a hand-rolled decoder against). But the CONTAINER
   // is public-format header walking, the same class as the WAV/PNG
   // parsing above: every MPEG audio frame announces its version, layer,
   // bitrate, sample rate, and (implicitly) byte length in a 4-byte
