@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Elevated-k evidence for the IVF assign dispatch (the r13 verdict's
+  * lead item): measure the literal expression-tree assign against the
+  * broadcast-join assign at centroid counts where the literal PLAN
+  * itself becomes the cost — k ~ √n at the 10⁸–10¹⁰-vector design point
+  * reaches 10⁴–10⁵, far past what a k-node expression tree tolerates
+  * (codegen gives up, analysis/eval cost grows super-linearly), while
+  * the join path's plan is O(1) in k and its one exchange carries one
+  * aggregated row per input row (the ×k pair stream dies in map-side
+  * partial aggregation — the `shuffleRows ≈ corpus rows` column).
+  *
+  * Run: `sbt "runMain graft.IvfAssignCheck"`. Knobs:
+  * SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_IVF_EXPAND (corpus
+  * replication, default 8 → 16k vectors), SPARK_GRAFT_IVF_KS (default
+  * 512,1024,2048,4096), SPARK_GRAFT_IVF_LIT_MAX (largest k the literal
+  * path is asked to run, default 4096).
+  */
+object IvfAssignCheck {
+
+  private final class Meter extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val expand = sys.env.getOrElse("SPARK_GRAFT_IVF_EXPAND", "8").toInt
+    val ks = sys.env.getOrElse("SPARK_GRAFT_IVF_KS", "512,1024,2048,4096")
+      .split(",").map(_.trim.toInt).toSeq
+    val litMax = sys.env.getOrElse("SPARK_GRAFT_IVF_LIT_MAX", "4096").toInt
+    val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val meter = new Meter
+    spark.sparkContext.addSparkListener(meter)
+
+    // Corpus: sf embeddings replicated ×expand with id offsets and
+    // per-replica rotation noise (the ScaleCheck recipe), checkpointed
+    // so every measurement scans identical materialized input.
+    val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = (0 until expand).map { i =>
+      emb0.select((col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"), (x, j) =>
+           x + lit(0.35) * sin(col("vec_id") * (j + lit(i))))).as("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint(eager = true)
+    val n = corpus.count()
+    println(s"[ivf-assign] corpus rows=$n (expand=$expand of $base)")
+
+    def mkModel(k: Int): analytics.IvfIndex.Model =
+      analytics.IvfIndex.Model(
+        corpus.orderBy("vec_id").limit(k).collect()
+          .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1).toSeq }.toSeq)
+
+    def measure(label: String, k: Int, force: Option[Int]): Unit = {
+      val m = mkModel(k)
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 60000)
+      meter.bytes.set(0L); meter.records.set(0L)
+      val t0 = System.nanoTime()
+      val df = analytics.IvfIndex.literalAssignMaxKOverride.withValue(force) {
+        analytics.IvfIndex.index(corpus, m)
+      }
+      df.queryExecution.executedPlan // analysis + optimization, no tasks
+      val tPlan = (System.nanoTime() - t0) / 1e9
+      df.write.mode("overwrite").format("noop").save()
+      val tTotal = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 60000)
+      println(f"[ivf-assign] $label%-8s k=$k%5d plan=$tPlan%8.2f s " +
+        f"total=$tTotal%8.2f s shuffleMB=${meter.bytes.get / 1e6}%8.2f " +
+        f"shuffleRows=${meter.records.get}%,d")
+    }
+
+    ks.foreach { k =>
+      if (k <= litMax) measure("literal", k, Some(Int.MaxValue))
+      measure("join", k, Some(0))
+      measure("dispatch", k, None) // what production gets at this k
+    }
+    spark.stop()
+  }
+}

@@ -102,7 +102,11 @@ object ScaleCheck {
     "q233_substring_decontamination",
     // round-13: n-gram repetition signals — two posexplodes + per-doc
     // windows/aggs, corpus-linear by construction.
-    "q235_ngram_repetition")
+    "q235_ngram_repetition",
+    // round-14: corpus-internal substring self-dedup — positional-gram
+    // explode, gram-count agg, gram-keyed equi-join back, per-doc
+    // islands. All gram/doc-keyed; work ∝ tokens (decade on arrival).
+    "q237_self_substring_dedup")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -61,17 +61,19 @@ object IvfIndex {
     nearestCells(v, model, 1).getItem(0).getField("cell")
 
   /** k ceiling for the literal assign path. Below it the k-struct-literal
-    * expression tree is the cheapest plan; above it the plan is the
-    * bottleneck (k expression nodes defeat whole-stage codegen and the
-    * driver's analyze/optimize time grows super-linearly in k), so
-    * assignment becomes a broadcast join against a (cell, centroid)
-    * TABLE — plan size O(1) in k. Overridable for benchmarks via
-    * `-Dgraft.ivf.literalAssignMaxK=`; specs force a path thread-locally
-    * through [[literalAssignMaxKOverride]].
+    * expression tree is the cheapest plan (fully inlined, zero
+    * exchanges); above it the tree defeats whole-stage codegen and
+    * per-row eval goes super-linear while the join path stays flat —
+    * the measured crossover on the 16k-row IvfAssignCheck harness sits
+    * at k ≈ 64–128 (literal 27 s at k=1024, 127 s at k=4096 vs join
+    * 0.9/1.9 s; BASELINE.md round-14 table), so the default hands
+    * everything past the small-quantizer regime to the join. Overridable
+    * via `-Dgraft.ivf.literalAssignMaxK=`; specs force a path
+    * thread-locally through [[literalAssignMaxKOverride]].
     */
   private[graft] def literalAssignMaxK: Int =
     literalAssignMaxKOverride.value.getOrElse(
-      sys.props.get("graft.ivf.literalAssignMaxK").map(_.toInt).getOrElse(1024))
+      sys.props.get("graft.ivf.literalAssignMaxK").map(_.toInt).getOrElse(128))
 
   private[graft] val literalAssignMaxKOverride =
     new scala.util.DynamicVariable[Option[Int]](None)
@@ -99,13 +101,15 @@ object IvfIndex {
     *  2. A broadcast nested-loop join scores every (row, centroid) pair
     *     map-side with the same `‖c‖² − 2·v·c` ranking as the literal
     *     path (same operand order → bitwise-equal doubles).
-    *  3. A bounded-heap top-n aggregation ([[graft.functions.TopK]],
-    *     ObjectHashAggregate) keyed by a per-row id collapses the ×k
+    *  3. An argmin aggregation keyed by a per-row id collapses the ×k
     *     pair stream back to one row per input row IN THE MAP TASK —
     *     partial aggregation sees all k pairs of a row locally (the
-    *     broadcast join emits them contiguously), so the exchange
-    *     carries exactly one aggregated row per input row, never the
-    *     pair stream. IvfJoinAssignSpec pins the single-Exchange shape.
+    *     broadcast join emits them contiguously), so no exchange ever
+    *     carries the pair stream: the agg exchange moves one ~20-byte
+    *     row per input row, and the original columns are joined back by
+    *     row key afterwards rather than riding the ×k stream (n=1 uses
+    *     codegen'd min/min_by over primitive buffers; n>1 the bounded-
+    *     heap top-n udaf). IvfJoinAssignSpec pins the plan shape.
     *
     * Tie-break parity: TopK's total order is (−score asc, key asc) =
     * (d asc, cell asc) — exactly `array_sort`'s lexicographic struct
@@ -122,22 +126,56 @@ object IvfIndex {
                                       n: Int, outCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents = model.centroids
+    // DESCENDING cell order: Spark 4.1's min_by keeps the LAST minimal
+    // row in update order, and the broadcast relation iterates in this
+    // frame's row order — so a descending build side makes equal-d ties
+    // land on the SMALLEST cell, matching the literal path's (d, cell)
+    // struct sort. The tie fixture in IvfJoinAssignSpec fails loudly if
+    // a Spark upgrade ever flips min_by's tie side.
+    val cents = model.centroids.sortBy(-_._1)
       .map { case (id, c) => (id, c, c.map(x => x * x).sum) }
       .toDF("__cell", "__centroid", "__cnorm")
     val rowKey = "__assign_row"
     val origCols = df.columns.toSeq
     val keyed = df.withColumn(rowKey, monotonically_increasing_id())
     val d = col("__cnorm") - lit(2.0) * dotProduct(col(vecCol), col("__centroid"))
-    keyed.crossJoin(broadcast(cents))
-      .groupBy(col(rowKey))
-      .agg(
-        first(struct(origCols.map(col): _*)).as("__orig"),
-        graft.functions.TopK.topK(n)(-d, col("__cell").cast("long"), lit(0L)).as("__top"))
-      .select(origCols.map(c => col("__orig").getField(c).as(c)) :+
-        transform(col("__top"), e => struct(
-          (-e.getField("score")).as("d"),
-          e.getField("key").cast("int").as("cell"))).as(outCol): _*)
+    // The pair stream carries ONLY (rowKey, vec-projection inputs) into
+    // the aggregate — original columns do NOT ride the ×k stream and are
+    // joined back by rowKey afterwards. This is what keeps the hot loop
+    // whole-stage-codegen'd: any carry aggregate (first(struct(...)))
+    // has a non-primitive buffer, which silently demotes the whole
+    // aggregate to SortAggregate over the n·k pair stream — measured 6×
+    // slower at k=4096. With an 8-byte group key and primitive (double,
+    // int) buffers the n=1 branch is a generated HashAggregate whose
+    // exchange carries one 20-byte row per input row; the join-back is
+    // an n-row equi-join (AQE broadcasts the small aggregated side when
+    // it fits).
+    val pairs = keyed
+      .select(col(rowKey), col(vecCol))
+      .crossJoin(broadcast(cents))
+    // n = 1 is the CORPUS-scale case (index build, Lloyd assignment):
+    // min/min_by over primitive buffers. Tie-break: min_by keeps the
+    // LAST minimal row in update order and cents is descending, so
+    // equal-d ties land on the smallest cell — the literal path's
+    // (d, cell) struct-sort order; IvfJoinAssignSpec's identical-
+    // centroids fixture fails loudly if a Spark upgrade flips min_by's
+    // tie side. n > 1 is the QUERY-side nprobe shape — bounded-heap
+    // top-n udaf (ObjectHashAggregate), fine at query cardinalities.
+    val best =
+      if (n == 1)
+        pairs.groupBy(col(rowKey)).agg(
+            min(d).as("__d"), min_by(col("__cell"), d).as("__cell"))
+          .select(col(rowKey),
+            array(struct(col("__d").as("d"), col("__cell").as("cell"))).as(outCol))
+      else
+        pairs.groupBy(col(rowKey)).agg(
+            graft.functions.TopK.topK(n)(-d, col("__cell").cast("long"), lit(0L))
+              .as("__top"))
+          .select(col(rowKey), transform(col("__top"), e => struct(
+            (-e.getField("score")).as("d"),
+            e.getField("key").cast("int").as("cell"))).as(outCol))
+    keyed.join(best, Seq(rowKey))
+      .select(origCols.map(col) :+ col(outCol): _*)
   }
 
   /** The cell count the IVF sizing rule prescribes for an n-row corpus:

@@ -62,6 +62,13 @@ class IvfJoinAssignSpec extends SparkSpec {
       }
       assert(got(0) == Seq(0, 1), s"forced=$forced: tie must resolve 0 before 1, got ${got(0)}")
       assert(got(1) == Seq(2, 0), s"forced=$forced: got ${got(1)}")
+      // n = 1 takes the codegen'd min/min_by branch of the join path —
+      // its first-encountered tie-break must also resolve to cell 0.
+      val one = IvfIndex.literalAssignMaxKOverride.withValue(forced) {
+        IvfIndex.index(df, model).orderBy("vec_id")
+          .select("cell").collect().map(_.getInt(0)).toSeq
+      }
+      assert(one == Seq(0, 2), s"forced=$forced n=1: got $one")
     }
   }
 
@@ -118,14 +125,31 @@ class IvfJoinAssignSpec extends SparkSpec {
     }
     val all = flatten(df.queryExecution.executedPlan)
     val shuffles = all.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size == 1,
-      s"join assign must shuffle exactly once (the aggregated per-row stream): $shuffles")
-    // The bounded-heap top-n must run BELOW the shuffle (partial mode in
-    // the map task) so the exchange never carries the ×k pair stream.
-    val partialBelowShuffle = shuffles.forall(e =>
-      flatten(e.child).exists(_.isInstanceOf[ObjectHashAggregateExec]))
-    assert(partialBelowShuffle,
-      "the top-n aggregation must be partial (map-side) below the exchange")
+    // Shape: one agg exchange (one ~20-byte row per input row) plus at
+    // most the join-back's two — and NO exchange may ever carry the ×k
+    // pair stream: any shuffle whose subtree contains the pair-producing
+    // nested-loop join must have the partial argmin aggregation between
+    // them (map-side collapse). n=1 must stay fully codegen'd
+    // (HashAggregate, primitive buffers) — a carry aggregate with a
+    // struct buffer silently demotes this to SortAggregate over n·k rows.
+    assert(shuffles.nonEmpty && shuffles.size <= 3,
+      s"join assign grew extra exchanges: ${shuffles.size}")
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    shuffles.foreach { e =>
+      val sub = flatten(e.child)
+      if (sub.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+        assert(sub.exists(_.isInstanceOf[BaseAggregateExec]),
+          "an exchange would carry the raw pair stream — the argmin " +
+            "aggregation must collapse it map-side first")
+    }
+    assert(all.exists(_.isInstanceOf[HashAggregateExec]),
+      "n=1 argmin must plan as codegen'd HashAggregate (primitive buffers)")
+    val nprobe = IvfIndex.joinNearestCells(c, "embedding", model, 2, "cells")
+    nprobe.count()
+    assert(flatten(nprobe.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ObjectHashAggregateExec]),
+      "n>1 must use the bounded-heap top-n aggregation")
   }
 
   test("dispatch flips at the k threshold") {
