@@ -106,7 +106,10 @@ object ScaleCheck {
     // round-14: corpus-internal substring self-dedup — positional-gram
     // explode, gram-count agg, gram-keyed equi-join back, per-doc
     // islands. All gram/doc-keyed; work ∝ tokens (decade on arrival).
-    "q237_self_substring_dedup")
+    "q237_self_substring_dedup",
+    // round-14: the IVF-PQ composite — coarse + residual-PQ training
+    // passes plus the cell-pruned ADC search (decade on arrival).
+    "q238_knn_ivfpq")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -28,7 +28,8 @@ object Registry {
       graft.warehouse.RetrievalIndex.queries ++ graft.warehouse.DedupIndex.queries ++
       graft.analytics.ModelEval.queries ++ graft.warehouse.DriftState.queries ++
       graft.analytics.Linkage.queries ++ graft.warehouse.EvalState.queries ++
-      graft.warehouse.IvfState.queries ++ graft.warehouse.PqState.queries
+      graft.warehouse.IvfState.queries ++ graft.warehouse.PqState.queries ++
+      graft.analytics.IvfPq.queries
 }
 
 object SparkEntry {

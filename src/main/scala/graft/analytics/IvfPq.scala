@@ -1,0 +1,159 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.functions.cosineSimilarity
+
+/** IVF-PQ composite index — the production trillion-vector ANN
+  * architecture (FAISS's IVFADC; Jégou et al. TPAMI 2011 §V): a coarse
+  * quantizer prunes the corpus to `nprobe` of `kCells` inverted lists,
+  * and within the probed lists candidates are scanned as m-byte PQ codes
+  * of the RESIDUAL (v − centroid(v)) — so a query touches
+  * `nprobe/kCells` of the corpus AND reads ~32× fewer bytes per
+  * candidate than raw floats, multiplying [[IvfIndex]]'s pruning by
+  * [[PqIndex]]'s compression. Residual encoding matters: residuals are
+  * centered near 0 with far less variance than raw vectors, so the same
+  * ksub^m code space quantizes them with much smaller error.
+  *
+  * SEARCH (asymmetric distance, cross-cell comparable): per (query,
+  * probed cell) the driver computes an m × ksub lookup table of TRUE
+  * squared subspace distances ‖q′_s − c‖² = ‖q′_s‖² − 2⟨q′_s, c⟩ + ‖c‖²
+  * where q′ = q − centroid(cell). Unlike flat PQ (where the ‖q_s‖² term
+  * is constant per query and rank-equivalence suffices,
+  * [[PqIndex.scoredShortlist]]), IVF-PQ ranks candidates from DIFFERENT
+  * cells in one shortlist window, and the query residual differs per
+  * cell — dropping the ‖q′_s‖² term would bias the comparison toward
+  * far cells. The LUT rows broadcast (|queries|·nprobe·m·ksub doubles —
+  * metadata-sized), candidates arrive by cell EQUI-join (the probed-cell
+  * filter IS the join key, no crossJoin), ADC is m array lookups + a
+  * sum per candidate, and the `shortlist` best per query re-rank with
+  * EXACT cosine on the raw vectors — the answer is exact whenever the
+  * true top-k survives the shortlist (planted-margin gate + per-SF
+  * brute-force parity in AnnExactnessSpec, the q28/q117 discipline).
+  *
+  * Coarse assignment rides [[IvfIndex.withNearestCells]], so indexing
+  * inherits the k-dispatched literal/join assign and its extreme-k
+  * ceiling fix; the driver-side probe in [[search]] mirrors the same
+  * (‖c‖² − 2⟨q,c⟩, cell) ordering in plain Scala (identical arithmetic
+  * sequence → identical doubles → identical probe sets).
+  *
+  * 100 TB shape: the persisted layout is (vec_id, cell, codes [, raw
+  * vector for re-rank]) partitioned by cell — [[IvfIndex
+  * .writePartitionedIndex]]'s directory pruning with an 8-byte payload
+  * per row; training cost is one coarse Lloyd + one residual PQ Lloyd,
+  * both distributed with codebook-sized driver state.
+  */
+object IvfPq {
+
+  final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Model)
+
+  /** Train coarse quantizer, then PQ codebooks on the coarse RESIDUALS. */
+  def train(corpus: DataFrame, kCells: Int, m: Int, ksub: Int = 16,
+            iters: Int = 2, idCol: String = "vec_id",
+            vecCol: String = "embedding"): Model = {
+    val coarse = IvfIndex.train(corpus, kCells, iters, idCol, vecCol)
+    val pq = PqIndex.train(residuals(corpus, coarse, idCol, vecCol),
+      m, ksub, iters, idCol, "__resid")
+    Model(coarse, pq)
+  }
+
+  /** (idCol, vecCol, cell, __resid = v − centroid(cell)) — one coarse
+    * assign + a broadcast centroid join + a fused zip_with subtraction.
+    */
+  private def residuals(df: DataFrame, coarse: IvfIndex.Model,
+                        idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = coarse.centroids.toDF("cell", "__cent")
+    IvfIndex.index(df.select(col(idCol), col(vecCol)), coarse, vecCol)
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("__resid",
+        zip_with(col(vecCol).cast("array<double>"), col("__cent"), _ - _))
+      .drop("__cent")
+  }
+
+  /** The scan table: (idCol, vecCol, cell, codes). At warehouse scale
+    * persist it `partitionBy("cell")` (the [[IvfIndex
+    * .writePartitionedIndex]] layout) so probes prune at file listing.
+    */
+  def index(corpus: DataFrame, model: Model, idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame =
+    PqIndex.encode(residuals(corpus, model.coarse, idCol, vecCol),
+        model.pq, "__resid")
+      .select(col(idCol), col(vecCol), col("cell"), col("codes"))
+
+  /** ANN top-k: driver-side coarse probe → per-(query, cell) residual
+    * LUTs broadcast → cell equi-join → ADC shortlist → exact re-rank.
+    */
+  def search(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
+             nprobe: Int = 2, shortlist: Int = 50, idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             excludeSelf: Boolean = true): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val m = model.pq.m
+    val dsub = model.pq.dsub
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val centById = model.coarse.centroids.toMap
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val lutRows = qRows.toSeq.flatMap { case (qid, qv) =>
+      val probed = model.coarse.centroids
+        .map { case (cid, c) =>
+          (c.map(x => x * x).sum - 2.0 * dot(qv, c), cid)
+        }.sorted.take(nprobe)
+      probed.map { case (_, cid) =>
+        val qr = qv.zip(centById(cid)).map { case (a, b) => a - b }
+        val lut = (0 until m).map { s =>
+          val qs = qr.slice(s * dsub, (s + 1) * dsub)
+          val qn = qs.map(x => x * x).sum
+          model.pq.books(s).map(c =>
+            qn - 2.0 * dot(qs, c) + c.map(x => x * x).sum)
+        }
+        (qid, qv, cid, lut)
+      }
+    }.toDF("query_id", "q_vec", "cell", "lut")
+
+    val adc = aggregate(
+      zip_with(col("codes"), col("lut"),
+        (code, tab) => element_at(tab, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val short = indexed
+      .join(broadcast(lutRows), Seq("cell")) // probed cells ONLY
+      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc"), asc(idCol))))
+      .filter(col("arank") <= shortlist)
+    Similarity.topK(
+      short
+        .withColumn("score",
+          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
+        .select(col("query_id"), col(idCol), col("score")),
+      k, idCol)
+  }
+
+  // --------------------------------------------------------------- q238
+  /** IVF-PQ ANN top-5 over the planted-margin corpus — the q28 coarse
+    * shape (16 cells, nprobe=4) times the q117 code shape (m=8 × 16
+    * codes, shortlist 50), on residuals. The planted ~0.5 cosine margin
+    * dwarfs both the probe risk (twin shares the query's probed cells)
+    * and the residual quantization error, so the composite answer IS
+    * the exact top-5 — hash-checked against the shared exact-kNN oracle
+    * and CI-audited per SF by AnnExactnessSpec.
+    */
+  def ivfPqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.plantedKnnCorpus(graft.core.Tables.embeddings(spark, dir))
+    val model = train(corpus, kCells = 16, m = 8, ksub = 16, iters = 2)
+    search(index(corpus, model), corpus.filter(col("vec_id") < 10), model,
+      k = 5, nprobe = 4, shortlist = 50)
+  }
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q238_knn_ivfpq", ivfPqKnn _, Some(Similarity.plantedKnnSql)))
+}

@@ -148,6 +148,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q237 must stay gram/doc-keyed: $s")
   }
 
+  test("q238 IVF-PQ search: probed-cell equi-join + broadcast LUTs — no " +
+    "nested loop, no corpus single-partition") {
+    val s = stats("q238_knn_ivfpq")
+    // Candidates arrive via the cell EQUI-join against the broadcast
+    // (query, cell, LUT) rows — the probed-cell filter IS the join key;
+    // a crossJoin or nested loop here would scan every cell per query.
+    assert(s.nestedLoops == 0 && s.singleParts == 0,
+      s"q238 must stay cell-pruned: $s")
+    assert(s.broadcast >= 1, s"q238 LUT rows must broadcast: $s")
+  }
+
   test("q235 n-gram repetition stays per-doc windows + hash aggs — no " +
     "corpus single-partition, no pair join") {
     val s = stats("q235_ngram_repetition")

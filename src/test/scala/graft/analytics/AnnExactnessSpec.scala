@@ -55,6 +55,11 @@ class AnnExactnessSpec extends SparkSpec {
       assertSame("q236", d, graft.warehouse.PqState.pqStateKnn(spark, d)))
   }
 
+  test("q238 IVF-PQ composite ANN equals exact kNN at every harness SF " +
+    "(coarse probe x residual codes, gated shape)") {
+    dirs.foreach(d => assertSame("q238", d, IvfPq.ivfPqKnn(spark, d)))
+  }
+
   test("q21 gated LSH near-dup recall stays 1.0 at every harness SF") {
     dirs.foreach { d =>
       val corpus = Similarity.plantedTwinCorpus(graft.core.Tables.embeddings(spark, d))
