@@ -216,13 +216,15 @@ object Main {
           graft.warehouse.IvfState.recluster(spark, root, lease = true); Nil
         case "pq" =>
           graft.warehouse.PqState.retrain(spark, root, lease = true); Nil
+        case "ivfpq" =>
+          graft.warehouse.IvfPqState.recluster(spark, root, lease = true); Nil
         case other =>
           System.err.println(s"unknown index kind: $other " +
-            "(expected dedup|retrieval|covariance|eval|ivf|pq)")
+            "(expected dedup|retrieval|covariance|eval|ivf|pq|ivfpq)")
           spark.stop(); sys.exit(2)
       }
       reports.foreach(r => println(s"[compact-index] $r"))
-      if (kind == "ivf" || kind == "pq")
+      if (kind == "ivf" || kind == "pq" || kind == "ivfpq")
         println(s"[compact-index] $kind state at $root re-folded " +
           "(bundle swapped, committed deltas reclaimed)")
       spark.stop()

@@ -108,8 +108,9 @@ object ScaleCheck {
     // islands. All gram/doc-keyed; work ∝ tokens (decade on arrival).
     "q237_self_substring_dedup",
     // round-14: the IVF-PQ composite — coarse + residual-PQ training
-    // passes plus the cell-pruned ADC search (decade on arrival).
-    "q238_knn_ivfpq")
+    // passes plus the cell-pruned ADC search (decade on arrival) — and
+    // its incremental state (ingest + recluster + bundle∪tail search).
+    "q238_knn_ivfpq", "q239_ivfpq_state")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

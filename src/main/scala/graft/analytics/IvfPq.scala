@@ -60,6 +60,19 @@ object IvfPq {
     Model(coarse, pq)
   }
 
+  /** Cell-law training — coarse k = ⌈n/targetCellSize⌉ derived from the
+    * corpus itself ([[IvfIndex.trainCellLaw]]), PQ books on the
+    * residuals; the no-manual-tuning entry point for state maintenance.
+    */
+  def trainCellLaw(corpus: DataFrame, targetCellSize: Long, m: Int,
+                   ksub: Int = 16, iters: Int = 2, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Model = {
+    val coarse = IvfIndex.trainCellLaw(corpus, targetCellSize, iters, idCol, vecCol)
+    val pq = PqIndex.train(residuals(corpus, coarse, idCol, vecCol),
+      m, ksub, iters, idCol, "__resid")
+    Model(coarse, pq)
+  }
+
   /** (idCol, vecCol, cell, __resid = v − centroid(cell)) — one coarse
     * assign + a broadcast centroid join + a fused zip_with subtraction.
     */
@@ -91,8 +104,23 @@ object IvfPq {
   def search(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
              nprobe: Int = 2, shortlist: Int = 50, idCol: String = "vec_id",
              vecCol: String = "embedding",
-             excludeSelf: Boolean = true): DataFrame = {
-    val spark = indexed.sparkSession
+             excludeSelf: Boolean = true): DataFrame =
+    Similarity.topK(
+      scoredShortlist(indexed, queries, model, nprobe, shortlist, idCol,
+        vecCol, excludeSelf),
+      k, idCol)
+
+  /** Driver-side probe: per query the `nprobe` nearest cells (same
+    * (‖c‖²−2⟨q,c⟩, cell) ordering as the engine assign, in plain Scala)
+    * with the per-cell residual ADC LUT. Returns the broadcastable
+    * (query_id, q_vec, cell, lut) rows plus the probed-cell union —
+    * metadata-sized both — so a partitioned-layout caller can turn the
+    * union into a STATIC partition filter ([[IvfIndex.prunedIndexScan]]
+    * rationale).
+    */
+  private[graft] def lutFrame(spark: SparkSession, model: Model,
+      queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
+      : (DataFrame, Seq[Int]) = {
     import spark.implicits._
     val m = model.pq.m
     val dsub = model.pq.dsub
@@ -117,8 +145,22 @@ object IvfPq {
         }
         (qid, qv, cid, lut)
       }
-    }.toDF("query_id", "q_vec", "cell", "lut")
+    }
+    (lutRows.toDF("query_id", "q_vec", "cell", "lut"),
+      lutRows.map(_._3).distinct)
+  }
 
+  /** The exactly-re-ranked shortlist of [[search]] BEFORE the final
+    * top-k window — exposed so a caller holding TWO candidate sources
+    * ([[graft.warehouse.IvfPqState]]'s bundle + unfolded raw tail) can
+    * union them before ranking (the [[IvfIndex.scoredCandidates]] /
+    * [[PqIndex.scoredShortlist]] rationale).
+    */
+  private[graft] def scoredShortlist(indexed: DataFrame, queries: DataFrame,
+      model: Model, nprobe: Int, shortlist: Int, idCol: String,
+      vecCol: String, excludeSelf: Boolean): DataFrame = {
+    val (lutRows, _) =
+      lutFrame(indexed.sparkSession, model, queries, nprobe, idCol, vecCol)
     val adc = aggregate(
       zip_with(col("codes"), col("lut"),
         (code, tab) => element_at(tab, code + 1)),
@@ -130,13 +172,25 @@ object IvfPq {
       .withColumn("arank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("adc"), asc(idCol))))
       .filter(col("arank") <= shortlist)
-    Similarity.topK(
-      short
-        .withColumn("score",
-          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
-        .select(col("query_id"), col(idCol), col("score")),
-      k, idCol)
+    short
+      .withColumn("score",
+        cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
+      .select(col("query_id"), col(idCol), col("score"))
   }
+
+  /** Persist a trained composite model under `path` (`coarse` +
+    * `pq` subdirs, each the family's tiny parquet table). Callers owning
+    * a larger atomic unit (IvfPqState's bundle) write into their own
+    * staging dir — the [[PqIndex.saveModel]] convention.
+    */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    IvfIndex.save(spark, model.coarse, s"$path/coarse")
+    PqIndex.saveModel(spark, model.pq, s"$path/pq")
+  }
+
+  def loadModel(spark: SparkSession, path: String): Model =
+    Model(IvfIndex.load(spark, s"$path/coarse"),
+      PqIndex.loadModel(spark, s"$path/pq"))
 
   // --------------------------------------------------------------- q238
   /** IVF-PQ ANN top-5 over the planted-margin corpus — the q28 coarse

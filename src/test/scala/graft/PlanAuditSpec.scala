@@ -159,6 +159,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.broadcast >= 1, s"q238 LUT rows must broadcast: $s")
   }
 
+  test("q239 incremental IVF-PQ state search: pruned-bundle ADC + exact " +
+    "tail, no nested loop beyond the broadcast-query tail, no corpus " +
+    "single-partition") {
+    val s = stats("q239_ivfpq_state")
+    // The tail face is a broadcast-query crossJoin (one BNLJ against
+    // the metadata-sized query frame — the q234/q236 shape); the bundle
+    // face must stay a cell equi-join. More than the one tail BNLJ or
+    // any single-partition funnel means the pruning seam rotted.
+    assert(s.nestedLoops <= 1 && s.singleParts == 0,
+      s"q239 must stay cell-pruned + broadcast-tail: $s")
+  }
+
   test("q235 n-gram repetition stays per-doc windows + hash aggs — no " +
     "corpus single-partition, no pair join") {
     val s = stats("q235_ngram_repetition")

@@ -60,6 +60,12 @@ class AnnExactnessSpec extends SparkSpec {
     dirs.foreach(d => assertSame("q238", d, IvfPq.ivfPqKnn(spark, d)))
   }
 
+  test("q239 incremental IVF-PQ state search equals exact kNN at every " +
+    "harness SF (cell-partitioned encoded bundle + raw tail, gated shape)") {
+    dirs.foreach(d =>
+      assertSame("q239", d, graft.warehouse.IvfPqState.ivfPqStateKnn(spark, d)))
+  }
+
   test("q21 gated LSH near-dup recall stays 1.0 at every harness SF") {
     dirs.foreach { d =>
       val corpus = Similarity.plantedTwinCorpus(graft.core.Tables.embeddings(spark, d))
