@@ -137,7 +137,30 @@ object IvfIndex {
       .toDF("__cell", "__centroid", "__cnorm")
     val rowKey = "__assign_row"
     val origCols = df.columns.toSeq
-    val keyed = df.withColumn(rowKey, monotonically_increasing_id())
+    // The row key appears in TWO subtrees (the argmin aggregation and
+    // the join-back), and Spark evaluates each independently —
+    // monotonically_increasing_id is (partition, position)-derived, so
+    // the two evaluations agree ONLY if the input yields rows in the
+    // same per-partition order both times. Scans do; a SHUFFLE upstream
+    // does not (reduce-side row order is network-arrival order), and a
+    // mismatch would silently pair rows with the wrong cells. When the
+    // plan contains a shuffle-inducing or non-deterministic node, pin
+    // the keyed frame with a lazy localCheckpoint: both subtrees then
+    // read the same materialized blocks. Scan-only inputs (every
+    // in-repo caller: cached Lloyd projections, parquet scans, bundle ∪
+    // tail unions) skip the materialization.
+    val plan = df.queryExecution.optimizedPlan
+    val orderUnstable = plan.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Join => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.Aggregate => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.Window => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.Sort => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.Sample => p
+      case p if p.expressions.exists(!_.deterministic) => p
+    }.isDefined
+    val keyed0 = df.withColumn(rowKey, monotonically_increasing_id())
+    val keyed = if (orderUnstable) keyed0.localCheckpoint(eager = false) else keyed0
     val d = col("__cnorm") - lit(2.0) * dotProduct(col(vecCol), col("__centroid"))
     // The pair stream carries ONLY (rowKey, vec-projection inputs) into
     // the aggregate — original columns do NOT ride the ×k stream and are

@@ -152,6 +152,31 @@ class IvfJoinAssignSpec extends SparkSpec {
       "n>1 must use the bounded-heap top-n aggregation")
   }
 
+  test("shuffle-upstream inputs stay correct on the join path (keyed " +
+    "frame pinned so both subtrees see one row-key assignment)") {
+    // An input whose plan contains a shuffle (here a join + an
+    // aggregate-derived frame) has network-arrival row order — the two
+    // independent evaluations of the row key could disagree without the
+    // localCheckpoint pin, silently mis-pairing rows and cells. Pin
+    // correctness by equality with the literal path on the same input.
+    val c = corpus
+    val model = IvfIndex.train(c, k = 16, iters = 2)
+    val counts = c.groupBy((col("vec_id") % 7).as("g"))
+      .count().withColumnRenamed("g", "grp")
+    val shuffled = c.withColumn("grp", col("vec_id") % 7)
+      .join(counts, Seq("grp"))
+      .repartition(7, col("grp"))
+      .select("vec_id", "embedding")
+    val literal = IvfIndex.literalAssignMaxKOverride.withValue(Some(Int.MaxValue)) {
+      rows(IvfIndex.index(shuffled, model).select("vec_id", "cell").orderBy("vec_id"))
+    }
+    val joined = IvfIndex.literalAssignMaxKOverride.withValue(Some(0)) {
+      rows(IvfIndex.index(shuffled, model).select("vec_id", "cell").orderBy("vec_id"))
+    }
+    assert(joined == literal,
+      "join-path assignment must survive shuffle-upstream (order-unstable) inputs")
+  }
+
   test("dispatch flips at the k threshold") {
     val c = corpus
     val model = IvfIndex.train(c, k = 16, iters = 2)

@@ -112,4 +112,20 @@ class StateLayoutSpec extends SparkSpec {
       subDirs(retrRoot).contains("stats"),
       s"RetrievalIndex layout drifted: dirs=${subDirs(retrRoot)}")
   }
+
+  test("round-14 state additions are born on the delta-dir layout too " +
+    "(IvfPqState, DecontamState)") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val ivfpqRoot = tmpDir("layout-ivfpq") + "/state"
+    IvfPqState.update(spark, ivfpqRoot, emb)
+    assert(rootDataFiles(ivfpqRoot).isEmpty &&
+      subDirs(ivfpqRoot) == Set("deltas", "stats"),
+      s"IvfPqState layout drifted: dirs=${subDirs(ivfpqRoot)}")
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val decRoot = tmpDir("layout-dec") + "/state"
+    DecontamState.update(spark, decRoot, docs.limit(5), docs)
+    assert(rootDataFiles(decRoot).isEmpty &&
+      subDirs(decRoot) == Set("deltas", "stats"),
+      s"DecontamState layout drifted: dirs=${subDirs(decRoot)}")
+  }
 }
