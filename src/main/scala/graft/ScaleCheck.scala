@@ -110,7 +110,10 @@ object ScaleCheck {
     // round-14: the IVF-PQ composite — coarse + residual-PQ training
     // passes plus the cell-pruned ADC search (decade on arrival) — and
     // its incremental state (ingest + recluster + bundle∪tail search).
-    "q238_knn_ivfpq", "q239_ivfpq_state")
+    "q238_knn_ivfpq", "q239_ivfpq_state",
+    // round-14: the q237 removal artifact — same gram-keyed machinery
+    // plus a token anti-join and per-doc sorted rebuild (∝ tokens).
+    "q240_self_substring_remove")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

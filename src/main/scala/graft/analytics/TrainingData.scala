@@ -547,6 +547,93 @@ object TrainingData {
       |  CAST(coalesce(p.dup_tokens, 0) * 2 > len(w.w) AS INT) AS mostly_dup
       |FROM ws w LEFT JOIN per_doc p ON w.doc_id = p.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q240
+  /** The REMOVAL artifact of [[selfSubstringDedup]] — what the Lee-et-al
+    * pipeline actually emits: the corpus with every duplicated ≥k-token
+    * span CUT, i.e. a token survives iff no duplicated k-gram covers it.
+    * Where q237 reports the per-doc span statistics, this materializes
+    * the cleaned text (the deduplicated training corpus).
+    *
+    * Shape: the same positional-gram → occurrence ≥ 2 → match join as
+    * q237, then each matched gram position p expands to its covered
+    * token interval [p, p+k−1] (sequence explode — ∝ removed tokens,
+    * never ∝ corpus), tokens ANTI-join the distinct covered set on
+    * (doc, pos), and the survivors re-assemble per doc via a sorted
+    * collect (per-doc memory ∝ doc length — the q235 window class).
+    * Output text is the whitespace-canonical lowercase token stream
+    * (the [[graft.functions.shingleStrings]] tokenization — cleaning
+    * happens on the same canonical form every dedup operator keys on),
+    * so the column is engine-portable and hash-exact.
+    */
+  def selfSubstringRemove(docs: DataFrame, k: Int = 8,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(graft.functions.shingleStrings(col(textCol), 1)))
+      .toDF(idCol, "pos", "w")
+    val grams = docs.select(col(idCol),
+        posexplode(graft.functions.shingleStrings(col(textCol), k)))
+      .toDF(idCol, "pos", "s")
+    val dup = grams.groupBy("s").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("s")
+    val covered = grams.join(dup, Seq("s"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            e => e.getField("w"))).as("cleaned_text"))
+    docs.select(col(idCol),
+        size(graft.functions.shingleStrings(col(textCol), 1))
+          .cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  def selfSubstringRemoveDocs(spark: SparkSession, dir: String): DataFrame =
+    selfSubstringRemove(Tables.documents(spark, dir))
+
+  private val selfSubstringRemoveSql =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |toks AS (
+      |  SELECT doc_id, i AS pos, w[i] AS tok
+      |  FROM ws, unnest(range(1, len(w) + 1)) AS t(i)
+      |),
+      |sh AS (
+      |  SELECT doc_id, i AS pos,
+      |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+      |    w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS s
+      |  FROM ws, unnest(range(1, greatest(len(w) - 6, 1))) AS t(i)
+      |),
+      |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT sh.doc_id AS doc_id, sh.pos + o.i AS pos
+      |  FROM sh JOIN dup USING (s), unnest(range(0, 8)) AS o(i)
+      |),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok
+      |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  WHERE c.pos IS NULL
+      |),
+      |rebuilt AS (
+      |  SELECT doc_id, count(*) AS kept_tokens,
+      |         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      |  FROM kept GROUP BY 1
+      |)
+      |SELECT w.doc_id AS doc_id,
+      |  CAST(len(w.w) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |  coalesce(r.cleaned_text, '') AS cleaned_text
+      |FROM ws w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q49
   /** Scale of the integer log-probability grid: micro-nats. One constant
     * drives both the Spark plan and the oracle SQL.
@@ -1868,6 +1955,8 @@ object TrainingData {
       Some(substringDecontaminationSql)),
     NamedQuery("q237_self_substring_dedup", selfSubstringDedupDocs _,
       Some(selfSubstringDedupSql)),
+    NamedQuery("q240_self_substring_remove", selfSubstringRemoveDocs _,
+      Some(selfSubstringRemoveSql)),
     NamedQuery("q49_bigram_lm", bigramLm _, Some(bigramLmSql)),
     NamedQuery("q50_quality_gate", qualityGate _, Some(qualityGateSql)),
     NamedQuery("q51_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),

@@ -171,6 +171,13 @@ class PlanAuditSpec extends SparkSpec {
       s"q239 must stay cell-pruned + broadcast-tail: $s")
   }
 
+  test("q240 span removal: gram/doc-keyed joins + anti-join only — no " +
+    "pair join, no single-partition funnel") {
+    val s = stats("q240_self_substring_remove")
+    assert(s.nestedLoops == 0 && s.singleParts == 0,
+      s"q240 must stay gram/doc-keyed: $s")
+  }
+
   test("q235 n-gram repetition stays per-doc windows + hash aggs — no " +
     "corpus single-partition, no pair join") {
     val s = stats("q235_ngram_repetition")

@@ -677,6 +677,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(4L) == ((26L, 2L, 16L, 8L, 1)), s"doc D: ${got(4L)}")
   }
 
+  test("q240 removal artifact: duplicated spans are cut, clean docs pass " +
+    "through verbatim (canonical token form)") {
+    val x = (1 to 12).map(i => s"x$i").mkString(" ")
+    val y = (1 to 8).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $x a6 a7 a8 a9 a10 a11 a12 a13"),
+      (2L, s"b1 b2 b3 $x b4 b5 b6 b7 b8"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (4L, s"$y d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 $y")
+    ).toDF("doc_id", "text")
+    val got = TrainingData.selfSubstringRemove(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((25L, 13L,
+      "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13")), s"doc A: ${got(1L)}")
+    assert(got(2L) == ((20L, 8L, "b1 b2 b3 b4 b5 b6 b7 b8")), s"doc B: ${got(2L)}")
+    assert(got(3L) == ((10L, 10L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")),
+      s"doc C: ${got(3L)}")
+    assert(got(4L) == ((26L, 10L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")),
+      s"doc D: ${got(4L)}")
+  }
+
   test("q237 islands chain ADJACENT intervals (position gap exactly k) " +
     "into one fully-covered span, and break beyond it") {
     // doc 1 = P ++ Q back to back: the P-gram matches at pos 0 (shared
