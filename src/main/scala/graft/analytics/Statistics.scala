@@ -2604,7 +2604,252 @@ object Statistics {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END AS z_micro
       |FROM j, gs, ts""".stripMargin
 
+  // --------------------------------------------------------------- q243
+  /** Brown–Forsythe (median-centered Levene) test — "do the k groups
+    * differ in DISPERSION?", the variance-homogeneity companion the
+    * mean/location battery ([[anovaF]] q205, [[kruskalWallis]] q214)
+    * assumes away: one-way ANOVA on z = |x − median_g|, with the median
+    * (Brown & Forsythe 1974) rather than the mean for robustness.
+    *
+    * Exactness: medians ride the value domain — per group, the two
+    * middle positions p1 = ⌊(n+1)/2⌋, p2 = ⌊(n+2)/2⌋ are located on the
+    * (group, value) cell frame's running count, and med2 = v(p1)+v(p2)
+    * (= 2·median) is an exact BIGINT, so z2 = |2x − med2| = 2z is exact
+    * per cell. The ANOVA fold on z2 then follows the [[anovaF]]
+    * discipline verbatim (per-group Σz2²/n floored once; W from integer
+    * SSB/SSW). W is invariant under the ×2 scaling, so w_micro is the
+    * published statistic.
+    *
+    * Scale shape: one corpus scan → (group, value) hash aggregate;
+    * medians and the fold run on the domain-bounded cell frame (the
+    * q214 rationale) — the per-group running count is a window over
+    * value-domain partitions, never the fact table.
+    */
+  def brownForsythe(perRow: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val cells = perRow
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint()
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy("g")
+    val med = cells
+      .withColumn("cum", sum("n_gv").over(wCum))
+      .withColumn("n_g", sum("n_gv").over(wG))
+      .groupBy("g")
+      .agg(
+        min(when(col("cum") >= expr("(n_g + 1) div 2"), col("v"))).as("v1"),
+        min(when(col("cum") >= expr("(n_g + 2) div 2"), col("v"))).as("v2"))
+      .select(col("g"), (col("v1") + col("v2")).as("med2"))
+    cells.join(med, Seq("g"))
+      .withColumn("z2", abs(col("v") * 2L - col("med2")))
+      .groupBy("g")
+      .agg(sum("n_gv").as("n"), sum(col("n_gv") * col("z2")).as("s"),
+        sum(col("n_gv") * col("z2") * col("z2")).as("ss"))
+      .withColumn("tg", floor(col("s").cast("double") * col("s").cast("double")
+        / col("n").cast("double") + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("k_groups"), sum("n").as("n_total"),
+        sum("s").as("s_total"), sum("ss").as("ss_total"),
+        sum("tg").as("tg_total"))
+      .withColumn("ssb", col("tg_total")
+        - floor(col("s_total").cast("double") * col("s_total").cast("double")
+          / col("n_total").cast("double") + lit(0.5)).cast("long"))
+      .withColumn("ssw", col("ss_total") - col("tg_total"))
+      .withColumn("w_micro", floor(
+        (col("ssb").cast("double") / (col("k_groups") - 1).cast("double"))
+          / (col("ssw").cast("double")
+            / (col("n_total") - col("k_groups")).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("k_groups"), col("n_total"), col("ssb"), col("ssw"),
+        col("w_micro"))
+  }
+
+  /** Gated q243: does order-spend DISPERSION (whole dollars) differ
+    * across order priorities? One row: Brown–Forsythe W in micro-units
+    * with its integer SSB/SSW provenance.
+    */
+  def prioritySpendLevene(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+    brownForsythe(rows, "priority", "dollars")
+  }
+
+  private val prioritySpendLeveneSql =
+    """WITH rows_ AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(floor(o_totalprice) AS BIGINT) AS v
+      |  FROM orders
+      |),
+      |cells AS (
+      |  SELECT g, v, count(*) AS n_gv FROM rows_ GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT g, v, n_gv,
+      |    sum(n_gv) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(n_gv) OVER (PARTITION BY g) AS n_g
+      |  FROM cells
+      |),
+      |med AS (
+      |  SELECT g,
+      |    min(CASE WHEN cum >= (n_g + 1) // 2 THEN v END)
+      |      + min(CASE WHEN cum >= (n_g + 2) // 2 THEN v END) AS med2
+      |  FROM cum GROUP BY 1
+      |),
+      |grp AS (
+      |  SELECT c.g, sum(c.n_gv) AS n,
+      |    sum(c.n_gv * abs(c.v * 2 - m.med2)) AS s,
+      |    sum(c.n_gv * abs(c.v * 2 - m.med2) * abs(c.v * 2 - m.med2)) AS ss
+      |  FROM cells c JOIN med m ON m.g = c.g
+      |  GROUP BY 1
+      |),
+      |tg AS (
+      |  SELECT g, n, s, ss,
+      |    CAST(floor(s::DOUBLE * s::DOUBLE / n::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT) AS tg
+      |  FROM grp
+      |),
+      |tot AS (
+      |  SELECT count(*) AS k_groups, sum(n) AS n_total, sum(s) AS s_total,
+      |    sum(ss) AS ss_total, sum(tg) AS tg_total
+      |  FROM tg
+      |),
+      |sq AS (
+      |  SELECT k_groups, n_total,
+      |    tg_total - CAST(floor(s_total::DOUBLE * s_total::DOUBLE
+      |      / n_total::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS ssb,
+      |    ss_total - tg_total AS ssw
+      |  FROM tot
+      |)
+      |SELECT CAST(k_groups AS BIGINT) AS k_groups,
+      |  CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(ssb AS BIGINT) AS ssb, CAST(ssw AS BIGINT) AS ssw,
+      |  CAST(floor(
+      |    (ssb::DOUBLE / (k_groups - 1)::DOUBLE)
+      |      / (ssw::DOUBLE / (n_total - k_groups)::DOUBLE)
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS w_micro
+      |FROM sq""".stripMargin
+
+  // --------------------------------------------------------------- q244
+  /** Dunn's post-hoc test — the pairwise follow-up [[kruskalWallis]]
+    * (q214) demands: which PAIRS of groups differ? For each unordered
+    * pair, z = (R̄_i − R̄_j) / √(S²(1/n_i + 1/n_j)) with S² the
+    * tie-corrected rank variance N(N+1)/12 − Σ(t³−t)/(12(N−1))
+    * (Dunn 1964). Readers apply Bonferroni/BH to the emitted z values;
+    * the statistic itself is the engine's job (no Φ⁻¹ in either SQL
+    * dialect — same contract as q214/q232, which emit H and z, not p).
+    *
+    * Exactness: rides the q214 value-domain machinery — doubled ranks
+    * rank2 = 2·avg-rank are exact BIGINT, per-group rank sums r2_g are
+    * exact, tie cubes ride DECIMAL(38,0); z is ONE fixed double
+    * sequence per pair over those integers (the /2 rank2 scaling folds
+    * into the √4 of the variance), floored to micro.
+    *
+    * Scale shape: identical to q214 — one corpus scan to (group, value)
+    * cells; ranks on the value-domain frame; the pair join runs on the
+    * k-row group frame (k² pairs of a handful of groups, metadata-
+    * sized).
+    */
+  def dunnPostHoc(perRow: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val cells = perRow
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint()
+    val wBelow = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vt = cells.groupBy(col("v")).agg(sum("n_gv").as("t_v"))
+      .withColumn("rank2",
+        coalesce(sum("t_v").over(wBelow), lit(0L)) * 2L + col("t_v") + 1L)
+      .withColumn("tie_sum", sum(col("t_v").cast("decimal(38,0)")
+        * col("t_v") * col("t_v") - col("t_v"))
+        .over(Window.partitionBy()))
+    val grp = cells.join(vt, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum("n_gv").as("n_g"),
+        sum(col("n_gv") * col("rank2")).as("r2_g"),
+        max("tie_sum").as("tie_sum"))
+      .withColumn("n_total", sum("n_g").over(Window.partitionBy()))
+    val a = grp.select(col("g").as("g1"), col("n_g").as("n1"),
+      col("r2_g").as("r2_1"), col("tie_sum"), col("n_total"))
+    val b = grp.select(col("g").as("g2"), col("n_g").as("n2"),
+      col("r2_g").as("r2_2"))
+    a.join(b, col("g1") < col("g2"))
+      .withColumn("z_micro", floor(
+        (col("r2_1").cast("double") / col("n1").cast("double")
+          - col("r2_2").cast("double") / col("n2").cast("double"))
+          / sqrt((col("n_total").cast("double")
+            * (col("n_total").cast("double") + lit(1.0)) / lit(3.0)
+            - col("tie_sum").cast("double")
+              / (lit(3.0) * (col("n_total").cast("double") - lit(1.0))))
+            * (lit(1.0) / col("n1").cast("double")
+              + lit(1.0) / col("n2").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"), col("z_micro"))
+  }
+
+  /** Gated q244: which market-segment pairs differ in order spend?
+    * k(k−1)/2 rows of Dunn z statistics (micro-units), the post-hoc
+    * reading of q214's single H verdict on the same fixture.
+    */
+  def segmentSpendDunn(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+    dunnPostHoc(rows, "segment", "dollars")
+  }
+
+  private val segmentSpendDunnSql =
+    """WITH rows_ AS (
+      |  SELECT c.c_mktsegment AS g,
+      |    CAST(floor(o.o_totalprice) AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |cells AS (
+      |  SELECT g, v, count(*) AS n_gv FROM rows_ GROUP BY 1, 2
+      |),
+      |vt AS (
+      |  SELECT v, sum(n_gv) AS t_v FROM cells GROUP BY 1
+      |),
+      |vr AS (
+      |  SELECT v, t_v,
+      |    coalesce(sum(t_v) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      |      + t_v + 1 AS rank2,
+      |    sum(t_v::HUGEINT * t_v * t_v - t_v) OVER () AS tie_sum
+      |  FROM vt
+      |),
+      |grp AS (
+      |  SELECT c.g, sum(c.n_gv) AS n_g, sum(c.n_gv * vr.rank2) AS r2_g,
+      |    max(vr.tie_sum) AS tie_sum
+      |  FROM cells c JOIN vr ON vr.v = c.v
+      |  GROUP BY 1
+      |),
+      |tot AS (
+      |  SELECT g, n_g, r2_g, tie_sum, sum(n_g) OVER () AS n_total FROM grp
+      |)
+      |SELECT a.g AS g1, b.g AS g2,
+      |  CAST(a.n_g AS BIGINT) AS n1, CAST(b.n_g AS BIGINT) AS n2,
+      |  CAST(floor(
+      |    (a.r2_g::DOUBLE / a.n_g::DOUBLE - b.r2_g::DOUBLE / b.n_g::DOUBLE)
+      |      / sqrt((a.n_total::DOUBLE * (a.n_total::DOUBLE + 1.0::DOUBLE)
+      |          / 3.0::DOUBLE
+      |        - a.tie_sum::DOUBLE
+      |          / (3.0::DOUBLE * (a.n_total::DOUBLE - 1.0::DOUBLE)))
+      |        * (1.0::DOUBLE / a.n_g::DOUBLE + 1.0::DOUBLE / b.n_g::DOUBLE))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS z_micro
+      |FROM tot a JOIN tot b ON a.g < b.g""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q243_levene_dispersion", prioritySpendLevene _,
+      Some(prioritySpendLeveneSql)),
+    NamedQuery("q244_dunn_posthoc", segmentSpendDunn _,
+      Some(segmentSpendDunnSql)),
     NamedQuery("q232_jonckheere", prioritySpendJt _, Some(jtSql)),
     NamedQuery("q230_moods_median", segmentMedianTest _,
       Some(moodsMedianSql)),

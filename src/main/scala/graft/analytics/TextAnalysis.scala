@@ -1831,7 +1831,11 @@ object TextAnalysis {
     NamedQuery("q222_coverage_curve", coverageCurveGate _,
       Some(coverageCurveSql)),
     NamedQuery("q225_dedup_growth", dedupGrowthGate _, Some(dedupGrowthSql)),
-    NamedQuery("q211_zipf_slope", zipfSlope _, Some(zipfSlopeSql)))
+    NamedQuery("q211_zipf_slope", zipfSlope _, Some(zipfSlopeSql)),
+    NamedQuery("q241_gopher_quality", gopherQualityProfile _,
+      Some(gopherQualitySql)),
+    NamedQuery("q245_readability", readabilityProfile _,
+      Some(readabilitySql)))
 
   // --------------------------------------------------------------- q130
   /** BPE merge-candidate statistics — the inner loop of byte-pair-encoding
@@ -2028,4 +2032,226 @@ object TextAnalysis {
        |    AS novelty_ppm
        |FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- q241
+  /** Gopher quality-rule battery — the full MassiveText document-level
+    * filter set (Rae et al. 2021, "Scaling Language Models", App. A1.1),
+    * the published-pipeline standard that q235's repetition signals
+    * complement: per document,
+    * (1) word count in [50, 100 000]; (2) mean word length in [3, 10]
+    * characters; (3) symbol-to-word ratio ('#' chars plus non-overlapping
+    * '...'/'…' occurrences) ≤ 0.1; (4) ≤ 90% of lines start with a bullet
+    * ('-', '*', '•'); (5) ≤ 30% of lines end with an ellipsis; (6) ≥ 80%
+    * of words contain ≥ 1 alphabetic character; (7) ≥ 2 of the eight
+    * required stopwords {the, be, to, of, and, that, have, with} present.
+    *
+    * Exactness: every signal is integer arithmetic — counts, milli-chars
+    * (×1000 div) and ppm (×1e6 div) integer quotients — so an external
+    * engine reproduces the battery bit-exactly. `rule_mask` packs the
+    * seven verdicts as bits 0..6 (1 = rule passed); `pass` = all seven.
+    * Lines are '\n' segments with non-blank trim; a newline-free document
+    * is one line (rules 4/5 then read 0 ppm — vacuously clean, matching
+    * the published intent that those rules target list/link spam pages).
+    *
+    * Scale shape: a single per-row projection — array ops over the
+    * document's own tokens, no explode, no shuffle, whole-stage codegen
+    * end to end. At 100 TB this is scan-bound, the best possible shape;
+    * the filter composes with any downstream gate as a pushed predicate.
+    */
+  def gopherQualityRules(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol).as("t"))
+      .withColumn("w", expr("filter(split(t, ' '), x -> length(x) > 0)"))
+      .withColumn("lines", expr("filter(split(t, '\n'), l -> trim(l) <> '')"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("word_chars",
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("symbols",
+        (length(col("t")) - length(expr("replace(t, '#', '')"))
+          + (length(col("t")) - length(expr("replace(t, '...', '')"))) / 3
+          + (length(col("t")) - length(expr("replace(t, '…', '')"))))
+          .cast("long"))
+      .withColumn("bullet_lines", expr(
+        "size(filter(lines, l -> left(ltrim(l), 1) IN ('-', '*', '•')))")
+        .cast("long"))
+      .withColumn("ellipsis_lines", expr(
+        "size(filter(lines, l -> right(rtrim(l), 3) = '...' " +
+          "OR right(rtrim(l), 1) = '…'))").cast("long"))
+      .withColumn("alpha_words",
+        expr("size(filter(w, x -> x rlike '[A-Za-z]'))").cast("long"))
+      .withColumn("stopword_hits", expr(
+        "size(array_intersect(array_distinct(transform(w, x -> lower(x))), " +
+          "array('the','be','to','of','and','that','have','with')))")
+        .cast("long"))
+    val sig = d.select(col(idCol), col("n_words"),
+      when(col("n_words") === 0, 0L)
+        .otherwise(expr("word_chars * 1000 div n_words")).as("mean_len_milli"),
+      when(col("n_words") === 0, 0L)
+        .otherwise(expr("symbols * 1000000 div n_words")).as("symbol_ppm"),
+      when(col("n_lines") === 0, 0L)
+        .otherwise(expr("bullet_lines * 1000000 div n_lines")).as("bullet_ppm"),
+      when(col("n_lines") === 0, 0L)
+        .otherwise(expr("ellipsis_lines * 1000000 div n_lines"))
+        .as("ellipsis_ppm"),
+      when(col("n_words") === 0, 0L)
+        .otherwise(expr("alpha_words * 1000000 div n_words")).as("alpha_ppm"),
+      col("stopword_hits"))
+    sig
+      .withColumn("rule_mask",
+        (when(col("n_words").between(50L, 100000L), 1L).otherwise(0L)
+          + when(col("mean_len_milli").between(3000L, 10000L), 2L).otherwise(0L)
+          + when(col("symbol_ppm") <= 100000L, 4L).otherwise(0L)
+          + when(col("bullet_ppm") <= 900000L, 8L).otherwise(0L)
+          + when(col("ellipsis_ppm") <= 300000L, 16L).otherwise(0L)
+          + when(col("alpha_ppm") >= 800000L, 32L).otherwise(0L)
+          + when(col("stopword_hits") >= 2L, 64L).otherwise(0L)))
+      .withColumn("pass", when(col("rule_mask") === 127L, 1L).otherwise(0L))
+  }
+
+  def gopherQualityProfile(spark: SparkSession, dir: String): DataFrame =
+    gopherQualityRules(Tables.documents(spark, dir))
+
+  // lazy: the queries Seq above initializes first (the q124 note).
+  private lazy val gopherQualitySql =
+    """WITH base AS (
+      |  SELECT doc_id, text AS t,
+      |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS w,
+      |    list_filter(str_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      |  FROM documents
+      |),
+      |sig0 AS (
+      |  SELECT doc_id,
+      |    len(w) AS n_words, len(lines) AS n_lines,
+      |    coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS word_chars,
+      |    (len(t) - len(replace(t, '#', '')))
+      |      + (len(t) - len(replace(t, '...', ''))) // 3
+      |      + (len(t) - len(replace(t, '…', ''))) AS symbols,
+      |    len(list_filter(lines, l -> left(ltrim(l), 1) IN ('-', '*', '•')))
+      |      AS bullet_lines,
+      |    len(list_filter(lines, l -> right(rtrim(l), 3) = '...'
+      |      OR right(rtrim(l), 1) = '…')) AS ellipsis_lines,
+      |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS alpha_words,
+      |    len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+      |      ['the','be','to','of','and','that','have','with']))
+      |      AS stopword_hits
+      |  FROM base
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(n_words AS BIGINT) AS n_words,
+      |    CAST(CASE WHEN n_words = 0 THEN 0
+      |      ELSE word_chars * 1000 // n_words END AS BIGINT) AS mean_len_milli,
+      |    CAST(CASE WHEN n_words = 0 THEN 0
+      |      ELSE symbols * 1000000 // n_words END AS BIGINT) AS symbol_ppm,
+      |    CAST(CASE WHEN n_lines = 0 THEN 0
+      |      ELSE bullet_lines * 1000000 // n_lines END AS BIGINT) AS bullet_ppm,
+      |    CAST(CASE WHEN n_lines = 0 THEN 0
+      |      ELSE ellipsis_lines * 1000000 // n_lines END AS BIGINT)
+      |      AS ellipsis_ppm,
+      |    CAST(CASE WHEN n_words = 0 THEN 0
+      |      ELSE alpha_words * 1000000 // n_words END AS BIGINT) AS alpha_ppm,
+      |    CAST(stopword_hits AS BIGINT) AS stopword_hits
+      |  FROM sig0
+      |)
+      |SELECT *,
+      |  CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN mean_len_milli BETWEEN 3000 AND 10000 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN symbol_ppm <= 100000 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN bullet_ppm <= 900000 THEN 8 ELSE 0 END)
+      |    + (CASE WHEN ellipsis_ppm <= 300000 THEN 16 ELSE 0 END)
+      |    + (CASE WHEN alpha_ppm >= 800000 THEN 32 ELSE 0 END)
+      |    + (CASE WHEN stopword_hits >= 2 THEN 64 ELSE 0 END) AS BIGINT)
+      |    AS rule_mask,
+      |  CAST(CASE WHEN (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN mean_len_milli BETWEEN 3000 AND 10000 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN symbol_ppm <= 100000 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN bullet_ppm <= 900000 THEN 8 ELSE 0 END)
+      |    + (CASE WHEN ellipsis_ppm <= 300000 THEN 16 ELSE 0 END)
+      |    + (CASE WHEN alpha_ppm >= 800000 THEN 32 ELSE 0 END)
+      |    + (CASE WHEN stopword_hits >= 2 THEN 64 ELSE 0 END) = 127
+      |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM sig""".stripMargin
+
+  // --------------------------------------------------------------- q245
+  /** Flesch readability scoring — the classic surface-form readability
+    * battery (Flesch 1948; Kincaid et al. 1975) a curation pipeline
+    * runs next to the quality gates (q50/q80/q241): per document,
+    * reading ease RE = 206.835 − 1.015·(W/S) − 84.6·(Y/W) and grade
+    * level GL = 0.39·(W/S) + 11.8·(Y/W) − 15.59, with W words,
+    * S sentences and Y syllables.
+    *
+    * Syllables use the deterministic vowel-group heuristic — per word,
+    * the count of maximal `[aeiouy]+` runs in the lowercased word,
+    * floored at 1 — the standard cheap estimator (exact dictionaries
+    * are model assets, not engine ops). Sentences are maximal non-blank
+    * segments after splitting on `[.!?]+`; punctuation-free text is one
+    * sentence (the whole document), so the W/S term degrades gracefully
+    * to document length.
+    *
+    * Exactness: W, S, Y are exact integer counts; both scores are ONE
+    * fixed double sequence over those integers, floored to micro-units.
+    *
+    * Scale shape: a single per-row projection (array transforms over
+    * the document's own tokens — no explode, no shuffle, whole-stage
+    * codegen), scan-bound at any corpus size like q241.
+    */
+  def fleschReadability(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), col(textCol).as("t"))
+      .withColumn("w", expr("filter(split(t, ' '), x -> length(x) > 0)"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_sentences", greatest(lit(1L), expr(
+        "size(filter(split(t, '[.!?]+'), s -> trim(s) <> ''))").cast("long")))
+      .withColumn("n_syllables", expr(
+        "aggregate(w, 0L, (a, x) -> a + greatest(1, " +
+          "size(regexp_extract_all(lower(x), '[aeiouy]+', 0))))"))
+      .filter(col("n_words") > 0)
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        floor((lit(206.835)
+          - lit(1.015) * col("n_words").cast("double")
+            / col("n_sentences").cast("double")
+          - lit(84.6) * col("n_syllables").cast("double")
+            / col("n_words").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("ease_micro"),
+        floor((lit(0.39) * col("n_words").cast("double")
+            / col("n_sentences").cast("double")
+          + lit(11.8) * col("n_syllables").cast("double")
+            / col("n_words").cast("double")
+          - lit(15.59))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("grade_micro"))
+
+  def readabilityProfile(spark: SparkSession, dir: String): DataFrame =
+    fleschReadability(Tables.documents(spark, dir))
+
+  // lazy: the queries Seq above initializes first (the q124 note).
+  private lazy val readabilitySql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS w,
+      |    greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+      |      s -> trim(s) <> ''))) AS n_sentences
+      |  FROM documents
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(n_sentences AS BIGINT) AS n_sentences,
+      |    CAST(coalesce(list_sum(list_transform(w, x -> greatest(1,
+      |      len(regexp_extract_all(lower(x), '[aeiouy]+'))))), 0) AS BIGINT)
+      |      AS n_syllables
+      |  FROM base
+      |)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CAST(floor((206.835::DOUBLE
+      |    - 1.015::DOUBLE * n_words::DOUBLE / n_sentences::DOUBLE
+      |    - 84.6::DOUBLE * n_syllables::DOUBLE / n_words::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS ease_micro,
+      |  CAST(floor((0.39::DOUBLE * n_words::DOUBLE / n_sentences::DOUBLE
+      |    + 11.8::DOUBLE * n_syllables::DOUBLE / n_words::DOUBLE
+      |    - 15.59::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS grade_micro
+      |FROM sig WHERE n_words > 0""".stripMargin
 }

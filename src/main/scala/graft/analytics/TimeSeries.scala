@@ -1696,7 +1696,223 @@ object TimeSeries {
       |    // max(n) AS BIGINT) AS attain_ppm
       |FROM rk GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q242
+  /** Autocorrelation function + Ljung–Box portmanteau — the standard
+    * "is this series white noise?" diagnostic (Box & Jenkins; Ljung &
+    * Box 1978) the forecasting family (q176 EWMA, q184 backtest, q194
+    * seasonal) implicitly assumes was checked: for lags k = 1..K over
+    * the daily revenue series, r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * and the cumulative Q_k = n(n+2)·Σ_{j≤k} r_j²/(n−j).
+    *
+    * Exactness: the series collapses to exact BIGINT daily totals; all
+    * lag cross-products Σx_t·x_{t+k}, head/tail sums and Σx² ride
+    * DECIMAL(38,0), so r_k is ONE fixed double sequence over exact
+    * integers (numerator expanded as cross − x̄(A_k+B_k) + (n−k)x̄²),
+    * floored to micro. Q_k accumulates r_j²/(n−j) in ascending-lag
+    * frame order — the same ordered summation on both engines — then
+    * scales by n(n+2).
+    *
+    * Scale shape: one corpus scan → per-day hash aggregate; every
+    * window and the lag stack run on the days-domain frame (calendar-
+    * bounded at any corpus scale — the q190 single-partition rationale);
+    * the lag expansion is K lead columns over one ordered pass, not a
+    * self-join.
+    */
+  def acfLjungBox(daily: DataFrame, maxLag: Int = 10): DataFrame = {
+    val cells = daily.select(col("d"), col("x").cast("long").as("x"))
+      .localCheckpoint()
+    val tot = cells.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("s"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+    val wIdx = Window.orderBy("d")
+    val leads = (1 to maxLag).map(k => lead(col("x"), k).over(wIdx).as(s"l$k"))
+    val pairs = cells.select((col("x") +: leads): _*)
+      .select(col("x"), explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"l$k").as("y"))): _*)).as("p"))
+      .select(col("x"), col("p.lag").as("lag"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("cross"),
+        sum(col("x").cast("decimal(38,0)")).as("a_k"),
+        sum(col("y").cast("decimal(38,0)")).as("b_k"))
+    val r = pairs.crossJoin(broadcast(tot))
+      .withColumn("mbar", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("r_k",
+        (col("cross").cast("double") - col("mbar")
+          * (col("a_k") + col("b_k")).cast("double")
+          + (col("n") - col("lag")).cast("double") * col("mbar") * col("mbar"))
+          / (col("s2").cast("double") - col("mbar") * col("s").cast("double")))
+    r.withColumn("q_k",
+        sum(col("r_k") * col("r_k")
+          / (col("n") - col("lag")).cast("double"))
+          .over(Window.orderBy("lag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          * col("n").cast("double") * (col("n").cast("double") + lit(2.0)))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        floor(col("r_k") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("r_micro"),
+        floor(col("q_k") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("q_micro"))
+  }
+
+  /** Gated q242: ACF lags 1..10 + Ljung–Box Q over the daily total
+    * order revenue series (whole dollars).
+    */
+  def revenueAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
+    acfLjungBox(daily)
+  }
+
+  private val revenueAcfSql =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS d,
+      |    sum(CAST(floor(o_totalprice) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1
+      |),
+      |idx AS (
+      |  SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily
+      |),
+      |tot AS (
+      |  SELECT count(*) AS n, sum(x::HUGEINT) AS s, sum(x::HUGEINT * x) AS s2
+      |  FROM idx
+      |),
+      |pairs AS (
+      |  SELECT b.i - a.i AS lag, count(*) AS n_pairs,
+      |    sum(a.x::HUGEINT * b.x) AS cross_k,
+      |    sum(a.x::HUGEINT) AS a_k, sum(b.x::HUGEINT) AS b_k
+      |  FROM idx a JOIN idx b ON b.i - a.i BETWEEN 1 AND 10
+      |  GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT lag, n_pairs, n,
+      |    (cross_k::DOUBLE - (s::DOUBLE / n::DOUBLE)
+      |        * (a_k + b_k)::DOUBLE
+      |      + (n - lag)::DOUBLE * (s::DOUBLE / n::DOUBLE)
+      |        * (s::DOUBLE / n::DOUBLE))
+      |      / (s2::DOUBLE - (s::DOUBLE / n::DOUBLE) * s::DOUBLE) AS r_k
+      |  FROM pairs, tot
+      |)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(floor(r_k * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+      |    AS r_micro,
+      |  CAST(floor(sum(r_k * r_k / (n - lag)::DOUBLE) OVER (ORDER BY lag
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    * n::DOUBLE * (n::DOUBLE + 2.0::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS q_micro
+      |FROM r""".stripMargin
+
+  // --------------------------------------------------------------- q246
+  /** Single-changepoint detection by binary segmentation — the first
+    * step of the standard changepoint recursion (Scott & Knott 1974;
+    * the CUSUM drift gate q177 flags THAT a shift happened, this finds
+    * WHERE): per key, the split t of the ordered series maximizing the
+    * between-segment variance reduction
+    * gain(t) = t(n−t)/n · (x̄_{≤t} − x̄_{>t})² = (n·P_t − t·S)² / (n·t·(n−t)).
+    *
+    * Exactness: daily totals and prefix sums P_t are exact BIGINT; the
+    * gain numerator (n·P_t − t·S)² rides DECIMAL(38,0), so gain is one
+    * double division of exact integers — identical on both engines —
+    * and the argmax tie-break (gain desc, t asc) is total. Means are
+    * micro-floored doubles over exact integers.
+    *
+    * Scale shape: one corpus scan → (key, day) hash aggregate; prefix
+    * sums and the argmax run per key over calendar-bounded partitions.
+    * Recursing (segment → sub-segments) re-runs this operator on the
+    * emitted split labels — each level is one window pass, no corpus
+    * re-scan.
+    */
+  def binarySegmentSplit(perDay: DataFrame, keyCol: String): DataFrame = {
+    val wk = Window.partitionBy(keyCol)
+    val wOrd = Window.partitionBy(keyCol).orderBy("d")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = perDay
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("p_t", sum(col("x").cast("decimal(38,0)")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wk).cast("long"))
+      .withColumn("s", sum(col("x").cast("decimal(38,0)")).over(wk))
+      .filter(col("t") < col("n"))
+      .withColumn("dev", col("p_t") * col("n") - col("s") * col("t"))
+      .withColumn("gain",
+        col("dev").cast("double") * col("dev").cast("double")
+          / (col("n") * col("t") * (col("n") - col("t"))).cast("double"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(keyCol).orderBy(desc("gain"), col("t"))))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("n").as("n_days"), col("t").as("split_idx"),
+        col("d").cast("date").as("split_date"),
+        floor(col("gain") + lit(0.5)).cast("long").as("gain_int"),
+        floor(col("p_t").cast("double") / col("t").cast("double")
+          * lit(1000.0) + lit(0.5)).cast("long").as("mean_before_milli"),
+        floor((col("s") - col("p_t")).cast("double")
+          / (col("n") - col("t")).cast("double")
+          * lit(1000.0) + lit(0.5)).cast("long").as("mean_after_milli"))
+  }
+
+  /** Gated q246: per nation, where does the daily order-revenue series
+    * (whole dollars) most plausibly shift level? One row per nation:
+    * the argmax split, its variance-reduction gain, and the segment
+    * means (milli-dollars).
+    */
+  def nationRevenueChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
+    binarySegmentSplit(daily, "nation")
+  }
+
+  private val nationRevenueChangepointSql =
+    """WITH daily AS (
+      |  SELECT n.n_name AS nation, date_trunc('day', o.o_orderdate) AS d,
+      |    sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS x
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2
+      |),
+      |scored AS (
+      |  SELECT nation, d,
+      |    row_number() OVER (PARTITION BY nation ORDER BY d) AS t,
+      |    sum(x::HUGEINT) OVER (PARTITION BY nation ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_t,
+      |    count(*) OVER (PARTITION BY nation) AS n,
+      |    sum(x::HUGEINT) OVER (PARTITION BY nation) AS s
+      |  FROM daily
+      |),
+      |gains AS (
+      |  SELECT nation, d, t, p_t, n, s,
+      |    (p_t * n - s * t)::DOUBLE * (p_t * n - s * t)::DOUBLE
+      |      / (n::HUGEINT * t * (n - t))::DOUBLE AS gain
+      |  FROM scored WHERE t < n
+      |),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY nation
+      |    ORDER BY gain DESC, t) AS rn
+      |  FROM gains
+      |)
+      |SELECT nation, CAST(n AS BIGINT) AS n_days,
+      |  CAST(t AS BIGINT) AS split_idx, CAST(d AS DATE) AS split_date,
+      |  CAST(floor(gain + 0.5::DOUBLE) AS BIGINT) AS gain_int,
+      |  CAST(floor(p_t::DOUBLE / t::DOUBLE * 1000.0::DOUBLE + 0.5::DOUBLE)
+      |    AS BIGINT) AS mean_before_milli,
+      |  CAST(floor((s - p_t)::DOUBLE / (n - t)::DOUBLE * 1000.0::DOUBLE
+      |    + 0.5::DOUBLE) AS BIGINT) AS mean_after_milli
+      |FROM best WHERE rn = 1""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q242_revenue_acf", revenueAcf _, Some(revenueAcfSql)),
+    NamedQuery("q246_revenue_changepoint", nationRevenueChangepoint _,
+      Some(nationRevenueChangepointSql)),
     NamedQuery("q206_logrank_test", balanceChurnLogRank _,
       Some(balanceChurnLogRankSql)),
     NamedQuery("q203_theilsen_trend", robustRevenueTrend _,

@@ -1372,4 +1372,51 @@ class PlanAuditSpec extends SparkSpec {
       s"q190 has a single-partition exchange over un-aggregated input:\n" +
         offenders.mkString("\n"))
   }
+
+  test("q241/q245 quality + readability stay single-scan zero-shuffle " +
+    "projections") {
+    // Both are pure per-row array transforms — the moment either grows a
+    // shuffle or a join, someone broke the codegen-flat contract.
+    Seq("q241_gopher_quality", "q245_readability").foreach { name =>
+      val s = stats(name)
+      assert(s.scans <= 1 && s.shuffles == 0 && s.nestedLoops == 0,
+        s"$name must stay a per-row projection: $s")
+    }
+  }
+
+  test("q242 ACF: day-domain frames only after the daily aggregate") {
+    // Audited 6 shuffles / 2 NLJ (the one-row totals broadcast) / 4
+    // singleParts (days-domain lead window + scalar totals — the q190
+    // rationale: bounded by the calendar, never the corpus). scans=0
+    // behind the localCheckpointed daily cells.
+    val s = stats("q242_revenue_acf")
+    assert(s.scans <= 1 && s.shuffles <= 12, s"q242 regressed: $s")
+    assert(s.nestedLoops <= 4 && s.singleParts <= 8, s"q242 regressed: $s")
+  }
+
+  test("q243 Brown-Forsythe: value-domain cells, no pair join") {
+    // Audited 7 shuffles / 0 NLJ / 2 singleParts (the two scalar folds);
+    // the median windows and the z-join run on (group, value) cells.
+    val s = stats("q243_levene_dispersion")
+    assert(s.scans <= 1 && s.shuffles <= 14, s"q243 regressed: $s")
+    assert(s.nestedLoops == 0 && s.singleParts <= 4, s"q243 regressed: $s")
+  }
+
+  test("q244 Dunn: rank frames on the value domain; the pair join stays " +
+    "on the k-row group frame") {
+    // Audited 18 shuffles / 2 NLJ (the k-row g1<g2 pair join — metadata-
+    // sized by contract) / 5 singleParts (value-domain rank window +
+    // scalar tie fold).
+    val s = stats("q244_dunn_posthoc")
+    assert(s.scans <= 1 && s.shuffles <= 36, s"q244 regressed: $s")
+    assert(s.nestedLoops <= 4 && s.singleParts <= 10, s"q244 regressed: $s")
+  }
+
+  test("q246 changepoint: per-key calendar windows, dims broadcast, " +
+    "never a single-partition funnel") {
+    val s = stats("q246_revenue_changepoint")
+    assert(s.broadcast >= 2, s"q246 dims must broadcast: $s")
+    assert(s.scans <= 8 && s.shuffles <= 16, s"q246 regressed: $s")
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q246 regressed: $s")
+  }
 }

@@ -814,4 +814,79 @@ class StatisticsSpec extends SparkSpec {
     assert(sizes.sum == 23L)
     assert(sizes.max - sizes.min <= 1L)
   }
+
+  // -------------------------------------------- brownForsythe (q243)
+  test("brownForsythe: hand case — spread difference drives W") {
+    // g1 = {10,10,10,10} (median 10, all z=0);
+    // g2 = {0,10,20,30} (median 15, z = {15,5,5,15}).
+    // SSB/SSW on z: means 0 and 10 -> ssb = 200, ssw = 0+100 -> W large.
+    val rows = (Seq.fill(4)(("a", 10L)) ++ Seq(("b", 0L), ("b", 10L),
+      ("b", 20L), ("b", 30L))).toDF("g", "v")
+    val r = Statistics.brownForsythe(rows, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Long]("n_total") == 8L)
+    // z2 = 2z: g1 all 0; g2 = {30,10,10,30}. s = 0 and 80, ss = 0 and 2000.
+    // tg = 0 and 1600 -> ssb = 1600 - 6400/8 = 800, ssw = 2000 - 1600 = 400.
+    assert(r.getAs[Long]("ssb") == 800L)
+    assert(r.getAs[Long]("ssw") == 400L)
+    // W = (800/1)/(400/6) = 12.
+    assert(r.getAs[Long]("w_micro") == 12000000L)
+  }
+
+  test("brownForsythe: identical groups score zero dispersion gap") {
+    // n=4 per group keeps the per-group s^2/n divisions exact, so the
+    // q205 per-group flooring discipline cancels to ssb = 0 precisely.
+    val rows = (Seq(("a", 1L), ("a", 3L), ("a", 7L), ("a", 9L)) ++
+      Seq(("b", 1L), ("b", 3L), ("b", 7L), ("b", 9L))).toDF("g", "v")
+    val r = Statistics.brownForsythe(rows, "g", "v").collect().head
+    assert(r.getAs[Long]("ssb") == 0L)
+    assert(r.getAs[Long]("w_micro") == 0L)
+  }
+
+  test("brownForsythe: even-count median averages the two middles") {
+    // g = {1,3,7,100}: med2 = 3+7 = 10 (median 5), not either middle.
+    val rows = Seq(("a", 1L), ("a", 3L), ("a", 7L), ("a", 100L),
+      ("b", 5L)).toDF("g", "v")
+    // With med=5 for a: z2 = |2v-10| = {8,4,4,190}; ss = 36196; s = 206.
+    val r = Statistics.brownForsythe(rows, "g", "v").collect().head
+    // tg(a) = floor(206^2/4 + .5) = 10609; tg(b) = 0 (z=0, n=1).
+    // ssb = 10609 - floor(206^2/5+.5) = 10609 - 8487 = 2122;
+    // ssw = 36196 - 10609 = 25587.
+    assert(r.getAs[Long]("ssb") == 2122L)
+    assert(r.getAs[Long]("ssw") == 25587L)
+  }
+
+  // -------------------------------------------- dunnPostHoc (q244)
+  test("dunnPostHoc: symmetric shift reproduces the hand z") {
+    // g1 = {1,2,3}, g2 = {4,5,6}: no ties, N=6, rank sums 6 and 15.
+    // z = (2 - 5) / sqrt((6*7/12)*(1/3+1/3)) = -3/sqrt(7/3) = -1.963961.
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r = Statistics.dunnPostHoc(rows, "g", "v").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("g1") == "a")
+    assert(r.head.getAs[Long]("z_micro") == -1963961L)
+  }
+
+  test("dunnPostHoc: identical groups give z = 0 and all pairs appear") {
+    val rows = (1L to 4L).flatMap(v =>
+      Seq(("a", v), ("b", v), ("c", v))).toDF("g", "v")
+    val out = Statistics.dunnPostHoc(rows, "g", "v").collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getAs[Long]("z_micro") == 0L))
+  }
+
+  test("dunnPostHoc: tie correction shrinks the variance denominator") {
+    // Heavy ties: g1={1,1,2}, g2={1,2,2}. Tie-corrected |z| must exceed
+    // the uncorrected value (smaller S^2), sanity-bound below 1.
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 2L), ("b", 2L)).toDF("g", "v")
+    val z = Statistics.dunnPostHoc(rows, "g", "v").collect()
+      .head.getAs[Long]("z_micro")
+    // rank2: value 1 -> t=3, rank2=4 (avg 2); value 2 -> rank2=10 (avg 5).
+    // r2bar: a = (4+4+10)/3 = 6, b = (4+10+10)/3 = 8 -> diff/2 = -1.
+    // S2 = 6*7/12 - (2*(27-3))/(12*5) = 3.5 - 0.8 = 2.7; var = 2.7*2/3.
+    // z = -1/sqrt(1.8) = -0.745356.
+    assert(z == -745356L)
+  }
 }

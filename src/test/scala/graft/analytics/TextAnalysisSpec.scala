@@ -625,4 +625,87 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Long]("jack1") == 2L)
     assert(out.getAs[Long]("coverage_ppm") == 1000000L)
   }
+
+  // ------------------------------------------ gopherQualityRules (q241)
+  test("gopher rules: a clean long document passes all seven") {
+    // 52 words, mean length in [3,10], 'the'+'and' stopwords, all alpha.
+    val body = ("the quick brown fox and " + ("sturdy lexical token " * 16)).trim
+    val d = Seq((1L, body)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityRules(d).collect().head
+    assert(r.getAs[Long]("n_words") == 53L)
+    assert(r.getAs[Long]("stopword_hits") == 2L)
+    assert(r.getAs[Long]("alpha_ppm") == 1000000L)
+    assert(r.getAs[Long]("rule_mask") == 127L)
+    assert(r.getAs[Long]("pass") == 1L)
+  }
+
+  test("gopher rules: each failing signal clears exactly its mask bit") {
+    val stops = "the and that have " // 4 stopwords, passes rule 7
+    val short = Seq((1L, stops + "one two three")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.gopherQualityRules(short).collect().head
+    assert((r1.getAs[Long]("rule_mask") & 1L) == 0L) // word count < 50
+    assert((r1.getAs[Long]("rule_mask") & 64L) == 64L)
+    // Symbol-heavy: each word paired with a '#' and an ellipsis.
+    val symbols = Seq((2L, ("word# ... " * 30).trim)).toDF("doc_id", "text")
+    val r2 = TextAnalysis.gopherQualityRules(symbols).collect().head
+    assert(r2.getAs[Long]("symbol_ppm") > 100000L)
+    assert((r2.getAs[Long]("rule_mask") & 4L) == 0L)
+    // Bullet lines: 10 bullet lines of one line each.
+    val bullets = Seq((3L, (1 to 10).map(i => s"- item $i").mkString("\n")))
+      .toDF("doc_id", "text")
+    val r3 = TextAnalysis.gopherQualityRules(bullets).collect().head
+    assert(r3.getAs[Long]("bullet_ppm") == 1000000L)
+    assert((r3.getAs[Long]("rule_mask") & 8L) == 0L)
+    // Ellipsis-ended lines over the 30% cap.
+    val ell = Seq((4L, "alpha beta...\ngamma delta…\nplain line"))
+      .toDF("doc_id", "text")
+    val r4 = TextAnalysis.gopherQualityRules(ell).collect().head
+    assert(r4.getAs[Long]("ellipsis_ppm") == 666666L)
+    assert((r4.getAs[Long]("rule_mask") & 16L) == 0L)
+    // Numeric soup fails the 80%-alphabetic rule.
+    val nums = Seq((5L, "123 456 789 012 345 abc")).toDF("doc_id", "text")
+    val r5 = TextAnalysis.gopherQualityRules(nums).collect().head
+    assert(r5.getAs[Long]("alpha_ppm") == 166666L)
+    assert((r5.getAs[Long]("rule_mask") & 32L) == 0L)
+  }
+
+  test("gopher rules: empty and whitespace-only docs emit zero signals") {
+    val d = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getAs[Long]("n_words") == 0L)
+      assert(out(id).getAs[Long]("pass") == 0L)
+    }
+  }
+
+  // ------------------------------------------- fleschReadability (q245)
+  test("flesch: hand-computed sentence/syllable counts and scores") {
+    // "the cat sat. it ran away! done?" -> 3 sentences, 7 words.
+    // Syllables (vowel-group runs): the=1 cat=1 sat=1 it=1 ran=1
+    // away=2(a, ay) done=2(o, e) -> 9.
+    val d = Seq((1L, "the cat sat. it ran away! done?")).toDF("doc_id", "text")
+    val r = TextAnalysis.fleschReadability(d).collect().head
+    assert(r.getAs[Long]("n_words") == 7L)
+    assert(r.getAs[Long]("n_sentences") == 3L)
+    assert(r.getAs[Long]("n_syllables") == 9L)
+    // RE = 206.835 - 1.015*(7/3) - 84.6*(9/7) = 95.69333...
+    val ease = 206.835 - 1.015 * 7.0 / 3.0 - 84.6 * 9.0 / 7.0
+    assert(r.getAs[Long]("ease_micro") ==
+      math.floor(ease * 1000000.0 + 0.5).toLong)
+    val grade = 0.39 * 7.0 / 3.0 + 11.8 * 9.0 / 7.0 - 15.59
+    assert(r.getAs[Long]("grade_micro") ==
+      math.floor(grade * 1000000.0 + 0.5).toLong)
+  }
+
+  test("flesch: punctuation-free text is one sentence; empty docs drop") {
+    val d = Seq((1L, "plain words only here"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.fleschReadability(d).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_sentences") == 1L)
+    // Every word floors at >= 1 syllable even without vowels.
+    val cons = Seq((3L, "zzz bcd fgh")).toDF("doc_id", "text")
+    assert(TextAnalysis.fleschReadability(cons).collect()
+      .head.getAs[Long]("n_syllables") == 3L)
+  }
 }

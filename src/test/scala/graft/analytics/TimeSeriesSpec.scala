@@ -575,4 +575,65 @@ class TimeSeriesSpec extends SparkSpec {
     val o2 = TimeSeries.runsTest(two, "k", "t", "y").collect().head
     assert(o2.isNullAt(o2.fieldIndex("z_micro")))
   }
+
+  // ---------------------------------------------- acfLjungBox (q242)
+  test("acf: hand-computed lags over a four-point ramp") {
+    // x = 1,2,3,4: mean 2.5, den = 5; r1 = 1.25/5, r2 = -1.5/5,
+    // r3 = -2.25/5.
+    val d = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("d", "x")
+    val out = TimeSeries.acfLjungBox(d, maxLag = 3).collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(out(1L).getAs[Long]("n_pairs") == 3L)
+    assert(out(1L).getAs[Long]("r_micro") == 250000L)
+    assert(out(2L).getAs[Long]("r_micro") == -300000L)
+    assert(out(3L).getAs[Long]("r_micro") == -450000L)
+    // Q_k replicated with the operator's own double sequence.
+    val rs = Seq(1.25 / 5.0, -1.5 / 5.0, -2.25 / 5.0)
+    var acc = 0.0
+    (1 to 3).foreach { k =>
+      acc += rs(k - 1) * rs(k - 1) / (4 - k).toDouble
+      val q = acc * 4.0 * 6.0
+      assert(out(k.toLong).getAs[Long]("q_micro") ==
+        math.floor(q * 1000000.0 + 0.5).toLong, s"q at lag $k")
+    }
+  }
+
+  test("acf: white-noise-free structure — perfect alternation scores r1 < 0") {
+    val xs = (1L to 40L).map(i => (i, if (i % 2 == 0) 10L else 0L))
+    val out = TimeSeries.acfLjungBox(xs.toDF("d", "x"), maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(out(1L).getAs[Long]("r_micro") < -900000L)
+    assert(out(2L).getAs[Long]("r_micro") > 900000L)
+    assert(out(2L).getAs[Long]("q_micro") > out(1L).getAs[Long]("q_micro"))
+  }
+
+  // ----------------------------------------- binarySegmentSplit (q246)
+  test("changepoint: a clean level shift splits exactly at the step") {
+    val d = (1 to 6).map(i => ("k", s"2020-01-0$i", if (i <= 3) 10L else 20L))
+      .toDF("k", "ds", "x").withColumn("d", to_date(col("ds")))
+    val r = TimeSeries.binarySegmentSplit(d, "k").collect().head
+    assert(r.getAs[Long]("split_idx") == 3L)
+    assert(r.getAs[java.sql.Date]("split_date").toString == "2020-01-03")
+    // gain = (6*30 - 3*90)^2 / (6*3*3) = 8100/54 = 150.
+    assert(r.getAs[Long]("gain_int") == 150L)
+    assert(r.getAs[Long]("mean_before_milli") == 10000L)
+    assert(r.getAs[Long]("mean_after_milli") == 20000L)
+  }
+
+  test("changepoint: gain ties break to the earliest split per key") {
+    val d = Seq(("k", "2020-01-01", 10L), ("k", "2020-01-02", 20L),
+      ("k", "2020-01-03", 10L), ("k", "2020-01-04", 20L),
+      ("j", "2020-01-01", 1L), ("j", "2020-01-02", 1L))
+      .toDF("k", "ds", "x").withColumn("d", to_date(col("ds")))
+    val out = TimeSeries.binarySegmentSplit(d, "k").collect()
+      .map(r => r.getAs[String]("k") -> r).toMap
+    // t=1 and t=3 tie at gain 400/12; t asc picks 1.
+    assert(out("k").getAs[Long]("split_idx") == 1L)
+    assert(out("k").getAs[Long]("gain_int") == 33L)
+    // Flat series: every split has gain 0; earliest wins, means equal.
+    assert(out("j").getAs[Long]("split_idx") == 1L)
+    assert(out("j").getAs[Long]("gain_int") == 0L)
+    assert(out("j").getAs[Long]("mean_before_milli") ==
+      out("j").getAs[Long]("mean_after_milli"))
+  }
 }
