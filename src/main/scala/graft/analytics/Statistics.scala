@@ -2845,7 +2845,124 @@ object Statistics {
       |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS z_micro
       |FROM tot a JOIN tot b ON a.g < b.g""".stripMargin
 
+  // --------------------------------------------------------------- q248
+  /** Page's L trend test (Page 1963) — the ORDERED-alternative member of
+    * the block battery: [[friedmanTest]] (q228) asks "do the k
+    * treatments differ at all across blocks?"; Page's L asks "do they
+    * follow THIS hypothesized order?" — L = Σ_j j·R_j over within-block
+    * ranks, with j the treatment's position in the prior ordering
+    * (here: the treatment column's ascending sort order, the same
+    * convention as q221/q232's ordered-trend fixtures).
+    *
+    * Exactness: within-block ranks are row_number under the
+    * deterministic (value, treatment) total order (the q228 tie-broken
+    * convention); L is an exact BIGINT; E[L] = bk(k+1)²/4 is emitted as
+    * exact milli (×250 — always integer); z = (L − E)/√(bk²(k+1)(k²−1)/144)
+    * is one fixed double sequence over exact integers, floored to
+    * micro. Only complete blocks enter — the q228 both-predicates
+    * guard on the same window frame (distinct AND row count == k_all).
+    *
+    * Scale shape: fact scan → (block, treatment) aggregate → per-block
+    * rank windows (k rows each, parallel across blocks) → one
+    * grid-frame fold. The treatment-index window is a single-partition
+    * pass over the (b·k)-row grid — domain-bounded at any corpus size.
+    */
+  def pageTrendTest(cells: DataFrame, blockCol: String, treatCol: String,
+                    valueCol: String): DataFrame = {
+    val wBlock = Window.partitionBy(blockCol)
+    val wRank = Window.partitionBy(blockCol)
+      .orderBy(col(valueCol), col(treatCol))
+    val wAll = Window.partitionBy()
+    val complete = cells
+      .withColumn("k_chk",
+        size(collect_set(col(treatCol)).over(wBlock)).cast("long"))
+      .withColumn("n_chk", count(lit(1)).over(wBlock).cast("long"))
+      .withColumn("k_all",
+        size(collect_set(col(treatCol)).over(wAll)).cast("long"))
+      .filter(col("k_chk") === col("k_all") &&
+        col("n_chk") === col("k_all"))
+    complete
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("j", dense_rank().over(Window.orderBy(col(treatCol)))
+        .cast("long"))
+      .agg(sum(col("j") * col("rk")).as("l_stat"),
+        (count(lit(1)) / max("k_all")).cast("long").as("b_blocks"),
+        max("k_all").as("k_treat"))
+      .withColumn("e4", col("b_blocks") * col("k_treat")
+        * (col("k_treat") + 1L) * (col("k_treat") + 1L))
+      .withColumn("var144", col("b_blocks") * col("k_treat") * col("k_treat")
+        * (col("k_treat") + 1L)
+        * (col("k_treat") * col("k_treat") - 1L))
+      .select(col("b_blocks"), col("k_treat"), col("l_stat"),
+        (col("e4") * 250L).as("e_l_milli"),
+        floor((col("l_stat").cast("double") - col("e4").cast("double") / lit(4.0))
+          / sqrt(col("var144").cast("double") / lit(144.0))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("z_micro"))
+  }
+
+  /** Gated q248: across nations (blocks), does order spend follow the
+    * priority order 1-URGENT < … < 5-LOW? One row: L, E[L] (milli) and
+    * the normal z in micro-units.
+    */
+  def nationPrioritySpendPage(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("block"),
+        col("o_orderpriority").as("treatment"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("dollars"))
+    pageTrendTest(cells, "block", "treatment", "dollars")
+  }
+
+  private val nationPrioritySpendPageSql =
+    """WITH cells AS (
+      |  SELECT c.c_nationkey AS block, o.o_orderpriority AS treatment,
+      |    sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS dollars
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |guarded AS (
+      |  SELECT *,
+      |    count(DISTINCT treatment) OVER (PARTITION BY block) AS k_chk,
+      |    count(*) OVER (PARTITION BY block) AS n_chk,
+      |    count(DISTINCT treatment) OVER () AS k_all
+      |  FROM cells
+      |),
+      |complete AS (
+      |  SELECT * FROM guarded WHERE k_chk = k_all AND n_chk = k_all
+      |),
+      |ranked AS (
+      |  SELECT k_all,
+      |    row_number() OVER (PARTITION BY block
+      |      ORDER BY dollars, treatment) AS rk,
+      |    dense_rank() OVER (ORDER BY treatment) AS j
+      |  FROM complete
+      |),
+      |folded AS (
+      |  SELECT sum(j * rk) AS l_stat,
+      |    CAST(count(*) // max(k_all) AS BIGINT) AS b_blocks,
+      |    max(k_all) AS k_treat
+      |  FROM ranked
+      |),
+      |ext AS (
+      |  SELECT b_blocks, k_treat, l_stat,
+      |    b_blocks * k_treat * (k_treat + 1) * (k_treat + 1) AS e4,
+      |    b_blocks * k_treat * k_treat * (k_treat + 1)
+      |      * (k_treat * k_treat - 1) AS var144
+      |  FROM folded
+      |)
+      |SELECT b_blocks, CAST(k_treat AS BIGINT) AS k_treat,
+      |  CAST(l_stat AS BIGINT) AS l_stat,
+      |  CAST(e4 * 250 AS BIGINT) AS e_l_milli,
+      |  CAST(floor((l_stat::DOUBLE - e4::DOUBLE / 4.0::DOUBLE)
+      |    / sqrt(var144::DOUBLE / 144.0::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS z_micro
+      |FROM ext""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q248_page_trend", nationPrioritySpendPage _,
+      Some(nationPrioritySpendPageSql)),
     NamedQuery("q243_levene_dispersion", prioritySpendLevene _,
       Some(prioritySpendLeveneSql)),
     NamedQuery("q244_dunn_posthoc", segmentSpendDunn _,

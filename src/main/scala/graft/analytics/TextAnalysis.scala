@@ -1835,7 +1835,8 @@ object TextAnalysis {
     NamedQuery("q241_gopher_quality", gopherQualityProfile _,
       Some(gopherQualitySql)),
     NamedQuery("q245_readability", readabilityProfile _,
-      Some(readabilitySql)))
+      Some(readabilitySql)),
+    NamedQuery("q247_rake_keywords", rakeTopPhrases _, Some(rakeSql)))
 
   // --------------------------------------------------------------- q130
   /** BPE merge-candidate statistics — the inner loop of byte-pair-encoding
@@ -2254,4 +2255,137 @@ object TextAnalysis {
       |    - 15.59::DOUBLE)
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS grade_micro
       |FROM sig WHERE n_words > 0""".stripMargin
+
+  // --------------------------------------------------------------- q247
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") — the classic unsupervised
+    * keyphrase scorer: candidate phrases are maximal runs of non-stopword
+    * tokens (stopwords and punctuation are phrase delimiters); each
+    * word's score is degree/frequency, where frequency counts the word's
+    * occurrences in candidate phrases and degree sums the lengths of the
+    * phrases it occurs in (word co-occurrence including itself); a
+    * phrase's score is the sum of its member-word scores. Top-K distinct
+    * phrases corpus-wide.
+    *
+    * The stopword list is the fixed 16-word function-word core (engine
+    * literal, documented here) — RAKE's published behavior depends only
+    * on the list being function words; callers with a richer list pass
+    * their own. Exactness: degree and frequency are exact integer
+    * counts; word scores are emitted in integer micro-units
+    * (degree·1e6 div freq), and a phrase's score_micro is the ORDER-
+    * INDEPENDENT integer sum of member micro-scores — the documented
+    * integer-exact variant of RAKE's float sum (identical ranking unless
+    * scores differ below 1e-6, which the gate would surface). Tie-break
+    * (score desc, phrase asc) is total.
+    *
+    * Candidate phrases longer than `maxWords` are discarded — the
+    * published practical cap (Rose et al. §1.2 limit RAKE's known
+    * long-run bias this way): without it, any stopword-sparse document
+    * scores its own entire body as one giant "keyword", since phrase
+    * score grows with member count.
+    *
+    * Scale shape: one posexplode → running stopword count per doc (a
+    * doc-partitioned window) → two corpus-linear hash aggregates (word
+    * stats, phrase assembly) → vocabulary-sized join + top-K. No pair
+    * joins; the phrase re-assembly sorts WITHIN each phrase's own
+    * handful of tokens (sort_array over struct(pos, score)), never
+    * across documents.
+    */
+  // lazy: referenced by rakeSql during the queries-Seq init (q124 note).
+  lazy val RakeStopwords: Seq[String] = Seq("the", "a", "an", "and", "of",
+    "to", "in", "is", "it", "that", "with", "as", "for", "on", "at", "by")
+
+  def rakeKeywords(docs: DataFrame, topK: Int = 25, maxWords: Int = 4,
+                   stopwords: Seq[String] = RakeStopwords): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("w", lower(col("tok")))
+      .withColumn("is_stop", array_contains(stopArr, col("w")))
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L))
+          .over(Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(!col("is_stop"))
+      .localCheckpoint()
+    val phraseLen = toks.groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("p_len"))
+      .filter(col("p_len") <= maxWords)
+    val wordStats = toks.join(phraseLen, Seq("doc_id", "phrase_id"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("p_len").as("degree"))
+      .withColumn("score_micro", expr("degree * 1000000 div freq"))
+    val phrases = toks.join(phraseLen.select("doc_id", "phrase_id"),
+        Seq("doc_id", "phrase_id"))
+      .join(wordStats.select("w", "score_micro"), Seq("w"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"),
+        sum("score_micro").as("score_micro"),
+        count(lit(1)).as("n_words"))
+      .withColumn("phrase", expr("concat_ws(' ', transform(ws, s -> s.w))"))
+    phrases.groupBy("phrase")
+      .agg(max("n_words").as("n_words"), count(lit(1)).as("n_occ"),
+        max("score_micro").as("score_micro"))
+      .orderBy(desc("score_micro"), asc("phrase"))
+      .limit(topK)
+  }
+
+  def rakeTopPhrases(spark: SparkSession, dir: String): DataFrame =
+    rakeKeywords(Tables.documents(spark, dir))
+
+  // lazy: the queries Seq above initializes first (the q124 note).
+  private lazy val rakeSql = {
+    val stops = RakeStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, i - 1 AS pos, lower(w[i]) AS w
+       |  FROM (SELECT doc_id,
+       |          list_filter(str_split(text, ' '), t -> len(t) > 0) AS w
+       |        FROM documents),
+       |    unnest(range(1, len(w) + 1)) AS t(i)
+       |),
+       |marked AS (
+       |  SELECT doc_id, pos, w, w IN ($stops) AS is_stop,
+       |    sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+       |  FROM toks0
+       |),
+       |toks AS (
+       |  SELECT doc_id, pos, w, phrase_id FROM marked WHERE NOT is_stop
+       |),
+       |plen AS (
+       |  SELECT doc_id, phrase_id, count(*) AS p_len
+       |  FROM toks GROUP BY 1, 2
+       |  HAVING count(*) <= 4
+       |),
+       |wstats AS (
+       |  SELECT t.w, count(*) AS freq, sum(p.p_len) AS degree
+       |  FROM toks t JOIN plen p
+       |    ON p.doc_id = t.doc_id AND p.phrase_id = t.phrase_id
+       |  GROUP BY 1
+       |),
+       |wscore AS (
+       |  SELECT w, degree * 1000000 // freq AS score_micro FROM wstats
+       |),
+       |phrases AS (
+       |  SELECT t.doc_id, t.phrase_id,
+       |    array_to_string(list_transform(
+       |      list_sort(list(ROW(t.pos, t.w))), s -> s[2]), ' ') AS phrase,
+       |    sum(ws.score_micro) AS score_micro,
+       |    count(*) AS n_words
+       |  FROM toks t
+       |  JOIN plen p ON p.doc_id = t.doc_id AND p.phrase_id = t.phrase_id
+       |  JOIN wscore ws ON ws.w = t.w
+       |  GROUP BY 1, 2
+       |)
+       |SELECT phrase,
+       |  CAST(max(n_words) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(max(score_micro) AS BIGINT) AS score_micro
+       |FROM phrases
+       |GROUP BY 1
+       |ORDER BY score_micro DESC, phrase ASC
+       |LIMIT 25""".stripMargin
+  }
 }

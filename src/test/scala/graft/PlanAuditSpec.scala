@@ -1412,6 +1412,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops <= 4 && s.singleParts <= 10, s"q244 regressed: $s")
   }
 
+  test("q247 RAKE: doc-keyed phrase windows + vocab-sized joins, " +
+    "never a pair join or corpus funnel") {
+    // Audited 16 shuffles / 0 NLJ / 0 singleParts: posexplode + doc
+    // window, two hash aggregates, vocab joins (broadcast at this SF),
+    // top-K. scans=0 behind the localCheckpointed token frame.
+    val s = stats("q247_rake_keywords")
+    assert(s.scans <= 1 && s.shuffles <= 32, s"q247 regressed: $s")
+    assert(s.nestedLoops == 0 && s.singleParts == 0, s"q247 regressed: $s")
+  }
+
+  test("q248 Page trend: block-grid windows only after the cell " +
+    "aggregate") {
+    // Audited 6 shuffles / 2 singleParts (the grid-frame treatment
+    // index + scalar fold — (b*k)-row frames, the q214 rationale).
+    val s = stats("q248_page_trend")
+    assert(s.scans <= 8 && s.shuffles <= 12, s"q248 regressed: $s")
+    assert(s.nestedLoops == 0 && s.singleParts <= 4, s"q248 regressed: $s")
+  }
+
   test("q246 changepoint: per-key calendar windows, dims broadcast, " +
     "never a single-partition funnel") {
     val s = stats("q246_revenue_changepoint")

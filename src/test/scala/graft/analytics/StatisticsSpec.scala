@@ -876,6 +876,36 @@ class StatisticsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("z_micro") == 0L))
   }
 
+  // -------------------------------------------- pageTrendTest (q248)
+  test("pageTrend: a perfect monotone trend scores the hand L and z") {
+    // 3 blocks x 3 treatments, value strictly increasing in treatment:
+    // every block ranks (1,2,3) -> R = (3,6,9), L = 3+12+27 = 42.
+    // E = 3*3*16/4 = 36; Var = 3*9*4*8/144 = 6; z = 6/sqrt(6).
+    val cells = (1 to 3).flatMap(b => Seq((b, "a", 10L * b), (b, "b", 100L + b),
+      (b, "c", 1000L + b))).toDF("block", "treatment", "v")
+    val r = Statistics.pageTrendTest(cells, "block", "treatment", "v")
+      .collect().head
+    assert(r.getAs[Long]("b_blocks") == 3L)
+    assert(r.getAs[Long]("k_treat") == 3L)
+    assert(r.getAs[Long]("l_stat") == 42L)
+    assert(r.getAs[Long]("e_l_milli") == 36000L)
+    assert(r.getAs[Long]("z_micro") == 2449490L)
+  }
+
+  test("pageTrend: incomplete and duplicate-row blocks are excluded " +
+    "by the q228 both-predicates guard") {
+    val base = (1 to 3).flatMap(b => Seq((b, "a", 10L * b), (b, "b", 100L + b),
+      (b, "c", 1000L + b)))
+    // Block 4 misses treatment c; block 5 duplicates (5, "a").
+    val cells = (base ++ Seq((4, "a", 5L), (4, "b", 6L),
+      (5, "a", 1L), (5, "a", 2L), (5, "b", 3L), (5, "c", 4L)))
+      .toDF("block", "treatment", "v")
+    val r = Statistics.pageTrendTest(cells, "block", "treatment", "v")
+      .collect().head
+    assert(r.getAs[Long]("b_blocks") == 3L)
+    assert(r.getAs[Long]("l_stat") == 42L)
+  }
+
   test("dunnPostHoc: tie correction shrinks the variance denominator") {
     // Heavy ties: g1={1,1,2}, g2={1,2,2}. Tie-corrected |z| must exceed
     // the uncorrected value (smaller S^2), sanity-bound below 1.

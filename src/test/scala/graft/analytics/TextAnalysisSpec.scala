@@ -698,6 +698,38 @@ class TextAnalysisSpec extends SparkSpec {
       math.floor(grade * 1000000.0 + 0.5).toLong)
   }
 
+  // ---------------------------------------------- rakeKeywords (q247)
+  test("rake: hand-computed degree/frequency scores and phrase ranking") {
+    val docs = Seq(
+      (1L, "gradient descent of the gradient method"),
+      (2L, "gradient descent in a noisy gradient descent loop"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs).collect()
+      .map(r => r.getAs[String]("phrase") -> r).toMap
+    // gradient: freq 4, degree 2+2+2+4 = 10 -> 2500000;
+    // descent: freq 3, degree 2+2+4 = 8 -> 2666666.
+    assert(out("gradient descent").getAs[Long]("score_micro") == 5166666L)
+    assert(out("gradient descent").getAs[Long]("n_occ") == 2L)
+    assert(out("gradient method").getAs[Long]("score_micro") == 4500000L)
+    assert(out("noisy gradient descent loop").getAs[Long]("score_micro")
+      == 13166666L)
+    assert(out("noisy gradient descent loop").getAs[Long]("n_words") == 4L)
+  }
+
+  test("rake: candidates over the phrase-length cap are discarded " +
+    "entirely, including their word-stat contributions") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 5-word run, over the cap
+      (2L, "alpha beta of gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs).collect()
+      .map(r => r.getAs[String]("phrase") -> r).toMap
+    assert(!out.contains("alpha beta gamma delta epsilon"))
+    // Word stats must come from capped candidates only: alpha freq 1
+    // (doc2), degree 2 -> 2000000; beta the same; gamma freq 1, deg 1.
+    assert(out("alpha beta").getAs[Long]("score_micro") == 4000000L)
+    assert(out("gamma").getAs[Long]("score_micro") == 1000000L)
+  }
+
   test("flesch: punctuation-free text is one sentence; empty docs drop") {
     val d = Seq((1L, "plain words only here"), (2L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.fleschReadability(d).collect()
