@@ -2960,7 +2960,210 @@ object Statistics {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS z_micro
       |FROM ext""".stripMargin
 
+  // --------------------------------------------------------------- q249
+  /** Bartlett's test of equal variances (Bartlett 1937) — the parametric
+    * dispersion companion: [[brownForsythe]] (q243) is the robust
+    * median-centered answer; Bartlett is the classical likelihood-ratio
+    * form the textbooks pair with ANOVA,
+    * X² = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C with
+    * C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * Exactness: per-group sufficient sums ride exact BIGINT; each
+    * group's (n_i−1)·ln s_i² term — the reduction-order-sensitive
+    * piece — is ONE fixed double sequence floored to an exact micro
+    * integer PER GROUP before summing (the q205/q183 no-float-reduction
+    * discipline lifted to log space; ln parity across engines is the
+    * q108/q159 precedent), as is each 1/(n_i−1) term in ppb. The final
+    * statistic is one fixed double sequence over those integers.
+    *
+    * Scale shape: identical to q205 — one fact scan → k-group
+    * aggregate → one k-row fold.
+    */
+  def bartlett(perRow: DataFrame, groupCol: String,
+               valueCol: String): DataFrame =
+    perRow
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+        sum(col(valueCol) * col(valueCol)).as("ss"))
+      .filter(col("n") >= 2L)
+      // s2_i = (ss - s^2/n)/(n-1), one fixed sequence; the per-group
+      // ln term and the reciprocal are floored to integers pre-sum.
+      .withColumn("lnterm_micro", floor(
+        (col("n") - 1L).cast("double")
+          * log((col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double")
+              / col("n").cast("double"))
+            / (col("n") - 1L).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("inv_ppb", floor(lit(1.0e9)
+        / (col("n") - 1L).cast("double") + lit(0.5)).cast("long"))
+      // Pooled variance is the WITHIN-group SS (q205's ssw): per-group
+      // s^2/n floored once, never the grand-mean total SS.
+      .withColumn("tg", floor(col("s").cast("double") * col("s").cast("double")
+        / col("n").cast("double") + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("k_groups"), sum("n").as("n_total"),
+        sum("ss").as("ss_total"), sum("tg").as("tg_total"),
+        sum("lnterm_micro").as("ln_sum_micro"), sum("inv_ppb").as("inv_ppb"))
+      .withColumn("sp2",
+        (col("ss_total") - col("tg_total")).cast("double")
+          / (col("n_total") - col("k_groups")).cast("double"))
+      .withColumn("chi2_micro", floor(
+        ((col("n_total") - col("k_groups")).cast("double") * log(col("sp2"))
+          - col("ln_sum_micro").cast("double") / lit(1000000.0))
+          / (lit(1.0)
+            + (col("inv_ppb").cast("double") / lit(1.0e9)
+              - lit(1.0) / (col("n_total") - col("k_groups")).cast("double"))
+              / (lit(3.0) * (col("k_groups") - 1L).cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("k_groups"), col("n_total"), col("chi2_micro"))
+
+  /** Gated q249: Bartlett's equal-variance verdict on order spend
+    * (whole dollars) across order priorities — the parametric reading
+    * next to q243's robust W on the same fixture.
+    */
+  def prioritySpendBartlett(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+    bartlett(rows, "priority", "dollars")
+  }
+
+  private val prioritySpendBartlettSql =
+    """WITH rows_ AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(floor(o_totalprice) AS BIGINT) AS v
+      |  FROM orders
+      |),
+      |grp AS (
+      |  SELECT g, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+      |  FROM rows_ GROUP BY 1 HAVING count(*) >= 2
+      |),
+      |terms AS (
+      |  SELECT g, n, s, ss,
+      |    CAST(floor((n - 1)::DOUBLE
+      |      * ln((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+      |        / (n - 1)::DOUBLE)
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS lnterm_micro,
+      |    CAST(floor(1.0e9::DOUBLE / (n - 1)::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT) AS inv_ppb,
+      |    CAST(floor(s::DOUBLE * s::DOUBLE / n::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT) AS tg
+      |  FROM grp
+      |),
+      |tot AS (
+      |  SELECT count(*) AS k_groups, sum(n) AS n_total,
+      |    sum(ss) AS ss_total, sum(tg) AS tg_total,
+      |    sum(lnterm_micro) AS ln_sum_micro, sum(inv_ppb) AS inv_ppb
+      |  FROM terms
+      |),
+      |sp AS (
+      |  SELECT *,
+      |    (ss_total - tg_total)::DOUBLE
+      |      / (n_total - k_groups)::DOUBLE AS sp2
+      |  FROM tot
+      |)
+      |SELECT CAST(k_groups AS BIGINT) AS k_groups,
+      |  CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(floor(
+      |    ((n_total - k_groups)::DOUBLE * ln(sp2)
+      |      - ln_sum_micro::DOUBLE / 1000000.0::DOUBLE)
+      |    / (1.0::DOUBLE
+      |      + (inv_ppb::DOUBLE / 1.0e9::DOUBLE
+      |        - 1.0::DOUBLE / (n_total - k_groups)::DOUBLE)
+      |        / (3.0::DOUBLE * (k_groups - 1)::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS chi2_micro
+      |FROM sp""".stripMargin
+
+  // --------------------------------------------------------------- q250
+  /** Grubbs' maximum-deviation outlier statistic (Grubbs 1950) per
+    * group — G = max|x − x̄| / s, the single-outlier screen the robust
+    * battery (q82's MAD fences) reads next to: which value deviates
+    * most, and by how many sample standard deviations?
+    *
+    * Exactness: the deviation argmax rides the INTEGER domain —
+    * |n·x − S| is an exact BIGINT per row (n·max|x − x̄| scaled), so the
+    * winning row and the (dev, value-desc) tie-break are engine-exact;
+    * G is one fixed double sequence over (maxdev, n, ss, s), floored
+    * to micro.
+    *
+    * Scale shape: one fact scan → per-group aggregate of sufficient
+    * sums + integer argmax (all fully partial, no window, no second
+    * scan — the deviation needs the group mean, so the argmax runs on
+    * max(struct(|n·x−S|, x)) over a self-contained re-aggregation of
+    * the same (group, value) cells).
+    */
+  def grubbsMax(perRow: DataFrame, groupCol: String,
+                valueCol: String): DataFrame = {
+    val cells = perRow
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint()
+    val grp = cells.groupBy("g")
+      .agg(sum("n_gv").as("n"),
+        sum(col("n_gv") * col("v")).as("s"),
+        sum(col("n_gv") * col("v") * col("v")).as("ss"))
+    cells.join(grp, Seq("g"))
+      .withColumn("dev", abs(col("v") * col("n") - col("s")))
+      .groupBy("g")
+      .agg(max("n").as("n"), max("s").as("s"), max("ss").as("ss"),
+        max(struct(col("dev"), col("v"))).as("top"))
+      .filter(col("n") >= 3L)
+      .select(col("g"), col("n"), col("top.v").as("outlier_v"),
+        floor((col("top.dev").cast("double") / col("n").cast("double"))
+          / sqrt((col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double")
+              / col("n").cast("double"))
+            / (col("n") - 1L).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("g_micro"))
+  }
+
+  /** Gated q250: per market segment, the most deviant order spend
+    * (whole dollars) and its Grubbs G in micro-units.
+    */
+  def segmentSpendGrubbs(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+    grubbsMax(rows, "segment", "dollars")
+      .withColumnRenamed("g", "segment")
+  }
+
+  private val segmentSpendGrubbsSql =
+    """WITH rows_ AS (
+      |  SELECT c.c_mktsegment AS g,
+      |    CAST(floor(o.o_totalprice) AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |),
+      |cells AS (
+      |  SELECT g, v, count(*) AS n_gv FROM rows_ GROUP BY 1, 2
+      |),
+      |grp AS (
+      |  SELECT g, sum(n_gv) AS n, sum(n_gv * v) AS s,
+      |    sum(n_gv * v * v) AS ss
+      |  FROM cells GROUP BY 1
+      |),
+      |dev AS (
+      |  SELECT c.g, grp.n, grp.s, grp.ss,
+      |    max(ROW(abs(c.v * grp.n - grp.s), c.v)) AS top
+      |  FROM cells c JOIN grp ON grp.g = c.g
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT g AS segment, CAST(n AS BIGINT) AS n,
+      |  CAST(top[2] AS BIGINT) AS outlier_v,
+      |  CAST(floor((top[1]::DOUBLE / n::DOUBLE)
+      |    / sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+      |      / (n - 1)::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS g_micro
+      |FROM dev WHERE n >= 3""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q249_bartlett_variance", prioritySpendBartlett _,
+      Some(prioritySpendBartlettSql)),
+    NamedQuery("q250_grubbs_outlier", segmentSpendGrubbs _,
+      Some(segmentSpendGrubbsSql)),
     NamedQuery("q248_page_trend", nationPrioritySpendPage _,
       Some(nationPrioritySpendPageSql)),
     NamedQuery("q243_levene_dispersion", prioritySpendLevene _,

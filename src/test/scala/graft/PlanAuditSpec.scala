@@ -1431,6 +1431,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.nestedLoops == 0 && s.singleParts <= 4, s"q248 regressed: $s")
   }
 
+  test("q249/q250 dispersion screens stay aggregate shaped") {
+    // q249: scan -> k-group aggregate -> one k-row fold (audited 4
+    // shuffles / 2 singleParts — the scalar folds).
+    val s249 = stats("q249_bartlett_variance")
+    assert(s249.scans <= 4 && s249.shuffles <= 8, s"q249 regressed: $s249")
+    assert(s249.nestedLoops == 0 && s249.singleParts <= 4,
+      s"q249 regressed: $s249")
+    // q250: (group, value) cells + per-group integer argmax — no
+    // window, no single-partition exchange at all.
+    val s250 = stats("q250_grubbs_outlier")
+    assert(s250.scans <= 1 && s250.shuffles <= 10, s"q250 regressed: $s250")
+    assert(s250.nestedLoops == 0 && s250.singleParts == 0,
+      s"q250 regressed: $s250")
+  }
+
   test("q246 changepoint: per-key calendar windows, dims broadcast, " +
     "never a single-partition funnel") {
     val s = stats("q246_revenue_changepoint")

@@ -876,6 +876,48 @@ class StatisticsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("z_micro") == 0L))
   }
 
+  // -------------------------------------------- bartlett (q249)
+  test("bartlett: hand case replicating the per-group floored ln terms") {
+    // g1 = {1,3} (var 2), g2 = {2,6} (var 8): sp2 = (2+8)/2 = 5.
+    val rows = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 6L)).toDF("g", "v")
+    val r = Statistics.bartlett(rows, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Long]("n_total") == 4L)
+    val lnSum = math.floor(1.0 * math.log(2.0) * 1e6 + 0.5) +
+      math.floor(1.0 * math.log(8.0) * 1e6 + 0.5)
+    val inv = math.floor(1e9 / 1.0 + 0.5) * 2
+    val chi2 = (2.0 * math.log(5.0) - lnSum / 1e6) /
+      (1.0 + (inv / 1e9 - 1.0 / 2.0) / 3.0)
+    assert(r.getAs[Long]("chi2_micro") ==
+      math.floor(chi2 * 1e6 + 0.5).toLong)
+  }
+
+  test("bartlett: equal variances score ~zero; singletons are dropped") {
+    val rows = (Seq(("a", 0L), ("a", 4L), ("b", 10L), ("b", 14L)) ++
+      Seq(("c", 7L))).toDF("g", "v")
+    val r = Statistics.bartlett(rows, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L) // c (n=1) excluded
+    assert(math.abs(r.getAs[Long]("chi2_micro")) <= 1L)
+  }
+
+  // -------------------------------------------- grubbsMax (q250)
+  test("grubbs: the integer deviation argmax finds the planted outlier") {
+    // {1,2,3,10}: mean 4, max dev 6 at v=10; s^2 = 50/3.
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 10L)).toDF("g", "v")
+    val r = Statistics.grubbsMax(rows, "g", "v").collect().head
+    assert(r.getAs[Long]("outlier_v") == 10L)
+    val g = (24.0 / 4.0) / math.sqrt((114.0 - 256.0 / 4.0) / 3.0)
+    assert(r.getAs[Long]("g_micro") == math.floor(g * 1e6 + 0.5).toLong)
+  }
+
+  test("grubbs: deviation ties break to the larger value; n<3 drops") {
+    val rows = Seq(("a", 0L), ("a", 4L), ("a", 8L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val out = Statistics.grubbsMax(rows, "g", "v").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("outlier_v") == 8L)
+  }
+
   // -------------------------------------------- pageTrendTest (q248)
   test("pageTrend: a perfect monotone trend scores the hand L and z") {
     // 3 blocks x 3 treatments, value strictly increasing in treatment:
