@@ -29,7 +29,8 @@ object Registry {
       graft.analytics.ModelEval.queries ++ graft.warehouse.DriftState.queries ++
       graft.analytics.Linkage.queries ++ graft.warehouse.EvalState.queries ++
       graft.warehouse.IvfState.queries ++ graft.warehouse.PqState.queries ++
-      graft.analytics.IvfPq.queries ++ graft.warehouse.IvfPqState.queries
+      graft.analytics.IvfPq.queries ++ graft.warehouse.IvfPqState.queries ++
+      graft.warehouse.ComponentsState.queries
 }
 
 object SparkEntry {

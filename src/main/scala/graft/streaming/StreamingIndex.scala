@@ -260,4 +260,29 @@ object StreamingIndex {
       .start()
     q.awaitTermination()
   }
+
+  /** Drain `sourceDir` edge files into the incremental connected-
+    * components state ([[graft.warehouse.ComponentsState]]): each
+    * micro-batch contracts to its label-level graph and merges —
+    * replayed edges are structural no-ops, so the face needs no batch
+    * bookkeeping beyond Spark's own checkpoint.
+    */
+  def componentsAvailableNow(spark: SparkSession, sourceDir: String,
+                             schema: StructType, statePath: String,
+                             checkpoint: String, aCol: String = "a_id",
+                             bCol: String = "b_id"): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.warehouse.ComponentsState.update(spark, statePath, batch,
+          aCol, bCol)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -313,4 +313,28 @@ class StreamingIndexSpec extends SparkSpec {
     assert(key(DecontamState.snapshot(spark, root)) == oneShot,
       "a committed replay must not re-ingest")
   }
+
+  test("file-streamed components state equals the one-shot closure, " +
+    "merging chains across micro-batches") {
+    import spark.implicits._
+    val watch = tmpDir("scc-src")
+    val root = tmpDir("scc-root") + "/state"
+    val ckpt = tmpDir("scc-ckpt")
+    // Two chains stream in separate files; the bridge lands last.
+    val p1 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val p2 = Seq((20L, 21L), (21L, 22L)).toDF("a_id", "b_id")
+    val p3 = Seq((4L, 20L), (30L, 31L)).toDF("a_id", "b_id")
+    stageFiles(Seq(p1, p2, p3), watch)
+    graft.streaming.StreamingIndex.componentsAvailableNow(
+      spark, watch, p1.schema, root, ckpt)
+    val streamed = spark.read.parquet(root).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val all = p1.unionByName(p2).unionByName(p3)
+    val nodes = all.select(col("a_id").as("doc_id"))
+      .unionByName(all.select(col("b_id").as("doc_id"))).distinct()
+    val oneShot = graft.analytics.Dedup.clusters(nodes, all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == oneShot)
+    assert(streamed(22L) == 1L && streamed(31L) == 30L)
+  }
 }
