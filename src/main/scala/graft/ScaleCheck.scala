@@ -113,7 +113,21 @@ object ScaleCheck {
     "q238_knn_ivfpq", "q239_ivfpq_state",
     // round-14: the q237 removal artifact — same gram-keyed machinery
     // plus a token anti-join and per-doc sorted rebuild (∝ tokens).
-    "q240_self_substring_remove")
+    "q240_self_substring_remove",
+    // round-14 session 2: the two scan-bound per-row projections (their
+    // whole claim is zero-shuffle — the decade should show shuffle ~0 at
+    // both scales), the RAKE phrase pipeline (posexplode + doc windows +
+    // vocab joins), and the corpus-proportional stat screens (value-
+    // domain cells for Levene/Dunn/Grubbs, k-group folds for Bartlett,
+    // calendar frames for ACF/changepoint/Page after one aggregate).
+    "q241_gopher_quality", "q245_readability", "q247_rake_keywords",
+    "q242_revenue_acf", "q243_levene_dispersion", "q244_dunn_posthoc",
+    "q246_revenue_changepoint", "q248_page_trend", "q249_bartlett_variance",
+    "q250_grubbs_outlier",
+    // round-14 session 2: incremental CC — the chain-graph edge derive
+    // is corpus-linear and each fold's label-prop runs on the contracted
+    // graph; the decade pins fold cost ∝ touched components, not corpus.
+    "q251_components_state")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe
