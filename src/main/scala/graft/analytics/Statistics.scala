@@ -3159,7 +3159,201 @@ object Statistics {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS g_micro
       |FROM dev WHERE n >= 3""".stripMargin
 
+  // --------------------------------------------------------------- q252
+  /** Two-sample Cramér–von Mises criterion (Anderson 1962) — the
+    * INTEGRAL-norm two-sample test next to [[ksAgainstRest]]'s sup-norm
+    * (q116): T = n1·n2/(n1+n2)² · Σ over all pooled observations of
+    * (F1(x) − F2(x))², sensitive to distributed small differences where
+    * KS sees only the single largest gap.
+    *
+    * Exactness: on the pooled value domain, F1−F2 at value v is the
+    * rational (cum1·n2 − cum2·n1)/(n1·n2); the weighted square sum
+    * U = Σ_v t_v·(cum1·n2 − cum2·n1)² rides DECIMAL(38,0) end to end
+    * (cum·n ≤ N² per term), so T is ONE fixed double sequence over
+    * exact integers, floored to micro.
+    *
+    * Scale shape: the q214 value-domain discipline — one corpus scan to
+    * (cohort, value) cells; cumulative counts are two windows over the
+    * price-bounded pooled frame; no corpus sort, no pair join.
+    */
+  def cramerVonMises(perRow: DataFrame, isACol: String,
+                     valueCol: String): DataFrame = {
+    val cells = perRow
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(isACol), 1L).otherwise(0L)).as("c1"),
+        sum(when(col(isACol), 0L).otherwise(1L)).as("c2"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("cum1", sum("c1").over(wCum))
+      .withColumn("cum2", sum("c2").over(wCum))
+      .withColumn("na", sum("c1").over(wAll))
+      .withColumn("nb", sum("c2").over(wAll))
+      .withColumn("diff",
+        (col("cum1") * col("nb") - col("cum2") * col("na"))
+          .cast("decimal(38,0)"))
+      .agg(max("na").as("n1"), max("nb").as("n2"),
+        sum(col("diff") * col("diff") * (col("c1") + col("c2"))).as("u"))
+      .withColumn("t_micro", floor(
+        col("u").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double")
+            * (col("n1") + col("n2")).cast("double")
+            * (col("n1") + col("n2")).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("n1"), col("n2"), col("t_micro"))
+  }
+
+  /** Gated q252: BUILDING vs MACHINERY order spend (cents — the q116
+    * unit) under the integral norm. One row: n1, n2, T in micro-units —
+    * read next to q116's per-segment KS sup-norm.
+    */
+  def segmentPriceCvm(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select((col("c_mktsegment") === "BUILDING").as("is_a"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cramerVonMises(obs, "is_a", "cents")
+  }
+
+  private val segmentPriceCvmSql =
+    """WITH obs AS (
+      |  SELECT c.c_mktsegment = 'BUILDING' AS is_a,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |),
+      |cells AS (
+      |  SELECT v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS c2
+      |  FROM obs GROUP BY 1
+      |),
+      |cum AS (
+      |  SELECT c1, c2,
+      |    sum(c1) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    sum(c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      |  FROM cells
+      |),
+      |folded AS (
+      |  SELECT max(n1) AS n1, max(n2) AS n2,
+      |    sum((cum1 * n2 - cum2 * n1)::HUGEINT
+      |      * (cum1 * n2 - cum2 * n1) * (c1 + c2)) AS u
+      |  FROM cum
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(floor(u::DOUBLE
+      |    / (n1::DOUBLE * n2::DOUBLE * (n1 + n2)::DOUBLE * (n1 + n2)::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS t_micro
+      |FROM folded""".stripMargin
+
+  // --------------------------------------------------------------- q253
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED member of
+    * the rank battery ([[mannWhitney]] compares two independent
+    * cohorts; this compares each subject to ITSELF): over per-subject
+    * differences d, rank |d| (zeros dropped), W+ = Σ ranks of positive
+    * d, z = (W+ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    *
+    * Exactness: the q214 doubled-rank trick on the |d| value domain —
+    * rank2 = 2·avg-rank exact BIGINT, so W2+ = Σ_{d>0} rank2(|d|) is
+    * exact (= 2W+) and the z numerator 2W+ − n(n+1)/2 is an exact
+    * integer over doubled units; tie cubes ride DECIMAL(38,0); z is one
+    * fixed double sequence floored to micro.
+    *
+    * Scale shape: one scan to per-subject sums, one |d|-domain cell
+    * aggregate, rank windows on the bounded value frame — no corpus
+    * sort (subjects-sized at worst, value-domain after the cells).
+    */
+  def wilcoxonSignedRank(diffs: DataFrame, dCol: String): DataFrame = {
+    val cells = diffs.select(col(dCol).cast("long").as("d"))
+      .filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("ad"), (col("d") > 0L).as("pos"))
+      .groupBy("ad")
+      .agg(count(lit(1)).as("t_v"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val wBelow = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("rank2",
+        coalesce(sum("t_v").over(wBelow), lit(0L)) * 2L + col("t_v") + 1L)
+      .agg(sum("t_v").as("n_pairs"),
+        sum(col("n_pos") * col("rank2")).as("w2_plus"),
+        sum(col("t_v").cast("decimal(38,0)") * col("t_v") * col("t_v")
+          - col("t_v")).as("tie_sum"))
+      .withColumn("z_micro", floor(
+        (col("w2_plus").cast("double")
+          - col("n_pairs").cast("double")
+            * (col("n_pairs").cast("double") + lit(1.0)) / lit(2.0))
+          / sqrt(col("n_pairs").cast("double")
+            * (col("n_pairs").cast("double") + lit(1.0))
+            * (lit(2.0) * col("n_pairs").cast("double") + lit(1.0)) / lit(6.0)
+            - col("tie_sum").cast("double") / lit(12.0))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("n_pairs"), col("w2_plus"), col("z_micro"))
+  }
+
+  /** Gated q253: per customer, did spend SHIFT between the first and
+    * second half of the order history (split at 1999-01-01)? d =
+    * whole-dollar spend(≥1999) − spend(<1999) per customer, zeros
+    * dropped. One row: n pairs, doubled W+, z in micro-units.
+    */
+  def customerSpendShiftWilcoxon(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(when(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"),
+        floor(col("o_totalprice")).cast("long")).otherwise(0L))
+        - sum(when(col("o_orderdate") < lit("1999-01-01").cast("timestamp"),
+          floor(col("o_totalprice")).cast("long")).otherwise(0L))).as("d"))
+    wilcoxonSignedRank(d, "d")
+  }
+
+  private val customerSpendShiftWilcoxonSql =
+    """WITH d AS (
+      |  SELECT o_custkey,
+      |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+      |      THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+      |    - sum(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+      |      THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS d
+      |  FROM orders GROUP BY 1
+      |),
+      |cells AS (
+      |  SELECT abs(d) AS ad, count(*) AS t_v,
+      |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_pos
+      |  FROM d WHERE d <> 0 GROUP BY 1
+      |),
+      |ranked AS (
+      |  SELECT t_v, n_pos,
+      |    coalesce(sum(t_v) OVER (ORDER BY ad
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      |      + t_v + 1 AS rank2
+      |  FROM cells
+      |),
+      |folded AS (
+      |  SELECT sum(t_v) AS n_pairs, sum(n_pos * rank2) AS w2_plus,
+      |    sum(t_v::HUGEINT * t_v * t_v - t_v) AS tie_sum
+      |  FROM ranked
+      |)
+      |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(w2_plus AS BIGINT) AS w2_plus,
+      |  CAST(floor(
+      |    (w2_plus::DOUBLE - n_pairs::DOUBLE * (n_pairs::DOUBLE + 1.0::DOUBLE)
+      |      / 2.0::DOUBLE)
+      |    / sqrt(n_pairs::DOUBLE * (n_pairs::DOUBLE + 1.0::DOUBLE)
+      |      * (2.0::DOUBLE * n_pairs::DOUBLE + 1.0::DOUBLE) / 6.0::DOUBLE
+      |      - tie_sum::DOUBLE / 12.0::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS z_micro
+      |FROM folded""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q252_cvm_two_sample", segmentPriceCvm _,
+      Some(segmentPriceCvmSql)),
+    NamedQuery("q253_wilcoxon_signed_rank", customerSpendShiftWilcoxon _,
+      Some(customerSpendShiftWilcoxonSql)),
     NamedQuery("q249_bartlett_variance", prioritySpendBartlett _,
       Some(prioritySpendBartlettSql)),
     NamedQuery("q250_grubbs_outlier", segmentSpendGrubbs _,

@@ -1909,7 +1909,107 @@ object TimeSeries {
       |    + 0.5::DOUBLE) AS BIGINT) AS mean_after_milli
       |FROM best WHERE rn = 1""".stripMargin
 
+  // --------------------------------------------------------------- q254
+  /** Von Neumann ratio (von Neumann 1941; Durbin–Watson's series-level
+    * form) — the one-number independence screen the ACF battery (q242)
+    * expands on: per key, VN = Σ(x_t − x_{t−1})² / Σ(x_t − x̄)² over the
+    * ordered series. VN ≈ 2 for white noise, → 0 under positive serial
+    * correlation (trends/level shifts), → 4 under alternation; the
+    * mean-adjusted z uses E[VN] = 2n/(n−1).
+    *
+    * Exactness: successive-difference squares Σ(Δx)² and the moment
+    * sums ride DECIMAL(38,0) over exact BIGINT daily totals; the
+    * denominator n·Σx² − (Σx)² keeps the mean exact (the q229
+    * identity), so VN = n·num/den and z are single fixed double
+    * sequences floored to micro.
+    *
+    * Scale shape: corpus scan → (key, day) hash aggregate; the lag and
+    * the fold run per key over calendar-bounded partitions.
+    */
+  def vonNeumannRatio(perDay: DataFrame, keyCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(keyCol).orderBy("d")
+    perDay
+      .withColumn("prev", lag(col("x"), 1).over(wOrd))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"),
+        sum(((col("x") - col("prev")).cast("decimal(38,0)")
+          * (col("x") - col("prev")))).as("num"))
+      // n >= 2 and a non-constant series (den = n·Σx² − (Σx)² > 0);
+      // a flat series has no dispersion to normalize by.
+      .filter(col("n") >= 2L &&
+        col("n") * col("s2") =!= col("s") * col("s"))
+      .withColumn("vn_micro", floor(
+        col("n").cast("double") * col("num").cast("double")
+          / (col("n").cast("double") * col("s2").cast("double")
+            - col("s").cast("double") * col("s").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("z_micro", floor(
+        (col("n").cast("double") * col("num").cast("double")
+          / (col("n").cast("double") * col("s2").cast("double")
+            - col("s").cast("double") * col("s").cast("double"))
+          - lit(2.0) * col("n").cast("double")
+            / (col("n").cast("double") - lit(1.0)))
+          / sqrt(lit(4.0) * (col("n").cast("double") - lit(2.0))
+            / ((col("n").cast("double") - lit(1.0))
+              * (col("n").cast("double") + lit(1.0))))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col(keyCol), col("n").as("n_days"), col("vn_micro"),
+        col("z_micro"))
+  }
+
+  /** Gated q254: per market segment, is the daily order-revenue series
+    * serially independent? VN and its z per segment (micro-units).
+    */
+  def segmentRevenueVonNeumann(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
+    vonNeumannRatio(daily, "segment")
+  }
+
+  private val segmentRevenueVonNeumannSql =
+    """WITH daily AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    date_trunc('day', o.o_orderdate) AS d,
+      |    sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS x
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |lagged AS (
+      |  SELECT segment, x,
+      |    lag(x) OVER (PARTITION BY segment ORDER BY d) AS prev
+      |  FROM daily
+      |),
+      |folded AS (
+      |  SELECT segment, count(*) AS n, sum(x::HUGEINT) AS s,
+      |    sum(x::HUGEINT * x) AS s2,
+      |    sum((x - prev)::HUGEINT * (x - prev)) AS num
+      |  FROM lagged GROUP BY 1
+      |  HAVING count(*) >= 2
+      |    AND count(*) * sum(x::HUGEINT * x) <> sum(x::HUGEINT) * sum(x::HUGEINT)
+      |)
+      |SELECT segment, CAST(n AS BIGINT) AS n_days,
+      |  CAST(floor(n::DOUBLE * num::DOUBLE
+      |    / (n::DOUBLE * s2::DOUBLE - s::DOUBLE * s::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS vn_micro,
+      |  CAST(floor(
+      |    (n::DOUBLE * num::DOUBLE
+      |      / (n::DOUBLE * s2::DOUBLE - s::DOUBLE * s::DOUBLE)
+      |      - 2.0::DOUBLE * n::DOUBLE / (n::DOUBLE - 1.0::DOUBLE))
+      |    / sqrt(4.0::DOUBLE * (n::DOUBLE - 2.0::DOUBLE)
+      |      / ((n::DOUBLE - 1.0::DOUBLE) * (n::DOUBLE + 1.0::DOUBLE)))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS z_micro
+      |FROM folded""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q254_von_neumann", segmentRevenueVonNeumann _,
+      Some(segmentRevenueVonNeumannSql)),
     NamedQuery("q242_revenue_acf", revenueAcf _, Some(revenueAcfSql)),
     NamedQuery("q246_revenue_changepoint", nationRevenueChangepoint _,
       Some(nationRevenueChangepointSql)),

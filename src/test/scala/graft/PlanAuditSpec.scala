@@ -1446,6 +1446,21 @@ class PlanAuditSpec extends SparkSpec {
       s"q250 regressed: $s250")
   }
 
+  test("q252-q254 independence/paired screens stay domain-bounded") {
+    // q252: value-domain cells + pooled cum windows (singleParts carry
+    // the price-bounded frame); q253: subject agg then |d|-domain ranks;
+    // q254: per-key calendar lag + fold, zero singleParts.
+    val s252 = stats("q252_cvm_two_sample")
+    assert(s252.scans <= 4 && s252.shuffles <= 12 && s252.nestedLoops == 0 &&
+      s252.singleParts <= 4, s"q252 regressed: $s252")
+    val s253 = stats("q253_wilcoxon_signed_rank")
+    assert(s253.scans <= 2 && s253.shuffles <= 12 && s253.nestedLoops == 0 &&
+      s253.singleParts <= 4, s"q253 regressed: $s253")
+    val s254 = stats("q254_von_neumann")
+    assert(s254.scans <= 4 && s254.shuffles <= 12 && s254.nestedLoops == 0 &&
+      s254.singleParts == 0, s"q254 regressed: $s254")
+  }
+
   test("q246 changepoint: per-key calendar windows, dims broadcast, " +
     "never a single-partition funnel") {
     val s = stats("q246_revenue_changepoint")

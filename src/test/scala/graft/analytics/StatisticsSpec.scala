@@ -876,6 +876,52 @@ class StatisticsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("z_micro") == 0L))
   }
 
+  // -------------------------------------------- cramerVonMises (q252)
+  test("cvm: hand-computed pooled weighted square sum") {
+    // A = {1,2}, B = {2,4}: diffs (cum1*n2 - cum2*n1) = 2,2,0 with
+    // pooled multiplicities 1,2,1 -> U = 4 + 8 + 0 = 12;
+    // T = 12 / (2*2*16) = 0.1875.
+    val rows = Seq((true, 1L), (true, 2L), (false, 2L), (false, 4L))
+      .toDF("is_a", "v")
+    val r = Statistics.cramerVonMises(rows, "is_a", "v").collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("t_micro") == 187500L)
+  }
+
+  test("cvm: identical samples score exactly zero") {
+    val rows = (1L to 5L).flatMap(v => Seq((true, v), (false, v)))
+      .toDF("is_a", "v")
+    val r = Statistics.cramerVonMises(rows, "is_a", "v").collect().head
+    assert(r.getAs[Long]("t_micro") == 0L)
+  }
+
+  // ---------------------------------------- wilcoxonSignedRank (q253)
+  test("wilcoxon: hand ranks, balanced and one-sided cases") {
+    // d = {1,2,-3}: W2+ = 2+4 = 6 = E -> z = 0.
+    val bal = Seq(1L, 2L, -3L).toDF("d")
+    val r1 = Statistics.wilcoxonSignedRank(bal, "d").collect().head
+    assert(r1.getAs[Long]("n_pairs") == 3L)
+    assert(r1.getAs[Long]("w2_plus") == 6L)
+    assert(r1.getAs[Long]("z_micro") == 0L)
+    // d = {1,2,3}: W2+ = 12, z = 6/sqrt(14).
+    val pos = Seq(1L, 2L, 3L).toDF("d")
+    val r2 = Statistics.wilcoxonSignedRank(pos, "d").collect().head
+    assert(r2.getAs[Long]("w2_plus") == 12L)
+    assert(r2.getAs[Long]("z_micro") ==
+      math.floor(6.0 / math.sqrt(14.0) * 1e6 + 0.5).toLong)
+  }
+
+  test("wilcoxon: ties share doubled average ranks; zeros drop") {
+    // d = {1,-1,2,0}: rank2(|1|) = 3 shared, rank2(2) = 6;
+    // W2+ = 3 + 6 = 9, tie_sum = 6, Var2 = 14 - 0.5.
+    val d = Seq(1L, -1L, 2L, 0L).toDF("d")
+    val r = Statistics.wilcoxonSignedRank(d, "d").collect().head
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("w2_plus") == 9L)
+    assert(r.getAs[Long]("z_micro") ==
+      math.floor(3.0 / math.sqrt(13.5) * 1e6 + 0.5).toLong)
+  }
+
   // -------------------------------------------- bartlett (q249)
   test("bartlett: hand case replicating the per-group floored ln terms") {
     // g1 = {1,3} (var 2), g2 = {2,6} (var 8): sp2 = (2+8)/2 = 5.

@@ -607,6 +607,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("q_micro") > out(1L).getAs[Long]("q_micro"))
   }
 
+  // --------------------------------------------- vonNeumannRatio (q254)
+  test("vonNeumann: hand ratio on an alternating series; flat series drop") {
+    // x = 1,2,1,2: num = 3, den = 4*10-36 = 4 -> VN = 3.
+    val d = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 1L), ("k", 4L, 2L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L)).toDF("key", "d", "x")
+    val out = TimeSeries.vonNeumannRatio(d, "key").collect()
+    assert(out.length == 1) // the constant series is guarded out
+    val r = out.head
+    assert(r.getAs[String]("key") == "k")
+    assert(r.getAs[Long]("vn_micro") == 3000000L)
+    val z = (3.0 - 8.0 / 3.0) / math.sqrt(4.0 * 2.0 / (3.0 * 5.0))
+    assert(r.getAs[Long]("z_micro") ==
+      math.floor(z * 1e6 + 0.5).toLong)
+  }
+
+  test("vonNeumann: a strong trend drives the ratio toward zero") {
+    val d = (1L to 40L).map(i => ("k", i, i * 100L)).toDF("key", "d", "x")
+    val r = TimeSeries.vonNeumannRatio(d, "key").collect().head
+    assert(r.getAs[Long]("vn_micro") < 100000L)
+    assert(r.getAs[Long]("z_micro") < -5000000L)
+  }
+
   // ----------------------------------------- binarySegmentSplit (q246)
   test("changepoint: a clean level shift splits exactly at the step") {
     val d = (1 to 6).map(i => ("k", s"2020-01-0$i", if (i <= 3) 10L else 20L))
