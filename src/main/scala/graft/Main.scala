@@ -250,6 +250,26 @@ object Main {
       }
       spark.stop()
 
+    case "cc-update" :: statePath :: edgesParquet :: Nil =>
+      // Fold one parquet file of (a_id, b_id) edges into the incremental
+      // connected-components state. Replayed edge files are structural
+      // no-ops, so re-running after a crash is always safe.
+      val spark = session()
+      val edges = spark.read.parquet(edgesParquet)
+      graft.warehouse.ComponentsState.update(spark, statePath, edges,
+        lease = true)
+      val n = spark.read.parquet(statePath).count()
+      println(s"[cc-update] folded $edgesParquet into $statePath " +
+        s"($n labeled nodes)")
+      spark.stop()
+
+    case "cc-components" :: statePath :: rest =>
+      val spark = session()
+      graft.warehouse.ComponentsState.components(spark, statePath)
+        .orderBy(org.apache.spark.sql.functions.desc("n_nodes"))
+        .show(rest.headOption.map(_.toInt).getOrElse(20), truncate = false)
+      spark.stop()
+
     case "show" :: wh :: collection :: rest =>
       val spark = session()
       val runner = new SyncRunner(spark, Settings(wh))
@@ -272,6 +292,8 @@ object Main {
            |  compact <tableDir> [targetMB]
            |  compact-index <dedup|retrieval|covariance|eval|ivf|pq> <rootDir>
            |  migrate-state <covariance> <rootDir>
+           |  cc-update <statePath> <edgesParquet>
+           |  cc-components <statePath> [n]
            |  logs <warehouseDir> [limit]
            |  health <warehouseDir>
            |  show <warehouseDir> <collection> [n]""".stripMargin)

@@ -127,7 +127,10 @@ object ScaleCheck {
     // round-14 session 2: incremental CC — the chain-graph edge derive
     // is corpus-linear and each fold's label-prop runs on the contracted
     // graph; the decade pins fold cost ∝ touched components, not corpus.
-    "q251_components_state")
+    "q251_components_state",
+    // round-14 session 2 (cont.): the pooled value-domain CvM fold, the
+    // |d|-domain signed-rank, and the per-key calendar lag fold.
+    "q252_cvm_two_sample", "q253_wilcoxon_signed_rank", "q254_von_neumann")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe
