@@ -130,7 +130,11 @@ object ScaleCheck {
     "q251_components_state",
     // round-14 session 2 (cont.): the pooled value-domain CvM fold, the
     // |d|-domain signed-rank, and the per-key calendar lag fold.
-    "q252_cvm_two_sample", "q253_wilcoxon_signed_rank", "q254_von_neumann")
+    "q252_cvm_two_sample", "q253_wilcoxon_signed_rank", "q254_von_neumann",
+    // round-14 session 2 (cont.): the bin-lattice isotonic fit and the
+    // score-domain DeLong placements — one corpus scan each, everything
+    // after runs on bins/score-domain frames.
+    "q255_isotonic_calibration", "q256_delong_auc_ci")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

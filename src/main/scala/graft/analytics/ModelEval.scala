@@ -1269,7 +1269,273 @@ object ModelEval {
        |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS kappa_ppm
        |FROM cells""".stripMargin
 
+  // --------------------------------------------------------------- q255
+  /** Isotonic calibration via the minimax closed form — the standard
+    * probability-calibration fit (Zadrozny & Elkan 2002) that q174's
+    * reliability bins diagnose the need for: the weighted isotonic
+    * regression over score bins has the exact solution
+    * iso(t) = max_{i≤t} min_{j≥t} wavg(i..j) (the max-min formula dual
+    * to PAVA), monotone by construction.
+    *
+    * Exactness: bin weights/positives and their prefix sums are exact
+    * BIGINT; each interval average is ONE double division of exact
+    * integers, so the min/max lattice selects identical values on both
+    * engines, and the fitted rate floors to micro once at the end.
+    *
+    * Scale shape: the corpus collapses to score BINS in one hash
+    * aggregate; the (i, j, t) lattice is bins³ ≤ 10³ rows of metadata —
+    * the q232 grid discipline — so the fit costs one corpus scan
+    * regardless of size. (Bin-level PAVA is the standard large-scale
+    * practice; per-row isotonic at 100 TB is neither needed nor
+    * statistically different once bins are fine enough.)
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String): DataFrame = {
+    val wOrd = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = scored
+      .groupBy((col(scoreCol) / 100000L).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("cw", sum("n").over(wOrd))
+      .withColumn("cp", sum("n_pos").over(wOrd))
+      .localCheckpoint()
+    val a = pre.select(col("bin").as("i"), (col("cw") - col("n")).as("cw0"),
+      (col("cp") - col("n_pos")).as("cp0"))
+    val b = pre.select(col("bin").as("j"), col("cw").as("cwj"),
+      col("cp").as("cpj"))
+    val pairs = a.join(b, col("i") <= col("j"))
+      .withColumn("avg", (col("cpj") - col("cp0")).cast("double")
+        / (col("cwj") - col("cw0")).cast("double"))
+    val iso = pairs
+      .join(pre.select(col("bin").as("t")),
+        col("i") <= col("t") && col("t") <= col("j"))
+      .groupBy("t", "i").agg(min("avg").as("m"))
+      .groupBy("t").agg(max("m").as("iso_rate"))
+    pre.join(iso, col("bin") === col("t"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos div n) * 1000000 + (1000000 * (n_pos - (n_pos div n) * n)) div n")
+          .as("raw_rate_micro"),
+        floor(col("iso_rate") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("iso_rate_micro"))
+  }
+
+  /** Gated q255: the isotonic fit of the synthetic scorer's reliability
+    * bins — read next to q174's raw bins; iso_rate_micro is monotone in
+    * bin by construction.
+    */
+  def calibrationIsotonic(spark: SparkSession, dir: String): DataFrame =
+    isotonicCalibration(scoredDocs(Tables.documents(spark, dir)),
+      "score_micro", "label")
+
+  private val calibrationIsotonicSql =
+    """WITH scored AS (
+      |  SELECT
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |),
+      |bins AS (
+      |  SELECT score_micro // 100000 AS bin, count(*) AS n,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos
+      |  FROM scored GROUP BY 1
+      |),
+      |pre AS (
+      |  SELECT bin, n, n_pos,
+      |    sum(n) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(n_pos) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+      |  FROM bins
+      |),
+      |pairs AS (
+      |  SELECT a.bin AS i, b.bin AS j,
+      |    (b.cp - (a.cp - a.n_pos))::DOUBLE
+      |      / (b.cw - (a.cw - a.n))::DOUBLE AS avg
+      |  FROM pre a JOIN pre b ON a.bin <= b.bin
+      |),
+      |iso AS (
+      |  SELECT t, max(m) AS iso_rate FROM (
+      |    SELECT tt.bin AS t, p.i, min(p.avg) AS m
+      |    FROM pairs p JOIN pre tt ON p.i <= tt.bin AND tt.bin <= p.j
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1
+      |)
+      |SELECT p.bin, CAST(p.n AS BIGINT) AS n, CAST(p.n_pos AS BIGINT) AS n_pos,
+      |  CAST((p.n_pos // p.n) * 1000000
+      |    + (1000000 * (p.n_pos - (p.n_pos // p.n) * p.n)) // p.n AS BIGINT)
+      |    AS raw_rate_micro,
+      |  CAST(floor(i.iso_rate * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+      |    AS iso_rate_micro
+      |FROM pre p JOIN iso i ON i.t = p.bin""".stripMargin
+
+  // --------------------------------------------------------------- q256
+  /** DeLong confidence interval for the ROC AUC (DeLong, DeLong &
+    * Clarke-Pearson 1988) — the error bar q173's point estimate and
+    * q191's fold spread gesture at: SE² = S10/n⁺ + S01/n⁻ where S10/S01
+    * are the sample variances of the positive/negative placement values
+    * V10(x⁺) = (#neg < x⁺ + ½·ties)/n⁻ and V01 symmetric.
+    *
+    * Exactness: placements ride doubled integer counts on the SCORE
+    * DOMAIN — v2_10 = 2·(neg below) + neg ties per distinct score, so
+    * Σw·v2 and Σw·v2² are exact DECIMAL(38,0) moments, AUC =
+    * Σ⁺v2_10/(2n⁺n⁻) is the exact integer two-step division (equal to
+    * q173's rank identity), and S10/S01/SE/CI are fixed double
+    * sequences over the exact moments. The 1.96 normal quantile is an
+    * engine-literal constant (the q201 SPRT-constant discipline).
+    * Groups without ≥2 of each class report null CI.
+    *
+    * Scale shape: one corpus scan → (group, score) cells; placement
+    * windows run on the domain-bounded frame (the q214 rationale); the
+    * fold is group-sized.
+    */
+  def delongAucCi(scored: DataFrame, groupCol: String, scoreCol: String,
+                  labelCol: String): DataFrame = {
+    val cells = scored
+      .groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("nn"))
+    val wBelow = Window.partitionBy("g").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("g")
+    val placed = cells
+      .withColumn("negb", coalesce(sum("nn").over(wBelow), lit(0L)))
+      .withColumn("posb", coalesce(sum("np").over(wBelow), lit(0L)))
+      .withColumn("n1", sum("np").over(wAll))
+      .withColumn("n0", sum("nn").over(wAll))
+      .withColumn("v2p", col("negb") * 2L + col("nn"))
+      .withColumn("v2n",
+        (col("n1") - col("posb") - col("np")) * 2L + col("np"))
+    val g = placed.groupBy("g")
+      .agg(max("n1").as("n1"), max("n0").as("n0"),
+        sum(col("np").cast("decimal(38,0)") * col("v2p")).as("sp1"),
+        sum(col("np").cast("decimal(38,0)") * col("v2p") * col("v2p"))
+          .as("sp2"),
+        sum(col("nn").cast("decimal(38,0)") * col("v2n")).as("sn1"),
+        sum(col("nn").cast("decimal(38,0)") * col("v2n") * col("v2n"))
+          .as("sn2"))
+      .filter(col("n1") >= 1L && col("n0") >= 1L)
+      .withColumn("auc_micro", expr(
+        """(sp1 div (2 * n1 * n0)) * 1000000
+          | + (1000000 * (sp1 - (sp1 div (2 * n1 * n0)) * (2 * n1 * n0)))
+          |   div (2 * n1 * n0)""".stripMargin).cast("long"))
+    val auc = col("sp1").cast("double") /
+      (lit(2.0) * col("n1").cast("double") * col("n0").cast("double"))
+    val s10 = (col("sp2").cast("double")
+      - col("sp1").cast("double") * col("sp1").cast("double")
+        / col("n1").cast("double")) /
+      (col("n1") - 1L).cast("double") /
+      (lit(4.0) * col("n0").cast("double") * col("n0").cast("double"))
+    val s01 = (col("sn2").cast("double")
+      - col("sn1").cast("double") * col("sn1").cast("double")
+        / col("n0").cast("double")) /
+      (col("n0") - 1L).cast("double") /
+      (lit(4.0) * col("n1").cast("double") * col("n1").cast("double"))
+    val se = sqrt(s10 / col("n1").cast("double") + s01 / col("n0").cast("double"))
+    g.withColumn("se_micro",
+        when(col("n1") >= 2L && col("n0") >= 2L,
+          floor(se * lit(1000000.0) + lit(0.5)).cast("long")))
+      .withColumn("lo_micro",
+        when(col("n1") >= 2L && col("n0") >= 2L,
+          floor((auc - lit(1.96) * se) * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .withColumn("hi_micro",
+        when(col("n1") >= 2L && col("n0") >= 2L,
+          floor((auc + lit(1.96) * se) * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .select(col("g"), col("n1").as("n_pos"), col("n0").as("n_neg"),
+        col("auc_micro"), col("se_micro"), col("lo_micro"), col("hi_micro"))
+  }
+
+  /** Gated q256: the DeLong 95% CI around each source's AUC — the same
+    * synthetic scorer as q173, now with its error bar.
+    */
+  def classifierAucCi(spark: SparkSession, dir: String): DataFrame =
+    delongAucCi(scoredDocs(Tables.documents(spark, dir)),
+      "source", "score_micro", "label")
+      .withColumnRenamed("g", "source")
+
+  private val classifierAucCiSql =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS s,
+      |    ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS label
+      |  FROM documents
+      |),
+      |cells AS (
+      |  SELECT source AS g, s,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+      |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+      |  FROM scored GROUP BY 1, 2
+      |),
+      |placed AS (
+      |  SELECT g, np, nn,
+      |    coalesce(sum(nn) OVER (PARTITION BY g ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negb,
+      |    coalesce(sum(np) OVER (PARTITION BY g ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS posb,
+      |    sum(np) OVER (PARTITION BY g) AS n1,
+      |    sum(nn) OVER (PARTITION BY g) AS n0
+      |  FROM cells
+      |),
+      |folded AS (
+      |  SELECT g, max(n1) AS n1, max(n0) AS n0,
+      |    sum(np::HUGEINT * (negb * 2 + nn)) AS sp1,
+      |    sum(np::HUGEINT * (negb * 2 + nn) * (negb * 2 + nn)) AS sp2,
+      |    sum(nn::HUGEINT * ((n1 - posb - np) * 2 + np)) AS sn1,
+      |    sum(nn::HUGEINT * ((n1 - posb - np) * 2 + np)
+      |      * ((n1 - posb - np) * 2 + np)) AS sn2
+      |  FROM placed GROUP BY 1
+      |  HAVING max(n1) >= 1 AND max(n0) >= 1
+      |)
+      |SELECT g AS source, CAST(n1 AS BIGINT) AS n_pos,
+      |  CAST(n0 AS BIGINT) AS n_neg,
+      |  CAST((sp1 // (2 * n1 * n0)) * 1000000
+      |    + (1000000 * (sp1 - (sp1 // (2 * n1 * n0)) * (2 * n1 * n0)))
+      |      // (2 * n1 * n0) AS BIGINT) AS auc_micro,
+      |  CAST(CASE WHEN n1 >= 2 AND n0 >= 2 THEN floor(
+      |    sqrt((sp2::DOUBLE - sp1::DOUBLE * sp1::DOUBLE / n1::DOUBLE)
+      |        / (n1 - 1)::DOUBLE
+      |        / (4.0::DOUBLE * n0::DOUBLE * n0::DOUBLE) / n1::DOUBLE
+      |      + (sn2::DOUBLE - sn1::DOUBLE * sn1::DOUBLE / n0::DOUBLE)
+      |        / (n0 - 1)::DOUBLE
+      |        / (4.0::DOUBLE * n1::DOUBLE * n1::DOUBLE) / n0::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) END AS BIGINT) AS se_micro,
+      |  CAST(CASE WHEN n1 >= 2 AND n0 >= 2 THEN floor(
+      |    (sp1::DOUBLE / (2.0::DOUBLE * n1::DOUBLE * n0::DOUBLE)
+      |      - 1.96::DOUBLE * sqrt(
+      |        (sp2::DOUBLE - sp1::DOUBLE * sp1::DOUBLE / n1::DOUBLE)
+      |          / (n1 - 1)::DOUBLE
+      |          / (4.0::DOUBLE * n0::DOUBLE * n0::DOUBLE) / n1::DOUBLE
+      |        + (sn2::DOUBLE - sn1::DOUBLE * sn1::DOUBLE / n0::DOUBLE)
+      |          / (n0 - 1)::DOUBLE
+      |          / (4.0::DOUBLE * n1::DOUBLE * n1::DOUBLE) / n0::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) END AS BIGINT) AS lo_micro,
+      |  CAST(CASE WHEN n1 >= 2 AND n0 >= 2 THEN floor(
+      |    (sp1::DOUBLE / (2.0::DOUBLE * n1::DOUBLE * n0::DOUBLE)
+      |      + 1.96::DOUBLE * sqrt(
+      |        (sp2::DOUBLE - sp1::DOUBLE * sp1::DOUBLE / n1::DOUBLE)
+      |          / (n1 - 1)::DOUBLE
+      |          / (4.0::DOUBLE * n0::DOUBLE * n0::DOUBLE) / n1::DOUBLE
+      |        + (sn2::DOUBLE - sn1::DOUBLE * sn1::DOUBLE / n0::DOUBLE)
+      |          / (n0 - 1)::DOUBLE
+      |          / (4.0::DOUBLE * n1::DOUBLE * n1::DOUBLE) / n0::DOUBLE))
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) END AS BIGINT) AS hi_micro
+      |FROM folded""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q255_isotonic_calibration", calibrationIsotonic _,
+      Some(calibrationIsotonicSql)),
+    NamedQuery("q256_delong_auc_ci", classifierAucCi _,
+      Some(classifierAucCiSql)),
     NamedQuery("q202_rater_kappa", raterKappa _, Some(raterKappaSql)),
     NamedQuery("q199_woe_iv", scoreWoeIv _, Some(scoreWoeIvSql)),
     NamedQuery("q190_gain_chart", classifierGainChart _,

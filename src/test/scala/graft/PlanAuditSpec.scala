@@ -1461,6 +1461,18 @@ class PlanAuditSpec extends SparkSpec {
       s254.singleParts == 0, s"q254 regressed: $s254")
   }
 
+  test("q255/q256 calibration + CI stay domain-bounded") {
+    // q255: bins³ lattice NLJs on ≤10-row metadata frames (the q232
+    // grid rationale) behind the checkpointed bin frame; q256: score-
+    // domain placement windows, zero NLJ/singleParts.
+    val s255 = stats("q255_isotonic_calibration")
+    assert(s255.scans <= 1 && s255.shuffles <= 20 && s255.nestedLoops <= 8 &&
+      s255.singleParts <= 4, s"q255 regressed: $s255")
+    val s256 = stats("q256_delong_auc_ci")
+    assert(s256.scans <= 2 && s256.shuffles <= 8 && s256.nestedLoops == 0 &&
+      s256.singleParts == 0, s"q256 regressed: $s256")
+  }
+
   test("q246 changepoint: per-key calendar windows, dims broadcast, " +
     "never a single-partition funnel") {
     val s = stats("q246_revenue_changepoint")

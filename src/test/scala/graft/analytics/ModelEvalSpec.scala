@@ -403,4 +403,56 @@ class ModelEvalSpec extends SparkSpec {
       assert(brier >= 0L && bRel >= 0L && res >= 0L && unc <= 250000L)
     }
   }
+
+  // ------------------------------------- isotonicCalibration (q255)
+  test("isotonic: the minimax fit pools the planted violation exactly") {
+    // Bin rates .3 (w10), .1 (w10), .6 (w5): PAVA pools the first two
+    // to 4/20 = .2 and leaves .6 -> fitted [.2, .2, .6].
+    def rows(bin: Long, n: Int, pos: Int) = (1 to n).map(i =>
+      (bin * 100000L + i, i <= pos))
+    val scored = (rows(0, 10, 3) ++ rows(1, 10, 1) ++ rows(2, 5, 3))
+      .toDF("score_micro", "label")
+    val out = ModelEval.isotonicCalibration(scored, "score_micro", "label")
+      .collect().map(r => r.getAs[Long]("bin") ->
+        r.getAs[Long]("iso_rate_micro")).toMap
+    assert(out == Map(0L -> 200000L, 1L -> 200000L, 2L -> 600000L))
+  }
+
+  test("isotonic: already-monotone rates pass through; output is monotone") {
+    def rows(bin: Long, n: Int, pos: Int) = (1 to n).map(i =>
+      (bin * 100000L + i, i <= pos))
+    val scored = (rows(0, 10, 1) ++ rows(1, 10, 5) ++ rows(2, 10, 9))
+      .toDF("score_micro", "label")
+    val out = ModelEval.isotonicCalibration(scored, "score_micro", "label")
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("iso_rate_micro")).toSeq ==
+      Seq(100000L, 500000L, 900000L))
+    assert(out.map(_.getAs[Long]("iso_rate_micro")).toSeq ==
+      out.map(_.getAs[Long]("iso_rate_micro")).sorted.toSeq)
+  }
+
+  // ------------------------------------------- delongAucCi (q256)
+  test("delong: hand placements, variance and the 95% band") {
+    // pos {3,5}, neg {1,4}: V10 = {.5, 1}, V01 = {1, .5},
+    // AUC = .75, S10 = S01 = .125, SE = sqrt(.125).
+    val scored = Seq(("g", 3L, true), ("g", 5L, true),
+      ("g", 1L, false), ("g", 4L, false)).toDF("g", "s", "label")
+    val r = ModelEval.delongAucCi(scored, "g", "s", "label").collect().head
+    assert(r.getAs[Long]("auc_micro") == 750000L)
+    val se = math.sqrt(0.125 / 2.0 + 0.125 / 2.0)
+    assert(r.getAs[Long]("se_micro") ==
+      math.floor(se * 1e6 + 0.5).toLong)
+    assert(r.getAs[Long]("lo_micro") ==
+      math.floor((0.75 - 1.96 * se) * 1e6 + 0.5).toLong)
+    assert(r.getAs[Long]("hi_micro") ==
+      math.floor((0.75 + 1.96 * se) * 1e6 + 0.5).toLong)
+  }
+
+  test("delong: ties earn half credit; singleton classes null the band") {
+    val tied = Seq(("g", 5L, true), ("g", 5L, false)).toDF("g", "s", "label")
+    val r = ModelEval.delongAucCi(tied, "g", "s", "label").collect().head
+    assert(r.getAs[Long]("auc_micro") == 500000L)
+    assert(r.isNullAt(r.fieldIndex("se_micro")))
+    assert(r.isNullAt(r.fieldIndex("lo_micro")))
+  }
 }
