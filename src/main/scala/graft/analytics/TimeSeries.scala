@@ -1843,7 +1843,7 @@ object TimeSeries {
         Window.partitionBy(keyCol).orderBy(desc("gain"), col("t"))))
       .filter(col("rn") === 1)
       .select(col(keyCol), col("n").as("n_days"), col("t").as("split_idx"),
-        col("d").cast("date").as("split_date"),
+        col("d").as("split_at"),
         floor(col("gain") + lit(0.5)).cast("long").as("gain_int"),
         floor(col("p_t").cast("double") / col("t").cast("double")
           * lit(1000.0) + lit(0.5)).cast("long").as("mean_before_milli"),
@@ -1869,6 +1869,8 @@ object TimeSeries {
         date_trunc("day", col("o_orderdate")).as("d"))
       .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
     binarySegmentSplit(daily, "nation")
+      .withColumn("split_date", col("split_at").cast("date"))
+      .drop("split_at")
   }
 
   private val nationRevenueChangepointSql =

@@ -635,7 +635,7 @@ class TimeSeriesSpec extends SparkSpec {
       .toDF("k", "ds", "x").withColumn("d", to_date(col("ds")))
     val r = TimeSeries.binarySegmentSplit(d, "k").collect().head
     assert(r.getAs[Long]("split_idx") == 3L)
-    assert(r.getAs[java.sql.Date]("split_date").toString == "2020-01-03")
+    assert(r.getAs[java.sql.Date]("split_at").toString == "2020-01-03")
     // gain = (6*30 - 3*90)^2 / (6*3*3) = 8100/54 = 150.
     assert(r.getAs[Long]("gain_int") == 150L)
     assert(r.getAs[Long]("mean_before_milli") == 10000L)
