@@ -134,7 +134,9 @@ object ScaleCheck {
     // round-14 session 2 (cont.): the bin-lattice isotonic fit and the
     // score-domain DeLong placements — one corpus scan each, everything
     // after runs on bins/score-domain frames.
-    "q255_isotonic_calibration", "q256_delong_auc_ci")
+    "q255_isotonic_calibration", "q256_delong_auc_ci",
+    // round-14 session 2 (cont.): the three-rater panel fold.
+    "q257_krippendorff_alpha")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe
@@ -225,29 +227,37 @@ object ScaleCheck {
     // knob's qualifying-pair count grows ×factor² by fixture construction
     // — at 100× that is 10,000× the pairs, a fixture artifact the 10×
     // default run already documents).
-    if (only.isEmpty) {
+    if (only.isEmpty || only.exists(_.contains("q47"))) {
     // q47: within-cell pair space is n²/k. Since round 9 the operator
     // derives k from the corpus count itself (cell law k = ⌈n/512⌉,
     // Similarity.derivedCellCount), so NO manual tuning is involved —
     // this knob measures the auto-derived path at both scales and the
-    // shuffle ratio must come out ~linear on its own.
+    // shuffle ratio must come out ~linear on its own. Since r14 the
+    // exactness ball probe adds a data-geometry factor: shuffle ∝
+    // n · probe multiplicity, and the ×N fixture's rotation noise
+    // RAISES multiplicity (smeared replicas sit nearer more cells) —
+    // so the reported multiplicities separate that geometry effect
+    // from genuine super-linearity (the q55 artifact discipline).
     {
       import graft.analytics.Similarity
       def pairs(dir: String) = Similarity.semanticDedupPairs(
         spark.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.9)
+      def mult(dir: String): Double = Similarity.probeMultiplicity(
+        spark.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.9)
       val (s1, b1, _) = measure(pairs(base), warm = true)
       val (sF, bF, _) = measure(pairs(x10), warm = false)
-      println(f"[knob] q47 pairs auto-k @1x: $s1%.2f s ${b1 / 1e6}%.1f shMB; " +
-        f"auto-k @${factor}x: $sF%.2f s ${bF / 1e6}%.1f shMB " +
-        f"(sh x ${bF.toDouble / b1}%.1f — derived k keeps pair work linear, " +
-        "no manual tuning)")
+      println(f"[knob] q47 pairs auto-k @1x: $s1%.2f s ${b1 / 1e6}%.1f shMB " +
+        f"mult ${mult(base)}%.2f; auto-k @${factor}x: $sF%.2f s " +
+        f"${bF / 1e6}%.1f shMB mult ${mult(x10)}%.2f " +
+        f"(sh x ${bF.toDouble / b1}%.1f; shuffle ∝ n·mult — the mult ratio " +
+        "is fixture noise geometry, not scale)")
     }
     // q55: key-offset replication densifies the SAME 7-year date range
     // ×factor on BOTH sides, so qualifying interval-point pairs grow
     // ×factor² — the extra shuffle is the join's own OUTPUT (a fixture
     // artifact: real 10× data extends the time axis and pairs grow
     // ~linearly). Count the pairs to show the ratio is output, not plan.
-    {
+    if (only.isEmpty) {
       def qualifying(dir: String): Long =
         SparkEntry.queries("q55_interval_shipments")(spark, dir)
           .agg(sum("n_shipments")).head.getLong(0)

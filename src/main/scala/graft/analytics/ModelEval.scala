@@ -1531,7 +1531,101 @@ object ModelEval {
       |    * 1000000.0::DOUBLE + 0.5::DOUBLE) END AS BIGINT) AS hi_micro
       |FROM folded""".stripMargin
 
+  // --------------------------------------------------------------- q257
+  /** Krippendorff's alpha (nominal, complete panel) — the multi-rater
+    * reliability coefficient beyond q202's two-rater Cohen's kappa: for
+    * m raters per unit and binary nominal values, the coincidence-matrix
+    * algebra collapses to the EXACT integer ratio
+    * α = 1 − Do_num·(n_tot−1) / ((m−1)·n_0·n_1), where Do_num =
+    * Σ_u c_u·(m−c_u) (within-unit disagreeing ordered pairs numerator),
+    * n_v the value marginals and n_tot = m·U — so alpha_micro is a pure
+    * integer division, no float anywhere (Krippendorff 2004, ch. 11;
+    * the binary-nominal closed form).
+    *
+    * Complete-panel contract: units with a rating count ≠ m are
+    * excluded (the q228 guard shape) — the missing-data generalization
+    * changes the per-unit denominator to m_u−1 and is a documented
+    * non-goal of the gated form.
+    *
+    * Scale shape: one scan of the (unit, rater, value) table → per-unit
+    * counts → one scalar fold. Products ride DECIMAL(38,0) (n_0·n_1
+    * crosses 2⁶³ past ~3·10⁹ ratings).
+    */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        labelCol: String, m: Int): DataFrame =
+    ratings
+      .groupBy(col(unitCol))
+      .agg(count(lit(1)).as("m_u"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("c_u"))
+      .filter(col("m_u") === m.toLong)
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("c_u") * (lit(m.toLong) - col("c_u"))).as("do_num"),
+        sum("c_u").as("n_pos"))
+      .withColumn("n_tot", col("n_units") * m.toLong)
+      .withColumn("n_neg", col("n_tot") - col("n_pos"))
+      .withColumn("alpha_micro",
+        when(col("n_pos") > 0L && col("n_neg") > 0L, expr(
+          s"""1000000 - (1000000 * CAST(do_num AS DECIMAL(38,0))
+             |  * (n_tot - 1))
+             |  div (${m - 1} * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"""
+            .stripMargin).cast("long")))
+      .select(col("n_units"), col("n_tot"), col("n_pos"), col("do_num"),
+        col("alpha_micro"))
+
+  /** Gated q257: a deterministic 3-rater panel over the synthetic
+    * scorer — rater j flags a doc via an independent hash draw against
+    * the doc's score, so raters agree more on extreme scores. One row:
+    * the exact integer alpha.
+    */
+  def raterPanelAlpha(spark: SparkSession, dir: String): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L
+    val base = scoredDocs(Tables.documents(spark, dir))
+    val ratings = (1 to 3).map { j =>
+      base.select(col("doc_id"),
+        (h(concat(lit(s"r$j:"), col("doc_id").cast("string")))
+          < col("score_micro")).as("label"))
+    }.reduce(_ unionByName _)
+    krippendorffAlpha(ratings, "doc_id", "label", m = 3)
+  }
+
+  private val raterPanelAlphaSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS score_micro
+      |  FROM documents
+      |),
+      |ratings AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('r' || CAST(j AS VARCHAR) || ':'
+      |      || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+      |      < score_micro AS label
+      |  FROM scored, unnest([1, 2, 3]) AS t(j)
+      |),
+      |units AS (
+      |  SELECT doc_id, count(*) AS m_u,
+      |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS c_u
+      |  FROM ratings GROUP BY 1 HAVING count(*) = 3
+      |),
+      |folded AS (
+      |  SELECT count(*) AS n_units, sum(c_u * (3 - c_u)) AS do_num,
+      |    sum(c_u) AS n_pos
+      |  FROM units
+      |)
+      |SELECT CAST(n_units AS BIGINT) AS n_units,
+      |  CAST(n_units * 3 AS BIGINT) AS n_tot,
+      |  CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(do_num AS BIGINT) AS do_num,
+      |  CAST(CASE WHEN n_pos > 0 AND n_units * 3 - n_pos > 0 THEN
+      |    1000000 - (1000000 * do_num::HUGEINT * (n_units * 3 - 1))
+      |      // (2 * n_pos::HUGEINT * (n_units * 3 - n_pos))
+      |    END AS BIGINT) AS alpha_micro
+      |FROM folded""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q257_krippendorff_alpha", raterPanelAlpha _,
+      Some(raterPanelAlphaSql)),
     NamedQuery("q255_isotonic_calibration", calibrationIsotonic _,
       Some(calibrationIsotonicSql)),
     NamedQuery("q256_delong_auc_ci", classifierAucCi _,

@@ -514,10 +514,56 @@ object Similarity {
   def semanticDedupPairs(emb: DataFrame, threshold: Double,
                          idCol: String, vecCol: String): DataFrame =
     // trainCellLaw counts on its cached projection (reused by the Lloyd
-    // passes), so the derived default costs no extra corpus scan.
+    // passes), so the derived default costs no extra corpus scan. The
+    // quantizer trains on the UNIT SPHERE (SemDeDup's own convention):
+    // cosine geometry is what the cells must partition, and the probe
+    // bound below is a unit-sphere radius.
     semanticDedupPairs(emb,
-      IvfIndex.trainCellLaw(emb, SemanticCellTarget, idCol = idCol, vecCol = vecCol),
+      IvfIndex.trainCellLaw(unitized(emb, idCol, vecCol), SemanticCellTarget,
+        idCol = idCol, vecCol = "__uv"),
       threshold, idCol, vecCol)
+
+  /** Average probe multiplicity of the exactness ball at this corpus's
+    * derived-k geometry — probed (row, cell) assignments per input row.
+    * Diagnostic for the ScaleCheck knob: the pair-scan shuffle is
+    * ∝ n · multiplicity, and multiplicity is a property of the data's
+    * cluster geometry relative to the pair radius √(2(1−t)).
+    */
+  private[graft] def probeMultiplicity(emb: DataFrame, threshold: Double,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding"): Double = {
+    val r = math.sqrt(math.max(0.0, 2.0 * (1.0 - threshold)))
+    val unit = unitized(emb, idCol, vecCol)
+    val model = IvfIndex.trainCellLaw(unit, SemanticCellTarget,
+      idCol = idCol, vecCol = "__uv")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val primary = IvfIndex.withNearestCells(unit, "__uv", model, 1, "__cells")
+      .withColumn("d1", col("__cells").getItem(0).getField("d"))
+    val cents = model.centroids
+      .map { case (cid, c) => (cid, c, c.map(x => x * x).sum) }
+      .toDF("p_cell", "p_centroid", "p_cnorm")
+    val counts = primary.join(broadcast(cents),
+      sqrt(greatest(lit(0.0), col("p_cnorm")
+        - lit(2.0) * graft.functions.dotProduct(col("__uv"), col("p_centroid"))
+        + lit(1.0)))
+        <= sqrt(greatest(lit(0.0), col("d1") + lit(1.0))) + lit(r))
+      .agg(count(lit(1)).as("probes"),
+        countDistinct(col(idCol)).as("rows"))
+      .head()
+    counts.getLong(0).toDouble / math.max(1L, counts.getLong(1)).toDouble
+  }
+
+  /** (id, vec, nrm, __uv) projection: the L2-normalized vector (double
+    * elements), zero-norm rows dropped (cosine is undefined for them and
+    * they can never reach a positive threshold).
+    */
+  private def unitized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("nrm", sqrt(graft.functions.dotProduct(col(vecCol), col(vecCol))))
+      .filter(col("nrm") > 0.0)
+      .withColumn("__uv",
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE) / nrm)"))
 
   def semanticDedupPairs(emb: DataFrame, threshold: Double): DataFrame =
     semanticDedupPairs(emb, threshold, "vec_id", "embedding")
@@ -549,23 +595,89 @@ object Similarity {
     * batch would silently re-draw cell boundaries between runs.
     */
   def semanticDedupPairs(emb: DataFrame, model: IvfIndex.Model, threshold: Double,
-                         idCol: String, vecCol: String): DataFrame = {
-    // Norms once per ROW before the self-join (the scorePairs discipline;
-    // the function itself takes id-pairs and would re-join vectors by id
-    // — two extra shuffles when the vectors already ride the cell join).
-    // Per pair this pays one fused dot instead of dot + two norm folds —
-    // the dominant per-cell cost. dot/(√na·√nb) with this op order is
-    // bit-identical to the cosine kernel (same fold order, sqrt-then-
-    // multiply), so the pair set cannot drift from [[cosineNearDups]].
-    val cells = IvfIndex.index(emb.select(col(idCol), col(vecCol)), model, vecCol)
-      .withColumn("nrm", sqrt(graft.functions.dotProduct(col(vecCol), col(vecCol))))
-    cells.select(col("cell"), col(idCol).as("a_id"), col(vecCol).as("a_v"), col("nrm").as("a_n"))
-      .join(cells.select(col("cell"), col(idCol).as("b_id"), col(vecCol).as("b_v"),
+                         idCol: String, vecCol: String): DataFrame =
+    semanticDedupPairs(emb, model, threshold, idCol, vecCol, exact = true)
+
+  /** `exact = false` is the PUBLISHED SemDeDup semantics — primary-cell
+    * pairs only, no ball probe. It misses pairs that straddle a Voronoi
+    * boundary (measured: exactly one planted twin at sf0.1) in exchange
+    * for pair work independent of the probe multiplicity — the right
+    * trade when the corpus is noisy relative to the pair radius and the
+    * caller accepts the published approximation. The gated q47 runs
+    * `exact = true`: its oracle is the global pair set.
+    */
+  def semanticDedupPairs(emb: DataFrame, model: IvfIndex.Model, threshold: Double,
+                         idCol: String, vecCol: String, exact: Boolean): DataFrame = {
+    // EXACTNESS BY BALL PROBING (the r14 fix for the one wrong answer
+    // ever observed at sf0.1: a planted twin pair straddling a Voronoi
+    // boundary, invisible to the sf0.01 gate). On the unit sphere,
+    // cos(u,v) ≥ t ⟺ ‖û−v̂‖ ≤ r with r = √(2(1−t)). Probe every row
+    // into every cell within d₁ + r of its unit vector. That SYMMETRIC
+    // slack-r probe is sufficient: take the pair's side with the larger
+    // primary distance — wlog d₁(û) ≥ d₁(v̂); then
+    //   ‖û − c₁(v̂)‖ ≤ ‖û−v̂‖ + ‖v̂−c₁(v̂)‖ = r + d₁(v̂) ≤ r + d₁(û),
+    // so û probes into v̂'s primary cell, where v̂ sits by definition —
+    // each qualifying pair co-locates in at least one probed cell, for
+    // ANY centroid set. Cell-locality becomes a THEOREM, not a fixture
+    // property (pre-r14 it held by Voronoi luck and broke at sf0.1's
+    // derived k=10). Probe multiplicity is ~1 when cells are farther
+    // apart than the pair radius; the exact-cosine verify is unchanged,
+    // so extra probes cost candidates, never results.
+    //
+    // Scale shape: pass 1 is the standard assign (argmin — literal or
+    // join path, exchanges carry one row per input); pass 2 re-scores
+    // the broadcast codebook per row and keeps qualifying cells map-side
+    // (output ∝ probe multiplicity); the pair scan is unchanged except
+    // for a final pair-keyed distinct (∝ matches) that collapses pairs
+    // probed into two shared cells.
+    //
+    // Norms once per ROW before the self-join (the scorePairs
+    // discipline). dot/(√na·√nb) with this op order is bit-identical to
+    // the cosine kernel, so the pair set cannot drift from
+    // [[cosineNearDups]].
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val r = math.sqrt(math.max(0.0, 2.0 * (1.0 - threshold)))
+    val unit = unitized(emb, idCol, vecCol)
+    // Pass 1: primary cell + its score on the unit sphere. The score d
+    // is the assign ranking ‖c‖² − 2·û·c (true sq-dist minus ‖û‖² = 1).
+    val primary = IvfIndex.withNearestCells(unit, "__uv", model, 1, "__cells")
+      .withColumn("cell1", col("__cells").getItem(0).getField("cell"))
+      .withColumn("d1", col("__cells").getItem(0).getField("d"))
+      .drop("__cells")
+      .localCheckpoint(eager = false)
+    // Pass 2: every cell whose true unit-sphere distance is within the
+    // probe ball radius √(d1+1) + r. The pair scan is PRIMARY × PROBED,
+    // not probed² — the guarantee above places the boundary pair in the
+    // smaller-d1 side's PRIMARY cell, so one join side never expands and
+    // candidate work is Σ_cell |primary|·|probed| (≈ multiplicity×, not
+    // multiplicity²×, the primary-only cost). Pair ids are normalized
+    // (least, greatest) and distinct'd because the guaranteed direction
+    // is d1-ordered, not id-ordered.
+    val cents = model.centroids
+      .map { case (cid, c) => (cid, c, c.map(x => x * x).sum) }
+      .toDF("p_cell", "p_centroid", "p_cnorm")
+    val probed =
+      if (!exact)
+        primary.select(col("cell1").as("cell"), col(idCol), col(vecCol),
+          col("nrm"))
+      else primary.join(broadcast(cents),
+        sqrt(greatest(lit(0.0), col("p_cnorm")
+          - lit(2.0) * graft.functions.dotProduct(col("__uv"), col("p_centroid"))
+          + lit(1.0)))
+          <= sqrt(greatest(lit(0.0), col("d1") + lit(1.0))) + lit(r))
+        .select(col("p_cell").as("cell"), col(idCol), col(vecCol), col("nrm"))
+    val prim = primary.select(col("cell1").as("cell"), col(idCol).as("a_id"),
+      col(vecCol).as("a_v"), col("nrm").as("a_n"))
+    prim
+      .join(probed.select(col("cell"), col(idCol).as("b_id"), col(vecCol).as("b_v"),
         col("nrm").as("b_n")), Seq("cell"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
       .filter(graft.functions.dotProduct(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))
         >= threshold)
-      .select(col("a_id"), col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
   }
 
   /** Rows of `emb` that survive semantic dedup: an id is dropped iff it

@@ -186,11 +186,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 6 && s.shuffles <= 12, s"q235 shuffles regressed: $s")
   }
 
-  test("q47 semantic dedup pairs only within cells — never a global pair join") {
+  test("q47 semantic dedup pairs only within probed cells — never a " +
+    "global pair join") {
     val s = stats("q47_semantic_dedup")
-    // The pair join must be keyed on `cell` (broadcast or shuffle hash);
-    // a nested-loop/cartesian here is the O(n²) global join regressing.
-    assert(s.nestedLoops == 0, s"q47 must stay cell-local: $s")
+    // Since r14 the plan carries BNLJs against the BROADCAST k-row
+    // codebook (the exactness ball probe + the assign scoring — row ×
+    // codebook, map-side, the joinNearestCells shape). The PAIR join
+    // itself must stay keyed on `cell`: a pair-side nested loop would
+    // be the O(n²) global join regressing, and it would show up as the
+    // NLJ count jumping past the codebook probes.
+    assert(s.nestedLoops <= 4, s"q47 grew a non-codebook nested loop: $s")
+    assert(s.singleParts == 0, s"q47 must never single-partition: $s")
   }
 
   test("q48/q49/q50 keep their audited scale shapes") {
@@ -1471,6 +1477,14 @@ class PlanAuditSpec extends SparkSpec {
     val s256 = stats("q256_delong_auc_ci")
     assert(s256.scans <= 2 && s256.shuffles <= 8 && s256.nestedLoops == 0 &&
       s256.singleParts == 0, s"q256 regressed: $s256")
+  }
+
+  test("q257 rater panel stays a unit-grain aggregate") {
+    // Three hash-derived rater frames union -> per-unit counts -> one
+    // scalar fold; the only singleParts are the scalar exchanges.
+    val s = stats("q257_krippendorff_alpha")
+    assert(s.scans <= 6 && s.shuffles <= 8 && s.nestedLoops == 0 &&
+      s.singleParts <= 4, s"q257 regressed: $s")
   }
 
   test("q246 changepoint: per-key calendar windows, dims broadcast, " +

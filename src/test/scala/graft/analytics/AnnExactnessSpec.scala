@@ -82,10 +82,11 @@ class AnnExactnessSpec extends SparkSpec {
 
   test("q47 semantic dedup's cell-local pairs equal the exact global pair set") {
     // The q47 oracle computes the GLOBAL quadratic pair set; the operator
-    // only compares within k-means cells. This equality (twins never
-    // straddle a Voronoi boundary on the harness corpora) is what
-    // licenses the shared oracle — if it breaks, q47's hash gate breaks
-    // first here, with a named pair instead of a hash mismatch.
+    // compares within probed cells. Since r14 this equality is a THEOREM
+    // (triangle-inequality ball probing with slack 2·√(2(1−t))), not a
+    // fixture property — pre-r14 it held by Voronoi luck and broke at
+    // sf0.1's derived k=10 with one twin straddling a boundary. If it
+    // ever breaks again, this test names the pair before q47's hash does.
     dirs.foreach { d =>
       val corpus = Similarity.plantedTwinCorpus(graft.core.Tables.embeddings(spark, d))
       val exactPairs = Similarity.cosineNearDups(corpus, Similarity.GatedThreshold)
@@ -96,6 +97,30 @@ class AnnExactnessSpec extends SparkSpec {
         s"q47 cell-locality broke at $d: missed=${(exactPairs -- cellPairs).take(3)} " +
           s"extra=${(cellPairs -- exactPairs).take(3)}")
     }
+  }
+
+  test("ball probe finds a twin pair planted ON a Voronoi boundary") {
+    import spark.implicits._
+    // Two tight clusters around ±e1; the twin pair sits at the midpoint,
+    // offset ±ε along e2 — k-means (k=2) splits the pair across cells,
+    // so a primary-cell-only scan MUST miss it; the probe must not.
+    val cluster = (0 until 20).flatMap { i =>
+      Seq((100L + i, Seq(1.0, 0.001 * i, 0.0)),
+        (200L + i, Seq(-1.0, 0.001 * i, 0.0)))
+    }
+    val twins = Seq(
+      (1L, Seq(0.0005, 1.0, 0.0)), // cos(pair) ≈ 1 − 5e-7: far above .9
+      (2L, Seq(-0.0005, 1.0, 0.0)))
+    val emb = (cluster ++ twins).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedupPairs(emb, k = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      s"boundary twin missed; found only $pairs")
+    val exact = Similarity.cosineNearDups(emb, 0.9)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == exact, s"probe set != exact set: " +
+      s"missed=${exact -- pairs} extra=${pairs -- exact}")
   }
 
   test("semantic dedup keeps the smallest id of a duplicate chain") {

@@ -448,6 +448,40 @@ class ModelEvalSpec extends SparkSpec {
       math.floor((0.75 + 1.96 * se) * 1e6 + 0.5).toLong)
   }
 
+  // ---------------------------------------- krippendorffAlpha (q257)
+  test("krippendorff: hand coincidence algebra, perfect and degenerate") {
+    // c = {3, 0, 1}: do_num = 2, n_pos = 4, n_neg = 5, n_tot = 9:
+    // alpha = 1 - (1e6*2*8) div (2*4*5) / 1e6 = 1 - 0.4 = 0.6.
+    def unit(u: Long, labels: Seq[Boolean]) = labels.map(l => (u, l))
+    val panel = (unit(1, Seq(true, true, true)) ++
+      unit(2, Seq(false, false, false)) ++
+      unit(3, Seq(true, false, false))).toDF("u", "label")
+    val r = ModelEval.krippendorffAlpha(panel, "u", "label", m = 3)
+      .collect().head
+    assert(r.getAs[Long]("do_num") == 2L)
+    assert(r.getAs[Long]("alpha_micro") == 600000L)
+    // Perfect agreement with both values present: alpha = 1.
+    val perfect = (unit(1, Seq(true, true, true)) ++
+      unit(2, Seq(false, false, false))).toDF("u", "label")
+    assert(ModelEval.krippendorffAlpha(perfect, "u", "label", 3)
+      .collect().head.getAs[Long]("alpha_micro") == 1000000L)
+    // One value only: alpha undefined -> null.
+    val mono = unit(1, Seq(true, true, true)).toDF("u", "label")
+    val rm = ModelEval.krippendorffAlpha(mono, "u", "label", 3).collect().head
+    assert(rm.isNullAt(rm.fieldIndex("alpha_micro")))
+  }
+
+  test("krippendorff: incomplete units are excluded by the panel guard") {
+    def unit(u: Long, labels: Seq[Boolean]) = labels.map(l => (u, l))
+    val panel = (unit(1, Seq(true, true, true)) ++
+      unit(2, Seq(false, false, false)) ++
+      unit(3, Seq(true, false))).toDF("u", "label") // 2 ratings: dropped
+    val r = ModelEval.krippendorffAlpha(panel, "u", "label", m = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 2L)
+    assert(r.getAs[Long]("alpha_micro") == 1000000L)
+  }
+
   test("delong: ties earn half credit; singleton classes null the band") {
     val tied = Seq(("g", 5L, true), ("g", 5L, false)).toDF("g", "s", "label")
     val r = ModelEval.delongAucCi(tied, "g", "s", "label").collect().head
