@@ -135,8 +135,9 @@ object ScaleCheck {
     // score-domain DeLong placements — one corpus scan each, everything
     // after runs on bins/score-domain frames.
     "q255_isotonic_calibration", "q256_delong_auc_ci",
-    // round-14 session 2 (cont.): the three-rater panel fold.
-    "q257_krippendorff_alpha")
+    // round-14 session 2 (cont.): the three-rater panel fold and the
+    // rows × dim isotropy explode (the q118 fixed-width shape).
+    "q257_krippendorff_alpha", "q258_embedding_isotropy")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

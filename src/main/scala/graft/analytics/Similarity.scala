@@ -719,6 +719,82 @@ object Similarity {
       .select(col("grp"), col("n_before"), coalesce(col("n_after"), lit(0L)).as("n_after"))
   }
 
+  // --------------------------------------------------------------- q258
+  /** Embedding isotropy per label — Ethayarajh (2019)'s anisotropy
+    * diagnostic, the embedding-quality screen a retrieval/dedup pipeline
+    * reads before trusting cosine thresholds: the expected cosine
+    * between two random vectors of a set equals ‖μ‖² of the set's mean
+    * UNIT vector (≈ 0 for isotropic directions, → 1 when everything
+    * points the same way, where cosine gates stop discriminating).
+    *
+    * Exactness (the q118 nano-quantization discipline): each normalized
+    * component is quantized once to nano units — round(û_d·1e9) is
+    * deterministic on both engines because û_d is the same IEEE double
+    * (float loads + one ordered sum + one sqrt + one division) — and
+    * everything after is integer: per-dimension sums are exact BIGINT,
+    * each (s_d/(n·1e9))² term is floored to pico PER DIMENSION, and the
+    * label's isotropy is the order-independent integer sum of those
+    * pico terms.
+    *
+    * Scale shape: one scan → posexplode (rows × dim, the fixed-width
+    * q118 shape) → (label, dim) hash aggregate → label-frame fold.
+    */
+  def embeddingIsotropy(emb: DataFrame, labelCol: String = "label",
+                        vecCol: String = "embedding"): DataFrame = {
+    val unit = emb.select(col(labelCol).as("lbl"), col(vecCol))
+      .withColumn("nrm", sqrt(graft.functions.dotProduct(col(vecCol), col(vecCol))))
+      .filter(col("nrm") > 0.0)
+      .withColumn("uv", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE) / nrm)"))
+    unit
+      .select(col("lbl"), posexplode(col("uv")))
+      .toDF("lbl", "d", "x")
+      .withColumn("q", expr("CAST(round(x * 1e9) AS BIGINT)"))
+      .groupBy("lbl", "d")
+      .agg(count(lit(1)).as("n"), sum("q").as("s_nano"))
+      .withColumn("term_pico", floor(
+        (col("s_nano").cast("double")
+          / (col("n").cast("double") * lit(1.0e9)))
+          * (col("s_nano").cast("double")
+            / (col("n").cast("double") * lit(1.0e9)))
+          * lit(1.0e12) + lit(0.5)).cast("long"))
+      .groupBy(col("lbl").as("label"))
+      .agg(max("n").as("n_vectors"), sum("term_pico").as("iso_pico"))
+  }
+
+  /** Gated q258: per-label isotropy of the embeddings corpus. */
+  def labelIsotropy(spark: SparkSession, dir: String): DataFrame =
+    embeddingIsotropy(Tables.embeddings(spark, dir))
+
+  private val labelIsotropySql =
+    """WITH unit AS (
+      |  SELECT label AS lbl, embedding AS v,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |  WHERE sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+      |),
+      |px AS (
+      |  SELECT lbl, d.d - 1 AS d,
+      |    CAST(round(CAST(v[d.d] AS DOUBLE) / nrm * 1e9) AS BIGINT) AS q
+      |  FROM unit, unnest(range(1, len(v) + 1)) AS d(d)
+      |),
+      |dims AS (
+      |  SELECT lbl, d, count(*) AS n, sum(q) AS s_nano
+      |  FROM px GROUP BY 1, 2
+      |),
+      |terms AS (
+      |  SELECT lbl, n,
+      |    CAST(floor(
+      |      (s_nano::DOUBLE / (n::DOUBLE * 1.0e9))
+      |        * (s_nano::DOUBLE / (n::DOUBLE * 1.0e9))
+      |        * 1.0e12 + 0.5::DOUBLE) AS BIGINT) AS term_pico
+      |  FROM dims
+      |)
+      |SELECT lbl AS label, CAST(max(n) AS BIGINT) AS n_vectors,
+      |  CAST(sum(term_pico) AS BIGINT) AS iso_pico
+      |FROM terms GROUP BY 1""".stripMargin
+
   private val semanticDedupSql =
     s"""WITH $plantedTwinCte,
       |prs AS (
@@ -968,5 +1044,7 @@ object Similarity {
     NamedQuery("q21_embedding_neardups", embNearDups _, Some(embNearDupsSql)),
     NamedQuery("q44_quantization_fidelity", quantizationFidelity _,
       Some(quantizationFidelitySql)),
-    NamedQuery("q47_semantic_dedup", semanticDedupSummary _, Some(semanticDedupSql)))
+    NamedQuery("q47_semantic_dedup", semanticDedupSummary _, Some(semanticDedupSql)),
+    NamedQuery("q258_embedding_isotropy", labelIsotropy _,
+      Some(labelIsotropySql)))
 }

@@ -1487,6 +1487,12 @@ class PlanAuditSpec extends SparkSpec {
       s.singleParts <= 4, s"q257 regressed: $s")
   }
 
+  test("q258 isotropy stays the q118 fixed-width explode shape") {
+    val s = stats("q258_embedding_isotropy")
+    assert(s.scans <= 2 && s.shuffles <= 8 && s.nestedLoops == 0 &&
+      s.singleParts == 0, s"q258 regressed: $s")
+  }
+
   test("q246 changepoint: per-key calendar windows, dims broadcast, " +
     "never a single-partition funnel") {
     val s = stats("q246_revenue_changepoint")

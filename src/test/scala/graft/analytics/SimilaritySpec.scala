@@ -307,4 +307,24 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------ embeddingIsotropy (q258)
+  test("isotropy: aligned sets score ~1e12 pico, balanced opposites ~0") {
+    import spark.implicits._
+    val emb = Seq(
+      ("same", 1L, Seq(1.0f, 0.0f)), ("same", 2L, Seq(2.0f, 0.0f)),
+      ("same", 3L, Seq(5.0f, 0.0f)),
+      ("anti", 4L, Seq(1.0f, 0.0f)), ("anti", 5L, Seq(-1.0f, 0.0f)),
+      ("zero", 6L, Seq(0.0f, 0.0f)), ("zero", 7L, Seq(0.0f, 3.0f)))
+      .toDF("label", "vec_id", "embedding")
+    val out = Similarity.embeddingIsotropy(emb).collect()
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("iso_pico"))).toMap
+    // All unit vectors identical -> ||mean||^2 = 1 (1e12 pico exactly).
+    assert(out("same") == ((3L, 1000000000000L)))
+    // Perfectly opposed pair -> mean 0.
+    assert(out("anti") == ((2L, 0L)))
+    // Zero-norm vector dropped; the survivor alone is fully aligned.
+    assert(out("zero") == ((1L, 1000000000000L)))
+  }
 }
