@@ -137,7 +137,9 @@ object ScaleCheck {
     "q255_isotonic_calibration", "q256_delong_auc_ci",
     // round-14 session 2 (cont.): the three-rater panel fold and the
     // rows × dim isotropy explode (the q118 fixed-width shape).
-    "q257_krippendorff_alpha", "q258_embedding_isotropy")
+    "q257_krippendorff_alpha", "q258_embedding_isotropy",
+    // round-14 session 2 (cont.): the two-exact-sums calibration fold.
+    "q259_spiegelhalter_z")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

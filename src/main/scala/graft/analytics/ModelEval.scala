@@ -1623,7 +1623,78 @@ object ModelEval {
       |    END AS BIGINT) AS alpha_micro
       |FROM folded""".stripMargin
 
+  // --------------------------------------------------------------- q259
+  /** Spiegelhalter's calibration z test (Spiegelhalter 1986) — the
+    * HYPOTHESIS-TEST member of the calibration family: q174 bins the
+    * reliability diagram, q255 fits the monotone correction, this asks
+    * "is the observed miscalibration more than chance?" via
+    * z = Σ(y−p)(1−2p) / √(Σ(1−2p)²·p·(1−p)), which under perfect
+    * calibration is standard normal without any binning choice.
+    *
+    * Exactness: with p in micro units P and y ∈ {0, 10⁶}, the numerator
+    * term ×10¹² is the exact integer (Y−P)(10⁶−2P) and the variance
+    * term ×10²⁴ is (10⁶−2P)²·P·(10⁶−P) — both summed on DECIMAL(38,0),
+    * and the 10¹²/√10²⁴ scales cancel, so z is ONE double division of
+    * exact integers, floored to micro. Degenerate groups (all p ∈
+    * {0, 1}) report null.
+    *
+    * Scale shape: a single scan → per-group fold of two exact sums —
+    * the q205 aggregate class.
+    */
+  def spiegelhalterZ(scored: DataFrame, groupCol: String, scoreCol: String,
+                     labelCol: String): DataFrame =
+    scored
+      .select(col(groupCol).as("g"), col(scoreCol).cast("long").as("p"),
+        when(col(labelCol), 1000000L).otherwise(0L).as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(((col("y") - col("p")).cast("decimal(38,0)")
+          * (lit(1000000L) - col("p") * 2L))).as("num12"),
+        sum(((lit(1000000L) - col("p") * 2L).cast("decimal(38,0)")
+          * (lit(1000000L) - col("p") * 2L)
+          * col("p") * (lit(1000000L) - col("p")))).as("den24"))
+      .withColumn("z_micro",
+        when(col("den24") > 0L,
+          floor(col("num12").cast("double") / sqrt(col("den24").cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("g"), col("n"), col("z_micro"))
+
+  /** Gated q259: per source, is the synthetic scorer calibrated? (It is
+    * by construction — P(y=1 | p) = p under the two independent hash
+    * draws — so the emitted z values are the test's null behavior.)
+    */
+  def classifierCalibrationZ(spark: SparkSession, dir: String): DataFrame =
+    spiegelhalterZ(scoredDocs(Tables.documents(spark, dir)),
+      "source", "score_micro", "label")
+      .withColumnRenamed("g", "source")
+
+  private val classifierCalibrationZSql =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS p,
+      |    CASE WHEN ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000
+      |      < ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 THEN 1000000 ELSE 0 END AS y
+      |  FROM documents
+      |),
+      |folded AS (
+      |  SELECT source AS g, count(*) AS n,
+      |    sum((y - p)::HUGEINT * (1000000 - 2 * p)) AS num12,
+      |    sum((1000000 - 2 * p)::HUGEINT * (1000000 - 2 * p)
+      |      * p * (1000000 - p)) AS den24
+      |  FROM scored GROUP BY 1
+      |)
+      |SELECT g AS source, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN den24 > 0 THEN floor(
+      |    num12::DOUBLE / sqrt(den24::DOUBLE)
+      |    * 1000000.0::DOUBLE + 0.5::DOUBLE) END AS BIGINT) AS z_micro
+      |FROM folded""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q259_spiegelhalter_z", classifierCalibrationZ _,
+      Some(classifierCalibrationZSql)),
     NamedQuery("q257_krippendorff_alpha", raterPanelAlpha _,
       Some(raterPanelAlphaSql)),
     NamedQuery("q255_isotonic_calibration", calibrationIsotonic _,

@@ -448,6 +448,38 @@ class ModelEvalSpec extends SparkSpec {
       math.floor((0.75 + 1.96 * se) * 1e6 + 0.5).toLong)
   }
 
+  // ---------------------------------------- spiegelhalterZ (q259)
+  test("spiegelhalter: hand case and the p=1/2 degenerate null") {
+    // p = 0.25 with y = {1, 0}: num terms 3.75e11, -1.25e11;
+    // den per row 4.6875e22 -> z = 2.5e11 / sqrt(9.375e22).
+    val scored = Seq(("g", 250000L, true), ("g", 250000L, false))
+      .toDF("g", "s", "label")
+    val r = ModelEval.spiegelhalterZ(scored, "g", "s", "label")
+      .collect().head
+    val z = 2.5e11 / math.sqrt(9.375e22)
+    assert(r.getAs[Long]("z_micro") == math.floor(z * 1e6 + 0.5).toLong)
+    // Every p = 1/2 -> (1-2p) = 0 everywhere -> variance 0 -> null.
+    val half = Seq(("g", 500000L, true), ("g", 500000L, false))
+      .toDF("g", "s", "label")
+    val rh = ModelEval.spiegelhalterZ(half, "g", "s", "label")
+      .collect().head
+    assert(rh.isNullAt(rh.fieldIndex("z_micro")))
+  }
+
+  test("spiegelhalter: systematic over-prediction drives z negative") {
+    // High p, all negatives: (y-p) < 0 and (1-2p) < 0 -> positive num?
+    // (y-p)(1-2p) with y=0, p=.9: (-0.9)(-0.8) = +0.72 -> z positive:
+    // the statistic is signed by (observed - expected) x direction, so
+    // assert magnitude: |z| grows with n.
+    def z(n: Int): Long = {
+      val scored = (1 to n).map(_ => ("g", 900000L, false)).toDF("g", "s", "label")
+      ModelEval.spiegelhalterZ(scored, "g", "s", "label")
+        .collect().head.getAs[Long]("z_micro")
+    }
+    assert(math.abs(z(16)) == 2 * math.abs(z(4)),
+      "z must scale with sqrt(n) for a constant miscalibration")
+  }
+
   // ---------------------------------------- krippendorffAlpha (q257)
   test("krippendorff: hand coincidence algebra, perfect and degenerate") {
     // c = {3, 0, 1}: do_num = 2, n_pos = 4, n_neg = 5, n_tot = 9:
