@@ -138,8 +138,9 @@ object ScaleCheck {
     // round-14 session 2 (cont.): the three-rater panel fold and the
     // rows × dim isotropy explode (the q118 fixed-width shape).
     "q257_krippendorff_alpha", "q258_embedding_isotropy",
-    // round-14 session 2 (cont.): the two-exact-sums calibration fold.
-    "q259_spiegelhalter_z")
+    // round-14 session 2 (cont.): the two-exact-sums calibration fold
+    // and the per-user path windows.
+    "q259_spiegelhalter_z", "q260_frequent_paths")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe
@@ -324,8 +325,23 @@ object ScaleCheck {
             lpad(col("c_custkey").cast("string"), 9, "0"))))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    // Everything else rides along unchanged (dims + events).
-    Seq("region", "nation", "supplier", "part", "events").foreach { t =>
+    // events: user-offset replicas — per-user sequences (sessions,
+    // paths, streaks) reproduce exactly per replica while the user
+    // population grows ×factor; the calendar span stays fixed, the
+    // correct behavioral-data growth shape. (Pre-r14-s2 events were
+    // copied UNREPLICATED, silently making every events-based decade
+    // row — q120's window cascade, q260's path windows — a same-size
+    // comparison.)
+    // (ns-precision ts reads as BIGINT under nanosAsLong and is written
+    // back as BIGINT — Tables.events normalizes either form.)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replicate(spark.read.parquet(s"$base/events.parquet"), (df, i) =>
+      df.withColumn("user_id", offset("user_id", i))
+        .withColumn("event_id", offset("event_id", i)))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // Everything else rides along unchanged (pure dims).
+    Seq("region", "nation", "supplier", "part").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$base/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"))

@@ -1150,7 +1150,73 @@ object EventAnalytics {
       |WHERE NOT t.is_train
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q260
+  /** Frequent event paths — the k-step generalization of q89's pairwise
+    * Markov transitions (the sequential-pattern face of the behavioral
+    * battery: q89 models one step, q85 extracts per-user chains, this
+    * ranks the corpus's recurring k-step PATHS): consecutive event-type
+    * k-grams per user under the deterministic (ts, event_id) order,
+    * counted corpus-wide, with per-path user support. The top paths ARE
+    * the "common journeys" a funnel analyst reads, free of any
+    * hypothesized step order (q61 checks ONE funnel; this discovers
+    * them).
+    *
+    * Exactness: counts and distinct-user support are integers; the
+    * top-K tie-break (n_paths desc, path asc) is total.
+    *
+    * Scale shape: one scan → per-user lead windows (parallel across
+    * users, the q89 shape) → path hash aggregate (paths ≤ |types|^k,
+    * domain-bounded) → top-K on the path frame.
+    */
+  def frequentEventPaths(spark: SparkSession, dir: String,
+                         steps: Int = 3, topK: Int = 25): DataFrame =
+    frequentEventPathsOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("long").as("sec")), steps, topK)
+
+  /** Operator form over any (user_id, event_type, event_id, sec) frame —
+    * spec-tested on planted journeys.
+    */
+  def frequentEventPathsOf(ev: DataFrame, steps: Int, topK: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val steps2 = (1 until steps).map(i =>
+      lead(col("event_type"), i).over(w).as(s"t$i"))
+    val paths = ev.select(
+      (col("user_id") +: col("event_type").as("t0") +: steps2): _*)
+      .filter((1 until steps).map(i => col(s"t$i").isNotNull)
+        .reduce(_ && _))
+      .withColumn("path", concat_ws(" > ",
+        (0 until steps).map(i => col(s"t$i")): _*))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy(desc("n_paths"), asc("path"))
+      .limit(topK)
+  }
+
+  private val frequentEventPathsSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events
+      |), seq AS (
+      |  SELECT user_id, event_type AS t0,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |)
+      |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
+      |  CAST(count(*) AS BIGINT) AS n_paths,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n_paths DESC, path ASC
+      |LIMIT 25""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q260_frequent_paths", (s, d) => frequentEventPaths(s, d),
+      Some(frequentEventPathsSql)),
     NamedQuery("q207_session_ndcg",
       (s: SparkSession, d: String) => sessionNdcg(s, d),
       Some(sessionNdcgSql)),

@@ -1487,6 +1487,12 @@ class PlanAuditSpec extends SparkSpec {
       s.singleParts <= 4, s"q257 regressed: $s")
   }
 
+  test("q260 frequent paths: per-user lead windows + path-frame top-K") {
+    val s = stats("q260_frequent_paths")
+    assert(s.scans <= 2 && s.shuffles <= 8 && s.nestedLoops == 0 &&
+      s.singleParts == 0, s"q260 regressed: $s")
+  }
+
   test("q259 calibration z stays a two-sum group fold") {
     val s = stats("q259_spiegelhalter_z")
     assert(s.scans <= 2 && s.shuffles <= 4 && s.nestedLoops == 0 &&

@@ -455,4 +455,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_scored") == 1L)
     assert(out.head.getAs[Long]("mean_ndcg_ppm") == expected)
   }
+
+  // ----------------------------------------- frequentEventPaths (q260)
+  test("frequent paths: planted journeys counted with user support") {
+    import spark.implicits._
+    // u1 and u2 both walk view > cart > buy; u1 twice (overlapping
+    // windows: v c b v c b has trigrams vcb, cbv, bvc, vcb).
+    def walk(u: Long, base: Long, ts: Seq[String]) =
+      ts.zipWithIndex.map { case (t, i) => (u, t, base + i, base + i) }
+    val ev = (walk(1L, 100L, Seq("view", "cart", "buy", "view", "cart", "buy")) ++
+      walk(2L, 200L, Seq("view", "cart", "buy")))
+      .toDF("user_id", "event_type", "event_id", "sec")
+    val out = EventAnalytics.frequentEventPathsOf(ev, steps = 3, topK = 10)
+      .collect().map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("n_paths"), r.getAs[Long]("n_users"))).toMap
+    assert(out("view > cart > buy") == ((3L, 2L)))
+    assert(out("cart > buy > view") == ((1L, 1L)))
+    // Short users (< steps events) contribute nothing.
+    val short = walk(3L, 300L, Seq("view", "cart"))
+      .toDF("user_id", "event_type", "event_id", "sec")
+    assert(EventAnalytics.frequentEventPathsOf(short, 3, 10).count() == 0L)
+  }
 }
