@@ -361,34 +361,45 @@ object EventAnalytics {
     * window frames, so a naive per-day `RANGE` window re-scans 7 days of
     * raw events per output day.
     *
-    * Scale shape: events first collapse to distinct (user, day) pairs
-    * (one hash aggregate, the only pass over the corpus). Each user-day
-    * then explodes into the ≤ 7 window-END days it contributes to — a
-    * constant ×7 on the already-collapsed pairs, not on raw events — and
-    * a second hash aggregate counts distinct users per window end, with
-    * DAU riding the same aggregate as a conditional distinct (days with
-    * no own activity drop out via dau > 0, so no calendar join). At
-    * 100 TB the same plan holds (user-days ≪ events); the documented
-    * approx path swaps the explode for per-day HLL sketches merged over
-    * a 7-row days-sized window (q31's machinery), trading exactness for
-    * a ×1 pass.
+    * Scale shape — the TWO-LEVEL exact form (r14 verdict's q120 watch
+    * item): events first collapse to distinct (user, day) pairs (one
+    * hash aggregate, the only pass over the corpus). Each user-day then
+    * explodes into the ≤ 7 window-END days it contributes to — a
+    * constant ×7 on the already-collapsed pairs, not on raw events.
+    * Level 1 then groups by (w_day, USER): the distinct-membership
+    * state distributes across tasks by PAIR hash, so no task ever holds
+    * a per-window user set (the prior `countDistinct`-per-window form
+    * concentrated each window's set in its group — task peak ∝ window
+    * population, measured 23→101 MB for 10× users). Level 2 groups by
+    * w_day over the collapsed pairs with plain count/sum — decomposable
+    * aggregates, so the map-side partial is days-sized and the final
+    * shuffle moves one row per (day, partition). DAU rides level 1 as a
+    * max(own-day flag) and level 2 as its sum; days with no own
+    * activity drop out via dau > 0, so no calendar join. At 100 TB the
+    * same plan holds (user-days ≪ events; per-task state ∝
+    * pairs/shuffle-partitions — horizontal, not per-window); the
+    * documented approx path swaps the explode for per-day HLL sketches
+    * merged over a 7-row days-sized window (q31's machinery), trading
+    * exactness for a ×1 pass.
     *
     * Exactness: every output is an integer count or an integer-division
-    * ppm ratio — no floats anywhere.
+    * ppm ratio — no floats anywhere. SlidingWauFormSpec pins the
+    * two-level form equal to the direct countDistinct form.
     */
   def slidingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     // ONE linear cascade — a single corpus scan: collapse to user-days,
     // explode each into its ≤7 window-end days tagged with whether it IS
-    // that day, then one aggregate computes DAU and WAU together. Days
-    // with no activity of their own fall out via dau > 0, so no calendar
-    // join exists in the plan at all.
+    // that day; level 1 collapses to one row per (window, user), level 2
+    // counts those rows per window. WAU = count of (w_day, user) groups;
+    // DAU = how many of them saw their own day.
     Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       .select(col("user_id"), col("day"),
         explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
+      .groupBy("w_day", "user_id")
+      .agg(max(when(col("day") === col("w_day"), 1L).otherwise(0L)).as("own"))
       .groupBy("w_day")
-      .agg(countDistinct(when(col("day") === col("w_day"), col("user_id"))).as("dau"),
-        countDistinct(col("user_id")).as("wau"))
+      .agg(sum(col("own")).as("dau"), count(lit(1)).as("wau"))
       .filter(col("dau") > 0)
       .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"))
       .withColumn("stickiness_ppm", expr("CAST(dau * 1000000 DIV wau AS BIGINT)"))

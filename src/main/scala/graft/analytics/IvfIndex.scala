@@ -78,6 +78,39 @@ object IvfIndex {
   private[graft] val literalAssignMaxKOverride =
     new scala.util.DynamicVariable[Option[Int]](None)
 
+  /** Row ceiling for BROADCASTING the query-side frame into a search
+    * join. ANN search joins the corpus against a query-derived frame
+    * (|Q|·nprobe probe rows here; |Q|·nprobe LUT rows in [[IvfPq]]) and
+    * a broadcast hint is right only while that frame is actually small:
+    * a FAISS-style query batch (10s–10³ rows) broadcast in one block
+    * beats shuffling the corpus side. But the hint is a command, not a
+    * suggestion — at a nightly-inference batch (|Q| ~10⁵–10⁶ rows of
+    * dim doubles, GBs) an unconditional `broadcast(q)` ships the whole
+    * frame to every executor and OOMs the driver building the broadcast
+    * relation. Above this row count the hint is dropped: the join keys
+    * on `cell` either way, so Spark falls back to a shuffle join on the
+    * cell key (both sides partition by cell — the scale-correct plan)
+    * or AQE re-promotes to broadcast if runtime stats allow. Results are
+    * join-strategy-invariant; IvfQueryScaleSpec pins equality and the
+    * absence of a query-side BroadcastExchange above the threshold.
+    * Override via `-Dgraft.ivf.queryBroadcastMaxRows`; specs force a
+    * path through [[queryBroadcastMaxRowsOverride]].
+    */
+  private[graft] def queryBroadcastMaxRows: Long =
+    queryBroadcastMaxRowsOverride.value.getOrElse(
+      sys.props.get("graft.ivf.queryBroadcastMaxRows").map(_.toLong)
+        .getOrElse(1L << 16))
+
+  private[graft] val queryBroadcastMaxRowsOverride =
+    new scala.util.DynamicVariable[Option[Long]](None)
+
+  /** Apply the query-side broadcast policy: hint only below the
+    * [[queryBroadcastMaxRows]] ceiling (`qRows` = the row count of the
+    * frame that would be broadcast, probe/LUT expansion included).
+    */
+  private[graft] def hintQuerySide(df: DataFrame, qRows: Long): DataFrame =
+    if (qRows <= queryBroadcastMaxRows) broadcast(df) else df
+
   /** DataFrame-level nearest-cells: attaches `outCol` = the n cheapest
     * cells as a sorted `array<struct<d:double, cell:int>>` (the literal
     * path's exact shape — IvfJoinAssignSpec pins the two paths equal,
@@ -417,12 +450,17 @@ object IvfIndex {
   private[graft] def scoredCandidates(indexed: DataFrame, queries: DataFrame,
       model: Model, nprobe: Int, idCol: String, vecCol: String,
       excludeSelf: Boolean): DataFrame = {
+    // One pass over the query frame to size the broadcast decision —
+    // queries are corpus-independent (the count never touches the index
+    // side), and the alternative (an unconditional hint) OOMs at
+    // inference-batch |Q| (the [[queryBroadcastMaxRows]] rationale).
+    val qCount = queries.count()
     val q = withNearestCells(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
         "q_vec", model, nprobe, "cells")
       .withColumn("cell", explode(col("cells").getField("cell")))
       .drop("cells")
-    val joined = indexed.join(broadcast(q), Seq("cell"))
+    val joined = indexed.join(hintQuerySide(q, qCount * nprobe), Seq("cell"))
     val candidates =
       if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined
     candidates

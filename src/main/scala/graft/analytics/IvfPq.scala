@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.NamedQuery
-import graft.functions.cosineSimilarity
+import graft.functions.{cosineSimilarity, dotProduct}
 
 /** IVF-PQ composite index — the production trillion-vector ANN
   * architecture (FAISS's IVFADC; Jégou et al. TPAMI 2011 §V): a coarse
@@ -19,26 +19,33 @@ import graft.functions.cosineSimilarity
   * ksub^m code space quantizes them with much smaller error.
   *
   * SEARCH (asymmetric distance, cross-cell comparable): per (query,
-  * probed cell) the driver computes an m × ksub lookup table of TRUE
-  * squared subspace distances ‖q′_s − c‖² = ‖q′_s‖² − 2⟨q′_s, c⟩ + ‖c‖²
+  * probed cell) an m × ksub lookup table of TRUE squared subspace
+  * distances ‖q′_s − c‖² = ‖q′_s‖² − 2⟨q′_s, c⟩ + ‖c‖²
   * where q′ = q − centroid(cell). Unlike flat PQ (where the ‖q_s‖² term
   * is constant per query and rank-equivalence suffices,
   * [[PqIndex.scoredShortlist]]), IVF-PQ ranks candidates from DIFFERENT
   * cells in one shortlist window, and the query residual differs per
   * cell — dropping the ‖q′_s‖² term would bias the comparison toward
-  * far cells. The LUT rows broadcast (|queries|·nprobe·m·ksub doubles —
-  * metadata-sized), candidates arrive by cell EQUI-join (the probed-cell
-  * filter IS the join key, no crossJoin), ADC is m array lookups + a
-  * sum per candidate, and the `shortlist` best per query re-rank with
-  * EXACT cosine on the raw vectors — the answer is exact whenever the
-  * true top-k survives the shortlist (planted-margin gate + per-SF
+  * far cells. The LUT rows (|queries|·nprobe·m·ksub doubles) join the
+  * candidates by cell EQUI-join (the probed-cell filter IS the join
+  * key, no crossJoin; broadcast-hinted only while the query batch is
+  * small — [[IvfIndex.queryBroadcastMaxRows]]), ADC is m array lookups
+  * + a sum per candidate, and the `shortlist` best per query re-rank
+  * with EXACT cosine on the raw vectors — the answer is exact whenever
+  * the true top-k survives the shortlist (planted-margin gate + per-SF
   * brute-force parity in AnnExactnessSpec, the q28/q117 discipline).
   *
   * Coarse assignment rides [[IvfIndex.withNearestCells]], so indexing
   * inherits the k-dispatched literal/join assign and its extreme-k
-  * ceiling fix; the driver-side probe in [[search]] mirrors the same
-  * (‖c‖² − 2⟨q,c⟩, cell) ordering in plain Scala (identical arithmetic
-  * sequence → identical doubles → identical probe sets).
+  * ceiling fix. The QUERY-side probe + LUT build dispatch the same way
+  * ([[lutFrame]]): small batches × small quantizers take a zero-job
+  * driver path in plain Scala (identical arithmetic sequence →
+  * identical doubles → identical probe sets); past the
+  * [[driverProbeMaxWork]] product the probe rides `withNearestCells` on
+  * the query FRAME and the LUTs are built as expressions over the
+  * plan-literal codebooks ([[lutFrameEngine]]) — bit-equal to the
+  * driver arm (IvfPqEngineProbeSpec), with O(codebook) driver memory at
+  * any |Q|.
   *
   * 100 TB shape: the persisted layout is (vec_id, cell, codes [, raw
   * vector for re-rank]) partitioned by cell — [[IvfIndex
@@ -98,8 +105,9 @@ object IvfPq {
         model.pq, "__resid")
       .select(col(idCol), col(vecCol), col("cell"), col("codes"))
 
-  /** ANN top-k: driver-side coarse probe → per-(query, cell) residual
-    * LUTs broadcast → cell equi-join → ADC shortlist → exact re-rank.
+  /** ANN top-k: coarse probe ([[lutFrame]], |Q|-dispatched driver/
+    * engine) → per-(query, cell) residual LUTs → cell equi-join → ADC
+    * shortlist → exact re-rank.
     */
   def search(indexed: DataFrame, queries: DataFrame, model: Model, k: Int,
              nprobe: Int = 2, shortlist: Int = 50, idCol: String = "vec_id",
@@ -110,15 +118,74 @@ object IvfPq {
         vecCol, excludeSelf),
       k, idCol)
 
-  /** Driver-side probe: per query the `nprobe` nearest cells (same
-    * (‖c‖²−2⟨q,c⟩, cell) ordering as the engine assign, in plain Scala)
-    * with the per-cell residual ADC LUT. Returns the broadcastable
-    * (query_id, q_vec, cell, lut) rows plus the probed-cell union —
-    * metadata-sized both — so a partitioned-layout caller can turn the
-    * union into a STATIC partition filter ([[IvfIndex.prunedIndexScan]]
-    * rationale).
+  /** |Q|·kCells ceiling for the DRIVER-side probe path. The driver probe
+    * ([[lutFrameDriver]]) collects the query set and does
+    * O(|Q|·kCells·dim) FLOPs single-threaded plus |Q|·nprobe LUT rows of
+    * driver memory — genuinely metadata-sized for FAISS-style query
+    * batches (the gated shape: |Q|=10, 16 cells), but at the design
+    * point (kCells ~10⁵ by the cell law, a nightly inference batch
+    * |Q| ~10⁵–10⁶) that is 10¹⁰⁺ serial FLOPs and GBs of driver heap.
+    * Above this |Q|·kCells product the probe + LUT build run ENGINE-side
+    * ([[lutFrameEngine]]) — the same symmetry [[IvfIndex
+    * .withNearestCells]] already applies to coarse ASSIGNMENT. Override
+    * via `-Dgraft.ivfpq.driverProbeMaxWork`; specs force a path through
+    * [[driverProbeMaxWorkOverride]].
+    */
+  private[graft] def driverProbeMaxWork: Long =
+    driverProbeMaxWorkOverride.value.getOrElse(
+      sys.props.get("graft.ivfpq.driverProbeMaxWork").map(_.toLong)
+        .getOrElse(1L << 20))
+
+  private[graft] val driverProbeMaxWorkOverride =
+    new scala.util.DynamicVariable[Option[Long]](None)
+
+  /** Per-(query, probed cell) residual-ADC LUT rows
+    * (query_id, q_vec, cell, lut) — already carrying the query-side
+    * broadcast policy ([[IvfIndex.hintQuerySide]]) — plus the probed-cell
+    * union (≤ min(|Q|·nprobe, kCells) ints, driver-safe at any |Q|), so
+    * a partitioned-layout caller can turn the union into a STATIC
+    * partition filter ([[IvfIndex.prunedIndexScan]] rationale).
+    *
+    * Dispatches on |Q|·kCells ([[driverProbeMaxWork]]): small batches
+    * keep the zero-job driver path; large ones compute probes and LUTs
+    * engine-side with bit-identical arithmetic (IvfPqEngineProbeSpec).
     */
   private[graft] def lutFrame(spark: SparkSession, model: Model,
+      queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
+      : (DataFrame, Seq[Int]) = {
+    val kCells = model.coarse.centroids.size
+    // Sizing pass over the query frame only — never the corpus; the
+    // count is what makes the driver-vs-engine dispatch a measured
+    // decision instead of a caller guess.
+    val qCount = queries.count()
+    if (qCount * kCells <= driverProbeMaxWork) {
+      val (df, cells) =
+        lutFrameDriver(spark, model, queries, nprobe, idCol, vecCol)
+      (IvfIndex.hintQuerySide(df, qCount * nprobe), cells)
+    } else {
+      val df = IvfIndex.hintQuerySide(
+        lutFrameEngine(model, queries, nprobe, idCol, vecCol),
+        qCount * nprobe)
+      // Probe-only second pass for the cell union: re-runs the
+      // k-dispatched assign over the query frame (distributed, no LUT
+      // work) and collects ≤ kCells distinct ints — the only
+      // driver-side materialization on this path.
+      val cells = IvfIndex.withNearestCells(
+          queries.select(col(vecCol).cast("array<double>").as("__qv")),
+          "__qv", model.coarse, nprobe, "__cells")
+        .select(explode(col("__cells").getField("cell")).as("cell"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      (df, cells)
+    }
+  }
+
+  /** Driver-path probe: per query the `nprobe` nearest cells (same
+    * (‖c‖²−2⟨q,c⟩, cell) ordering as the engine assign, in plain Scala)
+    * with the per-cell residual ADC LUT — zero Spark jobs, right for
+    * small query batches where launching distributed work costs more
+    * than the probe itself.
+    */
+  private[graft] def lutFrameDriver(spark: SparkSession, model: Model,
       queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
       : (DataFrame, Seq[Int]) = {
     import spark.implicits._
@@ -150,6 +217,51 @@ object IvfPq {
       lutRows.map(_._3).distinct)
   }
 
+  /** Engine-path probe + LUT build — [[lutFrame]]'s scale arm. Coarse
+    * probing rides the k-dispatched [[IvfIndex.withNearestCells]] on the
+    * QUERY frame (literal expression tree at small kCells, broadcast
+    * codebook join above it — the extreme-k ceiling fix is inherited);
+    * the per-(query, cell) residual LUT is then a column expression over
+    * the PLAN-literal PQ codebooks: per subspace `s`, a `transform` over
+    * that subspace's ksub sub-centroids computes the true squared
+    * subspace distance ‖q′_s − c‖² with the driver path's exact
+    * arithmetic sequence — left-fold dots ([[dotProduct]]'s kernel ≡
+    * Scala's zip/map/sum), `(qn − 2·dot) + cnorm` association — so the
+    * two paths emit bit-identical doubles (IvfPqEngineProbeSpec pins
+    * LUTs and end-to-end search equal, the IvfJoinAssignSpec pattern).
+    *
+    * Driver memory is O(codebook): the codebooks enter the plan as m
+    * array literals (the full PQ codebook is m·ksub·dsub = ksub·dim
+    * doubles — KBs) and nothing query-proportional is collected or
+    * broadcast from the driver. Per probe row the HOF evaluates
+    * ~3·ksub·dim interpreted multiplies — distributed over the cluster,
+    * vs the driver arm's same total work on one thread.
+    */
+  private[graft] def lutFrameEngine(model: Model, queries: DataFrame,
+      nprobe: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = model.pq.m
+    val dsub = model.pq.dsub
+    val cents = model.coarse.centroids.toDF("cell", "__cent")
+    val probed = IvfIndex.withNearestCells(
+        queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("q_vec")),
+        "q_vec", model.coarse, nprobe, "__cells")
+      .withColumn("cell", explode(col("__cells").getField("cell")))
+      .drop("__cells")
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("__resid",
+        zip_with(col("q_vec"), col("__cent"), _ - _))
+    val lut = array((0 until m).map { s =>
+      val qs = slice(col("__resid"), s * dsub + 1, dsub)
+      val qn = dotProduct(qs, qs)
+      transform(typedlit(model.pq.books(s)), c =>
+        qn - lit(2.0) * dotProduct(qs, c) + dotProduct(c, c))
+    }: _*)
+    probed.select(col("query_id"), col("q_vec"), col("cell"), lut.as("lut"))
+  }
+
   /** The exactly-re-ranked shortlist of [[search]] BEFORE the final
     * top-k window — exposed so a caller holding TWO candidate sources
     * ([[graft.warehouse.IvfPqState]]'s bundle + unfolded raw tail) can
@@ -158,15 +270,27 @@ object IvfPq {
     */
   private[graft] def scoredShortlist(indexed: DataFrame, queries: DataFrame,
       model: Model, nprobe: Int, shortlist: Int, idCol: String,
+      vecCol: String, excludeSelf: Boolean): DataFrame =
+    scoredShortlistWith(indexed,
+      lutFrame(indexed.sparkSession, model, queries, nprobe, idCol, vecCol)._1,
+      shortlist, idCol, vecCol, excludeSelf)
+
+  /** [[scoredShortlist]] against a PRE-computed [[lutFrame]] — so a
+    * caller that already paid the probe for its static partition filter
+    * ([[graft.warehouse.IvfPqState.search]]) doesn't probe twice. The
+    * LUT frame arrives carrying its own broadcast policy (hinted only
+    * below [[IvfIndex.queryBroadcastMaxRows]] — above it the cell
+    * equi-join shuffles both sides by cell, the scale-correct plan).
+    */
+  private[graft] def scoredShortlistWith(indexed: DataFrame,
+      lutRows: DataFrame, shortlist: Int, idCol: String,
       vecCol: String, excludeSelf: Boolean): DataFrame = {
-    val (lutRows, _) =
-      lutFrame(indexed.sparkSession, model, queries, nprobe, idCol, vecCol)
     val adc = aggregate(
       zip_with(col("codes"), col("lut"),
         (code, tab) => element_at(tab, code + 1)),
       lit(0.0), (acc, x) => acc + x)
     val short = indexed
-      .join(broadcast(lutRows), Seq("cell")) // probed cells ONLY
+      .join(lutRows, Seq("cell")) // probed cells ONLY
       .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
       .withColumn("adc", adc)
       .withColumn("arank", row_number().over(

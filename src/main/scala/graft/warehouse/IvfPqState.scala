@@ -212,21 +212,36 @@ object IvfPqState {
       if (f >= 0) {
         val b = live.get
         val model = IvfPq.loadModel(spark, s"$b/model")
-        // The driver-side probe already knows the probed-cell union —
-        // turn it into a STATIC partition filter so unprobed cell dirs
-        // are never listed (the IvfIndex.prunedIndexScan rationale).
-        val (_, cells) = IvfPq.lutFrame(spark, model, qn, nprobe,
+        // ONE probe pays for both uses: the probed-cell union becomes a
+        // STATIC partition filter so unprobed cell dirs are never listed
+        // (the IvfIndex.prunedIndexScan rationale), and the same LUT
+        // frame feeds the ADC join — scoredShortlistWith skips the
+        // second probe the old two-call shape paid. The probe itself is
+        // |Q|-dispatched (driver arm for small batches, engine arm past
+        // IvfPq.driverProbeMaxWork), so this search face inherits the
+        // flat-driver-memory scale path.
+        val (lutRows, cells) = IvfPq.lutFrame(spark, model, qn, nprobe,
           "vec_id", "embedding")
         val scan = spark.read.parquet(s"$b/index")
           .filter(col("cell").isin(cells: _*))
-        Some(IvfPq.scoredShortlist(scan, qn, model, nprobe, shortlist,
+        Some(IvfPq.scoredShortlistWith(scan, lutRows, shortlist,
           "vec_id", "embedding", excludeSelf))
       } else None
     val tailPart =
       if (last > f) {
         val qb = qn.select(col("vec_id").as("query_id"),
           col("embedding").as("q_vec"))
-        val t = readTail(spark, statePath, f, last).crossJoin(broadcast(qb))
+        val tail = readTail(spark, statePath, f, last)
+        // Exact brute force over the unfolded tail is a crossJoin — pick
+        // the broadcast side by what is actually bounded: the query
+        // batch when small (the gated shape), otherwise the tail, whose
+        // size the recluster cadence bounds (an inference-sized |Q|
+        // must never be the broadcast relation — the
+        // IvfIndex.queryBroadcastMaxRows rationale).
+        val t =
+          if (queries.count() <= graft.analytics.IvfIndex.queryBroadcastMaxRows)
+            tail.crossJoin(broadcast(qb))
+          else broadcast(tail).crossJoin(qb)
         val cand =
           if (excludeSelf) t.filter(col("vec_id") =!= col("query_id")) else t
         Some(cand.withColumn("score",

@@ -252,7 +252,14 @@ object IvfState {
       if (last > f) {
         val qb = qn.select(col("vec_id").as("query_id"),
           col("embedding").as("q_vec"))
-        val t = readTail(spark, statePath, f, last).crossJoin(broadcast(qb))
+        // Broadcast the bounded side: the query batch when small, else
+        // the cadence-bounded tail (the IvfPqState.search rationale —
+        // an inference-sized |Q| must never be the broadcast relation).
+        val tail = readTail(spark, statePath, f, last)
+        val t =
+          if (queries.count() <= graft.analytics.IvfIndex.queryBroadcastMaxRows)
+            tail.crossJoin(broadcast(qb))
+          else broadcast(tail).crossJoin(qb)
         val cand =
           if (excludeSelf) t.filter(col("vec_id") =!= col("query_id")) else t
         Some(cand.withColumn("score",

@@ -206,7 +206,12 @@ object PqState {
       if (last > f) {
         val qb = qn.select(col("vec_id").as("query_id"),
           col("embedding").as("q_vec"))
-        val t = readTail(spark, statePath, f, last).crossJoin(broadcast(qb))
+        // Broadcast the bounded side — the IvfPqState.search rationale.
+        val tail = readTail(spark, statePath, f, last)
+        val t =
+          if (queries.count() <= graft.analytics.IvfIndex.queryBroadcastMaxRows)
+            tail.crossJoin(broadcast(qb))
+          else broadcast(tail).crossJoin(qb)
         val cand =
           if (excludeSelf) t.filter(col("vec_id") =!= col("query_id")) else t
         Some(cand.withColumn("score",
