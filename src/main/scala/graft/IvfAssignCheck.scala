@@ -61,16 +61,21 @@ object IvfAssignCheck {
         corpus.orderBy("vec_id").limit(k).collect()
           .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1).toSeq }.toSeq)
 
-    def measure(label: String, k: Int, force: Option[Int]): Unit = {
+    def measure(label: String, k: Int, force: Option[Int],
+                hierMin: Option[Int] = Some(Int.MaxValue)): Unit = {
       val m = mkModel(k)
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 60000)
       meter.bytes.set(0L); meter.records.set(0L)
       val t0 = System.nanoTime()
       val df = analytics.IvfIndex.literalAssignMaxKOverride.withValue(force) {
-        analytics.IvfIndex.index(corpus, m)
+        analytics.IvfIndex.hierarchicalAssignMinKOverride.withValue(hierMin) {
+          analytics.IvfIndex.index(corpus, m)
+        }
       }
       df.queryExecution.executedPlan // analysis + optimization, no tasks
       val tPlan = (System.nanoTime() - t0) / 1e9
+      // The hierarchical arm's super-codebook build (memoized per model)
+      // happens on first use — inside the timed section, honestly.
       df.write.mode("overwrite").format("noop").save()
       val tTotal = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 60000)
@@ -82,6 +87,11 @@ object IvfAssignCheck {
     ks.foreach { k =>
       if (k <= litMax) measure("literal", k, Some(Int.MaxValue))
       measure("join", k, Some(0))
+      // The two-level exact assign, forced on at this k: its win is the
+      // √k-row broadcast (the flat join ships k·dim·8 bytes to every
+      // executor), its price is two extra row-keyed joins — both
+      // visible in these columns.
+      measure("hier", k, Some(0), hierMin = Some(0))
       measure("dispatch", k, None) // what production gets at this k
     }
     spark.stop()

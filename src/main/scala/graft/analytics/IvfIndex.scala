@@ -23,13 +23,17 @@ import graft.functions.dotProduct
   * Determinism: initial centroids are the vectors with the k smallest ids
   * (seeded sampling would also do); every later step is pure.
   *
-  * Assignment has two plan shapes, dispatched on k by [[withNearestCells]]:
-  * a per-centroid literal expression tree (cheapest at small k) and a
-  * broadcast (cell, centroid) table join with a bounded-heap top-n
-  * aggregation (plan size O(1) in k — the extreme-scale path, since
-  * k ~ √n reaches 10⁵ at the 10¹⁰-vector design point where a literal
-  * tree would defeat codegen and drown the driver in plan work). The two
-  * paths are pinned equal — doubles, ties and all — by IvfJoinAssignSpec.
+  * Assignment has three plan shapes, dispatched on k by
+  * [[withNearestCells]]: a per-centroid literal expression tree
+  * (cheapest at small k); a broadcast (cell, centroid) table join with
+  * a bounded-heap top-n aggregation (plan size O(1) in k — the
+  * extreme-scale path, since k ~ √n reaches 10⁵ at the 10¹⁰-vector
+  * design point where a literal tree would defeat codegen and drown the
+  * driver in plan work); and past the codebook-broadcast ceiling
+  * ([[hierarchicalAssignMinK]], n = 1) a two-level EXACT hierarchical
+  * assign that broadcasts only a √k-row super-codebook
+  * ([[hierarchicalNearestCell]]). The paths are pinned equal — doubles,
+  * ties and all — by IvfJoinAssignSpec and HierarchicalAssignSpec.
   */
 object IvfIndex {
 
@@ -122,6 +126,8 @@ object IvfIndex {
                                       n: Int, outCol: String): DataFrame =
     if (model.centroids.size <= literalAssignMaxK)
       df.withColumn(outCol, nearestCells(col(vecCol), model, n))
+    else if (n == 1 && model.centroids.size > hierarchicalAssignMinK)
+      hierarchicalNearestCell(df, vecCol, model, outCol)
     else joinNearestCells(df, vecCol, model, n, outCol)
 
   /** JOIN assign path — the extreme-scale form (k beyond what a literal
@@ -151,9 +157,10 @@ object IvfIndex {
     * `-(-x) == x`), so the emitted `d` doubles are bit-identical too.
     *
     * Broadcast bound: k·dim·8 bytes — ~100 MB at k=10⁵, dim=128, fine to
-    * broadcast; the k ≳ 10⁷ regime (codebook > executor memory) needs a
-    * hierarchical coarse quantizer (assign to √k super-cells first),
-    * which no caller sizes into today — documented, not built.
+    * broadcast; past [[hierarchicalAssignMinK]] (codebook approaching
+    * executor memory) the n = 1 corpus-assign shape dispatches to
+    * [[hierarchicalNearestCell]], which broadcasts only the √k-row
+    * super-codebook.
     */
   private[graft] def joinNearestCells(df: DataFrame, vecCol: String, model: Model,
                                       n: Int, outCol: String): DataFrame = {
@@ -170,30 +177,7 @@ object IvfIndex {
       .toDF("__cell", "__centroid", "__cnorm")
     val rowKey = "__assign_row"
     val origCols = df.columns.toSeq
-    // The row key appears in TWO subtrees (the argmin aggregation and
-    // the join-back), and Spark evaluates each independently —
-    // monotonically_increasing_id is (partition, position)-derived, so
-    // the two evaluations agree ONLY if the input yields rows in the
-    // same per-partition order both times. Scans do; a SHUFFLE upstream
-    // does not (reduce-side row order is network-arrival order), and a
-    // mismatch would silently pair rows with the wrong cells. When the
-    // plan contains a shuffle-inducing or non-deterministic node, pin
-    // the keyed frame with a lazy localCheckpoint: both subtrees then
-    // read the same materialized blocks. Scan-only inputs (every
-    // in-repo caller: cached Lloyd projections, parquet scans, bundle ∪
-    // tail unions) skip the materialization.
-    val plan = df.queryExecution.optimizedPlan
-    val orderUnstable = plan.collectFirst {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Join => p
-      case p: org.apache.spark.sql.catalyst.plans.logical.Aggregate => p
-      case p: org.apache.spark.sql.catalyst.plans.logical.Window => p
-      case p: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => p
-      case p: org.apache.spark.sql.catalyst.plans.logical.Sort => p
-      case p: org.apache.spark.sql.catalyst.plans.logical.Sample => p
-      case p if p.expressions.exists(!_.deterministic) => p
-    }.isDefined
-    val keyed0 = df.withColumn(rowKey, monotonically_increasing_id())
-    val keyed = if (orderUnstable) keyed0.localCheckpoint(eager = false) else keyed0
+    val keyed = keyedStable(df, rowKey)
     val d = col("__cnorm") - lit(2.0) * dotProduct(col(vecCol), col("__centroid"))
     // The pair stream carries ONLY (rowKey, vec-projection inputs) into
     // the aggregate — original columns do NOT ride the ×k stream and are
@@ -232,6 +216,222 @@ object IvfIndex {
             e.getField("key").cast("int").as("cell"))).as(outCol))
     keyed.join(best, Seq(rowKey))
       .select(origCols.map(col) :+ col(outCol): _*)
+  }
+
+  /** k ceiling for the FLAT join assign's codebook broadcast. The join
+    * path ships the whole (cell, centroid) table to every executor —
+    * k·dim·8 bytes, ~100 MB at k = 10⁵/dim = 128 and ~1 GB at 10⁶: past
+    * that the broadcast relation itself is the asymptote (the
+    * BASELINE.md "k ≳ 10⁷ needs a hierarchical coarse quantizer" note).
+    * Above this k (and only for the corpus-scale n = 1 shape — index
+    * build and Lloyd assignment), [[withNearestCells]] dispatches to
+    * [[hierarchicalNearestCell]], which broadcasts only the √k-row
+    * super-codebook and ships the member centroids as a shuffled DATA
+    * join. Override via `-Dgraft.ivf.hierarchicalAssignMinK`; specs
+    * force the path through [[hierarchicalAssignMinKOverride]].
+    */
+  private[graft] def hierarchicalAssignMinK: Int =
+    hierarchicalAssignMinKOverride.value.getOrElse(
+      sys.props.get("graft.ivf.hierarchicalAssignMinK").map(_.toInt)
+        .getOrElse(1 << 20))
+
+  private[graft] val hierarchicalAssignMinKOverride =
+    new scala.util.DynamicVariable[Option[Int]](None)
+
+  /** A trained two-level coarse quantizer: `supers` = (sid,
+    * super-centroid, radius) for every NON-EMPTY super-cell, where
+    * radius(s) = max over member centroids c of the TRUE distance
+    * ‖c − s‖ (the triangle-inequality ball bound — an empty super has
+    * no witness member, so it must not appear in the pruning minimum at
+    * all); `memberSid` maps every cell id to its super.
+    */
+  private[graft] final case class SuperModel(
+      supers: Seq[(Int, Seq[Double], Double)], memberSid: Map[Int, Int])
+
+  private val superModelCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Model, SuperModel]())
+
+  private[graft] def superModelFor(spark: org.apache.spark.sql.SparkSession,
+                                   model: Model): SuperModel = {
+    val cached = superModelCache.get(model)
+    if (cached != null) cached
+    else {
+      val built = buildSuperModel(spark, model)
+      superModelCache.put(model, built)
+      built
+    }
+  }
+
+  /** Cluster the CODEBOOK into ⌈√k⌉ super-cells — a distributed Lloyd
+    * over the k centroids (the same machinery, one level up; the inner
+    * assigns are pinned to the flat join path, so building the
+    * hierarchy can never recurse into itself). Build cost is
+    * O(k·√k·dim) distributed FLOPs — the same order as one indexing
+    * pass over a k-cell corpus, paid once per model and memoized.
+    */
+  private def buildSuperModel(spark: org.apache.spark.sql.SparkSession,
+                              model: Model): SuperModel =
+    hierarchicalAssignMinKOverride.withValue(Some(Int.MaxValue)) {
+      import spark.implicits._
+      val k = model.centroids.size
+      val s = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val centDf = model.centroids.toDF("member_cell", "centroid")
+      val superModel = trainSized(centDf, _ => s, iters = 2,
+        "member_cell", "centroid")
+      val assigned = index(centDf, superModel, "centroid")
+        .select(col("member_cell"), col("centroid"), col("cell").as("sid"))
+        .localCheckpoint(eager = true) // one assign pass serves both collects
+      val superCents = superModel.centroids.toDF("sid", "__scent")
+      val radii = assigned.join(broadcast(superCents), Seq("sid"))
+        .select(col("sid"), sqrt(greatest(lit(0.0),
+          dotProduct(col("centroid"), col("centroid"))
+            - lit(2.0) * dotProduct(col("centroid"), col("__scent"))
+            + dotProduct(col("__scent"), col("__scent")))).as("r"))
+        .groupBy("sid").agg(max(col("r")).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val memberSid = assigned.select("member_cell", "sid")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      // Only supers that HAVE members participate (radii keys) — the
+      // exactness proof needs a witness member inside every ball that
+      // enters the pruning minimum.
+      SuperModel(
+        superModel.centroids.collect {
+          case (sid, c) if radii.contains(sid) => (sid, c, radii(sid))
+        },
+        memberSid)
+    }
+
+  /** Two-level EXACT nearest-cell assign — the extreme-k form past the
+    * flat join path's codebook-broadcast ceiling ([[hierarchicalAssignMinK]]).
+    * Executors never see the k-cell codebook; they see the ⌈√k⌉-row
+    * super-codebook (broadcast) and the member centroids as a DATA
+    * table joined by super id (shuffle join — O(k) rows through the
+    * exchange once, not per input row).
+    *
+    * Exactness (the q47 ball-probe argument, one level up): with
+    * B(v) = min over supers s of (‖v − s‖ + r(s)), every super has a
+    * member within ‖v − s‖ + r(s) of v, so the true nearest centroid
+    * satisfies ‖v − c*‖ ≤ B(v); and every member of a pruned super
+    * (‖v − s‖ − r(s) > B(v)) is strictly farther than B(v) ≥ ‖v − c*‖ —
+    * pruned supers can hold neither the argmin nor any tie of it, so
+    * scanning the kept supers' members is exhaustive. Distances in the
+    * pruning are TRUE distances (the √ form with ‖v‖²); the final
+    * ranking over kept members uses the same ‖c‖² − 2⟨v,c⟩ surrogate
+    * and the same (d, cell) total order as the other two paths — via
+    * two order-insensitive codegen'd min passes (min distance, then
+    * min cell among the distance ties; the post-shuffle member stream
+    * has no controllable row order for the flat path's min_by trick) —
+    * so all three assign paths emit bit-identical rows
+    * (HierarchicalAssignSpec).
+    *
+    * Plan shape: three map-side-collapsed aggregations (pruning bound,
+    * min distance, tie-resolving min cell — no exchange ever carries
+    * the ×√k super stream; the ×members stream is either generated
+    * post-broadcast or co-partitioned by super id, and always dies in a
+    * partial aggregation) plus row-keyed equi-joins of row-sized
+    * frames. Remaining documented asymptote: the DRIVER still holds
+    * the codebook (Model is a Seq) — a disk-backed codebook table would
+    * remove that copy; no caller sizes into it (k·dim·8 ≈ 10 GB at
+    * k = 10⁷) and it is independent of the executor-broadcast ceiling
+    * this path closes.
+    */
+  private[graft] def hierarchicalNearestCell(df: DataFrame, vecCol: String,
+      model: Model, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sm = superModelFor(spark, model)
+    val supersDf = broadcast(
+      sm.supers.map { case (sid, c, r) => (sid, c, r, c.map(x => x * x).sum) }
+        .toDF("__sid", "__scent", "__r", "__snorm"))
+    val members = model.centroids
+      .map { case (cid, c) => (sm.memberSid(cid), cid, c, c.map(x => x * x).sum) }
+      .toDF("__sid", "__cell", "__centroid", "__cnorm")
+    val rowKey = "__hier_row"
+    val origCols = df.columns.toSeq
+    val keyed = keyedStable(df, rowKey)
+    val v = col(vecCol)
+    val ds = sqrt(greatest(lit(0.0),
+      dotProduct(v, v) - lit(2.0) * dotProduct(v, col("__scent"))
+        + col("__snorm")))
+    // Stage 1: pruning bound B — the ×√k super stream collapses in
+    // map-side partial aggregation (one ~16-byte row per input row
+    // through the exchange).
+    val bounds = keyed.select(col(rowKey), v)
+      .crossJoin(supersDf)
+      .groupBy(col(rowKey)).agg(min(ds + col("__r")).as("__B"))
+    // Stage 2: rows rejoin their bound 1:1, then re-score the supers
+    // map-side and keep those whose ball can still beat B. The slack
+    // term absorbs float rounding in the ball arithmetic: the proof is
+    // a real-number theorem, and a boundary-exact super (its lower
+    // bound EQUALS B in reals) must never be dropped by a last-ulp
+    // flip — widening the kept set only adds candidates, never
+    // wrongness.
+    val slack = lit(1e-9) * (lit(1.0) + abs(col("__B")))
+    val cand = keyed.select(col(rowKey), v).join(bounds, Seq(rowKey))
+      .crossJoin(supersDf)
+      .filter(ds - col("__r") <= col("__B") + slack)
+      .select(col(rowKey), v.as("__v"), col("__sid"))
+    // Stage 3: candidates meet their supers' members (k-row DATA side,
+    // sid equi-join) and collapse to the per-row MINIMUM distance — a
+    // codegen'd primitive-buffer HashAggregate. (A bounded-heap TopK
+    // udaf here measured ~200× slower at like candidate volumes:
+    // interpreted per-row heap updates on the ×members stream vs
+    // generated min updates — the same demotion trap the flat join path
+    // documents for carry aggregates.)
+    val d = col("__cnorm") - lit(2.0) * dotProduct(col("__v"), col("__centroid"))
+    val dmin = cand.join(members, Seq("__sid"))
+      .groupBy(col(rowKey)).agg(min(d).as("__dmin"))
+    // Stage 4: ties (equal minimal d) must resolve to the SMALLEST cell
+    // — the literal path's (d, cell) struct order — and the post-shuffle
+    // member stream has no controllable row order for the flat path's
+    // min_by trick, so take a SECOND codegen'd pass: re-derive the
+    // candidate×member stream map-side (deterministic kernels — the
+    // recompute emits bit-identical doubles), keep rows equal to the
+    // minimum, take min(cell). __dmin rides the row-keyed frames (the
+    // bound join's shape), never the member stream.
+    val best = keyed.select(col(rowKey), v)
+      .join(bounds, Seq(rowKey)).join(dmin, Seq(rowKey))
+      .crossJoin(supersDf)
+      .filter(ds - col("__r") <= col("__B") + slack)
+      .select(col(rowKey), v.as("__v"), col("__sid"), col("__dmin"))
+      .join(members, Seq("__sid"))
+      .filter(d === col("__dmin"))
+      .groupBy(col(rowKey))
+      .agg(min(col("__cell")).as("__cell"), min(col("__dmin")).as("__d"))
+      .select(col(rowKey),
+        array(struct(col("__d").as("d"), col("__cell").as("cell"))).as(outCol))
+    keyed.join(best, Seq(rowKey))
+      .select(origCols.map(col) :+ col(outCol): _*)
+  }
+
+  /** Attach a stable per-row key for plans whose row key appears in TWO
+    * subtrees (an argmin aggregation and its join-back), each evaluated
+    * independently — monotonically_increasing_id is (partition,
+    * position)-derived, so the two evaluations agree ONLY if the input
+    * yields rows in the same per-partition order both times. Scans do; a
+    * SHUFFLE upstream does not (reduce-side row order is network-arrival
+    * order), and a mismatch would silently pair rows with the wrong
+    * cells. When the plan contains a shuffle-inducing or
+    * non-deterministic node, pin the keyed frame with a lazy
+    * localCheckpoint: both subtrees then read the same materialized
+    * blocks. Scan-only inputs (every in-repo caller: cached Lloyd
+    * projections, parquet scans, bundle ∪ tail unions) skip the
+    * materialization.
+    */
+  private def keyedStable(df: DataFrame, rowKey: String): DataFrame = {
+    val plan = df.queryExecution.optimizedPlan
+    val orderUnstable = plan.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Join => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.Aggregate => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.Window => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.Sort => p
+      case p: org.apache.spark.sql.catalyst.plans.logical.Sample => p
+      case p if p.expressions.exists(!_.deterministic) => p
+    }.isDefined
+    val keyed0 = df.withColumn(rowKey, monotonically_increasing_id())
+    if (orderUnstable) keyed0.localCheckpoint(eager = false) else keyed0
   }
 
   /** The cell count the IVF sizing rule prescribes for an n-row corpus:

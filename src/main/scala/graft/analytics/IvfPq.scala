@@ -163,19 +163,20 @@ object IvfPq {
         lutFrameDriver(spark, model, queries, nprobe, idCol, vecCol)
       (IvfIndex.hintQuerySide(df, qCount * nprobe), cells)
     } else {
-      val df = IvfIndex.hintQuerySide(
-        lutFrameEngine(model, queries, nprobe, idCol, vecCol),
-        qCount * nprobe)
-      // Probe-only second pass for the cell union: re-runs the
-      // k-dispatched assign over the query frame (distributed, no LUT
-      // work) and collects ≤ kCells distinct ints — the only
-      // driver-side materialization on this path.
-      val cells = IvfIndex.withNearestCells(
-          queries.select(col(vecCol).cast("array<double>").as("__qv")),
-          "__qv", model.coarse, nprobe, "__cells")
-        .select(explode(col("__cells").getField("cell")).as("cell"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      (df, cells)
+      // ONE materialized probe pass: the coarse assign is the expensive
+      // half of the engine arm (|Q|·kCells pair scoring through the
+      // join assign), and BOTH consumers need it — the probed-cell
+      // union collect and the LUT build (which is map-side expressions
+      // ON TOP of the probe rows, no further shuffle). The checkpoint
+      // holds |Q|·nprobe × (dim + 2) values in executor (not driver)
+      // storage; without it the assign would run twice (measured ~2×
+      // the probe wall at |Q| = 10⁵, IvfPqProbeCheck).
+      val probes = probeFrame(model, queries, nprobe, idCol, vecCol)
+        .localCheckpoint(eager = true)
+      val cells = probes.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      (IvfIndex.hintQuerySide(lutOnProbes(model, probes), qCount * nprobe),
+        cells)
     }
   }
 
@@ -238,18 +239,33 @@ object IvfPq {
     * vs the driver arm's same total work on one thread.
     */
   private[graft] def lutFrameEngine(model: Model, queries: DataFrame,
-      nprobe: Int, idCol: String, vecCol: String): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val m = model.pq.m
-    val dsub = model.pq.dsub
-    val cents = model.coarse.centroids.toDF("cell", "__cent")
-    val probed = IvfIndex.withNearestCells(
+      nprobe: Int, idCol: String, vecCol: String): DataFrame =
+    lutOnProbes(model, probeFrame(model, queries, nprobe, idCol, vecCol))
+
+  /** The engine arm's probe half: (query_id, q_vec, cell) — one row per
+    * (query, probed cell), via the k-dispatched assign on the query
+    * frame. Split from [[lutOnProbes]] so the dispatch can materialize
+    * the probe ONCE for its two consumers (cell union + LUT build).
+    */
+  private def probeFrame(model: Model, queries: DataFrame,
+      nprobe: Int, idCol: String, vecCol: String): DataFrame =
+    IvfIndex.withNearestCells(
         queries.select(col(idCol).cast("long").as("query_id"),
           col(vecCol).cast("array<double>").as("q_vec")),
         "q_vec", model.coarse, nprobe, "__cells")
       .withColumn("cell", explode(col("__cells").getField("cell")))
       .drop("__cells")
+
+  /** The engine arm's LUT half: residual + m×ksub true-squared-distance
+    * tables as map-side expressions over the probe rows — no shuffle.
+    */
+  private def lutOnProbes(model: Model, probes: DataFrame): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val m = model.pq.m
+    val dsub = model.pq.dsub
+    val cents = model.coarse.centroids.toDF("cell", "__cent")
+    val probed = probes
       .join(broadcast(cents), Seq("cell"))
       .withColumn("__resid",
         zip_with(col("q_vec"), col("__cent"), _ - _))
