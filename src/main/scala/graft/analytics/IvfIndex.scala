@@ -738,6 +738,27 @@ object IvfIndex {
     search(index(corpus, model), corpus.filter(col("vec_id") < 10), model, k = 5, nprobe = 4)
   }
 
+  // --------------------------------------------------------------- q261
+  /** The q28 search with the coarse assign FORCED onto the hierarchical
+    * path — the oracle-gated face of [[hierarchicalNearestCell]] (specs
+    * pin path equality; this row pins the path against the DuckDB
+    * exact-kNN oracle every round, the q28 discipline). The forcing
+    * scope covers plan CONSTRUCTION — dispatch happens when
+    * [[withNearestCells]] builds the plan, and the super-model build
+    * runs its Spark actions inside the same scope — so the returned
+    * frame executes the hierarchical plan regardless of when the driver
+    * materializes it. n = 1 assigns (index build, Lloyd) go
+    * hierarchical; the n = 4 query probe keeps the flat join (the
+    * documented n > 1 split).
+    */
+  def ivfKnnHier(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    literalAssignMaxKOverride.withValue(Some(0)) {
+      hierarchicalAssignMinKOverride.withValue(Some(0)) {
+        ivfKnn(spark, dir)
+      }
+    }
+
   val queries: Seq[graft.NamedQuery] = Seq(
-    graft.NamedQuery("q28_knn_ivf", ivfKnn _, Some(Similarity.plantedKnnSql)))
+    graft.NamedQuery("q28_knn_ivf", ivfKnn _, Some(Similarity.plantedKnnSql)),
+    graft.NamedQuery("q261_knn_ivf_hier", ivfKnnHier _, Some(Similarity.plantedKnnSql)))
 }

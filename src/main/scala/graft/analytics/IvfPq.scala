@@ -348,6 +348,26 @@ object IvfPq {
       k = 5, nprobe = 4, shortlist = 50)
   }
 
+  // --------------------------------------------------------------- q262
+  /** The q238 search with the query-side probe FORCED onto the engine
+    * arm AND the LUT broadcast gate forced open (shuffle cell join) —
+    * the oracle-gated face of the r15 scale path: probes via
+    * `withNearestCells` on the query frame, LUTs as expressions over
+    * plan-literal codebooks, no query-proportional driver state, no
+    * query-side broadcast. Forcing covers plan construction (both
+    * dispatches choose at build time; the engine probe's checkpoint
+    * action runs inside the scope), so the driver-side materialization
+    * later executes the engine plan. Same planted exact-kNN oracle as
+    * q238 — the composite answer must be bit-identical on either arm.
+    */
+  def ivfPqKnnEngine(spark: SparkSession, dir: String): DataFrame =
+    driverProbeMaxWorkOverride.withValue(Some(0L)) {
+      IvfIndex.queryBroadcastMaxRowsOverride.withValue(Some(0L)) {
+        ivfPqKnn(spark, dir)
+      }
+    }
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery("q238_knn_ivfpq", ivfPqKnn _, Some(Similarity.plantedKnnSql)))
+    NamedQuery("q238_knn_ivfpq", ivfPqKnn _, Some(Similarity.plantedKnnSql)),
+    NamedQuery("q262_knn_ivfpq_engine", ivfPqKnnEngine _, Some(Similarity.plantedKnnSql)))
 }

@@ -148,6 +148,32 @@ class PlanAuditSpec extends SparkSpec {
       s"q237 must stay gram/doc-keyed: $s")
   }
 
+  test("q261 hierarchical-assign face: no single-partition funnel; nested " +
+    "loops bounded to the √k-row super crossJoins") {
+    val s = stats("q261_knn_ivf_hier")
+    // The hierarchical assign's crossJoins broadcast the ⌈√k⌉-row
+    // super-codebook (bounded, dies in map-side partial agg) — they are
+    // the designed shape, not a pair-scan; what must never appear is a
+    // corpus single-partition funnel or an unbounded nested-loop count
+    // (each forced assign contributes ≤ 3: bound, dmin-candidates,
+    // tie-pass — Lloyd iters + index + search probe ⇒ ceiling 12).
+    assert(s.singleParts == 0, s"q261 must never funnel: $s")
+    assert(s.nestedLoops <= 12,
+      s"q261 nested loops must stay the bounded super crossJoins: $s")
+  }
+
+  test("q262 engine-probe face: LUT join SHUFFLES on cell (gate forced " +
+    "open), no nested loop, no single-partition") {
+    val s = stats("q262_knn_ivfpq_engine")
+    // The whole point of the face: above the |Q| gate the cell join is
+    // a shuffle join — a broadcast-only plan would mean the gate
+    // silently stopped applying.
+    assert(s.nestedLoops == 0 && s.singleParts == 0,
+      s"q262 must stay cell-pruned: $s")
+    assert(s.smj >= 1,
+      s"q262's gated LUT join must shuffle on cell, not broadcast: $s")
+  }
+
   test("q238 IVF-PQ search: probed-cell equi-join + broadcast LUTs — no " +
     "nested loop, no corpus single-partition") {
     val s = stats("q238_knn_ivfpq")
