@@ -164,10 +164,11 @@ object ScaleCheck {
     "q114_lead_lag_corr", "q95_user_streaks", "q201_sprt_trace",
     "q193_eb_shrinkage", "q167_cuped_reduction", "q163_conversion_ztest",
     "q180_offline_policy",
-    // round-15: the two new oracle-gated path faces — the forced
-    // hierarchical coarse assign and the forced engine-side IVF-PQ
-    // probe (decade on arrival, the q210 discipline).
-    "q261_knn_ivf_hier", "q262_knn_ivfpq_engine")
+    // round-15: the three new oracle-gated path faces — the forced
+    // hierarchical coarse assign, the forced engine-side IVF-PQ probe,
+    // and the forced engine-side flat-PQ LUT build (decade on arrival,
+    // the q210 discipline).
+    "q261_knn_ivf_hier", "q262_knn_ivfpq_engine", "q263_knn_pq_engine")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

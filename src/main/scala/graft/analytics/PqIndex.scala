@@ -131,9 +131,11 @@ object PqIndex {
 
   /** ADC search: score the code table with per-query lookup tables, keep
     * the `shortlist` best, then re-rank those EXACTLY on the raw
-    * vectors. The query set is collected (broadcast-query-set shape, the
-    * q19 convention — queries are user-sized, the corpus never moves)
-    * and ships as one broadcast row per query carrying its m×ksub LUT.
+    * vectors. Small query batches collect + broadcast (the q19
+    * convention — queries are user-sized, the corpus never moves); past
+    * [[IvfIndex.queryBroadcastMaxRows]] the LUTs build engine-side and
+    * the hint drops (the r15 probe-dispatch symmetry — see
+    * [[scoredShortlist]]).
     */
   def searchAdc(encoded: DataFrame, queries: DataFrame, model: Model, k: Int,
                 shortlist: Int = 50,
@@ -154,30 +156,30 @@ object PqIndex {
   private[graft] def scoredShortlist(encoded: DataFrame, queries: DataFrame,
       model: Model, shortlist: Int, idCol: String, vecCol: String,
       excludeSelf: Boolean): DataFrame = {
-    val spark = encoded.sparkSession
-    import spark.implicits._
-    val qRows = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-    // LUT(s)(c) = ||c||² − 2⟨q_s, c⟩ : rank-equivalent to the true ADC
-    // distance (||q_s||² is constant per query), computed driver-side in
-    // plain Scala — m·ksub doubles per query.
-    val lutDf = qRows.toSeq.map { case (qid, qv) =>
-      val lut = (0 until model.m).map { s =>
-        val qs = qv.slice(s * model.dsub, (s + 1) * model.dsub)
-        model.books(s).map(c =>
-          c.map(x => x * x).sum - 2.0 * qs.zip(c).map { case (a, b) => a * b }.sum)
-      }
-      (qid, qv, lut)
-    }.toDF("query_id", "q_vec", "lut")
+    // |Q|-dispatched LUT build (the IvfPq.lutFrame symmetry): the
+    // driver arm collects the query set — zero Spark jobs, right for
+    // FAISS-sized batches, |Q| LUT rows of driver heap at inference
+    // batches; the engine arm builds the same LUTs as map-side
+    // expressions over the plan-literal codebooks, bit-equal
+    // (PqEngineLutSpec) with O(codebook) driver memory. One knob
+    // (IvfIndex.queryBroadcastMaxRows) also gates the crossJoin's
+    // broadcast hint: above it Spark picks the join side itself —
+    // flat-PQ ADC is a full query×codes scan by DESIGN (the
+    // memory-compression face; the corpus-pruned face is IvfPq).
+    val qCount = queries.count()
+    val lutDf0 =
+      if (qCount <= IvfIndex.queryBroadcastMaxRows)
+        lutRowsDriver(encoded.sparkSession, model, queries, idCol, vecCol)
+      else lutRowsEngine(model, queries, idCol, vecCol)
+    val lutDf =
+      if (qCount <= IvfIndex.queryBroadcastMaxRows) broadcast(lutDf0) else lutDf0
 
     val adc = aggregate(
       zip_with(col("codes"), col("lut"),
         (code, tab) => element_at(tab, code + 1)),
       lit(0.0), (acc, x) => acc + x)
     val scoredCodes = encoded
-      .crossJoin(broadcast(lutDf))
+      .crossJoin(lutDf)
       .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
       .withColumn("adc", adc)
     val short = scoredCodes
@@ -189,6 +191,48 @@ object PqIndex {
         col(vecCol).cast("array<double>").as(vecCol))
     short.withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol)))
       .select(col("query_id"), col(idCol), col("score"))
+  }
+
+  /** Driver-arm LUT rows (query_id, q_vec, lut):
+    * LUT(s)(c) = ‖c‖² − 2⟨q_s, c⟩ — rank-equivalent to the true ADC
+    * distance (‖q_s‖² is constant per query), computed in plain Scala —
+    * m·ksub doubles per query, zero Spark jobs.
+    */
+  private[graft] def lutRowsDriver(spark: SparkSession, model: Model,
+      queries: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import spark.implicits._
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    qRows.toSeq.map { case (qid, qv) =>
+      val lut = (0 until model.m).map { s =>
+        val qs = qv.slice(s * model.dsub, (s + 1) * model.dsub)
+        model.books(s).map(c =>
+          c.map(x => x * x).sum - 2.0 * qs.zip(c).map { case (a, b) => a * b }.sum)
+      }
+      (qid, qv, lut)
+    }.toDF("query_id", "q_vec", "lut")
+  }
+
+  /** Engine-arm LUT rows — the same tables as map-side expressions over
+    * the PLAN-literal codebooks (one `transform` per subspace), with the
+    * driver arm's exact arithmetic sequence: left-fold dots
+    * ([[dotProduct]]'s kernel ≡ Scala's zip/map/sum) and the
+    * cnorm − 2·dot association — bit-equal LUT doubles (PqEngineLutSpec).
+    * Nothing query-proportional touches the driver at any |Q|.
+    */
+  private[graft] def lutRowsEngine(model: Model, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val lut = array((0 until model.m).map { s =>
+      val qs = slice(col("q_vec"), s * model.dsub + 1, model.dsub)
+      transform(typedlit(model.books(s)), c =>
+        dotProduct(c, c) - lit(2.0) * dotProduct(qs, c))
+    }: _*)
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("lut", lut)
   }
 
   /** Persist a trained model as a tiny parquet table (s, c, centroid) —
@@ -231,6 +275,20 @@ object PqIndex {
       k = 5, shortlist = 50)
   }
 
+  // --------------------------------------------------------------- q263
+  /** The q117 search with the LUT build FORCED onto the engine arm and
+    * the query broadcast gate forced open — the oracle-gated face of
+    * the flat-PQ probe dispatch (the q261/q262 discipline: the scale
+    * path answers to the DuckDB oracle every round, not just to specs).
+    * The forcing scope covers plan construction, where both dispatches
+    * choose.
+    */
+  def pqKnnEngine(spark: SparkSession, dir: String): DataFrame =
+    IvfIndex.queryBroadcastMaxRowsOverride.withValue(Some(0L)) {
+      pqKnn(spark, dir)
+    }
+
   val queries: Seq[graft.NamedQuery] = Seq(
-    graft.NamedQuery("q117_knn_pq_adc", pqKnn _, Some(Similarity.plantedKnnSql)))
+    graft.NamedQuery("q117_knn_pq_adc", pqKnn _, Some(Similarity.plantedKnnSql)),
+    graft.NamedQuery("q263_knn_pq_engine", pqKnnEngine _, Some(Similarity.plantedKnnSql)))
 }
