@@ -30,10 +30,12 @@ import graft.functions.dotProduct
   * extreme-scale path, since k ~ √n reaches 10⁵ at the 10¹⁰-vector
   * design point where a literal tree would defeat codegen and drown the
   * driver in plan work); and past the codebook-broadcast ceiling
-  * ([[hierarchicalAssignMinK]], n = 1) a two-level EXACT hierarchical
-  * assign that broadcasts only a √k-row super-codebook
-  * ([[hierarchicalNearestCell]]). The paths are pinned equal — doubles,
-  * ties and all — by IvfJoinAssignSpec and HierarchicalAssignSpec.
+  * ([[hierarchicalAssignMinK]]) a two-level EXACT hierarchical assign
+  * that broadcasts only a √k-row super-codebook
+  * ([[hierarchicalNearestCell]] for corpus n = 1,
+  * [[hierarchicalNearestCellsN]] for query n > 1). The paths are pinned
+  * equal — doubles, ties and all — by IvfJoinAssignSpec and
+  * HierarchicalAssignSpec.
   */
 object IvfIndex {
 
@@ -126,9 +128,10 @@ object IvfIndex {
                                       n: Int, outCol: String): DataFrame =
     if (model.centroids.size <= literalAssignMaxK)
       df.withColumn(outCol, nearestCells(col(vecCol), model, n))
-    else if (n == 1 && model.centroids.size > hierarchicalAssignMinK)
-      hierarchicalNearestCell(df, vecCol, model, outCol)
-    else joinNearestCells(df, vecCol, model, n, outCol)
+    else if (model.centroids.size > hierarchicalAssignMinK) {
+      if (n == 1) hierarchicalNearestCell(df, vecCol, model, outCol)
+      else hierarchicalNearestCellsN(df, vecCol, model, n, outCol)
+    } else joinNearestCells(df, vecCol, model, n, outCol)
 
   /** JOIN assign path — the extreme-scale form (k beyond what a literal
     * expression tree tolerates, i.e. coarse quantizers sized k ~ √n for
@@ -223,10 +226,11 @@ object IvfIndex {
     * k·dim·8 bytes, ~100 MB at k = 10⁵/dim = 128 and ~1 GB at 10⁶: past
     * that the broadcast relation itself is the asymptote (the
     * BASELINE.md "k ≳ 10⁷ needs a hierarchical coarse quantizer" note).
-    * Above this k (and only for the corpus-scale n = 1 shape — index
-    * build and Lloyd assignment), [[withNearestCells]] dispatches to
-    * [[hierarchicalNearestCell]], which broadcasts only the √k-row
-    * super-codebook and ships the member centroids as a shuffled DATA
+    * Above this k, [[withNearestCells]] dispatches to the two-level
+    * forms — [[hierarchicalNearestCell]] for the corpus-scale n = 1
+    * shape (index build, Lloyd), [[hierarchicalNearestCellsN]] for the
+    * query-side n > 1 probe — which broadcast only the √k-row
+    * super-codebook and ship the member centroids as a shuffled DATA
     * join. Override via `-Dgraft.ivf.hierarchicalAssignMinK`; specs
     * force the path through [[hierarchicalAssignMinKOverride]].
     */
@@ -401,6 +405,77 @@ object IvfIndex {
       .agg(min(col("__cell")).as("__cell"), min(col("__dmin")).as("__d"))
       .select(col(rowKey),
         array(struct(col("__d").as("d"), col("__cell").as("cell"))).as(outCol))
+    keyed.join(best, Seq(rowKey))
+      .select(origCols.map(col) :+ col(outCol): _*)
+  }
+
+  /** The n > 1 hierarchical form — the QUERY-side nprobe shape past the
+    * codebook-broadcast ceiling (an inference batch probing a k ≥ 10⁶
+    * quantizer), so the LAST extreme-k caller no longer ships the
+    * codebook to executors. Same two-level structure as
+    * [[hierarchicalNearestCell]] with two generalizations, both exact:
+    *
+    *  - Pruning bound: Bₙ(v) = the n-th smallest (‖v − s‖ + r(s)) over
+    *    the supers. The n nearest-by-(d+r) supers each contain a
+    *    witness member within their (d+r), giving n distinct candidates
+    *    ≤ Bₙ — so the true n-th nearest distance is ≤ Bₙ, and a super
+    *    with ‖v − s‖ − r(s) > Bₙ can contribute nothing to the top n
+    *    (nor any tie of its boundary). Looser than a member-count-aware
+    *    prefix bound but sound, and one bounded-heap aggregate.
+    *  - Ranking: bounded-heap top-n over the kept members with the
+    *    (d, cell) total order — the interpreted heap aggregate is FINE
+    *    here because this is the query shape (|Q| ≪ corpus rows; the
+    *    corpus-scale n = 1 form uses the codegen'd two-pass min
+    *    precisely because its stream is corpus-sized).
+    *
+    * Emits the literal path's exact output shape (sorted
+    * array<struct<d, cell>>, slice-n semantics: distance ties beyond
+    * position n drop on both paths by the same (d, cell) order) —
+    * HierarchicalAssignSpec pins n = 4 bit-equality and the full-search
+    * face.
+    */
+  private[graft] def hierarchicalNearestCellsN(df: DataFrame, vecCol: String,
+      model: Model, n: Int, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sm = superModelFor(spark, model)
+    val supersDf = broadcast(
+      sm.supers.map { case (sid, c, r) => (sid, c, r, c.map(x => x * x).sum) }
+        .toDF("__sid", "__scent", "__r", "__snorm"))
+    val members = model.centroids
+      .map { case (cid, c) => (sm.memberSid(cid), cid, c, c.map(x => x * x).sum) }
+      .toDF("__sid", "__cell", "__centroid", "__cnorm")
+    val rowKey = "__hiern_row"
+    val origCols = df.columns.toSeq
+    val keyed = keyedStable(df, rowKey)
+    val v = col(vecCol)
+    val ds = sqrt(greatest(lit(0.0),
+      dotProduct(v, v) - lit(2.0) * dotProduct(v, col("__scent"))
+        + col("__snorm")))
+    // Bₙ = n-th smallest (d + r): bounded-heap top-n over the ×√k super
+    // stream (map-side collapse; one row per input row through the
+    // exchange), Bₙ = the heap's worst member.
+    val bounds = keyed.select(col(rowKey), v)
+      .crossJoin(supersDf)
+      .groupBy(col(rowKey))
+      .agg(graft.functions.TopK.topK(n)(
+        -(ds + col("__r")), col("__sid").cast("long"), lit(0L)).as("__near"))
+      .select(col(rowKey),
+        (-element_at(col("__near"), size(col("__near"))).getField("score"))
+          .as("__B"))
+    val slack = lit(1e-9) * (lit(1.0) + abs(col("__B")))
+    val cand = keyed.select(col(rowKey), v).join(bounds, Seq(rowKey))
+      .crossJoin(supersDf)
+      .filter(ds - col("__r") <= col("__B") + slack)
+      .select(col(rowKey), v.as("__v"), col("__sid"))
+    val d = col("__cnorm") - lit(2.0) * dotProduct(col("__v"), col("__centroid"))
+    val best = cand.join(members, Seq("__sid"))
+      .groupBy(col(rowKey))
+      .agg(graft.functions.TopK.topK(n)(-d, col("__cell").cast("long"), lit(0L))
+        .as("__top"))
+      .select(col(rowKey), transform(col("__top"), e => struct(
+        (-e.getField("score")).as("d"),
+        e.getField("key").cast("int").as("cell"))).as(outCol))
     keyed.join(best, Seq(rowKey))
       .select(origCols.map(col) :+ col(outCol): _*)
   }
@@ -747,9 +822,10 @@ object IvfIndex {
     * [[withNearestCells]] builds the plan, and the super-model build
     * runs its Spark actions inside the same scope — so the returned
     * frame executes the hierarchical plan regardless of when the driver
-    * materializes it. n = 1 assigns (index build, Lloyd) go
-    * hierarchical; the n = 4 query probe keeps the flat join (the
-    * documented n > 1 split).
+    * materializes it. n = 1 assigns (index build, Lloyd) take the
+    * codegen'd two-pass form; the n = 4 query probe takes the
+    * bounded-heap n > 1 form — both levels of the dispatch are on this
+    * row's oracle hook.
     */
   def ivfKnnHier(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     literalAssignMaxKOverride.withValue(Some(0)) {

@@ -49,6 +49,35 @@ class HierarchicalAssignSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical n>1 (query-probe shape) ≡ literal and flat-join paths, bit-exact") {
+    val c = corpus
+    val model = IvfIndex.train(c, k = 16, iters = 2)
+    def assign(litMax: Int, hierMin: Int): Seq[Seq[Any]] =
+      forced(litMax, hierMin) {
+        rows(IvfIndex.withNearestCells(c, "embedding", model, 4, "cells")
+          .orderBy("vec_id"))
+      }
+    val literal = assign(Int.MaxValue, Int.MaxValue)
+    val flatJoin = assign(0, Int.MaxValue)
+    val hier = assign(0, 0)
+    assert(hier == literal, "hierarchical n=4 diverged from literal")
+    assert(hier == flatJoin, "hierarchical n=4 diverged from flat join")
+    // The duplicate-centroid tie fixture at n = 2: the Bₙ bound and the
+    // member heap must keep the literal slice's exact (d, cell) order.
+    import spark.implicits._
+    val tieModel = IvfIndex.Model(Seq(
+      0 -> Seq(1.0, 0.0), 1 -> Seq(1.0, 0.0), 2 -> Seq(0.0, 1.0)))
+    val df = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val got = forced(0, 0) {
+      IvfIndex.withNearestCells(df, "embedding", tieModel, 2, "cells")
+        .orderBy("vec_id")
+        .select(col("cells").getField("cell")).collect().map(_.getSeq[Int](0))
+    }
+    assert(got(0) == Seq(0, 1) && got(1) == Seq(2, 0),
+      s"n=2 hierarchical tie order diverged: ${got.toSeq}")
+  }
+
   test("equal-distance ties resolve to the same cell (duplicate-centroid fixture)") {
     import spark.implicits._
     val model = IvfIndex.Model(Seq(
@@ -103,21 +132,19 @@ class HierarchicalAssignSpec extends SparkSpec {
     assert(aLit == aHier, "Lloyd clustering diverged under hierarchical assign")
   }
 
-  test("dispatch: n=1 above hierMinK takes the hierarchical path; n>1 keeps the flat join") {
+  test("dispatch: above hierMinK, n=1 takes the codegen'd two-pass form and " +
+    "n>1 the heap form; below it the flat join keeps both") {
     val c = corpus
     val model = IvfIndex.train(c, k = 16, iters = 2)
-    // The hierarchical plan is recognizable by its TWO row-keyed
-    // aggregations (pruning bound + member argmin) vs the join path's
-    // one; cheapest robust probe: the super-codebook build is memoized,
-    // so force the path and check the plan contains the member-table
-    // join column marker.
-    def planOf(n: Int): String = forced(0, 0) {
+    def planOf(n: Int, hierMin: Int): String = forced(0, hierMin) {
       IvfIndex.withNearestCells(c, "embedding", model, n, "cells")
         .queryExecution.optimizedPlan.toString
     }
-    assert(planOf(1).contains("__hier_row"),
-      "n=1 above the ceiling must take the hierarchical path")
-    assert(!planOf(2).contains("__hier_row"),
-      "n>1 must keep the flat join path (query-side nprobe shape)")
+    assert(planOf(1, 0).contains("__hier_row"),
+      "n=1 above the ceiling must take the two-pass hierarchical path")
+    assert(planOf(2, 0).contains("__hiern_row"),
+      "n>1 above the ceiling must take the heap hierarchical path")
+    assert(!planOf(2, Int.MaxValue).contains("__hiern_row"),
+      "below the ceiling n>1 must keep the flat join")
   }
 }
