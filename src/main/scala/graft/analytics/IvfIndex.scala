@@ -252,6 +252,10 @@ object IvfIndex {
   private[graft] final case class SuperModel(
       supers: Seq[(Int, Seq[Double], Double)], memberSid: Map[Int, Int])
 
+  // Value-equality keys on purpose: a model re-loaded from parquet per
+  // search batch hits the cache (rebuilding the super-Lloyd would dwarf
+  // everything); the O(k·dim) deep hash per lookup (~50 ms at k = 10⁶)
+  // is noise next to the probe it fronts.
   private val superModelCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[Model, SuperModel]())
