@@ -45,11 +45,21 @@ object IvfAssignCheck {
     // Corpus: sf embeddings replicated ×expand with id offsets and
     // per-replica rotation noise (the ScaleCheck recipe), checkpointed
     // so every measurement scans identical materialized input.
+    // SPARK_GRAFT_IVF_CLUSTERED=1 swaps the per-ELEMENT noise for a
+    // per-REPLICA offset vector (amplitude 4 ≫ the unit-ish data), so
+    // replicas form well-separated clusters — the geometry a
+    // million-cell quantizer actually serves (cell-law k assumes
+    // clusterable data; the noise fixture is the ADVERSARIAL case,
+    // where exact ball pruning degenerates toward scanning most
+    // members — measured and documented, not hidden).
+    val clustered = sys.env.get("SPARK_GRAFT_IVF_CLUSTERED").contains("1")
     val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val corpus = (0 until expand).map { i =>
       emb0.select((col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
         (if (i == 0) col("embedding")
+         else if (clustered) transform(col("embedding"), (x, j) =>
+           x + lit(4.0) * sin((j + lit(1)) * lit(i.toDouble)))
          else transform(col("embedding"), (x, j) =>
            x + lit(0.35) * sin(col("vec_id") * (j + lit(i))))).as("embedding"))
     }.reduce(_ unionByName _).localCheckpoint(eager = true)
@@ -84,9 +94,15 @@ object IvfAssignCheck {
         f"shuffleRows=${meter.records.get}%,d")
     }
 
+    // SPARK_GRAFT_IVF_JOIN_MAX caps the k the flat-join arm is ASKED to
+    // run (its codebook broadcast is k·dim·8 bytes — at the 2^20-soak
+    // shape that is a ~0.5 GB relation per task thread, the OOM class
+    // the hierarchical arm exists to avoid).
+    val joinMax = sys.env.getOrElse("SPARK_GRAFT_IVF_JOIN_MAX",
+      Int.MaxValue.toString).toInt
     ks.foreach { k =>
       if (k <= litMax) measure("literal", k, Some(Int.MaxValue))
-      measure("join", k, Some(0))
+      if (k <= joinMax) measure("join", k, Some(0))
       // The two-level exact assign, forced on at this k: its win is the
       // √k-row broadcast (the flat join ships k·dim·8 bytes to every
       // executor), its price is two extra row-keyed joins — both
