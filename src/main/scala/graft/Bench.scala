@@ -180,6 +180,28 @@ object Bench {
       "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Total-floor gate (r15 verdict: +5.6% aggregate drift with ZERO
+    // per-query breaches — sub-gate drift is invisible to the per-query
+    // 2× check by construction). Sum this run's mins over the COMMON set
+    // (queries with a committed best-known floor at this scale) against
+    // the sum of those best-knowns; >1.1× flags aggregate drift loudly
+    // in stderr and the artifact carries both numbers either way. New
+    // queries (no prior) are exempt — adding coverage must not read as
+    // drift.
+    val common = results.collect {
+      case (k, v, _) if v >= 0 && priorMins.contains(k.takeWhile(_ != '_')) =>
+        (priorMins(k.takeWhile(_ != '_')), v)
+    }
+    val floorBest = common.map(_._1).sum
+    val floorTotal = common.map(_._2).sum
+    val floorRatio = if (floorBest > 0) floorTotal / floorBest else 1.0
+    if (floorRatio > 1.1)
+      System.err.println(f"[bench] WARNING aggregate drift: common-query total " +
+        f"$floorTotal%.1f s = $floorRatio%.3fx best-known floor total $floorBest%.1f s (gate 1.1x)")
+    def r1f(t: Double): String = (math.rint(t * 10) / 10).toString
+    val floorJson =
+      s""""floor":{"total":${r1f(floorTotal)},"best":${r1f(floorBest)},""" +
+        s""""n":${common.size}}"""
     val loadPost = loadavg()
     // The numeric scale factor matches the driver's stated contract
     // (`"sf":0.1`, not a dir path) — rounds 1–7 all came back
@@ -195,7 +217,7 @@ object Bench {
       n.toDouble // validate only
       s""""sf":$n"""
     } catch { case _: Exception => s""""sf":"$sfDir"""" }
-    val meta = s"""$sfJson,"sf_dir":"$sfDir","loadavg_pre":$loadPre,"loadavg_post":$loadPost"""
+    val meta = s"""$sfJson,"sf_dir":"$sfDir",$floorJson,"loadavg_pre":$loadPre,"loadavg_post":$loadPost"""
     val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qsFull,$meta,"reps":$repJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
@@ -216,7 +238,7 @@ object Bench {
     def buildLine(qs: String, omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted_fast":$omitted""" else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-        s""""queries":$qs$om,$sfJson,""" +
+        s""""queries":$qs$om,$sfJson,$floorJson,""" +
         s""""loadavg":[$loadPre,$loadPost]}"""
     }
     def dict(entries: Seq[(String, Double)], enc: Double => String): String =

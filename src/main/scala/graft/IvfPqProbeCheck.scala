@@ -75,7 +75,19 @@ object IvfPqProbeCheck {
     }
 
     qs.foreach { q =>
-      if (q <= driverMax) measure("driver", q, Some(Long.MaxValue))
+      if (q <= driverMax) {
+        // The r16 independent row cap (driverProbeMaxRows) would bounce
+        // an elevated-|Q| forced-driver run to the engine arm — lift it
+        // for exactly this measurement (the POINT is to measure the bad
+        // arm), restore for the dispatch row.
+        val saved = sys.props.get("graft.ivfpq.driverProbeMaxRows")
+        sys.props("graft.ivfpq.driverProbeMaxRows") = Long.MaxValue.toString
+        try measure("driver", q, Some(Long.MaxValue))
+        finally saved match {
+          case Some(v) => sys.props("graft.ivfpq.driverProbeMaxRows") = v
+          case None => sys.props.remove("graft.ivfpq.driverProbeMaxRows")
+        }
+      }
       measure("engine", q, Some(0L))
       measure("dispatch", q, None)
     }

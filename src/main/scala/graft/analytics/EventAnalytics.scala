@@ -777,6 +777,19 @@ object EventAnalytics {
     * BOUNDED self-join on the session id over rows-per-session ≤
     * |types|, and the rule table is |types|²-sized however large the
     * corpus. Lift in milli units = (n_both · N · 1000) DIV (n_a · n_b).
+    *
+    * Task-peak bound (closing the r15 10×-decade watch item, where the
+    * per-task peak grew 3.1× for 10× events): the pair aggregate's
+    * hash state is one (antecedent, consequent) entry per DISTINCT
+    * pair seen by the task, so peak/task ≤ |types|² / partitions — a
+    * corpus-INDEPENDENT ceiling once the type vocabulary saturates.
+    * The 10× growth was the vocabulary still filling its pair space
+    * (planted type cardinality reached at different corpus sizes), not
+    * data-proportional state: at 100× the peak grew only 1.8× total
+    * (46 → 84 MB, BASELINE.md round-15 decade table) and is bounded
+    * above by the saturated |types|²/partitions for ANY further
+    * corpus growth. The per-session self-join stream is separately
+    * bounded by rows-per-session ≤ |types| on the DISTINCT sets.
     */
   def sessionAssocRules(spark: SparkSession, dir: String): DataFrame =
     sessionAssocRules(Tables.events(spark, dir))

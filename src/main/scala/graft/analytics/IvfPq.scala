@@ -85,11 +85,15 @@ object IvfPq {
     */
   private def residuals(df: DataFrame, coarse: IvfIndex.Model,
                         idCol: String, vecCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cents = coarse.centroids.toDF("cell", "__cent")
+    // centroidsDf (not the driver Seq) keeps a table-backed coarse model
+    // off the driver; the broadcast hint goes only on a seq-faced
+    // codebook (k below the broadcast ceiling by construction) — a
+    // table-backed one shuffles the cell equi-join, the scale-correct
+    // plan at extreme k.
+    val cents = coarse.centroidsDf(df.sparkSession)
+      .withColumnRenamed("centroid", "__cent")
     IvfIndex.index(df.select(col(idCol), col(vecCol)), coarse, vecCol)
-      .join(broadcast(cents), Seq("cell"))
+      .join(if (coarse.tableBacked) cents else broadcast(cents), Seq("cell"))
       .withColumn("__resid",
         zip_with(col(vecCol).cast("array<double>"), col("__cent"), _ - _))
       .drop("__cent")
@@ -139,6 +143,21 @@ object IvfPq {
   private[graft] val driverProbeMaxWorkOverride =
     new scala.util.DynamicVariable[Option[Long]](None)
 
+  /** Independent |Q| ROW ceiling on the driver arm (r15 ADVICE): the
+    * FLOPs product alone admits |Q| up to 2²⁰/kCells — at a SMALL
+    * quantizer (kCells = 16) that is ~65k queries whose
+    * |Q|·nprobe·(m·ksub + dim) LUT doubles (~GBs) would sit in driver
+    * heap before anything ships, contradicting the O(codebook)-driver
+    * claim in that regime. The row cap bounds driver LUT heap to
+    * ~maxRows·nprobe·(m·ksub + dim)·8 bytes (~400 MB at the defaults)
+    * regardless of kCells. Deliberately NOT the broadcast gate
+    * ([[IvfIndex.queryBroadcastMaxRows]]): arm choice and join-side
+    * hints are separate decisions — specs force them independently.
+    */
+  private[graft] def driverProbeMaxRows: Long =
+    sys.props.get("graft.ivfpq.driverProbeMaxRows").map(_.toLong)
+      .getOrElse(1L << 16)
+
   /** Per-(query, probed cell) residual-ADC LUT rows
     * (query_id, q_vec, cell, lut) — already carrying the query-side
     * broadcast policy ([[IvfIndex.hintQuerySide]]) — plus the probed-cell
@@ -153,30 +172,58 @@ object IvfPq {
   private[graft] def lutFrame(spark: SparkSession, model: Model,
       queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
       : (DataFrame, Seq[Int]) = {
-    val kCells = model.coarse.centroids.size
-    // Sizing pass over the query frame only — never the corpus; the
-    // count is what makes the driver-vs-engine dispatch a measured
-    // decision instead of a caller guess.
-    val qCount = queries.count()
-    if (qCount * kCells <= driverProbeMaxWork) {
-      val (df, cells) =
-        lutFrameDriver(spark, model, queries, nprobe, idCol, vecCol)
-      (IvfIndex.hintQuerySide(df, qCount * nprobe), cells)
-    } else {
-      // ONE materialized probe pass: the coarse assign is the expensive
-      // half of the engine arm (|Q|·kCells pair scoring through the
-      // join assign), and BOTH consumers need it — the probed-cell
-      // union collect and the LUT build (which is map-side expressions
-      // ON TOP of the probe rows, no further shuffle). The checkpoint
-      // holds |Q|·nprobe × (dim + 2) values in executor (not driver)
-      // storage; without it the assign would run twice (measured ~2×
-      // the probe wall at |Q| = 10⁵, IvfPqProbeCheck).
-      val probes = probeFrame(model, queries, nprobe, idCol, vecCol)
-        .localCheckpoint(eager = true)
-      val cells = probes.select("cell").distinct()
-        .collect().map(_.getInt(0)).toSeq
-      (IvfIndex.hintQuerySide(lutOnProbes(model, probes), qCount * nprobe),
-        cells)
+    val (df, cells, _) = lutFrameSized(spark, model, queries, nprobe, idCol, vecCol)
+    (df, cells)
+  }
+
+  /** [[lutFrame]] plus the |Q| the sizing probe learned (`Some(n)` when
+    * the batch fit the driver-arm cap) — so a caller with a SECOND
+    * query-size decision (the state faces' tail-broadcast side) reuses
+    * this probe's answer instead of paying another job (the r15 verdict
+    * measured the per-search sizing `count()` as q117/q161/q165 floor
+    * drift; r15 ADVICE flagged the double count in IvfPqState.search).
+    *
+    * Sizing is ONE bounded job: `limit(cap+1).collect` — under the cap,
+    * the rows just read ARE the driver arm's input (the r15 shape paid
+    * a full count THEN a full collect); over it, nothing more than the
+    * cap+1 probe is held and the engine arm plans over the query frame.
+    * The cap is DUAL-TERM (r15 ADVICE): |Q|·kCells ≤
+    * [[driverProbeMaxWork]] bounds the driver arm's serial FLOPs, and
+    * |Q| ≤ [[driverProbeMaxRows]] independently bounds its LUT-row heap
+    * (the FLOPs gate alone admitted ~GB driver LUT builds at small
+    * kCells). The broadcast hint stays the separate
+    * [[IvfIndex.hintQuerySide]] decision: the driver arm knows |Q|
+    * exactly from the collect; the engine arm never hints — its |Q| is
+    * only known to exceed the cap, and AQE re-promotes a runtime-small
+    * side on its own.
+    */
+  private[graft] def lutFrameSized(spark: SparkSession, model: Model,
+      queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
+      : (DataFrame, Seq[Int], Option[Long]) = {
+    val kCells = model.coarse.k
+    val rowCap = math.min(
+      driverProbeMaxWork / math.max(kCells, 1), driverProbeMaxRows)
+    IvfIndex.boundedCollect(
+      queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")),
+      rowCap) match {
+      case Some(rows) =>
+        val (df, cells) = lutFromRows(spark, model, rows, nprobe)
+        (IvfIndex.hintQuerySide(df, rows.length.toLong * nprobe), cells,
+          Some(rows.length.toLong))
+      case None =>
+        // ONE materialized probe pass: the coarse assign is the expensive
+        // half of the engine arm (|Q|·kCells pair scoring through the
+        // join assign), and BOTH consumers need it — the probed-cell
+        // union collect and the LUT build (which is map-side expressions
+        // ON TOP of the probe rows, no further shuffle). The checkpoint
+        // holds |Q|·nprobe × (dim + 2) values in executor (not driver)
+        // storage; without it the assign would run twice (measured ~2×
+        // the probe wall at |Q| = 10⁵, IvfPqProbeCheck).
+        val probes = probeFrame(model, queries, nprobe, idCol, vecCol)
+          .localCheckpoint(eager = true)
+        val cells = probes.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        (lutOnProbes(model, probes), cells, None)
     }
   }
 
@@ -188,6 +235,18 @@ object IvfPq {
     */
   private[graft] def lutFrameDriver(spark: SparkSession, model: Model,
       queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
+      : (DataFrame, Seq[Int]) =
+    lutFromRows(spark, model,
+      queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect(),
+      nprobe)
+
+  /** The driver arm's core over ALREADY-collected query rows — split out
+    * so the dispatch's bounded sizing collect IS the arm's input read
+    * (one job, not count-then-collect).
+    */
+  private def lutFromRows(spark: SparkSession, model: Model,
+      collected: Array[org.apache.spark.sql.Row], nprobe: Int)
       : (DataFrame, Seq[Int]) = {
     import spark.implicits._
     val m = model.pq.m
@@ -195,9 +254,7 @@ object IvfPq {
     def dot(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum
     val centById = model.coarse.centroids.toMap
-    val qRows = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val qRows = collected.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
     val lutRows = qRows.toSeq.flatMap { case (qid, qv) =>
       val probed = model.coarse.centroids
         .map { case (cid, c) =>
@@ -260,13 +317,20 @@ object IvfPq {
     * tables as map-side expressions over the probe rows — no shuffle.
     */
   private def lutOnProbes(model: Model, probes: DataFrame): DataFrame = {
-    val spark = probes.sparkSession
-    import spark.implicits._
     val m = model.pq.m
     val dsub = model.pq.dsub
-    val cents = model.coarse.centroids.toDF("cell", "__cent")
+    // centroidsDf, not the driver Seq: the engine arm must stay
+    // O(codebook-path) on the driver for a table-backed coarse model.
+    // Probe rows are ≤ |Q|·nprobe but the centroid side is k rows — the
+    // hint goes on the side the PROBE bounds... both sides can be large
+    // at extreme k; the probed-cell set is ≤ min(|Q|·nprobe, k) DISTINCT
+    // cells, so the centroid join stays an equi-join either way and AQE
+    // picks the strategy when the hint is absent.
+    val cents = model.coarse.centroidsDf(probes.sparkSession)
+      .withColumnRenamed("centroid", "__cent")
     val probed = probes
-      .join(broadcast(cents), Seq("cell"))
+      .join(if (model.coarse.tableBacked) cents else broadcast(cents),
+        Seq("cell"))
       .withColumn("__resid",
         zip_with(col("q_vec"), col("__cent"), _ - _))
     val lut = array((0 until m).map { s =>

@@ -155,24 +155,32 @@ object PqIndex {
     */
   private[graft] def scoredShortlist(encoded: DataFrame, queries: DataFrame,
       model: Model, shortlist: Int, idCol: String, vecCol: String,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean, querySideSmall: Option[Boolean] = None): DataFrame = {
     // |Q|-dispatched LUT build (the IvfPq.lutFrame symmetry): the
-    // driver arm collects the query set — zero Spark jobs, right for
-    // FAISS-sized batches, |Q| LUT rows of driver heap at inference
-    // batches; the engine arm builds the same LUTs as map-side
-    // expressions over the plan-literal codebooks, bit-equal
+    // driver arm collects the query set — zero further Spark jobs,
+    // right for FAISS-sized batches, |Q| LUT rows of driver heap at
+    // inference batches; the engine arm builds the same LUTs as
+    // map-side expressions over the plan-literal codebooks, bit-equal
     // (PqEngineLutSpec) with O(codebook) driver memory. One knob
     // (IvfIndex.queryBroadcastMaxRows) also gates the crossJoin's
     // broadcast hint: above it Spark picks the join side itself —
     // flat-PQ ADC is a full query×codes scan by DESIGN (the
     // memory-compression face; the corpus-pruned face is IvfPq).
-    val qCount = queries.count()
-    val lutDf0 =
-      if (qCount <= IvfIndex.queryBroadcastMaxRows)
-        lutRowsDriver(encoded.sparkSession, model, queries, idCol, vecCol)
-      else lutRowsEngine(model, queries, idCol, vecCol)
-    val lutDf =
-      if (qCount <= IvfIndex.queryBroadcastMaxRows) broadcast(lutDf0) else lutDf0
+    // Sizing is ONE bounded job (the r15 shape paid a full count,
+    // THEN the driver arm's collect): under the cap the probed rows
+    // feed the driver LUT build directly; a state caller that already
+    // sized its batch passes `querySideSmall` and skips the job.
+    val qProj = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+    val collected = querySideSmall match {
+      case Some(false) => None
+      case _ => IvfIndex.boundedCollect(qProj, IvfIndex.queryBroadcastMaxRows)
+    }
+    val lutDf = collected match {
+      case Some(rows) => broadcast(lutFromRows(encoded.sparkSession, model, rows))
+      case None => lutRowsEngine(model, queries, idCol, vecCol)
+    }
 
     val adc = aggregate(
       zip_with(col("codes"), col("lut"),
@@ -199,12 +207,18 @@ object PqIndex {
     * m·ksub doubles per query, zero Spark jobs.
     */
   private[graft] def lutRowsDriver(spark: SparkSession, model: Model,
-      queries: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    lutFromRows(spark, model,
+      queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect())
+
+  /** The driver arm's core over ALREADY-collected query rows — the
+    * dispatch's bounded sizing collect doubles as the arm's input read.
+    */
+  private def lutFromRows(spark: SparkSession, model: Model,
+      collected: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val qRows = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val qRows = collected.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
     qRows.toSeq.map { case (qid, qv) =>
       val lut = (0 until model.m).map { s =>
         val qs = qv.slice(s * model.dsub, (s + 1) * model.dsub)

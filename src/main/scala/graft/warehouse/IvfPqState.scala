@@ -161,7 +161,7 @@ object IvfPqState {
                 // (one writer's output per cell dir, AQE can't coalesce
                 // a pinned count).
                 IvfPq.index(all, model)
-                  .repartition(model.coarse.centroids.size, col("cell"))
+                  .repartition(model.coarse.k, col("cell"))
                   .write.mode("overwrite").partitionBy("cell")
                   .parquet(s"$staging/index")
                 import spark.implicits._
@@ -208,6 +208,11 @@ object IvfPqState {
     val f = foldedThrough(spark, live)
     val qn = queries.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
+    // |Q| sizing learned ONCE: the bundle probe's dispatch already pays a
+    // bounded sizing pass, and its answer serves the tail's broadcast
+    // decision too (the r15 shape counted the query frame twice per
+    // search — r15 ADVICE).
+    var qSmall: Option[Boolean] = None
     val bundlePart =
       if (f >= 0) {
         val b = live.get
@@ -220,8 +225,13 @@ object IvfPqState {
         // |Q|-dispatched (driver arm for small batches, engine arm past
         // IvfPq.driverProbeMaxWork), so this search face inherits the
         // flat-driver-memory scale path.
-        val (lutRows, cells) = IvfPq.lutFrame(spark, model, qn, nprobe,
-          "vec_id", "embedding")
+        val (lutRows, cells, qIfSmall) = IvfPq.lutFrameSized(spark, model, qn,
+          nprobe, "vec_id", "embedding")
+        // The driver-arm cap and the broadcast gate are independent
+        // knobs, so re-check the learned |Q| against the gate before
+        // letting the tail broadcast the query side.
+        qSmall = Some(qIfSmall.exists(_ <=
+          graft.analytics.IvfIndex.queryBroadcastMaxRows))
         val scan = spark.read.parquet(s"$b/index")
           .filter(col("cell").isin(cells: _*))
         Some(IvfPq.scoredShortlistWith(scan, lutRows, shortlist,
@@ -232,20 +242,10 @@ object IvfPqState {
         val qb = qn.select(col("vec_id").as("query_id"),
           col("embedding").as("q_vec"))
         val tail = readTail(spark, statePath, f, last)
-        // Exact brute force over the unfolded tail is a crossJoin — pick
-        // the broadcast side by what is actually bounded: the query
-        // batch when small (the gated shape), otherwise the tail, whose
-        // size the recluster cadence bounds (an inference-sized |Q|
-        // must never be the broadcast relation — the
-        // IvfIndex.queryBroadcastMaxRows rationale).
-        val t =
-          if (queries.count() <= graft.analytics.IvfIndex.queryBroadcastMaxRows)
-            tail.crossJoin(broadcast(qb))
-          else broadcast(tail).crossJoin(qb)
-        val cand =
-          if (excludeSelf) t.filter(col("vec_id") =!= col("query_id")) else t
-        Some(cand.withColumn("score",
-          graft.functions.cosineSimilarity(col("q_vec"), col("embedding")))
+        Some(StateFiles.tailCross(qb, tail, qSmall)
+          .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+          .withColumn("score",
+            graft.functions.cosineSimilarity(col("q_vec"), col("embedding")))
           .select("query_id", "vec_id", "score"))
       } else None
     val parts = bundlePart.toSeq ++ tailPart.toSeq

