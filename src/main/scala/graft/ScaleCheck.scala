@@ -168,7 +168,10 @@ object ScaleCheck {
     // hierarchical coarse assign, the forced engine-side IVF-PQ probe,
     // and the forced engine-side flat-PQ LUT build (decade on arrival,
     // the q210 discipline).
-    "q261_knn_ivf_hier", "q262_knn_ivfpq_engine", "q263_knn_pq_engine")
+    "q261_knn_ivf_hier", "q262_knn_ivfpq_engine", "q263_knn_pq_engine",
+    // round-16: the table-backed-codebook face (save → table-face load →
+    // hierarchical search → persisted-super reload) — decade on arrival.
+    "q264_knn_ivf_table")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

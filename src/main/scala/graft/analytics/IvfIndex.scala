@@ -861,6 +861,109 @@ object IvfIndex {
     } finally vecs.unpersist()
   }
 
+  /** [[train]]'s TABLE-route sibling — Lloyd whose codebook NEVER
+    * materializes on the driver, completing the extreme-k lifecycle the
+    * table face of [[Model]] opened for load/assign/search: each
+    * iteration's centroids are WRITTEN as a parquet codebook and re-enter
+    * the next assignment as [[Model.table]]'s distributed scan (the
+    * k-dispatched [[withNearestCells]], so the assign is the join or
+    * hierarchical form as k demands). Per iteration the driver sees
+    * nothing codebook-proportional: the mean update is the SAME
+    * (cell, pos) hash-agg as [[trainSized]] but its result flows to
+    * parquet through a cell-grain re-assembly instead of a collect.
+    *
+    * Init = the k smallest-id vectors, cell-indexed by id rank — one
+    * GlobalLimit task bounded by k·dim bytes (EXECUTOR memory, the same
+    * ceiling class as a codebook broadcast; the corpus never funnels).
+    * Empty cells carry the previous centroid via a left join with the
+    * prior iteration's table (the `getOrElse` of the seq route, as a
+    * plan). The final codebook installs into `path` through [[save]]'s
+    * two-rename swap; the returned model is [[load]]'s face dispatch.
+    * TableTrainSpec pins table-trained ≡ seq-trained BIT-equal when the
+    * assign SHAPES match (the default dispatch); under a cross-shape
+    * forcing (hierarchical over a parquet member frame vs literal over
+    * a local relation) the distributed mean's partial merges re-order
+    * and centroids wobble in the last ulp — the documented Lloyd-wobble
+    * doctrine ([[PqIndex]]) — so that face pins approximate centroids
+    * plus EXACT search.
+    */
+  def trainTable(corpus: DataFrame, k: Int, path: String, iters: Int = 3,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Model =
+    trainTableSized(corpus, (n: Long) => {
+      val rec = recommendedCellCount(n)
+      if (k.toLong * 10L < rec)
+        log.warn(s"IvfIndex.trainTable: k=$k is >10x below the recommended " +
+          s"cell count $rec for n=$n rows (sizing rule: k ~ sqrt(n)).")
+      k
+    }, path, iters, idCol, vecCol)
+
+  /** Cell-law table training: k = ⌈n/targetCellSize⌉ — [[trainCellLaw]]
+    * on the table route.
+    */
+  def trainTableCellLaw(corpus: DataFrame, targetCellSize: Long, path: String,
+                        iters: Int = 3, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Model =
+    trainTableSized(corpus,
+      (n: Long) => math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt,
+      path, iters, idCol, vecCol)
+
+  private def trainTableSized(corpus: DataFrame, pickK: Long => Int,
+      path: String, iters: Int, idCol: String, vecCol: String): Model = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol), col(vecCol)).cache()
+    try {
+      val n = vecs.count()
+      val k = pickK(n)
+      val kEff = math.min(k.toLong, n).toInt // k > n: every row a centroid
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Hidden PARENT, plain leaf (the .staging_bundle/index convention):
+      // a dot-prefixed LEAF read works but trips DataSource's
+      // "all paths were ignored" warning on every scan.
+      val trainDir = new org.apache.hadoop.fs.Path(p.getParent, s".train_${p.getName}")
+      hfs.delete(trainDir, true)
+      def iterPath(i: Int) = new org.apache.hadoop.fs.Path(trainDir, s"iter$i")
+      // INIT: cell i = the vector with the i-th smallest id — the seq
+      // route's exact mapping, expressed as an id-rank window over the
+      // k-row GlobalLimit (single partition by construction, bounded by
+      // k·dim — never the corpus).
+      vecs.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).as("__id"),
+          col(vecCol).cast("array<double>").as("centroid"))
+        .withColumn("cell",
+          (row_number().over(Window.orderBy(col("__id"))) - 1).cast("int"))
+        .select(col("cell"), col("centroid"))
+        .write.mode("overwrite").parquet(iterPath(0).toString)
+      var cur = iterPath(0)
+      (0 until iters).foreach { it =>
+        val model = Model.tableAt(cur.toString, kEff)
+        val assigned = index(vecs.select(col(vecCol)), model, vecCol)
+        // The SAME (cell, pos) mean aggregation as the seq route (same
+        // values), re-assembled to (cell, centroid) as a plan: positions
+        // sort inside their cell's collect_list — dim-bounded per group.
+        val means = assigned
+          .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(avg(col("x").cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            e => e.getField("m")).as("__new"))
+        val next = spark.read.parquet(cur.toString)
+          .join(means, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("__new"), col("centroid")).as("centroid"))
+        val nxt = iterPath(it + 1)
+        next.write.mode("overwrite").parquet(nxt.toString)
+        hfs.delete(cur, true)
+        cur = nxt
+      }
+      save(spark, Model.tableAt(cur.toString, kEff), path)
+      hfs.delete(trainDir, true)
+      load(spark, path)
+    } finally { vecs.unpersist(); () }
+  }
+
   /** Persist a trained model as a tiny parquet table (cell, centroid) —
     * at corpus scale the quantizer is trained ONCE on a sample and reused
     * by every indexing/search job; retraining per query would both waste

@@ -80,6 +80,25 @@ object IvfPq {
     Model(coarse, pq)
   }
 
+  /** [[train]]'s TABLE-route sibling: the coarse quantizer trains
+    * through [[IvfIndex.trainTable]] straight into `path`/coarse (its
+    * codebook never on the driver), the PQ books — m·ksub·dsub doubles,
+    * KBs at ANY corpus scale — train on the residuals as usual and
+    * persist beside it, so the whole composite model lands at `path` in
+    * the [[saveModel]] layout without a driver-side codebook. The
+    * extreme-k entry point for [[graft.warehouse.IvfPqState.recluster]].
+    */
+  def trainTable(corpus: DataFrame, kCells: Int, m: Int, path: String,
+                 ksub: Int = 16, iters: Int = 2, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Model = {
+    val coarse = IvfIndex.trainTable(corpus, kCells, s"$path/coarse", iters,
+      idCol, vecCol)
+    val pq = PqIndex.train(residuals(corpus, coarse, idCol, vecCol),
+      m, ksub, iters, idCol, "__resid")
+    PqIndex.saveModel(corpus.sparkSession, pq, s"$path/pq")
+    Model(coarse, pq)
+  }
+
   /** (idCol, vecCol, cell, __resid = v − centroid(cell)) — one coarse
     * assign + a broadcast centroid join + a fused zip_with subtraction.
     */

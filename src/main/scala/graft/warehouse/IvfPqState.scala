@@ -149,13 +149,24 @@ object IvfPqState {
               // an empty fold is a no-op (the IvfState.recluster rule).
               val nAll = all.count()
               if (nAll > 0) {
-                val model = kCells match {
-                  case Some(k) => IvfPq.train(all, k, m, ksub, iters)
-                  case None => IvfPq.trainCellLaw(all, targetCellSize, m, ksub, iters)
-                }
                 val staging = stagingPath(statePath)
                 hfs.delete(new Path(staging), true)
-                IvfPq.saveModel(spark, model, s"$staging/model")
+                // Table-route the coarse training past the face threshold
+                // (the IvfState.recluster rationale): the codebook lands
+                // in the staging dir directly, never on the driver.
+                val kc = kCells.getOrElse(math.max(1L,
+                  (nAll + targetCellSize - 1) / targetCellSize).toInt)
+                val model =
+                  if (kc > graft.analytics.IvfIndex.tableModelMinK)
+                    IvfPq.trainTable(all, kc, m, s"$staging/model", ksub, iters)
+                  else {
+                    val mdl = kCells match {
+                      case Some(k) => IvfPq.train(all, k, m, ksub, iters)
+                      case None => IvfPq.trainCellLaw(all, targetCellSize, m, ksub, iters)
+                    }
+                    IvfPq.saveModel(spark, mdl, s"$staging/model")
+                    mdl
+                  }
                 // Repartition BY CELL pinned to the cell count before the
                 // partitioned write — the writePartitionedIndex rationale
                 // (one writer's output per cell dir, AQE can't coalesce

@@ -181,13 +181,26 @@ object IvfState {
               // and every read of them is already empty.
               val nAll = all.count()
               if (nAll > 0) {
-                val model = k match {
-                  case Some(cells) => IvfIndex.train(all, cells, iters)
-                  case None => IvfIndex.trainCellLaw(all, targetCellSize, iters)
-                }
                 val staging = stagingPath(statePath)
                 hfs.delete(new Path(staging), true)
-                IvfIndex.save(spark, model, s"$staging/model")
+                // Route the training on the cell count the run will use:
+                // past the table-face threshold the codebook trains
+                // STRAIGHT INTO the staging dir through the table route
+                // (never on the driver); below it the seq route + save
+                // keep the gated shapes byte-identical to r15.
+                val kc = k.getOrElse(math.max(1L,
+                  (nAll + targetCellSize - 1) / targetCellSize).toInt)
+                val model =
+                  if (kc > IvfIndex.tableModelMinK)
+                    IvfIndex.trainTable(all, kc, s"$staging/model", iters)
+                  else {
+                    val m = k match {
+                      case Some(cells) => IvfIndex.train(all, cells, iters)
+                      case None => IvfIndex.trainCellLaw(all, targetCellSize, iters)
+                    }
+                    IvfIndex.save(spark, m, s"$staging/model")
+                    m
+                  }
                 IvfIndex.writePartitionedIndex(all, model, s"$staging/index")
                 import spark.implicits._
                 Seq(last).toDF("folded_through")
