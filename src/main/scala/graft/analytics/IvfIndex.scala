@@ -264,31 +264,48 @@ object IvfIndex {
   private[graft] def hintQuerySide(df: DataFrame, qRows: Long): DataFrame =
     if (qRows <= queryBroadcastMaxRows) broadcast(df) else df
 
-  /** ONE-job bounded sizing: `Some(n)` (the EXACT row count) if the frame
-    * has ≤ `cap` rows, `None` if it exceeds the cap. `limit(cap+1).count`
-    * early-stops instead of scanning the whole frame, and it replaces the
-    * r15 pattern of a full `count()` job paid per search purely to pick a
-    * dispatch arm — the per-call tax the round-15 verdict measured as the
-    * q117/q238 floor drift.
+  /** Bounded sizing: `Some(n)` (the EXACT row count) if the frame has ≤
+    * `cap` rows, `None` if it exceeds the cap. One parallel `count()`
+    * job — deliberately NOT `limit(cap+1).count`: CollectLimit executes
+    * INCREMENTALLY (1 partition, then scaleUpFactor× more, ...), so on a
+    * frame smaller than the cap — every gated shape — the limit probe is
+    * several sequential mini-jobs where the count is one parallel one
+    * (measured as q28/q47/q117 floor upticks when this helper briefly
+    * shipped limit-based).
     */
   private[graft] def boundedCount(df: DataFrame, cap: Long): Option[Long] = {
-    val capI = math.min(math.max(cap, 0L), (Int.MaxValue - 1).toLong).toInt
-    val n = df.limit(capI + 1).count()
-    if (n <= capI) Some(n) else None
+    val n = df.count()
+    if (n <= math.max(cap, 0L)) Some(n) else None
   }
 
-  /** ONE-job bounded collect: the rows themselves if the frame has ≤
-    * `cap` rows, `None` past the cap (after collecting cap+1 rows — the
-    * caller bounds `cap` to what driver heap tolerates). This fuses the
-    * r15 "count, then collect" driver-arm prologue into a single job:
-    * the sizing decision and the driver arm's input are the same read.
+  /** Bounded collect: the rows themselves if the frame has ≤ `cap` rows,
+    * `None` past the cap. Fuses the r15 "count, then collect" driver-arm
+    * prologue into ONE parallel job when the optimizer's size estimate
+    * says a straight collect is safe (≤ [[collectProbeMaxBytes]] —
+    * estimates for file sources are pre-filter, so this errs large);
+    * past the estimate it counts first (one job — the cost every search
+    * paid in r15) and collects only under the cap, so nothing
+    * corpus-sized ever lands in driver heap on a mis-estimate. NOT
+    * limit-based — the [[boundedCount]] incremental-execution trap.
     */
   private[graft] def boundedCollect(df: DataFrame,
       cap: Long): Option[Array[org.apache.spark.sql.Row]] = {
-    val capI = math.min(math.max(cap, 0L), (Int.MaxValue - 1).toLong).toInt
-    val rows = df.limit(capI + 1).collect()
-    if (rows.length <= capI) Some(rows) else None
+    val capL = math.max(cap, 0L)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= collectProbeMaxBytes) {
+      val rows = df.collect()
+      if (rows.length <= capL) Some(rows) else None
+    } else if (df.count() <= capL) Some(df.collect())
+    else None
   }
+
+  /** Size-estimate ceiling for [[boundedCollect]]'s single-job fast path
+    * (the TRANSIENT driver allocation a mis-capped probe may briefly
+    * hold). Override via `-Dgraft.ivf.collectProbeMaxBytes`.
+    */
+  private[graft] def collectProbeMaxBytes: Long =
+    sys.props.get("graft.ivf.collectProbeMaxBytes").map(_.toLong)
+      .getOrElse(1L << 28)
 
   /** DataFrame-level nearest-cells: attaches `outCol` = the n cheapest
     * cells as a sorted `array<struct<d:double, cell:int>>` (the literal
@@ -1029,9 +1046,9 @@ object IvfIndex {
     * Takes the same per-path lock as [[save]] (a read mid-swap would see
     * a missing dir) and restores the .bak if a crashed save left one.
     *
-    * FACE DISPATCH: a single bounded probe (`limit(tableModelMinK+1)`)
-    * decides — at or under the ceiling the rows just read ARE the seq
-    * face (one job, exactly the r15 cost); past it the codebook stays on
+    * FACE DISPATCH: a [[boundedCollect]] probe decides — at or under
+    * the ceiling the rows just read ARE the seq face (one job, exactly
+    * the r15 cost); past it the codebook stays on
     * disk and the TABLE face comes back, so loading a k=10⁷ model costs
     * the driver (path, k) instead of ~10 GB. The table face's plans read
     * the files lazily — a caller that deletes the model dir mid-query
@@ -1063,17 +1080,30 @@ object IvfIndex {
     * file-listing time — a search lists and scans only `nprobe` of `k`
     * directories (spec-evidenced by IvfPruneSpec's input-file audit).
     */
+  /** Writer-task count for the partitioned index write: k while small
+    * (one writer per cell), CAPPED past [[maxIndexWriters]] — at a
+    * cell-law k ~ 10⁶ an uncapped `repartition(k)` schedules a million
+    * near-empty tasks whose launch overhead dwarfs the write. Hash
+    * partitioning by cell keeps EVERY cell's rows in exactly one task at
+    * any count, so each cell dir still gets one writer/one file; the cap
+    * only lets one task write several cell dirs.
+    */
+  private[graft] def indexWriterCount(k: Int): Int =
+    math.min(k, sys.props.get("graft.ivf.maxIndexWriters").map(_.toInt)
+      .getOrElse(1 << 12))
+
   def writePartitionedIndex(corpus: DataFrame, model: Model, path: String,
                             vecCol: String = "embedding"): Unit =
     // Repartition BY CELL before the partitioned write: without it every
     // upstream partition writes a sliver into every cell directory
     // (upstream-partitions × k tiny files — measured 5× slower searches
     // from listing/open overhead at 40k rows); with it each cell is one
-    // writer's output. The count is PINNED to k: an unpinned repartition
+    // writer's output. The count is PINNED (an unpinned repartition
     // of a byte-small projection gets coalesced by AQE to a handful of
     // writer tasks (the recorded CandidateJoin lesson), serializing the
-    // write. Paid once at index-build time — the whole point of an index.
-    index(corpus, model, vecCol).repartition(model.k, col("cell"))
+    // write) to k capped at [[indexWriterCount]]. Paid once at
+    // index-build time — the whole point of an index.
+    index(corpus, model, vecCol).repartition(indexWriterCount(model.k), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Probe-pruned scan of a [[writePartitionedIndex]] layout: the query
@@ -1085,11 +1115,31 @@ object IvfIndex {
   def prunedIndexScan(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, model: Model, nprobe: Int = 2,
                       vecCol: String = "embedding"): DataFrame = {
-    val cells = withNearestCells(queries.select(col(vecCol)), vecCol, model, nprobe, "__cells")
+    val probed = withNearestCells(queries.select(col(vecCol)), vecCol, model, nprobe, "__cells")
       .select(explode(col("__cells").getField("cell")).as("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+      .distinct()
+    // The union is ≤ min(|Q|·nprobe, k): a STATIC partition filter while
+    // it is genuinely metadata-sized, a full scan past the ceiling — an
+    // isin over ~10⁶ cells (inference batch × extreme k) is itself a
+    // plan-size/driver hazard, and at that fan-in the downstream cell
+    // equi-join filters the same rows with runtime pruning instead.
+    boundedCollect(probed, staticPruneMaxCells) match {
+      case Some(cells) =>
+        spark.read.parquet(path)
+          .filter(col("cell").isin(cells.map(_.getInt(0)).toSeq: _*))
+      case None => spark.read.parquet(path)
+    }
   }
+
+  /** Ceiling on the probed-cell union used as a static `isin` partition
+    * filter: above it the plan falls back to an unfiltered scan + the
+    * cell equi-join (InSet stays cheap to ~10⁴ literals; past that the
+    * collect and the plan node are the asymptote, not the scan).
+    * Override via `-Dgraft.ivf.staticPruneMaxCells`.
+    */
+  private[graft] def staticPruneMaxCells: Long =
+    sys.props.get("graft.ivf.staticPruneMaxCells").map(_.toLong)
+      .getOrElse(1L << 14)
 
   /** [[search]] against an on-disk partitioned index, scanning only the
     * probed cell directories.

@@ -192,7 +192,8 @@ object IvfPq {
       queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
       : (DataFrame, Seq[Int]) = {
     val (df, cells, _) = lutFrameSized(spark, model, queries, nprobe, idCol, vecCol)
-    (df, cells)
+    (df, cells.getOrElse(
+      df.select("cell").distinct().collect().map(_.getInt(0)).toSeq))
   }
 
   /** [[lutFrame]] plus the |Q| the sizing probe learned (`Some(n)` when
@@ -202,10 +203,10 @@ object IvfPq {
     * measured the per-search sizing `count()` as q117/q161/q165 floor
     * drift; r15 ADVICE flagged the double count in IvfPqState.search).
     *
-    * Sizing is ONE bounded job: `limit(cap+1).collect` — under the cap,
-    * the rows just read ARE the driver arm's input (the r15 shape paid
-    * a full count THEN a full collect); over it, nothing more than the
-    * cap+1 probe is held and the engine arm plans over the query frame.
+    * Sizing is [[IvfIndex.boundedCollect]] — one parallel job in the
+    * estimate-small regime, whose rows ARE the driver arm's input (the
+    * r15 shape paid a full count THEN a full collect); past the cap the
+    * probe is dropped and the engine arm plans over the query frame.
     * The cap is DUAL-TERM (r15 ADVICE): |Q|·kCells ≤
     * [[driverProbeMaxWork]] bounds the driver arm's serial FLOPs, and
     * |Q| ≤ [[driverProbeMaxRows]] independently bounds its LUT-row heap
@@ -218,7 +219,7 @@ object IvfPq {
     */
   private[graft] def lutFrameSized(spark: SparkSession, model: Model,
       queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
-      : (DataFrame, Seq[Int], Option[Long]) = {
+      : (DataFrame, Option[Seq[Int]], Option[Long]) = {
     val kCells = model.coarse.k
     val rowCap = math.min(
       driverProbeMaxWork / math.max(kCells, 1), driverProbeMaxRows)
@@ -227,7 +228,7 @@ object IvfPq {
       rowCap) match {
       case Some(rows) =>
         val (df, cells) = lutFromRows(spark, model, rows, nprobe)
-        (IvfIndex.hintQuerySide(df, rows.length.toLong * nprobe), cells,
+        (IvfIndex.hintQuerySide(df, rows.length.toLong * nprobe), Some(cells),
           Some(rows.length.toLong))
       case None =>
         // ONE materialized probe pass: the coarse assign is the expensive
@@ -237,11 +238,17 @@ object IvfPq {
         // ON TOP of the probe rows, no further shuffle). The checkpoint
         // holds |Q|·nprobe × (dim + 2) values in executor (not driver)
         // storage; without it the assign would run twice (measured ~2×
-        // the probe wall at |Q| = 10⁵, IvfPqProbeCheck).
+        // the probe wall at |Q| = 10⁵, IvfPqProbeCheck). The cell union
+        // is a STATIC partition filter only while metadata-sized
+        // ([[IvfIndex.staticPruneMaxCells]]): at an inference batch over
+        // an extreme-k quantizer the union approaches k and the isin
+        // plan node — not the scan — becomes the hazard; None tells the
+        // caller to lean on the cell equi-join's runtime pruning.
         val probes = probeFrame(model, queries, nprobe, idCol, vecCol)
           .localCheckpoint(eager = true)
-        val cells = probes.select("cell").distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val cells = IvfIndex.boundedCollect(
+            probes.select("cell").distinct(), IvfIndex.staticPruneMaxCells)
+          .map(_.map(_.getInt(0)).toSeq)
         (lutOnProbes(model, probes), cells, None)
     }
   }

@@ -243,8 +243,14 @@ object IvfPqState {
         // letting the tail broadcast the query side.
         qSmall = Some(qIfSmall.exists(_ <=
           graft.analytics.IvfIndex.queryBroadcastMaxRows))
-        val scan = spark.read.parquet(s"$b/index")
-          .filter(col("cell").isin(cells: _*))
+        // Static partition filter only while the probed union is
+        // metadata-sized; past the ceiling the ADC cell equi-join prunes
+        // at runtime over the full listing (the prunedIndexScan rule).
+        val scan = cells match {
+          case Some(cs) => spark.read.parquet(s"$b/index")
+            .filter(col("cell").isin(cs: _*))
+          case None => spark.read.parquet(s"$b/index")
+        }
         Some(IvfPq.scoredShortlistWith(scan, lutRows, shortlist,
           "vec_id", "embedding", excludeSelf))
       } else None
