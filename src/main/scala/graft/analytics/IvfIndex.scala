@@ -1142,14 +1142,52 @@ object IvfIndex {
       .getOrElse(1L << 14)
 
   /** [[search]] against an on-disk partitioned index, scanning only the
-    * probed cell directories.
+    * probed cell directories — through [[scoredCandidatesPruned]], so
+    * the query probe runs ONCE for both its consumers.
     */
   def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: DataFrame, model: Model, k: Int, nprobe: Int = 2,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         excludeSelf: Boolean = true): DataFrame =
-    search(prunedIndexScan(spark, path, queries, model, nprobe, vecCol),
-      queries, model, k, nprobe, idCol, vecCol, excludeSelf)
+    Similarity.topK(
+      scoredCandidatesPruned(spark, path, queries, model, nprobe, idCol,
+        vecCol, excludeSelf, querySideSmall = None),
+      k, idCol)
+
+  /** One-probe pruned candidates against a [[writePartitionedIndex]]
+    * layout: the r15 shape ran the coarse assign on the query frame
+    * TWICE per search — once in [[prunedIndexScan]] for the static
+    * partition filter, once in [[scoredCandidates]] for the join frame
+    * (the double-probe IvfPqState lost in r15). Here the probe frame is
+    * computed once, checkpointed (|Q|·nprobe rows, executor storage),
+    * and serves both: its distinct cells become the static filter
+    * (ceilinged — the [[prunedIndexScan]] fallback rule) and the frame
+    * itself is the candidate join side.
+    */
+  private[graft] def scoredCandidatesPruned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, model: Model, nprobe: Int, idCol: String,
+      vecCol: String, excludeSelf: Boolean,
+      querySideSmall: Option[Boolean]): DataFrame = {
+    val hintProbe = querySideSmall.getOrElse(
+      boundedCount(queries, queryBroadcastMaxRows / math.max(nprobe, 1)).isDefined)
+    val q = withNearestCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "q_vec", model, nprobe, "cells")
+      .withColumn("cell", explode(col("cells").getField("cell")))
+      .drop("cells")
+      .localCheckpoint(eager = true)
+    val scan = boundedCollect(q.select("cell").distinct(), staticPruneMaxCells) match {
+      case Some(cells) => spark.read.parquet(path)
+        .filter(col("cell").isin(cells.map(_.getInt(0)).toSeq: _*))
+      case None => spark.read.parquet(path)
+    }
+    val joined = scan.join(if (hintProbe) broadcast(q) else q, Seq("cell"))
+    val candidates =
+      if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined
+    candidates
+      .withColumn("score", graft.functions.cosineSimilarity(col("q_vec"), col(vecCol)))
+  }
 
   /** ANN top-k: each query probes its `nprobe` nearest cells, exact cosine
     * within them.

@@ -263,9 +263,12 @@ object IvfState {
       if (f >= 0) {
         val b = live.get
         val model = IvfIndex.load(spark, s"$b/model")
-        val scan = IvfIndex.prunedIndexScan(spark, s"$b/index", qn, model, nprobe)
-        Some(IvfIndex.scoredCandidates(scan, qn, model, nprobe,
-          "vec_id", "embedding", excludeSelf, querySideSmall = Some(qSmall)))
+        // ONE probe serves the static partition filter AND the candidate
+        // join (the IvfPqState one-probe rule, extended to the flat face
+        // in r16 — the r15 shape assigned the query frame twice).
+        Some(IvfIndex.scoredCandidatesPruned(spark, s"$b/index", qn, model,
+          nprobe, "vec_id", "embedding", excludeSelf,
+          querySideSmall = Some(qSmall)))
       } else None
     val tailPart =
       if (last > f) {

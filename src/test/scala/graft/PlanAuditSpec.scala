@@ -162,6 +162,41 @@ class PlanAuditSpec extends SparkSpec {
       s"q261 nested loops must stay the bounded super crossJoins: $s")
   }
 
+  test("q264 table-codebook face: the q261 ceilings hold with the codebook " +
+    "read from parquet") {
+    // The registry row returns a checkpointed frame (its temp model dir
+    // is deleted on exit), which an executed-plan audit would see as a
+    // bare RDD scan — so rebuild the same search shape here and audit
+    // the LIVE plan: table-faced load, hierarchical dispatch forced,
+    // the q28 search.
+    import graft.analytics.{IvfIndex, Similarity}
+    import org.apache.spark.sql.functions.col
+    val corpus = Similarity.plantedKnnCorpus(
+      graft.core.Tables.embeddings(spark, dir))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audit-q264")
+    try {
+      val path = s"$tmp/model"
+      IvfIndex.save(spark, IvfIndex.train(corpus, k = 16, iters = 2), path)
+      IvfIndex.tableModelMinKOverride.withValue(Some(0)) {
+        IvfIndex.literalAssignMaxKOverride.withValue(Some(0)) {
+          IvfIndex.hierarchicalAssignMinKOverride.withValue(Some(0)) {
+            val m = IvfIndex.load(spark, path)
+            assert(m.tableBacked)
+            val s = Explain.audit(IvfIndex.search(IvfIndex.index(corpus, m),
+              corpus.filter(col("vec_id") < 10), m, k = 5, nprobe = 4))
+            // The q261 ceilings, unchanged by the codebook's storage
+            // face: crossJoins stay the bounded √k-row super broadcasts
+            // (≤ 3 per forced assign; index + n=4 probe ⇒ 12), and a
+            // corpus single-partition funnel stays forbidden.
+            assert(s.singleParts == 0, s"q264 shape must never funnel: $s")
+            assert(s.nestedLoops <= 12,
+              s"q264 nested loops must stay the bounded super crossJoins: $s")
+          }
+        }
+      }
+    } finally graft.core.Fs.deleteRecursively(tmp)
+  }
+
   test("q262 engine-probe face: LUT join SHUFFLES on cell (gate forced " +
     "open), no nested loop, no single-partition") {
     val s = stats("q262_knn_ivfpq_engine")
