@@ -132,6 +132,40 @@ class HierarchicalAssignSpec extends SparkSpec {
     assert(aLit == aHier, "Lloyd clustering diverged under hierarchical assign")
   }
 
+  test("large-magnitude unnormalized vectors stay exact (the magnitude-scaled " +
+    "pruning slack)") {
+    // r15 ADVICE: ds and the radii come from the cancellation-prone
+    // ‖v‖²−2⟨v,s⟩+‖s‖² form under sqrt — at magnitude M the absolute
+    // float error scales like √(dim·ε)·M, so the r15 fixed
+    // 1e-9·(1+|B|) slack could drop a boundary super and silently
+    // break exactness off the unit sphere. Scale the planted corpus by
+    // 1e8 (float error ~ tens at that magnitude — far beyond the old
+    // slack for near-boundary supers) and pin the hierarchical assign
+    // bit-equal to the literal path, n=1 and n=4. Scaling preserves the
+    // assignment STRUCTURE (argmin is scale-invariant in exact math),
+    // so the literal baseline is well-defined. Honesty note: this
+    // fixture's geometry leaves no super within float error of the
+    // pruning boundary, so the r15 slack also happens to survive it —
+    // the magnitude-scaled slack turns that survival from geometric
+    // luck into an analytic bound; the test is the regression canary
+    // for exactness off the unit sphere, not a differential proof.
+    val big = corpus.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(1.0e8)))
+      .localCheckpoint(eager = true)
+    val model = IvfIndex.train(big, k = 16, iters = 2)
+    for (n <- Seq(1, 4)) {
+      def assign(litMax: Int, hierMin: Int): Seq[Seq[Any]] =
+        forced(litMax, hierMin) {
+          rows(IvfIndex.withNearestCells(big, "embedding", model, n, "cells")
+            .orderBy("vec_id"))
+        }
+      val literal = assign(Int.MaxValue, Int.MaxValue)
+      val hier = assign(0, 0)
+      assert(hier == literal,
+        s"n=$n: hierarchical assign diverged on magnitude-1e8 vectors")
+    }
+  }
+
   test("dispatch: above hierMinK, n=1 takes the codegen'd two-pass form and " +
     "n>1 the heap form; below it the flat join keeps both") {
     val c = corpus
