@@ -170,8 +170,9 @@ object ScaleCheck {
     // the q210 discipline).
     "q261_knn_ivf_hier", "q262_knn_ivfpq_engine", "q263_knn_pq_engine",
     // round-16: the table-backed-codebook face (save → table-face load →
-    // hierarchical search → persisted-super reload) — decade on arrival.
-    "q264_knn_ivf_table")
+    // hierarchical search → persisted-super reload) and the SQ8
+    // scalar-quantized ANN — decade on arrival.
+    "q264_knn_ivf_table", "q265_knn_sq8")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -1,0 +1,125 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.functions.cosineSimilarity
+
+/** Scalar-quantized (SQ8) ANN — the simplest member of the
+  * memory-compression family beside [[PqIndex]] (FAISS's
+  * ScalarQuantizer QT_8bit shape): every vector stores as one double
+  * `scale` = max|x|/127 plus dim 1-byte codes round(x/scale) ∈
+  * [−127, 127] — a 4× float32 / 8× float64 scan-byte cut with NO
+  * training at all (per-vector scaling; the q44 quantization kernel,
+  * promoted from a fidelity report to an index layout).
+  *
+  * SEARCH (cosine): the per-vector symmetric scale CANCELS in cosine —
+  * cos(q, α·c) = cos(q, c) for α > 0 — so candidates are scored
+  * directly against their CODE arrays (no dequantize multiply, no scale
+  * read on the scan path); the `shortlist` best per query re-rank with
+  * EXACT cosine on the raw vectors, so the answer is exact whenever the
+  * true top-k survives the shortlist. Quantization distortion is ≤
+  * 1/254 relative per element (q44 measures per-vector cosine fidelity
+  * ~0.9999 on the harness corpora) — orders of magnitude inside the
+  * planted-margin gate, and the brute-force parity spec (SqIndexSpec)
+  * audits exact equality.
+  *
+  * Where it sits in the family: FLAT scan like [[PqIndex]] (reads every
+  * code row — the memory-compression face; the corpus-PRUNED face is
+  * [[IvfPq]]), but training-free and with per-element error bounded by
+  * construction rather than by codebook fit — the right first index
+  * when re-encoding cost matters more than the last 4× of compression.
+  * Query-side policy is the family's: the query frame broadcasts only
+  * under [[IvfIndex.queryBroadcastMaxRows]]; above it the crossJoin is
+  * unhinted and AQE picks the strategy.
+  *
+  * Reference behavior anchor: qms_datawarehouse exposes only exact
+  * scans (src/api/routes.py query endpoints); SQ8 is part of the
+  * beyond-reference training-data surface (SURVEY §2 addendum).
+  */
+object SqIndex {
+
+  /** Attach (scale, codes): per-vector symmetric int8 — `codes` is
+    * array<tinyint> (the 1-byte element claim is the layout), `scale`
+    * the one double that reconstructs magnitudes. An all-zero vector
+    * gets scale 0 and all-zero codes (the q44 edge rule); its cosine is
+    * undefined everywhere in the family, and [[scoredShortlist]] ranks
+    * it last rather than NaN-poisoning a window.
+    */
+  def encode(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("scale", array_max(transform(v, x => abs(x))) / lit(127.0))
+      .withColumn("codes",
+        when(col("scale") > 0,
+          transform(v, x => round(x / col("scale"))).cast("array<tinyint>"))
+          .otherwise(transform(v, x => lit(0.0)).cast("array<tinyint>")))
+  }
+
+  /** ANN top-k over an [[encode]]d corpus: approximate-cosine shortlist
+    * on the code arrays, exact re-rank on the raw vectors.
+    */
+  def searchSq(encoded: DataFrame, queries: DataFrame, k: Int,
+               shortlist: Int = 50, idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               excludeSelf: Boolean = true): DataFrame =
+    Similarity.topK(
+      scoredShortlist(encoded, queries, shortlist, idCol, vecCol, excludeSelf),
+      k, idCol)
+
+  /** The exactly-re-ranked shortlist of [[searchSq]] BEFORE the final
+    * top-k window (the [[PqIndex.scoredShortlist]] shape, minus the LUT
+    * machinery SQ8 doesn't need). One bounded sizing probe picks the
+    * query-side broadcast ([[IvfIndex.boundedCount]] against the
+    * family gate).
+    */
+  private[graft] def scoredShortlist(encoded: DataFrame, queries: DataFrame,
+      shortlist: Int, idCol: String, vecCol: String,
+      excludeSelf: Boolean): DataFrame = {
+    val qb = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val qSmall =
+      IvfIndex.boundedCount(qb, IvfIndex.queryBroadcastMaxRows).isDefined
+    // Approximate score straight on the CODES (scale cancels in cosine);
+    // scale-0 rows (zero vectors) rank last instead of emitting NaN.
+    val approx = when(col("scale") > 0,
+      cosineSimilarity(col("q_vec"), col("codes").cast("array<double>")))
+      .otherwise(lit(-2.0))
+    val short = encoded
+      .crossJoin(if (qSmall) broadcast(qb) else qb)
+      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .withColumn("approx", approx)
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("approx"), asc(idCol))))
+      .filter(col("arank") <= shortlist)
+    // The exact re-rank needs the same zero-vector guard: cosine against
+    // a zero vector is NaN, and NaN sorts FIRST in a descending window —
+    // an unguarded re-rank would crown the zero vector the top neighbor.
+    short
+      .withColumn("score",
+        when(col("scale") > 0,
+          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
+          .otherwise(lit(-2.0)))
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
+  // --------------------------------------------------------------- q265
+  /** SQ8 ANN top-5 over the planted-margin corpus (per-vector int8,
+    * shortlist 50, exact re-rank) — the q117 shape with scalar codes
+    * instead of product codes. The planted twins sit at cosine ≥ 0.992
+    * vs a natural max ≈ 0.48 while SQ8's cosine distortion is ~1e-4, so
+    * the true top-5 always survives the shortlist and the exact re-rank
+    * emits exactly the brute-force answer — hash-checked against the
+    * shared exact-kNN oracle ([[Similarity.plantedKnnSql]]) and
+    * brute-parity-audited by SqIndexSpec.
+    */
+  def sqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.plantedKnnCorpus(graft.core.Tables.embeddings(spark, dir))
+    searchSq(encode(corpus), corpus.filter(col("vec_id") < 10),
+      k = 5, shortlist = 50)
+  }
+
+  val queries: Seq[NamedQuery] = Seq(
+    NamedQuery("q265_knn_sq8", sqKnn _, Some(Similarity.plantedKnnSql)))
+}
