@@ -172,7 +172,7 @@ object ScaleCheck {
     // round-16: the table-backed-codebook face (save → table-face load →
     // hierarchical search → persisted-super reload) and the SQ8
     // scalar-quantized ANN — decade on arrival.
-    "q264_knn_ivf_table", "q265_knn_sq8")
+    "q264_knn_ivf_table", "q265_knn_sq8", "q266_knn_ivfsq8")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -104,6 +104,57 @@ object SqIndex {
       .select(col("query_id"), col(idCol), col("score"))
   }
 
+  // ------------------------------------------------------------ IVF-SQ8
+
+  /** Cell-partitioned SQ8 scan table: (idCol, vecCol, cell, scale,
+    * codes) — [[IvfIndex]]'s pruning × SQ8's compression, the
+    * training-light sibling of [[IvfPq.index]] (coarse Lloyd is the
+    * ONLY training; codes are per-vector, so re-encoding never depends
+    * on the cell geometry — a recluster moves rows between cells
+    * without touching their codes, unlike PQ residuals).
+    */
+  def indexIvf(corpus: DataFrame, coarse: IvfIndex.Model,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    encode(IvfIndex.index(corpus.select(col(idCol), col(vecCol)), coarse, vecCol), vecCol)
+
+  /** ANN top-k over an [[indexIvf]] table: nprobe coarse probe (the
+    * k-dispatched assign on the query frame), cell equi-join against
+    * the probed lists, approximate cosine on the CODE arrays,
+    * `shortlist` exact re-rank — a query touches nprobe/kCells of the
+    * corpus AND reads 1-byte elements inside the probed cells.
+    */
+  def searchIvf(indexed: DataFrame, queries: DataFrame,
+                coarse: IvfIndex.Model, k: Int, nprobe: Int = 2,
+                shortlist: Int = 50, idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                excludeSelf: Boolean = true): DataFrame = {
+    val qb = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val qSmall = IvfIndex.boundedCount(qb,
+      IvfIndex.queryBroadcastMaxRows / math.max(nprobe, 1)).isDefined
+    val q = IvfIndex.withNearestCells(qb, "q_vec", coarse, nprobe, "__cells")
+      .withColumn("cell", explode(col("__cells").getField("cell")))
+      .drop("__cells")
+    val approx = when(col("scale") > 0,
+      cosineSimilarity(col("q_vec"), col("codes").cast("array<double>")))
+      .otherwise(lit(-2.0))
+    val short = indexed
+      .join(if (qSmall) broadcast(q) else q, Seq("cell")) // probed cells ONLY
+      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .withColumn("approx", approx)
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("approx"), asc(idCol))))
+      .filter(col("arank") <= shortlist)
+    Similarity.topK(
+      short.withColumn("score",
+        when(col("scale") > 0,
+          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
+          .otherwise(lit(-2.0)))
+        .select(col("query_id"), col(idCol), col("score")),
+      k, idCol)
+  }
+
   // --------------------------------------------------------------- q265
   /** SQ8 ANN top-5 over the planted-margin corpus (per-vector int8,
     * shortlist 50, exact re-rank) — the q117 shape with scalar codes
@@ -120,6 +171,22 @@ object SqIndex {
       k = 5, shortlist = 50)
   }
 
+  // --------------------------------------------------------------- q266
+  /** IVF-SQ8 ANN top-5 over the planted-margin corpus — the q28 coarse
+    * shape (16 cells, nprobe=4) times the q265 code shape (per-vector
+    * int8, shortlist 50). The planted margin dwarfs both the probe risk
+    * and the ~1e-4 SQ8 cosine distortion, so the composite answer IS
+    * the exact top-5 — hash-checked against the shared exact-kNN
+    * oracle.
+    */
+  def ivfSqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.plantedKnnCorpus(graft.core.Tables.embeddings(spark, dir))
+    val coarse = IvfIndex.train(corpus, k = 16, iters = 2)
+    searchIvf(indexIvf(corpus, coarse), corpus.filter(col("vec_id") < 10),
+      coarse, k = 5, nprobe = 4, shortlist = 50)
+  }
+
   val queries: Seq[NamedQuery] = Seq(
-    NamedQuery("q265_knn_sq8", sqKnn _, Some(Similarity.plantedKnnSql)))
+    NamedQuery("q265_knn_sq8", sqKnn _, Some(Similarity.plantedKnnSql)),
+    NamedQuery("q266_knn_ivfsq8", ivfSqKnn _, Some(Similarity.plantedKnnSql)))
 }

@@ -61,6 +61,39 @@ class SqIndexSpec extends SparkSpec {
     assert(got == Seq(1L), s"zero vector must rank last, got $got")
   }
 
+  test("IVF-SQ8 composite equals brute force; probe prunes the candidate stream") {
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 10)
+    val coarse = IvfIndex.train(c, k = 16, iters = 2)
+    val indexed = SqIndex.indexIvf(c, coarse)
+    val got = rows(SqIndex.searchIvf(indexed, queries, coarse, k = 5,
+      nprobe = 4, shortlist = 50).orderBy("query_id", "rank"))
+    val want = rows(Similarity.bruteForceKnn(c, queries, 5)
+      .orderBy("query_id", "rank"))
+    assert(got == want, "IVF-SQ8 diverged from brute force")
+    // Pruning is real: candidates scanned per query ≤ rows in the 4
+    // probed cells, strictly under the corpus (16-cell spread).
+    val n = c.count()
+    val maxCell = indexed.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell * 4 < n,
+      s"fixture must actually spread cells (maxCell=$maxCell n=$n)")
+  }
+
+  test("IVF-SQ8 is path-invariant under forced hierarchical coarse assign") {
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 10)
+    val coarse = IvfIndex.train(c, k = 16, iters = 2)
+    def run(): Seq[Seq[Any]] =
+      rows(SqIndex.searchIvf(SqIndex.indexIvf(c, coarse), queries, coarse,
+        k = 5, nprobe = 4, shortlist = 50).orderBy("query_id", "rank"))
+    val default = run()
+    val hier = IvfIndex.literalAssignMaxKOverride.withValue(Some(0)) {
+      IvfIndex.hierarchicalAssignMinKOverride.withValue(Some(0))(run())
+    }
+    assert(hier == default, "IVF-SQ8 changed under the hierarchical assign")
+  }
+
   test("results invariant across the query-side broadcast gate") {
     val c = corpus
     val queries = c.filter(col("vec_id") < 10)
