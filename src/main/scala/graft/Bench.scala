@@ -82,10 +82,27 @@ object Bench {
     }.groupMapReduce(_._1)(_._2)(math.min)
   }
 
+  /** BENCH_r*.json names tracked by git — the "committed" in "latest
+    * committed round artifact". The driver drops the CURRENT round's
+    * BENCH_rN.json into the working dir before it is ever committed;
+    * without this filter an intra-round rerun compares against its own
+    * round's earlier output and the round-over-round drift gate can
+    * never fire (r16 ADVICE). Git unavailable → None (fall back to
+    * every file rather than silently comparing against nothing).
+    */
+  private def gitTrackedBench(): Option[Set[String]] =
+    try {
+      val p = new ProcessBuilder("git", "ls-files", "BENCH_*.json").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() == 0) Some(out.linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    } catch { case _: Exception => None }
+
   /** Per-query mins from the LATEST committed BENCH_r{N}.json at this
     * scale (the round-over-round denominator of the total-floor gate) —
     * same tolerant grep as [[bestKnownMins]], restricted to the
-    * highest-numbered round artifact whose scale matches.
+    * highest-numbered GIT-TRACKED round artifact whose scale matches.
     */
   private def latestRoundMins(sfDir: String): Map[String, Double] = {
     val sfNum = java.nio.file.Paths.get(sfDir).getFileName.toString.stripPrefix("sf")
@@ -95,13 +112,15 @@ object Bench {
         text.contains(s""""sf":$sfNum}""") || text.contains(s""""sf_dir":"$sfDir"""")
     val pair = """"(q\d+)[a-z0-9_]*\\?":(-?\d+(?:\.\d+)?)""".r
     val num = """BENCH_r(\d+)\.json""".r
+    val tracked = gitTrackedBench()
     val candidates =
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
           .flatMap { p =>
             p.getFileName.toString match {
-              case num(n) => Some((n.toInt, p))
+              case num(n) if tracked.forall(_.contains(p.getFileName.toString)) =>
+                Some((n.toInt, p))
               case _ => None
             }
           }.toList.sortBy(-_._1)
@@ -240,14 +259,30 @@ object Bench {
         priorMins(k.takeWhile(_ != '_'))
     }.sum
     val floorRatio = if (floorPrev > 0) floorTotal / floorPrev else 1.0
+    val loadPost = loadavg()
+    // Load-aware drift gate (r16 verdict item 3): the r16 driver run
+    // breached 1.1x at loadavg 2.5→6.7 while the quiet floor was 0.903x —
+    // a gate that fires on every loaded run gets ignored the round a real
+    // drift lands. Above the load ceiling the flag downgrades to
+    // "load-suspect": recorded in the artifact so a quiet confirmation is
+    // DEMANDED (re-run the shared subset on an idle host), not assumed.
+    def load1(s: String): Double =
+      try s.stripPrefix("[").takeWhile(c => c != ',' && c != ']').toDouble
+      catch { case _: Exception => 0.0 }
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "4.0").toDouble
+    val loadHigh = math.max(load1(loadPre), load1(loadPost)) > loadGate
+    val floorFlag =
+      if (floorRatio <= 1.1) "ok"
+      else if (loadHigh) "drift-load-suspect"
+      else "drift"
     if (floorRatio > 1.1)
-      System.err.println(f"[bench] WARNING aggregate drift: common-query total " +
-        f"$floorTotal%.1f s = $floorRatio%.3fx the previous round's $floorPrev%.1f s (gate 1.1x)")
+      System.err.println(f"[bench] WARNING aggregate drift ($floorFlag): " +
+        f"common-query total $floorTotal%.1f s = $floorRatio%.3fx the previous " +
+        f"round's $floorPrev%.1f s (gate 1.1x, loadavg $loadPre->$loadPost)")
     def r1f(t: Double): String = (math.rint(t * 10) / 10).toString
     val floorJson =
       s""""floor":{"total":${r1f(floorTotal)},"prev":${r1f(floorPrev)},""" +
-        s""""best":${r1f(floorBest)},"n":${shared.size}}"""
-    val loadPost = loadavg()
+        s""""best":${r1f(floorBest)},"n":${shared.size},"flag":"$floorFlag"}"""
     // The numeric scale factor matches the driver's stated contract
     // (`"sf":0.1`, not a dir path) — rounds 1–7 all came back
     // `"parsed": null` with the path-string form, so the stdout line now

@@ -110,8 +110,15 @@ object IvfIndex {
       * on every lookup and evicted whenever the first-inserted instance
       * was GC'd (r15 ADVICE). Seq face: MD5 over (k, every id, every
       * centroid double) — collision-free in practice, amortized over the
-      * instance's lifetime. Table face: MD5 over (path, k) — O(1), the
-      * regime where hashing the codebook would itself be the cost.
+      * instance's lifetime. Table face: MD5 over (path, k, the parquet
+      * FILE LISTING — name/length/mtime per visible file). Path alone is
+      * NOT an identity (r16 ADVICE): reclusters rewrite codebooks at
+      * FIXED paths (IvfState's `bundle/model`, trainTableSized's
+      * `.train_model/iterN`), so a second same-k generation at the same
+      * path would collide in [[superModelCache]] and serve the previous
+      * codebook's supers/radii/members to the new one's searches. Spark
+      * part files carry fresh UUID names on every write, so the listing
+      * pins the generation at O(#files) driver cost — still O(1) in k.
       */
     @transient lazy val fingerprint: (Long, Long) = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -127,7 +134,22 @@ object IvfIndex {
             c.foreach(x => putLong(java.lang.Double.doubleToLongBits(x)))
           }
         case None =>
-          md.update(path.get.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          md.update(path.get.getBytes(utf8))
+          val hp = new org.apache.hadoop.fs.Path(path.get)
+          val hfs = hp.getFileSystem(org.apache.spark.sql.SparkSession.active
+            .sparkContext.hadoopConfiguration)
+          hfs.listStatus(hp)
+            .filter(st => st.isFile && {
+              val n = st.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            })
+            .sortBy(_.getPath.getName)
+            .foreach { st =>
+              md.update(st.getPath.getName.getBytes(utf8))
+              putLong(st.getLen)
+              putLong(st.getModificationTime)
+            }
       }
       val d = md.digest()
       val bb = java.nio.ByteBuffer.wrap(d)
@@ -504,8 +526,11 @@ object IvfIndex {
     import spark.implicits._
     sm.supers.toDF("sid", "scent", "r")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/supers")
+    // Members keep their source partitioning (r16 verdict item 7): at
+    // k=10⁷ a coalesce(1) funnels the k-row membership through ONE task;
+    // the supers stay one file (√k rows, genuinely tiny).
     sm.members.select(col("__cell").as("cell"), col("__sid").as("sid"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/members")
+      .write.mode("overwrite").parquet(s"$dir/members")
   }
 
   /** Reload a persisted super-model: supers collect √k rows; members

@@ -192,8 +192,13 @@ object IvfPq {
       queries: DataFrame, nprobe: Int, idCol: String, vecCol: String)
       : (DataFrame, Seq[Int]) = {
     val (df, cells, _) = lutFrameSized(spark, model, queries, nprobe, idCol, vecCol)
-    (df, cells.getOrElse(
-      df.select("cell").distinct().collect().map(_.getInt(0)).toSeq))
+    // cells=None means the probed union ALREADY exceeded
+    // staticPruneMaxCells inside lutFrameSized — re-collecting it
+    // unbounded here would reintroduce the driver-collect/isin-plan
+    // hazard the ceiling exists to prevent (r16 ADVICE). Empty = "no
+    // static filter; lean on the cell equi-join's runtime pruning" —
+    // the same contract lutFrameSized's None carries.
+    (df, cells.getOrElse(Seq.empty))
   }
 
   /** [[lutFrame]] plus the |Q| the sizing probe learned (`Some(n)` when
@@ -377,8 +382,11 @@ object IvfPq {
   private[graft] def scoredShortlist(indexed: DataFrame, queries: DataFrame,
       model: Model, nprobe: Int, shortlist: Int, idCol: String,
       vecCol: String, excludeSelf: Boolean): DataFrame =
+    // lutFrameSized, not lutFrame: this caller has no partitioned layout
+    // to static-filter, so the probed-cell union would be computed only
+    // to be discarded (r16 ADVICE — its engine-arm collect is a real job).
     scoredShortlistWith(indexed,
-      lutFrame(indexed.sparkSession, model, queries, nprobe, idCol, vecCol)._1,
+      lutFrameSized(indexed.sparkSession, model, queries, nprobe, idCol, vecCol)._1,
       shortlist, idCol, vecCol, excludeSelf)
 
   /** [[scoredShortlist]] against a PRE-computed [[lutFrame]] — so a
@@ -390,23 +398,12 @@ object IvfPq {
     */
   private[graft] def scoredShortlistWith(indexed: DataFrame,
       lutRows: DataFrame, shortlist: Int, idCol: String,
-      vecCol: String, excludeSelf: Boolean): DataFrame = {
-    val adc = aggregate(
-      zip_with(col("codes"), col("lut"),
-        (code, tab) => element_at(tab, code + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    val short = indexed
-      .join(lutRows, Seq("cell")) // probed cells ONLY
-      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
-      .withColumn("adc", adc)
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("adc"), asc(idCol))))
-      .filter(col("arank") <= shortlist)
-    short
-      .withColumn("score",
-        cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
-      .select(col("query_id"), col(idCol), col("score"))
-  }
+      vecCol: String, excludeSelf: Boolean): DataFrame =
+    Similarity.rerankShortlist(
+      indexed.join(lutRows, Seq("cell")), // probed cells ONLY
+      approx = PqIndex.adcScore, approxAsc = true, exactGuard = lit(true),
+      shortlist = shortlist, idCol = idCol, vecCol = vecCol,
+      excludeSelf = excludeSelf)
 
   /** Persist a trained composite model under `path` (`coarse` +
     * `pq` subdirs, each the family's tiny parquet table). Callers owning

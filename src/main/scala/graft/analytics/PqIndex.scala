@@ -182,24 +182,23 @@ object PqIndex {
       case None => lutRowsEngine(model, queries, idCol, vecCol)
     }
 
-    val adc = aggregate(
-      zip_with(col("codes"), col("lut"),
-        (code, tab) => element_at(tab, code + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    val scoredCodes = encoded
-      .crossJoin(lutDf)
-      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
-      .withColumn("adc", adc)
-    val short = scoredCodes
-      .withColumn("arank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(asc("adc"), asc(idCol))))
-      .filter(col("arank") <= shortlist)
-      .select(col("query_id"), col("q_vec"), col(idCol),
-        col(vecCol).cast("array<double>").as(vecCol))
-    short.withColumn("score", cosineSimilarity(col("q_vec"), col(vecCol)))
-      .select(col("query_id"), col(idCol), col("score"))
+    // The shared kernel with ASCENDING approx order (ADC is a distance)
+    // and no exact guard: the flat-PQ faces predate the zero-vector rule
+    // and their corpora carry no zero vectors (the encode contract keeps
+    // ADC finite either way).
+    Similarity.rerankShortlist(encoded.crossJoin(lutDf),
+      approx = adcScore, approxAsc = true, exactGuard = lit(true),
+      shortlist = shortlist, idCol = idCol, vecCol = vecCol,
+      excludeSelf = excludeSelf)
   }
+
+  /** ADC distance of a code row against its query's LUT — shared by the
+    * flat face here and [[IvfPq.scoredShortlistWith]].
+    */
+  private[graft] def adcScore: org.apache.spark.sql.Column = aggregate(
+    zip_with(col("codes"), col("lut"),
+      (code, tab) => element_at(tab, code + 1)),
+    lit(0.0), (acc, x) => acc + x)
 
   /** Driver-arm LUT rows (query_id, q_vec, lut):
     * LUT(s)(c) = ‖c‖² − 2⟨q_s, c⟩ — rank-equivalent to the true ADC

@@ -38,6 +38,36 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
         round(col("score"), 4).as("score_r"))
 
+  /** The ANN family's shared approx-shortlist → exact-re-rank kernel
+    * (r16 verdict item 4: [[PqIndex.scoredShortlist]],
+    * [[SqIndex.scoredShortlist]], [[SqIndex.searchIvf]], and
+    * [[IvfPq.scoredShortlistWith]] quadruplicated this shape — now one
+    * implementation pinned by one zero-vector edge test). Over candidate
+    * rows (query_id, q_vec, idCol, vecCol, + whatever `approx` reads):
+    * keep the `shortlist` best per query by the APPROXIMATE score
+    * (`approxAsc` = true for distance-like scores such as ADC, false for
+    * similarity-like), then score those EXACTLY by cosine on the raw
+    * vectors. `exactGuard` rows failing it score −2.0 — below any real
+    * cosine — instead of the NaN that would sort FIRST in the descending
+    * top-k window and crown a zero vector the top neighbor.
+    */
+  private[graft] def rerankShortlist(candidates: DataFrame, approx: Column,
+      approxAsc: Boolean, exactGuard: Column, shortlist: Int,
+      idCol: String, vecCol: String, excludeSelf: Boolean): DataFrame = {
+    val ord = if (approxAsc) asc("__approx") else desc("__approx")
+    candidates
+      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .withColumn("__approx", approx)
+      .withColumn("__arank", row_number().over(
+        Window.partitionBy("query_id").orderBy(ord, asc(idCol))))
+      .filter(col("__arank") <= shortlist)
+      .withColumn("score",
+        when(exactGuard,
+          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
+          .otherwise(lit(-2.0)))
+      .select(col("query_id"), col(idCol), col("score"))
+  }
+
   /** Deterministic corpus dimension probe: the MAX vector length (stable
     * on mixed-dimension corpora where an arbitrary-first-row probe would
     * flip which model's vectors go inert between runs — rows of any other

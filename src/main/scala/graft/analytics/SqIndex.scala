@@ -69,10 +69,13 @@ object SqIndex {
       k, idCol)
 
   /** The exactly-re-ranked shortlist of [[searchSq]] BEFORE the final
-    * top-k window (the [[PqIndex.scoredShortlist]] shape, minus the LUT
-    * machinery SQ8 doesn't need). One bounded sizing probe picks the
-    * query-side broadcast ([[IvfIndex.boundedCount]] against the
-    * family gate).
+    * top-k window — the family's shared kernel
+    * ([[Similarity.rerankShortlist]]) over a full crossJoin scan (the
+    * FLAT face). One bounded sizing probe picks the query-side broadcast
+    * ([[IvfIndex.boundedCount]] against the family gate). Approximate
+    * score straight on the CODES (the per-vector scale cancels in
+    * cosine); scale-0 rows (zero vectors) rank last on BOTH passes
+    * instead of emitting a NaN that would sort first.
     */
   private[graft] def scoredShortlist(encoded: DataFrame, queries: DataFrame,
       shortlist: Int, idCol: String, vecCol: String,
@@ -81,28 +84,20 @@ object SqIndex {
       col(vecCol).cast("array<double>").as("q_vec"))
     val qSmall =
       IvfIndex.boundedCount(qb, IvfIndex.queryBroadcastMaxRows).isDefined
-    // Approximate score straight on the CODES (scale cancels in cosine);
-    // scale-0 rows (zero vectors) rank last instead of emitting NaN.
-    val approx = when(col("scale") > 0,
+    Similarity.rerankShortlist(
+      encoded.crossJoin(if (qSmall) broadcast(qb) else qb),
+      approx = codeCosine, approxAsc = false, exactGuard = col("scale") > 0,
+      shortlist = shortlist, idCol = idCol, vecCol = vecCol,
+      excludeSelf = excludeSelf)
+  }
+
+  /** Guarded approximate cosine on the int8 code arrays — shared by the
+    * flat and IVF faces (and [[graft.warehouse.SqState]]).
+    */
+  private[graft] def codeCosine: org.apache.spark.sql.Column =
+    when(col("scale") > 0,
       cosineSimilarity(col("q_vec"), col("codes").cast("array<double>")))
       .otherwise(lit(-2.0))
-    val short = encoded
-      .crossJoin(if (qSmall) broadcast(qb) else qb)
-      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
-      .withColumn("approx", approx)
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("approx"), asc(idCol))))
-      .filter(col("arank") <= shortlist)
-    // The exact re-rank needs the same zero-vector guard: cosine against
-    // a zero vector is NaN, and NaN sorts FIRST in a descending window —
-    // an unguarded re-rank would crown the zero vector the top neighbor.
-    short
-      .withColumn("score",
-        when(col("scale") > 0,
-          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
-          .otherwise(lit(-2.0)))
-      .select(col("query_id"), col(idCol), col("score"))
-  }
 
   // ------------------------------------------------------------ IVF-SQ8
 
@@ -136,22 +131,12 @@ object SqIndex {
     val q = IvfIndex.withNearestCells(qb, "q_vec", coarse, nprobe, "__cells")
       .withColumn("cell", explode(col("__cells").getField("cell")))
       .drop("__cells")
-    val approx = when(col("scale") > 0,
-      cosineSimilarity(col("q_vec"), col("codes").cast("array<double>")))
-      .otherwise(lit(-2.0))
-    val short = indexed
-      .join(if (qSmall) broadcast(q) else q, Seq("cell")) // probed cells ONLY
-      .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
-      .withColumn("approx", approx)
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("approx"), asc(idCol))))
-      .filter(col("arank") <= shortlist)
     Similarity.topK(
-      short.withColumn("score",
-        when(col("scale") > 0,
-          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
-          .otherwise(lit(-2.0)))
-        .select(col("query_id"), col(idCol), col("score")),
+      Similarity.rerankShortlist(
+        indexed.join(if (qSmall) broadcast(q) else q, Seq("cell")), // probed cells ONLY
+        approx = codeCosine, approxAsc = false,
+        exactGuard = col("scale") > 0, shortlist = shortlist,
+        idCol = idCol, vecCol = vecCol, excludeSelf = excludeSelf),
       k, idCol)
   }
 

@@ -240,9 +240,13 @@ object IvfPqState {
           nprobe, "vec_id", "embedding")
         // The driver-arm cap and the broadcast gate are independent
         // knobs, so re-check the learned |Q| against the gate before
-        // letting the tail broadcast the query side.
-        qSmall = Some(qIfSmall.exists(_ <=
-          graft.analytics.IvfIndex.queryBroadcastMaxRows))
+        // letting the tail broadcast the query side. Engine-arm dispatch
+        // (qIfSmall=None) means |Q| exceeded the DRIVER cap — which at
+        // large kCells sits well below the broadcast gate — so it is
+        // "unknown", not "large": leave qSmall=None and let tailCross
+        // run its own bounded probe against the gate (r16 ADVICE).
+        qSmall = qIfSmall.map(_ <=
+          graft.analytics.IvfIndex.queryBroadcastMaxRows)
         // Static partition filter only while the probed union is
         // metadata-sized; past the ceiling the ADC cell equi-join prunes
         // at runtime over the full listing (the prunedIndexScan rule).
