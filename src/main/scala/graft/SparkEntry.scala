@@ -30,7 +30,8 @@ object Registry {
       graft.analytics.Linkage.queries ++ graft.warehouse.EvalState.queries ++
       graft.warehouse.IvfState.queries ++ graft.warehouse.PqState.queries ++
       graft.analytics.IvfPq.queries ++ graft.warehouse.IvfPqState.queries ++
-      graft.warehouse.ComponentsState.queries ++ graft.analytics.SqIndex.queries
+      graft.warehouse.ComponentsState.queries ++ graft.analytics.SqIndex.queries ++
+      graft.warehouse.SqState.queries
 }
 
 object SparkEntry {
