@@ -218,13 +218,15 @@ object Main {
           graft.warehouse.PqState.retrain(spark, root, lease = true); Nil
         case "ivfpq" =>
           graft.warehouse.IvfPqState.recluster(spark, root, lease = true); Nil
+        case "sq" =>
+          graft.warehouse.SqState.recluster(spark, root, lease = true); Nil
         case other =>
           System.err.println(s"unknown index kind: $other " +
-            "(expected dedup|retrieval|covariance|eval|ivf|pq|ivfpq)")
+            "(expected dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq)")
           spark.stop(); sys.exit(2)
       }
       reports.foreach(r => println(s"[compact-index] $r"))
-      if (kind == "ivf" || kind == "pq" || kind == "ivfpq")
+      if (kind == "ivf" || kind == "pq" || kind == "ivfpq" || kind == "sq")
         println(s"[compact-index] $kind state at $root re-folded " +
           "(bundle swapped, committed deltas reclaimed)")
       spark.stop()
@@ -290,7 +292,7 @@ object Main {
            |  ann-search <outDir> <queriesParquet> [k] [nprobe]
            |  report <warehouseDir> <outFile.json>
            |  compact <tableDir> [targetMB]
-           |  compact-index <dedup|retrieval|covariance|eval|ivf|pq> <rootDir>
+           |  compact-index <dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq> <rootDir>
            |  migrate-state <covariance> <rootDir>
            |  cc-update <statePath> <edgesParquet>
            |  cc-components <statePath> [n]

@@ -172,7 +172,11 @@ object ScaleCheck {
     // round-16: the table-backed-codebook face (save → table-face load →
     // hierarchical search → persisted-super reload) and the SQ8
     // scalar-quantized ANN — decade on arrival.
-    "q264_knn_ivf_table", "q265_knn_sq8", "q266_knn_ivfsq8")
+    "q264_knn_ivf_table", "q265_knn_sq8", "q266_knn_ivfsq8",
+    // round-17: the incremental IVF-SQ8 state (ingest ×3 + mid-stream
+    // recluster + bundle∪tail search) — decade on arrival, the family
+    // discipline (q234/q236/q239 precedent).
+    "q267_sq_state")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

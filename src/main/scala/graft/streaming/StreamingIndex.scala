@@ -210,6 +210,33 @@ object StreamingIndex {
     q.awaitTermination()
   }
 
+  /** Drain `sourceDir` into the incremental IVF-SQ8 ANN state — the
+    * [[ivfPqAvailableNow]] sibling ([[graft.warehouse.SqState]]),
+    * completing streaming parity for the full ANN family. Unlike the
+    * other members, drained batches land ALREADY ENCODED (SQ8 codes are
+    * per-vector — [[graft.warehouse.SqState.update]] is the family's
+    * only encode site), so the coarse recluster maintenance verb moves
+    * rows between cells without any re-encode work.
+    */
+  def sqAvailableNow(spark: SparkSession, sourceDir: String,
+                     schema: StructType, stateRoot: String,
+                     checkpoint: String, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.warehouse.SqState.update(spark, stateRoot, batch, idCol,
+          vecCol, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `sourceDir` (json training docs) through exact substring
     * decontamination against a FIXED eval set — q233's streaming face
     * (r13 verdict item 7): each micro-batch is scored by
