@@ -31,7 +31,7 @@ object Registry {
       graft.warehouse.IvfState.queries ++ graft.warehouse.PqState.queries ++
       graft.analytics.IvfPq.queries ++ graft.warehouse.IvfPqState.queries ++
       graft.warehouse.ComponentsState.queries ++ graft.analytics.SqIndex.queries ++
-      graft.warehouse.SqState.queries
+      graft.warehouse.SqState.queries ++ graft.analytics.BitIndex.queries
 }
 
 object SparkEntry {

@@ -126,6 +126,50 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Hamming distance between two packed bit-code arrays (array<long>) —
+    * one XOR + popcount per word. Ragged pairs return -1 (a caller
+    * comparing codes from different plane matrices has a bug; -1 sorts
+    * FIRST ascending, so it is loud in any shortlist, never silent).
+    */
+  def hammingLL(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return -1L
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `hamming(a, b)` over packed bit codes (array<long>) — XOR + popcount
+  * fused in one native pass; the scan kernel of the binary ANN face
+  * ([[graft.analytics.BitIndex]]). Codegen is one static call, so the
+  * whole approximate-distance scan stays inside whole-stage codegen.
+  */
+case class HammingDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_hamming"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> code columns, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.hammingLL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.hammingLL($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 sealed abstract class VectorBinaryExpression extends BinaryExpression {

@@ -86,4 +86,10 @@ package object functions {
   def hyperplaneBuckets(vec: Column, planes: Array[Double],
                         bitsPerTable: Int, numTables: Int): Column =
     toCol(HyperplaneBuckets(expr(vec), planes, bitsPerTable, numTables))
+
+  /** Hamming distance between two packed bit-code columns (array<long>)
+    * — XOR + popcount in one fused native pass.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    toCol(HammingDist(expr(a), expr(b)))
 }
