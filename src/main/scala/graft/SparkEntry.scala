@@ -31,7 +31,8 @@ object Registry {
       graft.warehouse.IvfState.queries ++ graft.warehouse.PqState.queries ++
       graft.analytics.IvfPq.queries ++ graft.warehouse.IvfPqState.queries ++
       graft.warehouse.ComponentsState.queries ++ graft.analytics.SqIndex.queries ++
-      graft.warehouse.SqState.queries ++ graft.analytics.BitIndex.queries
+      graft.warehouse.SqState.queries ++ graft.analytics.BitIndex.queries ++
+      graft.analytics.Mips.queries
 }
 
 object SparkEntry {

@@ -46,14 +46,18 @@ object Similarity {
     * rows (query_id, q_vec, idCol, vecCol, + whatever `approx` reads):
     * keep the `shortlist` best per query by the APPROXIMATE score
     * (`approxAsc` = true for distance-like scores such as ADC, false for
-    * similarity-like), then score those EXACTLY by cosine on the raw
-    * vectors. `exactGuard` rows failing it score −2.0 — below any real
-    * cosine — instead of the NaN that would sort FIRST in the descending
-    * top-k window and crown a zero vector the top neighbor.
+    * similarity-like), then score those EXACTLY — by cosine on the raw
+    * vectors unless `exact` overrides the measure (the MIPS face
+    * re-ranks by raw inner product, [[Mips]]). `exactGuard` rows
+    * failing it score −2.0 — below any real cosine — instead of the NaN
+    * that would sort FIRST in the descending top-k window and crown a
+    * zero vector the top neighbor (dot-product rerankers need no guard:
+    * a zero vector dots to 0, not NaN — they pass `lit(true)`).
     */
   private[graft] def rerankShortlist(candidates: DataFrame, approx: Column,
       approxAsc: Boolean, exactGuard: Column, shortlist: Int,
-      idCol: String, vecCol: String, excludeSelf: Boolean): DataFrame = {
+      idCol: String, vecCol: String, excludeSelf: Boolean,
+      exact: Option[Column] = None): DataFrame = {
     val ord = if (approxAsc) asc("__approx") else desc("__approx")
     candidates
       .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
@@ -62,8 +66,8 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(ord, asc(idCol))))
       .filter(col("__arank") <= shortlist)
       .withColumn("score",
-        when(exactGuard,
-          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>")))
+        when(exactGuard, exact.getOrElse(
+          cosineSimilarity(col("q_vec"), col(vecCol).cast("array<double>"))))
           .otherwise(lit(-2.0)))
       .select(col("query_id"), col(idCol), col("score"))
   }
