@@ -176,7 +176,12 @@ object ScaleCheck {
     // round-17: the incremental IVF-SQ8 state (ingest ×3 + mid-stream
     // recluster + bundle∪tail search) — decade on arrival, the family
     // discipline (q234/q236/q239 precedent).
-    "q267_sq_state")
+    "q267_sq_state",
+    // round-17: the binary sign-code faces (flat Hamming scan + IVF
+    // composite) and the MIPS pair (exact flat dot scan + the
+    // norm-augmentation IVF-SQ8 path) — decade on arrival.
+    "q268_knn_bits", "q269_knn_ivfbits", "q270_mips_exact",
+    "q271_mips_ivfsq")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe
