@@ -1573,4 +1573,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.scans <= 8 && s.shuffles <= 16, s"q246 regressed: $s")
     assert(s.nestedLoops == 0 && s.singleParts == 0, s"q246 regressed: $s")
   }
+
+  test("q268/q270 flat scans: ONE designed broadcast crossJoin each, " +
+    "never a funnel; q269/q271 IVF composites stay cell EQUI-joins") {
+    // The flat faces (binary Hamming, brute MIPS) are full scans BY
+    // DESIGN — their one BroadcastNestedLoopJoin is the gated
+    // query-side broadcast, not a pair-scan regression; what must never
+    // appear is a SECOND crossJoin or a single-partition funnel. The
+    // counter reads the AQE plan string, which renders the same join in
+    // both its Final and Initial sections — so one designed join
+    // audits as ≤ 2 lines (the executed plan itself holds exactly one
+    // BroadcastNestedLoopJoin, verified by hand this round).
+    val bits = stats("q268_knn_bits")
+    assert(bits.nestedLoops <= 2 && bits.singleParts == 0,
+      s"q268 must stay one designed crossJoin: $bits")
+    val mips = stats("q270_mips_exact")
+    assert(mips.nestedLoops <= 2 && mips.singleParts == 0,
+      s"q270 must stay one designed crossJoin: $mips")
+    // The IVF composites prune through the cell EQUI-join — a nested
+    // loop here means the probed-cells join decayed to a pair scan.
+    val ivfBits = stats("q269_knn_ivfbits")
+    assert(ivfBits.nestedLoops == 0 && ivfBits.singleParts == 0,
+      s"q269 must stay cell-equi-joined: $ivfBits")
+    val mipsAnn = stats("q271_mips_ivfsq")
+    assert(mipsAnn.nestedLoops == 0 && mipsAnn.singleParts == 0,
+      s"q271 must stay cell-equi-joined: $mipsAnn")
+  }
 }
