@@ -157,6 +157,40 @@ class TableModelSpec extends SparkSpec {
     }
   }
 
+  test("table fingerprint is a CONTENT identity: a recluster-style rewrite " +
+    "at the SAME path changes it, and the super cache follows (r16 advice)") {
+    withTmp { tmp =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val path = s"$tmp/model"
+      // Generation 1 at the fixed path (the IvfState bundle/model shape).
+      Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+        .toDF("cell", "centroid").coalesce(1).write.parquet(path)
+      val g1 = IvfIndex.Model.table(spark, path)
+      val f1 = g1.fingerprint
+      // Build the super model for generation 1 so the cache holds an
+      // entry keyed by f1.
+      val sm1 = IvfIndex.superModelFor(spark, g1)
+      // Generation 2: same path, same k, DIFFERENT centroids — the
+      // second-recluster collision the path-only fingerprint had.
+      Seq((0, Seq(0.0, 2.0)), (1, Seq(2.0, 0.0)))
+        .toDF("cell", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
+      val g2 = IvfIndex.Model.table(spark, path)
+      assert(g2.fingerprint != f1,
+        "a same-path same-k rewrite must change the table fingerprint")
+      // And the super model resolved for generation 2 reflects the NEW
+      // codebook (its member centroids are g2's), not the cached g1's.
+      val sm2 = IvfIndex.superModelFor(spark, g2)
+      val cents2 = sm2.members.select(col("__centroid"))
+        .collect().map(_.getSeq[Double](0)).toSet
+      assert(cents2 == Set(Seq(0.0, 2.0), Seq(2.0, 0.0)),
+        s"generation 2 must not consume generation 1's cached members: $cents2")
+      assert(sm1.members.select(col("__centroid"))
+        .collect().map(_.getSeq[Double](0)).toSet != cents2,
+        "fixture defect: the two generations' member centroids coincide")
+    }
+  }
+
   test("q264 gated row: table-face hierarchical search matches the default search") {
     val got = rows(IvfIndex.ivfKnnTable(spark, dir).orderBy("query_id", "rank"))
     val want = rows(IvfIndex.ivfKnn(spark, dir).orderBy("query_id", "rank"))
