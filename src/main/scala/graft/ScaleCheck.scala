@@ -181,7 +181,10 @@ object ScaleCheck {
     // composite) and the MIPS pair (exact flat dot scan + the
     // norm-augmentation IVF-SQ8 path) — decade on arrival.
     "q268_knn_bits", "q269_knn_ivfbits", "q270_mips_exact",
-    "q271_mips_ivfsq")
+    "q271_mips_ivfsq",
+    // round-17: the metadata-filtered IVF-SQ8 composite — stratum ∩
+    // probed-cells work, never corpus × queries.
+    "q272_knn_ivfsq_filtered")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

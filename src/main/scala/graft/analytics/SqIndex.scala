@@ -140,6 +140,38 @@ object SqIndex {
       k, idCol)
   }
 
+  /** Metadata-FILTERED ANN top-k — q209's retrieval-with-constraints
+    * shape ("top-k among documents where tenant/label = X") composed
+    * with the IVF-SQ8 scan: the filter column is an ADDITIONAL JOIN KEY
+    * beside the probed cell, so the stratum restriction applies BEFORE
+    * the shortlist window — k is exact per stratum by construction
+    * (post-filtering a global ANN top-k under-fills k; this never
+    * does), and a query's work is (stratum ∩ probed cells), never the
+    * corpus. At warehouse scale the filter column rides the partition
+    * layout beside `cell` and prunes at the scan.
+    */
+  def searchIvfFiltered(indexed: DataFrame, queries: DataFrame,
+                        coarse: IvfIndex.Model, k: Int, filterCol: String,
+                        nprobe: Int = 2, shortlist: Int = 50,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        excludeSelf: Boolean = true): DataFrame = {
+    val qb = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"), col(filterCol))
+    val qSmall = IvfIndex.boundedCount(qb,
+      IvfIndex.queryBroadcastMaxRows / math.max(nprobe, 1)).isDefined
+    val q = IvfIndex.withNearestCells(qb, "q_vec", coarse, nprobe, "__cells")
+      .withColumn("cell", explode(col("__cells").getField("cell")))
+      .drop("__cells")
+    Similarity.topK(
+      Similarity.rerankShortlist(
+        indexed.join(if (qSmall) broadcast(q) else q,
+          Seq("cell", filterCol)), // probed cells ∩ the query's stratum
+        approx = codeCosine, approxAsc = false,
+        exactGuard = col("scale") > 0, shortlist = shortlist,
+        idCol = idCol, vecCol = vecCol, excludeSelf = excludeSelf),
+      k, idCol)
+  }
+
   // --------------------------------------------------------------- q265
   /** SQ8 ANN top-5 over the planted-margin corpus (per-vector int8,
     * shortlist 50, exact re-rank) — the q117 shape with scalar codes
@@ -171,7 +203,51 @@ object SqIndex {
       coarse, k = 5, nprobe = 4, shortlist = 50)
   }
 
+  // --------------------------------------------------------------- q272
+  /** Filtered IVF-SQ8 top-5 within each query's own label stratum over
+    * the planted corpus — labels derive deterministically from the id
+    * (base: vec_id % 3; twins inherit their SOURCE's label, so every
+    * query's 5 planted twins are in-stratum and still dominate the
+    * natural max). The DuckDB oracle rebuilds the same labeled corpus
+    * and ranks within the stratum exactly.
+    */
+  def ivfSqKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.plantedKnnCorpus(graft.core.Tables.embeddings(spark, dir))
+      .withColumn("label",
+        when(col("vec_id") < 100000L, col("vec_id") % 3)
+          .otherwise(((col("vec_id") - 100000L) / 10).cast("long") % 3))
+    val coarse = IvfIndex.train(corpus, k = 16, iters = 2)
+    val indexed = encode(
+      IvfIndex.index(corpus.select(col("vec_id"), col("embedding"), col("label")),
+        coarse, "embedding"))
+    searchIvfFiltered(indexed, corpus.filter(col("vec_id") < 10), coarse,
+      k = 5, filterCol = "label", nprobe = 4, shortlist = 50)
+  }
+
+  private[graft] val plantedFilteredKnnSql =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      |), corpus AS (
+      |  SELECT vec_id, embedding, vec_id % 3 AS label FROM base
+      |  UNION ALL
+      |  SELECT 100000 + b.vec_id * 10 + t.t AS vec_id,
+      |         list_transform(b.embedding,
+      |           (x, i) -> x + ((b.vec_id * 31 + t.t * 7 + i - 1) % 97 - 48) / 2000.0) AS embedding,
+      |         b.vec_id % 3 AS label
+      |  FROM base b, (SELECT unnest(range(0, 5)) AS t) t
+      |  WHERE b.vec_id < 10
+      |)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  row_number() OVER (PARTITION BY q.vec_id
+      |                     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank,
+      |  round(list_cosine_similarity(q.embedding, c.embedding), 4) AS score_r
+      |FROM corpus q JOIN corpus c ON c.label = q.label AND c.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5""".stripMargin
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery("q265_knn_sq8", sqKnn _, Some(Similarity.plantedKnnSql)),
-    NamedQuery("q266_knn_ivfsq8", ivfSqKnn _, Some(Similarity.plantedKnnSql)))
+    NamedQuery("q266_knn_ivfsq8", ivfSqKnn _, Some(Similarity.plantedKnnSql)),
+    NamedQuery("q272_knn_ivfsq_filtered", ivfSqKnnFiltered _,
+      Some(plantedFilteredKnnSql)))
 }

@@ -94,6 +94,29 @@ class SqIndexSpec extends SparkSpec {
     assert(hier == default, "IVF-SQ8 changed under the hierarchical assign")
   }
 
+  test("filtered IVF-SQ8 equals exact per-stratum kNN; no cross-stratum leakage") {
+    val c = corpus.withColumn("label",
+      when(col("vec_id") < 100000L, col("vec_id") % 3)
+        .otherwise(((col("vec_id") - 100000L) / 10).cast("long") % 3))
+    val queries = c.filter(col("vec_id") < 10)
+    val coarse = IvfIndex.train(c, k = 16, iters = 2)
+    val indexed = SqIndex.encode(
+      IvfIndex.index(c.select(col("vec_id"), col("embedding"), col("label")),
+        coarse, "embedding"))
+    val got = SqIndex.searchIvfFiltered(indexed, queries, coarse, k = 5,
+      filterCol = "label", nprobe = 4, shortlist = 50)
+    val want = Similarity.filteredKnn(c, queries, k = 5, filterCol = "label")
+    assert(rows(got.orderBy("query_id", "rank")) ==
+      rows(want.orderBy("query_id", "rank")),
+      "filtered ANN diverged from exact per-stratum kNN")
+    // Leakage audit: every returned neighbor shares its query's stratum.
+    val leaks = got
+      .join(c.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
+      .join(c.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), Seq("neighbor_id"))
+      .filter(col("ql") =!= col("nl")).count()
+    assert(leaks == 0, s"$leaks cross-stratum neighbors leaked")
+  }
+
   test("results invariant across the query-side broadcast gate") {
     val c = corpus
     val queries = c.filter(col("vec_id") < 10)
