@@ -220,13 +220,15 @@ object Main {
           graft.warehouse.IvfPqState.recluster(spark, root, lease = true); Nil
         case "sq" =>
           graft.warehouse.SqState.recluster(spark, root, lease = true); Nil
+        case "bit" =>
+          graft.warehouse.BitState.recluster(spark, root, lease = true); Nil
         case other =>
           System.err.println(s"unknown index kind: $other " +
-            "(expected dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq)")
+            "(expected dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq|bit)")
           spark.stop(); sys.exit(2)
       }
       reports.foreach(r => println(s"[compact-index] $r"))
-      if (kind == "ivf" || kind == "pq" || kind == "ivfpq" || kind == "sq")
+      if (Set("ivf", "pq", "ivfpq", "sq", "bit")(kind))
         println(s"[compact-index] $kind state at $root re-folded " +
           "(bundle swapped, committed deltas reclaimed)")
       spark.stop()
@@ -292,7 +294,7 @@ object Main {
            |  ann-search <outDir> <queriesParquet> [k] [nprobe]
            |  report <warehouseDir> <outFile.json>
            |  compact <tableDir> [targetMB]
-           |  compact-index <dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq> <rootDir>
+           |  compact-index <dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq|bit> <rootDir>
            |  migrate-state <covariance> <rootDir>
            |  cc-update <statePath> <edgesParquet>
            |  cc-components <statePath> [n]

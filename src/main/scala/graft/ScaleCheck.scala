@@ -184,7 +184,10 @@ object ScaleCheck {
     "q271_mips_ivfsq",
     // round-17: the metadata-filtered IVF-SQ8 composite — stratum ∩
     // probed-cells work, never corpus × queries.
-    "q272_knn_ivfsq_filtered")
+    "q272_knn_ivfsq_filtered",
+    // round-17: the incremental IVF-binary state (the shared encode-once
+    // core's 1-bit face).
+    "q273_bit_state")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe

@@ -32,7 +32,7 @@ object Registry {
       graft.analytics.IvfPq.queries ++ graft.warehouse.IvfPqState.queries ++
       graft.warehouse.ComponentsState.queries ++ graft.analytics.SqIndex.queries ++
       graft.warehouse.SqState.queries ++ graft.analytics.BitIndex.queries ++
-      graft.analytics.Mips.queries
+      graft.analytics.Mips.queries ++ graft.warehouse.BitState.queries
 }
 
 object SparkEntry {

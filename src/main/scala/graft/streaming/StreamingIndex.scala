@@ -237,6 +237,30 @@ object StreamingIndex {
     q.awaitTermination()
   }
 
+  /** Drain `sourceDir` into the incremental IVF-binary ANN state — the
+    * [[sqAvailableNow]] sibling ([[graft.warehouse.BitState]]): packed
+    * sign codes are computed at ingest from the deterministic seeded
+    * plane matrix, so the recluster verb is re-encode-free like SQ8's.
+    */
+  def bitAvailableNow(spark: SparkSession, sourceDir: String,
+                      schema: StructType, stateRoot: String,
+                      checkpoint: String, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.warehouse.BitState.update(spark, stateRoot, batch, idCol,
+          vecCol, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `sourceDir` (json training docs) through exact substring
     * decontamination against a FIXED eval set — q233's streaming face
     * (r13 verdict item 7): each micro-batch is scored by
