@@ -103,8 +103,11 @@ object Bench {
     * scale (the round-over-round denominator of the total-floor gate) —
     * same tolerant grep as [[bestKnownMins]], restricted to the
     * highest-numbered GIT-TRACKED round artifact whose scale matches.
+    * Returns the artifact's file name with the map so the floor object
+    * can say WHAT it compared against (r17 verdict: `n:160` against a
+    * 271-query suite needed tribal knowledge to interpret).
     */
-  private def latestRoundMins(sfDir: String): Map[String, Double] = {
+  private def latestRoundMins(sfDir: String): (String, Map[String, Double]) = {
     val sfNum = java.nio.file.Paths.get(sfDir).getFileName.toString.stripPrefix("sf")
     def sameScale(text: String): Boolean =
       text.contains(s""""sf":"$sfDir"""") ||
@@ -128,13 +131,14 @@ object Bench {
     candidates.iterator.map { case (_, p) =>
       try {
         val text = java.nio.file.Files.readString(p)
-        if (!sameScale(text)) Map.empty[String, Double]
-        else pair.findAllMatchIn(text)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toList
-          .groupMapReduce(_._1)(_._2)(math.min)
-      } catch { case _: Exception => Map.empty[String, Double] }
-    }.find(_.nonEmpty).getOrElse(Map.empty)
+        if (!sameScale(text)) ("", Map.empty[String, Double])
+        else (p.getFileName.toString,
+          pair.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0).toList
+            .groupMapReduce(_._1)(_._2)(math.min))
+      } catch { case _: Exception => ("", Map.empty[String, Double]) }
+    }.find(_._2.nonEmpty).getOrElse(("none", Map.empty))
   }
 
   def main(args: Array[String]): Unit = {
@@ -247,7 +251,7 @@ object Bench {
     // 1.22× on a run that was round-over-round FASTER.) New queries are
     // exempt by construction; the all-history sum still rides the
     // artifact as "best" for trend reading.
-    val prevRound = latestRoundMins(sfDir)
+    val (prevArtifact, prevRound) = latestRoundMins(sfDir)
     val shared = results.collect {
       case (k, v, _) if v >= 0 && prevRound.contains(k.takeWhile(_ != '_')) =>
         (prevRound(k.takeWhile(_ != '_')), v)
@@ -269,7 +273,10 @@ object Bench {
     def load1(s: String): Double =
       try s.stripPrefix("[").takeWhile(c => c != ',' && c != ']').toDouble
       catch { case _: Exception => 0.0 }
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "4.0").toDouble
+    // A malformed env value degrades to the default gate instead of
+    // throwing AFTER every query timing has been paid (r17 ADVICE).
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .flatMap(_.toDoubleOption).getOrElse(4.0)
     val loadHigh = math.max(load1(loadPre), load1(loadPost)) > loadGate
     val floorFlag =
       if (floorRatio <= 1.1) "ok"
@@ -280,9 +287,13 @@ object Bench {
         f"common-query total $floorTotal%.1f s = $floorRatio%.3fx the previous " +
         f"round's $floorPrev%.1f s (gate 1.1x, loadavg $loadPre->$loadPost)")
     def r1f(t: Double): String = (math.rint(t * 10) / 10).toString
+    // "shared_with" names the comparison artifact and the n counts only
+    // the queries BOTH runs timed (the artifact's tail omits its fastest
+    // entries) — the floor object is self-describing (r17 verdict).
     val floorJson =
       s""""floor":{"total":${r1f(floorTotal)},"prev":${r1f(floorPrev)},""" +
-        s""""best":${r1f(floorBest)},"n":${shared.size},"flag":"$floorFlag"}"""
+        s""""best":${r1f(floorBest)},"n":${shared.size},""" +
+        s""""shared_with":"$prevArtifact","flag":"$floorFlag"}"""
     // The numeric scale factor matches the driver's stated contract
     // (`"sf":0.1`, not a dir path) — rounds 1–7 all came back
     // `"parsed": null` with the path-string form, so the stdout line now

@@ -64,14 +64,21 @@ object IvfPqProbeCheck {
       }
       df.write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      // An EMPTY probed-cell union on a non-driver arm is lutFrame's
+      // above-ceiling fallback (union > staticPruneMaxCells → nothing is
+      // collected and the scan is unfiltered) — print it as the regime
+      // it is, not as a misleading 0-cell measurement (r17 ADVICE).
+      val ceilinged = label != "driver" && cells.isEmpty
       val driverMB = label match {
         // driver arm: every LUT row lives on the driver before toDF
         case "driver" => q.toLong * nprobe * (m * ksub + dim + 2) * 8 / 1e6
         // engine arm: the probed-cell union only
         case _ => cells.size * 4 / 1e6
       }
+      val cellsStr = if (ceilinged) ">ceiling" else cells.size.toString
+      val mbStr = if (ceilinged) "n/a" else f"$driverMB%.3f"
       println(f"[ivfpq-probe] $label%-8s |Q|=$q%7d wall=$wall%8.2f s " +
-        f"driverMB=$driverMB%10.3f probedCells=${cells.size}%5d")
+        f"driverMB=$mbStr%10s probedCells=$cellsStr%8s")
     }
 
     qs.foreach { q =>
