@@ -222,15 +222,36 @@ object Main {
           graft.warehouse.SqState.recluster(spark, root, lease = true); Nil
         case "bit" =>
           graft.warehouse.BitState.recluster(spark, root, lease = true); Nil
+        case "mips" =>
+          graft.warehouse.MipsState.recluster(spark, root, lease = true); Nil
         case other =>
           System.err.println(s"unknown index kind: $other " +
-            "(expected dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq|bit)")
+            "(expected dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq|bit|mips)")
           spark.stop(); sys.exit(2)
       }
       reports.foreach(r => println(s"[compact-index] $r"))
-      if (Set("ivf", "pq", "ivfpq", "sq", "bit")(kind))
+      if (Set("ivf", "pq", "ivfpq", "sq", "bit", "mips")(kind))
         println(s"[compact-index] $kind state at $root re-folded " +
           "(bundle swapped, committed deltas reclaimed)")
+      spark.stop()
+
+    case "index-delete" :: kind :: root :: idsPath :: Nil =>
+      // Curation verb for the encode-once ANN states: commit the id set
+      // (a parquet with a vec_id column) as one TOMBSTONE epoch under
+      // the exactly-once last_batch protocol. Search excludes the ids
+      // immediately; the next compact-index fold purges them — a
+      // curation pass no longer forces a full index rebuild.
+      val spark = session()
+      val face = kind match {
+        case "sq" => graft.warehouse.SqState
+        case "bit" => graft.warehouse.BitState
+        case "mips" => graft.warehouse.MipsState
+        case other =>
+          System.err.println(s"unknown index kind: $other (expected sq|bit|mips)")
+          spark.stop(); sys.exit(2)
+      }
+      val epoch = face.delete(spark, root, spark.read.parquet(idsPath), lease = true)
+      println(s"[index-delete] $kind state at $root: tombstone epoch $epoch committed")
       spark.stop()
 
     case "migrate-state" :: kind :: root :: Nil =>
@@ -294,7 +315,8 @@ object Main {
            |  ann-search <outDir> <queriesParquet> [k] [nprobe]
            |  report <warehouseDir> <outFile.json>
            |  compact <tableDir> [targetMB]
-           |  compact-index <dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq|bit> <rootDir>
+           |  compact-index <dedup|retrieval|covariance|eval|ivf|pq|ivfpq|sq|bit|mips> <rootDir>
+           |  index-delete <sq|bit|mips> <rootDir> <idsParquet>
            |  migrate-state <covariance> <rootDir>
            |  cc-update <statePath> <edgesParquet>
            |  cc-components <statePath> [n]

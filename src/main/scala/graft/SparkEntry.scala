@@ -32,7 +32,8 @@ object Registry {
       graft.analytics.IvfPq.queries ++ graft.warehouse.IvfPqState.queries ++
       graft.warehouse.ComponentsState.queries ++ graft.analytics.SqIndex.queries ++
       graft.warehouse.SqState.queries ++ graft.analytics.BitIndex.queries ++
-      graft.analytics.Mips.queries ++ graft.warehouse.BitState.queries
+      graft.analytics.Mips.queries ++ graft.warehouse.BitState.queries ++
+      graft.warehouse.MipsState.queries
 }
 
 object SparkEntry {

@@ -52,22 +52,45 @@ object BitIndex {
   /** Attach the packed sign-code column (`codes`: array<long>, length
     * `tables`) — one fused native pass over the plan-literal plane
     * matrix (tables·bits hyperplanes, row-major, seed-deterministic).
-    * Dimension is probed from the corpus (max length — the
-    * [[Similarity]] probeDim rule); ragged rows code to null and are
-    * dropped (they cannot be compared against the plane matrix).
+    *
+    * The plane matrix is seeded PER DIMENSION, so which `dim` this call
+    * uses decides which matrix the codes mean. Two modes:
+    *
+    *   - `dim = Some(d)` (PINNED — the state-ingest and query-side
+    *     contract): every row must have length d; a ragged row FAILS
+    *     LOUDLY via `raise_error` instead of silently dropping — under
+    *     a pinned matrix a mismatch is a caller bug, and a stateful
+    *     ingest must never lose rows quietly (r17 ADVICE: per-batch
+    *     re-probes could encode different micro-batches under DIFFERENT
+    *     matrices yet emit same-length code arrays — valid-looking
+    *     Hamming values, silently wrong shortlists).
+    *   - `dim = None` (probe — the one-shot batch faces): dimension is
+    *     the corpus max length (the [[Similarity]] probeDim rule);
+    *     ragged rows code to null and are dropped.
     */
   def encode(df: DataFrame, vecCol: String = "embedding",
              tables: Int = DefaultTables, bits: Int = DefaultBits,
-             seed: Long = 42L): DataFrame = {
-    val dim = df.agg(max(size(col(vecCol)))).collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-      .filter(_ > 0)
-      .getOrElse(sys.error("BitIndex.encode: empty or all-null corpus"))
-    val flat = Similarity.hyperplanesFlat(tables * bits, dim, seed)
-    df.withColumn("codes",
-        hyperplaneBuckets(col(vecCol).cast("array<double>"), flat, bits, tables))
-      .filter(col("codes").isNotNull)
-  }
+             seed: Long = 42L, dim: Option[Int] = None): DataFrame =
+    dim match {
+      case Some(d) =>
+        require(d > 0, s"BitIndex.encode: pinned dim $d must be positive")
+        val v = col(vecCol).cast("array<double>")
+        val flat = Similarity.hyperplanesFlat(tables * bits, d, seed)
+        df.withColumn("codes",
+          when(size(v) === d, hyperplaneBuckets(v, flat, bits, tables))
+            .otherwise(raise_error(concat(
+              lit("BitIndex.encode: vector length "), size(v).cast("string"),
+              lit(s" != pinned dim $d")))))
+      case None =>
+        val d = df.agg(max(size(col(vecCol)))).collect().headOption
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+          .filter(_ > 0)
+          .getOrElse(sys.error("BitIndex.encode: empty or all-null corpus"))
+        val flat = Similarity.hyperplanesFlat(tables * bits, d, seed)
+        df.withColumn("codes",
+            hyperplaneBuckets(col(vecCol).cast("array<double>"), flat, bits, tables))
+          .filter(col("codes").isNotNull)
+    }
 
   /** ANN top-k over an [[encode]]d corpus: Hamming shortlist on the
     * packed codes, exact cosine re-rank — the family kernel with
@@ -92,7 +115,7 @@ object BitIndex {
   private[graft] def scoredShortlist(encoded: DataFrame, queries: DataFrame,
       shortlist: Int, idCol: String, vecCol: String,
       excludeSelf: Boolean): DataFrame = {
-    val q = encodeQueries(queries, idCol, vecCol)
+    val q = encodeQueries(queries, idCol, vecCol, corpusDim(encoded, vecCol))
     val qSmall =
       IvfIndex.boundedCount(q, IvfIndex.queryBroadcastMaxRows).isDefined
     Similarity.rerankShortlist(
@@ -105,15 +128,30 @@ object BitIndex {
       excludeSelf = excludeSelf)
   }
 
-  /** Queries under the corpus's plane matrix — same defaults, same
-    * seed, same probed dim (ragged query sets are the caller's bug; a
-    * mismatched pair Hammings to a loud -1, never a silent rank).
+  /** The CORPUS-probed dimension — one scalar agg over the encoded
+    * side's retained raw vectors (ragged rows were already dropped at
+    * encode, so the max IS the matrix dim). Threading it into the
+    * query-side encode pins both sides to ONE plane matrix: a query
+    * whose length disagrees now raises loudly instead of re-probing its
+    * own dim and Hamming valid-looking garbage (r17 ADVICE — the
+    * length-mismatch -1 guard only fired when CODE lengths differed,
+    * which same-`tables` encodes never do).
     */
-  private def encodeQueries(queries: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
+  private def corpusDim(encoded: DataFrame, vecCol: String): Option[Int] =
+    encoded.agg(max(size(col(vecCol)))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .filter(_ > 0)
+
+  /** Queries under the corpus's plane matrix — same defaults, same
+    * seed, and (when the caller threads it) the CORPUS's pinned dim, so
+    * a dim-mismatched query set raises loudly instead of encoding under
+    * a different matrix.
+    */
+  private def encodeQueries(queries: DataFrame, idCol: String,
+      vecCol: String, dim: Option[Int] = None): DataFrame =
     encode(queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec")),
-      "q_vec")
+      "q_vec", dim = dim)
       .withColumnRenamed("codes", "q_codes")
 
   // ------------------------------------------------------------ IVF-binary
@@ -139,7 +177,7 @@ object BitIndex {
                 shortlist: Int = 50, idCol: String = "vec_id",
                 vecCol: String = "embedding",
                 excludeSelf: Boolean = true): DataFrame = {
-    val qe = encodeQueries(queries, idCol, vecCol)
+    val qe = encodeQueries(queries, idCol, vecCol, corpusDim(indexed, vecCol))
     val qSmall = IvfIndex.boundedCount(qe,
       IvfIndex.queryBroadcastMaxRows / math.max(nprobe, 1)).isDefined
     val q = IvfIndex.withNearestCells(qe, "q_vec", coarse, nprobe, "__cells")

@@ -1118,7 +1118,8 @@ object IvfIndex {
       .getOrElse(1 << 12))
 
   def writePartitionedIndex(corpus: DataFrame, model: Model, path: String,
-                            vecCol: String = "embedding"): Unit =
+                            vecCol: String = "embedding",
+                            dropCols: Seq[String] = Nil): Unit =
     // Repartition BY CELL before the partitioned write: without it every
     // upstream partition writes a sliver into every cell directory
     // (upstream-partitions × k tiny files — measured 5× slower searches
@@ -1127,8 +1128,12 @@ object IvfIndex {
     // of a byte-small projection gets coalesced by AQE to a handful of
     // writer tasks (the recorded CandidateJoin lesson), serializing the
     // write) to k capped at [[indexWriterCount]]. Paid once at
-    // index-build time — the whole point of an index.
-    index(corpus, model, vecCol).repartition(indexWriterCount(model.k), col("cell"))
+    // index-build time — the whole point of an index. `dropCols` sheds
+    // columns that existed only for the assignment (a caller clustering
+    // in a transformed space — MipsState's transient augmentation —
+    // stores the raw layout, not the assign-time one).
+    index(corpus, model, vecCol).drop(dropCols: _*)
+      .repartition(indexWriterCount(model.k), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Probe-pruned scan of a [[writePartitionedIndex]] layout: the query

@@ -32,6 +32,20 @@ import graft.functions.dotProduct
   * once, and a query touches nprobe/kCells of the cells reading 1-byte
   * elements; M is one distributed agg at index-build time.
   *
+  * THE M-PROBLEM AND THE INCREMENTAL FACE (r18 design decision): in a
+  * growing corpus M is not stable — one louder batch raises it and
+  * invalidates every stored augmented vector, so "encode the augmented
+  * vector once at ingest" is unsound by construction. The state face
+  * ([[graft.warehouse.MipsState]]) therefore stores RAW vectors + RAW
+  * SQ8 codes (both M-free, encode-once-safe) and moves ALL M-dependent
+  * work to the recluster boundary, where M is recomputed and the
+  * augmentation is a transient train/assign column — sound because the
+  * query's augmented coordinate is 0, which makes both the probe
+  * (against stored centroids) and the shortlist rank (scale·(q·codes),
+  * the augmented cosine's numerator) independent of any stored M. This
+  * batch object keeps the build-time-M form: it constructs index and
+  * answer in one call, so staleness cannot arise here.
+  *
   * Reference behavior anchor: qms_datawarehouse exposes only exact
   * scans (src/api/routes.py); MIPS is part of the beyond-reference
   * training-data surface (SURVEY §2 addendum).

@@ -15,27 +15,56 @@ import graft.analytics.{BitIndex, Similarity}
   * (32 bytes/vector at the default 252 bits). The bundle scan is the
   * fused XOR+popcount Hamming shortlist; queries re-encode under the
   * same plane matrix at search time (their codes are never stored).
+  *
+  * The plane matrix is seeded PER DIMENSION, so the state PINS the
+  * code dimension in its metadata at the first non-empty ingest
+  * (`code_dim` — the [[CodedIvfStateCore]] r18 rule) and every later
+  * encode — ingest batches AND search-time queries — runs under that
+  * one matrix, failing loudly on a ragged row. Before the pin, a
+  * micro-batch whose max dim differed re-probed its own matrix and
+  * emitted same-LENGTH code arrays: Hamming values looked valid and
+  * shortlists went silently wrong once a recluster merged the batches
+  * (r17 ADVICE, the medium finding this pin closes).
   */
 object BitState extends CodedIvfStateCore {
 
   override protected def stateName: String = "BitState"
-  override protected def encodeBatch(batch: DataFrame): DataFrame =
-    BitIndex.encode(batch, "embedding")
+
+  /** Pin the matrix dimension at the first non-empty ingest (−1 defers
+    * the pin past idle leading epochs).
+    */
+  override protected def probeCodeDim(batch: DataFrame): Long =
+    batch.agg(max(size(col("embedding")))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0).toLong))
+      .filter(_ > 0).getOrElse(-1L)
+
+  /** Every ingest encodes under the PINNED matrix and raises on a
+    * ragged row. codeDim < 0 only before the pin — i.e. for an empty
+    * batch, which has nothing to encode.
+    */
+  override protected def encodeBatch(batch: DataFrame, codeDim: Long): DataFrame =
+    if (codeDim > 0) BitIndex.encode(batch, "embedding", dim = Some(codeDim.toInt))
+    else batch.withColumn("codes", lit(null).cast("array<bigint>"))
+      .filter(lit(false))
+
   override protected def codeCols: Seq[String] = Seq("codes")
   override protected def approxScore: Column =
     graft.functions.hammingDistance(col("q_codes"), col("codes"))
   override protected def approxAsc: Boolean = true
   override protected def exactGuard: Column =
-    graft.functions.dotProduct(col("embedding").cast("array<double>"),
-      col("embedding").cast("array<double>")) > 0
+    graft.functions.dotProduct(col("embedding"), col("embedding")) > 0
 
-  /** Queries carry their own codes under the corpus's plane matrix —
-    * the same seeded defaults [[encodeBatch]] used at ingest.
+  /** Queries carry their own codes under the corpus's PINNED plane
+    * matrix — a dim-mismatched query raises loudly at scan time instead
+    * of encoding under a different matrix. Extra columns (the filter
+    * column) ride through untouched.
     */
-  override protected def queryFrame(qn: DataFrame): DataFrame =
+  override protected def queryFrame(qn: DataFrame, codeDim: Long): DataFrame =
     BitIndex.encode(
-        qn.select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
-        "q_vec")
+        qn.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("embedding", "q_vec"),
+        "q_vec",
+        dim = if (codeDim > 0) Some(codeDim.toInt) else None)
       .withColumnRenamed("codes", "q_codes")
 
   // --------------------------------------------------------------- q273
