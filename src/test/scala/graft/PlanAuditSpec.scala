@@ -1599,4 +1599,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(mipsAnn.nestedLoops == 0 && mipsAnn.singleParts == 0,
       s"q271 must stay cell-equi-joined: $mipsAnn")
   }
+
+  test("q274/q275/q276 state verbs keep the family plan shape: " +
+    "equi-joined filtered faces, one designed tail crossJoin, " +
+    "anti-joined tombstones, never a funnel") {
+    // q274: the filter column joins BESIDE the cell on the bundle AND
+    // is the tail's equi-join key — NO crossJoin anywhere in the plan
+    // (the stratum restriction replaces the tail's pair scan).
+    val f = stats("q274_sq_state_filtered")
+    assert(f.nestedLoops == 0 && f.singleParts == 0, s"q274 regressed: $f")
+    // q275/q276: the exact tail is the one designed broadcast-query
+    // crossJoin (audits ≤ 2 under the AQE Final+Initial double-render);
+    // the bundle stays a cell equi-join, and q276's tombstone
+    // anti-joins must stay hash/broadcast joins — a third nested loop
+    // or any single-partition funnel means a seam rotted.
+    val m = stats("q275_mips_state")
+    assert(m.nestedLoops <= 2 && m.singleParts == 0, s"q275 regressed: $m")
+    val d = stats("q276_sq_state_delete")
+    assert(d.nestedLoops <= 2 && d.singleParts == 0, s"q276 regressed: $d")
+  }
 }
