@@ -261,6 +261,32 @@ object StreamingIndex {
     q.awaitTermination()
   }
 
+  /** Drain `sourceDir` into the incremental MIPS ANN state — the
+    * [[sqAvailableNow]] sibling ([[graft.warehouse.MipsState]]): raw
+    * SQ8 codes land at ingest (M-free, the store-raw/augment-at-
+    * recluster design), so a stream of batches that RAISES the max
+    * corpus norm invalidates nothing — the next recluster re-augments
+    * from raw at the new M.
+    */
+  def mipsAvailableNow(spark: SparkSession, sourceDir: String,
+                       schema: StructType, stateRoot: String,
+                       checkpoint: String, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val q: StreamingQuery = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one source file per micro-batch
+      .json(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.warehouse.MipsState.update(spark, stateRoot, batch, idCol,
+          vecCol, batchId = Some(epoch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `sourceDir` (json training docs) through exact substring
     * decontamination against a FIXED eval set — q233's streaming face
     * (r13 verdict item 7): each micro-batch is scored by

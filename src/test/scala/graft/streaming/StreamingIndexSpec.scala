@@ -331,6 +331,33 @@ class StreamingIndexSpec extends SparkSpec {
       "post-recluster Hamming + re-rank must equal brute force")
   }
 
+  test("file-streamed MIPS state searches exactly like brute MIPS at " +
+    "nprobe=all + corpus-wide shortlist, before AND after a recluster") {
+    import graft.warehouse.MipsState
+    val watch = tmpDir("smips-src")
+    val root = tmpDir("smips-root") + "/state"
+    val ckpt = tmpDir("smips-ckpt")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    stageFiles(Seq(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2)), watch)
+    StreamingIndex.mipsAvailableNow(spark, watch, emb.schema, root, ckpt)
+    val queries = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("rank").longValue()) ->
+        (r.getLong(1), r.getAs[Double]("score_r"))).toMap
+    val want = key(graft.analytics.Mips.bruteMips(emb, queries, k = 4))
+    assert(key(MipsState.search(spark, root, queries, k = 4,
+      nprobe = 8, shortlist = 600)) == want,
+      "streamed encoded tail must serve exact raw-dot searches")
+    MipsState.recluster(spark, root, k = Some(8))
+    assert(key(MipsState.search(spark, root, queries, k = 4,
+      nprobe = 8, shortlist = 600)) == want,
+      "post-recluster augmented-cell + raw-dot re-rank must equal brute MIPS")
+  }
+
   test("file-streamed substring decontamination equals the one-shot batch " +
     "row-for-row; a committed replay is a no-op (q233 streaming face)") {
     import graft.warehouse.DecontamState
