@@ -187,7 +187,12 @@ object ScaleCheck {
     "q272_knn_ivfsq_filtered",
     // round-17: the incremental IVF-binary state (the shared encode-once
     // core's 1-bit face).
-    "q273_bit_state")
+    "q273_bit_state",
+    // round-18: the state-serving verbs — metadata-filtered state
+    // search (stratum ∩ probed cells on the live index), the MIPS state
+    // (store-raw/augment-at-recluster), and tombstone deletion (the
+    // curation verb) — decade on arrival, the family discipline.
+    "q274_sq_state_filtered", "q275_mips_state", "q276_sq_state_delete")
 
   /** Shuffle-write + peak-execution-memory accounting per timed section.
     * Peak memory is the MAX over tasks of `peakExecutionMemory` (unsafe
