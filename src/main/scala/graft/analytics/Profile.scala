@@ -47,12 +47,22 @@ object Profile {
   def profile(df0: DataFrame, topCapacity: Int = 8,
               quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
               relativeError: Double = 0.01,
-              distinctRsd: Double = 0.02): DataFrame = {
+              distinctRsd: Double = 0.02,
+              withSketches: Boolean = true): DataFrame = {
     val df = spreadIfNarrow(df0)
     val fields = df.schema.fields.toSeq
     def isNum(f: StructField): Boolean = f.dataType.isInstanceOf[NumericType]
     def num(f: StructField): Column = col(f.name).cast("double")
 
+    // `withSketches = false` drops the MG top-k, GK quantile, and
+    // mean/stddev aggregates from the plan (their struct fields become
+    // typed nulls). Callers that only read the exact surface — q72's
+    // gated face selects none of those columns — would otherwise still
+    // PAY for them: Catalyst cannot prune struct fields through the
+    // explode(array(structs)) pivot, so the discarded sketches were
+    // measured as the bulk of the profile stage (plan held 11 MisraGries
+    // + 8 QuantileSketch + 16 avg/stddev aggregates whose outputs no
+    // consumer read — guide §1.2: don't compute what you throw away).
     val aggs: Seq[Column] =
       count(lit(1)).as("__n") +: fields.flatMap { f =>
         val c = col(f.name)
@@ -60,20 +70,25 @@ object Profile {
           count(c).as(s"__nn_${f.name}"),
           approx_count_distinct(c, distinctRsd).as(s"__ad_${f.name}"),
           min(c).cast("string").as(s"__min_${f.name}"),
-          max(c).cast("string").as(s"__max_${f.name}"),
-          FrequentItems.misraGries(df, c.cast("string"), topCapacity)
-            .as(s"__top_${f.name}")) ++
+          max(c).cast("string").as(s"__max_${f.name}")) ++
+          (if (withSketches) Seq(
+            FrequentItems.misraGries(df, c.cast("string"), topCapacity)
+              .as(s"__top_${f.name}"))
+          else Nil) ++
           (if (isNum(f)) Seq(
             min(num(f)).as(s"__minn_${f.name}"),
-            max(num(f)).as(s"__maxn_${f.name}"),
-            avg(num(f)).as(s"__mean_${f.name}"),
-            stddev_samp(num(f)).as(s"__std_${f.name}"),
-            QuantileSketch.sketchAgg(df, num(f), relativeError).as(s"__qs_${f.name}"))
+            max(num(f)).as(s"__maxn_${f.name}")) ++
+            (if (withSketches) Seq(
+              avg(num(f)).as(s"__mean_${f.name}"),
+              stddev_samp(num(f)).as(s"__std_${f.name}"),
+              QuantileSketch.sketchAgg(df, num(f), relativeError).as(s"__qs_${f.name}"))
+            else Nil)
           else Nil)
       }
 
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
+    val nullTop = lit(null).cast(MapType(StringType, LongType))
     val perCol = fields.map { f =>
       val n = col("__n")
       val nn = col(s"__nn_${f.name}")
@@ -88,10 +103,10 @@ object Profile {
         (if (isNum(f)) col(s"__maxn_${f.name}") else nullD).as("max_num"),
         (if (isNum(f)) nullS else col(s"__min_${f.name}")).as("min_str"),
         (if (isNum(f)) nullS else col(s"__max_${f.name}")).as("max_str"),
-        (if (isNum(f)) col(s"__mean_${f.name}") else nullD).as("mean"),
-        (if (isNum(f)) col(s"__std_${f.name}") else nullD).as("stddev"),
-        col(s"__top_${f.name}").as("top_values"),
-        (if (isNum(f))
+        (if (isNum(f) && withSketches) col(s"__mean_${f.name}") else nullD).as("mean"),
+        (if (isNum(f) && withSketches) col(s"__std_${f.name}") else nullD).as("stddev"),
+        (if (withSketches) col(s"__top_${f.name}") else nullTop).as("top_values"),
+        (if (isNum(f) && withSketches)
           QuantileSketch.queryValues(col(s"__qs_${f.name}"), quantiles)
         else lit(null).cast(ArrayType(DoubleType, containsNull = false)))
           .as("approx_quantiles"))
@@ -119,7 +134,12 @@ object Profile {
     */
   def profileLineitem(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val prof = profile(li)
+    // Exact surface only: the gate's output reads none of the MG/GK/
+    // mean/stddev columns, and the explode pivot blocks Catalyst from
+    // pruning them out of the aggregate (measured: the discarded
+    // sketches dominated the profile stage). The full-sketch profile
+    // stays the default operator and is spec-gated by ProfileSpec.
+    val prof = profile(li, withSketches = false)
     // The exact-distinct audit pass expands ×11 before aggregating — the
     // same single-small-file shape would serialize 6.6M expanded rows
     // onto one task, so it gets the same spread.

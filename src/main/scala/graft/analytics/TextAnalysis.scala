@@ -1058,7 +1058,12 @@ object TextAnalysis {
     */
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val ss = docs
+    // Parallelism floor (core.Spread): the corpus lands in one scan
+    // partition at harness scale, so the ×shingles explode and the
+    // map-side bit_or partial — the query's dominant per-row work,
+    // measured as a single-task 2.5 s stage — would run on one core.
+    // bit_or/count are order-independent, so the spread is result-free.
+    val ss = graft.core.Spread.ifNarrow(docs.select("source", "text"))
       .select(col("source"), explode(shingleSet(col("text"), n)).as("sh"))
     // ≤63 sources fit a LONG bitmask (r10 rewrite): per shingle,
     // bit_or the source bits — idempotent, so no DISTINCT pass — then

@@ -20,6 +20,24 @@ object Spread {
 
   def ifNarrow(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions * 2 < target) {
+      // Hash-spread, not round-robin: a keyless repartition(n) first pays
+      // a LOCAL SORT of its input (spark.sql.execution.sortBeforeRepartition,
+      // on since SPARK-23207 so retried tasks reproduce their row→partition
+      // assignment) — and by construction that sort runs inside the one
+      // narrow upstream task, i.e. exactly the serial stage this helper
+      // exists to remove (measured: the q72 spread exchange's map task was
+      // scan + 6M-row sort + shuffle write). Hashing every column through
+      // xxhash64 is deterministic under retries (the SPARK-38388 rule: the
+      // key derives from row content, not from rand()/row position), needs
+      // no sort, and 64× more key values than partitions keeps collision
+      // skew negligible. Rows with fully identical content co-locate —
+      // irrelevant for a parallelism floor. Callers remain order-robust by
+      // contract: everything downstream of a Spread is an order-independent
+      // aggregate (integer sums / min / max / counts / sketches).
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      df.repartition(target, pmod(xxhash64(df.columns.map(col): _*),
+        lit(target.toLong * 64)))
+    } else df
   }
 }
