@@ -44,18 +44,53 @@ object GraphRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node")).distinct().cache()
     val n = nodes.count() // nodes-sized metadata, not corpus data
+    // Iteration frames are nodes/edges-sized, never corpus-sized; size
+    // their partition count from the node count so k tiny rounds don't
+    // each schedule cores× near-empty tasks (the cached edge union held
+    // 64 partitions of a handful of rows each — 64 tasks × stages ×
+    // rounds of pure scheduling overhead). Scale-adaptive: the count
+    // grows back to full parallelism with the graph.
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (n / 50000L + 1L).toInt))
+    // Contribution denominators ride the loop's edge frame — ONE deg
+    // join total (materialized once from the cache), not one per round.
+    val ed = e.join(deg, Seq("src")).repartition(parts, col("src"))
+      .localCheckpoint(eager = true)
     val base = (3L * Unit0 / 20L) / n // (1-d)·UNIT/N in exact integer steps
-    var ranks = nodes.withColumn("r", lit(Unit0 / n))
-    (1 to iters).foreach { _ =>
-      ranks = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node")
-        .agg((lit(base) + expr("(17 * sum(c)) div 20")).as("r"))
-        .localCheckpoint() // truncate lineage: plan stays one-round deep
-    }
-    val out = ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+    var ranks = nodes.withColumn("r", lit(Unit0 / n)).coalesce(parts)
+    def round(r: DataFrame): DataFrame = ed
+      .join(r.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst").as("node"), expr("r div deg").as("c"))
+      .groupBy("node")
+      .agg((lit(base) + expr("(17 * sum(c)) div 20")).as("r"))
+    // Two rounds per lineage truncation: the per-checkpoint driver cost
+    // (plan + AQE re-optimization + job submission) dominated the tiny
+    // per-round data work (measured: 54 jobs, ~2 s of wall between jobs),
+    // so halving the checkpoint count halves it; plan depth stays bounded
+    // at two rounds.
+    // AQE off for the loop only: every round's frames are nodes-sized
+    // with explicitly pinned partitioning (repartition/coalesce above),
+    // so adaptive re-planning has nothing to improve — it only adds one
+    // re-optimization plus an extra stage-materialization job per shuffle
+    // per round, which on a bounded graph is the dominant cost. Restored
+    // after the loop; corpus-sized plans (the edge build above, every
+    // other operator) keep AQE.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeOld = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      var i = 0
+      while (i < iters) {
+        val step = if (i + 1 < iters) round(round(ranks)) else round(ranks)
+        ranks = step.coalesce(parts).localCheckpoint()
+        i += (if (i + 1 < iters) 2 else 1)
+      }
+    } finally spark.conf.set(aqeKey, aqeOld)
+    // Final degrees come from the compact checkpointed frame (src, deg
+    // repeated per edge → distinct), not from re-aggregating the cached
+    // 64-partition edge union.
+    val degOut = ed.select(col("src").as("node"), col("deg")).distinct()
+    val out = ranks.join(degOut, Seq("node"))
       .select(col("node"), col("deg").as("degree"), col("r").as("rank_units"))
       // The final ranks are checkpointed, so the cached inputs are no
       // longer reachable — release them instead of leaking session cache
@@ -85,12 +120,35 @@ object GraphRank {
     // degenerates to the complete graph as the corpus grows). Exact
     // integer arithmetic on both engines; the count is metadata-sized.
     val minSup = (63L * docs.count()) / 100L
-    val docTerms = docs
+    // Parallelism floor (core.Spread): one scan partition at harness
+    // scale would put the explode and the pair enumeration on one core.
+    // Materialized once: BOTH the df prefilter and the pair join read
+    // this frame — without the checkpoint the corpus explode+distinct
+    // would execute twice (measured as the q91/q106 build regression).
+    val docTerms = graft.core.Spread.ifNarrow(docs.select("doc_id", "text"))
       .select(col("doc_id"),
         explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
       .distinct()
-    val pairs = docTerms.toDF("doc_id", "a")
-      .join(docTerms.toDF("doc_id", "b"), Seq("doc_id"))
+      .localCheckpoint(eager = true)
+    // APRIORI PREFILTER (exact): a pair's document co-occurrence count is
+    // bounded by each term's document frequency — c_xy ≤ min(df_a, df_b) —
+    // so a pair can reach minSup only if BOTH terms individually do. The
+    // self-join therefore enumerates pairs over the df ≥ minSup terms
+    // ONLY: at a 63%-support gate that collapses Σ_d t_d² from the full
+    // per-doc vocabulary (~68 M pairs on the harness corpus, the query's
+    // dominant stage) to the handful of genuinely frequent terms, and at
+    // 100 TB it keeps the enumeration ∝ (frequent-term set)², never
+    // (vocabulary)². Survivor pairs and their counts are untouched.
+    val freqTerms = docTerms.groupBy("term")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") >= minSup)
+      .select("term")
+    // The post-prefilter pair space is (frequent-term set)²-bounded, so
+    // no pinned repartition is needed — the enumeration is small by
+    // construction and both rename sides reuse one exchange.
+    val ft = docTerms.join(broadcast(freqTerms), Seq("term"), "left_semi")
+      .select("doc_id", "term")
+    val pairs = ft.toDF("doc_id", "a")
+      .join(ft.toDF("doc_id", "b"), Seq("doc_id"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minSup)
@@ -170,20 +228,40 @@ object GraphRank {
     */
   def hopDistances(edges: DataFrame, seeds: DataFrame, iters: Int,
                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
-    val nodes = e.select(col("src").as("node")).distinct().cache()
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val nodes = e0.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count()
+    // Same bounded-round discipline as [[pageRank]] (measured there):
+    // node-count-derived partitioning for the nodes-sized round frames, a
+    // compact checkpointed edge frame for the loop, two rounds per lineage
+    // truncation, and AQE off across the loop (pinned partitioning leaves
+    // adaptive re-planning nothing to improve; it costs one
+    // re-optimization + stage job per shuffle per round).
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (n / 50000L + 1L).toInt))
+    val e = e0.repartition(parts, col("src")).localCheckpoint(eager = true)
     var dist = seeds.select(col("node")).distinct().withColumn("d", lit(0L))
-    (1 to iters).foreach { _ =>
-      dist = dist
-        .union(e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), (col("d") + 1L).as("d")))
-        .groupBy("node").agg(min("d").as("d"))
-        .localCheckpoint() // keep the plan one-round deep (q30/q81 lesson)
-    }
+      .coalesce(parts)
+    def round(d: DataFrame): DataFrame = d
+      .union(e.join(d.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("d") + 1L).as("d")))
+      .groupBy("node").agg(min("d").as("d"))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeOld = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      var i = 0
+      while (i < iters) {
+        val step = if (i + 1 < iters) round(round(dist)) else round(dist)
+        dist = step.coalesce(parts).localCheckpoint()
+        i += (if (i + 1 < iters) 2 else 1)
+      }
+    } finally spark.conf.set(aqeKey, aqeOld)
     val out = nodes.join(dist, Seq("node"), "left")
       .select(col("node"), coalesce(col("d"), lit(-1L)).as("hops"))
       .localCheckpoint()
-    e.unpersist(); nodes.unpersist()
+    e0.unpersist(); nodes.unpersist()
     out
   }
 
