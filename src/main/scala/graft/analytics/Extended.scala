@@ -301,14 +301,21 @@ object Extended {
     // percentile over an EMPTY table is null — everything lands in
     // bucket 1 of an aggregation with no input rows, i.e. an empty
     // histogram, which is the right answer rather than an NPE.
+    // Parallelism floor (core.Spread) on BOTH passes: the exact
+    // percentile's count-map build and the 8-deep bucket chain are the
+    // per-row work, and the table is one scan partition at harness scale.
+    // Percentile/count/min/max are order-independent, so the spread is
+    // result-free.
     val bs = Option(
-      Tables.lineitem(spark, dir)
+      graft.core.Spread.ifNarrow(
+          Tables.lineitem(spark, dir).select("l_extendedprice"))
         .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString("D,")}D))"))
         .head().getSeq[Double](0)).getOrElse(Seq.empty)
     val bucket = bs.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col("l_extendedprice") > b, 1).otherwise(0)
     }
-    Tables.lineitem(spark, dir)
+    graft.core.Spread.ifNarrow(
+        Tables.lineitem(spark, dir).select("l_extendedprice"))
       .withColumn("bucket", bucket)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),

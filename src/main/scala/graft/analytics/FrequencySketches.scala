@@ -110,7 +110,11 @@ object FrequencySketches {
     * k, so trimming and estimation are exercised, not vacuous.
     */
   def kmvSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val hv = Tables.documents(spark, dir)
+    // Parallelism floor (core.Spread): the shingle explode + md5 per
+    // shingle is the query's per-row work and would otherwise run on the
+    // single scan partition (the q83 measurement).
+    val hv = graft.core.Spread.ifNarrow(
+        Tables.documents(spark, dir).select("source", "text"))
       .select(col("source"),
         explode(graft.analytics.TextAnalysis.shingleSet(col("text"), 3)).as("sh"))
       .select(col("source"),

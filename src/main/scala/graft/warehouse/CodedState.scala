@@ -144,27 +144,26 @@ private[graft] abstract class CodedIvfStateCore {
     */
   private case class StateMeta(last: Long, attrCols: Seq[String], codeDim: Long)
 
+  // Marker I/O is the direct (job-free) path — StateFiles.readMarker /
+  // installMarker — because a lifecycle touches these 5–12 times and each
+  // Spark-job read/write was measured as pure orchestration overhead.
   private def readMeta(spark: SparkSession, root: String): Option[StateMeta] =
-    if (!StateFiles.exists(spark, statsPath(root))) None
-    else {
-      val df = spark.read.parquet(statsPath(root))
-      val r = df.head()
-      val attrs =
-        if (df.columns.contains("attr_cols"))
-          Option(r.getAs[scala.collection.Seq[String]]("attr_cols"))
-            .map(_.toSeq).getOrElse(Nil)
-        else Nil
-      val dim =
-        if (df.columns.contains("code_dim")) r.getAs[Long]("code_dim") else -1L
-      Some(StateMeta(r.getAs[Long]("last_batch"), attrs, dim))
+    StateFiles.readMarker(spark, statsPath(root)).map { m =>
+      val attrs = m.get("attr_cols") match {
+        case Some(s: Seq[_]) => s.map(_.toString)
+        case _ => Nil
+      }
+      val dim = m.get("code_dim") match {
+        case Some(d: Long) => d
+        case _ => -1L
+      }
+      StateMeta(m("last_batch").asInstanceOf[Long], attrs, dim)
     }
 
   private def installStats(spark: SparkSession, root: String, last: Long,
-                           attrCols: Seq[String], codeDim: Long): Unit = {
-    import spark.implicits._
-    StateFiles.install(spark, statsPath(root),
-      Seq((last, attrCols, codeDim)).toDF("last_batch", "attr_cols", "code_dim"))
-  }
+                           attrCols: Seq[String], codeDim: Long): Unit =
+    StateFiles.installMarker(spark, statsPath(root),
+      Seq("last_batch" -> last, "attr_cols" -> attrCols, "code_dim" -> codeDim))
 
   private def bakPath(p: Path) = new Path(p.getParent, s".bak_${p.getName}")
 
@@ -186,10 +185,9 @@ private[graft] abstract class CodedIvfStateCore {
   }
 
   private def foldedThrough(spark: SparkSession, bundle: Option[Path]): Long =
-    bundle.map { b =>
-      val meta = s"$b/meta"
-      if (!StateFiles.exists(spark, meta)) -1L
-      else spark.read.parquet(meta).head().getAs[Long]("folded_through")
+    bundle.flatMap { b =>
+      StateFiles.readMarker(spark, s"$b/meta")
+        .map(_("folded_through").asInstanceOf[Long])
     }.getOrElse(-1L)
 
   private def dataCols: Seq[String] = Seq("vec_id", "embedding") ++ codeCols
@@ -377,9 +375,12 @@ private[graft] abstract class CodedIvfStateCore {
               // nothing — the IvfState rule. An all-deleted fold also
               // skips: the old bundle stays, correctness held by the
               // still-live tombstones.
-              val nAll = parts.map(_.count()).sum
-              if (parts.nonEmpty && nAll > 0) {
-                val all = parts.reduce(_ unionByName _)
+              // One count over the union (the IvfState shape) instead of
+              // one job per part.
+              val all0 = parts.reduceOption(_ unionByName _)
+              val nAll = all0.map(_.count()).getOrElse(0L)
+              if (nAll > 0) {
+                val all = all0.get
                 val staging = stagingPath(statePath)
                 hfs.delete(new Path(staging), true)
                 val kc = k.getOrElse(math.max(1L,
@@ -405,9 +406,8 @@ private[graft] abstract class CodedIvfStateCore {
                 // verbatim; a transient training column is dropped.
                 IvfIndex.writePartitionedIndex(tf, model, s"$staging/index",
                   tvCol, dropCols = if (tvCol == "embedding") Nil else Seq(tvCol))
-                import spark.implicits._
-                Seq(last).toDF("folded_through")
-                  .coalesce(1).write.parquet(s"$staging/meta")
+                StateFiles.writeMarkerDir(spark, s"$staging/meta",
+                  Seq("folded_through" -> last))
                 val nIdx = spark.read.parquet(s"$staging/index").count()
                 if (nIdx != nAll) { // never install a lossy rewrite
                   hfs.delete(new Path(staging), true)
@@ -480,13 +480,18 @@ private[graft] abstract class CodedIvfStateCore {
       (Seq(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("embedding")) ++
         filterCol.map(col)): _*)
-    val qSmall = IvfIndex.boundedCount(qn,
-      IvfIndex.queryBroadcastMaxRows / math.max(nprobe, 1)).isDefined
     // Tombstone epochs ≤ f were purged at the fold, so live ones exist
     // only in (f, last] — no read, no join, no probe when none do.
     val ts = if (last > f) readTombstones(spark, statePath, f, last) else None
     val tsSmall = ts.exists(t =>
       IvfIndex.boundedCount(t, IvfIndex.queryBroadcastMaxRows).isDefined)
+    // The broadcast gate reads the MATERIALIZED probe frame when a bundle
+    // exists (its checkpoint is already paid; counting local blocks is
+    // job-cheap) instead of running a second bounded pass over the query
+    // pipeline; the probe frame has |Q|·min(nprobe, k) rows, which is
+    // exactly the relation the hint would broadcast. Tail-only states
+    // (no bundle, so no probe frame) keep the bounded pass.
+    var qSmall = false
     val bundlePart =
       if (f >= 0) {
         val b = live.get
@@ -500,6 +505,7 @@ private[graft] abstract class CodedIvfStateCore {
           .withColumn("cell", explode(col("__cells").getField("cell")))
           .drop("__cells")
           .localCheckpoint(eager = true)
+        qSmall = q.count() <= IvfIndex.queryBroadcastMaxRows
         val scan0 = IvfIndex.boundedCollect(q.select("cell").distinct(),
             IvfIndex.staticPruneMaxCells) match {
           case Some(cells) => spark.read.parquet(s"$b/index")
@@ -525,6 +531,10 @@ private[graft] abstract class CodedIvfStateCore {
        else None).map { tl =>
         val qb = qn.withColumnRenamed("vec_id", "query_id")
           .withColumnRenamed("embedding", "q_vec")
+        // Bundle present → reuse its gate; tail-only → one bounded pass.
+        val qbSmall =
+          if (f >= 0) qSmall
+          else IvfIndex.boundedCount(qn, IvfIndex.queryBroadcastMaxRows).isDefined
         // Tail rows carry their ingest batch: a tombstone kills exactly
         // the rows that precede it (a later re-ingest survives). Code
         // columns stay aboard for [[exactGuard]]; other attrs and the
@@ -541,9 +551,9 @@ private[graft] abstract class CodedIvfStateCore {
             // The equality filter is a JOIN KEY (the q272 rule): each
             // query meets only its own stratum's tail rows — a hash
             // join, never a cross.
-            liveTail.join(if (qSmall) broadcast(qb) else qb, Seq(fc))
+            liveTail.join(if (qbSmall) broadcast(qb) else qb, Seq(fc))
           case None =>
-            StateFiles.tailCross(qb, liveTail, Some(qSmall))
+            StateFiles.tailCross(qb, liveTail, Some(qbSmall))
         }
         crossed
           .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))

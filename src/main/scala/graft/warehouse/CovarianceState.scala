@@ -149,9 +149,8 @@ object CovarianceState {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"${deltasPath(statePath)}/batch=0")
-          import spark.implicits._
-          StateFiles.install(spark, statsPath(statePath),
-            Seq(0L).toDF("last_batch"))
+          StateFiles.installMarker(spark, statsPath(statePath),
+            Seq("last_batch" -> 0L))
           legacy.foreach(hfs.delete(_, true))
         }
       }
@@ -179,8 +178,8 @@ object CovarianceState {
     }
 
   private def readLast(spark: SparkSession, root: String): Option[Long] =
-    if (!StateFiles.exists(spark, statsPath(root))) None
-    else Some(spark.read.parquet(statsPath(root)).head().getAs[Long]("last_batch"))
+    StateFiles.readMarker(spark, statsPath(root))
+      .map(_("last_batch").asInstanceOf[Long])
 
   /** Fold one batch of vectors into the covariance state at `statePath`;
     * returns the post-merge pair statistics, eagerly materialized so the
@@ -208,9 +207,8 @@ object CovarianceState {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"${deltasPath(statePath)}/batch=$id")
-          import spark.implicits._
-          StateFiles.install(spark, statsPath(statePath),
-            Seq(id).toDF("last_batch"))
+          StateFiles.installMarker(spark, statsPath(statePath),
+            Seq("last_batch" -> id))
         }
         snapshot(spark, statePath).localCheckpoint(eager = true)
       }

@@ -29,8 +29,8 @@ object DecontamState {
   private def statsPath(root: String) = s"$root/stats"
 
   private def readLast(spark: SparkSession, root: String): Option[Long] =
-    if (!StateFiles.exists(spark, statsPath(root))) None
-    else Some(spark.read.parquet(statsPath(root)).head().getAs[Long]("last_batch"))
+    StateFiles.readMarker(spark, statsPath(root))
+      .map(_("last_batch").asInstanceOf[Long])
 
   /** Score one training micro-batch against `evalDocs` and commit the
     * per-doc contamination rows; returns the committed batch id.
@@ -52,9 +52,8 @@ object DecontamState {
             .coalesce(1) // one micro-batch of per-doc rows: one file
             .write.mode("overwrite")
             .parquet(s"${deltasPath(statePath)}/batch=$id")
-          import spark.implicits._
-          StateFiles.install(spark, statsPath(statePath),
-            Seq(id).toDF("last_batch"))
+          StateFiles.installMarker(spark, statsPath(statePath),
+            Seq("last_batch" -> id))
         }
         math.max(id, last)
       }

@@ -47,11 +47,8 @@ object DedupIndex {
   private def statsPath(root: String) = s"$root/stats"
 
   private def readStats(spark: SparkSession, root: String): Option[(Long, Long)] =
-    if (!StateFiles.exists(spark, statsPath(root))) None
-    else {
-      val r = spark.read.parquet(statsPath(root)).head()
-      Some((r.getAs[Long]("n_docs"), r.getAs[Long]("last_batch")))
-    }
+    StateFiles.readMarker(spark, statsPath(root)).map(m =>
+      (m("n_docs").asInstanceOf[Long], m("last_batch").asInstanceOf[Long]))
 
   /** Near-dups of `batch` against the PRIOR index (empty result on the
     * first batch), then ingest the batch. Returns (batch_id, base_id,
@@ -119,10 +116,9 @@ object DedupIndex {
           writable.write.mode("overwrite").parquet(s"${matchesPath(root)}/batch=$id")
           batchBands.write.mode("overwrite").parquet(s"${bandsPath(root)}/batch=$id")
           batchSets.write.mode("overwrite").parquet(s"${setsPath(root)}/batch=$id")
-          import spark.implicits._
-          val merged = Seq((prior.map(_._1).getOrElse(0L) + docs.count(), id))
-            .toDF("n_docs", "last_batch")
-          StateFiles.install(spark, statsPath(root), merged)
+          StateFiles.installMarker(spark, statsPath(root),
+            Seq("n_docs" -> (prior.map(_._1).getOrElse(0L) + docs.count()),
+              "last_batch" -> id))
         }
         spark.read.parquet(s"${matchesPath(root)}/batch=$id")
           .select("batch_id", "base_id", "jaccard")

@@ -47,11 +47,8 @@ object DriftState {
     * reference (which the caller installs before the stream starts).
     */
   def markers(spark: SparkSession, root: String): Option[(Long, Long)] =
-    if (!StateFiles.exists(spark, statsPath(root))) None
-    else {
-      val r = spark.read.parquet(statsPath(root)).head()
-      Some((r.getAs[Long]("last_ref"), r.getAs[Long]("last_batch")))
-    }
+    StateFiles.readMarker(spark, statsPath(root)).map(m =>
+      (m("last_ref").asInstanceOf[Long], m("last_batch").asInstanceOf[Long]))
 
   private def binCounts(batch: DataFrame, groupCols: Seq[String],
                         binCol: String, side: String): DataFrame =
@@ -75,11 +72,10 @@ object DriftState {
           // coalesce(1): a delta is (groups × bins) count rows (KBs),
           // not corpus data — one file per batch (the q155 lesson).
           delta.coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$id")
-          import spark.implicits._
           val m =
-            if (side == "ref") Seq((id, lastCur)) else Seq((lastRef, id))
-          StateFiles.install(spark, statsPath(root),
-            m.toDF("last_ref", "last_batch"))
+            if (side == "ref") (id, lastCur) else (lastRef, id)
+          StateFiles.installMarker(spark, statsPath(root),
+            Seq("last_ref" -> m._1, "last_batch" -> m._2))
         }
         math.max(id, last)
       }

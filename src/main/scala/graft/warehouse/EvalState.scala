@@ -33,8 +33,8 @@ object EvalState {
   private def statsPath(root: String) = s"$root/stats"
 
   private def readLast(spark: SparkSession, root: String): Option[Long] =
-    if (!StateFiles.exists(spark, statsPath(root))) None
-    else Some(spark.read.parquet(statsPath(root)).head().getAs[Long]("last_batch"))
+    StateFiles.readMarker(spark, statsPath(root))
+      .map(_("last_batch").asInstanceOf[Long])
 
   /** Bin sufficient statistics of one scored batch: exact (n, pos) per
     * (group, decile-bin of the micro score).
@@ -71,9 +71,8 @@ object EvalState {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"${deltasPath(statePath)}/batch=$id")
-          import spark.implicits._
-          StateFiles.install(spark, statsPath(statePath),
-            Seq(id).toDF("last_batch"))
+          StateFiles.installMarker(spark, statsPath(statePath),
+            Seq("last_batch" -> id))
         }
         snapshot(spark, statePath).localCheckpoint(eager = true)
       }

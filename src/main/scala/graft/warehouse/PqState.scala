@@ -47,8 +47,8 @@ object PqState {
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readLast(spark: SparkSession, root: String): Option[Long] =
-    if (!StateFiles.exists(spark, statsPath(root))) None
-    else Some(spark.read.parquet(statsPath(root)).head().getAs[Long]("last_batch"))
+    StateFiles.readMarker(spark, statsPath(root))
+      .map(_("last_batch").asInstanceOf[Long])
 
   private def bakPath(p: Path) = new Path(p.getParent, s".bak_${p.getName}")
 
@@ -75,10 +75,9 @@ object PqState {
   }
 
   private def foldedThrough(spark: SparkSession, bundle: Option[Path]): Long =
-    bundle.map { b =>
-      val meta = s"$b/meta"
-      if (!StateFiles.exists(spark, meta)) -1L
-      else spark.read.parquet(meta).head().getAs[Long]("folded_through")
+    bundle.flatMap { b =>
+      StateFiles.readMarker(spark, s"$b/meta")
+        .map(_("folded_through").asInstanceOf[Long])
     }.getOrElse(-1L)
 
   private def readTail(spark: SparkSession, root: String,
@@ -106,9 +105,8 @@ object PqState {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"${deltasPath(statePath)}/batch=$id")
-          import spark.implicits._
-          StateFiles.install(spark, statsPath(statePath),
-            Seq(id).toDF("last_batch"))
+          StateFiles.installMarker(spark, statsPath(statePath),
+            Seq("last_batch" -> id))
         }
         math.max(id, last)
       }
@@ -149,9 +147,8 @@ object PqState {
                 PqIndex.encode(all, model)
                   .select("vec_id", "embedding", "codes")
                   .write.mode("overwrite").parquet(s"$staging/index")
-                import spark.implicits._
-                Seq(last).toDF("folded_through")
-                  .coalesce(1).write.parquet(s"$staging/meta")
+                StateFiles.writeMarkerDir(spark, s"$staging/meta",
+                  Seq("folded_through" -> last))
                 val nIdx = spark.read.parquet(s"$staging/index").count()
                 if (nIdx != nAll) { // never install a lossy rewrite
                   hfs.delete(new Path(staging), true)

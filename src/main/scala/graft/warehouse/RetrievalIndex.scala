@@ -53,12 +53,9 @@ object RetrievalIndex {
 
   /** (n_docs, t_tok, last_batch) of the installed state, or None. */
   private def readStats(spark: SparkSession, root: String): Option[(Long, Long, Long)] =
-    if (!StateFiles.exists(spark, statsPath(root))) None
-    else {
-      val r = spark.read.parquet(statsPath(root)).head()
-      Some((r.getAs[Long]("n_docs"), r.getAs[Long]("t_tok"),
-        r.getAs[Long]("last_batch")))
-    }
+    StateFiles.readMarker(spark, statsPath(root)).map(m =>
+      (m("n_docs").asInstanceOf[Long], m("t_tok").asInstanceOf[Long],
+        m("last_batch").asInstanceOf[Long]))
 
   /** Ingest one batch of (idCol, textCol) documents. `batchId` defaults
     * to last_batch + 1; passing an explicit id (the foreachBatch epoch)
@@ -102,12 +99,16 @@ object RetrievalIndex {
             sum(size(graft.functions.shingleStrings(col("text"), 1)).cast("long"))
               .as("t")).head()
           val (pn, pt) = prior.map(p => (p._1, p._2)).getOrElse((0L, 0L))
-          import spark.implicits._
-          val merged = Seq((pn + b.getAs[Long]("n"), pt + b.getAs[Long]("t"), id))
-            .toDF("n_docs", "t_tok", "last_batch")
-          StateFiles.install(spark, statsPath(root), merged)
+          StateFiles.installMarker(spark, statsPath(root),
+            Seq("n_docs" -> (pn + b.getAs[Long]("n")),
+              "t_tok" -> (pt + b.getAs[Long]("t")), "last_batch" -> id))
         }
-        spark.read.parquet(statsPath(root)).localCheckpoint(eager = true)
+        // Post-update constants as a LOCAL relation built from the marker
+        // (no file dependency, so no checkpoint job needed to survive the
+        // next swap).
+        val (n2, t2, l2) = readStats(spark, root).get
+        import spark.implicits._
+        Seq((n2, t2, l2)).toDF("n_docs", "t_tok", "last_batch")
       }
     }
 

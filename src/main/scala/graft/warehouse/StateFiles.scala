@@ -35,8 +35,12 @@ private[graft] object StateFiles {
     val p = new Path(statePath)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = tmpPath(p)
-    val bak = bakPath(p)
     merged.write.mode("overwrite").parquet(tmp.toString)
+    swapIn(hfs, tmp, p)
+  }
+
+  private def swapIn(hfs: org.apache.hadoop.fs.FileSystem, tmp: Path, p: Path): Unit = {
+    val bak = bakPath(p)
     if (hfs.exists(bak)) hfs.delete(bak, true)
     if (hfs.exists(p) && !hfs.rename(p, bak)) sys.error(s"state backup failed for $p")
     if (!hfs.rename(tmp, p)) {
@@ -44,6 +48,128 @@ private[graft] object StateFiles {
       sys.error(s"state install failed for $p")
     }
     hfs.delete(bak, true)
+  }
+
+  // ------------------------------------------------------------ markers
+  //
+  // Single-row commit markers (`last_batch`, `folded_through`, …) are
+  // driver-side METADATA, but reading one as `spark.read.parquet(..).head()`
+  // and writing one as `Seq(..).toDF.write.parquet` costs a full Spark job
+  // each — schema inference, plan, task launch, commit protocol — and a
+  // state lifecycle touches its markers 5–12 times. Measured on the gated
+  // state queries: roughly half their wall time was this orchestration,
+  // not data work. The helpers below move marker I/O to direct
+  // parquet-hadoop reads/writes on the driver (zero Spark jobs), keeping
+  // the FILE FORMAT exactly parquet so existing states written by Spark
+  // read back unchanged and every marker this writes remains readable by
+  // `spark.read.parquet` (MarkerFilesSpec pins both directions).
+  // Supported field types: Long and Seq[String] — the whole marker
+  // surface of the state family.
+
+  /** Build the parquet schema for a marker row. */
+  private def markerSchema(fields: Seq[(String, Any)]): org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    fields.foreach {
+      case (n, _: Long) => b.addField(Types.required(INT64).named(n))
+      case (n, _: Seq[_]) => b.addField(
+        Types.optionalList()
+          .optionalElement(BINARY).as(LogicalTypeAnnotation.stringType())
+          .named(n))
+      case (n, v) => sys.error(s"marker field $n: unsupported type $v")
+    }
+    b.named("spark_schema")
+  }
+
+  /** Write a single-row marker parquet dir directly (no Spark job). */
+  def writeMarkerDir(spark: SparkSession, dir: String,
+                     fields: Seq[(String, Any)]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new Path(dir)
+    val hfs = d.getFileSystem(conf)
+    hfs.delete(d, true)
+    hfs.mkdirs(d)
+    val schema = markerSchema(fields)
+    val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+    fields.foreach {
+      case (n, v: Long) => g.add(n, v)
+      case (n, vs: Seq[_]) =>
+        val lg = g.addGroup(n)
+        vs.foreach(s => lg.addGroup("list").add("element", s.toString))
+      case _ => ()
+    }
+    val file = new Path(d, "part-00000-marker.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf).withType(schema).build()
+    try w.write(g) finally w.close()
+  }
+
+  /** Read the single marker row (no Spark job): field name → Long /
+    * Seq[String], or None when the dir is missing/empty. Reads markers
+    * written by Spark AND by [[writeMarkerDir]]; lists are navigated
+    * structurally so both writers' inner naming resolves.
+    */
+  def readMarker(spark: SparkSession, dir: String): Option[Map[String, Any]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new Path(dir)
+    val hfs = d.getFileSystem(conf)
+    if (!hfs.exists(d)) return None
+    val parts = hfs.listStatus(d).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".") && st.getLen > 0
+      }
+      .sortBy(_.getPath.getName)
+    parts.iterator.flatMap { st =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+        .withConf(conf).build()
+      try {
+        Option(reader.read()).map { g =>
+          val t = g.getType
+          (0 until t.getFieldCount).flatMap { i =>
+            val f = t.getType(i)
+            val name = f.getName
+            if (f.isPrimitive) {
+              if (g.getFieldRepetitionCount(i) == 0) None
+              else f.asPrimitiveType().getPrimitiveTypeName match {
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+                  Some(name -> g.getLong(i, 0))
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+                  Some(name -> g.getInteger(i, 0).toLong)
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY =>
+                  Some(name -> g.getString(i, 0))
+                case _ => None
+              }
+            } else { // 3-level list: group (LIST) { repeated group { element } }
+              if (g.getFieldRepetitionCount(i) == 0) Some(name -> Seq.empty[String])
+              else {
+                val lg = g.getGroup(i, 0)
+                val n = lg.getFieldRepetitionCount(0)
+                Some(name -> (0 until n).map { j =>
+                  val e = lg.getGroup(0, j)
+                  if (e.getFieldRepetitionCount(0) > 0) e.getString(0, 0) else null
+                }.toSeq)
+              }
+            }
+          }.toMap
+        }
+      } finally reader.close()
+    }.nextOption()
+  }
+
+  /** [[install]] for a marker row: direct write + the same staged swap —
+    * zero Spark jobs.
+    */
+  def installMarker(spark: SparkSession, statePath: String,
+                    fields: Seq[(String, Any)]): Unit = {
+    val p = new Path(statePath)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = tmpPath(p)
+    writeMarkerDir(spark, tmp.toString, fields)
+    swapIn(hfs, tmp, p)
   }
 
   def exists(spark: SparkSession, statePath: String): Boolean = {
