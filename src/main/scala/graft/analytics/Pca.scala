@@ -76,6 +76,24 @@ object Pca {
     m
   }
 
+  // Allocation-free inner products for the driver-side power iteration.
+  // Accumulation order is identical to the zip/map/sum originals (left-to-
+  // right over index order), so every float result is bit-identical — only
+  // the ~50M tuple-boxing allocations per q154 call go away (guide §5:
+  // driver work off the measured path).
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var k = 0
+    while (k < a.length) { s += a(k) * b(k); k += 1 }
+    s
+  }
+  private def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val d = v.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) { out(i) = dotArr(m(i), v); i += 1 }
+    out
+  }
+
   /** Top eigenpair by power iteration on the collected d×d matrix —
     * deterministic (fixed start e_0 + index-order arithmetic), driver-side
     * only, O(d²·iters) on KBs of data.
@@ -84,12 +102,11 @@ object Pca {
     val d = cov.length
     var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
     (0 until iters).foreach { _ =>
-      val w = Array.tabulate(d)(i => cov(i).zip(v).map { case (a, b) => a * b }.sum)
-      val norm = math.sqrt(w.map(x => x * x).sum)
+      val w = matvec(cov, v)
+      val norm = math.sqrt(dotArr(w, w))
       v = if (norm > 0) w.map(_ / norm) else v
     }
-    val lambda = v.zip(cov.map(_.zip(v).map { case (a, b) => a * b }.sum))
-      .map { case (a, b) => a * b }.sum
+    val lambda = dotArr(v, matvec(cov, v))
     (lambda, v)
   }
 
@@ -124,25 +141,29 @@ object Pca {
       var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble) + 1e-3 * (i + 1))
       def orthogonalize(w: Array[Double]): Array[Double] = {
         found.foreach { case (_, u) =>
-          val dot = w.indices.map(i => w(i) * u(i)).sum
-          w.indices.foreach(i => w(i) -= dot * u(i))
+          val dot = dotArr(w, u)
+          var i = 0
+          while (i < w.length) { w(i) -= dot * u(i); i += 1 }
         }
         w
       }
       def normalize(w: Array[Double]): Array[Double] = {
-        val n = math.sqrt(w.map(x => x * x).sum)
+        val n = math.sqrt(dotArr(w, w))
         if (n > 0) w.map(_ / n) else w
       }
       v = normalize(orthogonalize(v))
       (0 until iters).foreach { _ =>
-        val w = Array.tabulate(d)(i => cov(i).zip(v).map { case (a, b) => a * b }.sum)
-        v = normalize(orthogonalize(w))
+        v = normalize(orthogonalize(matvec(cov, v)))
       }
-      val cv = Array.tabulate(d)(i => cov(i).zip(v).map { case (a, b) => a * b }.sum)
-      val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
+      val lambda = dotArr(v, matvec(cov, v))
       found += ((lambda, v))
       // Hotelling deflation on the working copy.
-      for (i <- 0 until d; j <- 0 until d) cov(i)(j) -= lambda * v(i) * v(j)
+      var di = 0
+      while (di < d) {
+        val row = cov(di); val lvi = lambda * v(di); var dj = 0
+        while (dj < d) { row(dj) -= lvi * v(dj); dj += 1 }
+        di += 1
+      }
     }
     found.toSeq
   }

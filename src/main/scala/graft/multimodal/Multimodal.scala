@@ -344,7 +344,12 @@ object Multimodal {
     */
   def jpegDecodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Parallelism floor (core.Spread): the per-row work is a REAL JPEG
+    // encode + Huffman/DCT decode, and the one-file documents scan would
+    // run all of it on a single task. Output is per-row (order-free under
+    // the sorted oracle compare), so the spread is result-free.
+    val blobs = graft.core.Spread.ifNarrow(
+        Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val w = 16 + (id % 6).toInt * 8
         val h = 16 + (id % 5).toInt * 8
