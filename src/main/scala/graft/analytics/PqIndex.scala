@@ -53,7 +53,7 @@ object PqIndex {
   private def rankDist(sv: Column, c: Seq[Double]): Column =
     lit(c.map(x => x * x).sum) - lit(2.0) * dotProduct(sv, typedlit(c))
 
-  private def subVec(v: Column, s: Int, dsub: Int): Column =
+  private[graft] def subVec(v: Column, s: Int, dsub: Int): Column =
     slice(v, s * dsub + 1, dsub)
 
   /** Per-subspace Lloyd with min-id init. `m · ksub · dsub` aggregate
@@ -77,20 +77,21 @@ object PqIndex {
         (0 until m).map(s => init.toSeq.map(_.slice(s * dsub, (s + 1) * dsub)))
 
       (0 until iters).foreach { _ =>
-        // (row, subspace) explode → argmin code → (sub, code, pos) means.
-        // The argmin must see the per-subspace codebook; m is small, so a
-        // CASE over sub keeps it a map-only projection (no codebook join).
+        // All m argmin codes per row in ONE native expression
+        // ([[graft.functions.pqEncodeCodes]] — bit-identical distances
+        // and tie-breaks to the literal argmin tree it replaced, see the
+        // kernel scaladoc), posexploded to the same (sub, code) rows the
+        // CASE-chain form produced; the subvector for the mean update is
+        // a dynamic-start slice, so the plan stays O(1) in m·ksub
+        // instead of carrying ~m·ksub·dsub literal nodes per iteration.
         val subCol = col("sub")
-        val sv = (0 until m).foldLeft(lit(null).cast(s"array<double>")) {
-          (acc, s) => when(subCol === s, subVec(col("__v"), s, dsub)).otherwise(acc)
-        }
-        val codeOf = (0 until m).foldLeft(lit(null).cast("int")) { (acc, s) =>
-          when(subCol === s, argmin(subVec(col("__v"), s, dsub), books(s))).otherwise(acc)
-        }
         val means = vecs
-          .select(col("__v"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
-          .select(subCol, sv.as("sv"), codeOf.as("code"))
-          .select(subCol, col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .select(col("__v"),
+            posexplode(graft.functions.pqEncodeCodes(col("__v"), books))
+              .as(Seq("sub", "code")))
+          .select(subCol, col("code"),
+            posexplode(slice(col("__v"), subCol * dsub + 1, lit(dsub)))
+              .as(Seq("pos", "x")))
           .groupBy("sub", "code", "pos")
           .agg(avg(col("x")).as("mean"))
           .collect()
@@ -111,7 +112,10 @@ object PqIndex {
     * struct-sort over (rankDist, code): smallest distance, ties to the
     * smallest code. Pure column expression, codegen-friendly.
     */
-  private def argmin(sv: Column, book: Seq[Seq[Double]]): Column = {
+  // Retained as the REFERENCE implementation: PqEncodeSpec pins the native
+  // kernel ([[graft.functions.pqEncodeCodes]]) code-for-code equal to this
+  // literal tree, tie cases included.
+  private[graft] def argmin(sv: Column, book: Seq[Seq[Double]]): Column = {
     val scored = book.zipWithIndex.map { case (c, i) =>
       struct(rankDist(sv, c).as("d"), lit(i).as("c"))
     }
@@ -124,9 +128,7 @@ object PqIndex {
     */
   def encode(df: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val codes = array((0 until model.m).map(s =>
-      argmin(subVec(v, s, model.dsub), model.books(s))): _*)
-    df.withColumn("codes", codes)
+    df.withColumn("codes", graft.functions.pqEncodeCodes(v, model.books))
   }
 
   /** ADC search: score the code table with per-query lookup tables, keep

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Allocation-free vector kernels over Spark's columnar `ArrayData` —
   * called both from interpreted eval and from generated code (the codegen
@@ -143,6 +143,60 @@ object VectorKernels {
     }
     acc
   }
+
+  /** All `m` PQ subspace codes of one vector in a single pass — the
+    * native form of the literal argmin expression tree
+    * (`array_sort(array(struct(cnorm − 2·dot, code), …))` per subspace):
+    * the same FP operation sequence, so every distance double is
+    * bit-identical to the expression form —
+    *   dot  = index-order Σ v[s·dsub+j] · books[(s·ksub+c)·dsub+j]
+    *          over the OVERLAP of the subvector slice and the centroid
+    *          (`slice` truncates on ragged rows; dotDD runs to the
+    *          shorter side's length — mirrored by `jmax`),
+    *   d    = cnorms[s·ksub+c] − 2.0·dot  (cnorms precomputed EXACTLY as
+    *          the plan literal was: left-to-right Σ c_j²),
+    * and argmin comparison via [[sqlCmpDouble]] — Spark's own double
+    * ordering (array_sort's), ties to the smaller code, NaN never wins
+    * unless all are NaN (matching NaN-sorts-last).
+    *
+    * One expression node replaces ~m·ksub·dsub literal nodes: the plan
+    * (and its per-job Catalyst/codegen cost — measured as the dominant
+    * driver gap in the PQ-family lifecycles) stops growing with the
+    * codebook, and the per-row eval drops the m·ksub struct allocations
+    * of the array_sort form.
+    */
+  def pqEncode(v: ArrayData, books: Array[Double], cnorms: Array[Double],
+               m: Int, dsub: Int, ksub: Int): ArrayData = {
+    val vlen = v.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      val jmax = math.min(dsub, math.max(0, vlen - base))
+      var bestD = Double.NaN
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        val off = (s * ksub + c) * dsub
+        var dot = 0.0
+        var j = 0
+        while (j < jmax) { dot += v.getDouble(base + j) * books(off + j); j += 1 }
+        val d = cnorms(s * ksub + c) - 2.0 * dot
+        if (c == 0 || sqlCmpDouble(d, bestD) < 0) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Spark SQL's double ordering (the one `array_sort` uses): -0.0 == 0.0,
+    * NaN equal to itself and greater than everything else.
+    */
+  private def sqlCmpDouble(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1 else if (x == y) 0
+    else java.lang.Double.compare(x, y)
 }
 
 /** `hamming(a, b)` over packed bit codes (array<long>) — XOR + popcount
@@ -284,6 +338,44 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
       ${ev.value} = graft.functions.VectorKernels.hyperplaneBuckets$suffix(
         $c, $ref, $bitsPerTable, $numTables);
       if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_encode(v)` — all m PQ subspace codes (array<int>) against plan-bound
+  * codebooks in ONE expression node; see [[VectorKernels.pqEncode]] for the
+  * bit-equality contract with the literal argmin tree it replaces.
+  * `books` is flattened as books(s)(c)(j) → [(s·ksub + c)·dsub + j];
+  * `cnorms(s·ksub + c)` = Σ_j c_j² computed left-to-right (the plan
+  * literal's exact value).
+  */
+case class PqEncode(child: Expression, books: Array[Double],
+                    cnorms: Array[Double], m: Int, dsub: Int, ksub: Int)
+    extends UnaryExpression {
+  require(books.length == m * ksub * dsub && cnorms.length == m * ksub,
+    "codebook shape mismatch")
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.pqEncode(v.asInstanceOf[ArrayData], books, cnorms, m, dsub, ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", books, "double[]")
+    val cRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorKernels.pqEncode(
+        $c, $bRef, $cRef, $m, $dsub, $ksub);
     """)
   }
 

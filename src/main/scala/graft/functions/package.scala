@@ -92,4 +92,19 @@ package object functions {
     */
   def hammingDistance(a: Column, b: Column): Column =
     toCol(HammingDist(expr(a), expr(b)))
+
+  /** All m PQ subspace codes (array<int>) of an array<double> vector
+    * against the given codebooks — one native expression node; the
+    * bit-equality contract with the literal argmin tree is in
+    * [[VectorKernels.pqEncode]].
+    */
+  def pqEncodeCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.size
+    val ksub = books.head.size
+    val dsub = books.head.head.size
+    val flat = books.flatMap(_.flatMap(identity)).toArray
+    // cnorms computed EXACTLY as the plan literal was: left-to-right sum.
+    val cnorms = books.flatMap(_.map(c => c.map(x => x * x).sum)).toArray
+    toCol(PqEncode(expr(vec), flat, cnorms, m, dsub, ksub))
+  }
 }
