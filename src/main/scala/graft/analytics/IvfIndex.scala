@@ -225,7 +225,15 @@ object IvfIndex {
     * dominates — which is why [[withNearestCells]] dispatches to
     * [[joinNearestCells]] above [[literalAssignMaxK]].
     */
-  private def nearestCells(v: Column, model: Model, n: Int): Column = {
+  // Native single-node form of the k-struct literal tree it replaced
+  // (r18): same distances, same (d, cell) order — bit-identical structs;
+  // the legacy tree stays below as the spec's reference implementation.
+  private def nearestCells(v: Column, model: Model, n: Int): Column =
+    graft.functions.nearestCellsOf(v.cast("array<double>"), model.centroids, n)
+
+  // Reference implementation for NearestCellsSpec (the pre-r18 literal
+  // expression tree — O(k) plan nodes, k struct allocations per row).
+  private[graft] def nearestCellsLegacy(v: Column, model: Model, n: Int): Column = {
     val scored = model.centroids.map { case (id, c) =>
       struct(sqDist(v, c).as("d"), lit(id).as("cell"))
     }

@@ -191,10 +191,54 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** The n cheapest coarse cells of one vector — the native form of the
+    * literal assign tree (see [[NearestCells]] for the bit-equality
+    * contract). Distances in centroid-row order, then an in-place
+    * selection of the n smallest by (d asc, cell asc) — the same total
+    * order `array_sort` imposed on the (d, cell) structs.
+    */
+  def nearestCells(v: ArrayData, cents: Array[Double], cnorms: Array[Double],
+                   cellIds: Array[Int], dim: Int, n: Int): ArrayData = {
+    val k = cellIds.length
+    val vlen = v.numElements()
+    val jmax = math.min(dim, vlen)
+    val ds = new Array[Double](k)
+    val cs = new Array[Int](k)
+    var i = 0
+    while (i < k) {
+      val off = i * dim
+      var dot = 0.0
+      var j = 0
+      while (j < jmax) { dot += v.getDouble(j) * cents(off + j); j += 1 }
+      ds(i) = cnorms(i) - 2.0 * dot
+      cs(i) = cellIds(i)
+      i += 1
+    }
+    val take = math.min(n, k)
+    val out = new Array[Any](take)
+    var t = 0
+    while (t < take) {
+      var best = t
+      var i2 = t + 1
+      while (i2 < k) {
+        val cmp = sqlCmpDouble(ds(i2), ds(best))
+        if (cmp < 0 || (cmp == 0 && cs(i2) < cs(best))) best = i2
+        i2 += 1
+      }
+      val td = ds(t); val tc = cs(t)
+      ds(t) = ds(best); cs(t) = cs(best)
+      ds(best) = td; cs(best) = tc
+      out(t) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ds(t), cs(t)))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Spark SQL's double ordering (the one `array_sort` uses): -0.0 == 0.0,
     * NaN equal to itself and greater than everything else.
     */
-  private def sqlCmpDouble(x: Double, y: Double): Int =
+  private[functions] def sqlCmpDouble(x: Double, y: Double): Int =
     if (x < y) -1 else if (x > y) 1 else if (x == y) 0
     else java.lang.Double.compare(x, y)
 }
@@ -376,6 +420,56 @@ case class PqEncode(child: Expression, books: Array[Double],
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.functions.VectorKernels.pqEncode(
         $c, $bRef, $cRef, $m, $dsub, $ksub);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `nearest_cells(v)` — the n cheapest coarse cells of a vector against
+  * plan-bound centroids, as the sorted `array<struct<d:double, cell:int>>`
+  * the literal assign tree produced
+  * (`slice(array_sort(array(struct(cnorm − 2·dot, cell), …)), 1, n)`):
+  * same FP sequence per distance (index-order dot over the overlap, then
+  * `cnorm − 2.0·dot`), same (d asc, cell asc) total order with Spark's
+  * double ordering, so every emitted struct is bit-identical. One
+  * expression node replaces the k-struct literal tree — the plan stops
+  * growing with k, and per-row eval drops the k struct allocations +
+  * array_sort. `cents` is row-major k×dim; `cnorms(i)` the left-to-right
+  * Σ c_j² plan-literal value; `cellIds(i)` the cell id of row i.
+  */
+case class NearestCells(child: Expression, cents: Array[Double],
+                        cnorms: Array[Double], cellIds: Array[Int],
+                        dim: Int, n: Int) extends UnaryExpression {
+  require(cents.length == cellIds.length * dim && cnorms.length == cellIds.length,
+    "centroid shape mismatch")
+  require(n >= 1, "n must be >= 1")
+
+  override def prettyName: String = "nearest_cells"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCells(v.asInstanceOf[ArrayData], cents, cnorms,
+      cellIds, dim, n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val nRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    val iRef = ctx.addReferenceObj("cellIds", cellIds, "int[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorKernels.nearestCells(
+        $c, $cRef, $nRef, $iRef, $dim, $n);
     """)
   }
 

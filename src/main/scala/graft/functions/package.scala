@@ -107,4 +107,20 @@ package object functions {
     val cnorms = books.flatMap(_.map(c => c.map(x => x * x).sum)).toArray
     toCol(PqEncode(expr(vec), flat, cnorms, m, dsub, ksub))
   }
+
+  /** The n cheapest coarse cells of an array<double> vector as a sorted
+    * `array<struct<d:double, cell:int>>` — one native expression node;
+    * the bit-equality contract with the literal assign tree is in
+    * [[NearestCells]].
+    */
+  def nearestCellsOf(vec: Column, centroids: Seq[(Int, Seq[Double])],
+                     n: Int): Column = {
+    require(centroids.nonEmpty, "nearestCellsOf: empty codebook")
+    val dim = centroids.head._2.size
+    val cents = centroids.flatMap(_._2).toArray
+    // cnorms computed EXACTLY as the plan literal was: left-to-right sum.
+    val cnorms = centroids.map(_._2.map(x => x * x).sum).toArray
+    val ids = centroids.map(_._1).toArray
+    toCol(NearestCells(expr(vec), cents, cnorms, ids, dim, n))
+  }
 }
