@@ -150,6 +150,87 @@ object Dedup {
     */
   def clusters(docIds: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = docIds.sparkSession
+    // |graph|-dispatched driver arm (the lutFrame/queryBroadcast pattern,
+    // r18): a label-prop ROUND costs 2 shuffles + a checkpoint + a
+    // convergence count regardless of data size, so on a bounded graph
+    // the loop is pure orchestration — k rounds × fixed job overhead
+    // (measured on q251: ~40 jobs/fold for a few-thousand-row contracted
+    // graph). Under [[ccDriverMaxRows]] BOTH frames bounded-collect (size
+    // -estimate fast path, never corpus-sized on a mis-estimate) and an
+    // exact union-find labels each node with its component's min id —
+    // the identical output by definition (DedupSpec pins arm equality).
+    // Above the cap — the 100 TB corpus-dedup shape — nothing collects
+    // and the distributed loop below is unchanged.
+    val capped = for {
+      nodeRows <- IvfIndex.boundedCollect(
+        docIds.select(col("doc_id").cast("long")), ccDriverMaxRows)
+      edgeRows <- IvfIndex.boundedCollect(
+        pairs.select(col("a_id").cast("long"), col("b_id").cast("long")),
+        ccDriverMaxRows)
+    } yield unionFindLabels(spark, nodeRows, edgeRows)
+    capped.getOrElse(clustersLoop(docIds, pairs, maxIters))
+  }
+
+  /** Driver-arm cap for [[clusters]]: both the node and the edge frame
+    * must fit under it to take the union-find arm (2 longs/row — 16 MB
+    * of driver heap at the default). Override via
+    * `-Dgraft.cc.driverMaxRows`; specs force an arm thread-locally.
+    */
+  private[graft] def ccDriverMaxRows: Long =
+    ccDriverMaxRowsOverride.value.getOrElse(
+      sys.props.get("graft.cc.driverMaxRows").map(_.toLong).getOrElse(1L << 20))
+
+  private[graft] val ccDriverMaxRowsOverride =
+    new scala.util.DynamicVariable[Option[Long]](None)
+
+  /** Exact connected components on collected rows: union-find with path
+    * compression, then label = min doc id per component — definitionally
+    * the label-prop fixed point. Edge endpoints outside the node set are
+    * inert (they never relay a label), exactly as in the distributed
+    * loop, where only labeled nodes propagate.
+    */
+  private def unionFindLabels(spark: SparkSession,
+      nodeRows: Array[org.apache.spark.sql.Row],
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val ids = nodeRows.map(_.getLong(0))
+    val idx = new java.util.HashMap[Long, Int](ids.length * 2)
+    var i = 0
+    while (i < ids.length) { idx.putIfAbsent(ids(i), i); i += 1 }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeRows.foreach { e =>
+      val a = idx.getOrDefault(e.getLong(0), -1)
+      val b = idx.getOrDefault(e.getLong(1), -1)
+      if (a >= 0 && b >= 0) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+    }
+    val minId = new java.util.HashMap[Int, Long](ids.length * 2)
+    i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minId.getOrDefault(r, Long.MaxValue)
+      if (ids(i) < cur) minId.put(r, ids(i))
+      i += 1
+    }
+    ids.indices.map(j => (ids(j), minId.get(find(j))))
+      .toDF("doc_id", "cluster_id")
+  }
+
+  /** The distributed label-propagation arm of [[clusters]] — the above-
+    * cap (100 TB) path; semantics documented on [[clusters]].
+    */
+  private def clustersLoop(docIds: DataFrame, pairs: DataFrame,
+                           maxIters: Int): DataFrame = {
+    val spark = docIds.sparkSession
     // Per-round checkpoint flavor. localCheckpoint blocks are executor-
     // resident and unreplicated: with lineage truncated, one executor
     // loss mid-iteration makes every later round unrecoverable — fine on

@@ -38,10 +38,15 @@ object ComponentsState {
   /** Fold one batch of (aCol, bCol) edges into the components state at
     * `statePath`; returns the post-merge (node, label) table, eagerly
     * materialized so the snapshot survives the next swap.
+    * `materializeReturn = false` skips that read+checkpoint for callers
+    * that discard the return (a fold loop reading the state once at the
+    * end — the q251 shape): the state on disk is identical either way,
+    * only the unused snapshot job is saved.
     */
   def update(spark: SparkSession, statePath: String, edges: DataFrame,
              aCol: String = "a_id", bCol: String = "b_id",
-             lease: Boolean = false): DataFrame =
+             lease: Boolean = false,
+             materializeReturn: Boolean = true): DataFrame =
     graft.core.PathLocks.forPath(statePath).synchronized {
       LeaseLock.withLease(spark, statePath, lease) {
         StateFiles.recover(spark, statePath)
@@ -76,7 +81,9 @@ object ComponentsState {
           .select(col("node"),
             coalesce(col("new_label"), col("label")).as("label"))
         StateFiles.install(spark, statePath, merged)
-        spark.read.parquet(statePath).localCheckpoint(eager = true)
+        if (materializeReturn)
+          spark.read.parquet(statePath).localCheckpoint(eager = true)
+        else spark.read.parquet(statePath)
       }
     }
 
@@ -108,7 +115,8 @@ object ComponentsState {
     val stateRoot = java.nio.file.Files.createTempDirectory("graft-ccstate")
     val statePath = stateRoot.toString + "/state"
     (0 until 3).foreach { i =>
-      update(spark, statePath, edges.filter(pmod(col("a_id") * 31L, lit(3L)) === i))
+      update(spark, statePath, edges.filter(pmod(col("a_id") * 31L, lit(3L)) === i),
+        materializeReturn = false) // state read once, below
     }
     val labels = spark.read.parquet(statePath)
     // Singleton docs (no same-lang neighbor) are components of size 1 —

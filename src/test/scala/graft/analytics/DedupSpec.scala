@@ -65,11 +65,29 @@ class DedupSpec extends SparkSpec {
       6L -> 6L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("clusters: driver union-find arm == distributed label-prop arm") {
+    val ids = (1L to 9L).toDF("doc_id")
+    // A 5-chain (worst case for round counts), a pair, singletons.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    def run() = Dedup.clusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driverArm = run() // small fixture → under the cap
+    val loopArm = Dedup.ccDriverMaxRowsOverride.withValue(Some(0L)) { run() }
+    assert(driverArm == loopArm)
+    assert(driverArm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("clusters: reliable-checkpoint mode matches localCheckpoint labels exactly") {
     val ids = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L)).toDF("a_id", "b_id")
-    def run() = Dedup.clusters(ids, pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Force the distributed loop arm — the checkpoint dichotomy lives
+    // there; the driver union-find arm never checkpoints.
+    def run() = Dedup.ccDriverMaxRowsOverride.withValue(Some(0L)) {
+      Dedup.clusters(ids, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     val viaLocal = run() // no checkpoint dir configured → localCheckpoint path
     val ckptDir = tmpDir("reliable-ckpt")
     spark.sparkContext.setCheckpointDir(ckptDir)
