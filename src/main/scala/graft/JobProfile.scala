@@ -22,7 +22,7 @@ object JobProfile {
     val fn = SparkEntry.queries(name)
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Double, String)]()
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Int, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -32,7 +32,7 @@ object JobProfile {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(je.jobId)).foreach { case (t0, site) =>
-          done.add((je.jobId, (je.time - t0) / 1e3, site))
+          done.add((je.jobId, t0, (je.time - t0) / 1e3, site))
         }
       }
       override def onStageCompleted(
@@ -48,6 +48,7 @@ object JobProfile {
     // Warm (JIT/codegen) — rep 0 is reported separately from the warm reps.
     (0 until reps).foreach { rep =>
       done.clear(); stages.clear()
+      val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -55,8 +56,16 @@ object JobProfile {
       Thread.sleep(300)
       import scala.jdk.CollectionConverters._
       val rows = done.asScala.toSeq.sortBy(_._1)
-      println(f"== rep $rep: $name wall=$wall%.2fs jobs=${rows.size} jobsum=${rows.map(_._2).sum}%.2fs")
-      rows.foreach { case (id, s, site) => println(f"  job $id%3d $s%7.3fs  $site") }
+      println(f"== rep $rep: $name wall=$wall%.2fs jobs=${rows.size} jobsum=${rows.map(_._3).sum}%.2fs")
+      // `at` = job submit offset from rep start; `gap` = driver-side idle
+      // since the previous job's end (plan/optimize, marker I/O, FS ops) —
+      // the state-lifecycle cost pool the r18 scaling block exposed.
+      var prevEnd = w0
+      rows.foreach { case (id, st, s, site) =>
+        val gap = (st - prevEnd) / 1e3
+        prevEnd = math.max(prevEnd, st + (s * 1e3).toLong)
+        println(f"  job $id%3d at=${(st - w0) / 1e3}%6.2fs gap=$gap%6.3fs dur=$s%7.3fs  $site")
+      }
       stages.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (id, s, n, nm) =>
         println(f"  stage $id%3d $s%7.3fs tasks=$n%3d  $nm")
       }

@@ -167,8 +167,39 @@ object Dedup {
       edgeRows <- IvfIndex.boundedCollect(
         pairs.select(col("a_id").cast("long"), col("b_id").cast("long")),
         ccDriverMaxRows)
-    } yield unionFindLabels(spark, nodeRows, edgeRows)
+    } yield unionFindLabels(spark, nodeRows.map(_.getLong(0)), edgeRows)
     capped.getOrElse(clustersLoop(docIds, pairs, maxIters))
+  }
+
+  /** [[clusters]] where the node set IS the edge endpoints (the
+    * [[graft.warehouse.ComponentsState]] contraction shape — every node
+    * touches an edge by construction): the driver arm collects the edge
+    * frame ONCE and derives the endpoints locally, one bounded job where
+    * the clusters() prologue paid two (and the endpoint union+distinct
+    * shuffle recomputed the edge pipeline a second time). Output is
+    * identical to `clusters(endpoints(pairs), pairs)` by definition —
+    * union-find labels each endpoint with its component's min id.
+    * Above the cap the distributed loop runs on the derived endpoint
+    * frame, unchanged.
+    */
+  def clustersFromEdges(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    IvfIndex.boundedCollect(
+      pairs.select(col("a_id").cast("long"), col("b_id").cast("long")),
+      ccDriverMaxRows) match {
+      case Some(edgeRows) =>
+        val nodes = new java.util.LinkedHashSet[java.lang.Long]()
+        edgeRows.foreach { e => nodes.add(e.getLong(0)); nodes.add(e.getLong(1)) }
+        val ids = new Array[Long](nodes.size)
+        val it = nodes.iterator()
+        var i = 0
+        while (it.hasNext) { ids(i) = it.next(); i += 1 }
+        unionFindLabels(spark, ids, edgeRows)
+      case None =>
+        val touched = pairs.select(col("a_id").as("doc_id"))
+          .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+        clustersLoop(touched, pairs, maxIters)
+    }
   }
 
   /** Driver-arm cap for [[clusters]]: both the node and the edge frame
@@ -190,10 +221,21 @@ object Dedup {
     * loop, where only labeled nodes propagate.
     */
   private def unionFindLabels(spark: SparkSession,
-      nodeRows: Array[org.apache.spark.sql.Row],
+      ids: Array[Long],
       edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val ids = nodeRows.map(_.getLong(0))
+    val labels = unionFindMinLabels(ids,
+      edgeRows.iterator.map(e => (e.getLong(0), e.getLong(1))))
+    ids.toSeq.map(id => (id, labels.get(id).longValue())).toDF("doc_id", "cluster_id")
+  }
+
+  /** The union-find core on plain driver arrays: id → min id of its
+    * component (edge endpoints outside `ids` are inert, as in the
+    * distributed loop). Shared by the [[clusters]] driver arm and the
+    * [[graft.warehouse.ComponentsState]] bounded fold.
+    */
+  private[graft] def unionFindMinLabels(ids: Array[Long],
+      edges: Iterator[(Long, Long)]): java.util.HashMap[Long, java.lang.Long] = {
     val idx = new java.util.HashMap[Long, Int](ids.length * 2)
     var i = 0
     while (i < ids.length) { idx.putIfAbsent(ids(i), i); i += 1 }
@@ -205,9 +247,9 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edgeRows.foreach { e =>
-      val a = idx.getOrDefault(e.getLong(0), -1)
-      val b = idx.getOrDefault(e.getLong(1), -1)
+    edges.foreach { case (ea, eb) =>
+      val a = idx.getOrDefault(ea, -1)
+      val b = idx.getOrDefault(eb, -1)
       if (a >= 0 && b >= 0) {
         val ra = find(a); val rb = find(b)
         if (ra != rb) parent(ra) = rb
@@ -221,8 +263,13 @@ object Dedup {
       if (ids(i) < cur) minId.put(r, ids(i))
       i += 1
     }
-    ids.indices.map(j => (ids(j), minId.get(find(j))))
-      .toDF("doc_id", "cluster_id")
+    val out = new java.util.HashMap[Long, java.lang.Long](ids.length * 2)
+    i = 0
+    while (i < ids.length) {
+      out.put(ids(i), java.lang.Long.valueOf(minId.get(find(i))))
+      i += 1
+    }
+    out
   }
 
   /** The distributed label-propagation arm of [[clusters]] — the above-

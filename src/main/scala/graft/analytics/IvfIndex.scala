@@ -845,7 +845,8 @@ object IvfIndex {
     * of trusting the caller.
     */
   def train(corpus: DataFrame, k: Int, iters: Int = 3,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Model =
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            knownCount: Option[Long] = None): Model =
     trainSized(corpus, (n: Long) => {
       val rec = recommendedCellCount(n)
       if (k.toLong * 10L < rec)
@@ -853,33 +854,42 @@ object IvfIndex {
           s"count $rec for n=$n rows — cells will average ${n / math.max(k, 1)} " +
           "rows and probes scan that many per cell (sizing rule: k ~ sqrt(n)).")
       k
-    }, iters, idCol, vecCol)
+    }, iters, idCol, vecCol, knownCount)
 
   /** Cell-law training: k = ⌈n/targetCellSize⌉, derived from the CACHED
     * projection's count — the pass is reused by the Lloyd iterations, so
     * the k ∝ n contract costs no extra scan (the SemDeDup entry point).
     */
   def trainCellLaw(corpus: DataFrame, targetCellSize: Long, iters: Int = 3,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Model =
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   knownCount: Option[Long] = None): Model =
     trainSized(corpus,
       (n: Long) => math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt,
-      iters, idCol, vecCol)
+      iters, idCol, vecCol, knownCount)
 
   /** Shared Lloyd body: `pickK` sees the cached projection's row count
     * and returns the cell count (deriving it, or warning on a pinned k).
+    * `knownCount` skips the sizing job when the caller already holds the
+    * exact row count (the state reclusters size their fold from parquet
+    * footers); the dimension comes from the init collect's first row
+    * instead of a separate head() probe — two fewer jobs per train with
+    * identical arithmetic.
     */
   private[analytics] def trainSized(corpus: DataFrame, pickK: Long => Int, iters: Int,
-                         idCol: String, vecCol: String): Model = {
-    // Training makes iters+2 passes over the vectors — cache the projection.
+                         idCol: String, vecCol: String,
+                         knownCount: Option[Long] = None): Model = {
+    // Training makes iters+1 passes over the vectors — cache the projection.
     val vecs = corpus.select(col(idCol), col(vecCol)).cache()
     try {
-      val n = vecs.count()
+      val n = knownCount.getOrElse(vecs.count())
       val k = pickK(n)
-      val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+      val init = vecs.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+      require(init.nonEmpty,
+        s"IvfIndex.train: empty corpus — nothing to cluster ($idCol/$vecCol)")
+      val dim = init.head.getSeq[Number](0).length
       var model = Model(
-        vecs.orderBy(col(idCol)).limit(k)
-          .select(col(vecCol)).collect()
-          .zipWithIndex
+        init.zipWithIndex
           .map { case (r, i) =>
             // element type may be float OR double — both flow through the kernels
             i -> r.getSeq[Number](0).map(_.doubleValue()).toSeq
@@ -938,31 +948,34 @@ object IvfIndex {
     * plus EXACT search.
     */
   def trainTable(corpus: DataFrame, k: Int, path: String, iters: Int = 3,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): Model =
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 knownCount: Option[Long] = None): Model =
     trainTableSized(corpus, (n: Long) => {
       val rec = recommendedCellCount(n)
       if (k.toLong * 10L < rec)
         log.warn(s"IvfIndex.trainTable: k=$k is >10x below the recommended " +
           s"cell count $rec for n=$n rows (sizing rule: k ~ sqrt(n)).")
       k
-    }, path, iters, idCol, vecCol)
+    }, path, iters, idCol, vecCol, knownCount)
 
   /** Cell-law table training: k = ⌈n/targetCellSize⌉ — [[trainCellLaw]]
     * on the table route.
     */
   def trainTableCellLaw(corpus: DataFrame, targetCellSize: Long, path: String,
                         iters: Int = 3, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): Model =
+                        vecCol: String = "embedding",
+                        knownCount: Option[Long] = None): Model =
     trainTableSized(corpus,
       (n: Long) => math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt,
-      path, iters, idCol, vecCol)
+      path, iters, idCol, vecCol, knownCount)
 
   private def trainTableSized(corpus: DataFrame, pickK: Long => Int,
-      path: String, iters: Int, idCol: String, vecCol: String): Model = {
+      path: String, iters: Int, idCol: String, vecCol: String,
+      knownCount: Option[Long] = None): Model = {
     val spark = corpus.sparkSession
     val vecs = corpus.select(col(idCol), col(vecCol)).cache()
     try {
-      val n = vecs.count()
+      val n = knownCount.getOrElse(vecs.count())
       val k = pickK(n)
       val kEff = math.min(k.toLong, n).toInt // k > n: every row a centroid
       val p = new org.apache.hadoop.fs.Path(path)
@@ -1207,17 +1220,38 @@ object IvfIndex {
       queries: DataFrame, model: Model, nprobe: Int, idCol: String,
       vecCol: String, excludeSelf: Boolean,
       querySideSmall: Option[Boolean]): DataFrame = {
-    val hintProbe = querySideSmall.getOrElse(
-      boundedCount(queries, queryBroadcastMaxRows / math.max(nprobe, 1)).isDefined)
-    val q = withNearestCells(
+    val q0 = withNearestCells(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
         "q_vec", model, nprobe, "cells")
       .withColumn("cell", explode(col("cells").getField("cell")))
       .drop("cells")
-      .localCheckpoint(eager = true)
-    val scan = boundedCollect(q.select("cell").distinct(), staticPruneMaxCells) match {
+    // Driver arm (the lutFrame dispatch pattern): a broadcast-small probe
+    // frame collects ONCE and serves every consumer its former jobs fed —
+    // the |Q| sizing pass, the eager checkpoint, and the distinct-cells
+    // collect for the static partition filter — as driver-local data; the
+    // candidate join side becomes a broadcast LocalRelation of the same
+    // rows. A caller that measured the batch big (querySideSmall =
+    // Some(false)) skips the attempt; a bounded collect past the cap
+    // falls back to the checkpointed distributed frame unchanged.
+    val collected =
+      if (querySideSmall.contains(false)) None
+      else boundedCollect(q0, queryBroadcastMaxRows)
+    val (q, hintProbe, cellsOpt) = collected match {
+      case Some(rows) =>
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), q0.schema)
+        val cells = rows.map(_.getAs[Int]("cell")).distinct
+        (local, true,
+          if (cells.length <= staticPruneMaxCells) Some(cells.toSeq) else None)
+      case None =>
+        val ckpt = q0.localCheckpoint(eager = true)
+        val cells = boundedCollect(ckpt.select("cell").distinct(),
+          staticPruneMaxCells).map(_.map(_.getInt(0)).toSeq)
+        (ckpt, false, cells)
+    }
+    val scan = cellsOpt match {
       case Some(cells) => spark.read.parquet(path)
-        .filter(col("cell").isin(cells.map(_.getInt(0)).toSeq: _*))
+        .filter(col("cell").isin(cells: _*))
       case None => spark.read.parquet(path)
     }
     val joined = scan.join(if (hintProbe) broadcast(q) else q, Seq("cell"))

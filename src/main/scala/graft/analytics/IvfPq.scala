@@ -60,8 +60,9 @@ object IvfPq {
   /** Train coarse quantizer, then PQ codebooks on the coarse RESIDUALS. */
   def train(corpus: DataFrame, kCells: Int, m: Int, ksub: Int = 16,
             iters: Int = 2, idCol: String = "vec_id",
-            vecCol: String = "embedding"): Model = {
-    val coarse = IvfIndex.train(corpus, kCells, iters, idCol, vecCol)
+            vecCol: String = "embedding",
+            knownCount: Option[Long] = None): Model = {
+    val coarse = IvfIndex.train(corpus, kCells, iters, idCol, vecCol, knownCount)
     val pq = PqIndex.train(residuals(corpus, coarse, idCol, vecCol),
       m, ksub, iters, idCol, "__resid")
     Model(coarse, pq)
@@ -73,8 +74,10 @@ object IvfPq {
     */
   def trainCellLaw(corpus: DataFrame, targetCellSize: Long, m: Int,
                    ksub: Int = 16, iters: Int = 2, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Model = {
-    val coarse = IvfIndex.trainCellLaw(corpus, targetCellSize, iters, idCol, vecCol)
+                   vecCol: String = "embedding",
+                   knownCount: Option[Long] = None): Model = {
+    val coarse = IvfIndex.trainCellLaw(corpus, targetCellSize, iters, idCol,
+      vecCol, knownCount)
     val pq = PqIndex.train(residuals(corpus, coarse, idCol, vecCol),
       m, ksub, iters, idCol, "__resid")
     Model(coarse, pq)
@@ -90,9 +93,10 @@ object IvfPq {
     */
   def trainTable(corpus: DataFrame, kCells: Int, m: Int, path: String,
                  ksub: Int = 16, iters: Int = 2, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): Model = {
+                 vecCol: String = "embedding",
+                 knownCount: Option[Long] = None): Model = {
     val coarse = IvfIndex.trainTable(corpus, kCells, s"$path/coarse", iters,
-      idCol, vecCol)
+      idCol, vecCol, knownCount)
     val pq = PqIndex.train(residuals(corpus, coarse, idCol, vecCol),
       m, ksub, iters, idCol, "__resid")
     PqIndex.saveModel(corpus.sparkSession, pq, s"$path/pq")

@@ -67,12 +67,16 @@ object PqIndex {
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .cache()
     try {
-      val dim = vecs.select(size(col("__v"))).head().getInt(0)
-      require(dim % m == 0, s"dim $dim not divisible by m=$m")
-      val dsub = dim / m
+      // Dimension from the init collect's first row — the separate
+      // head() probe was one whole extra pass/job for one int.
       val init = vecs.orderBy(col("__id")).limit(ksub)
         .select(col("__v")).collect()
         .map(_.getSeq[Double](0).toSeq)
+      require(init.nonEmpty,
+        s"PqIndex.train: empty corpus — nothing to train ($idCol/$vecCol)")
+      val dim = init.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
       var books: Seq[Seq[Seq[Double]]] =
         (0 until m).map(s => init.toSeq.map(_.slice(s * dsub, (s + 1) * dsub)))
 

@@ -376,9 +376,18 @@ private[graft] abstract class CodedIvfStateCore {
               // skips: the old bundle stays, correctness held by the
               // still-live tombstones.
               // One count over the union (the IvfState shape) instead of
-              // one job per part.
+              // one job per part — and when NO live tombstones exist
+              // (the common fold), no job at all: every part is parquet
+              // this state wrote, so the exact count is footer metadata
+              // (StateFiles.dirRowCount rationale). Tombstoned folds
+              // keep the count job (the anti-joins change the count).
               val all0 = parts.reduceOption(_ unionByName _)
-              val nAll = all0.map(_.count()).getOrElse(0L)
+              val nAll =
+                if (ts.isEmpty)
+                  (if (f >= 0) StateFiles.dirRowCount(spark,
+                    s"${bundlePath(statePath)}/index") else 0L) +
+                  StateFiles.tailRowCount(spark, deltasPath(statePath), f, last)
+                else all0.map(_.count()).getOrElse(0L)
               if (nAll > 0) {
                 val all = all0.get
                 val staging = stagingPath(statePath)
@@ -389,14 +398,15 @@ private[graft] abstract class CodedIvfStateCore {
                 val model =
                   if (kc > IvfIndex.tableModelMinK)
                     IvfIndex.trainTable(tf, kc, s"$staging/model", iters,
-                      vecCol = tvCol)
+                      vecCol = tvCol, knownCount = Some(nAll))
                   else {
                     val m = k match {
                       case Some(cells) =>
-                        IvfIndex.train(tf, cells, iters, vecCol = tvCol)
+                        IvfIndex.train(tf, cells, iters, vecCol = tvCol,
+                          knownCount = Some(nAll))
                       case None =>
                         IvfIndex.trainCellLaw(tf, targetCellSize, iters,
-                          vecCol = tvCol)
+                          vecCol = tvCol, knownCount = Some(nAll))
                     }
                     IvfIndex.save(spark, m, s"$staging/model")
                     m
@@ -408,7 +418,9 @@ private[graft] abstract class CodedIvfStateCore {
                   tvCol, dropCols = if (tvCol == "embedding") Nil else Seq(tvCol))
                 StateFiles.writeMarkerDir(spark, s"$staging/meta",
                   Seq("folded_through" -> last))
-                val nIdx = spark.read.parquet(s"$staging/index").count()
+                // Footer verify of the staged write (no Spark job) — the
+                // IvfState rationale.
+                val nIdx = StateFiles.dirRowCount(spark, s"$staging/index")
                 if (nIdx != nAll) { // never install a lossy rewrite
                   hfs.delete(new Path(staging), true)
                   sys.error(s"$stateName.recluster: staged index rows $nIdx != " +
@@ -499,17 +511,32 @@ private[graft] abstract class CodedIvfStateCore {
         // One probe, two consumers (the scoredCandidatesPruned shape):
         // the frame's distinct cells become the static partition filter
         // (ceilinged — the prunedIndexScan fallback rule) and the frame
-        // itself is the candidate join side.
-        val q = IvfIndex.withNearestCells(
+        // itself is the candidate join side. Driver arm (the lutFrame
+        // dispatch): a broadcast-small probe frame bounded-collects ONCE
+        // and serves the sizing gate, the former checkpoint, and the
+        // static filter as driver-local data — one job where the r18
+        // shape paid three (checkpoint + count + distinct collect).
+        val q0 = IvfIndex.withNearestCells(
             queryFrame(qn, meta.codeDim), probeCol, model, nprobe, "__cells")
           .withColumn("cell", explode(col("__cells").getField("cell")))
           .drop("__cells")
-          .localCheckpoint(eager = true)
-        qSmall = q.count() <= IvfIndex.queryBroadcastMaxRows
-        val scan0 = IvfIndex.boundedCollect(q.select("cell").distinct(),
-            IvfIndex.staticPruneMaxCells) match {
+        val (q, cellsOpt) =
+          IvfIndex.boundedCollect(q0, IvfIndex.queryBroadcastMaxRows) match {
+            case Some(rows) =>
+              qSmall = true
+              val local = spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), q0.schema)
+              val cells = rows.map(_.getAs[Int]("cell")).distinct
+              (local, if (cells.length <= IvfIndex.staticPruneMaxCells)
+                Some(cells.toSeq) else None)
+            case None =>
+              val ckpt = q0.localCheckpoint(eager = true)
+              (ckpt, IvfIndex.boundedCollect(ckpt.select("cell").distinct(),
+                IvfIndex.staticPruneMaxCells).map(_.map(_.getInt(0)).toSeq))
+          }
+        val scan0 = cellsOpt match {
           case Some(cells) => spark.read.parquet(s"$b/index")
-            .filter(col("cell").isin(cells.map(_.getInt(0)).toSeq: _*))
+            .filter(col("cell").isin(cells: _*))
           case None => spark.read.parquet(s"$b/index")
         }
         // Bundle rows all predate any live tombstone: kill on id alone.

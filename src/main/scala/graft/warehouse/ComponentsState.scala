@@ -50,9 +50,90 @@ object ComponentsState {
     graft.core.PathLocks.forPath(statePath).synchronized {
       LeaseLock.withLease(spark, statePath, lease) {
         StateFiles.recover(spark, statePath)
-        val e = edges.select(col(aCol).cast("long").as("a"),
+        val e0 = edges.select(col(aCol).cast("long").as("a"),
           col(bCol).cast("long").as("b")).filter(col("a") =!= col("b"))
-          .localCheckpoint(eager = true)
+        // |state|+|batch|-dispatched DRIVER FOLD (the Dedup.clusters
+        // union-find arm, lifted to the whole fold): a label-prop fold
+        // over a bounded graph is ~27 Spark jobs of pure orchestration
+        // (2 checkpoints, the contraction joins' AQE stage
+        // materializations, the install write — measured 82 jobs for
+        // q251's 3 folds), while the data is kilobytes. When the prior
+        // state's FOOTER count and the batch's bounded collect both fit
+        // under ccDriverMaxRows (16 MB of longs at the default), the
+        // fold runs exactly in memory — same lookup/contract/union-find/
+        // relabel/merge algebra, ComponentsStateSpec + the q251 oracle
+        // pin equality — and the state installs through the job-free
+        // long-pair writer. One Spark job total (the batch collect).
+        // Past the cap: the distributed fold below, unchanged (100 TB
+        // states never collect).
+        val cap = graft.analytics.Dedup.ccDriverMaxRows
+        val priorSmall = !StateFiles.exists(spark, statePath) ||
+          StateFiles.dirRowCount(spark, statePath) <= cap
+        val driverFold =
+          if (!priorSmall) None
+          else graft.analytics.IvfIndex.boundedCollect(e0, cap).flatMap { eRows =>
+            StateFiles.readLongPairs(spark, statePath, "node", "label", cap)
+              .map(prevPairs => (eRows, prevPairs))
+          }
+        driverFold match {
+          case Some((eRows, prevPairs)) =>
+            val prevMap = new java.util.HashMap[Long, Long](prevPairs.length * 2)
+            prevPairs.foreach { case (n, l) => prevMap.put(n, l) }
+            def labelOf(n: Long): Long = prevMap.getOrDefault(n, n)
+            // Batch endpoints with their current labels (unseen nodes
+            // self-label) — the `nodes` frame.
+            val touched = new java.util.LinkedHashMap[Long, Long]()
+            eRows.foreach { r =>
+              val a = r.getLong(0); val b = r.getLong(1)
+              if (!touched.containsKey(a)) touched.put(a, labelOf(a))
+              if (!touched.containsKey(b)) touched.put(b, labelOf(b))
+            }
+            // Contract to distinct label-level edges, drop self-loops.
+            val reduced = new java.util.LinkedHashSet[(Long, Long)]()
+            eRows.foreach { r =>
+              val la = touched.get(r.getLong(0))
+              val lb = touched.get(r.getLong(1))
+              if (la != lb) reduced.add((la, lb))
+            }
+            // Union-find over the contracted label graph → label → new.
+            val epIds = new java.util.LinkedHashSet[java.lang.Long]()
+            reduced.forEach { ed => epIds.add(ed._1); epIds.add(ed._2) }
+            val ids = new Array[Long](epIds.size)
+            var i = 0
+            val epIt = epIds.iterator()
+            while (epIt.hasNext) { ids(i) = epIt.next(); i += 1 }
+            import scala.jdk.CollectionConverters._
+            val relabel = graft.analytics.Dedup.unionFindMinLabels(ids,
+              reduced.iterator().asScala)
+            // merged = (prev ∪ nodes) min-label per node, mapped through
+            // the relabeling — prev and nodes agree wherever both hold a
+            // node (nodes' labels were looked up from prev), so the
+            // union-min is a keyed overlay.
+            val merged = new java.util.LinkedHashMap[Long, Long]()
+            prevPairs.foreach { case (n, l) => merged.put(n, l) }
+            touched.forEach { (n, l) => if (!merged.containsKey(n)) merged.put(n, l) }
+            val out = new Array[(Long, Long)](merged.size)
+            i = 0
+            merged.forEach { (n, l) =>
+              val nl = relabel.get(l)
+              out(i) = (n, if (nl != null) nl.longValue() else l)
+              i += 1
+            }
+            StateFiles.installLongPairs(spark, statePath, "node", "label", out)
+            if (materializeReturn)
+              spark.read.parquet(statePath).localCheckpoint(eager = true)
+            else spark.read.parquet(statePath)
+          case None => distributedFold(spark, statePath, e0, materializeReturn)
+        }
+      }
+    }
+
+  /** The distributed (above-cap) fold — the pre-r19 update body,
+    * unchanged: 100 TB states never collect.
+    */
+  private def distributedFold(spark: SparkSession, statePath: String,
+      e0: DataFrame, materializeReturn: Boolean): DataFrame = {
+        val e = e0.localCheckpoint(eager = true)
         val prev =
           if (StateFiles.exists(spark, statePath))
             spark.read.parquet(statePath)
@@ -71,9 +152,11 @@ object ComponentsState {
         val reduced = e.join(la, Seq("a")).join(lb, Seq("b"))
           .select(col("la").as("a_id"), col("lb").as("b_id"))
           .filter(col("a_id") =!= col("b_id")).distinct()
-        val touched = reduced.select(col("a_id").as("doc_id"))
-          .unionByName(reduced.select(col("b_id").as("doc_id"))).distinct()
-        val relabel = graft.analytics.Dedup.clusters(touched, reduced)
+        // Touched labels ARE the contracted edges' endpoints, so the
+        // edge-derived clusters face collects the (bounded) contracted
+        // graph once instead of running the endpoint union+distinct as
+        // a second pass over the same join pipeline.
+        val relabel = graft.analytics.Dedup.clustersFromEdges(reduced)
           .select(col("doc_id").as("label"), col("cluster_id").as("new_label"))
         val merged = prev.unionByName(nodes)
           .groupBy("node").agg(min("label").as("label"))
@@ -84,8 +167,7 @@ object ComponentsState {
         if (materializeReturn)
           spark.read.parquet(statePath).localCheckpoint(eager = true)
         else spark.read.parquet(statePath)
-      }
-    }
+  }
 
   /** Current per-component rollup — a state-table read. */
   def components(spark: SparkSession, statePath: String): DataFrame =

@@ -79,10 +79,14 @@ object DedupIndex {
               s"DedupIndex.matchAndIngest: batch re-ingests already-indexed " +
                 s"doc ids under $root")
           }
+          // ONE minhash/shingle pass per batch (§6 single-pass): both
+          // signature frames are consumed twice (the match join and
+          // their own batch-dir writes), and the r18 shape recomputed
+          // the tokenize+minhash pipeline for each consumer.
           val batchBands = Dedup.bandSignatures(
-            Dedup.minHashSignatures(docs, "doc_id", "text"), "doc_id")
+            Dedup.minHashSignatures(docs, "doc_id", "text"), "doc_id").cache()
           val batchSets = docs.select(col("doc_id"),
-            Dedup.shingleHashSet(col("text")).as("ws"))
+            Dedup.shingleHashSet(col("text")).as("ws")).cache()
           val matches =
             if (prior.isEmpty)
               batchSets.select(col("doc_id").as("batch_id"),
@@ -116,8 +120,12 @@ object DedupIndex {
           writable.write.mode("overwrite").parquet(s"${matchesPath(root)}/batch=$id")
           batchBands.write.mode("overwrite").parquet(s"${bandsPath(root)}/batch=$id")
           batchSets.write.mode("overwrite").parquet(s"${setsPath(root)}/batch=$id")
+          batchBands.unpersist(); batchSets.unpersist()
+          // One row per doc in the sets dir just written → the batch doc
+          // count is footer metadata, not a fourth pass over the batch.
           StateFiles.installMarker(spark, statsPath(root),
-            Seq("n_docs" -> (prior.map(_._1).getOrElse(0L) + docs.count()),
+            Seq("n_docs" -> (prior.map(_._1).getOrElse(0L) +
+              StateFiles.dirRowCount(spark, s"${setsPath(root)}/batch=$id")),
               "last_batch" -> id))
         }
         spark.read.parquet(s"${matchesPath(root)}/batch=$id")

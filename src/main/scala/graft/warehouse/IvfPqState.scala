@@ -145,7 +145,13 @@ object IvfPqState {
               // Idle streaming epochs commit EMPTY deltas; an all-empty
               // corpus has no row for the trainers' dimension probes, so
               // an empty fold is a no-op (the IvfState.recluster rule).
-              val nAll = all.count()
+              // Sizing from FOOTERS (StateFiles.dirRowCount rationale):
+              // bundle/index and the delta dirs are this state's own
+              // parquet, so the exact count costs no Spark job.
+              val nAll =
+                (if (f >= 0) StateFiles.dirRowCount(spark,
+                  s"${bundlePath(statePath)}/index") else 0L) +
+                StateFiles.tailRowCount(spark, deltasPath(statePath), f, last)
               if (nAll > 0) {
                 val staging = stagingPath(statePath)
                 hfs.delete(new Path(staging), true)
@@ -156,11 +162,14 @@ object IvfPqState {
                   (nAll + targetCellSize - 1) / targetCellSize).toInt)
                 val model =
                   if (kc > graft.analytics.IvfIndex.tableModelMinK)
-                    IvfPq.trainTable(all, kc, m, s"$staging/model", ksub, iters)
+                    IvfPq.trainTable(all, kc, m, s"$staging/model", ksub, iters,
+                      knownCount = Some(nAll))
                   else {
                     val mdl = kCells match {
-                      case Some(k) => IvfPq.train(all, k, m, ksub, iters)
-                      case None => IvfPq.trainCellLaw(all, targetCellSize, m, ksub, iters)
+                      case Some(k) => IvfPq.train(all, k, m, ksub, iters,
+                        knownCount = Some(nAll))
+                      case None => IvfPq.trainCellLaw(all, targetCellSize, m,
+                        ksub, iters, knownCount = Some(nAll))
                     }
                     IvfPq.saveModel(spark, mdl, s"$staging/model")
                     mdl
@@ -175,7 +184,9 @@ object IvfPqState {
                   .parquet(s"$staging/index")
                 StateFiles.writeMarkerDir(spark, s"$staging/meta",
                   Seq("folded_through" -> last))
-                val nIdx = spark.read.parquet(s"$staging/index").count()
+                // Footer verify of the staged write (no Spark job) — the
+                // IvfState rationale.
+                val nIdx = StateFiles.dirRowCount(spark, s"$staging/index")
                 if (nIdx != nAll) { // never install a lossy rewrite
                   hfs.delete(new Path(staging), true)
                   sys.error(s"IvfPqState.recluster: staged index rows $nIdx " +

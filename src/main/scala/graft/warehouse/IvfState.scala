@@ -177,7 +177,14 @@ object IvfState {
               // has no row to read on an all-empty corpus, so an empty
               // fold is a no-op — the empty delta dirs stay committed
               // and every read of them is already empty.
-              val nAll = all.count()
+              // Sizing from FOOTERS, not a job: bundle/index and every
+              // delta dir are parquet this module wrote, so the exact
+              // corpus count is driver-side metadata (StateFiles
+              // .dirRowCount rationale).
+              val nAll =
+                (if (f >= 0) StateFiles.dirRowCount(spark,
+                  s"${bundlePath(statePath)}/index") else 0L) +
+                StateFiles.tailRowCount(spark, deltasPath(statePath), f, last)
               if (nAll > 0) {
                 val staging = stagingPath(statePath)
                 hfs.delete(new Path(staging), true)
@@ -190,11 +197,14 @@ object IvfState {
                   (nAll + targetCellSize - 1) / targetCellSize).toInt)
                 val model =
                   if (kc > IvfIndex.tableModelMinK)
-                    IvfIndex.trainTable(all, kc, s"$staging/model", iters)
+                    IvfIndex.trainTable(all, kc, s"$staging/model", iters,
+                      knownCount = Some(nAll))
                   else {
                     val m = k match {
-                      case Some(cells) => IvfIndex.train(all, cells, iters)
-                      case None => IvfIndex.trainCellLaw(all, targetCellSize, iters)
+                      case Some(cells) => IvfIndex.train(all, cells, iters,
+                        knownCount = Some(nAll))
+                      case None => IvfIndex.trainCellLaw(all, targetCellSize,
+                        iters, knownCount = Some(nAll))
                     }
                     IvfIndex.save(spark, m, s"$staging/model")
                     m
@@ -202,7 +212,10 @@ object IvfState {
                 IvfIndex.writePartitionedIndex(all, model, s"$staging/index")
                 StateFiles.writeMarkerDir(spark, s"$staging/meta",
                   Seq("folded_through" -> last))
-                val nIdx = spark.read.parquet(s"$staging/index").count()
+                // Staged-write verify from the staged files' own footers
+                // (no Spark job): record counts are written by the writer,
+                // so a lossy rewrite still mismatches nAll.
+                val nIdx = StateFiles.dirRowCount(spark, s"$staging/index")
                 if (nIdx != nAll) { // never install a lossy rewrite
                   hfs.delete(new Path(staging), true)
                   sys.error(s"IvfState.recluster: staged index rows $nIdx != " +

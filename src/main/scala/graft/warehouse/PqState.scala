@@ -138,7 +138,13 @@ object PqState {
               // Idle streaming epochs commit EMPTY deltas; an all-empty
               // corpus has no row for the trainer's dimension probe, so
               // an empty fold is a no-op (the IvfState.recluster rule).
-              val nAll = all.count()
+              // Sizing from FOOTERS (StateFiles.dirRowCount rationale):
+              // both inputs are this state's own parquet, so the exact
+              // count costs no Spark job.
+              val nAll =
+                (if (f >= 0) StateFiles.dirRowCount(spark,
+                  s"${bundlePath(statePath)}/index") else 0L) +
+                StateFiles.tailRowCount(spark, deltasPath(statePath), f, last)
               if (nAll > 0) {
                 val model = PqIndex.train(all, m, ksub, iters)
                 val staging = stagingPath(statePath)
@@ -149,7 +155,9 @@ object PqState {
                   .write.mode("overwrite").parquet(s"$staging/index")
                 StateFiles.writeMarkerDir(spark, s"$staging/meta",
                   Seq("folded_through" -> last))
-                val nIdx = spark.read.parquet(s"$staging/index").count()
+                // Footer verify of the staged write (no Spark job) — the
+                // IvfState rationale.
+                val nIdx = StateFiles.dirRowCount(spark, s"$staging/index")
                 if (nIdx != nAll) { // never install a lossy rewrite
                   hfs.delete(new Path(staging), true)
                   sys.error(s"PqState.retrain: staged index rows $nIdx != " +

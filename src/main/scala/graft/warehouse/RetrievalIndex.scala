@@ -88,20 +88,29 @@ object RetrievalIndex {
               s"RetrievalIndex.update: batch re-ingests already-indexed " +
                 s"doc ids under $root — postings/df would double-count")
           }
+          // ONE tokenize pass per batch (§6 single-pass): the r18 shape
+          // tokenized the batch THREE times — once for postings, once
+          // for doclen, once for the corpus-constant aggregate. The
+          // token arrays are cached for the two writes, and the
+          // constants ride the doclen WRITE as observed metrics (no
+          // third pass, no extra job).
           val toks = docs.select(col("doc_id"),
-            explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
-          toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-            .write.mode("overwrite").parquet(s"${postingsPath(root)}/batch=$id")
-          docs.select(col("doc_id"),
-            size(graft.functions.shingleStrings(col("text"), 1)).cast("long").as("dl"))
-            .write.mode("overwrite").parquet(s"${doclenPath(root)}/batch=$id")
-          val b = docs.agg(count(lit(1)).as("n"),
-            sum(size(graft.functions.shingleStrings(col("text"), 1)).cast("long"))
-              .as("t")).head()
-          val (pn, pt) = prior.map(p => (p._1, p._2)).getOrElse((0L, 0L))
-          StateFiles.installMarker(spark, statsPath(root),
-            Seq("n_docs" -> (pn + b.getAs[Long]("n")),
-              "t_tok" -> (pt + b.getAs[Long]("t")), "last_batch" -> id))
+            graft.functions.shingleStrings(col("text"), 1).as("__toks")).cache()
+          try {
+            toks.select(col("doc_id"), explode(col("__toks")).as("term"))
+              .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+              .write.mode("overwrite").parquet(s"${postingsPath(root)}/batch=$id")
+            val obs = new org.apache.spark.sql.Observation(s"ridx_stats_$id")
+            toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+              .observe(obs, count(lit(1)).as("n"),
+                coalesce(sum(col("dl")), lit(0L)).as("t"))
+              .write.mode("overwrite").parquet(s"${doclenPath(root)}/batch=$id")
+            val b = obs.get
+            val (pn, pt) = prior.map(p => (p._1, p._2)).getOrElse((0L, 0L))
+            StateFiles.installMarker(spark, statsPath(root),
+              Seq("n_docs" -> (pn + b("n").asInstanceOf[Long]),
+                "t_tok" -> (pt + b("t").asInstanceOf[Long]), "last_batch" -> id))
+          } finally { toks.unpersist(); () }
         }
         // Post-update constants as a LOCAL relation built from the marker
         // (no file dependency, so no checkpoint job needed to survive the

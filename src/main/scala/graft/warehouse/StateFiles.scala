@@ -177,6 +177,123 @@ private[graft] object StateFiles {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // ---------------------------------------------------- footer row counts
+  //
+  // The state reclusters used to run TWO Spark count jobs per fold — one
+  // to size the corpus (`all.count()`: cell-law k, empty-fold short-
+  // circuit) and one to verify the staged index row count before the
+  // swap. Every frame those counts measure is a parquet directory this
+  // module itself wrote (bundle/index, deltas/batch=N, .staging_bundle/
+  // index), so both numbers are already sitting in the files' footers:
+  // read them on the driver like any other planning-time metadata
+  // ([[graft.core.ParquetMeta.rowCount]] — O(files), no data pages, no
+  // job). The verify keeps its meaning: footer record counts are written
+  // by the writer of the staged files, so a lossy rewrite still shows up
+  // as a mismatch.
+
+  /** Footer row count of a parquet dir, 0 when it does not exist. */
+  def dirRowCount(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) 0L
+    else graft.core.ParquetMeta.rowCount(spark, dir)
+  }
+
+  /** Footer row count of the delta dirs `batch=N` with from < N ≤ last
+    * under `deltasDir` — the exact row count of the unfolded tail, with
+    * no Spark job (each batch dir was written by this state's own
+    * update verb).
+    */
+  def tailRowCount(spark: SparkSession, deltasDir: String,
+                   from: Long, last: Long): Long = {
+    val p = new Path(deltasDir)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) 0L
+    else hfs.listStatus(p).iterator
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.stripPrefix("batch=").toLongOption
+          .exists(b => b > from && b <= last)
+      }
+      .map(st => graft.core.ParquetMeta.rowCount(spark, st.getPath.toString))
+      .sum
+  }
+
+  // ------------------------------------------------- bounded long pairs
+  //
+  // Driver-side read/write of a SMALL two-long-column parquet state (the
+  // ComponentsState (node, label) table under its driver-arm cap): the
+  // same job-free parquet-hadoop discipline as the markers, for states
+  // that are metadata-sized by construction when the bounded dispatch
+  // arm is taken. Both directions stay plain parquet — Spark-written
+  // states read back, and driver-written states remain readable by
+  // `spark.read.parquet` (MarkerFilesSpec's contract, extended by
+  // ComponentsStateSpec over the fold path).
+
+  /** All (a, b) rows under `dir` read on the driver, or None when the
+    * footer row count exceeds `cap` (caller falls back to the cluster).
+    */
+  def readLongPairs(spark: SparkSession, dir: String, aCol: String,
+                    bCol: String, cap: Long): Option[Array[(Long, Long)]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new Path(dir)
+    val hfs = d.getFileSystem(conf)
+    if (!hfs.exists(d)) return Some(Array.empty)
+    val n = graft.core.ParquetMeta.rowCount(spark, dir)
+    if (n > cap) return None
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n.toInt)
+    val parts = hfs.listStatus(d).toSeq
+      .filter { st =>
+        val nm = st.getPath.getName
+        st.isFile && nm.endsWith(".parquet") && !nm.startsWith("_") &&
+          !nm.startsWith(".") && st.getLen > 0
+      }
+      .sortBy(_.getPath.getName)
+    parts.foreach { st =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val t = g.getType
+          out += ((g.getLong(t.getFieldIndex(aCol), 0),
+            g.getLong(t.getFieldIndex(bCol), 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    Some(out.toArray)
+  }
+
+  /** [[install]] for a driver-held (a, b) long-pair table: direct
+    * parquet write + the same staged swap — zero Spark jobs. Bounded by
+    * the caller's dispatch cap, never corpus-sized.
+    */
+  def installLongPairs(spark: SparkSession, statePath: String, aCol: String,
+                       bCol: String, rows: Array[(Long, Long)]): Unit = {
+    import org.apache.parquet.schema.{PrimitiveType, Types}
+    val p = new Path(statePath)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = tmpPath(p)
+    hfs.delete(tmp, true)
+    hfs.mkdirs(tmp)
+    val schema = Types.buildMessage()
+      .addField(Types.optional(PrimitiveType.PrimitiveTypeName.INT64).named(aCol))
+      .addField(Types.optional(PrimitiveType.PrimitiveTypeName.INT64).named(bCol))
+      .named("spark_schema")
+    val file = new Path(tmp, "part-00000-state.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf).withType(schema).build()
+    try rows.foreach { case (a, b) =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      g.add(aCol, a); g.add(bCol, b)
+      w.write(g)
+    } finally w.close()
+    swapIn(hfs, tmp, p)
+  }
+
   /** The ANN states' shared tail crossJoin with a SIZED broadcast side —
     * broadcast is a command, not a suggestion, so a hint goes only on a
     * side that is MEASURED small (r15 ADVICE: the unconditional
