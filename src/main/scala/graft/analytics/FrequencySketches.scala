@@ -114,7 +114,7 @@ object FrequencySketches {
     // shingle is the query's per-row work and would otherwise run on the
     // single scan partition (the q83 measurement).
     val hv = graft.core.Spread.ifNarrow(
-        Tables.documents(spark, dir).select("source", "text"))
+        Tables.documents(spark, dir).select("source", "text"), 8L << 10)
       .select(col("source"),
         explode(graft.analytics.TextAnalysis.shingleSet(col("text"), 3)).as("sh"))
       .select(col("source"),

@@ -125,7 +125,7 @@ object GraphRank {
     // Materialized once: BOTH the df prefilter and the pair join read
     // this frame — without the checkpoint the corpus explode+distinct
     // would execute twice (measured as the q91/q106 build regression).
-    val docTerms = graft.core.Spread.ifNarrow(docs.select("doc_id", "text"))
+    val docTerms = graft.core.Spread.ifNarrow(docs.select("doc_id", "text"), 8L << 10)
       .select(col("doc_id"),
         explode(graft.functions.shingleStrings(col("text"), 1)).as("term"))
       .distinct()

@@ -44,7 +44,7 @@ object Pca {
     // Parallelism floor (core.Spread): the ×d(d+1)/2 pair explode makes
     // per-row cost — not bytes — the job; a single-small-file corpus
     // would otherwise run all ~n·2080 products on one task.
-    val pairs = graft.core.Spread.ifNarrow(emb.select(v.as("v")))
+    val pairs = graft.core.Spread.ifNarrow(emb.select(v.as("v")), 8L << 10)
       .select(posexplode(col("v")).as(Seq("i", "x")), col("v"))
       .select(col("i"), col("x"),
         posexplode(slice(col("v"), col("i") + 1, size(col("v")))).as(Seq("dj", "y")))

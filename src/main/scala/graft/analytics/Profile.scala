@@ -32,8 +32,14 @@ object Profile {
     * [[graft.core.Spread]]: the per-row MG/GK/HLL update cost, not the
     * bytes, is the job; a no-op on any real-scale scan.
     */
-  private def spreadIfNarrow(df: DataFrame): DataFrame =
-    graft.core.Spread.ifNarrow(df)
+  /** `heavy` = the MG/GK/HLL sketch face (real per-row update cost:
+    * small per-task budget → full spread); the exact/agg-only faces are
+    * plain hash aggregates where over-partitioning costs more in task
+    * launch + partial-merge than it buys (the r18 scaling block's
+    * 8-core-beats-32 inversion on q72).
+    */
+  private def spreadIfNarrow(df: DataFrame, heavy: Boolean): DataFrame =
+    graft.core.Spread.ifNarrow(df, if (heavy) 8L << 10 else 1L << 20)
 
   /** Profile every column of `df`: one row per column —
     * (col_name, dtype, n_rows, n_nulls, null_frac, approx_distinct,

@@ -973,7 +973,7 @@ object Similarity {
   def labelCentroids(emb: DataFrame, labelCol: String = "label",
                      vecCol: String = "embedding"): DataFrame =
     graft.core.Spread.ifNarrow(
-      emb.select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v")))
+      emb.select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v")), 16L << 10)
       .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("label", "i")
       .agg(count(lit(1)).as("n"),

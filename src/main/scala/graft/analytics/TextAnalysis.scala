@@ -1063,7 +1063,7 @@ object TextAnalysis {
     // map-side bit_or partial — the query's dominant per-row work,
     // measured as a single-task 2.5 s stage — would run on one core.
     // bit_or/count are order-independent, so the spread is result-free.
-    val ss = graft.core.Spread.ifNarrow(docs.select("source", "text"))
+    val ss = graft.core.Spread.ifNarrow(docs.select("source", "text"), 8L << 10)
       .select(col("source"), explode(shingleSet(col("text"), n)).as("sh"))
     // ≤63 sources fit a LONG bitmask (r10 rewrite): per shingle,
     // bit_or the source bits — idempotent, so no DISTINCT pass — then

@@ -349,7 +349,7 @@ object Multimodal {
     // run all of it on a single task. Output is per-row (order-free under
     // the sorted oracle compare), so the spread is result-free.
     val blobs = graft.core.Spread.ifNarrow(
-        Tables.documents(spark, dir).select(col("doc_id"))).as[Long]
+        Tables.documents(spark, dir).select(col("doc_id")), 4L << 10).as[Long]
       .mapPartitions(_.map { id =>
         val w = 16 + (id % 6).toInt * 8
         val h = 16 + (id % 5).toInt * 8
